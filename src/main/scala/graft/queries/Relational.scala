@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.operators.AsOf
+
+/** Core relational operator coverage: scan + pushdown filter, hash/
+  * broadcast joins, semi/anti joins, group-by aggregation, rollup,
+  * window functions, top-k, sessionization, as-of join.
+  *
+  * Every query is written scale-first: filters sit directly on the scan
+  * (parquet pushdown), small dimensions are broadcast explicitly, and
+  * aggregates are partial-aggregated map-side by Catalyst. The decimal
+  * casts (graft.Q) exist for oracle hash-parity, not correctness.
+  */
+object Relational {
+
+  private val Cut = "1998-01-01"
+
+  /** TPC-H Q1-shaped pricing summary: scan + filter + groupBy agg.
+    * Demonstrates A1/A2-style null-skipping aggregation at scale. */
+  def q1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit(Cut).cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Q.dsum(col("l_quantity")).as("sum_qty"),
+        Q.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        Q.davg(col("l_quantity")).as("avg_qty"),
+        Q.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String = s"""
+    SELECT l_returnflag, l_linestatus,
+      ${Sql.dsum("l_quantity")} AS sum_qty,
+      ${Sql.dsum("l_extendedprice")} AS sum_base_price,
+      ${Sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+      ${Sql.davg("l_quantity")} AS avg_qty,
+      ${Sql.davg("l_discount")} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '$Cut'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** TPC-H Q3-shaped: 3-way join (broadcast dim + shuffle fact), agg,
+    * exact-ordered top-k. */
+  def q3(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(Cut).cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit(Cut).cast("timestamp"))
+    broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .select(col("o_orderkey"), Q.iso(col("o_orderdate")).as("o_date"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String = s"""
+    SELECT o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS o_date,
+      ${Sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '$Cut'
+      AND l_shipdate > TIMESTAMP '$Cut'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10"""
+
+  /** TPC-H Q5-shaped: 6-way star join, regional revenue rollup. */
+  def q5(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val l = Tables.lineitem(s, d)
+    l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String = s"""
+    SELECT n_name,
+      ${Sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name"""
+
+  /** Left-semi join (EXISTS): customers holding at least one big order. */
+  def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 150000.0)
+    Tables.customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  val joinSemiSql: String = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+    ORDER BY c_custkey"""
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+
+  val joinAntiSql: String = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey"""
+
+  /** ROLLUP grouping sets over (returnflag, linestatus). */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(Q.dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy("returnflag", "linestatus")
+
+  val aggRollupSql: String = s"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ${Sql.dsum("l_quantity")} AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus"""
+
+  /** Distributed top-k with total order: TakeOrderedAndProject, no full
+    * sort materialization. */
+  def topkOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+
+  val topkOrdersSql: String = """
+    SELECT o_orderkey, o_custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15"""
+
+  /** Window functions: row_number, lag, running exact sum per customer. */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("run_spend", Q.dsumOver(col("o_totalprice"),
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+        col("prev_price"), col("run_spend"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val windowRunningSql: String = """
+    SELECT o_custkey, o_orderkey,
+      CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+      LAG(o_totalprice, 1) OVER w AS prev_price,
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        AS DOUBLE) AS run_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, rn"""
+
+  /** Sessionization of the event stream: 30-minute inactivity gap starts
+    * a new session; per-session stats. One shuffle (by user), two window
+    * passes over the same sort order — Catalyst reuses the exchange. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val GapNs = 30L * 60 * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > GapNs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_ns"),
+        max(col("ts_us")).as("end_ns"),
+        Q.dsum(col("value"), 4).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val sessionizeSql: String = s"""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        CASE WHEN LAG(epoch_us(ts), 1) OVER w IS NULL
+               OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w
+                  > ${30L * 60 * 1000000L}
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sessions AS (
+      SELECT user_id, ts_us, value,
+        CAST(SUM(is_new) OVER (PARTITION BY user_id
+          ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+      MIN(ts_us) AS start_ns, MAX(ts_us) AS end_ns,
+      ${Sql.dsum("value", 4)} AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx"""
+
+  /** As-of join: each purchase event picks up the latest preceding view
+    * event of the same user (graft.operators.AsOf — union + one sorted
+    * window pass, a single shuffle at any scale). */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "event_id", "ts_us", "value")
+    AsOf.joinAsOf(purchases, views, key = "user_id",
+        leftTime = "ts_us", rightTime = "ts_us", rightTie = "event_id")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("asof.event_id").as("view_id"),
+        col("asof.ts_us").as("view_ts_us"),
+        col("asof.value").as("view_value"))
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinSql: String = """
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           v.event_id AS view_id, v.ts_us AS view_ts_us,
+           v.value AS view_value
+    FROM events p LEFT JOIN LATERAL (
+      SELECT event_id, epoch_us(ts) AS ts_us, value
+      FROM events
+      WHERE event_type = 'view' AND user_id = p.user_id
+        AND epoch_us(ts) <= epoch_us(p.ts)
+      ORDER BY ts_us DESC, event_id DESC LIMIT 1) v ON TRUE
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id"""
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q1_pricing_summary", q1, Some(q1Sql)),
+    QuerySpec("q3_top_revenue", q3, Some(q3Sql)),
+    QuerySpec("q5_regional_revenue", q5, Some(q5Sql)),
+    QuerySpec("join_semi_exists", joinSemi, Some(joinSemiSql)),
+    QuerySpec("join_anti_not_exists", joinAnti, Some(joinAntiSql)),
+    QuerySpec("agg_rollup", aggRollup, Some(aggRollupSql)),
+    QuerySpec("topk_orders", topkOrders, Some(topkOrdersSql)),
+    QuerySpec("window_running", windowRunning, Some(windowRunningSql)),
+    QuerySpec("sessionize", sessionize, Some(sessionizeSql)),
+    QuerySpec("asof_join", asofJoin, Some(asofJoinSql)))
+}
