@@ -9,11 +9,13 @@ object SparkEntry {
 
   /** All registered operator demonstrations. */
   def specs: Seq[QuerySpec] =
-    graft.queries.Relational.specs
+    graft.queries.Relational.specs ++
+      graft.queries.CubeQueries.specs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query (zonal time series, SURVEY §3.2/§7.2) on
+    * /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("cube_ts_zonal")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,217 @@
+package graft.geo
+
+/** Minimal pure-Scala planar geometry for the engine's spatial operators
+  * (reference: shapely/rasterio usage in xcube_server/utils.py:56-168,
+  * controllers/places.py:46-49). No external geometry library: Spark's
+  * jar set does not ship JTS, and the reference surface only needs
+  * point/line/polygon intersects + rasterization + WKT parsing, which is
+  * small enough to own.
+  */
+object Geo {
+
+  final case class Pt(x: Double, y: Double)
+
+  /** (west, south, east, north) */
+  final case class BBox(xMin: Double, yMin: Double, xMax: Double, yMax: Double) {
+    def intersects(o: BBox): Boolean =
+      xMin <= o.xMax && o.xMin <= xMax && yMin <= o.yMax && o.yMin <= yMax
+    def intersection(o: BBox): Option[BBox] = {
+      val b = BBox(math.max(xMin, o.xMin), math.max(yMin, o.yMin),
+        math.min(xMax, o.xMax), math.min(yMax, o.yMax))
+      if (b.xMin <= b.xMax && b.yMin <= b.yMax) Some(b) else None
+    }
+    def contains(p: Pt): Boolean =
+      p.x >= xMin && p.x <= xMax && p.y >= yMin && p.y <= yMax
+  }
+
+  sealed trait Geometry {
+    def bbox: BBox
+    /** even-odd containment; boundary points count as inside for
+      * horizontal-ray crossing in the usual half-open convention */
+    def contains(p: Pt): Boolean
+  }
+
+  final case class Point(p: Pt) extends Geometry {
+    def bbox: BBox = BBox(p.x, p.y, p.x, p.y)
+    def contains(q: Pt): Boolean = q == p
+  }
+
+  final case class LineString(pts: IndexedSeq[Pt]) extends Geometry {
+    def bbox: BBox = Geo.bboxOf(pts)
+    def contains(q: Pt): Boolean = false
+  }
+
+  /** shell + holes, neither necessarily closed (first==last optional) */
+  final case class Polygon(shell: IndexedSeq[Pt],
+                           holes: Seq[IndexedSeq[Pt]] = Nil) extends Geometry {
+    def bbox: BBox = Geo.bboxOf(shell)
+    def contains(p: Pt): Boolean =
+      rayCast(shell, p) && !holes.exists(h => rayCast(h, p))
+  }
+
+  final case class MultiPolygon(polys: Seq[Polygon]) extends Geometry {
+    def bbox: BBox = polys.map(_.bbox).reduce((a, b) =>
+      BBox(math.min(a.xMin, b.xMin), math.min(a.yMin, b.yMin),
+        math.max(a.xMax, b.xMax), math.max(a.yMax, b.yMax)))
+    def contains(p: Pt): Boolean = polys.exists(_.contains(p))
+  }
+
+  def bboxOf(pts: Iterable[Pt]): BBox =
+    BBox(pts.map(_.x).min, pts.map(_.y).min, pts.map(_.x).max, pts.map(_.y).max)
+
+  /** Even-odd ray casting (horizontal ray to +inf). Half-open edge rule
+    * gives consistent results for points off the boundary. */
+  def rayCast(ring: IndexedSeq[Pt], p: Pt): Boolean = {
+    val n = ring.length
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val a = ring(i); val b = ring(j)
+      if ((a.y > p.y) != (b.y > p.y)) {
+        val xCross = (b.x - a.x) * (p.y - a.y) / (b.y - a.y) + a.x
+        if (p.x < xCross) inside = !inside
+      }
+      j = i; i += 1
+    }
+    inside
+  }
+
+  /** Segment intersection (incl. collinear overlap / endpoint touch). */
+  def segmentsIntersect(p1: Pt, p2: Pt, q1: Pt, q2: Pt): Boolean = {
+    def orient(a: Pt, b: Pt, c: Pt): Double =
+      (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)
+    def onSeg(a: Pt, b: Pt, c: Pt): Boolean =
+      math.min(a.x, b.x) <= c.x && c.x <= math.max(a.x, b.x) &&
+        math.min(a.y, b.y) <= c.y && c.y <= math.max(a.y, b.y)
+    val d1 = orient(q1, q2, p1); val d2 = orient(q1, q2, p2)
+    val d3 = orient(p1, p2, q1); val d4 = orient(p1, p2, q2)
+    if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) true
+    else (d1 == 0 && onSeg(q1, q2, p1)) || (d2 == 0 && onSeg(q1, q2, p2)) ||
+      (d3 == 0 && onSeg(p1, p2, q1)) || (d4 == 0 && onSeg(p1, p2, q2))
+  }
+
+  /** Does `geom` intersect the axis-aligned rectangle? Used by the
+    * all_touched rasterizer. */
+  def intersectsRect(geom: Geometry, r: BBox): Boolean = geom match {
+    case Point(p) => r.contains(p)
+    case LineString(pts) =>
+      pts.exists(r.contains) || ringEdges(pts, closed = false).exists {
+        case (a, b) => rectEdges(r).exists { case (c, d) => segmentsIntersect(a, b, c, d) } }
+    case poly @ Polygon(shell, holes) =>
+      if (!poly.bbox.intersects(r)) false
+      else {
+        val corners = Seq(Pt(r.xMin, r.yMin), Pt(r.xMin, r.yMax),
+          Pt(r.xMax, r.yMin), Pt(r.xMax, r.yMax),
+          Pt((r.xMin + r.xMax) / 2, (r.yMin + r.yMax) / 2))
+        val rings = shell +: holes
+        rings.exists(_.exists(r.contains)) ||
+          corners.exists(poly.contains) ||
+          rings.exists(ring => ringEdges(ring, closed = true).exists {
+            case (a, b) => rectEdges(r).exists { case (c, d) =>
+              segmentsIntersect(a, b, c, d) } })
+      }
+    case MultiPolygon(ps) => ps.exists(intersectsRect(_, r))
+  }
+
+  private def rectEdges(r: BBox): Seq[(Pt, Pt)] = {
+    val c = IndexedSeq(Pt(r.xMin, r.yMin), Pt(r.xMax, r.yMin),
+      Pt(r.xMax, r.yMax), Pt(r.xMin, r.yMax))
+    (0 until 4).map(i => (c(i), c((i + 1) % 4)))
+  }
+
+  private def ringEdges(pts: IndexedSeq[Pt], closed: Boolean): Seq[(Pt, Pt)] = {
+    val base = pts.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    if (closed && pts.nonEmpty && pts.head != pts.last)
+      base :+ ((pts.last, pts.head))
+    else base
+  }
+
+  /** Rasterize a geometry onto a grid, reference semantics
+    * (xcube_server/utils.py:73-83: rasterio.features.geometry_mask with
+    * all_touched=True, invert=True): mask(y,x) = true iff the geometry
+    * touches any part of cell (y,x). Row 0 is the TOP row — the affine
+    * places lat_min + res*height at the top edge, y increasing downward.
+    *
+    * Returned as `mask(y)(x)`, height rows by width cols. The per-query
+    * mask is computed on the driver for the (small) bbox window and
+    * broadcast as an include-list for the zonal semi-join (SURVEY J3).
+    */
+  def geometryMask(width: Int, height: Int, geom: Geometry,
+                   lonMin: Double, latMin: Double, res: Double): Array[Array[Boolean]] = {
+    val latMax = latMin + res * height
+    Array.tabulate(height) { y =>
+      val yTop = latMax - res * y
+      val yBot = yTop - res
+      Array.tabulate(width) { x =>
+        val x0 = lonMin + res * x
+        intersectsRect(geom, BBox(x0, yBot, x0 + res, yTop))
+      }
+    }
+  }
+
+  /** Antimeridian-aware bbox → geometry (xcube_server/utils.py:56-70):
+    * east < west means the box crosses the antimeridian and splits into
+    * two boxes forming a MultiPolygon. */
+  def boxSplitGeometry(lonMin: Double, latMin: Double,
+                       lonMax: Double, latMax: Double): Geometry =
+    if (lonMax >= lonMin) boxPolygon(lonMin, latMin, lonMax, latMax)
+    else MultiPolygon(Seq(
+      boxPolygon(lonMin, latMin, 180.0, latMax),
+      boxPolygon(-180.0, latMin, lonMax, latMax)))
+
+  def boxPolygon(xMin: Double, yMin: Double, xMax: Double, yMax: Double): Polygon =
+    Polygon(IndexedSeq(Pt(xMin, yMin), Pt(xMax, yMin), Pt(xMax, yMax),
+      Pt(xMin, yMax), Pt(xMin, yMin)))
+
+  // --- WKT (reference: shapely.wkt.loads at places.py:46-49) ---
+
+  /** Parse POINT / LINESTRING / POLYGON / MULTIPOLYGON WKT. */
+  def parseWkt(wkt: String): Geometry = {
+    val s = wkt.trim
+    val upper = s.toUpperCase
+    def body(prefix: String): String =
+      s.substring(s.indexOf('(')).trim
+    def coords(str: String): IndexedSeq[Pt] =
+      str.split(",").iterator.map { pair =>
+        val xs = pair.trim.split("\\s+")
+        Pt(xs(0).toDouble, xs(1).toDouble)
+      }.toIndexedSeq
+    def rings(str: String): Seq[IndexedSeq[Pt]] = {
+      // str = ((...),(...)) — split top-level parenthesized groups
+      val inner = str.trim.stripPrefix("(").stripSuffix(")")
+      splitTopLevel(inner).map(g => coords(g.trim.stripPrefix("(").stripSuffix(")")))
+    }
+    if (upper.startsWith("POINT")) {
+      val c = coords(body("POINT").stripPrefix("(").stripSuffix(")"))
+      Point(c.head)
+    } else if (upper.startsWith("LINESTRING")) {
+      LineString(coords(body("LINESTRING").stripPrefix("(").stripSuffix(")")))
+    } else if (upper.startsWith("MULTIPOLYGON")) {
+      val inner = body("MULTIPOLYGON").trim.stripPrefix("(").stripSuffix(")")
+      MultiPolygon(splitTopLevel(inner).map { polyStr =>
+        val rs = rings(polyStr.trim)
+        Polygon(rs.head, rs.tail)
+      })
+    } else if (upper.startsWith("POLYGON")) {
+      val rs = rings(body("POLYGON"))
+      Polygon(rs.head, rs.tail)
+    } else throw new IllegalArgumentException(s"unsupported WKT: ${s.take(40)}")
+  }
+
+  /** Split "(a),(b),(c)" at depth-0 commas. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+}

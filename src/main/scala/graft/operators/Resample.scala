@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.cube.CubeFrame
+
+/** Temporal resampling (reference A6: the canonical "computed dataset"
+  * script `ds.resample(time='1W').mean('time')`,
+  * xcube_server/res/demo/resample_in_time.py:2-3).
+  *
+  * pandas '1W' ≡ W-SUN: right-closed, right-labeled weekly bins anchored
+  * on Sunday — a timestamp maps to the first Sunday ON OR AFTER its
+  * date. Spark's `window()` is epoch-aligned and cannot reproduce this
+  * (SURVEY Q3), so the label is computed with next_day arithmetic:
+  * `next_day(d - 1 day, 'SUN')` (Sunday stays itself, Monday jumps 6
+  * days). Golden anchor: times 2017-01-16/25/26/28/30 bin to
+  * 2017-01-22, -29, -29, -29, 2017-02-05
+  * (test/controllers/test_time_series.py:138).
+  */
+object Resample {
+
+  /** Right-labeled W-SUN bin label (DATE column). */
+  def weekLabelSun(time: Column): Column =
+    next_day(date_sub(time.cast("date"), 1), "SUN")
+
+  /** Epoch-aligned fixed-size bin label for day-multiples ('1D', '5D'):
+    * pandas origin is the epoch for daily frequencies. */
+  def dayBinLabel(time: Column, days: Int): Column =
+    date_add(to_date(lit("1970-01-01")),
+      ((datediff(time.cast("date"), to_date(lit("1970-01-01"))) / days)
+        .cast("int") * days))
+
+  /** Weekly-mean resample of every variable, preserving the grid: the
+    * groupBy keys (week, y_idx, x_idx) keep spatial partitioning usable
+    * downstream; aggregation is map-side partial first. */
+  def weeklyMean(cube: CubeFrame): CubeFrame = {
+    val aggs = cube.variables.map(v =>
+      avg(graft.cube.Cube.nanToNull(col(v))).as(v))
+    val df = cube.df
+      .groupBy(weekLabelSun(col("time")).as("week"),
+        col("y_idx"), col("x_idx"), col("lat"), col("lon"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("time", col("week").cast("timestamp"))
+      .drop("week")
+    CubeFrame(df, cube.grid, cube.variables)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.cube.{Cube, CubeFrame}
+import graft.geo.Geo
+import graft.geo.Geo.{BBox, Geometry, Point, Pt}
+
+/** The flagship analytics operators: point and zonal time series
+  * (reference: xcube_server/controllers/time_series.py — traced in
+  * SURVEY §3.2). One DataFrame query per request:
+  *
+  *   scan(cube) → filter(bbox ∧ time∈[s,e]) → join(broadcast mask)
+  *     → groupBy(time) → agg(avg, count) → orderBy(time)
+  *
+  * The rasterized geometry mask is tiny (bbox-window-sized), computed on
+  * the driver and broadcast — the cube itself is never collected, so the
+  * same plan runs at 100 TB with the bbox/time filters pushed into the
+  * parquet scan.
+  */
+object TimeSeries {
+
+  /** Output schema matches the reference JSON rows
+    * (time_series.py:133-145): date ISO-8601, totalCount, validCount,
+    * average (null when the whole slice is NaN). */
+  private def finish(df: DataFrame): DataFrame =
+    df.select(col("date"), col("total_count"), col("valid_count"),
+      col("average")).orderBy("date")
+
+  private def emptyResult(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("date", StringType), StructField("total_count", LongType),
+        StructField("valid_count", LongType), StructField("average", DoubleType))))
+  }
+
+  /** Point time series (time_series.py:122-145): nearest-cell lookup
+    * resolved on the driver from grid arithmetic (P3), then an equality
+    * filter that prunes partitions/row-groups. totalCount == 1. */
+  def point(cube: CubeFrame, variable: String, lon: Double, lat: Double,
+            start: Option[Timestamp] = None, end: Option[Timestamp] = None): DataFrame = {
+    val spark = cube.df.sparkSession
+    // bounds pre-check (time_series.py:126-128): outside bbox → []
+    if (!cube.grid.bbox.contains(Pt(lon, lat))) return emptyResult(spark)
+    val x = cube.grid.nearestX(lon)
+    val y = cube.grid.nearestY(lat)
+    val v = Cube.nanToNull(col(variable))
+    val base = cube.df
+      .filter(col("x_idx") === x && col("y_idx") === y)
+    finish(timeFiltered(base, start, end)
+      .groupBy(col("time"))
+      .agg(count(lit(1)).as("total_count"),
+        count(v).as("valid_count"),
+        avg(v).as("average"))
+      .withColumn("date", Q.iso(col("time"))))
+  }
+
+  /** Zonal time series for a geometry (time_series.py:148-205).
+    *
+    * Faithful to the reference quirk (SURVEY Q2): `average` is the mean
+    * over the full rectangular bbox window, while `valid_count` counts
+    * finite cells inside the rasterized mask. Set `exactMaskMean=true`
+    * for the arguably-correct mask-restricted mean.
+    */
+  def zonal(cube: CubeFrame, variable: String, geometry: Geometry,
+            start: Option[Timestamp] = None, end: Option[Timestamp] = None,
+            exactMaskMean: Boolean = false): DataFrame = {
+    geometry match {
+      case Point(p) => return point(cube, variable, p.x, p.y, start, end)
+      case _ =>
+    }
+    val spark = cube.df.sparkSession
+    val g = cube.grid
+    // geometry ∩ dataset bounds pre-filter (time_series.py:158-164)
+    val gb = geometry.bbox
+    val inter = g.bbox.intersection(gb).getOrElse(return emptyResult(spark))
+
+    // geo → index window, floor/ceil + clamp (time_series.py:166-176)
+    def clamp(v: Int, lo: Int, hi: Int) = math.max(lo, math.min(hi, v))
+    val res = (g.latMax - g.latMin) / g.height
+    val x1 = clamp(math.floor((inter.xMin - g.lonMin) / res).toInt, 0, g.width - 1)
+    val x2 = clamp(math.ceil((inter.xMax - g.lonMin) / res).toInt + 1, 0, g.width - 1)
+    val y1 = clamp(math.floor((g.latMax - inter.yMax) / res).toInt, 0, g.height - 1)
+    val y2 = clamp(math.ceil((g.latMax - inter.yMin) / res).toInt + 1, 0, g.height - 1)
+    val subW = x2 - x1
+    val subH = y2 - y1
+    if (subW <= 0 || subH <= 0) return emptyResult(spark)
+
+    // driver-side rasterized mask over the window (utils.py:73-83),
+    // broadcast as an include-list (SURVEY J3)
+    val subLonMin = g.lonMin + x1 * res
+    val subLatMin = g.latMax - y2 * res
+    val mask = Geo.geometryMask(subW, subH, geometry, subLonMin, subLatMin, res)
+    val totalCount = mask.map(_.count(identity)).sum.toLong
+    import spark.implicits._
+    val maskCells = (for {
+      my <- 0 until subH; mx <- 0 until subW if mask(my)(mx)
+    } yield (y1 + my, x1 + mx)).toDF("y_idx", "x_idx")
+
+    val v = Cube.nanToNull(col(variable))
+    val windowRows = timeFiltered(
+      cube.df.filter(col("x_idx") >= x1 && col("x_idx") < x2 &&
+        col("y_idx") >= y1 && col("y_idx") < y2), start, end)
+      .join(broadcast(maskCells.withColumn("in_mask", lit(true))),
+        Seq("y_idx", "x_idx"), "left")
+
+    val avgCol =
+      if (exactMaskMean) avg(when(col("in_mask"), v))
+      else avg(v) // reference Q2: bbox-window mean (time_series.py:191-193)
+    finish(windowRows
+      .groupBy(col("time"))
+      .agg(count(when(col("in_mask"), v)).as("valid_count"),
+        avgCol.as("average"))
+      .withColumn("total_count", lit(totalCount))
+      // reference: average==NaN ⇒ validCount=0, average=None
+      .withColumn("valid_count",
+        when(col("average").isNull, 0L).otherwise(col("valid_count")))
+      .withColumn("date", Q.iso(col("time"))))
+  }
+
+  /** Multi-geometry fan-out (time_series.py:208-219): one plan per
+    * geometry, unioned with a geometry index — a single job, not a
+    * driver loop over collect()s. */
+  def zonalMany(cube: CubeFrame, variable: String, geometries: Seq[Geometry],
+                start: Option[Timestamp] = None, end: Option[Timestamp] = None): DataFrame =
+    geometries.zipWithIndex.map { case (geom, i) =>
+      zonal(cube, variable, geom, start, end).withColumn("geometry_index", lit(i))
+    }.reduce(_ unionByName _)
+
+  private def timeFiltered(df: DataFrame, start: Option[Timestamp],
+                           end: Option[Timestamp]): DataFrame = {
+    val afterStart = start.map(s => df.filter(col("time") >= lit(s))).getOrElse(df)
+    end.map(e => afterStart.filter(col("time") <= lit(e))).getOrElse(afterStart)
+  }
+}

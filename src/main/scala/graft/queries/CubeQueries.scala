@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.cube.CubeGrid
+import graft.geo.Geo
+import graft.geo.Geo.{Polygon, Pt}
+import graft.operators.{Places, Resample}
+
+/** Reference-semantics operators demonstrated as oracle-checked queries.
+  *
+  * The testdata has no raster cube, so a deterministic 40×20 grid is
+  * derived from `events`: cell (y,x) = (event_id % 20, (user_id/20) % 40),
+  * cell centers at lat 50.05+0.1y (ascending), lon 0.05+0.1x, and
+  * `value` plays the cube variable. Both engines derive it with the
+  * identical arithmetic, so grid coordinates are bit-equal doubles.
+  *
+  * The full raster-path operators (graft.operators.TimeSeries with the
+  * rasterized all_touched mask, Pyramid, Resample on CubeFrame) are
+  * exercised against synthetic cubes in the ScalaTest suites; these
+  * queries prove the same relational shapes against the DuckDB oracle.
+  */
+object CubeQueries {
+
+  val grid: CubeGrid = CubeGrid(width = 40, height = 20,
+    lonMin = 0.0, latMin = 50.0, res = 0.1, latAscending = true)
+
+  /** events + derived cell columns; arithmetic mirrored in cubeCte. */
+  private def cube(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("y_idx", expr("CAST(event_id % 20 AS INT)"))
+      .withColumn("x_idx", expr("CAST((event_id div 20) % 40 AS INT)"))
+      .withColumn("lat",
+        lit(50.0) + (expr("CAST(event_id % 20 AS DOUBLE)") + lit(0.5)) * lit(0.1))
+      .withColumn("lon",
+        (expr("CAST((event_id div 20) % 40 AS DOUBLE)") + lit(0.5)) * lit(0.1))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+
+  private val cubeCte: String = """
+    cube AS (
+      SELECT event_id, user_id, event_type, value,
+        CAST(event_id % 20 AS INT) AS y_idx,
+        CAST((event_id // 20) % 40 AS INT) AS x_idx,
+        50.0 + (CAST(event_id % 20 AS DOUBLE) + 0.5) * 0.1 AS lat,
+        (CAST((event_id // 20) % 40 AS DOUBLE) + 0.5) * 0.1 AS lon,
+        strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+      FROM events)"""
+
+  // ---------------------------------------------------------------- P3/A4
+  /** Point time series: nearest-cell resolution from the coord tables
+    * (driver-side scalar lookup, reference P3/J5), then an equality
+    * filter + per-day stats (A4). */
+  def tsPoint(s: SparkSession, d: String): DataFrame = {
+    val (qLon, qLat) = (3.37, 51.23)
+    val c = cube(s, d)
+    // coord-table lookup, as the reference does against the cube's coords
+    val lats = c.select("lat").distinct().collect().map(_.getDouble(0))
+    val lons = c.select("lon").distinct().collect().map(_.getDouble(0))
+    def nearest(vals: Array[Double], q: Double): Double =
+      vals.sortBy(v => (math.abs(v - q), v)).head
+    val (nLat, nLon) = (nearest(lats, qLat), nearest(lons, qLon))
+    c.filter(col("lat") === nLat && col("lon") === nLon)
+      .groupBy("day")
+      .agg(count(lit(1)).as("total_count"),
+        count(col("value")).as("valid_count"),
+        Q.davg(col("value")).as("avg_value"))
+      .orderBy("day")
+  }
+
+  val tsPointSql: String = s"""
+    WITH $cubeCte
+    SELECT day, COUNT(*) AS total_count, COUNT(value) AS valid_count,
+      ${Sql.davg("value")} AS avg_value
+    FROM cube
+    WHERE lat = (SELECT lat FROM (SELECT DISTINCT lat FROM cube)
+                 ORDER BY abs(lat - 51.23), lat LIMIT 1)
+      AND lon = (SELECT lon FROM (SELECT DISTINCT lon FROM cube)
+                 ORDER BY abs(lon - 3.37), lon LIMIT 1)
+    GROUP BY day ORDER BY day"""
+
+  // ---------------------------------------------------------------- J3/A1-A3
+  /** Zonal time series for a triangle: rasterized cell mask computed on
+    * the driver (broadcast include-list semi-join, J3), per-day
+    * bbox-window mean (the reference's Q2 semantics) + masked valid
+    * count (A2) + mask cardinality (A3). */
+  def tsZonal(s: SparkSession, d: String): DataFrame = {
+    val tri = Polygon(IndexedSeq(
+      Pt(0.51, 50.21), Pt(3.49, 50.91), Pt(1.99, 51.79)))
+    val maskCells = for {
+      y <- 0 until grid.height; x <- 0 until grid.width
+      if tri.contains(Pt(grid.lonOfX(x), grid.latOfY(y)))
+    } yield (y, x)
+    val totalCount = maskCells.size.toLong
+    import s.implicits._
+    val maskDf = maskCells.toDF("y_idx", "x_idx").withColumn("in_mask", lit(1))
+    val bb = tri.bbox
+    cube(s, d)
+      .filter(col("lon") >= bb.xMin && col("lon") <= bb.xMax &&
+        col("lat") >= bb.yMin && col("lat") <= bb.yMax)
+      .join(broadcast(maskDf), Seq("y_idx", "x_idx"), "left")
+      .groupBy("day")
+      .agg(count(col("in_mask")).as("valid_count"),
+        Q.davg(col("value")).as("avg_value"))
+      .withColumn("total_count", lit(totalCount))
+      .select("day", "total_count", "valid_count", "avg_value")
+      .orderBy("day")
+  }
+
+  val tsZonalSql: String = s"""
+    WITH $cubeCte,
+    grid AS (
+      SELECT CAST(y.range AS INT) AS y, CAST(x.range AS INT) AS x,
+        50.0 + (CAST(y.range AS DOUBLE) + 0.5) * 0.1 AS cy,
+        (CAST(x.range AS DOUBLE) + 0.5) * 0.1 AS cx
+      FROM range(0,20) y, range(0,40) x),
+    mask AS (
+      SELECT y, x FROM grid
+      WHERE 2.98*(cy-50.21) - 0.70*(cx-0.51) > 0
+        AND -1.50*(cy-50.91) - 0.88*(cx-3.49) > 0
+        AND -1.48*(cy-51.79) + 1.58*(cx-1.99) > 0)
+    SELECT day,
+      (SELECT COUNT(*) FROM mask) AS total_count,
+      COUNT(m.y) AS valid_count,
+      ${Sql.davg("value")} AS avg_value
+    FROM cube LEFT JOIN mask m ON cube.y_idx = m.y AND cube.x_idx = m.x
+    WHERE lon >= 0.51 AND lon <= 3.49 AND lat >= 50.21 AND lat <= 51.79
+    GROUP BY day ORDER BY day"""
+
+  // ---------------------------------------------------------------- A6/Q3
+  /** pandas-'1W'-compatible weekly resample (Sunday-anchored,
+    * right-labeled — graft.operators.Resample) per event_type. */
+  def resample1w(s: SparkSession, d: String): DataFrame =
+    cube(s, d)
+      .groupBy(date_format(Resample.weekLabelSun(col("ts")), "yyyy-MM-dd")
+          .as("week"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_obs"), Q.davg(col("value")).as("avg_value"))
+      .orderBy("week", "event_type")
+
+  val resample1wSql: String = s"""
+    WITH base AS (
+      SELECT event_type, value, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd
+      FROM events)
+    SELECT strftime(dd + to_days(CAST((7 - dayofweek(dd)) % 7 AS INT)),
+             '%Y-%m-%d') AS week,
+      event_type, COUNT(*) AS n_obs, ${Sql.davg("value")} AS avg_value
+    FROM base
+    GROUP BY 1, 2 ORDER BY week, event_type"""
+
+  // ---------------------------------------------------------------- A7/P8
+  /** One pyramid downsample step on the event grid: 2×2 sibling cells
+    * aggregate with mean (A7); the `(n+1)//2` recurrence and strided
+    * First-variant live in graft.operators.Pyramid. */
+  def pyramidL1(s: SparkSession, d: String): DataFrame =
+    cube(s, d)
+      .groupBy(expr("y_idx div 2").cast("int").as("yl1"),
+        expr("x_idx div 2").cast("int").as("xl1"))
+      .agg(count(lit(1)).as("n_obs"), Q.davg(col("value")).as("avg_value"))
+      .orderBy("yl1", "xl1")
+
+  val pyramidL1Sql: String = s"""
+    WITH $cubeCte
+    SELECT CAST(y_idx // 2 AS INT) AS yl1, CAST(x_idx // 2 AS INT) AS xl1,
+      COUNT(*) AS n_obs, ${Sql.davg("value")} AS avg_value
+    FROM cube GROUP BY 1, 2 ORDER BY yl1, xl1"""
+
+  // ---------------------------------------------------------------- A5
+  /** Null-skipping min/max per variable (colormap auto-range, A5). */
+  def minmax(s: SparkSession, d: String): DataFrame =
+    cube(s, d)
+      .groupBy("event_type")
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        count(col("value")).as("n"))
+      .orderBy("event_type")
+
+  val minmaxSql: String = """
+    SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax,
+      COUNT(value) AS n
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  // ---------------------------------------------------------------- F11/O2
+  /** Dataset bounds from coordinate tables: cell centers ± half the
+    * minimum coordinate delta (utils.py:19-53 fallback branch). */
+  def bounds(s: SparkSession, d: String): DataFrame = {
+    val c = cube(s, d)
+    def minDelta(vals: Array[Double]): Double = {
+      val sorted = vals.sorted
+      sorted.sliding(2).map { case Array(a, b) => b - a }.min
+    }
+    val lats = c.select("lat").distinct().collect().map(_.getDouble(0))
+    val lons = c.select("lon").distinct().collect().map(_.getDouble(0))
+    val (dLat, dLon) = (minDelta(lats), minDelta(lons))
+    import s.implicits._
+    Seq((lons.min - 0.5 * dLon, lats.min - 0.5 * dLat,
+      lons.max + 0.5 * dLon, lats.max + 0.5 * dLat))
+      .toDF("west", "south", "east", "north")
+  }
+
+  val boundsSql: String = s"""
+    WITH $cubeCte,
+    lats AS (SELECT DISTINCT lat FROM cube),
+    lons AS (SELECT DISTINCT lon FROM cube),
+    dlat AS (SELECT MIN(lat - p) AS v FROM
+      (SELECT lat, LAG(lat) OVER (ORDER BY lat) AS p FROM lats) WHERE p IS NOT NULL),
+    dlon AS (SELECT MIN(lon - p) AS v FROM
+      (SELECT lon, LAG(lon) OVER (ORDER BY lon) AS p FROM lons) WHERE p IS NOT NULL)
+    SELECT (SELECT MIN(lon) FROM lons) - 0.5 * (SELECT v FROM dlon) AS west,
+           (SELECT MIN(lat) FROM lats) - 0.5 * (SELECT v FROM dlat) AS south,
+           (SELECT MAX(lon) FROM lons) + 0.5 * (SELECT v FROM dlon) AS east,
+           (SELECT MAX(lat) FROM lats) + 0.5 * (SELECT v FROM dlat) AS north"""
+
+  // ---------------------------------------------------------------- streaming-shaped
+  /** Epoch-aligned tumbling 1-hour windows per event_type — the batch
+    * equivalent of the Structured Streaming windowed aggregation
+    * (graft.streaming exercises the readStream path on the same data). */
+  def hourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(Q.iso(date_trunc("hour", col("ts"))).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_obs"), Q.dsum(col("value"), 4).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val hourlySql: String = s"""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+             '%Y-%m-%dT%H:%M:%SZ') AS hour,
+      event_type, COUNT(*) AS n_obs, ${Sql.dsum("value", 4)} AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+
+  // ---------------------------------------------------------------- J1
+  /** Spatial intersects filter (places query): customer-derived points
+    * against a WKT triangle via the pure-Scala geometry kernel, bbox
+    * range predicate first for scan pruning. */
+  def placesInPolygon(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        (expr("CAST((c_custkey * 37) % 1000 AS DOUBLE)") / lit(10.0)).as("px"),
+        (expr("CAST((c_custkey * 73) % 1000 AS DOUBLE)") / lit(10.0)).as("py"))
+    Places.pointsWithinWkt(pts, "px", "py",
+        "POLYGON((10.05 10.05, 90.05 20.05, 50.05 95.05, 10.05 10.05))")
+      .orderBy("c_custkey")
+  }
+
+  val placesInPolygonSql: String = """
+    WITH pts AS (
+      SELECT c_custkey,
+        CAST((c_custkey * 37) % 1000 AS DOUBLE)/10.0 AS px,
+        CAST((c_custkey * 73) % 1000 AS DOUBLE)/10.0 AS py
+      FROM customer)
+    SELECT c_custkey, px, py FROM pts
+    WHERE 80.0*(py-10.05) - 10.0*(px-10.05) > 0
+      AND -40.0*(py-20.05) - 75.0*(px-90.05) > 0
+      AND -40.0*(py-95.05) + 85.0*(px-50.05) > 0
+    ORDER BY c_custkey"""
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("cube_ts_point", tsPoint, Some(tsPointSql)),
+    QuerySpec("cube_ts_zonal", tsZonal, Some(tsZonalSql)),
+    QuerySpec("cube_resample_1w", resample1w, Some(resample1wSql)),
+    QuerySpec("cube_pyramid_l1", pyramidL1, Some(pyramidL1Sql)),
+    QuerySpec("cube_minmax", minmax, Some(minmaxSql)),
+    QuerySpec("cube_bounds", bounds, Some(boundsSql)),
+    QuerySpec("events_hourly", hourly, Some(hourlySql)),
+    QuerySpec("places_in_polygon", placesInPolygon, Some(placesInPolygonSql)))
+}
