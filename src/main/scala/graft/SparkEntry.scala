@@ -10,7 +10,8 @@ object SparkEntry {
   /** All registered operator demonstrations. */
   def specs: Seq[QuerySpec] =
     graft.queries.Relational.specs ++
-      graft.queries.CubeQueries.specs
+      graft.queries.CubeQueries.specs ++
+      graft.queries.PipelineQueries.specs
 
   /** Flagship query (zonal time series, SURVEY §3.2/§7.2) on
     * /root/testdata/sf0.001; driver smoke-checks rows>0. */

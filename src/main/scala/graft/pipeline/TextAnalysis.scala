@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: quality scoring,
+  * language identification, token statistics, document fingerprinting.
+  * All pure column expressions (whole-stage codegen, no UDFs), all
+  * integer/exact arithmetic where cross-engine determinism matters.
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document quality metrics: token counts, average token length,
+    * stopword ratio, and a bounded composite score. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nTokens = size(toks)
+    val stopHits = size(filter(toks, t => t.isInCollection(Stopwords)))
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      nTokens.cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      round((length(col(textCol)) - (nTokens - 1)).cast("double") / nTokens, 6)
+        .as("avg_token_len"),
+      round(stopHits.cast("double") / nTokens, 6).as("stop_ratio"),
+      round(least(lit(1.0), nTokens.cast("double") / 100.0) *
+        (lit(1.0) - stopHits.cast("double") / nTokens), 6).as("quality_score"))
+  }
+
+  /** Marker-word sets per language (over the corpus vocabulary);
+    * deterministic argmax with alphabetical tie-break. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die", "batch", "stream"),
+    "en" -> Seq("the", "a", "scan", "join", "query"),
+    "es" -> Seq("el", "la", "de", "data", "row"),
+    "fr" -> Seq("le", "la", "et", "filter", "merge"),
+    "zh" -> Seq("shi", "de", "le", "sort", "hash"))
+
+  /** Language-ID heuristic: count marker-word hits per language, pick
+    * the max (ties → alphabetically first language). */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // struct ordering: (score asc, -rank asc) → max = best score, then
+    // alphabetically first language
+    val scored = array(LangMarkers.zipWithIndex.map { case ((lang, ws), r) =>
+      struct(
+        size(filter(toks, t => t.isInCollection(ws))).as("score"),
+        lit(-r).as("neg_rank"), lit(lang).as("lang"))
+    }: _*)
+    df.select(col(idCol),
+      array_max(scored).getField("lang").as("pred_lang"),
+      array_max(scored).getField("score").cast("long").as("score"))
+  }
+
+  /** Global token frequency top-k (ordered by count desc, token asc). */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Rolling-hash document fingerprint: polynomial hash of every 8-char
+    * window (fixed 31^k weights, mod [[TextHash.P]]); emits the minimum
+    * window hash (winnowing-style representative) and the distinct
+    * window count. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h8 =
+      s"""transform(sequence(1, length($textCol) - 7),
+         |  i -> (ascii(substr($textCol, i, 1)) * ${pow31(7)}L
+         |      + ascii(substr($textCol, i + 1, 1)) * ${pow31(6)}L
+         |      + ascii(substr($textCol, i + 2, 1)) * ${pow31(5)}L
+         |      + ascii(substr($textCol, i + 3, 1)) * ${pow31(4)}L
+         |      + ascii(substr($textCol, i + 4, 1)) * ${pow31(3)}L
+         |      + ascii(substr($textCol, i + 5, 1)) * ${pow31(2)}L
+         |      + ascii(substr($textCol, i + 6, 1)) * 31L
+         |      + ascii(substr($textCol, i + 7, 1))) % ${TextHash.P})""".stripMargin
+    df.select(col(idCol),
+      array_min(expr(h8)).as("fingerprint"),
+      size(array_distinct(expr(h8))).cast("long").as("n_distinct_grams"))
+  }
+
+  def pow31(k: Int): Long = (0 until k).foldLeft(1L)((a, _) => a * 31L)
+}

@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, TextHash}
+
+/** Training-data-pipeline operators as oracle-checked queries:
+  * dedup family (exact / n-gram Jaccard / MinHash+LSH / SimHash /
+  * embedding-cosine), similarity search (exact top-k + hyperplane-LSH
+  * ANN), and text analysis (quality, language-ID, token stats,
+  * fingerprints). The DuckDB oracles replicate every hash with the same
+  * integer arithmetic (graft.pipeline.TextHash), so results are
+  * bit-identical, not approximately equal.
+  */
+object PipelineQueries {
+
+  private val J = 0.5 // Jaccard near-dup threshold
+
+  // ------------------------------------------------------------- dedup
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .select(col("rep_id"), col("n_copies"))
+      .orderBy("rep_id")
+
+  val dedupExactSql: String = """
+    SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text ORDER BY rep_id"""
+
+  def dedupJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", J)
+      .orderBy("id_a", "id_b")
+
+  private val thCte =
+    s"th AS (SELECT doc_id, ${TextHash.tokenHashesSql("text")} AS th FROM documents)"
+  private val shCte =
+    s"""sh AS (SELECT DISTINCT doc_id, unnest(${TextHash.shingleHashesSql("th")}) AS s FROM th)"""
+
+  val dedupJaccardSql: String = s"""
+    WITH $thCte, $shCte,
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, common,
+      ROUND(common / (ca.n + cb.n - common), 6) AS jaccard
+    FROM pairs JOIN counts ca ON id_a = ca.doc_id
+      JOIN counts cb ON id_b = cb.doc_id
+    WHERE ROUND(common / (ca.n + cb.n - common), 6) >= $J
+    ORDER BY id_a, id_b"""
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", J)
+      .select(col("id_a"), col("id_b"), col("common").cast("long").as("common"),
+        col("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  val dedupMinhashSql: String = {
+    val sigCols = (0 until 16)
+      .map(k => s"${TextHash.minhashSql("sh", k)} AS m$k").mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"m${b * 4 + r}")
+        .reduce((acc, m) => s"($acc * 131 + $m)")
+      s"SELECT doc_id, sh, $b AS band, $key AS key FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH $thCte,
+    shl AS (SELECT doc_id,
+      list_distinct(${TextHash.shingleHashesSql("th")}) AS sh FROM th),
+    sig AS (SELECT doc_id, sh, $sigCols FROM shl),
+    bands AS ($bandRows),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        a.sh AS sha, b.sh AS shb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+      CAST(len(list_intersect(sha, shb)) AS BIGINT) AS common,
+      ROUND(len(list_intersect(sha, shb)) /
+        (len(sha) + len(shb) - len(list_intersect(sha, shb))), 6) AS jaccard
+    FROM cand
+    WHERE ROUND(len(list_intersect(sha, shb)) /
+        (len(sha) + len(shb) - len(list_intersect(sha, shb))), 6) >= $J
+    ORDER BY id_a, id_b"""
+  }
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 1)
+      .orderBy("id_a", "id_b")
+
+  val dedupSimhashSql: String = {
+    // bit j sum: fold ±1 per token by bit j of its hash
+    val bitSums = (0 until 32).map { j =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         | list_transform(th, h -> CASE WHEN (h >> $j) % 2 = 1
+         |   THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+         | (a, b) -> a + b)""".stripMargin
+    }
+    val sig = (0 until 32).map(j =>
+      s"(CASE WHEN ${bitSums(j)} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+    WITH $thCte,
+    sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM th)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 1
+    ORDER BY id_a, id_b"""
+  }
+
+  def dedupEmbCosine(s: SparkSession, d: String): DataFrame =
+    Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** sequential-fold dot product of two embedding expressions (1-based
+    * element access), bit-identical to FloatVectorDot's loop. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       | [CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)
+       |  FOR i IN range(1, len($a) + 1)]),
+       | (x, y) -> x + y)""".stripMargin
+
+  val dedupEmbCosineSql: String = s"""
+    WITH e AS (SELECT vec_id, embedding,
+      sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      ROUND(${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) >= 0.4
+    ORDER BY id_a, id_b"""
+
+  // ------------------------------------------------------------- similarity
+  def simTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 30),
+        "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val simTopKSql: String = s"""
+    WITH e AS (SELECT vec_id, embedding,
+      sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ROUND(${dotSql("q.embedding", "c.embedding")} / (q.norm * c.norm), 6) AS cos
+      FROM e q, e c WHERE q.vec_id < 30 AND c.vec_id != q.vec_id),
+    ranked AS (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM pairs)
+    SELECT query_id, neighbor_id, cos, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""
+
+  def simAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.annTopK(emb, emb.filter(col("vec_id") < 30),
+        "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  val simAnnLshSql: String = {
+    val ps = Similarity.planes(8, 64)
+    def planeDot(v: String, j: Int): String = {
+      val terms = ps(j).zipWithIndex.map { case (c, i) =>
+        s"CAST($v[${i + 1}] AS DOUBLE) * ($c)"
+      }
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | [${terms.mkString(", ")}]), (x, y) -> x + y)""".stripMargin
+    }
+    val bucket = (v: String) => (0 until 8).map(j =>
+      s"(CASE WHEN ${planeDot(v, j)} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+    WITH e AS (SELECT vec_id, embedding,
+      sqrt(${dotSql("embedding", "embedding")}) AS norm,
+      CAST(${bucket("embedding")} AS BIGINT) AS bucket FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ROUND(${dotSql("q.embedding", "c.embedding")} / (q.norm * c.norm), 6) AS cos
+      FROM e q JOIN e c ON q.bucket = c.bucket
+      WHERE q.vec_id < 30 AND c.vec_id != q.vec_id),
+    ranked AS (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM pairs)
+    SELECT query_id, neighbor_id, cos, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 3 ORDER BY query_id, rank"""
+  }
+
+  // ------------------------------------------------------------- text
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textQualitySql: String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+      FROM documents)
+    SELECT doc_id, length(text) AS n_chars,
+      CAST(len(tk) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+      ROUND(CAST(length(text) - (len(tk) - 1) AS DOUBLE) / len(tk), 6)
+        AS avg_token_len,
+      ROUND(CAST(len(list_filter(tk, x -> x IN ($stop))) AS DOUBLE) / len(tk), 6)
+        AS stop_ratio,
+      ROUND(LEAST(1.0, CAST(len(tk) AS DOUBLE) / 100.0) *
+        (1.0 - CAST(len(list_filter(tk, x -> x IN ($stop))) AS DOUBLE) / len(tk)), 6)
+        AS quality_score
+    FROM t ORDER BY doc_id"""
+  }
+
+  def textLangId(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.langId(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("is_match",
+        (col("pred_lang") === col("lang")).cast("int"))
+      .select("doc_id", "pred_lang", "score", "lang", "is_match")
+      .orderBy("doc_id")
+  }
+
+  val textLangIdSql: String = {
+    val scoreRows = TextAnalysis.LangMarkers.map { case (lang, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id, lang, '$lang' AS cand,
+         | len(list_filter(tk, x -> x IN ($lst))) AS score FROM t""".stripMargin
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+      FROM documents),
+    scores AS ($scoreRows),
+    best AS (SELECT doc_id, lang, cand, score, ROW_NUMBER() OVER
+      (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM scores)
+    SELECT doc_id, cand AS pred_lang, CAST(score AS BIGINT) AS score, lang,
+      CAST(CASE WHEN cand = lang THEN 1 ELSE 0 END AS INT) AS is_match
+    FROM best WHERE rn = 1 ORDER BY doc_id"""
+  }
+
+  def textTopTokens(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.topTokens(Tables.documents(s, d), "text", 20)
+
+  val textTopTokensSql: String = """
+    SELECT tok AS token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 20"""
+
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textFingerprintSql: String = {
+    val terms = (0 until 8).map { k =>
+      val pw = TextAnalysis.pow31(7 - k)
+      s"CAST(ascii(substr(text, CAST(i AS INT) + $k, 1)) AS BIGINT) * $pw"
+    }.mkString(" + ")
+    s"""
+    WITH h AS (SELECT doc_id,
+      [($terms) % ${TextHash.P} FOR i IN range(1, length(text) - 6)] AS hs
+      FROM documents)
+    SELECT doc_id, list_min(hs) AS fingerprint,
+      CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct_grams
+    FROM h ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------- multimodal
+  /** SQL-expressible slice of the multimodal plumbing: byte length and
+    * a deterministic header checksum of the payload treated as opaque
+    * bytes (the decode stub itself is exercised in ScalaTest —
+    * graft.pipeline.Multimodal). */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      expr("""aggregate(sequence(1, 16), 0L,
+             (acc, i) -> acc + ascii(substr(text, i, 1)))""").as("header_sum"),
+      (expr("""aggregate(sequence(1, 16), 0L,
+             (acc, i) -> acc + ascii(substr(text, i, 1)))""") % 256)
+        .as("stub_feature"))
+      .orderBy("doc_id")
+
+  val multimodalMetaSql: String = """
+    WITH t AS (SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        [CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)
+         FOR i IN range(1, 17)]), (a, b) -> a + b) AS header_sum
+      FROM documents)
+    SELECT doc_id, n_bytes, header_sum, header_sum % 256 AS stub_feature
+    FROM t ORDER BY doc_id"""
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("dedup_exact", dedupExact, Some(dedupExactSql)),
+    QuerySpec("dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
+    QuerySpec("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
+    QuerySpec("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    QuerySpec("dedup_emb_cosine", dedupEmbCosine, Some(dedupEmbCosineSql)),
+    QuerySpec("sim_cosine_topk", simTopK, Some(simTopKSql)),
+    QuerySpec("sim_ann_lsh", simAnnLsh, Some(simAnnLshSql)),
+    QuerySpec("text_quality", textQuality, Some(textQualitySql)),
+    QuerySpec("text_langid", textLangId, Some(textLangIdSql)),
+    QuerySpec("text_top_tokens", textTopTokens, Some(textTopTokensSql)),
+    QuerySpec("text_fingerprint", textFingerprint, Some(textFingerprintSql)),
+    QuerySpec("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)))
+}
