@@ -92,33 +92,48 @@ object Geo {
       (d3 == 0 && onSeg(p1, p2, q1)) || (d4 == 0 && onSeg(p1, p2, q2))
   }
 
-  /** Does `geom` intersect the axis-aligned rectangle? Used by the
-    * all_touched rasterizer. */
+  /** Does the segment a→b overlap the rectangle with positive length?
+    * Liang-Barsky clip; a degenerate touch (passing exactly through a
+    * corner) yields a zero-length interval and does NOT count — this
+    * matches rasterio's all_touched behavior on the reference goldens
+    * (test_utils.py:111-119: corner-grazing cells stay unmasked). */
+  def segmentOverlapsRect(a: Pt, b: Pt, r: BBox): Boolean = {
+    val dx = b.x - a.x
+    val dy = b.y - a.y
+    var t0 = 0.0
+    var t1 = 1.0
+    def clip(p: Double, q: Double): Boolean = {
+      if (p == 0.0) q >= 0
+      else {
+        val t = q / p
+        if (p < 0) { if (t > t1) return false; if (t > t0) t0 = t }
+        else { if (t < t0) return false; if (t < t1) t1 = t }
+        true
+      }
+    }
+    clip(-dx, a.x - r.xMin) && clip(dx, r.xMax - a.x) &&
+      clip(-dy, a.y - r.yMin) && clip(dy, r.yMax - a.y) && t1 > t0
+  }
+
+  /** Does `geom` intersect the axis-aligned rectangle (with positive
+    * measure along edges)? Used by the all_touched rasterizer. */
   def intersectsRect(geom: Geometry, r: BBox): Boolean = geom match {
     case Point(p) => r.contains(p)
     case LineString(pts) =>
-      pts.exists(r.contains) || ringEdges(pts, closed = false).exists {
-        case (a, b) => rectEdges(r).exists { case (c, d) => segmentsIntersect(a, b, c, d) } }
+      ringEdges(pts, closed = false).exists {
+        case (a, b) => segmentOverlapsRect(a, b, r) }
     case poly @ Polygon(shell, holes) =>
       if (!poly.bbox.intersects(r)) false
       else {
-        val corners = Seq(Pt(r.xMin, r.yMin), Pt(r.xMin, r.yMax),
-          Pt(r.xMax, r.yMin), Pt(r.xMax, r.yMax),
-          Pt((r.xMin + r.xMax) / 2, (r.yMin + r.yMax) / 2))
+        def strictlyInside(p: Pt): Boolean =
+          p.x > r.xMin && p.x < r.xMax && p.y > r.yMin && p.y < r.yMax
         val rings = shell +: holes
-        rings.exists(_.exists(r.contains)) ||
-          corners.exists(poly.contains) ||
+        rings.exists(_.exists(strictlyInside)) ||
           rings.exists(ring => ringEdges(ring, closed = true).exists {
-            case (a, b) => rectEdges(r).exists { case (c, d) =>
-              segmentsIntersect(a, b, c, d) } })
+            case (a, b) => segmentOverlapsRect(a, b, r) }) ||
+          poly.contains(Pt((r.xMin + r.xMax) / 2, (r.yMin + r.yMax) / 2))
       }
     case MultiPolygon(ps) => ps.exists(intersectsRect(_, r))
-  }
-
-  private def rectEdges(r: BBox): Seq[(Pt, Pt)] = {
-    val c = IndexedSeq(Pt(r.xMin, r.yMin), Pt(r.xMax, r.yMin),
-      Pt(r.xMax, r.yMax), Pt(r.xMin, r.yMax))
-    (0 until 4).map(i => (c(i), c((i + 1) % 4)))
   }
 
   private def ringEdges(pts: IndexedSeq[Pt], closed: Boolean): Seq[(Pt, Pt)] = {

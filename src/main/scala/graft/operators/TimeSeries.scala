@@ -80,7 +80,10 @@ object TimeSeries {
     val gb = geometry.bbox
     val inter = g.bbox.intersection(gb).getOrElse(return emptyResult(spark))
 
-    // geo → index window, floor/ceil + clamp (time_series.py:166-176)
+    // geo → index window, floor/ceil + clamp (time_series.py:166-176).
+    // y1/y2 are TOP-BASED row indices (row 0 at latMax, as in the
+    // reference); lat-ascending cubes store y_idx bottom-up, so the
+    // filter/mask indices convert through topToIdx below.
     def clamp(v: Int, lo: Int, hi: Int) = math.max(lo, math.min(hi, v))
     val res = (g.latMax - g.latMin) / g.height
     val x1 = clamp(math.floor((inter.xMin - g.lonMin) / res).toInt, 0, g.width - 1)
@@ -90,6 +93,10 @@ object TimeSeries {
     val subW = x2 - x1
     val subH = y2 - y1
     if (subW <= 0 || subH <= 0) return emptyResult(spark)
+    def topToIdx(yTop: Int): Int =
+      if (g.latAscending) g.height - 1 - yTop else yTop
+    val (yIdxLo, yIdxHi) =
+      if (g.latAscending) (g.height - y2, g.height - y1) else (y1, y2)
 
     // driver-side rasterized mask over the window (utils.py:73-83),
     // broadcast as an include-list (SURVEY J3)
@@ -100,12 +107,12 @@ object TimeSeries {
     import spark.implicits._
     val maskCells = (for {
       my <- 0 until subH; mx <- 0 until subW if mask(my)(mx)
-    } yield (y1 + my, x1 + mx)).toDF("y_idx", "x_idx")
+    } yield (topToIdx(y1 + my), x1 + mx)).toDF("y_idx", "x_idx")
 
     val v = Cube.nanToNull(col(variable))
     val windowRows = timeFiltered(
       cube.df.filter(col("x_idx") >= x1 && col("x_idx") < x2 &&
-        col("y_idx") >= y1 && col("y_idx") < y2), start, end)
+        col("y_idx") >= yIdxLo && col("y_idx") < yIdxHi), start, end)
       .join(broadcast(maskCells.withColumn("in_mask", lit(true))),
         Seq("y_idx", "x_idx"), "left")
 

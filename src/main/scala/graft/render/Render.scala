@@ -1,0 +1,123 @@
+package graft.render
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.cube.CubeFrame
+
+/** Tile rendering: value grid → RGBA → PNG (reference F3/F4/K1:
+  * the numba `map_colors` kernel at xcube_server/im/tiledimage.py:638-665
+  * and the PNG sink at tiledimage.py:498-504).
+  *
+  * Execution shape follows SURVEY §3.1: tile latency budgets make small
+  * tiles a driver-local path over (cached) level data — Spark jobs are
+  * for pyramid BUILDS and zonal analytics, not per-tile requests. The
+  * colormap kernel itself is a tight primitive loop either way.
+  */
+object Render {
+
+  /** A linear colormap over [vmin, vmax] with `palette` ARGB entries;
+    * invalid cells (NaN / fill / outside valid range) are transparent —
+    * the reference's map_colors semantics. */
+  final case class ColorMapping(vmin: Double, vmax: Double,
+                                palette: Array[Int],
+                                fillValue: Option[Double] = None,
+                                validMin: Option[Double] = None,
+                                validMax: Option[Double] = None)
+
+  /** Simple deterministic gradient palettes (stand-ins for matplotlib
+    * colormaps, reference im/cmaps.py; alpha-ramp variants mirror the
+    * `<name>_alpha` derivation at cmaps.py:133-162). */
+  def gradientPalette(n: Int, from: (Int, Int, Int),
+                      to: (Int, Int, Int), alphaRamp: Boolean = false): Array[Int] =
+    Array.tabulate(n) { i =>
+      val t = i.toDouble / (n - 1)
+      def lerp(a: Int, b: Int) = (a + t * (b - a)).round.toInt & 0xff
+      val alpha =
+        if (!alphaRamp) 0xff
+        else math.min(0xff, (2.0 * t * 0xff).round.toInt) // 0→1 over first half
+      (alpha << 24) | (lerp(from._1, to._1) << 16) |
+        (lerp(from._2, to._2) << 8) | lerp(from._3, to._3)
+    }
+
+  val ViridisLike: Array[Int] = gradientPalette(256, (68, 1, 84), (253, 231, 37))
+  val GrayLike: Array[Int] = gradientPalette(256, (0, 0, 0), (255, 255, 255))
+
+  /** The fused mask+normalize+palette kernel (map_colors, F3): one pass,
+    * no allocation beyond the output. NaN / fill / out-of-valid-range →
+    * fully transparent pixel. */
+  def mapColors(values: Array[Double], m: ColorMapping): Array[Int] = {
+    val n = m.palette.length
+    val scale = n / (m.vmax - m.vmin)
+    val out = new Array[Int](values.length)
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      val invalid = java.lang.Double.isNaN(v) ||
+        java.lang.Double.isInfinite(v) ||
+        m.fillValue.exists(_ == v) ||
+        m.validMin.exists(v < _) || m.validMax.exists(v > _)
+      out(i) =
+        if (invalid) 0x00000000
+        else {
+          val idx0 = ((v - m.vmin) * scale).toInt
+          val idx = if (idx0 < 0) 0 else if (idx0 >= n) n - 1 else idx0
+          m.palette(idx)
+        }
+      i += 1
+    }
+    out
+  }
+
+  /** ARGB pixel array → PNG bytes (fast path — ImageIO's PNG writer at
+    * default settings; reference uses compress_level=1, K1). */
+  def toPng(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_ARGB)
+    img.setRGB(0, 0, width, height, pixels, 0, width)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Render one tile from a cube: filter the tile's index window (P7),
+    * collect the (tileW × tileH) cell values — absent rows are NaN
+    * padding (F8 trim/pad semantics) — then colormap + PNG encode.
+    * Flip-y (F7) honors inv_y grids. */
+  def renderTile(cube: CubeFrame, variable: String,
+                 timeValue: java.sql.Timestamp,
+                 tileX: Int, tileY: Int, tileW: Int, tileH: Int,
+                 mapping: ColorMapping, flipY: Boolean = false): Array[Byte] = {
+    val x0 = tileX * tileW
+    val y0 = tileY * tileH
+    val rows = cube.df
+      .filter(col("time") === lit(timeValue) &&
+        col("x_idx") >= x0 && col("x_idx") < x0 + tileW &&
+        col("y_idx") >= y0 && col("y_idx") < y0 + tileH)
+      .select(col("y_idx"), col("x_idx"), col(variable).cast("double"))
+      .collect()
+    val grid = Array.fill(tileH * tileW)(Double.NaN)
+    rows.foreach { r =>
+      val ry = r.getInt(0) - y0
+      val rx = r.getInt(1) - x0
+      val py = if (flipY) tileH - 1 - ry else ry
+      if (!r.isNullAt(2)) grid(py * tileW + rx) = r.getDouble(2)
+    }
+    toPng(mapColors(grid, mapping), tileW, tileH)
+  }
+
+  /** Colorbar legend PNG (reference K2, controllers/tiles.py:145-184):
+    * horizontal gradient bar of the palette. */
+  def legend(mapping: ColorMapping, width: Int = 256, height: Int = 16): Array[Byte] = {
+    val pixels = Array.tabulate(height * width) { i =>
+      val x = i % width
+      mapping.palette((x.toLong * mapping.palette.length / width).toInt
+        .min(mapping.palette.length - 1))
+    }
+    toPng(pixels, width, height)
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+
+  test("as-of join: inclusive, latest-wins, null when nothing precedes") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, "l1"), (1L, 10L, "l2"), (2L, 3L, "l3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 1L, 100L, "a"), (1L, 5L, 101L, "b"),
+      (1L, 7L, 102L, "c"))
+      .toDF("k", "t", "rid", "rv")
+    val out = AsOf.joinAsOf(left, right, key = "k",
+        leftTime = "t", rightTime = "t", rightTie = "rid")
+      .orderBy("t").collect()
+    val byTag = out.map(r => r.getAs[String]("tag") -> r).toMap
+    // t=5: right row at t=5 included (inclusive)
+    assert(byTag("l1").getAs[org.apache.spark.sql.Row]("asof")
+      .getAs[String]("rv") == "b")
+    // t=10: latest preceding is t=7
+    assert(byTag("l2").getAs[org.apache.spark.sql.Row]("asof")
+      .getAs[String]("rv") == "c")
+    // key 2 has no right rows → null
+    assert(byTag("l3").isNullAt(byTag("l3").fieldIndex("asof")))
+  }
+
+  test("right-side ties at equal time resolve to max tie-break") {
+    import spark.implicits._
+    val left = Seq((1L, 5L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 1L, "first"), (1L, 5L, 9L, "last"))
+      .toDF("k", "t", "rid", "rv")
+    val out = AsOf.joinAsOf(left, right, "k", "t", "t", "rid").collect()(0)
+    assert(out.getAs[org.apache.spark.sql.Row]("asof")
+      .getAs[String]("rv") == "last")
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.Geo
+import graft.geo.Geo._
+
+class GeoSpec extends AnyFunSuite {
+
+  test("geometry mask matches reference golden (test_utils.py:97-119)") {
+    // triangle ((0,0),(16,0),(16,8)) rasterized all_touched on 16x8
+    val tri = Polygon(IndexedSeq(Pt(0, 0), Pt(16, 0), Pt(16, 8), Pt(0, 0)))
+    val mask = Geo.geometryMask(16, 8, tri, lonMin = 0, latMin = 0, res = 1.0)
+    val expected = Array(
+      "0000000000000011",
+      "0000000000001111",
+      "0000000000111111",
+      "0000000011111111",
+      "0000001111111111",
+      "0000111111111111",
+      "0011111111111111",
+      "1111111111111111")
+    val got = mask.map(_.map(b => if (b) '1' else '0').mkString)
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("ray casting: interior, exterior, holes") {
+    val square = Polygon(IndexedSeq(Pt(0, 0), Pt(10, 0), Pt(10, 10), Pt(0, 10)))
+    assert(square.contains(Pt(5, 5)))
+    assert(!square.contains(Pt(15, 5)))
+    val withHole = Polygon(
+      IndexedSeq(Pt(0, 0), Pt(10, 0), Pt(10, 10), Pt(0, 10)),
+      Seq(IndexedSeq(Pt(4, 4), Pt(6, 4), Pt(6, 6), Pt(4, 6))))
+    assert(!withHole.contains(Pt(5, 5)))
+    assert(withHole.contains(Pt(2, 2)))
+  }
+
+  test("WKT round-trips through parse") {
+    val p = Geo.parseWkt("POINT (3.5 -2)")
+    assert(p == Point(Pt(3.5, -2)))
+    val poly = Geo.parseWkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+      .asInstanceOf[Polygon]
+    assert(poly.shell.length == 5 && poly.contains(Pt(2, 2)))
+    val mp = Geo.parseWkt(
+      "MULTIPOLYGON(((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))")
+      .asInstanceOf[MultiPolygon]
+    assert(mp.polys.length == 2)
+    assert(mp.contains(Pt(6, 6)) && !mp.contains(Pt(3, 3)))
+    val withHole = Geo.parseWkt(
+      "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+      .asInstanceOf[Polygon]
+    assert(withHole.holes.length == 1 && !withHole.contains(Pt(5, 5)))
+  }
+
+  test("antimeridian bbox split (utils.py:56-70)") {
+    val normal = Geo.boxSplitGeometry(-10, 0, 10, 5)
+    assert(normal.isInstanceOf[Polygon])
+    val split = Geo.boxSplitGeometry(170, 0, -170, 5)
+    val mp = split.asInstanceOf[MultiPolygon]
+    assert(mp.polys.length == 2)
+    assert(mp.contains(Pt(175, 2)) && mp.contains(Pt(-175, 2)))
+    assert(!mp.contains(Pt(0, 2)))
+  }
+
+  test("bbox intersection and containment") {
+    val a = BBox(0, 0, 10, 10)
+    assert(a.intersection(BBox(5, 5, 15, 15)).contains(BBox(5, 5, 10, 10)))
+    assert(a.intersection(BBox(20, 20, 30, 30)).isEmpty)
+    assert(a.contains(Pt(0, 0)) && !a.contains(Pt(-1, 0)))
+  }
+
+  test("rect intersection covers edge/corner/containment cases") {
+    val tri = Polygon(IndexedSeq(Pt(0, 0), Pt(4, 0), Pt(0, 4)))
+    assert(Geo.intersectsRect(tri, BBox(1, 1, 2, 2)))     // inside
+    assert(Geo.intersectsRect(tri, BBox(-1, -1, 0.5, 0.5))) // overlaps corner
+    assert(!Geo.intersectsRect(tri, BBox(3.5, 3.5, 5, 5))) // outside hypotenuse
+    assert(Geo.intersectsRect(tri, BBox(-1, -1, 10, 10)))  // rect contains tri
+  }
+}

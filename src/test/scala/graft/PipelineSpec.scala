@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecF
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis, TextHash}
+
+class PipelineSpec extends SparkSpec {
+
+  private def docs() = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (2L, "spark engines shuffle data across the cluster"),
+      (3L, "completely different content about query planning"),
+      (4L, "the quick brown fox jumps over the lazy dog")) // exact dup of 0
+      .toDF("doc_id", "text")
+  }
+
+  test("token hash matches the cross-engine polynomial ('spark' → 638038)") {
+    import spark.implicits._
+    val h = Seq("spark").toDF("text")
+      .select(TextHash.tokenHashesCol("text").as("th"))
+      .collect()(0).getSeq[Long](0)
+    assert(h == Seq(638038L))
+  }
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs(), "doc_id", "text")
+      .orderBy("rep_id").collect()
+    assert(out.length == 4)
+    assert(out(0).getAs[Long]("rep_id") == 0L &&
+      out(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("jaccard pairs find near-dups and exact dups") {
+    val pairs = Dedup.jaccardPairs(docs(), "doc_id", "text", 0.5)
+      .orderBy("id_a", "id_b").collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((0L, 4L))) // exact dup: jaccard 1.0
+    assert(keys.contains((0L, 1L)) && keys.contains((1L, 4L))) // near-dup
+    assert(!keys.exists { case (a, b) => a == 3L || b == 3L })
+    val exact = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 4L).get
+    assert(exact.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhash LSH recovers the same high-sim pairs as exact jaccard") {
+    val exact = Dedup.jaccardPairs(docs(), "doc_id", "text", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs(), "doc_id", "text", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates are a subset of all pairs; after verification the
+    // surviving pairs must be a subset of the exact result, and at this
+    // similarity level (≈1.0) recall should be total
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs share signatures; hamming pairs found") {
+    val sigs = Dedup.simhash(docs(), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(4L))
+    val pairs = Dedup.simhashPairs(docs(), "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L)))
+  }
+
+  test("FloatVectorDot: interpreted + codegen agree with manual dot") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val got = df.select(VecF.dotF(col("a"), col("b")).as("d"))
+      .collect()(0).getDouble(0)
+    assert(got == 32.0)
+    val norm = df.select(VecF.normF(col("a")).as("n")).collect()(0).getDouble(0)
+    assert(math.abs(norm - math.sqrt(14.0)) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic ties") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)),
+      (2L, Array(0f, 1f)), (3L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2).orderBy("rank").collect()
+    assert(out(0).getAs[Long]("neighbor_id") == 3L) // identical vector
+    assert(out(0).getAs[Double]("cos") == 1.0)
+    assert(out(1).getAs[Long]("neighbor_id") == 1L)
+  }
+
+  test("ANN LSH buckets: identical vectors share buckets; top-k sane") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => math.sin(i).toFloat)
+    val emb = Seq(
+      (0L, base), (1L, base.map(v => v * 1.001f)),
+      (2L, base.map(v => -v))).toDF("vec_id", "embedding")
+    val out = Similarity.annTopK(emb, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2)
+    val rows = out.collect()
+    assert(rows.exists(_.getAs[Long]("neighbor_id") == 1L))
+    assert(!rows.exists(_.getAs[Long]("neighbor_id") == 2L)) // opposite bucket
+  }
+
+  test("text quality metrics") {
+    val q = TextAnalysis.quality(docs(), "doc_id", "text")
+      .filter(col("doc_id") === 0).collect()(0)
+    assert(q.getAs[Long]("n_tokens") == 9L)
+    assert(q.getAs[Long]("n_distinct") == 8L) // 'the' twice
+    val ratio = q.getAs[Double]("stop_ratio")
+    assert(math.abs(ratio - 2.0 / 9) < 1e-6)
+  }
+
+  test("langid is deterministic with alphabetical tie-break") {
+    import spark.implicits._
+    val out = TextAnalysis.langId(docs(), "doc_id", "text").collect()
+    assert(out.length == 5)
+    // doc 3 hits the 'en' marker 'query'
+    assert(out.find(_.getLong(0) == 3L).get.getAs[String]("pred_lang") == "en")
+    // zero marker hits anywhere → tie across all langs → 'de' (first)
+    val zero = TextAnalysis.langId(
+      Seq((9L, "zzz yyy xxx")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(zero.getAs[String]("pred_lang") == "de" &&
+      zero.getAs[Long]("score") == 0L)
+  }
+
+  test("fingerprint: identical docs identical, different docs differ") {
+    val fp = TextAnalysis.fingerprint(docs(), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(4L))
+    assert(fp(0L) != fp(2L))
+  }
+
+  test("multimodal: binary plumbing + stub features, batched") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(
+      docs().withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload", kind = "text")
+    val feats = Multimodal.extractFeatures(media, batchSize = 2).collect()
+    assert(feats.length == 5)
+    val f0 = feats.find(_.id == 0L).get
+    val f4 = feats.find(_.id == 4L).get
+    assert(f0.features.toSeq == f4.features.toSeq) // deterministic stub
+    assert(math.abs(f0.features.sum - 1f) < 1e-5)  // normalized histogram
+    assert(f0.nBytes == "the quick brown fox jumps over the lazy dog".length)
+    // resize + frame-sample stubs
+    val bytes = Array.tabulate(100)(_.toByte)
+    assert(Multimodal.resizeStub(bytes, 10).length == 10)
+    assert(Multimodal.frameSampleStub(bytes, 4, 8).map(_.length).forall(_ == 8))
+  }
+}

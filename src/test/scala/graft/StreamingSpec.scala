@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+
+  private def stageEventsDir(): String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Files.copy(Paths.get(sf("sf0.001"), "events.parquet"),
+      Paths.get(dir, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("streaming hourly counts match the batch aggregation") {
+    val dir = stageEventsDir()
+    val stream = EventStreams.hourlyCounts(EventStreams.readEvents(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("hourly_out")
+      .agg(sum("n_obs")).collect()(0).getLong(0)
+    val batch = Tables.events(spark, sf("sf0.001")).count()
+    assert(streamed == batch)
+    // window boundaries align with epoch hours
+    val hours = spark.table("hourly_out").select("hour_start").collect()
+    assert(hours.nonEmpty)
+  }
+
+  test("streaming session windows produce 30-min-gap sessions") {
+    val dir = stageEventsDir()
+    val stream = EventStreams.sessionWindows(
+      EventStreams.readEvents(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val nSessions = spark.table("sessions_out").count()
+    // must match the batch sessionize query's session count
+    val batchSessions = graft.queries.Relational.sessionize(spark, sf("sf0.001"))
+      .count()
+    assert(nSessions == batchSessions)
+  }
+}
