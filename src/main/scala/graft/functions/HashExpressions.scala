@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static hash kernels callable from generated code. The arithmetic is
+  * the cross-engine contract of graft.pipeline.TextHash — polynomial
+  * folds over codepoints mod a prime — just executed as tight JVM loops
+  * instead of interpreted Catalyst lambda trees (higher-order functions
+  * are CodegenFallback in Spark and cost ~µs per element; these kernels
+  * are the difference between 40 s and 2 s on the sf0.1 corpus).
+  */
+object HashKernels {
+  val P: Long = 1000003L
+
+  /** fold: acc = (acc*31 + codepoint) % P over the string. */
+  def polyHash(s: UTF8String, mod: Long): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      acc = (acc * 31 + str.charAt(i)) % mod
+      i += 1
+    }
+    acc
+  }
+
+  /** rolling 8-char window hashes (fixed 31^k weights, mod P):
+    * returns (min window hash, distinct window count); null-signal -1
+    * when the string is shorter than 8. */
+  def fingerprint8(s: UTF8String, mod: Long): Array[Long] = {
+    val str = s.toString
+    val n = str.length - 7
+    if (n <= 0) return null
+    val seen = new java.util.HashSet[Long](math.min(n * 2, 1 << 16))
+    var minH = Long.MaxValue
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = h * 31 + str.charAt(i + k); k += 1 }
+      h %= mod
+      if (h < minH) minH = h
+      seen.add(h)
+      i += 1
+    }
+    Array(minH, seen.size.toLong)
+  }
+}
+
+/** Codegen'd polynomial string hash (the TextHash token hash). */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.polyHash(v.asInstanceOf[UTF8String], HashKernels.P)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.polyHash($c, ${HashKernels.P}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Per-document rolling-fingerprint kernel: one pass over the text,
+  * emits struct(fingerprint, n_distinct_grams). Evaluated once per doc
+  * (CodegenFallback is irrelevant at that call frequency). */
+case class Fingerprint8(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("fingerprint", LongType),
+    StructField("n_distinct_grams", LongType)))
+  override def prettyName: String = "fingerprint8"
+
+  override def nullSafeEval(v: Any): Any = {
+    val r = HashKernels.fingerprint8(v.asInstanceOf[UTF8String], HashKernels.P)
+    if (r == null) null else InternalRow(r(0), r(1))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object HashF {
+  def polyHash(c: Column): Column =
+    GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
+  def fingerprint8(c: Column): Column =
+    GraftColumnBridge.column(Fingerprint8(GraftColumnBridge.expression(c)))
+}

@@ -27,19 +27,40 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-bigram shingle hashes per doc: (id, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Distinct word-bigram shingle hashes per doc: (id, shingle).
+    *
+    * Row-shaped pipeline — posexplode tokens, codegen'd PolyHash per
+    * token (graft.functions.PolyHash), window `lead` to pair adjacent
+    * tokens, then distinct. No Catalyst lambda anywhere: the equivalent
+    * higher-order-function formulation is interpreted per element and
+    * ~20× slower at sf0.1. The only shuffle is by doc id (the window),
+    * which the downstream distinct/groupBy reuse. */
+  def shingles(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
     df.select(col(idCol).as("id"),
-        explode(array_distinct(
-          TextHash.shingleHashesCol(TextHash.tokenHashesCol(textCol))))
-          .as("s"))
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
+      .select(col("id"), col("pos"),
+        graft.functions.HashF.polyHash(col("t")).as("h"))
+      .withColumn("h2", lead(col("h"), 1).over(w))
+      .filter(col("h2").isNotNull)
+      .select(col("id"),
+        ((col("h") * lit(8191L) + col("h2")) % lit(TextHash.P)).as("s"))
+      .distinct()
+  }
 
   /** All-pairs n-gram Jaccard ≥ threshold via inverted-index self-join.
-    * Output: (id_a, id_b, common, jaccard) with id_a < id_b. */
+    * Output: (id_a, id_b, common, jaccard) with id_a < id_b.
+    *
+    * The shingle table is persisted: Spark's higher-order lambda
+    * expressions (the polynomial hashes) are CodegenFallback —
+    * interpreted — and projection collapse would otherwise inline the
+    * hash pipeline into both join sides and the count aggregation,
+    * recomputing it 3-4×. One materialization, three codegen'd reuses. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double,
                    maxShingleDocFreq: Option[Long] = None): DataFrame = {
-    val sh0 = shingles(df, idCol, textCol)
+    val sh0 = shingles(df, idCol, textCol).persist()
     val sh = maxShingleDocFreq match {
       case Some(limit) =>
         val dfreq = sh0.groupBy("s").agg(count(lit(1)).as("df"))
@@ -60,62 +81,74 @@ object Dedup {
       .select("id_a", "id_b", "common", "jaccard")
   }
 
-  /** MinHash signature columns mh0..mh{k-1} per doc, plus the distinct
-    * shingle array for exact verification. */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int): DataFrame = {
-    val withSh = df.select(col(idCol).as("id"),
-      array_distinct(
-        TextHash.shingleHashesCol(TextHash.tokenHashesCol(textCol)))
-        .as("sh"))
-    (0 until numHashes).foldLeft(withSh) { (d, k) =>
-      d.withColumn(s"mh$k", TextHash.minhashCol(col("sh"), k))
+  /** MinHash signatures as plain aggregates over the shingle rows:
+    * mh_k = min((a_k*s + b_k) % P) — k codegen'd min-aggregates in one
+    * groupBy, no arrays, no lambdas. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map { k =>
+      val (a, b) = TextHash.coeffs(k)
+      min((col("s") * lit(a) + lit(b)) % lit(TextHash.P)).as(s"mh$k")
     }
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash+LSH near-dup pairs: band-bucket candidate join, then exact
-    * Jaccard verification of candidates only. rowsPerBand = numHashes /
+    * Jaccard verification of the candidates only (a join back to the
+    * shingle rows — candidates are few, so the verify cost is bounded
+    * by real near-dups, not by the corpus). rowsPerBand = numHashes /
     * bands. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 16,
                       bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes)
+    val sh = shingles(df, idCol, textCol).persist()
+    val sigs = minhashSignatures(sh, numHashes)
     val bandKey = (b: Int) =>
       (0 until rows).foldLeft(lit(0L)) { (acc, r) =>
         acc * 131L + col(s"mh${b * rows + r}")
       }
-    val banded = sigs.select(col("id"), col("sh"),
+    val banded = sigs.select(col("id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
-    val cand = banded.select(col("band"), col("key"), col("id").as("id_a"),
-        col("sh").as("sh_a"))
-      .join(banded.select(col("band"), col("key"), col("id").as("id_b"),
-        col("sh").as("sh_b")), Seq("band", "key"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val cand = banded.toDF("id_a", "band", "key")
+      .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
     cand
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(sh.toDF("id_a", "s"), Seq("id_a"))
+      .join(sh.toDF("id_b", "s"), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(counts.toDF("id_a", "n_a"), Seq("id_a"))
+      .join(counts.toDF("id_b", "n_b"), Seq("id_b"))
       .withColumn("jaccard", round(col("common") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+        (col("n_a") + col("n_b") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "common", "jaccard")
   }
 
   /** 32-bit SimHash from per-occurrence token hashes: bit j of the
-    * signature is set iff Σ_tokens (±1 by bit j of tokenHash) > 0. */
+    * signature is set iff Σ_tokens (±1 by bit j of tokenHash) > 0.
+    *
+    * Shape: explode tokens → one interpreted hash eval per token → 32
+    * codegen'd conditional-sum aggregates → signature reassembly. The
+    * naive all-expression form would re-run the interpreted hash
+    * pipeline once per bit (32×). */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
-    val th = TextHash.tokenHashesCol(textCol)
+    val hashed = df
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("t"))
+      .select(col("id"), graft.functions.HashF.polyHash(col("t")).as("h"))
+    val bitAggs = (0 until bits).map(j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
+        .as(s"s$j"))
+    val sums = hashed.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
     val sig = (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
-      val bitSum = aggregate(
-        transform(th, h =>
-          when(shiftright(h, j) % 2 === 1, lit(1)).otherwise(lit(-1))),
-        lit(0L), (a, x) => a + x)
-      acc + when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+      acc + when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }
-    df.select(col(idCol).as("id"), sig.as("simhash"))
+    sums.select(col("id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs within a Hamming radius (brute-force pair

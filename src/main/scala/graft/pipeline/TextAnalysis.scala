@@ -66,21 +66,15 @@ object TextAnalysis {
     * window (fixed 31^k weights, mod [[TextHash.P]]); emits the minimum
     * window hash (winnowing-style representative) and the distinct
     * window count. */
-  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val h8 =
-      s"""transform(sequence(1, length($textCol) - 7),
-         |  i -> (ascii(substr($textCol, i, 1)) * ${pow31(7)}L
-         |      + ascii(substr($textCol, i + 1, 1)) * ${pow31(6)}L
-         |      + ascii(substr($textCol, i + 2, 1)) * ${pow31(5)}L
-         |      + ascii(substr($textCol, i + 3, 1)) * ${pow31(4)}L
-         |      + ascii(substr($textCol, i + 4, 1)) * ${pow31(3)}L
-         |      + ascii(substr($textCol, i + 5, 1)) * ${pow31(2)}L
-         |      + ascii(substr($textCol, i + 6, 1)) * 31L
-         |      + ascii(substr($textCol, i + 7, 1))) % ${TextHash.P})""".stripMargin
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // one custom-kernel eval per document (graft.functions.Fingerprint8):
+    // a single pass over the text beats any per-window SQL shape —
+    // substr(_, i, 1) is O(i) on UTF8 strings and higher-order lambdas
+    // are interpreted, so expression-level variants are 10-100× slower
     df.select(col(idCol),
-      array_min(expr(h8)).as("fingerprint"),
-      size(array_distinct(expr(h8))).cast("long").as("n_distinct_grams"))
-  }
+        graft.functions.HashF.fingerprint8(col(textCol)).as("fp"))
+      .select(col(idCol), col("fp.fingerprint").as("fingerprint"),
+        col("fp.n_distinct_grams").as("n_distinct_grams"))
 
   def pow31(k: Int): Long = (0 until k).foldLeft(1L)((a, _) => a * 31L)
 }
