@@ -1,0 +1,54 @@
+package graft.cube
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pyramid
+
+/** Cube storage layout (SURVEY X5/X6 — the layout decisions that make
+  * tile/zonal queries prune instead of scan):
+  *
+  *  - long-format parquet partitioned by calendar date (`p_date`
+  *    derived from `time`): a time-range query touches only its
+  *    partitions (partition pruning), the 100 TB analogue of the
+  *    reference's per-time-chunk zarr layout;
+  *  - within each partition rows are sorted by (tile_y, tile_x, y_idx,
+  *    x_idx): a tile request maps to one tile-id range → parquet
+  *    row-group min/max statistics prune to ~one row group — the
+  *    chunk-aligned-tiling trick of mldataset.py:437-456 re-expressed
+  *    as sort order + statistics;
+  *  - pyramid levels materialized as sibling tables `level=k` at ingest
+  *    (the `levels` format of mldataset.py:136-198), so low-zoom reads
+  *    never touch full resolution.
+  */
+object CubeIngest {
+
+  /** Write a cube with tile-aligned sort order. */
+  def writeCube(cube: CubeFrame, path: String, tileSize: Int = 256): Unit = {
+    cube.df
+      .withColumn("p_date", to_date(col("time")))
+      .withColumn("tile_y", (col("y_idx") / tileSize).cast("int"))
+      .withColumn("tile_x", (col("x_idx") / tileSize).cast("int"))
+      .repartition(col("p_date"))
+      .sortWithinPartitions("tile_y", "tile_x", "y_idx", "x_idx")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("p_date")
+      .parquet(path)
+  }
+
+  /** Materialize all pyramid levels under `<path>/level=<k>`. */
+  def writeLevels(cube: CubeFrame, path: String,
+                  agg: Pyramid.Agg = Pyramid.Mean,
+                  tileSize: Int = 256): Seq[CubeGrid] = {
+    val levels = Pyramid.build(cube, agg, tileSize, tileSize)
+    levels.zipWithIndex.foreach { case (lv, k) =>
+      writeCube(lv, s"$path/level=$k", tileSize)
+    }
+    levels.map(_.grid)
+  }
+
+  /** Re-open a written cube (partition discovery restores `p_date`). */
+  def readCube(spark: SparkSession, path: String, grid: CubeGrid,
+               variables: Seq[String]): CubeFrame =
+    CubeFrame(spark.read.parquet(path), grid, variables)
+}

@@ -1,0 +1,66 @@
+package graft.server
+
+import graft.grid.TileGrid
+
+/** Dataset catalogue responses (reference §3.3 JSON surface:
+  * get_datasets/get_dataset at xcube_server/controllers/catalogue.py:
+  * 13-111 — id/title/bbox/variables with dtype+colormap/dimensions with
+  * coordinate dumps). Driver-side metadata projection; the only cluster
+  * work is the tiny distinct-coordinate scans, already cached on the
+  * CubeFrame's grid.
+  */
+object Catalogue {
+
+  def datasetsJson(ctx: ServiceContext): String =
+    Json.obj("datasets" -> Json.arr(ctx.datasetIds.flatMap(ctx.dataset).map {
+      ds => datasetSummaryJson(ds)
+    }))
+
+  def datasetSummaryJson(ds: RegisteredDataset): String = {
+    val b = ds.cube.grid.bbox
+    Json.obj(
+      "id" -> Json.str(ds.id),
+      "title" -> Json.str(ds.title),
+      "bbox" -> Json.arr(Seq(b.xMin, b.yMin, b.xMax, b.yMax).map(Json.num)))
+  }
+
+  def datasetJson(ds: RegisteredDataset): String = {
+    val g = ds.cube.grid
+    val b = g.bbox
+    val grid = TileGrid.create(g.width, g.height, None, None, b,
+      invY = g.latAscending)
+    val variables = ds.cube.variables.map { v =>
+      val cm = ds.style.flatMap(_.colorMappings.get(v))
+      Json.obj(
+        "id" -> Json.str(v),
+        "name" -> Json.str(v),
+        "dims" -> Json.arr(Seq("time", "lat", "lon").map(Json.str)),
+        "dtype" -> Json.str("float64"),
+        "colorBarName" -> Json.str(cm.map(_.colorBar).getOrElse("gray")),
+        "colorBarMin" -> Json.num(cm.map(_.valueRange._1).getOrElse(0.0)),
+        "colorBarMax" -> Json.num(cm.map(_.valueRange._2).getOrElse(1.0)),
+        "tileGrid" -> tileGridJson(grid))
+    }
+    Json.obj(
+      "id" -> Json.str(ds.id),
+      "title" -> Json.str(ds.title),
+      "bbox" -> Json.arr(Seq(b.xMin, b.yMin, b.xMax, b.yMax).map(Json.num)),
+      "variables" -> Json.arr(variables),
+      "dimensions" -> Json.arr(Seq(
+        Json.obj("name" -> Json.str("lat"), "size" -> g.height.toString),
+        Json.obj("name" -> Json.str("lon"), "size" -> g.width.toString))))
+  }
+
+  /** TileGrid.to_json shape (tilegrid.py:157-168). */
+  def tileGridJson(t: TileGrid): String =
+    Json.obj(
+      "numLevelZeroTilesX" -> t.numLevelZeroTilesX.toString,
+      "numLevelZeroTilesY" -> t.numLevelZeroTilesY.toString,
+      "tileWidth" -> t.tileWidth.toString,
+      "tileHeight" -> t.tileHeight.toString,
+      "numLevels" -> t.numLevels.toString,
+      "invY" -> t.invY.toString,
+      "extent" -> Json.obj(
+        "west" -> Json.num(t.extent.xMin), "south" -> Json.num(t.extent.yMin),
+        "east" -> Json.num(t.extent.xMax), "north" -> Json.num(t.extent.yMax)))
+}

@@ -1,0 +1,83 @@
+package graft.server
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.cube.CubeFrame
+import graft.model.{ServiceConfig, StyleConfig}
+import graft.operators.Resample
+
+/** Service context: the registry of datasets, place groups and styles a
+  * running service exposes (reference: ServiceContext at
+  * xcube_server/context.py:60-130, with the dataset cache + computed-
+  * dataset dispatch of context.py:201-287).
+  *
+  * Computed datasets (reference U1 — `exec()` of user scripts) are
+  * intentionally narrowed (SURVEY Q7): a registry of named Scala
+  * transforms covers the observed usage (`resample_in_time` is the only
+  * shipped script); arbitrary user code would arrive as a precompiled
+  * plugin jar, never runtime eval.
+  */
+final case class RegisteredDataset(id: String, title: String,
+                                   cube: CubeFrame,
+                                   style: Option[StyleConfig])
+
+class ServiceContext(val spark: SparkSession) {
+
+  private val datasets = new TrieMap[String, RegisteredDataset]
+  private val placeGroups = new TrieMap[String, DataFrame]
+
+  /** computed-dataset transform registry (U1) */
+  val transforms = new TrieMap[String, (Seq[CubeFrame], Map[String, String]) => CubeFrame]
+  transforms.put("resample_in_time", (inputs, params) =>
+    params.getOrElse("period", "1W") match {
+      case "1W" => Resample.weeklyMean(inputs.head)
+      case p => throw new IllegalArgumentException(s"unsupported period $p")
+    })
+
+  def register(ds: RegisteredDataset): Unit = datasets.put(ds.id, ds)
+  def registerPlaces(id: String, df: DataFrame): Unit = placeGroups.put(id, df)
+
+  def dataset(id: String): Option[RegisteredDataset] = datasets.get(id)
+  def datasetIds: Seq[String] = datasets.keys.toSeq.sorted
+  def places(id: String): Option[DataFrame] = placeGroups.get(id)
+
+  /** Register a computed dataset by applying a named transform to
+    * already-registered inputs (context.py:256-277 wiring). */
+  def registerComputed(id: String, title: String, function: String,
+                       inputIds: Seq[String], params: Map[String, String],
+                       style: Option[StyleConfig] = None): Unit = {
+    val fn = transforms.getOrElse(function,
+      throw new IllegalArgumentException(s"unknown function $function"))
+    val inputs = inputIds.map(i => dataset(i).getOrElse(
+      throw new IllegalArgumentException(s"unknown input dataset $i")).cube)
+    register(RegisteredDataset(id, title, fn(inputs, params), style))
+  }
+}
+
+/** Minimal JSON emission for the driver-side catalogue/time-series
+  * responses (reference K3 — the JSON layer is driver-side formatting,
+  * not a cluster concern). */
+object Json {
+  def esc(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+  def str(s: String): String = "\"" + esc(s) + "\""
+  def num(d: Double): String =
+    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+  def obj(fields: (String, String)*): String =
+    fields.map { case (k, v) => str(k) + ":" + v }.mkString("{", ",", "}")
+  def arr(items: Iterable[String]): String = items.mkString("[", ",", "]")
+}

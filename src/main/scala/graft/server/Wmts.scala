@@ -1,0 +1,90 @@
+package graft.server
+
+import graft.grid.TileGrid
+
+/** WMTS 1.0.0 capabilities document (reference K4:
+  * get_wmts_capabilities_xml at xcube_server/controllers/wmts.py:12-287
+  * — service/provider header, one TileMatrixSet per distinct tile grid
+  * with WGS84 scale denominators, one Layer per servable variable).
+  * Pure driver-side templating over the registry metadata.
+  */
+object Wmts {
+
+  /** WGS84 meters per degree at the equator / standard 0.28mm pixel —
+    * the WMTS scale-denominator arithmetic (wmts.py:144-173). */
+  private val MetersPerDegree = 6378137.0 * 2.0 * math.Pi / 360.0
+  private val PixelSizeMeters = 0.28e-3
+
+  def capabilitiesXml(ctx: ServiceContext, serviceUrl: String,
+                      provider: Map[String, String] = Map.empty): String = {
+    val datasets = ctx.datasetIds.flatMap(ctx.dataset)
+    val layers = new StringBuilder
+    val matrixSets = new StringBuilder
+    var seenGrids = Set.empty[String]
+
+    datasets.foreach { ds =>
+      val g = ds.cube.grid
+      val grid = TileGrid.create(g.width, g.height, None, None, g.bbox,
+        invY = g.latAscending)
+      val tmsId = s"TileGrid_${grid.width(grid.maxLevel)}_${grid.height(grid.maxLevel)}"
+      if (!seenGrids.contains(tmsId)) {
+        seenGrids += tmsId
+        matrixSets.append(tileMatrixSetXml(tmsId, grid))
+      }
+      ds.cube.variables.foreach { v =>
+        layers.append(
+          s"""    <Layer>
+             |      <ows:Identifier>${ds.id}.$v</ows:Identifier>
+             |      <ows:Title>${Json.esc(ds.title)} $v</ows:Title>
+             |      <ows:WGS84BoundingBox>
+             |        <ows:LowerCorner>${g.bbox.xMin} ${g.bbox.yMin}</ows:LowerCorner>
+             |        <ows:UpperCorner>${g.bbox.xMax} ${g.bbox.yMax}</ows:UpperCorner>
+             |      </ows:WGS84BoundingBox>
+             |      <TileMatrixSetLink><TileMatrixSet>$tmsId</TileMatrixSet></TileMatrixSetLink>
+             |      <ResourceURL format="image/png" resourceType="tile"
+             |        template="$serviceUrl/datasets/${ds.id}/vars/$v/tiles/{TileMatrix}/{TileCol}/{TileRow}.png"/>
+             |    </Layer>
+             |""".stripMargin)
+      }
+    }
+
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<Capabilities xmlns="http://www.opengis.net/wmts/1.0"
+       |    xmlns:ows="http://www.opengis.net/ows/1.1" version="1.0.0">
+       |  <ows:ServiceIdentification>
+       |    <ows:Title>graft WMTS</ows:Title>
+       |    <ows:ServiceType>OGC WMTS</ows:ServiceType>
+       |    <ows:ServiceTypeVersion>1.0.0</ows:ServiceTypeVersion>
+       |  </ows:ServiceIdentification>
+       |  <ows:ServiceProvider>
+       |    <ows:ProviderName>${Json.esc(provider.getOrElse("ProviderName", "graft"))}</ows:ProviderName>
+       |  </ows:ServiceProvider>
+       |  <Contents>
+       |${layers.toString}${matrixSets.toString}  </Contents>
+       |</Capabilities>
+       |""".stripMargin
+  }
+
+  def tileMatrixSetXml(id: String, grid: TileGrid): String = {
+    val res0 = (grid.extent.xMax - grid.extent.xMin) / grid.width(0)
+    val matrices = (0 until grid.numLevels).map { z =>
+      val res = res0 / (1 << z)
+      val scaleDenominator = res * MetersPerDegree / PixelSizeMeters
+      s"""      <TileMatrix>
+         |        <ows:Identifier>$z</ows:Identifier>
+         |        <ScaleDenominator>$scaleDenominator</ScaleDenominator>
+         |        <TopLeftCorner>${grid.extent.xMin} ${grid.extent.yMax}</TopLeftCorner>
+         |        <TileWidth>${grid.tileWidth}</TileWidth>
+         |        <TileHeight>${grid.tileHeight}</TileHeight>
+         |        <MatrixWidth>${grid.numTilesX(z)}</MatrixWidth>
+         |        <MatrixHeight>${grid.numTilesY(z)}</MatrixHeight>
+         |      </TileMatrix>
+         |""".stripMargin
+    }.mkString
+    s"""    <TileMatrixSet>
+       |      <ows:Identifier>$id</ows:Identifier>
+       |      <ows:SupportedCRS>urn:ogc:def:crs:OGC:1.3:CRS84</ows:SupportedCRS>
+       |$matrices    </TileMatrixSet>
+       |""".stripMargin
+  }
+}

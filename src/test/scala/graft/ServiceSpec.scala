@@ -1,0 +1,149 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.sql.Timestamp
+
+import graft.cube.{Cube, CubeFrame, CubeGrid, CubeIngest}
+import graft.model.ServiceConfig
+import graft.server._
+
+class ServiceSpec extends SparkSpec {
+
+  private val demoYaml = """
+Datasets:
+  - Identifier: local
+    Title: "Local cube"
+    BoundingBox: [0.0, 50, 5.0, 52.5]
+    FileSystem: local
+    Path: "cube.parquet"
+    Style: default
+    PlaceGroups:
+      - PlaceGroupRef: inside-cube
+  - Identifier: local_1w
+    Title: Weekly cube
+    FileSystem: memory
+    Path: "resample_in_time.py"
+    Function: "resample_in_time"
+    InputDatasets: ["local"]
+    InputParameters:
+      period: "1W"
+PlaceGroups:
+  - Identifier: inside-cube
+    Title: Points inside
+    Path: "places/inside.geojson"
+Styles:
+  - Identifier: default
+    ColorMappings:
+      v0:
+        ColorBar: "plasma"
+        ValueRange: [0., 24.]
+ServiceProvider:
+  ProviderName: "graft"
+"""
+
+  test("YAML config parses the reference document shape") {
+    val cfg = ServiceConfig.fromString(demoYaml)
+    assert(cfg.datasets.map(_.identifier) == Seq("local", "local_1w"))
+    val local = cfg.dataset("local").get
+    assert(local.boundingBox.get == Seq(0.0, 50.0, 5.0, 52.5))
+    assert(local.placeGroupRefs == Seq("inside-cube"))
+    val computed = cfg.dataset("local_1w").get
+    assert(computed.function.contains("resample_in_time"))
+    assert(computed.inputDatasets == Seq("local"))
+    assert(computed.inputParameters == Map("period" -> "1W"))
+    assert(cfg.style("default").get.colorMappings("v0").valueRange == (0.0, 24.0))
+    assert(cfg.provider("ProviderName") == "graft")
+  }
+
+  private def demoContext(): ServiceContext = {
+    val ctx = new ServiceContext(spark)
+    val grid = CubeGrid(8, 4, 0.0, 50.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0"))
+    val cfg = ServiceConfig.fromString(demoYaml)
+    ctx.register(RegisteredDataset("local", "Local cube", cube,
+      cfg.style("default")))
+    ctx.registerComputed("local_1w", "Weekly cube", "resample_in_time",
+      Seq("local"), Map("period" -> "1W"), cfg.style("default"))
+    import spark.implicits._
+    ctx.registerPlaces("test",
+      Seq((1L, 1.0, 1.0), (2L, 3.0, 3.0), (3L, 9.0, 9.0)).toDF("id", "x", "y"))
+    ctx
+  }
+
+  test("catalogue JSON carries datasets, variables, tile grids") {
+    val ctx = demoContext()
+    val all = Catalogue.datasetsJson(ctx)
+    assert(all.contains("\"local\"") && all.contains("\"local_1w\""))
+    val one = Catalogue.datasetJson(ctx.dataset("local").get)
+    assert(one.contains("\"variables\"") && one.contains("\"v0\""))
+    assert(one.contains("\"colorBarName\":\"plasma\""))
+    assert(one.contains("\"numLevels\""))
+  }
+
+  test("WMTS capabilities XML lists layers and matrix sets") {
+    val xml = Wmts.capabilitiesXml(demoContext(), "http://x")
+    assert(xml.contains("<ows:Identifier>local.v0</ows:Identifier>"))
+    assert(xml.contains("<TileMatrixSet>"))
+    assert(xml.contains("ScaleDenominator"))
+    assert(xml.startsWith("<?xml"))
+  }
+
+  test("HTTP shell serves catalogue, tiles, time series, places end-to-end") {
+    val srv = new GraftServer(demoContext()).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(p: String): HttpResponse[Array[Byte]] =
+        client.send(HttpRequest.newBuilder(URI.create(srv.address + p)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+      val cat = get("/datasets")
+      assert(cat.statusCode() == 200 &&
+        new String(cat.body()).contains("\"local\""))
+      val tile = get("/datasets/local/vars/v0/tiles/0/0/0.png")
+      assert(tile.statusCode() == 200 &&
+        tile.body().take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      val ts = get("/ts/local/v0/point?lon=1.2&lat=51.3")
+      val tsBody = new String(ts.body())
+      assert(ts.statusCode() == 200 && tsBody.contains("\"totalCount\":1"))
+      val zonal = client.send(HttpRequest.newBuilder(
+          URI.create(srv.address + "/ts/local/v0/geometry"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "POLYGON((0.5 50.2, 3.5 50.2, 0.5 51.8, 0.5 50.2))")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(zonal.statusCode() == 200 && zonal.body().contains("totalCount"))
+      val places = get("/places/test?geom=" + java.net.URLEncoder.encode(
+        "POLYGON((0 0, 5 0, 5 5, 0 5, 0 0))", "UTF-8"))
+      val pBody = new String(places.body())
+      assert(places.statusCode() == 200 && pBody.contains("\"id\":1") &&
+        !pBody.contains("\"id\":3"))
+      val wmts = get("/wmts/1.0.0/WMTSCapabilities.xml")
+      assert(wmts.statusCode() == 200 &&
+        new String(wmts.body()).contains("local.v0"))
+      assert(get("/datasets/nope").statusCode() == 404)
+      assert(get("/bogus").statusCode() == 404)
+    } finally srv.stop()
+  }
+
+  test("cube ingest: partitioned layout prunes on date and tile range") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cube").toString
+    val grid = CubeGrid(64, 32, 0.0, 40.0, 0.1, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0"))
+    CubeIngest.writeCube(cube, s"$dir/cube", tileSize = 16)
+    val back = CubeIngest.readCube(spark, s"$dir/cube", grid, Seq("v0"))
+    assert(back.df.count() == 64L * 32 * 3)
+    // date-partition pruning visible in the file listing
+    import org.apache.spark.sql.functions._
+    val pruned = back.df.filter(col("p_date") === "2017-01-02")
+    assert(pruned.count() == 64L * 32)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(!planStr.contains("p_date#") ||
+      planStr.contains("PartitionFilters"))
+    // pyramid levels materialize with (n+1)/2 sizes
+    val grids = CubeIngest.writeLevels(cube, s"$dir/levels", tileSize = 16)
+    assert(grids.map(g => (g.width, g.height)) ==
+      Seq((64, 32), (32, 16), (16, 8)))
+    val l1 = CubeIngest.readCube(spark, s"$dir/levels/level=1",
+      grids(1), Seq("v0"))
+    assert(l1.df.count() == 32L * 16 * 3)
+  }
+}
