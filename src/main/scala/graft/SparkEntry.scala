@@ -11,7 +11,8 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     graft.queries.Relational.specs ++
       graft.queries.CubeQueries.specs ++
-      graft.queries.PipelineQueries.specs
+      graft.queries.PipelineQueries.specs ++
+      graft.queries.ExtraQueries.specs
 
   /** Flagship query (zonal time series, SURVEY §3.2/§7.2) on
     * /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -97,6 +97,19 @@ object ServiceConfig {
     ServiceConfig(datasets, placeGroups, styles, provider)
   }
 
+  /** "512M"-style size parse (reference F16, service.py:353-369). */
+  def parseSize(s: String): Long = {
+    val t = s.trim.toUpperCase
+    val (num, mult) = t.lastOption match {
+      case Some('K') => (t.dropRight(1), 1L << 10)
+      case Some('M') => (t.dropRight(1), 1L << 20)
+      case Some('G') => (t.dropRight(1), 1L << 30)
+      case Some('T') => (t.dropRight(1), 1L << 40)
+      case _ => (t, 1L)
+    }
+    (num.toDouble * mult).toLong
+  }
+
   /** mtime-watched hot reload (reference S9, service.py:179-201): returns
     * a () => ServiceConfig that re-parses only when the file changed. */
   def watching(path: String): () => ServiceConfig = {

@@ -17,6 +17,28 @@ import graft.geo.Geo.Pt
   */
 object Places {
 
+  /** Load a GeoJSON FeatureCollection as a feature DataFrame
+    * (reference S7: fiona-read + sequential ids at
+    * xcube_server/context.py:350-399). Geometry and properties ride as
+    * JSON strings (schema-free, like the reference's dict features);
+    * point coordinates are additionally surfaced as x/y columns for
+    * pushdown-friendly spatial predicates. */
+  def loadGeoJson(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("features")).as("f"))
+      .select(
+        monotonically_increasing_id().as("fid"),
+        col("f.geometry.type").as("geom_type"),
+        to_json(col("f.geometry")).as("geometry_json"),
+        to_json(col("f.properties")).as("properties_json"))
+      .withColumn("x", when(col("geom_type") === "Point",
+        get_json_object(col("geometry_json"), "$.coordinates[0]")
+          .cast("double")))
+      .withColumn("y", when(col("geom_type") === "Point",
+        get_json_object(col("geometry_json"), "$.coordinates[1]")
+          .cast("double")))
+
   /** Keep rows whose (x, y) point lies inside the WKT geometry. */
   def pointsWithinWkt(points: DataFrame, xCol: String, yCol: String,
                       wkt: String): DataFrame = {

@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.cube.Cube
+import graft.functions.VecF
+
+/** Second coverage batch: catalogue scans, 'current'-time selection,
+  * strided decimation, valid-range masking, antimeridian windows,
+  * multi-geometry fan-out, IVF-style ANN. */
+object ExtraQueries {
+
+  // --------------------------------------------------------------- §3.3
+  /** Catalogue scan: one row per registered table with cardinality —
+    * the relational analogue of the reference's open-every-dataset
+    * catalogue pass (wmts.py:122-124). */
+  def catalogueCounts(s: SparkSession, d: String): DataFrame = {
+    val frames = Tables.names.map { n =>
+      Tables.table(s, d, n).agg(count(lit(1)).as("n_rows"))
+        .select(lit(n).as("table_name"), col("n_rows"))
+    }
+    frames.reduce(_ unionByName _).orderBy("table_name")
+  }
+
+  val catalogueCountsSql: String =
+    Tables.names.map(n =>
+      s"SELECT '$n' AS table_name, COUNT(*) AS n_rows FROM $n")
+      .mkString("", "\n    UNION ALL ", "\n    ORDER BY table_name")
+
+  // --------------------------------------------------------------- J5
+  /** 'current' selection (context.py:437-438): latest event per user —
+    * deterministic arg-max via one window pass. */
+  def dimCurrent(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts_us").as("last_ts_us"),
+        col("event_id").as("last_event_id"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  val dimCurrentSql: String = """
+    SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+           value AS last_value
+    FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 ORDER BY user_id"""
+
+  // --------------------------------------------------------------- P8
+  /** Strided decimation (array[::2, ::2]) on the event grid: keep every
+    * 2nd row/col, per-cell stats. */
+  def strideDecimate(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("y_idx", expr("CAST(event_id % 20 AS INT)"))
+      .withColumn("x_idx", expr("CAST((event_id div 20) % 40 AS INT)"))
+      .filter(pmod(col("y_idx"), lit(2)) === 0 &&
+        pmod(col("x_idx"), lit(2)) === 0)
+      .groupBy("y_idx", "x_idx")
+      .agg(count(lit(1)).as("n_obs"), Q.davg(col("value")).as("avg_value"))
+      .orderBy("y_idx", "x_idx")
+
+  val strideDecimateSql: String = s"""
+    SELECT CAST(event_id % 20 AS INT) AS y_idx,
+           CAST((event_id // 20) % 40 AS INT) AS x_idx,
+           COUNT(*) AS n_obs, ${Sql.davg("value")} AS avg_value
+    FROM events
+    WHERE (event_id % 20) % 2 = 0 AND ((event_id // 20) % 40) % 2 = 0
+    GROUP BY 1, 2 ORDER BY y_idx, x_idx"""
+
+  // --------------------------------------------------------------- F5/F6
+  /** Valid-range + fill masking before aggregation (the reference's
+    * masking trio, tiledimage.py:398-413): values outside [10, 400] or
+    * equal to the fill sentinel become null, then null-skipping stats. */
+  def maskValidRange(s: SparkSession, d: String): DataFrame = {
+    val masked = Cube.maskInvalid(col("value"),
+      fillValue = Some(0.0), validMin = Some(10.0), validMax = Some(400.0))
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("total_count"),
+        count(masked).as("valid_count"),
+        Q.davg(masked).as("avg_valid"))
+      .orderBy("event_type")
+  }
+
+  val maskValidRangeSql: String = s"""
+    WITH m AS (SELECT event_type,
+      CASE WHEN isnan(value) OR value = 0.0 OR value < 10.0
+             OR value > 400.0 THEN NULL ELSE value END AS mv
+      FROM events)
+    SELECT event_type, COUNT(*) AS total_count, COUNT(mv) AS valid_count,
+      ${Sql.davg("mv")} AS avg_valid
+    FROM m GROUP BY event_type ORDER BY event_type"""
+
+  // --------------------------------------------------------------- F10
+  /** Antimeridian-style wrapped window: a lon range with max < min
+    * splits into OR-of-ranges (utils.py:56-70). Grid lon ∈ [0,4); the
+    * wrapped box [3.05, 0.95] selects both edges. */
+  def antimeridianWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("lon",
+        (expr("CAST((event_id div 20) % 40 AS DOUBLE)") + lit(0.5)) * lit(0.1))
+      .filter(col("lon") >= 3.05 || col("lon") <= 0.95)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_obs"), Q.davg(col("value")).as("avg_value"))
+      .orderBy("day")
+
+  val antimeridianWindowSql: String = s"""
+    WITH c AS (SELECT value,
+      (CAST((event_id // 20) % 40 AS DOUBLE) + 0.5) * 0.1 AS lon,
+      strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+      FROM events)
+    SELECT day, COUNT(*) AS n_obs, ${Sql.davg("value")} AS avg_value
+    FROM c WHERE lon >= 3.05 OR lon <= 0.95
+    GROUP BY day ORDER BY day"""
+
+  // --------------------------------------------------------------- ts multi-geom
+  /** Multi-geometry time-series fan-out (time_series.py:208-219): one
+    * unioned plan, geometry_index column. */
+  def tsMultiGeom(s: SparkSession, d: String): DataFrame = {
+    def one(idx: Int, lonLo: Double, lonHi: Double): DataFrame =
+      Tables.events(s, d)
+        .withColumn("lon",
+          (expr("CAST((event_id div 20) % 40 AS DOUBLE)") + lit(0.5)) * lit(0.1))
+        .filter(col("lon") >= lonLo && col("lon") <= lonHi)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_obs"), Q.davg(col("value")).as("avg_value"))
+        .withColumn("geometry_index", lit(idx))
+    one(0, 0.05, 1.95).unionByName(one(1, 2.05, 3.95))
+      .select("geometry_index", "day", "n_obs", "avg_value")
+      .orderBy("geometry_index", "day")
+  }
+
+  val tsMultiGeomSql: String = {
+    def one(idx: Int, lo: Double, hi: Double) = s"""
+      SELECT $idx AS geometry_index, day, COUNT(*) AS n_obs,
+        ${Sql.davg("value")} AS avg_value
+      FROM (SELECT value,
+        (CAST((event_id // 20) % 40 AS DOUBLE) + 0.5) * 0.1 AS lon,
+        strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day FROM events)
+      WHERE lon >= $lo AND lon <= $hi GROUP BY day"""
+    s"""${one(0, 0.05, 1.95)}
+    UNION ALL ${one(1, 2.05, 3.95)}
+    ORDER BY geometry_index, day"""
+  }
+
+  // --------------------------------------------------------------- IVF ANN
+  /** deterministic IVF centroids: c(j)(i) = ((j*31 + i*7) % 200 - 100)/100 */
+  def centroids(k: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(k)(j => Array.tabulate(dim)(i =>
+      (((31L * j + 7L * i) % 200) - 100).toDouble / 100.0))
+
+  /** IVF-style ANN: assign every vector to its nearest coarse centroid
+    * (L2 argmin via ||v||² − 2v·c + ||c||²; ties → lowest centroid id),
+    * probe only the query's cell, exact-cosine rerank. The scale path:
+    * the corpus is written partitioned by cell, so probes read one
+    * partition (vs LSH's hash buckets — both ship in graft). */
+  def simAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val cs = centroids(4, 64)
+    def dotC(v: String, c: Array[Double]): Column = {
+      val arr = array(c.map(lit(_)).toIndexedSeq: _*)
+      aggregate(zip_with(col(v).cast("array<double>"), arr, (x, y) => x * y),
+        lit(0.0), (a, x) => a + x)
+    }
+    def cellCol(v: String): Column = {
+      // score_j = -2 v·c_j + ||c_j||² (||v||² constant per row); argmin
+      val scored = array(cs.zipWithIndex.map { case (c, j) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(-2.0) * dotC(v, c) + lit(c2)).as("score"),
+          lit(j).as("cell"))
+      }.toIndexedSeq: _*)
+      array_min(scored).getField("cell")
+    }
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      VecF.normF(col("embedding")).as("norm"), cellCol("embedding").as("cell"))
+    val queries = base.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+        col("norm").as("q_norm"), col("cell"))
+    val scored = base.join(broadcast(queries), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(
+        VecF.dotF(col("q_vec"), col("embedding")) / (col("q_norm") * col("norm")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val simAnnIvfSql: String = {
+    val cs = centroids(4, 64)
+    def dotC(v: String, c: Array[Double]): String = {
+      val terms = c.zipWithIndex.map { case (x, i) =>
+        s"CAST($v[${i + 1}] AS DOUBLE) * ($x)" }
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | [${terms.mkString(", ")}]), (x, y) -> x + y)""".stripMargin
+    }
+    def dotSelf(a: String): String = {
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | [CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($a[CAST(i AS INT)] AS DOUBLE)
+         |  FOR i IN range(1, len($a) + 1)]), (x, y) -> x + y)""".stripMargin
+    }
+    def dotAb(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | [CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)
+         |  FOR i IN range(1, len($a) + 1)]), (x, y) -> x + y)""".stripMargin
+    // argmin over (score, cell) structs ≡ list_min of [score, cell] pairs
+    val cellExpr = "list_min([" + cs.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum
+      s"[-2.0 * ${dotC("embedding", c)} + ($c2), CAST($j AS DOUBLE)]"
+    }.mkString(", ") + "])[2]"
+    s"""
+    WITH e AS (SELECT vec_id, embedding,
+      sqrt(${dotSelf("embedding")}) AS norm,
+      $cellExpr AS cell FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ROUND(${dotAb("q.embedding", "c.embedding")} / (q.norm * c.norm), 6) AS cos
+      FROM e q JOIN e c ON q.cell = c.cell
+      WHERE q.vec_id < 20 AND c.vec_id != q.vec_id),
+    ranked AS (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM pairs)
+    SELECT query_id, neighbor_id, cos, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 3 ORDER BY query_id, rank"""
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("catalogue_counts", catalogueCounts, Some(catalogueCountsSql)),
+    QuerySpec("dim_current", dimCurrent, Some(dimCurrentSql)),
+    QuerySpec("stride_decimate", strideDecimate, Some(strideDecimateSql)),
+    QuerySpec("mask_valid_range", maskValidRange, Some(maskValidRangeSql)),
+    QuerySpec("antimeridian_window", antimeridianWindow,
+      Some(antimeridianWindowSql)),
+    QuerySpec("ts_multi_geom", tsMultiGeom, Some(tsMultiGeomSql)),
+    QuerySpec("sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql)))
+}
