@@ -31,6 +31,11 @@ object Bench {
     Tables.names.foreach(n => Tables.table(spark, sfDir, n).schema)
 
     val results = SparkEntry.specs.filter(_.bench).map { q =>
+      // drop persisted intermediates from prior queries and let the
+      // ContextCleaner reap dead broadcasts (it is GC-triggered):
+      // leftover blocks inflate GC pressure and skew later measurements
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>

@@ -87,9 +87,48 @@ case class Fingerprint8(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+object BitsetKernels {
+  /** popcount of the AND of two long-array bitsets. */
+  def andPopcount(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                  b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(a.getLong(i) & b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Codegen'd |A ∩ B| for set-membership bitsets stored as array<bigint>
+  * — the inner kernel of the dense-vocabulary all-pairs Jaccard path
+  * (16 long-ops per pair vs a shuffled inverted-index join). */
+case class BitsetAndCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitset_and_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BitsetKernels.andPopcount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.BitsetKernels.andPopcount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 object HashF {
   def polyHash(c: Column): Column =
     GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
   def fingerprint8(c: Column): Column =
     GraftColumnBridge.column(Fingerprint8(GraftColumnBridge.expression(c)))
+  def bitsetAndCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(BitsetAndCount(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

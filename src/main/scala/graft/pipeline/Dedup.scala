@@ -57,6 +57,69 @@ object Dedup {
     * interpreted — and projection collapse would otherwise inline the
     * hash pipeline into both join sides and the count aggregation,
     * recomputing it 3-4×. One materialization, three codegen'd reuses. */
+  /** Strategy-adaptive all-pairs Jaccard: when the distinct-shingle
+    * vocabulary is small (dense corpora — every doc pair shares
+    * shingles and the inverted index degenerates to Ω(Σ df²) join
+    * rows), switch to per-doc bitsets + a broadcast pair scan with the
+    * codegen'd AND-popcount kernel: |pairs| × words work instead of a
+    * quarter-billion-row shuffle. Identical results either way. */
+  def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double,
+                       denseVocabLimit: Long = 1 << 16): DataFrame = {
+    val sh = shingles(df, idCol, textCol).persist()
+    val vocab = sh.select("s").distinct().count()
+    if (vocab <= denseVocabLimit) jaccardPairsBitmap(sh, vocab.toInt, threshold)
+    else jaccardPairsInverted(sh, threshold)
+  }
+
+  /** Dense-vocab path: dictionary-encode shingles to bit positions,
+    * pack per-doc bitsets (one array<bigint> of vocab/64 words), then a
+    * broadcast self-cross-join counts intersections with
+    * [[graft.functions.BitsetAndCount]]. The corpus side streams; the
+    * broadcast side is |docs| × words longs. */
+  def jaccardPairsBitmap(sh: DataFrame, vocab: Int,
+                         threshold: Double): DataFrame = {
+    val words = (vocab + 63) / 64
+    // dictionary: ≤ denseVocabLimit rows, single-task window is fine
+    val dict = sh.select("s").distinct()
+      .withColumn("bit", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("s")) - 1)
+    val toBitset = udf((bits: Seq[Int]) => {
+      val arr = new Array[Long](words)
+      bits.foreach(b => arr(b >> 6) |= (1L << (b & 63)))
+      arr
+    })
+    val docs = sh.join(broadcast(dict), Seq("s"))
+      .groupBy("id").agg(collect_list(col("bit")).as("bits"),
+        count(lit(1)).as("n"))
+      .select(col("id"), toBitset(col("bits")).as("bm"), col("n"))
+      .persist()
+    val a = docs.toDF("id_a", "bm_a", "n_a")
+    val b = docs.toDF("id_b", "bm_b", "n_b")
+    a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
+      .withColumn("common",
+        graft.functions.HashF.bitsetAndCount(col("bm_a"), col("bm_b")))
+      .withColumn("jaccard", round(col("common") /
+        (col("n_a") + col("n_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "jaccard")
+  }
+
+  /** Sparse-vocab path: classic inverted-index self-join. */
+  def jaccardPairsInverted(sh: DataFrame, threshold: Double): DataFrame = {
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("id_a", "s")
+    val b = sh.toDF("id_b", "s")
+    a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(counts.toDF("id_a", "n_a"), Seq("id_a"))
+      .join(counts.toDF("id_b", "n_b"), Seq("id_b"))
+      .withColumn("jaccard", round(
+        col("common") / (col("n_a") + col("n_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "jaccard")
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double,
                    maxShingleDocFreq: Option[Long] = None): DataFrame = {

@@ -29,7 +29,7 @@ object PipelineQueries {
     FROM documents GROUP BY text ORDER BY rep_id"""
 
   def dedupJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", J)
+    Dedup.jaccardPairsAuto(Tables.documents(s, d), "doc_id", "text", J)
       .orderBy("id_a", "id_b")
 
   private val thCte =

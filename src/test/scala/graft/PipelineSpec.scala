@@ -45,6 +45,17 @@ class PipelineSpec extends SparkSpec {
     assert(exact.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("jaccard bitmap and inverted-index strategies agree exactly") {
+    val sh = Dedup.shingles(docs(), "doc_id", "text").persist()
+    val vocab = sh.select("s").distinct().count().toInt
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getAs[Double]("jaccard"))).toSeq
+    assert(norm(Dedup.jaccardPairsBitmap(sh, vocab, 0.1)) ==
+      norm(Dedup.jaccardPairsInverted(sh, 0.1)))
+  }
+
   test("minhash LSH recovers the same high-sim pairs as exact jaccard") {
     val exact = Dedup.jaccardPairs(docs(), "doc_id", "text", 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
