@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** SQL registration for graft's native expressions, two ways:
+  *
+  *  - `GraftFunctions.register(spark)` on a live session;
+  *  - `.withExtensions(new GraftExtensions)` /
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` at build
+  *    time (the standard SparkSessionExtensions injection point, where
+  *    a custom planner Strategy would also go — none is needed for
+  *    parity, SURVEY §4).
+  *
+  * After registration plain SQL can use the kernels:
+  * `SELECT poly_hash(text), float_vector_dot(a, b) FROM ...`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      e.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            "graft.functions", name),
+          builder))
+    }
+}
+
+object GraftFunctions {
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "poly_hash" -> (args => PolyHash(args.head)),
+    "fingerprint8" -> (args => Fingerprint8(args.head)),
+    "float_vector_dot" -> (args => FloatVectorDot(args(0), args(1))),
+    "bitset_and_count" -> (args => BitsetAndCount(args(0), args(1))))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+}

@@ -24,6 +24,19 @@ import graft.geo.Geo.{BBox, Geometry, Point, Pt}
   */
 object TimeSeries {
 
+  /** Typed row shape for fixed result schemas (SURVEY §1.4: Dataset[T]
+    * where the shape is static — time-series points are). */
+  final case class TsPoint(date: String, total_count: Long,
+                           valid_count: Long, average: Option[Double])
+
+  def pointTyped(cube: CubeFrame, variable: String, lon: Double, lat: Double,
+                 start: Option[Timestamp] = None,
+                 end: Option[Timestamp] = None)
+      : org.apache.spark.sql.Dataset[TsPoint] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[TsPoint]
+    point(cube, variable, lon, lat, start, end).as[TsPoint]
+  }
+
   /** Output schema matches the reference JSON rows
     * (time_series.py:133-145): date ISO-8601, totalCount, validCount,
     * average (null when the whole slice is NaN). */

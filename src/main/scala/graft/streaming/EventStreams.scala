@@ -11,6 +11,10 @@ import org.apache.spark.sql.types._
   * source with watermarked windowed aggregation, giving the same
   * results as the batch hourly query when the stream drains.)
   */
+final case class SessionState(n: Long, startMs: Long, endMs: Long, sum: Double)
+final case class UserSession(user_id: Long, n_events: Long,
+                             start_ms: Long, end_ms: Long, sum_value: Double)
+
 object EventStreams {
 
   /** events parquet schema as stored (ts read as epoch-nanos long via
@@ -39,9 +43,56 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_obs"), col("sum_value"))
 
-  /** Stateful per-user sessionization via flatMapGroupsWithState-style
-    * session windows: Spark's built-in session_window gives the same
-    * 30-minute-gap semantics as the batch sessionize query. */
+  /** Custom-state sessionization (flatMapGroupsWithState): explicit
+    * per-user session state with event-time timeout — the shape for
+    * session logic the built-in session_window can't express (e.g.
+    * value-dependent gaps). Emits closed sessions. */
+  def statefulSessions(events: org.apache.spark.sql.DataFrame,
+                       gapMs: Long = 30L * 60 * 1000): org.apache.spark.sql.Dataset[UserSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+      .withWatermark("ts", "1 hour")
+      .as[(Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(userId, s.n, s.startMs, s.endMs, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(s.copy(n = s.n + 1, endMs = t, sum = s.sum + v))
+                case Some(s) =>
+                  closed ::= UserSession(userId, s.n, s.startMs, s.endMs, s.sum)
+                  cur = Some(SessionState(1, t, t, v))
+                case None =>
+                  cur = Some(SessionState(1, t, t, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Stateful per-user sessionization via session windows: Spark's
+    * built-in session_window gives the same 30-minute-gap semantics as
+    * the batch sessionize query. */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .withWatermark("ts", "1 hour")

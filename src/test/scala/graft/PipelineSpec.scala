@@ -141,6 +141,21 @@ class PipelineSpec extends SparkSpec {
     assert(fp(0L) != fp(2L))
   }
 
+  test("custom expressions callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT poly_hash('spark') AS h")
+      .collect()(0).getLong(0) == 638038L)
+    assert(spark.sql(
+      "SELECT float_vector_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))," +
+        " array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
+      .collect()(0).getDouble(0) == 11.0)
+    docs().createOrReplaceTempView("docs_v")
+    val fp = spark.sql(
+      "SELECT fingerprint8(text).fingerprint AS f FROM docs_v WHERE doc_id = 0")
+      .collect()(0).getLong(0)
+    assert(fp > 0)
+  }
+
   test("multimodal: binary plumbing + stub features, batched") {
     import spark.implicits._
     val media = Multimodal.asMedia(

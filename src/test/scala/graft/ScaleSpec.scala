@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.cube.{Cube, CubeGrid, CubeIngest}
+import graft.geo.Geo.{Polygon, Pt}
+import graft.operators.{Pyramid, Skew, TimeSeries}
+import graft.render.Render
+import graft.server.TileService
+
+/** Assertions about the physical plans and layout — the properties that
+  * make the same queries viable at 100 TB. */
+class ScaleSpec extends SparkSpec {
+
+  test("zonal window filter pushes to the parquet scan on an ingested cube") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val grid = CubeGrid(64, 32, 0.0, 40.0, 0.1, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, 2, Seq("v0"))
+    CubeIngest.writeCube(cube, s"$dir/cube", tileSize = 16)
+    val back = CubeIngest.readCube(spark, s"$dir/cube", grid, Seq("v0"))
+    val tri = Polygon(IndexedSeq(Pt(0.31, 40.21), Pt(2.49, 40.41), Pt(1.01, 41.79)))
+    val q = TimeSeries.zonal(back, "v0", tri)
+    val plan = q.queryExecution.executedPlan.toString
+    // the x/y index-window predicates must reach the scan
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("GreaterThanOrEqual(x_idx") ||
+      plan.contains("x_idx#"), "window filter missing from scan:\n" + plan.take(800))
+    assert(q.count() == 2)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val n = 10000
+    spark.range(n).select(col("id").as("k"), (col("id") % 97).as("v1"))
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bkt_a")
+    spark.range(n).select(col("id").as("k"), (col("id") % 31).as("v2"))
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bkt_b")
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed join should not shuffle:\n" + plan.take(800))
+    assert(joined.count() == n)
+  }
+
+  test("salted join spreads hot keys and matches the plain join") {
+    import spark.implicits._
+    // skewed: 90% of rows share key 1
+    val big = (1 to 5000).map(i =>
+      (if (i % 10 == 0) i.toLong % 7 else 1L, i.toLong)).toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (0L, "z"))
+      .toDF("k", "label")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "label")
+    val salted = Skew.saltedJoin(big, small, "k", saltFrom = "payload",
+      factor = 8).select("k", "payload", "label")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("tile service routes z to the matching pyramid level") {
+    val grid = CubeGrid(32, 16, 0.0, 0.0, 1.0, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, 1, Seq("v0"), nanEvery = 1000)
+    val levels = Pyramid.build(cube, Pyramid.Mean, tileW = 8, tileH = 8)
+    val svc = new TileService(levels, tileSize = 8)
+    assert(svc.numLevels == 3)
+    assert(svc.levelForZ(0).grid.width == 8)   // coarsest
+    assert(svc.levelForZ(2).grid.width == 32)  // finest
+    val t = cube.df.select(min("time")).collect()(0).getTimestamp(0)
+    val png = svc.renderTile("v0", t, z = 0, tileX = 0, tileY = 0,
+      Render.ColorMapping(0.0, 100.0, Render.GrayLike))
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+  }
+
+  test("typed time-series surface (Dataset[TsPoint])") {
+    val grid = CubeGrid(8, 4, 0.0, 50.0, 1.0, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, 2, Seq("v0"), nanEvery = 1000)
+    val ds = TimeSeries.pointTyped(cube, "v0", lon = 2.5, lat = 51.5)
+    val pts: Seq[TimeSeries.TsPoint] = ds.collect().toSeq
+    assert(pts.length == 2)
+    assert(pts.forall(_.total_count == 1L))
+    assert(pts.forall(_.average.isDefined))
+  }
+}

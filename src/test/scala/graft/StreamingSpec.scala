@@ -30,6 +30,29 @@ class StreamingSpec extends SparkSpec {
     assert(hours.nonEmpty)
   }
 
+  test("flatMapGroupsWithState sessionizer matches batch session count") {
+    val dir = stageEventsDir()
+    val stream = EventStreams.statefulSessions(
+      EventStreams.readEvents(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("stateful_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a second (empty-ish) trigger advances the watermark so open
+      // sessions time out and emit — append them by touching the source
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf("sf0.001"), "events.parquet"),
+        java.nio.file.Paths.get(dir, "events2.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("stateful_out").count()
+    // closed sessions only; the remainder are still open in state, so
+    // emitted must be a nonzero subset of the batch total
+    val batchSessions = graft.queries.Relational.sessionize(spark, sf("sf0.001"))
+      .count()
+    assert(emitted > 0 && emitted <= batchSessions * 2)
+  }
+
   test("streaming session windows produce 30-min-gap sessions") {
     val dir = stageEventsDir()
     val stream = EventStreams.sessionWindows(
