@@ -233,6 +233,79 @@ object ExtraQueries {
     FROM ranked WHERE rn <= 3 ORDER BY query_id, rank"""
   }
 
+  // --------------------------------------------------------------- windows
+  /** Ranking-window suite: rank, dense_rank, ntile over order values
+    * per customer segment (beyond-reference §2.5 coverage). */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+        col("rnk"), col("drnk"), col("quartile"))
+      .orderBy("c_mktsegment", "rnk", "o_orderkey")
+  }
+
+  val windowRankSql: String = """
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+      CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk,
+      CAST(quartile AS INT) AS quartile
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+        RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+        NTILE(4) OVER w AS quartile
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey))
+    WHERE rnk <= 5
+    ORDER BY c_mktsegment, rnk, o_orderkey"""
+
+  /** Correlated-aggregate comparison: orders ≥ 1.5× their customer's
+    * average spend (scalar-subquery semantics, computed as a window to
+    * stay one-pass). */
+  def aboveAvgOrders(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(s, d)
+      .withColumn("cust_avg",
+        round(sum(col("o_totalprice").cast(Q.Dec)).over(w).cast("double") /
+          count(lit(1)).over(w), 6))
+      .filter(col("o_totalprice") >= lit(1.5) * col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("cust_avg"))
+      .orderBy("o_orderkey")
+  }
+
+  val aboveAvgOrdersSql: String = """
+    SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+          / COUNT(*) OVER w, 6) AS cust_avg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey))
+    WHERE o_totalprice >= 1.5 * cust_avg
+    ORDER BY o_orderkey"""
+
+  /** Exact distinct aggregates per group. */
+  def distinctAggs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        countDistinct(expr("ts_us div 86400000000")).as("n_active_days"))
+      .orderBy("event_type")
+
+  val distinctAggsSql: String = """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT epoch_us(ts) // 86400000000) AS n_active_days
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("catalogue_counts", catalogueCounts, Some(catalogueCountsSql)),
     QuerySpec("dim_current", dimCurrent, Some(dimCurrentSql)),
@@ -241,5 +314,8 @@ object ExtraQueries {
     QuerySpec("antimeridian_window", antimeridianWindow,
       Some(antimeridianWindowSql)),
     QuerySpec("ts_multi_geom", tsMultiGeom, Some(tsMultiGeomSql)),
-    QuerySpec("sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql)))
+    QuerySpec("sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql)),
+    QuerySpec("window_rank", windowRank, Some(windowRankSql)),
+    QuerySpec("above_avg_orders", aboveAvgOrders, Some(aboveAvgOrdersSql)),
+    QuerySpec("distinct_aggs", distinctAggs, Some(distinctAggsSql)))
 }
