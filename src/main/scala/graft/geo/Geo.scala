@@ -156,7 +156,7 @@ object Geo {
   def geometryMask(width: Int, height: Int, geom: Geometry,
                    lonMin: Double, latMin: Double, res: Double): Array[Array[Boolean]] = {
     val latMax = latMin + res * height
-    Array.tabulate(height) { y =>
+    val mask = Array.tabulate(height) { y =>
       val yTop = latMax - res * y
       val yBot = yTop - res
       Array.tabulate(width) { x =>
@@ -164,6 +164,24 @@ object Geo {
         intersectsRect(geom, BBox(x0, yBot, x0 + res, yTop))
       }
     }
+    // GDAL assigns each ring VERTEX to its floor pixel even when the
+    // touch has zero measure (endpoint of a boundary segment on a cell
+    // corner) — reproduces the 401×401=160801 box golden
+    // (test_time_series.py:63-73) without re-adding the transversal
+    // corner-grazing cells the triangle golden excludes.
+    vertices(geom).foreach { p =>
+      val cx = math.floor((p.x - lonMin) / res).toInt
+      val cy = math.floor((latMax - p.y) / res).toInt
+      if (cx >= 0 && cx < width && cy >= 0 && cy < height) mask(cy)(cx) = true
+    }
+    mask
+  }
+
+  private def vertices(geom: Geometry): Seq[Pt] = geom match {
+    case Point(p) => Seq(p)
+    case LineString(pts) => pts
+    case Polygon(shell, holes) => shell ++ holes.flatten
+    case MultiPolygon(ps) => ps.flatMap(p => p.shell ++ p.holes.flatten)
   }
 
   /** Antimeridian-aware bbox → geometry (xcube_server/utils.py:56-70):

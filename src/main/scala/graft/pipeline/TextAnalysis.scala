@@ -20,7 +20,7 @@ object TextAnalysis {
     val stopHits = size(filter(toks, t => t.isInCollection(Stopwords)))
     df.select(
       col(idCol),
-      length(col(textCol)).as("n_chars"),
+      length(col(textCol)).cast("long").as("n_chars"),
       nTokens.cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct"),
       round((length(col(textCol)) - (nTokens - 1)).cast("double") / nTokens, 6)
