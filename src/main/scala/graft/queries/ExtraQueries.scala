@@ -306,6 +306,52 @@ object ExtraQueries {
       COUNT(DISTINCT epoch_us(ts) // 86400000000) AS n_active_days
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** JSON property extraction from the events.props column (dependency-
+    * free substring parse — identical in both engines on the fixed
+    * '{"k": N}' shape; the engine-native JSON path functions differ
+    * between Spark and DuckDB's extension). */
+  def propsExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", expr(
+        "CAST(substr(props, 7, length(props) - 7) AS INT)"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), Q.davg(col("value")).as("avg_value"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy("k_bucket")
+
+  val propsExtractSql: String = s"""
+    WITH p AS (SELECT value,
+      CAST(substr(props, 7, length(props) - 7) AS INT) AS k FROM events)
+    SELECT k % 10 AS k_bucket, COUNT(*) AS n,
+      ${Sql.davg("value")} AS avg_value,
+      MIN(k) AS k_min, MAX(k) AS k_max
+    FROM p GROUP BY 1 ORDER BY k_bucket"""
+
+  /** Flag-variable bitmask semantics (reference §1.2: quality_flags /
+    * c2rcc_flags uint vars tested bitwise): per event_type, how many
+    * rows have each of the low 4 bits of a derived flag word set. */
+  def flagsBitmask(s: SparkSession, d: String): DataFrame = {
+    val flags = expr("event_id % 16")
+    Tables.events(s, d)
+      .withColumn("flags", flags)
+      .groupBy("event_type")
+      .agg(
+        sum(when(expr("flags % 2") === 1, 1L).otherwise(0L)).as("bit0"),
+        sum(when(expr("(flags div 2) % 2") === 1, 1L).otherwise(0L)).as("bit1"),
+        sum(when(expr("(flags div 4) % 2") === 1, 1L).otherwise(0L)).as("bit2"),
+        sum(when(expr("(flags div 8) % 2") === 1, 1L).otherwise(0L)).as("bit3"))
+      .orderBy("event_type")
+  }
+
+  val flagsBitmaskSql: String = """
+    WITH f AS (SELECT event_type, event_id % 16 AS flags FROM events)
+    SELECT event_type,
+      CAST(SUM(CASE WHEN flags % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bit0,
+      CAST(SUM(CASE WHEN (flags // 2) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bit1,
+      CAST(SUM(CASE WHEN (flags // 4) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bit2,
+      CAST(SUM(CASE WHEN (flags // 8) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bit3
+    FROM f GROUP BY event_type ORDER BY event_type"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("catalogue_counts", catalogueCounts, Some(catalogueCountsSql)),
     QuerySpec("dim_current", dimCurrent, Some(dimCurrentSql)),
@@ -317,5 +363,7 @@ object ExtraQueries {
     QuerySpec("sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql)),
     QuerySpec("window_rank", windowRank, Some(windowRankSql)),
     QuerySpec("above_avg_orders", aboveAvgOrders, Some(aboveAvgOrdersSql)),
-    QuerySpec("distinct_aggs", distinctAggs, Some(distinctAggsSql)))
+    QuerySpec("distinct_aggs", distinctAggs, Some(distinctAggsSql)),
+    QuerySpec("props_extract", propsExtract, Some(propsExtractSql)),
+    QuerySpec("flags_bitmask", flagsBitmask, Some(flagsBitmaskSql)))
 }
