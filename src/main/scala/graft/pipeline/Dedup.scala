@@ -214,6 +214,42 @@ object Dedup {
     sums.select(col("id"), sig.as("simhash"))
   }
 
+  /** Duplicate clusters from near-dup pairs: connected components by
+    * iterative min-label propagation (each node adopts the smallest id
+    * reachable; loop to fixpoint). The label table is tiny relative to
+    * the corpus (only docs that appear in some pair), each iteration is
+    * one join + groupBy, and the iteration count is the component
+    * diameter — the standard Spark shape for dedup clustering at scale.
+    * Returns (id, cluster) with cluster = min doc id of the component.
+    */
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cluster")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("n_min"), col("cluster")))
+            .as("cluster"))
+        .persist()
+      val changes = next.join(labels.withColumnRenamed("cluster", "old"),
+        Seq("id")).filter(col("cluster") =!= col("old")).count()
+      labels = next
+      converged = changes == 0
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs within a Hamming radius (brute-force pair
     * scan over the signature table — signatures are 8 bytes/doc, so
     * this is for moderate n; banded equality join otherwise). */

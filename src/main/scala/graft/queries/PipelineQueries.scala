@@ -112,6 +112,40 @@ object PipelineQueries {
     ORDER BY id_a, id_b"""
   }
 
+  /** Near-dup clusters: connected components over the Jaccard pair
+    * graph (what a dedup pipeline keeps: one representative per
+    * cluster). Oracle: recursive-CTE transitive closure. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.clusterPairs(
+        Dedup.jaccardPairsAuto(Tables.documents(s, d), "doc_id", "text", J))
+      .orderBy("id")
+
+  val dedupClustersSql: String = s"""
+    WITH $thCte, $shCte,
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    near AS (
+      SELECT id_a, id_b FROM pairs
+        JOIN counts ca ON id_a = ca.doc_id
+        JOIN counts cb ON id_b = cb.doc_id
+      WHERE ROUND(common / (ca.n + cb.n - common), 6) >= $J),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM near
+      UNION ALL SELECT id_b, id_a FROM near),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+      SELECT a, b FROM r)
+    SELECT id, MIN(lbl) AS cluster FROM (
+      SELECT src AS id, src AS lbl FROM edges
+      UNION ALL SELECT a, b FROM reach)
+    GROUP BY id ORDER BY id"""
+
   def dedupEmbCosine(s: SparkSession, d: String): DataFrame =
     Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.4)
@@ -294,6 +328,7 @@ object PipelineQueries {
     QuerySpec("dedup_exact", dedupExact, Some(dedupExactSql)),
     QuerySpec("dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
     QuerySpec("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
+    QuerySpec("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QuerySpec("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QuerySpec("dedup_emb_cosine", dedupEmbCosine, Some(dedupEmbCosineSql)),
     QuerySpec("sim_cosine_topk", simTopK, Some(simTopKSql)),

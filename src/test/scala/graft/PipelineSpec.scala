@@ -56,6 +56,15 @@ class PipelineSpec extends SparkSpec {
       norm(Dedup.jaccardPairsInverted(sh, 0.1)))
   }
 
+  test("near-dup clustering: connected components get min-id labels") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {5,6}, singleton 9 not in pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("minhash LSH recovers the same high-sim pairs as exact jaccard") {
     val exact = Dedup.jaccardPairs(docs(), "doc_id", "text", 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
