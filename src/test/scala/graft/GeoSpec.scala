@@ -69,6 +69,20 @@ class GeoSpec extends AnyFunSuite {
     assert(a.contains(Pt(0, 0)) && !a.contains(Pt(-1, 0)))
   }
 
+  test("rasterized mask is a superset of center-in-polygon over random triangles") {
+    val rnd = new scala.util.Random(11)
+    (1 to 50).foreach { _ =>
+      def pt() = Pt(rnd.nextDouble() * 10, rnd.nextDouble() * 8)
+      val tri = Polygon(IndexedSeq(pt(), pt(), pt()))
+      val mask = Geo.geometryMask(10, 8, tri, lonMin = 0, latMin = 0, res = 1.0)
+      for (y <- 0 until 8; x <- 0 until 10) {
+        val center = Pt(x + 0.5, 8 - y - 0.5) // row 0 at top
+        if (tri.contains(center))
+          assert(mask(y)(x), s"center-inside cell ($y,$x) unmasked for $tri")
+      }
+    }
+  }
+
   test("rect intersection covers edge/corner/containment cases") {
     val tri = Polygon(IndexedSeq(Pt(0, 0), Pt(4, 0), Pt(0, 4)))
     assert(Geo.intersectsRect(tri, BBox(1, 1, 2, 2)))     // inside

@@ -150,6 +150,20 @@ class PipelineSpec extends SparkSpec {
     assert(fp(0L) != fp(2L))
   }
 
+  test("multimodal features feed the similarity operators (composition)") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(
+      docs().withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload", kind = "text")
+    val feats = Multimodal.extractFeatures(media)
+      .map(f => (f.id, f.features))
+      .toDF("vec_id", "embedding")
+    // exact dup docs 0 and 4 have identical stub features → cosine 1.0
+    val pairs = Similarity.cosinePairs(feats, "vec_id", "embedding",
+      threshold = 0.9999).collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 4L))
+  }
+
   test("custom expressions callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     assert(spark.sql("SELECT poly_hash('spark') AS h")

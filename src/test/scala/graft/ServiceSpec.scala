@@ -124,6 +124,21 @@ ServiceProvider:
     } finally srv.stop()
   }
 
+  test("config hot reload re-parses only on mtime change (S9)") {
+    val f = java.nio.file.Files.createTempFile("graft-cfg", ".yml")
+    java.nio.file.Files.writeString(f, demoYaml)
+    val watcher = ServiceConfig.watching(f.toString)
+    val c1 = watcher()
+    assert(watcher() eq c1) // unchanged mtime → cached instance
+    java.nio.file.Files.writeString(f,
+      demoYaml.replace("Local cube", "Renamed cube"))
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 2000))
+    val c2 = watcher()
+    assert(c2.dataset("local").get.title == "Renamed cube")
+  }
+
   test("cube ingest: partitioned layout prunes on date and tile range") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cube").toString
     val grid = CubeGrid(64, 32, 0.0, 40.0, 0.1, latAscending = true)
