@@ -110,6 +110,26 @@ object Render {
     toPng(mapColors(grid, mapping), tileW, tileH)
   }
 
+  /** Image-space antialiased 2× downsample (reference A8,
+    * PilDownsamplingImage at tiledimage.py:724-754): AWT smooth scaling
+    * over the rendered RGBA pixels — the pyramid path for pre-rendered
+    * imagery, vs the value-space aggregation of operators.Pyramid. */
+  def downsample2x(pixels: Array[Int], width: Int, height: Int): Array[Int] = {
+    val src = new BufferedImage(width, height, BufferedImage.TYPE_INT_ARGB)
+    src.setRGB(0, 0, width, height, pixels, 0, width)
+    val w2 = (width + 1) / 2
+    val h2 = (height + 1) / 2
+    val dst = new BufferedImage(w2, h2, BufferedImage.TYPE_INT_ARGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(src, 0, 0, w2, h2, null)
+    g.dispose()
+    val out = new Array[Int](w2 * h2)
+    dst.getRGB(0, 0, w2, h2, out, 0, w2)
+    out
+  }
+
   /** Colorbar legend PNG (reference K2, controllers/tiles.py:145-184):
     * horizontal gradient bar of the palette. */
   def legend(mapping: ColorMapping, width: Int = 256, height: Int = 16): Array[Byte] = {

@@ -36,14 +36,14 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(Executors.newFixedThreadPool(8))
 
-  /** in-memory PNG tile cache (reference X7 — 512 MB LRU default;
-    * entry-count-bounded here) */
+  /** in-memory PNG tile cache (reference X7: 512 MB LRU default with
+    * 75% trim, defaults.py:30 / cache.py:257-274) */
   private val tileCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Array[Byte]](1024, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Array[Byte]]): Boolean = size() > 4096
-      })
+    new TileCache(graft.model.ServiceConfig.parseSize("512M"), TileCache.Lru)
+
+  /** optional static asset root (reference S8: pre-rendered raster
+    * files served straight from disk, ne2.py:63-78) */
+  @volatile var staticRoot: Option[java.nio.file.Path] = None
 
   def address: String = s"http://localhost:${server.getAddress.getPort}"
 
@@ -105,6 +105,19 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
       case ("GET", "wmts" :: "1.0.0" :: "WMTSCapabilities.xml" :: Nil) =>
         send(ex, 200, Wmts.capabilitiesXml(ctx, address, Map.empty),
           "application/xml")
+      case ("GET", "static" :: rest) if staticRoot.isDefined =>
+        val base = staticRoot.get.normalize()
+        val p = base.resolve(rest.mkString("/")).normalize()
+        if (!p.startsWith(base) || !java.nio.file.Files.isRegularFile(p))
+          send(ex, 404, Json.obj("error" -> Json.str("not found")),
+            "application/json")
+        else {
+          val mime =
+            if (p.toString.endsWith(".png")) "image/png"
+            else if (p.toString.endsWith(".jpg")) "image/jpeg"
+            else "application/octet-stream"
+          sendBytes(ex, 200, java.nio.file.Files.readAllBytes(p), mime)
+        }
       case _ =>
         send(ex, 404, Json.obj("error" -> Json.str(s"no route $path")),
           "application/json")
@@ -131,13 +144,15 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
   private def tile(ex: HttpExchange, d: RegisteredDataset, v: String,
                    z: Int, x: Int, y: Int): Unit = {
     val key = s"${d.id}/$v/$z/$x/$y"
-    val cached = tileCache.get(key)
-    if (cached != null) { sendBytes(ex, 200, cached, "image/png"); return }
-    val t = d.cube.df.agg(max(col("time"))).collect()(0).getTimestamp(0)
-    val png = Render.renderTile(d.cube, v, t, x, y, 256, 256, mapping(d, v),
-      flipY = d.cube.grid.latAscending)
-    tileCache.put(key, png)
-    sendBytes(ex, 200, png, "image/png")
+    tileCache.get(key) match {
+      case Some(cached) => sendBytes(ex, 200, cached, "image/png")
+      case None =>
+        val t = d.cube.df.agg(max(col("time"))).collect()(0).getTimestamp(0)
+        val png = Render.renderTile(d.cube, v, t, x, y, 256, 256, mapping(d, v),
+          flipY = d.cube.grid.latAscending)
+        tileCache.put(key, png)
+        sendBytes(ex, 200, png, "image/png")
+    }
   }
 
   /** time-series rows → reference JSON shape (time_series.py:133-145) */

@@ -121,6 +121,13 @@ ServiceProvider:
         new String(wmts.body()).contains("local.v0"))
       assert(get("/datasets/nope").statusCode() == 404)
       assert(get("/bogus").statusCode() == 404)
+      // static assets (S8) with path-traversal protection
+      val root = java.nio.file.Files.createTempDirectory("graft-static")
+      java.nio.file.Files.write(root.resolve("ne2.png"),
+        Array[Byte](0x89.toByte, 'P', 'N', 'G'))
+      srv.staticRoot = Some(root)
+      assert(get("/static/ne2.png").statusCode() == 200)
+      assert(get("/static/../etc/passwd").statusCode() == 404)
     } finally srv.stop()
   }
 
