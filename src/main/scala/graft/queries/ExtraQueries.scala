@@ -352,6 +352,37 @@ object ExtraQueries {
       CAST(SUM(CASE WHEN (flags // 8) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bit3
     FROM f GROUP BY event_type ORDER BY event_type"""
 
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition;
+    * rounded for fp parity). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type")
+
+  val percentilesSql: String = """
+    SELECT event_type,
+      ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      ROUND(quantile_cont(value, 0.9), 6) AS p90,
+      ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** Fixed-width value histogram (floor-bucketing, shared arithmetic). */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(floor(col("value") / 25.0).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"), Q.dsum(col("value"), 4).as("sum_value"))
+      .orderBy("bucket")
+
+  val histogramSql: String = s"""
+    SELECT CAST(FLOOR(value / 25.0) AS INT) AS bucket, COUNT(*) AS n,
+      ${Sql.dsum("value", 4)} AS sum_value
+    FROM events GROUP BY 1 ORDER BY bucket"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("catalogue_counts", catalogueCounts, Some(catalogueCountsSql)),
     QuerySpec("dim_current", dimCurrent, Some(dimCurrentSql)),
@@ -365,5 +396,7 @@ object ExtraQueries {
     QuerySpec("above_avg_orders", aboveAvgOrders, Some(aboveAvgOrdersSql)),
     QuerySpec("distinct_aggs", distinctAggs, Some(distinctAggsSql)),
     QuerySpec("props_extract", propsExtract, Some(propsExtractSql)),
-    QuerySpec("flags_bitmask", flagsBitmask, Some(flagsBitmaskSql)))
+    QuerySpec("flags_bitmask", flagsBitmask, Some(flagsBitmaskSql)),
+    QuerySpec("percentiles", percentiles, Some(percentilesSql)),
+    QuerySpec("value_histogram", histogram, Some(histogramSql)))
 }
