@@ -53,8 +53,12 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
   server.createContext("/", (ex: HttpExchange) => {
     try route(ex)
     catch {
-      case e: IllegalArgumentException => send(ex, 400,
-        Json.obj("error" -> Json.str(e.getMessage)), "application/json")
+      // param coercion failures are client errors (reference F13:
+      // reqparams.py wraps them as 400s)
+      case e @ (_: IllegalArgumentException | _: NumberFormatException |
+                _: NoSuchElementException) => send(ex, 400,
+        Json.obj("error" -> Json.str(String.valueOf(e.getMessage))),
+        "application/json")
       case e: Throwable => send(ex, 500,
         Json.obj("error" -> Json.str(String.valueOf(e))), "application/json")
     }

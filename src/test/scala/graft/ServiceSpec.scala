@@ -121,6 +121,9 @@ ServiceProvider:
         new String(wmts.body()).contains("local.v0"))
       assert(get("/datasets/nope").statusCode() == 404)
       assert(get("/bogus").statusCode() == 404)
+      // param coercion errors → 400 (reference F13 semantics)
+      assert(get("/ts/local/v0/point").statusCode() == 400)
+      assert(get("/ts/local/v0/point?lon=abc&lat=1").statusCode() == 400)
       // static assets (S8) with path-traversal protection
       val root = java.nio.file.Files.createTempDirectory("graft-static")
       java.nio.file.Files.write(root.resolve("ne2.png"),
