@@ -149,6 +149,27 @@ object CubeQueries {
     FROM base
     GROUP BY 1, 2 ORDER BY week, event_type"""
 
+  /** Epoch-aligned 5-day bins (pandas '5D' semantics: origin at the
+    * epoch for day-multiple frequencies — Resample.dayBinLabel). */
+  def resample5d(s: SparkSession, d: String): DataFrame =
+    cube(s, d)
+      .groupBy(date_format(Resample.dayBinLabel(col("ts"), 5), "yyyy-MM-dd")
+          .as("bin_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_obs"), Q.davg(col("value")).as("avg_value"))
+      .orderBy("bin_start", "event_type")
+
+  val resample5dSql: String = s"""
+    WITH b AS (
+      SELECT event_type, value,
+        DATE '1970-01-01' + to_days(CAST(
+          (CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') // 5 * 5
+          AS INT)) AS bin
+      FROM events)
+    SELECT strftime(bin, '%Y-%m-%d') AS bin_start, event_type,
+      COUNT(*) AS n_obs, ${Sql.davg("value")} AS avg_value
+    FROM b GROUP BY 1, 2 ORDER BY bin_start, event_type"""
+
   // ---------------------------------------------------------------- A7/P8
   /** One pyramid downsample step on the event grid: 2×2 sibling cells
     * aggregate with mean (A7); the `(n+1)//2` recurrence and strided
@@ -258,6 +279,7 @@ object CubeQueries {
     QuerySpec("cube_ts_point", tsPoint, Some(tsPointSql)),
     QuerySpec("cube_ts_zonal", tsZonal, Some(tsZonalSql)),
     QuerySpec("cube_resample_1w", resample1w, Some(resample1wSql)),
+    QuerySpec("cube_resample_5d", resample5d, Some(resample5dSql)),
     QuerySpec("cube_pyramid_l1", pyramidL1, Some(pyramidL1Sql)),
     QuerySpec("cube_minmax", minmax, Some(minmaxSql)),
     QuerySpec("cube_bounds", bounds, Some(boundsSql)),

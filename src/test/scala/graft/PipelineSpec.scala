@@ -179,6 +179,16 @@ class PipelineSpec extends SparkSpec {
     assert(fp > 0)
   }
 
+  test("HLL sketch (approx_count_distinct) lands near exact distinct") {
+    val ev = Tables.events(spark, sf("sf0.01"))
+    val r = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.05).as("approx"))
+      .collect()(0)
+    val exact = r.getLong(0).toDouble
+    assert(math.abs(r.getLong(1) - exact) / exact < 0.1)
+  }
+
   test("multimodal: binary plumbing + stub features, batched") {
     import spark.implicits._
     val media = Multimodal.asMedia(
