@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.AsOf
 
 class AsOfSpec extends SparkSpec {
@@ -23,6 +25,28 @@ class AsOfSpec extends SparkSpec {
       .getAs[String]("rv") == "c")
     // key 2 has no right rows → null
     assert(byTag("l3").isNullAt(byTag("l3").fieldIndex("asof")))
+  }
+
+  test("as-of join matches a brute-force reference on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val left = (1 to 300).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val right = (1 to 500).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong, rnd.nextDouble()))
+    val lDf = left.toDF("k", "t", "lid")
+    val rDf = right.toDF("k", "t", "rid", "rv")
+    val got = AsOf.joinAsOf(lDf, rDf, "k", "t", "t", "rid")
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // brute force: latest right with t <= left.t; ties -> max rid
+    val expected = left.map { case (k, t, lid) =>
+      val cands = right.filter(r => r._1 == k && r._2 <= t)
+      lid -> (if (cands.isEmpty) -1L
+              else cands.maxBy(r => (r._2, r._3))._3)
+    }.toMap
+    assert(got == expected)
   }
 
   test("right-side ties at equal time resolve to max tie-break") {
