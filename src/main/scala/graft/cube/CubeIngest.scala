@@ -47,8 +47,32 @@ object CubeIngest {
     levels.map(_.grid)
   }
 
-  /** Re-open a written cube (partition discovery restores `p_date`). */
+  /** Re-open a written cube (partition discovery restores `p_date`),
+    * resolving `.link` indirection (reference S4: a levels dir may
+    * point its full-resolution level at an existing store instead of
+    * duplicating it, mldataset.py:136-198 `.link` files). */
   def readCube(spark: SparkSession, path: String, grid: CubeGrid,
-               variables: Seq[String]): CubeFrame =
-    CubeFrame(spark.read.parquet(path), grid, variables)
+               variables: Seq[String]): CubeFrame = {
+    val link = java.nio.file.Paths.get(path + ".link")
+    val resolved =
+      if (java.nio.file.Files.isRegularFile(link))
+        java.nio.file.Files.readString(link).trim
+      else path
+    CubeFrame(spark.read.parquet(resolved), grid, variables)
+  }
+
+  /** Materialize levels 1..N only, linking level 0 to an existing
+    * full-resolution cube (the `.link` layout). */
+  def writeLevelsLinked(cube: CubeFrame, path: String, fullResPath: String,
+                        agg: Pyramid.Agg = Pyramid.Mean,
+                        tileSize: Int = 256): Seq[CubeGrid] = {
+    val levels = Pyramid.build(cube, agg, tileSize, tileSize)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/level=0.link"), fullResPath)
+    levels.zipWithIndex.drop(1).foreach { case (lv, k) =>
+      writeCube(lv, s"$path/level=$k", tileSize)
+    }
+    levels.map(_.grid)
+  }
 }

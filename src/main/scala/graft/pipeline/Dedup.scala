@@ -243,6 +243,7 @@ object Dedup {
         .persist()
       val changes = next.join(labels.withColumnRenamed("cluster", "old"),
         Seq("id")).filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
       labels = next
       converged = changes == 0
       i += 1

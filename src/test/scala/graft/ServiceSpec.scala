@@ -102,6 +102,11 @@ ServiceProvider:
       val tile = get("/datasets/local/vars/v0/tiles/0/0/0.png")
       assert(tile.statusCode() == 200 &&
         tile.body().take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      // computed datasets serve tiles through the same path
+      val computedTile = get("/datasets/local_1w/vars/v0/tiles/0/0/0.png")
+      assert(computedTile.statusCode() == 200 &&
+        computedTile.body().take(4).toSeq ==
+          Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
       val ts = get("/ts/local/v0/point?lon=1.2&lat=51.3")
       val tsBody = new String(ts.body())
       assert(ts.statusCode() == 200 && tsBody.contains("\"totalCount\":1"))
@@ -170,5 +175,13 @@ ServiceProvider:
     val l1 = CubeIngest.readCube(spark, s"$dir/levels/level=1",
       grids(1), Seq("v0"))
     assert(l1.df.count() == 32L * 16 * 3)
+    // .link indirection: level 0 resolves to the existing full-res cube
+    CubeIngest.writeLevelsLinked(cube, s"$dir/linked", s"$dir/cube",
+      tileSize = 16)
+    val l0 = CubeIngest.readCube(spark, s"$dir/linked/level=0",
+      grids(0), Seq("v0"))
+    assert(l0.df.count() == 64L * 32 * 3)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/linked/level=0")))
   }
 }
