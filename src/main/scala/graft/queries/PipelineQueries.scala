@@ -298,6 +298,65 @@ object PipelineQueries {
     FROM h ORDER BY doc_id"""
   }
 
+  // ------------------------------------------------------------- quantization
+  /** int8 symmetric quantization of the embedding column: per-vector
+    * scale = max|v|/127, quant = round(v/scale) clamped to [-127,127];
+    * reports reconstruction error — the compression step before
+    * shipping embeddings to an ANN index. */
+  def embQuantize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("scale", expr(
+        """aggregate(embedding, CAST(0.0 AS DOUBLE),
+          |  (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"""
+          .stripMargin))
+      .withColumn("qerr", expr(
+        """aggregate(transform(embedding, x ->
+          |    abs(CAST(x AS DOUBLE) -
+          |      greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+          |        CAST(round(CAST(x AS DOUBLE) / scale, 0) AS BIGINT)))
+          |        * scale)),
+          |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / size(embedding)"""
+          .stripMargin))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        round(col("qerr"), 6).as("mean_abs_err"))
+      .orderBy("vec_id")
+
+  val embQuantizeSql: String = """
+    WITH q AS (
+      SELECT vec_id,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          [abs(CAST(x AS DOUBLE)) FOR x IN embedding]),
+          (m, x) -> greatest(m, x)) / 127.0 AS scale,
+        embedding
+      FROM embeddings)
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+      ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        [abs(CAST(x AS DOUBLE) -
+           greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+             CAST(round(CAST(x AS DOUBLE) / scale, 0) AS BIGINT)))
+             * scale)
+         FOR x IN embedding]),
+        (acc, x) -> acc + x) / len(embedding), 6) AS mean_abs_err
+    FROM q ORDER BY vec_id"""
+
+  /** BPE-ish regex token counting (lowercase runs, digits, and symbol
+    * singletons — a subword-style segmentation) alongside whitespace
+    * token counts. */
+  def textTokenBpe(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  val textTokenBpeSql: String = """
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))
+        AS BIGINT) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id"""
+
   // ------------------------------------------------------------- multimodal
   /** SQL-expressible slice of the multimodal plumbing: byte length and
     * a deterministic header checksum of the payload treated as opaque
@@ -337,5 +396,7 @@ object PipelineQueries {
     QuerySpec("text_langid", textLangId, Some(textLangIdSql)),
     QuerySpec("text_top_tokens", textTopTokens, Some(textTopTokensSql)),
     QuerySpec("text_fingerprint", textFingerprint, Some(textFingerprintSql)),
+    QuerySpec("emb_quantize", embQuantize, Some(embQuantizeSql)),
+    QuerySpec("text_token_bpe", textTokenBpe, Some(textTokenBpeSql)),
     QuerySpec("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)))
 }
