@@ -65,20 +65,91 @@ object Dedup {
     * quarter-billion-row shuffle. Identical results either way. */
   def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double,
-                       denseVocabLimit: Long = 1 << 16): DataFrame = {
+                       denseVocabLimit: Long = 1 << 16,
+                       denseBroadcastBytes: Long = 1L << 26): DataFrame = {
     val sh = shingles(df, idCol, textCol).persist()
-    val vocab = sh.select("s").distinct().count()
-    if (vocab <= denseVocabLimit) jaccardPairsBitmap(sh, vocab.toInt, threshold)
-    else jaccardPairsInverted(sh, threshold)
+    val stats = sh.agg(countDistinct(col("s")).as("vocab"),
+      countDistinct(col("id")).as("docs")).head()
+    val vocab = stats.getLong(0)
+    val docs = stats.getLong(1)
+    val words = (vocab + 63) / 64
+    // The dense path broadcasts every doc's packed bitset — guard the
+    // broadcast SIZE, not just the vocabulary: a billion-doc corpus with
+    // a 60k vocab must NOT take the dense path (its broadcast would be
+    // docs × words × 8 bytes). Note a dense corpus (tiny vocabulary →
+    // every pair shares shingles) is inherently Ω(docs²) for EXACT
+    // all-pairs Jaccard — no index prunes anything when everything
+    // collides — so past the broadcast bound the honest answers are the
+    // prefix join (still exact, costs Σ df_prefix²) or MinHash+LSH
+    // (approximate, [[minhashLshPairs]]).
+    if (vocab <= denseVocabLimit && docs * words * 8 <= denseBroadcastBytes)
+      jaccardPairsBitmap(sh, vocab.toInt, threshold)
+    else jaccardPairsPrefix(sh, threshold)
+  }
+
+  /** Exact all-pairs Jaccard via prefix filtering (Bayardo et al.
+    * "Scaling Up All Pairs Similarity Search", WWW'07): under a global
+    * rarest-first shingle order, any pair with J ≥ t must share at
+    * least one shingle among the first `n - ceil(t·n) + 1` (rarest)
+    * shingles of each doc. Only those prefixes enter the self-join, so
+    * the candidate shuffle is Σ df_prefix² over RARE shingles instead
+    * of Σ df² over all shingles (common "stop shingles" never join);
+    * candidates are then verified exactly against the full shingle
+    * sets. Identical output to the unfiltered self-join.
+    *
+    * The threshold is loosened by 1e-6 when sizing prefixes because the
+    * published jaccard is rounded to 6 dp before the ≥ t comparison —
+    * a pair at 0.4999996 rounds up to 0.5 and must not be pruned. */
+  def jaccardPairsPrefix(sh: DataFrame, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("df", "s")
+    val tEff = threshold - 1e-6
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n")).persist()
+    val prefix = sh.join(dfreq, Seq("s"))
+      .withColumn("r", row_number().over(w))
+      .join(counts, Seq("id"))
+      .filter(col("r") <= col("n") - ceil(col("n") * lit(tEff)) + 1)
+      .select("id", "s")
+      .persist()
+    val cand = prefix.toDF("id_a", "s")
+      .join(prefix.toDF("id_b", "s"), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.toDF("id_a", "s"), Seq("id_a"))
+      .join(sh.toDF("id_b", "s"), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(counts.toDF("id_a", "n_a"), Seq("id_a"))
+      .join(counts.toDF("id_b", "n_b"), Seq("id_b"))
+      .withColumn("jaccard", round(
+        col("common") / (col("n_a") + col("n_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "jaccard")
   }
 
   /** Dense-vocab path: dictionary-encode shingles to bit positions,
     * pack per-doc bitsets (one array<bigint> of vocab/64 words), then a
-    * broadcast self-cross-join counts intersections with
-    * [[graft.functions.BitsetAndCount]]. The corpus side streams; the
-    * broadcast side is |docs| × words longs. */
+    * broadcast pair scan: the packed table (bounded by the caller's
+    * broadcast-bytes guard) ships to every executor as plain JVM arrays
+    * and each partition's docs scan it with a tight long[] AND-popcount
+    * loop. This is the one genuinely per-partition-imperative operator
+    * in the module — Ω(docs²) work with a ~100-byte payload per doc —
+    * where join machinery (BroadcastNestedLoopJoin row copies, Unsafe
+    * array decoding per comparison) costs 10× the kernel; mapPartitions
+    * over the packed Dataset keeps the scan distributed (each task owns
+    * a slice of the pair matrix) with zero per-pair allocation.
+    *
+    * A size prefilter skips the popcount when min(n_a,n_b) <
+    * t·max(n_a,n_b) (Jaccard can never reach t); rounding matches SQL
+    * ROUND (HALF_UP) exactly. Ids may be any Comparable type; `id_a <
+    * id_b` orientation uses natural ordering (= Spark's for numeric and
+    * BMP strings). */
   def jaccardPairsBitmap(sh: DataFrame, vocab: Int,
                          threshold: Double): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = sh.sparkSession
     val words = (vocab + 63) / 64
     // dictionary: ≤ denseVocabLimit rows, single-task window is fine
     val dict = sh.select("s").distinct()
@@ -94,15 +165,42 @@ object Dedup {
         count(lit(1)).as("n"))
       .select(col("id"), toBitset(col("bits")).as("bm"), col("n"))
       .persist()
-    val a = docs.toDF("id_a", "bm_a", "n_a")
-    val b = docs.toDF("id_b", "bm_b", "n_b")
-    a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
-      .withColumn("common",
-        graft.functions.HashF.bitsetAndCount(col("bm_a"), col("bm_b")))
-      .withColumn("jaccard", round(col("common") /
-        (col("n_a") + col("n_b") - col("common")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "common", "jaccard")
+    val idType = docs.schema("id").dataType
+    val all = docs.collect().map { r =>
+      (r.get(0), r.getSeq[Long](1).toArray, r.getLong(2))
+    }
+    val bcast = spark.sparkContext.broadcast(all)
+    val t = threshold
+    val pairs = docs.rdd.mapPartitions { it =>
+      val ref = bcast.value
+      it.flatMap { r =>
+        val idA = r.get(0)
+        val bmA = r.getSeq[Long](1).toArray
+        val nA = r.getLong(2)
+        val cmpA = idA.asInstanceOf[Comparable[Any]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var j = 0
+        while (j < ref.length) {
+          val (idB, bmB, nB) = ref(j)
+          if (cmpA.compareTo(idB) < 0 &&
+              math.min(nA, nB) >= t * math.max(nA, nB)) {
+            var c = 0L
+            var w = 0
+            while (w < words) {
+              c += java.lang.Long.bitCount(bmA(w) & bmB(w)); w += 1
+            }
+            val jac = java.math.BigDecimal.valueOf(c / (nA + nB - c).toDouble)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (jac >= t) out += Row(idA, idB, c, jac)
+          }
+          j += 1
+        }
+        out.iterator
+      }
+    }
+    spark.createDataFrame(pairs, StructType(Seq(
+      StructField("id_a", idType), StructField("id_b", idType),
+      StructField("common", LongType), StructField("jaccard", DoubleType))))
   }
 
   /** Sparse-vocab path: classic inverted-index self-join. */
@@ -229,6 +327,17 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .persist()
+    // Labels only ever decrease (least of self, neighbor min, and the
+    // label's own label), so Σ labels is a strictly-decreasing monotone:
+    // convergence ⟺ the sum is unchanged. That makes the per-round
+    // convergence check ONE aggregate on the new table instead of a
+    // join-and-count against the old one. The pointer-jumping step
+    // (cluster := label[cluster]) doubles propagation distance per
+    // round, so rounds are O(log diameter), not O(diameter).
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("cluster")).cast("decimal(38,0)")).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -236,30 +345,57 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster")).as("n_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val prop = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("n_min"), col("cluster")))
             .as("cluster"))
+      val jump = prop.select(col("id").as("cluster"), col("cluster").as("pj"))
+      val next = prop.join(jump, Seq("cluster"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("pj"), col("cluster")))
+            .as("cluster"))
         .persist()
-      val changes = next.join(labels.withColumnRenamed("cluster", "old"),
-        Seq("id")).filter(col("cluster") =!= col("old")).count()
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changes == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       i += 1
     }
+    edges.unpersist()
+    if (!converged) System.err.println(
+      s"[graft] clusterPairs: iteration cap $maxIters hit before " +
+        "convergence — labels may not be component minima")
     labels
   }
 
-  /** SimHash near-dup pairs within a Hamming radius (brute-force pair
-    * scan over the signature table — signatures are 8 bytes/doc, so
-    * this is for moderate n; banded equality join otherwise). */
+  /** SimHash near-dup pairs within a Hamming radius, via pigeonhole
+    * banding: split the signature into `maxHamming + 1` contiguous bit
+    * bands — any pair within the radius differs in ≤ maxHamming bits,
+    * so at least one band is bit-identical. Candidates come from
+    * hash-partitioned equality joins on (band, band-bits) — no cross
+    * join — then are verified with the exact popcount(xor) distance.
+    * Output is identical to the brute-force pair scan. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, bits: Int = 32): DataFrame = {
-    val sigs = simhash(df, idCol, textCol, bits)
-    sigs.toDF("id_a", "sig_a")
-      .crossJoin(sigs.toDF("id_b", "sig_b"))
+    val sigs = simhash(df, idCol, textCol, bits).persist()
+    val nBands = maxHamming + 1
+    val banded = sigs.select(col("id"), explode(array(
+      (0 until nBands).map { b =>
+        val lo = b * bits / nBands
+        val hi = (b + 1) * bits / nBands
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), lo)
+            .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val cand = banded.toDF("id_a", "band", "key")
+      .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sigs.toDF("id_a", "sig_a"), Seq("id_a"))
+      .join(sigs.toDF("id_b", "sig_b"), Seq("id_b"))
       .withColumn("hamming",
         bit_count(expr("sig_a ^ sig_b")).cast("int"))
       .filter(col("hamming") <= maxHamming)

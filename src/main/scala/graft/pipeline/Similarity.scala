@@ -90,9 +90,48 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
-  /** All near-duplicate pairs by cosine ≥ threshold (embedding-space
-    * near-dup detection; brute force — LSH-bucket the corpus first at
-    * scale). */
+  /** Embedding near-dup pairs at scale: banded hyperplane-LSH candidate
+    * generation + exact cosine verification. The plane signature is cut
+    * into `bands` bit-groups; a pair is a candidate iff at least one
+    * band matches exactly, so candidates come from hash-partitioned
+    * equality joins on (band, band-bits) — no cross join anywhere. Only
+    * candidates pay the exact [[graft.functions.FloatVectorDot]]
+    * kernel. The planes are deterministic integer-derived values
+    * ([[planes]]), so any engine reproduces the same candidate set —
+    * the DuckDB oracle mirrors the banding bit-for-bit. */
+  def cosinePairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, numPlanes: Int = 16,
+                     bands: Int = 4, dim: Int = 64): DataFrame = {
+    val ps = planes(numPlanes, dim)
+    val rows = numPlanes / bands
+    val e = withNorm(emb, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        col("norm").as("nrm"), bucketCol(vecCol, ps).as("bucket"))
+      .persist()
+    val banded = e.select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("bucket"), b * rows)
+            .bitwiseAND(lit((1L << rows) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val cand = banded.toDF("id_a", "band", "key")
+      .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(e.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cos",
+        round(VecF.dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** All near-duplicate pairs by cosine ≥ threshold — exact brute
+    * force, for small inputs or as the recall baseline for
+    * [[cosinePairsLsh]] (which is the 100 TB path). */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
     val e = withNorm(emb, vecCol)

@@ -146,8 +146,13 @@ object PipelineQueries {
       UNION ALL SELECT a, b FROM reach)
     GROUP BY id ORDER BY id"""
 
+  /** Embedding near-dup via banded hyperplane LSH (the 100 TB shape:
+    * equality joins on band bits, exact-verify candidates only). The
+    * oracle replicates the deterministic planes and banding, so the
+    * candidate set — hence the result — is bit-identical across
+    * engines, same contract as dedup_minhash_lsh. */
   def dedupEmbCosine(s: SparkSession, d: String): DataFrame =
-    Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
+    Similarity.cosinePairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.4)
       .orderBy("id_a", "id_b")
 
@@ -159,14 +164,35 @@ object PipelineQueries {
        |  FOR i IN range(1, len($a) + 1)]),
        | (x, y) -> x + y)""".stripMargin
 
-  val dedupEmbCosineSql: String = s"""
+  val dedupEmbCosineSql: String = {
+    val ps = Similarity.planes(16, 64)
+    def planeDot(v: String, j: Int): String = {
+      val terms = ps(j).zipWithIndex.map { case (c, i) =>
+        s"CAST($v[${i + 1}] AS DOUBLE) * ($c)"
+      }
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | [${terms.mkString(", ")}]), (x, y) -> x + y)""".stripMargin
+    }
+    val bucket = (0 until 16).map(j =>
+      s"(CASE WHEN ${planeDot("embedding", j)} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT vec_id, $b AS band, (bucket >> ${b * 4}) & 15 AS key FROM e")
+      .mkString("\n      UNION ALL ")
+    s"""
     WITH e AS (SELECT vec_id, embedding,
-      sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      sqrt(${dotSql("embedding", "embedding")}) AS norm,
+      CAST($bucket AS BIGINT) AS bucket FROM embeddings),
+    bands AS ($bandRows),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b,
       ROUND(${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) AS cos
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    FROM cand JOIN e a ON id_a = a.vec_id JOIN e b ON id_b = b.vec_id
     WHERE ROUND(${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) >= 0.4
     ORDER BY id_a, id_b"""
+  }
 
   // ------------------------------------------------------------- similarity
   def simTopK(s: SparkSession, d: String): DataFrame = {
