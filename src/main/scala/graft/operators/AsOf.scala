@@ -29,20 +29,31 @@ object AsOf {
     * @return left rows + struct column `asof` (null when no right row
     *         precedes the left row) containing all right columns
     */
+  /** Ordering key for a time column. TIMESTAMP must map to epoch
+    * MICROseconds — a plain cast("long") floors to whole seconds, which
+    * would merge sub-second events into one rank and let a right row at
+    * 10:00:00.900 match a left row at 10:00:00.100. */
+  private def ordCol(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("long")
+      case _ => col(c).cast("long")
+    }
+
   def joinAsOf(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                rightTie: String): DataFrame = {
     val rightCols = right.columns.filter(_ != key)
     val leftType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val r = right.select(
-      col(key).as("_k"), col(rightTime).cast("long").as("_t"),
+      col(key).as("_k"), ordCol(right, rightTime).as("_t"),
       lit(0).as("_side"), col(rightTie).cast("long").as("_tie"),
       struct(rightCols.map(col).toIndexedSeq: _*).as("_payload"),
       lit(null).cast(leftType).as("_l"))
     // Build the left side with a typed-null payload struct matching r's.
     val payloadType = r.schema("_payload").dataType
     val l = left.select(
-      col(key).as("_k"), col(leftTime).cast("long").as("_t"),
+      col(key).as("_k"), ordCol(left, leftTime).as("_t"),
       lit(1).as("_side"), lit(null).cast("long").as("_tie"),
       lit(null).cast(payloadType).as("_payload"),
       struct(left.columns.map(col).toIndexedSeq: _*).as("_l"))

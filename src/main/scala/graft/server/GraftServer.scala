@@ -144,16 +144,21 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
 
   /** Tile request: cache probe → latest-time tile render (the 'current'
     * J5 default), keyed like the reference image cache
-    * (controllers/tiles.py:57-61). */
+    * (controllers/tiles.py:57-61). WMTS z routes to a pyramid level —
+    * z = 0 is the coarsest, level index counts finest→coarsest, so
+    * level = numLevels - 1 - z (reference context.py:155 get_variable
+    * _for_z); low-zoom tiles never touch full-resolution data. */
   private def tile(ex: HttpExchange, d: RegisteredDataset, v: String,
                    z: Int, x: Int, y: Int): Unit = {
     val key = s"${d.id}/$v/$z/$x/$y"
     tileCache.get(key) match {
       case Some(cached) => sendBytes(ex, 200, cached, "image/png")
       case None =>
-        val t = d.cube.df.agg(max(col("time"))).collect()(0).getTimestamp(0)
-        val png = Render.renderTile(d.cube, v, t, x, y, 256, 256, mapping(d, v),
-          flipY = d.cube.grid.latAscending)
+        val levels = d.levelSeq
+        val cube = levels(
+          math.max(0, math.min(levels.length - 1, levels.length - 1 - z)))
+        val png = Render.renderTile(cube, v, d.latestTime, x, y, 256, 256,
+          mapping(d, v), flipY = cube.grid.latAscending)
         tileCache.put(key, png)
         sendBytes(ex, 200, png, "image/png")
     }

@@ -21,7 +21,21 @@ import graft.operators.Resample
   */
 final case class RegisteredDataset(id: String, title: String,
                                    cube: CubeFrame,
-                                   style: Option[StyleConfig])
+                                   style: Option[StyleConfig],
+                                   levels: Seq[CubeFrame] = Nil) {
+  /** pyramid levels finest→coarsest (the MultiLevelDataset convention,
+    * reference mldataset.py:272-305); just the base cube when no levels
+    * were materialized. */
+  def levelSeq: Seq[CubeFrame] = if (levels.isEmpty) Seq(cube) else levels
+
+  /** Latest time step, resolved ONCE per registration — tile requests
+    * default to 'current' (reference J5) and must not pay a max(time)
+    * Spark job per cache miss. */
+  lazy val latestTime: java.sql.Timestamp = {
+    import org.apache.spark.sql.functions.{col, max}
+    cube.df.agg(max(col("time"))).head().getTimestamp(0)
+  }
+}
 
 class ServiceContext(val spark: SparkSession) {
 
@@ -75,7 +89,8 @@ object Json {
   }
   def str(s: String): String = "\"" + esc(s) + "\""
   def num(d: Double): String =
-    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+    if (d.isNaN || d.isInfinite) "null" // JSON has no NaN/Infinity literal
+    else if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
   def obj(fields: (String, String)*): String =
     fields.map { case (k, v) => str(k) + ":" + v }.mkString("{", ",", "}")

@@ -49,6 +49,22 @@ class AsOfSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("timestamp time columns keep sub-second precision") {
+    import spark.implicits._
+    // right at .900 is AFTER left at .100 — a seconds-truncating cast
+    // would collapse both to t=0 and wrongly match it (right side sorts
+    // before left at equal t)
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00.1"), "l"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 09:59:59.5"), 1L, "before"),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00.9"), 2L, "after"))
+      .toDF("k", "t", "rid", "rv")
+    val out = AsOf.joinAsOf(left, right, "k", "t", "t", "rid").collect()(0)
+    assert(out.getAs[org.apache.spark.sql.Row]("asof")
+      .getAs[String]("rv") == "before")
+  }
+
   test("right-side ties at equal time resolve to max tie-break") {
     import spark.implicits._
     val left = Seq((1L, 5L)).toDF("k", "t")

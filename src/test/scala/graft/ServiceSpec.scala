@@ -139,6 +139,32 @@ ServiceProvider:
     } finally srv.stop()
   }
 
+  test("tile route resolves z to pyramid levels (coarse z ≠ fine z)") {
+    val ctx = new ServiceContext(spark)
+    val grid = CubeGrid(512, 256, 0.0, -64.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 1, Seq("v0"))
+    val levels = graft.operators.Pyramid.build(cube, graft.operators.Pyramid.Mean)
+    assert(levels.length == 2)
+    ctx.register(RegisteredDataset("pyr", "Pyramid cube", cube,
+      None, levels = levels))
+    val srv = new GraftServer(ctx).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(p: String): HttpResponse[Array[Byte]] =
+        client.send(HttpRequest.newBuilder(URI.create(srv.address + p)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+      // z=1 → level 0 (full res, 2×1 tiles); z=0 → level 1 (one tile)
+      val fine = get("/datasets/pyr/vars/v0/tiles/1/0/0.png")
+      val coarse = get("/datasets/pyr/vars/v0/tiles/0/0/0.png")
+      assert(fine.statusCode() == 200 && coarse.statusCode() == 200)
+      assert(fine.body().take(4).toSeq ==
+        Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      // the coarse tile covers the whole grid, the fine tile only the
+      // left half — a z-ignoring handler would return identical bytes
+      assert(!java.util.Arrays.equals(fine.body(), coarse.body()))
+    } finally srv.stop()
+  }
+
   test("config hot reload re-parses only on mtime change (S9)") {
     val f = java.nio.file.Files.createTempFile("graft-cfg", ".yml")
     java.nio.file.Files.writeString(f, demoYaml)
