@@ -46,9 +46,37 @@ object Catalogue {
       "title" -> Json.str(ds.title),
       "bbox" -> Json.arr(Seq(b.xMin, b.yMin, b.xMax, b.yMax).map(Json.num)),
       "variables" -> Json.arr(variables),
-      "dimensions" -> Json.arr(Seq(
-        Json.obj("name" -> Json.str("lat"), "size" -> g.height.toString),
-        Json.obj("name" -> Json.str("lon"), "size" -> g.width.toString))))
+      // reference: dimensions are full coordinate dumps in var-dim order
+      // (catalogue.py:87-88 → get_dataset_coordinates per dim)
+      "dimensions" -> Json.arr(Seq("time", "lat", "lon").map(coordsJson(ds, _))))
+  }
+
+  /** GET /datasets/{ds}/coords/{dim} — one coordinate-variable dump
+    * (reference catalogue.py:97-111: name/size/dtype/coordinates, float
+    * dims as numbers, time as ISO strings). lat/lon derive from the
+    * grid (no Spark job); time is the per-registration cached axis. */
+  def coordsJson(ds: RegisteredDataset, dim: String): String = {
+    val g = ds.cube.grid
+    dim match {
+      case "lat" =>
+        val vals = (0 until g.height).map(y => Json.num(g.latOfY(y)))
+        Json.obj("name" -> Json.str("lat"), "size" -> g.height.toString,
+          "dtype" -> Json.str("float64"), "coordinates" -> Json.arr(vals))
+      case "lon" =>
+        val vals = (0 until g.width).map(x => Json.num(g.lonOfX(x)))
+        Json.obj("name" -> Json.str("lon"), "size" -> g.width.toString,
+          "dtype" -> Json.str("float64"), "coordinates" -> Json.arr(vals))
+      case "time" =>
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+          .withZone(java.time.ZoneOffset.UTC)
+        val vals = ds.timeCoords.map(t => Json.str(fmt.format(t.toInstant)))
+        Json.obj("name" -> Json.str("time"), "size" -> vals.size.toString,
+          "dtype" -> Json.str("datetime64[ns]"),
+          "coordinates" -> Json.arr(vals))
+      case other =>
+        throw new NoSuchElementException(s"unknown dimension $other")
+    }
   }
 
   /** TileGrid.to_json shape (tilegrid.py:157-168). */

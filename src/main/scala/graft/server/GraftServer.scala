@@ -73,6 +73,9 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
       case ("GET", "datasets" :: ds :: Nil) =>
         withDataset(ex, ds)(d =>
           send(ex, 200, Catalogue.datasetJson(d), "application/json"))
+      case ("GET", "datasets" :: ds :: "coords" :: dim :: Nil) =>
+        withDataset(ex, ds)(d =>
+          send(ex, 200, Catalogue.coordsJson(d, dim), "application/json"))
       case ("GET", "datasets" :: ds :: "vars" :: v :: "tiles" :: z :: x :: yPng :: Nil) =>
         withDataset(ex, ds)(d => tile(ex, d, v, z.toInt, x.toInt,
           yPng.stripSuffix(".png").toInt))
@@ -106,6 +109,10 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
             "x" -> Json.num(r.getAs[Double]("x")),
             "y" -> Json.num(r.getAs[Double]("y"))))
         send(ex, 200, Json.obj("places" -> Json.arr(hits)), "application/json")
+      case ("GET", "colorbars" :: Nil) =>
+        send(ex, 200, graft.render.ColorMaps.json, "application/json")
+      case ("GET", "colorbars.html" :: Nil) =>
+        send(ex, 200, graft.render.ColorMaps.html, "text/html")
       case ("GET", "wmts" :: "1.0.0" :: "WMTSCapabilities.xml" :: Nil) =>
         send(ex, 200, Wmts.capabilitiesXml(ctx, address, Map.empty),
           "application/xml")
@@ -139,7 +146,9 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
   private def mapping(d: RegisteredDataset, v: String): ColorMapping = {
     val cm = d.style.flatMap(_.colorMappings.get(v))
     ColorMapping(cm.map(_.valueRange._1).getOrElse(0.0),
-      cm.map(_.valueRange._2).getOrElse(1.0), Render.ViridisLike)
+      cm.map(_.valueRange._2).getOrElse(1.0),
+      graft.render.ColorMaps.paletteOrDefault(
+        cm.map(_.colorBar).getOrElse("viridis")))
   }
 
   /** Tile request: cache probe → latest-time tile render (the 'current'

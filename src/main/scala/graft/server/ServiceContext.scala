@@ -35,6 +35,15 @@ final case class RegisteredDataset(id: String, title: String,
     import org.apache.spark.sql.functions.{col, max}
     cube.df.agg(max(col("time"))).head().getTimestamp(0)
   }
+
+  /** The time coordinate axis, resolved once per registration (one
+    * distinct scan over the 1-D time column — ≤ #time-steps rows, the
+    * reference's coord-variable dump of catalogue.py:97-111). */
+  lazy val timeCoords: Seq[java.sql.Timestamp] = {
+    import org.apache.spark.sql.functions.col
+    cube.df.select(col("time")).distinct()
+      .orderBy(col("time")).collect().map(_.getTimestamp(0)).toSeq
+  }
 }
 
 class ServiceContext(val spark: SparkSession) {

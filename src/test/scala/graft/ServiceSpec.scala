@@ -79,6 +79,31 @@ ServiceProvider:
     assert(one.contains("\"variables\"") && one.contains("\"v0\""))
     assert(one.contains("\"colorBarName\":\"plasma\""))
     assert(one.contains("\"numLevels\""))
+    // dimensions carry full coordinate dumps incl. the time axis
+    // (reference catalogue.py:87-88, 97-111)
+    assert(one.contains("\"name\":\"time\""))
+    assert(one.contains("\"2017-01-01T00:00:00Z\""))
+    assert(one.contains("\"coordinates\":[50.25,"))
+  }
+
+  test("coords endpoint dumps one coordinate variable per dim") {
+    val ctx = demoContext()
+    val srv = new GraftServer(ctx).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(p: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(srv.address + p)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val time = get("/datasets/local/coords/time")
+      assert(time.statusCode() == 200)
+      assert(time.body().contains("\"dtype\":\"datetime64[ns]\""))
+      assert(time.body().contains("\"size\":2"))
+      assert(time.body().contains("\"2017-01-02T00:00:00Z\""))
+      val lon = get("/datasets/local/coords/lon")
+      assert(lon.statusCode() == 200 &&
+        lon.body().contains("\"coordinates\":[0.25,0.75,"))
+      assert(get("/datasets/local/coords/bogus").statusCode() == 400)
+    } finally srv.stop()
   }
 
   test("WMTS capabilities XML lists layers and matrix sets") {
@@ -136,6 +161,37 @@ ServiceProvider:
       srv.staticRoot = Some(root)
       assert(get("/static/ne2.png").statusCode() == 200)
       assert(get("/static/../etc/passwd").statusCode() == 404)
+    } finally srv.stop()
+  }
+
+  test("colorbars API serves the catalog JSON and HTML gallery") {
+    val srv = new GraftServer(demoContext()).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(p: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(srv.address + p)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val r = get("/colorbars")
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").get == "application/json")
+      // reference shape: [[category, description, [[name, png], ...]], ...]
+      val body = r.body()
+      assert(body.startsWith("[["))
+      for (n <- Seq("viridis", "plasma_alpha", "RdBu", "Set1", "jet"))
+        assert(body.contains("[\"" + n + "\","), s"missing colormap $n")
+      // embedded gradient must decode to a 256×2 PNG
+      val png = body.split("\\[\"viridis\",\"")(1).takeWhile(_ != '"')
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        java.util.Base64.getDecoder.decode(png)))
+      assert(img.getWidth == 256 && img.getHeight == 2)
+      // _alpha variant: transparent at t=0, opaque past the midpoint
+      val aPng = body.split("\\[\"viridis_alpha\",\"")(1).takeWhile(_ != '"')
+      val aImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        java.util.Base64.getDecoder.decode(aPng)))
+      assert((aImg.getRGB(0, 0) >>> 24) == 0)
+      assert((aImg.getRGB(255, 0) >>> 24) == 255)
+      val html = get("/colorbars.html")
+      assert(html.statusCode() == 200 && html.body().contains("<h2>Diverging</h2>"))
     } finally srv.stop()
   }
 
