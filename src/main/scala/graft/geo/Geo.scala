@@ -136,6 +136,87 @@ object Geo {
     case MultiPolygon(ps) => ps.exists(intersectsRect(_, r))
   }
 
+  /** Is p on segment a→b (collinear within a small tolerance and inside
+    * the segment's bbox)? Tolerance is absolute on the cross product —
+    * adequate for lon/lat-magnitude coordinates. */
+  def onSegment(a: Pt, b: Pt, p: Pt): Boolean = {
+    val cross = (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)
+    math.abs(cross) <= 1e-9 &&
+      math.min(a.x, b.x) - 1e-12 <= p.x && p.x <= math.max(a.x, b.x) + 1e-12 &&
+      math.min(a.y, b.y) - 1e-12 <= p.y && p.y <= math.max(a.y, b.y) + 1e-12
+  }
+
+  /** Point inside the polygon or on any of its ring boundaries
+    * (shapely `intersects` counts boundaries). */
+  def pointInOrOn(poly: Polygon, p: Pt): Boolean =
+    poly.contains(p) || (poly.shell +: poly.holes).exists(ring =>
+      ringEdges(ring, closed = true).exists { case (a, b) => onSegment(a, b, p) })
+
+  private def allRingEdges(poly: Polygon): Seq[(Pt, Pt)] =
+    (poly.shell +: poly.holes).flatMap(ringEdges(_, closed = true))
+
+  /** Exact geometry × geometry intersection predicate for every type
+    * pair (reference J1 full semantics: shapely
+    * `geometry.intersects(query_geometry)` at places.py:88-91 — touching
+    * boundaries count). Decision procedure per pair:
+    * vertex-containment both ways (covers full containment) plus
+    * pairwise edge intersection over all rings (covers partial overlap
+    * and boundary touch); a bbox rejection test runs first. */
+  def intersects(a: Geometry, b: Geometry): Boolean = {
+    if (!a.bbox.intersects(b.bbox)) return false
+    (a, b) match {
+      case (MultiPolygon(ps), g) => ps.exists(intersects(_, g))
+      case (g, MultiPolygon(ps)) => ps.exists(intersects(g, _))
+      case (Point(p), Point(q)) => p == q
+      case (Point(p), LineString(pts)) =>
+        ringEdges(pts, closed = false).exists { case (u, v) => onSegment(u, v, p) }
+      case (ls: LineString, pt: Point) => intersects(pt, ls)
+      case (Point(p), poly: Polygon) => pointInOrOn(poly, p)
+      case (poly: Polygon, pt: Point) => intersects(pt, poly)
+      case (LineString(p1), LineString(p2)) =>
+        val e2 = ringEdges(p2, closed = false)
+        ringEdges(p1, closed = false).exists { case (u1, v1) =>
+          e2.exists { case (u2, v2) => segmentsIntersect(u1, v1, u2, v2) } }
+      case (ls: LineString, poly: Polygon) =>
+        ls.pts.exists(pointInOrOn(poly, _)) || {
+          val pe = allRingEdges(poly)
+          ringEdges(ls.pts, closed = false).exists { case (u1, v1) =>
+            pe.exists { case (u2, v2) => segmentsIntersect(u1, v1, u2, v2) } }
+        }
+      case (poly: Polygon, ls: LineString) => intersects(ls, poly)
+      case (pa: Polygon, pb: Polygon) =>
+        pa.shell.exists(pointInOrOn(pb, _)) ||
+          pb.shell.exists(pointInOrOn(pa, _)) || {
+            val eb = allRingEdges(pb)
+            allRingEdges(pa).exists { case (u1, v1) =>
+              eb.exists { case (u2, v2) => segmentsIntersect(u1, v1, u2, v2) } }
+          }
+    }
+  }
+
+  /** Parse a GeoJSON geometry object (the `geometry` member of a
+    * feature, RFC 7946 §3.1) into [[Geometry]]. Jackson is already on
+    * Spark's classpath. */
+  def parseGeoJson(json: String): Geometry = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    def pt(n: com.fasterxml.jackson.databind.JsonNode): Pt =
+      Pt(n.get(0).asDouble(), n.get(1).asDouble())
+    def pts(n: com.fasterxml.jackson.databind.JsonNode): IndexedSeq[Pt] =
+      (0 until n.size()).map(i => pt(n.get(i)))
+    def poly(n: com.fasterxml.jackson.databind.JsonNode): Polygon =
+      Polygon(pts(n.get(0)), (1 until n.size()).map(i => pts(n.get(i))))
+    val coords = node.get("coordinates")
+    node.get("type").asText() match {
+      case "Point" => Point(pt(coords))
+      case "LineString" => LineString(pts(coords))
+      case "Polygon" => poly(coords)
+      case "MultiPolygon" =>
+        MultiPolygon((0 until coords.size()).map(i => poly(coords.get(i))))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported geometry type $other")
+    }
+  }
+
   private def ringEdges(pts: IndexedSeq[Pt], closed: Boolean): Seq[(Pt, Pt)] = {
     val base = pts.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
     if (closed && pts.nonEmpty && pts.head != pts.last)

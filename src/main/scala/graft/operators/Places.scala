@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -24,20 +26,37 @@ object Places {
     * point coordinates are additionally surfaced as x/y columns for
     * pushdown-friendly spatial predicates. */
   def loadGeoJson(spark: org.apache.spark.sql.SparkSession,
-                  path: String): DataFrame =
-    spark.read.option("multiLine", "true").json(path)
-      .select(explode(col("features")).as("f"))
-      .select(
-        monotonically_increasing_id().as("fid"),
-        col("f.geometry.type").as("geom_type"),
-        to_json(col("f.geometry")).as("geometry_json"),
-        to_json(col("f.properties")).as("properties_json"))
-      .withColumn("x", when(col("geom_type") === "Point",
-        get_json_object(col("geometry_json"), "$.coordinates[0]")
-          .cast("double")))
-      .withColumn("y", when(col("geom_type") === "Point",
-        get_json_object(col("geometry_json"), "$.coordinates[1]")
-          .cast("double")))
+                  path: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // Driver-side Jackson parse, like the reference's fiona read: place
+    // group files are small config-adjacent data, and spark.read.json
+    // cannot unify the coordinates schema across mixed geometry types
+    // (Point's [x,y] vs Polygon's [[[x,y],...]] collide in inference).
+    // Sequential ids in file order (reference context.py:377-399).
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    val feats = root.get("features")
+    val rows = (0 until feats.size()).map { i =>
+      val f = feats.get(i)
+      val geom = f.get("geometry")
+      val gtype = geom.get("type").asText()
+      val (x, y): (Any, Any) =
+        if (gtype == "Point") {
+          val c = geom.get("coordinates")
+          (c.get(0).asDouble(), c.get(1).asDouble())
+        } else (null, null)
+      Row((i + 1).toLong, gtype, geom.toString,
+        Option(f.get("properties")).map(_.toString).orNull, x, y)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("geom_type", StringType),
+      StructField("geometry_json", StringType),
+      StructField("properties_json", StringType),
+      StructField("x", DoubleType),
+      StructField("y", DoubleType))))
+  }
 
   /** Keep rows whose (x, y) point lies inside the WKT geometry. */
   def pointsWithinWkt(points: DataFrame, xCol: String, yCol: String,
@@ -53,20 +72,26 @@ object Places {
 
   /** Keep rows whose own WKT geometry intersects the query geometry's
     * bbox-split box (reference find_dataset_places, places.py:19-29:
-    * query geometry = dataset bounds, possibly antimeridian-split). */
+    * query geometry = dataset bounds, possibly antimeridian-split).
+    * EXACT shapely-intersects semantics (places.py:88-91): a feature
+    * whose bbox overlaps the box but whose geometry doesn't is
+    * excluded. */
   def featuresIntersectingBox(features: DataFrame, wktCol: String,
                               lonMin: Double, latMin: Double,
                               lonMax: Double, latMax: Double): DataFrame = {
     val box = Geo.boxSplitGeometry(lonMin, latMin, lonMax, latMax)
-    val hits = udf((wkt: String) => {
-      val g = Geo.parseWkt(wkt)
-      box match {
-        case mp: Geo.MultiPolygon =>
-          mp.polys.exists(p => Geo.intersectsRect(g, p.bbox)) // box-shaped
-        case p: Geo.Polygon => Geo.intersectsRect(g, p.bbox)
-        case other => Geo.intersectsRect(g, other.bbox)
-      }
-    })
+    val hits = udf((wkt: String) => Geo.intersects(Geo.parseWkt(wkt), box))
     features.filter(hits(col(wktCol)))
+  }
+
+  /** Keep features whose GeoJSON geometry intersects the WKT query
+    * geometry — the generic FindPlaces predicate (places.py:74-94) over
+    * a loadGeoJson frame. The query geometry is closure-captured
+    * (broadcast with the task); exact intersects for every type pair. */
+  def featuresIntersectingWkt(features: DataFrame, geoJsonCol: String,
+                              wkt: String): DataFrame = {
+    val query = Geo.parseWkt(wkt)
+    val hits = udf((gj: String) => Geo.intersects(Geo.parseGeoJson(gj), query))
+    features.filter(hits(col(geoJsonCol)))
   }
 }

@@ -150,6 +150,48 @@ object ExtraQueries {
     ORDER BY geometry_index, day"""
   }
 
+  /** Per-feature time-series fan-out (the POST /ts/{ds}/{var}/places
+    * chain, reference time_series.py:101-119 → 208-219): each "place"
+    * is a box geometry; one unioned plan computes every feature's daily
+    * series in a single job. 2-D window predicates (lon AND lat) — the
+    * spatial fan-out shape that J1 feeds into A1. */
+  def tsPlaces(s: SparkSession, d: String): DataFrame = {
+    def one(idx: Int, lonLo: Double, lonHi: Double,
+            latLo: Double, latHi: Double): DataFrame =
+      Tables.events(s, d)
+        .withColumn("lon",
+          (expr("CAST((event_id div 20) % 40 AS DOUBLE)") + lit(0.5)) * lit(0.1))
+        .withColumn("lat",
+          (expr("CAST((event_id div 7) % 30 AS DOUBLE)") + lit(0.5)) * lit(0.1))
+        .filter(col("lon") >= lonLo && col("lon") <= lonHi &&
+          col("lat") >= latLo && col("lat") <= latHi)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_obs"), Q.davg(col("value")).as("avg_value"))
+        .withColumn("feature_index", lit(idx))
+    one(0, 0.05, 1.95, 0.05, 1.45)
+      .unionByName(one(1, 1.05, 2.95, 0.55, 2.45))
+      .unionByName(one(2, 3.05, 3.95, 2.05, 2.95))
+      .select("feature_index", "day", "n_obs", "avg_value")
+      .orderBy("feature_index", "day")
+  }
+
+  val tsPlacesSql: String = {
+    def one(idx: Int, lonLo: Double, lonHi: Double,
+            latLo: Double, latHi: Double) = s"""
+      SELECT $idx AS feature_index, day, COUNT(*) AS n_obs,
+        ${Sql.davg("value")} AS avg_value
+      FROM (SELECT value,
+        (CAST((event_id // 20) % 40 AS DOUBLE) + 0.5) * 0.1 AS lon,
+        (CAST((event_id // 7) % 30 AS DOUBLE) + 0.5) * 0.1 AS lat,
+        strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day FROM events)
+      WHERE lon >= $lonLo AND lon <= $lonHi
+        AND lat >= $latLo AND lat <= $latHi GROUP BY day"""
+    s"""${one(0, 0.05, 1.95, 0.05, 1.45)}
+    UNION ALL ${one(1, 1.05, 2.95, 0.55, 2.45)}
+    UNION ALL ${one(2, 3.05, 3.95, 2.05, 2.95)}
+    ORDER BY feature_index, day"""
+  }
+
   // --------------------------------------------------------------- IVF ANN
   /** deterministic IVF centroids: c(j)(i) = ((j*31 + i*7) % 200 - 100)/100 */
   def centroids(k: Int, dim: Int): Array[Array[Double]] =
@@ -391,6 +433,7 @@ object ExtraQueries {
     QuerySpec("antimeridian_window", antimeridianWindow,
       Some(antimeridianWindowSql)),
     QuerySpec("ts_multi_geom", tsMultiGeom, Some(tsMultiGeomSql)),
+    QuerySpec("ts_places", tsPlaces, Some(tsPlacesSql)),
     QuerySpec("sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql)),
     QuerySpec("window_rank", windowRank, Some(windowRankSql)),
     QuerySpec("above_avg_orders", aboveAvgOrders, Some(aboveAvgOrdersSql)),

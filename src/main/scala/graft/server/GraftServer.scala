@@ -24,12 +24,20 @@ import graft.render.Render.ColorMapping
   * Routes:
   *   GET  /datasets                               catalogue JSON
   *   GET  /datasets/{ds}                          dataset details
+  *   GET  /datasets/{ds}/coords/{dim}             coordinate dumps
   *   GET  /datasets/{ds}/vars/{v}/tiles/{z}/{x}/{y}.png   map tile
   *   GET  /datasets/{ds}/vars/{v}/legend.png      colorbar legend
+  *   GET  /colorbars[.html]                       colormap catalog
+  *   GET  /ts                                     time-series layer info
   *   GET  /ts/{ds}/{v}/point?lon=..&lat=..        point time series
   *   POST /ts/{ds}/{v}/geometry                   zonal time series (WKT body)
-  *   GET  /places/test?geom=WKT                   feature query
+  *   POST /ts/{ds}/{v}/geometries                 per-geometry fan-out (GeoJSON GeometryCollection body)
+  *   POST /ts/{ds}/{v}/places                     per-feature fan-out (GeoJSON FeatureCollection body)
+  *   GET  /places/{group}?geom=WKT                feature query
   *   GET  /wmts/1.0.0/WMTSCapabilities.xml        capabilities
+  *
+  * All ts routes accept startDate/endDate query args (ISO date or
+  * instant).
   */
 class GraftServer(ctx: ServiceContext, port: Int = 0) {
 
@@ -82,19 +90,47 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
       case ("GET", "datasets" :: ds :: "vars" :: v :: "legend.png" :: Nil) =>
         withDataset(ex, ds)(d =>
           sendBytes(ex, 200, Render.legend(mapping(d, v)), "image/png"))
+      case ("GET", "ts" :: Nil) =>
+        send(ex, 200, tsInfoJson(), "application/json")
       case ("GET", "ts" :: ds :: v :: "point" :: Nil) =>
         withDataset(ex, ds) { d =>
           val q = query(ex)
+          val (start, end) = dateRange(q)
           val df = TimeSeries.point(d.cube, v,
-            q("lon").toDouble, q("lat").toDouble)
+            q("lon").toDouble, q("lat").toDouble, start, end)
           send(ex, 200, tsJson(df), "application/json")
         }
       case ("POST", "ts" :: ds :: v :: "geometry" :: Nil) =>
         withDataset(ex, ds) { d =>
           val wkt = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
-          val df = TimeSeries.zonal(d.cube, v, Geo.parseWkt(wkt))
+          val (start, end) = dateRange(query(ex))
+          val df = TimeSeries.zonal(d.cube, v, Geo.parseWkt(wkt), start, end)
           send(ex, 200, tsJson(df), "application/json")
+        }
+      // GeoJSON GeometryCollection body → one series per geometry
+      // (reference GetTimeSeriesForGeometriesHandler, app.py:99-100)
+      case ("POST", "ts" :: ds :: v :: "geometries" :: Nil) =>
+        withDataset(ex, ds) { d =>
+          val node = readJsonBody(ex)
+          val geomsNode = Option(node.get("geometries")).getOrElse(
+            throw new IllegalArgumentException(
+              "Invalid GeoJSON geometry collection"))
+          val geoms = (0 until geomsNode.size())
+            .map(i => Geo.parseGeoJson(geomsNode.get(i).toString))
+          tsMany(ex, d, v, geoms, dateRange(query(ex)))
+        }
+      // GeoJSON FeatureCollection body → one series per feature geometry
+      // (reference GetTimeSeriesForFeaturesHandler, app.py:101-102)
+      case ("POST", "ts" :: ds :: v :: "places" :: Nil) =>
+        withDataset(ex, ds) { d =>
+          val node = readJsonBody(ex)
+          val feats = Option(node.get("features")).getOrElse(
+            throw new IllegalArgumentException(
+              "Invalid GeoJSON feature collection"))
+          val geoms = (0 until feats.size())
+            .map(i => Geo.parseGeoJson(feats.get(i).get("geometry").toString))
+          tsMany(ex, d, v, geoms, dateRange(query(ex)))
         }
       case ("GET", "places" :: group :: Nil) =>
         val geomWkt = query(ex).getOrElse("geom",
@@ -103,12 +139,28 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
           send(ex, 404, Json.obj("error" -> Json.str(s"no place group $group")),
             "application/json"); return
         }
-        val hits = Places.pointsWithinWkt(df, "x", "y", geomWkt)
-          .collect().map(r => Json.obj(
-            "id" -> r.getAs[Long]("id").toString,
-            "x" -> Json.num(r.getAs[Double]("x")),
-            "y" -> Json.num(r.getAs[Double]("y"))))
-        send(ex, 200, Json.obj("places" -> Json.arr(hits)), "application/json")
+        if (df.columns.contains("geometry_json")) {
+          // loadGeoJson frames: exact intersects on the full geometry
+          // (reference FindPlacesHandler → places.py:74-94), response is
+          // a GeoJSON FeatureCollection
+          val feats = Places.featuresIntersectingWkt(df, "geometry_json",
+              geomWkt)
+            .collect().map(r => Json.obj(
+              "type" -> Json.str("Feature"),
+              "id" -> r.getAs[Long]("id").toString,
+              "geometry" -> r.getAs[String]("geometry_json"),
+              "properties" -> Option(r.getAs[String]("properties_json"))
+                .getOrElse("null")))
+          send(ex, 200, Json.obj("type" -> Json.str("FeatureCollection"),
+            "features" -> Json.arr(feats)), "application/json")
+        } else {
+          val hits = Places.pointsWithinWkt(df, "x", "y", geomWkt)
+            .collect().map(r => Json.obj(
+              "id" -> r.getAs[Long]("id").toString,
+              "x" -> Json.num(r.getAs[Double]("x")),
+              "y" -> Json.num(r.getAs[Double]("y"))))
+          send(ex, 200, Json.obj("places" -> Json.arr(hits)), "application/json")
+        }
       case ("GET", "colorbars" :: Nil) =>
         send(ex, 200, graft.render.ColorMaps.json, "application/json")
       case ("GET", "colorbars.html" :: Nil) =>
@@ -174,18 +226,76 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
   }
 
   /** time-series rows → reference JSON shape (time_series.py:133-145) */
-  private def tsJson(df: org.apache.spark.sql.DataFrame): String = {
-    val rows = df.collect().map { r =>
-      Json.obj(
-        "date" -> Json.str(r.getAs[String]("date")),
-        "result" -> Json.obj(
-          "totalCount" -> r.getAs[Long]("total_count").toString,
-          "validCount" -> r.getAs[Long]("valid_count").toString,
-          "average" -> (if (r.isNullAt(r.fieldIndex("average"))) "null"
-                        else r.getAs[Double]("average").toString)))
+  private def tsJson(df: org.apache.spark.sql.DataFrame): String =
+    Json.obj("results" -> Json.arr(df.collect().map(tsRowJson)))
+
+  private def tsRowJson(r: org.apache.spark.sql.Row): String =
+    Json.obj(
+      "date" -> Json.str(r.getAs[String]("date")),
+      "result" -> Json.obj(
+        "totalCount" -> r.getAs[Long]("total_count").toString,
+        "validCount" -> r.getAs[Long]("valid_count").toString,
+        "average" -> (if (r.isNullAt(r.fieldIndex("average"))) "null"
+                      else r.getAs[Double]("average").toString)))
+
+  /** Fan-out response: results = array of per-geometry result arrays
+    * (reference _get_time_series_for_geometries, time_series.py:208-219)
+    * — ONE Spark job over the unioned per-geometry plans, grouped back
+    * by geometry_index on the driver. */
+  private def tsMany(ex: HttpExchange, d: RegisteredDataset, v: String,
+                     geoms: Seq[graft.geo.Geo.Geometry],
+                     range: (Option[java.sql.Timestamp],
+                             Option[java.sql.Timestamp])): Unit = {
+    if (geoms.isEmpty) {
+      send(ex, 200, Json.obj("results" -> "[]"), "application/json"); return
     }
-    Json.obj("results" -> Json.arr(rows))
+    val rows = TimeSeries.zonalMany(d.cube, v, geoms, range._1, range._2)
+      .collect().groupBy(_.getAs[Int]("geometry_index"))
+    val arrays = geoms.indices.map(i =>
+      Json.arr(rows.getOrElse(i, Array.empty).sortBy(_.getAs[String]("date"))
+        .map(tsRowJson)))
+    send(ex, 200, Json.obj("results" -> Json.arr(arrays)), "application/json")
   }
+
+  /** GET /ts — layer info: per dataset×variable name, ISO time stamps
+    * and bounds (reference get_time_series_info,
+    * time_series.py:35-54). */
+  private def tsInfoJson(): String = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
+    val layers = for {
+      id <- ctx.datasetIds
+      d <- ctx.dataset(id).toSeq
+      v <- d.cube.variables
+    } yield {
+      val b = d.cube.grid.bbox
+      Json.obj(
+        "name" -> Json.str(s"${d.id}.$v"),
+        "dates" -> Json.arr(d.timeCoords.map(t =>
+          Json.str(fmt.format(t.toInstant)))),
+        "bounds" -> Json.obj(
+          "xmin" -> Json.num(b.xMin), "ymin" -> Json.num(b.yMin),
+          "xmax" -> Json.num(b.xMax), "ymax" -> Json.num(b.yMax)))
+    }
+    Json.obj("layers" -> Json.arr(layers))
+  }
+
+  /** startDate/endDate query args as ISO dates/instants (reference
+    * params.get_query_argument_datetime). */
+  private def dateRange(q: Map[String, String])
+      : (Option[java.sql.Timestamp], Option[java.sql.Timestamp]) = {
+    def parse(s: String): java.sql.Timestamp =
+      java.sql.Timestamp.from(
+        if (s.length <= 10) java.time.LocalDate.parse(s)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+        else java.time.Instant.parse(s))
+    (q.get("startDate").map(parse), q.get("endDate").map(parse))
+  }
+
+  private def readJsonBody(ex: HttpExchange)
+      : com.fasterxml.jackson.databind.JsonNode =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
 
   private def query(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getQuery).map(_.split("&").flatMap { kv =>

@@ -27,7 +27,9 @@ class PlacesSpec extends SparkSpec {
     Files.writeString(f, geojson)
     val df = Places.loadGeoJson(spark, f.toString)
     assert(df.count() == 3)
-    assert(df.select("fid").distinct().count() == 3)
+    // sequential file-order ids (reference context.py:377-399)
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
     val a = df.filter(col("x") === 1.5).collect()(0)
     assert(a.getAs[Double]("y") == 51.1)
     assert(a.getAs[String]("properties_json").contains("\"buoy\""))
@@ -46,6 +48,21 @@ class PlacesSpec extends SparkSpec {
       lonMin = 170.0, latMin = 0.0, lonMax = -170.0, latMax = 5.0)
       .select("fid").collect().map(_.getLong(0)).toSet
     assert(hits == Set(1L, 2L))
+  }
+
+  test("exact intersects excludes bbox-overlap-only features (J1 full)") {
+    import spark.implicits._
+    // diamond polygon: bbox is [0,0]..[10,10] but the geometry misses
+    // the query box at the corner — bbox-approx would return it
+    val features = Seq(
+      (1L, "POLYGON ((5 0, 10 5, 5 10, 0 5, 5 0))"),   // diamond
+      (2L, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),     // really inside
+      (3L, "LINESTRING (0 3, 3 0)"),                   // bbox overlaps, line misses
+      (4L, "POINT (0.5 0.5)")).toDF("id", "wkt")
+    val hits = Places.featuresIntersectingBox(features, "wkt",
+      lonMin = 0.0, latMin = 0.0, lonMax = 1.0, latMax = 1.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(2L, 4L))
   }
 
   test("multi-input cube equi-join (J4): align two cubes on (time,y,x)") {

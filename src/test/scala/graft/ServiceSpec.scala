@@ -164,6 +164,83 @@ ServiceProvider:
     } finally srv.stop()
   }
 
+  test("ts info, geometries and places routes (fan-out time series)") {
+    val srv = new GraftServer(demoContext()).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(p: String, body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(srv.address + p))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      // GET /ts: one layer per dataset×variable with dates + bounds
+      val info = client.send(HttpRequest.newBuilder(
+          URI.create(srv.address + "/ts")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(info.statusCode() == 200)
+      assert(info.body().contains("\"local.v0\""))
+      assert(info.body().contains("\"2017-01-01T00:00:00Z\""))
+      assert(info.body().contains("\"xmin\":0"))
+      // POST geometries: GeometryCollection → array of result arrays
+      val gc = """{"type":"GeometryCollection","geometries":[
+        {"type":"Polygon","coordinates":[[[0.5,50.2],[3.5,50.2],[0.5,51.8],[0.5,50.2]]]},
+        {"type":"Point","coordinates":[1.2,51.3]}]}"""
+      val many = post("/ts/local/v0/geometries", gc)
+      assert(many.statusCode() == 200)
+      assert(many.body().startsWith("{\"results\":[["))
+      assert(many.body().contains("\"totalCount\":1")) // the point series
+      // POST places: FeatureCollection → same shape
+      val fc = """{"type":"FeatureCollection","features":[
+        {"type":"Feature","properties":{},
+         "geometry":{"type":"Point","coordinates":[1.2,51.3]}}]}"""
+      val viaPlaces = post("/ts/local/v0/places", fc)
+      assert(viaPlaces.statusCode() == 200)
+      assert(viaPlaces.body().contains("\"validCount\""))
+      // startDate/endDate narrow the series
+      val narrowed = post("/ts/local/v0/places?startDate=2017-01-02", fc)
+      assert(narrowed.statusCode() == 200)
+      assert(!narrowed.body().contains("2017-01-01T00:00:00Z"))
+      assert(narrowed.body().contains("2017-01-02T00:00:00Z"))
+      // invalid body → 400
+      assert(post("/ts/local/v0/geometries", "{}").statusCode() == 400)
+    } finally srv.stop()
+  }
+
+  test("places route serves loadGeoJson groups with exact intersects") {
+    val geojson = """{
+      "type": "FeatureCollection",
+      "features": [
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [0.5, 0.5]},
+         "properties": {"name": "in"}},
+        {"type": "Feature",
+         "geometry": {"type": "Polygon",
+           "coordinates": [[[5,0],[10,5],[5,10],[0,5],[5,0]]]},
+         "properties": {"name": "diamond"}},
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [40.0, 40.0]},
+         "properties": {"name": "far"}}
+      ]}"""
+    val f = java.nio.file.Files.createTempFile("grp", ".geojson")
+    java.nio.file.Files.writeString(f, geojson)
+    val ctx = new ServiceContext(spark)
+    ctx.registerPlaces("grp", graft.operators.Places.loadGeoJson(spark, f.toString))
+    val srv = new GraftServer(ctx).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      // query box [0,1]²: contains the first point; overlaps the
+      // diamond's bbox but NOT its geometry; excludes the far point
+      val r = client.send(HttpRequest.newBuilder(URI.create(srv.address +
+          "/places/grp?geom=" + java.net.URLEncoder.encode(
+            "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))", "UTF-8"))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      assert(r.body().contains("\"FeatureCollection\""))
+      assert(r.body().contains("\"in\""))
+      assert(!r.body().contains("\"diamond\""))
+      assert(!r.body().contains("\"far\""))
+    } finally srv.stop()
+  }
+
   test("colorbars API serves the catalog JSON and HTML gallery") {
     val srv = new GraftServer(demoContext()).start()
     try {
