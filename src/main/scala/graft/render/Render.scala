@@ -131,13 +131,70 @@ object Render {
   }
 
   /** Colorbar legend PNG (reference K2, controllers/tiles.py:145-184):
-    * horizontal gradient bar of the palette. */
-  def legend(mapping: ColorMapping, width: Int = 256, height: Int = 16): Array[Byte] = {
-    val pixels = Array.tabulate(height * width) { i =>
-      val x = i % width
-      mapping.palette((x.toLong * mapping.palette.length / width).toInt
-        .min(mapping.palette.length - 1))
+    * matplotlib-ColorbarBase-style VERTICAL bar — gradient (vmax at the
+    * top), tick marks with value labels, and an optional rotated
+    * variable label along the right edge — drawn with AWT instead of a
+    * matplotlib figure. Transparent background (fig.patch alpha 0.0,
+    * tiles.py:177-178). */
+  def legend(mapping: ColorMapping, label: Option[String] = None,
+             width: Int = 160, height: Int = 320): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_ARGB)
+    val g = img.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_TEXT_ANTIALIASING,
+      java.awt.RenderingHints.VALUE_TEXT_ANTIALIAS_ON)
+    val (top, bottom) = (10, 10)
+    val barX = 8
+    val barW = math.max(10, width / 5)
+    val barH = math.max(2, height - top - bottom)
+    val n = mapping.palette.length
+    var y = 0
+    while (y < barH) {
+      val t = 1.0 - y.toDouble / (barH - 1) // row 0 = vmax
+      g.setColor(new java.awt.Color(
+        mapping.palette(math.min(n - 1, (t * (n - 1)).round.toInt)), true))
+      g.drawLine(barX, top + y, barX + barW - 1, top + y)
+      y += 1
     }
-    toPng(pixels, width, height)
+    g.setColor(java.awt.Color.DARK_GRAY)
+    g.drawRect(barX, top, barW, barH)
+    g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF,
+      java.awt.Font.PLAIN, 11))
+    niceTicks(mapping.vmin, mapping.vmax, 5).foreach { v =>
+      val t = (v - mapping.vmin) / (mapping.vmax - mapping.vmin)
+      val ty = top + ((1.0 - t) * barH).round.toInt
+      g.drawLine(barX + barW, ty, barX + barW + 4, ty)
+      g.drawString(tickLabel(v), barX + barW + 7, ty + 4)
+    }
+    label.foreach { l =>
+      // rotated axis label along the right edge (ColorbarBase.set_label)
+      val g2 = g.create().asInstanceOf[java.awt.Graphics2D]
+      g2.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF,
+        java.awt.Font.PLAIN, 12))
+      g2.rotate(math.Pi / 2, width - 6, height / 2.0)
+      val fm = g2.getFontMetrics
+      g2.drawString(l, width - 6 - fm.stringWidth(l) / 2, height / 2 + 4)
+      g2.dispose()
+    }
+    g.dispose()
+    val os = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", os)
+    os.toByteArray
   }
+
+  /** 'nice' tick values covering [vmin, vmax] (the 1-2-5 ladder
+    * matplotlib's MaxNLocator uses). */
+  def niceTicks(vmin: Double, vmax: Double, maxTicks: Int): Seq[Double] = {
+    val range = vmax - vmin
+    if (!(range > 0) || range.isInfinite) return Seq(vmin)
+    val raw = range / maxTicks
+    val mag = math.pow(10, math.floor(math.log10(raw)))
+    val step = Seq(1.0, 2.0, 5.0, 10.0).map(_ * mag).find(range / _ <= maxTicks)
+      .getOrElse(10.0 * mag)
+    val start = math.ceil(vmin / step) * step
+    Iterator.iterate(start)(_ + step).takeWhile(_ <= vmax + step * 1e-9).toSeq
+  }
+
+  private def tickLabel(v: Double): String =
+    if (v == v.floor && math.abs(v) < 1e7) v.toLong.toString
+    else f"$v%.4g".replaceAll("0+$", "").stripSuffix(".")
 }

@@ -87,9 +87,23 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
       case ("GET", "datasets" :: ds :: "vars" :: v :: "tiles" :: z :: x :: yPng :: Nil) =>
         withDataset(ex, ds)(d => tile(ex, d, v, z.toInt, x.toInt,
           yPng.stripSuffix(".png").toInt))
+      // labeled colorbar; cbar/vmin/vmax/width/height query overrides
+      // (reference get_legend, controllers/tiles.py:145-160)
       case ("GET", "datasets" :: ds :: "vars" :: v :: "legend.png" :: Nil) =>
-        withDataset(ex, ds)(d =>
-          sendBytes(ex, 200, Render.legend(mapping(d, v)), "image/png"))
+        withDataset(ex, ds) { d =>
+          val q = query(ex)
+          val base = mapping(d, v)
+          val m = base.copy(
+            vmin = q.get("vmin").map(_.toDouble).getOrElse(base.vmin),
+            vmax = q.get("vmax").map(_.toDouble).getOrElse(base.vmax),
+            palette = q.get("cbar").map(cb =>
+              graft.render.ColorMaps.palette(cb).getOrElse(
+                throw new NoSuchElementException(s"color bar $cb not found")))
+              .getOrElse(base.palette))
+          sendBytes(ex, 200, Render.legend(m, Some(v),
+            q.get("width").map(_.toInt).getOrElse(160),
+            q.get("height").map(_.toInt).getOrElse(320)), "image/png")
+        }
       case ("GET", "ts" :: Nil) =>
         send(ex, 200, tsInfoJson(), "application/json")
       case ("GET", "ts" :: ds :: v :: "point" :: Nil) =>
@@ -168,6 +182,38 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
       case ("GET", "wmts" :: "1.0.0" :: "WMTSCapabilities.xml" :: Nil) =>
         send(ex, 200, Wmts.capabilitiesXml(ctx, address, Map.empty),
           "application/xml")
+      // WMTS KVP binding (reference WMTSKvpHandler, handlers.py:57-107):
+      // keys are case-insensitive per the WMTS 1.0 spec
+      case ("GET", "wmts" :: "kvp" :: Nil) =>
+        val q = query(ex).map { case (k, v) => k.toLowerCase -> v }
+        if (!q.get("service").contains("WMTS"))
+          throw new IllegalArgumentException(
+            "Value for \"service\" parameter must be \"WMTS\"")
+        val version = q.getOrElse("version", "1.0.0")
+        if (version != "1.0.0")
+          throw new IllegalArgumentException(
+            "Value for \"version\" parameter must be \"1.0.0\"")
+        q.getOrElse("request", "") match {
+          case "GetCapabilities" =>
+            send(ex, 200, Wmts.capabilitiesXml(ctx, address, Map.empty),
+              "application/xml")
+          case "GetTile" =>
+            val layer = q("layer")
+            val (ds, v) = layer.split('.') match {
+              case Array(a, b) => (a, b)
+              case _ => throw new IllegalArgumentException(
+                "Value for \"layer\" parameter must be \"<dataset>.<variable>\"")
+            }
+            val fmt = q.getOrElse("format", "image/png").toLowerCase
+            if (fmt != "image/png" && fmt != "png")
+              throw new IllegalArgumentException(
+                "Value for \"format\" parameter must be \"image/png\"")
+            withDataset(ex, ds)(d => tile(ex, d, v,
+              q("tilematrix").toInt, q("tilecol").toInt, q("tilerow").toInt))
+          case other => throw new IllegalArgumentException(
+            s"Value for \"request\" parameter must be " +
+              "\"GetCapabilities\" or \"GetTile\"")
+        }
       case ("GET", "static" :: rest) if staticRoot.isDefined =>
         val base = staticRoot.get.normalize()
         val p = base.resolve(rest.mkString("/")).normalize()

@@ -31,6 +31,9 @@ object Wmts {
         seenGrids += tmsId
         matrixSets.append(tileMatrixSetXml(tmsId, grid))
       }
+      // time <Dimension> values are shared across a dataset's layers
+      // (the dimensions_xml_cache of wmts.py:199-201)
+      val dimensionXml = timeDimensionXml(ds)
       ds.cube.variables.foreach { v =>
         layers.append(
           s"""    <Layer>
@@ -40,17 +43,20 @@ object Wmts {
              |        <ows:LowerCorner>${g.bbox.xMin} ${g.bbox.yMin}</ows:LowerCorner>
              |        <ows:UpperCorner>${g.bbox.xMax} ${g.bbox.yMax}</ows:UpperCorner>
              |      </ows:WGS84BoundingBox>
+             |      <Style isDefault="true"><ows:Identifier>Default</ows:Identifier></Style>
+             |      <Format>image/png</Format>
              |      <TileMatrixSetLink><TileMatrixSet>$tmsId</TileMatrixSet></TileMatrixSetLink>
              |      <ResourceURL format="image/png" resourceType="tile"
              |        template="$serviceUrl/datasets/${ds.id}/vars/$v/tiles/{TileMatrix}/{TileCol}/{TileRow}.png"/>
-             |    </Layer>
+             |$dimensionXml    </Layer>
              |""".stripMargin)
       }
     }
 
     s"""<?xml version="1.0" encoding="UTF-8"?>
        |<Capabilities xmlns="http://www.opengis.net/wmts/1.0"
-       |    xmlns:ows="http://www.opengis.net/ows/1.1" version="1.0.0">
+       |    xmlns:ows="http://www.opengis.net/ows/1.1"
+       |    xmlns:xlink="http://www.w3.org/1999/xlink" version="1.0.0">
        |  <ows:ServiceIdentification>
        |    <ows:Title>graft WMTS</ows:Title>
        |    <ows:ServiceType>OGC WMTS</ows:ServiceType>
@@ -61,8 +67,48 @@ object Wmts {
        |  </ows:ServiceProvider>
        |  <Contents>
        |${layers.toString}${matrixSets.toString}  </Contents>
+       |${themesXml(datasets)}  <ServiceMetadataURL xlink:href="$serviceUrl/wmts/1.0.0/WMTSCapabilities.xml"/>
        |</Capabilities>
        |""".stripMargin
+  }
+
+  /** Per-layer time `<Dimension>` with ISO value dumps (wmts.py:195-237:
+    * UOM ISO8601, Default current, Current true, one <Value> per
+    * coordinate). Empty when the dataset has a single unknown axis. */
+  def timeDimensionXml(ds: RegisteredDataset): String = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
+    val values = ds.timeCoords.map(t =>
+      s"        <Value>${fmt.format(t.toInstant)}</Value>\n").mkString
+    s"""      <Dimension>
+       |        <ows:Identifier>time</ows:Identifier>
+       |        <ows:Title>time</ows:Title>
+       |        <ows:UOM>ISO8601</ows:UOM>
+       |        <Default>current</Default>
+       |        <Current>true</Current>
+       |$values      </Dimension>
+       |""".stripMargin
+  }
+
+  /** Themes tree (wmts.py:246-266): one Theme per dataset with a nested
+    * Theme + LayerRef per variable. */
+  def themesXml(datasets: Seq[RegisteredDataset]): String = {
+    val b = new StringBuilder("  <Themes>\n")
+    datasets.foreach { ds =>
+      b.append("    <Theme>\n")
+        .append(s"      <ows:Title>${Json.esc(ds.title)}</ows:Title>\n")
+        .append(s"      <ows:Abstract></ows:Abstract>\n")
+        .append(s"      <ows:Identifier>${ds.id}</ows:Identifier>\n")
+      ds.cube.variables.foreach { v =>
+        b.append("      <Theme>\n")
+          .append(s"        <ows:Title>$v</ows:Title>\n")
+          .append(s"        <ows:Identifier>${ds.id}.$v</ows:Identifier>\n")
+          .append(s"        <LayerRef>${ds.id}.$v</LayerRef>\n")
+          .append("      </Theme>\n")
+      }
+      b.append("    </Theme>\n")
+    }
+    b.append("  </Themes>\n").toString
   }
 
   def tileMatrixSetXml(id: String, grid: TileGrid): String = {

@@ -48,4 +48,37 @@ class RenderSpec extends SparkSpec {
     val legend = Render.legend(ColorMapping(0.0, 16.0, Render.ViridisLike))
     assert(legend.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
   }
+
+  test("legend renders ticks, value labels and a variable label (K2 full)") {
+    val png = Render.legend(ColorMapping(0.0, 24.0, Render.ViridisLike),
+      label = Some("chl_a"), width = 160, height = 320)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 160 && img.getHeight == 320)
+    // gradient bar: near-vmax color at the top, near-vmin at the bottom
+    // (bar rows 10..309; rows 10 and 310 carry the DARK_GRAY border, so
+    // sample one row inside: row 11 → t=1-1/299 → idx 254, row 308 →
+    // idx 1)
+    assert((img.getRGB(10, 11) & 0xffffff) ==
+      (Render.ViridisLike(254) & 0xffffff))
+    assert((img.getRGB(10, 308) & 0xffffff) ==
+      (Render.ViridisLike(1) & 0xffffff))
+    // label/tick text exists to the right of the bar (non-transparent
+    // dark pixels in the text margin — an unlabeled gradient strip has
+    // nothing there)
+    var textPixels = 0
+    for (y <- 0 until 320; x <- 50 until 160)
+      if ((img.getRGB(x, y) >>> 24) > 0) textPixels += 1
+    assert(textPixels > 50, s"expected label pixels, got $textPixels")
+    // background stays transparent
+    assert((img.getRGB(155, 2) >>> 24) == 0)
+  }
+
+  test("nice tick ladder (1-2-5) covers the range") {
+    assert(Render.niceTicks(0.0, 24.0, 5) == Seq(0.0, 5.0, 10.0, 15.0, 20.0))
+    assert(Render.niceTicks(0.0, 1.0, 5) ==
+      Seq(0.0, 0.2, 0.4, 0.6000000000000001, 0.8, 1.0))
+    // range 6 / step 1 would need 6 intervals > maxTicks → 1-2-5 ladder
+    // picks step 2
+    assert(Render.niceTicks(-3.0, 3.0, 5) == Seq(-2.0, 0.0, 2.0))
+  }
 }

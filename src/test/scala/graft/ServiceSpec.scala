@@ -112,6 +112,36 @@ ServiceProvider:
     assert(xml.contains("<TileMatrixSet>"))
     assert(xml.contains("ScaleDenominator"))
     assert(xml.startsWith("<?xml"))
+    // time Dimension with ISO value dumps (wmts.py:195-237)
+    assert(xml.contains("<Dimension>"))
+    assert(xml.contains("<ows:UOM>ISO8601</ows:UOM>"))
+    assert(xml.contains("<Default>current</Default>"))
+    assert(xml.contains("<Value>2017-01-01T00:00:00Z</Value>"))
+    assert(xml.contains("<Value>2017-01-02T00:00:00Z</Value>"))
+    // Themes tree with per-variable LayerRef (wmts.py:246-266)
+    assert(xml.contains("<Themes>"))
+    assert(xml.contains("<LayerRef>local.v0</LayerRef>"))
+    assert(xml.contains("<ServiceMetadataURL"))
+  }
+
+  test("WMTS KVP binding: GetCapabilities and GetTile") {
+    val srv = new GraftServer(demoContext()).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(p: String): HttpResponse[Array[Byte]] =
+        client.send(HttpRequest.newBuilder(URI.create(srv.address + p)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+      val caps = get("/wmts/kvp?Service=WMTS&Request=GetCapabilities")
+      assert(caps.statusCode() == 200 &&
+        new String(caps.body()).contains("local.v0"))
+      val tile = get("/wmts/kvp?service=WMTS&request=GetTile&version=1.0.0" +
+        "&layer=local.v0&format=image/png&tilematrix=0&tilerow=0&tilecol=0")
+      assert(tile.statusCode() == 200 &&
+        tile.body().take(4).toSeq ==
+          Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      assert(get("/wmts/kvp?service=NOPE&request=GetTile").statusCode() == 400)
+      assert(get("/wmts/kvp?service=WMTS&request=Bogus").statusCode() == 400)
+    } finally srv.stop()
   }
 
   test("HTTP shell serves catalogue, tiles, time series, places end-to-end") {
