@@ -1,0 +1,281 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path, Paths}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.cube.{CubeFrame, CubeGrid}
+
+/** Minimal Zarr v2 store access (the on-disk format the reference
+  * serves from — xcube_server/context.py:245-250 opens zarr/levels
+  * stores; chunk layout contract at mldataset.py:437-456).
+  *
+  * Supported subset (documented narrowing, SURVEY S1-S3):
+  *  - zarr format 2 directory stores;
+  *  - C-order arrays, dtypes `<f8`/`<f4`/`<i8`/`<i4`, no filters;
+  *  - compressor `null` or `{"id": "zlib"}` (java.util.zip — blosc
+  *    would need a native dependency this build forbids);
+  *  - cube convention: 1-D coordinate arrays `time` (int64 epoch
+  *    MICROseconds), `lat`, `lon`; 3-D variable arrays shaped
+  *    (time, lat, lon) sharing one chunk grid.
+  *
+  * S3/remote stores (S3/S5) would swap the `Files` calls for a
+  * key→bytes fetch; the chunk math is store-agnostic by construction.
+  */
+object ZarrStore {
+
+  /** .zarray metadata for one array. */
+  final case class ArrayMeta(shape: Seq[Int], chunks: Seq[Int],
+                             dtype: String, zlib: Boolean,
+                             fillValue: Double) {
+    def numChunks: Seq[Int] =
+      shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    def elemBytes: Int = dtype.drop(2).toInt
+  }
+
+  private val mapper = new ObjectMapper()
+
+  def readArrayMeta(store: String, name: String): ArrayMeta = {
+    val node = mapper.readTree(
+      Files.readString(Paths.get(store, name, ".zarray")))
+    parseArrayMeta(node)
+  }
+
+  private[sources] def parseArrayMeta(node: JsonNode): ArrayMeta = {
+    def ints(n: JsonNode): Seq[Int] = (0 until n.size()).map(n.get(_).asInt())
+    val comp = node.get("compressor")
+    val zlib =
+      if (comp == null || comp.isNull) false
+      else comp.get("id").asText() match {
+        case "zlib" => true
+        case other => throw new IllegalArgumentException(
+          s"unsupported zarr compressor $other (supported: null, zlib)")
+      }
+    val fillNode = node.get("fill_value")
+    val fill =
+      if (fillNode == null || fillNode.isNull) Double.NaN
+      else if (fillNode.isTextual) fillNode.asText() match {
+        case "NaN" => Double.NaN
+        case "Infinity" => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case other => other.toDouble
+      }
+      else fillNode.asDouble()
+    val dtype = node.get("dtype").asText()
+    if (!Set("<f8", "<f4", "<i8", "<i4").contains(dtype))
+      throw new IllegalArgumentException(s"unsupported zarr dtype $dtype")
+    val filters = node.get("filters")
+    if (filters != null && !filters.isNull && filters.size() > 0)
+      throw new IllegalArgumentException("zarr filters are not supported")
+    ArrayMeta(ints(node.get("shape")), ints(node.get("chunks")), dtype, zlib, fill)
+  }
+
+  /** Decode one chunk file into doubles in C order (full chunk extent,
+    * padded with the fill value where the file is absent — zarr treats
+    * missing chunk objects as all-fill). */
+  def readChunk(store: String, name: String, meta: ArrayMeta,
+                chunkIdx: Seq[Int]): Array[Double] = {
+    val n = meta.chunks.product
+    val file = Paths.get(store, name, chunkIdx.mkString("."))
+    if (!Files.isRegularFile(file)) return Array.fill(n)(meta.fillValue)
+    val raw0 = Files.readAllBytes(file)
+    val raw = if (meta.zlib) inflate(raw0, n * meta.elemBytes) else raw0
+    val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Double](n)
+    var i = 0
+    meta.dtype match {
+      case "<f8" => while (i < n) { out(i) = buf.getDouble(i * 8); i += 1 }
+      case "<f4" => while (i < n) { out(i) = buf.getFloat(i * 4).toDouble; i += 1 }
+      case "<i8" => while (i < n) { out(i) = buf.getLong(i * 8).toDouble; i += 1 }
+      case "<i4" => while (i < n) { out(i) = buf.getInt(i * 4).toDouble; i += 1 }
+    }
+    out
+  }
+
+  /** Read an entire 1-D array (coordinate axes: small by contract). */
+  def read1d(store: String, name: String): Array[Double] = {
+    val meta = readArrayMeta(store, name)
+    require(meta.shape.length == 1, s"$name is not 1-D")
+    val out = new Array[Double](meta.shape.head)
+    (0 until meta.numChunks.head).foreach { c =>
+      val chunk = readChunk(store, name, meta, Seq(c))
+      val start = c * meta.chunks.head
+      val len = math.min(meta.chunks.head, meta.shape.head - start)
+      System.arraycopy(chunk, 0, out, start, len)
+    }
+    out
+  }
+
+  /** 1-D int64 read without a double round-trip (time axis: micros). */
+  def read1dLongs(store: String, name: String): Array[Long] = {
+    val meta = readArrayMeta(store, name)
+    require(meta.shape.length == 1 && meta.dtype == "<i8",
+      s"$name must be 1-D <i8")
+    val out = new Array[Long](meta.shape.head)
+    (0 until meta.numChunks.head).foreach { c =>
+      val file = Paths.get(store, name, c.toString)
+      val start = c * meta.chunks.head
+      val len = math.min(meta.chunks.head, meta.shape.head - start)
+      if (Files.isRegularFile(file)) {
+        val raw0 = Files.readAllBytes(file)
+        val raw = if (meta.zlib) inflate(raw0, meta.chunks.head * 8) else raw0
+        val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < len) { out(start + i) = buf.getLong(i * 8); i += 1 }
+      }
+    }
+    out
+  }
+
+  /** Variable (3-D array) names in the store = subdirs with a .zarray
+    * of rank 3. */
+  def variableNames(store: String): Seq[String] = {
+    val p = Paths.get(store)
+    val subs = Files.list(p).toArray.toSeq.map(_.asInstanceOf[Path])
+      .filter(d => Files.isRegularFile(d.resolve(".zarray")))
+      .map(_.getFileName.toString).sorted
+    subs.filter(s => readArrayMeta(store, s).shape.length == 3)
+  }
+
+  private def inflate(data: Array[Byte], hint: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(hint)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val k = inf.inflate(buf)
+      if (k == 0 && inf.needsInput())
+        throw new java.io.EOFException("truncated zlib chunk")
+      out.write(buf, 0, k)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------- writer
+
+  /** Export a cube as a Zarr v2 store. Driver-side materialization —
+    * this is the TEST/ingest-fixture path (a scale export would write
+    * chunk files from chunk-aligned tasks, the exact inverse of the
+    * read planner; same chunk math either way). */
+  def writeZarr(cube: CubeFrame, path: String,
+                chunkT: Int = 1, chunkY: Int = 256, chunkX: Int = 256,
+                zlib: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.col
+    val g = cube.grid
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(".zgroup"), """{"zarr_format": 2}""")
+    Files.writeString(dir.resolve(".zattrs"),
+      s"""{"grid": {"width": ${g.width}, "height": ${g.height},
+         | "lonMin": ${g.lonMin}, "latMin": ${g.latMin}, "res": ${g.res},
+         | "latAscending": ${g.latAscending}},
+         | "time_units": "microseconds since 1970-01-01"}""".stripMargin)
+    val times = cube.df.select(col("time")).distinct().orderBy(col("time"))
+      .collect().map(r => r.getTimestamp(0))
+    val timeUs = times.map(t => t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+    write1d(dir, "time", timeUs.map(java.lang.Long.valueOf), "<i8", zlib)
+    val lats = (0 until g.height).map(g.latOfY(_))
+    val lons = (0 until g.width).map(g.lonOfX(_))
+    write1dDoubles(dir, "lat", lats.toArray, zlib)
+    write1dDoubles(dir, "lon", lons.toArray, zlib)
+
+    val tIdx = times.zipWithIndex.toMap
+    val (nt, nh, nw) = (times.length, g.height, g.width)
+    cube.variables.foreach { v =>
+      val arr = Array.fill(nt * nh * nw)(Double.NaN)
+      cube.df.select(col("time"), col("y_idx"), col("x_idx"),
+          col(v).cast("double")).collect().foreach { r =>
+        val t = tIdx(r.getTimestamp(0))
+        val c = (t * nh + r.getInt(1)) * nw + r.getInt(2)
+        arr(c) = if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
+      }
+      writeArray(dir, v, arr, Seq(nt, nh, nw),
+        Seq(chunkT, math.min(chunkY, nh), math.min(chunkX, nw)), zlib)
+    }
+  }
+
+  private def zarrayJson(shape: Seq[Int], chunks: Seq[Int], dtype: String,
+                         zlib: Boolean, fill: String): String =
+    s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
+       | "chunks": [${chunks.mkString(", ")}], "dtype": "$dtype",
+       | "compressor": ${if (zlib) """{"id": "zlib", "level": 1}""" else "null"},
+       | "fill_value": $fill, "order": "C", "filters": null}""".stripMargin
+
+  private def write1d(dir: Path, name: String, values: Array[java.lang.Long],
+                      dtype: String, zlib: Boolean): Unit = {
+    val sub = dir.resolve(name)
+    Files.createDirectories(sub)
+    Files.writeString(sub.resolve(".zarray"),
+      zarrayJson(Seq(values.length), Seq(values.length), dtype, zlib, "0"))
+    val buf = ByteBuffer.allocate(values.length * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    values.foreach(v => buf.putLong(v))
+    Files.write(sub.resolve("0"),
+      if (zlib) deflate(buf.array()) else buf.array())
+  }
+
+  private def write1dDoubles(dir: Path, name: String, values: Array[Double],
+                             zlib: Boolean): Unit = {
+    val sub = dir.resolve(name)
+    Files.createDirectories(sub)
+    Files.writeString(sub.resolve(".zarray"),
+      zarrayJson(Seq(values.length), Seq(values.length), "<f8", zlib, "\"NaN\""))
+    val buf = ByteBuffer.allocate(values.length * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    values.foreach(buf.putDouble)
+    Files.write(sub.resolve("0"),
+      if (zlib) deflate(buf.array()) else buf.array())
+  }
+
+  private def writeArray(dir: Path, name: String, data: Array[Double],
+                         shape: Seq[Int], chunks: Seq[Int],
+                         zlib: Boolean): Unit = {
+    val sub = dir.resolve(name)
+    Files.createDirectories(sub)
+    Files.writeString(sub.resolve(".zarray"),
+      zarrayJson(shape, chunks, "<f8", zlib, "\"NaN\""))
+    val Seq(nt, nh, nw) = shape
+    val Seq(ct, cy, cx) = chunks
+    for {
+      tc <- 0 until (nt + ct - 1) / ct
+      yc <- 0 until (nh + cy - 1) / cy
+      xc <- 0 until (nw + cx - 1) / cx
+    } {
+      val buf = ByteBuffer.allocate(ct * cy * cx * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      for (t <- 0 until ct; y <- 0 until cy; x <- 0 until cx) {
+        val (gt, gy, gx) = (tc * ct + t, yc * cy + y, xc * cx + x)
+        buf.putDouble(
+          if (gt < nt && gy < nh && gx < nw) data((gt * nh + gy) * nw + gx)
+          else Double.NaN)
+      }
+      Files.write(sub.resolve(s"$tc.$yc.$xc"),
+        if (zlib) deflate(buf.array()) else buf.array())
+    }
+  }
+
+  /** Open a zarr store as a CubeFrame through the DSv2 relation. */
+  def openCube(spark: org.apache.spark.sql.SparkSession,
+               path: String): CubeFrame = {
+    val attrs = mapper.readTree(
+      Files.readString(Paths.get(path, ".zattrs"))).get("grid")
+    val grid = CubeGrid(attrs.get("width").asInt(), attrs.get("height").asInt(),
+      attrs.get("lonMin").asDouble(), attrs.get("latMin").asDouble(),
+      attrs.get("res").asDouble(), attrs.get("latAscending").asBoolean())
+    val df = spark.read.format(classOf[ZarrDataSource].getName)
+      .option("path", path).load()
+    CubeFrame(df, grid, variableNames(path))
+  }
+}
