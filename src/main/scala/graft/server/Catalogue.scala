@@ -79,6 +79,55 @@ object Catalogue {
     }
   }
 
+  /** Tile-source options for map clients (reference
+    * controllers/tiles.py:226-285): OpenLayers 4 ol.source.XYZ options
+    * or Cesium UrlTemplateImageryProvider options. */
+  def tileSourceOptionsJson(t: TileGrid, url: String, client: String): String = {
+    val (w, s, e, n) =
+      (t.extent.xMin, t.extent.yMin, t.extent.xMax, t.extent.yMax)
+    client match {
+      case "ol4" =>
+        val res0 = (n - s) / t.height(0)
+        Json.obj(
+          "url" -> Json.str(url),
+          "projection" -> Json.str("EPSG:4326"),
+          "minZoom" -> "0",
+          "maxZoom" -> (t.numLevels - 1).toString,
+          "tileGrid" -> Json.obj(
+            "extent" -> Json.arr(Seq(w, s, e, n).map(Json.num)),
+            "origin" -> Json.arr(Seq(w, if (t.invY) s else n).map(Json.num)),
+            "tileSize" -> Json.arr(Seq(t.tileWidth, t.tileHeight)
+              .map(v => Json.num(v.toDouble))),
+            "resolutions" -> Json.arr((0 until t.numLevels)
+              .map(i => Json.num(res0 / (1 << i))))))
+      case "cesium" =>
+        val rect = Json.obj(
+          "west" -> Json.num(w), "south" -> Json.num(s),
+          "east" -> Json.num(e), "north" -> Json.num(n))
+        Json.obj(
+          "url" -> Json.str(url),
+          "rectangle" -> rect,
+          "minimumLevel" -> "0",
+          "maximumLevel" -> (t.numLevels - 1).toString,
+          "tileWidth" -> t.tileWidth.toString,
+          "tileHeight" -> t.tileHeight.toString,
+          "tilingScheme" -> Json.obj(
+            "rectangle" -> rect,
+            "numberOfLevelZeroTilesX" -> t.numLevelZeroTilesX.toString,
+            "numberOfLevelZeroTilesY" -> t.numLevelZeroTilesY.toString))
+      case other =>
+        throw new IllegalArgumentException(s"""Unknown tile client "$other"""")
+    }
+  }
+
+  /** tile grid for a registered dataset (shared by the tilegrid
+    * endpoint and WMTS). */
+  def tileGridOf(ds: RegisteredDataset): TileGrid = {
+    val g = ds.cube.grid
+    TileGrid.create(g.width, g.height, None, None, g.bbox,
+      invY = g.latAscending)
+  }
+
   /** TileGrid.to_json shape (tilegrid.py:157-168). */
   def tileGridJson(t: TileGrid): String =
     Json.obj(

@@ -146,9 +146,25 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
             .map(i => Geo.parseGeoJson(feats.get(i).get("geometry").toString))
           tsMany(ex, d, v, geoms, dateRange(query(ex)))
         }
+      // place-group listing (GetPlaceGroupsHandler → context.py:297-303)
+      case ("GET", "places" :: Nil) =>
+        send(ex, 200, Json.arr(ctx.placeGroupList.map { case (id, title) =>
+          Json.obj("id" -> Json.str(id), "title" -> Json.str(title))
+        }), "application/json")
       case ("GET", "places" :: group :: Nil) =>
-        val geomWkt = query(ex).getOrElse("geom",
-          throw new IllegalArgumentException("geom parameter required"))
+        val q = query(ex)
+        if (q.contains("geom") && q.contains("bbox"))
+          throw new IllegalArgumentException(
+            "Only one of 'geom' and 'bbox' may be given")
+        val geomWkt = q.get("geom").orElse(q.get("bbox").map { b =>
+          b.split(",").map(_.trim.toDouble) match {
+            case Array(x1, y1, x2, y2) =>
+              s"POLYGON(($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))"
+            case _ => throw new IllegalArgumentException(
+              "bbox must be x1,y1,x2,y2")
+          }
+        }).getOrElse(
+          throw new IllegalArgumentException("geom or bbox parameter required"))
         val df = ctx.places(group).getOrElse {
           send(ex, 404, Json.obj("error" -> Json.str(s"no place group $group")),
             "application/json"); return
@@ -175,6 +191,15 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
               "y" -> Json.num(r.getAs[Double]("y"))))
           send(ex, 200, Json.obj("places" -> Json.arr(hits)), "application/json")
         }
+      // tile-source options for map clients (GetDatasetVarTileGridHandler,
+      // tiles.py:187-198); ?tiles=ol4 (default) or cesium
+      case ("GET", "datasets" :: ds :: "vars" :: v :: "tilegrid" :: Nil) =>
+        withDataset(ex, ds) { d =>
+          val client = query(ex).getOrElse("tiles", "ol4")
+          val url = s"$address/datasets/${d.id}/vars/$v/tiles/{z}/{x}/{y}.png"
+          send(ex, 200, Catalogue.tileSourceOptionsJson(
+            Catalogue.tileGridOf(d), url, client), "application/json")
+        }
       case ("GET", "colorbars" :: Nil) =>
         send(ex, 200, graft.render.ColorMaps.json, "application/json")
       case ("GET", "colorbars.html" :: Nil) =>
@@ -182,6 +207,24 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
       case ("GET", "wmts" :: "1.0.0" :: "WMTSCapabilities.xml" :: Nil) =>
         send(ex, 200, Wmts.capabilitiesXml(ctx, address, Map.empty),
           "application/xml")
+      // WMTS RESTful tile URL — note {z}/{y}/{x} order (app.py:48-49)
+      case ("GET", "wmts" :: "1.0.0" :: "tile" :: ds :: v :: z :: y :: xPng :: Nil) =>
+        withDataset(ex, ds)(d => tile(ex, d, v, z.toInt,
+          xPng.stripSuffix(".png").toInt, y.toInt))
+      // NE2 background layer (app.py:66-73): tile-source options + tiles
+      // served from the static root's ne2/ pyramid when present
+      case ("GET", "ne2" :: "tilegrid" :: Nil) =>
+        val client = query(ex).getOrElse("tiles", "ol4")
+        send(ex, 200, Catalogue.tileSourceOptionsJson(Ne2Grid,
+          s"$address/ne2/tiles/{z}/{x}/{y}.jpg", client), "application/json")
+      case ("GET", "ne2" :: "tiles" :: z :: x :: yJpg :: Nil)
+          if staticRoot.isDefined =>
+        val base = staticRoot.get.normalize()
+        val p = base.resolve(s"ne2/$z/$x/$yJpg").normalize()
+        if (p.startsWith(base) && java.nio.file.Files.isRegularFile(p))
+          sendBytes(ex, 200, java.nio.file.Files.readAllBytes(p), "image/jpeg")
+        else send(ex, 404, Json.obj("error" -> Json.str("not found")),
+          "application/json")
       // WMTS KVP binding (reference WMTSKvpHandler, handlers.py:57-107):
       // keys are case-insensitive per the WMTS 1.0 spec
       case ("GET", "wmts" :: "kvp" :: Nil) =>
@@ -232,6 +275,12 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
           "application/json")
     }
   }
+
+  /** NE2 background pyramid geometry (reference ne2.py: a global
+    * 1024×512 image stand-in — the bundled raster itself is an asset we
+    * serve from staticRoot, S8). */
+  private val Ne2Grid = graft.grid.TileGrid.create(1024, 512, None, None,
+    graft.geo.Geo.BBox(-180, -90, 180, 90), invY = false)
 
   private def withDataset(ex: HttpExchange, id: String)
                          (f: RegisteredDataset => Unit): Unit =

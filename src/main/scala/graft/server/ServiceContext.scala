@@ -50,6 +50,7 @@ class ServiceContext(val spark: SparkSession) {
 
   private val datasets = new TrieMap[String, RegisteredDataset]
   private val placeGroups = new TrieMap[String, DataFrame]
+  private val placeGroupTitles = new TrieMap[String, String]
 
   /** computed-dataset transform registry (U1) */
   val transforms = new TrieMap[String, (Seq[CubeFrame], Map[String, String]) => CubeFrame]
@@ -60,11 +61,19 @@ class ServiceContext(val spark: SparkSession) {
     })
 
   def register(ds: RegisteredDataset): Unit = datasets.put(ds.id, ds)
-  def registerPlaces(id: String, df: DataFrame): Unit = placeGroups.put(id, df)
+  def registerPlaces(id: String, df: DataFrame, title: String = ""): Unit = {
+    placeGroups.put(id, df)
+    placeGroupTitles.put(id, if (title.isEmpty) id else title)
+  }
 
   def dataset(id: String): Option[RegisteredDataset] = datasets.get(id)
   def datasetIds: Seq[String] = datasets.keys.toSeq.sorted
   def places(id: String): Option[DataFrame] = placeGroups.get(id)
+  /** (id, title) listing (reference get_place_groups,
+    * context.py:297-303). */
+  def placeGroupList: Seq[(String, String)] =
+    placeGroups.keys.toSeq.sorted.map(id =>
+      id -> placeGroupTitles.getOrElse(id, id))
 
   /** Register a computed dataset by applying a named transform to
     * already-registered inputs (context.py:256-277 wiring). */

@@ -194,6 +194,42 @@ ServiceProvider:
     } finally srv.stop()
   }
 
+  test("tilegrid, place-group listing, bbox find, WMTS REST tile, ne2") {
+    val ctx = demoContext()
+    val srv = new GraftServer(ctx).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(p: String): HttpResponse[Array[Byte]] =
+        client.send(HttpRequest.newBuilder(URI.create(srv.address + p)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+      // ol4 tile-source options (tiles.py:235-259)
+      val ol4 = new String(get("/datasets/local/vars/v0/tilegrid").body())
+      assert(ol4.contains("\"projection\":\"EPSG:4326\""))
+      assert(ol4.contains("\"resolutions\""))
+      assert(ol4.contains("/datasets/local/vars/v0/tiles/{z}/{x}/{y}.png"))
+      // cesium options (tiles.py:262-285)
+      val ces = new String(get("/datasets/local/vars/v0/tilegrid?tiles=cesium").body())
+      assert(ces.contains("\"tilingScheme\""))
+      assert(ces.contains("\"numberOfLevelZeroTilesX\""))
+      assert(get("/datasets/local/vars/v0/tilegrid?tiles=nope").statusCode() == 400)
+      // place-group listing
+      val groups = new String(get("/places").body())
+      assert(groups.contains("\"id\":\"test\""))
+      // bbox variant of find-places
+      val bb = new String(get("/places/test?bbox=0,0,5,5").body())
+      assert(bb.contains("\"id\":1") && !bb.contains("\"id\":3"))
+      assert(get("/places/test?bbox=0,0,5,5&geom=POINT(0%200)").statusCode() == 400)
+      // WMTS RESTful tile ({z}/{y}/{x} order, app.py:48)
+      val tile = get("/wmts/1.0.0/tile/local/v0/0/0/0.png")
+      assert(tile.statusCode() == 200 && tile.body().take(4).toSeq ==
+        Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      // ne2 tile-source options over the global background grid
+      val ne2 = new String(get("/ne2/tilegrid").body())
+      assert(ne2.contains("/ne2/tiles/{z}/{x}/{y}.jpg"))
+      assert(ne2.contains("\"extent\":[-180,-90,180,90]"))
+    } finally srv.stop()
+  }
+
   test("ts info, geometries and places routes (fan-out time series)") {
     val srv = new GraftServer(demoContext()).start()
     try {
