@@ -52,13 +52,51 @@ class ServiceContext(val spark: SparkSession) {
   private val placeGroups = new TrieMap[String, DataFrame]
   private val placeGroupTitles = new TrieMap[String, String]
 
-  /** computed-dataset transform registry (U1) */
+  /** computed-dataset transform registry (U1). The reference `exec()`s
+    * user scripts; here every transform is a named Scala function over
+    * the inputs, and free-form per-cell math is available through
+    * `derive_variable`'s SQL expression (Catalyst-parsed — sandboxed
+    * column arithmetic, not runtime code eval). */
   val transforms = new TrieMap[String, (Seq[CubeFrame], Map[String, String]) => CubeFrame]
   transforms.put("resample_in_time", (inputs, params) =>
     params.getOrElse("period", "1W") match {
       case "1W" => Resample.weeklyMean(inputs.head)
       case p => throw new IllegalArgumentException(s"unsupported period $p")
     })
+  // derived variable from a SQL expression over the input's variables,
+  // e.g. name=ratio, expr="v0 / (v1 + 1e-9)"
+  transforms.put("derive_variable", (inputs, params) => {
+    val cube = inputs.head
+    val name = params.getOrElse("name",
+      throw new IllegalArgumentException("derive_variable requires 'name'"))
+    val ex = params.getOrElse("expr",
+      throw new IllegalArgumentException("derive_variable requires 'expr'"))
+    CubeFrame(cube.df.withColumn(name, org.apache.spark.sql.functions.expr(ex)
+        .cast("double")),
+      cube.grid, cube.variables :+ name)
+  })
+  // valid-range masking of one variable (F6 as a dataset-level transform)
+  transforms.put("mask_range", (inputs, params) => {
+    val cube = inputs.head
+    val v = params.getOrElse("variable", cube.variables.head)
+    CubeFrame(cube.df.withColumn(v, graft.cube.Cube.maskInvalid(
+        org.apache.spark.sql.functions.col(v),
+        validMin = params.get("valid_min").map(_.toDouble),
+        validMax = params.get("valid_max").map(_.toDouble))),
+      cube.grid, cube.variables)
+  })
+  // multi-input merge: variables of every input aligned on (time,y,x) —
+  // the J4 equi-join as a computed dataset
+  transforms.put("merge_cubes", (inputs, _) => {
+    require(inputs.nonEmpty, "merge_cubes requires at least one input")
+    val base = inputs.head
+    val df = inputs.tail.foldLeft(base.df) { (acc, c) =>
+      acc.join(c.df.select((Seq("time", "y_idx", "x_idx") ++ c.variables)
+        .map(org.apache.spark.sql.functions.col): _*),
+        Seq("time", "y_idx", "x_idx"))
+    }
+    CubeFrame(df, base.grid, inputs.flatMap(_.variables))
+  })
 
   def register(ds: RegisteredDataset): Unit = datasets.put(ds.id, ds)
   def registerPlaces(id: String, df: DataFrame, title: String = ""): Unit = {

@@ -194,6 +194,33 @@ ServiceProvider:
     } finally srv.stop()
   }
 
+  test("computed-dataset transforms: derive, mask, merge (S6/U1)") {
+    val ctx = new ServiceContext(spark)
+    val grid = CubeGrid(4, 2, 0.0, 0.0, 1.0, latAscending = true)
+    ctx.register(RegisteredDataset("a", "A",
+      Cube.synthetic(spark, grid, 1, Seq("v0"), nanEvery = 1000), None))
+    ctx.register(RegisteredDataset("b", "B",
+      Cube.synthetic(spark, grid, 1, Seq("v1"), nanEvery = 1000), None))
+    ctx.registerComputed("derived", "Derived", "derive_variable",
+      Seq("a"), Map("name" -> "v0_sq", "expr" -> "v0 * v0"))
+    val d = ctx.dataset("derived").get
+    assert(d.cube.variables == Seq("v0", "v0_sq"))
+    import org.apache.spark.sql.functions.{col, isnan, not}
+    val r = d.cube.df.filter(not(isnan(col("v0"))))
+      .select("v0", "v0_sq").collect()
+    assert(r.nonEmpty && r.forall(x =>
+      math.abs(x.getDouble(1) - x.getDouble(0) * x.getDouble(0)) < 1e-9))
+    ctx.registerComputed("masked", "Masked", "mask_range",
+      Seq("a"), Map("variable" -> "v0", "valid_max" -> "5"))
+    val masked = ctx.dataset("masked").get.cube.df
+    assert(masked.filter(col("v0") > 5.0).count() == 0)
+    ctx.registerComputed("merged", "Merged", "merge_cubes",
+      Seq("a", "b"), Map.empty)
+    val m = ctx.dataset("merged").get
+    assert(m.cube.variables == Seq("v0", "v1"))
+    assert(m.cube.df.count() == 4L * 2)
+  }
+
   test("tilegrid, place-group listing, bbox find, WMTS REST tile, ne2") {
     val ctx = demoContext()
     val srv = new GraftServer(ctx).start()
