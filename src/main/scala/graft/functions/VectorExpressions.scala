@@ -55,6 +55,64 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All hyperplane-LSH plane dots in ONE codegen pass: bit j of the
+  * result is set iff dot(vec, planes(j)) > 0. Arithmetic is float-
+  * upcast multiply + in-order double accumulation — bit-identical to
+  * the per-plane `aggregate(zip_with(...))` SQL fold it replaces (and
+  * to the DuckDB oracle's list_reduce), but codegen'd: the lambda form
+  * is CodegenFallback and interprets ~numPlanes×dim closure calls per
+  * row. */
+case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    var bucket = 0L
+    var j = 0
+    while (j < planeArr.length) {
+      val p = planeArr(j)
+      val n = math.min(x.numElements(), p.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getFloat(i).toDouble * p(i); i += 1 }
+      if (acc > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ps = ctx.addReferenceObj("planes", planeArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val (j, i, n, acc, p, bucket) = (ctx.freshName("j"), ctx.freshName("i"),
+        ctx.freshName("n"), ctx.freshName("acc"), ctx.freshName("p"),
+        ctx.freshName("bucket"))
+      s"""
+         |long $bucket = 0L;
+         |for (int $j = 0; $j < $ps.length; $j++) {
+         |  double[] $p = $ps[$j];
+         |  int $n = java.lang.Math.min($v.numElements(), $p.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double)$v.getFloat($i) * $p[$i];
+         |  }
+         |  if ($acc > 0) $bucket |= (1L << $j);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecF {
   /** dot(a, b) over array<float> columns, as a Column. */
   def dotF(a: Column, b: Column): Column =
@@ -64,4 +122,9 @@ object VecF {
   /** L2 norm of an array<float> column. */
   def normF(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotF(a, a))
+
+  /** hyperplane-LSH bucket of an array<float> column. */
+  def hyperplaneBucket(v: Column, planes: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(HyperplaneBucket(
+      GraftColumnBridge.expression(v), planes.map(_.toSeq).toSeq))
 }

@@ -57,15 +57,13 @@ object Similarity {
   }
 
   /** Hyperplane-LSH bucket id for a float-vector column: bit j set iff
-    * dot(vec, plane_j) > 0. */
+    * dot(vec, plane_j) > 0. One codegen'd pass over the vector
+    * ([[graft.functions.HyperplaneBucket]]) — arithmetic identical to
+    * the per-plane SQL fold (float-upcast multiply, in-order double
+    * accumulation), so the DuckDB oracle's replication still matches
+    * bit-for-bit. */
   def bucketCol(vecCol: String, ps: Array[Array[Double]]): Column =
-    ps.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, j)) =>
-      val planeArr = array(p.map(lit(_)).toIndexedSeq: _*)
-      val dot = aggregate(
-        zip_with(col(vecCol).cast("array<double>"), planeArr, (x, y) => x * y),
-        lit(0.0), (a, x) => a + x)
-      acc + when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-    }
+    VecF.hyperplaneBucket(col(vecCol), ps)
 
   /** ANN via LSH buckets + exact rerank of in-bucket candidates. */
   def annTopK(corpus: DataFrame, queries: DataFrame,
