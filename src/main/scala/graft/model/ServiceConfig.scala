@@ -27,7 +27,12 @@ final case class DatasetDescriptor(identifier: String, title: String,
                                    inputParameters: Map[String, String],
                                    placeGroupRefs: Seq[String])
 
-final case class PlaceGroupConfig(identifier: String, title: String, path: String)
+/** A place-group descriptor (reference context.py:349-399): `path` may
+  * be a glob over collection files; `places` are nested sub-groups. */
+final case class PlaceGroupConfig(identifier: String, title: String,
+                                  path: String,
+                                  propertyMapping: Map[String, String] = Map.empty,
+                                  places: Seq[PlaceGroupConfig] = Nil)
 
 final case class ColorMappingConfig(colorBar: String, valueRange: (Double, Double))
 
@@ -75,10 +80,14 @@ object ServiceConfig {
         placeGroupRefs = arr(d, "PlaceGroups")
           .flatMap(pg => str(pg, "PlaceGroupRef")))
     }
-    val placeGroups = arr(root, "PlaceGroups").map { p =>
+    def placeGroup(p: JsonNode): PlaceGroupConfig =
       PlaceGroupConfig(str(p, "Identifier").getOrElse(""),
-        str(p, "Title").getOrElse(""), str(p, "Path").getOrElse(""))
-    }
+        str(p, "Title").getOrElse(""), str(p, "Path").getOrElse(""),
+        propertyMapping = Option(p.get("PropertyMapping"))
+          .map(m => m.properties().asScala.map(e =>
+            e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+        places = arr(p, "Places").map(placeGroup))
+    val placeGroups = arr(root, "PlaceGroups").map(placeGroup)
     val styles = arr(root, "Styles").map { s =>
       val cms = Option(s.get("ColorMappings")).map { cm =>
         cm.properties().asScala.map { e =>

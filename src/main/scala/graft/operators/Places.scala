@@ -26,28 +26,35 @@ object Places {
     * point coordinates are additionally surfaced as x/y columns for
     * pushdown-friendly spatial predicates. */
   def loadGeoJson(spark: org.apache.spark.sql.SparkSession,
-                  path: String): DataFrame = {
+                  path: String, idStart: Long = 1L): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     // Driver-side Jackson parse, like the reference's fiona read: place
     // group files are small config-adjacent data, and spark.read.json
     // cannot unify the coordinates schema across mixed geometry types
     // (Point's [x,y] vs Polygon's [[[x,y],...]] collide in inference).
-    // Sequential ids in file order (reference context.py:377-399).
-    val root = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
-    val feats = root.get("features")
-    val rows = (0 until feats.size()).map { i =>
-      val f = feats.get(i)
-      val geom = f.get("geometry")
-      val gtype = geom.get("type").asText()
-      val (x, y): (Any, Any) =
-        if (gtype == "Point") {
-          val c = geom.get("coordinates")
-          (c.get(0).asDouble(), c.get(1).asDouble())
-        } else (null, null)
-      Row((i + 1).toLong, gtype, geom.toString,
-        Option(f.get("properties")).map(_.toString).orNull, x, y)
+    // Sequential ids in file order starting at idStart (the reference
+    // assigns ids from one GLOBAL counter across groups,
+    // context.py:383-385); `path` may be a glob over collection files
+    // (context.py:378-379).
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var id = idStart - 1
+    val rows = globFiles(path).flatMap { file =>
+      val root = mapper.readTree(java.nio.file.Files.readString(file))
+      val feats = root.get("features")
+      (0 until feats.size()).map { i =>
+        val f = feats.get(i)
+        val geom = f.get("geometry")
+        val gtype = geom.get("type").asText()
+        val (x, y): (Any, Any) =
+          if (gtype == "Point") {
+            val c = geom.get("coordinates")
+            (c.get(0).asDouble(), c.get(1).asDouble())
+          } else (null, null)
+        id += 1
+        Row(id, gtype, geom.toString,
+          Option(f.get("properties")).map(_.toString).orNull, x, y)
+      }
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("id", LongType, nullable = false),
@@ -56,6 +63,22 @@ object Places {
       StructField("properties_json", StringType),
       StructField("x", DoubleType),
       StructField("y", DoubleType))))
+  }
+
+  /** files matching `path` (literal file, or glob in the last
+    * segment), in sorted order for deterministic ids */
+  private def globFiles(path: String): Seq[java.nio.file.Path] = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isRegularFile(p)) Seq(p)
+    else {
+      val dir = Option(p.getParent).getOrElse(java.nio.file.Paths.get("."))
+      if (!java.nio.file.Files.isDirectory(dir)) Nil
+      else {
+        val stream = java.nio.file.Files.newDirectoryStream(
+          dir, p.getFileName.toString)
+        try stream.asScala.toSeq.sortBy(_.toString) finally stream.close()
+      }
+    }
   }
 
   /** Keep rows whose (x, y) point lies inside the WKT geometry. */

@@ -24,7 +24,8 @@ object Catalogue {
       "bbox" -> Json.arr(Seq(b.xMin, b.yMin, b.xMax, b.yMax).map(Json.num)))
   }
 
-  def datasetJson(ds: RegisteredDataset): String = {
+  def datasetJson(ds: RegisteredDataset,
+                  groupTitles: Map[String, String] = Map.empty): String = {
     val g = ds.cube.grid
     val b = g.bbox
     val grid = TileGrid.create(g.width, g.height, None, None, b,
@@ -41,7 +42,7 @@ object Catalogue {
         "colorBarMax" -> Json.num(cm.map(_.valueRange._2).getOrElse(1.0)),
         "tileGrid" -> tileGridJson(grid))
     }
-    Json.obj(
+    val base = Seq(
       "id" -> Json.str(ds.id),
       "title" -> Json.str(ds.title),
       "bbox" -> Json.arr(Seq(b.xMin, b.yMin, b.xMax, b.yMax).map(Json.num)),
@@ -49,6 +50,13 @@ object Catalogue {
       // reference: dimensions are full coordinate dumps in var-dim order
       // (catalogue.py:87-88 → get_dataset_coordinates per dim)
       "dimensions" -> Json.arr(Seq("time", "lat", "lon").map(coordsJson(ds, _))))
+    // dataset-attached place groups (catalogue.py:89-91)
+    val withGroups =
+      if (ds.placeGroupRefs.isEmpty) base
+      else base :+ ("placeGroups" -> Json.arr(ds.placeGroupRefs.map(id =>
+        Json.obj("id" -> Json.str(id),
+          "title" -> Json.str(groupTitles.getOrElse(id, id))))))
+    Json.obj(withGroups: _*)
   }
 
   /** GET /datasets/{ds}/coords/{dim} — one coordinate-variable dump

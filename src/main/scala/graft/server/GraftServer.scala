@@ -80,7 +80,8 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
         send(ex, 200, Catalogue.datasetsJson(ctx), "application/json")
       case ("GET", "datasets" :: ds :: Nil) =>
         withDataset(ex, ds)(d =>
-          send(ex, 200, Catalogue.datasetJson(d), "application/json"))
+          send(ex, 200, Catalogue.datasetJson(d, ctx.placeGroupList.toMap),
+            "application/json"))
       case ("GET", "datasets" :: ds :: "coords" :: dim :: Nil) =>
         withDataset(ex, ds)(d =>
           send(ex, 200, Catalogue.coordsJson(d, dim), "application/json"))
@@ -146,10 +147,17 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
             .map(i => Geo.parseGeoJson(feats.get(i).get("geometry").toString))
           tsMany(ex, d, v, geoms, dateRange(query(ex)))
         }
-      // place-group listing (GetPlaceGroupsHandler → context.py:297-303)
+      // place-group listing (GetPlaceGroupsHandler → context.py:297-303);
+      // nested sub-groups surface as a placeGroups member
       case ("GET", "places" :: Nil) =>
         send(ex, 200, Json.arr(ctx.placeGroupList.map { case (id, title) =>
-          Json.obj("id" -> Json.str(id), "title" -> Json.str(title))
+          val base = Seq("id" -> Json.str(id), "title" -> Json.str(title))
+          val fields = ctx.subGroups.get(id) match {
+            case Some(subs) => base :+ ("placeGroups" ->
+              Json.arr(subs.map(Json.str)))
+            case None => base
+          }
+          Json.obj(fields: _*)
         }), "application/json")
       case ("GET", "places" :: group :: Nil) =>
         val q = query(ex)

@@ -22,7 +22,8 @@ import graft.operators.Resample
 final case class RegisteredDataset(id: String, title: String,
                                    cube: CubeFrame,
                                    style: Option[StyleConfig],
-                                   levels: Seq[CubeFrame] = Nil) {
+                                   levels: Seq[CubeFrame] = Nil,
+                                   placeGroupRefs: Seq[String] = Nil) {
   /** pyramid levels finest→coarsest (the MultiLevelDataset convention,
     * reference mldataset.py:272-305); just the base cube when no levels
     * were materialized. */
@@ -112,6 +113,35 @@ class ServiceContext(val spark: SparkSession) {
   def placeGroupList: Seq[(String, String)] =
     placeGroups.keys.toSeq.sorted.map(id =>
       id -> placeGroupTitles.getOrElse(id, id))
+
+  /** parent group id → sub-group ids (reference nesting: a group's
+    * 'Places' entries become its placeGroups member,
+    * context.py:394-399) */
+  val subGroups = new TrieMap[String, Seq[String]]
+  private val featureCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Load every configured place group (and nested sub-groups) with
+    * ids from one GLOBAL sequential counter, the reference's
+    * _load_place_groups semantics (context.py:342-399). Paths resolve
+    * against `baseDir` and may be globs. */
+  def loadPlaceGroups(cfgs: Seq[graft.model.PlaceGroupConfig],
+                      baseDir: String): Unit =
+    cfgs.foreach { cfg =>
+      require(cfg.identifier.nonEmpty,
+        "Missing 'Identifier' entry in a 'PlaceGroups' item")
+      val path =
+        if (java.nio.file.Paths.get(cfg.path).isAbsolute) cfg.path
+        else java.nio.file.Paths.get(baseDir, cfg.path).toString
+      val df = graft.operators.Places.loadGeoJson(spark, path,
+        idStart = featureCounter.get() + 1)
+      featureCounter.addAndGet(df.count())
+      registerPlaces(cfg.identifier, df,
+        if (cfg.title.isEmpty) cfg.identifier else cfg.title)
+      if (cfg.places.nonEmpty) {
+        subGroups.put(cfg.identifier, cfg.places.map(_.identifier))
+        loadPlaceGroups(cfg.places, baseDir)
+      }
+    }
 
   /** Register a computed dataset by applying a named transform to
     * already-registered inputs (context.py:256-277 wiring). */

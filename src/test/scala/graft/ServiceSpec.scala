@@ -194,6 +194,49 @@ ServiceProvider:
     } finally srv.stop()
   }
 
+  test("config-driven place groups: globs, global ids, sub-groups") {
+    def fc(points: (Double, Double)*): String = {
+      val feats = points.map { case (x, y) =>
+        s"""{"type":"Feature","geometry":{"type":"Point",
+           |"coordinates":[$x,$y]},"properties":{}}""".stripMargin
+      }
+      s"""{"type":"FeatureCollection","features":[${feats.mkString(",")}]}"""
+    }
+    val dir = java.nio.file.Files.createTempDirectory("grp-cfg")
+    java.nio.file.Files.writeString(dir.resolve("a1.geojson"), fc((1, 1), (2, 2)))
+    java.nio.file.Files.writeString(dir.resolve("a2.geojson"), fc((3, 3)))
+    java.nio.file.Files.writeString(dir.resolve("b.geojson"), fc((4, 4), (5, 5)))
+    val cfgs = Seq(
+      graft.model.PlaceGroupConfig("ga", "Group A", s"$dir/a*.geojson",
+        places = Seq(
+          graft.model.PlaceGroupConfig("gb", "Sub B", s"$dir/b.geojson"))))
+    val ctx = new ServiceContext(spark)
+    ctx.loadPlaceGroups(cfgs, baseDir = "/")
+    // glob concatenates both a-files; ids are globally sequential
+    assert(ctx.places("ga").get.select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(ctx.places("gb").get.select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(4L, 5L))
+    assert(ctx.subGroups.get("ga").contains(Seq("gb")))
+    // listing carries the nesting; dataset JSON carries its group refs
+    val grid = CubeGrid(4, 2, 0.0, 0.0, 1.0, latAscending = true)
+    ctx.register(RegisteredDataset("d1", "D1",
+      Cube.synthetic(spark, grid, 1, Seq("v0")), None,
+      placeGroupRefs = Seq("ga")))
+    val srv = new GraftServer(ctx).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(p: String): String = new String(client.send(
+        HttpRequest.newBuilder(URI.create(srv.address + p)).build(),
+        HttpResponse.BodyHandlers.ofByteArray()).body())
+      val listing = get("/places")
+      assert(listing.contains("\"id\":\"ga\""))
+      assert(listing.contains("\"placeGroups\":[\"gb\"]"))
+      val dsJson = get("/datasets/d1")
+      assert(dsJson.contains("\"placeGroups\":[{\"id\":\"ga\",\"title\":\"Group A\"}]"))
+    } finally srv.stop()
+  }
+
   test("computed-dataset transforms: derive, mask, merge (S6/U1)") {
     val ctx = new ServiceContext(spark)
     val grid = CubeGrid(4, 2, 0.0, 0.0, 1.0, latAscending = true)
