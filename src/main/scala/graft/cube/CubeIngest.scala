@@ -23,7 +23,10 @@ import graft.operators.Pyramid
   */
 object CubeIngest {
 
-  /** Write a cube with tile-aligned sort order. */
+  /** Write a cube with tile-aligned sort order. A `_graft_meta.json`
+    * sidecar makes the store self-describing (grid geometry +
+    * variables), so [[open]] needs only the path — the parquet analogue
+    * of a zarr store's `.zattrs`. */
   def writeCube(cube: CubeFrame, path: String, tileSize: Int = 256): Unit = {
     cube.df
       .withColumn("p_date", to_date(col("time")))
@@ -34,6 +37,65 @@ object CubeIngest {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("p_date")
       .parquet(path)
+    writeMeta(path, cube.grid, cube.variables)
+  }
+
+  private def writeMeta(path: String, grid: CubeGrid,
+                        variables: Seq[String]): Unit = {
+    val g = grid
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_meta.json"),
+      s"""{"grid": {"width": ${g.width}, "height": ${g.height},
+         | "lonMin": ${g.lonMin}, "latMin": ${g.latMin}, "res": ${g.res},
+         | "latAscending": ${g.latAscending}},
+         | "variables": [${variables.map("\"" + _ + "\"").mkString(", ")}]}"""
+        .stripMargin)
+  }
+
+  private def readMeta(path: String): Option[(CubeGrid, Seq[String])] = {
+    val p = java.nio.file.Paths.get(path, "_graft_meta.json")
+    if (!java.nio.file.Files.isRegularFile(p)) None
+    else {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      val g = n.get("grid")
+      val vars = (0 until n.get("variables").size())
+        .map(n.get("variables").get(_).asText())
+      Some((CubeGrid(g.get("width").asInt(), g.get("height").asInt(),
+        g.get("lonMin").asDouble(), g.get("latMin").asDouble(),
+        g.get("res").asDouble(), g.get("latAscending").asBoolean()), vars))
+    }
+  }
+
+  /** Open a self-describing cube store: `.zarr` directories through the
+    * live DSv2, parquet stores through the `_graft_meta.json` sidecar
+    * (resolving `.link` indirection). This is the config-file on-ramp:
+    * a YAML dataset Path needs nothing else. */
+  def open(spark: SparkSession, path: String): CubeFrame = {
+    if (path.endsWith(".zarr"))
+      return graft.sources.ZarrStore.openCube(spark, path)
+    val link = java.nio.file.Paths.get(path + ".link")
+    val resolved =
+      if (java.nio.file.Files.isRegularFile(link))
+        java.nio.file.Files.readString(link).trim
+      else path
+    val (grid, vars) = readMeta(resolved).getOrElse(
+      throw new IllegalArgumentException(
+        s"$resolved has no _graft_meta.json — written by an old ingest?"))
+    CubeFrame(spark.read.parquet(resolved), grid, vars)
+  }
+
+  /** Open all pyramid levels under `<path>` (level=k subdirs), finest
+    * first. */
+  def openLevels(spark: SparkSession, path: String): Seq[CubeFrame] = {
+    val dir = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(dir)) return Nil
+    val ks = java.nio.file.Files.list(dir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(_.startsWith("level="))
+      .map(s => s.stripPrefix("level=").stripSuffix(".link").toInt)
+      .distinct.sorted
+    ks.map(k => open(spark, s"$path/level=$k"))
   }
 
   /** Materialize all pyramid levels under `<path>/level=<k>`. */

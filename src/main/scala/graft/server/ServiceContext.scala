@@ -143,6 +143,32 @@ class ServiceContext(val spark: SparkSession) {
       }
     }
 
+  /** Build the full service from a YAML config (the reference's
+    * Service startup, service.py:179-201 + context wiring): datasets
+    * open from their Path (self-describing parquet stores or .zarr
+    * via the DSv2, sibling `<path>.levels` pyramids picked up),
+    * computed datasets dispatch through the transform registry, place
+    * groups load with global sequential ids, styles attach by name. */
+  def loadConfig(cfg: ServiceConfig, baseDir: String): Unit = {
+    def resolve(p: String): String =
+      if (java.nio.file.Paths.get(p).isAbsolute) p
+      else java.nio.file.Paths.get(baseDir, p).toString
+    loadPlaceGroups(cfg.placeGroups, baseDir)
+    cfg.datasets.foreach { d =>
+      val style = d.style.flatMap(cfg.style)
+      if (d.function.isDefined)
+        registerComputed(d.identifier, d.title, d.function.get,
+          d.inputDatasets, d.inputParameters, style)
+      else {
+        val path = resolve(d.path)
+        val cube = graft.cube.CubeIngest.open(spark, path)
+        val levels = graft.cube.CubeIngest.openLevels(spark, path + ".levels")
+        register(RegisteredDataset(d.identifier, d.title, cube, style,
+          levels = levels, placeGroupRefs = d.placeGroupRefs))
+      }
+    }
+  }
+
   /** Register a computed dataset by applying a named transform to
     * already-registered inputs (context.py:256-277 wiring). */
   def registerComputed(id: String, title: String, function: String,

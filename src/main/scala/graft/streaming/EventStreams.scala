@@ -90,6 +90,31 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: keep only the FIRST occurrence of each key
+    * (the streaming twin of Dedup.exact — an ingestion pipeline drops
+    * repeated documents as they arrive). One boolean of state per seen
+    * key via mapGroupsWithState; at scale state is hash-partitioned by
+    * key across executors and checkpointed, so the seen-set never
+    * gathers on one node. Emits (key, first_id) once per key. */
+  def streamingDedup(rows: DataFrame, keyCol: String,
+                     idCol: String): org.apache.spark.sql.Dataset[(String, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.selectExpr(s"CAST($keyCol AS STRING) AS k", s"$idCol AS id")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(key -> it.map(_._2).min)
+          }
+      }
+  }
+
   /** Stateful per-user sessionization via session windows: Spark's
     * built-in session_window gives the same 30-minute-gap semantics as
     * the batch sessionize query. */

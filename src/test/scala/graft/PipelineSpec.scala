@@ -56,6 +56,47 @@ class PipelineSpec extends SparkSpec {
       norm(Dedup.jaccardPairsInverted(sh, 0.1)))
   }
 
+  test("prefix filtering is exact: agrees with the plain inverted join") {
+    // random corpus over a medium vocabulary so prefixes actually prune
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 300).map(i => s"w$i")
+    val bases = (0 until 120).map(_ =>
+      Seq.fill(8 + rnd.nextInt(25))(words(rnd.nextInt(words.length))))
+    // doc 3k+1 is a small mutation of doc 3k → guaranteed near-dups
+    val docsDf = bases.zipWithIndex.map { case (base, i) =>
+      val text =
+        if (i % 3 == 1) bases(i - 1).take(3) ++ Seq("x", "y") ++
+          bases(i - 1).drop(5)
+        else base
+      (i.toLong, text.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shingles(docsDf, "doc_id", "text").persist()
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getAs[Double]("jaccard"))).toSeq
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val prefix = norm(Dedup.jaccardPairsPrefix(sh, t))
+      val plain = norm(Dedup.jaccardPairsInverted(sh, t))
+      assert(prefix == plain, s"threshold $t: prefix ${prefix.size} pairs" +
+        s" vs plain ${plain.size}")
+      assert(plain.nonEmpty || t > 0.5)
+    }
+    sh.unpersist()
+  }
+
+  test("jaccardPairsAuto guards the dense path on broadcast bytes") {
+    // tiny vocab but a broadcast cap of 1 byte → must take the sparse
+    // (prefix) path and still return identical results
+    val dense = Dedup.jaccardPairsAuto(docs(), "doc_id", "text", 0.5)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val sparse = Dedup.jaccardPairsAuto(docs(), "doc_id", "text", 0.5,
+        denseBroadcastBytes = 1L)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(dense == sparse && dense.nonEmpty)
+  }
+
   test("near-dup clustering: connected components get min-id labels") {
     import spark.implicits._
     // components: {1,2,3} (chain), {5,6}, singleton 9 not in pairs

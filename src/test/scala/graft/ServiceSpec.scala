@@ -194,6 +194,73 @@ ServiceProvider:
     } finally srv.stop()
   }
 
+  test("full service boots from a YAML config file (reference on-ramp)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-svc").toString
+    val grid = CubeGrid(8, 4, 0.0, 50.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0"))
+    CubeIngest.writeCube(cube, s"$dir/cube.parquet", tileSize = 8)
+    graft.sources.ZarrStore.writeZarr(cube, s"$dir/cube.zarr")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "pts.geojson"),
+      """{"type":"FeatureCollection","features":[
+        {"type":"Feature","geometry":{"type":"Point","coordinates":[1.2,51.3]},
+         "properties":{"name":"P"}}]}""")
+    val yaml = s"""
+Datasets:
+  - Identifier: pq
+    Title: Parquet cube
+    FileSystem: local
+    Path: "cube.parquet"
+    Style: default
+    PlaceGroups:
+      - PlaceGroupRef: pts
+  - Identifier: zr
+    Title: Zarr cube
+    FileSystem: local
+    Path: "cube.zarr"
+  - Identifier: weekly
+    Title: Weekly
+    FileSystem: memory
+    Path: "resample_in_time.py"
+    Function: "resample_in_time"
+    InputDatasets: ["pq"]
+    InputParameters:
+      period: "1W"
+PlaceGroups:
+  - Identifier: pts
+    Title: Points
+    Path: "pts.geojson"
+Styles:
+  - Identifier: default
+    ColorMappings:
+      v0:
+        ColorBar: "plasma"
+        ValueRange: [0., 24.]
+"""
+    val ctx = new ServiceContext(spark)
+    ctx.loadConfig(ServiceConfig.fromString(yaml), baseDir = dir)
+    assert(ctx.datasetIds == Seq("pq", "weekly", "zr"))
+    // parquet and zarr stores serve the same cube
+    assert(ctx.dataset("zr").get.cube.df.count() ==
+      ctx.dataset("pq").get.cube.df.count())
+    assert(ctx.dataset("pq").get.placeGroupRefs == Seq("pts"))
+    val srv = new GraftServer(ctx).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(p: String): HttpResponse[Array[Byte]] =
+        client.send(HttpRequest.newBuilder(URI.create(srv.address + p)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+      assert(new String(get("/datasets").body()).contains("\"zr\""))
+      val ts = get("/ts/zr/v0/point?lon=1.2&lat=51.3")
+      assert(ts.statusCode() == 200 &&
+        new String(ts.body()).contains("\"totalCount\":1"))
+      assert(get("/datasets/pq/vars/v0/tiles/0/0/0.png").statusCode() == 200)
+      assert(new String(get("/places/pts?geom=" + java.net.URLEncoder.encode(
+        "POLYGON((0 50, 5 50, 5 53, 0 53, 0 50))", "UTF-8")).body())
+        .contains("\"P\""))
+    } finally srv.stop()
+  }
+
   test("config-driven place groups: globs, global ids, sub-groups") {
     def fc(points: (Double, Double)*): String = {
       val feats = points.map { case (x, y) =>

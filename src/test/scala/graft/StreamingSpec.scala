@@ -30,6 +30,24 @@ class StreamingSpec extends SparkSpec {
     assert(hours.nonEmpty)
   }
 
+  test("streaming dedup keeps only the first occurrence of a key") {
+    val dir = stageEventsDir()
+    // event_type has few distinct values → heavy duplication
+    val stream = EventStreams.streamingDedup(
+      EventStreams.readEvents(spark, dir), keyCol = "event_type",
+      idCol = "event_id")
+    val q = stream.toDF("k", "first_id").writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("dedup_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sf("sf0.001"))
+      .groupBy("event_type").agg(min("event_id").as("first_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == batch)
+    assert(got.size > 1 && got.size < 100) // genuinely deduplicated
+  }
+
   test("flatMapGroupsWithState sessionizer matches batch session count") {
     val dir = stageEventsDir()
     val stream = EventStreams.statefulSessions(
