@@ -237,8 +237,10 @@ Styles:
         ColorBar: "plasma"
         ValueRange: [0., 24.]
 """
-    val ctx = new ServiceContext(spark)
-    ctx.loadConfig(ServiceConfig.fromString(yaml), baseDir = dir)
+    // Main.build is the CLI path: same wiring from a config FILE
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "config.yml"), yaml)
+    val (ctx, _) = graft.server.Main.build(spark, s"$dir/config.yml")
     assert(ctx.datasetIds == Seq("pq", "weekly", "zr"))
     // parquet and zarr stores serve the same cube
     assert(ctx.dataset("zr").get.cube.df.count() ==
