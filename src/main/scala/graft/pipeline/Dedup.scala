@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -320,10 +322,21 @@ object Dedup {
     * diameter — the standard Spark shape for dedup clustering at scale.
     * Returns (id, cluster) with cluster = min doc id of the component.
     */
-  def clusterPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 20,
+                   driverEdgeLimit: Long = 1L << 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
+    // Adaptive small-graph path: near-dup pair graphs are usually tiny
+    // relative to the corpus (only docs with a near-duplicate appear).
+    // Under the edge limit (~32 MB at 1M edges) a driver union-find
+    // replaces O(log diameter) iterative Spark rounds — same labels,
+    // one job. The distributed loop below is the >limit path.
+    if (edges.count() / 2 <= driverEdgeLimit) {
+      val out = clusterOnDriver(pairs)
+      edges.unpersist()
+      return out
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .persist()
@@ -350,11 +363,17 @@ object Dedup {
           least(col("cluster"), coalesce(col("n_min"), col("cluster")))
             .as("cluster"))
       val jump = prop.select(col("id").as("cluster"), col("cluster").as("pj"))
+      // eager localCheckpoint, not persist: `prop` appears TWICE in the
+      // jump join, so without lineage truncation the logical plan
+      // doubles every round (2^rounds nodes — explain/reoptimize blow
+      // up long before the data does). Checkpointing replaces the plan
+      // with a LogicalRDD each round, the standard iterative-algorithm
+      // shape.
       val next = prop.join(jump, Seq("cluster"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("pj"), col("cluster")))
             .as("cluster"))
-        .persist()
+        .localCheckpoint(true)
       val s = labelSum(next)
       labels.unpersist()
       labels = next
@@ -367,6 +386,40 @@ object Dedup {
       s"[graft] clusterPairs: iteration cap $maxIters hit before " +
         "convergence — labels may not be component minima")
     labels
+  }
+
+  /** Driver union-find over a collected pair list (the small-graph
+    * branch of [[clusterPairs]]): path-halving find, union by keeping
+    * the smaller root under natural ordering, so each component's root
+    * IS its min id — identical labels to min-label propagation. */
+  private def clusterOnDriver(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val idType = pairs.schema("id_a").dataType
+    val rows = pairs.select("id_a", "id_b").collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    rows.foreach { r =>
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) {
+        if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val nodes = rows.flatMap(r => Seq(r.get(0), r.get(1))).distinct
+    val out = nodes.map(n => Row(n, find(n))).toSeq
+    pairs.sparkSession.createDataFrame(
+      out.asJava,
+      StructType(Seq(StructField("id", idType), StructField("cluster", idType))))
   }
 
   /** SimHash near-dup pairs within a Hamming radius, via pigeonhole

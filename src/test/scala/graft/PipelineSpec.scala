@@ -101,9 +101,27 @@ class PipelineSpec extends SparkSpec {
     import spark.implicits._
     // components: {1,2,3} (chain), {5,6}, singleton 9 not in pairs
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+    // driver union-find path (small graph)...
     val got = Dedup.clusterPairs(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    assert(got == expect)
+    // ...and the distributed label-propagation path agree
+    val gotDist = Dedup.clusterPairs(pairs, driverEdgeLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == expect)
+  }
+
+  test("clustering paths agree on a long chain (pointer jumping)") {
+    import spark.implicits._
+    // one 40-node chain: diameter 39 → exercises the O(log d) rounds
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val driver = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.clusterPairs(pairs, driverEdgeLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == (1L to 40L).map(_ -> 1L).toMap)
+    assert(dist == driver)
   }
 
   test("minhash LSH recovers the same high-sim pairs as exact jaccard") {
