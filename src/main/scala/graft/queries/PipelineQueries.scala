@@ -194,7 +194,128 @@ object PipelineQueries {
     ORDER BY id_a, id_b"""
   }
 
+  /** Cluster-representative selection: among each near-dup cluster keep
+    * the highest-quality document (the step after clustering in every
+    * curation pipeline — dedup keeps the BEST copy, not an arbitrary
+    * one). Composition: jaccard pairs → connected components → quality
+    * join → per-cluster argmax (quality desc, doc_id asc tiebreak). */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val clusters = Dedup.clusterPairs(
+      Dedup.jaccardPairsAuto(docs, "doc_id", "text", J))
+    val quality = graft.pipeline.TextAnalysis.quality(docs, "doc_id", "text")
+      .select(col("doc_id").as("id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(col("quality_score").desc, col("id"))
+    clusters.join(quality, Seq("id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("id").as("best_doc"), col("quality_score"))
+      .orderBy("cluster")
+  }
+
+  val dedupKeepBestSql: String = {
+    val stop = graft.pipeline.TextAnalysis.Stopwords
+      .map(w => s"'$w'").mkString(", ")
+    // the dedup_clusters CTE chain + quality + per-cluster argmax
+    s"""
+    WITH $thCte, $shCte,
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    near AS (
+      SELECT id_a, id_b FROM pairs
+        JOIN counts ca ON id_a = ca.doc_id
+        JOIN counts cb ON id_b = cb.doc_id
+      WHERE ROUND(common / (ca.n + cb.n - common), 6) >= $J),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM near
+      UNION ALL SELECT id_b, id_a FROM near),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+      SELECT a, b FROM r),
+    clusters AS (
+      SELECT id, MIN(lbl) AS cluster FROM (
+        SELECT src AS id, src AS lbl FROM edges
+        UNION ALL SELECT a, b FROM reach)
+      GROUP BY id),
+    q AS (SELECT doc_id AS id,
+      ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) *
+        (1.0 - CAST(len(list_filter(string_split(text, ' '),
+           x -> x IN ($stop))) AS DOUBLE) / len(string_split(text, ' '))), 6)
+        AS quality_score
+      FROM documents),
+    ranked AS (
+      SELECT c.cluster, c.id, q.quality_score, ROW_NUMBER() OVER
+        (PARTITION BY c.cluster ORDER BY q.quality_score DESC, c.id) AS rn
+      FROM clusters c JOIN q ON c.id = q.id)
+    SELECT cluster, id AS best_doc, quality_score
+    FROM ranked WHERE rn = 1 ORDER BY cluster"""
+  }
+
+  /** Deterministic stratified sampling (training-data mixing): each
+    * source keeps a per-source quota by thresholding a cross-engine
+    * arithmetic hash of doc_id — reproducible on any engine, no RNG
+    * state, trivially distributable (a pure filter). Output: per-source
+    * totals and kept counts. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+    val rate = when(col("source").isin("src1", "src2", "src3"), lit(50L))
+      .otherwise(lit(10L))
+    docs.select(col("source"), h.as("h"), rate.as("rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("h") < col("rate"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val sampleStratifiedSql: String = """
+    SELECT source, COUNT(*) AS n_total,
+      SUM(CASE WHEN (doc_id * 2654435761) % 100 <
+        (CASE WHEN source IN ('src1','src2','src3') THEN 50 ELSE 10 END)
+        THEN 1 ELSE 0 END) AS n_kept
+    FROM documents GROUP BY source ORDER BY source"""
+
   // ------------------------------------------------------------- similarity
+  /** Matryoshka-style truncated retrieval: rank on the first 16 dims
+    * only (renormalized). The modern cheap-retrieval trick — a prefix
+    * of an MRL-trained embedding is itself a valid embedding; at scale
+    * the truncated scan reads/computes 1/4 of the vector bytes and a
+    * full-dim rerank (sim_cosine_topk) follows on the short list. */
+  def simTopKMrl(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("embedding", slice(col("embedding"), 1, 16))
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 30),
+        "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val simTopKMrlSql: String = {
+    def dot16(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | [CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)
+         |  FOR i IN range(1, 17)]),
+         | (x, y) -> x + y)""".stripMargin
+    s"""
+    WITH e AS (SELECT vec_id, embedding,
+      sqrt(${dot16("embedding", "embedding")}) AS norm FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ROUND(${dot16("q.embedding", "c.embedding")} / (q.norm * c.norm), 6) AS cos
+      FROM e q, e c WHERE q.vec_id < 30 AND c.vec_id != q.vec_id),
+    ranked AS (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM pairs)
+    SELECT query_id, neighbor_id, cos, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""
+  }
+
   def simTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 30),
@@ -416,7 +537,10 @@ object PipelineQueries {
     QuerySpec("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QuerySpec("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QuerySpec("dedup_emb_cosine", dedupEmbCosine, Some(dedupEmbCosineSql)),
+    QuerySpec("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
+    QuerySpec("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QuerySpec("sim_cosine_topk", simTopK, Some(simTopKSql)),
+    QuerySpec("sim_topk_mrl", simTopKMrl, Some(simTopKMrlSql)),
     QuerySpec("sim_ann_lsh", simAnnLsh, Some(simAnnLshSql)),
     QuerySpec("text_quality", textQuality, Some(textQualitySql)),
     QuerySpec("text_langid", textLangId, Some(textLangIdSql)),
