@@ -74,6 +74,8 @@ object CubeIngest {
   def open(spark: SparkSession, path: String): CubeFrame = {
     if (path.endsWith(".zarr"))
       return graft.sources.ZarrStore.openCube(spark, path)
+    if (path.endsWith(".nc"))
+      return graft.sources.NetcdfStore.openCube(spark, path)
     val link = java.nio.file.Paths.get(path + ".link")
     val resolved =
       if (java.nio.file.Files.isRegularFile(link))

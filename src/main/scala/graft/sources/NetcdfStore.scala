@@ -1,0 +1,242 @@
+package graft.sources
+
+import java.io.RandomAccessFile
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import graft.cube.{CubeFrame, CubeGrid}
+
+/** Minimal NetCDF-3 "classic" reader/writer (SURVEY S1 live path —
+  * the reference opens NetCDF datasets via xarray, context.py:245-250).
+  * The classic format is a fully public, self-contained binary layout
+  * (header: dims / global attrs / var table with begin offsets; data:
+  * big-endian contiguous row-major), so no native library is needed.
+  *
+  * Supported subset (documented narrowing):
+  *  - format versions 1 (32-bit offsets) and 2 (64-bit offsets);
+  *  - FIXED dimensions only (record/unlimited variables rejected);
+  *  - numeric types BYTE/SHORT/INT/FLOAT/DOUBLE (all surfaced as
+  *    double — NetCDF classic has no 64-bit integer type);
+  *  - cube convention: dims (time, lat, lon); 1-D coordinate vars of
+  *    the same names (time = epoch MICROseconds as double, exact for
+  *    |t| < 2^53); data vars shaped (time, lat, lon).
+  *
+  * NetCDF-4 is an HDF5 container — out of scope (that on-ramp is
+  * "convert to zarr or classic", which the xcube stack does too).
+  */
+object NetcdfStore {
+
+  final case class NcDim(name: String, length: Int)
+  final case class NcVar(name: String, dimIds: Seq[Int], ncType: Int,
+                         begin: Long) {
+    def elemBytes: Int = ncType match {
+      case 1 => 1; case 3 => 2; case 4 => 4; case 5 => 4; case 6 => 8
+      case other =>
+        throw new IllegalArgumentException(s"unsupported nc_type $other")
+    }
+  }
+  final case class NcHeader(dims: Seq[NcDim], vars: Seq[NcVar]) {
+    def dim(name: String): NcDim = dims.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no dimension $name"))
+    def variable(name: String): NcVar = vars.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no variable $name"))
+    def shapeOf(v: NcVar): Seq[Int] = v.dimIds.map(dims(_).length)
+  }
+
+  // ------------------------------------------------------------- parse
+
+  def readHeader(path: String): NcHeader = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    require(buf.get() == 'C' && buf.get() == 'D' && buf.get() == 'F',
+      s"$path is not a NetCDF classic file")
+    val version = buf.get()
+    require(version == 1 || version == 2,
+      s"unsupported NetCDF version $version (classic 1/2 only — " +
+        "NetCDF-4/HDF5 must be converted)")
+    val numrecs = buf.getInt()
+    def name(): String = {
+      val n = buf.getInt()
+      val b = new Array[Byte](n)
+      buf.get(b)
+      buf.position(buf.position() + ((4 - n % 4) % 4)) // names pad to 4
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def skipAttrs(): Unit = {
+      val tag = buf.getInt()
+      val n = buf.getInt()
+      if (tag == 0) { require(n == 0); return } // ABSENT
+      require(tag == 0x0C, s"bad attr tag $tag")
+      (0 until n).foreach { _ =>
+        name()
+        val t = buf.getInt()
+        val cnt = buf.getInt()
+        val size = t match {
+          case 1 | 2 => cnt; case 3 => cnt * 2; case 4 | 5 => cnt * 4
+          case 6 => cnt * 8
+          case other => throw new IllegalArgumentException(s"attr type $other")
+        }
+        buf.position(buf.position() + size + ((4 - size % 4) % 4))
+      }
+    }
+    // dim_list
+    val dimTag = buf.getInt(); val nDims = buf.getInt()
+    val dims =
+      if (dimTag == 0) { require(nDims == 0); Seq.empty }
+      else {
+        require(dimTag == 0x0A, s"bad dim tag $dimTag")
+        (0 until nDims).map(_ => NcDim(name(), buf.getInt()))
+      }
+    require(!dims.exists(_.length == 0) || numrecs == 0,
+      "record (unlimited) variables are not supported")
+    skipAttrs() // global attributes
+    // var_list
+    val varTag = buf.getInt(); val nVars = buf.getInt()
+    val vars =
+      if (varTag == 0) { require(nVars == 0); Seq.empty }
+      else {
+        require(varTag == 0x0B, s"bad var tag $varTag")
+        (0 until nVars).map { _ =>
+          val vn = name()
+          val nd = buf.getInt()
+          val dimIds = (0 until nd).map(_ => buf.getInt())
+          skipAttrs()
+          val t = buf.getInt()
+          buf.getInt() // vsize (recomputable)
+          val begin = if (version == 1) buf.getInt().toLong else buf.getLong()
+          NcVar(vn, dimIds, t, begin)
+        }
+      }
+    NcHeader(dims, vars)
+  }
+
+  /** Read one hyperslab of `v`: `count` elements starting at flat
+    * element offset `start` (row-major). */
+  def readSlab(path: String, v: NcVar, start: Long,
+               count: Int): Array[Double] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val es = v.elemBytes
+      raf.seek(v.begin + start * es)
+      val raw = new Array[Byte](count * es)
+      raf.readFully(raw)
+      val buf = ByteBuffer.wrap(raw).order(ByteOrder.BIG_ENDIAN)
+      val out = new Array[Double](count)
+      var i = 0
+      v.ncType match {
+        case 1 => while (i < count) { out(i) = buf.get(i).toDouble; i += 1 }
+        case 3 => while (i < count) { out(i) = buf.getShort(i * 2).toDouble; i += 1 }
+        case 4 => while (i < count) { out(i) = buf.getInt(i * 4).toDouble; i += 1 }
+        case 5 => while (i < count) { out(i) = buf.getFloat(i * 4).toDouble; i += 1 }
+        case 6 => while (i < count) { out(i) = buf.getDouble(i * 8); i += 1 }
+      }
+      out
+    } finally raf.close()
+  }
+
+  def read1d(path: String, header: NcHeader, name: String): Array[Double] = {
+    val v = header.variable(name)
+    require(v.dimIds.length == 1, s"$name is not 1-D")
+    readSlab(path, v, 0L, header.shapeOf(v).head)
+  }
+
+  /** 3-D (time, lat, lon) data variable names. */
+  def variableNames(header: NcHeader): Seq[String] = {
+    val want = Seq("time", "lat", "lon").map(n =>
+      header.dims.indexWhere(_.name == n))
+    header.vars.filter(_.dimIds == want).map(_.name).sorted
+  }
+
+  // ------------------------------------------------------------- writer
+
+  /** Export a cube as NetCDF-3 classic (version 2, 64-bit offsets) —
+    * driver-side fixture/ingest path, same caveat as
+    * [[ZarrStore.writeZarr]]. */
+  def writeNetcdf(cube: CubeFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val g = cube.grid
+    val times = cube.df.select(col("time")).distinct().orderBy(col("time"))
+      .collect().map(_.getTimestamp(0))
+    val (nt, nh, nw) = (times.length, g.height, g.width)
+    val tIdx = times.zipWithIndex.toMap
+
+    def padded(n: String): Int = 4 + n.length + ((4 - n.length % 4) % 4)
+    val dims = Seq("time" -> nt, "lat" -> nh, "lon" -> nw)
+    val coordVars = Seq(("time", 0, nt), ("lat", 1, nh), ("lon", 2, nw))
+    val dataVars = cube.variables
+    // header size: magic(4) numrecs(4) + dim_list + gatts(8) + var_list
+    var size = 4 + 4 + 8 + dims.map(d => padded(d._1) + 4).sum + 8 + 8
+    def varHeaderSize(name: String, ndims: Int): Int =
+      padded(name) + 4 + 4 * ndims + 8 /*atts*/ + 4 /*type*/ + 4 /*vsize*/ +
+        8 /*begin, v2*/
+    size += coordVars.map(v => varHeaderSize(v._1, 1)).sum
+    size += dataVars.map(v => varHeaderSize(v, 3)).sum
+
+    val begins = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var off = size.toLong
+    coordVars.foreach { case (n, _, len) => begins(n) = off; off += len * 8L }
+    dataVars.foreach { n => begins(n) = off; off += nt.toLong * nh * nw * 8L }
+
+    val out = ByteBuffer.allocate(off.toInt).order(ByteOrder.BIG_ENDIAN)
+    out.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(2.toByte)
+    out.putInt(0) // numrecs
+    def putName(n: String): Unit = {
+      out.putInt(n.length)
+      out.put(n.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (0 until (4 - n.length % 4) % 4).foreach(_ => out.put(0.toByte))
+    }
+    out.putInt(0x0A).putInt(dims.length)
+    dims.foreach { case (n, len) => putName(n); out.putInt(len) }
+    out.putInt(0).putInt(0) // no global attrs
+    out.putInt(0x0B).putInt(coordVars.length + dataVars.length)
+    def putVar(name: String, dimIds: Seq[Int], nElems: Long,
+               begin: Long): Unit = {
+      putName(name)
+      out.putInt(dimIds.length)
+      dimIds.foreach(out.putInt)
+      out.putInt(0).putInt(0) // no attrs
+      out.putInt(6) // NC_DOUBLE
+      out.putInt((nElems * 8L).min(Int.MaxValue).toInt) // vsize (spec'd)
+      out.putLong(begin)
+    }
+    coordVars.foreach { case (n, dimId, len) =>
+      putVar(n, Seq(dimId), len, begins(n)) }
+    dataVars.foreach(n =>
+      putVar(n, Seq(0, 1, 2), nt.toLong * nh * nw, begins(n)))
+
+    // data: coordinates
+    times.foreach(t =>
+      out.putDouble((t.getTime * 1000L + (t.getNanos / 1000) % 1000).toDouble))
+    (0 until nh).foreach(y => out.putDouble(g.latOfY(y)))
+    (0 until nw).foreach(x => out.putDouble(g.lonOfX(x)))
+    // data: variables
+    cube.variables.foreach { v =>
+      val arr = Array.fill(nt * nh * nw)(Double.NaN)
+      cube.df.select(col("time"), col("y_idx"), col("x_idx"),
+          col(v).cast("double")).collect().foreach { r =>
+        val t = tIdx(r.getTimestamp(0))
+        arr((t * nh + r.getInt(1)) * nw + r.getInt(2)) =
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
+      }
+      arr.foreach(out.putDouble)
+    }
+    Files.write(Paths.get(path), out.array())
+  }
+
+  /** Open a NetCDF-3 file as a CubeFrame through the DSv2 relation
+    * (grid geometry derived from the lat/lon coordinate variables). */
+  def openCube(spark: org.apache.spark.sql.SparkSession,
+               path: String): CubeFrame = {
+    val header = readHeader(path)
+    val lat = read1d(path, header, "lat")
+    val lon = read1d(path, header, "lon")
+    val res = if (lat.length > 1) math.abs(lat(1) - lat(0))
+              else if (lon.length > 1) math.abs(lon(1) - lon(0)) else 1.0
+    val latAsc = lat.length < 2 || lat(1) > lat(0)
+    val grid = CubeGrid(lon.length, lat.length,
+      lon.min - res / 2, lat.min - res / 2, res, latAsc)
+    val df = spark.read.format(classOf[ZarrDataSource].getName)
+      .option("path", path).load()
+    CubeFrame(df, grid, variableNames(header))
+  }
+}

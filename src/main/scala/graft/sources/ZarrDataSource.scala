@@ -14,12 +14,15 @@ import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** DataSourceV2 read connector for Zarr v2 cube stores (SURVEY S1-S3:
-  * the live on-ramp the reference gets from xarray's zarr engine,
-  * context.py:245-250). One Spark input partition per zarr CHUNK triple
-  * (time, y, x) — the chunk-aligned planning of mldataset.py:437-456 —
-  * so task parallelism and IO granularity follow the store's own
-  * layout, the property that keeps reads sequential at 100 TB.
+/** DataSourceV2 read connector for cube stores — Zarr v2 directories
+  * and NetCDF-3 classic files, dispatched by path suffix through
+  * [[StoreOps]] (SURVEY S1-S3: the live on-ramp the reference gets
+  * from xarray's zarr/netcdf engines, context.py:245-250). One Spark
+  * input partition per CHUNK triple (time, y, x) — the chunk-aligned
+  * planning of mldataset.py:437-456; a NetCDF variable reads as one
+  * chunk per time slice, matching its contiguous layout — so task
+  * parallelism and IO granularity follow the store's own layout, the
+  * property that keeps reads sequential at 100 TB.
   *
   * Pushdown:
   *  - column pruning reaches the chunk files: a projection of one
@@ -38,6 +41,7 @@ class ZarrDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ZarrDataSource.schemaFor(ZarrDataSource.pathOf(options))
 
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
     new ZarrTable(properties.get("path"), schema)
@@ -53,7 +57,7 @@ object ZarrDataSource {
   }
 
   def schemaFor(path: String): StructType = {
-    val vars = ZarrStore.variableNames(path)
+    val vars = StoreOps.forPath(path).variableNames
     StructType(Seq(
       StructField("time", TimestampType, nullable = false),
       StructField("y_idx", IntegerType, nullable = false),
@@ -178,18 +182,19 @@ class ZarrScan(path: String, required: StructType, bounds: ZarrBounds)
     s"ZarrScan path=$path chunkPruning=[$b]"
   }
 
-  private lazy val vars = ZarrStore.variableNames(path)
+  private lazy val ops = StoreOps.forPath(path)
+  private lazy val vars = ops.variableNames
   private lazy val projectedVars =
     vars.filter(required.fieldNames.contains)
   /** chunk geometry comes from the first 3-D array; all arrays must
     * share it (the store contract) */
-  private lazy val meta = ZarrStore.readArrayMeta(path,
+  private lazy val meta = ops.arrayMeta(
     projectedVars.headOption.getOrElse(vars.head))
-  private lazy val timeUs = ZarrStore.read1dLongs(path, "time")
+  private lazy val timeUs = ops.read1dLongs("time")
 
   override def planInputPartitions(): Array[InputPartition] = {
     projectedVars.foreach { v =>
-      val m = ZarrStore.readArrayMeta(path, v)
+      val m = ops.arrayMeta(v)
       require(m.shape == meta.shape && m.chunks == meta.chunks,
         s"variable $v chunking ${m.chunks} differs from ${meta.chunks}")
     }
@@ -219,22 +224,22 @@ class ZarrScan(path: String, required: StructType, bounds: ZarrBounds)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZarrReaderFactory(path, required, meta, projectedVars, timeUs,
-      ZarrStore.read1d(path, "lat"), ZarrStore.read1d(path, "lon"))
+    new ZarrReaderFactory(ops, required, meta, projectedVars, timeUs,
+      ops.read1d("lat"), ops.read1d("lon"))
 }
 
-class ZarrReaderFactory(path: String, required: StructType,
+class ZarrReaderFactory(ops: StoreOps, required: StructType,
                         meta: ZarrStore.ArrayMeta, vars: Seq[String],
                         timeUs: Array[Long], lat: Array[Double],
                         lon: Array[Double])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val zp = p.asInstanceOf[ZarrInputPartition]
-    new ZarrPartitionReader(path, required, meta, vars, timeUs, lat, lon, zp)
+    new ZarrPartitionReader(ops, required, meta, vars, timeUs, lat, lon, zp)
   }
 }
 
-class ZarrPartitionReader(path: String, required: StructType,
+class ZarrPartitionReader(ops: StoreOps, required: StructType,
                           meta: ZarrStore.ArrayMeta, vars: Seq[String],
                           timeUs: Array[Long], lat: Array[Double],
                           lon: Array[Double], part: ZarrInputPartition)
@@ -251,8 +256,7 @@ class ZarrPartitionReader(path: String, required: StructType,
   private val xLen = math.min(cx, nw - x0)
 
   private val chunkData: Map[String, Array[Double]] = vars.map(v =>
-    v -> ZarrStore.readChunk(path, v, meta,
-      Seq(part.tc, part.yc, part.xc))).toMap
+    v -> ops.readChunk(v, meta, Seq(part.tc, part.yc, part.xc))).toMap
 
   // field emitters resolved once (projection order = required order)
   private val emitters: Array[(Int, Int, Int) => Any] =
