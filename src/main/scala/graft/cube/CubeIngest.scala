@@ -92,8 +92,12 @@ object CubeIngest {
   def openLevels(spark: SparkSession, path: String): Seq[CubeFrame] = {
     val dir = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isDirectory(dir)) return Nil
-    val ks = java.nio.file.Files.list(dir).toArray.toSeq
-      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+    val stream = java.nio.file.Files.list(dir)
+    val names =
+      try stream.toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      finally stream.close() // Files.list leaks an fd unless closed
+    val ks = names
       .filter(_.startsWith("level="))
       .map(s => s.stripPrefix("level=").stripSuffix(".link").toInt)
       .distinct.sorted

@@ -71,8 +71,21 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
   @transient private lazy val planeArr: Array[Array[Double]] =
     planes.map(_.toArray).toArray
 
+  /** element width follows the child's array type — array<float> and
+    * array<double> both supported (the SQL fold this replaces accepted
+    * either via an implicit cast) */
+  private def isFloat: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, _) => true
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"hyperplane_bucket needs array<float|double>, got $other")
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
+    val f = isFloat
     var bucket = 0L
     var j = 0
     while (j < planeArr.length) {
@@ -80,7 +93,10 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
       val n = math.min(x.numElements(), p.length)
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += x.getFloat(i).toDouble * p(i); i += 1 }
+      while (i < n) {
+        acc += (if (f) x.getFloat(i).toDouble else x.getDouble(i)) * p(i)
+        i += 1
+      }
       if (acc > 0) bucket |= (1L << j)
       j += 1
     }
@@ -89,6 +105,7 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ps = ctx.addReferenceObj("planes", planeArr, "double[][]")
+    val getter = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, v => {
       val (j, i, n, acc, p, bucket) = (ctx.freshName("j"), ctx.freshName("i"),
         ctx.freshName("n"), ctx.freshName("acc"), ctx.freshName("p"),
@@ -100,7 +117,7 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
          |  int $n = java.lang.Math.min($v.numElements(), $p.length);
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += (double)$v.getFloat($i) * $p[$i];
+         |    $acc += (double)$v.$getter($i) * $p[$i];
          |  }
          |  if ($acc > 0) $bucket |= (1L << $j);
          |}

@@ -173,6 +173,10 @@ object Dedup {
     }
     val bcast = spark.sparkContext.broadcast(all)
     val t = threshold
+    // prefilter threshold loosened by 1e-6 like the prefix path: the
+    // published jaccard is rounded to 6 dp before the >= t comparison,
+    // so a pair at J = t - 4e-7 rounds UP to t and must not be pruned
+    val tPre = threshold - 1e-6
     val pairs = docs.rdd.mapPartitions { it =>
       val ref = bcast.value
       it.flatMap { r =>
@@ -185,7 +189,7 @@ object Dedup {
         while (j < ref.length) {
           val (idB, bmB, nB) = ref(j)
           if (cmpA.compareTo(idB) < 0 &&
-              math.min(nA, nB) >= t * math.max(nA, nB)) {
+              math.min(nA, nB) >= tPre * math.max(nA, nB)) {
             var c = 0L
             var w = 0
             while (w < words) {
@@ -340,17 +344,11 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .persist()
-    // Labels only ever decrease (least of self, neighbor min, and the
-    // label's own label), so Σ labels is a strictly-decreasing monotone:
-    // convergence ⟺ the sum is unchanged. That makes the per-round
-    // convergence check ONE aggregate on the new table instead of a
-    // join-and-count against the old one. The pointer-jumping step
-    // (cluster := label[cluster]) doubles propagation distance per
-    // round, so rounds are O(log diameter), not O(diameter).
-    def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("cluster")).cast("decimal(38,0)")).head()
-        .getDecimal(0)
-    var prevSum = labelSum(labels)
+    // The pointer-jumping step (cluster := label[cluster]) doubles
+    // propagation distance per round, so rounds are O(log diameter),
+    // not O(diameter). Convergence is detected by carrying the old
+    // label through the round and counting decreases — type-agnostic
+    // (ids may be strings) and overflow-free, unlike a Σlabels check.
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -359,7 +357,7 @@ object Dedup {
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster")).as("n_min"))
       val prop = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("n_min"), col("cluster")))
             .as("cluster"))
       val jump = prop.select(col("id").as("cluster"), col("cluster").as("pj"))
@@ -369,16 +367,16 @@ object Dedup {
       // up long before the data does). Checkpointing replaces the plan
       // with a LogicalRDD each round, the standard iterative-algorithm
       // shape.
-      val next = prop.join(jump, Seq("cluster"), "left")
-        .select(col("id"),
+      val stepped = prop.join(jump, Seq("cluster"), "left")
+        .select(col("id"), col("old"),
           least(col("cluster"), coalesce(col("pj"), col("cluster")))
             .as("cluster"))
         .localCheckpoint(true)
-      val s = labelSum(next)
+      // cheap second job over the checkpointed RDD, no recompute
+      val changes = stepped.filter(col("cluster") =!= col("old")).count()
       labels.unpersist()
-      labels = next
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      labels = stepped.select("id", "cluster")
+      converged = changes == 0
       i += 1
     }
     edges.unpersist()

@@ -216,12 +216,12 @@ object ColorMaps {
     categories.foreach { case (cat, desc, maps) =>
       b.append(s"    <h2>$cat</h2>\n")
         .append(s"    <p><i>$desc</i></p>\n")
-        .append("    <table style=border: 0\">\n")
+        .append("    <table style=\"border: 0\">\n")
       maps.flatMap(entries).foreach { case (n, png) =>
         b.append("        <tr><td><code>").append(n)
           .append("</code></td><td><img src=\"data:image/png;base64,")
           .append(png)
-          .append("\" width=\"100%%\" height=\"24\"/></td></tr>\n")
+          .append("\" width=\"100%\" height=\"24\"/></td></tr>\n")
       }
       b.append("    </table>\n")
     }

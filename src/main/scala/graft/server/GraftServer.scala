@@ -58,6 +58,11 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
   def start(): GraftServer = { server.start(); this }
   def stop(): Unit = server.stop(0)
 
+  /** Invalidate all cached tiles — must be called whenever the dataset
+    * registry changes (config hot reload), or stale tiles from the old
+    * data are served indefinitely. */
+  def invalidateTiles(): Unit = tileCache.clear()
+
   server.createContext("/", (ex: HttpExchange) => {
     try route(ex)
     catch {
@@ -318,9 +323,13 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
     tileCache.get(key) match {
       case Some(cached) => sendBytes(ex, 200, cached, "image/png")
       case None =>
+        // z indexes the ADVERTISED TileGrid (z=0 coarsest); map through
+        // its numLevels, then clamp into the available level stack —
+        // the two counts agree when levels derive from the same halving
+        // rule, and the clamp degrades to the nearest resolution.
         val levels = d.levelSeq
-        val cube = levels(
-          math.max(0, math.min(levels.length - 1, levels.length - 1 - z)))
+        val cube = levels(math.max(0, math.min(levels.length - 1,
+          Catalogue.tileGridOf(d).numLevels - 1 - z)))
         val png = Render.renderTile(cube, v, d.latestTime, x, y, 256, 256,
           mapping(d, v), flipY = cube.grid.latAscending)
         tileCache.put(key, png)

@@ -51,7 +51,11 @@ object Main {
         Thread.sleep(5000)
         try {
           val cur = watcher()
-          if (!(cur eq last)) { ctx.loadConfig(cur, baseDir); last = cur }
+          if (!(cur eq last)) {
+            ctx.loadConfig(cur, baseDir)
+            server.invalidateTiles() // cached tiles may show old data
+            last = cur
+          }
         } catch {
           case e: Exception =>
             System.err.println(s"[graft] config reload failed: $e")

@@ -25,9 +25,14 @@ final case class RegisteredDataset(id: String, title: String,
                                    levels: Seq[CubeFrame] = Nil,
                                    placeGroupRefs: Seq[String] = Nil) {
   /** pyramid levels finest→coarsest (the MultiLevelDataset convention,
-    * reference mldataset.py:272-305); just the base cube when no levels
-    * were materialized. */
-  def levelSeq: Seq[CubeFrame] = if (levels.isEmpty) Seq(cube) else levels
+    * reference mldataset.py:272-305). When none are materialized the
+    * full pyramid is DERIVED lazily (Pyramid.build returns plans, not
+    * data — a coarse tile then aggregates through the downsample chain
+    * at request time), so the level count always matches the TileGrid
+    * the capabilities advertise and a z=0 request renders the whole
+    * extent, never a full-resolution corner crop. */
+  lazy val levelSeq: Seq[CubeFrame] =
+    if (levels.nonEmpty) levels else graft.operators.Pyramid.build(cube)
 
   /** Latest time step, resolved ONCE per registration — tile requests
     * default to 'current' (reference J5) and must not pay a max(time)

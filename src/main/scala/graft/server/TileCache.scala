@@ -39,6 +39,10 @@ class TileCache(capacityBytes: Long,
   def sizeBytes: Long = synchronized(bytes)
   def size: Int = synchronized(entries.size)
 
+  /** drop everything (dataset registry changed — cached tiles may
+    * render data that no longer exists) */
+  def clear(): Unit = synchronized { entries.clear(); bytes = 0L }
+
   private def remove(key: String): Unit =
     entries.remove(key).foreach(e => bytes -= e.value.length)
 

@@ -45,10 +45,10 @@ object Wmts {
              |      </ows:WGS84BoundingBox>
              |      <Style isDefault="true"><ows:Identifier>Default</ows:Identifier></Style>
              |      <Format>image/png</Format>
-             |      <TileMatrixSetLink><TileMatrixSet>$tmsId</TileMatrixSet></TileMatrixSetLink>
+             |$dimensionXml      <TileMatrixSetLink><TileMatrixSet>$tmsId</TileMatrixSet></TileMatrixSetLink>
              |      <ResourceURL format="image/png" resourceType="tile"
              |        template="$serviceUrl/datasets/${ds.id}/vars/$v/tiles/{TileMatrix}/{TileCol}/{TileRow}.png"/>
-             |$dimensionXml    </Layer>
+             |    </Layer>
              |""".stripMargin)
       }
     }
@@ -74,7 +74,10 @@ object Wmts {
 
   /** Per-layer time `<Dimension>` with ISO value dumps (wmts.py:195-237:
     * UOM ISO8601, Default current, Current true, one <Value> per
-    * coordinate). Empty when the dataset has a single unknown axis. */
+    * coordinate). Placed BEFORE TileMatrixSetLink — the WMTS 1.0
+    * LayerType sequence is Style, Format, InfoFormat, Dimension,
+    * TileMatrixSetLink, ResourceURL; schema-validating clients reject
+    * other orders. */
   def timeDimensionXml(ds: RegisteredDataset): String = {
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)

@@ -160,7 +160,14 @@ object NetcdfStore {
     val (nt, nh, nw) = (times.length, g.height, g.width)
     val tIdx = times.zipWithIndex.toMap
 
-    def padded(n: String): Int = 4 + n.length + ((4 - n.length % 4) % 4)
+    // all name arithmetic in UTF-8 BYTES — String.length counts UTF-16
+    // units and diverges for non-ASCII names, corrupting every offset
+    def nameBytes(n: String): Array[Byte] =
+      n.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def padded(n: String): Int = {
+      val b = nameBytes(n).length
+      4 + b + ((4 - b % 4) % 4)
+    }
     val dims = Seq("time" -> nt, "lat" -> nh, "lon" -> nw)
     val coordVars = Seq(("time", 0, nt), ("lat", 1, nh), ("lon", 2, nw))
     val dataVars = cube.variables
@@ -181,9 +188,10 @@ object NetcdfStore {
     out.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(2.toByte)
     out.putInt(0) // numrecs
     def putName(n: String): Unit = {
-      out.putInt(n.length)
-      out.put(n.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      (0 until (4 - n.length % 4) % 4).foreach(_ => out.put(0.toByte))
+      val b = nameBytes(n)
+      out.putInt(b.length)
+      out.put(b)
+      (0 until (4 - b.length % 4) % 4).foreach(_ => out.put(0.toByte))
     }
     out.putInt(0x0A).putInt(dims.length)
     dims.foreach { case (n, len) => putName(n); out.putInt(len) }

@@ -117,13 +117,18 @@ object ZarrStore {
       val file = Paths.get(store, name, c.toString)
       val start = c * meta.chunks.head
       val len = math.min(meta.chunks.head, meta.shape.head - start)
-      if (Files.isRegularFile(file)) {
-        val raw0 = Files.readAllBytes(file)
-        val raw = if (meta.zlib) inflate(raw0, meta.chunks.head * 8) else raw0
-        val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-        var i = 0
-        while (i < len) { out(start + i) = buf.getLong(i * 8); i += 1 }
-      }
+      // a missing chunk means all-fill in zarr — for a COORDINATE axis
+      // that's a corrupt store (silent epoch-0 timestamps would poison
+      // chunk pruning and every emitted row), so fail loudly
+      if (!Files.isRegularFile(file))
+        throw new IllegalStateException(
+          s"$store/$name: chunk $c is absent — all-fill coordinate axes " +
+            "are not meaningful")
+      val raw0 = Files.readAllBytes(file)
+      val raw = if (meta.zlib) inflate(raw0, meta.chunks.head * 8) else raw0
+      val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < len) { out(start + i) = buf.getLong(i * 8); i += 1 }
     }
     out
   }
@@ -131,10 +136,12 @@ object ZarrStore {
   /** Variable (3-D array) names in the store = subdirs with a .zarray
     * of rank 3. */
   def variableNames(store: String): Seq[String] = {
-    val p = Paths.get(store)
-    val subs = Files.list(p).toArray.toSeq.map(_.asInstanceOf[Path])
-      .filter(d => Files.isRegularFile(d.resolve(".zarray")))
-      .map(_.getFileName.toString).sorted
+    val stream = Files.list(Paths.get(store))
+    val subs =
+      try stream.toArray.toSeq.map(_.asInstanceOf[Path])
+        .filter(d => Files.isRegularFile(d.resolve(".zarray")))
+        .map(_.getFileName.toString).sorted
+      finally stream.close() // Files.list leaks an fd unless closed
     subs.filter(s => readArrayMeta(store, s).shape.length == 3)
   }
 

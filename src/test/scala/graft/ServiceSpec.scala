@@ -479,10 +479,13 @@ Styles:
 
   test("tile route resolves z to pyramid levels (coarse z ≠ fine z)") {
     val ctx = new ServiceContext(spark)
-    val grid = CubeGrid(512, 256, 0.0, -64.0, 0.5, latAscending = true)
+    // 1024×512 → advertised TileGrid has 2 levels (z=1 full res at 2×1
+    // tiles... z=0 half res); the materialized pyramid is finest-first
+    val grid = CubeGrid(1024, 512, 0.0, -64.0, 0.25, latAscending = true)
     val cube = Cube.synthetic(spark, grid, numTimes = 1, Seq("v0"))
+    assert(Catalogue.tileGridOf(RegisteredDataset("x", "x", cube, None))
+      .numLevels == 2)
     val levels = graft.operators.Pyramid.build(cube, graft.operators.Pyramid.Mean)
-    assert(levels.length == 2)
     ctx.register(RegisteredDataset("pyr", "Pyramid cube", cube,
       None, levels = levels))
     val srv = new GraftServer(ctx).start()
@@ -491,14 +494,14 @@ Styles:
       def get(p: String): HttpResponse[Array[Byte]] =
         client.send(HttpRequest.newBuilder(URI.create(srv.address + p)).build(),
           HttpResponse.BodyHandlers.ofByteArray())
-      // z=1 → level 0 (full res, 2×1 tiles); z=0 → level 1 (one tile)
+      // z=1 (finest advertised) → level 0; z=0 → level 1 (512-wide)
       val fine = get("/datasets/pyr/vars/v0/tiles/1/0/0.png")
       val coarse = get("/datasets/pyr/vars/v0/tiles/0/0/0.png")
       assert(fine.statusCode() == 200 && coarse.statusCode() == 200)
       assert(fine.body().take(4).toSeq ==
         Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
-      // the coarse tile covers the whole grid, the fine tile only the
-      // left half — a z-ignoring handler would return identical bytes
+      // the z=0 tile covers twice the extent of the z=1 tile — a
+      // z-ignoring handler would return identical bytes
       assert(!java.util.Arrays.equals(fine.body(), coarse.body()))
     } finally srv.stop()
   }
