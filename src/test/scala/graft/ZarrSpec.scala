@@ -64,6 +64,19 @@ class ZarrSpec extends SparkSpec {
     assert(pruned.contains("ReadSchema") || pruned.contains("time"))
   }
 
+  test("zarr absent COORDINATE chunk fails loudly (no epoch-0 times)") {
+    val grid = CubeGrid(8, 4, 0.0, 0.0, 1.0, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zarr").toString
+    ZarrStore.writeZarr(cube, s"$dir/c.zarr", zlib = false)
+    assert(java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/c.zarr/time/0")))
+    val e = intercept[IllegalStateException] {
+      ZarrStore.read1dLongs(s"$dir/c.zarr", "time")
+    }
+    assert(e.getMessage.contains("absent"))
+  }
+
   test("zarr missing chunks read as fill value (NaN)") {
     val grid = CubeGrid(8, 4, 0.0, 0.0, 1.0, latAscending = true)
     val cube = Cube.synthetic(spark, grid, numTimes = 1, Seq("v0"),
