@@ -329,7 +329,7 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
         // rule, and the clamp degrades to the nearest resolution.
         val levels = d.levelSeq
         val cube = levels(math.max(0, math.min(levels.length - 1,
-          Catalogue.tileGridOf(d).numLevels - 1 - z)))
+          d.tileGrid.numLevels - 1 - z)))
         val png = Render.renderTile(cube, v, d.latestTime, x, y, 256, 256,
           mapping(d, v), flipY = cube.grid.latAscending)
         tileCache.put(key, png)

@@ -42,6 +42,10 @@ final case class RegisteredDataset(id: String, title: String,
     cube.df.agg(max(col("time"))).head().getTimestamp(0)
   }
 
+  /** advertised tile grid, memoized (pure driver arithmetic, but
+    * recomputing per tile request is silly) */
+  lazy val tileGrid: graft.grid.TileGrid = Catalogue.tileGridOf(this)
+
   /** The time coordinate axis, resolved once per registration (one
     * distinct scan over the 1-D time column — ≤ #time-steps rows, the
     * reference's coord-variable dump of catalogue.py:97-111). */

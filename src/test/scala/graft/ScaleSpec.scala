@@ -60,6 +60,30 @@ class ScaleSpec extends SparkSpec {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("ANN corpus partitioned by LSH bucket prunes the probe scan") {
+    import graft.pipeline.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    val ps = Similarity.planes(8, 8)
+    // deterministic float vectors, dim 8
+    val emb = spark.range(2000).select(col("id"),
+      expr("CAST(transform(sequence(0, 7), " +
+        "i -> (CAST(pmod(id * 7 + i * 13, 200) AS DOUBLE) - 100) / 100.0)" +
+        " AS array<float>)").as("vec"))
+    val withBucket = emb.withColumn("bucket",
+      Similarity.bucketCol("vec", ps))
+    withBucket.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/corpus")
+    val back = spark.read.parquet(s"$dir/corpus")
+    val buckets = back.select("bucket").distinct().count()
+    assert(buckets > 4, s"expected a spread of buckets, got $buckets")
+    // probing one bucket must hit partition pruning, not a full scan
+    val probe = back.filter(col("bucket") === 0)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket") ||
+      plan.contains("PartitionFilters: [(bucket"),
+      "bucket probe did not prune partitions:\n" + plan.take(800))
+  }
+
   test("tile service routes z to the matching pyramid level") {
     val grid = CubeGrid(32, 16, 0.0, 0.0, 1.0, latAscending = true)
     val cube = Cube.synthetic(spark, grid, 1, Seq("v0"), nanEvery = 1000)
