@@ -36,6 +36,18 @@ class CacheSpec extends AnyFunSuite {
     assert(c.get("k1").isEmpty) // oldest insert evicted despite hits
   }
 
+  test("clear() drops all entries and byte accounting (hot reload)") {
+    val c = new graft.server.TileCache(1024)
+    c.put("a", Array.fill(100)(1.toByte))
+    c.put("b", Array.fill(100)(2.toByte))
+    assert(c.size == 2 && c.sizeBytes == 200)
+    c.clear()
+    assert(c.size == 0 && c.sizeBytes == 0)
+    assert(c.get("a").isEmpty)
+    c.put("c", Array.fill(10)(3.toByte)) // still usable after clear
+    assert(c.get("c").isDefined)
+  }
+
   test("image-space 2x antialias downsample (A8)") {
     // 4x4 checkerboard of opaque black/white → 2x2 mid-gray-ish blend
     val px = Array.tabulate(16)(i =>

@@ -263,6 +263,26 @@ Styles:
     } finally srv.stop()
   }
 
+  test("re-applying a changed config replaces datasets by identifier") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-reload").toString
+    val grid = CubeGrid(8, 4, 0.0, 50.0, 0.5, latAscending = true)
+    CubeIngest.writeCube(Cube.synthetic(spark, grid, 1, Seq("v0")),
+      s"$dir/cube.parquet", tileSize = 8)
+    def yaml(title: String) = s"""
+Datasets:
+  - Identifier: d
+    Title: $title
+    FileSystem: local
+    Path: "cube.parquet"
+"""
+    val ctx = new ServiceContext(spark)
+    ctx.loadConfig(ServiceConfig.fromString(yaml("Before")), dir)
+    assert(ctx.dataset("d").get.title == "Before")
+    ctx.loadConfig(ServiceConfig.fromString(yaml("After")), dir)
+    assert(ctx.datasetIds == Seq("d"))
+    assert(ctx.dataset("d").get.title == "After")
+  }
+
   test("config-driven place groups: globs, global ids, sub-groups") {
     def fc(points: (Double, Double)*): String = {
       val feats = points.map { case (x, y) =>
