@@ -99,12 +99,15 @@ object Places {
     * EXACT shapely-intersects semantics (places.py:88-91): a feature
     * whose bbox overlaps the box but whose geometry doesn't is
     * excluded. */
-  def featuresIntersectingBox(features: DataFrame, wktCol: String,
+  def featuresIntersectingBox(features: DataFrame, geomCol: String,
                               lonMin: Double, latMin: Double,
-                              lonMax: Double, latMax: Double): DataFrame = {
+                              lonMax: Double, latMax: Double,
+                              geoJson: Boolean = false): DataFrame = {
     val box = Geo.boxSplitGeometry(lonMin, latMin, lonMax, latMax)
-    val hits = udf((wkt: String) => Geo.intersects(Geo.parseWkt(wkt), box))
-    features.filter(hits(col(wktCol)))
+    val parse: String => Geo.Geometry =
+      if (geoJson) Geo.parseGeoJson else Geo.parseWkt
+    val hits = udf((g: String) => Geo.intersects(parse(g), box))
+    features.filter(hits(col(geomCol)))
   }
 
   /** Keep features whose GeoJSON geometry intersects the WKT query

@@ -164,6 +164,27 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
           }
           Json.obj(fields: _*)
         }), "application/json")
+      // features intersecting a DATASET's bounds (FindDatasetPlaces,
+      // places.py:19-29: query geometry = antimeridian-split bbox)
+      case ("GET", "places" :: group :: ds :: Nil) =>
+        withDataset(ex, ds) { d =>
+          val df = ctx.places(group).getOrElse {
+            send(ex, 404, Json.obj("error" ->
+              Json.str(s"no place group $group")), "application/json"); return
+          }
+          val b = d.cube.grid.bbox
+          val feats = Places.featuresIntersectingBox(
+              df.filter(col("geometry_json").isNotNull), "geometry_json",
+              b.xMin, b.yMin, b.xMax, b.yMax, geoJson = true)
+            .collect().map(r => Json.obj(
+              "type" -> Json.str("Feature"),
+              "id" -> r.getAs[Long]("id").toString,
+              "geometry" -> r.getAs[String]("geometry_json"),
+              "properties" -> Option(r.getAs[String]("properties_json"))
+                .getOrElse("null")))
+          send(ex, 200, Json.obj("type" -> Json.str("FeatureCollection"),
+            "features" -> Json.arr(feats)), "application/json")
+        }
       case ("GET", "places" :: group :: Nil) =>
         val q = query(ex)
         if (q.contains("geom") && q.contains("bbox"))

@@ -323,6 +323,14 @@ Datasets:
       assert(listing.contains("\"placeGroups\":[\"gb\"]"))
       val dsJson = get("/datasets/d1")
       assert(dsJson.contains("\"placeGroups\":[{\"id\":\"ga\",\"title\":\"Group A\"}]"))
+      // features within the DATASET's bounds (d1 spans lon 0..4, lat
+      // 0..2): (1,1) inside, (2,2) on the boundary (counts), (3,3)
+      // outside the lat range
+      val inDs = get("/places/ga/d1")
+      assert(inDs.contains("\"FeatureCollection\""))
+      assert(inDs.contains("\"id\":1") && inDs.contains("\"id\":2"))
+      assert(!inDs.contains("\"id\":3"))
+      assert(get("/places/ga/nope").contains("no dataset"))
     } finally srv.stop()
   }
 
