@@ -28,8 +28,7 @@ object Catalogue {
                   groupTitles: Map[String, String] = Map.empty): String = {
     val g = ds.cube.grid
     val b = g.bbox
-    val grid = TileGrid.create(g.width, g.height, None, None, b,
-      invY = g.latAscending)
+    val grid = ds.tileGrid
     val variables = ds.cube.variables.map { v =>
       val cm = ds.style.flatMap(_.colorMappings.get(v))
       Json.obj(

@@ -232,7 +232,7 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
           val client = query(ex).getOrElse("tiles", "ol4")
           val url = s"$address/datasets/${d.id}/vars/$v/tiles/{z}/{x}/{y}.png"
           send(ex, 200, Catalogue.tileSourceOptionsJson(
-            Catalogue.tileGridOf(d), url, client), "application/json")
+            d.tileGrid, url, client), "application/json")
         }
       case ("GET", "colorbars" :: Nil) =>
         send(ex, 200, graft.render.ColorMaps.json, "application/json")

@@ -24,8 +24,7 @@ object Wmts {
 
     datasets.foreach { ds =>
       val g = ds.cube.grid
-      val grid = TileGrid.create(g.width, g.height, None, None, g.bbox,
-        invY = g.latAscending)
+      val grid = ds.tileGrid
       val tmsId = s"TileGrid_${grid.width(grid.maxLevel)}_${grid.height(grid.maxLevel)}"
       if (!seenGrids.contains(tmsId)) {
         seenGrids += tmsId
