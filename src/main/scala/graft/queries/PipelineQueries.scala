@@ -278,9 +278,9 @@ object PipelineQueries {
 
   val sampleStratifiedSql: String = """
     SELECT source, COUNT(*) AS n_total,
-      SUM(CASE WHEN (doc_id * 2654435761) % 100 <
+      CAST(SUM(CASE WHEN (doc_id * 2654435761) % 100 <
         (CASE WHEN source IN ('src1','src2','src3') THEN 50 ELSE 10 END)
-        THEN 1 ELSE 0 END) AS n_kept
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents GROUP BY source ORDER BY source"""
 
   // ------------------------------------------------------------- similarity

@@ -7,6 +7,14 @@ Loads each <out>/<name> parquet result written by graft.Verify, runs the
 matching oracle SQL from <out>/oracle_sql.json in DuckDB against the same
 testdata parquet, and compares: schema (column names), row count, and
 exact values (columns sorted by name, rows sorted by all columns).
+
+The value compare is BYTE-EXACT on stringified cells — including the
+integer/float dtype rendering (so a DuckDB HUGEINT that pandas renders
+as `15.0` fails against Spark's BIGINT `15`), because that is what the
+driver's hasher does. No float tolerance: if a query needs tolerance it
+will fail the driver too, and the fix belongs in the oracle SQL (CAST).
+
+`python3 tools/check.py --selftest` exercises the strictness invariant.
 """
 import sys, os, json, glob
 import duckdb
@@ -63,12 +71,9 @@ def main(outdir: str, sfdir: str) -> int:
         bad = []
         for c in g.columns:
             gv, ev = g[c], e[c]
-            if gv.dtype.kind == "f" or ev.dtype.kind == "f":
-                gq = pd.to_numeric(gv, errors="coerce")
-                eq = pd.to_numeric(ev, errors="coerce")
-                eqm = (gq.isna() & eq.isna()) | (gq == eq)
-            else:
-                eqm = (gv.isna() & ev.isna()) | (gv.astype(str) == ev.astype(str))
+            # Driver-strict: byte-exact stringified compare, dtype
+            # rendering included (BIGINT "15" != HUGEINT/float "15.0").
+            eqm = (gv.isna() & ev.isna()) | (gv.astype(str) == ev.astype(str))
             if not eqm.all():
                 i = int(np.argmin(eqm.values))
                 bad.append(f"{c}[row {i}]: spark={gv.iloc[i]!r} oracle={ev.iloc[i]!r}")
@@ -82,5 +87,22 @@ def main(outdir: str, sfdir: str) -> int:
     return 1 if n_fail else 0
 
 
+def selftest() -> int:
+    """The round-2 regression: an int64 Spark column vs a float64
+    oracle column with equal numeric values MUST mismatch (the driver's
+    hasher sees "15" vs "15.0")."""
+    g = pd.DataFrame({"k": ["a"], "n": np.array([15], dtype="int64")})
+    e = pd.DataFrame({"k": ["a"], "n": np.array([15.0], dtype="float64")})
+    gn, en = norm(g), norm(e)
+    same = bool((gn["n"].astype(str) == en["n"].astype(str)).all())
+    if same:
+        print("SELFTEST FAIL: int64 15 compared equal to float64 15.0")
+        return 1
+    print("SELFTEST PASS: int64 15 != float64 15.0 under strict compare")
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
