@@ -194,7 +194,20 @@ object Render {
     Iterator.iterate(start)(_ + step).takeWhile(_ <= vmax + step * 1e-9).toSeq
   }
 
-  private def tickLabel(v: Double): String =
+  private[graft] def tickLabel(v: Double): String =
     if (v == v.floor && math.abs(v) < 1e7) v.toLong.toString
-    else f"$v%.4g".replaceAll("0+$", "").stripSuffix(".")
+    else {
+      // trim trailing zeros from the MANTISSA only — a blanket
+      // replaceAll("0+$") on "%.4g" output corrupts exponents whose
+      // last digit is 0 ("1.230e+10" -> "1.230e+1")
+      val s = f"$v%.4g"
+      val ei = s.indexWhere(c => c == 'e' || c == 'E')
+      if (ei < 0) s.replaceAll("0+$", "").stripSuffix(".")
+      else {
+        val mant = s.substring(0, ei)
+        val trimmed = if (mant.contains('.'))
+          mant.replaceAll("0+$", "").stripSuffix(".") else mant
+        trimmed + s.substring(ei)
+      }
+    }
 }

@@ -81,6 +81,15 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
     val path = ex.getRequestURI.getPath
     val parts = path.split("/").filter(_.nonEmpty)
     (ex.getRequestMethod, parts.toList) match {
+      // service info document (reference handlers.py:301-307, routed at
+      // app.py:43-45 as the very first URL pattern)
+      case ("GET", Nil) =>
+        send(ex, 200, Json.obj(
+          "name" -> Json.str("graft"),
+          "description" -> Json.str(
+            "graft Server: WMTS, catalogue, tile, feature, time-series " +
+              "services for Spark-backed data cubes"),
+          "version" -> Json.str(GraftServer.Version)), "application/json")
       case ("GET", "datasets" :: Nil) =>
         send(ex, 200, Catalogue.datasetsJson(ctx), "application/json")
       case ("GET", "datasets" :: ds :: Nil) =>
@@ -450,4 +459,10 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
     os.write(body)
     os.close()
   }
+}
+
+object GraftServer {
+  /** Library version surfaced by the `GET /` info document; kept in
+    * sync with build.sbt's `ThisBuild / version`. */
+  val Version = "0.1.0"
 }

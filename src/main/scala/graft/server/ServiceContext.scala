@@ -162,6 +162,14 @@ class ServiceContext(val spark: SparkSession) {
     def resolve(p: String): String =
       if (java.nio.file.Paths.get(p).isAbsolute) p
       else java.nio.file.Paths.get(baseDir, p).toString
+    // The reference rebuilds its context from scratch on reload: the
+    // same config must yield the same feature ids every time, and
+    // datasets / place groups removed from the config must disappear.
+    datasets.clear()
+    placeGroups.clear()
+    placeGroupTitles.clear()
+    subGroups.clear()
+    featureCounter.set(0L)
     loadPlaceGroups(cfg.placeGroups, baseDir)
     cfg.datasets.foreach { d =>
       val style = d.style.flatMap(cfg.style)

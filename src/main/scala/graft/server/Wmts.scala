@@ -15,6 +15,22 @@ object Wmts {
   private val MetersPerDegree = 6378137.0 * 2.0 * math.Pi / 360.0
   private val PixelSizeMeters = 0.28e-3
 
+  /** XML text escape — Json.esc escapes quotes/backslashes but NOT the
+    * XML metacharacters, so a title containing `&` or `<` would yield a
+    * document schema-validating clients reject. */
+  private[graft] def xmlEsc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case '&' => b.append("&amp;")
+      case '<' => b.append("&lt;")
+      case '>' => b.append("&gt;")
+      case '"' => b.append("&quot;")
+      case '\'' => b.append("&apos;")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
   def capabilitiesXml(ctx: ServiceContext, serviceUrl: String,
                       provider: Map[String, String] = Map.empty): String = {
     val datasets = ctx.datasetIds.flatMap(ctx.dataset)
@@ -37,7 +53,7 @@ object Wmts {
         layers.append(
           s"""    <Layer>
              |      <ows:Identifier>${ds.id}.$v</ows:Identifier>
-             |      <ows:Title>${Json.esc(ds.title)} $v</ows:Title>
+             |      <ows:Title>${xmlEsc(ds.title)} $v</ows:Title>
              |      <ows:WGS84BoundingBox>
              |        <ows:LowerCorner>${g.bbox.xMin} ${g.bbox.yMin}</ows:LowerCorner>
              |        <ows:UpperCorner>${g.bbox.xMax} ${g.bbox.yMax}</ows:UpperCorner>
@@ -62,7 +78,7 @@ object Wmts {
        |    <ows:ServiceTypeVersion>1.0.0</ows:ServiceTypeVersion>
        |  </ows:ServiceIdentification>
        |  <ows:ServiceProvider>
-       |    <ows:ProviderName>${Json.esc(provider.getOrElse("ProviderName", "graft"))}</ows:ProviderName>
+       |    <ows:ProviderName>${xmlEsc(provider.getOrElse("ProviderName", "graft"))}</ows:ProviderName>
        |  </ows:ServiceProvider>
        |  <Contents>
        |${layers.toString}${matrixSets.toString}  </Contents>
@@ -98,7 +114,7 @@ object Wmts {
     val b = new StringBuilder("  <Themes>\n")
     datasets.foreach { ds =>
       b.append("    <Theme>\n")
-        .append(s"      <ows:Title>${Json.esc(ds.title)}</ows:Title>\n")
+        .append(s"      <ows:Title>${xmlEsc(ds.title)}</ows:Title>\n")
         .append(s"      <ows:Abstract></ows:Abstract>\n")
         .append(s"      <ows:Identifier>${ds.id}</ows:Identifier>\n")
       ds.cube.variables.foreach { v =>

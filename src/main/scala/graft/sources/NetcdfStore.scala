@@ -45,8 +45,38 @@ object NetcdfStore {
 
   // ------------------------------------------------------------- parse
 
+  /** Parse the header reading only as many bytes as it needs. Headers
+    * are KBs; the data section can be many GBs and every deserialized
+    * reader task calls this (NetcdfOps.header is @transient lazy), so
+    * reading the whole file here would re-buffer gigabytes per task and
+    * fail outright past 2 GB (Int array limit). Start at 8 KiB and
+    * double on underflow until the header fits. */
   def readHeader(path: String): NcHeader = {
-    val bytes = Files.readAllBytes(Paths.get(path))
+    // sane upper bound for any real header; also keeps take in Int range
+    val maxHeader = math.min(Files.size(Paths.get(path)), 256L << 20)
+    val fileLen = maxHeader
+    var n = 8192L
+    while (true) {
+      val take = math.min(n, fileLen)
+      val raf = new RandomAccessFile(path, "r")
+      val raw = new Array[Byte](take.toInt)
+      try { raf.seek(0); raf.readFully(raw) } finally raf.close()
+      try return parseHeader(path, raw)
+      catch {
+        // underflow = ran off the truncated buffer; position() past the
+        // limit surfaces as IllegalArgumentException. A genuine parse
+        // error retries a couple of times and then rethrows once the
+        // whole file is buffered (take == fileLen).
+        case _: java.nio.BufferUnderflowException |
+             _: IndexOutOfBoundsException |
+             _: IllegalArgumentException if take < fileLen =>
+          n *= 4
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def parseHeader(path: String, bytes: Array[Byte]): NcHeader = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     require(buf.get() == 'C' && buf.get() == 'D' && buf.get() == 'F',
       s"$path is not a NetCDF classic file")
@@ -184,6 +214,10 @@ object NetcdfStore {
     coordVars.foreach { case (n, _, len) => begins(n) = off; off += len * 8L }
     dataVars.foreach { n => begins(n) = off; off += nt.toLong * nh * nw * 8L }
 
+    require(off <= Int.MaxValue,
+      s"writeNetcdf builds the file in one in-memory buffer; total size " +
+        s"$off bytes exceeds the 2 GiB limit — write a zarr store instead " +
+        "(ZarrStore.writeZarr streams per chunk)")
     val out = ByteBuffer.allocate(off.toInt).order(ByteOrder.BIG_ENDIAN)
     out.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(2.toByte)
     out.putInt(0) // numrecs

@@ -81,4 +81,13 @@ class RenderSpec extends SparkSpec {
     // picks step 2
     assert(Render.niceTicks(-3.0, 3.0, 5) == Seq(-2.0, 0.0, 2.0))
   }
+
+  test("tick labels: mantissa-only zero trim keeps exponents intact") {
+    assert(Render.tickLabel(5.0) == "5")
+    assert(Render.tickLabel(0.25) == "0.25")
+    // exponent ending in 0 must survive the trailing-zero trim
+    assert(Render.tickLabel(1.23e10) == "1.23e+10")
+    assert(Render.tickLabel(1.5e-10) == "1.5e-10")
+    assert(Render.tickLabel(2.0e20) == "2e+20")
+  }
 }

@@ -579,4 +579,70 @@ Datasets:
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dir/linked/level=0")))
   }
+
+  test("GET / serves the service info document (reference InfoHandler)") {
+    val srv = new GraftServer(new ServiceContext(spark)).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(srv.address + "/")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type")
+        .orElse("") == "application/json")
+      assert(r.body().contains("\"name\":\"graft\""))
+      assert(r.body().contains(
+        "\"version\":\"" + GraftServer.Version + "\""))
+      assert(r.body().contains("\"description\":"))
+    } finally srv.stop()
+  }
+
+  test("WMTS capabilities escapes XML metacharacters in titles") {
+    val ctx = new ServiceContext(spark)
+    val grid = CubeGrid(4, 2, 0.0, 0.0, 1.0, latAscending = true)
+    ctx.register(RegisteredDataset("amp", "A & B <Ocean>",
+      Cube.synthetic(spark, grid, 1, Seq("v0")), None))
+    val xml = Wmts.capabilitiesXml(ctx, "http://x")
+    assert(xml.contains("A &amp; B &lt;Ocean&gt;"))
+    assert(!xml.contains("A & B <Ocean>"))
+    // well-formedness proof: the whole document parses
+    javax.xml.parsers.DocumentBuilderFactory.newInstance.newDocumentBuilder
+      .parse(new java.io.ByteArrayInputStream(
+        xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    assert(Wmts.xmlEsc("a\"b'c") == "a&quot;b&apos;c")
+  }
+
+  test("config reload: feature ids stable across reloads, stale entries dropped") {
+    def fc(points: (Double, Double)*): String = {
+      val feats = points.map { case (x, y) =>
+        s"""{"type":"Feature","geometry":{"type":"Point",
+           |"coordinates":[$x,$y]},"properties":{}}""".stripMargin
+      }
+      s"""{"type":"FeatureCollection","features":[${feats.mkString(",")}]}"""
+    }
+    val dir = java.nio.file.Files.createTempDirectory("reload-ids")
+    java.nio.file.Files.writeString(dir.resolve("a.geojson"), fc((1, 1), (2, 2)))
+    java.nio.file.Files.writeString(dir.resolve("b.geojson"), fc((3, 3)))
+    def yaml(withB: Boolean) = s"""
+PlaceGroups:
+  - Identifier: ga
+    Title: Group A
+    Path: "a.geojson"
+${if (withB) "  - Identifier: gb\n    Title: Group B\n    Path: \"b.geojson\"" else ""}
+"""
+    val ctx = new ServiceContext(spark)
+    ctx.loadConfig(ServiceConfig.fromString(yaml(withB = true)), dir.toString)
+    def ids(g: String): Seq[Long] =
+      ctx.places(g).get.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val (a1, b1) = (ids("ga"), ids("gb"))
+    assert(a1 == Seq(1L, 2L) && b1 == Seq(3L))
+    // identical config reapplied -> identical ids (the counter resets;
+    // pre-fix every reload shifted ids by the previous total)
+    ctx.loadConfig(ServiceConfig.fromString(yaml(withB = true)), dir.toString)
+    assert(ids("ga") == a1 && ids("gb") == b1)
+    // group removed from the config disappears from the registry
+    ctx.loadConfig(ServiceConfig.fromString(yaml(withB = false)), dir.toString)
+    assert(ctx.places("gb").isEmpty)
+    assert(ctx.placeGroupList.map(_._1) == Seq("ga"))
+  }
 }
