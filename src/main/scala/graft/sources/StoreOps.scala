@@ -42,7 +42,7 @@ private[sources] final case class NetcdfOps(path: String) extends StoreOps {
     val shape = header.shapeOf(v)
     val chunks =
       if (shape.length == 3) Seq(1, shape(1), shape(2)) else shape
-    ZarrStore.ArrayMeta(shape, chunks, "<f8", zlib = false, Double.NaN)
+    ZarrStore.ArrayMeta(shape, chunks, "<f8", comp = "null", Double.NaN)
   }
 
   def readChunk(name: String, meta: ZarrStore.ArrayMeta,

@@ -14,8 +14,11 @@ import graft.cube.{CubeFrame, CubeGrid}
   * Supported subset (documented narrowing, SURVEY S1-S3):
   *  - zarr format 2 directory stores;
   *  - C-order arrays, dtypes `<f8`/`<f4`/`<i8`/`<i4`, no filters;
-  *  - compressor `null` or `{"id": "zlib"}` (java.util.zip — blosc
-  *    would need a native dependency this build forbids);
+  *  - compressor `null`, `{"id": "zlib"}` (java.util.zip) or
+  *    `{"id": "blosc"}` with inner codec lz4/lz4hc/zlib and byte- or
+  *    no-shuffle — the zarr-python default — via the pure-JVM frame
+  *    decoder in [[Blosc]] (bit-shuffle / snappy / zstd rejected with
+  *    clear errors);
   *  - cube convention: 1-D coordinate arrays `time` (int64 epoch
   *    MICROseconds), `lat`, `lon`; 3-D variable arrays shaped
   *    (time, lat, lon) sharing one chunk grid.
@@ -27,7 +30,7 @@ object ZarrStore {
 
   /** .zarray metadata for one array. */
   final case class ArrayMeta(shape: Seq[Int], chunks: Seq[Int],
-                             dtype: String, zlib: Boolean,
+                             dtype: String, comp: String,
                              fillValue: Double) {
     def numChunks: Seq[Int] =
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
@@ -44,13 +47,15 @@ object ZarrStore {
 
   private[sources] def parseArrayMeta(node: JsonNode): ArrayMeta = {
     def ints(n: JsonNode): Seq[Int] = (0 until n.size()).map(n.get(_).asInt())
-    val comp = node.get("compressor")
-    val zlib =
-      if (comp == null || comp.isNull) false
-      else comp.get("id").asText() match {
-        case "zlib" => true
+    val compNode = node.get("compressor")
+    val comp =
+      if (compNode == null || compNode.isNull) "null"
+      else compNode.get("id").asText() match {
+        case "zlib" => "zlib"
+        case "blosc" => "blosc" // inner codec is frame-described; the
+                                // decoder rejects unsupported ones loudly
         case other => throw new IllegalArgumentException(
-          s"unsupported zarr compressor $other (supported: null, zlib)")
+          s"unsupported zarr compressor $other (supported: null, zlib, blosc)")
       }
     val fillNode = node.get("fill_value")
     val fill =
@@ -68,7 +73,7 @@ object ZarrStore {
     val filters = node.get("filters")
     if (filters != null && !filters.isNull && filters.size() > 0)
       throw new IllegalArgumentException("zarr filters are not supported")
-    ArrayMeta(ints(node.get("shape")), ints(node.get("chunks")), dtype, zlib, fill)
+    ArrayMeta(ints(node.get("shape")), ints(node.get("chunks")), dtype, comp, fill)
   }
 
   /** Decode one chunk file into doubles in C order (full chunk extent,
@@ -80,7 +85,7 @@ object ZarrStore {
     val file = Paths.get(store, name, chunkIdx.mkString("."))
     if (!Files.isRegularFile(file)) return Array.fill(n)(meta.fillValue)
     val raw0 = Files.readAllBytes(file)
-    val raw = if (meta.zlib) inflate(raw0, n * meta.elemBytes) else raw0
+    val raw = decompress(meta, raw0, n * meta.elemBytes)
     val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Double](n)
     var i = 0
@@ -125,7 +130,7 @@ object ZarrStore {
           s"$store/$name: chunk $c is absent — all-fill coordinate axes " +
             "are not meaningful")
       val raw0 = Files.readAllBytes(file)
-      val raw = if (meta.zlib) inflate(raw0, meta.chunks.head * 8) else raw0
+      val raw = decompress(meta, raw0, meta.chunks.head * 8)
       val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
       var i = 0
       while (i < len) { out(start + i) = buf.getLong(i * 8); i += 1 }
@@ -143,6 +148,13 @@ object ZarrStore {
         .map(_.getFileName.toString).sorted
       finally stream.close() // Files.list leaks an fd unless closed
     subs.filter(s => readArrayMeta(store, s).shape.length == 3)
+  }
+
+  private def decompress(meta: ArrayMeta, raw: Array[Byte],
+                         hint: Int): Array[Byte] = meta.comp match {
+    case "null" => raw
+    case "zlib" => inflate(raw, hint)
+    case "blosc" => Blosc.decode(raw)
   }
 
   private def inflate(data: Array[Byte], hint: Int): Array[Byte] = {
@@ -178,7 +190,7 @@ object ZarrStore {
     * read planner; same chunk math either way). */
   def writeZarr(cube: CubeFrame, path: String,
                 chunkT: Int = 1, chunkY: Int = 256, chunkX: Int = 256,
-                zlib: Boolean = true): Unit = {
+                codec: String = "zlib"): Unit = {
     import org.apache.spark.sql.functions.col
     val g = cube.grid
     val dir = Paths.get(path)
@@ -192,11 +204,11 @@ object ZarrStore {
     val times = cube.df.select(col("time")).distinct().orderBy(col("time"))
       .collect().map(r => r.getTimestamp(0))
     val timeUs = times.map(t => t.getTime * 1000L + (t.getNanos / 1000) % 1000)
-    write1d(dir, "time", timeUs.map(java.lang.Long.valueOf), "<i8", zlib)
+    write1d(dir, "time", timeUs.map(java.lang.Long.valueOf), "<i8", codec)
     val lats = (0 until g.height).map(g.latOfY(_))
     val lons = (0 until g.width).map(g.lonOfX(_))
-    write1dDoubles(dir, "lat", lats.toArray, zlib)
-    write1dDoubles(dir, "lon", lons.toArray, zlib)
+    write1dDoubles(dir, "lat", lats.toArray, codec)
+    write1dDoubles(dir, "lon", lons.toArray, codec)
 
     val tIdx = times.zipWithIndex.toMap
     val (nt, nh, nw) = (times.length, g.height, g.width)
@@ -209,50 +221,64 @@ object ZarrStore {
         arr(c) = if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
       }
       writeArray(dir, v, arr, Seq(nt, nh, nw),
-        Seq(chunkT, math.min(chunkY, nh), math.min(chunkX, nw)), zlib)
+        Seq(chunkT, math.min(chunkY, nh), math.min(chunkX, nw)), codec)
     }
   }
 
+  private def compressorJson(codec: String): String = codec match {
+    case "null" => "null"
+    case "zlib" => """{"id": "zlib", "level": 1}"""
+    case "blosc" =>
+      """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
+    case other =>
+      throw new IllegalArgumentException(s"unknown writer codec $other")
+  }
+
+  private def compress(codec: String, data: Array[Byte],
+                       typesize: Int): Array[Byte] = codec match {
+    case "null" => data
+    case "zlib" => deflate(data)
+    case "blosc" => Blosc.encodeLz4(data, typesize)
+  }
+
   private def zarrayJson(shape: Seq[Int], chunks: Seq[Int], dtype: String,
-                         zlib: Boolean, fill: String): String =
+                         codec: String, fill: String): String =
     s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
        | "chunks": [${chunks.mkString(", ")}], "dtype": "$dtype",
-       | "compressor": ${if (zlib) """{"id": "zlib", "level": 1}""" else "null"},
+       | "compressor": ${compressorJson(codec)},
        | "fill_value": $fill, "order": "C", "filters": null}""".stripMargin
 
   private def write1d(dir: Path, name: String, values: Array[java.lang.Long],
-                      dtype: String, zlib: Boolean): Unit = {
+                      dtype: String, codec: String): Unit = {
     val sub = dir.resolve(name)
     Files.createDirectories(sub)
     Files.writeString(sub.resolve(".zarray"),
-      zarrayJson(Seq(values.length), Seq(values.length), dtype, zlib, "0"))
+      zarrayJson(Seq(values.length), Seq(values.length), dtype, codec, "0"))
     val buf = ByteBuffer.allocate(values.length * 8)
       .order(ByteOrder.LITTLE_ENDIAN)
     values.foreach(v => buf.putLong(v))
-    Files.write(sub.resolve("0"),
-      if (zlib) deflate(buf.array()) else buf.array())
+    Files.write(sub.resolve("0"), compress(codec, buf.array(), 8))
   }
 
   private def write1dDoubles(dir: Path, name: String, values: Array[Double],
-                             zlib: Boolean): Unit = {
+                             codec: String): Unit = {
     val sub = dir.resolve(name)
     Files.createDirectories(sub)
     Files.writeString(sub.resolve(".zarray"),
-      zarrayJson(Seq(values.length), Seq(values.length), "<f8", zlib, "\"NaN\""))
+      zarrayJson(Seq(values.length), Seq(values.length), "<f8", codec, "\"NaN\""))
     val buf = ByteBuffer.allocate(values.length * 8)
       .order(ByteOrder.LITTLE_ENDIAN)
     values.foreach(buf.putDouble)
-    Files.write(sub.resolve("0"),
-      if (zlib) deflate(buf.array()) else buf.array())
+    Files.write(sub.resolve("0"), compress(codec, buf.array(), 8))
   }
 
   private def writeArray(dir: Path, name: String, data: Array[Double],
                          shape: Seq[Int], chunks: Seq[Int],
-                         zlib: Boolean): Unit = {
+                         codec: String): Unit = {
     val sub = dir.resolve(name)
     Files.createDirectories(sub)
     Files.writeString(sub.resolve(".zarray"),
-      zarrayJson(shape, chunks, "<f8", zlib, "\"NaN\""))
+      zarrayJson(shape, chunks, "<f8", codec, "\"NaN\""))
     val Seq(nt, nh, nw) = shape
     val Seq(ct, cy, cx) = chunks
     for {
@@ -269,7 +295,7 @@ object ZarrStore {
           else Double.NaN)
       }
       Files.write(sub.resolve(s"$tc.$yc.$xc"),
-        if (zlib) deflate(buf.array()) else buf.array())
+        compress(codec, buf.array(), 8))
     }
   }
 

@@ -13,7 +13,7 @@ class ZarrSpec extends SparkSpec {
       nanEvery = 7)
     val dir = java.nio.file.Files.createTempDirectory("graft-zarr").toString
     ZarrStore.writeZarr(cube, s"$dir/c.zarr", chunkT = 1, chunkY = 8,
-      chunkX = 16, zlib = true)
+      chunkX = 16, codec = "zlib")
 
     val back = ZarrStore.openCube(spark, s"$dir/c.zarr")
     assert(back.variables == Seq("v0", "v1"))
@@ -44,7 +44,7 @@ class ZarrSpec extends SparkSpec {
       nanEvery = 1000)
     val dir = java.nio.file.Files.createTempDirectory("graft-zarr").toString
     ZarrStore.writeZarr(cube, s"$dir/c.zarr", chunkT = 2, chunkY = 8,
-      chunkX = 16, zlib = false)
+      chunkX = 16, codec = "null")
     val df = ZarrStore.openCube(spark, s"$dir/c.zarr").df
 
     // full scan: (4/2) t-chunks × (16/8) y-chunks × (32/16) x-chunks
@@ -68,7 +68,7 @@ class ZarrSpec extends SparkSpec {
     val grid = CubeGrid(8, 4, 0.0, 0.0, 1.0, latAscending = true)
     val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0"))
     val dir = java.nio.file.Files.createTempDirectory("graft-zarr").toString
-    ZarrStore.writeZarr(cube, s"$dir/c.zarr", zlib = false)
+    ZarrStore.writeZarr(cube, s"$dir/c.zarr", codec = "null")
     assert(java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/c.zarr/time/0")))
     val e = intercept[IllegalStateException] {
@@ -83,7 +83,7 @@ class ZarrSpec extends SparkSpec {
       nanEvery = 1000)
     val dir = java.nio.file.Files.createTempDirectory("graft-zarr").toString
     ZarrStore.writeZarr(cube, s"$dir/c.zarr", chunkT = 1, chunkY = 4,
-      chunkX = 4, zlib = false)
+      chunkX = 4, codec = "null")
     val before = ZarrStore.openCube(spark, s"$dir/c.zarr").df
       .filter(col("v0").isNaN).count()
     // delete one chunk object: zarr semantics = all-fill
@@ -94,5 +94,70 @@ class ZarrSpec extends SparkSpec {
     // the deleted 4×4 chunk (x 4..7, y 0..3) held no synthetic NaNs
     assert(nanCells == before + 4L * 4)
     assert(df.count() == 8L * 4)
+  }
+
+  test("blosc codec: lz4 + shuffle round-trips, memcpy fallback, errors") {
+    import graft.sources.Blosc
+    val rnd = new scala.util.Random(42)
+    // shuffle/unshuffle identity incl. a tail that is not a multiple
+    for (ts <- Seq(2, 4, 8); n <- Seq(0, 5, 128, 1027)) {
+      val data = Array.fill(n)(rnd.nextInt().toByte)
+      assert(Blosc.unshuffle(Blosc.shuffle(data, ts), ts).toSeq == data.toSeq,
+        s"shuffle identity ts=$ts n=$n")
+    }
+    // lz4 block round-trip: compressible, incompressible, tiny
+    for (data <- Seq(
+        Array.fill(4096)(7.toByte),
+        Array.tabulate(10000)(i => (i / 100).toByte),
+        Array.fill(512)(rnd.nextInt().toByte),
+        Array.fill(3)(1.toByte),
+        Array.emptyByteArray)) {
+      val comp = Blosc.lz4Compress(data)
+      val out = new Array[Byte](data.length)
+      assert(Blosc.lz4Decompress(comp, 0, comp.length, out, 0, data.length),
+        s"lz4 decode failed for n=${data.length}")
+      assert(out.toSeq == data.toSeq)
+    }
+    // full frames: doubles (typesize 8), multi-block, odd sizes
+    for (n <- Seq(0, 16, 800, 64 * 1024 + 24, 200 * 1024 + 3)) {
+      val data = Array.tabulate(n)(i => (i % 251).toByte)
+      val frame = Blosc.encodeLz4(data, typesize = 8, blocksizeHint = 32 * 1024)
+      assert(Blosc.decode(frame).toSeq == data.toSeq, s"frame n=$n")
+    }
+    // incompressible input falls back to a valid memcpy frame
+    val noise = Array.fill(4096)(rnd.nextInt().toByte)
+    val raw = Blosc.encodeLz4(noise, typesize = 8)
+    assert(raw.length == 16 + noise.length && (raw(2) & 0x2) != 0)
+    assert(Blosc.decode(raw).toSeq == noise.toSeq)
+    // unsupported shapes fail loudly, not wrongly
+    val zstdFrame = Blosc.encodeLz4(Array.fill(256)(1.toByte), 8).clone()
+    zstdFrame(2) = ((zstdFrame(2) & 0x1F) | (4 << 5)).toByte // codec id 4
+    assert(intercept[IllegalArgumentException](Blosc.decode(zstdFrame))
+      .getMessage.contains("zstd"))
+    val bitshuf = Blosc.encodeLz4(Array.fill(256)(1.toByte), 8).clone()
+    bitshuf(2) = (bitshuf(2) | 0x4).toByte
+    assert(intercept[IllegalArgumentException](Blosc.decode(bitshuf))
+      .getMessage.contains("bit-shuffle"))
+  }
+
+  test("blosc-lz4 zarr store reads bit-identical to the zlib store") {
+    val grid = CubeGrid(32, 16, 0.0, 40.0, 0.25, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0", "v1"),
+      nanEvery = 7)
+    val dir = java.nio.file.Files.createTempDirectory("graft-blosc").toString
+    ZarrStore.writeZarr(cube, s"$dir/z.zarr", chunkT = 1, chunkY = 8,
+      chunkX = 16, codec = "zlib")
+    ZarrStore.writeZarr(cube, s"$dir/b.zarr", chunkT = 1, chunkY = 8,
+      chunkX = 16, codec = "blosc")
+    // the chunk objects really are blosc frames (header magic: version 2)
+    val chunk = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/b.zarr/v0/0.0.0"))
+    assert(chunk(0) == 2 && ((chunk(2) >> 5) & 0x7) == 1) // lz4 codec id
+    val cols = Seq("time", "y_idx", "x_idx", "lat", "lon", "v0", "v1")
+    def rows(p: String): Seq[String] =
+      ZarrStore.openCube(spark, p).df.select(cols.head, cols.tail: _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$dir/b.zarr") == rows(s"$dir/z.zarr"))
+    assert(rows(s"$dir/b.zarr").length == 32 * 16 * 3)
   }
 }
