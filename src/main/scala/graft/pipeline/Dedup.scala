@@ -153,10 +153,17 @@ object Dedup {
     import org.apache.spark.sql.types._
     val spark = sh.sparkSession
     val words = (vocab + 63) / 64
-    // dictionary: ≤ denseVocabLimit rows, single-task window is fine
-    val dict = sh.select("s").distinct()
-      .withColumn("bit", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("s")) - 1)
+    // dictionary: distributed sort + zipWithIndex (deterministic bit per
+    // shingle). An unpartitioned row_number window would funnel the
+    // vocabulary through ONE task — harmless under the vocab guard but a
+    // needless serial stage (and a WindowExec warning) at every size.
+    val sType = sh.schema("s").dataType
+    val dict = spark.createDataFrame(
+      sh.select("s").distinct().orderBy("s").rdd.zipWithIndex().map {
+        case (r, i) => Row(r.get(0), i.toInt)
+      },
+      StructType(Seq(StructField("s", sType),
+        StructField("bit", IntegerType))))
     val toBitset = udf((bits: Seq[Int]) => {
       val arr = new Array[Long](words)
       bits.foreach(b => arr(b >> 6) |= (1L << (b & 63)))

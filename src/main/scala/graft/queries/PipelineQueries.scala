@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Q, Tables}
 import graft.pipeline.{Dedup, Similarity, TextAnalysis, TextHash}
 
 /** Training-data-pipeline operators as oracle-checked queries:
@@ -283,6 +283,101 @@ object PipelineQueries {
         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents GROUP BY source ORDER BY source"""
 
+  /** The WHOLE curation pipeline as one plan — shingles → jaccard
+    * pairs → connected components → per-cluster best-quality
+    * representative → curated-corpus summary. The standalone dedup
+    * queries each re-pay the shingle chain under Bench's clearCache;
+    * composed, every stage is shared (the persisted shingle/bitset
+    * stage feeds pairs once, clusters and representatives reuse the
+    * pair graph), which is the shape a real pipeline runs. Output:
+    * per-source totals, clustered/kept counts, exact-decimal mean
+    * quality of the kept set. */
+  def pipelineCurate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val clusters = Dedup.clusterPairs(
+      Dedup.jaccardPairsAuto(docs, "doc_id", "text", J))
+    val quality = graft.pipeline.TextAnalysis.quality(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(col("quality_score").desc, col("id"))
+    val best = clusters
+      .join(quality.select(col("doc_id").as("id"), col("quality_score")),
+        Seq("id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id").as("doc_id"), lit(true).as("is_best"))
+    docs.select("doc_id", "source")
+      .join(quality, Seq("doc_id"))
+      .join(clusters.select(col("id").as("doc_id"), col("cluster")),
+        Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("kept", col("cluster").isNull || col("is_best").isNotNull)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cluster").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        Q.davg(when(col("kept"), col("quality_score"))).as("kept_quality"))
+      .orderBy("source")
+  }
+
+  val pipelineCurateSql: String = {
+    val stop = graft.pipeline.TextAnalysis.Stopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""
+    WITH $thCte, $shCte,
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    near AS (
+      SELECT id_a, id_b FROM pairs
+        JOIN counts ca ON id_a = ca.doc_id
+        JOIN counts cb ON id_b = cb.doc_id
+      WHERE ROUND(common / (ca.n + cb.n - common), 6) >= $J),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM near
+      UNION ALL SELECT id_b, id_a FROM near),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+      SELECT a, b FROM r),
+    clusters AS (
+      SELECT id, MIN(lbl) AS cluster FROM (
+        SELECT src AS id, src AS lbl FROM edges
+        UNION ALL SELECT a, b FROM reach)
+      GROUP BY id),
+    q AS (SELECT doc_id,
+      ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) *
+        (1.0 - CAST(len(list_filter(string_split(text, ' '),
+           x -> x IN ($stop))) AS DOUBLE) / len(string_split(text, ' '))), 6)
+        AS quality_score
+      FROM documents),
+    ranked AS (
+      SELECT c.cluster, c.id, ROW_NUMBER() OVER
+        (PARTITION BY c.cluster ORDER BY q.quality_score DESC, c.id) AS rn
+      FROM clusters c JOIN q ON c.id = q.doc_id),
+    best AS (SELECT id FROM ranked WHERE rn = 1)
+    SELECT d.source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clustered,
+      CAST(SUM(CASE WHEN c.id IS NULL OR b.id IS NOT NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_kept,
+      ${Sql.davg("CASE WHEN c.id IS NULL OR b.id IS NOT NULL " +
+        "THEN q.quality_score END")} AS kept_quality
+    FROM documents d
+    JOIN q ON d.doc_id = q.doc_id
+    LEFT JOIN clusters c ON d.doc_id = c.id
+    LEFT JOIN best b ON d.doc_id = b.id
+    GROUP BY d.source ORDER BY d.source"""
+  }
+
   // ------------------------------------------------------------- similarity
   /** Matryoshka-style truncated retrieval: rank on the first 16 dims
     * only (renormalized). The modern cheap-retrieval trick — a prefix
@@ -538,6 +633,7 @@ object PipelineQueries {
     QuerySpec("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QuerySpec("dedup_emb_cosine", dedupEmbCosine, Some(dedupEmbCosineSql)),
     QuerySpec("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
+    QuerySpec("pipeline_curate", pipelineCurate, Some(pipelineCurateSql)),
     QuerySpec("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QuerySpec("sim_cosine_topk", simTopK, Some(simTopKSql)),
     QuerySpec("sim_topk_mrl", simTopKMrl, Some(simTopKMrlSql)),
