@@ -39,11 +39,48 @@ object ZarrStore {
 
   private val mapper = new ObjectMapper()
 
+  /** Count of actual metadata-file accesses (reads + listings) — the
+    * observable consolidated-metadata saving; tests assert on it. */
+  private[graft] val metaFileReads =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Consolidated metadata (`.zmetadata`, zarr_consolidated_format 1):
+    * ONE store read serves every `.zarray`/`.zattrs` lookup and the
+    * array listing. This is what makes remote stores usable — without
+    * it every array costs a metadata round-trip (the reference relies
+    * on xr.open_zarr's consolidated read for the same reason). Cached
+    * per store path; [[invalidateMeta]] drops the entry (writers call
+    * it). */
+  private val zmetaCache =
+    new scala.collection.concurrent.TrieMap[String, Option[JsonNode]]
+
+  private def consolidated(store: String): Option[JsonNode] =
+    zmetaCache.getOrElseUpdate(store, {
+      val p = Paths.get(store, ".zmetadata")
+      if (Files.isRegularFile(p)) {
+        metaFileReads.incrementAndGet()
+        Option(mapper.readTree(Files.readString(p)).get("metadata"))
+      } else None
+    })
+
+  private[graft] def invalidateMeta(store: String): Unit =
+    zmetaCache.remove(store)
+
   def readArrayMeta(store: String, name: String): ArrayMeta = {
-    val node = mapper.readTree(
-      Files.readString(Paths.get(store, name, ".zarray")))
+    val node = consolidated(store).flatMap(m =>
+      Option(m.get(s"$name/.zarray"))).getOrElse {
+      metaFileReads.incrementAndGet()
+      mapper.readTree(Files.readString(Paths.get(store, name, ".zarray")))
+    }
     parseArrayMeta(node)
   }
+
+  /** Store-root .zattrs, through the consolidated view when present. */
+  private[sources] def readAttrs(store: String): JsonNode =
+    consolidated(store).flatMap(m => Option(m.get(".zattrs"))).getOrElse {
+      metaFileReads.incrementAndGet()
+      mapper.readTree(Files.readString(Paths.get(store, ".zattrs")))
+    }
 
   private[sources] def parseArrayMeta(node: JsonNode): ArrayMeta = {
     def ints(n: JsonNode): Seq[Int] = (0 until n.size()).map(n.get(_).asInt())
@@ -141,13 +178,21 @@ object ZarrStore {
   /** Variable (3-D array) names in the store = subdirs with a .zarray
     * of rank 3. */
   def variableNames(store: String): Seq[String] = {
-    val stream = Files.list(Paths.get(store))
-    val subs =
-      try stream.toArray.toSeq.map(_.asInstanceOf[Path])
-        .filter(d => Files.isRegularFile(d.resolve(".zarray")))
-        .map(_.getFileName.toString).sorted
-      finally stream.close() // Files.list leaks an fd unless closed
-    subs.filter(s => readArrayMeta(store, s).shape.length == 3)
+    val names = consolidated(store) match {
+      case Some(m) =>
+        val it = m.fieldNames()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .filter(_.endsWith("/.zarray"))
+          .map(_.stripSuffix("/.zarray")).toSeq.sorted
+      case None =>
+        metaFileReads.incrementAndGet() // the listing is a store access
+        val stream = Files.list(Paths.get(store))
+        try stream.toArray.toSeq.map(_.asInstanceOf[Path])
+          .filter(d => Files.isRegularFile(d.resolve(".zarray")))
+          .map(_.getFileName.toString).sorted
+        finally stream.close() // Files.list leaks an fd unless closed
+    }
+    names.filter(s => readArrayMeta(store, s).shape.length == 3)
   }
 
   private def decompress(meta: ArrayMeta, raw: Array[Byte],
@@ -223,6 +268,35 @@ object ZarrStore {
       writeArray(dir, v, arr, Seq(nt, nh, nw),
         Seq(chunkT, math.min(chunkY, nh), math.min(chunkX, nw)), codec)
     }
+    writeConsolidated(dir)
+    invalidateMeta(path)
+  }
+
+  /** Emit `.zmetadata` (zarr_consolidated_format 1) aggregating every
+    * metadata key in the store, so readers pay ONE metadata fetch. */
+  private def writeConsolidated(dir: Path): Unit = {
+    val entries = scala.collection.mutable.LinkedHashMap.empty[String, JsonNode]
+    def put(key: String, file: Path): Unit =
+      if (Files.isRegularFile(file))
+        entries(key) = mapper.readTree(Files.readString(file))
+    put(".zgroup", dir.resolve(".zgroup"))
+    put(".zattrs", dir.resolve(".zattrs"))
+    val stream = Files.list(dir)
+    val subs =
+      try stream.toArray.toSeq.map(_.asInstanceOf[Path])
+        .filter(Files.isDirectory(_)).sortBy(_.getFileName.toString)
+      finally stream.close()
+    subs.foreach { sub =>
+      val n = sub.getFileName.toString
+      put(s"$n/.zarray", sub.resolve(".zarray"))
+      put(s"$n/.zattrs", sub.resolve(".zattrs"))
+    }
+    val root = mapper.createObjectNode()
+    root.put("zarr_consolidated_format", 1)
+    val meta = root.putObject("metadata")
+    entries.foreach { case (k, v) => meta.set[JsonNode](k, v) }
+    Files.writeString(dir.resolve(".zmetadata"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
   }
 
   private def compressorJson(codec: String): String = codec match {
@@ -302,8 +376,7 @@ object ZarrStore {
   /** Open a zarr store as a CubeFrame through the DSv2 relation. */
   def openCube(spark: org.apache.spark.sql.SparkSession,
                path: String): CubeFrame = {
-    val attrs = mapper.readTree(
-      Files.readString(Paths.get(path, ".zattrs"))).get("grid")
+    val attrs = readAttrs(path).get("grid")
     val grid = CubeGrid(attrs.get("width").asInt(), attrs.get("height").asInt(),
       attrs.get("lonMin").asDouble(), attrs.get("latMin").asDouble(),
       attrs.get("res").asDouble(), attrs.get("latAscending").asBoolean())

@@ -160,4 +160,43 @@ class ZarrSpec extends SparkSpec {
     assert(rows(s"$dir/b.zarr") == rows(s"$dir/z.zarr"))
     assert(rows(s"$dir/b.zarr").length == 32 * 16 * 3)
   }
+
+  test("consolidated .zmetadata: one metadata fetch serves the store") {
+    val grid = CubeGrid(16, 8, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0", "v1"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zmeta").toString
+    ZarrStore.writeZarr(cube, s"$dir/c.zarr", chunkT = 1, chunkY = 8,
+      chunkX = 8)
+    val store = s"$dir/c.zarr"
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(store, ".zmetadata")))
+
+    def metaCost(body: => Unit): Long = {
+      ZarrStore.invalidateMeta(store)
+      val before = ZarrStore.metaFileReads.get()
+      body
+      ZarrStore.metaFileReads.get() - before
+    }
+    def openAll(): Unit = {
+      ZarrStore.variableNames(store)
+      ZarrStore.readArrayMeta(store, "v0")
+      ZarrStore.readArrayMeta(store, "v1")
+      ZarrStore.readArrayMeta(store, "time")
+    }
+    // consolidated: exactly one store access (the .zmetadata read)
+    assert(metaCost(openAll()) == 1L)
+    // same data either way, and without .zmetadata every array pays
+    val vars = ZarrStore.variableNames(store)
+    val meta = ZarrStore.readArrayMeta(store, "v0")
+    assert(java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(store, ".zmetadata")))
+    val plain = metaCost(openAll())
+    assert(plain > 1L, s"expected >1 metadata reads, got $plain")
+    assert(ZarrStore.variableNames(store) == vars)
+    // NaN fill values defeat case-class equality; compare via toString
+    assert(ZarrStore.readArrayMeta(store, "v0").toString == meta.toString)
+    // cube still round-trips with the consolidated view gone
+    ZarrStore.invalidateMeta(store)
+    assert(ZarrStore.openCube(spark, store).df.count() == 16L * 8 * 2)
+  }
 }
