@@ -188,9 +188,12 @@ object ColorMaps {
     Base64.getEncoder.encodeToString(os.toByteArray)
   }
 
+  /** Catalog entries for one map. The reference registers the `_alpha`
+    * variant for RENDERING but lists only the base name in the catalog
+    * (cmaps.py:186 appends `cmap_name`, never `new_name`) — so one
+    * entry per map here; `_alpha` stays resolvable via [[palette]]. */
   private def entries(c: CMap): Seq[(String, String)] = Seq(
-    c.name -> gradientPngBase64(expand(c, alphaRamp = false)),
-    s"${c.name}_alpha" -> gradientPngBase64(expand(c, alphaRamp = true)))
+    c.name -> gradientPngBase64(expand(c, alphaRamp = false)))
 
   /** GET /colorbars — the reference's JSON shape: an array of
     * [category, description, [[name, pngBase64], ...]] records

@@ -487,19 +487,21 @@ Datasets:
       // reference shape: [[category, description, [[name, png], ...]], ...]
       val body = r.body()
       assert(body.startsWith("[["))
-      for (n <- Seq("viridis", "plasma_alpha", "RdBu", "Set1", "jet"))
+      for (n <- Seq("viridis", "plasma", "RdBu", "Set1", "jet"))
         assert(body.contains("[\"" + n + "\","), s"missing colormap $n")
+      // reference-fidelity golden: the catalog lists BASE names only —
+      // _alpha variants are registered for rendering, never listed
+      // (cmaps.py:186 appends cmap_name, not the _alpha name)
+      assert(!body.contains("_alpha"))
       // embedded gradient must decode to a 256×2 PNG
       val png = body.split("\\[\"viridis\",\"")(1).takeWhile(_ != '"')
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
         java.util.Base64.getDecoder.decode(png)))
       assert(img.getWidth == 256 && img.getHeight == 2)
-      // _alpha variant: transparent at t=0, opaque past the midpoint
-      val aPng = body.split("\\[\"viridis_alpha\",\"")(1).takeWhile(_ != '"')
-      val aImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
-        java.util.Base64.getDecoder.decode(aPng)))
-      assert((aImg.getRGB(0, 0) >>> 24) == 0)
-      assert((aImg.getRGB(255, 0) >>> 24) == 255)
+      // _alpha variant still RENDERS: transparent at t=0, opaque at top
+      val aPal = graft.render.ColorMaps.palette("viridis_alpha").get
+      assert((aPal(0) >>> 24) == 0)
+      assert((aPal(255) >>> 24) == 255)
       val html = get("/colorbars.html")
       assert(html.statusCode() == 200 && html.body().contains("<h2>Diverging</h2>"))
     } finally srv.stop()
