@@ -21,8 +21,8 @@ import graft.cube.{CubeFrame, CubeGrid}
   *    the same names (time = epoch MICROseconds as double, exact for
   *    |t| < 2^53); data vars shaped (time, lat, lon).
   *
-  * NetCDF-4 is an HDF5 container — out of scope (that on-ramp is
-  * "convert to zarr or classic", which the xcube stack does too).
+  * NetCDF-4 is an HDF5 container — handled by the sibling [[Hdf5]]
+  * reader; [[StoreOps.forPath]] dispatches on the file magic.
   */
 object NetcdfStore {
 
@@ -265,13 +265,14 @@ object NetcdfStore {
     Files.write(Paths.get(path), out.array())
   }
 
-  /** Open a NetCDF-3 file as a CubeFrame through the DSv2 relation
-    * (grid geometry derived from the lat/lon coordinate variables). */
+  /** Open a NetCDF file — classic 1/2 OR NetCDF-4/HDF5, dispatched by
+    * magic — as a CubeFrame through the DSv2 relation (grid geometry
+    * derived from the lat/lon coordinate variables). */
   def openCube(spark: org.apache.spark.sql.SparkSession,
                path: String): CubeFrame = {
-    val header = readHeader(path)
-    val lat = read1d(path, header, "lat")
-    val lon = read1d(path, header, "lon")
+    val ops = StoreOps.forPath(path)
+    val lat = ops.read1d("lat")
+    val lon = ops.read1d("lon")
     val res = if (lat.length > 1) math.abs(lat(1) - lat(0))
               else if (lon.length > 1) math.abs(lon(1) - lon(0)) else 1.0
     val latAsc = lat.length < 2 || lat(1) > lat(0)
@@ -279,6 +280,6 @@ object NetcdfStore {
       lon.min - res / 2, lat.min - res / 2, res, latAsc)
     val df = spark.read.format(classOf[ZarrDataSource].getName)
       .option("path", path).load()
-    CubeFrame(df, grid, variableNames(header))
+    CubeFrame(df, grid, ops.variableNames)
   }
 }

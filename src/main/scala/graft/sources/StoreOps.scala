@@ -16,8 +16,12 @@ private[sources] sealed trait StoreOps extends Serializable {
 }
 
 private[sources] object StoreOps {
+  /** Dispatch by what the store IS, not the extension: `.nc` can be
+    * classic (CDF magic) or NetCDF-4 (an HDF5 container). */
   def forPath(path: String): StoreOps =
-    if (path.endsWith(".nc")) NetcdfOps(path) else ZarrOps(path)
+    if (java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(path))) {
+      if (Hdf5.isHdf5(path)) Hdf5Ops(path) else NetcdfOps(path)
+    } else ZarrOps(path)
 }
 
 private[sources] final case class ZarrOps(path: String) extends StoreOps {
@@ -30,6 +34,49 @@ private[sources] final case class ZarrOps(path: String) extends StoreOps {
   def read1d(name: String): Array[Double] = ZarrStore.read1d(path, name)
   def read1dLongs(name: String): Array[Long] =
     ZarrStore.read1dLongs(path, name)
+}
+
+/** NetCDF-4/HDF5 files through the [[Hdf5]] reader. A chunked HDF5
+  * variable keeps its own chunk grid (the scan plans one partition per
+  * stored chunk — reads stay IO-aligned); contiguous variables present
+  * as one time slice per chunk like the classic path. */
+private[sources] final case class Hdf5Ops(path: String) extends StoreOps {
+  @transient private lazy val f = Hdf5.open(path)
+
+  def variableNames: Seq[String] =
+    f.datasets.values.filter(_.shape.length == 3).map(_.name).toSeq.sorted
+
+  def arrayMeta(name: String): ZarrStore.ArrayMeta = {
+    val d = f.datasets(name)
+    val chunks =
+      if (d.layoutClass == 2) d.chunkDims
+      else Seq(1) ++ d.shape.drop(1)
+    val comp = d.filters.map(_.id).map {
+      case 1 => "deflate"; case 2 => "shuffle"; case 3 => "fletcher32"
+      case other => s"filter$other"
+    } match { case Nil => "null"; case fs => fs.mkString("+") }
+    ZarrStore.ArrayMeta(d.shape, chunks, dtypeStr(d), comp, d.fill)
+  }
+
+  private def dtypeStr(d: Hdf5.Dataset): String = {
+    val order = if (d.dtype.littleEndian) "<" else ">"
+    val kind = d.dtype.clazz match {
+      case 1 => "f"
+      case 0 => if (d.dtype.signed) "i" else "u"
+      case c => s"c$c"
+    }
+    s"$order$kind${d.dtype.size}"
+  }
+
+  def readChunk(name: String, meta: ZarrStore.ArrayMeta,
+                idx: Seq[Int]): Array[Double] =
+    Hdf5.readChunk(path, f.datasets(name), idx)
+
+  def read1d(name: String): Array[Double] =
+    Hdf5.read1d(path, f.datasets(name))
+
+  def read1dLongs(name: String): Array[Long] =
+    read1d(name).map(_.toLong) // time = epoch-us doubles (exact < 2^53)
 }
 
 private[sources] final case class NetcdfOps(path: String) extends StoreOps {

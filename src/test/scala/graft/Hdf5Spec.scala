@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cube.{Cube, CubeGrid, CubeIngest}
+import graft.sources.{Hdf5, NetcdfStore}
+
+class Hdf5Spec extends SparkSpec {
+
+  private def writeFixture(dir: String): (CubeGrid, graft.cube.CubeFrame) = {
+    val grid = CubeGrid(16, 8, 10.0, -4.0, 0.5, latAscending = false)
+    val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0", "v1"),
+      nanEvery = 5)
+    Hdf5.writeHdf5(cube, s"$dir/c.nc", chunkY = 8, chunkX = 8)
+    (grid, cube)
+  }
+
+  test("nc4/hdf5 DSv2 round-trip matches the source cube (S1 NC4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5").toString
+    val (grid, cube) = writeFixture(dir)
+    assert(Hdf5.isHdf5(s"$dir/c.nc"))
+
+    val back = CubeIngest.open(spark, s"$dir/c.nc")
+    assert(back.variables == Seq("v0", "v1"))
+    assert(back.grid == grid)
+    assert(back.df.count() == 16L * 8 * 3)
+
+    def key(r: org.apache.spark.sql.Row): (Long, Int, Int) =
+      (r.getTimestamp(0).getTime, r.getInt(1), r.getInt(2))
+    val expected = cube.df.select(col("time"), col("y_idx"), col("x_idx"),
+        col("lat"), col("lon"), col("v0"), col("v1"))
+      .collect().map(r => key(r) -> r).toMap
+    val got = back.df.select("time", "y_idx", "x_idx", "lat", "lon",
+      "v0", "v1").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(key(r))
+      for (i <- 3 until 7)
+        assert(java.lang.Double.compare(r.getDouble(i), e.getDouble(i)) == 0,
+          s"cell ${key(r)} field $i")
+    }
+  }
+
+  test("nc4 reads bit-identical to the classic path for the same cube") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5").toString
+    val grid = CubeGrid(12, 6, 0.0, 40.0, 0.25, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("sst"),
+      nanEvery = 7)
+    Hdf5.writeHdf5(cube, s"$dir/c4.nc", chunkY = 4, chunkX = 8)
+    NetcdfStore.writeNetcdf(cube, s"$dir/c3.nc")
+    def rows(p: String): Seq[String] =
+      NetcdfStore.openCube(spark, p).df
+        .select("time", "y_idx", "x_idx", "lat", "lon", "sst")
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$dir/c4.nc") == rows(s"$dir/c3.nc"))
+    assert(rows(s"$dir/c4.nc").length == 12 * 6 * 2)
+  }
+
+  test("nc4 scan: partitions follow the stored chunk grid and prune") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5").toString
+    val grid = CubeGrid(16, 8, 0.0, 0.0, 1.0, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 4, Seq("v0"),
+      nanEvery = 1000)
+    Hdf5.writeHdf5(cube, s"$dir/c.nc", chunkY = 8, chunkX = 8)
+    val df = NetcdfStore.openCube(spark, s"$dir/c.nc").df
+    // chunks (1, 8, 8) over (4, 8, 16) → 4 × 1 × 2 = 8 partitions
+    assert(df.rdd.getNumPartitions == 8)
+    val t1 = java.sql.Timestamp.valueOf("2017-01-03 00:00:00")
+    val late = df.filter(col("time") >= t1 && col("x_idx") < lit(8))
+    assert(late.rdd.getNumPartitions == 2) // 2 times × 1 x-chunk
+    assert(late.count() == 8L * 8 * 2)
+  }
+
+  test("hdf5 metadata: chunked shuffle+deflate layout is what we wrote") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5").toString
+    writeFixture(dir)
+    val f = Hdf5.open(s"$dir/c.nc")
+    assert(f.datasets.keySet == Set("lat", "lon", "time", "v0", "v1"))
+    val v0 = f.datasets("v0")
+    assert(v0.shape == Seq(3, 8, 16))
+    assert(v0.chunkDims == Seq(1, 8, 8))
+    assert(v0.filters.map(_.id) == Seq(2, 1)) // shuffle then deflate
+    assert(v0.dtype.size == 8 && v0.dtype.littleEndian)
+    val lat = f.datasets("lat")
+    assert(lat.layoutClass == 1 && lat.shape == Seq(8))
+    // coordinate axes decode through the generic 1-D reader
+    assert(Hdf5.read1d(s"$dir/c.nc", lat).length == 8)
+  }
+
+  test("non-hdf5 and classic files are not misdetected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5").toString
+    val grid = CubeGrid(4, 2, 0.0, 0.0, 1.0, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 1, Seq("a"))
+    NetcdfStore.writeNetcdf(cube, s"$dir/classic.nc")
+    assert(!Hdf5.isHdf5(s"$dir/classic.nc"))
+    // classic still routes to the classic reader after dispatch unification
+    assert(CubeIngest.open(spark, s"$dir/classic.nc").df.count() == 8L)
+  }
+}
