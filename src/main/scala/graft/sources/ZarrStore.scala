@@ -23,8 +23,11 @@ import graft.cube.{CubeFrame, CubeGrid}
   *    MICROseconds), `lat`, `lon`; 3-D variable arrays shaped
   *    (time, lat, lon) sharing one chunk grid.
   *
-  * S3/remote stores (S3/S5) would swap the `Files` calls for a
-  * key→bytes fetch; the chunk math is store-agnostic by construction.
+  * All reads go through [[BlobStore]] (S3/S5): local paths hit the
+  * filesystem; `scheme://` URIs resolve via the Hadoop FileSystem API
+  * behind a 256 MB LRU — on a cluster, `s3a://` and friends bind to
+  * the deployment's connector jars with no code here. Writers are
+  * local-only (fixtures/ingest).
   */
 object ZarrStore {
 
@@ -54,23 +57,33 @@ object ZarrStore {
   private val zmetaCache =
     new scala.collection.concurrent.TrieMap[String, Option[JsonNode]]
 
+  /** every byte in or out of the store goes through this seam —
+    * local paths hit the filesystem, `scheme://` URIs go through the
+    * Hadoop FileSystem API behind the reference's 256 MB LRU */
+  private def blob(store: String): BlobStore = BlobStore.forStore(store)
+
+  private def readJson(store: String, key: String): Option[JsonNode] =
+    blob(store).read(key).map(b => mapper.readTree(
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+
   private def consolidated(store: String): Option[JsonNode] =
     zmetaCache.getOrElseUpdate(store, {
-      val p = Paths.get(store, ".zmetadata")
-      if (Files.isRegularFile(p)) {
-        metaFileReads.incrementAndGet()
-        Option(mapper.readTree(Files.readString(p)).get("metadata"))
-      } else None
+      val node = readJson(store, ".zmetadata")
+      if (node.isDefined) metaFileReads.incrementAndGet()
+      node.flatMap(n => Option(n.get("metadata")))
     })
 
-  private[graft] def invalidateMeta(store: String): Unit =
+  private[graft] def invalidateMeta(store: String): Unit = {
     zmetaCache.remove(store)
+    BlobStore.drop(store)
+  }
 
   def readArrayMeta(store: String, name: String): ArrayMeta = {
     val node = consolidated(store).flatMap(m =>
       Option(m.get(s"$name/.zarray"))).getOrElse {
       metaFileReads.incrementAndGet()
-      mapper.readTree(Files.readString(Paths.get(store, name, ".zarray")))
+      readJson(store, s"$name/.zarray").getOrElse(
+        throw new java.nio.file.NoSuchFileException(s"$store/$name/.zarray"))
     }
     parseArrayMeta(node)
   }
@@ -79,7 +92,8 @@ object ZarrStore {
   private[sources] def readAttrs(store: String): JsonNode =
     consolidated(store).flatMap(m => Option(m.get(".zattrs"))).getOrElse {
       metaFileReads.incrementAndGet()
-      mapper.readTree(Files.readString(Paths.get(store, ".zattrs")))
+      readJson(store, ".zattrs").getOrElse(
+        throw new java.nio.file.NoSuchFileException(s"$store/.zattrs"))
     }
 
   private[sources] def parseArrayMeta(node: JsonNode): ArrayMeta = {
@@ -119,9 +133,10 @@ object ZarrStore {
   def readChunk(store: String, name: String, meta: ArrayMeta,
                 chunkIdx: Seq[Int]): Array[Double] = {
     val n = meta.chunks.product
-    val file = Paths.get(store, name, chunkIdx.mkString("."))
-    if (!Files.isRegularFile(file)) return Array.fill(n)(meta.fillValue)
-    val raw0 = Files.readAllBytes(file)
+    val raw0 = blob(store).read(s"$name/${chunkIdx.mkString(".")}") match {
+      case None => return Array.fill(n)(meta.fillValue)
+      case Some(b) => b
+    }
     val raw = decompress(meta, raw0, n * meta.elemBytes)
     val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Double](n)
@@ -156,17 +171,15 @@ object ZarrStore {
       s"$name must be 1-D <i8")
     val out = new Array[Long](meta.shape.head)
     (0 until meta.numChunks.head).foreach { c =>
-      val file = Paths.get(store, name, c.toString)
       val start = c * meta.chunks.head
       val len = math.min(meta.chunks.head, meta.shape.head - start)
       // a missing chunk means all-fill in zarr — for a COORDINATE axis
       // that's a corrupt store (silent epoch-0 timestamps would poison
       // chunk pruning and every emitted row), so fail loudly
-      if (!Files.isRegularFile(file))
+      val raw0 = blob(store).read(s"$name/$c").getOrElse(
         throw new IllegalStateException(
           s"$store/$name: chunk $c is absent — all-fill coordinate axes " +
-            "are not meaningful")
-      val raw0 = Files.readAllBytes(file)
+            "are not meaningful"))
       val raw = decompress(meta, raw0, meta.chunks.head * 8)
       val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
       var i = 0
@@ -186,11 +199,7 @@ object ZarrStore {
           .map(_.stripSuffix("/.zarray")).toSeq.sorted
       case None =>
         metaFileReads.incrementAndGet() // the listing is a store access
-        val stream = Files.list(Paths.get(store))
-        try stream.toArray.toSeq.map(_.asInstanceOf[Path])
-          .filter(d => Files.isRegularFile(d.resolve(".zarray")))
-          .map(_.getFileName.toString).sorted
-        finally stream.close() // Files.list leaks an fd unless closed
+        blob(store).listDirs.filter(d => blob(store).exists(s"$d/.zarray"))
     }
     names.filter(s => readArrayMeta(store, s).shape.length == 3)
   }
@@ -237,6 +246,8 @@ object ZarrStore {
                 chunkT: Int = 1, chunkY: Int = 256, chunkX: Int = 256,
                 codec: String = "zlib"): Unit = {
     import org.apache.spark.sql.functions.col
+    require(!path.contains("://"),
+      "writeZarr writes local directory stores only")
     val g = cube.grid
     val dir = Paths.get(path)
     Files.createDirectories(dir)

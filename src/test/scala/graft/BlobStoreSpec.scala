@@ -1,0 +1,76 @@
+package graft
+
+import graft.cube.{Cube, CubeGrid}
+import graft.sources.{BlobStore, CachingBlobStore, LocalBlobStore, ZarrStore}
+
+class BlobStoreSpec extends SparkSpec {
+
+  private def writeStore(): String = {
+    val grid = CubeGrid(16, 8, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0", "v1"),
+      nanEvery = 7)
+    val dir = java.nio.file.Files.createTempDirectory("graft-blob").toString
+    ZarrStore.writeZarr(cube, s"$dir/c.zarr", chunkT = 1, chunkY = 8,
+      chunkX = 8)
+    s"$dir/c.zarr"
+  }
+
+  /** counts every inner read so cache behavior is observable */
+  private final class Counting(inner: LocalBlobStore)
+      extends graft.sources.BlobStore {
+    val reads = new java.util.concurrent.atomic.AtomicLong
+    def read(key: String): Option[Array[Byte]] = {
+      reads.incrementAndGet(); inner.read(key)
+    }
+    def listDirs: Seq[String] = inner.listDirs
+  }
+
+  test("file:// URIs drive the remote (hadoop + LRU) path end to end") {
+    val store = writeStore()
+    val uri = s"file://$store"
+    def rows(p: String): Seq[String] =
+      ZarrStore.openCube(spark, p).df
+        .select("time", "y_idx", "x_idx", "lat", "lon", "v0", "v1")
+        .collect().map(_.toString).sorted.toSeq
+    // the exact same store read remotely must equal the local read
+    assert(rows(uri) == rows(store))
+    assert(rows(uri).length == 16 * 8 * 2)
+  }
+
+  test("repeat reads of a cached remote store fetch nothing new") {
+    val store = writeStore()
+    val uri = s"file://$store"
+    val caching = BlobStore.forStore(uri).asInstanceOf[CachingBlobStore]
+    val df = ZarrStore.openCube(spark, uri).df
+    df.count()
+    val afterFirst = caching.fetches.get()
+    assert(afterFirst > 0)
+    df.count() // every chunk + metadata object is already cached
+    assert(caching.fetches.get() == afterFirst,
+      s"expected no new fetches, got ${caching.fetches.get() - afterFirst}")
+  }
+
+  test("LRU evicts by bytes and stays within budget") {
+    val store = writeStore()
+    val counting = new Counting(new LocalBlobStore(store))
+    // budget of ~2 chunks: chunk files are zlib'd 8×8 doubles
+    val sizes = Seq("v0/0.0.0", "v0/0.0.1", "v0/1.0.0")
+      .map(k => counting.read(k).get.length)
+    val budget = sizes.max * 2 + 200
+    val lru = new CachingBlobStore(counting, budget)
+    counting.reads.set(0)
+
+    lru.read("v0/0.0.0"); lru.read("v0/0.0.1") // fill
+    assert(counting.reads.get() == 2)
+    lru.read("v0/0.0.0") // hit
+    assert(counting.reads.get() == 2)
+    assert(lru.cachedBytes <= budget)
+    lru.read("v0/1.0.0") // exceeds budget → evicts LRU entry (0.0.1)
+    assert(lru.cachedBytes <= budget)
+    lru.read("v0/0.0.1") // must re-fetch
+    assert(counting.reads.get() == 4)
+    // absent keys are cached too (no round-trip per task)
+    lru.read("v0/9.9.9"); lru.read("v0/9.9.9")
+    assert(counting.reads.get() == 5)
+  }
+}
