@@ -31,13 +31,20 @@ import graft.cube.{CubeFrame, CubeGrid}
   */
 object ZarrStore {
 
-  /** .zarray metadata for one array. */
+  /** array metadata (v2 `.zarray` or v3 `zarr.json`). keyPrefix/keySep
+    * encode the chunk-key scheme: v2 = `"0.0.0"`, v3 default =
+    * `"c/0/0/0"`. */
   final case class ArrayMeta(shape: Seq[Int], chunks: Seq[Int],
                              dtype: String, comp: String,
-                             fillValue: Double) {
+                             fillValue: Double,
+                             keyPrefix: String = "", keySep: String = ".") {
     def numChunks: Seq[Int] =
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def elemBytes: Int = dtype.drop(2).toInt
+    def chunkKey(idx: Seq[Int]): String = {
+      val body = idx.mkString(keySep)
+      if (keyPrefix.isEmpty) body else s"$keyPrefix$keySep$body"
+    }
   }
 
   private val mapper = new ObjectMapper()
@@ -79,21 +86,25 @@ object ZarrStore {
   }
 
   def readArrayMeta(store: String, name: String): ArrayMeta = {
-    val node = consolidated(store).flatMap(m =>
-      Option(m.get(s"$name/.zarray"))).getOrElse {
-      metaFileReads.incrementAndGet()
-      readJson(store, s"$name/.zarray").getOrElse(
-        throw new java.nio.file.NoSuchFileException(s"$store/$name/.zarray"))
-    }
-    parseArrayMeta(node)
+    consolidated(store).flatMap(m => Option(m.get(s"$name/.zarray")))
+      .map(parseArrayMeta).getOrElse {
+        metaFileReads.incrementAndGet()
+        readJson(store, s"$name/.zarray").map(parseArrayMeta)
+          .orElse(readJson(store, s"$name/zarr.json").map(parseArrayMetaV3))
+          .getOrElse(throw new java.nio.file.NoSuchFileException(
+            s"$store/$name/{.zarray,zarr.json}"))
+      }
   }
 
-  /** Store-root .zattrs, through the consolidated view when present. */
+  /** Store-root attributes: v2 `.zattrs` (through the consolidated
+    * view when present) or the v3 root `zarr.json` "attributes". */
   private[sources] def readAttrs(store: String): JsonNode =
     consolidated(store).flatMap(m => Option(m.get(".zattrs"))).getOrElse {
       metaFileReads.incrementAndGet()
-      readJson(store, ".zattrs").getOrElse(
-        throw new java.nio.file.NoSuchFileException(s"$store/.zattrs"))
+      readJson(store, ".zattrs")
+        .orElse(readJson(store, "zarr.json")
+          .flatMap(n => Option(n.get("attributes"))))
+        .getOrElse(mapper.createObjectNode())
     }
 
   private[sources] def parseArrayMeta(node: JsonNode): ArrayMeta = {
@@ -127,25 +138,96 @@ object ZarrStore {
     ArrayMeta(ints(node.get("shape")), ints(node.get("chunks")), dtype, comp, fill)
   }
 
+  /** Zarr v3 array metadata (`zarr.json`, zarr-specs v3.0): regular
+    * chunk grid, `default`/`v2` chunk-key encodings, codecs chain of
+    * one `bytes` (endian) plus at most one compressor (gzip/blosc/
+    * zlib). Sharding, transpose and other codecs are rejected by
+    * name. */
+  private[sources] def parseArrayMetaV3(node: JsonNode): ArrayMeta = {
+    require(node.get("zarr_format").asInt() == 3 &&
+      node.get("node_type").asText() == "array",
+      "zarr.json is not a v3 array document")
+    def ints(n: JsonNode): Seq[Int] = (0 until n.size()).map(n.get(_).asInt())
+    val shape = ints(node.get("shape"))
+    val grid = node.get("chunk_grid")
+    require(grid.get("name").asText() == "regular",
+      s"chunk grid ${grid.get("name").asText()} unsupported (regular only)")
+    val chunks = ints(grid.get("configuration").get("chunk_shape"))
+    val (prefix, sep) = {
+      val enc = node.get("chunk_key_encoding")
+      val name = if (enc == null) "default" else enc.get("name").asText()
+      val conf = if (enc == null) null else enc.get("configuration")
+      val sepOpt = Option(conf).flatMap(c => Option(c.get("separator")))
+        .map(_.asText())
+      name match {
+        case "default" => ("c", sepOpt.getOrElse("/"))
+        case "v2" => ("", sepOpt.getOrElse("."))
+        case other => throw new IllegalArgumentException(
+          s"chunk_key_encoding $other unsupported")
+      }
+    }
+    val baseType = node.get("data_type").asText() match {
+      case "float64" => "f8"; case "float32" => "f4"
+      case "int64" => "i8"; case "int32" => "i4"
+      case other => throw new IllegalArgumentException(
+        s"zarr v3 data_type $other unsupported")
+    }
+    var endian = "<"
+    var comp = "null"
+    val codecs = node.get("codecs")
+    (0 until (if (codecs == null) 0 else codecs.size())).foreach { i =>
+      val c = codecs.get(i)
+      val conf = c.get("configuration")
+      c.get("name").asText() match {
+        case "bytes" =>
+          val e = Option(conf).flatMap(x => Option(x.get("endian")))
+            .map(_.asText()).getOrElse("little")
+          endian = if (e == "little") "<" else ">"
+        case "gzip" =>
+          require(comp == "null", "multiple compression codecs"); comp = "gzip"
+        case "zlib" =>
+          require(comp == "null", "multiple compression codecs"); comp = "zlib"
+        case "blosc" =>
+          require(comp == "null", "multiple compression codecs"); comp = "blosc"
+        case other => throw new IllegalArgumentException(
+          s"zarr v3 codec $other unsupported " +
+            "(bytes, gzip, zlib, blosc only — no sharding/transpose)")
+      }
+    }
+    val fillNode = node.get("fill_value")
+    val fill =
+      if (fillNode == null || fillNode.isNull) Double.NaN
+      else if (fillNode.isTextual) fillNode.asText() match {
+        case "NaN" => Double.NaN
+        case "Infinity" => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case other => other.toDouble
+      }
+      else fillNode.asDouble()
+    ArrayMeta(shape, chunks, endian + baseType, comp, fill, prefix, sep)
+  }
+
   /** Decode one chunk file into doubles in C order (full chunk extent,
     * padded with the fill value where the file is absent — zarr treats
     * missing chunk objects as all-fill). */
   def readChunk(store: String, name: String, meta: ArrayMeta,
                 chunkIdx: Seq[Int]): Array[Double] = {
     val n = meta.chunks.product
-    val raw0 = blob(store).read(s"$name/${chunkIdx.mkString(".")}") match {
+    val raw0 = blob(store).read(s"$name/${meta.chunkKey(chunkIdx)}") match {
       case None => return Array.fill(n)(meta.fillValue)
       case Some(b) => b
     }
     val raw = decompress(meta, raw0, n * meta.elemBytes)
-    val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val order = if (meta.dtype.startsWith(">")) ByteOrder.BIG_ENDIAN
+                else ByteOrder.LITTLE_ENDIAN
+    val buf = ByteBuffer.wrap(raw).order(order)
     val out = new Array[Double](n)
     var i = 0
-    meta.dtype match {
-      case "<f8" => while (i < n) { out(i) = buf.getDouble(i * 8); i += 1 }
-      case "<f4" => while (i < n) { out(i) = buf.getFloat(i * 4).toDouble; i += 1 }
-      case "<i8" => while (i < n) { out(i) = buf.getLong(i * 8).toDouble; i += 1 }
-      case "<i4" => while (i < n) { out(i) = buf.getInt(i * 4).toDouble; i += 1 }
+    meta.dtype.drop(1) match {
+      case "f8" => while (i < n) { out(i) = buf.getDouble(i * 8); i += 1 }
+      case "f4" => while (i < n) { out(i) = buf.getFloat(i * 4).toDouble; i += 1 }
+      case "i8" => while (i < n) { out(i) = buf.getLong(i * 8).toDouble; i += 1 }
+      case "i4" => while (i < n) { out(i) = buf.getInt(i * 4).toDouble; i += 1 }
     }
     out
   }
@@ -167,8 +249,10 @@ object ZarrStore {
   /** 1-D int64 read without a double round-trip (time axis: micros). */
   def read1dLongs(store: String, name: String): Array[Long] = {
     val meta = readArrayMeta(store, name)
-    require(meta.shape.length == 1 && meta.dtype == "<i8",
-      s"$name must be 1-D <i8")
+    require(meta.shape.length == 1 && meta.dtype.drop(1) == "i8",
+      s"$name must be 1-D int64")
+    val order = if (meta.dtype.startsWith(">")) ByteOrder.BIG_ENDIAN
+                else ByteOrder.LITTLE_ENDIAN
     val out = new Array[Long](meta.shape.head)
     (0 until meta.numChunks.head).foreach { c =>
       val start = c * meta.chunks.head
@@ -176,12 +260,12 @@ object ZarrStore {
       // a missing chunk means all-fill in zarr — for a COORDINATE axis
       // that's a corrupt store (silent epoch-0 timestamps would poison
       // chunk pruning and every emitted row), so fail loudly
-      val raw0 = blob(store).read(s"$name/$c").getOrElse(
+      val raw0 = blob(store).read(s"$name/${meta.chunkKey(Seq(c))}").getOrElse(
         throw new IllegalStateException(
           s"$store/$name: chunk $c is absent — all-fill coordinate axes " +
             "are not meaningful"))
       val raw = decompress(meta, raw0, meta.chunks.head * 8)
-      val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      val buf = ByteBuffer.wrap(raw).order(order)
       var i = 0
       while (i < len) { out(start + i) = buf.getLong(i * 8); i += 1 }
     }
@@ -199,7 +283,8 @@ object ZarrStore {
           .map(_.stripSuffix("/.zarray")).toSeq.sorted
       case None =>
         metaFileReads.incrementAndGet() // the listing is a store access
-        blob(store).listDirs.filter(d => blob(store).exists(s"$d/.zarray"))
+        blob(store).listDirs.filter(d => blob(store).exists(s"$d/.zarray") ||
+          blob(store).exists(s"$d/zarr.json"))
     }
     names.filter(s => readArrayMeta(store, s).shape.length == 3)
   }
@@ -209,6 +294,10 @@ object ZarrStore {
     case "null" => raw
     case "zlib" => inflate(raw, hint)
     case "blosc" => Blosc.decode(raw)
+    case "gzip" => // v3 gzip codec: full gzip format, not a bare stream
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(raw))
+      try in.readAllBytes() finally in.close()
   }
 
   private def inflate(data: Array[Byte], hint: Int): Array[Byte] = {
@@ -384,13 +473,125 @@ object ZarrStore {
     }
   }
 
-  /** Open a zarr store as a CubeFrame through the DSv2 relation. */
+  /** Export a cube as a Zarr v3 store (zarr-specs v3.0: `zarr.json`
+    * documents, `c/`-prefixed nested chunk keys, bytes+gzip codec
+    * chain). Same driver-side caveat as [[writeZarr]]. */
+  def writeZarrV3(cube: CubeFrame, path: String, chunkT: Int = 1,
+                  chunkY: Int = 256, chunkX: Int = 256): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(!path.contains("://"),
+      "writeZarrV3 writes local directory stores only")
+    val g = cube.grid
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("zarr.json"),
+      s"""{"zarr_format": 3, "node_type": "group", "attributes":
+         | {"grid": {"width": ${g.width}, "height": ${g.height},
+         |  "lonMin": ${g.lonMin}, "latMin": ${g.latMin}, "res": ${g.res},
+         |  "latAscending": ${g.latAscending}},
+         |  "time_units": "microseconds since 1970-01-01"}}""".stripMargin)
+
+    def arrayJson(shape: Seq[Int], chunks: Seq[Int], dataType: String,
+                  fill: String): String =
+      s"""{"zarr_format": 3, "node_type": "array",
+         | "shape": [${shape.mkString(", ")}], "data_type": "$dataType",
+         | "chunk_grid": {"name": "regular",
+         |  "configuration": {"chunk_shape": [${chunks.mkString(", ")}]}},
+         | "chunk_key_encoding": {"name": "default",
+         |  "configuration": {"separator": "/"}},
+         | "fill_value": $fill,
+         | "codecs": [
+         |  {"name": "bytes", "configuration": {"endian": "little"}},
+         |  {"name": "gzip", "configuration": {"level": 5}}]}""".stripMargin
+
+    def writeChunkFile(sub: Path, idx: Seq[Int], raw: Array[Byte]): Unit = {
+      val f = idx.init.foldLeft(sub.resolve("c"))((p, i) =>
+        p.resolve(i.toString)).resolve(idx.last.toString)
+      Files.createDirectories(f.getParent)
+      Files.write(f, gzipBytes(raw))
+    }
+    def write1dV3(name: String, dataType: String, fill: String,
+                  n: Int, put: ByteBuffer => Unit): Unit = {
+      val sub = dir.resolve(name)
+      Files.createDirectories(sub)
+      Files.writeString(sub.resolve("zarr.json"),
+        arrayJson(Seq(n), Seq(n), dataType, fill))
+      val buf = ByteBuffer.allocate(n * 8).order(ByteOrder.LITTLE_ENDIAN)
+      put(buf)
+      writeChunkFile(sub, Seq(0), buf.array())
+    }
+
+    val times = cube.df.select(col("time")).distinct().orderBy(col("time"))
+      .collect().map(r => r.getTimestamp(0))
+    val timeUs = times.map(t => t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+    write1dV3("time", "int64", "0", timeUs.length,
+      b => timeUs.foreach(b.putLong))
+    write1dV3("lat", "float64", "\"NaN\"", g.height,
+      b => (0 until g.height).foreach(y => b.putDouble(g.latOfY(y))))
+    write1dV3("lon", "float64", "\"NaN\"", g.width,
+      b => (0 until g.width).foreach(x => b.putDouble(g.lonOfX(x))))
+
+    val tIdx = times.zipWithIndex.toMap
+    val (nt, nh, nw) = (times.length, g.height, g.width)
+    val (ct, cy, cx) = (chunkT, math.min(chunkY, nh), math.min(chunkX, nw))
+    cube.variables.foreach { v =>
+      val arr = Array.fill(nt * nh * nw)(Double.NaN)
+      cube.df.select(col("time"), col("y_idx"), col("x_idx"),
+          col(v).cast("double")).collect().foreach { r =>
+        val t = tIdx(r.getTimestamp(0))
+        arr((t * nh + r.getInt(1)) * nw + r.getInt(2)) =
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
+      }
+      val sub = dir.resolve(v)
+      Files.createDirectories(sub)
+      Files.writeString(sub.resolve("zarr.json"),
+        arrayJson(Seq(nt, nh, nw), Seq(ct, cy, cx), "float64", "\"NaN\""))
+      for {
+        tc <- 0 until (nt + ct - 1) / ct
+        yc <- 0 until (nh + cy - 1) / cy
+        xc <- 0 until (nw + cx - 1) / cx
+      } {
+        val buf = ByteBuffer.allocate(ct * cy * cx * 8)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        for (t <- 0 until ct; y <- 0 until cy; x <- 0 until cx) {
+          val (gt, gy, gx) = (tc * ct + t, yc * cy + y, xc * cx + x)
+          buf.putDouble(
+            if (gt < nt && gy < nh && gx < nw) arr((gt * nh + gy) * nw + gx)
+            else Double.NaN)
+        }
+        writeChunkFile(sub, Seq(tc, yc, xc), buf.array())
+      }
+    }
+    invalidateMeta(path)
+  }
+
+  private def gzipBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    bos.toByteArray
+  }
+
+  /** Open a zarr store as a CubeFrame through the DSv2 relation. The
+    * grid comes from our `grid` attribute when present (graft-written
+    * stores), else is derived from the lat/lon coordinate axes — the
+    * path every external (xarray-written, v2 or v3) store takes. */
   def openCube(spark: org.apache.spark.sql.SparkSession,
                path: String): CubeFrame = {
     val attrs = readAttrs(path).get("grid")
-    val grid = CubeGrid(attrs.get("width").asInt(), attrs.get("height").asInt(),
-      attrs.get("lonMin").asDouble(), attrs.get("latMin").asDouble(),
-      attrs.get("res").asDouble(), attrs.get("latAscending").asBoolean())
+    val grid =
+      if (attrs != null)
+        CubeGrid(attrs.get("width").asInt(), attrs.get("height").asInt(),
+          attrs.get("lonMin").asDouble(), attrs.get("latMin").asDouble(),
+          attrs.get("res").asDouble(), attrs.get("latAscending").asBoolean())
+      else {
+        val lat = read1d(path, "lat")
+        val lon = read1d(path, "lon")
+        val res = if (lat.length > 1) math.abs(lat(1) - lat(0))
+                  else if (lon.length > 1) math.abs(lon(1) - lon(0)) else 1.0
+        CubeGrid(lon.length, lat.length, lon.min - res / 2,
+          lat.min - res / 2, res, lat.length < 2 || lat(1) > lat(0))
+      }
     val df = spark.read.format(classOf[ZarrDataSource].getName)
       .option("path", path).load()
     CubeFrame(df, grid, variableNames(path))

@@ -161,6 +161,42 @@ class ZarrSpec extends SparkSpec {
     assert(rows(s"$dir/b.zarr").length == 32 * 16 * 3)
   }
 
+  test("zarr v3 store reads identical to v2 (S2 v3)") {
+    val grid = CubeGrid(16, 8, -2.0, 30.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0", "v1"),
+      nanEvery = 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-z3").toString
+    ZarrStore.writeZarr(cube, s"$dir/v2.zarr", chunkT = 1, chunkY = 8,
+      chunkX = 8)
+    ZarrStore.writeZarrV3(cube, s"$dir/v3.zarr", chunkT = 1, chunkY = 8,
+      chunkX = 8)
+    // v3 layout on disk: zarr.json documents + nested c/ chunk keys
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(s"$dir/v3.zarr/v0/zarr.json")))
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(s"$dir/v3.zarr/v0/c/0/0/0")))
+    val meta = ZarrStore.readArrayMeta(s"$dir/v3.zarr", "v0")
+    assert(meta.chunks == Seq(1, 8, 8) && meta.comp == "gzip" &&
+      meta.chunkKey(Seq(1, 0, 1)) == "c/1/0/1")
+
+    def rows(p: String): Seq[String] =
+      ZarrStore.openCube(spark, p).df
+        .select("time", "y_idx", "x_idx", "lat", "lon", "v0", "v1")
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$dir/v3.zarr") == rows(s"$dir/v2.zarr"))
+    assert(rows(s"$dir/v3.zarr").length == 16 * 8 * 3)
+
+    // external stores have no graft grid attribute: the grid derives
+    // from the lat/lon axes instead
+    val root = java.nio.file.Paths.get(s"$dir/v3.zarr/zarr.json")
+    java.nio.file.Files.writeString(root,
+      """{"zarr_format": 3, "node_type": "group", "attributes": {}}""")
+    ZarrStore.invalidateMeta(s"$dir/v3.zarr")
+    val derived = ZarrStore.openCube(spark, s"$dir/v3.zarr")
+    assert(derived.grid == grid)
+    assert(derived.df.count() == 16L * 8 * 3)
+  }
+
   test("consolidated .zmetadata: one metadata fetch serves the store") {
     val grid = CubeGrid(16, 8, 0.0, 40.0, 0.5, latAscending = true)
     val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0", "v1"))
