@@ -45,4 +45,19 @@ object Resample {
       .drop("week")
     CubeFrame(df, cube.grid, cube.variables)
   }
+
+  /** Per-pixel rolling mean over the trailing `n` time steps (the
+    * `ds.rolling(time=n).mean()` computed-dataset shape). One shuffle
+    * on (y_idx, x_idx); every variable shares the same window, so
+    * Catalyst plans a single WindowExec. NaN cells propagate (numpy
+    * rolling semantics); null cells are skipped. */
+  def rollingMean(cube: CubeFrame, n: Int): CubeFrame = {
+    require(n >= 1, s"rolling window must be >= 1, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("y_idx", "x_idx").orderBy("time")
+      .rowsBetween(-(n - 1), 0)
+    val df = cube.variables.foldLeft(cube.df)((acc, v) =>
+      acc.withColumn(v, avg(col(v)).over(w)))
+    CubeFrame(df, cube.grid, cube.variables)
+  }
 }

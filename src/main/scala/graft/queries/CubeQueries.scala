@@ -170,6 +170,39 @@ object CubeQueries {
       COUNT(*) AS n_obs, ${Sql.davg("value")} AS avg_value
     FROM b GROUP BY 1, 2 ORDER BY bin_start, event_type"""
 
+  // ---------------------------------------------------------------- A6 rolling
+  /** Trailing 3-bin rolling window per pixel (`ds.rolling(time=3)`,
+    * the computed-dataset shape of Resample.rollingMean): daily
+    * per-cell aggregation, then a frame-bounded window — exact decimal
+    * sums so the oracle hashes; one shuffle on (y_idx, x_idx). */
+  def rolling3d(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = cube(s, d)
+      .groupBy("y_idx", "x_idx", "day")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("value").cast(Q.Dec)).as("day_sum"))
+    val w = Window.partitionBy("y_idx", "x_idx").orderBy("day")
+      .rowsBetween(-2, 0)
+    daily.select(col("y_idx"), col("x_idx"), col("day"),
+        sum(col("n_obs")).over(w).as("n_roll"),
+        round(sum(col("day_sum")).over(w), 2).cast("double").as("sum_roll"))
+      .orderBy("y_idx", "x_idx", "day")
+  }
+
+  val rolling3dSql: String = s"""
+    WITH $cubeCte,
+    daily AS (
+      SELECT y_idx, x_idx, day, COUNT(*) AS n_obs,
+        SUM(CAST(value AS DECIMAL(38,6))) AS day_sum
+      FROM cube GROUP BY 1, 2, 3)
+    SELECT y_idx, x_idx, day,
+      CAST(SUM(n_obs) OVER w AS BIGINT) AS n_roll,
+      CAST(ROUND(SUM(day_sum) OVER w, 2) AS DOUBLE) AS sum_roll
+    FROM daily
+    WINDOW w AS (PARTITION BY y_idx, x_idx ORDER BY day
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY y_idx, x_idx, day"""
+
   // ---------------------------------------------------------------- A7/P8
   /** One pyramid downsample step on the event grid: 2×2 sibling cells
     * aggregate with mean (A7); the `(n+1)//2` recurrence and strided
@@ -280,6 +313,7 @@ object CubeQueries {
     QuerySpec("cube_ts_zonal", tsZonal, Some(tsZonalSql)),
     QuerySpec("cube_resample_1w", resample1w, Some(resample1wSql)),
     QuerySpec("cube_resample_5d", resample5d, Some(resample5dSql)),
+    QuerySpec("cube_rolling_3d", rolling3d, Some(rolling3dSql)),
     QuerySpec("cube_pyramid_l1", pyramidL1, Some(pyramidL1Sql)),
     QuerySpec("cube_minmax", minmax, Some(minmaxSql)),
     QuerySpec("cube_bounds", bounds, Some(boundsSql)),

@@ -85,6 +85,10 @@ class ServiceContext(val spark: SparkSession) {
         .cast("double")),
       cube.grid, cube.variables :+ name)
   })
+  // per-pixel trailing rolling mean over n time steps
+  transforms.put("rolling_mean", (inputs, params) =>
+    Resample.rollingMean(inputs.head,
+      params.getOrElse("steps", "3").toInt))
   // valid-range masking of one variable (F6 as a dataset-level transform)
   transforms.put("mask_range", (inputs, params) => {
     val cube = inputs.head

@@ -114,6 +114,25 @@ class CubeOpsSpec extends SparkSpec {
       .startsWith("2017-01-08"))
   }
 
+  test("rollingMean: trailing n-step window per pixel, NaN propagates") {
+    val rolled = Resample.rollingMean(tinyCube(), 2)
+    val rows = rolled.df.filter(col("y_idx") === 1 && col("x_idx") === 2)
+      .orderBy("time").collect()
+    // t0 window = {12.0}; t1 window = {12.0, 1012.0}
+    assert(rows.map(_.getAs[Double]("v")).toSeq == Seq(12.0, 512.0))
+    // NaN cell stays NaN through every window containing it
+    val nanRows = rolled.df.filter(col("y_idx") === 0 && col("x_idx") === 0)
+      .collect()
+    assert(nanRows.forall(r => r.getAs[Double]("v").isNaN))
+    // registered as a computed-dataset transform
+    val ctx = new graft.server.ServiceContext(spark)
+    val viaTransform = ctx.transforms("rolling_mean")(
+      Seq(tinyCube()), Map("steps" -> "2"))
+    assert(viaTransform.df.filter(col("y_idx") === 1 && col("x_idx") === 2)
+      .orderBy("time").collect().map(_.getAs[Double]("v")).toSeq ==
+      Seq(12.0, 512.0))
+  }
+
   test("pyramid: (n+1)/2 sizing and mean downsample") {
     val cube = tinyCube()
     val l1 = Pyramid.downsample(cube, Pyramid.Mean)
