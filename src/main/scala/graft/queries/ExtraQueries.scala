@@ -203,22 +203,41 @@ object ExtraQueries {
     * probe only the query's cell, exact-cosine rerank. The scale path:
     * the corpus is written partitioned by cell, so probes read one
     * partition (vs LSH's hash buckets — both ship in graft). */
+  private def dotCentroid(v: String, c: Array[Double]): Column = {
+    val arr = array(c.map(lit(_)).toIndexedSeq: _*)
+    aggregate(zip_with(col(v).cast("array<double>"), arr, (x, y) => x * y),
+      lit(0.0), (a, x) => a + x)
+  }
+
+  /** nearest-centroid cell id for the embedding column `v`:
+    * score_j = -2 v·c_j + ||c_j||² (||v||² constant per row); argmin
+    * with ties to the lowest centroid id */
+  private[queries] def ivfCellCol(v: String, cs: Array[Array[Double]]): Column = {
+    val scored = array(cs.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(-2.0) * dotCentroid(v, c) + lit(c2)).as("score"),
+        lit(j).as("cell"))
+    }.toIndexedSeq: _*)
+    array_min(scored).getField("cell")
+  }
+
+  /** DuckDB mirror of [[ivfCellCol]] (list_min over [score, cell]). */
+  private[queries] def ivfCellSql(v: String, cs: Array[Array[Double]]): String = {
+    def dotC(c: Array[Double]): String = {
+      val terms = c.zipWithIndex.map { case (x, i) =>
+        s"CAST($v[${i + 1}] AS DOUBLE) * ($x)" }
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | [${terms.mkString(", ")}]), (x, y) -> x + y)""".stripMargin
+    }
+    "list_min([" + cs.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum
+      s"[-2.0 * ${dotC(c)} + ($c2), CAST($j AS DOUBLE)]"
+    }.mkString(", ") + "])[2]"
+  }
+
   def simAnnIvf(s: SparkSession, d: String): DataFrame = {
     val cs = centroids(4, 64)
-    def dotC(v: String, c: Array[Double]): Column = {
-      val arr = array(c.map(lit(_)).toIndexedSeq: _*)
-      aggregate(zip_with(col(v).cast("array<double>"), arr, (x, y) => x * y),
-        lit(0.0), (a, x) => a + x)
-    }
-    def cellCol(v: String): Column = {
-      // score_j = -2 v·c_j + ||c_j||² (||v||² constant per row); argmin
-      val scored = array(cs.zipWithIndex.map { case (c, j) =>
-        val c2 = c.map(x => x * x).sum
-        struct((lit(-2.0) * dotC(v, c) + lit(c2)).as("score"),
-          lit(j).as("cell"))
-      }.toIndexedSeq: _*)
-      array_min(scored).getField("cell")
-    }
+    def cellCol(v: String): Column = ivfCellCol(v, cs)
     val emb = Tables.embeddings(s, d)
     val base = emb.select(col("vec_id"), col("embedding"),
       VecF.normF(col("embedding")).as("norm"), cellCol("embedding").as("cell"))
@@ -240,12 +259,6 @@ object ExtraQueries {
 
   val simAnnIvfSql: String = {
     val cs = centroids(4, 64)
-    def dotC(v: String, c: Array[Double]): String = {
-      val terms = c.zipWithIndex.map { case (x, i) =>
-        s"CAST($v[${i + 1}] AS DOUBLE) * ($x)" }
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         | [${terms.mkString(", ")}]), (x, y) -> x + y)""".stripMargin
-    }
     def dotSelf(a: String): String = {
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          | [CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($a[CAST(i AS INT)] AS DOUBLE)
@@ -255,11 +268,7 @@ object ExtraQueries {
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          | [CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)
          |  FOR i IN range(1, len($a) + 1)]), (x, y) -> x + y)""".stripMargin
-    // argmin over (score, cell) structs ≡ list_min of [score, cell] pairs
-    val cellExpr = "list_min([" + cs.zipWithIndex.map { case (c, j) =>
-      val c2 = c.map(x => x * x).sum
-      s"[-2.0 * ${dotC("embedding", c)} + ($c2), CAST($j AS DOUBLE)]"
-    }.mkString(", ") + "])[2]"
+    val cellExpr = ivfCellSql("embedding", cs)
     s"""
     WITH e AS (SELECT vec_id, embedding,
       sqrt(${dotSelf("embedding")}) AS norm,

@@ -194,6 +194,70 @@ object PipelineQueries {
     ORDER BY id_a, id_b"""
   }
 
+  private val SemT = 0.35 // semantic near-dup cosine threshold
+
+  /** Semantic dedup (the SemDeDup shape, arXiv:2303.09540): partition
+    * the embedding space into IVF cells (nearest deterministic
+    * centroid), compare pairs ONLY within a cell, connect cos ≥ τ
+    * pairs, report each duplicate cluster with its kept representative
+    * (min id) and members. At scale the cell count grows with the
+    * corpus, so the quadratic pair scan stays per-cell bounded — the
+    * whole point of clustering before comparing; the equality join on
+    * `cell` is one shuffle. */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val cs = ExtraQueries.centroids(4, 64)
+    val base = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding"),
+      graft.functions.VecF.normF(col("embedding")).as("norm"),
+      ExtraQueries.ivfCellCol("embedding", cs).as("cell"))
+    val a = base.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = base.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        graft.functions.VecF.dotF(col("ea"), col("eb")) /
+          (col("na") * col("nb")), 6))
+      .filter(col("cos") >= SemT)
+      .select("id_a", "id_b")
+    Dedup.clusterPairs(pairs)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        concat_ws(",", sort_array(collect_list(col("id")))).as("members"))
+      .orderBy("cluster")
+  }
+
+  val dedupSemanticSql: String = {
+    val cs = ExtraQueries.centroids(4, 64)
+    s"""
+    WITH e AS (SELECT vec_id, embedding,
+      sqrt(${dotSql("embedding", "embedding")}) AS norm,
+      ${ExtraQueries.ivfCellSql("embedding", cs)} AS cell FROM embeddings),
+    near AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND(${dotSql("a.embedding", "b.embedding")} /
+        (a.norm * b.norm), 6) >= $SemT),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM near
+      UNION ALL SELECT id_b, id_a FROM near),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e2.dst FROM r JOIN edges e2 ON r.b = e2.src)
+      SELECT a, b FROM r),
+    clusters AS (
+      SELECT id, MIN(lbl) AS cluster FROM (
+        SELECT src AS id, src AS lbl FROM edges
+        UNION ALL SELECT a, b FROM reach)
+      GROUP BY id)
+    SELECT cluster, COUNT(*) AS n_members,
+      string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+    FROM clusters GROUP BY cluster ORDER BY cluster"""
+  }
+
   /** Cluster-representative selection: among each near-dup cluster keep
     * the highest-quality document (the step after clustering in every
     * curation pipeline — dedup keeps the BEST copy, not an arbitrary
@@ -633,6 +697,7 @@ object PipelineQueries {
     QuerySpec("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QuerySpec("dedup_emb_cosine", dedupEmbCosine, Some(dedupEmbCosineSql)),
     QuerySpec("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
+    QuerySpec("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QuerySpec("pipeline_curate", pipelineCurate, Some(pipelineCurateSql)),
     QuerySpec("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QuerySpec("sim_cosine_topk", simTopK, Some(simTopKSql)),
