@@ -47,17 +47,22 @@ object Resample {
   }
 
   /** Per-pixel rolling mean over the trailing `n` time steps (the
-    * `ds.rolling(time=n).mean()` computed-dataset shape). One shuffle
-    * on (y_idx, x_idx); every variable shares the same window, so
-    * Catalyst plans a single WindowExec. NaN cells propagate (numpy
-    * rolling semantics); null cells are skipped. */
-  def rollingMean(cube: CubeFrame, n: Int): CubeFrame = {
+    * `ds.rolling(time=n).mean()` computed-dataset shape). xarray's
+    * default `min_periods` equals the window size, so the first n-1
+    * steps of every pixel series are NaN; pass a smaller `minPeriods`
+    * for partial-window means. One shuffle on (y_idx, x_idx); every
+    * variable shares the same window, so Catalyst plans a single
+    * WindowExec. NaN cells propagate (numpy rolling semantics); null
+    * cells are skipped. */
+  def rollingMean(cube: CubeFrame, n: Int, minPeriods: Int = -1): CubeFrame = {
     require(n >= 1, s"rolling window must be >= 1, got $n")
+    val minP = if (minPeriods < 0) n else minPeriods
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("y_idx", "x_idx").orderBy("time")
       .rowsBetween(-(n - 1), 0)
     val df = cube.variables.foldLeft(cube.df)((acc, v) =>
-      acc.withColumn(v, avg(col(v)).over(w)))
+      acc.withColumn(v, when(count(lit(1)).over(w) >= minP,
+        avg(col(v)).over(w)).otherwise(lit(Double.NaN))))
     CubeFrame(df, cube.grid, cube.variables)
   }
 }

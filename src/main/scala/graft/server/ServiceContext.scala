@@ -85,10 +85,13 @@ class ServiceContext(val spark: SparkSession) {
         .cast("double")),
       cube.grid, cube.variables :+ name)
   })
-  // per-pixel trailing rolling mean over n time steps
-  transforms.put("rolling_mean", (inputs, params) =>
-    Resample.rollingMean(inputs.head,
-      params.getOrElse("steps", "3").toInt))
+  // per-pixel trailing rolling mean over n time steps (xarray
+  // min_periods semantics: default = the window size)
+  transforms.put("rolling_mean", (inputs, params) => {
+    val steps = params.getOrElse("steps", "3").toInt
+    Resample.rollingMean(inputs.head, steps,
+      params.getOrElse("min_periods", steps.toString).toInt)
+  })
   // valid-range masking of one variable (F6 as a dataset-level transform)
   transforms.put("mask_range", (inputs, params) => {
     val cube = inputs.head
@@ -139,6 +142,14 @@ class ServiceContext(val spark: SparkSession) {
     * against `baseDir` and may be globs. */
   def loadPlaceGroups(cfgs: Seq[graft.model.PlaceGroupConfig],
                       baseDir: String): Unit =
+    loadPlaceGroupsInto(cfgs, baseDir, featureCounter,
+      (id, df, title) => registerPlaces(id, df, title), subGroups)
+
+  private def loadPlaceGroupsInto(
+      cfgs: Seq[graft.model.PlaceGroupConfig], baseDir: String,
+      counter: java.util.concurrent.atomic.AtomicLong,
+      put: (String, DataFrame, String) => Unit,
+      subs: scala.collection.mutable.Map[String, Seq[String]]): Unit =
     cfgs.foreach { cfg =>
       require(cfg.identifier.nonEmpty,
         "Missing 'Identifier' entry in a 'PlaceGroups' item")
@@ -146,13 +157,13 @@ class ServiceContext(val spark: SparkSession) {
         if (java.nio.file.Paths.get(cfg.path).isAbsolute) cfg.path
         else java.nio.file.Paths.get(baseDir, cfg.path).toString
       val df = graft.operators.Places.loadGeoJson(spark, path,
-        idStart = featureCounter.get() + 1)
-      featureCounter.addAndGet(df.count())
-      registerPlaces(cfg.identifier, df,
+        idStart = counter.get() + 1)
+      counter.addAndGet(df.count())
+      put(cfg.identifier, df,
         if (cfg.title.isEmpty) cfg.identifier else cfg.title)
       if (cfg.places.nonEmpty) {
-        subGroups.put(cfg.identifier, cfg.places.map(_.identifier))
-        loadPlaceGroups(cfg.places, baseDir)
+        subs.put(cfg.identifier, cfg.places.map(_.identifier))
+        loadPlaceGroupsInto(cfg.places, baseDir, counter, put, subs)
       }
     }
 
@@ -169,25 +180,50 @@ class ServiceContext(val spark: SparkSession) {
     // The reference rebuilds its context from scratch on reload: the
     // same config must yield the same feature ids every time, and
     // datasets / place groups removed from the config must disappear.
-    datasets.clear()
-    placeGroups.clear()
-    placeGroupTitles.clear()
-    subGroups.clear()
-    featureCounter.set(0L)
-    loadPlaceGroups(cfg.placeGroups, baseDir)
+    // STAGE the whole new context first — a failing reload must leave
+    // the live registries untouched, and an in-flight request must
+    // never observe a half-cleared service.
+    import scala.collection.mutable.LinkedHashMap
+    val newDatasets = LinkedHashMap.empty[String, RegisteredDataset]
+    val newPlaces = LinkedHashMap.empty[String, DataFrame]
+    val newTitles = LinkedHashMap.empty[String, String]
+    val newSubs = LinkedHashMap.empty[String, Seq[String]]
+    val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+    loadPlaceGroupsInto(cfg.placeGroups, baseDir, counter,
+      (id, df, title) => { newPlaces(id) = df; newTitles(id) = title },
+      newSubs)
     cfg.datasets.foreach { d =>
       val style = d.style.flatMap(cfg.style)
-      if (d.function.isDefined)
-        registerComputed(d.identifier, d.title, d.function.get,
-          d.inputDatasets, d.inputParameters, style)
-      else {
+      if (d.function.isDefined) {
+        val fn = transforms.getOrElse(d.function.get,
+          throw new IllegalArgumentException(
+            s"unknown function ${d.function.get}"))
+        val inputs = d.inputDatasets.map(i => newDatasets.getOrElse(i,
+          throw new IllegalArgumentException(
+            s"unknown input dataset $i")).cube)
+        newDatasets(d.identifier) = RegisteredDataset(d.identifier, d.title,
+          fn(inputs, d.inputParameters), style)
+      } else {
         val path = resolve(d.path)
         val cube = graft.cube.CubeIngest.open(spark, path)
         val levels = graft.cube.CubeIngest.openLevels(spark, path + ".levels")
-        register(RegisteredDataset(d.identifier, d.title, cube, style,
-          levels = levels, placeGroupRefs = d.placeGroupRefs))
+        newDatasets(d.identifier) = RegisteredDataset(d.identifier, d.title,
+          cube, style, levels = levels, placeGroupRefs = d.placeGroupRefs)
       }
     }
+    // apply: upsert the new entries, then drop the removed keys — a
+    // concurrent request sees the old or new value per key, never an
+    // emptied registry
+    newDatasets.foreach { case (k, v) => datasets.put(k, v) }
+    datasets.keys.filterNot(newDatasets.contains).foreach(datasets.remove)
+    newPlaces.foreach { case (k, v) => placeGroups.put(k, v) }
+    placeGroups.keys.filterNot(newPlaces.contains).foreach(placeGroups.remove)
+    newTitles.foreach { case (k, v) => placeGroupTitles.put(k, v) }
+    placeGroupTitles.keys.filterNot(newTitles.contains)
+      .foreach(placeGroupTitles.remove)
+    newSubs.foreach { case (k, v) => subGroups.put(k, v) }
+    subGroups.keys.filterNot(newSubs.contains).foreach(subGroups.remove)
+    featureCounter.set(counter.get())
   }
 
   /** Register a computed dataset by applying a named transform to

@@ -40,21 +40,14 @@ object Hdf5 {
     Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte)
   private val Undef = -1L // 0xFFFF... as a signed long
 
-  /** HDF5 files start with the 8-byte signature at offset 0 (or at a
-    * power-of-two userblock boundary — rare; we check 0 and 512). */
+  /** HDF5 files start with the 8-byte signature at offset 0 or at a
+    * power-of-two userblock boundary (512, 1024, ...) — the same probe
+    * sequence [[findSuperblock]] uses, so detection and parsing agree. */
   def isHdf5(path: String): Boolean = {
     val p = Paths.get(path)
     if (!Files.isRegularFile(p) || Files.size(p) < 8) return false
-    val raf = new RandomAccessFile(path, "r")
-    try {
-      val b = new Array[Byte](8)
-      raf.readFully(b)
-      if (b.sameElements(Magic)) return true
-      if (raf.length() >= 520) {
-        raf.seek(512); raf.readFully(b)
-        b.sameElements(Magic)
-      } else false
-    } finally raf.close()
+    try { withRaf(path)(findSuperblock); true }
+    catch { case _: Exception => false }
   }
 
   // ----------------------------------------------------------- model
@@ -104,7 +97,10 @@ object Hdf5 {
       var a = addr
       var done = false
       while (!done) {
-        val chunk = raw(a, math.min(64L, raf.length() - base - a).toInt)
+        val take = math.min(64L, raf.length() - base - a).toInt
+        if (take <= 0) throw new IllegalArgumentException(
+          "unterminated heap string runs past end of file")
+        val chunk = raw(a, take)
         val z = chunk.indexOf(0.toByte)
         if (z >= 0) { out ++= chunk.take(z); done = true }
         else { out ++= chunk; a += chunk.length }
@@ -213,7 +209,9 @@ object Hdf5 {
   }
 
   private def messagesV2(r: R, addr: Long): Seq[(Int, ByteBuffer)] = {
-    val pre = r.bytes(addr, 64)
+    // prefix is at most 4+1+1+16+4+8 bytes; clamp to EOF for tiny files
+    val pre = r.bytes(addr,
+      math.min(64L, r.raf.length() - r.base - addr).toInt)
     pre.position(4)
     val ver = pre.get() & 0xFF
     require(ver == 2, s"OHDR version $ver")
@@ -516,6 +514,7 @@ object Hdf5 {
     require(ds.shape.length == 1, s"${ds.name} is not 1-D")
     val n = ds.shape.head
     if (ds.layoutClass == 1) {
+      if (ds.dataAddr == Undef) return Array.fill(n)(ds.fill) // unallocated
       val raw = withRaf(path) { r =>
         r.base = baseOf(path); r.raw(ds.dataAddr, n * ds.dtype.size)
       }
@@ -654,15 +653,23 @@ object Hdf5 {
       v -> arr
     }.toMap
 
-    // symbol tables are sorted by name
+    // symbol tables are sorted by name — a B-tree format invariant:
+    // external readers do binary search over SNOD entries, so an
+    // unsorted table reads as silently missing variables
     val names = (cube.variables ++ Seq("lat", "lon", "time")).sorted
+    require(names == names.sorted && names.distinct == names,
+      "dataset names must be unique")
+    // one SNOD holds at most 2 * leafK symbols (we write leafK below)
+    val GroupLeafK = 1024
+    require(names.length <= 2 * GroupLeafK,
+      s"writeHdf5 supports up to ${2 * GroupLeafK} datasets")
     val w = new W
 
     // ---- superblock v0 (96 bytes)
     w.bytes(Magic)
     w.u8(0); w.u8(0); w.u8(0); w.u8(0); w.u8(0) // versions + reserved
     w.u8(8); w.u8(8); w.u8(0) // offset size, length size, reserved
-    w.u16(4); w.u16(16) // group leaf K, group internal K
+    w.u16(GroupLeafK); w.u16(16) // group leaf K, group internal K
     w.u32(0) // consistency flags
     w.u64(0) // base address
     w.u64(Undef) // free-space info
@@ -814,17 +821,46 @@ object Hdf5 {
         (Seq(t.toLong, yc0.toLong * cy, xc0.toLong * cx, 0L), addr,
           packed.length)
       }
-      w.patch64(btPatch, w.pos)
-      w.bytes("TREE".getBytes); w.u8(1); w.u8(0); w.u16(entries.length)
-      w.u64(Undef); w.u64(Undef)
-      entries.foreach { case (offs, addr, sz) =>
-        w.u32(sz.toLong); w.u32(0)
-        offs.foreach(w.u64)
-        w.u64(addr)
+      // ---- chunk-index B-tree v1. Nodes hold at most 2*K entries
+      // (K = 32, the HDF5 library's istore default for a v0
+      // superblock — it rejects oversized nodes on read), so levels
+      // stack until a single root spans every chunk. A node's final
+      // key is its right sibling's first key (search invariant); the
+      // rightmost final key is the dataset shape.
+      val maxPerNode = 64
+      val shapeKey = Seq(nt.toLong, nh.toLong, nw.toLong, 0L)
+      val keyBytes = 8 + shapeKey.length * 8
+      def nodeBytes(k: Int): Long = 24L + k * (keyBytes + 8) + keyBytes
+      require(entries.nonEmpty, "cube has no chunks to index")
+      // (first key offsets, key size field, child address)
+      var cur = entries.map { case (offs, addr, sz) =>
+        (offs, sz.toLong, addr) }.toVector
+      var lvl = 0
+      var done = false
+      while (!done) {
+        val groups = cur.grouped(maxPerNode).toVector
+        val addrs = groups.scanLeft(w.pos)((a, g) =>
+          a + nodeBytes(g.length)).toVector
+        groups.zipWithIndex.foreach { case (g, i) =>
+          w.bytes("TREE".getBytes); w.u8(1); w.u8(lvl); w.u16(g.length)
+          w.u64(if (i == 0) Undef else addrs(i - 1))
+          w.u64(if (i + 1 < groups.length) addrs(i + 1) else Undef)
+          g.foreach { case (offs, szf, child) =>
+            w.u32(szf); w.u32(0); offs.foreach(w.u64); w.u64(child)
+          }
+          val (fOffs, fSz) =
+            if (i + 1 < groups.length)
+              (groups(i + 1).head._1, groups(i + 1).head._2)
+            else (shapeKey, 0L)
+          w.u32(fSz); w.u32(0); fOffs.foreach(w.u64)
+        }
+        if (groups.length == 1) { w.patch64(btPatch, addrs(0)); done = true }
+        else {
+          cur = groups.indices.map(i =>
+            (groups(i).head._1, groups(i).head._2, addrs(i))).toVector
+          lvl += 1
+        }
       }
-      // final key: one past the last chunk (dataset shape)
-      w.u32(0); w.u32(0)
-      w.u64(nt.toLong); w.u64(nh.toLong); w.u64(nw.toLong); w.u64(0)
     }
 
     w.patch64(eofPatch, w.pos)

@@ -52,9 +52,20 @@ object NetcdfStore {
     * fail outright past 2 GB (Int array limit). Start at 8 KiB and
     * double on underflow until the header fits. */
   def readHeader(path: String): NcHeader = {
+    // reject non-CDF files on the first 4 bytes — without this, a magic
+    // failure would retry through the whole grow loop, re-reading a
+    // possibly multi-GB file several times before surfacing the error
+    {
+      val raf = new RandomAccessFile(path, "r")
+      val m = new Array[Byte](4)
+      try { raf.readFully(m) } finally raf.close()
+      require(m(0) == 'C' && m(1) == 'D' && m(2) == 'F',
+        s"$path is not a NetCDF classic file")
+      require(m(3) == 1 || m(3) == 2,
+        s"unsupported NetCDF version ${m(3)} (classic 1/2 only)")
+    }
     // sane upper bound for any real header; also keeps take in Int range
-    val maxHeader = math.min(Files.size(Paths.get(path)), 256L << 20)
-    val fileLen = maxHeader
+    val fileLen = math.min(Files.size(Paths.get(path)), 256L << 20)
     var n = 8192L
     while (true) {
       val take = math.min(n, fileLen)
@@ -65,8 +76,8 @@ object NetcdfStore {
       catch {
         // underflow = ran off the truncated buffer; position() past the
         // limit surfaces as IllegalArgumentException. A genuine parse
-        // error retries a couple of times and then rethrows once the
-        // whole file is buffered (take == fileLen).
+        // error retries a few times (buffer grows 4x per round) and
+        // then rethrows once the whole file is buffered (take == fileLen).
         case _: java.nio.BufferUnderflowException |
              _: IndexOutOfBoundsException |
              _: IllegalArgumentException if take < fileLen =>

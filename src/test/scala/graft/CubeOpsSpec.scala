@@ -115,11 +115,18 @@ class CubeOpsSpec extends SparkSpec {
   }
 
   test("rollingMean: trailing n-step window per pixel, NaN propagates") {
+    // xarray default min_periods = n: the first n-1 steps are NaN
     val rolled = Resample.rollingMean(tinyCube(), 2)
     val rows = rolled.df.filter(col("y_idx") === 1 && col("x_idx") === 2)
       .orderBy("time").collect()
-    // t0 window = {12.0}; t1 window = {12.0, 1012.0}
-    assert(rows.map(_.getAs[Double]("v")).toSeq == Seq(12.0, 512.0))
+    // t0 window = {12.0} (partial → NaN); t1 window = {12.0, 1012.0}
+    assert(rows.head.getAs[Double]("v").isNaN)
+    assert(rows.map(_.getAs[Double]("v")).last == 512.0)
+    // explicit min_periods=1 gives partial-window means
+    val partial = Resample.rollingMean(tinyCube(), 2, minPeriods = 1)
+    assert(partial.df.filter(col("y_idx") === 1 && col("x_idx") === 2)
+      .orderBy("time").collect().map(_.getAs[Double]("v")).toSeq ==
+      Seq(12.0, 512.0))
     // NaN cell stays NaN through every window containing it
     val nanRows = rolled.df.filter(col("y_idx") === 0 && col("x_idx") === 0)
       .collect()
@@ -127,7 +134,7 @@ class CubeOpsSpec extends SparkSpec {
     // registered as a computed-dataset transform
     val ctx = new graft.server.ServiceContext(spark)
     val viaTransform = ctx.transforms("rolling_mean")(
-      Seq(tinyCube()), Map("steps" -> "2"))
+      Seq(tinyCube()), Map("steps" -> "2", "min_periods" -> "1"))
     assert(viaTransform.df.filter(col("y_idx") === 1 && col("x_idx") === 2)
       .orderBy("time").collect().map(_.getAs[Double]("v")).toSeq ==
       Seq(12.0, 512.0))

@@ -87,6 +87,30 @@ class Hdf5Spec extends SparkSpec {
     assert(Hdf5.read1d(s"$dir/c.nc", lat).length == 8)
   }
 
+  test("chunk B-tree splits into levels past 64 entries per node") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5").toString
+    val grid = CubeGrid(64, 64, 0.0, 0.0, 0.25, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 5, Seq("v0"),
+      nanEvery = 9)
+    // 5 × 8 × 8 = 320 chunks → 5 leaf nodes + 1 internal root
+    Hdf5.writeHdf5(cube, s"$dir/big.nc", chunkY = 8, chunkX = 8)
+    val back = NetcdfStore.openCube(spark, s"$dir/big.nc")
+    assert(back.df.rdd.getNumPartitions == 320)
+    assert(back.df.count() == 64L * 64 * 5)
+    // spot-check values across the whole index range
+    val exp = cube.df.select(col("time"), col("y_idx"), col("x_idx"),
+        col("v0")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getInt(2)) ->
+        r.getDouble(3)).toMap
+    val got = back.df.filter(col("y_idx") % 13 === 0 && col("x_idx") % 17 === 0)
+      .select(col("time"), col("y_idx"), col("x_idx"), col("v0")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val k = (r.getTimestamp(0).getTime, r.getInt(1), r.getInt(2))
+      assert(java.lang.Double.compare(r.getDouble(3), exp(k)) == 0, s"cell $k")
+    }
+  }
+
   test("non-hdf5 and classic files are not misdetected") {
     val dir = java.nio.file.Files.createTempDirectory("graft-h5").toString
     val grid = CubeGrid(4, 2, 0.0, 0.0, 1.0, latAscending = true)

@@ -646,5 +646,22 @@ ${if (withB) "  - Identifier: gb\n    Title: Group B\n    Path: \"b.geojson\"" e
     ctx.loadConfig(ServiceConfig.fromString(yaml(withB = false)), dir.toString)
     assert(ctx.places("gb").isEmpty)
     assert(ctx.placeGroupList.map(_._1) == Seq("ga"))
+    // a FAILING reload must leave the live registries untouched (the
+    // reload thread only logs the error; an emptied context would 404
+    // every request until the next valid save)
+    val broken = """
+PlaceGroups:
+  - Identifier: gx
+    Path: "a.geojson"
+Datasets:
+  - Identifier: bad
+    Title: Broken
+    Path: "no/such/store"
+"""
+    intercept[Exception] {
+      ctx.loadConfig(ServiceConfig.fromString(broken), dir.toString)
+    }
+    assert(ids("ga") == a1)
+    assert(ctx.placeGroupList.map(_._1) == Seq("ga"))
   }
 }
