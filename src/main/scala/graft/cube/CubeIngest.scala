@@ -52,20 +52,17 @@ object CubeIngest {
         .stripMargin)
   }
 
-  private def readMeta(path: String): Option[(CubeGrid, Seq[String])] = {
-    val p = java.nio.file.Paths.get(path, "_graft_meta.json")
-    if (!java.nio.file.Files.isRegularFile(p)) None
-    else {
+  private def readMeta(path: String): Option[(CubeGrid, Seq[String])] =
+    graft.sources.BlobStore.forStore(path).read("_graft_meta.json").map { b =>
       val n = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(p))
+        .readTree(new String(b, java.nio.charset.StandardCharsets.UTF_8))
       val g = n.get("grid")
       val vars = (0 until n.get("variables").size())
         .map(n.get("variables").get(_).asText())
-      Some((CubeGrid(g.get("width").asInt(), g.get("height").asInt(),
+      (CubeGrid(g.get("width").asInt(), g.get("height").asInt(),
         g.get("lonMin").asDouble(), g.get("latMin").asDouble(),
-        g.get("res").asDouble(), g.get("latAscending").asBoolean()), vars))
+        g.get("res").asDouble(), g.get("latAscending").asBoolean()), vars)
     }
-  }
 
   /** Open a self-describing cube store: `.zarr` directories through the
     * live DSv2, parquet stores through the `_graft_meta.json` sidecar
@@ -76,11 +73,9 @@ object CubeIngest {
       return graft.sources.ZarrStore.openCube(spark, path)
     if (path.endsWith(".nc"))
       return graft.sources.NetcdfStore.openCube(spark, path)
-    val link = java.nio.file.Paths.get(path + ".link")
-    val resolved =
-      if (java.nio.file.Files.isRegularFile(link))
-        java.nio.file.Files.readString(link).trim
-      else path
+    val resolved = graft.sources.BlobStore.readFile(path + ".link")
+      .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8).trim)
+      .getOrElse(path)
     val (grid, vars) = readMeta(resolved).getOrElse(
       throw new IllegalArgumentException(
         s"$resolved has no _graft_meta.json — written by an old ingest?"))
@@ -90,13 +85,9 @@ object CubeIngest {
   /** Open all pyramid levels under `<path>` (level=k subdirs), finest
     * first. */
   def openLevels(spark: SparkSession, path: String): Seq[CubeFrame] = {
-    val dir = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.isDirectory(dir)) return Nil
-    val stream = java.nio.file.Files.list(dir)
-    val names =
-      try stream.toArray.toSeq
-        .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
-      finally stream.close() // Files.list leaks an fd unless closed
+    // the blob seam lists local dirs directly and scheme:// URIs via
+    // the Hadoop FileSystem API (S5 — levels on object stores)
+    val names = graft.sources.BlobStore.forStore(path).listAll
     val ks = names
       .filter(_.startsWith("level="))
       .map(s => s.stripPrefix("level=").stripSuffix(".link").toInt)
@@ -121,11 +112,9 @@ object CubeIngest {
     * duplicating it, mldataset.py:136-198 `.link` files). */
   def readCube(spark: SparkSession, path: String, grid: CubeGrid,
                variables: Seq[String]): CubeFrame = {
-    val link = java.nio.file.Paths.get(path + ".link")
-    val resolved =
-      if (java.nio.file.Files.isRegularFile(link))
-        java.nio.file.Files.readString(link).trim
-      else path
+    val resolved = graft.sources.BlobStore.readFile(path + ".link")
+      .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8).trim)
+      .getOrElse(path)
     CubeFrame(spark.read.parquet(resolved), grid, variables)
   }
 

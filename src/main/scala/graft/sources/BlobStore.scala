@@ -24,6 +24,9 @@ private[graft] trait BlobStore {
   def read(key: String): Option[Array[Byte]]
   /** immediate subdirectory names of the store root, sorted */
   def listDirs: Seq[String]
+  /** immediate child names, files AND directories, sorted; empty when
+    * the root itself is absent */
+  def listAll: Seq[String]
   def exists(key: String): Boolean = read(key).isDefined
 }
 
@@ -40,6 +43,14 @@ private[graft] object BlobStore {
     else new LocalBlobStore(path))
 
   private[graft] def drop(path: String): Unit = stores.remove(path)
+
+  /** one file by full path-or-URI (splits into parent store + name, so
+    * sibling files like `<store>.link` route through the same seam) */
+  private[graft] def readFile(path: String): Option[Array[Byte]] = {
+    val i = path.lastIndexOf('/')
+    if (i <= 0) new LocalBlobStore(".").read(path)
+    else forStore(path.substring(0, i)).read(path.substring(i + 1))
+  }
 }
 
 private[graft] final class LocalBlobStore(root: String) extends BlobStore {
@@ -49,10 +60,14 @@ private[graft] final class LocalBlobStore(root: String) extends BlobStore {
   }
   override def exists(key: String): Boolean =
     Files.isRegularFile(Paths.get(root, key.split('/').toSeq: _*))
-  def listDirs: Seq[String] = {
+  def listDirs: Seq[String] = children(dirsOnly = true)
+  def listAll: Seq[String] = children(dirsOnly = false)
+  private def children(dirsOnly: Boolean): Seq[String] = {
+    if (!Files.isDirectory(Paths.get(root))) return Seq.empty
     val stream = Files.list(Paths.get(root))
     try stream.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).sorted
+      .filter(p => !dirsOnly || Files.isDirectory(p))
+      .map(_.getFileName.toString).sorted
     finally stream.close() // Files.list leaks an fd unless closed
   }
 }
@@ -87,6 +102,10 @@ private[graft] final class HadoopBlobStore(root: String) extends BlobStore {
   def listDirs: Seq[String] = try {
     fs.listStatus(rootPath).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName).sorted
+  } catch { case _: java.io.FileNotFoundException => Seq.empty }
+
+  def listAll: Seq[String] = try {
+    fs.listStatus(rootPath).toSeq.map(_.getPath.getName).sorted
   } catch { case _: java.io.FileNotFoundException => Seq.empty }
 }
 
@@ -137,6 +156,12 @@ private[graft] final class CachingBlobStore(inner: BlobStore,
   def listDirs: Seq[String] = {
     if (dirs == null) { fetches.incrementAndGet(); dirs = inner.listDirs }
     dirs
+  }
+
+  @volatile private var all: Seq[String] = _
+  def listAll: Seq[String] = {
+    if (all == null) { fetches.incrementAndGet(); all = inner.listAll }
+    all
   }
 
   private[graft] def cachedBytes: Long = lock.synchronized(used)

@@ -23,6 +23,7 @@ class BlobStoreSpec extends SparkSpec {
       reads.incrementAndGet(); inner.read(key)
     }
     def listDirs: Seq[String] = inner.listDirs
+    def listAll: Seq[String] = inner.listAll
   }
 
   test("file:// URIs drive the remote (hadoop + LRU) path end to end") {
@@ -48,6 +49,25 @@ class BlobStoreSpec extends SparkSpec {
     df.count() // every chunk + metadata object is already cached
     assert(caching.fetches.get() == afterFirst,
       s"expected no new fetches, got ${caching.fetches.get() - afterFirst}")
+  }
+
+  test("parquet store, levels dir and .link resolve via file:// (S5)") {
+    val grid = CubeGrid(64, 32, 0.0, 0.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-blob").toString
+    graft.cube.CubeIngest.writeCube(cube, s"$dir/c", tileSize = 32)
+    graft.cube.CubeIngest.writeLevels(cube, s"$dir/c.levels", tileSize = 32)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/linked.link"), s"$dir/c")
+
+    val viaUri = graft.cube.CubeIngest.open(spark, s"file://$dir/c")
+    assert(viaUri.grid == grid && viaUri.variables == Seq("v0"))
+    assert(viaUri.df.count() == 64L * 32 * 2)
+    val levels = graft.cube.CubeIngest.openLevels(spark, s"file://$dir/c.levels")
+    assert(levels.nonEmpty)
+    assert(levels.head.grid == grid)
+    val linked = graft.cube.CubeIngest.open(spark, s"file://$dir/linked")
+    assert(linked.df.count() == 64L * 32 * 2)
   }
 
   test("LRU evicts by bytes and stays within budget") {
