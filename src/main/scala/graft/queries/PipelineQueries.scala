@@ -194,6 +194,87 @@ object PipelineQueries {
     ORDER BY id_a, id_b"""
   }
 
+  private val ContamK = 3 // flag docs sharing >= K benchmark shingles
+
+  /** Benchmark decontamination: remove training documents that leak
+    * evaluation data. The benchmark set (deterministic subset here:
+    * doc_id % 97 == 0) contributes its distinct word-bigram shingles;
+    * corpus documents sharing >= K of them get flagged with their hit
+    * count. The benchmark side is small by nature, so it BROADCASTS —
+    * the corpus shingle table never shuffles, which is what makes this
+    * viable against a 100 TB corpus. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text")
+    val bench = sh.filter(col("id") % 97 === 0).select("s").distinct()
+    sh.filter(col("id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("s"))
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= ContamK)
+      .select(col("id").as("doc_id"), col("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String = s"""
+    WITH $thCte, $shCte,
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+    SELECT sh.doc_id, COUNT(*) AS n_hits
+    FROM sh JOIN bench ON sh.s = bench.s
+    WHERE sh.doc_id % 97 != 0
+    GROUP BY sh.doc_id HAVING COUNT(*) >= $ContamK
+    ORDER BY doc_id"""
+
+  /** KMV (k-minimum-values) distinct-count sketch over user ids per
+    * event type. The sketch state is the k smallest distinct hash
+    * values — a few hundred bytes per group regardless of cardinality,
+    * mergeable across partitions (min-merge), and because the hash is
+    * the house polynomial the estimate is DETERMINISTIC: the oracle
+    * checks the sketch bit-for-bit, not approximately. Estimator:
+    * (k-1) * P / h_k (hashes uniform on [0, P)); groups with fewer
+    * than k distinct hashes report exactly. */
+  def sketchKmv(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    import org.apache.spark.sql.expressions.Window
+    val hashes = Tables.events(s, d)
+      .select(col("event_type"),
+        graft.functions.HashF.polyHash(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val kth = hashes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("event_type").agg(max(col("h")).as("hk"),
+        count(lit(1)).as("kk"))
+    val exact = Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(kth, Seq("event_type"))
+      .withColumn("kmv_estimate",
+        when(col("kk") < k, col("kk").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * TextHash.P) / col("hk"), 2)))
+      .select("event_type", "n_exact", "kmv_estimate")
+      .orderBy("event_type")
+  }
+
+  val sketchKmvSql: String = {
+    val v = "CAST(user_id AS VARCHAR)"
+    val h = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      | [CAST(ascii(substr($v, CAST(i AS INT), 1)) AS BIGINT)
+      |  FOR i IN range(1, length($v)+1)]),
+      | (a, b) -> (a * 31 + b) % ${TextHash.P})""".stripMargin
+    s"""
+    WITH hashes AS (SELECT DISTINCT event_type, $h AS h FROM events),
+    ranked AS (SELECT event_type, h,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashes),
+    kth AS (SELECT event_type, MAX(h) AS hk, COUNT(*) AS kk
+      FROM ranked WHERE rn <= 64 GROUP BY event_type),
+    exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type)
+    SELECT exact.event_type, n_exact,
+      CASE WHEN kk < 64 THEN CAST(kk AS DOUBLE)
+           ELSE ROUND(${63.0 * TextHash.P} / hk, 2) END AS kmv_estimate
+    FROM exact JOIN kth ON exact.event_type = kth.event_type
+    ORDER BY exact.event_type"""
+  }
+
   private val SemT = 0.35 // semantic near-dup cosine threshold
 
   /** Semantic dedup (the SemDeDup shape, arXiv:2303.09540): partition
@@ -698,6 +779,8 @@ object PipelineQueries {
     QuerySpec("dedup_emb_cosine", dedupEmbCosine, Some(dedupEmbCosineSql)),
     QuerySpec("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QuerySpec("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
+    QuerySpec("decontaminate", decontaminate, Some(decontaminateSql)),
+    QuerySpec("sketch_kmv_distinct", sketchKmv, Some(sketchKmvSql)),
     QuerySpec("pipeline_curate", pipelineCurate, Some(pipelineCurateSql)),
     QuerySpec("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QuerySpec("sim_cosine_topk", simTopK, Some(simTopKSql)),
