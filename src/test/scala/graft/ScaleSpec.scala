@@ -107,4 +107,19 @@ class ScaleSpec extends SparkSpec {
     assert(pts.forall(_.total_count == 1L))
     assert(pts.forall(_.average.isDefined))
   }
+
+  test("decontamination broadcasts the benchmark side (no corpus shuffle)") {
+    val q = graft.queries.PipelineQueries.decontaminate(
+      spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(800))
+  }
+
+  test("KMV sketch top-k uses WindowGroupLimit, not a full global sort") {
+    val q = graft.queries.PipelineQueries.sketchKmv(
+      spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
 }
