@@ -25,10 +25,11 @@ package graft.sources
   * size equals its uncompressed size is stored raw. A block is
   * byte-shuffled before splitting, so each split is one byte-plane.
   *
-  * Supported here: memcpy frames, lz4/lz4hc and zlib inner codecs,
-  * byte-shuffle and no shuffle. Rejected with clear errors: bit-shuffle,
-  * blosclz, snappy, zstd (no public-domain pure-JVM zstd fits this
-  * build). c-blosc decides the split count from a compile-time rule
+  * Supported here: memcpy frames; lz4/lz4hc and zlib inner codecs
+  * (pure JVM) plus zstd and snappy (via the zstd-jni / snappy-java
+  * libraries Spark itself ships for shuffle compression); byte-shuffle
+  * and no shuffle. Rejected with clear errors: bit-shuffle, blosclz.
+  * c-blosc decides the split count from a compile-time rule
   * that changed across versions; instead of replicating one version's
   * rule we try both possible counts (`typesize`, then 1) — the strict
   * size bookkeeping makes the wrong hypothesis fail fast and the right
@@ -40,7 +41,9 @@ object Blosc {
   private val FlagMemcpy = 0x2
   private val FlagBitShuffle = 0x4
   private val CodecLz4 = 1
+  private val CodecSnappy = 2
   private val CodecZlib = 3
+  private val CodecZstd = 4
 
   private def le32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
@@ -67,9 +70,10 @@ object Blosc {
     require((flags & FlagBitShuffle) == 0,
       "blosc bit-shuffle is not supported (byte-shuffle / no-shuffle are)")
     val codec = (flags >>> 5) & 0x7
-    require(codec == CodecLz4 || codec == CodecZlib,
+    require(codec == CodecLz4 || codec == CodecZlib ||
+      codec == CodecZstd || codec == CodecSnappy,
       s"unsupported blosc inner codec id $codec " +
-        "(lz4/lz4hc and zlib are supported; blosclz, snappy and zstd are not)")
+        "(lz4/lz4hc, zlib, zstd and snappy are supported; blosclz is not)")
     require(blocksize > 0, s"corrupt blosc blocksize $blocksize")
     val doShuffle = (flags & FlagShuffle) != 0 && typesize > 1
     val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
@@ -126,6 +130,18 @@ object Blosc {
             if (k != neblock || !inf.finished()) return None
           } catch { case _: java.util.zip.DataFormatException => return None }
           finally inf.end()
+        case CodecZstd => // zstd-jni ships with Spark (shuffle codec)
+          try {
+            val k = com.github.luben.zstd.Zstd.decompressByteArray(
+              out, j * neblock, neblock, frame, off, cb)
+            if (k != neblock) return None
+          } catch { case _: com.github.luben.zstd.ZstdException => return None }
+        case CodecSnappy => // snappy-java ships with Spark
+          try {
+            val k = org.xerial.snappy.Snappy.uncompress(
+              frame, off, cb, out, j * neblock)
+            if (k != neblock) return None
+          } catch { case _: java.io.IOException => return None }
       }
       off += cb
       j += 1

@@ -114,10 +114,12 @@ object ZarrStore {
       if (compNode == null || compNode.isNull) "null"
       else compNode.get("id").asText() match {
         case "zlib" => "zlib"
+        case "zstd" => "zstd"
         case "blosc" => "blosc" // inner codec is frame-described; the
                                 // decoder rejects unsupported ones loudly
         case other => throw new IllegalArgumentException(
-          s"unsupported zarr compressor $other (supported: null, zlib, blosc)")
+          s"unsupported zarr compressor $other " +
+            "(supported: null, zlib, zstd, blosc)")
       }
     val fillNode = node.get("fill_value")
     val fill =
@@ -187,11 +189,13 @@ object ZarrStore {
           require(comp == "null", "multiple compression codecs"); comp = "gzip"
         case "zlib" =>
           require(comp == "null", "multiple compression codecs"); comp = "zlib"
+        case "zstd" => // the zarr-python v3 DEFAULT codec
+          require(comp == "null", "multiple compression codecs"); comp = "zstd"
         case "blosc" =>
           require(comp == "null", "multiple compression codecs"); comp = "blosc"
         case other => throw new IllegalArgumentException(
           s"zarr v3 codec $other unsupported " +
-            "(bytes, gzip, zlib, blosc only — no sharding/transpose)")
+            "(bytes, gzip, zlib, zstd, blosc only — no sharding/transpose)")
       }
     }
     val fillNode = node.get("fill_value")
@@ -298,6 +302,9 @@ object ZarrStore {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(raw))
       try in.readAllBytes() finally in.close()
+    case "zstd" => // numcodecs Zstd (v2) / the v3 default codec;
+      // zstd-jni ships with Spark itself (shuffle compression)
+      com.github.luben.zstd.Zstd.decompress(raw, hint)
   }
 
   private def inflate(data: Array[Byte], hint: Int): Array[Byte] = {
@@ -402,6 +409,7 @@ object ZarrStore {
   private def compressorJson(codec: String): String = codec match {
     case "null" => "null"
     case "zlib" => """{"id": "zlib", "level": 1}"""
+    case "zstd" => """{"id": "zstd", "level": 3}"""
     case "blosc" =>
       """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
     case other =>
@@ -412,6 +420,7 @@ object ZarrStore {
                        typesize: Int): Array[Byte] = codec match {
     case "null" => data
     case "zlib" => deflate(data)
+    case "zstd" => com.github.luben.zstd.Zstd.compress(data, 3)
     case "blosc" => Blosc.encodeLz4(data, typesize)
   }
 
@@ -477,7 +486,8 @@ object ZarrStore {
     * documents, `c/`-prefixed nested chunk keys, bytes+gzip codec
     * chain). Same driver-side caveat as [[writeZarr]]. */
   def writeZarrV3(cube: CubeFrame, path: String, chunkT: Int = 1,
-                  chunkY: Int = 256, chunkX: Int = 256): Unit = {
+                  chunkY: Int = 256, chunkX: Int = 256,
+                  codec: String = "gzip"): Unit = {
     import org.apache.spark.sql.functions.col
     require(!path.contains("://"),
       "writeZarrV3 writes local directory stores only")
@@ -491,6 +501,13 @@ object ZarrStore {
          |  "latAscending": ${g.latAscending}},
          |  "time_units": "microseconds since 1970-01-01"}}""".stripMargin)
 
+    val codecJson = codec match {
+      case "gzip" => """{"name": "gzip", "configuration": {"level": 5}}"""
+      case "zstd" => // the zarr-python v3 default
+        """{"name": "zstd", "configuration": {"level": 3, "checksum": false}}"""
+      case other => throw new IllegalArgumentException(
+        s"writeZarrV3 codec $other (gzip, zstd)")
+    }
     def arrayJson(shape: Seq[Int], chunks: Seq[Int], dataType: String,
                   fill: String): String =
       s"""{"zarr_format": 3, "node_type": "array",
@@ -502,13 +519,17 @@ object ZarrStore {
          | "fill_value": $fill,
          | "codecs": [
          |  {"name": "bytes", "configuration": {"endian": "little"}},
-         |  {"name": "gzip", "configuration": {"level": 5}}]}""".stripMargin
+         |  $codecJson]}""".stripMargin
 
     def writeChunkFile(sub: Path, idx: Seq[Int], raw: Array[Byte]): Unit = {
       val f = idx.init.foldLeft(sub.resolve("c"))((p, i) =>
         p.resolve(i.toString)).resolve(idx.last.toString)
       Files.createDirectories(f.getParent)
-      Files.write(f, gzipBytes(raw))
+      val packed = codec match {
+        case "gzip" => gzipBytes(raw)
+        case "zstd" => com.github.luben.zstd.Zstd.compress(raw, 3)
+      }
+      Files.write(f, packed)
     }
     def write1dV3(name: String, dataType: String, fill: String,
                   n: Int, put: ByteBuffer => Unit): Unit = {

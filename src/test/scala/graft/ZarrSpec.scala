@@ -130,10 +130,10 @@ class ZarrSpec extends SparkSpec {
     assert(raw.length == 16 + noise.length && (raw(2) & 0x2) != 0)
     assert(Blosc.decode(raw).toSeq == noise.toSeq)
     // unsupported shapes fail loudly, not wrongly
-    val zstdFrame = Blosc.encodeLz4(Array.fill(256)(1.toByte), 8).clone()
-    zstdFrame(2) = ((zstdFrame(2) & 0x1F) | (4 << 5)).toByte // codec id 4
-    assert(intercept[IllegalArgumentException](Blosc.decode(zstdFrame))
-      .getMessage.contains("zstd"))
+    val blosclz = Blosc.encodeLz4(Array.fill(256)(1.toByte), 8).clone()
+    blosclz(2) = (blosclz(2) & 0x1F).toByte // codec id 0 = blosclz
+    assert(intercept[IllegalArgumentException](Blosc.decode(blosclz))
+      .getMessage.contains("blosclz"))
     val bitshuf = Blosc.encodeLz4(Array.fill(256)(1.toByte), 8).clone()
     bitshuf(2) = (bitshuf(2) | 0x4).toByte
     assert(intercept[IllegalArgumentException](Blosc.decode(bitshuf))
@@ -195,6 +195,48 @@ class ZarrSpec extends SparkSpec {
     val derived = ZarrStore.openCube(spark, s"$dir/v3.zarr")
     assert(derived.grid == grid)
     assert(derived.df.count() == 16L * 8 * 3)
+  }
+
+  test("zstd decodes in zarr v2, v3 and blosc frames; snappy in blosc") {
+    val grid = CubeGrid(16, 8, 0.0, 0.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0"),
+      nanEvery = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-zstd").toString
+    ZarrStore.writeZarr(cube, s"$dir/ref.zarr", chunkT = 1, chunkY = 8,
+      chunkX = 8, codec = "zlib")
+    ZarrStore.writeZarr(cube, s"$dir/v2z.zarr", chunkT = 1, chunkY = 8,
+      chunkX = 8, codec = "zstd")
+    ZarrStore.writeZarrV3(cube, s"$dir/v3z.zarr", chunkT = 1, chunkY = 8,
+      chunkX = 8, codec = "zstd")
+    def rows(p: String): Seq[String] =
+      ZarrStore.openCube(spark, p).df
+        .select("time", "y_idx", "x_idx", "v0")
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$dir/v2z.zarr") == rows(s"$dir/ref.zarr"))
+    assert(rows(s"$dir/v3z.zarr") == rows(s"$dir/ref.zarr"))
+
+    // blosc frames with zstd / snappy inner codecs (one block, 1 split)
+    def bloscFrame(codecId: Int, plain: Array[Byte],
+                   comp: Array[Byte]): Array[Byte] = {
+      val total = 16 + 4 + 4 + comp.length
+      val b = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte).put(1.toByte) // versions
+      b.put((codecId << 5).toByte) // flags: no shuffle
+      b.put(8.toByte) // typesize
+      b.putInt(plain.length).putInt(plain.length).putInt(total)
+      b.putInt(20) // block 0 start
+      b.putInt(comp.length)
+      b.put(comp)
+      b.array()
+    }
+    val plain = Array.tabulate[Byte](512)(i => (i * 7 % 100).toByte)
+    val viaZstd = bloscFrame(4, plain,
+      com.github.luben.zstd.Zstd.compress(plain, 3))
+    assert(graft.sources.Blosc.decode(viaZstd).toSeq == plain.toSeq)
+    val viaSnappy = bloscFrame(2, plain,
+      org.xerial.snappy.Snappy.compress(plain))
+    assert(graft.sources.Blosc.decode(viaSnappy).toSeq == plain.toSeq)
   }
 
   test("consolidated .zmetadata: one metadata fetch serves the store") {
