@@ -194,6 +194,48 @@ object PipelineQueries {
     ORDER BY id_a, id_b"""
   }
 
+  /** Gopher-style repetition quality signals (arXiv:2112.11446 §A.1.1
+    * adapted to the token-stream corpus): most-frequent-token fraction
+    * and duplicate-bigram fraction per document. Highly repetitive
+    * documents are the classic low-quality web text; both signals are
+    * pure integer counting until the final division, so the oracle is
+    * exact. One explode + two partial-aggregated groupBys, no joins
+    * wider than doc_id. */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t"))
+    val top = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"),
+        sum(col("c")).as("n_tokens"))
+    val bi = Dedup.shingles(docs, "doc_id", "text")
+      .groupBy("id").agg(count(lit(1)).as("n_distinct_bi"))
+    top.join(bi, col("doc_id") === col("id"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top_c").cast("double") / col("n_tokens"), 6)
+          .as("top_token_frac"),
+        round(lit(1.0) -
+          col("n_distinct_bi").cast("double") / (col("n_tokens") - 1), 6)
+          .as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String = s"""
+    WITH $thCte, $shCte,
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents),
+    tc AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    top AS (SELECT doc_id, MAX(c) AS top_c,
+              CAST(SUM(c) AS BIGINT) AS n_tokens
+            FROM tc GROUP BY doc_id),
+    bi AS (SELECT doc_id, COUNT(*) AS n_distinct_bi FROM sh GROUP BY doc_id)
+    SELECT top.doc_id, n_tokens,
+      ROUND(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+      ROUND(1.0 - CAST(n_distinct_bi AS DOUBLE) / (n_tokens - 1), 6)
+        AS dup_bigram_frac
+    FROM top JOIN bi ON top.doc_id = bi.doc_id
+    ORDER BY top.doc_id"""
+
   private val ContamK = 3 // flag docs sharing >= K benchmark shingles
 
   /** Benchmark decontamination: remove training documents that leak
@@ -780,6 +822,7 @@ object PipelineQueries {
     QuerySpec("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QuerySpec("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QuerySpec("decontaminate", decontaminate, Some(decontaminateSql)),
+    QuerySpec("text_repetition", textRepetition, Some(textRepetitionSql)),
     QuerySpec("sketch_kmv_distinct", sketchKmv, Some(sketchKmvSql)),
     QuerySpec("pipeline_curate", pipelineCurate, Some(pipelineCurateSql)),
     QuerySpec("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
