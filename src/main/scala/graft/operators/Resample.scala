@@ -60,8 +60,10 @@ object Resample {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("y_idx", "x_idx").orderBy("time")
       .rowsBetween(-(n - 1), 0)
+    // min_periods counts OBSERVATIONS (non-null rows of the variable),
+    // not window rows — a window padded with nulls must not satisfy it
     val df = cube.variables.foldLeft(cube.df)((acc, v) =>
-      acc.withColumn(v, when(count(lit(1)).over(w) >= minP,
+      acc.withColumn(v, when(count(col(v)).over(w) >= minP,
         avg(col(v)).over(w)).otherwise(lit(Double.NaN))))
     CubeFrame(df, cube.grid, cube.variables)
   }

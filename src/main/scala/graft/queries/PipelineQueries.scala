@@ -210,13 +210,16 @@ object PipelineQueries {
         sum(col("c")).as("n_tokens"))
     val bi = Dedup.shingles(docs, "doc_id", "text")
       .groupBy("id").agg(count(lit(1)).as("n_distinct_bi"))
-    top.join(bi, col("doc_id") === col("id"))
+    // LEFT join: a single-token doc has no bigrams but must still be
+    // scored (dup fraction 0), not silently dropped
+    top.join(bi, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         round(col("top_c").cast("double") / col("n_tokens"), 6)
           .as("top_token_frac"),
-        round(lit(1.0) -
-          col("n_distinct_bi").cast("double") / (col("n_tokens") - 1), 6)
-          .as("dup_bigram_frac"))
+        when(col("n_tokens") > 1, round(lit(1.0) -
+            coalesce(col("n_distinct_bi"), lit(0L)).cast("double") /
+              (col("n_tokens") - 1), 6))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
       .orderBy("doc_id")
   }
 
@@ -231,9 +234,11 @@ object PipelineQueries {
     bi AS (SELECT doc_id, COUNT(*) AS n_distinct_bi FROM sh GROUP BY doc_id)
     SELECT top.doc_id, n_tokens,
       ROUND(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_token_frac,
-      ROUND(1.0 - CAST(n_distinct_bi AS DOUBLE) / (n_tokens - 1), 6)
-        AS dup_bigram_frac
-    FROM top JOIN bi ON top.doc_id = bi.doc_id
+      CASE WHEN n_tokens > 1 THEN
+        ROUND(1.0 - CAST(COALESCE(n_distinct_bi, 0) AS DOUBLE)
+          / (n_tokens - 1), 6)
+      ELSE 0.0 END AS dup_bigram_frac
+    FROM top LEFT JOIN bi ON top.doc_id = bi.doc_id
     ORDER BY top.doc_id"""
 
   private val ContamK = 3 // flag docs sharing >= K benchmark shingles
@@ -246,7 +251,11 @@ object PipelineQueries {
     * the corpus shingle table never shuffles, which is what makes this
     * viable against a 100 TB corpus. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
+    // both join sides derive from the shingle table; persist so the
+    // interpreted hash pipeline runs once, not once per side (the
+    // Dedup.jaccardPairs lesson)
     val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text")
+      .persist()
     val bench = sh.filter(col("id") % 97 === 0).select("s").distinct()
     sh.filter(col("id") % 97 =!= 0)
       .join(broadcast(bench), Seq("s"))
@@ -276,7 +285,11 @@ object PipelineQueries {
   def sketchKmv(s: SparkSession, d: String): DataFrame = {
     val k = 64
     import org.apache.spark.sql.expressions.Window
+    // NULL ids: COUNT(DISTINCT) excludes them in both engines, but the
+    // window sort would rank a NULL hash first in Spark and last in
+    // DuckDB — keep them out of the sketch entirely
     val hashes = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
       .select(col("event_type"),
         graft.functions.HashF.polyHash(col("user_id").cast("string")).as("h"))
       .distinct()
@@ -302,7 +315,8 @@ object PipelineQueries {
       |  FOR i IN range(1, length($v)+1)]),
       | (a, b) -> (a * 31 + b) % ${TextHash.P})""".stripMargin
     s"""
-    WITH hashes AS (SELECT DISTINCT event_type, $h AS h FROM events),
+    WITH hashes AS (SELECT DISTINCT event_type, $h AS h FROM events
+      WHERE user_id IS NOT NULL),
     ranked AS (SELECT event_type, h,
       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
       FROM hashes),

@@ -183,6 +183,9 @@ class ServiceContext(val spark: SparkSession) {
     // STAGE the whole new context first — a failing reload must leave
     // the live registries untouched, and an in-flight request must
     // never observe a half-cleared service.
+    // remote blob stores cache absent objects and listings for the JVM
+    // lifetime; a reload must re-observe the world
+    graft.sources.BlobStore.dropAll()
     import scala.collection.mutable.LinkedHashMap
     val newDatasets = LinkedHashMap.empty[String, RegisteredDataset]
     val newPlaces = LinkedHashMap.empty[String, DataFrame]
@@ -195,14 +198,9 @@ class ServiceContext(val spark: SparkSession) {
     cfg.datasets.foreach { d =>
       val style = d.style.flatMap(cfg.style)
       if (d.function.isDefined) {
-        val fn = transforms.getOrElse(d.function.get,
-          throw new IllegalArgumentException(
-            s"unknown function ${d.function.get}"))
-        val inputs = d.inputDatasets.map(i => newDatasets.getOrElse(i,
-          throw new IllegalArgumentException(
-            s"unknown input dataset $i")).cube)
-        newDatasets(d.identifier) = RegisteredDataset(d.identifier, d.title,
-          fn(inputs, d.inputParameters), style)
+        newDatasets(d.identifier) = buildComputed(d.identifier, d.title,
+          d.function.get, d.inputDatasets, d.inputParameters,
+          newDatasets.get, style)
       } else {
         val path = resolve(d.path)
         val cube = graft.cube.CubeIngest.open(spark, path)
@@ -230,12 +228,22 @@ class ServiceContext(val spark: SparkSession) {
     * already-registered inputs (context.py:256-277 wiring). */
   def registerComputed(id: String, title: String, function: String,
                        inputIds: Seq[String], params: Map[String, String],
-                       style: Option[StyleConfig] = None): Unit = {
+                       style: Option[StyleConfig] = None): Unit =
+    register(buildComputed(id, title, function, inputIds, params,
+      dataset(_), style))
+
+  /** shared by the public API (live-registry inputs) and staged config
+    * loads (staged-map inputs) so the two paths can't drift */
+  private def buildComputed(id: String, title: String, function: String,
+                            inputIds: Seq[String],
+                            params: Map[String, String],
+                            resolve: String => Option[RegisteredDataset],
+                            style: Option[StyleConfig]): RegisteredDataset = {
     val fn = transforms.getOrElse(function,
       throw new IllegalArgumentException(s"unknown function $function"))
-    val inputs = inputIds.map(i => dataset(i).getOrElse(
+    val inputs = inputIds.map(i => resolve(i).getOrElse(
       throw new IllegalArgumentException(s"unknown input dataset $i")).cube)
-    register(RegisteredDataset(id, title, fn(inputs, params), style))
+    RegisteredDataset(id, title, fn(inputs, params), style)
   }
 }
 

@@ -44,11 +44,18 @@ private[graft] object BlobStore {
 
   private[graft] def drop(path: String): Unit = stores.remove(path)
 
+  /** Drop every cached store. Config reloads call this: a remote
+    * store's LRU caches absent objects and its one-shot listing for
+    * the JVM lifetime, so without invalidation a reload would keep
+    * serving pre-publication state (missing sidecars, empty levels). */
+  private[graft] def dropAll(): Unit = stores.clear()
+
   /** one file by full path-or-URI (splits into parent store + name, so
     * sibling files like `<store>.link` route through the same seam) */
   private[graft] def readFile(path: String): Option[Array[Byte]] = {
     val i = path.lastIndexOf('/')
-    if (i <= 0) new LocalBlobStore(".").read(path)
+    if (i < 0) new LocalBlobStore(".").read(path)
+    else if (i == 0) new LocalBlobStore("/").read(path.substring(1))
     else forStore(path.substring(0, i)).read(path.substring(i + 1))
   }
 }

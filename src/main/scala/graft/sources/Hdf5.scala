@@ -657,8 +657,7 @@ object Hdf5 {
     // external readers do binary search over SNOD entries, so an
     // unsorted table reads as silently missing variables
     val names = (cube.variables ++ Seq("lat", "lon", "time")).sorted
-    require(names == names.sorted && names.distinct == names,
-      "dataset names must be unique")
+    require(names.distinct == names, "dataset names must be unique")
     // one SNOD holds at most 2 * leafK symbols (we write leafK below)
     val GroupLeafK = 1024
     require(names.length <= 2 * GroupLeafK,
