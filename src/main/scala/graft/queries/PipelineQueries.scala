@@ -284,26 +284,24 @@ object PipelineQueries {
     * than k distinct hashes report exactly. */
   def sketchKmv(s: SparkSession, d: String): DataFrame = {
     val k = 64
-    import org.apache.spark.sql.expressions.Window
-    // NULL ids: COUNT(DISTINCT) excludes them in both engines, but the
-    // window sort would rank a NULL hash first in Spark and last in
-    // DuckDB — keep them out of the sketch entirely
-    val hashes = Tables.events(s, d)
+    // NULL ids: COUNT(DISTINCT) excludes them in both engines — keep
+    // them out of the sketch too. The KmvAggregator dedups internally,
+    // so raw rows feed it directly: partial sketches build map-side
+    // and min-merge across partitions (k longs per group on the wire,
+    // not the distinct-hash table).
+    val summary = Tables.events(s, d)
       .filter(col("user_id").isNotNull)
       .select(col("event_type"),
         graft.functions.HashF.polyHash(col("user_id").cast("string")).as("h"))
-      .distinct()
-    val w = Window.partitionBy("event_type").orderBy("h")
-    val kth = hashes.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .groupBy("event_type").agg(max(col("h")).as("hk"),
-        count(lit(1)).as("kk"))
+      .groupBy("event_type")
+      .agg(graft.functions.KmvF.kmv(k)(col("h")).as("kmv"))
     val exact = Tables.events(s, d).groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_exact"))
-    exact.join(kth, Seq("event_type"))
+    exact.join(summary, Seq("event_type"))
       .withColumn("kmv_estimate",
-        when(col("kk") < k, col("kk").cast("double"))
-          .otherwise(round(lit((k - 1).toDouble * TextHash.P) / col("hk"), 2)))
+        when(col("kmv.kk") < k, col("kmv.kk").cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble * TextHash.P) / col("kmv.hk"), 2)))
       .select("event_type", "n_exact", "kmv_estimate")
       .orderBy("event_type")
   }

@@ -116,10 +116,13 @@ class ScaleSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), plan.take(800))
   }
 
-  test("KMV sketch top-k uses WindowGroupLimit, not a full global sort") {
+  test("KMV sketch aggregates map-side (ObjectHashAggregate, no " +
+      "distinct-hash shuffle)") {
     val q = graft.queries.PipelineQueries.sketchKmv(
       spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(plan.contains("partial_kmvaggregator") ||
+      plan.toLowerCase.contains("partial_kmv"), plan.take(800))
   }
 }
