@@ -111,6 +111,36 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("the tile server serves an NC4-backed dataset end to end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5").toString
+    writeFixture(dir)
+    val yaml = s"""
+Datasets:
+  - Identifier: nc4
+    Title: NC4 cube
+    Path: "$dir/c.nc"
+"""
+    val ctx = new graft.server.ServiceContext(spark)
+    ctx.loadConfig(graft.model.ServiceConfig.fromString(yaml), dir)
+    val srv = new graft.server.GraftServer(ctx).start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(srv.address + p)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      val tile = get("/datasets/nc4/vars/v0/tiles/0/0/0.png")
+      assert(tile.statusCode() == 200)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(tile.body()))
+      assert(img != null && img.getWidth > 0)
+      val cat = get("/datasets")
+      assert(new String(tile.headers().firstValue("Content-Type")
+        .orElse("")) == "image/png")
+      assert(new String(cat.body()).contains("\"nc4\""))
+    } finally srv.stop()
+  }
+
   test("non-hdf5 and classic files are not misdetected") {
     val dir = java.nio.file.Files.createTempDirectory("graft-h5").toString
     val grid = CubeGrid(4, 2, 0.0, 0.0, 1.0, latAscending = true)
