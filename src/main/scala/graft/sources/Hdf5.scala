@@ -658,10 +658,10 @@ object Hdf5 {
     // unsorted table reads as silently missing variables
     val names = (cube.variables ++ Seq("lat", "lon", "time")).sorted
     require(names.distinct == names, "dataset names must be unique")
-    // one SNOD holds at most 2 * leafK symbols (we write leafK below)
-    val GroupLeafK = 1024
-    require(names.length <= 2 * GroupLeafK,
-      s"writeHdf5 supports up to ${2 * GroupLeafK} datasets")
+    // one SNOD holds at most 2 * leafK symbols; the HDF5 library reads
+    // a node at its FULL K-implied allocation, so K is sized to the
+    // actual name count and the SNOD padded to exactly 2K entries
+    val GroupLeafK = math.max(4, (names.length + 1) / 2)
     val w = new W
 
     // ---- superblock v0 (96 bytes)
@@ -706,15 +706,19 @@ object Hdf5 {
       w.bytes(nb); w.zeros(((nb.length + 1 + 7) / 8 * 8) - nb.length)
     }
 
-    // ---- group B-tree v1: single level-0 node over one SNOD
+    // ---- group B-tree v1: single level-0 node over one SNOD, padded
+    // to the full internal-K=16 allocation (24 + 2K*16 + 8 bytes) the
+    // library reads per node
     w.patch64(btreePatch, w.pos)
+    val btreeStart = w.pos
     w.bytes("TREE".getBytes); w.u8(0); w.u8(0); w.u16(1)
     w.u64(Undef); w.u64(Undef)
     w.u64(0) // key 0: empty string (before all names)
     val snodPatch = w.pos; w.u64(0)
     w.u64(nameOffsets(names.last)) // key 1: last name in the child
+    w.zeros(((24 + 2 * 16 * 16 + 8) - (w.pos - btreeStart)).toInt)
 
-    // ---- SNOD with every dataset, sorted
+    // ---- SNOD with every dataset, sorted; padded to 2K entries
     w.patch64(snodPatch, w.pos)
     w.bytes("SNOD".getBytes); w.u8(1); w.u8(0); w.u16(names.length)
     val hdrPatches = names.map { n =>
@@ -723,6 +727,7 @@ object Hdf5 {
       w.u32(0); w.u32(0); w.zeros(16)
       n -> p
     }.toMap
+    w.zeros((2 * GroupLeafK - names.length) * 40)
 
     def msg(t: Int, bodySize: Int)(body: => Unit): Unit = {
       val padded = (bodySize + 7) / 8 * 8
@@ -829,7 +834,11 @@ object Hdf5 {
       val maxPerNode = 64
       val shapeKey = Seq(nt.toLong, nh.toLong, nw.toLong, 0L)
       val keyBytes = 8 + shapeKey.length * 8
-      def nodeBytes(k: Int): Long = 24L + k * (keyBytes + 8) + keyBytes
+      // the library reads every node at its full K-implied allocation
+      // (24 + 2K entries + one key), so short nodes are zero-padded to
+      // the same size — otherwise the last node could sit too close to
+      // EOF for an external reader's node-sized read
+      val nodeBytes: Long = 24L + maxPerNode * (keyBytes + 8) + keyBytes
       require(entries.nonEmpty, "cube has no chunks to index")
       // (first key offsets, key size field, child address)
       var cur = entries.map { case (offs, addr, sz) =>
@@ -838,9 +847,9 @@ object Hdf5 {
       var done = false
       while (!done) {
         val groups = cur.grouped(maxPerNode).toVector
-        val addrs = groups.scanLeft(w.pos)((a, g) =>
-          a + nodeBytes(g.length)).toVector
+        val addrs = groups.scanLeft(w.pos)((a, _) => a + nodeBytes).toVector
         groups.zipWithIndex.foreach { case (g, i) =>
+          val start = w.pos
           w.bytes("TREE".getBytes); w.u8(1); w.u8(lvl); w.u16(g.length)
           w.u64(if (i == 0) Undef else addrs(i - 1))
           w.u64(if (i + 1 < groups.length) addrs(i + 1) else Undef)
@@ -852,6 +861,7 @@ object Hdf5 {
               (groups(i + 1).head._1, groups(i + 1).head._2)
             else (shapeKey, 0L)
           w.u32(fSz); w.u32(0); fOffs.foreach(w.u64)
+          w.zeros((nodeBytes - (w.pos - start)).toInt)
         }
         if (groups.length == 1) { w.patch64(btPatch, addrs(0)); done = true }
         else {
