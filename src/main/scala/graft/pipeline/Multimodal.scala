@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * (`mapPartitions` over a typed Dataset — the Scala equivalent of the
   * Python-side `mapInPandas` batch shape).
   *
-  * ==== STUB BOUNDARY ====
-  * The actual media codecs (JPEG/PNG/audio decoders) are NOT available
-  * in this container, so [[decodeStub]] / [[resizeStub]] /
-  * [[frameSampleStub]] are deterministic fakes over the raw bytes,
-  * clearly marked. Everything around them — schema, batching,
-  * partitioning, feature vector shape — is the real distributed
-  * plumbing and is tested.
+  * IMAGE decode is REAL: the JDK ships ImageIO codecs (PNG, JPEG,
+  * BMP, GIF), so [[decodeImage]] / [[imageFeatures]] / [[resizeImage]]
+  * decode actual pixels with no external dependency.
+  *
+  * ==== STUB BOUNDARY (audio/video only) ====
+  * Audio/video codecs are NOT available in this container, so
+  * [[decodeStub]] / [[frameSampleStub]] remain deterministic fakes
+  * over the raw bytes, clearly marked. Everything around them —
+  * schema, batching, partitioning, feature vector shape — is the real
+  * distributed plumbing and is tested.
   */
 object Multimodal {
 
@@ -40,8 +43,78 @@ object Multimodal {
       .as[MediaItem]
   }
 
+  /** REAL image decode through the JDK's ImageIO (PNG/JPEG/BMP/GIF —
+    * no external codec). None = payload is not a decodable image. */
+  def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(content)))
+    catch { case _: java.io.IOException => None }
+
+  /** REAL image features from decoded pixels: [width, height, meanR,
+    * meanG, meanB, meanLuma, lumaStddev, aspect] — the shape a vision
+    * embedder's preprocessor computes. */
+  def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (r, g, b) = (0.0, 0.0, 0.0)
+    var luma = 0.0
+    var luma2 = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val (pr, pg, pb) = ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+        r += pr; g += pg; b += pb
+        val l = 0.299 * pr + 0.587 * pg + 0.114 * pb
+        luma += l; luma2 += l * l
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val mLuma = luma / n
+    Array(w.toFloat, h.toFloat, (r / n).toFloat, (g / n).toFloat,
+      (b / n).toFloat, mLuma.toFloat,
+      math.sqrt(math.max(0.0, luma2 / n - mLuma * mLuma)).toFloat,
+      (w.toDouble / h).toFloat)
+  }
+
+  /** REAL image resize (bilinear) + PNG re-encode — the normalize step
+    * before a vision model. */
+  def resizeImage(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decodeImage(content).map { img =>
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = out.createGraphics()
+      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g2.drawImage(img, 0, 0, w, h, null)
+      g2.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+  /** Batched image feature extraction over existing partitions: REAL
+    * decode per item; payloads that are not decodable images yield the
+    * byte-level fallback features (negative width flag). */
+  def extractImageFeatures(items: Dataset[MediaItem],
+                           batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val feats = decodeImage(m.content).map(imageFeatures)
+            .getOrElse(Array(-1f) ++ decodeStub(m.content).take(7))
+          MediaFeatures(m.id, m.kind, m.content.length, feats)
+        }
+      }
+    }
+  }
+
   /** STUB: deterministic fake "decode + feature extraction" — an 8-dim
-    * byte-histogram moment vector. A real deployment swaps this single
+    * byte-histogram moment vector. Remains the AUDIO/VIDEO path (no
+    * such codecs in the container); a real deployment swaps this single
     * function for a codec call; the distributed shape is unchanged. */
   def decodeStub(content: Array[Byte]): Array[Float] = {
     val feats = new Array[Float](8)

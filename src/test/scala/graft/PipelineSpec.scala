@@ -223,6 +223,39 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 4L))
   }
 
+  test("REAL image decode: PNG payloads yield pixel features, resize works") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // pure red 16x8 and mid-gray 8x8
+    val rows = Seq((1L, png(16, 8, 0xFF0000)), (2L, png(8, 8, 0x808080)),
+      (3L, "not an image".getBytes))
+    val media = Multimodal.asMedia(rows.toDF("id", "payload"),
+      "id", "payload", kind = "image")
+    val feats = Multimodal.extractImageFeatures(media)
+      .collect().map(f => f.id -> f.features).toMap
+    // red image: w=16 h=8, meanR=255, meanG=meanB=0, luma const → stddev 0
+    assert(feats(1L)(0) == 16f && feats(1L)(1) == 8f)
+    assert(feats(1L)(2) == 255f && feats(1L)(3) == 0f && feats(1L)(4) == 0f)
+    assert(math.abs(feats(1L)(6)) < 1e-3) // constant luma
+    assert(feats(1L)(7) == 2.0f) // aspect
+    assert(feats(2L)(2) == 0x80.toFloat)
+    // non-image payload takes the flagged byte-level fallback
+    assert(feats(3L)(0) == -1f)
+    // real resize: decodes to requested dims, color preserved
+    val small = Multimodal.resizeImage(png(16, 8, 0xFF0000), 4, 4).get
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(small))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    assert((back.getRGB(2, 2) & 0xFFFFFF) == 0xFF0000)
+  }
+
   test("custom expressions callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     assert(spark.sql("SELECT poly_hash('spark') AS h")
