@@ -11,14 +11,18 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: the JDK ships ImageIO codecs (PNG, JPEG,
   * BMP, GIF), so [[decodeImage]] / [[imageFeatures]] / [[resizeImage]]
-  * decode actual pixels with no external dependency.
+  * decode actual pixels with no external dependency. AUDIO decode is
+  * REAL for WAV/AU/AIFF PCM: [[audioFeatures]] goes through the JDK's
+  * javax.sound.sampled to actual samples (rate, duration, RMS,
+  * zero-crossing rate).
   *
-  * ==== STUB BOUNDARY (audio/video only) ====
-  * Audio/video codecs are NOT available in this container, so
-  * [[decodeStub]] / [[frameSampleStub]] remain deterministic fakes
-  * over the raw bytes, clearly marked. Everything around them —
-  * schema, batching, partitioning, feature vector shape — is the real
-  * distributed plumbing and is tested.
+  * ==== STUB BOUNDARY (video + compressed audio only) ====
+  * Video and compressed-audio codecs (H.264, MP3, ...) are NOT
+  * available in this container, so [[decodeStub]] /
+  * [[frameSampleStub]] remain deterministic fakes over the raw bytes,
+  * clearly marked. Everything around them — schema, batching,
+  * partitioning, feature vector shape — is the real distributed
+  * plumbing and is tested.
   */
 object Multimodal {
 
@@ -112,10 +116,56 @@ object Multimodal {
     }
   }
 
+  /** REAL audio features via the JDK's javax.sound.sampled (WAV/AU/
+    * AIFF PCM): [sampleRateHz, channels, durationSec, rms, zeroCrossRate,
+    * peak, meanAbs, bitsPerSample]. None = not a decodable audio payload. */
+  def audioFeatures(content: Array[Byte]): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8,
+          "PCM 8/16-bit only")
+        val bytes = in.readAllBytes()
+        val bps = fmt.getSampleSizeInBits / 8
+        val n = bytes.length / bps
+        if (n == 0) return None
+        var (sum2, sumAbs, peak) = (0.0, 0.0, 0.0)
+        var crossings = 0L
+        var prev = 0.0
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) {
+          val v =
+            if (bps == 2) bb.getShort(i * 2) / 32768.0
+            else (bytes(i) & 0xFF) / 128.0 - 1.0 // 8-bit WAV is unsigned
+          sum2 += v * v; sumAbs += math.abs(v)
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && (v > 0) != (prev > 0)) crossings += 1
+          prev = v
+          i += 1
+        }
+        val frames = n / fmt.getChannels
+        Some(Array(fmt.getSampleRate, fmt.getChannels.toFloat,
+          (frames / fmt.getSampleRate.toDouble).toFloat,
+          math.sqrt(sum2 / n).toFloat, (crossings.toDouble / n).toFloat,
+          peak.toFloat, (sumAbs / n).toFloat,
+          fmt.getSampleSizeInBits.toFloat))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None
+    }
+
   /** STUB: deterministic fake "decode + feature extraction" — an 8-dim
-    * byte-histogram moment vector. Remains the AUDIO/VIDEO path (no
-    * such codecs in the container); a real deployment swaps this single
-    * function for a codec call; the distributed shape is unchanged. */
+    * byte-histogram moment vector. Remains the VIDEO / compressed-audio
+    * path (no such codecs in the container); a real deployment swaps
+    * this single function for a codec call; the distributed shape is
+    * unchanged. */
   def decodeStub(content: Array[Byte]): Array[Float] = {
     val feats = new Array[Float](8)
     if (content.isEmpty) return feats

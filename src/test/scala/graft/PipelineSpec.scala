@@ -256,6 +256,33 @@ class PipelineSpec extends SparkSpec {
     assert((back.getRGB(2, 2) & 0xFFFFFF) == 0xFF0000)
   }
 
+  test("REAL audio decode: WAV PCM yields rate, duration, RMS, ZCR") {
+    // 440 Hz sine, 16-bit mono PCM at 8 kHz, 0.5 s, amplitude 0.5
+    val rate = 8000f
+    val n = 4000
+    val samples = Array.tabulate(n)(i =>
+      (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toShort)
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val raw = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(raw)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val feats = Multimodal.audioFeatures(bos.toByteArray).get
+    assert(feats(0) == 8000f && feats(1) == 1f) // rate, channels
+    assert(math.abs(feats(2) - 0.5f) < 1e-3) // duration
+    // sine RMS = A/sqrt(2) ≈ 0.3536; ZCR = 2 * f / rate = 0.11
+    assert(math.abs(feats(3) - 0.3536f) < 0.01)
+    assert(math.abs(feats(4) - 2 * 440 / 8000.0) < 0.01)
+    assert(feats(7) == 16f)
+    // non-audio payloads are None, not garbage
+    assert(Multimodal.audioFeatures("hello".getBytes).isEmpty)
+  }
+
   test("custom expressions callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     assert(spark.sql("SELECT poly_hash('spark') AS h")
