@@ -48,11 +48,14 @@ object Multimodal {
   }
 
   /** REAL image decode through the JDK's ImageIO (PNG/JPEG/BMP/GIF —
-    * no external codec). None = payload is not a decodable image. */
+    * no external codec). None = payload is not a decodable image.
+    * ImageIO readers throw RUNTIME exceptions (AIOOBE, CMMException,
+    * NegativeArraySize...) on malformed bytes, so anything non-fatal
+    * is the documented fallback, not a task-killer. */
   def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(content)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL image features from decoded pixels: [width, height, meanR,
     * meanG, meanB, meanLuma, lumaStddev, aspect] — the shape a vision
@@ -62,11 +65,13 @@ object Multimodal {
     var (r, g, b) = (0.0, 0.0, 0.0)
     var luma = 0.0
     var luma2 = 0.0
-    var y = 0
+    val row = new Array[Int](w) // bulk row fetch: one ColorModel
+    var y = 0                   // conversion per row, not per pixel
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
       while (x < w) {
-        val p = img.getRGB(x, y)
+        val p = row(x)
         val (pr, pg, pb) = ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
         r += pr; g += pg; b += pb
         val l = 0.299 * pr + 0.587 * pg + 0.114 * pb
@@ -121,40 +126,47 @@ object Multimodal {
     * peak, meanAbs, bitsPerSample]. None = not a decodable audio payload. */
   def audioFeatures(content: Array[Byte]): Option[Array[Float]] =
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(content))
       try {
-        val fmt = in.getFormat
-        require(fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8,
-          "PCM 8/16-bit only")
+        val sf = src.getFormat
+        // canonicalize through the JDK converter: signed 16-bit LE PCM
+        // regardless of source encoding (handles u-law AU, unsigned
+        // 8-bit WAV, big-endian AIFF uniformly — no hand-rolled cases)
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          sf.getSampleRate, 16, sf.getChannels, sf.getChannels * 2,
+          sf.getSampleRate, false)
+        val in = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(target, src)
         val bytes = in.readAllBytes()
-        val bps = fmt.getSampleSizeInBits / 8
-        val n = bytes.length / bps
-        if (n == 0) return None
+        val ch = target.getChannels
+        val n = bytes.length / 2
+        if (n == 0 || ch == 0) return None
         var (sum2, sumAbs, peak) = (0.0, 0.0, 0.0)
         var crossings = 0L
-        var prev = 0.0
-        val bb = java.nio.ByteBuffer.wrap(bytes).order(
-          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-          else java.nio.ByteOrder.LITTLE_ENDIAN)
-        var i = 0
+        var prev0 = 0.0 // previous CHANNEL-0 sample (interleaved frames:
+        var i = 0       // cross-channel sign flips are not crossings)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         while (i < n) {
-          val v =
-            if (bps == 2) bb.getShort(i * 2) / 32768.0
-            else (bytes(i) & 0xFF) / 128.0 - 1.0 // 8-bit WAV is unsigned
+          val v = bb.getShort(i * 2) / 32768.0
           sum2 += v * v; sumAbs += math.abs(v)
           if (math.abs(v) > peak) peak = math.abs(v)
-          if (i > 0 && (v > 0) != (prev > 0)) crossings += 1
-          prev = v
+          if (i % ch == 0) {
+            if (i >= ch && (v > 0) != (prev0 > 0)) crossings += 1
+            prev0 = v
+          }
           i += 1
         }
-        val frames = n / fmt.getChannels
-        Some(Array(fmt.getSampleRate, fmt.getChannels.toFloat,
-          (frames / fmt.getSampleRate.toDouble).toFloat,
-          math.sqrt(sum2 / n).toFloat, (crossings.toDouble / n).toFloat,
+        val frames = n / ch
+        Some(Array(target.getSampleRate, ch.toFloat,
+          (frames / target.getSampleRate.toDouble).toFloat,
+          math.sqrt(sum2 / n).toFloat,
+          (crossings.toDouble / frames).toFloat,
           peak.toFloat, (sumAbs / n).toFloat,
-          fmt.getSampleSizeInBits.toFloat))
-      } finally in.close()
+          sf.getSampleSizeInBits.toFloat))
+      } finally src.close()
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
@@ -179,11 +191,6 @@ object Multimodal {
     while (j < 8) { feats(j) = feats(j) / content.length; j += 1 }
     feats
   }
-
-  /** STUB: "resize" = deterministic byte subsampling to `n` bytes. */
-  def resizeStub(content: Array[Byte], n: Int): Array[Byte] =
-    if (content.length <= n) content
-    else Array.tabulate(n)(i => content((i.toLong * content.length / n).toInt))
 
   /** STUB: "video frame sampling" = k evenly spaced byte windows. */
   def frameSampleStub(content: Array[Byte], frames: Int,

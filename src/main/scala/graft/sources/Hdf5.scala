@@ -658,6 +658,10 @@ object Hdf5 {
     // unsorted table reads as silently missing variables
     val names = (cube.variables ++ Seq("lat", "lon", "time")).sorted
     require(names.distinct == names, "dataset names must be unique")
+    // K and the SNOD symbol count are u16 fields; past this they would
+    // wrap silently into a structurally corrupt file
+    require(names.length <= 65000,
+      s"writeHdf5 supports at most 65000 datasets, got ${names.length}")
     // one SNOD holds at most 2 * leafK symbols; the HDF5 library reads
     // a node at its FULL K-implied allocation, so K is sized to the
     // actual name count and the SNOD padded to exactly 2K entries

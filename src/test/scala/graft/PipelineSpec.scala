@@ -320,9 +320,8 @@ class PipelineSpec extends SparkSpec {
     assert(f0.features.toSeq == f4.features.toSeq) // deterministic stub
     assert(math.abs(f0.features.sum - 1f) < 1e-5)  // normalized histogram
     assert(f0.nBytes == "the quick brown fox jumps over the lazy dog".length)
-    // resize + frame-sample stubs
+    // frame-sample stub (video path)
     val bytes = Array.tabulate(100)(_.toByte)
-    assert(Multimodal.resizeStub(bytes, 10).length == 10)
     assert(Multimodal.frameSampleStub(bytes, 4, 8).map(_.length).forall(_ == 8))
   }
 }
