@@ -22,6 +22,13 @@ import scala.collection.concurrent.TrieMap
 private[graft] trait BlobStore {
   /** full object bytes, or None when the key is absent */
   def read(key: String): Option[Array[Byte]]
+  /** object size in bytes, or None when absent */
+  def size(key: String): Option[Long]
+  /** `len` bytes starting at `off`, or None when the key is absent —
+    * the sharded-read primitive (an inner chunk or a shard index is a
+    * byte range of a much larger object; reading the whole shard to
+    * get one chunk would defeat sharding) */
+  def readRange(key: String, off: Long, len: Int): Option[Array[Byte]]
   /** immediate subdirectory names of the store root, sorted */
   def listDirs: Seq[String]
   /** immediate child names, files AND directories, sorted; empty when
@@ -67,6 +74,20 @@ private[graft] final class LocalBlobStore(root: String) extends BlobStore {
   }
   override def exists(key: String): Boolean =
     Files.isRegularFile(Paths.get(root, key.split('/').toSeq: _*))
+  def size(key: String): Option[Long] = {
+    val p = Paths.get(root, key.split('/').toSeq: _*)
+    if (Files.isRegularFile(p)) Some(Files.size(p)) else None
+  }
+  def readRange(key: String, off: Long, len: Int): Option[Array[Byte]] = {
+    val p = Paths.get(root, key.split('/').toSeq: _*)
+    if (!Files.isRegularFile(p)) return None
+    val raf = new java.io.RandomAccessFile(p.toFile, "r")
+    try {
+      val b = new Array[Byte](len)
+      raf.seek(off); raf.readFully(b)
+      Some(b)
+    } finally raf.close()
+  }
   def listDirs: Seq[String] = children(dirsOnly = true)
   def listAll: Seq[String] = children(dirsOnly = false)
   private def children(dirsOnly: Boolean): Seq[String] = {
@@ -102,6 +123,19 @@ private[graft] final class HadoopBlobStore(root: String) extends BlobStore {
     try {
       val b = new Array[Byte](len.toInt)
       in.readFully(0, b)
+      Some(b)
+    } finally in.close()
+  } catch { case _: java.io.FileNotFoundException => None }
+
+  def size(key: String): Option[Long] = try {
+    Some(fs.getFileStatus(new HPath(rootPath, key)).getLen)
+  } catch { case _: java.io.FileNotFoundException => None }
+
+  def readRange(key: String, off: Long, len: Int): Option[Array[Byte]] = try {
+    val in = fs.open(new HPath(rootPath, key))
+    try {
+      val b = new Array[Byte](len)
+      in.readFully(off, b) // positioned read: one ranged GET on s3a
       Some(b)
     } finally in.close()
   } catch { case _: java.io.FileNotFoundException => None }
@@ -169,6 +203,17 @@ private[graft] final class CachingBlobStore(inner: BlobStore,
   def listAll: Seq[String] = {
     if (all == null) { fetches.incrementAndGet(); all = inner.listAll }
     all
+  }
+
+  // sizes are tiny: cache them alongside objects; RANGES are not
+  // cached (a shard's inner chunks are read once each — caching whole
+  // shards would blow the byte budget for no reuse)
+  private val sizes = TrieMap.empty[String, Option[Long]]
+  def size(key: String): Option[Long] =
+    sizes.getOrElseUpdate(key, { fetches.incrementAndGet(); inner.size(key) })
+  def readRange(key: String, off: Long, len: Int): Option[Array[Byte]] = {
+    fetches.incrementAndGet()
+    inner.readRange(key, off, len)
   }
 
   private[graft] def cachedBytes: Long = lock.synchronized(used)

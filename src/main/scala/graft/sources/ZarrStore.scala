@@ -37,10 +37,16 @@ object ZarrStore {
   final case class ArrayMeta(shape: Seq[Int], chunks: Seq[Int],
                              dtype: String, comp: String,
                              fillValue: Double,
-                             keyPrefix: String = "", keySep: String = ".") {
+                             keyPrefix: String = "", keySep: String = ".",
+                             shardShape: Seq[Int] = Nil,
+                             shardIndexCrc: Boolean = false) {
     def numChunks: Seq[Int] =
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def elemBytes: Int = dtype.drop(2).toInt
+    /** `chunks` is always the READ unit (the inner chunk when sharded:
+      * that is what the scan plans one partition per); `shardShape`
+      * non-empty means a store object covers a whole shard of them. */
+    def sharded: Boolean = shardShape.nonEmpty
     def chunkKey(idx: Seq[Int]): String = {
       val body = idx.mkString(keySep)
       if (keyPrefix.isEmpty) body else s"$keyPrefix$keySep$body"
@@ -176,28 +182,55 @@ object ZarrStore {
     }
     var endian = "<"
     var comp = "null"
-    val codecs = node.get("codecs")
-    (0 until (if (codecs == null) 0 else codecs.size())).foreach { i =>
-      val c = codecs.get(i)
-      val conf = c.get("configuration")
-      c.get("name").asText() match {
-        case "bytes" =>
-          val e = Option(conf).flatMap(x => Option(x.get("endian")))
-            .map(_.asText()).getOrElse("little")
-          endian = if (e == "little") "<" else ">"
-        case "gzip" =>
-          require(comp == "null", "multiple compression codecs"); comp = "gzip"
-        case "zlib" =>
-          require(comp == "null", "multiple compression codecs"); comp = "zlib"
-        case "zstd" => // the zarr-python v3 DEFAULT codec
-          require(comp == "null", "multiple compression codecs"); comp = "zstd"
-        case "blosc" =>
-          require(comp == "null", "multiple compression codecs"); comp = "blosc"
-        case other => throw new IllegalArgumentException(
-          s"zarr v3 codec $other unsupported " +
-            "(bytes, gzip, zlib, zstd, blosc only — no sharding/transpose)")
+    var innerChunks: Seq[Int] = Nil
+    var indexCrc = false
+    def walkCodecs(codecs: JsonNode): Unit =
+      (0 until (if (codecs == null) 0 else codecs.size())).foreach { i =>
+        val c = codecs.get(i)
+        val conf = c.get("configuration")
+        c.get("name").asText() match {
+          case "bytes" =>
+            val e = Option(conf).flatMap(x => Option(x.get("endian")))
+              .map(_.asText()).getOrElse("little")
+            endian = if (e == "little") "<" else ">"
+          case "gzip" =>
+            require(comp == "null", "multiple compression codecs")
+            comp = "gzip"
+          case "zlib" =>
+            require(comp == "null", "multiple compression codecs")
+            comp = "zlib"
+          case "zstd" => // the zarr-python v3 DEFAULT codec
+            require(comp == "null", "multiple compression codecs")
+            comp = "zstd"
+          case "blosc" =>
+            require(comp == "null", "multiple compression codecs")
+            comp = "blosc"
+          case "sharding_indexed" =>
+            // one store object = a SHARD of inner chunks + a footer
+            // index of (offset, nbytes) u64 pairs; the inner chunk
+            // shape becomes the read unit, the outer grid the shard
+            require(innerChunks.isEmpty, "nested sharding unsupported")
+            innerChunks = ints(conf.get("chunk_shape"))
+            val ics = conf.get("index_codecs")
+            (0 until (if (ics == null) 0 else ics.size())).foreach { k =>
+              ics.get(k).get("name").asText() match {
+                case "bytes" => ()
+                case "crc32c" => indexCrc = true
+                case o => throw new IllegalArgumentException(
+                  s"shard index codec $o unsupported (bytes, crc32c)")
+              }
+            }
+            val loc = Option(conf.get("index_location")).map(_.asText())
+            require(loc.forall(_ == "end"),
+              s"shard index_location ${loc.get} unsupported (end only)")
+            walkCodecs(conf.get("codecs")) // inner chain: bytes + comp
+          case other => throw new IllegalArgumentException(
+            s"zarr v3 codec $other unsupported " +
+              "(bytes, gzip, zlib, zstd, blosc, sharding_indexed — " +
+              "no transpose)")
+        }
       }
-    }
+    walkCodecs(node.get("codecs"))
     val fillNode = node.get("fill_value")
     val fill =
       if (fillNode == null || fillNode.isNull) Double.NaN
@@ -208,7 +241,16 @@ object ZarrStore {
         case other => other.toDouble
       }
       else fillNode.asDouble()
-    ArrayMeta(shape, chunks, endian + baseType, comp, fill, prefix, sep)
+    if (innerChunks.isEmpty)
+      ArrayMeta(shape, chunks, endian + baseType, comp, fill, prefix, sep)
+    else {
+      // sharded: the outer grid's chunk_shape is the SHARD; inner
+      // chunks are the read unit the planner partitions on
+      require(chunks.zip(innerChunks).forall { case (s, c) => s % c == 0 },
+        s"shard shape $chunks not a multiple of inner chunks $innerChunks")
+      ArrayMeta(shape, innerChunks, endian + baseType, comp, fill,
+        prefix, sep, shardShape = chunks, shardIndexCrc = indexCrc)
+    }
   }
 
   /** Decode one chunk file into doubles in C order (full chunk extent,
@@ -216,11 +258,61 @@ object ZarrStore {
     * missing chunk objects as all-fill). */
   def readChunk(store: String, name: String, meta: ArrayMeta,
                 chunkIdx: Seq[Int]): Array[Double] = {
+    if (meta.sharded) return readShardedChunk(store, name, meta, chunkIdx)
     val n = meta.chunks.product
     val raw0 = blob(store).read(s"$name/${meta.chunkKey(chunkIdx)}") match {
       case None => return Array.fill(n)(meta.fillValue)
       case Some(b) => b
     }
+    val raw = decompress(meta, raw0, n * meta.elemBytes)
+    val order = if (meta.dtype.startsWith(">")) ByteOrder.BIG_ENDIAN
+                else ByteOrder.LITTLE_ENDIAN
+    val buf = ByteBuffer.wrap(raw).order(order)
+    val out = new Array[Double](n)
+    var i = 0
+    meta.dtype.drop(1) match {
+      case "f8" => while (i < n) { out(i) = buf.getDouble(i * 8); i += 1 }
+      case "f4" => while (i < n) { out(i) = buf.getFloat(i * 4).toDouble; i += 1 }
+      case "i8" => while (i < n) { out(i) = buf.getLong(i * 8).toDouble; i += 1 }
+      case "i4" => while (i < n) { out(i) = buf.getInt(i * 4).toDouble; i += 1 }
+    }
+    out
+  }
+
+  /** Sharded (zarr v3 sharding_indexed) read of ONE inner chunk: two
+    * ranged reads against the shard object — the footer index, then
+    * the chunk's byte extent. Never reads the whole shard; at scale a
+    * shard is a big object (that is the point of sharding) and a task
+    * wants exactly its chunk. Missing shard or unallocated inner chunk
+    * (index entry 2^64-1) reads as fill. */
+  private def readShardedChunk(store: String, name: String, meta: ArrayMeta,
+                               chunkIdx: Seq[Int]): Array[Double] = {
+    val n = meta.chunks.product
+    val chunksPerShard =
+      meta.shardShape.zip(meta.chunks).map { case (s, c) => s / c }
+    val shardIdx = chunkIdx.zip(chunksPerShard).map { case (ci, cps) =>
+      ci / cps }
+    val inner = chunkIdx.zip(chunksPerShard).map { case (ci, cps) =>
+      ci % cps }
+    val key = s"$name/${meta.chunkKey(shardIdx)}"
+    val b = blob(store)
+    val total = b.size(key) match {
+      case None => return Array.fill(n)(meta.fillValue)
+      case Some(t) => t
+    }
+    val nc = chunksPerShard.product
+    val indexBytes = nc * 16 + (if (meta.shardIndexCrc) 4 else 0)
+    val idxRaw = b.readRange(key, total - indexBytes, indexBytes).getOrElse(
+      return Array.fill(n)(meta.fillValue))
+    // linear inner index, C order over the shard's chunk grid
+    val li = inner.zip(chunksPerShard).foldLeft(0L) {
+      case (acc, (i, d)) => acc * d + i }
+    val bb = ByteBuffer.wrap(idxRaw).order(ByteOrder.LITTLE_ENDIAN)
+    val off = bb.getLong(li.toInt * 16)
+    val len = bb.getLong(li.toInt * 16 + 8)
+    if (off == -1L && len == -1L) return Array.fill(n)(meta.fillValue)
+    val raw0 = b.readRange(key, off, len.toInt).getOrElse(
+      return Array.fill(n)(meta.fillValue))
     val raw = decompress(meta, raw0, n * meta.elemBytes)
     val order = if (meta.dtype.startsWith(">")) ByteOrder.BIG_ENDIAN
                 else ByteOrder.LITTLE_ENDIAN
@@ -484,10 +576,15 @@ object ZarrStore {
 
   /** Export a cube as a Zarr v3 store (zarr-specs v3.0: `zarr.json`
     * documents, `c/`-prefixed nested chunk keys, bytes+gzip codec
-    * chain). Same driver-side caveat as [[writeZarr]]. */
+    * chain). `shardChunks` non-empty shards the data variables: that
+    * many INNER chunks per shard per (t, y, x) dim, one store object
+    * per shard with a crc32c-checked footer index — the layout big v3
+    * stores use so object count stays sane while reads stay ranged.
+    * Same driver-side caveat as [[writeZarr]]. */
   def writeZarrV3(cube: CubeFrame, path: String, chunkT: Int = 1,
                   chunkY: Int = 256, chunkX: Int = 256,
-                  codec: String = "gzip"): Unit = {
+                  codec: String = "gzip",
+                  shardChunks: Seq[Int] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
     require(!path.contains("://"),
       "writeZarrV3 writes local directory stores only")
@@ -565,13 +662,7 @@ object ZarrStore {
       }
       val sub = dir.resolve(v)
       Files.createDirectories(sub)
-      Files.writeString(sub.resolve("zarr.json"),
-        arrayJson(Seq(nt, nh, nw), Seq(ct, cy, cx), "float64", "\"NaN\""))
-      for {
-        tc <- 0 until (nt + ct - 1) / ct
-        yc <- 0 until (nh + cy - 1) / cy
-        xc <- 0 until (nw + cx - 1) / cx
-      } {
+      def innerChunkBytes(tc: Int, yc: Int, xc: Int): Array[Byte] = {
         val buf = ByteBuffer.allocate(ct * cy * cx * 8)
           .order(ByteOrder.LITTLE_ENDIAN)
         for (t <- 0 until ct; y <- 0 until cy; x <- 0 until cx) {
@@ -580,7 +671,68 @@ object ZarrStore {
             if (gt < nt && gy < nh && gx < nw) arr((gt * nh + gy) * nw + gx)
             else Double.NaN)
         }
-        writeChunkFile(sub, Seq(tc, yc, xc), buf.array())
+        buf.array()
+      }
+      val (nct, ncy, ncx) =
+        ((nt + ct - 1) / ct, (nh + cy - 1) / cy, (nw + cx - 1) / cx)
+      if (shardChunks.isEmpty) {
+        Files.writeString(sub.resolve("zarr.json"),
+          arrayJson(Seq(nt, nh, nw), Seq(ct, cy, cx), "float64", "\"NaN\""))
+        for (tc <- 0 until nct; yc <- 0 until ncy; xc <- 0 until ncx)
+          writeChunkFile(sub, Seq(tc, yc, xc), innerChunkBytes(tc, yc, xc))
+      } else {
+        val Seq(st, sy, sx) = shardChunks // inner chunks per shard, per dim
+        val shardShape = Seq(ct * st, cy * sy, cx * sx)
+        Files.writeString(sub.resolve("zarr.json"),
+          s"""{"zarr_format": 3, "node_type": "array",
+             | "shape": [$nt, $nh, $nw], "data_type": "float64",
+             | "chunk_grid": {"name": "regular",
+             |  "configuration": {"chunk_shape": [${shardShape.mkString(", ")}]}},
+             | "chunk_key_encoding": {"name": "default",
+             |  "configuration": {"separator": "/"}},
+             | "fill_value": "NaN",
+             | "codecs": [{"name": "sharding_indexed", "configuration": {
+             |  "chunk_shape": [$ct, $cy, $cx],
+             |  "codecs": [
+             |   {"name": "bytes", "configuration": {"endian": "little"}},
+             |   $codecJson],
+             |  "index_codecs": [
+             |   {"name": "bytes", "configuration": {"endian": "little"}},
+             |   {"name": "crc32c"}],
+             |  "index_location": "end"}}]}""".stripMargin)
+        for {
+          sT <- 0 until (nct + st - 1) / st
+          sY <- 0 until (ncy + sy - 1) / sy
+          sX <- 0 until (ncx + sx - 1) / sx
+        } {
+          val body = new java.io.ByteArrayOutputStream()
+          val index = ByteBuffer.allocate(st * sy * sx * 16)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          for (it <- 0 until st; iy <- 0 until sy; ix <- 0 until sx) {
+            val (tc, yc, xc) = (sT * st + it, sY * sy + iy, sX * sx + ix)
+            if (tc < nct && yc < ncy && xc < ncx) {
+              val packed = codec match {
+                case "gzip" => gzipBytes(innerChunkBytes(tc, yc, xc))
+                case "zstd" => com.github.luben.zstd.Zstd.compress(
+                  innerChunkBytes(tc, yc, xc), 3)
+              }
+              index.putLong(body.size().toLong).putLong(packed.length.toLong)
+              body.write(packed)
+            } else index.putLong(-1L).putLong(-1L) // beyond the array
+          }
+          val crc = new java.util.zip.CRC32C()
+          crc.update(index.array())
+          val f = sub.resolve("c").resolve(sT.toString)
+            .resolve(sY.toString).resolve(sX.toString)
+          Files.createDirectories(f.getParent)
+          val out = new java.io.ByteArrayOutputStream()
+          body.writeTo(out)
+          out.write(index.array())
+          val c = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          c.putInt(crc.getValue.toInt)
+          out.write(c.array())
+          Files.write(f, out.toByteArray)
+        }
       }
     }
     invalidateMeta(path)

@@ -24,6 +24,10 @@ class BlobStoreSpec extends SparkSpec {
     }
     def listDirs: Seq[String] = inner.listDirs
     def listAll: Seq[String] = inner.listAll
+    def size(key: String): Option[Long] = inner.size(key)
+    def readRange(key: String, off: Long, len: Int): Option[Array[Byte]] = {
+      reads.incrementAndGet(); inner.readRange(key, off, len)
+    }
   }
 
   test("file:// URIs drive the remote (hadoop + LRU) path end to end") {

@@ -197,6 +197,44 @@ class ZarrSpec extends SparkSpec {
     assert(derived.df.count() == 16L * 8 * 3)
   }
 
+  test("zarr v3 sharding_indexed: ranged reads, missing-chunk fill") {
+    val grid = CubeGrid(32, 16, 0.0, 20.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0"),
+      nanEvery = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard").toString
+    ZarrStore.writeZarrV3(cube, s"$dir/plain.zarr", chunkT = 1, chunkY = 8,
+      chunkX = 8)
+    ZarrStore.writeZarrV3(cube, s"$dir/shard.zarr", chunkT = 1, chunkY = 8,
+      chunkX = 8, shardChunks = Seq(1, 2, 2))
+    // 2×2×4 = 16 inner chunks collapse into 2×1×2 = 4 shard objects
+    def filesUnder(p: String): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+      finally s.close()
+    }
+    assert(filesUnder(s"$dir/shard.zarr/v0/c").length == 4)
+    assert(filesUnder(s"$dir/plain.zarr/v0/c").length == 16)
+    val meta = ZarrStore.readArrayMeta(s"$dir/shard.zarr", "v0")
+    assert(meta.sharded && meta.chunks == Seq(1, 8, 8) &&
+      meta.shardShape == Seq(1, 16, 16) && meta.shardIndexCrc)
+
+    def rows(p: String): Seq[String] =
+      ZarrStore.openCube(spark, p).df
+        .select("time", "y_idx", "x_idx", "v0")
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$dir/shard.zarr") == rows(s"$dir/plain.zarr"))
+    // the scan still plans one partition per INNER chunk
+    assert(ZarrStore.openCube(spark, s"$dir/shard.zarr")
+      .df.rdd.getNumPartitions == 16)
+    // a deleted shard object reads as fill, not an error
+    assert(java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/shard.zarr/v0/c/1/0/1")))
+    val withHole = ZarrStore.readChunk(s"$dir/shard.zarr", "v0", meta,
+      Seq(1, 0, 2))
+    assert(withHole.forall(_.isNaN))
+  }
+
   test("zstd decodes in zarr v2, v3 and blosc frames; snappy in blosc") {
     val grid = CubeGrid(16, 8, 0.0, 0.0, 0.5, latAscending = true)
     val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0"),
