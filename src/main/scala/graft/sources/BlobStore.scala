@@ -205,12 +205,15 @@ private[graft] final class CachingBlobStore(inner: BlobStore,
     all
   }
 
-  // sizes are tiny: cache them alongside objects; RANGES are not
-  // cached (a shard's inner chunks are read once each — caching whole
-  // shards would blow the byte budget for no reuse)
+  // sizes are tiny: cache them alongside objects, bounded so the map
+  // can't leak over a JVM lifetime; RANGES are not cached (a shard's
+  // inner chunks are read once each — ZarrStore caches the one hot
+  // range, the footer index, itself)
   private val sizes = TrieMap.empty[String, Option[Long]]
-  def size(key: String): Option[Long] =
+  def size(key: String): Option[Long] = {
+    if (sizes.size > (1 << 17)) sizes.clear()
     sizes.getOrElseUpdate(key, { fetches.incrementAndGet(); inner.size(key) })
+  }
   def readRange(key: String, off: Long, len: Int): Option[Array[Byte]] = {
     fetches.incrementAndGet()
     inner.readRange(key, off, len)

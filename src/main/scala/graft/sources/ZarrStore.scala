@@ -88,6 +88,8 @@ object ZarrStore {
 
   private[graft] def invalidateMeta(store: String): Unit = {
     zmetaCache.remove(store)
+    shardIndexCache.keys.filter(_._1 == store)
+      .foreach(shardIndexCache.remove)
     BlobStore.drop(store)
   }
 
@@ -213,8 +215,13 @@ object ZarrStore {
             innerChunks = ints(conf.get("chunk_shape"))
             val ics = conf.get("index_codecs")
             (0 until (if (ics == null) 0 else ics.size())).foreach { k =>
-              ics.get(k).get("name").asText() match {
-                case "bytes" => ()
+              val ic = ics.get(k)
+              ic.get("name").asText() match {
+                case "bytes" =>
+                  val e = Option(ic.get("configuration"))
+                    .flatMap(x => Option(x.get("endian"))).map(_.asText())
+                  require(e.forall(_ == "little"),
+                    "big-endian shard index unsupported")
                 case "crc32c" => indexCrc = true
                 case o => throw new IllegalArgumentException(
                   s"shard index codec $o unsupported (bytes, crc32c)")
@@ -246,6 +253,9 @@ object ZarrStore {
     else {
       // sharded: the outer grid's chunk_shape is the SHARD; inner
       // chunks are the read unit the planner partitions on
+      require(innerChunks.length == chunks.length,
+        s"shard rank ${chunks.length} != inner chunk rank " +
+          s"${innerChunks.length}")
       require(chunks.zip(innerChunks).forall { case (s, c) => s % c == 0 },
         s"shard shape $chunks not a multiple of inner chunks $innerChunks")
       ArrayMeta(shape, innerChunks, endian + baseType, comp, fill,
@@ -264,19 +274,7 @@ object ZarrStore {
       case None => return Array.fill(n)(meta.fillValue)
       case Some(b) => b
     }
-    val raw = decompress(meta, raw0, n * meta.elemBytes)
-    val order = if (meta.dtype.startsWith(">")) ByteOrder.BIG_ENDIAN
-                else ByteOrder.LITTLE_ENDIAN
-    val buf = ByteBuffer.wrap(raw).order(order)
-    val out = new Array[Double](n)
-    var i = 0
-    meta.dtype.drop(1) match {
-      case "f8" => while (i < n) { out(i) = buf.getDouble(i * 8); i += 1 }
-      case "f4" => while (i < n) { out(i) = buf.getFloat(i * 4).toDouble; i += 1 }
-      case "i8" => while (i < n) { out(i) = buf.getLong(i * 8).toDouble; i += 1 }
-      case "i4" => while (i < n) { out(i) = buf.getInt(i * 4).toDouble; i += 1 }
-    }
-    out
+    decodeValues(meta, decompress(meta, raw0, n * meta.elemBytes), n)
   }
 
   /** Sharded (zarr v3 sharding_indexed) read of ONE inner chunk: two
@@ -285,6 +283,12 @@ object ZarrStore {
     * shard is a big object (that is the point of sharding) and a task
     * wants exactly its chunk. Missing shard or unallocated inner chunk
     * (index entry 2^64-1) reads as fill. */
+  /** shard footer indexes are ~KB and read once per inner chunk
+    * without this cache; entries vanish on [[invalidateMeta]] and the
+    * map self-clears past a bound (64 Ki indexes ≈ tens of MB) */
+  private val shardIndexCache =
+    new scala.collection.concurrent.TrieMap[(String, String), Array[Byte]]
+
   private def readShardedChunk(store: String, name: String, meta: ArrayMeta,
                                chunkIdx: Seq[Int]): Array[Double] = {
     val n = meta.chunks.product
@@ -302,8 +306,23 @@ object ZarrStore {
     }
     val nc = chunksPerShard.product
     val indexBytes = nc * 16 + (if (meta.shardIndexCrc) 4 else 0)
-    val idxRaw = b.readRange(key, total - indexBytes, indexBytes).getOrElse(
-      return Array.fill(n)(meta.fillValue))
+    if (total < indexBytes) throw new IllegalStateException(
+      s"$store/$key: shard is $total bytes, smaller than its " +
+        s"$indexBytes-byte index — truncated object")
+    if (shardIndexCache.size > (1 << 16)) shardIndexCache.clear()
+    val idxRaw = shardIndexCache.getOrElseUpdate((store, key), {
+      val raw = b.readRange(key, total - indexBytes, indexBytes).getOrElse(
+        throw new IllegalStateException(s"$store/$key vanished mid-read"))
+      if (meta.shardIndexCrc) {
+        val crc = new java.util.zip.CRC32C()
+        crc.update(raw, 0, nc * 16)
+        val stored = ByteBuffer.wrap(raw, nc * 16, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt()
+        if (stored != crc.getValue.toInt) throw new IllegalStateException(
+          s"$store/$key: shard index crc32c mismatch — corrupt shard")
+      }
+      raw
+    })
     // linear inner index, C order over the shard's chunk grid
     val li = inner.zip(chunksPerShard).foldLeft(0L) {
       case (acc, (i, d)) => acc * d + i }
@@ -311,9 +330,19 @@ object ZarrStore {
     val off = bb.getLong(li.toInt * 16)
     val len = bb.getLong(li.toInt * 16 + 8)
     if (off == -1L && len == -1L) return Array.fill(n)(meta.fillValue)
+    if (off < 0 || len < 0 || off + len > total - indexBytes)
+      throw new IllegalStateException(
+        s"$store/$key: inner chunk $chunkIdx extent ($off, $len) outside " +
+          s"the shard body — corrupt index")
     val raw0 = b.readRange(key, off, len.toInt).getOrElse(
       return Array.fill(n)(meta.fillValue))
-    val raw = decompress(meta, raw0, n * meta.elemBytes)
+    decodeValues(meta, decompress(meta, raw0, n * meta.elemBytes), n)
+  }
+
+  /** decode raw little/big-endian array bytes into doubles (shared by
+    * the plain and sharded read paths so dtypes can't drift) */
+  private def decodeValues(meta: ArrayMeta, raw: Array[Byte],
+                           n: Int): Array[Double] = {
     val order = if (meta.dtype.startsWith(">")) ByteOrder.BIG_ENDIAN
                 else ByteOrder.LITTLE_ENDIAN
     val buf = ByteBuffer.wrap(raw).order(order)
@@ -324,6 +353,8 @@ object ZarrStore {
       case "f4" => while (i < n) { out(i) = buf.getFloat(i * 4).toDouble; i += 1 }
       case "i8" => while (i < n) { out(i) = buf.getLong(i * 8).toDouble; i += 1 }
       case "i4" => while (i < n) { out(i) = buf.getInt(i * 4).toDouble; i += 1 }
+      case other => throw new IllegalArgumentException(
+        s"dtype ${meta.dtype} undecodable")
     }
     out
   }
@@ -725,13 +756,16 @@ object ZarrStore {
           val f = sub.resolve("c").resolve(sT.toString)
             .resolve(sY.toString).resolve(sX.toString)
           Files.createDirectories(f.getParent)
-          val out = new java.io.ByteArrayOutputStream()
-          body.writeTo(out)
-          out.write(index.array())
-          val c = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-          c.putInt(crc.getValue.toInt)
-          out.write(c.array())
-          Files.write(f, out.toByteArray)
+          // stream body + footer straight to the file: no second copy
+          // of a potentially large shard in memory
+          val os = Files.newOutputStream(f)
+          try {
+            body.writeTo(os)
+            os.write(index.array())
+            val c = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+            c.putInt(crc.getValue.toInt)
+            os.write(c.array())
+          } finally os.close()
         }
       }
     }
