@@ -34,9 +34,12 @@ object GraftFunctions {
     "float_vector_dot" -> (args => FloatVectorDot(args(0), args(1))),
     "bitset_and_count" -> (args => BitsetAndCount(args(0), args(1))))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "scala_udf")
     }
+    // typed aggregators register through the UDF registry
+    spark.udf.register("kmv64", KmvF.kmv(64))
+  }
 }

@@ -296,6 +296,11 @@ class PipelineSpec extends SparkSpec {
       "SELECT fingerprint8(text).fingerprint AS f FROM docs_v WHERE doc_id = 0")
       .collect()(0).getLong(0)
     assert(fp > 0)
+    // the KMV sketch aggregator is SQL-reachable too
+    val kmv = spark.sql(
+      "SELECT kmv64(poly_hash(text)).kk AS kk FROM docs_v")
+      .collect()(0).getInt(0)
+    assert(kmv > 0 && kmv <= 64)
   }
 
   test("HLL sketch (approx_count_distinct) lands near exact distinct") {
