@@ -84,9 +84,14 @@ object Dedup {
     // collides — so past the broadcast bound the honest answers are the
     // prefix join (still exact, costs Σ df_prefix²) or MinHash+LSH
     // (approximate, [[minhashLshPairs]]).
-    if (vocab <= denseVocabLimit && docs * words * 8 <= denseBroadcastBytes)
-      jaccardPairsBitmap(sh, vocab.toInt, threshold)
-    else jaccardPairsPrefix(sh, threshold)
+    // both paths return an already-materialized result (they release
+    // their own intermediates), so the shingle cache can go immediately
+    val out =
+      if (vocab <= denseVocabLimit && docs * words * 8 <= denseBroadcastBytes)
+        jaccardPairsBitmap(sh, vocab.toInt, threshold)
+      else jaccardPairsPrefix(sh, threshold)
+    sh.unpersist()
+    out
   }
 
   /** Exact all-pairs Jaccard via prefix filtering (Bayardo et al.
@@ -118,7 +123,7 @@ object Dedup {
       .join(prefix.toDF("id_b", "s"), Seq("s"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cand
+    val out = cand
       .join(sh.toDF("id_a", "s"), Seq("id_a"))
       .join(sh.toDF("id_b", "s"), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
@@ -128,6 +133,7 @@ object Dedup {
         col("common") / (col("n_a") + col("n_b") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "common", "jaccard")
+    Caching.materializeAndRelease(out, counts, prefix)
   }
 
   /** Dense-vocab path: dictionary-encode shingles to bit positions,
@@ -211,9 +217,10 @@ object Dedup {
         out.iterator
       }
     }
-    spark.createDataFrame(pairs, StructType(Seq(
+    val out = spark.createDataFrame(pairs, StructType(Seq(
       StructField("id_a", idType), StructField("id_b", idType),
       StructField("common", LongType), StructField("jaccard", DoubleType))))
+    Caching.materializeAndRelease(out, docs)
   }
 
   /** Sparse-vocab path: classic inverted-index self-join. */
@@ -245,7 +252,7 @@ object Dedup {
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("id_a", "s")
     val b = sh.toDF("id_b", "s")
-    a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+    val out = a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
       .join(counts.toDF("id_a", "n_a"), Seq("id_a"))
       .join(counts.toDF("id_b", "n_b"), Seq("id_b"))
@@ -253,6 +260,7 @@ object Dedup {
         col("common") / (col("n_a") + col("n_b") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "common", "jaccard")
+    Caching.materializeAndRelease(out, sh0)
   }
 
   /** MinHash signatures as plain aggregates over the shingle rows:
@@ -290,7 +298,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    cand
+    val out = cand
       .join(sh.toDF("id_a", "s"), Seq("id_a"))
       .join(sh.toDF("id_b", "s"), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
@@ -300,6 +308,7 @@ object Dedup {
         (col("n_a") + col("n_b") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "common", "jaccard")
+    Caching.materializeAndRelease(out, sh)
   }
 
   /** 32-bit SimHash from per-occurrence token hashes: bit j of the
@@ -451,12 +460,13 @@ object Dedup {
       .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cand
+    val out = cand
       .join(sigs.toDF("id_a", "sig_a"), Seq("id_a"))
       .join(sigs.toDF("id_b", "sig_b"), Seq("id_b"))
       .withColumn("hamming",
         bit_count(expr("sig_a ^ sig_b")).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    Caching.materializeAndRelease(out, sigs)
   }
 }

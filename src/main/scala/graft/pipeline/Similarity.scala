@@ -116,7 +116,7 @@ object Similarity {
       .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cand
+    val out = cand
       .join(e.select(col("id").as("id_a"), col("v").as("va"),
         col("nrm").as("na")), Seq("id_a"))
       .join(e.select(col("id").as("id_b"), col("v").as("vb"),
@@ -125,6 +125,7 @@ object Similarity {
         round(VecF.dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+    Caching.materializeAndRelease(out, e)
   }
 
   /** All near-duplicate pairs by cosine ≥ threshold — exact brute

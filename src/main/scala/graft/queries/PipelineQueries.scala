@@ -257,12 +257,13 @@ object PipelineQueries {
     val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text")
       .persist()
     val bench = sh.filter(col("id") % 97 === 0).select("s").distinct()
-    sh.filter(col("id") % 97 =!= 0)
+    val out = sh.filter(col("id") % 97 =!= 0)
       .join(broadcast(bench), Seq("s"))
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= ContamK)
       .select(col("id").as("doc_id"), col("n_hits"))
       .orderBy("doc_id")
+    graft.pipeline.Caching.materializeAndRelease(out, sh)
   }
 
   val decontaminateSql: String = s"""
