@@ -25,7 +25,9 @@ final case class DatasetDescriptor(identifier: String, title: String,
                                    function: Option[String],
                                    inputDatasets: Seq[String],
                                    inputParameters: Map[String, String],
-                                   placeGroupRefs: Seq[String])
+                                   placeGroupRefs: Seq[String],
+                                   endpoint: Option[String] = None,
+                                   region: Option[String] = None)
 
 /** A place-group descriptor (reference context.py:349-399): `path` may
   * be a glob over collection files; `places` are nested sub-groups. */
@@ -78,7 +80,11 @@ object ServiceConfig {
             e.getKey -> e.getValue.asText()).toMap)
           .getOrElse(Map.empty),
         placeGroupRefs = arr(d, "PlaceGroups")
-          .flatMap(pg => str(pg, "PlaceGroupRef")))
+          .flatMap(pg => str(pg, "PlaceGroupRef")),
+        // obs descriptors may point at a non-AWS object store
+        // (reference context.py:218-225 maps these to the S3 client)
+        endpoint = str(d, "Endpoint"),
+        region = str(d, "Region"))
     }
     def placeGroup(p: JsonNode): PlaceGroupConfig =
       PlaceGroupConfig(str(p, "Identifier").getOrElse(""),

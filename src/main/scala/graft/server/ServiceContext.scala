@@ -202,7 +202,19 @@ class ServiceContext(val spark: SparkSession) {
           d.function.get, d.inputDatasets, d.inputParameters,
           newDatasets.get, style)
       } else {
-        val path = resolve(d.path)
+        // obs descriptors: paths without a scheme address an S3-style
+        // store (reference context.py:216-231); Endpoint/Region forward
+        // to the Hadoop S3A connector the way the reference passes them
+        // to its S3 client
+        val path =
+          if (d.fileSystem == "obs" && !d.path.contains("://"))
+            "s3a://" + d.path
+          else if (d.path.contains("://")) d.path
+          else resolve(d.path)
+        val s3Opts =
+          d.endpoint.map("fs.s3a.endpoint" -> _).toMap ++
+            d.region.map("fs.s3a.endpoint.region" -> _).toMap
+        graft.sources.BlobStore.configure(path, s3Opts)
         val cube = graft.cube.CubeIngest.open(spark, path)
         val levels = graft.cube.CubeIngest.openLevels(spark, path + ".levels")
         newDatasets(d.identifier) = RegisteredDataset(d.identifier, d.title,

@@ -44,9 +44,31 @@ private[graft] object BlobStore {
   // one instance per store path so every reader shares cache state
   private val stores = TrieMap.empty[String, BlobStore]
 
+  // per-root Hadoop conf overrides (the reference's obs Endpoint/Region
+  // descriptor keys → S3 client kwargs, context.py:218-225) — keyed by
+  // root prefix so sibling objects (`.levels`, `.link`, `_graft_meta`)
+  // inherit the dataset's store settings
+  private val confOverrides = TrieMap.empty[String, Map[String, String]]
+
+  /** Register Hadoop conf overrides for every store whose root starts
+    * with `rootPrefix`. Stores already opened under the prefix are
+    * dropped so the next open sees the new settings. */
+  private[graft] def configure(rootPrefix: String,
+                               opts: Map[String, String]): Unit =
+    if (opts.nonEmpty) {
+      confOverrides(rootPrefix) = opts
+      stores.keys.filter(_.startsWith(rootPrefix)).foreach(stores.remove)
+    }
+
+  private[graft] def optionsFor(path: String): Map[String, String] =
+    confOverrides.toSeq.sortBy(_._1.length).collect {
+      case (p, o) if path.startsWith(p) => o
+    }.foldLeft(Map.empty[String, String])(_ ++ _)
+
   def forStore(path: String): BlobStore = stores.getOrElseUpdate(path,
     if (path.contains("://"))
-      new CachingBlobStore(new HadoopBlobStore(path), RemoteCacheBytes)
+      new CachingBlobStore(new HadoopBlobStore(path, optionsFor(path)),
+        RemoteCacheBytes)
     else new LocalBlobStore(path))
 
   private[graft] def drop(path: String): Unit = stores.remove(path)
@@ -55,7 +77,7 @@ private[graft] object BlobStore {
     * store's LRU caches absent objects and its one-shot listing for
     * the JVM lifetime, so without invalidation a reload would keep
     * serving pre-publication state (missing sidecars, empty levels). */
-  private[graft] def dropAll(): Unit = stores.clear()
+  private[graft] def dropAll(): Unit = { stores.clear(); confOverrides.clear() }
 
   /** one file by full path-or-URI (splits into parent store + name, so
     * sibling files like `<store>.link` route through the same seam) */
@@ -104,15 +126,29 @@ private[graft] final class LocalBlobStore(root: String) extends BlobStore {
   * readFully per object (no double round-trip for existence). Uses the
   * active Spark session's Hadoop configuration when there is one (so
   * cluster credentials/endpoints apply), else the classpath default. */
-private[graft] final class HadoopBlobStore(root: String) extends BlobStore {
+private[graft] final class HadoopBlobStore(root: String,
+    extraConf: Map[String, String] = Map.empty) extends BlobStore {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
-  @transient private lazy val (fs, rootPath) = {
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+  /** the effective Hadoop configuration (session conf + per-store
+    * overrides like fs.s3a.endpoint) — tests assert on this */
+  @transient private[graft] lazy val hadoopConf = {
+    val base = org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
+    if (extraConf.isEmpty) base
+    else {
+      // copy before overriding: endpoint/region are PER STORE, and the
+      // session conf is shared by every other reader in the JVM
+      val c = new org.apache.hadoop.conf.Configuration(base)
+      extraConf.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+  }
+
+  @transient private lazy val (fs, rootPath) = {
     val p = new HPath(root)
-    (p.getFileSystem(conf), p)
+    (p.getFileSystem(hadoopConf), p)
   }
 
   def read(key: String): Option[Array[Byte]] = try {
@@ -155,7 +191,7 @@ private[graft] final class HadoopBlobStore(root: String) extends BlobStore {
   * cost a round-trip per task). Fetches happen outside the lock so 32
   * reader threads don't serialize on the network; two threads racing
   * the same cold key may both fetch — benign. */
-private[graft] final class CachingBlobStore(inner: BlobStore,
+private[graft] final class CachingBlobStore(private[graft] val inner: BlobStore,
                                               maxBytes: Long)
     extends BlobStore {
 

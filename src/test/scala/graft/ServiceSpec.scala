@@ -664,4 +664,39 @@ Datasets:
     assert(ids("ga") == a1)
     assert(ctx.placeGroupList.map(_._1) == Seq("ga"))
   }
+
+  test("obs Endpoint/Region descriptor keys reach the store's Hadoop conf") {
+    // descriptor parse: the reference's obs keys (context.py:218-225)
+    val cfg = ServiceConfig.fromString("""
+Datasets:
+  - Identifier: remote
+    Title: Remote cube
+    FileSystem: obs
+    Endpoint: "http://obs.example.org:9000"
+    Region: "eu-central-9"
+    Path: "my-bucket/cube.zarr"
+""")
+    val d = cfg.dataset("remote").get
+    assert(d.endpoint.contains("http://obs.example.org:9000"))
+    assert(d.region.contains("eu-central-9"))
+
+    // the seam loadConfig drives: configure() must hand the overrides
+    // to the HadoopBlobStore the path (and its siblings) resolve to
+    graft.sources.BlobStore.configure("file:///graft-obs-test/cube.zarr",
+      Map("fs.s3a.endpoint" -> "http://obs.example.org:9000",
+        "fs.s3a.endpoint.region" -> "eu-central-9"))
+    def hconf(p: String) = graft.sources.BlobStore.forStore(p)
+      .asInstanceOf[graft.sources.CachingBlobStore]
+      .inner.asInstanceOf[graft.sources.HadoopBlobStore].hadoopConf
+    val conf = hconf("file:///graft-obs-test/cube.zarr")
+    assert(conf.get("fs.s3a.endpoint") == "http://obs.example.org:9000")
+    assert(conf.get("fs.s3a.endpoint.region") == "eu-central-9")
+    // sibling objects (levels pyramid, .link) inherit the dataset conf
+    val sib = hconf("file:///graft-obs-test/cube.zarr.levels")
+    assert(sib.get("fs.s3a.endpoint") == "http://obs.example.org:9000")
+    // the shared session Hadoop conf must NOT be polluted per-store
+    assert(spark.sparkContext.hadoopConfiguration.get("fs.s3a.endpoint")
+      != "http://obs.example.org:9000")
+    graft.sources.BlobStore.dropAll()
+  }
 }
