@@ -25,25 +25,33 @@ package graft.sources
   * size equals its uncompressed size is stored raw. A block is
   * byte-shuffled before splitting, so each split is one byte-plane.
   *
-  * Supported here: memcpy frames; lz4/lz4hc and zlib inner codecs
-  * (pure JVM) plus zstd and snappy (via the zstd-jni / snappy-java
-  * libraries Spark itself ships for shuffle compression); byte-shuffle
-  * and no shuffle. Rejected with clear errors: bit-shuffle, blosclz.
-  * c-blosc decides the split count from a compile-time rule
-  * that changed across versions; instead of replicating one version's
-  * rule we try both possible counts (`typesize`, then 1) — the strict
-  * size bookkeeping makes the wrong hypothesis fail fast and the right
-  * one is unambiguous.
+  * Supported here: memcpy frames; blosclz (c-blosc's own default,
+  * FastLZ-derived — decoder below mirrors public blosclz.c), lz4/lz4hc
+  * and zlib inner codecs (pure JVM) plus zstd and snappy (via the
+  * zstd-jni / snappy-java libraries Spark itself ships for shuffle
+  * compression); byte-shuffle, BIT-shuffle (the bitshuffle library's
+  * trans_byte_elem + trans_bit_byte + trans_bitrow_eight layout) and
+  * no shuffle. c-blosc decides the split count from a compile-time
+  * rule that changed across versions; instead of replicating one
+  * version's rule we try both possible counts (`typesize`, then 1) —
+  * the strict size bookkeeping makes the wrong hypothesis fail fast
+  * and the right one is unambiguous.
   */
 object Blosc {
 
   private val FlagShuffle = 0x1
   private val FlagMemcpy = 0x2
   private val FlagBitShuffle = 0x4
+  private val CodecBloscLz = 0
   private val CodecLz4 = 1
   private val CodecSnappy = 2
   private val CodecZlib = 3
   private val CodecZstd = 4
+
+  /** shuffle-mode constants for [[encode]] (numcodecs' values) */
+  val ShuffleNone = 0
+  val ShuffleByte = 1
+  val ShuffleBit = 2
 
   private def le32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
@@ -67,15 +75,14 @@ object Blosc {
       require(frame.length >= 16 + nbytes, "truncated memcpy blosc frame")
       return java.util.Arrays.copyOfRange(frame, 16, 16 + nbytes)
     }
-    require((flags & FlagBitShuffle) == 0,
-      "blosc bit-shuffle is not supported (byte-shuffle / no-shuffle are)")
     val codec = (flags >>> 5) & 0x7
-    require(codec == CodecLz4 || codec == CodecZlib ||
-      codec == CodecZstd || codec == CodecSnappy,
+    require(codec == CodecBloscLz || codec == CodecLz4 ||
+      codec == CodecZlib || codec == CodecZstd || codec == CodecSnappy,
       s"unsupported blosc inner codec id $codec " +
-        "(lz4/lz4hc, zlib, zstd and snappy are supported; blosclz is not)")
+        "(blosclz, lz4/lz4hc, zlib, zstd and snappy are supported)")
     require(blocksize > 0, s"corrupt blosc blocksize $blocksize")
     val doShuffle = (flags & FlagShuffle) != 0 && typesize > 1
+    val doBitShuffle = (flags & FlagBitShuffle) != 0
     val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
     require(frame.length >= 16 + 4 * nblocks, "truncated blosc block index")
     val out = new Array[Byte](nbytes)
@@ -86,7 +93,10 @@ object Blosc {
         s"blosc block $b offset $bstart out of frame")
       val bsize = math.min(blocksize, nbytes - b * blocksize)
       val block = decodeBlock(frame, bstart, bsize, typesize, codec)
-      val plain = if (doShuffle) unshuffle(block, typesize) else block
+      val plain =
+        if (doShuffle) unshuffle(block, typesize)
+        else if (doBitShuffle) bitUnshuffle(block, typesize)
+        else block
       System.arraycopy(plain, 0, out, b * blocksize, bsize)
       b += 1
     }
@@ -119,6 +129,9 @@ object Blosc {
       if (cb == neblock) {
         System.arraycopy(frame, off, out, j * neblock, neblock)
       } else codec match {
+        case CodecBloscLz =>
+          if (!blosclzDecompress(frame, off, cb, out, j * neblock, neblock))
+            return None
         case CodecLz4 =>
           if (!lz4Decompress(frame, off, cb, out, j * neblock, neblock))
             return None
@@ -182,6 +195,207 @@ object Blosc {
     var k = n * typesize
     while (k < data.length) { out(k) = data(k); k += 1 }
     out
+  }
+
+  // ------------------------------------------------------- bit-shuffle
+
+  /** Bit transpose (the bitshuffle library's layout, as c-blosc applies
+    * it per block: bshuf_trans_byte_elem → trans_bit_byte →
+    * trans_bitrow_eight composed). Elements are processed in groups of
+    * 8: output plane `j*8 + k` (length n/8 bytes) holds bit `k` of byte
+    * `j` of every element, packed LSB-first — the byte at index i of a
+    * plane carries elements 8i..8i+7, element 8i+t at bit t. Only
+    * `floor(nelem/8)*8` elements participate; trailing elements and
+    * trailing `len % typesize` bytes are stored as-is (c-blosc
+    * bitshuffle() copies the leftovers verbatim). */
+  private[graft] def bitShuffle(data: Array[Byte], typesize: Int): Array[Byte] = {
+    val ts = math.max(typesize, 1)
+    val n = (data.length / ts) & ~7
+    if (n == 0) return data.clone()
+    val out = new Array[Byte](data.length)
+    val plane = n / 8
+    var j = 0
+    while (j < ts) {
+      var k = 0
+      while (k < 8) {
+        val base = (j * 8 + k) * plane
+        var i = 0
+        while (i < plane) {
+          var b = 0
+          var t = 0
+          while (t < 8) {
+            b |= ((data((8 * i + t) * ts + j) >> k) & 1) << t
+            t += 1
+          }
+          out(base + i) = b.toByte
+          i += 1
+        }
+        k += 1
+      }
+      j += 1
+    }
+    var r = n * ts
+    while (r < data.length) { out(r) = data(r); r += 1 }
+    out
+  }
+
+  private[graft] def bitUnshuffle(data: Array[Byte], typesize: Int): Array[Byte] = {
+    val ts = math.max(typesize, 1)
+    val n = (data.length / ts) & ~7
+    if (n == 0) return data.clone()
+    val out = new Array[Byte](data.length) // zero-filled; bits OR in
+    val plane = n / 8
+    var j = 0
+    while (j < ts) {
+      var k = 0
+      while (k < 8) {
+        val base = (j * 8 + k) * plane
+        var i = 0
+        while (i < plane) {
+          val b = data(base + i) & 0xFF
+          var t = 0
+          while (t < 8) {
+            if (((b >>> t) & 1) != 0) {
+              val idx = (8 * i + t) * ts + j
+              out(idx) = (out(idx) | (1 << k)).toByte
+            }
+            t += 1
+          }
+          i += 1
+        }
+        k += 1
+      }
+      j += 1
+    }
+    var r = n * ts
+    while (r < data.length) { out(r) = data(r); r += 1 }
+    out
+  }
+
+  // ----------------------------------------------------------- blosclz
+
+  private val MaxDistance = 8191 // blosclz.c MAX_DISTANCE
+
+  /** BloscLZ block decode (public blosclz.c stream format — FastLZ
+    * descendant). Ops: ctrl < 32 is a literal run of ctrl+1 bytes;
+    * ctrl >= 32 is a match of (ctrl>>5)+2 bytes (field 7 extends by
+    * 255-looped bytes to (9 + Σcodes)) at distance ((ctrl&31)<<8) +
+    * code + 1; code 255 with offset field 31 switches to a 16-bit
+    * far distance biased by MAX_DISTANCE+1. Distance 1 doubles as an
+    * RLE run of the previous byte. The FIRST control byte is masked
+    * to its low 5 bits (streams necessarily open with literals).
+    * Returns false on any malformed sequence or size mismatch. */
+  private[graft] def blosclzDecompress(src: Array[Byte], soff: Int, slen: Int,
+                                       dst: Array[Byte], doff: Int,
+                                       dlen: Int): Boolean = {
+    var ip = soff
+    val ipLim = soff + slen
+    var op = doff
+    val opLim = doff + dlen
+    if (slen <= 0) return dlen == 0
+    var ctrl = src(ip) & 31; ip += 1
+    var loop = true
+    while (loop) {
+      if (ctrl >= 32) {
+        var len = (ctrl >>> 5) - 1
+        val ofs = (ctrl & 31) << 8
+        var ref = op - ofs
+        if (len == 6) { // field 7: extended length
+          var code = 255
+          while (code == 255) {
+            if (ip >= ipLim) return false
+            code = src(ip) & 0xFF; ip += 1
+            len += code
+          }
+        }
+        if (ip >= ipLim) return false
+        val code = src(ip) & 0xFF; ip += 1
+        len += 3
+        ref -= code
+        if (code == 255 && ofs == (31 << 8)) { // far match, 16-bit distance
+          if (ip + 1 >= ipLim) return false
+          var o2 = (src(ip) & 0xFF) << 8; ip += 1
+          o2 += src(ip) & 0xFF; ip += 1
+          ref = op - o2 - MaxDistance
+        }
+        if (op + len > opLim) return false
+        if (ref - 1 < doff) return false
+        if (ip < ipLim) { ctrl = src(ip) & 0xFF; ip += 1 } else loop = false
+        if (ref == op) {
+          // distance-1 run: memset of the previous byte
+          java.util.Arrays.fill(dst, op, op + len, dst(op - 1))
+          op += len
+        } else {
+          ref -= 1
+          var l = len
+          while (l > 0) { dst(op) = dst(ref); op += 1; ref += 1; l -= 1 }
+        }
+      } else {
+        val run = ctrl + 1
+        if (op + run > opLim || ip + run > ipLim) return false
+        System.arraycopy(src, ip, dst, op, run); ip += run; op += run
+        if (ip < ipLim) { ctrl = src(ip) & 0xFF; ip += 1 } else loop = false
+      }
+    }
+    op == opLim
+  }
+
+  /** Greedy hash-table BloscLZ encoder emitting the public stream
+    * format ([[blosclzDecompress]] is the spec): literal runs ≤ 32
+    * bytes, near matches to distance 8191, far matches (biased 16-bit)
+    * beyond. The read path never needs this — it exists for the frame
+    * writer and fixtures. */
+  private[graft] def blosclzCompress(src: Array[Byte]): Array[Byte] = {
+    val n = src.length
+    val out = new java.io.ByteArrayOutputStream(n + n / 32 + 16)
+    def emitLiterals(from: Int, until: Int): Unit = {
+      var i = from
+      while (i < until) {
+        val run = math.min(32, until - i)
+        out.write(run - 1)
+        out.write(src, i, run)
+        i += run
+      }
+    }
+    def emitMatch(len: Int, distance: Int): Unit = {
+      val far = distance > MaxDistance
+      val d = if (far) distance - (MaxDistance + 1) else distance - 1
+      val field = math.min(len - 2, 7)
+      out.write((field << 5) | (if (far) 31 else d >>> 8))
+      if (field == 7) {
+        var e = len - 9 // decode: len = 6 + Σcodes + 3
+        while (e >= 255) { out.write(255); e -= 255 }
+        out.write(e)
+      }
+      if (far) { out.write(255); out.write((d >>> 8) & 0xFF) }
+      out.write(d & 0xFF)
+    }
+    def read32(i: Int): Int =
+      (src(i) & 0xFF) | ((src(i + 1) & 0xFF) << 8) |
+        ((src(i + 2) & 0xFF) << 16) | ((src(i + 3) & 0xFF) << 24)
+    val table = Array.fill(1 << 14)(-1)
+    def hash(v: Int): Int = (v * -1640531535) >>> 18
+    var anchor = 0
+    var i = 0
+    val limit = n - 4 // hashing reads 4 bytes; matches may run to n
+    while (i < limit) {
+      val v = read32(i)
+      val h = hash(v)
+      val ref = table(h)
+      table(h) = i
+      // near d field 8191 collides with the far escape — stay below it
+      if (ref >= 0 && i - ref <= 0xFFFF + MaxDistance &&
+          (i - ref) - 1 != MaxDistance && read32(ref) == v) {
+        var ml = 4
+        while (i + ml < n && src(ref + ml) == src(i + ml)) ml += 1
+        emitLiterals(anchor, i)
+        emitMatch(ml, i - ref)
+        i += ml
+        anchor = i
+      } else i += 1
+    }
+    emitLiterals(anchor, n)
+    out.toByteArray
   }
 
   // --------------------------------------------------------------- lz4
@@ -281,15 +495,32 @@ object Blosc {
 
   // -------------------------------------------------------------- encode
 
-  /** Encode a blosc-lz4 frame (byte-shuffled). Split layout follows the
-    * c-blosc forward-compat rule (split into `typesize` byte-planes when
-    * the block is a multiple of typesize and planes are ≥ 128 bytes);
-    * falls back to a memcpy frame if compression doesn't pay. */
+  /** Encode a blosc-lz4 frame (byte-shuffled) — see [[encode]]. */
   def encodeLz4(data: Array[Byte], typesize: Int,
-                doShuffle: Boolean = true, blocksizeHint: Int = 0): Array[Byte] = {
+                doShuffle: Boolean = true, blocksizeHint: Int = 0): Array[Byte] =
+    encode(data, typesize, "lz4",
+      if (doShuffle) ShuffleByte else ShuffleNone, blocksizeHint)
+
+  /** Encode a blosc frame with a chosen inner codec (`lz4`/`lz4hc` or
+    * `blosclz`) and shuffle mode (none / byte / bit). Split layout
+    * follows the c-blosc forward-compat rule (split into `typesize`
+    * byte-planes when the block is a multiple of typesize and planes
+    * are ≥ 128 bytes); falls back to a memcpy frame if compression
+    * doesn't pay. */
+  def encode(data: Array[Byte], typesize: Int, cname: String = "lz4",
+             shuffleMode: Int = ShuffleByte, blocksizeHint: Int = 0): Array[Byte] = {
+    val codecId = cname match {
+      case "lz4" | "lz4hc" => CodecLz4
+      case "blosclz" => CodecBloscLz
+      case other => throw new IllegalArgumentException(
+        s"unsupported encode codec $other (lz4, lz4hc, blosclz)")
+    }
+    val compress: Array[Byte] => Array[Byte] =
+      if (codecId == CodecLz4) lz4Compress else blosclzCompress
     val ts = if (typesize >= 1 && typesize <= 255) typesize else 1
     val nbytes = data.length
-    val shuf = doShuffle && ts > 1
+    val shuf = shuffleMode == ShuffleByte && ts > 1
+    val bshuf = shuffleMode == ShuffleBit
     val blocksize = {
       val want = if (blocksizeHint > 0) blocksizeHint else 64 * 1024
       val aligned = math.max(ts, want - want % ts)
@@ -302,15 +533,20 @@ object Blosc {
       val bsize = math.min(blocksize, nbytes - b * blocksize)
       val raw = java.util.Arrays.copyOfRange(data,
         b * blocksize, b * blocksize + bsize)
-      val block = if (shuf) shuffle(raw, ts) else raw
+      val block =
+        if (shuf) shuffle(raw, ts)
+        else if (bshuf) bitShuffle(raw, ts)
+        else raw
       val nsplits =
-        if (shuf && ts <= 16 && bsize % ts == 0 && bsize / ts >= 128) ts else 1
+        if ((shuf || bshuf) && ts <= 16 && bsize % ts == 0 &&
+          bsize / ts >= 128) ts
+        else 1
       val neblock = bsize / nsplits
       val bo = new java.io.ByteArrayOutputStream(bsize + 4 * nsplits)
       (0 until nsplits).foreach { j =>
         val split = java.util.Arrays.copyOfRange(block,
           j * neblock, (j + 1) * neblock)
-        val comp = lz4Compress(split)
+        val comp = compress(split)
         val (cb, payload) =
           if (comp.length >= neblock) (neblock, split) else (comp.length, comp)
         bo.write(cb & 0xFF); bo.write((cb >>> 8) & 0xFF)
@@ -328,7 +564,8 @@ object Blosc {
       System.arraycopy(data, 0, out, 16, nbytes)
       return out
     }
-    val flags = (if (shuf) FlagShuffle else 0) | (CodecLz4 << 5)
+    val flags = (if (shuf) FlagShuffle else 0) |
+      (if (bshuf) FlagBitShuffle else 0) | (codecId << 5)
     val out = java.util.Arrays.copyOf(
       header(flags, ts, nbytes, blocksize, total), total)
     var off = 16 + indexBytes

@@ -15,10 +15,9 @@ import graft.cube.{CubeFrame, CubeGrid}
   *  - zarr format 2 directory stores;
   *  - C-order arrays, dtypes `<f8`/`<f4`/`<i8`/`<i4`, no filters;
   *  - compressor `null`, `{"id": "zlib"}` (java.util.zip) or
-  *    `{"id": "blosc"}` with inner codec lz4/lz4hc/zlib and byte- or
-  *    no-shuffle — the zarr-python default — via the pure-JVM frame
-  *    decoder in [[Blosc]] (bit-shuffle / snappy / zstd rejected with
-  *    clear errors);
+  *    `{"id": "blosc"}` — the zarr-python default — with inner codec
+  *    blosclz/lz4/lz4hc/zlib/zstd/snappy and byte-, bit- or no-shuffle
+  *    via the pure-JVM frame decoder in [[Blosc]];
   *  - cube convention: 1-D coordinate arrays `time` (int64 epoch
   *    MICROseconds), `lat`, `lon`; 3-D variable arrays shaped
   *    (time, lat, lon) sharing one chunk grid.

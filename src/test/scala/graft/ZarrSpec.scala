@@ -129,15 +129,121 @@ class ZarrSpec extends SparkSpec {
     val raw = Blosc.encodeLz4(noise, typesize = 8)
     assert(raw.length == 16 + noise.length && (raw(2) & 0x2) != 0)
     assert(Blosc.decode(raw).toSeq == noise.toSeq)
-    // unsupported shapes fail loudly, not wrongly
-    val blosclz = Blosc.encodeLz4(Array.fill(256)(1.toByte), 8).clone()
-    blosclz(2) = (blosclz(2) & 0x1F).toByte // codec id 0 = blosclz
-    assert(intercept[IllegalArgumentException](Blosc.decode(blosclz))
-      .getMessage.contains("blosclz"))
-    val bitshuf = Blosc.encodeLz4(Array.fill(256)(1.toByte), 8).clone()
-    bitshuf(2) = (bitshuf(2) | 0x4).toByte
-    assert(intercept[IllegalArgumentException](Blosc.decode(bitshuf))
-      .getMessage.contains("bit-shuffle"))
+    // a frame claiming an out-of-range codec id still fails loudly
+    val badCodec = Blosc.encodeLz4(Array.fill(256)(1.toByte), 8).clone()
+    badCodec(2) = ((badCodec(2) & 0x1F) | (6 << 5)).toByte
+    assert(intercept[IllegalArgumentException](Blosc.decode(badCodec))
+      .getMessage.contains("codec"))
+  }
+
+  test("blosclz codec: pinned stream decodes, round-trips, far matches") {
+    import graft.sources.Blosc
+    // pinned bytes from the public blosclz.c stream format:
+    // literal run "abcd" + match len 4 distance 4 -> "abcdabcd"
+    val m = new Array[Byte](8)
+    assert(Blosc.blosclzDecompress(
+      Array[Byte](3, 'a', 'b', 'c', 'd', 64, 3), 0, 7, m, 0, 8))
+    assert(new String(m) == "abcdabcd")
+    // literal 'x' + extended-length match at distance 1 (RLE memset)
+    val r = new Array[Byte](10)
+    assert(Blosc.blosclzDecompress(
+      Array[Byte](0, 'x', 224.toByte, 0, 0), 0, 5, r, 0, 10))
+    assert(new String(r) == "x" * 10)
+    // round-trips: runs, cycles, noise, tiny, empty
+    val rnd2 = new scala.util.Random(7)
+    for (data <- Seq(
+        Array.fill(4096)(7.toByte),
+        Array.tabulate(10000)(i => (i / 100).toByte),
+        Array.fill(512)(rnd2.nextInt().toByte),
+        Array.fill(3)(1.toByte),
+        Array.emptyByteArray)) {
+      val comp = Blosc.blosclzCompress(data)
+      val out = new Array[Byte](data.length)
+      assert(Blosc.blosclzDecompress(comp, 0, comp.length, out, 0, data.length),
+        s"blosclz decode failed for n=${data.length}")
+      assert(out.toSeq == data.toSeq)
+    }
+    // far match: a repeat at distance > MAX_DISTANCE (8191)
+    val far = new Array[Byte](9100)
+    rnd2.nextBytes(far)
+    System.arraycopy(far, 0, far, 9000, 100)
+    val fcomp = Blosc.blosclzCompress(far)
+    val fout = new Array[Byte](far.length)
+    assert(Blosc.blosclzDecompress(fcomp, 0, fcomp.length, fout, 0, far.length))
+    assert(fout.toSeq == far.toSeq)
+    // full blosclz frames decode through the dispatcher
+    for (n <- Seq(16, 800, 64 * 1024 + 24)) {
+      val data = Array.tabulate(n)(i => (i % 251).toByte)
+      val frame = Blosc.encode(data, typesize = 8, cname = "blosclz")
+      assert((frame(2) >> 5 & 0x7) == 0, "codec id must be blosclz")
+      assert(Blosc.decode(frame).toSeq == data.toSeq, s"blosclz frame n=$n")
+    }
+  }
+
+  test("bit-shuffle: pinned layout, inverse, frames decode") {
+    import graft.sources.Blosc
+    // pinned layout (bitshuffle library / c-blosc): output plane j*8+k
+    // holds bit k of byte j of each element, elements packed LSB-first
+    val counting = Array.tabulate(16)(_.toByte)
+    assert(Blosc.bitShuffle(counting, 1).toSeq == Seq(
+      0xAA, 0xAA, 0xCC, 0xCC, 0xF0, 0xF0, 0x00, 0xFF,
+      0, 0, 0, 0, 0, 0, 0, 0).map(_.toByte))
+    assert(Blosc.bitShuffle(counting, 2).toSeq == Seq(
+      0x00, 0xAA, 0xCC, 0xF0, 0, 0, 0, 0,
+      0xFF, 0xAA, 0xCC, 0xF0, 0, 0, 0, 0).map(_.toByte))
+    // inverse identity incl. non-multiple-of-8 element tails and
+    // trailing bytes that are not a whole element
+    val rnd3 = new scala.util.Random(11)
+    for (ts <- Seq(1, 2, 4, 8); n <- Seq(0, 5, 64, 129, 1027)) {
+      val data = Array.fill(n)(rnd3.nextInt().toByte)
+      assert(Blosc.bitUnshuffle(Blosc.bitShuffle(data, ts), ts).toSeq
+        == data.toSeq, s"bitshuffle identity ts=$ts n=$n")
+    }
+    // frames with bit-shuffle + both codecs decode to the input
+    for (cname <- Seq("lz4", "blosclz"); n <- Seq(16, 800, 64 * 1024 + 24)) {
+      val data = Array.tabulate(n)(i => (i % 13).toByte)
+      val frame = Blosc.encode(data, typesize = 4, cname = cname,
+        shuffleMode = Blosc.ShuffleBit)
+      assert(Blosc.decode(frame).toSeq == data.toSeq,
+        s"bitshuffle frame cname=$cname n=$n")
+    }
+  }
+
+  test("blosclz + bitshuffle zarr store reads bit-identical to lz4 (S2)") {
+    import graft.sources.Blosc
+    val grid = CubeGrid(32, 16, 0.0, 40.0, 0.25, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0", "v1"),
+      nanEvery = 7)
+    val dir = java.nio.file.Files.createTempDirectory("graft-blz").toString
+    ZarrStore.writeZarr(cube, s"$dir/lz4.zarr", chunkT = 1, chunkY = 8,
+      chunkX = 16, codec = "blosc")
+    // same store, every chunk re-framed as blosclz + bit-shuffle (the
+    // frame is self-describing, so the .zarray metadata stays valid)
+    val src = java.nio.file.Paths.get(s"$dir/lz4.zarr")
+    val dst = java.nio.file.Paths.get(s"$dir/blz.zarr")
+    java.nio.file.Files.walk(src).forEach { p =>
+      val rel = src.relativize(p)
+      val t = dst.resolve(rel)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else if (p.getFileName.toString.startsWith("."))
+        java.nio.file.Files.copy(p, t)
+      else {
+        val plain = Blosc.decode(java.nio.file.Files.readAllBytes(p))
+        java.nio.file.Files.write(t, Blosc.encode(plain, typesize = 8,
+          cname = "blosclz", shuffleMode = Blosc.ShuffleBit))
+      }
+    }
+    val chunk = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/blz.zarr/v0/0.0.0"))
+    assert(((chunk(2) >> 5) & 0x7) == 0 && (chunk(2) & 0x4) != 0
+      || (chunk(2) & 0x2) != 0, "chunks must be blosclz+bitshuffle or memcpy")
+    val cols = Seq("time", "y_idx", "x_idx", "lat", "lon", "v0", "v1")
+    def rows(p: String): Seq[String] =
+      ZarrStore.openCube(spark, p).df.select(cols.head, cols.tail: _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$dir/blz.zarr") == rows(s"$dir/lz4.zarr"))
+    assert(rows(s"$dir/blz.zarr").length == 32 * 16 * 3)
   }
 
   test("blosc-lz4 zarr store reads bit-identical to the zlib store") {
