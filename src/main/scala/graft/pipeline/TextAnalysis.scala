@@ -30,6 +30,25 @@ object TextAnalysis {
         (lit(1.0) - stopHits.cast("double") / nTokens), 6).as("quality_score"))
   }
 
+  /** Boilerplate stripping for web-scraped text (the step before any
+    * quality/dedup pass in a crawl pipeline): removes HTML tags and
+    * bare URLs, decodes the common character entities, collapses
+    * whitespace. A pure codegen'd regexp/replace chain — the regexes
+    * use only the portable subset (character classes, no lookaround),
+    * so any engine reproduces the output byte-for-byte. */
+  def cleanText(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val noUrls = regexp_replace(noTags, "https?://[^ ]+", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ")
+    val decoded = entities.foldLeft(noUrls) { case (acc, (e, ch)) =>
+      replace(acc, lit(e), lit(ch))
+    }
+    // &amp; decodes LAST: "&amp;lt;" is the escaped TEXT "&lt;", not a tag
+    val amp = replace(decoded, lit("&amp;"), lit("&"))
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
+
   /** Marker-word sets per language (over the corpus vocabulary);
     * deterministic argmax with alphabetical tie-break. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

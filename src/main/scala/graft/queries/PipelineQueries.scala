@@ -483,6 +483,95 @@ object PipelineQueries {
         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents GROUP BY source ORDER BY source"""
 
+  /** Per-source mixing weights (the Pile-style companion to
+    * [[sampleStratified]]): source `srcN` carries weight N%4 + 1 and
+    * keeps the top `n_src * w / 4` of its documents under a
+    * deterministic hash priority — a reproducible weighted draw with
+    * no RNG state. One shuffle (the per-source window); the rank and
+    * the per-source count share it. */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h", "doc_id")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        (substring(col("source"), 4, 10).cast("int") % 4 + 1).as("wt"),
+        pmod(col("doc_id") * lit(2654435761L) + lit(40503L),
+          lit(1000000007L)).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(wAll))
+      .filter(col("rn") <= floor(col("n_src") * col("wt") / 4))
+      .select("source", "doc_id")
+      .orderBy("source", "doc_id")
+  }
+
+  val sampleWeightedSql: String = """
+    WITH t AS (
+      SELECT source, doc_id,
+        (CAST(substr(source, 4) AS INT) % 4) + 1 AS wt,
+        (doc_id * 2654435761 + 40503) % 1000000007 AS h
+      FROM documents),
+    r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn,
+        COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM t)
+    SELECT source, doc_id FROM r
+    WHERE rn <= FLOOR(n_src * wt / 4)
+    ORDER BY source, doc_id"""
+
+  /** URL/HTML boilerplate stripping over a deterministically "dirtied"
+    * corpus (the synthetic documents carry no markup, so the query
+    * injects tags/URLs/entities reproducibly per doc_id, then cleans
+    * them with [[graft.pipeline.TextAnalysis.cleanText]] — both
+    * engines build and clean the identical dirty text). */
+  def textClean(s: SparkSession, d: String): DataFrame = {
+    val dirty = when(col("doc_id") % 3 === 0,
+        concat(lit("<html><body><p>"), col("text"),
+          lit("</p><a href=\"http://example.com/"), col("doc_id"),
+          lit("\">link</a> &amp; more</body></html>")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("see https://example.org/page?id="), col("doc_id"),
+          lit(" &lt;ok&gt; "), col("text")))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(col("doc_id"), col("dirty"),
+        graft.pipeline.TextAnalysis.cleanText(col("dirty")).as("clean_text"))
+      .select(col("doc_id"),
+        length(col("dirty")).cast("long").as("n_dirty"),
+        length(col("clean_text")).cast("long").as("n_clean"),
+        col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val textCleanSql: String = """
+    WITH dirty AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN
+          '<html><body><p>' || text || '</p><a href="http://example.com/'
+            || doc_id || '">link</a> &amp; more</body></html>'
+        WHEN doc_id % 3 = 1 THEN
+          'see https://example.org/page?id=' || doc_id || ' &lt;ok&gt; ' || text
+        ELSE text END AS dirty
+      FROM documents),
+    clean AS (
+      SELECT doc_id, dirty,
+        TRIM(regexp_replace(
+          replace(
+            replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace(dirty, '<[^>]*>', ' ', 'g'),
+                'https?://[^ ]+', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', ''''), '&nbsp;', ' '),
+            '&amp;', '&'),
+          '\s+', ' ', 'g')) AS clean_text
+      FROM dirty)
+    SELECT doc_id, CAST(length(dirty) AS BIGINT) AS n_dirty,
+      CAST(length(clean_text) AS BIGINT) AS n_clean, clean_text
+    FROM clean ORDER BY doc_id"""
+
   /** The WHOLE curation pipeline as one plan — shingles → jaccard
     * pairs → connected components → per-cluster best-quality
     * representative → curated-corpus summary. The standalone dedup
@@ -839,6 +928,8 @@ object PipelineQueries {
     QuerySpec("sketch_kmv_distinct", sketchKmv, Some(sketchKmvSql)),
     QuerySpec("pipeline_curate", pipelineCurate, Some(pipelineCurateSql)),
     QuerySpec("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    QuerySpec("sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
+    QuerySpec("text_clean", textClean, Some(textCleanSql)),
     QuerySpec("sim_cosine_topk", simTopK, Some(simTopKSql)),
     QuerySpec("sim_topk_mrl", simTopKMrl, Some(simTopKMrlSql)),
     QuerySpec("sim_ann_lsh", simAnnLsh, Some(simAnnLshSql)),
