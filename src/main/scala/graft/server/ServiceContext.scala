@@ -36,24 +36,29 @@ final case class RegisteredDataset(id: String, title: String,
 
   /** Latest time step, resolved ONCE per registration — tile requests
     * default to 'current' (reference J5) and must not pay a max(time)
-    * Spark job per cache miss. */
-  lazy val latestTime: java.sql.Timestamp = {
-    import org.apache.spark.sql.functions.{col, max}
-    cube.df.agg(max(col("time"))).head().getTimestamp(0)
-  }
+    * Spark job per cache miss. Store-backed cubes answer from the
+    * metadata axis with no job at all. */
+  lazy val latestTime: java.sql.Timestamp =
+    cube.timeAxis.map(_.last).getOrElse {
+      import org.apache.spark.sql.functions.{col, max}
+      cube.df.agg(max(col("time"))).head().getTimestamp(0)
+    }
 
   /** advertised tile grid, memoized (pure driver arithmetic, but
     * recomputing per tile request is silly) */
   lazy val tileGrid: graft.grid.TileGrid = Catalogue.tileGridOf(this)
 
-  /** The time coordinate axis, resolved once per registration (one
-    * distinct scan over the 1-D time column — ≤ #time-steps rows, the
-    * reference's coord-variable dump of catalogue.py:97-111). */
-  lazy val timeCoords: Seq[java.sql.Timestamp] = {
-    import org.apache.spark.sql.functions.col
-    cube.df.select(col("time")).distinct()
-      .orderBy(col("time")).collect().map(_.getTimestamp(0)).toSeq
-  }
+  /** The time coordinate axis (the reference's coord-variable dump of
+    * catalogue.py:97-111). Store-backed cubes surface it from their
+    * parsed metadata — zero chunk reads, zero Spark jobs; only
+    * parquet-ingested cubes (no coordinate arrays on disk) fall back
+    * to one distinct scan over the 1-D time column. */
+  lazy val timeCoords: Seq[java.sql.Timestamp] =
+    cube.timeAxis.getOrElse {
+      import org.apache.spark.sql.functions.col
+      cube.df.select(col("time")).distinct()
+        .orderBy(col("time")).collect().map(_.getTimestamp(0)).toSeq
+    }
 }
 
 class ServiceContext(val spark: SparkSession) {

@@ -291,6 +291,11 @@ object NetcdfStore {
       lon.min - res / 2, lat.min - res / 2, res, latAsc)
     val df = spark.read.format(classOf[ZarrDataSource].getName)
       .option("path", path).load()
-    CubeFrame(df, grid, ops.variableNames)
+    // time axis from the file header/coordinate variable, not a scan
+    val timeAxis =
+      try Some(ops.read1dLongs("time").sorted
+        .map(graft.cube.Cube.timestampOfMicros).toSeq)
+      catch { case scala.util.control.NonFatal(_) => None }
+    CubeFrame(df, grid, ops.variableNames, timeAxis)
   }
 }

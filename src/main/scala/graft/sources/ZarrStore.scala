@@ -800,6 +800,13 @@ object ZarrStore {
       }
     val df = spark.read.format(classOf[ZarrDataSource].getName)
       .option("path", path).load()
-    CubeFrame(df, grid, variableNames(path))
+    // the 1-D time coordinate comes from the store, not a fact-table
+    // scan — at 100 TB a distinct() over the cube schedules a task per
+    // chunk to recover a few KB the store header already holds
+    val timeAxis =
+      try Some(read1dLongs(path, "time").sorted
+        .map(graft.cube.Cube.timestampOfMicros).toSeq)
+      catch { case scala.util.control.NonFatal(_) => None }
+    CubeFrame(df, grid, variableNames(path), timeAxis)
   }
 }

@@ -209,6 +209,32 @@ class ZarrSpec extends SparkSpec {
     }
   }
 
+  test("registration coord resolution reads zero chunk data (store axis)") {
+    val grid = CubeGrid(16, 8, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-axis").toString
+    ZarrStore.writeZarr(cube, s"$dir/c.zarr", chunkT = 1, chunkY = 8,
+      chunkX = 8)
+    val uri = s"file://$dir/c.zarr"
+    val opened = ZarrStore.openCube(spark, uri)
+    assert(opened.timeAxis.isDefined && opened.timeAxis.get.size == 3,
+      "store-backed cube must surface its time axis from metadata")
+    // registration-time coord resolution answers from the parsed axis:
+    // no further store fetch, no Spark job over the fact table
+    val caching = graft.sources.BlobStore.forStore(uri)
+      .asInstanceOf[graft.sources.CachingBlobStore]
+    val before = caching.fetches.get()
+    val ds = graft.server.RegisteredDataset("c", "C", opened, None)
+    assert(ds.timeCoords.size == 3)
+    assert(ds.latestTime == ds.timeCoords.last)
+    assert(caching.fetches.get() == before,
+      "coord resolution must read zero chunk data")
+    // and the metadata axis is exactly what a fact-table scan yields
+    val scanned = opened.df.select(col("time")).distinct().orderBy("time")
+      .collect().map(_.getTimestamp(0)).toSeq
+    assert(ds.timeCoords == scanned)
+  }
+
   test("blosclz + bitshuffle zarr store reads bit-identical to lz4 (S2)") {
     import graft.sources.Blosc
     val grid = CubeGrid(32, 16, 0.0, 40.0, 0.25, latAscending = true)
