@@ -250,7 +250,11 @@ object PipelineQueries {
     * count. The benchmark side is small by nature, so it BROADCASTS —
     * the corpus shingle table never shuffles, which is what makes this
     * viable against a 100 TB corpus. */
-  def decontaminate(s: SparkSession, d: String): DataFrame = {
+  /** the un-materialized plan + its cached shingle input — split out so
+    * ScaleSpec can assert the broadcast shape before localCheckpoint
+    * collapses the executed plan to a Scan of the result RDD */
+  private[graft] def decontaminateLazy(s: SparkSession,
+                                       d: String): (DataFrame, DataFrame) = {
     // both join sides derive from the shingle table; persist so the
     // interpreted hash pipeline runs once, not once per side (the
     // Dedup.jaccardPairs lesson)
@@ -263,6 +267,11 @@ object PipelineQueries {
       .filter(col("n_hits") >= ContamK)
       .select(col("id").as("doc_id"), col("n_hits"))
       .orderBy("doc_id")
+    (out, sh)
+  }
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val (out, sh) = decontaminateLazy(s, d)
     graft.pipeline.Caching.materializeAndRelease(out, sh)
   }
 

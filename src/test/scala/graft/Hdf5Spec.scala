@@ -141,6 +141,78 @@ Datasets:
     } finally srv.stop()
   }
 
+  test("layout-v4 chunk indexes read row-identical to the B-tree-v1 path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5v4").toString
+    // 5 times × 4 y-chunks × 2 x-chunks = 40 chunks: enough to push the
+    // fixed array into pages (page bits 2 → 10 pages), the extensible
+    // array past its index block into real EASB super blocks, and the
+    // v2 B-tree past one leaf (capacity 12) into a BTIN root
+    val grid = CubeGrid(16, 16, 0.0, 40.0, 0.25, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 5, Seq("v0", "v1"),
+      nanEvery = 7)
+    Hdf5.writeHdf5(cube, s"$dir/ref.nc", chunkY = 4, chunkX = 8)
+    def rows(p: String): Seq[String] =
+      NetcdfStore.openCube(spark, p).df
+        .select("time", "y_idx", "x_idx", "lat", "lon", "v0", "v1")
+        .collect().map(_.toString).sorted.toSeq
+    val expected = rows(s"$dir/ref.nc")
+    assert(expected.length == 16 * 16 * 5)
+    for (idx <- Seq("single", "implicit", "fixedarray", "fixedarray-paged",
+        "extarray", "btree2")) {
+      val p = s"$dir/$idx.nc"
+      Hdf5.writeHdf5(cube, p, chunkY = 4, chunkX = 8, indexType = idx)
+      val kind = Hdf5.open(p).datasets("v0").index.kind
+      val wantKind = Map("single" -> 1, "implicit" -> 2, "fixedarray" -> 3,
+        "fixedarray-paged" -> 3, "extarray" -> 4, "btree2" -> 5)(idx)
+      assert(kind == wantKind, s"$idx parsed as index kind $kind")
+      assert(rows(p) == expected, s"index type $idx")
+    }
+  }
+
+  test("dense (fractal-heap) group links enumerate and read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5dense").toString
+    val grid = CubeGrid(8, 4, 0.0, 40.0, 0.5, latAscending = true)
+    // 12 variables force many links through the heap + name B-tree
+    val vars = (0 until 12).map(i => f"var$i%02d")
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, vars, nanEvery = 6)
+    Hdf5.writeHdf5(cube, s"$dir/dense.nc", chunkY = 4, chunkX = 8,
+      denseGroup = true)
+    Hdf5.writeHdf5(cube, s"$dir/compact.nc", chunkY = 4, chunkX = 8)
+    val f = Hdf5.open(s"$dir/dense.nc")
+    assert(f.datasets.keySet == (vars ++ Seq("lat", "lon", "time")).toSet)
+    def rows(p: String): Seq[String] =
+      NetcdfStore.openCube(spark, p).df
+        .select(("time" +: "y_idx" +: "x_idx" +: vars).map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$dir/dense.nc") == rows(s"$dir/compact.nc"))
+    assert(rows(s"$dir/dense.nc").length == 8 * 4 * 2)
+  }
+
+  test("dense groups combine with a layout-v4 index (libver-latest shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5ll").toString
+    val grid = CubeGrid(8, 8, 0.0, 0.0, 1.0, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0"),
+      nanEvery = 4)
+    Hdf5.writeHdf5(cube, s"$dir/latest.nc", chunkY = 4, chunkX = 4,
+      indexType = "fixedarray", denseGroup = true)
+    Hdf5.writeHdf5(cube, s"$dir/classic.nc", chunkY = 4, chunkX = 4)
+    def rows(p: String): Seq[String] =
+      NetcdfStore.openCube(spark, p).df
+        .select("time", "y_idx", "x_idx", "v0")
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$dir/latest.nc") == rows(s"$dir/classic.nc"))
+  }
+
+  test("jenkins lookup3: published reference vectors") {
+    // from lookup3.c driver5/driver2 (public domain, Bob Jenkins)
+    assert(Hdf5.lookup3(Array.emptyByteArray, 0) == 0xdeadbeef)
+    assert(Hdf5.lookup3(Array.emptyByteArray, 0xdeadbeef) == 0xbd5b7dde)
+    assert(Hdf5.lookup3("Four score and seven years ago".getBytes, 0)
+      == 0x17770551)
+    assert(Hdf5.lookup3("Four score and seven years ago".getBytes, 1)
+      == 0xcd628161)
+  }
+
   test("non-hdf5 and classic files are not misdetected") {
     val dir = java.nio.file.Files.createTempDirectory("graft-h5").toString
     val grid = CubeGrid(4, 2, 0.0, 0.0, 1.0, latAscending = true)

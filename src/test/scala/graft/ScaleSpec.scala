@@ -109,11 +109,15 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("decontamination broadcasts the benchmark side (no corpus shuffle)") {
-    val q = graft.queries.PipelineQueries.decontaminate(
+    // the lazy plan: the shipped query materializes (localCheckpoint)
+    // and releases its cache, which collapses the executed plan to a
+    // Scan of the result RDD — the join shape lives in the inner plan
+    val (q, sh) = graft.queries.PipelineQueries.decontaminateLazy(
       spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), plan.take(800))
+    sh.unpersist()
   }
 
   test("KMV sketch aggregates map-side (ObjectHashAggregate, no " +
