@@ -14,6 +14,13 @@ import org.apache.spark.sql.types._
 final case class SessionState(n: Long, startMs: Long, endMs: Long, sum: Double)
 final case class UserSession(user_id: Long, n_events: Long,
                              start_ms: Long, end_ms: Long, sum_value: Double)
+/** rolling-aggregate state: open hour buckets + recently closed ones */
+final case class RollBuckets(pending: Map[Long, Long],
+                             closed: List[(Long, Long)])
+final case class RollingRate(event_type: String,
+                             hour_start: java.sql.Timestamp,
+                             n_hours: Long, total_events: Long,
+                             avg_per_hour: Double)
 
 object EventStreams {
 
@@ -112,6 +119,74 @@ object EventStreams {
             state.update(true)
             Iterator.single(key -> it.map(_._2).min)
           }
+      }
+  }
+
+  /** Streaming trailing-window rolling aggregate (the streaming twin
+    * of the cube_rolling_3d per-pixel trailing window): per event
+    * type, each closed hour emits the trailing `steps`-hour event rate
+    * — count-sum and mean over the hours PRESENT in the window
+    * (xarray min_periods semantics: emit once `minPeriods` observed
+    * hours are in frame).
+    *
+    * A chained aggregation can't follow flatMapGroupsWithState and
+    * can't precede it either, so one stateful operator does both
+    * jobs: open hour buckets accumulate counts in state; when the
+    * watermark passes an hour's end the bucket closes, joins the
+    * trailing frame, emits, and is pruned once no future frame can
+    * reach it. Buckets close in event-time order because the
+    * watermark is monotone — exactly the ordering the batch range
+    * window sees. Event-time timeouts flush hours that become
+    * closable on batches with no new rows for the key. */
+  def rollingHourlyRate(events: DataFrame, steps: Int = 3,
+                        minPeriods: Int = 1): org.apache.spark.sql.Dataset[RollingRate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val HourMs = 3600000L
+    val typed = events
+      .selectExpr("event_type", "CAST(ts AS TIMESTAMP) AS ts")
+      .withWatermark("ts", "1 hour")
+      .as[(String, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[RollBuckets, RollingRate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[RollBuckets]) =>
+          var st = state.getOption.getOrElse(RollBuckets(Map.empty, Nil))
+          it.foreach { case (_, ts) =>
+            val h = Math.floorDiv(ts.getTime, HourMs) * HourMs
+            st = st.copy(pending =
+              st.pending.updated(h, st.pending.getOrElse(h, 0L) + 1))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val closable = st.pending.keys.filter(_ + HourMs <= wm).toSeq.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[RollingRate]
+          closable.foreach { h =>
+            st = RollBuckets(st.pending - h, (h, st.pending(h)) :: st.closed)
+            // ascending-start frame fold = the batch range-window order,
+            // so the emitted double is bit-identical to the batch query
+            val frame = st.closed
+              .filter(b => b._1 > h - steps * HourMs && b._1 <= h)
+              .sortBy(_._1)
+            if (frame.length >= minPeriods) {
+              val total = frame.map(_._2).sum
+              out += RollingRate(key, new java.sql.Timestamp(h),
+                frame.length.toLong, total, total.toDouble / frame.length)
+            }
+          }
+          closable.lastOption.foreach { last =>
+            st = st.copy(closed =
+              st.closed.filter(_._1 > last - (steps - 1) * HourMs))
+          }
+          if (st.pending.isEmpty && st.closed.isEmpty) state.remove()
+          else {
+            state.update(st)
+            // wake when the earliest open hour becomes closable
+            st.pending.keys.minOption.foreach(h =>
+              state.setTimeoutTimestamp(h + HourMs))
+          }
+          out.iterator
       }
   }
 

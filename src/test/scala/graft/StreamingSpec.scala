@@ -71,6 +71,50 @@ class StreamingSpec extends SparkSpec {
     assert(emitted > 0 && emitted <= batchSessions * 2)
   }
 
+  test("streaming rolling trailing-window rate equals the batch range window") {
+    import org.apache.spark.sql.expressions.Window
+    val steps = 3
+    val dir = stageEventsDir()
+    val stream = EventStreams.rollingHourlyRate(
+      EventStreams.readEvents(spark, dir), steps = steps, minPeriods = 1)
+    val q = stream.toDF().writeStream.format("memory")
+      .queryName("rolling_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("rolling_out").collect().map { r =>
+      (r.getString(0), r.getTimestamp(1).getTime) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))
+    }.toMap
+    assert(streamed.nonEmpty)
+
+    // batch twin: hourly counts + a trailing range window per type
+    val hourly = Tables.events(spark, sf("sf0.001"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("window.start").as("hour_start"),
+        col("n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("hour_start").cast("long"))
+      .rangeBetween(-(steps - 1) * 3600L, 0)
+    val batch = hourly
+      .withColumn("n_hours", count(lit(1)).over(w))
+      .withColumn("total_events", sum(col("n")).over(w))
+      .withColumn("avg_per_hour", col("total_events") / col("n_hours"))
+      .collect().map { r =>
+        (r.getString(0), r.getTimestamp(1).getTime) ->
+          (r.getLong(3), r.getLong(4), r.getDouble(5))
+      }.toMap
+    // every emitted row (hours the watermark closed) must be EXACTLY
+    // the batch row — frame size, totals and the double rate
+    streamed.foreach { case (k, v) =>
+      assert(batch.contains(k), s"streamed hour $k missing from batch")
+      assert(batch(k) == v, s"mismatch at $k: batch=${batch(k)} stream=$v")
+    }
+    // and the stream closed nearly every hour (all but the tail the
+    // final watermark holds open)
+    assert(streamed.size >= batch.size - 5 * steps,
+      s"only ${streamed.size} of ${batch.size} hours emitted")
+  }
+
   test("streaming session windows produce 30-min-gap sessions") {
     val dir = stageEventsDir()
     val stream = EventStreams.sessionWindows(
