@@ -50,19 +50,23 @@ private[graft] object BlobStore {
   // inherit the dataset's store settings
   private val confOverrides = TrieMap.empty[String, Map[String, String]]
 
-  /** Register Hadoop conf overrides for every store whose root starts
-    * with `rootPrefix`. Stores already opened under the prefix are
-    * dropped so the next open sees the new settings. */
+  /** Register Hadoop conf overrides for every store whose root is
+    * under `rootPrefix` OR is an ancestor of it (the parent-directory
+    * store that serves the `.link` sibling probe must see the same
+    * endpoint as the dataset itself). Stores already opened under the
+    * prefix are dropped so the next open sees the new settings. */
   private[graft] def configure(rootPrefix: String,
                                opts: Map[String, String]): Unit =
     if (opts.nonEmpty) {
       confOverrides(rootPrefix) = opts
-      stores.keys.filter(_.startsWith(rootPrefix)).foreach(stores.remove)
+      stores.keys.filter(k =>
+        k.startsWith(rootPrefix) || rootPrefix.startsWith(k))
+        .foreach(stores.remove)
     }
 
   private[graft] def optionsFor(path: String): Map[String, String] =
     confOverrides.toSeq.sortBy(_._1.length).collect {
-      case (p, o) if path.startsWith(p) => o
+      case (p, o) if path.startsWith(p) || p.startsWith(path) => o
     }.foldLeft(Map.empty[String, String])(_ ++ _)
 
   def forStore(path: String): BlobStore = stores.getOrElseUpdate(path,
@@ -142,6 +146,12 @@ private[graft] final class HadoopBlobStore(root: String,
       // session conf is shared by every other reader in the JVM
       val c = new org.apache.hadoop.conf.Configuration(base)
       extraConf.foreach { case (k, v) => c.set(k, v) }
+      // Hadoop's global FileSystem cache keys on (scheme, authority,
+      // user) and IGNORES the Configuration handed to getFileSystem —
+      // without this, a bucket touched earlier through the base conf
+      // would serve a cached client and the overrides would be inert
+      val scheme = java.net.URI.create(root).getScheme
+      if (scheme != null) c.setBoolean(s"fs.$scheme.impl.disable.cache", true)
       c
     }
   }

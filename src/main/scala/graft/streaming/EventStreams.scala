@@ -179,12 +179,21 @@ object EventStreams {
             st = st.copy(closed =
               st.closed.filter(_._1 > last - (steps - 1) * HourMs))
           }
+          // closed history no future frame can reach is dead: any hour
+          // closing after this point closes at > wm, so its frame floor
+          // sits above wm - steps hours. Without this (and the timeout
+          // below when nothing is pending) a key that stops producing
+          // would hold its RollBuckets row for the query lifetime —
+          // unbounded state growth on high-cardinality keys.
+          st = st.copy(closed = st.closed.filter(_._1 > wm - steps * HourMs))
           if (st.pending.isEmpty && st.closed.isEmpty) state.remove()
           else {
             state.update(st)
-            // wake when the earliest open hour becomes closable
-            st.pending.keys.minOption.foreach(h =>
-              state.setTimeoutTimestamp(h + HourMs))
+            // wake when the earliest open hour becomes closable, or —
+            // with nothing pending — when the closed history ages out
+            val wake = st.pending.keys.minOption.map(_ + HourMs)
+              .getOrElse(st.closed.map(_._1).max + steps * HourMs)
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
           }
           out.iterator
       }

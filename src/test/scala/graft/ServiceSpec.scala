@@ -691,9 +691,16 @@ Datasets:
     val conf = hconf("file:///graft-obs-test/cube.zarr")
     assert(conf.get("fs.s3a.endpoint") == "http://obs.example.org:9000")
     assert(conf.get("fs.s3a.endpoint.region") == "eu-central-9")
+    // the overridden store must bypass Hadoop's global FileSystem
+    // cache, which ignores the conf passed to getFileSystem
+    assert(conf.get("fs.file.impl.disable.cache") == "true")
     // sibling objects (levels pyramid, .link) inherit the dataset conf
     val sib = hconf("file:///graft-obs-test/cube.zarr.levels")
     assert(sib.get("fs.s3a.endpoint") == "http://obs.example.org:9000")
+    // ...and so does the PARENT store that serves the .link probe
+    // (readFile splits path -> parent store + file name)
+    val parent = hconf("file:///graft-obs-test")
+    assert(parent.get("fs.s3a.endpoint") == "http://obs.example.org:9000")
     // the shared session Hadoop conf must NOT be polluted per-store
     assert(spark.sparkContext.hadoopConfiguration.get("fs.s3a.endpoint")
       != "http://obs.example.org:9000")
