@@ -17,14 +17,24 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Caching {
 
+  /** When true, [[materializeAndRelease]] returns the lazy plan
+    * unchanged (and releases nothing) — plan-inspection mode for
+    * `graft.Plans` and plan-shape tests, because localCheckpoint
+    * otherwise collapses every documented operator plan to a
+    * `Scan ExistingRDD` of the result. Only for short-lived
+    * documentation/test processes: caches are never released. */
+  @volatile private[graft] var inspectLazyPlans = false
+
   /** Materialize `result` eagerly — `localCheckpoint` runs the plan
     * once and truncates lineage to a LogicalRDD, whose blocks the
     * ContextCleaner reaps once the plan is unreferenced (unlike
     * cacheManager entries, which live until explicit unpersist) — then
     * release the cached intermediates it consumed. */
-  def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
-    cached.foreach(_.unpersist())
-    out
-  }
+  def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame =
+    if (inspectLazyPlans) result
+    else {
+      val out = result.localCheckpoint(true)
+      cached.foreach(_.unpersist())
+      out
+    }
 }
