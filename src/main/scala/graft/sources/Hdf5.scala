@@ -71,11 +71,14 @@ object Hdf5 {
     * config (fixed array: page bits; single-with-filter: size, mask). */
   final case class ChunkIndex(kind: Int, addr: Long,
                               p1: Long = 0L, p2: Long = 0L)
-  /** one dataset; layoutClass 1 = contiguous, 2 = chunked */
+  /** one dataset; layoutClass 1 = contiguous, 2 = chunked. `attrs`
+    * holds the numeric attributes (CF packing: scale_factor,
+    * add_offset, _FillValue, missing_value, valid_range...) */
   final case class Dataset(name: String, shape: Seq[Int], dtype: Dtype,
                            layoutClass: Int, dataAddr: Long, chunkDims: Seq[Int],
                            btreeAddr: Long, filters: Seq[Filter], fill: Double,
-                           index: ChunkIndex = ChunkIndex(0, Undef))
+                           index: ChunkIndex = ChunkIndex(0, Undef),
+                           attrs: Map[String, Seq[Double]] = Map.empty)
   final case class Hdf5File(datasets: Map[String, Dataset])
 
   private val fileCache = TrieMap.empty[String, Hdf5File]
@@ -460,6 +463,7 @@ object Hdf5 {
     var btreeAddr = Undef
     var index = ChunkIndex(0, Undef)
     var filters: Seq[Filter] = Nil
+    var attrs = Map.empty[String, Seq[Double]]
     msgs.foreach {
       case (0x01, b) => // dataspace
         b.position(0)
@@ -570,6 +574,9 @@ object Hdf5 {
           case v => throw new IllegalArgumentException(
             s"data layout message version $v unsupported")
         }
+      case (0x0C, b) => // attribute (numeric ones feed CF mask-and-scale)
+        b.position(0)
+        parseAttr(b).foreach { case (k, v) => attrs += k -> v }
       case (0x0B, b) => // filter pipeline
         b.position(0)
         val ver = b.get() & 0xFF
@@ -596,8 +603,49 @@ object Hdf5 {
       if (fillRaw == null || fillRaw.length != dtype.size) Double.NaN
       else toDoubles(dtype, fillRaw, 1)(0)
     Some(Dataset(name, shape, dtype, layoutClass, dataAddr, chunkDims,
-      btreeAddr, filters, fill, index))
+      btreeAddr, filters, fill, index, attrs))
   }
+
+  /** one Attribute message (versions 1-3): name + values for numeric
+    * scalar/small-array attributes; None for strings, references,
+    * shared datatypes and anything else CF packing never uses */
+  private def parseAttr(b: ByteBuffer): Option[(String, Seq[Double])] = try {
+    val ver = b.get() & 0xFF
+    if (ver < 1 || ver > 3) return None
+    val flags = if (ver == 1) { b.get(); 0 } else b.get() & 0xFF
+    val nameSize = b.getShort() & 0xFFFF
+    val dtSize = b.getShort() & 0xFFFF
+    val dsSize = b.getShort() & 0xFFFF
+    if (ver == 3) b.get() // name character-set
+    def pad(n: Int): Int = if (ver == 1) (n + 7) / 8 * 8 else n
+    val nb = new Array[Byte](nameSize); b.get(nb)
+    b.position(b.position() + (pad(nameSize) - nameSize))
+    val name = new String(nb.takeWhile(_ != 0),
+      java.nio.charset.StandardCharsets.UTF_8)
+    if ((flags & 0x03) != 0) return None // shared datatype/dataspace
+    val dtStart = b.position()
+    val cv = b.get() & 0xFF
+    val clazz = cv & 0x0F
+    val bits0 = b.get() & 0xFF
+    b.get(); b.get()
+    val size = b.getInt()
+    if (clazz != 0 && clazz != 1) return None // numeric only
+    val dt = Dtype(clazz, size, littleEndian = (bits0 & 1) == 0,
+      signed = clazz == 0 && (bits0 & 8) != 0)
+    b.position(dtStart + pad(dtSize))
+    val dsStart = b.position()
+    val dsVer = b.get() & 0xFF
+    val rank = b.get() & 0xFF
+    val dsFlags = b.get() & 0xFF
+    if (dsVer == 1) b.position(b.position() + 5) else b.get()
+    val dims = (0 until rank).map(_ => b.getLong())
+    if ((dsFlags & 1) != 0) (0 until rank).foreach(_ => b.getLong())
+    b.position(dsStart + pad(dsSize))
+    val n = if (rank == 0) 1 else dims.product.toInt
+    if (n <= 0 || n > 16 || b.remaining() < n * size) return None
+    val raw = new Array[Byte](n * size); b.get(raw)
+    Some(name -> toDoubles(dt, raw, n).toSeq)
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   // ------------------------------------------------------------ read
 
@@ -1197,7 +1245,8 @@ object Hdf5 {
   def writeHdf5(cube: graft.cube.CubeFrame, path: String, chunkY: Int,
                 chunkX: Int, deflateLevel: Int = 6,
                 indexType: String = "btree1",
-                denseGroup: Boolean = false): Unit = {
+                denseGroup: Boolean = false,
+                cfAttrs: Option[(Double, Double)] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val g = cube.grid
     val times = cube.df.select(col("time")).distinct().orderBy(col("time"))
@@ -1391,12 +1440,35 @@ object Hdf5 {
           s"unknown chunk index type $t")
       }
       def pad8(n: Int): Int = (n + 7) / 8 * 8
-      val nmsgs = if (filtered) 5 else 4
-      val total = 40 + 32 + 24 + (if (filtered) 48 else 0) + 8 + pad8(layoutBody)
+      // CF packing attributes (scale_factor/add_offset as f8 scalars,
+      // attribute message v1): 8 msg hdr + 64 body each
+      def attrMsg(aname: String, value: Double): Unit = {
+        val nb = aname.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val nsize = nb.length + 1 // incl. NUL
+        msg(0x0C, 8 + pad8(nsize) + 24 + 8 + 8) {
+          w.u8(1); w.u8(0) // attribute v1, reserved
+          w.u16(nsize); w.u16(20); w.u16(8) // name/datatype/dataspace sizes
+          w.bytes(nb); w.zeros(pad8(nsize) - nb.length)
+          w.u8(0x11); w.u8(0x20); w.u8(0x3F); w.u8(0) // f8 datatype (20B)
+          w.u32(8); w.u16(0); w.u16(64)
+          w.u8(52); w.u8(11); w.u8(0); w.u8(52); w.u32(1023)
+          w.zeros(4) // datatype padded to 8
+          w.u8(1); w.u8(0); w.u8(0); w.zeros(5) // scalar dataspace v1
+          w.f64(value)
+        }
+      }
+      val attrBytes = if (cfAttrs.isDefined) 2 * 72 else 0
+      val nmsgs = (if (filtered) 5 else 4) + (if (cfAttrs.isDefined) 2 else 0)
+      val total = 40 + 32 + 24 + (if (filtered) 48 else 0) + 8 +
+        pad8(layoutBody) + attrBytes
       w.u8(1); w.u8(0); w.u16(nmsgs); w.u32(1); w.u32(total.toLong); w.zeros(4)
       spaceMsg(Seq(nt, nh, nw))
       dtypeF64Msg()
       fillMsg()
+      cfAttrs.foreach { case (scale, offv) =>
+        attrMsg("scale_factor", scale)
+        attrMsg("add_offset", offv)
+      }
       if (filtered) msg(0x0B, 40) {
         w.u8(1); w.u8(2); w.zeros(6) // pipeline v1, two filters
         w.u16(2); w.u16(0); w.u16(0); w.u16(1); w.u32(8); w.u32(0) // shuffle

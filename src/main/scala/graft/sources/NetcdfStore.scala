@@ -28,7 +28,8 @@ object NetcdfStore {
 
   final case class NcDim(name: String, length: Int)
   final case class NcVar(name: String, dimIds: Seq[Int], ncType: Int,
-                         begin: Long) {
+                         begin: Long,
+                         attrs: Map[String, Seq[Double]] = Map.empty) {
     def elemBytes: Int = ncType match {
       case 1 => 1; case 3 => 2; case 4 => 4; case 5 => 4; case 6 => 8
       case other =>
@@ -103,23 +104,37 @@ object NetcdfStore {
       buf.position(buf.position() + ((4 - n % 4) % 4)) // names pad to 4
       new String(b, java.nio.charset.StandardCharsets.UTF_8)
     }
-    def skipAttrs(): Unit = {
+    /** attribute list → numeric attrs (CF packing reads these);
+      * char/text attributes are skipped */
+    def readAttrsMap(): Map[String, Seq[Double]] = {
       val tag = buf.getInt()
       val n = buf.getInt()
-      if (tag == 0) { require(n == 0); return } // ABSENT
+      if (tag == 0) { require(n == 0); return Map.empty } // ABSENT
       require(tag == 0x0C, s"bad attr tag $tag")
-      (0 until n).foreach { _ =>
-        name()
+      (0 until n).flatMap { _ =>
+        val nm = name()
         val t = buf.getInt()
         val cnt = buf.getInt()
+        val out = t match {
+          case 1 => Some(nm -> (0 until cnt).map(_ => buf.get().toDouble))
+          case 2 =>
+            buf.position(buf.position() + cnt); None // text
+          case 3 => Some(nm -> (0 until cnt).map(_ => buf.getShort().toDouble))
+          case 4 => Some(nm -> (0 until cnt).map(_ => buf.getInt().toDouble))
+          case 5 => Some(nm -> (0 until cnt).map(_ => buf.getFloat().toDouble))
+          case 6 => Some(nm -> (0 until cnt).map(_ => buf.getDouble()))
+          case other =>
+            throw new IllegalArgumentException(s"attr type $other")
+        }
         val size = t match {
           case 1 | 2 => cnt; case 3 => cnt * 2; case 4 | 5 => cnt * 4
           case 6 => cnt * 8
-          case other => throw new IllegalArgumentException(s"attr type $other")
         }
-        buf.position(buf.position() + size + ((4 - size % 4) % 4))
-      }
+        buf.position(buf.position() + ((4 - size % 4) % 4)) // pad to 4
+        out.map { case (k, v) => k -> v.toSeq }
+      }.toMap
     }
+    def skipAttrs(): Unit = { readAttrsMap(); () }
     // dim_list
     val dimTag = buf.getInt(); val nDims = buf.getInt()
     val dims =
@@ -141,11 +156,11 @@ object NetcdfStore {
           val vn = name()
           val nd = buf.getInt()
           val dimIds = (0 until nd).map(_ => buf.getInt())
-          skipAttrs()
+          val attrs = readAttrsMap()
           val t = buf.getInt()
           buf.getInt() // vsize (recomputable)
           val begin = if (version == 1) buf.getInt().toLong else buf.getLong()
-          NcVar(vn, dimIds, t, begin)
+          NcVar(vn, dimIds, t, begin, attrs)
         }
       }
     NcHeader(dims, vars)
@@ -192,8 +207,12 @@ object NetcdfStore {
 
   /** Export a cube as NetCDF-3 classic (version 2, 64-bit offsets) —
     * driver-side fixture/ingest path, same caveat as
-    * [[ZarrStore.writeZarr]]. */
-  def writeNetcdf(cube: CubeFrame, path: String): Unit = {
+    * [[ZarrStore.writeZarr]]. With `packed = Some((scale, offset))`
+    * data variables store as NC_SHORT with CF packing attributes
+    * (scale_factor / add_offset / _FillValue = -32768), the layout
+    * real-world classic cubes overwhelmingly use. */
+  def writeNetcdf(cube: CubeFrame, path: String,
+                  packed: Option[(Double, Double)] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val g = cube.grid
     val times = cube.df.select(col("time")).distinct().orderBy(col("time"))
@@ -212,18 +231,28 @@ object NetcdfStore {
     val dims = Seq("time" -> nt, "lat" -> nh, "lon" -> nw)
     val coordVars = Seq(("time", 0, nt), ("lat", 1, nh), ("lon", 2, nw))
     val dataVars = cube.variables
+    // CF packing attribute block: tag+count (8) + scale_factor (32) +
+    // add_offset (32) + _FillValue (28) — names padded to 4, values
+    // padded to 4, all fixed-width
+    val packAttrBytes = if (packed.isDefined) 92 else 0
     // header size: magic(4) numrecs(4) + dim_list + gatts(8) + var_list
     var size = 4 + 4 + 8 + dims.map(d => padded(d._1) + 4).sum + 8 + 8
     def varHeaderSize(name: String, ndims: Int): Int =
       padded(name) + 4 + 4 * ndims + 8 /*atts*/ + 4 /*type*/ + 4 /*vsize*/ +
         8 /*begin, v2*/
     size += coordVars.map(v => varHeaderSize(v._1, 1)).sum
-    size += dataVars.map(v => varHeaderSize(v, 3)).sum
+    size += dataVars.map(v => varHeaderSize(v, 3) + packAttrBytes).sum
 
+    // data sections pad to 4-byte boundaries (the classic format's
+    // begin-offset alignment rule; matters for NC_SHORT payloads)
+    val dataBytes: Long = packed match {
+      case Some(_) => (nt.toLong * nh * nw * 2 + 3) / 4 * 4
+      case None => nt.toLong * nh * nw * 8
+    }
     val begins = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var off = size.toLong
     coordVars.foreach { case (n, _, len) => begins(n) = off; off += len * 8L }
-    dataVars.foreach { n => begins(n) = off; off += nt.toLong * nh * nw * 8L }
+    dataVars.foreach { n => begins(n) = off; off += dataBytes }
 
     require(off <= Int.MaxValue,
       s"writeNetcdf builds the file in one in-memory buffer; total size " +
@@ -242,20 +271,31 @@ object NetcdfStore {
     dims.foreach { case (n, len) => putName(n); out.putInt(len) }
     out.putInt(0).putInt(0) // no global attrs
     out.putInt(0x0B).putInt(coordVars.length + dataVars.length)
+    val FillShort: Short = -32768
     def putVar(name: String, dimIds: Seq[Int], nElems: Long,
-               begin: Long): Unit = {
+               begin: Long, short: Boolean): Unit = {
       putName(name)
       out.putInt(dimIds.length)
       dimIds.foreach(out.putInt)
-      out.putInt(0).putInt(0) // no attrs
-      out.putInt(6) // NC_DOUBLE
-      out.putInt((nElems * 8L).min(Int.MaxValue).toInt) // vsize (spec'd)
+      if (!short) out.putInt(0).putInt(0) // no attrs
+      else {
+        val (scale, offv) = packed.get
+        out.putInt(0x0C).putInt(3)
+        putName("scale_factor"); out.putInt(6).putInt(1); out.putDouble(scale)
+        putName("add_offset"); out.putInt(6).putInt(1); out.putDouble(offv)
+        putName("_FillValue"); out.putInt(3).putInt(1)
+        out.putShort(FillShort); out.putShort(0) // value + pad to 4
+      }
+      out.putInt(if (short) 3 else 6) // NC_SHORT | NC_DOUBLE
+      val vsize = if (short) (nElems * 2 + 3) / 4 * 4 else nElems * 8L
+      out.putInt(vsize.min(Int.MaxValue).toInt) // vsize (spec'd)
       out.putLong(begin)
     }
     coordVars.foreach { case (n, dimId, len) =>
-      putVar(n, Seq(dimId), len, begins(n)) }
+      putVar(n, Seq(dimId), len, begins(n), short = false) }
     dataVars.foreach(n =>
-      putVar(n, Seq(0, 1, 2), nt.toLong * nh * nw, begins(n)))
+      putVar(n, Seq(0, 1, 2), nt.toLong * nh * nw, begins(n),
+        short = packed.isDefined))
 
     // data: coordinates
     times.foreach(t =>
@@ -271,7 +311,19 @@ object NetcdfStore {
         arr((t * nh + r.getInt(1)) * nw + r.getInt(2)) =
           if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
       }
-      arr.foreach(out.putDouble)
+      packed match {
+        case Some((scale, offv)) =>
+          arr.foreach { x =>
+            val q =
+              if (x.isNaN) FillShort
+              else math.max(-32767L, math.min(32767L,
+                math.round((x - offv) / scale))).toShort
+            out.putShort(q)
+          }
+          (0 until (dataBytes - arr.length * 2L).toInt).foreach(_ =>
+            out.put(0.toByte))
+        case None => arr.foreach(out.putDouble)
+      }
     }
     Files.write(Paths.get(path), out.array())
   }

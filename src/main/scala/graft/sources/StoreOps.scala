@@ -69,11 +69,15 @@ private[sources] final case class Hdf5Ops(path: String) extends StoreOps {
   }
 
   def readChunk(name: String, meta: ZarrStore.ArrayMeta,
-                idx: Seq[Int]): Array[Double] =
-    Hdf5.readChunk(path, f.datasets(name), idx)
+                idx: Seq[Int]): Array[Double] = {
+    val d = f.datasets(name)
+    CfScale(d.attrs, Hdf5.readChunk(path, d, idx))
+  }
 
-  def read1d(name: String): Array[Double] =
-    Hdf5.read1d(path, f.datasets(name))
+  def read1d(name: String): Array[Double] = {
+    val d = f.datasets(name)
+    CfScale(d.attrs, Hdf5.read1d(path, d))
+  }
 
   def read1dLongs(name: String): Array[Long] =
     read1d(name).map(_.toLong) // time = epoch-us doubles (exact < 2^53)
@@ -96,11 +100,13 @@ private[sources] final case class NetcdfOps(path: String) extends StoreOps {
                 idx: Seq[Int]): Array[Double] = {
     val v = header.variable(name)
     val slab = meta.chunks.product
-    NetcdfStore.readSlab(path, v, idx.head.toLong * slab, slab)
+    CfScale(v.attrs,
+      NetcdfStore.readSlab(path, v, idx.head.toLong * slab, slab))
   }
 
   def read1d(name: String): Array[Double] =
-    NetcdfStore.read1d(path, header, name)
+    CfScale(header.variable(name).attrs,
+      NetcdfStore.read1d(path, header, name))
 
   def read1dLongs(name: String): Array[Long] =
     NetcdfStore.read1d(path, header, name).map(_.toLong)

@@ -38,7 +38,8 @@ object ZarrStore {
                              fillValue: Double,
                              keyPrefix: String = "", keySep: String = ".",
                              shardShape: Seq[Int] = Nil,
-                             shardIndexCrc: Boolean = false) {
+                             shardIndexCrc: Boolean = false,
+                             attrs: Map[String, Seq[Double]] = Map.empty) {
     def numChunks: Seq[Int] =
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def elemBytes: Int = dtype.drop(2).toInt
@@ -93,14 +94,39 @@ object ZarrStore {
   }
 
   def readArrayMeta(store: String, name: String): ArrayMeta = {
-    consolidated(store).flatMap(m => Option(m.get(s"$name/.zarray")))
-      .map(parseArrayMeta).getOrElse {
+    // numeric per-array attributes (.zattrs / v3 "attributes") feed the
+    // CF mask-and-scale step exactly as xr.open_zarr applies it
+    def numericAttrs(node: Option[JsonNode]): Map[String, Seq[Double]] =
+      node.map { n =>
+        import scala.jdk.CollectionConverters._
+        n.properties().asScala.collect {
+          case e if e.getValue.isNumber =>
+            e.getKey -> Seq(e.getValue.asDouble())
+          case e if e.getValue.isArray &&
+              (0 until e.getValue.size()).forall(e.getValue.get(_).isNumber) =>
+            e.getKey ->
+              (0 until e.getValue.size()).map(e.getValue.get(_).asDouble())
+        }.toMap
+      }.getOrElse(Map.empty)
+    consolidated(store) match {
+      case Some(m) if m.get(s"$name/.zarray") != null =>
+        parseArrayMeta(m.get(s"$name/.zarray"))
+          .copy(attrs = numericAttrs(Option(m.get(s"$name/.zattrs"))))
+      case _ =>
         metaFileReads.incrementAndGet()
-        readJson(store, s"$name/.zarray").map(parseArrayMeta)
-          .orElse(readJson(store, s"$name/zarr.json").map(parseArrayMetaV3))
-          .getOrElse(throw new java.nio.file.NoSuchFileException(
-            s"$store/$name/{.zarray,zarr.json}"))
-      }
+        readJson(store, s"$name/.zarray") match {
+          case Some(za) =>
+            val zattrs = readJson(store, s"$name/.zattrs")
+            if (zattrs.isDefined) metaFileReads.incrementAndGet()
+            parseArrayMeta(za).copy(attrs = numericAttrs(zattrs))
+          case None =>
+            val zj = readJson(store, s"$name/zarr.json")
+              .getOrElse(throw new java.nio.file.NoSuchFileException(
+                s"$store/$name/{.zarray,zarr.json}"))
+            parseArrayMetaV3(zj)
+              .copy(attrs = numericAttrs(Option(zj.get("attributes"))))
+        }
+    }
   }
 
   /** Store-root attributes: v2 `.zattrs` (through the consolidated
@@ -267,13 +293,17 @@ object ZarrStore {
     * missing chunk objects as all-fill). */
   def readChunk(store: String, name: String, meta: ArrayMeta,
                 chunkIdx: Seq[Int]): Array[Double] = {
-    if (meta.sharded) return readShardedChunk(store, name, meta, chunkIdx)
+    // CF mask-and-scale applies LAST, over raw-space values — missing
+    // chunks fill with the RAW fill value first, exactly like zarr
+    if (meta.sharded)
+      return CfScale(meta.attrs, readShardedChunk(store, name, meta, chunkIdx))
     val n = meta.chunks.product
     val raw0 = blob(store).read(s"$name/${meta.chunkKey(chunkIdx)}") match {
-      case None => return Array.fill(n)(meta.fillValue)
+      case None => return CfScale(meta.attrs, Array.fill(n)(meta.fillValue))
       case Some(b) => b
     }
-    decodeValues(meta, decompress(meta, raw0, n * meta.elemBytes), n)
+    CfScale(meta.attrs,
+      decodeValues(meta, decompress(meta, raw0, n * meta.elemBytes), n))
   }
 
   /** Sharded (zarr v3 sharding_indexed) read of ONE inner chunk: two

@@ -203,6 +203,68 @@ Datasets:
     assert(rows(s"$dir/latest.nc") == rows(s"$dir/classic.nc"))
   }
 
+  test("CF mask-and-scale: attributes parse and apply on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5cf").toString
+    val grid = CubeGrid(8, 4, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0"),
+      nanEvery = 5)
+    Hdf5.writeHdf5(cube, s"$dir/plain.nc", chunkY = 4, chunkX = 8)
+    Hdf5.writeHdf5(cube, s"$dir/cf.nc", chunkY = 4, chunkX = 8,
+      cfAttrs = Some((2.0, 1.0)))
+    val ds = Hdf5.open(s"$dir/cf.nc").datasets("v0")
+    assert(ds.attrs.get("scale_factor").contains(Seq(2.0)))
+    assert(ds.attrs.get("add_offset").contains(Seq(1.0)))
+    def vals(p: String): Map[(Long, Int, Int), Double] =
+      NetcdfStore.openCube(spark, p).df
+        .select("time", "y_idx", "x_idx", "v0").collect().map(r =>
+          (r.getTimestamp(0).getTime, r.getInt(1), r.getInt(2)) ->
+            r.getDouble(3)).toMap
+    val plain = vals(s"$dir/plain.nc")
+    val cf = vals(s"$dir/cf.nc")
+    assert(cf.size == plain.size && cf.nonEmpty)
+    cf.foreach { case (k, v) =>
+      val expected = plain(k) * 2.0 + 1.0 // same IEEE ops as the reader
+      assert(java.lang.Double.compare(v, expected) == 0, s"cell $k")
+    }
+    // NaN holes stay NaN through the scale
+    assert(cf.values.count(_.isNaN) == plain.values.count(_.isNaN))
+    assert(cf.values.exists(_.isNaN))
+  }
+
+  test("NetCDF-3 packed int16 (CF attrs) reads mask-and-scaled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc3cf").toString
+    val grid = CubeGrid(8, 4, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0"),
+      nanEvery = 5)
+    val (scale, offv) = (0.01, 10.0)
+    NetcdfStore.writeNetcdf(cube, s"$dir/packed.nc", Some((scale, offv)))
+    val hdr = NetcdfStore.readHeader(s"$dir/packed.nc")
+    val v0 = hdr.variable("v0")
+    assert(v0.ncType == 3) // NC_SHORT on disk
+    assert(v0.attrs.get("scale_factor").contains(Seq(scale)))
+    assert(v0.attrs.get("_FillValue").contains(Seq(-32768.0)))
+    val back = NetcdfStore.openCube(spark, s"$dir/packed.nc").df
+      .select("time", "y_idx", "x_idx", "v0").collect().map(r =>
+        (r.getTimestamp(0).getTime, r.getInt(1), r.getInt(2)) ->
+          (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    val orig = cube.df.select("time", "y_idx", "x_idx", "v0").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getInt(2)) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(back.size == orig.size)
+    back.foreach { case (k, v) =>
+      val o = orig(k)
+      if (o.isNaN) assert(v.isNaN, s"NaN hole lost at $k")
+      else {
+        // exact quantize-dequantize round trip, same ops as the writer
+        val q = math.max(-32767L, math.min(32767L,
+          math.round((o - offv) / scale)))
+        val expected = q.toDouble * scale + offv
+        assert(java.lang.Double.compare(v, expected) == 0,
+          s"cell $k: got $v want $expected (orig $o)")
+      }
+    }
+  }
+
   test("jenkins lookup3: published reference vectors") {
     // from lookup3.c driver5/driver2 (public domain, Bob Jenkins)
     assert(Hdf5.lookup3(Array.emptyByteArray, 0) == 0xdeadbeef)

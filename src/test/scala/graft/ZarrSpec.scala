@@ -209,6 +209,41 @@ class ZarrSpec extends SparkSpec {
     }
   }
 
+  test("zarr CF mask-and-scale: .zattrs scale/offset/fill apply on read") {
+    val grid = CubeGrid(16, 8, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0"),
+      nanEvery = 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-zcf").toString
+    ZarrStore.writeZarr(cube, s"$dir/c.zarr", chunkT = 1, chunkY = 8,
+      chunkX = 8)
+    val plain = ZarrStore.openCube(spark, s"$dir/c.zarr").df
+      .select("time", "y_idx", "x_idx", "v0").collect().map(r =>
+        (r.getTimestamp(0).getTime, r.getInt(1), r.getInt(2)) ->
+          (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    // the same store with CF packing attributes on v0 (what xr.open_zarr
+    // would mask-and-scale); .zmetadata removed so .zattrs is live
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/c.zarr/v0/.zattrs"),
+      """{"scale_factor": 0.5, "add_offset": 3.0, "units": "K"}""")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/c.zarr/.zmetadata"))
+    ZarrStore.invalidateMeta(s"$dir/c.zarr")
+    val meta = ZarrStore.readArrayMeta(s"$dir/c.zarr", "v0")
+    assert(meta.attrs.get("scale_factor").contains(Seq(0.5)))
+    assert(!meta.attrs.contains("units")) // text attrs are not numeric
+    val cf = ZarrStore.openCube(spark, s"$dir/c.zarr").df
+      .select("time", "y_idx", "x_idx", "v0").collect().map(r =>
+        (r.getTimestamp(0).getTime, r.getInt(1), r.getInt(2)) ->
+          (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(cf.size == plain.size && cf.nonEmpty)
+    cf.foreach { case (k, v) =>
+      val o = plain(k)
+      if (o.isNaN) assert(v.isNaN, s"NaN hole lost at $k")
+      else assert(java.lang.Double.compare(v, o * 0.5 + 3.0) == 0, s"cell $k")
+    }
+    ZarrStore.invalidateMeta(s"$dir/c.zarr")
+  }
+
   test("registration coord resolution reads zero chunk data (store axis)") {
     val grid = CubeGrid(16, 8, 0.0, 40.0, 0.5, latAscending = true)
     val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0"))
