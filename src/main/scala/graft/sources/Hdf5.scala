@@ -78,7 +78,8 @@ object Hdf5 {
                            layoutClass: Int, dataAddr: Long, chunkDims: Seq[Int],
                            btreeAddr: Long, filters: Seq[Filter], fill: Double,
                            index: ChunkIndex = ChunkIndex(0, Undef),
-                           attrs: Map[String, Seq[Double]] = Map.empty)
+                           attrs: Map[String, Seq[Double]] = Map.empty,
+                           textAttrs: Map[String, String] = Map.empty)
   final case class Hdf5File(datasets: Map[String, Dataset])
 
   private val fileCache = TrieMap.empty[String, Hdf5File]
@@ -464,6 +465,7 @@ object Hdf5 {
     var index = ChunkIndex(0, Undef)
     var filters: Seq[Filter] = Nil
     var attrs = Map.empty[String, Seq[Double]]
+    var textAttrs = Map.empty[String, String]
     msgs.foreach {
       case (0x01, b) => // dataspace
         b.position(0)
@@ -574,9 +576,12 @@ object Hdf5 {
           case v => throw new IllegalArgumentException(
             s"data layout message version $v unsupported")
         }
-      case (0x0C, b) => // attribute (numeric ones feed CF mask-and-scale)
+      case (0x0C, b) => // attribute (CF mask-and-scale + time units)
         b.position(0)
-        parseAttr(b).foreach { case (k, v) => attrs += k -> v }
+        parseAttr(b).foreach {
+          case (k, Right(v)) => attrs += k -> v
+          case (k, Left(s)) => textAttrs += k -> s
+        }
       case (0x0B, b) => // filter pipeline
         b.position(0)
         val ver = b.get() & 0xFF
@@ -603,13 +608,15 @@ object Hdf5 {
       if (fillRaw == null || fillRaw.length != dtype.size) Double.NaN
       else toDoubles(dtype, fillRaw, 1)(0)
     Some(Dataset(name, shape, dtype, layoutClass, dataAddr, chunkDims,
-      btreeAddr, filters, fill, index, attrs))
+      btreeAddr, filters, fill, index, attrs, textAttrs))
   }
 
-  /** one Attribute message (versions 1-3): name + values for numeric
-    * scalar/small-array attributes; None for strings, references,
-    * shared datatypes and anything else CF packing never uses */
-  private def parseAttr(b: ByteBuffer): Option[(String, Seq[Double])] = try {
+  /** one Attribute message (versions 1-3): Right(values) for numeric
+    * scalar/small-array attributes, Left(text) for fixed-length
+    * strings (the `units`/`calendar` carriers); None for references,
+    * vlen strings, shared datatypes and anything else CF never uses */
+  private def parseAttr(
+      b: ByteBuffer): Option[(String, Either[String, Seq[Double]])] = try {
     val ver = b.get() & 0xFF
     if (ver < 1 || ver > 3) return None
     val flags = if (ver == 1) { b.get(); 0 } else b.get() & 0xFF
@@ -629,7 +636,7 @@ object Hdf5 {
     val bits0 = b.get() & 0xFF
     b.get(); b.get()
     val size = b.getInt()
-    if (clazz != 0 && clazz != 1) return None // numeric only
+    if (clazz != 0 && clazz != 1 && clazz != 3) return None
     val dt = Dtype(clazz, size, littleEndian = (bits0 & 1) == 0,
       signed = clazz == 0 && (bits0 & 8) != 0)
     b.position(dtStart + pad(dtSize))
@@ -642,9 +649,16 @@ object Hdf5 {
     if ((dsFlags & 1) != 0) (0 until rank).foreach(_ => b.getLong())
     b.position(dsStart + pad(dsSize))
     val n = if (rank == 0) 1 else dims.product.toInt
+    if (clazz == 3) { // fixed-length string (class 3): one value
+      if (n != 1 || size <= 0 || size > 4096 || b.remaining() < size)
+        return None
+      val raw = new Array[Byte](size); b.get(raw)
+      return Some(name -> Left(new String(raw.takeWhile(_ != 0),
+        java.nio.charset.StandardCharsets.UTF_8)))
+    }
     if (n <= 0 || n > 16 || b.remaining() < n * size) return None
     val raw = new Array[Byte](n * size); b.get(raw)
-    Some(name -> toDoubles(dt, raw, n).toSeq)
+    Some(name -> Right(toDoubles(dt, raw, n).toSeq))
   } catch { case scala.util.control.NonFatal(_) => None }
 
   // ------------------------------------------------------------ read
@@ -1246,7 +1260,8 @@ object Hdf5 {
                 chunkX: Int, deflateLevel: Int = 6,
                 indexType: String = "btree1",
                 denseGroup: Boolean = false,
-                cfAttrs: Option[(Double, Double)] = None): Unit = {
+                cfAttrs: Option[(Double, Double)] = None,
+                timeUnits: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val g = cube.grid
     val times = cube.df.select(col("time")).distinct().orderBy(col("time"))
@@ -1392,19 +1407,44 @@ object Hdf5 {
       w.u8(2); w.u8(2); w.u8(0); w.u8(1) // v2, alloc late, write alloc, defined
       w.u32(8); w.f64(Double.NaN)
     }
+    def pad8g(n: Int): Int = (n + 7) / 8 * 8
+    /** fixed-string scalar attribute (v1 message) — the CF `units`
+      * carrier; datatype class 3, null-terminated */
+    def attrMsgText(aname: String, value: String): Unit = {
+      val nb = aname.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val vb = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val nsize = nb.length + 1
+      val vsize = vb.length + 1
+      msg(0x0C, 8 + pad8g(nsize) + 8 + 8 + vsize) {
+        w.u8(1); w.u8(0) // attribute v1
+        w.u16(nsize); w.u16(8); w.u16(8)
+        w.bytes(nb); w.zeros(pad8g(nsize) - nb.length)
+        w.u8(0x13); w.u8(0); w.u8(0); w.u8(0) // fixed string, NUL-padded
+        w.u32(vsize.toLong)
+        w.u8(1); w.u8(0); w.u8(0); w.zeros(5) // scalar dataspace v1
+        w.bytes(vb); w.u8(0)
+      }
+    }
+    def textAttrBytes(aname: String, value: String): Int =
+      8 + pad8g(8 + pad8g(aname.length + 1) + 8 + 8 + value.length + 1)
     def spaceMsg(dims: Seq[Int]): Unit = msg(0x01, 8 + dims.length * 8) {
       w.u8(1); w.u8(dims.length); w.u8(0); w.zeros(5)
       dims.foreach(d => w.u64(d.toLong))
     }
 
     // ---- contiguous coordinate dataset: header + raw doubles
-    def writeCoord(name: String, data: Array[Double]): Unit = {
+    def writeCoord(name: String, data: Array[Double],
+                   textAttr: Option[(String, String)] = None): Unit = {
       announce(name)
-      // dataspace 24 | datatype 32 | fill 24 | layout 32 (with headers)
-      w.u8(1); w.u8(0); w.u16(4); w.u32(1); w.u32(24 + 32 + 24 + 32); w.zeros(4)
+      val extra = textAttr.map { case (an, av) => textAttrBytes(an, av) }
+        .getOrElse(0)
+      // dataspace 24 | datatype 32 | fill 24 | [attr] | layout 32
+      w.u8(1); w.u8(0); w.u16(4 + textAttr.size); w.u32(1)
+      w.u32((24 + 32 + 24 + 32 + extra).toLong); w.zeros(4)
       spaceMsg(Seq(data.length))
       dtypeF64Msg()
       fillMsg()
+      textAttr.foreach { case (an, av) => attrMsgText(an, av) }
       var dataPatch = 0L
       msg(0x08, 18) {
         w.u8(3); w.u8(1) // layout v3, contiguous
@@ -1414,9 +1454,17 @@ object Hdf5 {
       w.patch64(dataPatch, w.pos)
       data.foreach(w.f64)
     }
+    // CF time units: store the axis in the declared interval
+    val timeVals = timeUnits match {
+      case Some(u) =>
+        val (base, iv) = CfTime.parseUnits(u, None).getOrElse(
+          throw new IllegalArgumentException(s"unparseable time units '$u'"))
+        timeUs.map(us => (us - base) / iv)
+      case None => timeUs
+    }
     writeCoord("lat", latArr)
     writeCoord("lon", lonArr)
-    writeCoord("time", timeUs)
+    writeCoord("time", timeVals, timeUnits.map("units" -> _))
 
     // ---- chunked data variables, indexed per `indexType`
     val (ctd, cyd, cxd) = indexType match {

@@ -29,7 +29,8 @@ object NetcdfStore {
   final case class NcDim(name: String, length: Int)
   final case class NcVar(name: String, dimIds: Seq[Int], ncType: Int,
                          begin: Long,
-                         attrs: Map[String, Seq[Double]] = Map.empty) {
+                         attrs: Map[String, Seq[Double]] = Map.empty,
+                         textAttrs: Map[String, String] = Map.empty) {
     def elemBytes: Int = ncType match {
       case 1 => 1; case 3 => 2; case 4 => 4; case 5 => 4; case 6 => 8
       case other =>
@@ -104,25 +105,29 @@ object NetcdfStore {
       buf.position(buf.position() + ((4 - n % 4) % 4)) // names pad to 4
       new String(b, java.nio.charset.StandardCharsets.UTF_8)
     }
-    /** attribute list → numeric attrs (CF packing reads these);
-      * char/text attributes are skipped */
-    def readAttrsMap(): Map[String, Seq[Double]] = {
+    /** attribute list → (numeric attrs, text attrs): CF packing reads
+      * the numbers, CF time decoding reads `units`/`calendar` */
+    def readAttrsMap(): (Map[String, Seq[Double]], Map[String, String]) = {
       val tag = buf.getInt()
       val n = buf.getInt()
-      if (tag == 0) { require(n == 0); return Map.empty } // ABSENT
+      if (tag == 0) { require(n == 0); return (Map.empty, Map.empty) }
       require(tag == 0x0C, s"bad attr tag $tag")
-      (0 until n).flatMap { _ =>
+      val nums = Map.newBuilder[String, Seq[Double]]
+      val texts = Map.newBuilder[String, String]
+      (0 until n).foreach { _ =>
         val nm = name()
         val t = buf.getInt()
         val cnt = buf.getInt()
-        val out = t match {
-          case 1 => Some(nm -> (0 until cnt).map(_ => buf.get().toDouble))
+        t match {
+          case 1 => nums += nm -> (0 until cnt).map(_ => buf.get().toDouble)
           case 2 =>
-            buf.position(buf.position() + cnt); None // text
-          case 3 => Some(nm -> (0 until cnt).map(_ => buf.getShort().toDouble))
-          case 4 => Some(nm -> (0 until cnt).map(_ => buf.getInt().toDouble))
-          case 5 => Some(nm -> (0 until cnt).map(_ => buf.getFloat().toDouble))
-          case 6 => Some(nm -> (0 until cnt).map(_ => buf.getDouble()))
+            val bs = new Array[Byte](cnt); buf.get(bs)
+            texts += nm -> new String(bs.takeWhile(_ != 0),
+              java.nio.charset.StandardCharsets.UTF_8)
+          case 3 => nums += nm -> (0 until cnt).map(_ => buf.getShort().toDouble)
+          case 4 => nums += nm -> (0 until cnt).map(_ => buf.getInt().toDouble)
+          case 5 => nums += nm -> (0 until cnt).map(_ => buf.getFloat().toDouble)
+          case 6 => nums += nm -> (0 until cnt).map(_ => buf.getDouble())
           case other =>
             throw new IllegalArgumentException(s"attr type $other")
         }
@@ -131,8 +136,8 @@ object NetcdfStore {
           case 6 => cnt * 8
         }
         buf.position(buf.position() + ((4 - size % 4) % 4)) // pad to 4
-        out.map { case (k, v) => k -> v.toSeq }
-      }.toMap
+      }
+      (nums.result(), texts.result())
     }
     def skipAttrs(): Unit = { readAttrsMap(); () }
     // dim_list
@@ -156,11 +161,11 @@ object NetcdfStore {
           val vn = name()
           val nd = buf.getInt()
           val dimIds = (0 until nd).map(_ => buf.getInt())
-          val attrs = readAttrsMap()
+          val (attrs, textAttrs) = readAttrsMap()
           val t = buf.getInt()
           buf.getInt() // vsize (recomputable)
           val begin = if (version == 1) buf.getInt().toLong else buf.getLong()
-          NcVar(vn, dimIds, t, begin, attrs)
+          NcVar(vn, dimIds, t, begin, attrs, textAttrs)
         }
       }
     NcHeader(dims, vars)
@@ -212,7 +217,8 @@ object NetcdfStore {
     * (scale_factor / add_offset / _FillValue = -32768), the layout
     * real-world classic cubes overwhelmingly use. */
   def writeNetcdf(cube: CubeFrame, path: String,
-                  packed: Option[(Double, Double)] = None): Unit = {
+                  packed: Option[(Double, Double)] = None,
+                  timeUnits: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val g = cube.grid
     val times = cube.df.select(col("time")).distinct().orderBy(col("time"))
@@ -235,12 +241,21 @@ object NetcdfStore {
     // add_offset (32) + _FillValue (28) — names padded to 4, values
     // padded to 4, all fixed-width
     val packAttrBytes = if (packed.isDefined) 92 else 0
+    // CF time units: the time coord carries a char `units` attribute
+    // and stores values in that interval instead of raw epoch-us
+    val timeCf = timeUnits.map { u =>
+      (u, CfTime.parseUnits(u, None).getOrElse(
+        throw new IllegalArgumentException(s"unparseable time units '$u'")))
+    }
+    val timeAttrBytes =
+      timeCf.map { case (u, _) => 12 + 8 + (u.length + 3) / 4 * 4 }
+        .getOrElse(0)
     // header size: magic(4) numrecs(4) + dim_list + gatts(8) + var_list
     var size = 4 + 4 + 8 + dims.map(d => padded(d._1) + 4).sum + 8 + 8
     def varHeaderSize(name: String, ndims: Int): Int =
       padded(name) + 4 + 4 * ndims + 8 /*atts*/ + 4 /*type*/ + 4 /*vsize*/ +
         8 /*begin, v2*/
-    size += coordVars.map(v => varHeaderSize(v._1, 1)).sum
+    size += coordVars.map(v => varHeaderSize(v._1, 1)).sum + timeAttrBytes
     size += dataVars.map(v => varHeaderSize(v, 3) + packAttrBytes).sum
 
     // data sections pad to 4-byte boundaries (the classic format's
@@ -277,7 +292,14 @@ object NetcdfStore {
       putName(name)
       out.putInt(dimIds.length)
       dimIds.foreach(out.putInt)
-      if (!short) out.putInt(0).putInt(0) // no attrs
+      if (name == "time" && timeCf.isDefined) {
+        val u = timeCf.get._1.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.putInt(0x0C).putInt(1)
+        putName("units")
+        out.putInt(2).putInt(u.length) // NC_CHAR
+        out.put(u)
+        (0 until (4 - u.length % 4) % 4).foreach(_ => out.put(0.toByte))
+      } else if (!short) out.putInt(0).putInt(0) // no attrs
       else {
         val (scale, offv) = packed.get
         out.putInt(0x0C).putInt(3)
@@ -298,8 +320,13 @@ object NetcdfStore {
         short = packed.isDefined))
 
     // data: coordinates
-    times.foreach(t =>
-      out.putDouble((t.getTime * 1000L + (t.getNanos / 1000) % 1000).toDouble))
+    times.foreach { t =>
+      val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      out.putDouble(timeCf match {
+        case Some((_, (base, iv))) => (us - base) / iv
+        case None => us.toDouble
+      })
+    }
     (0 until nh).foreach(y => out.putDouble(g.latOfY(y)))
     (0 until nw).foreach(x => out.putDouble(g.lonOfX(x)))
     // data: variables

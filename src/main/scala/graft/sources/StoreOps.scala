@@ -32,8 +32,13 @@ private[sources] final case class ZarrOps(path: String) extends StoreOps {
                 idx: Seq[Int]): Array[Double] =
     ZarrStore.readChunk(path, name, meta, idx)
   def read1d(name: String): Array[Double] = ZarrStore.read1d(path, name)
-  def read1dLongs(name: String): Array[Long] =
-    ZarrStore.read1dLongs(path, name)
+  def read1dLongs(name: String): Array[Long] = {
+    // CF time axes ("days since ...") decode to epoch-us; graft-native
+    // stores hold epoch-us int64 directly
+    val meta = ZarrStore.readArrayMeta(path, name)
+    CfTime.axisUs(meta.textAttrs, ZarrStore.read1d(path, name))
+      .getOrElse(ZarrStore.read1dLongs(path, name))
+  }
 }
 
 /** NetCDF-4/HDF5 files through the [[Hdf5]] reader. A chunked HDF5
@@ -79,8 +84,11 @@ private[sources] final case class Hdf5Ops(path: String) extends StoreOps {
     CfScale(d.attrs, Hdf5.read1d(path, d))
   }
 
-  def read1dLongs(name: String): Array[Long] =
-    read1d(name).map(_.toLong) // time = epoch-us doubles (exact < 2^53)
+  def read1dLongs(name: String): Array[Long] = {
+    val d = f.datasets(name)
+    CfTime.axisUs(d.textAttrs, read1d(name))
+      .getOrElse(read1d(name).map(_.toLong)) // native: epoch-us doubles
+  }
 }
 
 private[sources] final case class NetcdfOps(path: String) extends StoreOps {
@@ -108,6 +116,9 @@ private[sources] final case class NetcdfOps(path: String) extends StoreOps {
     CfScale(header.variable(name).attrs,
       NetcdfStore.read1d(path, header, name))
 
-  def read1dLongs(name: String): Array[Long] =
-    NetcdfStore.read1d(path, header, name).map(_.toLong)
+  def read1dLongs(name: String): Array[Long] = {
+    val v = header.variable(name)
+    CfTime.axisUs(v.textAttrs, read1d(name))
+      .getOrElse(read1d(name).map(_.toLong)) // native: epoch-us doubles
+  }
 }

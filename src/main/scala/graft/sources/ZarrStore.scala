@@ -39,7 +39,8 @@ object ZarrStore {
                              keyPrefix: String = "", keySep: String = ".",
                              shardShape: Seq[Int] = Nil,
                              shardIndexCrc: Boolean = false,
-                             attrs: Map[String, Seq[Double]] = Map.empty) {
+                             attrs: Map[String, Seq[Double]] = Map.empty,
+                             textAttrs: Map[String, String] = Map.empty) {
     def numChunks: Seq[Int] =
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def elemBytes: Int = dtype.drop(2).toInt
@@ -94,37 +95,41 @@ object ZarrStore {
   }
 
   def readArrayMeta(store: String, name: String): ArrayMeta = {
-    // numeric per-array attributes (.zattrs / v3 "attributes") feed the
-    // CF mask-and-scale step exactly as xr.open_zarr applies it
-    def numericAttrs(node: Option[JsonNode]): Map[String, Seq[Double]] =
+    // per-array attributes (.zattrs / v3 "attributes"): numbers feed
+    // CF mask-and-scale, strings feed CF time decoding — exactly what
+    // xr.open_zarr applies
+    def withAttrs(meta: ArrayMeta, node: Option[JsonNode]): ArrayMeta =
       node.map { n =>
         import scala.jdk.CollectionConverters._
-        n.properties().asScala.collect {
+        val nums = n.properties().asScala.collect {
           case e if e.getValue.isNumber =>
             e.getKey -> Seq(e.getValue.asDouble())
-          case e if e.getValue.isArray &&
+          case e if e.getValue.isArray && e.getValue.size() > 0 &&
               (0 until e.getValue.size()).forall(e.getValue.get(_).isNumber) =>
             e.getKey ->
               (0 until e.getValue.size()).map(e.getValue.get(_).asDouble())
         }.toMap
-      }.getOrElse(Map.empty)
+        val texts = n.properties().asScala.collect {
+          case e if e.getValue.isTextual => e.getKey -> e.getValue.asText()
+        }.toMap
+        meta.copy(attrs = nums, textAttrs = texts)
+      }.getOrElse(meta)
     consolidated(store) match {
       case Some(m) if m.get(s"$name/.zarray") != null =>
-        parseArrayMeta(m.get(s"$name/.zarray"))
-          .copy(attrs = numericAttrs(Option(m.get(s"$name/.zattrs"))))
+        withAttrs(parseArrayMeta(m.get(s"$name/.zarray")),
+          Option(m.get(s"$name/.zattrs")))
       case _ =>
         metaFileReads.incrementAndGet()
         readJson(store, s"$name/.zarray") match {
           case Some(za) =>
             val zattrs = readJson(store, s"$name/.zattrs")
             if (zattrs.isDefined) metaFileReads.incrementAndGet()
-            parseArrayMeta(za).copy(attrs = numericAttrs(zattrs))
+            withAttrs(parseArrayMeta(za), zattrs)
           case None =>
             val zj = readJson(store, s"$name/zarr.json")
               .getOrElse(throw new java.nio.file.NoSuchFileException(
                 s"$store/$name/{.zarray,zarr.json}"))
-            parseArrayMetaV3(zj)
-              .copy(attrs = numericAttrs(Option(zj.get("attributes"))))
+            withAttrs(parseArrayMetaV3(zj), Option(zj.get("attributes")))
         }
     }
   }
@@ -834,7 +839,7 @@ object ZarrStore {
     // scan — at 100 TB a distinct() over the cube schedules a task per
     // chunk to recover a few KB the store header already holds
     val timeAxis =
-      try Some(read1dLongs(path, "time").sorted
+      try Some(ZarrOps(path).read1dLongs("time").sorted // CF-units aware
         .map(graft.cube.Cube.timestampOfMicros).toSeq)
       catch { case scala.util.control.NonFatal(_) => None }
     CubeFrame(df, grid, variableNames(path), timeAxis)

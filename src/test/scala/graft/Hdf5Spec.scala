@@ -265,6 +265,32 @@ Datasets:
     }
   }
 
+  test("CF time units decode: 'days since' axes read as real timestamps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5tu").toString
+    val grid = CubeGrid(8, 4, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0"),
+      nanEvery = 5)
+    Hdf5.writeHdf5(cube, s"$dir/plain.nc", chunkY = 4, chunkX = 8)
+    Hdf5.writeHdf5(cube, s"$dir/days.nc", chunkY = 4, chunkX = 8,
+      timeUnits = Some("days since 2017-01-01"))
+    Hdf5.writeHdf5(cube, s"$dir/hours.nc", chunkY = 4, chunkX = 8,
+      timeUnits = Some("hours since 2016-12-31 12:00:00"))
+    // the stored raw axis really is in the declared interval
+    val f = Hdf5.open(s"$dir/days.nc")
+    assert(f.datasets("time").textAttrs.get("units")
+      .contains("days since 2017-01-01"))
+    assert(Hdf5.read1d(s"$dir/days.nc", f.datasets("time")).toSeq
+      == Seq(0.0, 1.0, 2.0))
+    // ...and both CF files read row-identical to the native epoch-us one
+    def rows(p: String): Seq[String] =
+      NetcdfStore.openCube(spark, p).df
+        .select("time", "y_idx", "x_idx", "v0")
+        .collect().map(_.toString).sorted.toSeq
+    val expected = rows(s"$dir/plain.nc")
+    assert(rows(s"$dir/days.nc") == expected)
+    assert(rows(s"$dir/hours.nc") == expected)
+  }
+
   test("jenkins lookup3: published reference vectors") {
     // from lookup3.c driver5/driver2 (public domain, Bob Jenkins)
     assert(Hdf5.lookup3(Array.emptyByteArray, 0) == 0xdeadbeef)

@@ -65,4 +65,45 @@ class NetcdfSpec extends SparkSpec {
       Seq(0.5, 1.5, 2.5, 3.5))
     assert(NetcdfStore.read1d(s"$dir/c.nc", h, "lat").toSeq == Seq(0.5, 1.5))
   }
+
+  test("CF units parse: intervals, base-timestamp shapes, calendars") {
+    import graft.sources.CfTime
+    val day = 86400000000L
+    assert(CfTime.parseUnits("days since 1970-01-01", None)
+      .contains((0L, 86400e6)))
+    assert(CfTime.parseUnits("seconds since 1970-01-02", None)
+      .contains((day, 1e6)))
+    assert(CfTime.parseUnits("hours since 1970-01-01 06:00:00", None)
+      .contains((6L * 3600000000L, 3600e6)))
+    assert(CfTime.parseUnits("Days since 1970-01-01T00:00:00Z", None)
+      .contains((0L, 86400e6))) // case-insensitive, T/Z forms
+    assert(CfTime.parseUnits("milliseconds since 1970-01-01", None)
+      .contains((0L, 1e3)))
+    assert(CfTime.parseUnits("kelvin", None).isEmpty) // not a time unit
+    assert(CfTime.parseUnits("fortnights since 1970-01-01", None).isEmpty)
+    assert(CfTime.parseUnits("days since 1970-01-01",
+      Some("proleptic_gregorian")).isDefined)
+    intercept[IllegalArgumentException](
+      CfTime.parseUnits("days since 1970-01-01", Some("360_day")))
+  }
+
+  test("CF time units: classic 'seconds since' axis reads as timestamps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc3tu").toString
+    val grid = graft.cube.CubeGrid(8, 4, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = graft.cube.Cube.synthetic(spark, grid, numTimes = 3,
+      Seq("v0"), nanEvery = 5)
+    NetcdfStore.writeNetcdf(cube, s"$dir/plain.nc")
+    NetcdfStore.writeNetcdf(cube, s"$dir/cf.nc",
+      timeUnits = Some("seconds since 2017-01-01T00:00:00Z"))
+    val h = NetcdfStore.readHeader(s"$dir/cf.nc")
+    assert(h.variable("time").textAttrs.get("units")
+      .contains("seconds since 2017-01-01T00:00:00Z"))
+    assert(NetcdfStore.read1d(s"$dir/cf.nc", h, "time").toSeq
+      == Seq(0.0, 86400.0, 172800.0))
+    def rows(p: String): Seq[String] =
+      NetcdfStore.openCube(spark, p).df
+        .select("time", "y_idx", "x_idx", "v0")
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$dir/cf.nc") == rows(s"$dir/plain.nc"))
+  }
 }

@@ -244,6 +244,45 @@ class ZarrSpec extends SparkSpec {
     ZarrStore.invalidateMeta(s"$dir/c.zarr")
   }
 
+  test("zarr CF time units: 'days since' axis decodes to timestamps") {
+    val grid = CubeGrid(8, 4, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0"),
+      nanEvery = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ztu").toString
+    ZarrStore.writeZarr(cube, s"$dir/c.zarr", chunkT = 1, chunkY = 4,
+      chunkX = 8)
+    def rows(): Seq[String] =
+      ZarrStore.openCube(spark, s"$dir/c.zarr").df
+        .select("time", "y_idx", "x_idx", "v0")
+        .collect().map(_.toString).sorted.toSeq
+    val expected = rows()
+    // replace the epoch-us time axis with a CF days-since axis (what
+    // xarray-written stores carry): raw f8 values 0,1,2 + units attr
+    val tdir = java.nio.file.Paths.get(s"$dir/c.zarr/time")
+    java.nio.file.Files.writeString(tdir.resolve(".zarray"),
+      """{"zarr_format": 2, "shape": [3], "chunks": [3], "dtype": "<f8",
+        | "compressor": null, "fill_value": 0, "order": "C",
+        | "filters": null}""".stripMargin)
+    java.nio.file.Files.writeString(tdir.resolve(".zattrs"),
+      """{"units": "days since 2017-01-01", "calendar": "standard"}""")
+    val bb = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(0.0, 1.0, 2.0).foreach(bb.putDouble)
+    java.nio.file.Files.write(tdir.resolve("0"), bb.array())
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/c.zarr/.zmetadata"))
+    ZarrStore.invalidateMeta(s"$dir/c.zarr")
+    assert(rows() == expected, "CF-units axis must decode identically")
+    // an exotic calendar fails loudly instead of silently mis-dating
+    java.nio.file.Files.writeString(tdir.resolve(".zattrs"),
+      """{"units": "days since 2017-01-01", "calendar": "360_day"}""")
+    ZarrStore.invalidateMeta(s"$dir/c.zarr")
+    val e = intercept[Exception](rows())
+    assert(e.getMessage != null && e.getMessage.contains("calendar") ||
+      e.getCause != null, s"got: $e")
+    ZarrStore.invalidateMeta(s"$dir/c.zarr")
+  }
+
   test("registration coord resolution reads zero chunk data (store axis)") {
     val grid = CubeGrid(16, 8, 0.0, 40.0, 0.5, latAscending = true)
     val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0"))
