@@ -37,30 +37,44 @@ private[graft] object CfTime {
     }
     units match {
       case Pattern(interval, base) =>
-        UnitsUs.get(interval.toLowerCase).map((parseBaseUs(base), _))
+        // this IS a time spec — an interval we can't decode (months,
+        // years: calendar-dependent lengths) must fail loudly, never
+        // fall back to raw values that would silently mis-date rows
+        val iv = UnitsUs.getOrElse(interval.toLowerCase,
+          throw new IllegalArgumentException(
+            s"CF time interval '$interval' unsupported " +
+              "(us/ms/s/min/h/day; months and years are calendar-dependent)"))
+        Some((parseBaseUs(base), iv))
       case _ => None
     }
   }
 
-  /** tolerant ISO-ish base-timestamp parse: date only, space or 'T'
-    * separator, optional fractional seconds, optional Z/offset */
-  private def parseBaseUs(s0: String): Long = {
-    val s = s0.trim
-    val norm = if (s.contains('T')) s else s.replaceFirst(" ", "T")
-    val odt =
-      try java.time.OffsetDateTime.parse(norm).toInstant
-      catch {
-        case _: java.time.format.DateTimeParseException =>
-          try java.time.LocalDateTime.parse(norm)
-            .toInstant(java.time.ZoneOffset.UTC)
-          catch {
-            case _: java.time.format.DateTimeParseException =>
-              java.time.LocalDate.parse(norm).atStartOfDay()
-                .toInstant(java.time.ZoneOffset.UTC)
-          }
-      }
-    Math.addExact(Math.multiplyExact(odt.getEpochSecond, 1000000L),
-      odt.getNano / 1000L)
+  // CF base timestamps are looser than strict ISO: single-digit date
+  // and time components ("2000-1-1 0:0:0", the CF spec's own examples),
+  // space or 'T' separators, optional fractional seconds, optional
+  // Z/UTC/±H[H][:MM] offsets
+  private val Base = ("""(\d{1,4})-(\d{1,2})-(\d{1,2})""" +
+    """(?:[T ](\d{1,2}):(\d{1,2})(?::(\d{1,2})(\.\d+)?)?)?""" +
+    """(?:\s*(?:Z|UTC|([+-]\d{1,2})(?::?(\d{2}))?))?""").r
+
+  private def parseBaseUs(s0: String): Long = s0.trim match {
+    case Base(y, mo, d, h, mi, se, frac, offH, offM) =>
+      val ldt = java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt,
+        Option(h).map(_.toInt).getOrElse(0),
+        Option(mi).map(_.toInt).getOrElse(0),
+        Option(se).map(_.toInt).getOrElse(0))
+      val localUs = Math.addExact(Math.multiplyExact(
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+        Option(frac).map(f => math.round(f.toDouble * 1e6)).getOrElse(0L))
+      val offUs = Option(offH).map { oh =>
+        val sign = if (oh.startsWith("-")) -1L else 1L
+        val hours = oh.drop(1).toLong
+        val mins = Option(offM).map(_.toLong).getOrElse(0L)
+        sign * (hours * 3600L + mins * 60L) * 1000000L
+      }.getOrElse(0L)
+      localUs - offUs // local-with-offset → UTC
+    case other => throw new IllegalArgumentException(
+      s"unparseable CF base timestamp '$other'")
   }
 
   /** decode raw coordinate values to epoch-microseconds (round-half-up

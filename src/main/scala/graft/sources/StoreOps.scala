@@ -34,10 +34,11 @@ private[sources] final case class ZarrOps(path: String) extends StoreOps {
   def read1d(name: String): Array[Double] = ZarrStore.read1d(path, name)
   def read1dLongs(name: String): Array[Long] = {
     // CF time axes ("days since ...") decode to epoch-us; graft-native
-    // stores hold epoch-us int64 directly
+    // stores hold epoch-us int64 directly. One metadata fetch serves
+    // the attrs probe and the chosen read path.
     val meta = ZarrStore.readArrayMeta(path, name)
-    CfTime.axisUs(meta.textAttrs, ZarrStore.read1d(path, name))
-      .getOrElse(ZarrStore.read1dLongs(path, name))
+    CfTime.axisUs(meta.textAttrs, ZarrStore.read1d(path, name, meta))
+      .getOrElse(ZarrStore.read1dLongs(path, name, meta))
   }
 }
 

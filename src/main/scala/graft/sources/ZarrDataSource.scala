@@ -187,14 +187,18 @@ class ZarrScan(path: String, required: StructType, bounds: ZarrBounds)
   private lazy val projectedVars =
     vars.filter(required.fieldNames.contains)
   /** chunk geometry comes from the first 3-D array; all arrays must
-    * share it (the store contract) */
+    * share it (the store contract). Per-variable metas still matter:
+    * dtype, fill and CF attributes are PER ARRAY (one packed int16
+    * variable next to an unpacked f8 one is normal), so each readChunk
+    * gets its own meta, not the geometry carrier's. */
   private lazy val meta = ops.arrayMeta(
     projectedVars.headOption.getOrElse(vars.head))
+  private lazy val metas: Map[String, ZarrStore.ArrayMeta] =
+    projectedVars.map(v => v -> ops.arrayMeta(v)).toMap
   private lazy val timeUs = ops.read1dLongs("time")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    projectedVars.foreach { v =>
-      val m = ops.arrayMeta(v)
+    metas.foreach { case (v, m) =>
       require(m.shape == meta.shape && m.chunks == meta.chunks,
         s"variable $v chunking ${m.chunks} differs from ${meta.chunks}")
     }
@@ -224,23 +228,28 @@ class ZarrScan(path: String, required: StructType, bounds: ZarrBounds)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZarrReaderFactory(ops, required, meta, projectedVars, timeUs,
+    new ZarrReaderFactory(ops, required, meta, metas, projectedVars, timeUs,
       ops.read1d("lat"), ops.read1d("lon"))
 }
 
 class ZarrReaderFactory(ops: StoreOps, required: StructType,
-                        meta: ZarrStore.ArrayMeta, vars: Seq[String],
+                        meta: ZarrStore.ArrayMeta,
+                        metas: Map[String, ZarrStore.ArrayMeta],
+                        vars: Seq[String],
                         timeUs: Array[Long], lat: Array[Double],
                         lon: Array[Double])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val zp = p.asInstanceOf[ZarrInputPartition]
-    new ZarrPartitionReader(ops, required, meta, vars, timeUs, lat, lon, zp)
+    new ZarrPartitionReader(ops, required, meta, metas, vars, timeUs, lat,
+      lon, zp)
   }
 }
 
 class ZarrPartitionReader(ops: StoreOps, required: StructType,
-                          meta: ZarrStore.ArrayMeta, vars: Seq[String],
+                          meta: ZarrStore.ArrayMeta,
+                          metas: Map[String, ZarrStore.ArrayMeta],
+                          vars: Seq[String],
                           timeUs: Array[Long], lat: Array[Double],
                           lon: Array[Double], part: ZarrInputPartition)
     extends PartitionReader[InternalRow] {
@@ -256,7 +265,8 @@ class ZarrPartitionReader(ops: StoreOps, required: StructType,
   private val xLen = math.min(cx, nw - x0)
 
   private val chunkData: Map[String, Array[Double]] = vars.map(v =>
-    v -> ops.readChunk(v, meta, Seq(part.tc, part.yc, part.xc))).toMap
+    v -> ops.readChunk(v, metas.getOrElse(v, meta),
+      Seq(part.tc, part.yc, part.xc))).toMap
 
   // field emitters resolved once (projection order = required order)
   private val emitters: Array[(Int, Int, Int) => Any] =

@@ -394,8 +394,11 @@ object ZarrStore {
   }
 
   /** Read an entire 1-D array (coordinate axes: small by contract). */
-  def read1d(store: String, name: String): Array[Double] = {
-    val meta = readArrayMeta(store, name)
+  def read1d(store: String, name: String): Array[Double] =
+    read1d(store, name, readArrayMeta(store, name))
+
+  def read1d(store: String, name: String,
+             meta: ArrayMeta): Array[Double] = {
     require(meta.shape.length == 1, s"$name is not 1-D")
     val out = new Array[Double](meta.shape.head)
     (0 until meta.numChunks.head).foreach { c =>
@@ -408,8 +411,11 @@ object ZarrStore {
   }
 
   /** 1-D int64 read without a double round-trip (time axis: micros). */
-  def read1dLongs(store: String, name: String): Array[Long] = {
-    val meta = readArrayMeta(store, name)
+  def read1dLongs(store: String, name: String): Array[Long] =
+    read1dLongs(store, name, readArrayMeta(store, name))
+
+  def read1dLongs(store: String, name: String,
+                  meta: ArrayMeta): Array[Long] = {
     require(meta.shape.length == 1 && meta.dtype.drop(1) == "i8",
       s"$name must be 1-D int64")
     val order = if (meta.dtype.startsWith(">")) ByteOrder.BIG_ENDIAN

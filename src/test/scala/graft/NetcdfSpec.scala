@@ -80,7 +80,8 @@ class NetcdfSpec extends SparkSpec {
     assert(CfTime.parseUnits("milliseconds since 1970-01-01", None)
       .contains((0L, 1e3)))
     assert(CfTime.parseUnits("kelvin", None).isEmpty) // not a time unit
-    assert(CfTime.parseUnits("fortnights since 1970-01-01", None).isEmpty)
+    intercept[IllegalArgumentException](
+      CfTime.parseUnits("fortnights since 1970-01-01", None))
     assert(CfTime.parseUnits("days since 1970-01-01",
       Some("proleptic_gregorian")).isDefined)
     intercept[IllegalArgumentException](

@@ -244,6 +244,41 @@ class ZarrSpec extends SparkSpec {
     ZarrStore.invalidateMeta(s"$dir/c.zarr")
   }
 
+  test("mixed packing: per-variable CF attrs apply per variable") {
+    // one packed variable next to an unpacked one, SELECTED TOGETHER:
+    // the scan must use each array's own attrs, not the geometry
+    // carrier's (regression: shared meta scaled every projected var)
+    val grid = CubeGrid(8, 4, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0", "v1"),
+      nanEvery = 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-zmix").toString
+    ZarrStore.writeZarr(cube, s"$dir/c.zarr", chunkT = 1, chunkY = 4,
+      chunkX = 8)
+    def both(): Map[(Long, Int, Int), (Double, Double)] =
+      ZarrStore.openCube(spark, s"$dir/c.zarr").df
+        .select("time", "y_idx", "x_idx", "v0", "v1").collect().map(r =>
+          (r.getTimestamp(0).getTime, r.getInt(1), r.getInt(2)) ->
+            (r.getDouble(3), r.getDouble(4))).toMap
+    val plain = both()
+    // pack ONLY v0 (alphabetically first — the geometry carrier)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/c.zarr/v0/.zattrs"),
+      """{"scale_factor": 2.0, "add_offset": 1.0}""")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/c.zarr/.zmetadata"))
+    ZarrStore.invalidateMeta(s"$dir/c.zarr")
+    both().foreach { case (k, (s0, s1)) =>
+      val (p0, p1) = plain(k)
+      if (!p0.isNaN)
+        assert(java.lang.Double.compare(s0, p0 * 2.0 + 1.0) == 0,
+          s"v0 must scale at $k")
+      if (!p1.isNaN)
+        assert(java.lang.Double.compare(s1, p1) == 0,
+          s"v1 must NOT inherit v0's attrs at $k")
+    }
+    ZarrStore.invalidateMeta(s"$dir/c.zarr")
+  }
+
   test("zarr CF time units: 'days since' axis decodes to timestamps") {
     val grid = CubeGrid(8, 4, 0.0, 40.0, 0.5, latAscending = true)
     val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0"),
