@@ -75,8 +75,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filter(!_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
+    // per-query successful-attempt counts: a query that failed on SOME
+    // runs but not all would otherwise read as a clean timing with no
+    // trace of the flake in the auditable record
+    val attempts = results.collect { case (k, ts, _) if ts.size < runs =>
+        "\"" + k + "\":" + ts.size }
+      .mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"means":$means,"runs":$runs,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"means":$means,"runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"failed":$failed,"sf":"$sfDir"}""")
+    // BENCH_r04's tail capture truncated the line above and destroyed
+    // the total. Repeat the headline figures in a second, short line so
+    // they survive any tail-only capture of stdout.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"failed":$failed,"sf":"$sfDir","summary":true}""")
     spark.stop()
   }
 }

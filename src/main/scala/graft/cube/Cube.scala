@@ -47,10 +47,15 @@ final case class CubeGrid(width: Int, height: Int,
   * arrays at open) — a registration must not schedule a distinct-scan
   * over the fact table to recover what the store header knows; parquet
   * ingests leave it None and fall back to the scan. Transforms that
-  * change the time axis construct new frames without it. */
+  * change the time axis construct new frames without it.
+  * `timeCalendar` is the CF calendar of the source time axis (None =
+  * standard): non-standard calendars (360_day, noleap, …) decode to
+  * calendar-native epoch-us and their labels must format through
+  * [[graft.sources.CfTime.isoLabel]], not java.time. */
 final case class CubeFrame(df: DataFrame, grid: CubeGrid,
                            variables: Seq[String],
-                           timeAxis: Option[Seq[java.sql.Timestamp]] = None)
+                           timeAxis: Option[Seq[java.sql.Timestamp]] = None,
+                           timeCalendar: Option[String] = None)
 
 object Cube {
 

@@ -322,7 +322,43 @@ object CubeQueries {
       AND -40.0*(py-95.05) + 85.0*(px-50.05) > 0
     ORDER BY c_custkey"""
 
+  // ------------------------------------------------------------ CF cal
+  /** CF `360_day`-calendar decoding at column scale (CMIP-style model
+    * output carries day counts in the model calendar; the reference
+    * decodes them via cftime, context.py:243-250): per-event day
+    * offsets decode to 360_day dates with the SAME day-numbering
+    * CfTime uses for store axes, then aggregate per calendar month.
+    * Pure codegen'd integer arithmetic — no UDF. */
+  def cal360Day(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CfCalendarCols
+    val days = expr("CAST(event_id % 54321 AS BIGINT)") // 1970..2120
+    Tables.events(s, d)
+      .withColumn("cal_date", CfCalendarCols.iso360(days))
+      .groupBy(substring(col("cal_date"), 1, 7).as("cal_month"))
+      .agg(count(lit(1)).as("n_obs"),
+        Q.davg(col("value")).as("avg_value"),
+        min(col("cal_date")).as("first_date"),
+        max(col("cal_date")).as("last_date"))
+      .orderBy("cal_month")
+  }
+
+  val cal360DaySql: String = s"""
+    WITH decoded AS (
+      SELECT value,
+        lpad(CAST(1970 + (event_id % 54321) // 360 AS VARCHAR), 4, '0')
+          || '-' ||
+        lpad(CAST(((event_id % 54321) % 360) // 30 + 1 AS VARCHAR), 2, '0')
+          || '-' ||
+        lpad(CAST(((event_id % 54321) % 360) % 30 + 1 AS VARCHAR), 2, '0')
+          AS cal_date
+      FROM events)
+    SELECT substring(cal_date, 1, 7) AS cal_month,
+      COUNT(*) AS n_obs, ${Sql.davg("value")} AS avg_value,
+      MIN(cal_date) AS first_date, MAX(cal_date) AS last_date
+    FROM decoded GROUP BY 1 ORDER BY cal_month"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("cube_cal_360day", cal360Day, Some(cal360DaySql)),
     QuerySpec("cube_ts_point", tsPoint, Some(tsPointSql)),
     QuerySpec("cube_ts_zonal", tsZonal, Some(tsZonalSql)),
     QuerySpec("cube_resample_1w", resample1w, Some(resample1wSql)),

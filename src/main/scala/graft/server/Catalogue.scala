@@ -74,10 +74,7 @@ object Catalogue {
         Json.obj("name" -> Json.str("lon"), "size" -> g.width.toString,
           "dtype" -> Json.str("float64"), "coordinates" -> Json.arr(vals))
       case "time" =>
-        val fmt = java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
-          .withZone(java.time.ZoneOffset.UTC)
-        val vals = ds.timeCoords.map(t => Json.str(fmt.format(t.toInstant)))
+        val vals = ds.timeLabels.map(Json.str)
         Json.obj("name" -> Json.str("time"), "size" -> vals.size.toString,
           "dtype" -> Json.str("datetime64[ns]"),
           "coordinates" -> Json.arr(vals))

@@ -403,8 +403,6 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
     * and bounds (reference get_time_series_info,
     * time_series.py:35-54). */
   private def tsInfoJson(): String = {
-    val fmt = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
     val layers = for {
       id <- ctx.datasetIds
       d <- ctx.dataset(id).toSeq
@@ -413,8 +411,7 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
       val b = d.cube.grid.bbox
       Json.obj(
         "name" -> Json.str(s"${d.id}.$v"),
-        "dates" -> Json.arr(d.timeCoords.map(t =>
-          Json.str(fmt.format(t.toInstant)))),
+        "dates" -> Json.arr(d.timeLabels.map(Json.str)),
         "bounds" -> Json.obj(
           "xmin" -> Json.num(b.xMin), "ymin" -> Json.num(b.yMin),
           "xmax" -> Json.num(b.xMax), "ymax" -> Json.num(b.yMax)))

@@ -59,6 +59,15 @@ final case class RegisteredDataset(id: String, title: String,
       cube.df.select(col("time")).distinct()
         .orderBy(col("time")).collect().map(_.getTimestamp(0)).toSeq
     }
+
+  /** ISO labels for the time axis, in the cube's own CF calendar: a
+    * 360_day axis genuinely contains 2000-02-30 — formatting its
+    * calendar-native epoch-us through java.time would print drifted
+    * Gregorian dates (the silent mis-dating CfTime exists to prevent) */
+  lazy val timeLabels: Seq[String] = timeCoords.map { t =>
+    val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    graft.sources.CfTime.isoLabel(us, cube.timeCalendar)
+  }
 }
 
 class ServiceContext(val spark: SparkSession) {

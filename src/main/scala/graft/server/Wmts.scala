@@ -94,10 +94,8 @@ object Wmts {
     * TileMatrixSetLink, ResourceURL; schema-validating clients reject
     * other orders. */
   def timeDimensionXml(ds: RegisteredDataset): String = {
-    val fmt = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
-    val values = ds.timeCoords.map(t =>
-      s"        <Value>${fmt.format(t.toInstant)}</Value>\n").mkString
+    val values = ds.timeLabels.map(l =>
+      s"        <Value>$l</Value>\n").mkString
     s"""      <Dimension>
        |        <ows:Identifier>time</ows:Identifier>
        |        <ows:Title>time</ows:Title>

@@ -50,6 +50,16 @@ private[graft] object BlobStore {
   // inherit the dataset's store settings
   private val confOverrides = TrieMap.empty[String, Map[String, String]]
 
+  /** `a` equals `b`, is a path ancestor of it, or `b` is one of `a`'s
+    * sidecar stores (`<a>.levels` pyramid, `<a>.link` redirect — the
+    * only dotted siblings the ingest layout defines) or a path under
+    * one. Boundary-checked: `…/cube1` does NOT match `…/cube10.zarr`
+    * (raw startsWith would bind one dataset's Endpoint/Region to a
+    * prefix-sharing sibling dataset). */
+  private def isAncestorOrSelf(a: String, b: String): Boolean =
+    Seq(a, a + ".levels", a + ".link")
+      .exists(r => b == r || b.startsWith(r + "/"))
+
   /** Register Hadoop conf overrides for every store whose root is
     * under `rootPrefix` OR is an ancestor of it (the parent-directory
     * store that serves the `.link` sibling probe must see the same
@@ -60,13 +70,13 @@ private[graft] object BlobStore {
     if (opts.nonEmpty) {
       confOverrides(rootPrefix) = opts
       stores.keys.filter(k =>
-        k.startsWith(rootPrefix) || rootPrefix.startsWith(k))
+        isAncestorOrSelf(rootPrefix, k) || isAncestorOrSelf(k, rootPrefix))
         .foreach(stores.remove)
     }
 
   private[graft] def optionsFor(path: String): Map[String, String] =
     confOverrides.toSeq.sortBy(_._1.length).collect {
-      case (p, o) if path.startsWith(p) || p.startsWith(path) => o
+      case (p, o) if isAncestorOrSelf(p, path) || isAncestorOrSelf(path, p) => o
     }.foldLeft(Map.empty[String, String])(_ ++ _)
 
   def forStore(path: String): BlobStore = stores.getOrElseUpdate(path,

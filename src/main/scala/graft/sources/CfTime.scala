@@ -7,9 +7,22 @@ package graft.sources
   * `base + value * interval`. Real-world axes are NEVER raw epoch
   * values — "days since 1970-01-01" and "seconds since 2000-01-01" are
   * the overwhelming profiles — so without this step a reader produces
-  * epoch-1970 garbage dates. Only the standard/proleptic-Gregorian
-  * calendar is supported (the java.time arithmetic); exotic calendars
-  * (360_day, noleap) fail loudly rather than silently mis-date.
+  * epoch-1970 garbage dates.
+  *
+  * Calendars (CF §4.4.1): `standard`/`gregorian`/`proleptic_gregorian`
+  * decode on the real timeline (java.time). The climate-model calendars
+  * `360_day`, `noleap`/`365_day`, `all_leap`/`366_day` and `julian` —
+  * pervasive in CMIP output, decoded by the reference for free via
+  * cftime — decode to CALENDAR-NATIVE epoch-microseconds: µs since
+  * 1970-01-01 00:00:00 counted in the variable's own calendar (the
+  * same arithmetic cftime's date2num performs for units
+  * "microseconds since 1970-01-01"). The value is monotonic, exactly
+  * reversible, and correct for range slicing / nearest select /
+  * fixed-interval resampling; [[isoLabel]] converts it back to the
+  * calendar's own date fields for display (a 360_day axis really does
+  * contain 2000-02-30 — formatting through java.time would mis-date).
+  * Genuinely unknown calendars and calendar-dependent intervals
+  * (months, years) fail loudly rather than silently mis-date.
   */
 private[graft] object CfTime {
 
@@ -26,15 +39,128 @@ private[graft] object CfTime {
   private val Pattern =
     """(?i)\s*([a-z]+)\s+since\s+(.+?)\s*""".r
 
+  private val DayUs = 86400000000L
+
+  // ------------------------------------------------------------ calendars
+
+  /** Day-numbering of one CF calendar: days between 1970-01-01 and
+    * (y,mo,d) *counted in this calendar*, and the inverse. */
+  sealed trait Calendar extends Serializable {
+    def toDays(y: Int, mo: Int, d: Int): Long
+    def fromDays(days: Long): (Int, Int, Int)
+    /** number of days in (y, mo) — validates base timestamps */
+    def monthLen(y: Int, mo: Int): Int
+  }
+
+  /** real timeline — java.time's proleptic-Gregorian arithmetic (how
+    * xarray maps standard-calendar axes onto datetime64) */
+  case object Standard extends Calendar {
+    def toDays(y: Int, mo: Int, d: Int): Long =
+      java.time.LocalDate.of(y, mo, d).toEpochDay
+    def fromDays(days: Long): (Int, Int, Int) = {
+      val ld = java.time.LocalDate.ofEpochDay(days)
+      (ld.getYear, ld.getMonthValue, ld.getDayOfMonth)
+    }
+    def monthLen(y: Int, mo: Int): Int =
+      java.time.YearMonth.of(y, mo).lengthOfMonth
+  }
+
+  /** every month has exactly 30 days (CF `360_day`) */
+  case object Day360 extends Calendar {
+    def toDays(y: Int, mo: Int, d: Int): Long =
+      (y - 1970L) * 360L + (mo - 1L) * 30L + (d - 1L)
+    def fromDays(days: Long): (Int, Int, Int) = {
+      val y = Math.floorDiv(days, 360L)
+      val r = Math.floorMod(days, 360L)
+      ((1970L + y).toInt, (r / 30L).toInt + 1, (r % 30L).toInt + 1)
+    }
+    def monthLen(y: Int, mo: Int): Int = 30
+  }
+
+  private val Cum365 =
+    Array(0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334)
+  private val Cum366 =
+    Array(0, 31, 60, 91, 121, 152, 182, 213, 244, 274, 305, 335)
+  private val Len365 =
+    Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+  /** no year is a leap year (CF `noleap` / `365_day`) */
+  case object NoLeap extends Calendar {
+    def toDays(y: Int, mo: Int, d: Int): Long =
+      (y - 1970L) * 365L + Cum365(mo - 1) + (d - 1L)
+    def fromDays(days: Long): (Int, Int, Int) = {
+      val y = Math.floorDiv(days, 365L)
+      var r = Math.floorMod(days, 365L).toInt
+      var mo = 11
+      while (Cum365(mo) > r) mo -= 1
+      ((1970L + y).toInt, mo + 1, r - Cum365(mo) + 1)
+    }
+    def monthLen(y: Int, mo: Int): Int = Len365(mo - 1)
+  }
+
+  /** every year is a leap year (CF `all_leap` / `366_day`) */
+  case object AllLeap extends Calendar {
+    def toDays(y: Int, mo: Int, d: Int): Long =
+      (y - 1970L) * 366L + Cum366(mo - 1) + (d - 1L)
+    def fromDays(days: Long): (Int, Int, Int) = {
+      val y = Math.floorDiv(days, 366L)
+      var r = Math.floorMod(days, 366L).toInt
+      var mo = 11
+      while (Cum366(mo) > r) mo -= 1
+      ((1970L + y).toInt, mo + 1, r - Cum366(mo) + 1)
+    }
+    def monthLen(y: Int, mo: Int): Int =
+      if (mo == 2) 29 else Len365(mo - 1)
+  }
+
+  /** proleptic Julian: leap every 4th year including centuries (CF
+    * `julian`); classic JDN conversion, Math.floorDiv for pre-1970 */
+  case object Julian extends Calendar {
+    // JDN of 1970-01-01 (Julian calendar) so toDays(1970,1,1) == 0
+    private val Jdn1970 = jdn(1970, 1, 1)
+    private def jdn(y: Int, mo: Int, d: Int): Long = {
+      val a = (14 - mo) / 12
+      val y2 = y + 4800L - a
+      val m2 = mo + 12L * a - 3L
+      d + (153L * m2 + 2L) / 5L + 365L * y2 +
+        Math.floorDiv(y2, 4L) - 32083L
+    }
+    def toDays(y: Int, mo: Int, d: Int): Long = jdn(y, mo, d) - Jdn1970
+    def fromDays(days: Long): (Int, Int, Int) = {
+      val c = days + Jdn1970 + 32082L
+      val d4 = Math.floorDiv(4L * c + 3L, 1461L)
+      val e = c - Math.floorDiv(1461L * d4, 4L)
+      val m = (5L * e + 2L) / 153L
+      val day = (e - (153L * m + 2L) / 5L + 1L).toInt
+      val mo = (m + 3L - 12L * (m / 10L)).toInt
+      val y = d4 - 4800L + m / 10L
+      (y.toInt, mo, day)
+    }
+    def monthLen(y: Int, mo: Int): Int =
+      if (mo == 2 && Math.floorMod(y, 4) == 0) 29 else Len365(mo - 1)
+  }
+
+  /** the CF `calendar` attribute value → arithmetic; None (attribute
+    * absent) defaults to standard per CF §4.4.1 */
+  def calendarFor(name: Option[String]): Calendar =
+    name.map(_.toLowerCase.trim) match {
+      case None | Some("standard" | "gregorian" | "proleptic_gregorian") =>
+        Standard
+      case Some("360_day") => Day360
+      case Some("noleap" | "365_day") => NoLeap
+      case Some("all_leap" | "366_day") => AllLeap
+      case Some("julian") => Julian
+      case Some(other) => throw new IllegalArgumentException(
+        s"CF calendar '$other' unsupported (standard/proleptic_gregorian/" +
+          "360_day/noleap/365_day/all_leap/366_day/julian)")
+    }
+
   /** Some((base epoch-us, interval-us)) when `units` is a decodable CF
-    * time specification. */
+    * time specification. The base is epoch-us in `calendar`'s own
+    * timeline (identical to real epoch-us for standard calendars). */
   def parseUnits(units: String,
                  calendar: Option[String]): Option[(Long, Double)] = {
-    calendar.map(_.toLowerCase).foreach { c =>
-      require(c == "standard" || c == "gregorian" ||
-        c == "proleptic_gregorian",
-        s"CF calendar '$c' unsupported (standard/proleptic_gregorian only)")
-    }
+    val cal = calendarFor(calendar) // unknown calendars fail loudly here
     units match {
       case Pattern(interval, base) =>
         // this IS a time spec — an interval we can't decode (months,
@@ -44,7 +170,7 @@ private[graft] object CfTime {
           throw new IllegalArgumentException(
             s"CF time interval '$interval' unsupported " +
               "(us/ms/s/min/h/day; months and years are calendar-dependent)"))
-        Some((parseBaseUs(base), iv))
+        Some((parseBaseUs(base, cal), iv))
       case _ => None
     }
   }
@@ -57,15 +183,17 @@ private[graft] object CfTime {
     """(?:[T ](\d{1,2}):(\d{1,2})(?::(\d{1,2})(\.\d+)?)?)?""" +
     """(?:\s*(?:Z|UTC|([+-]\d{1,2})(?::?(\d{2}))?))?""").r
 
-  private def parseBaseUs(s0: String): Long = s0.trim match {
+  private def parseBaseUs(s0: String, cal: Calendar): Long = s0.trim match {
     case Base(y, mo, d, h, mi, se, frac, offH, offM) =>
-      val ldt = java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt,
-        Option(h).map(_.toInt).getOrElse(0),
-        Option(mi).map(_.toInt).getOrElse(0),
-        Option(se).map(_.toInt).getOrElse(0))
-      val localUs = Math.addExact(Math.multiplyExact(
-        ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
-        Option(frac).map(f => math.round(f.toDouble * 1e6)).getOrElse(0L))
+      val (yi, moi, di) = (y.toInt, mo.toInt, d.toInt)
+      require(moi >= 1 && moi <= 12 && di >= 1 && di <= cal.monthLen(yi, moi),
+        s"'$s0' is not a date in this CF calendar")
+      val todUs = Option(h).map(_.toLong).getOrElse(0L) * 3600000000L +
+        Option(mi).map(_.toLong).getOrElse(0L) * 60000000L +
+        Option(se).map(_.toLong).getOrElse(0L) * 1000000L +
+        Option(frac).map(f => math.round(f.toDouble * 1e6)).getOrElse(0L)
+      val localUs = Math.addExact(
+        Math.multiplyExact(cal.toDays(yi, moi, di), DayUs), todUs)
       val offUs = Option(offH).map { oh =>
         val sign = if (oh.startsWith("-")) -1L else 1L
         val hours = oh.drop(1).toLong
@@ -82,6 +210,18 @@ private[graft] object CfTime {
   def decode(raw: Array[Double], baseUs: Long,
              intervalUs: Double): Array[Long] =
     raw.map(v => baseUs + math.round(v * intervalUs))
+
+  /** calendar-aware ISO-8601 label for an axis value (for non-standard
+    * calendars an epoch-us run through java.time would print drifted
+    * dates — a 360_day axis genuinely contains 2000-02-30) */
+  def isoLabel(us: Long, calendar: Option[String]): String = {
+    val cal = calendarFor(calendar)
+    val (y, mo, d) = cal.fromDays(Math.floorDiv(us, DayUs))
+    val tod = Math.floorMod(us, DayUs)
+    val s = tod / 1000000L
+    f"$y%04d-$mo%02d-$d%02d" +
+      f"T${s / 3600}%02d:${s / 60 % 60}%02d:${s % 60}%02dZ"
+  }
 
   /** The time axis of a store variable as epoch-microseconds: CF
     * `units` decoding when the attribute is present, raw values

@@ -1261,7 +1261,8 @@ object Hdf5 {
                 indexType: String = "btree1",
                 denseGroup: Boolean = false,
                 cfAttrs: Option[(Double, Double)] = None,
-                timeUnits: Option[String] = None): Unit = {
+                timeUnits: Option[String] = None,
+                timeCalendar: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val g = cube.grid
     val times = cube.df.select(col("time")).distinct().orderBy(col("time"))
@@ -1434,10 +1435,9 @@ object Hdf5 {
 
     // ---- contiguous coordinate dataset: header + raw doubles
     def writeCoord(name: String, data: Array[Double],
-                   textAttr: Option[(String, String)] = None): Unit = {
+                   textAttr: Seq[(String, String)] = Nil): Unit = {
       announce(name)
-      val extra = textAttr.map { case (an, av) => textAttrBytes(an, av) }
-        .getOrElse(0)
+      val extra = textAttr.map { case (an, av) => textAttrBytes(an, av) }.sum
       // dataspace 24 | datatype 32 | fill 24 | [attr] | layout 32
       w.u8(1); w.u8(0); w.u16(4 + textAttr.size); w.u32(1)
       w.u32((24 + 32 + 24 + 32 + extra).toLong); w.zeros(4)
@@ -1454,17 +1454,20 @@ object Hdf5 {
       w.patch64(dataPatch, w.pos)
       data.foreach(w.f64)
     }
-    // CF time units: store the axis in the declared interval
+    // CF time units: store the axis in the declared interval (the base
+    // resolves in timeCalendar's own day-numbering, so encode/decode
+    // round-trip for 360_day/noleap/all_leap/julian fixtures too)
     val timeVals = timeUnits match {
       case Some(u) =>
-        val (base, iv) = CfTime.parseUnits(u, None).getOrElse(
+        val (base, iv) = CfTime.parseUnits(u, timeCalendar).getOrElse(
           throw new IllegalArgumentException(s"unparseable time units '$u'"))
         timeUs.map(us => (us - base) / iv)
       case None => timeUs
     }
     writeCoord("lat", latArr)
     writeCoord("lon", lonArr)
-    writeCoord("time", timeVals, timeUnits.map("units" -> _))
+    writeCoord("time", timeVals,
+      timeUnits.map("units" -> _).toSeq ++ timeCalendar.map("calendar" -> _))
 
     // ---- chunked data variables, indexed per `indexType`
     val (ctd, cyd, cxd) = indexType match {

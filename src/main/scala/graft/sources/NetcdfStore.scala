@@ -218,7 +218,8 @@ object NetcdfStore {
     * real-world classic cubes overwhelmingly use. */
   def writeNetcdf(cube: CubeFrame, path: String,
                   packed: Option[(Double, Double)] = None,
-                  timeUnits: Option[String] = None): Unit = {
+                  timeUnits: Option[String] = None,
+                  timeCalendar: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val g = cube.grid
     val times = cube.df.select(col("time")).distinct().orderBy(col("time"))
@@ -241,15 +242,18 @@ object NetcdfStore {
     // add_offset (32) + _FillValue (28) — names padded to 4, values
     // padded to 4, all fixed-width
     val packAttrBytes = if (packed.isDefined) 92 else 0
-    // CF time units: the time coord carries a char `units` attribute
-    // and stores values in that interval instead of raw epoch-us
+    // CF time units: the time coord carries char `units` (+ optional
+    // `calendar`) attributes and stores values in that interval instead
+    // of raw epoch-us; the base resolves in the calendar's own
+    // day-numbering so non-standard-calendar fixtures round-trip too
     val timeCf = timeUnits.map { u =>
-      (u, CfTime.parseUnits(u, None).getOrElse(
+      (u, CfTime.parseUnits(u, timeCalendar).getOrElse(
         throw new IllegalArgumentException(s"unparseable time units '$u'")))
     }
-    val timeAttrBytes =
-      timeCf.map { case (u, _) => 12 + 8 + (u.length + 3) / 4 * 4 }
-        .getOrElse(0)
+    val timeAttrs: Seq[(String, String)] =
+      timeCf.map("units" -> _._1).toSeq ++ timeCalendar.map("calendar" -> _)
+    val timeAttrBytes = timeAttrs.map { case (n, v) =>
+      padded(n) + 8 + (nameBytes(v).length + 3) / 4 * 4 }.sum
     // header size: magic(4) numrecs(4) + dim_list + gatts(8) + var_list
     var size = 4 + 4 + 8 + dims.map(d => padded(d._1) + 4).sum + 8 + 8
     def varHeaderSize(name: String, ndims: Int): Int =
@@ -292,13 +296,15 @@ object NetcdfStore {
       putName(name)
       out.putInt(dimIds.length)
       dimIds.foreach(out.putInt)
-      if (name == "time" && timeCf.isDefined) {
-        val u = timeCf.get._1.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        out.putInt(0x0C).putInt(1)
-        putName("units")
-        out.putInt(2).putInt(u.length) // NC_CHAR
-        out.put(u)
-        (0 until (4 - u.length % 4) % 4).foreach(_ => out.put(0.toByte))
+      if (name == "time" && timeAttrs.nonEmpty) {
+        out.putInt(0x0C).putInt(timeAttrs.length)
+        timeAttrs.foreach { case (an, av) =>
+          val u = nameBytes(av)
+          putName(an)
+          out.putInt(2).putInt(u.length) // NC_CHAR
+          out.put(u)
+          (0 until (4 - u.length % 4) % 4).foreach(_ => out.put(0.toByte))
+        }
       } else if (!short) out.putInt(0).putInt(0) // no attrs
       else {
         val (scale, offv) = packed.get
@@ -375,6 +381,8 @@ object NetcdfStore {
       try Some(ops.read1dLongs("time").sorted
         .map(graft.cube.Cube.timestampOfMicros).toSeq)
       catch { case scala.util.control.NonFatal(_) => None }
-    CubeFrame(df, grid, ops.variableNames, timeAxis)
+    val cal = try ops.textAttrs("time").get("calendar")
+      catch { case scala.util.control.NonFatal(_) => None }
+    CubeFrame(df, grid, ops.variableNames, timeAxis, cal)
   }
 }

@@ -13,6 +13,8 @@ private[sources] sealed trait StoreOps extends Serializable {
                 idx: Seq[Int]): Array[Double]
   def read1d(name: String): Array[Double]
   def read1dLongs(name: String): Array[Long]
+  /** text attributes of one variable (CF `units`/`calendar` carriers) */
+  def textAttrs(name: String): Map[String, String]
 }
 
 private[sources] object StoreOps {
@@ -40,6 +42,8 @@ private[sources] final case class ZarrOps(path: String) extends StoreOps {
     CfTime.axisUs(meta.textAttrs, ZarrStore.read1d(path, name, meta))
       .getOrElse(ZarrStore.read1dLongs(path, name, meta))
   }
+  def textAttrs(name: String): Map[String, String] =
+    ZarrStore.readArrayMeta(path, name).textAttrs
 }
 
 /** NetCDF-4/HDF5 files through the [[Hdf5]] reader. A chunked HDF5
@@ -90,6 +94,8 @@ private[sources] final case class Hdf5Ops(path: String) extends StoreOps {
     CfTime.axisUs(d.textAttrs, read1d(name))
       .getOrElse(read1d(name).map(_.toLong)) // native: epoch-us doubles
   }
+  def textAttrs(name: String): Map[String, String] =
+    f.datasets(name).textAttrs
 }
 
 private[sources] final case class NetcdfOps(path: String) extends StoreOps {
@@ -122,4 +128,6 @@ private[sources] final case class NetcdfOps(path: String) extends StoreOps {
     CfTime.axisUs(v.textAttrs, read1d(name))
       .getOrElse(read1d(name).map(_.toLong)) // native: epoch-us doubles
   }
+  def textAttrs(name: String): Map[String, String] =
+    header.variable(name).textAttrs
 }

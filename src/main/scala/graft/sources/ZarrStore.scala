@@ -848,6 +848,8 @@ object ZarrStore {
       try Some(ZarrOps(path).read1dLongs("time").sorted // CF-units aware
         .map(graft.cube.Cube.timestampOfMicros).toSeq)
       catch { case scala.util.control.NonFatal(_) => None }
-    CubeFrame(df, grid, variableNames(path), timeAxis)
+    val cal = try ZarrOps(path).textAttrs("time").get("calendar")
+      catch { case scala.util.control.NonFatal(_) => None }
+    CubeFrame(df, grid, variableNames(path), timeAxis, cal)
   }
 }

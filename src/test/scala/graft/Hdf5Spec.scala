@@ -291,6 +291,43 @@ Datasets:
     assert(rows(s"$dir/hours.nc") == expected)
   }
 
+  test("CF calendar fixtures: 360_day and julian axes decode (NC4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5cal").toString
+    val grid = CubeGrid(8, 4, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0"),
+      nanEvery = 5)
+    Hdf5.writeHdf5(cube, s"$dir/plain.nc", chunkY = 4, chunkX = 8)
+    Hdf5.writeHdf5(cube, s"$dir/c360.nc", chunkY = 4, chunkX = 8,
+      timeUnits = Some("days since 2017-01-01"),
+      timeCalendar = Some("360_day"))
+    Hdf5.writeHdf5(cube, s"$dir/cjul.nc", chunkY = 4, chunkX = 8,
+      timeUnits = Some("days since 2017-01-01"),
+      timeCalendar = Some("julian"))
+    val f = Hdf5.open(s"$dir/c360.nc")
+    assert(f.datasets("time").textAttrs.get("calendar").contains("360_day"))
+    // pinned raw counts: real 2017-01-01 is epoch-day 17167; the
+    // 360_day base 2017-01-01 is calendar-day (2017-1970)*360 = 16920,
+    // so the synthetic axis (2017-01-01 + i real days as calendar-
+    // native us) stores as 247+i
+    assert(Hdf5.read1d(s"$dir/c360.nc", f.datasets("time")).toSeq
+      == Seq(247.0, 248.0, 249.0))
+    // julian base 2017-01-01 = calendar-day 17167 (no century non-leap
+    // between 1970 and 2017, so julian and Gregorian counts agree here)
+    val fj = Hdf5.open(s"$dir/cjul.nc")
+    assert(Hdf5.read1d(s"$dir/cjul.nc", fj.datasets("time")).toSeq
+      == Seq(0.0, 1.0, 2.0))
+    def rows(p: String): Seq[String] =
+      NetcdfStore.openCube(spark, p).df
+        .select("time", "y_idx", "x_idx", "v0")
+        .collect().map(_.toString).sorted.toSeq
+    val expected = rows(s"$dir/plain.nc")
+    assert(rows(s"$dir/c360.nc") == expected)
+    assert(rows(s"$dir/cjul.nc") == expected)
+    // the calendar rides along on the opened cube for label formatting
+    assert(NetcdfStore.openCube(spark, s"$dir/c360.nc")
+      .timeCalendar.contains("360_day"))
+  }
+
   test("jenkins lookup3: published reference vectors") {
     // from lookup3.c driver5/driver2 (public domain, Bob Jenkins)
     assert(Hdf5.lookup3(Array.emptyByteArray, 0) == 0xdeadbeef)

@@ -84,8 +84,94 @@ class NetcdfSpec extends SparkSpec {
       CfTime.parseUnits("fortnights since 1970-01-01", None))
     assert(CfTime.parseUnits("days since 1970-01-01",
       Some("proleptic_gregorian")).isDefined)
+    // a genuinely unknown calendar still fails loudly
     intercept[IllegalArgumentException](
-      CfTime.parseUnits("days since 1970-01-01", Some("360_day")))
+      CfTime.parseUnits("days since 1970-01-01", Some("lunar")))
+  }
+
+  test("CF calendars: 360_day/noleap/all_leap/julian arithmetic") {
+    import graft.sources.CfTime
+    val day = 86400000000L
+
+    // 360_day: every month is 30 days; base day-number pinned by hand:
+    // (2000-1970)*360 + (2-1)*30 + (28-1) = 10857
+    assert(CfTime.parseUnits("days since 2000-02-28", Some("360_day"))
+      .contains((10857L * day, 86400e6)))
+    // counts 0..3 from 2000-02-28 pass through 02-29, 02-30 (a date
+    // that EXISTS in this calendar), then 03-01
+    val (b360, iv360) =
+      CfTime.parseUnits("days since 2000-02-28", Some("360_day")).get
+    val ax = CfTime.decode(Array(0.0, 1.0, 2.0, 3.0), b360, iv360)
+    assert(ax.map(CfTime.isoLabel(_, Some("360_day"))).toSeq == Seq(
+      "2000-02-28T00:00:00Z", "2000-02-29T00:00:00Z",
+      "2000-02-30T00:00:00Z", "2000-03-01T00:00:00Z"))
+    // a 360_day year is 360 days exactly
+    assert(CfTime.isoLabel(b360 + 360L * day, Some("360_day"))
+      == "2001-02-28T00:00:00Z")
+
+    // noleap: no Feb 29 ever; (2000-1970)*365 + 59 = noleap day of
+    // 2000-03-01 (Jan 31 + Feb 28 = 59)
+    assert(CfTime.parseUnits("days since 2000-03-01", Some("noleap"))
+      .contains(((30L * 365 + 59) * day, 86400e6)))
+    assert(CfTime.isoLabel((30L * 365 + 58) * day, Some("365_day"))
+      == "2000-02-28T00:00:00Z") // day before 03-01 is 02-28, not 02-29
+    intercept[IllegalArgumentException]( // Feb 29 invalid in noleap
+      CfTime.parseUnits("days since 2000-02-29", Some("noleap")))
+
+    // all_leap: every year has Feb 29; 1972-02-29 =
+    // (1972-1970)*366 + 31 + 28 = 791
+    assert(CfTime.parseUnits("days since 1972-02-29", Some("all_leap"))
+      .contains((791L * day, 86400e6)))
+    assert(CfTime.isoLabel(791L * day, Some("366_day"))
+      == "1972-02-29T00:00:00Z")
+    // 1971-02-29 is valid in all_leap though 1971 is no real leap year
+    assert(CfTime.parseUnits("days since 1971-02-29", Some("all_leap"))
+      .isDefined)
+
+    // julian: leap every 4th year INCLUDING centuries; 1900-02-29
+    // exists (fails in standard), and 2000-01-01 is julian day 10957
+    // from 1970-01-01 (same as Gregorian — no century skip between)
+    assert(CfTime.parseUnits("days since 2000-01-01", Some("julian"))
+      .contains((10957L * day, 86400e6)))
+    assert(CfTime.parseUnits("days since 1900-02-29", Some("julian"))
+      .isDefined)
+    intercept[Exception](
+      CfTime.parseUnits("days since 1900-02-29", None)) // std: no such day
+    // 1900-03-01 julian is one day after 1900-02-29: the two calendars
+    // diverge by the 1900 century leap day below 1970
+    val b1900 = CfTime.parseUnits("days since 1900-02-29", Some("julian"))
+      .get._1
+    assert(CfTime.isoLabel(b1900 + day, Some("julian"))
+      == "1900-03-01T00:00:00Z")
+
+    // round-trip: fromDays(toDays) is identity across a broad range for
+    // every calendar (≈ ±200 years around the epoch)
+    for (cal <- Seq(CfTime.Day360, CfTime.NoLeap, CfTime.AllLeap,
+        CfTime.Julian, CfTime.Standard)) {
+      var d0 = -73000L
+      while (d0 <= 73000L) {
+        val (y, mo, dd) = cal.fromDays(d0)
+        assert(cal.toDays(y, mo, dd) == d0, s"$cal day $d0 -> ($y,$mo,$dd)")
+        assert(mo >= 1 && mo <= 12 && dd >= 1 && dd <= cal.monthLen(y, mo))
+        d0 += 97L
+      }
+    }
+  }
+
+  test("CfCalendarCols column decode matches CfTime day-numbering") {
+    import graft.sources.CfTime
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val days = (0L until 60000L by 97L).toSeq // ~164 calendar years
+    val got = days.toDF("d")
+      .select(graft.functions.CfCalendarCols.iso360(col("d")).as("c360"),
+        graft.functions.CfCalendarCols.isoNoLeap(col("d")).as("cnl"))
+      .collect()
+    days.zip(got).foreach { case (dd, r) =>
+      val us = dd * 86400000000L
+      assert(r.getString(0) == CfTime.isoLabel(us, Some("360_day")).take(10))
+      assert(r.getString(1) == CfTime.isoLabel(us, Some("noleap")).take(10))
+    }
   }
 
   test("CF time units: classic 'seconds since' axis reads as timestamps") {
@@ -106,5 +192,38 @@ class NetcdfSpec extends SparkSpec {
         .select("time", "y_idx", "x_idx", "v0")
         .collect().map(_.toString).sorted.toSeq
     assert(rows(s"$dir/cf.nc") == rows(s"$dir/plain.nc"))
+  }
+
+  test("CF calendar fixtures: 360_day and noleap char attrs (NC3)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc3cal").toString
+    val grid = graft.cube.CubeGrid(8, 4, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = graft.cube.Cube.synthetic(spark, grid, numTimes = 3,
+      Seq("v0"), nanEvery = 5)
+    NetcdfStore.writeNetcdf(cube, s"$dir/plain.nc")
+    NetcdfStore.writeNetcdf(cube, s"$dir/c360.nc",
+      timeUnits = Some("days since 2017-01-01"),
+      timeCalendar = Some("360_day"))
+    NetcdfStore.writeNetcdf(cube, s"$dir/cnl.nc",
+      timeUnits = Some("days since 2017-01-01"),
+      timeCalendar = Some("noleap"))
+    val h = NetcdfStore.readHeader(s"$dir/c360.nc")
+    assert(h.variable("time").textAttrs.get("calendar").contains("360_day"))
+    // pinned raw counts: real 2017-01-01 = epoch-day 17167; 360_day
+    // base (2017-1970)*360 = 16920 -> 247+i; noleap base
+    // (2017-1970)*365 = 17155 -> 12+i
+    assert(NetcdfStore.read1d(s"$dir/c360.nc", h, "time").toSeq
+      == Seq(247.0, 248.0, 249.0))
+    val hn = NetcdfStore.readHeader(s"$dir/cnl.nc")
+    assert(NetcdfStore.read1d(s"$dir/cnl.nc", hn, "time").toSeq
+      == Seq(12.0, 13.0, 14.0))
+    def rows(p: String): Seq[String] =
+      NetcdfStore.openCube(spark, p).df
+        .select("time", "y_idx", "x_idx", "v0")
+        .collect().map(_.toString).sorted.toSeq
+    val expected = rows(s"$dir/plain.nc")
+    assert(rows(s"$dir/c360.nc") == expected)
+    assert(rows(s"$dir/cnl.nc") == expected)
+    assert(NetcdfStore.openCube(spark, s"$dir/cnl.nc")
+      .timeCalendar.contains("noleap"))
   }
 }

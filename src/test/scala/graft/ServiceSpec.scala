@@ -704,6 +704,14 @@ Datasets:
     // the shared session Hadoop conf must NOT be polluted per-store
     assert(spark.sparkContext.hadoopConfiguration.get("fs.s3a.endpoint")
       != "http://obs.example.org:9000")
+    // a prefix-sharing SIBLING dataset (cube.zarr vs cube.zarr2) must
+    // NOT inherit — matching is path/sidecar-boundary checked, not raw
+    // startsWith
+    assert(graft.sources.BlobStore
+      .optionsFor("file:///graft-obs-test/cube.zarr2").isEmpty)
+    assert(graft.sources.BlobStore
+      .optionsFor("file:///graft-obs-test/cube.zarr.levels/level=0")
+      .get("fs.s3a.endpoint").contains("http://obs.example.org:9000"))
     graft.sources.BlobStore.dropAll()
   }
 }

@@ -308,9 +308,27 @@ class ZarrSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/c.zarr/.zmetadata"))
     ZarrStore.invalidateMeta(s"$dir/c.zarr")
     assert(rows() == expected, "CF-units axis must decode identically")
-    // an exotic calendar fails loudly instead of silently mis-dating
+    // a 360_day calendar decodes to calendar-native epoch-us (days
+    // counted in the 360-day year): base 2017-01-01 = (2017-1970)*360
+    // = 16920 calendar days from the epoch
     java.nio.file.Files.writeString(tdir.resolve(".zattrs"),
       """{"units": "days since 2017-01-01", "calendar": "360_day"}""")
+    ZarrStore.invalidateMeta(s"$dir/c.zarr")
+    val opened360 = ZarrStore.openCube(spark, s"$dir/c.zarr")
+    val day = 86400000000L
+    assert(opened360.timeCalendar.contains("360_day"))
+    assert(opened360.timeAxis.get.map(t =>
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000) ==
+      Seq(16920L * day, 16921L * day, 16922L * day))
+    // ...and the server's labels come out in the 360_day calendar, not
+    // drifted through java.time
+    assert(opened360.timeAxis.get.map(t => graft.sources.CfTime.isoLabel(
+      t.getTime * 1000L, opened360.timeCalendar)) ==
+      Seq("2017-01-01T00:00:00Z", "2017-01-02T00:00:00Z",
+        "2017-01-03T00:00:00Z"))
+    // a genuinely unknown calendar still fails loudly
+    java.nio.file.Files.writeString(tdir.resolve(".zattrs"),
+      """{"units": "days since 2017-01-01", "calendar": "lunar"}""")
     ZarrStore.invalidateMeta(s"$dir/c.zarr")
     val e = intercept[Exception](rows())
     assert(e.getMessage != null && e.getMessage.contains("calendar") ||
