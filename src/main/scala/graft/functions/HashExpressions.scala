@@ -123,7 +123,27 @@ case class BitsetAndCount(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** Codegen'd merges-table BPE token count ([[graft.pipeline.Bpe]]):
+  * the real rank-ordered merge loop as one generated-code call per
+  * document — token counting for mixture planning stays inside
+  * whole-stage codegen. */
+case class BpeTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count"
+
+  override def nullSafeEval(v: Any): Any =
+    graft.pipeline.Bpe.countTokens(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.pipeline.Bpe.countTokens($c.toString())")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object HashF {
+  def bpeTokenCount(c: Column): Column =
+    GraftColumnBridge.column(BpeTokenCount(GraftColumnBridge.expression(c)))
   def polyHash(c: Column): Column =
     GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
   def fingerprint8(c: Column): Column =

@@ -212,7 +212,7 @@ object ExtraQueries {
   /** nearest-centroid cell id for the embedding column `v`:
     * score_j = -2 v·c_j + ||c_j||² (||v||² constant per row); argmin
     * with ties to the lowest centroid id */
-  private[queries] def ivfCellCol(v: String, cs: Array[Array[Double]]): Column = {
+  private[graft] def ivfCellCol(v: String, cs: Array[Array[Double]]): Column = {
     val scored = array(cs.zipWithIndex.map { case (c, j) =>
       val c2 = c.map(x => x * x).sum
       struct((lit(-2.0) * dotCentroid(v, c) + lit(c2)).as("score"),

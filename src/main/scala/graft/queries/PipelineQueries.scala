@@ -882,20 +882,49 @@ object PipelineQueries {
   /** BPE-ish regex token counting (lowercase runs, digits, and symbol
     * singletons — a subword-style segmentation) alongside whitespace
     * token counts. */
+  /** Token counting with the REAL merges-table BPE
+    * ([[graft.pipeline.Bpe]]: rank-ordered pair merging over the
+    * embedded GPT-2-format merges), as a codegen'd expression; the
+    * pre-tokenizer count rides along for comparison. The oracle
+    * replays the identical merges as an ordered replace-to-fixpoint
+    * fold — equivalent to the rank loop because the table is
+    * well-formed (see Bpe scaladoc). */
   def textTokenBpe(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
         size(expr("regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"))
-          .cast("long").as("n_bpe_tokens"))
+          .cast("long").as("n_pre_tokens"),
+        graft.functions.HashF.bpeTokenCount(col("text")).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
-  val textTokenBpeSql: String = """
-    SELECT doc_id,
-      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))
-        AS BIGINT) AS n_bpe_tokens
-    FROM documents ORDER BY doc_id"""
+  val textTokenBpeSql: String = {
+    // the same merges, same order, 4 fixpoint passes each (a pass
+    // halves any same-pair run; pre-tokens are far under 32 chars)
+    val merges = graft.pipeline.Bpe.Merges
+      .map { case (a, b) => s"'$a $b'" }.mkString("[", ", ", "]")
+    s"""
+    WITH pre AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]') AS words
+      FROM documents),
+    sym AS (SELECT doc_id, n_ws_tokens,
+        CAST(len(words) AS BIGINT) AS n_pre_tokens,
+        ' ' || array_to_string([array_to_string(regexp_extract_all(w, '(?s).'),
+          ' ') FOR w IN words], ' ¶ ') || ' ' AS s0
+      FROM pre),
+    folded AS (SELECT doc_id, n_ws_tokens, n_pre_tokens,
+        list_reduce(list_prepend(s0,
+          flatten([[m, m, m, m] FOR m IN $merges])),
+          (acc, m) -> replace(acc, ' ' || m || ' ',
+            ' ' || replace(m, ' ', '') || ' ')) AS s1
+      FROM sym)
+    SELECT doc_id, n_ws_tokens, n_pre_tokens,
+      CASE WHEN n_pre_tokens = 0 THEN 0 ELSE
+        CAST(len(list_filter(string_split(trim(s1), ' '), x -> x != '¶'))
+          AS BIGINT) END AS n_bpe_tokens
+    FROM folded ORDER BY doc_id"""
+  }
 
   // ------------------------------------------------------------- multimodal
   /** SQL-expressible slice of the multimodal plumbing: byte length and
@@ -923,7 +952,42 @@ object PipelineQueries {
     SELECT doc_id, n_bytes, header_sum, header_sum % 256 AS stub_feature
     FROM t ORDER BY doc_id"""
 
+  /** Decode accounting as an oracle-checked aggregate (the relational
+    * shape of [[graft.pipeline.Multimodal.featureSummary]]): per media
+    * kind, item count, decode-ok count and ok-fraction. "Decodes" here
+    * is the deterministic payload floor both engines share (a payload
+    * shorter than the 16-byte header the stub reads cannot decode);
+    * the REAL ImageIO/PCM/AVI decode paths are asserted in
+    * PipelineSpec against actual media bytes. */
+  def multimodalDecodeStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("n_bytes") >= 16, 1L).otherwise(0L)).as("n_decode_ok"))
+      .withColumn("decode_ok_frac",
+        round(col("n_decode_ok") / col("n_items"), 6))
+      .orderBy("kind")
+
+  val multimodalDecodeStatsSql: String = """
+    WITH t AS (SELECT
+      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents)
+    SELECT kind, COUNT(*) AS n_items,
+      CAST(SUM(CASE WHEN n_bytes >= 16 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_decode_ok,
+      ROUND(CAST(SUM(CASE WHEN n_bytes >= 16 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS decode_ok_frac
+    FROM t GROUP BY kind ORDER BY kind"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("multimodal_decode_stats", multimodalDecodeStats,
+      Some(multimodalDecodeStatsSql)),
     QuerySpec("dedup_exact", dedupExact, Some(dedupExactSql)),
     QuerySpec("dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
     QuerySpec("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),

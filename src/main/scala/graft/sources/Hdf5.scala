@@ -578,7 +578,7 @@ object Hdf5 {
         }
       case (0x0C, b) => // attribute (CF mask-and-scale + time units)
         b.position(0)
-        parseAttr(b).foreach {
+        parseAttr(b, r).foreach {
           case (k, Right(v)) => attrs += k -> v
           case (k, Left(s)) => textAttrs += k -> s
         }
@@ -611,12 +611,27 @@ object Hdf5 {
       btreeAddr, filters, fill, index, attrs, textAttrs))
   }
 
+  /** attribute names CF semantics hang off: silently dropping one of
+    * these mis-dates/mis-scales every value (CfTime/CfScale would never
+    * run), so an undecodable carrier must fail loudly, not parse-skip */
+  private val CfAttrNames = Set("units", "calendar", "scale_factor",
+    "add_offset", "_FillValue", "missing_value", "valid_min", "valid_max",
+    "valid_range")
+
+  /** escapes parseAttr's parse-error swallow: CF-significant attributes
+    * must not be silently dropped */
+  private final class CfAttrException(m: String)
+    extends IllegalArgumentException(m)
+
   /** one Attribute message (versions 1-3): Right(values) for numeric
     * scalar/small-array attributes, Left(text) for fixed-length
-    * strings (the `units`/`calendar` carriers); None for references,
-    * vlen strings, shared datatypes and anything else CF never uses */
-  private def parseAttr(
-      b: ByteBuffer): Option[(String, Either[String, Seq[Double]])] = try {
+    * strings (class 3) AND variable-length strings (class 9, resolved
+    * through the global heap — h5py/h5netcdf write `units`/`calendar`
+    * as vlen by default); None for references, shared datatypes and
+    * anything else CF never uses — unless the attribute name is a CF
+    * carrier, which throws instead of silently dropping */
+  private def parseAttr(b: ByteBuffer,
+      r: R): Option[(String, Either[String, Seq[Double]])] = try {
     val ver = b.get() & 0xFF
     if (ver < 1 || ver > 3) return None
     val flags = if (ver == 1) { b.get(); 0 } else b.get() & 0xFF
@@ -629,14 +644,20 @@ object Hdf5 {
     b.position(b.position() + (pad(nameSize) - nameSize))
     val name = new String(nb.takeWhile(_ != 0),
       java.nio.charset.StandardCharsets.UTF_8)
-    if ((flags & 0x03) != 0) return None // shared datatype/dataspace
+    def unsupported(what: String): Option[Nothing] =
+      if (CfAttrNames(name)) throw new CfAttrException(
+        s"attribute '$name' has $what — refusing to silently drop a " +
+          "CF-significant attribute")
+      else None
+    if ((flags & 0x03) != 0) return unsupported("a shared datatype/dataspace")
     val dtStart = b.position()
     val cv = b.get() & 0xFF
     val clazz = cv & 0x0F
     val bits0 = b.get() & 0xFF
     b.get(); b.get()
     val size = b.getInt()
-    if (clazz != 0 && clazz != 1 && clazz != 3) return None
+    if (clazz != 0 && clazz != 1 && clazz != 3 && clazz != 9)
+      return unsupported(s"unsupported datatype class $clazz")
     val dt = Dtype(clazz, size, littleEndian = (bits0 & 1) == 0,
       signed = clazz == 0 && (bits0 & 8) != 0)
     b.position(dtStart + pad(dtSize))
@@ -649,9 +670,25 @@ object Hdf5 {
     if ((dsFlags & 1) != 0) (0 until rank).foreach(_ => b.getLong())
     b.position(dsStart + pad(dsSize))
     val n = if (rank == 0) 1 else dims.product.toInt
+    if (clazz == 9) { // variable-length (class 9): vlen STRING scalar
+      if ((bits0 & 0x0F) != 1) // type 0 = vlen sequence (numeric)
+        return unsupported("a variable-length sequence datatype")
+      if (n != 1 || b.remaining() < 16)
+        return unsupported(s"a non-scalar vlen string shape ($n)")
+      // vlen datum: {length u32, global-heap collection addr u64,
+      // object index u32} — III.E in the format spec
+      val len = b.getInt()
+      val haddr = b.getLong()
+      val idx = b.getInt()
+      if (len < 0 || len > (1 << 20))
+        return unsupported(s"an implausible vlen length $len")
+      val raw = globalHeapObject(r, haddr, idx, len)
+      return Some(name -> Left(new String(raw.takeWhile(_ != 0),
+        java.nio.charset.StandardCharsets.UTF_8)))
+    }
     if (clazz == 3) { // fixed-length string (class 3): one value
       if (n != 1 || size <= 0 || size > 4096 || b.remaining() < size)
-        return None
+        return unsupported(s"an unsupported fixed-string shape")
       val raw = new Array[Byte](size); b.get(raw)
       return Some(name -> Left(new String(raw.takeWhile(_ != 0),
         java.nio.charset.StandardCharsets.UTF_8)))
@@ -659,7 +696,40 @@ object Hdf5 {
     if (n <= 0 || n > 16 || b.remaining() < n * size) return None
     val raw = new Array[Byte](n * size); b.get(raw)
     Some(name -> Right(toDoubles(dt, raw, n).toSeq))
-  } catch { case scala.util.control.NonFatal(_) => None }
+  } catch {
+    case e: CfAttrException => throw e
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** read global heap object `wantIdx` from the collection at `addr`
+    * (format spec III.E): GCOL header, then packed objects of
+    * {index u16, refcount u16, reserved u32, size u64, data pad-8};
+    * object 0 is the trailing free-space marker */
+  private def globalHeapObject(r: R, addr: Long, wantIdx: Int,
+                               len: Int): Array[Byte] = {
+    val head = r.bytes(addr, 16)
+    val sig = new Array[Byte](4); head.get(sig)
+    if (!sig.sameElements("GCOL".getBytes))
+      throw new IllegalArgumentException("global heap signature expected")
+    require((head.get() & 0xFF) == 1, "global heap version 1 expected")
+    head.get(); head.get(); head.get() // reserved
+    val collSize = head.getLong()
+    var off = 16L
+    while (off + 16 <= collSize) {
+      val ob = r.bytes(addr + off, 16)
+      val idx = ob.getShort() & 0xFFFF
+      ob.getShort(); ob.getInt() // refcount + reserved
+      val osize = ob.getLong()
+      if (idx == wantIdx)
+        return r.raw(addr + off + 16, math.min(len.toLong, osize).toInt)
+      if (idx == 0) // free-space object terminates the used region
+        throw new IllegalArgumentException(
+          s"global heap object $wantIdx not found")
+      off += 16L + (osize + 7) / 8 * 8
+    }
+    throw new IllegalArgumentException(
+      s"global heap object $wantIdx not found in collection")
+  }
 
   // ------------------------------------------------------------ read
 
@@ -1262,7 +1332,8 @@ object Hdf5 {
                 denseGroup: Boolean = false,
                 cfAttrs: Option[(Double, Double)] = None,
                 timeUnits: Option[String] = None,
-                timeCalendar: Option[String] = None): Unit = {
+                timeCalendar: Option[String] = None,
+                vlenTimeAttrs: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.col
     val g = cube.grid
     val times = cube.df.select(col("time")).distinct().orderBy(col("time"))
@@ -1428,6 +1499,45 @@ object Hdf5 {
     }
     def textAttrBytes(aname: String, value: String): Int =
       8 + pad8g(8 + pad8g(aname.length + 1) + 8 + 8 + value.length + 1)
+    /** vlen-string scalar attribute (class 9, the layout h5py emits for
+      * str attrs): the value is a 16-byte global-heap datum reference;
+      * returns the patch position for the collection address, to be
+      * filled once the GCOL is written after the dataset's data */
+    def attrMsgVlen(aname: String, value: String): Long = {
+      val nb = aname.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val vb = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val nsize = nb.length + 1
+      var patch = 0L
+      msg(0x0C, 8 + pad8g(nsize) + 16 + 8 + 16) {
+        w.u8(1); w.u8(0) // attribute v1
+        w.u16(nsize); w.u16(16); w.u16(8)
+        w.bytes(nb); w.zeros(pad8g(nsize) - nb.length)
+        w.u8(0x19); w.u8(1); w.u8(0); w.u8(0) // class 9 v1, type=string
+        w.u32(16) // vlen datum size: len u32 + addr u64 + index u32
+        w.u8(0x13); w.u8(0); w.u8(0); w.u8(0); w.u32(1) // base: 1-byte str
+        w.u8(1); w.u8(0); w.u8(0); w.zeros(5) // scalar dataspace v1
+        w.u32(vb.length.toLong)
+        patch = w.pos; w.u64(0) // GCOL address, patched later
+        w.u32(1) // heap object index
+      }
+      patch
+    }
+    def vlenAttrBytes(aname: String): Int =
+      8 + pad8g(8 + pad8g(aname.length + 1) + 16 + 8 + 16)
+    /** one-object global heap collection holding `value` (spec III.E:
+      * GCOL header, object 1, trailing free-space object 0) */
+    def writeGcolString(value: String): Long = {
+      val addr = w.pos
+      val vb = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val objBody = (vb.length + 7) / 8 * 8
+      w.bytes("GCOL".getBytes); w.u8(1); w.zeros(3)
+      w.u64(16L + 16L + objBody + 16L) // header + object + free marker
+      w.u16(1); w.u16(1); w.u32(0) // index 1, refcount 1
+      w.u64(vb.length.toLong)
+      w.bytes(vb); w.zeros(objBody - vb.length)
+      w.u16(0); w.u16(0); w.u32(0); w.u64(16) // free-space object
+      addr
+    }
     def spaceMsg(dims: Seq[Int]): Unit = msg(0x01, 8 + dims.length * 8) {
       w.u8(1); w.u8(dims.length); w.u8(0); w.zeros(5)
       dims.foreach(d => w.u64(d.toLong))
@@ -1435,16 +1545,21 @@ object Hdf5 {
 
     // ---- contiguous coordinate dataset: header + raw doubles
     def writeCoord(name: String, data: Array[Double],
-                   textAttr: Seq[(String, String)] = Nil): Unit = {
+                   textAttr: Seq[(String, String)] = Nil,
+                   vlenAttrs: Boolean = false): Unit = {
       announce(name)
-      val extra = textAttr.map { case (an, av) => textAttrBytes(an, av) }.sum
+      val extra =
+        if (vlenAttrs) textAttr.map { case (an, _) => vlenAttrBytes(an) }.sum
+        else textAttr.map { case (an, av) => textAttrBytes(an, av) }.sum
       // dataspace 24 | datatype 32 | fill 24 | [attr] | layout 32
       w.u8(1); w.u8(0); w.u16(4 + textAttr.size); w.u32(1)
       w.u32((24 + 32 + 24 + 32 + extra).toLong); w.zeros(4)
       spaceMsg(Seq(data.length))
       dtypeF64Msg()
       fillMsg()
-      textAttr.foreach { case (an, av) => attrMsgText(an, av) }
+      val gheapPatches =
+        if (vlenAttrs) textAttr.map { case (an, av) => (attrMsgVlen(an, av), av) }
+        else { textAttr.foreach { case (an, av) => attrMsgText(an, av) }; Nil }
       var dataPatch = 0L
       msg(0x08, 18) {
         w.u8(3); w.u8(1) // layout v3, contiguous
@@ -1453,6 +1568,10 @@ object Hdf5 {
       }
       w.patch64(dataPatch, w.pos)
       data.foreach(w.f64)
+      // vlen attr values live in a global heap collection AFTER the
+      // data; patch each datum's collection address now
+      gheapPatches.foreach { case (p, av) =>
+        w.patch64(p, writeGcolString(av)) }
     }
     // CF time units: store the axis in the declared interval (the base
     // resolves in timeCalendar's own day-numbering, so encode/decode
@@ -1467,7 +1586,8 @@ object Hdf5 {
     writeCoord("lat", latArr)
     writeCoord("lon", lonArr)
     writeCoord("time", timeVals,
-      timeUnits.map("units" -> _).toSeq ++ timeCalendar.map("calendar" -> _))
+      timeUnits.map("units" -> _).toSeq ++ timeCalendar.map("calendar" -> _),
+      vlenAttrs = vlenTimeAttrs)
 
     // ---- chunked data variables, indexed per `indexType`
     val (ctd, cyd, cxd) = indexType match {
@@ -1485,7 +1605,7 @@ object Hdf5 {
         case "single" => 58
         case "implicit" => 46
         case "fixedarray" | "fixedarray-paged" => 47
-        case "extarray" => 51
+        case "extarray" | "extarray-paged" => 51
         case "btree2" => 52
         case t => throw new IllegalArgumentException(
           s"unknown chunk index type $t")
@@ -1547,12 +1667,13 @@ object Hdf5 {
               case "implicit" => w.u8(2)
               case "fixedarray" => w.u8(3); w.u8(10) // page bits
               case "fixedarray-paged" => w.u8(3); w.u8(2)
-              case "extarray" =>
+              case "extarray" | "extarray-paged" =>
                 // max bits, index elmts, sup-blk min ptrs, data-blk min
                 // elmts, page bits (the layout-message field order)
                 w.u8(4)
                 w.u8(32); w.u8(EaIdxElmts); w.u8(EaMinPtrs)
-                w.u8(EaMinElmts); w.u8(10)
+                w.u8(EaMinElmts)
+                w.u8(if (indexType == "extarray-paged") 4 else 10)
               case "btree2" =>
                 w.u8(5); w.u32(Bt2NodeSize.toLong); w.u8(100); w.u8(40)
             }
@@ -1606,6 +1727,11 @@ object Hdf5 {
           w.patch64(idxPatch, writeFixedArray(w, entries, pageBits = 2))
         case "extarray" =>
           w.patch64(idxPatch, writeExtensibleArray(w, entries))
+        case "extarray-paged" =>
+          // 2^4-element pages: data blocks from super-block tier 5 on
+          // page, exercising the bitmap + per-page checksum path with a
+          // fixture-sized chunk count (unpaged needs >5*10^5 chunks)
+          w.patch64(idxPatch, writeExtensibleArray(w, entries, pageBits = 4))
         case "btree2" =>
           w.patch64(idxPatch, writeBt2ChunkIndex(w, entries,
             Seq(ctd.toLong, cyd.toLong, cxd.toLong)))
@@ -1732,14 +1858,18 @@ object Hdf5 {
   /** extensible-array chunk index (client 1). Entries in linear chunk
     * order fill the index block's direct elements, then data blocks on
     * the super-block doubling schedule; super blocks past the first
-    * 2*log2(minPtrs) become real EASB objects. Unpaged (fixture data
-    * blocks stay under the 2^10-element page). Returns the EAHD
+    * 2*log2(minPtrs) become real EASB objects. Data blocks larger than
+    * 2^pageBits elements are PAGED: the super block carries a
+    * page-init bitmap and the data block stores a prefix checksum then
+    * per-page element runs with their own checksums. Returns the EAHD
     * address. */
   private def writeExtensibleArray(w: W,
-                                   entries: Seq[(Seq[Long], Long, Int)]): Long = {
+                                   entries: Seq[(Seq[Long], Long, Int)],
+                                   pageBits: Int = 10): Long = {
     val entrySize = 8 + 4 + 4
     val maxBits = 32
     val offBytes = maxBits / 8
+    val pageElmts = 1L << pageBits
     def log2(v: Int): Int = 63 - java.lang.Long.numberOfLeadingZeros(v.toLong)
     val nsblks = 1 + maxBits - log2(EaMinElmts)
     val sblkNdblks = (0 until nsblks).map(u => 1L << (u / 2))
@@ -1758,9 +1888,17 @@ object Hdf5 {
     val hdrSize = 4 + 1 + 1 + 6 + 6 * 8 + 8 + 4
     val iblkSize = 4 + 1 + 1 + 8 + EaIdxElmts * entrySize +
       (iblkDblks + (nsblks - firstRealSblk)) * 8 + 4
+    def dblkPages(u: Int): Long =
+      if (sblkDblkElmts(u) > pageElmts) sblkDblkElmts(u) / pageElmts else 0L
     def dblkSize(u: Int): Long =
-      4 + 1 + 1 + 8 + offBytes + sblkDblkElmts(u) * entrySize + 4
-    def sblkSize(u: Int): Long = 4 + 1 + 1 + 8 + offBytes + sblkNdblks(u) * 8 + 4
+      if (dblkPages(u) > 0)
+        4 + 1 + 1 + 8 + offBytes + 4 +
+          dblkPages(u) * (pageElmts * entrySize + 4)
+      else 4 + 1 + 1 + 8 + offBytes + sblkDblkElmts(u) * entrySize + 4
+    def sblkBitmapBytes(u: Int): Int =
+      ((sblkNdblks(u) * dblkPages(u) + 7) / 8).toInt
+    def sblkSize(u: Int): Long = 4 + 1 + 1 + 8 + offBytes +
+      sblkBitmapBytes(u) + sblkNdblks(u) * 8 + 4
 
     // address plan: header, index block, early data blocks, then per
     // real super block the EASB followed by its data blocks
@@ -1795,7 +1933,7 @@ object Hdf5 {
     // header field order: element size, max bits, index elmts, data-blk
     // min elmts, sup-blk min ptrs, page bits
     w.u8(entrySize); w.u8(maxBits); w.u8(EaIdxElmts); w.u8(EaMinElmts)
-    w.u8(EaMinPtrs); w.u8(10)
+    w.u8(EaMinPtrs); w.u8(pageBits)
     val ndblksTotal = earlyDblkAddrs.count(_.isDefined) +
       realSblks.flatMap(_.toSeq).map(_._3.count(_.isDefined)).sum
     w.u64(realSblks.count(_.isDefined).toLong) // stats: super blocks
@@ -1819,19 +1957,35 @@ object Hdf5 {
     }
     w.checksum(ibs)
 
-    // ---- early data blocks (index-block pointed)
+    /** one data block at `a`, paged when its super-block tier pages */
+    def writeDblk(a: Long, u: Int, d: Long): Unit = {
+      require(w.pos == a, "extensible-array data block drifted")
+      val start = EaIdxElmts + sblkStartIdx(u) + d * sblkDblkElmts(u)
+      val dbs = w.pos
+      w.bytes("EADB".getBytes); w.u8(0); w.u8(1); w.u64(hdrAddr)
+      w.u32(start) // block offset
+      if (dblkPages(u) > 0) {
+        w.checksum(dbs) // prefix checksum, then per-page runs
+        (0L until dblkPages(u)).foreach { p =>
+          val ps = w.pos
+          (0L until pageElmts).foreach(i => elem(start + p * pageElmts + i))
+          w.checksum(ps)
+        }
+      } else {
+        (0L until sblkDblkElmts(u)).foreach(i => elem(start + i))
+        w.checksum(dbs)
+      }
+    }
+
+    // ---- early data blocks (index-block pointed; format requires
+    // these unpaged — holds for any pageBits >= 4 with minPtrs 2)
+    require(firstRealSblk == 0 ||
+      sblkDblkElmts(firstRealSblk - 1) <= pageElmts,
+      s"pageBits $pageBits would page an index-block-pointed data block")
     var earlyIdx = 0
     (0 until math.min(firstRealSblk, nsblks)).foreach { u =>
       (0L until sblkNdblks(u)).foreach { d =>
-        earlyDblkAddrs(earlyIdx).foreach { a =>
-          require(w.pos == a, "extensible-array data block drifted")
-          val ds = w.pos
-          w.bytes("EADB".getBytes); w.u8(0); w.u8(1); w.u64(hdrAddr)
-          w.u32(EaIdxElmts + sblkStartIdx(u) + d * sblkDblkElmts(u)) // block offset
-          (0L until sblkDblkElmts(u)).foreach(i =>
-            elem(EaIdxElmts + sblkStartIdx(u) + d * sblkDblkElmts(u) + i))
-          w.checksum(ds)
-        }
+        earlyDblkAddrs(earlyIdx).foreach(a => writeDblk(a, u, d))
         earlyIdx += 1
       }
     }
@@ -1843,17 +1997,26 @@ object Hdf5 {
         val ss = w.pos
         w.bytes("EASB".getBytes); w.u8(0); w.u8(1); w.u64(hdrAddr)
         w.u32(EaIdxElmts + sblkStartIdx(u)) // block offset
+        if (dblkPages(u) > 0) {
+          // page-init bitmap, MSB-first: every page of an existing data
+          // block is written (missing elements encode as Undef), absent
+          // blocks' pages stay 0
+          val bitmap = new Array[Byte](sblkBitmapBytes(u))
+          ds.zipWithIndex.foreach {
+            case (Some(_), d) =>
+              (0L until dblkPages(u)).foreach { p =>
+                val bit = d * dblkPages(u) + p
+                bitmap((bit / 8).toInt) =
+                  (bitmap((bit / 8).toInt) | (1 << (7 - (bit % 8).toInt))).toByte
+              }
+            case _ => ()
+          }
+          w.bytes(bitmap)
+        }
         ds.foreach(a => w.u64(a.getOrElse(Undef)))
         w.checksum(ss)
         ds.zipWithIndex.foreach {
-          case (Some(a), d) =>
-            require(w.pos == a, "extensible-array data block drifted")
-            val dbs = w.pos
-            w.bytes("EADB".getBytes); w.u8(0); w.u8(1); w.u64(hdrAddr)
-            w.u32(EaIdxElmts + sblkStartIdx(u) + d * sblkDblkElmts(u))
-            (0L until sblkDblkElmts(u)).foreach(i =>
-              elem(EaIdxElmts + sblkStartIdx(u) + d * sblkDblkElmts(u) + i))
-            w.checksum(dbs)
+          case (Some(a), d) => writeDblk(a, u, d.toLong)
           case _ => ()
         }
       case None => ()

@@ -328,6 +328,80 @@ Datasets:
       .timeCalendar.contains("360_day"))
   }
 
+  test("extensible-array paged data blocks (bitmap + per-page checksums)") {
+    // the paged tier starts at super-block 5 (element 124 past the
+    // index block with minElmts 4/pageBits 4): 200 chunks force real
+    // EASB page bitmaps and per-page element runs — the deepest
+    // extensible-array shape, unreachable by the unpaged fixtures
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5eap").toString
+    val grid = CubeGrid(16, 16, 0.0, 40.0, 0.25, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 25, Seq("v0"),
+      nanEvery = 7)
+    Hdf5.writeHdf5(cube, s"$dir/ref.nc", chunkY = 4, chunkX = 8)
+    Hdf5.writeHdf5(cube, s"$dir/eap.nc", chunkY = 4, chunkX = 8,
+      indexType = "extarray-paged")
+    assert(Hdf5.open(s"$dir/eap.nc").datasets("v0").index.kind == 4)
+    def rows(p: String): Seq[String] =
+      NetcdfStore.openCube(spark, p).df
+        .select("time", "y_idx", "x_idx", "v0")
+        .collect().map(_.toString).sorted.toSeq
+    val expected = rows(s"$dir/ref.nc")
+    assert(expected.length == 16 * 16 * 25)
+    assert(rows(s"$dir/eap.nc") == expected)
+  }
+
+  test("vlen-string attributes resolve through the global heap") {
+    // h5py/h5netcdf write str attrs as vlen (class 9) by default — a
+    // reader that only handles fixed strings silently drops `units`
+    // and serves raw interval counts as epoch-us garbage dates
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5vl").toString
+    val grid = CubeGrid(8, 4, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0"),
+      nanEvery = 5)
+    Hdf5.writeHdf5(cube, s"$dir/plain.nc", chunkY = 4, chunkX = 8)
+    Hdf5.writeHdf5(cube, s"$dir/vlen.nc", chunkY = 4, chunkX = 8,
+      timeUnits = Some("days since 2017-01-01"),
+      timeCalendar = Some("360_day"), vlenTimeAttrs = true)
+    val f = Hdf5.open(s"$dir/vlen.nc")
+    // both attrs decode through the global heap indirection
+    assert(f.datasets("time").textAttrs.get("units")
+      .contains("days since 2017-01-01"))
+    assert(f.datasets("time").textAttrs.get("calendar").contains("360_day"))
+    def rows(p: String): Seq[String] =
+      NetcdfStore.openCube(spark, p).df
+        .select("time", "y_idx", "x_idx", "v0")
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$dir/vlen.nc") == rows(s"$dir/plain.nc"))
+  }
+
+  test("undecodable CF-significant attribute fails loudly") {
+    // craft an attribute message named `units` with datatype class 7
+    // (reference — no CF meaning, undecodable): parseAttr must throw,
+    // not return None and silently skip CF time decoding
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5bad").toString
+    val grid = CubeGrid(8, 4, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0"))
+    Hdf5.writeHdf5(cube, s"$dir/f.nc", chunkY = 4, chunkX = 8,
+      timeUnits = Some("days since 2017-01-01"))
+    // corrupt the units attr's datatype class in place: find the attr
+    // message body (v1: 01 00 | nameSize=6 | dtSize | dsSize | "units")
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/f.nc"))
+    val pat = "units".getBytes :+ 0.toByte
+    val at = bytes.indexOfSlice(pat)
+    assert(at > 0, "units attr not found in fixture")
+    // name is padded to 8 ("units\0" + 2 pad); datatype version/class
+    // byte follows — rewrite class 3 (string) to class 7 (reference)
+    val dtOff = at + 8
+    assert((bytes(dtOff) & 0x0F) == 3, "expected string-class attr dtype")
+    bytes(dtOff) = ((bytes(dtOff) & 0xF0) | 0x07).toByte
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/f.nc"), bytes)
+    val e = intercept[Exception](Hdf5.open(s"$dir/f.nc"))
+    assert(e.getMessage != null && e.getMessage.contains("units"),
+      s"got: $e")
+  }
+
   test("jenkins lookup3: published reference vectors") {
     // from lookup3.c driver5/driver2 (public domain, Bob Jenkins)
     assert(Hdf5.lookup3(Array.emptyByteArray, 0) == 0xdeadbeef)

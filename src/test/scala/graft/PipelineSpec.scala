@@ -283,6 +283,109 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.audioFeatures("hello".getBytes).isEmpty)
   }
 
+  test("BPE: rank-ordered merges segment words like the classic loop") {
+    import graft.pipeline.Bpe
+    // "the": t+h (rank 0) then th+e (rank 1) — full merge
+    assert(Bpe.segment("the") == Seq("the"))
+    // "thing": t+h, i+n, then in+g — two tokens
+    assert(Bpe.segment("thing") == Seq("th", "ing"))
+    assert(Bpe.segment("and") == Seq("and"))
+    // "hello": l+l outranks h+e, both apply
+    assert(Bpe.segment("hello") == Seq("he", "ll", "o"))
+    // same-pair run: leftmost non-overlapping merging
+    assert(Bpe.segment("llll") == Seq("ll", "ll"))
+    // three-level merge chain: w+i, t+h, wi+th
+    assert(Bpe.segment("with") == Seq("with"))
+    // unknown chars stay single symbols
+    assert(Bpe.segment("xyz") == Seq("x", "y", "z"))
+    // count = sum over pre-tokens ([a-z]+ | digit | other non-space)
+    assert(Bpe.countTokens("the thing and 7 with!") == 7L)
+    assert(Bpe.countTokens("") == 0L)
+    // the merges table is well-formed: every side is a single char or
+    // an earlier rule's output — the invariant the oracle's ordered
+    // replace-fold equivalence rests on
+    val produced = scala.collection.mutable.Set.empty[String]
+    Bpe.Merges.foreach { case (a, b) =>
+      assert(a.length == 1 || produced.contains(a), s"rule side '$a'")
+      assert(b.length == 1 || produced.contains(b), s"rule side '$b'")
+      produced += (a + b)
+    }
+    // expression wrapper agrees with the kernel
+    import spark.implicits._
+    val got = Seq((1L, "the thing and 7 with!"), (2L, "hello world"))
+      .toDF("id", "t")
+      .select(graft.functions.HashF.bpeTokenCount(col("t")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(7L, Bpe.countTokens("hello world")))
+  }
+
+  test("REAL video decode: MJPEG AVI frames, geometry, features") {
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // 6 frames stepping gray levels, 16x8 at 10 fps
+    val stills = (0 until 6).map(f => jpeg(16, 8, 0x111111 * (f + 2)))
+    val avi = Multimodal.writeMjpegAvi(stills, 16, 8, fps = 10)
+    val v = Multimodal.parseAvi(avi).get
+    assert(v.width == 16 && v.height == 8)
+    assert(v.usPerFrame == 100000L)
+    assert(v.frames.length == 6)
+    // extracted stills are byte-identical to what went in
+    assert(v.frames.zip(stills).forall { case (a, b) => a.sameElements(b) })
+    // sampled frames decode to the same pixels ImageIO reads directly
+    val sampled = Multimodal.frameSample(avi, 3)
+    assert(sampled.length == 3)
+    sampled.foreach { f =>
+      val direct = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f))
+      assert(direct.getWidth == 16 && direct.getHeight == 8)
+    }
+    val feats = Multimodal.videoFeatures(avi).get
+    assert(feats(0) == 16f && feats(1) == 8f) // decoded frame dims
+    assert(feats(2) == 6f) // frame count
+    assert(math.abs(feats(3) - 0.6f) < 1e-3) // duration: 6 / 10 fps
+    assert(feats(4) == 10f) // fps
+    assert(feats(5) > 0f && feats(7) == 2f) // luma, aspect
+    // per-frame luma varies across the gray steps → nonzero spread
+    assert(feats(6) > 0f)
+    // garbage is None, truncated AVI stops clean (frames before the cut)
+    assert(Multimodal.parseAvi("RIFFgarbage".getBytes).isEmpty)
+    assert(Multimodal.videoFeatures("not avi".getBytes).isEmpty)
+    val cut = java.util.Arrays.copyOf(avi, avi.length - stills.last.length)
+    assert(Multimodal.parseAvi(cut).exists(_.frames.length < 6))
+  }
+
+  test("decode-failure accounting: featureSummary per-kind counts") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, "image", png(4, 4)), (2L, "image", png(2, 2)),
+      (3L, "image", "corrupt".getBytes), // decode fails
+      (4L, "video", "also corrupt".getBytes)) // decode fails
+    val items = rows.toDF("id", "kind", "payload")
+      .select(col("id"), col("kind"), col("payload").as("content"),
+        map(lit("n_bytes"),
+          octet_length(col("payload")).cast("string")).as("meta"))
+      .as[Multimodal.MediaItem]
+    val summary = Multimodal.featureSummary(
+        Multimodal.extractMediaFeatures(items))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(summary("image") == ((3L, 2L, 0.666667)))
+    assert(summary("video") == ((1L, 0L, 0.0)))
+  }
+
   test("custom expressions callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     assert(spark.sql("SELECT poly_hash('spark') AS h")

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+
+/** Recall gates for the ANN tiers: the oracle queries prove the
+  * bucketed plans are deterministic, but say nothing about whether the
+  * buckets actually FIND neighbors. On a clustered corpus (the regime
+  * ANN exists for — near-duplicate embeddings), recall@k against
+  * [[Similarity.bruteForceTopK]] must clear a pinned floor with the
+  * SHIPPED parameters (sim_ann_lsh: 8 planes / dim 64; sim_ann_ivf:
+  * 4 coarse centroids). Generation is integer-deterministic, so the
+  * measured recall is reproducible, not flaky. */
+class SimilarityRecallSpec extends SparkSpec {
+
+  private val dim = 64
+
+  /** 20 clusters × 10 points: centre from an integer hash in [-1,1],
+    * per-point noise ~2% of the component scale (≈0.02 rad) — tight
+    * near-duplicate clusters, the workload LSH/IVF are built for */
+  private def clusteredCorpus: DataFrame = {
+    val vecs = for (c <- 0 until 20; p <- 0 until 10) yield {
+      val emb = Array.tabulate(dim) { i =>
+        val centre =
+          (((2654435761L * (c * dim + i + 1)) % 2001) - 1000).toDouble / 1000.0
+        val noise =
+          ((((c * 10 + p) * dim + i) * 48271L % 201) - 100).toDouble / 100.0
+        (centre + 0.02 * noise).toFloat
+      }
+      (c * 10 + p, emb)
+    }
+    import spark.implicits._
+    vecs.toDF("vec_id", "embedding")
+  }
+
+  private def recallAt3(ann: DataFrame, exact: DataFrame): Double = {
+    val e = exact.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    val hit = ann.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).count(e.contains)
+    hit.toDouble / e.size
+  }
+
+  test("hyperplane-LSH recall@3 >= 0.9 with shipped parameters") {
+    val emb = clusteredCorpus
+    val queries = emb.filter(col("vec_id") % 10 === 0) // one per cluster
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 3)
+    val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding", 3,
+      numPlanes = 8, dim = dim)
+    val r = recallAt3(ann, exact)
+    info(f"LSH recall@3 = $r%.3f")
+    assert(r >= 0.9, f"LSH recall@3 $r%.3f below the 0.9 floor")
+  }
+
+  test("IVF recall@3 >= 0.9 with shipped parameters") {
+    val emb = clusteredCorpus
+    val cs = graft.queries.ExtraQueries.centroids(4, dim)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.VecF.normF(col("embedding")).as("norm"),
+      graft.queries.ExtraQueries.ivfCellCol("embedding", cs).as("cell"))
+    val queries = base.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+        col("norm").as("q_norm"), col("cell"))
+    val scored = base.join(broadcast(queries), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(graft.functions.VecF.dotF(col("q_vec"),
+        col("embedding")) / (col("q_norm") * col("norm")), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val ann = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", 3)
+    val r = recallAt3(ann, exact)
+    info(f"IVF recall@3 = $r%.3f")
+    assert(r >= 0.9, f"IVF recall@3 $r%.3f below the 0.9 floor")
+  }
+}
