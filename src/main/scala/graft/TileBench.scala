@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tile-path latency bench (the reference's only published performance
+  * figure is ~0.025 s/tile, im/tiledimage.py:859-862): serve N tiles
+  * across every pyramid level over HTTP — cold (each tile rendered
+  * from the cube) and warm (the LRU tile cache) — and print one JSON
+  * line alongside the query bench record. */
+object TileBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1024x512 cube -> 3 advertised zoom levels of 256px tiles; cells
+    // carry the synthetic noise profile the reference's own tile bench
+    // uses (test_tiledimage benchmarks a noise cube)
+    val grid = graft.cube.CubeGrid(1024, 512, 0.0, -64.0, 0.125,
+      latAscending = true)
+    val cube = graft.cube.Cube.synthetic(spark, grid, numTimes = 2,
+      Seq("v0"), nanEvery = 9)
+    // serving configuration: materialized pyramid levels, hot in
+    // cluster memory (a production registration points at a levels/
+    // store; deriving the pyramid per tile request would re-aggregate
+    // the full-resolution cube for every coarse tile)
+    val levels = graft.operators.Pyramid.build(cube)
+      .map(l => l.copy(df = l.df
+        // tile-aligned sort before caching: the in-memory scan prunes
+        // cached batches on (time, y, x) min/max stats, so one tile
+        // request deserializes ~one tile's rows, not the whole level
+        .sortWithinPartitions("time", "y_idx", "x_idx").persist()))
+    levels.foreach(_.df.count()) // materialize before timing
+    val ctx = new graft.server.ServiceContext(spark)
+    ctx.register(graft.server.RegisteredDataset("bench", "tile bench",
+      cube, None, levels = levels))
+    val srv = new graft.server.GraftServer(ctx).start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def fetch(z: Int, x: Int, y: Int): Int = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"${srv.address}/datasets/bench/vars/v0/tiles/$z/$x/$y.png"))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        require(resp.statusCode() == 200, s"tile $z/$x/$y -> ${resp.statusCode()}")
+        resp.body().length
+      }
+      val t = ctx.dataset("bench").get.tileGrid
+      val tiles = for {
+        z <- 0 until t.numLevels
+        // tile count doubles per level; request the full coarse levels
+        // and a capped window of the fine ones
+        x <- 0 until math.min(1 << (z + 1), 8)
+        y <- 0 until math.min(1 << z, 4)
+      } yield (z, x, y)
+      fetch(0, 0, 0) // JVM/codegen warm-up, not measured
+
+      def timeAll(): Double = {
+        val t0 = System.nanoTime()
+        tiles.foreach { case (z, x, y) => fetch(z, x, y) }
+        (System.nanoTime() - t0) / 1e9
+      }
+      srv.invalidateTiles()
+      val cold = timeAll() // every tile renders from the cube
+      val warm = timeAll() // every tile is an LRU cache hit
+      // bulk pre-render: one distributed job for a whole level — the
+      // planning/scheduling cost the per-request path pays per tile is
+      // amortized across all of them
+      val d = ctx.dataset("bench").get
+      val t0 = System.nanoTime()
+      val batchTiles = graft.render.TileMaterialize.renderLevel(
+        levels.head, "v0", d.latestTime, 256, 256,
+        graft.render.Render.ColorMapping(0.0, 1.0, // server default style
+          graft.render.ColorMaps.paletteOrDefault("viridis")),
+        flipY = levels.head.grid.latAscending).count()
+      val batch = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"tile_latency","tiles":${tiles.size},"levels":${t.numLevels},"cold_sec_per_tile":${cold / tiles.size}%.4f,"warm_sec_per_tile":${warm / tiles.size}%.4f,"batch_sec_per_tile":${batch / batchTiles}%.4f,"batch_tiles":$batchTiles,"cold_total_sec":$cold%.2f,"warm_total_sec":$warm%.2f}""")
+      System.out.flush()
+    } finally { srv.stop(); spark.stop() }
+    // the JDK HttpClient keeps non-daemon worker threads alive; don't
+    // let them pin an in-process sbt runner after the record is out
+    System.exit(0)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.render
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cube.CubeFrame
+import graft.render.Render.ColorMapping
+
+/** Distributed pyramid-tile materialization: render EVERY tile of a
+  * level as one Spark job, bytes identical to the per-request
+  * [[Render.renderTile]] path the HTTP server uses.
+  *
+  * The per-request path collects one tile's cells to the driver — right
+  * for interactive serving (a 256×256 window), wrong for "pre-render
+  * the whole pyramid": at 100 TB that is millions of driver round
+  * trips. Here the full tile-key space (a `spark.range`, so empty
+  * tiles render too) left-joins the level's cells on the tile key —
+  * one hash-partitioned shuffle co-locates each tile's cells — and
+  * `mapGroups` colormap+PNG-encodes on the executors. Output can stay
+  * a Dataset (for a sink of choice) or be written as `z/x/y.png`
+  * through the Hadoop FS API (local dir in tests, s3a/gs on a
+  * cluster). */
+object TileMaterialize {
+
+  /** All tiles of one level at one time step: (tileX, tileY, png). */
+  def renderLevel(cube: CubeFrame, variable: String,
+                  timeValue: java.sql.Timestamp,
+                  tileW: Int, tileH: Int, mapping: ColorMapping,
+                  flipY: Boolean = false): Dataset[(Int, Int, Array[Byte])] = {
+    val spark = cube.df.sparkSession
+    import spark.implicits._
+    val ntx = (cube.grid.width + tileW - 1) / tileW
+    val nty = (cube.grid.height + tileH - 1) / tileH
+    val cells = cube.df
+      .filter(col("time") === lit(timeValue))
+      .select((col("x_idx") / tileW).cast("int").as("tx"),
+        (col("y_idx") / tileH).cast("int").as("ty"),
+        col("y_idx"), col("x_idx"), col(variable).cast("double").as("v"))
+    // full key space via range: tiles with no cells must still render
+    // (the per-request path serves them as all-NaN tiles)
+    val keys = spark.range(ntx.toLong * nty)
+      .select((col("id") % ntx).cast("int").as("tx"),
+        (col("id") / ntx).cast("int").as("ty"))
+    keys.join(cells, Seq("tx", "ty"), "left_outer")
+      .groupByKey(r => (r.getInt(0), r.getInt(1)))
+      .mapGroups { (key: (Int, Int), rows: Iterator[org.apache.spark.sql.Row]) =>
+        val (tx, ty) = key
+        val grid = Array.fill(tileH * tileW)(Double.NaN)
+        rows.foreach { r =>
+          if (!r.isNullAt(2) && !r.isNullAt(4)) {
+            val ry = r.getInt(2) - ty * tileH
+            val rx = r.getInt(3) - tx * tileW
+            val py = if (flipY) tileH - 1 - ry else ry
+            grid(py * tileW + rx) = r.getDouble(4)
+          }
+        }
+        (tx, ty, Render.toPng(Render.mapColors(grid, mapping), tileW, tileH))
+      }
+  }
+
+  /** Materialize a level to `<outDir>/<z>/<x>/<y>.png` through the
+    * Hadoop FS API — executor-side writes, no driver fan-in. Returns
+    * the tile count. */
+  def writeLevel(cube: CubeFrame, variable: String,
+                 timeValue: java.sql.Timestamp, z: Int, outDir: String,
+                 tileW: Int, tileH: Int, mapping: ColorMapping,
+                 flipY: Boolean = false): Long = {
+    val tiles = renderLevel(cube, variable, timeValue, tileW, tileH,
+      mapping, flipY)
+    val spark = tiles.sparkSession
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val written = spark.sparkContext.longAccumulator("tiles_written")
+    tiles.foreachPartition {
+      (it: Iterator[(Int, Int, Array[Byte])]) =>
+        val conf = confSer.value
+        it.foreach { case (tx, ty, png) =>
+          val p = new org.apache.hadoop.fs.Path(s"$outDir/$z/$tx/$ty.png")
+          val fs = p.getFileSystem(conf)
+          val out = fs.create(p, true)
+          try out.write(png) finally out.close()
+          written.add(1L)
+        }
+    }
+    written.value
+  }
+}

@@ -82,6 +82,35 @@ class RenderSpec extends SparkSpec {
     assert(Render.niceTicks(-3.0, 3.0, 5) == Seq(-2.0, 0.0, 2.0))
   }
 
+  test("distributed tile materialization matches the per-request path") {
+    val grid = graft.cube.CubeGrid(64, 32, 0.0, 40.0, 0.1,
+      latAscending = true)
+    val cube = graft.cube.Cube.synthetic(spark, grid, numTimes = 2,
+      Seq("v0"), nanEvery = 7)
+    val t = cube.df.select(org.apache.spark.sql.functions.max("time"))
+      .head().getTimestamp(0)
+    val m = Render.ColorMapping(0.0, 100.0,
+      Render.gradientPalette(256, (0, 0, 128), (255, 255, 0)))
+    // 16x16 tiles over 64x32 → 4x2 = 8 tiles, flip-y like the server
+    val tiles = graft.render.TileMaterialize
+      .renderLevel(cube, "v0", t, 16, 16, m, flipY = true)
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(tiles.size == 8)
+    for (tx <- 0 until 4; ty <- 0 until 2) {
+      val direct = Render.renderTile(cube, "v0", t, tx, ty, 16, 16, m,
+        flipY = true)
+      assert(tiles((tx, ty)).sameElements(direct), s"tile ($tx,$ty)")
+    }
+    // write path lays tiles out as z/x/y.png, every tile present
+    val out = java.nio.file.Files.createTempDirectory("graft-tiles").toString
+    val n = graft.render.TileMaterialize.writeLevel(cube, "v0", t, 3,
+      out, 16, 16, m, flipY = true)
+    assert(n == 8L)
+    val one = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/3/2/1.png"))
+    assert(one.sameElements(tiles((2, 1))))
+  }
+
   test("tick labels: mantissa-only zero trim keeps exponents intact") {
     assert(Render.tickLabel(5.0) == "5")
     assert(Render.tickLabel(0.25) == "0.25")
