@@ -69,6 +69,30 @@ object TileBench {
       srv.invalidateTiles()
       val cold = timeAll() // every tile renders from the cube
       val warm = timeAll() // every tile is an LRU cache hit
+
+      // store-backed dataset: the finest level serves by DIRECT chunk
+      // reads (no Spark job) — the reference's own tile architecture
+      val zdir = java.nio.file.Files.createTempDirectory("graft-tb").toString
+      graft.sources.ZarrStore.writeZarr(cube, s"$zdir/c.zarr",
+        chunkT = 1, chunkY = 256, chunkX = 256)
+      ctx.register(graft.server.RegisteredDataset("benchz", "store bench",
+        graft.sources.ZarrStore.openCube(spark, s"$zdir/c.zarr"), None))
+      val zfine = ctx.dataset("benchz").get.tileGrid.numLevels - 1
+      def fetchZ(x: Int, y: Int): Int = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"${srv.address}/datasets/benchz/vars/v0/tiles/$zfine/$x/$y.png"))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        require(resp.statusCode() == 200)
+        resp.body().length
+      }
+      val zTiles = for (x <- 0 until 4; y <- 0 until 2) yield (x, y)
+      fetchZ(0, 0) // warm the store metadata caches
+      srv.invalidateTiles()
+      val t0d = System.nanoTime()
+      zTiles.foreach { case (x, y) => fetchZ(x, y) }
+      val direct = (System.nanoTime() - t0d) / 1e9
       // bulk pre-render: one distributed job for a whole level — the
       // planning/scheduling cost the per-request path pays per tile is
       // amortized across all of them
@@ -80,7 +104,7 @@ object TileBench {
           graft.render.ColorMaps.paletteOrDefault("viridis")),
         flipY = levels.head.grid.latAscending).count()
       val batch = (System.nanoTime() - t0) / 1e9
-      println(f"""{"metric":"tile_latency","tiles":${tiles.size},"levels":${t.numLevels},"cold_sec_per_tile":${cold / tiles.size}%.4f,"warm_sec_per_tile":${warm / tiles.size}%.4f,"batch_sec_per_tile":${batch / batchTiles}%.4f,"batch_tiles":$batchTiles,"cold_total_sec":$cold%.2f,"warm_total_sec":$warm%.2f}""")
+      println(f"""{"metric":"tile_latency","tiles":${tiles.size},"levels":${t.numLevels},"cold_sec_per_tile":${cold / tiles.size}%.4f,"warm_sec_per_tile":${warm / tiles.size}%.4f,"direct_sec_per_tile":${direct / zTiles.size}%.4f,"batch_sec_per_tile":${batch / batchTiles}%.4f,"batch_tiles":$batchTiles,"cold_total_sec":$cold%.2f,"warm_total_sec":$warm%.2f}""")
       System.out.flush()
     } finally { srv.stop(); spark.stop() }
     // the JDK HttpClient keeps non-daemon worker threads alive; don't

@@ -51,11 +51,16 @@ final case class CubeGrid(width: Int, height: Int,
   * `timeCalendar` is the CF calendar of the source time axis (None =
   * standard): non-standard calendars (360_day, noleap, …) decode to
   * calendar-native epoch-us and their labels must format through
-  * [[graft.sources.CfTime.isoLabel]], not java.time. */
+  * [[graft.sources.CfTime.isoLabel]], not java.time.
+  * `storePath` is set iff the DataFrame reads a chunked store
+  * (zarr/NetCDF) UNTRANSFORMED: the tile server may then serve windows
+  * by direct chunk reads (no Spark job). Every transform constructs a
+  * fresh CubeFrame, so derived frames drop it by default. */
 final case class CubeFrame(df: DataFrame, grid: CubeGrid,
                            variables: Seq[String],
                            timeAxis: Option[Seq[java.sql.Timestamp]] = None,
-                           timeCalendar: Option[String] = None)
+                           timeCalendar: Option[String] = None,
+                           storePath: Option[String] = None)
 
 object Cube {
 

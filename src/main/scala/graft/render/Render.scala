@@ -110,6 +110,27 @@ object Render {
     toPng(mapColors(grid, mapping), tileW, tileH)
   }
 
+  /** PNG from an already-assembled row-major value window (the direct
+    * chunk-read serving path, [[graft.sources.StoreWindow]]): same
+    * colormap + flip semantics as [[renderTile]], so the two paths are
+    * byte-identical for the same values. */
+  def renderWindow(window: Array[Double], tileW: Int, tileH: Int,
+                   mapping: ColorMapping, flipY: Boolean): Array[Byte] = {
+    val grid =
+      if (!flipY) window
+      else {
+        val g = new Array[Double](window.length)
+        var y = 0
+        while (y < tileH) {
+          System.arraycopy(window, y * tileW, g, (tileH - 1 - y) * tileW,
+            tileW)
+          y += 1
+        }
+        g
+      }
+    toPng(mapColors(grid, mapping), tileW, tileH)
+  }
+
   /** Image-space antialiased 2× downsample (reference A8,
     * PilDownsamplingImage at tiledimage.py:724-754): AWT smooth scaling
     * over the rendered RGBA pixels — the pyramid path for pre-rendered

@@ -163,16 +163,35 @@ private[graft] object CfTime {
     val cal = calendarFor(calendar) // unknown calendars fail loudly here
     units match {
       case Pattern(interval, base) =>
-        // this IS a time spec — an interval we can't decode (months,
-        // years: calendar-dependent lengths) must fail loudly, never
-        // fall back to raw values that would silently mis-date rows
-        val iv = UnitsUs.getOrElse(interval.toLowerCase,
-          throw new IllegalArgumentException(
-            s"CF time interval '$interval' unsupported " +
-              "(us/ms/s/min/h/day; months and years are calendar-dependent)"))
+        // this IS a time spec — an interval we can't decode must fail
+        // loudly, never fall back to raw values that would silently
+        // mis-date rows. months/years have a fixed length ONLY in the
+        // fixed-length calendars (360_day months are exactly 30 days;
+        // noleap/all_leap years exactly 365/366 days — the cftime
+        // semantics); elsewhere they stay calendar-dependent errors.
+        val iv = UnitsUs.get(interval.toLowerCase)
+          .orElse(fixedCalendarInterval(interval.toLowerCase, cal))
+          .getOrElse(throw new IllegalArgumentException(
+            s"CF time interval '$interval' unsupported for this calendar " +
+              "(us/ms/s/min/h/day everywhere; months only in 360_day; " +
+              "years only in 360_day/noleap/all_leap)"))
         Some((parseBaseUs(base, cal), iv))
       case _ => None
     }
+  }
+
+  /** month/year intervals where the calendar makes them a fixed number
+    * of days (µs); None where they are genuinely variable-length */
+  private def fixedCalendarInterval(interval: String,
+                                    cal: Calendar): Option[Double] = {
+    val days: Option[Int] = (interval, cal) match {
+      case ("month" | "months" | "mon" | "mons", Day360) => Some(30)
+      case ("year" | "years" | "yr" | "yrs", Day360) => Some(360)
+      case ("year" | "years" | "yr" | "yrs", NoLeap) => Some(365)
+      case ("year" | "years" | "yr" | "yrs", AllLeap) => Some(366)
+      case _ => None
+    }
+    days.map(_ * 86400e6)
   }
 
   // CF base timestamps are looser than strict ISO: single-digit date

@@ -383,6 +383,6 @@ object NetcdfStore {
       catch { case scala.util.control.NonFatal(_) => None }
     val cal = try ops.textAttrs("time").get("calendar")
       catch { case scala.util.control.NonFatal(_) => None }
-    CubeFrame(df, grid, ops.variableNames, timeAxis, cal)
+    CubeFrame(df, grid, ops.variableNames, timeAxis, cal, Some(path))
   }
 }

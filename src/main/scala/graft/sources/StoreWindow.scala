@@ -1,0 +1,67 @@
+package graft.sources
+
+/** Direct chunk-window reads for interactive tile serving (SURVEY
+  * §3.1): the reference answers a tile request by slicing the chunked
+  * array in-process (tiledimage.py); the Spark-analytics equivalent —
+  * plan + schedule + collect a job per tile — pays Spark's ad-hoc
+  * query floor (~0.3 s) for a 256×256 window. A STORE-BACKED cube
+  * doesn't need a job at all: read the covering chunks through the
+  * same [[StoreOps]] the DSv2 scan uses (same decompress, same CF
+  * mask-and-scale — values are bit-identical by construction) and
+  * assemble the window on the serving thread. Remote stores hit the
+  * 256 MB blob LRU, so a hot tile's chunks don't re-fetch.
+  *
+  * This is the serving fast path ONLY: anything transformed (computed
+  * variables, masked ranges, derived pyramid levels) has no
+  * `storePath` and keeps the Spark path. */
+private[graft] object StoreWindow {
+
+  /** The cell window [y0, y0+h) × [x0, x0+w) of `variable` at the time
+    * step whose axis value is `timeUs`, row-major h×w with NaN padding
+    * outside the grid — exactly the value layout the per-request
+    * Spark path collects. None when the time step is absent. */
+  def readWindow(path: String, variable: String, timeUs: Long,
+                 y0: Int, x0: Int, h: Int, w: Int): Option[Array[Double]] = {
+    val ops = StoreOps.forPath(path)
+    val tIdx = ops.read1dLongs("time").indexOf(timeUs)
+    if (tIdx < 0) return None
+    val meta = ops.arrayMeta(variable)
+    val Seq(nt, nh, nw) = meta.shape
+    if (tIdx >= nt) return None
+    val Seq(ct, cy, cx) = meta.chunks
+    val out = Array.fill(h * w)(Double.NaN)
+    val tc = tIdx / ct
+    val tt = tIdx % ct
+    val ycFirst = math.max(0, y0) / cy
+    val ycLast = math.min(y0 + h - 1, nh - 1) / cy
+    val xcFirst = math.max(0, x0) / cx
+    val xcLast = math.min(x0 + w - 1, nw - 1) / cx
+    var yc = ycFirst
+    while (yc <= ycLast && yc >= 0) {
+      var xc = xcFirst
+      while (xc <= xcLast && xc >= 0) {
+        val data = ops.readChunk(variable, meta, Seq(tc, yc, xc))
+        // overlap of this chunk's VALID extent with the window
+        val cy0 = yc * cy
+        val cx0 = xc * cx
+        val yLo = math.max(y0, cy0)
+        val yHi = math.min(y0 + h, math.min(cy0 + cy, nh))
+        val xLo = math.max(x0, cx0)
+        val xHi = math.min(x0 + w, math.min(cx0 + cx, nw))
+        var y = yLo
+        while (y < yHi) {
+          var x = xLo
+          while (x < xHi) {
+            out((y - y0) * w + (x - x0)) =
+              data((tt * cy + (y - cy0)) * cx + (x - cx0))
+            x += 1
+          }
+          y += 1
+        }
+        xc += 1
+      }
+      yc += 1
+    }
+    Some(out)
+  }
+}

@@ -850,6 +850,6 @@ object ZarrStore {
       catch { case scala.util.control.NonFatal(_) => None }
     val cal = try ZarrOps(path).textAttrs("time").get("calendar")
       catch { case scala.util.control.NonFatal(_) => None }
-    CubeFrame(df, grid, variableNames(path), timeAxis, cal)
+    CubeFrame(df, grid, variableNames(path), timeAxis, cal, Some(path))
   }
 }

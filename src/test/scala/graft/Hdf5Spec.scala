@@ -134,6 +134,18 @@ Datasets:
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(tile.body()))
       assert(img != null && img.getWidth > 0)
+      // the served tile (direct chunk-window fast path — NC4 cubes are
+      // store-backed) is byte-identical to the Spark render path
+      val d = ctx.dataset("nc4").get
+      val lv = d.levelSeq.head
+      assert(lv.storePath.isDefined, "NC4 level 0 must be store-backed")
+      val m = graft.render.Render.ColorMapping(0.0, 1.0,
+        graft.render.ColorMaps.paletteOrDefault("viridis"))
+      val viaSpark = graft.render.Render.renderTile(lv, "v0",
+        d.latestTime, 0, 0, 256, 256, m, flipY = lv.grid.latAscending)
+      val z = d.tileGrid.numLevels - 1 // finest advertised zoom = level 0
+      val fine = get(s"/datasets/nc4/vars/v0/tiles/$z/0/0.png")
+      assert(fine.body().sameElements(viaSpark))
       val cat = get("/datasets")
       assert(new String(tile.headers().firstValue("Content-Type")
         .orElse("")) == "image/png")

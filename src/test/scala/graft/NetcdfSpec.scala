@@ -144,6 +144,23 @@ class NetcdfSpec extends SparkSpec {
     assert(CfTime.isoLabel(b1900 + day, Some("julian"))
       == "1900-03-01T00:00:00Z")
 
+    // months/years decode where the calendar fixes their length
+    assert(CfTime.parseUnits("months since 2000-01-01", Some("360_day"))
+      .exists(_._2 == 30 * 86400e6))
+    assert(CfTime.parseUnits("years since 2000-01-01", Some("360_day"))
+      .exists(_._2 == 360 * 86400e6))
+    assert(CfTime.parseUnits("years since 2000-01-01", Some("noleap"))
+      .exists(_._2 == 365 * 86400e6))
+    assert(CfTime.parseUnits("years since 2000-01-01", Some("366_day"))
+      .exists(_._2 == 366 * 86400e6))
+    // ...and stay loud errors where they are genuinely variable
+    intercept[IllegalArgumentException](
+      CfTime.parseUnits("months since 2000-01-01", None))
+    intercept[IllegalArgumentException](
+      CfTime.parseUnits("months since 2000-01-01", Some("noleap")))
+    intercept[IllegalArgumentException](
+      CfTime.parseUnits("years since 2000-01-01", Some("julian")))
+
     // round-trip: fromDays(toDays) is identity across a broad range for
     // every calendar (≈ ±200 years around the epoch)
     for (cal <- Seq(CfTime.Day360, CfTime.NoLeap, CfTime.AllLeap,

@@ -336,6 +336,47 @@ class ZarrSpec extends SparkSpec {
     ZarrStore.invalidateMeta(s"$dir/c.zarr")
   }
 
+  test("direct chunk-window reads match the DSv2 scan (tile fast path)") {
+    val grid = CubeGrid(40, 24, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0"),
+      nanEvery = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-win").toString
+    ZarrStore.writeZarr(cube, s"$dir/c.zarr", chunkT = 1, chunkY = 8,
+      chunkX = 16)
+    val opened = ZarrStore.openCube(spark, s"$dir/c.zarr")
+    assert(opened.storePath.contains(s"$dir/c.zarr"))
+    val t = opened.timeAxis.get.last
+    val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    // a window crossing chunk borders AND the grid edge (x0+w > width)
+    val (y0, x0, h, w) = (5, 25, 16, 16)
+    val win = graft.sources.StoreWindow
+      .readWindow(s"$dir/c.zarr", "v0", us, y0, x0, h, w).get
+    val viaSpark = opened.df
+      .filter(col("time") === lit(t) &&
+        col("x_idx") >= x0 && col("x_idx") < x0 + w &&
+        col("y_idx") >= y0 && col("y_idx") < y0 + h)
+      .select("y_idx", "x_idx", "v0").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (y <- 0 until h; x <- 0 until w) {
+      val expected = viaSpark.getOrElse((y0 + y, x0 + x), Double.NaN)
+      assert(java.lang.Double.compare(win(y * w + x), expected) == 0,
+        s"cell (${y0 + y}, ${x0 + x})")
+    }
+    // absent time step -> None (server falls back to the Spark path)
+    assert(graft.sources.StoreWindow
+      .readWindow(s"$dir/c.zarr", "v0", us + 1, y0, x0, h, w).isEmpty)
+    // the serving path produces the same PNG bytes as the Spark path
+    val m = graft.render.Render.ColorMapping(0.0, 100.0,
+      graft.render.Render.gradientPalette(256, (0, 0, 0), (255, 255, 255)))
+    val direct = graft.sources.StoreWindow
+      .readWindow(s"$dir/c.zarr", "v0", us, 0, 0, 32, 32)
+      .map(v => graft.render.Render.renderWindow(v, 32, 32, m,
+        flipY = true)).get
+    val spark0 = graft.render.Render.renderTile(opened, "v0", t, 0, 0,
+      32, 32, m, flipY = true)
+    assert(direct.sameElements(spark0))
+  }
+
   test("registration coord resolution reads zero chunk data (store axis)") {
     val grid = CubeGrid(16, 8, 0.0, 40.0, 0.5, latAscending = true)
     val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0"))
