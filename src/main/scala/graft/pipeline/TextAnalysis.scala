@@ -49,6 +49,34 @@ object TextAnalysis {
     trim(regexp_replace(amp, "\\s+", " "))
   }
 
+  /** PII scrubbing patterns (the redaction pass every public training
+    * corpus runs): emails, North-American-style phone numbers, IPv4
+    * addresses. Portable regex subset (no lookaround) — Java regex and
+    * RE2 agree byte-for-byte. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+",
+      "<EMAIL>"),
+    ("phone", "[0-9][0-9][0-9][-. ][0-9][0-9][0-9][-. ][0-9][0-9][0-9][0-9]",
+      "<PHONE>"),
+    ("ip", "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+", "<IP>"))
+
+  /** Redact PII in place; order matters (emails before IPs — an email
+    * host could otherwise half-match) and is identical cross-engine. */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (_, re, tag)) =>
+      regexp_replace(acc, re, tag)
+    }
+
+  /** Count of matches for one PII kind (the audit column a redaction
+    * run reports alongside the cleaned text): split on the pattern,
+    * matches = parts − 1 — the typed `split` builder takes the regex
+    * verbatim, dodging SQL string-literal backslash mangling, and the
+    * oracle mirrors it as len(string_split_regex) − 1. */
+  def piiCount(c: Column, kind: String): Column = {
+    val re = PiiPatterns.find(_._1 == kind).get._2
+    (size(split(c, re)) - 1).cast("long")
+  }
+
   /** Marker-word sets per language (over the corpus vocabulary);
     * deterministic argmax with alphabetical tie-break. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

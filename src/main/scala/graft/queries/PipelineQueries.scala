@@ -985,7 +985,95 @@ object PipelineQueries {
         / COUNT(*), 6) AS decode_ok_frac
     FROM t GROUP BY kind ORDER BY kind"""
 
+  // ------------------------------------------------------------- PII
+  /** PII redaction ([[TextAnalysis.redactPii]]) with per-kind audit
+    * counts. The corpus text is plain words, so both engines append
+    * the same deterministic synthetic PII (email/IP/phone derived from
+    * doc_id) before redacting — the operator chain, counts and
+    * redacted output are then oracle-checked end to end. */
+  def textPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.com ip 10.0."),
+      col("doc_id") % 256, lit("."), col("doc_id") % 100,
+      lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"),
+        TextAnalysis.piiCount(col("t"), "email").as("n_emails"),
+        TextAnalysis.piiCount(col("t"), "phone").as("n_phones"),
+        TextAnalysis.piiCount(col("t"), "ip").as("n_ips"),
+        TextAnalysis.redactPii(col("t")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  val textPiiRedactSql: String = {
+    val Seq(email, phone, ip) = TextAnalysis.PiiPatterns.map(_._2)
+    def cnt(re: String) =
+      s"CAST(len(string_split_regex(t, '$re')) - 1 AS BIGINT)"
+    s"""
+    WITH aug AS (SELECT doc_id,
+      text || ' contact user' || CAST(doc_id AS VARCHAR)
+        || '@mail.example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        || '.' || CAST(doc_id % 100 AS VARCHAR)
+        || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents)
+    SELECT doc_id,
+      ${cnt(email)} AS n_emails, ${cnt(phone)} AS n_phones,
+      ${cnt(ip)} AS n_ips,
+      regexp_replace(regexp_replace(regexp_replace(t,
+        '$email', '<EMAIL>', 'g'),
+        '$phone', '<PHONE>', 'g'),
+        '$ip', '<IP>', 'g') AS redacted
+    FROM aug ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------ paragraph dedup
+  /** Paragraph-level dedup (the RefinedWeb/CCNet pass: drop repeated
+    * paragraphs corpus-wide, keep the first occurrence): fixed 20-word
+    * paragraphs, global first-occurrence by (doc_id, para_idx), per-doc
+    * retention stats. The heavy op is one hash shuffle on the
+    * paragraph key — partial-aggregated, no driver state. */
+  def dedupParagraph(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nPar = ceil(size(words) / lit(20.0)).cast("int")
+    val paras = transform(sequence(lit(0), nPar - 1),
+      i => array_join(slice(words, i * 20 + 1, lit(20)), " "))
+    val exploded = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("para").orderBy("doc_id", "para_idx")
+    exploded
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_frac", round(col("n_kept") / col("n_paras"), 6))
+      .orderBy("doc_id")
+  }
+
+  val dedupParagraphSql: String = """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents),
+    paras AS (SELECT doc_id, CAST(i AS INT) AS para_idx,
+        array_to_string(list_slice(words, i * 20 + 1, i * 20 + 20), ' ')
+          AS para
+      FROM base,
+        UNNEST(range(CAST(ceil(len(words) / 20.0) AS BIGINT))) AS t(i)),
+    ranked AS (SELECT doc_id,
+        ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, para_idx)
+          AS rn
+      FROM paras)
+    SELECT doc_id, COUNT(*) AS n_paras,
+      CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS kept_frac
+    FROM ranked GROUP BY doc_id ORDER BY doc_id"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),
+    QuerySpec("dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
     QuerySpec("multimodal_decode_stats", multimodalDecodeStats,
       Some(multimodalDecodeStatsSql)),
     QuerySpec("dedup_exact", dedupExact, Some(dedupExactSql)),

@@ -283,6 +283,26 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.audioFeatures("hello".getBytes).isEmpty)
   }
 
+  test("PII redaction: emails, phones, IPs; order protects hosts") {
+    import spark.implicits._
+    val df = Seq((1L,
+      "mail a.user@site.org then call 555-123-4567 from 192.168.0.12 ok"))
+      .toDF("id", "t")
+    val out = df.select(
+      TextAnalysis.redactPii(col("t")).as("r"),
+      TextAnalysis.piiCount(col("t"), "email").as("ne"),
+      TextAnalysis.piiCount(col("t"), "phone").as("np"),
+      TextAnalysis.piiCount(col("t"), "ip").as("ni")).head()
+    assert(out.getString(0) ==
+      "mail <EMAIL> then call <PHONE> from <IP> ok")
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) == ((1L, 1L, 1L)))
+    // emails redact BEFORE the ip pass, so a numeric subdomain inside
+    // a mail host is not half-eaten by the ip pattern
+    val host = Seq((1L, "x u@10.0.0.1.example.com y")).toDF("id", "t")
+      .select(TextAnalysis.redactPii(col("t"))).head().getString(0)
+    assert(host == "x <EMAIL> y")
+  }
+
   test("BPE: rank-ordered merges segment words like the classic loop") {
     import graft.pipeline.Bpe
     // "the": t+h (rank 0) then th+e (rank 1) — full merge
