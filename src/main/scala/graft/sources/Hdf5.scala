@@ -1150,7 +1150,8 @@ object Hdf5 {
         var bytes = withRaf(path) { r =>
           r.base = baseOf(path); r.raw(addr, sz)
         }
-        ds.filters.reverse.foreach(f => bytes = unfilter(f, bytes, ds.dtype))
+        ds.filters.reverse.foreach(f =>
+          bytes = unfilter(f, bytes, ds.dtype, chunkByteSize(ds)))
         toDoubles(ds.dtype, bytes, n)
     }
   }
@@ -1176,8 +1177,8 @@ object Hdf5 {
     out
   }
 
-  private def unfilter(f: Filter, bytes: Array[Byte],
-                       dt: Dtype): Array[Byte] = f.id match {
+  private def unfilter(f: Filter, bytes: Array[Byte], dt: Dtype,
+                       expected: Int): Array[Byte] = f.id match {
     case 1 => // deflate
       val inf = new Inflater()
       inf.setInput(bytes)
@@ -1208,8 +1209,46 @@ object Hdf5 {
         out
       }
     case 3 => bytes.dropRight(4) // fletcher32: strip stored checksum
+    // ---- registered filters real-world NC4 increasingly carries (the
+    // public HDF5 plugin registry ids); codecs shared with the zarr tier
+    case 32015 => // zstd (plugin id 32015): payload is one zstd frame
+      val sz = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+      val n = if (sz > 0 && sz <= Int.MaxValue) sz.toInt else expected
+      val out = new Array[Byte](n)
+      val k = com.github.luben.zstd.Zstd.decompressByteArray(
+        out, 0, n, bytes, 0, bytes.length)
+      if (k < n) java.util.Arrays.copyOf(out, k.toInt) else out
+    case 32001 => // blosc (plugin id 32001): self-describing frame
+      Blosc.decode(bytes)
+    case 32004 => // lz4 (plugin id 32004): BE u64 total + BE u32 block
+      // size, then per block a BE u32 compressed length + lz4 payload
+      // (stored raw when clen == remaining block size)
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      val total = bb.getLong(0)
+      require(total >= 0 && total <= Int.MaxValue,
+        s"lz4 filter total size $total out of range")
+      val blockSize0 = bb.getInt(8)
+      val blockSize =
+        if (blockSize0 <= 0) total.toInt else blockSize0
+      val out = new Array[Byte](total.toInt)
+      var p = 12
+      var o = 0
+      while (o < total) {
+        val remaining = math.min(blockSize.toLong, total - o).toInt
+        val clen = bb.getInt(p); p += 4
+        if (clen == remaining) { // stored uncompressed
+          System.arraycopy(bytes, p, out, o, remaining)
+        } else {
+          require(Blosc.lz4Decompress(bytes, p, clen, out, o, remaining),
+            "malformed lz4 block in HDF5 filter 32004")
+        }
+        p += clen
+        o += remaining
+      }
+      out
     case id => throw new IllegalArgumentException(
-      s"HDF5 filter id $id unsupported (deflate/shuffle/fletcher32 only)")
+      s"HDF5 filter id $id unsupported " +
+        "(deflate/shuffle/fletcher32/zstd/blosc/lz4)")
   }
 
   private def toDoubles(dt: Dtype, bytes: Array[Byte],
@@ -1333,7 +1372,8 @@ object Hdf5 {
                 cfAttrs: Option[(Double, Double)] = None,
                 timeUnits: Option[String] = None,
                 timeCalendar: Option[String] = None,
-                vlenTimeAttrs: Boolean = false): Unit = {
+                vlenTimeAttrs: Boolean = false,
+                compression: String = "deflate"): Unit = {
     import org.apache.spark.sql.functions.col
     val g = cube.grid
     val times = cube.df.select(col("time")).distinct().orderBy(col("time"))
@@ -1628,10 +1668,26 @@ object Hdf5 {
           w.f64(value)
         }
       }
+      // filter pipeline per compression mode: built-in ids bare,
+      // registered ids (>= 256) carry their plugin name (spec v1)
+      val filterList: Seq[(Int, String, Seq[Long])] = compression match {
+        case "deflate" =>
+          Seq((2, "", Seq(8L)), (1, "", Seq(deflateLevel.toLong)))
+        case "zstd" => Seq((2, "", Seq(8L)), (32015, "zstd", Seq(3L)))
+        case "lz4" => Seq((2, "", Seq(8L)), (32004, "lz4", Seq.empty))
+        case "blosc" =>
+          Seq((32001, "blosc", Seq(2L, 2L, 8L, 0L, 0L, 1L, 1L)))
+        case other => throw new IllegalArgumentException(
+          s"unknown compression '$other' (deflate/zstd/lz4/blosc)")
+      }
+      val filterBody = 8 + filterList.map { case (_, nm, vs) =>
+        8 + pad8(nm.length) + 4 * vs.length +
+          (if (vs.length % 2 == 1) 4 else 0)
+      }.sum
       val attrBytes = if (cfAttrs.isDefined) 2 * 72 else 0
       val nmsgs = (if (filtered) 5 else 4) + (if (cfAttrs.isDefined) 2 else 0)
-      val total = 40 + 32 + 24 + (if (filtered) 48 else 0) + 8 +
-        pad8(layoutBody) + attrBytes
+      val total = 40 + 32 + 24 + (if (filtered) 8 + pad8(filterBody) else 0) +
+        8 + pad8(layoutBody) + attrBytes
       w.u8(1); w.u8(0); w.u16(nmsgs); w.u32(1); w.u32(total.toLong); w.zeros(4)
       spaceMsg(Seq(nt, nh, nw))
       dtypeF64Msg()
@@ -1640,11 +1696,19 @@ object Hdf5 {
         attrMsg("scale_factor", scale)
         attrMsg("add_offset", offv)
       }
-      if (filtered) msg(0x0B, 40) {
-        w.u8(1); w.u8(2); w.zeros(6) // pipeline v1, two filters
-        w.u16(2); w.u16(0); w.u16(0); w.u16(1); w.u32(8); w.u32(0) // shuffle
-        w.u16(1); w.u16(0); w.u16(0); w.u16(1) // deflate
-        w.u32(deflateLevel.toLong); w.u32(0)
+      if (filtered) {
+        msg(0x0B, filterBody) {
+          w.u8(1); w.u8(filterList.length); w.zeros(6) // pipeline v1
+          filterList.foreach { case (id, nm, vs) =>
+            w.u16(id); w.u16(nm.length)
+            w.u16(0); w.u16(vs.length)
+            if (nm.nonEmpty) {
+              w.bytes(nm.getBytes); w.zeros(pad8(nm.length) - nm.length)
+            }
+            vs.foreach(w.u32)
+            if (vs.length % 2 == 1) w.u32(0) // v1 pads odd counts
+          }
+        }
       }
       var idxPatch = 0L
       var fsizePatch = 0L
@@ -1707,7 +1771,26 @@ object Hdf5 {
         val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
         slab.foreach(bb.putDouble)
         val packed =
-          if (filtered) deflate(shuffleBytes(raw, 8), deflateLevel) else raw
+          if (!filtered) raw
+          else compression match {
+            case "deflate" => deflate(shuffleBytes(raw, 8), deflateLevel)
+            case "zstd" =>
+              com.github.luben.zstd.Zstd.compress(shuffleBytes(raw, 8), 3)
+            case "blosc" =>
+              Blosc.encode(raw, 8, "lz4", Blosc.ShuffleByte)
+            case "lz4" => // plugin 32004 framing: one block per chunk
+              val shuffled = shuffleBytes(raw, 8)
+              val comp = Blosc.lz4Compress(shuffled)
+              val stored = comp.length >= shuffled.length
+              val payload = if (stored) shuffled else comp
+              val bb = ByteBuffer.allocate(16 + payload.length)
+                .order(ByteOrder.BIG_ENDIAN)
+              bb.putLong(shuffled.length.toLong)
+              bb.putInt(shuffled.length) // block size = whole chunk
+              bb.putInt(payload.length)
+              bb.put(payload)
+              bb.array()
+          }
         val addr = w.pos
         w.bytes(packed)
         (Seq(t.toLong * ctd, yc0.toLong * cyd, xc0.toLong * cxd, 0L), addr,

@@ -362,6 +362,33 @@ Datasets:
     assert(rows(s"$dir/eap.nc") == expected)
   }
 
+  test("registered filters (zstd 32015, blosc 32001, lz4 32004) decode") {
+    // real-world NC4 increasingly uses registry plugins instead of
+    // deflate; the codecs are shared with the zarr tier
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5rf").toString
+    val grid = CubeGrid(16, 8, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0", "v1"),
+      nanEvery = 5)
+    Hdf5.writeHdf5(cube, s"$dir/ref.nc", chunkY = 4, chunkX = 8)
+    def rows(p: String): Seq[String] =
+      NetcdfStore.openCube(spark, p).df
+        .select("time", "y_idx", "x_idx", "v0", "v1")
+        .collect().map(_.toString).sorted.toSeq
+    val expected = rows(s"$dir/ref.nc")
+    for ((comp, wantIds) <- Seq("zstd" -> Seq(2, 32015),
+        "blosc" -> Seq(32001), "lz4" -> Seq(2, 32004))) {
+      val p = s"$dir/$comp.nc"
+      Hdf5.writeHdf5(cube, p, chunkY = 4, chunkX = 8, compression = comp)
+      assert(Hdf5.open(p).datasets("v0").filters.map(_.id) == wantIds,
+        s"$comp filter pipeline")
+      assert(rows(p) == expected, s"compression $comp")
+    }
+    // registered filters compose with the v4 chunk indexes too
+    Hdf5.writeHdf5(cube, s"$dir/z2.nc", chunkY = 4, chunkX = 8,
+      compression = "zstd", indexType = "btree2")
+    assert(rows(s"$dir/z2.nc") == expected)
+  }
+
   test("vlen-string attributes resolve through the global heap") {
     // h5py/h5netcdf write str attrs as vlen (class 9) by default — a
     // reader that only handles fixed strings silently drops `units`
