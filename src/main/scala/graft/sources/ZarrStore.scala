@@ -153,11 +153,12 @@ object ZarrStore {
       else compNode.get("id").asText() match {
         case "zlib" => "zlib"
         case "zstd" => "zstd"
+        case "lz4" => "lz4" // numcodecs LZ4: LE u32 size + one block
         case "blosc" => "blosc" // inner codec is frame-described; the
                                 // decoder rejects unsupported ones loudly
         case other => throw new IllegalArgumentException(
           s"unsupported zarr compressor $other " +
-            "(supported: null, zlib, zstd, blosc)")
+            "(supported: null, zlib, zstd, lz4, blosc)")
       }
     val fillNode = node.get("fill_value")
     val fill =
@@ -234,6 +235,9 @@ object ZarrStore {
           case "zstd" => // the zarr-python v3 DEFAULT codec
             require(comp == "null", "multiple compression codecs")
             comp = "zstd"
+          case "lz4" =>
+            require(comp == "null", "multiple compression codecs")
+            comp = "lz4"
           case "blosc" =>
             require(comp == "null", "multiple compression codecs")
             comp = "blosc"
@@ -468,6 +472,14 @@ object ZarrStore {
     case "zstd" => // numcodecs Zstd (v2) / the v3 default codec;
       // zstd-jni ships with Spark itself (shuffle compression)
       com.github.luben.zstd.Zstd.decompress(raw, hint)
+    case "lz4" => // numcodecs LZ4: LE u32 decompressed size + one block
+      val n = (raw(0) & 0xFF) | ((raw(1) & 0xFF) << 8) |
+        ((raw(2) & 0xFF) << 16) | ((raw(3) & 0xFF) << 24)
+      require(n >= 0, s"corrupt lz4 chunk header size $n")
+      val out = new Array[Byte](n)
+      require(Blosc.lz4Decompress(raw, 4, raw.length - 4, out, 0, n),
+        "malformed numcodecs lz4 chunk")
+      out
   }
 
   private def inflate(data: Array[Byte], hint: Int): Array[Byte] = {

@@ -336,6 +336,45 @@ class ZarrSpec extends SparkSpec {
     ZarrStore.invalidateMeta(s"$dir/c.zarr")
   }
 
+  test("numcodecs lz4 compressor decodes (v2)") {
+    val grid = CubeGrid(8, 4, 0.0, 40.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0"),
+      nanEvery = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lz4").toString
+    ZarrStore.writeZarr(cube, s"$dir/c.zarr", chunkT = 1, chunkY = 4,
+      chunkX = 8)
+    val expected = ZarrStore.openCube(spark, s"$dir/c.zarr").df
+      .select("time", "y_idx", "x_idx", "v0")
+      .collect().map(_.toString).sorted.toSeq
+    // re-encode the time axis with the numcodecs LZ4 layout:
+    // LE u32 decompressed size + one raw lz4 block
+    val tdir = java.nio.file.Paths.get(s"$dir/c.zarr/time")
+    java.nio.file.Files.writeString(tdir.resolve(".zarray"),
+      """{"zarr_format": 2, "shape": [3], "chunks": [3], "dtype": "<i8",
+        | "compressor": {"id": "lz4"}, "fill_value": 0, "order": "C",
+        | "filters": null}""".stripMargin)
+    // raw LE int64 epoch-us axis (2017-01-01 + i days), then the
+    // numcodecs framing over it
+    val raw = {
+      val b = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 3).foreach(i => b.putLong(1483228800000000L + i * 86400000000L))
+      b.array()
+    }
+    val comp = graft.sources.Blosc.lz4Compress(raw)
+    val bb = java.nio.ByteBuffer.allocate(4 + comp.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(raw.length); bb.put(comp)
+    java.nio.file.Files.write(tdir.resolve("0"), bb.array())
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/c.zarr/.zmetadata"))
+    ZarrStore.invalidateMeta(s"$dir/c.zarr")
+    val got = ZarrStore.openCube(spark, s"$dir/c.zarr").df
+      .select("time", "y_idx", "x_idx", "v0")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected, "lz4-compressed axis must decode identically")
+  }
+
   test("direct chunk-window reads match the DSv2 scan (tile fast path)") {
     val grid = CubeGrid(40, 24, 0.0, 40.0, 0.5, latAscending = true)
     val cube = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0"),
