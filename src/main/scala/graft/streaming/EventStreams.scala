@@ -122,6 +122,38 @@ object EventStreams {
       }
   }
 
+  /** Streaming documents source (doc_id, text parquet drops). */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    spark.readStream.schema(schema).parquet(dir).select("doc_id", "text")
+  }
+
+  /** Streaming paragraph-level dedup — the streaming twin of the
+    * `dedup_paragraph` batch pass (same fixed 20-word paragraphs):
+    * incoming documents explode into paragraphs and the stateful
+    * first-occurrence filter emits each distinct paragraph ONCE,
+    * tagged with the smallest (doc_id, para_idx) ordinal that carried
+    * it. State is one boolean per distinct paragraph, key-partitioned
+    * — the arriving-corpus equivalent of the batch shuffle. */
+  def streamingParagraphDedup(docs: DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.Dataset[(String, Long)] = {
+    val words = split(col(textCol), " ")
+    val nPar = ceil(size(words) / lit(20.0)).cast("int")
+    val paras = transform(sequence(lit(0), nPar - 1),
+      i => array_join(slice(words, i * 20 + 1, lit(20)), " "))
+    val exploded = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(paras).as(Seq("para_idx", "para")))
+      // ordinal orders (doc_id, para_idx) lexicographically: documents
+      // carry < 100000 paragraphs each by construction (20-word windows)
+      .select(col("para"),
+        (col("doc_id") * 100000 + col("para_idx")).as("ord"))
+    streamingDedup(exploded, keyCol = "para", idCol = "ord")
+  }
+
   /** Streaming trailing-window rolling aggregate (the streaming twin
     * of the cube_rolling_3d per-pixel trailing window): per event
     * type, each closed hour emits the trailing `steps`-hour event rate

@@ -48,6 +48,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.size > 1 && got.size < 100) // genuinely deduplicated
   }
 
+  test("streaming paragraph dedup matches the batch first-occurrence") {
+    val dir = Files.createTempDirectory("graft-pstream").toString
+    Files.copy(Paths.get(sf("sf0.001"), "documents.parquet"),
+      Paths.get(dir, "documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = EventStreams.streamingParagraphDedup(
+      EventStreams.readDocuments(spark, dir), "doc_id", "text")
+    val q = stream.toDF("para", "first_ord").writeStream.format("memory")
+      .queryName("pdedup_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("pdedup_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch truth: same paragraphs, min (doc_id, para_idx) ordinal
+    import org.apache.spark.sql.functions._
+    val words = split(col("text"), " ")
+    val nPar = ceil(size(words) / lit(20.0)).cast("int")
+    val paras = transform(sequence(lit(0), nPar - 1),
+      i => array_join(slice(words, i * 20 + 1, lit(20)), " "))
+    val batch = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+      .groupBy("para")
+      .agg(min(col("doc_id") * 100000 + col("para_idx")).as("first_ord"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == batch)
+    // corpus genuinely contains repeated paragraphs across docs
+    val total = batch.size
+    val exploded = Tables.documents(spark, sf("sf0.001"))
+      .select(posexplode(paras)).count()
+    assert(total < exploded, "expected duplicate paragraphs in corpus")
+  }
+
   test("flatMapGroupsWithState sessionizer matches batch session count") {
     val dir = stageEventsDir()
     val stream = EventStreams.statefulSessions(
