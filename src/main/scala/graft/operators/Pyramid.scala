@@ -67,7 +67,11 @@ object Pyramid {
         if (ng.latAscending) lit(ng.latMin) + (col("y_idx") + 0.5) * ng.res
         else lit(ng.latMax) - (col("y_idx") + 0.5) * ng.res)
       .withColumn("lon", lit(ng.lonMin) + (col("x_idx") + 0.5) * ng.res)
-    CubeFrame(withCoords, ng, cube.variables)
+    // spatial-only transform: the time axis (and its CF calendar) pass
+    // through untouched — dropping them here would silently re-date a
+    // 360_day/noleap pyramid level through the standard calendar
+    CubeFrame(withCoords, ng, cube.variables,
+      timeAxis = cube.timeAxis, timeCalendar = cube.timeCalendar)
   }
 
   /** Full pyramid, finest (level 0) first. */

@@ -35,6 +35,12 @@ object Resample {
     * groupBy keys (week, y_idx, x_idx) keep spatial partitioning usable
     * downstream; aggregation is map-side partial first. */
   def weeklyMean(cube: CubeFrame): CubeFrame = {
+    // W-SUN binning is proleptic-Gregorian weekday arithmetic; running it
+    // over calendar-native 360_day/noleap epoch values would bin garbage.
+    // Fail loudly rather than silently mis-date (the CfTime contract).
+    require(cube.timeCalendar.forall(graft.sources.CfTime.isStandardCalendar),
+      s"weekly resample requires a standard-family calendar, " +
+        s"got ${cube.timeCalendar.get}")
     val aggs = cube.variables.map(v =>
       avg(graft.cube.Cube.nanToNull(col(v))).as(v))
     val df = cube.df
@@ -65,6 +71,8 @@ object Resample {
     val df = cube.variables.foldLeft(cube.df)((acc, v) =>
       acc.withColumn(v, when(count(col(v)).over(w) >= minP,
         avg(col(v)).over(w)).otherwise(lit(Double.NaN))))
-    CubeFrame(df, cube.grid, cube.variables)
+    // time axis unchanged: keep the coordinate metadata and CF calendar
+    CubeFrame(df, cube.grid, cube.variables,
+      timeAxis = cube.timeAxis, timeCalendar = cube.timeCalendar)
   }
 }

@@ -95,9 +95,13 @@ class ServiceContext(val spark: SparkSession) {
       throw new IllegalArgumentException("derive_variable requires 'name'"))
     val ex = params.getOrElse("expr",
       throw new IllegalArgumentException("derive_variable requires 'expr'"))
+    // time axis untouched → the coordinate metadata and CF calendar
+    // pass through (dropping the calendar would silently re-date a
+    // 360_day/noleap derived dataset through the standard calendar)
     CubeFrame(cube.df.withColumn(name, org.apache.spark.sql.functions.expr(ex)
         .cast("double")),
-      cube.grid, cube.variables :+ name)
+      cube.grid, cube.variables :+ name,
+      timeAxis = cube.timeAxis, timeCalendar = cube.timeCalendar)
   })
   // per-pixel trailing rolling mean over n time steps (xarray
   // min_periods semantics: default = the window size)
@@ -114,19 +118,31 @@ class ServiceContext(val spark: SparkSession) {
         org.apache.spark.sql.functions.col(v),
         validMin = params.get("valid_min").map(_.toDouble),
         validMax = params.get("valid_max").map(_.toDouble))),
-      cube.grid, cube.variables)
+      cube.grid, cube.variables,
+      timeAxis = cube.timeAxis, timeCalendar = cube.timeCalendar)
   })
   // multi-input merge: variables of every input aligned on (time,y,x) —
   // the J4 equi-join as a computed dataset
   transforms.put("merge_cubes", (inputs, _) => {
     require(inputs.nonEmpty, "merge_cubes requires at least one input")
     val base = inputs.head
+    // calendars must agree — joining a 360_day axis against a standard
+    // one on raw epoch values would align unrelated dates
+    require(inputs.forall(_.timeCalendar == base.timeCalendar),
+      s"merge_cubes inputs disagree on CF calendar: " +
+        inputs.map(_.timeCalendar.getOrElse("standard")).distinct
+          .mkString(", "))
     val df = inputs.tail.foldLeft(base.df) { (acc, c) =>
       acc.join(c.df.select((Seq("time", "y_idx", "x_idx") ++ c.variables)
         .map(org.apache.spark.sql.functions.col): _*),
         Seq("time", "y_idx", "x_idx"))
     }
-    CubeFrame(df, base.grid, inputs.flatMap(_.variables))
+    // the inner join keeps the base axis only when every input shares
+    // it; otherwise fall back to the scan-derived axis (None)
+    CubeFrame(df, base.grid, inputs.flatMap(_.variables),
+      timeAxis = if (inputs.forall(_.timeAxis == base.timeAxis))
+        base.timeAxis else None,
+      timeCalendar = base.timeCalendar)
   })
 
   def register(ds: RegisteredDataset): Unit = datasets.put(ds.id, ds)

@@ -140,6 +140,15 @@ private[graft] object CfTime {
       if (mo == 2 && Math.floorMod(y, 4) == 0) 29 else Len365(mo - 1)
   }
 
+  /** true iff the calendar name decodes with java.time's
+    * proleptic-Gregorian arithmetic (safe for Gregorian date functions
+    * like weekday binning) */
+  def isStandardCalendar(name: String): Boolean =
+    name.toLowerCase.trim match {
+      case "standard" | "gregorian" | "proleptic_gregorian" => true
+      case _ => false
+    }
+
   /** the CF `calendar` attribute value → arithmetic; None (attribute
     * absent) defaults to standard per CF §4.4.1 */
   def calendarFor(name: Option[String]): Calendar =
@@ -202,33 +211,135 @@ private[graft] object CfTime {
     """(?:[T ](\d{1,2}):(\d{1,2})(?::(\d{1,2})(\.\d+)?)?)?""" +
     """(?:\s*(?:Z|UTC|([+-]\d{1,2})(?::?(\d{2}))?))?""").r
 
-  private def parseBaseUs(s0: String, cal: Calendar): Long = s0.trim match {
-    case Base(y, mo, d, h, mi, se, frac, offH, offM) =>
-      val (yi, moi, di) = (y.toInt, mo.toInt, d.toInt)
-      require(moi >= 1 && moi <= 12 && di >= 1 && di <= cal.monthLen(yi, moi),
-        s"'$s0' is not a date in this CF calendar")
-      val todUs = Option(h).map(_.toLong).getOrElse(0L) * 3600000000L +
-        Option(mi).map(_.toLong).getOrElse(0L) * 60000000L +
-        Option(se).map(_.toLong).getOrElse(0L) * 1000000L +
-        Option(frac).map(f => math.round(f.toDouble * 1e6)).getOrElse(0L)
-      val localUs = Math.addExact(
-        Math.multiplyExact(cal.toDays(yi, moi, di), DayUs), todUs)
-      val offUs = Option(offH).map { oh =>
-        val sign = if (oh.startsWith("-")) -1L else 1L
-        val hours = oh.drop(1).toLong
-        val mins = Option(offM).map(_.toLong).getOrElse(0L)
-        sign * (hours * 3600L + mins * 60L) * 1000000L
-      }.getOrElse(0L)
-      localUs - offUs // local-with-offset → UTC
-    case other => throw new IllegalArgumentException(
-      s"unparseable CF base timestamp '$other'")
+  /** parsed CF base timestamp: calendar date fields + time-of-day (µs)
+    * + UTC offset (µs); epoch-us = days(y,mo,d)*DayUs + todUs - offUs */
+  private final case class BaseFields(y: Int, mo: Int, d: Int,
+                                      todUs: Long, offUs: Long) {
+    def us(cal: Calendar): Long = Math.addExact(
+      Math.multiplyExact(cal.toDays(y, mo, d), DayUs), todUs) - offUs
   }
+
+  private def parseBaseFields(s0: String, cal: Calendar): BaseFields =
+    s0.trim match {
+      case Base(y, mo, d, h, mi, se, frac, offH, offM) =>
+        val (yi, moi, di) = (y.toInt, mo.toInt, d.toInt)
+        require(moi >= 1 && moi <= 12 && di >= 1 && di <= cal.monthLen(yi, moi),
+          s"'$s0' is not a date in this CF calendar")
+        val todUs = Option(h).map(_.toLong).getOrElse(0L) * 3600000000L +
+          Option(mi).map(_.toLong).getOrElse(0L) * 60000000L +
+          Option(se).map(_.toLong).getOrElse(0L) * 1000000L +
+          Option(frac).map(f => math.round(f.toDouble * 1e6)).getOrElse(0L)
+        val offUs = Option(offH).map { oh =>
+          val sign = if (oh.startsWith("-")) -1L else 1L
+          val hours = oh.drop(1).toLong
+          val mins = Option(offM).map(_.toLong).getOrElse(0L)
+          sign * (hours * 3600L + mins * 60L) * 1000000L
+        }.getOrElse(0L)
+        BaseFields(yi, moi, di, todUs, offUs)
+      case other => throw new IllegalArgumentException(
+        s"unparseable CF base timestamp '$other'")
+    }
+
+  private def parseBaseUs(s0: String, cal: Calendar): Long =
+    parseBaseFields(s0, cal).us(cal)
 
   /** decode raw coordinate values to epoch-microseconds (round-half-up
     * on fractional intervals, like pandas) */
   def decode(raw: Array[Double], baseUs: Long,
              intervalUs: Double): Array[Long] =
     raw.map(v => baseUs + math.round(v * intervalUs))
+
+  private val MonthNames = Set("month", "months", "mon", "mons")
+  private val YearNames = Set("year", "years", "yr", "yrs")
+
+  /** base advanced by k whole months, in `cal`'s own timeline: the month
+    * FIELD advances and the day-of-month clamps to the target month's
+    * length (2000-01-31 + 1 month = 2000-02-29) — the convention of
+    * java.time plusMonths / dateutil relativedelta. */
+  private def addMonthsUs(cal: Calendar, bf: BaseFields, k: Long): Long = {
+    val m = bf.y.toLong * 12L + (bf.mo - 1) + k
+    val y = Math.floorDiv(m, 12L).toInt
+    val mo = Math.floorMod(m, 12L).toInt + 1
+    val d = math.min(bf.d, cal.monthLen(y, mo))
+    Math.addExact(Math.multiplyExact(cal.toDays(y, mo, d), DayUs),
+      bf.todUs) - bf.offUs
+  }
+
+  /** General CF time decoder: Some(raw value → epoch-us) when `units`
+    * is a time spec; None when it isn't one at all. Covers everything
+    * [[parseUnits]] covers PLUS `months since`/`years since` in the
+    * variable-length calendars (standard/proleptic_gregorian/julian),
+    * which no linear (base, interval) pair can express — cftime refuses
+    * those outright ("months since" only in 360_day), the CF spec
+    * leaves the semantics open, and real CMIP/obs files carry them, so
+    * graft decodes them with month-FIELD arithmetic (see
+    * [[addMonthsUs]]); fractional months/years interpolate linearly
+    * inside the landing month/year. Unknown intervals and calendars
+    * still fail loudly — never a silent fall-back to raw values. */
+  def decoder(units: String,
+              calendar: Option[String]): Option[Double => Long] = {
+    val cal = calendarFor(calendar)
+    units match {
+      case Pattern(interval0, base) =>
+        val interval = interval0.toLowerCase
+        UnitsUs.get(interval).orElse(fixedCalendarInterval(interval, cal)) match {
+          case Some(iv) =>
+            val baseUs = parseBaseUs(base, cal)
+            Some(v => baseUs + math.round(v * iv))
+          case None if MonthNames(interval) || YearNames(interval) =>
+            val bf = parseBaseFields(base, cal)
+            val perUnit = if (YearNames(interval)) 12L else 1L
+            Some { v =>
+              val vm = v * perUnit
+              val k = math.floor(vm)
+              val t0 = addMonthsUs(cal, bf, k.toLong)
+              if (vm == k) t0
+              else t0 + math.round((vm - k) *
+                (addMonthsUs(cal, bf, k.toLong + 1L) - t0))
+            }
+          case None => throw new IllegalArgumentException(
+            s"CF time interval '$interval0' unsupported")
+        }
+      case _ => None
+    }
+  }
+
+  /** Inverse of [[decoder]] for the fixture writers (store an epoch-us
+    * axis in its declared units). Linear intervals divide; month/year
+    * intervals recover the whole-month count by field arithmetic and
+    * REQUIRE the timestamp to land exactly on one (day-clamping makes
+    * the decode non-injective, so the candidate is verified by
+    * re-decoding). */
+  def encoder(units: String,
+              calendar: Option[String]): Option[Long => Double] = {
+    val cal = calendarFor(calendar)
+    units match {
+      case Pattern(interval0, base) =>
+        val interval = interval0.toLowerCase
+        UnitsUs.get(interval).orElse(fixedCalendarInterval(interval, cal)) match {
+          case Some(iv) =>
+            val baseUs = parseBaseUs(base, cal)
+            Some(us => (us - baseUs) / iv)
+          case None if MonthNames(interval) || YearNames(interval) =>
+            val bf = parseBaseFields(base, cal)
+            val perUnit = if (YearNames(interval)) 12L else 1L
+            Some { us =>
+              val (y, mo, _) = cal.fromDays(Math.floorDiv(us + bf.offUs, DayUs))
+              val approx = (y.toLong - bf.y) * 12L + (mo - bf.mo)
+              val k = (approx - 1L to approx + 1L).find(c =>
+                addMonthsUs(cal, bf, c) == us).getOrElse(
+                throw new IllegalArgumentException(
+                  s"$us does not land on a whole $interval0 from '$base'"))
+              require(k % perUnit == 0L,
+                s"$us is not a whole $interval0 from '$base'")
+              (k / perUnit).toDouble
+            }
+          case None => throw new IllegalArgumentException(
+            s"CF time interval '$interval0' unsupported")
+        }
+      case _ => None
+    }
+  }
 
   /** calendar-aware ISO-8601 label for an axis value (for non-standard
     * calendars an epoch-us run through java.time would print drifted
@@ -248,6 +359,6 @@ private[graft] object CfTime {
   def axisUs(textAttrs: Map[String, String],
              rawRead: => Array[Double]): Option[Array[Long]] =
     textAttrs.get("units")
-      .flatMap(u => parseUnits(u, textAttrs.get("calendar")))
-      .map { case (base, iv) => decode(rawRead, base, iv) }
+      .flatMap(u => decoder(u, textAttrs.get("calendar")))
+      .map(dec => rawRead.map(dec))
 }

@@ -1618,9 +1618,9 @@ object Hdf5 {
     // round-trip for 360_day/noleap/all_leap/julian fixtures too)
     val timeVals = timeUnits match {
       case Some(u) =>
-        val (base, iv) = CfTime.parseUnits(u, timeCalendar).getOrElse(
+        val enc = CfTime.encoder(u, timeCalendar).getOrElse(
           throw new IllegalArgumentException(s"unparseable time units '$u'"))
-        timeUs.map(us => (us - base) / iv)
+        timeUs.map(us => enc(us.toLong))
       case None => timeUs
     }
     writeCoord("lat", latArr)

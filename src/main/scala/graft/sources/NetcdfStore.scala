@@ -247,7 +247,7 @@ object NetcdfStore {
     // of raw epoch-us; the base resolves in the calendar's own
     // day-numbering so non-standard-calendar fixtures round-trip too
     val timeCf = timeUnits.map { u =>
-      (u, CfTime.parseUnits(u, timeCalendar).getOrElse(
+      (u, CfTime.encoder(u, timeCalendar).getOrElse(
         throw new IllegalArgumentException(s"unparseable time units '$u'")))
     }
     val timeAttrs: Seq[(String, String)] =
@@ -329,7 +329,7 @@ object NetcdfStore {
     times.foreach { t =>
       val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
       out.putDouble(timeCf match {
-        case Some((_, (base, iv))) => (us - base) / iv
+        case Some((_, enc)) => enc(us)
         case None => us.toDouble
       })
     }

@@ -243,4 +243,110 @@ class NetcdfSpec extends SparkSpec {
     assert(NetcdfStore.openCube(spark, s"$dir/cnl.nc")
       .timeCalendar.contains("noleap"))
   }
+
+  test("CF months/years since: month-field arithmetic in variable-length " +
+      "calendars") {
+    import graft.sources.CfTime
+    val day = 86400000000L
+    def usOf(date: String): Long =
+      java.time.LocalDate.parse(date).toEpochDay * day
+    // linear calendars unchanged: months in 360_day stay exactly 30 days
+    assert(CfTime.decoder("months since 2000-01-01", Some("360_day"))
+      .get(2.0) == CfTime.parseUnits("days since 2000-01-01",
+        Some("360_day")).get._1 + 60L * day)
+    // standard calendar: the month FIELD advances; day-of-month clamps
+    val dec = CfTime.decoder("months since 2017-01-31", None).get
+    assert(dec(0.0) == usOf("2017-01-31"))
+    assert(dec(1.0) == usOf("2017-02-28")) // clamped (2017 not a leap year)
+    assert(dec(2.0) == usOf("2017-03-31"))
+    assert(dec(13.0) == usOf("2018-02-28"))
+    assert(dec(-1.0) == usOf("2016-12-31"))
+    assert(CfTime.decoder("months since 2020-01-31", None).get(1.0)
+      == usOf("2020-02-29")) // leap-year clamp target
+    // fractional months interpolate inside the landing month
+    // (Jan 15 → Feb 15 is a 31-day gap)
+    assert(CfTime.decoder("months since 2017-01-15", None).get(0.5)
+      == usOf("2017-01-15") + math.round(0.5 * 31 * day.toDouble))
+    // time-of-day of the base is preserved through the field arithmetic
+    assert(CfTime.decoder("months since 2017-01-31 06:30:00", None).get(1.0)
+      == usOf("2017-02-28") + 6L * 3600000000L + 30L * 60000000L)
+    // years = 12 months; julian 1900 IS a leap year (the calendars'
+    // century divergence), and 1900-02-29 + 1y clamps to 1901-02-28
+    val decJ = CfTime.decoder("years since 1900-02-29", Some("julian")).get
+    assert(decJ(0.0) == CfTime.Julian.toDays(1900, 2, 29) * day)
+    assert(decJ(1.0) == CfTime.Julian.toDays(1901, 2, 28) * day)
+    assert(decJ(4.0) == CfTime.Julian.toDays(1904, 2, 29) * day)
+    assert(CfTime.decoder("years since 2000-06-15", None).get(3.0)
+      == usOf("2003-06-15"))
+    // encoder: whole-month timestamps round-trip, others fail loudly
+    val enc = CfTime.encoder("months since 2017-01-31", None).get
+    assert(enc(usOf("2017-01-31")) == 0.0)
+    assert(enc(usOf("2017-02-28")) == 1.0) // the clamped date IS month 1
+    assert(enc(usOf("2017-03-31")) == 2.0)
+    intercept[IllegalArgumentException](enc(usOf("2017-03-30")))
+    val encY = CfTime.encoder("years since 2000-06-15", None).get
+    assert(encY(usOf("2002-06-15")) == 2.0)
+    intercept[IllegalArgumentException](encY(usOf("2002-07-15")))
+    // not a time unit at all → None, unknown interval still loud
+    assert(CfTime.decoder("kelvin", None).isEmpty)
+    intercept[IllegalArgumentException](
+      CfTime.decoder("fortnights since 1970-01-01", None))
+  }
+
+  test("CF 'months since' axes decode across NC3, NC4 and zarr stores") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mon").toString
+    val day = 86400000000L
+    def usOf(date: String): Long =
+      java.time.LocalDate.parse(date).toEpochDay * day
+    val grid = CubeGrid(8, 4, 0.0, 40.0, 0.5, latAscending = true)
+    val base = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0"),
+      nanEvery = 5)
+    // remap the three consecutive synthetic days onto month-spaced dates
+    // whose middle step exercises the day-clamp (Jan 31 + 1mo = Feb 28)
+    val df = base.df.withColumn("time", expr(
+      """CASE CAST(time AS DATE)
+           WHEN DATE'2017-01-01' THEN TIMESTAMP'2017-01-31 00:00:00'
+           WHEN DATE'2017-01-02' THEN TIMESTAMP'2017-02-28 00:00:00'
+           ELSE TIMESTAMP'2017-03-31 00:00:00' END"""))
+    val cube = base.copy(df = df)
+    val expectedUs = Seq(usOf("2017-01-31"), usOf("2017-02-28"),
+      usOf("2017-03-31"))
+    def axisUsOf(c: graft.cube.CubeFrame): Seq[Long] =
+      c.timeAxis.get.map(t => t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+    // NC3: the stored raw axis is whole-month counts
+    NetcdfStore.writeNetcdf(cube, s"$dir/m.nc",
+      timeUnits = Some("months since 2017-01-31"))
+    val h = NetcdfStore.readHeader(s"$dir/m.nc")
+    assert(NetcdfStore.read1d(s"$dir/m.nc", h, "time").toSeq
+      == Seq(0.0, 1.0, 2.0))
+    assert(axisUsOf(NetcdfStore.openCube(spark, s"$dir/m.nc")) == expectedUs)
+    // NC4/HDF5
+    graft.sources.Hdf5.writeHdf5(cube, s"$dir/m.h5", chunkY = 4, chunkX = 8,
+      timeUnits = Some("months since 2017-01-31"))
+    assert(axisUsOf(NetcdfStore.openCube(spark, s"$dir/m.h5")) == expectedUs)
+    // zarr: raw f8 axis 0,1,2 + units attr, the xarray-written shape
+    graft.sources.ZarrStore.writeZarr(cube, s"$dir/m.zarr", chunkT = 1,
+      chunkY = 4, chunkX = 8)
+    val tdir = java.nio.file.Paths.get(s"$dir/m.zarr/time")
+    java.nio.file.Files.writeString(tdir.resolve(".zarray"),
+      """{"zarr_format": 2, "shape": [3], "chunks": [3], "dtype": "<f8",
+        | "compressor": null, "fill_value": 0, "order": "C",
+        | "filters": null}""".stripMargin)
+    java.nio.file.Files.writeString(tdir.resolve(".zattrs"),
+      """{"units": "months since 2017-01-31"}""")
+    val bb = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(0.0, 1.0, 2.0).foreach(bb.putDouble)
+    java.nio.file.Files.write(tdir.resolve("0"), bb.array())
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/m.zarr/.zmetadata"))
+    graft.sources.ZarrStore.invalidateMeta(s"$dir/m.zarr")
+    assert(axisUsOf(graft.sources.ZarrStore.openCube(spark, s"$dir/m.zarr"))
+      == expectedUs)
+    // catalogue labels format the decoded axis correctly
+    val reg = graft.server.RegisteredDataset("m", "m",
+      NetcdfStore.openCube(spark, s"$dir/m.nc"), None)
+    assert(reg.timeLabels == Seq("2017-01-31T00:00:00Z",
+      "2017-02-28T00:00:00Z", "2017-03-31T00:00:00Z"))
+  }
 }

@@ -361,6 +361,50 @@ Datasets:
     assert(m.cube.df.count() == 4L * 2)
   }
 
+  test("time-preserving transforms propagate the CF calendar and axis") {
+    val ctx = new ServiceContext(spark)
+    val grid = CubeGrid(4, 2, 0.0, 0.0, 1.0, latAscending = true)
+    val axis = Seq(graft.cube.Cube.timestampOfMicros(16920L * 86400000000L))
+    val base = Cube.synthetic(spark, grid, 1, Seq("v0"), nanEvery = 1000)
+      .copy(timeAxis = Some(axis), timeCalendar = Some("360_day"))
+    ctx.register(RegisteredDataset("c360", "C", base, None))
+    // derive_variable, mask_range, rolling_mean keep the axis → both
+    // fields must survive (a derived 360_day dataset whose labels
+    // format through the standard calendar silently mis-dates)
+    for ((fn, params) <- Seq(
+        ("derive_variable", Map("name" -> "d", "expr" -> "v0 + 1")),
+        ("mask_range", Map("variable" -> "v0", "valid_max" -> "1e9")),
+        ("rolling_mean", Map("steps" -> "1")))) {
+      ctx.registerComputed(s"t-$fn", "t", fn, Seq("c360"), params)
+      val out = ctx.dataset(s"t-$fn").get.cube
+      assert(out.timeCalendar.contains("360_day"), fn)
+      assert(out.timeAxis.contains(axis), fn)
+      // ...and the catalogue labels come out calendar-native
+      assert(ctx.dataset(s"t-$fn").get.timeLabels
+        == Seq("2017-01-01T00:00:00Z"), fn)
+    }
+    // merge_cubes: calendars must agree, base axis survives agreement
+    ctx.register(RegisteredDataset("c360b", "C2",
+      Cube.synthetic(spark, grid, 1, Seq("v1"), nanEvery = 1000)
+        .copy(timeAxis = Some(axis), timeCalendar = Some("360_day")), None))
+    ctx.registerComputed("tmerge", "t", "merge_cubes",
+      Seq("c360", "c360b"), Map.empty)
+    assert(ctx.dataset("tmerge").get.cube.timeCalendar.contains("360_day"))
+    assert(ctx.dataset("tmerge").get.cube.timeAxis.contains(axis))
+    ctx.register(RegisteredDataset("cstd", "S",
+      Cube.synthetic(spark, grid, 1, Seq("v2"), nanEvery = 1000), None))
+    intercept[IllegalArgumentException](ctx.registerComputed("bad", "b",
+      "merge_cubes", Seq("c360", "cstd"), Map.empty))
+    // pyramid downsampling is spatial-only → calendar survives levels
+    val lvl1 = graft.operators.Pyramid.downsample(base,
+      graft.operators.Pyramid.Mean)
+    assert(lvl1.timeCalendar.contains("360_day"))
+    assert(lvl1.timeAxis.contains(axis))
+    // weekly resample is Gregorian weekday arithmetic → loud refusal
+    intercept[IllegalArgumentException](
+      graft.operators.Resample.weeklyMean(base))
+  }
+
   test("tilegrid, place-group listing, bbox find, WMTS REST tile, ne2") {
     val ctx = demoContext()
     val srv = new GraftServer(ctx).start()
