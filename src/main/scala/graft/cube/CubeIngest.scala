@@ -28,16 +28,39 @@ object CubeIngest {
     * variables), so [[open]] needs only the path — the parquet analogue
     * of a zarr store's `.zattrs`. */
   def writeCube(cube: CubeFrame, path: String, tileSize: Int = 256): Unit = {
-    cube.df
+    val spark = cube.df.sparkSession
+    // INT64-micros timestamps (not legacy INT96): INT96 gets neither
+    // stats nor a column index, so no reader — Spark scan or the direct
+    // ParquetWindow path — could prune row groups/pages by time
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val oldTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try cube.df
       .withColumn("p_date", to_date(col("time")))
       .withColumn("tile_y", (col("y_idx") / tileSize).cast("int"))
       .withColumn("tile_x", (col("x_idx") / tileSize).cast("int"))
       .repartition(col("p_date"))
-      .sortWithinPartitions("tile_y", "tile_x", "y_idx", "x_idx")
+      // the sort MUST lead with the partitionBy column: a dynamic-
+      // partition write whose incoming order doesn't start with p_date
+      // gets Spark's own (non-stable) sort on p_date inserted, which
+      // silently destroys the tile order — and with it every row-group/
+      // page statistics pruning claim of this layout
+      .sortWithinPartitions("p_date", "time", "tile_y", "tile_x",
+        "y_idx", "x_idx")
       .write.mode(SaveMode.Overwrite)
+      // 8192-row pages divide a 256×256 tile block (65536 = 8 × 8192)
+      // exactly, so the column index prunes a tile window to PRECISELY
+      // its own rows — the default 20000-row pages straddle tile
+      // boundaries and drag ~50% extra rows into every window read
+      .option("parquet.page.row.count.limit", "8192")
       .partitionBy("p_date")
       .parquet(path)
+    finally oldTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
     writeMeta(path, cube.grid, cube.variables)
+    graft.sources.StoreCache.invalidate(path) // re-written store re-lists
   }
 
   private def writeMeta(path: String, grid: CubeGrid,
@@ -79,7 +102,10 @@ object CubeIngest {
     val (grid, vars) = readMeta(resolved).getOrElse(
       throw new IllegalArgumentException(
         s"$resolved has no _graft_meta.json — written by an old ingest?"))
-    CubeFrame(spark.read.parquet(resolved), grid, vars)
+    // untransformed store read → the tile server may serve windows by
+    // direct parquet reads (ParquetWindow), no Spark job
+    CubeFrame(spark.read.parquet(resolved), grid, vars,
+      storePath = Some(resolved))
   }
 
   /** Open all pyramid levels under `<path>` (level=k subdirs), finest
@@ -115,7 +141,8 @@ object CubeIngest {
     val resolved = graft.sources.BlobStore.readFile(path + ".link")
       .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8).trim)
       .getOrElse(path)
-    CubeFrame(spark.read.parquet(resolved), grid, variables)
+    CubeFrame(spark.read.parquet(resolved), grid, variables,
+      storePath = Some(resolved))
   }
 
   /** Materialize levels 1..N only, linking level 0 to an existing

@@ -365,17 +365,19 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
         val levels = d.levelSeq
         val cube = levels(math.max(0, math.min(levels.length - 1,
           d.tileGrid.numLevels - 1 - z)))
-        // store-backed level: direct chunk-window read on the serving
-        // thread (the reference's own tile path is an in-process array
-        // slice) — no Spark job; values identical to the DSv2 scan by
-        // construction (same readChunk, same mask-and-scale). Anything
-        // transformed has no storePath and keeps the Spark path.
+        // store-backed level: direct window read on the serving thread
+        // (the reference's own tile path is an in-process array slice)
+        // — no Spark job; chunked stores slice their chunks, graft's
+        // ingested parquet levels decode ~one row group (DirectWindow
+        // dispatch); values identical to the Spark scan by
+        // construction. Anything transformed has no storePath and
+        // keeps the Spark path.
         val direct = cube.storePath.flatMap { p =>
           try {
             val t = d.latestTime
             val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
-            graft.sources.StoreWindow
-              .readWindow(p, v, us, y * 256, x * 256, 256, 256)
+            graft.sources.DirectWindow
+              .read(p, v, us, y * 256, x * 256, 256, 256)
               .map(winVals => Render.renderWindow(winVals, 256, 256,
                 mapping(d, v), flipY = cube.grid.latAscending))
           } catch { case scala.util.control.NonFatal(e) =>

@@ -91,7 +91,9 @@ private[graft] object BlobStore {
     * store's LRU caches absent objects and its one-shot listing for
     * the JVM lifetime, so without invalidation a reload would keep
     * serving pre-publication state (missing sidecars, empty levels). */
-  private[graft] def dropAll(): Unit = { stores.clear(); confOverrides.clear() }
+  private[graft] def dropAll(): Unit = {
+    stores.clear(); confOverrides.clear(); StoreCache.clear()
+  }
 
   /** one file by full path-or-URI (splits into parent store + name, so
     * sibling files like `<store>.link` route through the same seam) */

@@ -93,6 +93,7 @@ object Hdf5 {
     fileCache.remove(path)
     baseCache.remove(path)
     chunkCache.keys.filter(_._1 == path).foreach(chunkCache.remove)
+    StoreCache.invalidate(path)
   }
 
   private def withRaf[A](path: String)(f: R => A): A = {

@@ -359,6 +359,7 @@ object NetcdfStore {
       }
     }
     Files.write(Paths.get(path), out.array())
+    StoreCache.invalidate(path) // a re-written fixture must re-parse
   }
 
   /** Open a NetCDF file — classic 1/2 OR NetCDF-4/HDF5, dispatched by

@@ -22,8 +22,10 @@ private[graft] object StoreWindow {
     * Spark path collects. None when the time step is absent. */
   def readWindow(path: String, variable: String, timeUs: Long,
                  y0: Int, x0: Int, h: Int, w: Int): Option[Array[Double]] = {
-    val ops = StoreOps.forPath(path)
-    val tIdx = ops.read1dLongs("time").indexOf(timeUs)
+    // memoized ops + decoded axis (binary-searched) + decoded-chunk
+    // LRU: a warm tile re-parses/re-decompresses nothing
+    val ops = StoreCache.ops(path)
+    val tIdx = StoreCache.timeIndex(path, timeUs)
     if (tIdx < 0) return None
     val meta = ops.arrayMeta(variable)
     val Seq(nt, nh, nw) = meta.shape
@@ -40,7 +42,7 @@ private[graft] object StoreWindow {
     while (yc <= ycLast && yc >= 0) {
       var xc = xcFirst
       while (xc <= xcLast && xc >= 0) {
-        val data = ops.readChunk(variable, meta, Seq(tc, yc, xc))
+        val data = StoreCache.chunk(path, variable, meta, Seq(tc, yc, xc))
         // overlap of this chunk's VALID extent with the window
         val cy0 = yc * cy
         val cx0 = xc * cx
@@ -63,5 +65,22 @@ private[graft] object StoreWindow {
       yc += 1
     }
     Some(out)
+  }
+}
+
+/** Dispatch for the no-Spark-job tile window: chunked stores (zarr/
+  * NetCDF/HDF5) through [[StoreWindow]], graft's own ingested parquet
+  * layout through [[ParquetWindow]]. The `CubeFrame.storePath` contract
+  * is unchanged — set iff the DataFrame reads the store untransformed,
+  * so values are identical to the Spark path by construction. */
+private[graft] object DirectWindow {
+  def read(path: String, variable: String, timeUs: Long,
+           y0: Int, x0: Int, h: Int, w: Int): Option[Array[Double]] = {
+    val chunkedStore = path.endsWith(".zarr") || path.endsWith(".nc") ||
+      path.endsWith(".h5") ||
+      java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(path))
+    if (chunkedStore) StoreWindow.readWindow(path, variable, timeUs,
+      y0, x0, h, w)
+    else ParquetWindow.readWindow(path, variable, timeUs, y0, x0, h, w)
   }
 }

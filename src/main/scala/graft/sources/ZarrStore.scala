@@ -92,6 +92,7 @@ object ZarrStore {
     shardIndexCache.keys.filter(_._1 == store)
       .foreach(shardIndexCache.remove)
     BlobStore.drop(store)
+    StoreCache.invalidate(store)
   }
 
   def readArrayMeta(store: String, name: String): ArrayMeta = {

@@ -1,0 +1,101 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+import graft.cube.{Cube, CubeGrid, CubeIngest}
+
+/** Direct parquet-window tile serving (the materialized-levels analogue
+  * of the zarr/NC chunk fast path): values and PNG bytes identical to
+  * the Spark path, and ZERO Spark jobs on the serving read. */
+class ParquetWindowSpec extends SparkSpec {
+
+  test("parquet-level direct window matches the Spark scan, zero jobs") {
+    val grid = CubeGrid(96, 64, 0.0, 10.0, 0.25, latAscending = true)
+    val base = Cube.synthetic(spark, grid, numTimes = 3, Seq("v0", "v1"),
+      nanEvery = 7)
+    // masked cells become NULL in parquet (not NaN) — the direct reader
+    // must leave them as the NaN the renderer initializes, like Spark
+    val cube = base.copy(df = base.df.withColumn("v1",
+      Cube.nanToNull(col("v1"))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pw").toString
+    CubeIngest.writeCube(cube, s"$dir/c", tileSize = 32)
+    val opened = CubeIngest.open(spark, s"$dir/c")
+    assert(opened.storePath.contains(s"$dir/c"))
+
+    val t = opened.df.agg(max(col("time"))).head().getTimestamp(0)
+    val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    // a window crossing tile borders AND the grid edge (x0+w > width)
+    val (y0, x0, h, w) = (20, 70, 40, 40)
+    for (v <- Seq("v0", "v1")) {
+      val viaSpark = opened.df
+        .filter(col("time") === lit(t) &&
+          col("x_idx") >= x0 && col("x_idx") < x0 + w &&
+          col("y_idx") >= y0 && col("y_idx") < y0 + h)
+        .select(col("y_idx"), col("x_idx"), col(v).cast("double")).collect()
+        .flatMap(r => if (r.isNullAt(2)) None
+          else Some((r.getInt(0), r.getInt(1)) -> r.getDouble(2))).toMap
+      // serving read AFTER the Spark collect: count jobs around it
+      val jobs = new AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(s: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val win = try {
+        val got = graft.sources.ParquetWindow
+          .readWindow(s"$dir/c", v, us, y0, x0, h, w).get
+        Thread.sleep(300) // listener events post asynchronously
+        got
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(jobs.get() == 0, "direct window read must schedule no job")
+      for (y <- 0 until h; x <- 0 until w) {
+        val expected = viaSpark.getOrElse((y0 + y, x0 + x), Double.NaN)
+        assert(java.lang.Double.compare(win(y * w + x), expected) == 0,
+          s"$v cell (${y0 + y}, ${x0 + x})")
+      }
+    }
+
+    // absent date partition -> None (server falls back to Spark)
+    assert(graft.sources.ParquetWindow
+      .readWindow(s"$dir/c", "v0", us + 30L * 86400000000L,
+        y0, x0, h, w).isEmpty)
+
+    // PNG bytes identical to the Spark render path
+    val m = graft.render.Render.ColorMapping(0.0, 100.0,
+      graft.render.ColorMaps.paletteOrDefault("viridis"))
+    val direct = graft.sources.DirectWindow
+      .read(s"$dir/c", "v0", us, 0, 0, 64, 64)
+      .map(vv => graft.render.Render.renderWindow(vv, 64, 64, m,
+        flipY = true)).get
+    val viaSparkPng = graft.render.Render.renderTile(opened, "v0", t, 0, 0,
+      64, 64, m, flipY = true)
+    assert(direct.sameElements(viaSparkPng))
+  }
+
+  test("materialized levels serve direct windows per level") {
+    val grid = CubeGrid(128, 64, -10.0, -10.0, 0.125, latAscending = false)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0"),
+      nanEvery = 11)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pwl").toString
+    CubeIngest.writeLevels(cube, s"$dir/c.levels", tileSize = 32)
+    val levels = CubeIngest.openLevels(spark, s"$dir/c.levels")
+    assert(levels.nonEmpty && levels.forall(_.storePath.isDefined))
+    val m = graft.render.Render.ColorMapping(0.0, 100.0,
+      graft.render.ColorMaps.paletteOrDefault("viridis"))
+    levels.foreach { lv =>
+      val t = lv.df.agg(max(col("time"))).head().getTimestamp(0)
+      val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      val direct = graft.sources.DirectWindow
+        .read(lv.storePath.get, "v0", us, 0, 0, 32, 32)
+        .map(vv => graft.render.Render.renderWindow(vv, 32, 32, m,
+          flipY = lv.grid.latAscending)).get
+      val viaSpark = graft.render.Render.renderTile(lv, "v0", t, 0, 0,
+        32, 32, m, flipY = lv.grid.latAscending)
+      assert(direct.sameElements(viaSpark), s"level ${lv.grid.width}")
+    }
+  }
+}
