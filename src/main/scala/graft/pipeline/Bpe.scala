@@ -14,8 +14,13 @@ package graft.pipeline
   * replicate the segmentation as an ordered replace fold.
   *
   * Pre-tokenization matches the engine's existing convention:
-  * `[a-z]+|[0-9]|[^a-z0-9 ]` (lowercase word runs, single digits,
-  * single other non-space chars).
+  * `[a-z]{1,16}|[0-9]|[^a-z0-9 ]` (lowercase word runs capped at 16
+  * chars, single digits, single other non-space chars). The 16-char
+  * cap is load-bearing for the oracle equivalence: the DuckDB replay
+  * gives each merge rule 4 replace-to-fixpoint passes, and a string
+  * pass halves a same-pair run — 16 symbols → 8 → 4 → 2 → 1 in
+  * exactly 4. An uncapped elongated word ("llll…" × 32) would need a
+  * 5th pass and silently diverge between the engines.
   */
 object Bpe {
 
@@ -104,8 +109,10 @@ object Bpe {
     syms
   }
 
-  private val PreToken = java.util.regex.Pattern
-    .compile("[a-z]+|[0-9]|[^a-z0-9 ]")
+  /** shared with the oracle SQL — see the scaladoc's 16-char-cap note */
+  val PreTokenRegex = "[a-z]{1,16}|[0-9]|[^a-z0-9 ]"
+
+  private val PreToken = java.util.regex.Pattern.compile(PreTokenRegex)
 
   /** total BPE token count of a text: pre-tokenize, segment each
     * pre-token, sum. One pass, no allocation beyond the segment call. */

@@ -893,20 +893,24 @@ object PipelineQueries {
     Tables.documents(s, d)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
-        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"))
+        size(expr(s"regexp_extract_all(text, " +
+            s"'${graft.pipeline.Bpe.PreTokenRegex}', 0)"))
           .cast("long").as("n_pre_tokens"),
         graft.functions.HashF.bpeTokenCount(col("text")).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
   val textTokenBpeSql: String = {
-    // the same merges, same order, 4 fixpoint passes each (a pass
-    // halves any same-pair run; pre-tokens are far under 32 chars)
+    // the same merges, same order, 4 fixpoint passes each — exactly
+    // sufficient because the shared pre-tokenizer caps word runs at 16
+    // chars and a string pass halves a same-pair run (16 → 8 → 4 → 2
+    // → 1); an uncapped 32-char run would need a 5th pass and diverge
     val merges = graft.pipeline.Bpe.Merges
       .map { case (a, b) => s"'$a $b'" }.mkString("[", ", ", "]")
     s"""
     WITH pre AS (SELECT doc_id,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-        regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]') AS words
+        regexp_extract_all(text, '${graft.pipeline.Bpe.PreTokenRegex}')
+          AS words
       FROM documents),
     sym AS (SELECT doc_id, n_ws_tokens,
         CAST(len(words) AS BIGINT) AS n_pre_tokens,
@@ -1034,7 +1038,12 @@ object PipelineQueries {
     * paragraphs corpus-wide, keep the first occurrence): fixed 20-word
     * paragraphs, global first-occurrence by (doc_id, para_idx), per-doc
     * retention stats. The heavy op is one hash shuffle on the
-    * paragraph key — partial-aggregated, no driver state. */
+    * paragraph key — partial-aggregated, no driver state. The shuffle
+    * carries a 128-bit paragraph hash (two-seed xxhash64), NOT the raw
+    * 20-word string: the explode + window exchange moves 16 bytes per
+    * paragraph instead of ~100+, an order of magnitude of shuffle IO
+    * at corpus scale, and 128 bits is collision-free for any real
+    * corpus (birthday bound ~2^64 paragraphs). */
   def dedupParagraph(s: SparkSession, d: String): DataFrame = {
     val words = split(col("text"), " ")
     val nPar = ceil(size(words) / lit(20.0)).cast("int")
@@ -1042,8 +1051,11 @@ object PipelineQueries {
       i => array_join(slice(words, i * 20 + 1, lit(20)), " "))
     val exploded = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx"),
+        xxhash64(col("para")).as("h1"),
+        xxhash64(col("para"), lit(1L)).as("h2"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("para").orderBy("doc_id", "para_idx")
+      .partitionBy("h1", "h2").orderBy("doc_id", "para_idx")
     exploded
       .withColumn("rn", row_number().over(w))
       .groupBy("doc_id")

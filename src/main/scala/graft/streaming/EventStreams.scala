@@ -136,10 +136,16 @@ object EventStreams {
     * incoming documents explode into paragraphs and the stateful
     * first-occurrence filter emits each distinct paragraph ONCE,
     * tagged with the smallest (doc_id, para_idx) ordinal that carried
-    * it. State is one boolean per distinct paragraph, key-partitioned
-    * — the arriving-corpus equivalent of the batch shuffle. */
+    * it. The state key is the 128-bit two-seed xxhash64 of the
+    * paragraph (mirroring the batch shuffle key), so the state store
+    * holds one boolean per 16-byte hash instead of per 20-word string;
+    * the text rides along only to be emitted with the first
+    * occurrence. */
   def streamingParagraphDedup(docs: DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.Dataset[(String, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
     val words = split(col(textCol), " ")
     val nPar = ceil(size(words) / lit(20.0)).cast("int")
     val paras = transform(sequence(lit(0), nPar - 1),
@@ -147,11 +153,31 @@ object EventStreams {
     val exploded = docs
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(paras).as(Seq("para_idx", "para")))
-      // ordinal orders (doc_id, para_idx) lexicographically: documents
-      // carry < 100000 paragraphs each by construction (20-word windows)
-      .select(col("para"),
-        (col("doc_id") * 100000 + col("para_idx")).as("ord"))
-    streamingDedup(exploded, keyCol = "para", idCol = "ord")
+      // ordinal orders (doc_id, para_idx) lexicographically; the
+      // 100000-paragraph (2M-word) width is CHECKED, not assumed — an
+      // overflowing document would silently collide ordinals across
+      // documents and corrupt dedup attribution
+      .select(
+        concat_ws(":", xxhash64(col("para")),
+          xxhash64(col("para"), lit(1L))).as("hk"),
+        col("para"),
+        when(col("para_idx") >= lit(100000),
+          raise_error(concat(lit("paragraph ordinal overflow (>= 100000 "
+            + "paragraphs) in doc "), col("doc_id"))).cast("long"))
+          .otherwise(col("doc_id") * 100000 + col("para_idx")).as("ord"))
+    exploded.as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[(String, String, Long)],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = it.minBy(_._3)
+            Iterator.single(first._2 -> first._3)
+          }
+      }
   }
 
   /** Streaming trailing-window rolling aggregate (the streaming twin

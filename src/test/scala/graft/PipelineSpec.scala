@@ -318,9 +318,14 @@ class PipelineSpec extends SparkSpec {
     assert(Bpe.segment("with") == Seq("with"))
     // unknown chars stay single symbols
     assert(Bpe.segment("xyz") == Seq("x", "y", "z"))
-    // count = sum over pre-tokens ([a-z]+ | digit | other non-space)
+    // count = sum over pre-tokens (capped word run | digit | non-space)
     assert(Bpe.countTokens("the thing and 7 with!") == 7L)
     assert(Bpe.countTokens("") == 0L)
+    // the 16-char pre-token cap (oracle-equivalence guard: 4 replace
+    // passes halve a 16-symbol same-pair run to exactly 1): a 32-l
+    // elongation splits into two capped runs of 16 — 'll'×8 each
+    assert(Bpe.countTokens("l" * 32) == 16L)
+    assert(Bpe.segment("l" * 16) == Seq.fill(8)("ll"))
     // the merges table is well-formed: every side is a single char or
     // an earlier rule's output — the invariant the oracle's ordered
     // replace-fold equivalence rests on

@@ -129,4 +129,27 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("partial_kmvaggregator") ||
       plan.toLowerCase.contains("partial_kmv"), plan.take(800))
   }
+
+  test("dedup_paragraph shuffles 128-bit hashes, never paragraph text") {
+    // AQE wraps exchanges in query stages — plan statically (planning
+    // reads the flag lazily, so force the plan inside the try) for the
+    // shape assertion
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.dedupParagraph(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }
+      assert(exchanges.nonEmpty)
+      // the window exchange partitions on the hash pair...
+      assert(plan.toString.contains("hashpartitioning(h1"))
+      // ...and NO exchange in the plan carries the raw paragraph string
+      exchanges.foreach(e =>
+        assert(!e.child.output.exists(_.name == "para"),
+          e.child.output.map(_.name).mkString(",")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
