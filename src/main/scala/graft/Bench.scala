@@ -73,6 +73,16 @@ object Bench {
     val means = results.collect { case (k, ts, true) =>
         "\"" + k + "\":" + ts.sum / ts.size }
       .mkString("{", ",", "}")
+    // medians audit the spread the min hides: a min that's far under
+    // its median marks a run where external load landed on the others
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val medians = results.collect { case (k, ts, true) =>
+        "\"" + k + "\":" + median(ts) }
+      .mkString("{", ",", "}")
     val failed = results.filter(!_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     // per-query successful-attempt counts: a query that failed on SOME
@@ -82,11 +92,18 @@ object Bench {
         "\"" + k + "\":" + ts.size }
       .mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"means":$means,"runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"failed":$failed,"sf":"$sfDir"}""")
+    // flag records taken under external load (BENCH_r05's driver record
+    // looked like a 5× regression and was measurement: host load rose
+    // 2.3→6.5 during the run) — the flag travels with the record so a
+    // reader never mistakes a loaded run for a code regression
+    val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_FLAG", "8.0")
+      .toDouble
+    val loadFlag = math.max(loadStart, loadEnd) > loadThreshold
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"means":$means,"medians":$medians,"runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_flagged":$loadFlag,"failed":$failed,"sf":"$sfDir"}""")
     // BENCH_r04's tail capture truncated the line above and destroyed
     // the total. Repeat the headline figures in a second, short line so
     // they survive any tail-only capture of stdout.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"failed":$failed,"sf":"$sfDir","summary":true}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_flagged":$loadFlag,"failed":$failed,"sf":"$sfDir","summary":true}""")
     spark.stop()
   }
 }

@@ -25,4 +25,54 @@ object Skew {
       explode(array((0 until factor).map(lit(_)): _*)))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** What a cheap sample said about one key column's distribution.
+    * `topShare` is the hot key's fraction of sampled rows. */
+  final case class SkewReport(sampledRows: Long, approxDistinct: Long,
+                              topKey: Option[String], topShare: Double) {
+    /** hot = the top key alone would overfill one shuffle partition by
+      * more than `slack`× a uniform spread — the point where AQE's
+      * skew split stops helping a hash aggregation/join and salting
+      * pays for its replication */
+    def hot(partitions: Int, slack: Double = 4.0): Boolean =
+      sampledRows > 0 && topShare * partitions > slack
+  }
+
+  /** Key-skew probe: ONE pass over a small sample (top key + count +
+    * approx-distinct in a single aggregation tree), so deciding
+    * whether to salt costs a fraction of the shuffle it guards. The
+    * dedup/shingle shuffles call this before choosing a plan — nothing
+    * measures skew for free in a declarative plan, and salting
+    * unconditionally doubles the small side for corpora that don't
+    * need it. */
+  def probe(df: DataFrame, key: String,
+            sampleFraction: Double = 0.05): SkewReport = {
+    val s = df.select(col(key).cast("string").as("k"))
+      .sample(withReplacement = false, sampleFraction, seed = 42)
+    val counted = s.groupBy("k").agg(count(lit(1)).as("n"))
+    val row = counted.agg(sum(col("n")).as("rows"),
+        approx_count_distinct(col("k")).as("nd"),
+        max_by(col("k"), col("n")).as("top"),
+        max(col("n")).as("topN"))
+      .head()
+    if (row.isNullAt(0)) SkewReport(0L, 0L, None, 0.0)
+    else {
+      val rows = row.getLong(0)
+      SkewReport(rows, row.getLong(1), Option(row.getString(2)),
+        if (rows == 0) 0.0 else row.getLong(3).toDouble / rows)
+    }
+  }
+
+  /** Probe-gated salted join: salts only when the sampled distribution
+    * is actually hot. Returns the plan plus whether the salted path
+    * activated (callers log/assert it). */
+  def autoSaltedJoin(big: DataFrame, small: DataFrame, key: String,
+                     saltFrom: String, factor: Int, partitions: Int,
+                     sampleFraction: Double = 0.05,
+                     joinType: String = "inner"): (DataFrame, Boolean) = {
+    val report = probe(big, key, sampleFraction)
+    if (report.hot(partitions))
+      (saltedJoin(big, small, key, saltFrom, factor, joinType), true)
+    else (big.join(small, Seq(key), joinType), false)
+  }
 }

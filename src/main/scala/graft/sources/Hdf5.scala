@@ -1646,7 +1646,7 @@ object Hdf5 {
         case "single" => 58
         case "implicit" => 46
         case "fixedarray" | "fixedarray-paged" => 47
-        case "extarray" | "extarray-paged" => 51
+        case "extarray" | "extarray-paged" | "extarray-deep" => 51
         case "btree2" => 52
         case t => throw new IllegalArgumentException(
           s"unknown chunk index type $t")
@@ -1732,13 +1732,17 @@ object Hdf5 {
               case "implicit" => w.u8(2)
               case "fixedarray" => w.u8(3); w.u8(10) // page bits
               case "fixedarray-paged" => w.u8(3); w.u8(2)
-              case "extarray" | "extarray-paged" =>
+              case "extarray" | "extarray-paged" | "extarray-deep" =>
                 // max bits, index elmts, sup-blk min ptrs, data-blk min
                 // elmts, page bits (the layout-message field order)
                 w.u8(4)
                 w.u8(32); w.u8(EaIdxElmts); w.u8(EaMinPtrs)
-                w.u8(EaMinElmts)
-                w.u8(if (indexType == "extarray-paged") 4 else 10)
+                w.u8(if (indexType == "extarray-deep") 64 else EaMinElmts)
+                indexType match {
+                  case "extarray-paged" => w.u8(4)
+                  case "extarray-deep" => w.u8(8)
+                  case _ => w.u8(10)
+                }
               case "btree2" =>
                 w.u8(5); w.u32(Bt2NodeSize.toLong); w.u8(100); w.u8(40)
             }
@@ -1814,8 +1818,17 @@ object Hdf5 {
         case "extarray-paged" =>
           // 2^4-element pages: data blocks from super-block tier 5 on
           // page, exercising the bitmap + per-page checksum path with a
-          // fixture-sized chunk count (unpaged needs >5*10^5 chunks)
+          // fixture-sized chunk count
           w.patch64(idxPatch, writeExtensibleArray(w, entries, pageBits = 4))
+        case "extarray-deep" =>
+          // shrunken block bounds, NOT page size: minElmts 64 with
+          // 2^8-element pages reaches paged super blocks (tier 5: 4
+          // data blocks × 512 elements = 2 pages each) at ~2000 chunks
+          // — the deep shape a DEFAULT-geometry file only reaches past
+          // 5·10^5 chunks, forced into fixture range the same way the
+          // paged variant shrinks the page
+          w.patch64(idxPatch, writeExtensibleArray(w, entries,
+            pageBits = 8, minElmts = 64))
         case "btree2" =>
           w.patch64(idxPatch, writeBt2ChunkIndex(w, entries,
             Seq(ctd.toLong, cyd.toLong, cxd.toLong)))
@@ -1949,16 +1962,17 @@ object Hdf5 {
     * address. */
   private def writeExtensibleArray(w: W,
                                    entries: Seq[(Seq[Long], Long, Int)],
-                                   pageBits: Int = 10): Long = {
+                                   pageBits: Int = 10,
+                                   minElmts: Int = EaMinElmts): Long = {
     val entrySize = 8 + 4 + 4
     val maxBits = 32
     val offBytes = maxBits / 8
     val pageElmts = 1L << pageBits
     def log2(v: Int): Int = 63 - java.lang.Long.numberOfLeadingZeros(v.toLong)
-    val nsblks = 1 + maxBits - log2(EaMinElmts)
+    val nsblks = 1 + maxBits - log2(minElmts)
     val sblkNdblks = (0 until nsblks).map(u => 1L << (u / 2))
     val sblkDblkElmts =
-      (0 until nsblks).map(u => (1L << ((u + 1) / 2)) * EaMinElmts)
+      (0 until nsblks).map(u => (1L << ((u + 1) / 2)) * minElmts)
     val sblkStartIdx = sblkDblkElmts.zip(sblkNdblks)
       .scanLeft(0L) { case (acc, (ne, nd)) => acc + ne * nd }
     val firstRealSblk = 2 * log2(EaMinPtrs)
@@ -2016,7 +2030,7 @@ object Hdf5 {
     w.bytes("EAHD".getBytes); w.u8(0); w.u8(1)
     // header field order: element size, max bits, index elmts, data-blk
     // min elmts, sup-blk min ptrs, page bits
-    w.u8(entrySize); w.u8(maxBits); w.u8(EaIdxElmts); w.u8(EaMinElmts)
+    w.u8(entrySize); w.u8(maxBits); w.u8(EaIdxElmts); w.u8(minElmts)
     w.u8(EaMinPtrs); w.u8(pageBits)
     val ndblksTotal = earlyDblkAddrs.count(_.isDefined) +
       realSblks.flatMap(_.toSeq).map(_._3.count(_.isDefined)).sum

@@ -362,6 +362,30 @@ Datasets:
     assert(rows(s"$dir/eap.nc") == expected)
   }
 
+  test("extensible-array deep tier: paged super blocks via shrunken " +
+      "block bounds") {
+    // minElmts 64 / 2^8-element pages: the paged tier starts at
+    // super-block 5 (element 1984 past the index block — 4 data blocks
+    // of 512 elements, 2 pages each), so 2000 chunks reach the shape a
+    // default-geometry file only shows past 5·10^5 chunks; tiers 2-4
+    // stay unpaged, so ONE file carries both EASB forms
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5deep").toString
+    val grid = CubeGrid(16, 16, 0.0, 40.0, 0.25, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 125, Seq("v0"),
+      nanEvery = 7)
+    Hdf5.writeHdf5(cube, s"$dir/ref.nc", chunkY = 4, chunkX = 4)
+    Hdf5.writeHdf5(cube, s"$dir/deep.nc", chunkY = 4, chunkX = 4,
+      indexType = "extarray-deep")
+    assert(Hdf5.open(s"$dir/deep.nc").datasets("v0").index.kind == 4)
+    def rows(p: String): Seq[String] =
+      NetcdfStore.openCube(spark, p).df
+        .select("time", "y_idx", "x_idx", "v0")
+        .collect().map(_.toString).sorted.toSeq
+    val expected = rows(s"$dir/ref.nc")
+    assert(expected.length == 16 * 16 * 125)
+    assert(rows(s"$dir/deep.nc") == expected)
+  }
+
   test("registered filters (zstd 32015, blosc 32001, lz4 32004) decode") {
     // real-world NC4 increasingly uses registry plugins instead of
     // deflate; the codecs are shared with the zarr tier

@@ -60,6 +60,39 @@ class ScaleSpec extends SparkSpec {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("skew probe gates the salted path: hot corpus salts, uniform " +
+      "doesn't") {
+    import spark.implicits._
+    // hot: 90% of rows share one key
+    val hot = (1 to 5000).map(i =>
+      (if (i % 10 == 0) i.toLong % 7 else 1L, i.toLong)).toDF("k", "payload")
+    val uniform = (1 to 5000).map(i => (i.toLong % 997, i.toLong))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (0L, "z"))
+      .toDF("k", "label")
+    // the probe sees the hot key's share (sampled, one aggregation)
+    val hotReport = Skew.probe(hot, "k", sampleFraction = 0.2)
+    assert(hotReport.topKey.contains("1"))
+    assert(hotReport.topShare > 0.5)
+    assert(hotReport.hot(partitions = 32))
+    val uniReport = Skew.probe(uniform, "k", sampleFraction = 0.2)
+    assert(!uniReport.hot(partitions = 32))
+    // the gated join activates only where the probe says so — and the
+    // salted plan returns exactly the plain join's rows
+    val (saltedPlan, didSalt) = Skew.autoSaltedJoin(hot, small, "k",
+      saltFrom = "payload", factor = 8, partitions = 32,
+      sampleFraction = 0.2)
+    assert(didSalt)
+    val plain = hot.join(small, Seq("k")).select("k", "payload", "label")
+    val got = saltedPlan.select("k", "payload", "label")
+    assert(got.count() == plain.count())
+    assert(got.except(plain).isEmpty && plain.except(got).isEmpty)
+    val (_, didSaltUniform) = Skew.autoSaltedJoin(uniform, small, "k",
+      saltFrom = "payload", factor = 8, partitions = 32,
+      sampleFraction = 0.2)
+    assert(!didSaltUniform)
+  }
+
   test("ANN corpus partitioned by LSH bucket prunes the probe scan") {
     import graft.pipeline.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
