@@ -838,6 +838,156 @@ object PipelineQueries {
     FROM h ORDER BY doc_id"""
   }
 
+  // ------------------------------------------------------------ tf-idf
+  /** Per-document top-3 TF-IDF terms (the classic keyword extraction a
+    * corpus-curation pipeline runs for topical mixing): tf per
+    * (doc, term) and df per term are both map-side-combinable
+    * aggregations; the scalar doc count broadcasts; the tf⋈df join
+    * shuffles on term (AQE broadcasts the df side when the vocabulary
+    * fits). Ranking orders by the ROUNDED score with the term as
+    * tie-break, so cross-engine double ulps can't flip ranks. */
+  def textTfidfTop(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfT, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val textTfidfTopSql: String = """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (SELECT doc_id, term, tf, df,
+        ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+    ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY tfidf DESC, term) AS INT) AS rank FROM scored)
+    SELECT doc_id, rank, term, tf, df, tfidf
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
+
+  // ---------------------------------------------- unigram LM quality
+  /** Unigram-LM surprisal per document (the perplexity-proxy quality
+    * signal: documents of improbable tokens score high, boilerplate
+    * scores low): corpus token frequencies → p(w), score =
+    * -avg ln p(w). The frequency table is a map-side-combinable
+    * aggregation, the totals scalar broadcasts, and the per-doc sum
+    * goes through DECIMAL(38,12) so the float sum is order-independent
+    * across engines (the repo's oracle-determinism convention). */
+  def textUnigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).as("t"))
+    toks.join(freq, "tok").crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log(col("c").cast("double") / col("t"))
+          .cast("decimal(38,12)")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-col("s").cast("double") / col("n_tokens"), 6)
+          .as("avg_neg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val textUnigramLogprobSql: String = """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM freq)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+      ROUND(-CAST(SUM(CAST(ln(CAST(c AS DOUBLE) / t) AS DECIMAL(38,12)))
+        AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---------------------------------------------------- chunk windows
+  /** Overlapping token-window chunking (the RAG/packing shape: 50-token
+    * windows, stride 40): pure per-row array arithmetic — no shuffle at
+    * all until the output sort, so it scales with the scan. */
+  def textChunkWindows(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), words.as("w"), size(words).as("n"))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0),
+          floor((col("n") - 1) / 40).cast("int"))).as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        least(lit(50), col("n") - col("ci") * 40).cast("long")
+          .as("n_tokens"),
+        element_at(col("w"), col("ci") * 40 + 1).as("first_token"),
+        element_at(col("w"), least(col("ci") * 40 + 50, col("n")))
+          .as("last_token"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val textChunkWindowsSql: String = """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      CAST(least(50, n - i * 40) AS BIGINT) AS n_tokens,
+      w[CAST(i * 40 + 1 AS INT)] AS first_token,
+      w[CAST(least(i * 40 + 50, n) AS INT)] AS last_token
+    FROM base, UNNEST(range((n - 1) // 40 + 1)) AS t(i)
+    ORDER BY doc_id, chunk_idx"""
+
+  // ------------------------------------------------- mixture weights
+  /** Per-source sampling weights for training-mixture planning (the
+    * temperature-sampling rule w ∝ share^(1/2), the multilingual/
+    * multi-domain rebalancing convention): per-source token counts are
+    * one map-side-combinable aggregation over a handful of groups; the
+    * scalars broadcast. sqrt is correctly rounded IEEE (identical
+    * cross-engine) and the tiny weight sum goes through DECIMAL so
+    * addition order can't leak into the rounded output. */
+  def sourceMixWeights(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("t"))
+    val sh = per.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_tokens").cast("double") / col("t"))
+      .withColumn("wr", sqrt(col("share")).cast("decimal(38,12)"))
+    val z = sh.agg(sum(col("wr")).as("z"))
+    sh.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("wr").cast("double") / col("z").cast("double"), 6)
+          .as("weight"))
+      .orderBy("source")
+  }
+
+  val sourceMixWeightsSql: String = """
+    WITH per AS (SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per),
+    sh AS (SELECT source, n_docs, n_tokens,
+        CAST(n_tokens AS DOUBLE) / t AS share,
+        CAST(sqrt(CAST(n_tokens AS DOUBLE) / t) AS DECIMAL(38,12)) AS wr
+      FROM per CROSS JOIN tot),
+    z AS (SELECT SUM(wr) AS z FROM sh)
+    SELECT source, n_docs, n_tokens, ROUND(share, 6) AS share,
+      ROUND(CAST(wr AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight
+    FROM sh CROSS JOIN z ORDER BY source"""
+
   // ------------------------------------------------------------- quantization
   /** int8 symmetric quantization of the embedding column: per-vector
     * scale = max|v|/127, quant = round(v/scale) clamped to [-127,127];
@@ -1084,6 +1234,13 @@ object PipelineQueries {
     FROM ranked GROUP BY doc_id ORDER BY doc_id"""
 
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("text_tfidf_top", textTfidfTop, Some(textTfidfTopSql)),
+    QuerySpec("text_chunk_windows", textChunkWindows,
+      Some(textChunkWindowsSql)),
+    QuerySpec("source_mix_weights", sourceMixWeights,
+      Some(sourceMixWeightsSql)),
+    QuerySpec("text_unigram_logprob", textUnigramLogprob,
+      Some(textUnigramLogprobSql)),
     QuerySpec("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),
     QuerySpec("dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
     QuerySpec("multimodal_decode_stats", multimodalDecodeStats,
