@@ -59,19 +59,25 @@ object CubeIngest {
       case Some(v) => spark.conf.set(tsKey, v)
       case None => spark.conf.unset(tsKey)
     }
-    writeMeta(path, cube.grid, cube.variables)
+    writeMeta(path, cube.grid, cube.variables, tileSize)
     graft.sources.StoreCache.invalidate(path) // re-written store re-lists
   }
 
+  /** layout 2 = p_date-partitioned, (p_date, time, tile_y, tile_x,
+    * y_idx, x_idx)-sorted, INT64-micros timestamps, 8192-row pages.
+    * The direct tile reader keys its dense fast path on this marker —
+    * older stores (whose sort partitionBy silently destroyed) read
+    * through the generic per-row path. */
   private def writeMeta(path: String, grid: CubeGrid,
-                        variables: Seq[String]): Unit = {
+                        variables: Seq[String], tileSize: Int): Unit = {
     val g = grid
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_graft_meta.json"),
       s"""{"grid": {"width": ${g.width}, "height": ${g.height},
          | "lonMin": ${g.lonMin}, "latMin": ${g.latMin}, "res": ${g.res},
          | "latAscending": ${g.latAscending}},
-         | "variables": [${variables.map("\"" + _ + "\"").mkString(", ")}]}"""
+         | "variables": [${variables.map("\"" + _ + "\"").mkString(", ")}],
+         | "tileSize": $tileSize, "layout": 2}"""
         .stripMargin)
   }
 

@@ -50,24 +50,98 @@ private[graft] object ParquetWindow {
   private final case class FileMeta(schema: MessageType, createdBy: String,
     footer: org.apache.parquet.hadoop.metadata.ParquetMetadata)
 
+  /** Ingest-layout geometry from `_graft_meta.json` (layout ≥ 2 only —
+    * the marker `CubeIngest.writeCube` stamps once its sort order is
+    * trustworthy): grid dims, tile size, and the row offset of each
+    * (tile_y, tile_x) block in file order. */
+  private final case class StoreMeta(width: Int, height: Int,
+      tileSize: Int, tilesX: Int, blockOffsets: Array[Long])
+
+  private val storeMetas = TrieMap.empty[String, Option[StoreMeta]]
+
+  private def storeMeta(path: String): Option[StoreMeta] =
+    storeMetas.getOrElseUpdate(path,
+      BlobStore.forStore(path).read("_graft_meta.json").flatMap { b =>
+        try {
+          val n = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+          val layout = Option(n.get("layout")).map(_.asInt).getOrElse(1)
+          val ts = Option(n.get("tileSize")).map(_.asInt).getOrElse(0)
+          val g = n.get("grid")
+          if (layout < 2 || ts <= 0 || g == null) None
+          else {
+            val w = g.get("width").asInt()
+            val h = g.get("height").asInt()
+            val tilesX = (w + ts - 1) / ts
+            val tilesY = (h + ts - 1) / ts
+            val offs = new Array[Long](tilesY * tilesX + 1)
+            var acc = 0L
+            var i = 0
+            var ty = 0
+            while (ty < tilesY) {
+              var tx = 0
+              while (tx < tilesX) {
+                offs(i) = acc
+                acc += math.min(ts, h - ty * ts).toLong *
+                  math.min(ts, w - tx * ts)
+                i += 1
+                tx += 1
+              }
+              ty += 1
+            }
+            offs(i) = acc
+            Some(StoreMeta(w, h, ts, tilesX, offs))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      })
+
   // per-date-dir part-file listing and per-file schema: probed once,
   // served per tile ([[StoreCache.invalidate]] drops them via the
   // invalidate/clear hooks below)
   private val fileLists = TrieMap.empty[String, Seq[Path]]
   private val metas = TrieMap.empty[String, FileMeta]
 
+  // pooled open readers for the dense path: ParquetFileReader.open
+  // costs ~10 ms even with a cached footer (codec/stream/allocator
+  // setup) — random-access readFilteredRowGroup needs no cursor, so
+  // one long-lived reader per file serves every tile. Access is
+  // serialized per reader (decompressors are not thread-safe).
+  private val readers = TrieMap.empty[String, ParquetFileReader]
+  // offset index per (file, column) — one footer-section parse
+  private val offsetIndexes = TrieMap.empty[(String, String), AnyRef]
+
+  private def dropReaders(pred: String => Boolean): Unit =
+    readers.keys.filter(pred).foreach(k =>
+      readers.remove(k).foreach(r =>
+        try r.close() catch { case scala.util.control.NonFatal(_) => () }))
+
   private[graft] def invalidate(path: String): Unit = {
+    confs.remove(path)
     fileLists.keys.filter(_.startsWith(path)).foreach(fileLists.remove)
     metas.keys.filter(_.startsWith(path)).foreach(metas.remove)
+    storeMetas.keys.filter(_.startsWith(path)).foreach(storeMetas.remove)
+    offsetIndexes.keys.filter(_._1.startsWith(path))
+      .foreach(offsetIndexes.remove)
+    dropReaders(_.startsWith(path))
   }
 
-  private[graft] def clear(): Unit = { fileLists.clear(); metas.clear() }
-
-  private def hadoopConf(path: String): Configuration = {
-    val c = new Configuration()
-    BlobStore.optionsFor(path).foreach { case (k, v) => c.set(k, v) }
-    c
+  private[graft] def clear(): Unit = {
+    confs.clear(); fileLists.clear(); metas.clear(); storeMetas.clear()
+    offsetIndexes.clear()
+    dropReaders(_ => true)
   }
+
+  // memoized per store: a fresh Configuration lazily re-parses the
+  // Hadoop XML defaults on first use (~10-20 ms) — constructing one
+  // per tile request silently dominated the whole read
+  private val confs = TrieMap.empty[String, Configuration]
+
+  private def hadoopConf(path: String): Configuration =
+    confs.getOrElseUpdate(path, {
+      val c = new Configuration()
+      BlobStore.optionsFor(path).foreach { case (k, v) => c.set(k, v) }
+      c
+    })
 
   private def listParquet(dir: String, conf: Configuration): Seq[Path] = {
     val p = new Path(dir)
@@ -91,11 +165,12 @@ private[graft] object ParquetWindow {
     if (files.isEmpty) return None
     val out = Array.fill(h * w)(Double.NaN)
     files.foreach(f =>
-      readFile(f, conf, variable, timeUs, y0, x0, h, w, out))
+      readFile(path, f, conf, variable, timeUs, y0, x0, h, w, out))
     Some(out)
   }
 
-  private def readFile(file: Path, conf: Configuration, variable: String,
+  private def readFile(storePath: String, file: Path, conf: Configuration,
+                       variable: String,
                        timeUs: Long, y0: Int, x0: Int, h: Int, w: Int,
                        out: Array[Double]): Unit = {
     val fm = metas.getOrElseUpdate(file.toString, {
@@ -152,6 +227,25 @@ private[graft] object ParquetWindow {
       .withRecordFilter(FilterCompat.get(pred))
       .build() // stats/dictionary/column-index filters all default on
     val in = HadoopInputFile.fromPath(file, conf)
+    // DENSE fast path: when the layout marker guarantees the sort
+    // order, the time is pinned by stats, and the file holds exactly
+    // one full grid (rows == W×H with unique (t,y,x) ⇒ dense), the
+    // global row index alone determines the cell — decode ONLY the
+    // value column, no y/x/time reads at all (~3× fewer column-reader
+    // ops per row than the generic loop)
+    val totalRows = {
+      import scala.jdk.CollectionConverters._
+      fm.footer.getBlocks.asScala.map(_.getRowCount).sum
+    }
+    // single row group only: with one group, positions are row indexes
+    // even when no page was filtered (absent row-index iterator); a
+    // multi-group file keeps the generic path rather than guess bases
+    val dense = timeUniform && fm.footer.getBlocks.size() == 1 &&
+      storeMeta(storePath).exists(m =>
+        totalRows == m.width.toLong * m.height)
+    if (dense && readFileDense(file, conf, fm, storeMeta(storePath).get,
+        variable, y0, x0, h, w, out))
+      return
     // cached footer: no per-request footer IO/parse
     val r = ParquetFileReader.open(in, fm.footer, opts, in.newStream())
     try {
@@ -200,6 +294,102 @@ private[graft] object ParquetWindow {
         pages = r.readNextFilteredRowGroup()
       }
     } finally r.close()
+  }
+
+  /** Dense single-grid, single-row-group file: decode the value column
+    * only, mapping each row's row index through the block-offset table
+    * to its (y, x). Page pruning is done HERE from the offset index
+    * (select the pages whose row span intersects the window's tile
+    * blocks, `RowRanges.create`) rather than via a filter predicate —
+    * predicate columns outside the requested schema evaluate as
+    * missing (= empty ranges), and the whole point of this path is to
+    * request ONLY the value column. */
+  /** returns false when the file lacks what the fast path needs (no
+    * offset index / unknown column) — the caller then runs the generic
+    * reader instead of serving an empty window */
+  private def readFileDense(file: Path, conf: Configuration, fm: FileMeta,
+                            m: StoreMeta, variable: String,
+                            y0: Int, x0: Int, h: Int, w: Int,
+                            out: Array[Double]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val proj = new MessageType("spark_schema",
+      fm.schema.getFields.get(fm.schema.getFieldIndex(variable)))
+    val ts = m.tileSize
+    val tyLo = math.max(y0, 0) / ts
+    val tyHi = math.min(y0 + h - 1, m.height - 1) / ts
+    val txLo = math.max(x0, 0) / ts
+    val txHi = math.min(x0 + w - 1, m.width - 1) / ts
+    if (tyLo > tyHi || txLo > txHi) return true
+    // row intervals of the tile blocks the window touches
+    val wanted = (for (ty <- tyLo to tyHi; tx <- txLo to txHi) yield {
+      val bi = ty * m.tilesX + tx
+      (m.blockOffsets(bi), m.blockOffsets(bi + 1) - 1)
+    }).sorted
+    val block = fm.footer.getBlocks.get(0)
+    val rowCount = block.getRowCount
+    val vChunk = block.getColumns.asScala
+      .find(_.getPath.toDotString == variable).orNull
+    if (vChunk == null) return false
+    val r = readers.getOrElseUpdate(file.toString, {
+      val in = HadoopInputFile.fromPath(file, conf)
+      ParquetFileReader.open(in, fm.footer,
+        ParquetReadOptions.builder().build(), in.newStream())
+    })
+    // serialize per file: the pooled reader's stream/decompressors are
+    // stateful; decompressed pages are consumed inside the lock too
+    r.synchronized {
+      r.setRequestedSchema(proj)
+      val oi = offsetIndexes.getOrElseUpdate((file.toString, variable),
+        r.readOffsetIndex(vChunk)).asInstanceOf[
+        org.apache.parquet.internal.column.columnindex.OffsetIndex]
+      val pages =
+        if (oi == null) return false // no offset index: generic path
+        else {
+          def lastRow(p: Int): Long =
+            if (p + 1 < oi.getPageCount) oi.getFirstRowIndex(p + 1) - 1
+            else rowCount - 1
+          val sel = (0 until oi.getPageCount).filter { p =>
+            val lo = oi.getFirstRowIndex(p)
+            val hi = lastRow(p)
+            wanted.exists { case (a, b) => a <= hi && b >= lo }
+          }
+          (r.readFilteredRowGroup(0,
+            org.apache.parquet.internal.filter2.columnindex.RowRanges
+              .create(rowCount,
+                java.util.stream.IntStream.of(sel.toArray: _*).iterator(),
+                oi))): org.apache.parquet.column.page.PageReadStore
+        }
+      if (pages == null) return false
+      val n = pages.getRowCount
+      if (n == 0) return true
+      val crs = new ColumnReadStoreImpl(pages,
+        new GroupRecordConverter(proj).getRootConverter, proj,
+        fm.createdBy)
+      val cd = proj.getColumns.get(0)
+      val vr = crs.getColumnReader(cd)
+      val vDef = cd.getMaxDefinitionLevel
+      val it = if (pages.getRowIndexes.isPresent)
+        pages.getRowIndexes.get else null
+      var b = 0 // block cursor: row indexes arrive ascending
+      var i = 0L
+      while (i < n) {
+        val ri = if (it != null) it.nextLong() else i
+        val hasV = vr.getCurrentDefinitionLevel == vDef
+        val v = if (hasV) vr.getDouble else Double.NaN
+        while (ri >= m.blockOffsets(b + 1)) b += 1
+        val local = ri - m.blockOffsets(b)
+        val ty = b / m.tilesX
+        val tx = b % m.tilesX
+        val wB = math.min(m.tileSize, m.width - tx * m.tileSize)
+        val y = ty * m.tileSize + (local / wB).toInt
+        val x = tx * m.tileSize + (local % wB).toInt
+        if (hasV && y >= y0 && y < y0 + h && x >= x0 && x < x0 + w)
+          out((y - y0) * w + (x - x0)) = v
+        vr.consume()
+        i += 1
+      }
+      true
+    }
   }
 
   /** `timeUs` expressed in the file's own timestamp unit, None when it

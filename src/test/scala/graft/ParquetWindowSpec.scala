@@ -76,6 +76,38 @@ class ParquetWindowSpec extends SparkSpec {
     assert(direct.sameElements(viaSparkPng))
   }
 
+  test("generic path: sub-daily time steps share a date partition") {
+    // two time steps on the SAME day defeat the dense fast path
+    // (time stats not uniform, rows != one grid) — the generic
+    // per-row loop with the INT64 time predicate must serve both
+    val grid = CubeGrid(64, 32, 0.0, 0.0, 0.5, latAscending = true)
+    val base = Cube.synthetic(spark, grid, numTimes = 1, Seq("v0"),
+      nanEvery = 5)
+    val twoHours = base.df
+      .union(base.df.withColumn("time",
+        col("time") + expr("INTERVAL 6 HOURS")))
+    val cube = base.copy(df = twoHours)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pwh").toString
+    CubeIngest.writeCube(cube, s"$dir/c", tileSize = 32)
+    val opened = CubeIngest.open(spark, s"$dir/c")
+    for (t <- opened.df.select("time").distinct().collect()
+        .map(_.getTimestamp(0))) {
+      val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      val win = graft.sources.ParquetWindow
+        .readWindow(s"$dir/c", "v0", us, 0, 0, 32, 64).get
+      val viaSpark = opened.df
+        .filter(col("time") === lit(t) &&
+          col("x_idx") < 64 && col("y_idx") < 32)
+        .select(col("y_idx"), col("x_idx"), col("v0")).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      for (y <- 0 until 32; x <- 0 until 64) {
+        val expected = viaSpark.getOrElse((y, x), Double.NaN)
+        assert(java.lang.Double.compare(win(y * 64 + x), expected) == 0,
+          s"t=$t cell ($y, $x)")
+      }
+    }
+  }
+
   test("materialized levels serve direct windows per level") {
     val grid = CubeGrid(128, 64, -10.0, -10.0, 0.125, latAscending = false)
     val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0"),
