@@ -109,8 +109,13 @@ object CubeIngest {
       throw new IllegalArgumentException(
         s"$resolved has no _graft_meta.json — written by an old ingest?"))
     // untransformed store read → the tile server may serve windows by
-    // direct parquet reads (ParquetWindow), no Spark job
+    // direct parquet reads (ParquetWindow), no Spark job; the time
+    // axis comes from footer statistics where they pin it, so
+    // registration (latestTime, timeCoords, WMTS dimensions) schedules
+    // no job either — the parity StoreOps gives zarr/NC stores
     CubeFrame(spark.read.parquet(resolved), grid, vars,
+      timeAxis = graft.sources.ParquetWindow.statsTimeAxis(resolved)
+        .map(_.map(graft.cube.Cube.timestampOfMicros)),
       storePath = Some(resolved))
   }
 

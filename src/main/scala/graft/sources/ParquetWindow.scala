@@ -152,6 +152,67 @@ private[graft] object ParquetWindow {
       .map(_.getPath)
   }
 
+  /** Time axis from footer statistics alone — no Spark job, no data
+    * pages: Some(sorted distinct epoch-us) when every row group of
+    * every date file pins its INT64 time column (min == max, the
+    * layout-2 one-step-per-row-group norm); None otherwise (caller
+    * falls back to a distinct scan). Registration of a parquet store
+    * then costs footer reads (cached, needed for tile serving anyway)
+    * instead of a cluster job. */
+  def statsTimeAxis(path: String): Option[Seq[Long]] = {
+    val conf = hadoopConf(path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return None
+    val dateDirs = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("p_date="))
+    if (dateDirs.isEmpty) return None
+    import scala.jdk.CollectionConverters._
+    val times = scala.collection.mutable.ArrayBuffer.empty[Long]
+    dateDirs.foreach { d =>
+      fs.listStatus(d.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          val fm = metas.getOrElseUpdate(f.getPath.toString, {
+            val r = ParquetFileReader.open(
+              HadoopInputFile.fromPath(f.getPath, conf))
+            try FileMeta(r.getFooter.getFileMetaData.getSchema,
+              r.getFooter.getFileMetaData.getCreatedBy, r.getFooter)
+            finally r.close()
+          })
+          val ti = try fm.schema.getFieldIndex("time")
+            catch { case _: Exception => return None }
+          val tf = fm.schema.getFields.get(ti)
+          if (!tf.isPrimitive) return None
+          val unit = tf.asPrimitiveType().getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit
+            case _ if tf.asPrimitiveType().getPrimitiveTypeName ==
+              PrimitiveType.PrimitiveTypeName.INT64 => null // bare us
+            case _ => return None // INT96 etc: no usable stats
+          }
+          fm.footer.getBlocks.asScala.foreach { b =>
+            val c = b.getColumns.asScala
+              .find(_.getPath.toDotString == "time").getOrElse(return None)
+            val st = c.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue ||
+                st.getNumNulls > 0 || st.genericGetMin != st.genericGetMax)
+              return None
+            val raw = st.genericGetMin.asInstanceOf[java.lang.Long]
+              .longValue()
+            times += (unit match {
+              case null => raw
+              case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+              case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                Math.floorDiv(raw, 1000L)
+            })
+          }
+        }
+    }
+    if (times.isEmpty) None else Some(times.distinct.sorted.toSeq)
+  }
+
   /** The cell window [y0, y0+h) × [x0, x0+w) of `variable` at `timeUs`,
     * row-major with NaN padding — the value layout the Spark tile path
     * collects. None when the store has no partition dir for the date

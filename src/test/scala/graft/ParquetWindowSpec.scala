@@ -24,6 +24,12 @@ class ParquetWindowSpec extends SparkSpec {
     CubeIngest.writeCube(cube, s"$dir/c", tileSize = 32)
     val opened = CubeIngest.open(spark, s"$dir/c")
     assert(opened.storePath.contains(s"$dir/c"))
+    // the time axis comes from footer stats — no distinct scan — and
+    // matches the data exactly
+    assert(opened.timeAxis.isDefined)
+    assert(opened.timeAxis.get ==
+      opened.df.select("time").distinct().orderBy("time").collect()
+        .map(_.getTimestamp(0)).toSeq)
 
     val t = opened.df.agg(max(col("time"))).head().getTimestamp(0)
     val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
@@ -90,6 +96,9 @@ class ParquetWindowSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-pwh").toString
     CubeIngest.writeCube(cube, s"$dir/c", tileSize = 32)
     val opened = CubeIngest.open(spark, s"$dir/c")
+    // two steps share a row group -> stats can't pin the axis -> the
+    // open falls back to the scan path (None), never a wrong axis
+    assert(opened.timeAxis.isEmpty)
     for (t <- opened.df.select("time").distinct().collect()
         .map(_.getTimestamp(0))) {
       val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
