@@ -163,6 +163,24 @@ class ScaleSpec extends SparkSpec {
       plan.toLowerCase.contains("partial_kmv"), plan.take(800))
   }
 
+  test("tf-idf and unigram-LM plans broadcast scalars, aggregate " +
+      "partially") {
+    for (q <- Seq(
+        graft.queries.PipelineQueries.textTfidfTop(
+          spark, "/root/testdata/sf0.001"),
+        graft.queries.PipelineQueries.textUnigramLogprob(
+          spark, "/root/testdata/sf0.001"))) {
+      val plan = q.queryExecution.executedPlan.toString
+      // the 1-row scalar (doc count / token total) broadcasts — the
+      // corpus side never shuffles for it
+      assert(plan.contains("BroadcastExchange") ||
+        plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+      // tf/df/frequency aggregations combine map-side before exchanging
+      assert(plan.contains("partial_count") || plan.contains("partial"),
+        plan.take(600))
+    }
+  }
+
   test("dedup_paragraph shuffles 128-bit hashes, never paragraph text") {
     // AQE wraps exchanges in query stages — plan statically (planning
     // reads the flag lazily, so force the plan inside the try) for the
