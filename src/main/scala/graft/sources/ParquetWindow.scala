@@ -391,11 +391,18 @@ private[graft] object ParquetWindow {
     val vChunk = block.getColumns.asScala
       .find(_.getPath.toDotString == variable).orNull
     if (vChunk == null) return false
-    val r = readers.getOrElseUpdate(file.toString, {
+    val r = readers.get(file.toString).getOrElse {
       val in = HadoopInputFile.fromPath(file, conf)
-      ParquetFileReader.open(in, fm.footer,
+      val fresh = ParquetFileReader.open(in, fm.footer,
         ParquetReadOptions.builder().build(), in.newStream())
-    })
+      readers.putIfAbsent(file.toString, fresh) match {
+        case Some(winner) => // racing thread won: release ours
+          try fresh.close()
+          catch { case scala.util.control.NonFatal(_) => () }
+          winner
+        case None => fresh
+      }
+    }
     // serialize per file: the pooled reader's stream/decompressors are
     // stateful; decompressed pages are consumed inside the lock too
     r.synchronized {
