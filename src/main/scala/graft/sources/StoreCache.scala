@@ -35,9 +35,20 @@ private[graft] object StoreCache {
 
   private final case class ChunkKey(path: String, variable: String,
                                     idx: Seq[Int])
+  /** decoded tile windows of the parquet serving path — the parquet
+    * analogue of a decoded chunk (its natural decode unit IS the tile
+    * block), sharing one byte budget + LRU order with chunks */
+  private final case class WindowKey(path: String, variable: String,
+                                     timeUs: Long, y0: Int, x0: Int,
+                                     h: Int, w: Int)
   private val chunkMap =
-    new java.util.LinkedHashMap[ChunkKey, Array[Double]](256, 0.75f, true)
+    new java.util.LinkedHashMap[AnyRef, Array[Double]](256, 0.75f, true)
   private var chunkBytes = 0L
+
+  private def keyPath(k: AnyRef): String = k match {
+    case c: ChunkKey => c.path
+    case w: WindowKey => w.path
+  }
 
   def ops(path: String): StoreOps =
     opsMap.getOrElseUpdate(path, StoreOps.forPath(path))
@@ -64,13 +75,26 @@ private[graft] object StoreCache {
   /** decoded chunk through the byte-bounded LRU; duplicate concurrent
     * loads are possible and harmless (last write wins) */
   def chunk(path: String, variable: String, meta: ZarrStore.ArrayMeta,
-            idx: Seq[Int]): Array[Double] = {
-    val key = ChunkKey(path, variable, idx)
+            idx: Seq[Int]): Array[Double] =
+    cached(ChunkKey(path, variable, idx))(
+      ops(path).readChunk(variable, meta, idx)).get
+
+  /** decoded parquet tile window through the same LRU (consumers treat
+    * the returned array as read-only — the renderer only reads) */
+  def window(path: String, variable: String, timeUs: Long, y0: Int,
+             x0: Int, h: Int, w: Int)
+            (load: => Option[Array[Double]]): Option[Array[Double]] =
+    cached(WindowKey(path, variable, timeUs, y0, x0, h, w))(
+      load.orNull)
+
+  private def cached(key: AnyRef)
+                    (load: => Array[Double]): Option[Array[Double]] = {
     chunkMap.synchronized {
       val hit = chunkMap.get(key)
-      if (hit != null) return hit
+      if (hit != null) return Some(hit)
     }
-    val data = ops(path).readChunk(variable, meta, idx)
+    val data = load
+    if (data == null) return None
     chunkMap.synchronized {
       if (!chunkMap.containsKey(key)) {
         chunkMap.put(key, data)
@@ -83,7 +107,7 @@ private[graft] object StoreCache {
         }
       }
     }
-    data
+    Some(data)
   }
 
   private[graft] def cachedChunkBytes: Long =
@@ -98,7 +122,7 @@ private[graft] object StoreCache {
       val it = chunkMap.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (e.getKey.path == path) {
+        if (keyPath(e.getKey) == path) {
           chunkBytes -= e.getValue.length * 8L
           it.remove()
         }

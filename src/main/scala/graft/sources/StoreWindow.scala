@@ -81,6 +81,10 @@ private[graft] object DirectWindow {
       java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(path))
     if (chunkedStore) StoreWindow.readWindow(path, variable, timeUs,
       y0, x0, h, w)
-    else ParquetWindow.readWindow(path, variable, timeUs, y0, x0, h, w)
+    else
+      // parquet windows cache decoded (the block IS this layout's
+      // decode unit; chunked stores already cache per decoded chunk)
+      StoreCache.window(path, variable, timeUs, y0, x0, h, w)(
+        ParquetWindow.readWindow(path, variable, timeUs, y0, x0, h, w))
   }
 }
