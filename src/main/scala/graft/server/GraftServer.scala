@@ -106,7 +106,7 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
           send(ex, 200, Catalogue.coordsJson(d, dim), "application/json"))
       case ("GET", "datasets" :: ds :: "vars" :: v :: "tiles" :: z :: x :: yPng :: Nil) =>
         withDataset(ex, ds)(d => tile(ex, d, v, z.toInt, x.toInt,
-          yPng.stripSuffix(".png").toInt))
+          yPng.stripSuffix(".png").toInt, query(ex)))
       // labeled colorbar; cbar/vmin/vmax/width/height query overrides
       // (reference get_legend, controllers/tiles.py:145-160)
       case ("GET", "datasets" :: ds :: "vars" :: v :: "legend.png" :: Nil) =>
@@ -299,8 +299,10 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
             if (fmt != "image/png" && fmt != "png")
               throw new IllegalArgumentException(
                 "Value for \"format\" parameter must be \"image/png\"")
+            // the advertised TIME dimension arrives as a KVP key too
             withDataset(ex, ds)(d => tile(ex, d, v,
-              q("tilematrix").toInt, q("tilecol").toInt, q("tilerow").toInt))
+              q("tilematrix").toInt, q("tilecol").toInt,
+              q("tilerow").toInt, q))
           case other => throw new IllegalArgumentException(
             s"Value for \"request\" parameter must be " +
               "\"GetCapabilities\" or \"GetTile\"")
@@ -346,15 +348,37 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
         cm.map(_.colorBar).getOrElse("viridis")))
   }
 
-  /** Tile request: cache probe → latest-time tile render (the 'current'
-    * J5 default), keyed like the reference image cache
-    * (controllers/tiles.py:57-61). WMTS z routes to a pyramid level —
-    * z = 0 is the coarsest, level index counts finest→coarsest, so
-    * level = numLevels - 1 - z (reference context.py:155 get_variable
-    * _for_z); low-zoom tiles never touch full-resolution data. */
+  /** Tile request: cache probe → tile render, keyed like the reference
+    * image cache (controllers/tiles.py:57-61). `?time=` selects the
+    * NEAREST axis step (the reference's dimension indexers,
+    * tiles.py:46 → `var.sel(method='nearest')`); the default is the
+    * latest step (the 'current' J5 convention). `cbar`/`vmin`/`vmax`
+    * override the style per request, like the legend endpoint. WMTS z
+    * routes to a pyramid level — z = 0 is the coarsest, level index
+    * counts finest→coarsest, so level = numLevels - 1 - z (reference
+    * context.py:155 get_variable_for_z); low-zoom tiles never touch
+    * full-resolution data. */
   private def tile(ex: HttpExchange, d: RegisteredDataset, v: String,
-                   z: Int, x: Int, y: Int): Unit = {
-    val key = s"${d.id}/$v/$z/$x/$y"
+                   z: Int, x: Int, y: Int,
+                   q: Map[String, String] = Map.empty): Unit = {
+    val t: java.sql.Timestamp = q.get("time") match {
+      case Some(s) =>
+        val want = parseTime(s)
+        val coords = d.timeCoords
+        if (coords.isEmpty) d.latestTime
+        else coords.minBy(c => math.abs(c.getTime - want.getTime))
+      case None => d.latestTime
+    }
+    val m = {
+      val base = mapping(d, v)
+      val m1 = q.get("cbar").map(cb => base.copy(palette =
+        graft.render.ColorMaps.paletteOrDefault(cb))).getOrElse(base)
+      val m2 = q.get("vmin").map(s => m1.copy(vmin = s.toDouble))
+        .getOrElse(m1)
+      q.get("vmax").map(s => m2.copy(vmax = s.toDouble)).getOrElse(m2)
+    }
+    val key = s"${d.id}/$v/$z/$x/$y/${t.getTime}/${m.vmin}/${m.vmax}/" +
+      q.getOrElse("cbar", "")
     tileCache.get(key) match {
       case Some(cached) => sendBytes(ex, 200, cached, "image/png")
       case None =>
@@ -374,20 +398,19 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
         // keeps the Spark path.
         val direct = cube.storePath.flatMap { p =>
           try {
-            val t = d.latestTime
             val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
             graft.sources.DirectWindow
               .read(p, v, us, y * 256, x * 256, 256, 256)
               .map(winVals => Render.renderWindow(winVals, 256, 256,
-                mapping(d, v), flipY = cube.grid.latAscending))
+                m, flipY = cube.grid.latAscending))
           } catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[tile] direct read failed for $key: $e")
             None
           }
         }
         val png = direct.getOrElse(
-          Render.renderTile(cube, v, d.latestTime, x, y, 256, 256,
-            mapping(d, v), flipY = cube.grid.latAscending))
+          Render.renderTile(cube, v, t, x, y, 256, 256,
+            m, flipY = cube.grid.latAscending))
         tileCache.put(key, png)
         sendBytes(ex, 200, png, "image/png")
     }
@@ -445,17 +468,17 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
     Json.obj("layers" -> Json.arr(layers))
   }
 
-  /** startDate/endDate query args as ISO dates/instants (reference
+  /** ISO date/instant query value (reference
     * params.get_query_argument_datetime). */
+  private def parseTime(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(
+      if (s.length <= 10) java.time.LocalDate.parse(s)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      else java.time.Instant.parse(s))
+
   private def dateRange(q: Map[String, String])
-      : (Option[java.sql.Timestamp], Option[java.sql.Timestamp]) = {
-    def parse(s: String): java.sql.Timestamp =
-      java.sql.Timestamp.from(
-        if (s.length <= 10) java.time.LocalDate.parse(s)
-          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
-        else java.time.Instant.parse(s))
-    (q.get("startDate").map(parse), q.get("endDate").map(parse))
-  }
+      : (Option[java.sql.Timestamp], Option[java.sql.Timestamp]) =
+    (q.get("startDate").map(parseTime), q.get("endDate").map(parseTime))
 
   private def readJsonBody(ex: HttpExchange)
       : com.fasterxml.jackson.databind.JsonNode =

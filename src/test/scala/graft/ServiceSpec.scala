@@ -361,6 +361,35 @@ Datasets:
     assert(m.cube.df.count() == 4L * 2)
   }
 
+  test("tile ?time= nearest-selects a step; cbar/vmin/vmax override " +
+      "style") {
+    val ctx = demoContext()
+    val srv = new GraftServer(ctx).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(p: String): Array[Byte] = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(srv.address + p)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+        assert(r.statusCode() == 200, p)
+        r.body()
+      }
+      val base = "/datasets/local/vars/v0/tiles/0/0/0.png"
+      val latest = get(base)
+      // demo cube: 2 daily steps from 2017-01-01; default = latest
+      assert(get(base + "?time=2017-01-02").sameElements(latest))
+      // nearest select: an off-axis instant snaps to its closest step
+      assert(get(base + "?time=2017-01-01T23:00:00Z").sameElements(latest))
+      val first = get(base + "?time=2017-01-01")
+      assert(!first.sameElements(latest),
+        "different steps must render different tiles")
+      // style overrides re-render (and re-key the cache)
+      assert(!get(base + "?vmin=40&vmax=60").sameElements(latest))
+      // (the demo style already maps v0 to plasma — override to viridis)
+      assert(!get(base + "?cbar=viridis").sameElements(latest))
+    } finally srv.stop()
+  }
+
   test("time-preserving transforms propagate the CF calendar and axis") {
     val ctx = new ServiceContext(spark)
     val grid = CubeGrid(4, 2, 0.0, 0.0, 1.0, latAscending = true)
