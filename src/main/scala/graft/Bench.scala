@@ -96,14 +96,25 @@ object Bench {
     // looked like a 5× regression and was measurement: host load rose
     // 2.3→6.5 during the run) — the flag travels with the record so a
     // reader never mistakes a loaded run for a code regression
-    val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_FLAG", "8.0")
+    // r6 proved 8.0 far too lax: a run started at load 4.0 recorded a
+    // 2.7 s query as 52 s, unflagged. Even a few busy cores distort
+    // shuffle-heavy local[32] stages, so any pre-existing load > 2
+    // marks the record suspect.
+    val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_FLAG", "2.0")
       .toDouble
     val loadFlag = math.max(loadStart, loadEnd) > loadThreshold
+    // the 5 slowest queries with min AND median: a polluted record
+    // self-diagnoses (median >> min, or a known-fast query in the top 5)
+    // even when only the short summary line survives a tail capture
+    val slowest = results.filter(_._3).sortBy(-_._2.min).take(5)
+      .map { case (k, ts, _) =>
+        "\"" + k + "\":{\"min\":" + ts.min + ",\"median\":" + median(ts) + "}" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"means":$means,"medians":$medians,"runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_flagged":$loadFlag,"failed":$failed,"sf":"$sfDir"}""")
     // BENCH_r04's tail capture truncated the line above and destroyed
     // the total. Repeat the headline figures in a second, short line so
     // they survive any tail-only capture of stdout.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_flagged":$loadFlag,"failed":$failed,"sf":"$sfDir","summary":true}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_flagged":$loadFlag,"slowest":$slowest,"failed":$failed,"sf":"$sfDir","summary":true}""")
     spark.stop()
   }
 }

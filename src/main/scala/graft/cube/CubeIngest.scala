@@ -35,10 +35,18 @@ object CubeIngest {
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val oldTs = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try cube.df
-      .withColumn("p_date", to_date(col("time")))
+    val staged = cube.df
+      // p_date derived from raw epoch-us, timezone-independently:
+      // to_date(time) uses the SESSION timezone, while the direct
+      // reader (ParquetWindow.readWindow) probes the partition dir by
+      // UTC epoch-day — under a non-UTC session a near-midnight step
+      // would land in a dir the reader never opens
+      .withColumn("p_date", expr(
+        "date_add(DATE'1970-01-01', " +
+          "CAST(FLOOR(unix_micros(time) / 86400000000.0) AS INT))"))
       .withColumn("tile_y", (col("y_idx") / tileSize).cast("int"))
       .withColumn("tile_x", (col("x_idx") / tileSize).cast("int"))
+    try staged
       .repartition(col("p_date"))
       // the sort MUST lead with the partitionBy column: a dynamic-
       // partition write whose incoming order doesn't start with p_date
@@ -59,7 +67,8 @@ object CubeIngest {
       case Some(v) => spark.conf.set(tsKey, v)
       case None => spark.conf.unset(tsKey)
     }
-    writeMeta(path, cube.grid, cube.variables, tileSize)
+    writeMeta(path, cube.grid, cube.variables, tileSize,
+      Some(staged.schema.json))
     graft.sources.StoreCache.invalidate(path) // re-written store re-lists
   }
 
@@ -69,28 +78,41 @@ object CubeIngest {
     * older stores (whose sort partitionBy silently destroyed) read
     * through the generic per-row path. */
   private def writeMeta(path: String, grid: CubeGrid,
-                        variables: Seq[String], tileSize: Int): Unit = {
+                        variables: Seq[String], tileSize: Int,
+                        schemaJson: Option[String] = None): Unit = {
     val g = grid
+    // the exact written schema (Spark's own StructType JSON, p_date
+    // included) makes open() a pure metadata read: a schema-less
+    // spark.read.parquet schedules a footer-inference JOB per open —
+    // wasted cluster work the sidecar already knows the answer to
+    val schemaField = schemaJson.map(s => s""", "schema": $s""").getOrElse("")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_graft_meta.json"),
       s"""{"grid": {"width": ${g.width}, "height": ${g.height},
          | "lonMin": ${g.lonMin}, "latMin": ${g.latMin}, "res": ${g.res},
          | "latAscending": ${g.latAscending}},
          | "variables": [${variables.map("\"" + _ + "\"").mkString(", ")}],
-         | "tileSize": $tileSize, "layout": 2}"""
+         | "tileSize": $tileSize, "layout": 2$schemaField}"""
         .stripMargin)
   }
 
-  private def readMeta(path: String): Option[(CubeGrid, Seq[String])] =
+  private def readMeta(path: String)
+      : Option[(CubeGrid, Seq[String],
+                Option[org.apache.spark.sql.types.StructType])] =
     graft.sources.BlobStore.forStore(path).read("_graft_meta.json").map { b =>
       val n = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(new String(b, java.nio.charset.StandardCharsets.UTF_8))
       val g = n.get("grid")
       val vars = (0 until n.get("variables").size())
         .map(n.get("variables").get(_).asText())
+      val schema = Option(n.get("schema")).flatMap(s =>
+        try Some(org.apache.spark.sql.types.DataType.fromJson(s.toString)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        catch { case scala.util.control.NonFatal(_) => None })
       (CubeGrid(g.get("width").asInt(), g.get("height").asInt(),
         g.get("lonMin").asDouble(), g.get("latMin").asDouble(),
-        g.get("res").asDouble(), g.get("latAscending").asBoolean()), vars)
+        g.get("res").asDouble(), g.get("latAscending").asBoolean()), vars,
+        schema)
     }
 
   /** Open a self-describing cube store: `.zarr` directories through the
@@ -105,15 +127,17 @@ object CubeIngest {
     val resolved = graft.sources.BlobStore.readFile(path + ".link")
       .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8).trim)
       .getOrElse(path)
-    val (grid, vars) = readMeta(resolved).getOrElse(
+    val (grid, vars, schema) = readMeta(resolved).getOrElse(
       throw new IllegalArgumentException(
         s"$resolved has no _graft_meta.json — written by an old ingest?"))
     // untransformed store read → the tile server may serve windows by
     // direct parquet reads (ParquetWindow), no Spark job; the time
-    // axis comes from footer statistics where they pin it, so
-    // registration (latestTime, timeCoords, WMTS dimensions) schedules
-    // no job either — the parity StoreOps gives zarr/NC stores
-    CubeFrame(spark.read.parquet(resolved), grid, vars,
+    // axis comes from footer statistics where they pin it, and the
+    // sidecar's recorded schema skips footer inference, so registration
+    // (latestTime, timeCoords, WMTS dimensions) schedules no job at
+    // all — the parity StoreOps gives zarr/NC stores
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    CubeFrame(reader.parquet(resolved), grid, vars,
       timeAxis = graft.sources.ParquetWindow.statsTimeAxis(resolved)
         .map(_.map(graft.cube.Cube.timestampOfMicros)),
       storePath = Some(resolved))

@@ -74,7 +74,8 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
       // param coercion failures are client errors (reference F13:
       // reqparams.py wraps them as 400s)
       case e @ (_: IllegalArgumentException | _: NumberFormatException |
-                _: NoSuchElementException) => send(ex, 400,
+                _: NoSuchElementException |
+                _: java.time.DateTimeException) => send(ex, 400,
         Json.obj("error" -> Json.str(String.valueOf(e.getMessage))),
         "application/json")
       case e: Throwable => send(ex, 500,
@@ -362,11 +363,16 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
                    z: Int, x: Int, y: Int,
                    q: Map[String, String] = Map.empty): Unit = {
     val t: java.sql.Timestamp = q.get("time") match {
+      case Some("current") => d.latestTime // J5 'current' (context.py:437)
       case Some(s) =>
-        val want = parseTime(s)
+        // parse through the dataset's OWN CF calendar: the catalogue
+        // advertises calendar-native labels (a 360_day axis contains
+        // 2017-02-30) and echoing one back must hit the exact step
+        val wantUs = graft.sources.CfTime.parseIsoUs(s, d.cube.timeCalendar)
         val coords = d.timeCoords
         if (coords.isEmpty) d.latestTime
-        else coords.minBy(c => math.abs(c.getTime - want.getTime))
+        else coords.minBy(c => math.abs(
+          c.getTime * 1000L + (c.getNanos / 1000) % 1000 - wantUs))
       case None => d.latestTime
     }
     val m = {

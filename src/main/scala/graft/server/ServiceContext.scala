@@ -50,9 +50,11 @@ final case class RegisteredDataset(id: String, title: String,
 
   /** The time coordinate axis (the reference's coord-variable dump of
     * catalogue.py:97-111). Store-backed cubes surface it from their
-    * parsed metadata — zero chunk reads, zero Spark jobs; only
-    * parquet-ingested cubes (no coordinate arrays on disk) fall back
-    * to one distinct scan over the 1-D time column. */
+    * parsed metadata and layout-2 parquet stores from footer
+    * statistics (ParquetWindow.statsTimeAxis) — zero chunk reads, zero
+    * Spark jobs either way; the distinct scan below runs only for
+    * cubes with no metadata axis at all (transformed frames, legacy
+    * layout-1 stores whose stats don't pin the step). */
   lazy val timeCoords: Seq[java.sql.Timestamp] =
     cube.timeAxis.getOrElse {
       import org.apache.spark.sql.functions.col

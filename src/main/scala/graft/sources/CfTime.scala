@@ -341,6 +341,19 @@ private[graft] object CfTime {
     }
   }
 
+  /** Parse an ISO-ish date/instant through the axis's OWN CF calendar —
+    * the inverse of [[isoLabel]]: a 360_day catalogue genuinely
+    * advertises '2017-02-30T00:00:00Z' and a client echoing that label
+    * back must resolve to the exact axis step, not a java.time parse
+    * error (or a drifted epoch on noleap/julian axes). Standard
+    * calendars take the identical grammar (date-only, space or 'T',
+    * optional seconds/fraction/offset). Invalid dates throw
+    * IllegalArgumentException (a client error, never a 500). */
+  def parseIsoUs(s: String, calendar: Option[String]): Long = {
+    val cal = calendarFor(calendar)
+    parseBaseFields(s, cal).us(cal)
+  }
+
   /** calendar-aware ISO-8601 label for an axis value (for non-standard
     * calendars an epoch-us run through java.time would print drifted
     * dates — a 360_day axis genuinely contains 2000-02-30) */

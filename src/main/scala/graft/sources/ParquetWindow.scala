@@ -116,14 +116,29 @@ private[graft] object ParquetWindow {
         try r.close() catch { case scala.util.control.NonFatal(_) => () }))
 
   private[graft] def invalidate(path: String): Unit = {
+    // metas/readers/offsetIndexes are keyed by listStatus paths, which
+    // the FileSystem scheme-qualifies ('file:/tmp/…' for a raw '/tmp/…'
+    // store) — matching the raw prefix alone would leak pooled open
+    // readers (fds on deleted part files) across a store rewrite
+    val prefixes = {
+      val qualified =
+        try {
+          val p = new Path(path)
+          p.getFileSystem(hadoopConf(path)).makeQualified(p).toString
+        } catch { case scala.util.control.NonFatal(_) => path }
+      Seq(path, qualified).distinct
+    }
+    def hit(k: String): Boolean = prefixes.exists(k.startsWith)
     confs.remove(path)
-    fileLists.keys.filter(_.startsWith(path)).foreach(fileLists.remove)
-    metas.keys.filter(_.startsWith(path)).foreach(metas.remove)
-    storeMetas.keys.filter(_.startsWith(path)).foreach(storeMetas.remove)
-    offsetIndexes.keys.filter(_._1.startsWith(path))
-      .foreach(offsetIndexes.remove)
-    dropReaders(_.startsWith(path))
+    fileLists.keys.filter(hit).foreach(fileLists.remove)
+    metas.keys.filter(hit).foreach(metas.remove)
+    storeMetas.keys.filter(hit).foreach(storeMetas.remove)
+    offsetIndexes.keys.filter(k => hit(k._1)).foreach(offsetIndexes.remove)
+    dropReaders(hit)
   }
+
+  /** test seam: paths of currently pooled open readers */
+  private[graft] def pooledReaderPaths: Set[String] = readers.keySet.toSet
 
   private[graft] def clear(): Unit = {
     confs.clear(); fileLists.clear(); metas.clear(); storeMetas.clear()

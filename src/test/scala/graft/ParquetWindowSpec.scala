@@ -139,4 +139,43 @@ class ParquetWindowSpec extends SparkSpec {
       assert(direct.sameElements(viaSpark), s"level ${lv.grid.width}")
     }
   }
+
+  test("invalidate(path) closes pooled readers despite scheme-qualified keys") {
+    // reader-pool keys come from Hadoop listStatus and are
+    // scheme-qualified ('file:/tmp/…'); invalidate() takes the RAW
+    // store path — a prefix mismatch would leak open fds on deleted
+    // part files across every store rewrite (ADVICE r6)
+    val grid = CubeGrid(64, 64, 0.0, 0.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 1, Seq("v0"),
+      nanEvery = 9)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pwi").toString
+    val store = s"$dir/c"
+    CubeIngest.writeCube(cube, store, tileSize = 32)
+    val opened = CubeIngest.open(spark, store)
+    val t = opened.timeAxis.get.head
+    val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    // dense fast path pools a long-lived reader per part file
+    assert(graft.sources.ParquetWindow
+      .readWindow(store, "v0", us, 0, 0, 32, 32).isDefined)
+    val pooled = graft.sources.ParquetWindow.pooledReaderPaths
+      .filter(_.contains("graft-pwi"))
+    assert(pooled.nonEmpty, "dense read should pool a reader")
+    assert(pooled.forall(_.startsWith("file:")),
+      "precondition: pool keys are scheme-qualified (else this test " +
+        "no longer exercises the mismatch)")
+    graft.sources.StoreCache.invalidate(store)
+    assert(graft.sources.ParquetWindow.pooledReaderPaths
+      .forall(!_.contains("graft-pwi")),
+      "invalidate(rawPath) must close the store's pooled readers")
+    // a rewritten store serves the NEW values through the same path
+    val cube2 = Cube.synthetic(spark, grid, numTimes = 1, Seq("v0"),
+      nanEvery = 9)
+    val shifted = cube2.copy(df = cube2.df.withColumn("v0",
+      col("v0") + lit(1000.0)))
+    CubeIngest.writeCube(shifted, store, tileSize = 32)
+    val win = graft.sources.ParquetWindow
+      .readWindow(store, "v0", us, 0, 0, 32, 32).get
+    assert(win.exists(v => !v.isNaN && v >= 1000.0),
+      "post-rewrite read must see the new data, not cached readers")
+  }
 }

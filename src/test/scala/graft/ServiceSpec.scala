@@ -390,6 +390,55 @@ Datasets:
     } finally srv.stop()
   }
 
+  test("tile ?time= parses through the dataset's CF calendar; malformed " +
+      "values are 400s") {
+    // a 360_day catalogue advertises calendar-native labels
+    // (2017-02-30 exists) — echoing one back must select the exact
+    // step, not 500 on a java.time parse error or drift to a neighbor
+    val ctx = new ServiceContext(spark)
+    val grid = CubeGrid(8, 4, 0.0, 0.0, 1.0, latAscending = true)
+    val cal = graft.sources.CfTime
+    val us1 = cal.parseIsoUs("2017-02-29T00:00:00Z", Some("360_day"))
+    val us2 = cal.parseIsoUs("2017-02-30T00:00:00Z", Some("360_day"))
+    val base = Cube.synthetic(spark, grid, 2, Seq("v0"), nanEvery = 1000)
+    val Array(t1, t2) = base.df.select("time").distinct().orderBy("time")
+      .collect().map(_.getTimestamp(0))
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val df = base.df.withColumn("time",
+      when(col("time") === lit(t1),
+        lit(graft.cube.Cube.timestampOfMicros(us1)))
+        .otherwise(lit(graft.cube.Cube.timestampOfMicros(us2))))
+    val cube = base.copy(df = df,
+      timeAxis = Some(Seq(us1, us2).map(graft.cube.Cube.timestampOfMicros)),
+      timeCalendar = Some("360_day"))
+    ctx.register(RegisteredDataset("c360", "C360", cube, None))
+    val srv = new GraftServer(ctx).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(p: String): (Int, Array[Byte]) = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(srv.address + p)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+        (r.statusCode(), r.body())
+      }
+      // the advertised labels round-trip (timeLabels formats 02-29/02-30)
+      assert(ctx.dataset("c360").get.timeLabels ==
+        Seq("2017-02-29T00:00:00Z", "2017-02-30T00:00:00Z"))
+      val base0 = "/datasets/c360/vars/v0/tiles/0/0/0.png"
+      val (cLatest, latest) = get(base0 + "?time=current")
+      assert(cLatest == 200)
+      val (c30, feb30) = get(base0 + "?time=2017-02-30T00:00:00Z")
+      assert(c30 == 200, "advertised 360_day label must parse")
+      assert(feb30.sameElements(latest))
+      val (c29, feb29) = get(base0 + "?time=2017-02-29T00:00:00Z")
+      assert(c29 == 200 && !feb29.sameElements(latest),
+        "the two 360_day steps must render distinct tiles")
+      // malformed time values are client errors, not 500s
+      assert(get(base0 + "?time=not-a-date")._1 == 400)
+      assert(get(base0 + "?time=2017-13-99")._1 == 400)
+    } finally srv.stop()
+  }
+
   test("time-preserving transforms propagate the CF calendar and axis") {
     val ctx = new ServiceContext(spark)
     val grid = CubeGrid(4, 2, 0.0, 0.0, 1.0, latAscending = true)
