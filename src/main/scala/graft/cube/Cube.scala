@@ -41,6 +41,17 @@ final case class CubeGrid(width: Int, height: Int,
   }
 }
 
+/** A non-spatial, non-time dimension of a cube variable (reference:
+  * xcube serves `time × depth × lat × lon` variables and resolves a
+  * per-request indexer for every leading dim, context.py:420-451).
+  * `values` is the 1-D coordinate axis IN STORE ORDER — indexers
+  * resolve against it (default = first, 'current' = last, else
+  * nearest), and `values.indexOf(selected)` is the array index the
+  * direct chunk reader needs. The long-format relation carries one
+  * DOUBLE column named `name` holding the coordinate value per row. */
+final case class ExtraDim(name: String, values: Seq[Double],
+                          units: String = "")
+
 /** A cube: long-format DataFrame + grid geometry + variable names.
   * `timeAxis` carries the 1-D time coordinate when the SOURCE already
   * holds it as metadata (zarr/NetCDF stores parse their coordinate
@@ -60,7 +71,8 @@ final case class CubeFrame(df: DataFrame, grid: CubeGrid,
                            variables: Seq[String],
                            timeAxis: Option[Seq[java.sql.Timestamp]] = None,
                            timeCalendar: Option[String] = None,
-                           storePath: Option[String] = None)
+                           storePath: Option[String] = None,
+                           extraDims: Seq[ExtraDim] = Nil)
 
 object Cube {
 

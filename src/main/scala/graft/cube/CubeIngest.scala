@@ -52,9 +52,12 @@ object CubeIngest {
       // partition write whose incoming order doesn't start with p_date
       // gets Spark's own (non-stable) sort on p_date inserted, which
       // silently destroys the tile order — and with it every row-group/
-      // page statistics pruning claim of this layout
-      .sortWithinPartitions("p_date", "time", "tile_y", "tile_x",
-        "y_idx", "x_idx")
+      // page statistics pruning claim of this layout. Extra non-spatial
+      // dims sort between time and the tile id, so each (time, depth)
+      // plane stays a contiguous tile-ordered run.
+      .sortWithinPartitions(
+        (Seq("p_date", "time") ++ cube.extraDims.map(_.name) ++
+          Seq("tile_y", "tile_x", "y_idx", "x_idx")).map(col): _*)
       .write.mode(SaveMode.Overwrite)
       // 8192-row pages divide a 256×256 tile block (65536 = 8 × 8192)
       // exactly, so the column index prunes a tile window to PRECISELY
@@ -68,7 +71,7 @@ object CubeIngest {
       case None => spark.conf.unset(tsKey)
     }
     writeMeta(path, cube.grid, cube.variables, tileSize,
-      Some(staged.schema.json))
+      Some(staged.schema.json), cube.extraDims)
     graft.sources.StoreCache.invalidate(path) // re-written store re-lists
   }
 
@@ -79,26 +82,33 @@ object CubeIngest {
     * through the generic per-row path. */
   private def writeMeta(path: String, grid: CubeGrid,
                         variables: Seq[String], tileSize: Int,
-                        schemaJson: Option[String] = None): Unit = {
+                        schemaJson: Option[String] = None,
+                        extraDims: Seq[graft.cube.ExtraDim] = Nil): Unit = {
     val g = grid
     // the exact written schema (Spark's own StructType JSON, p_date
     // included) makes open() a pure metadata read: a schema-less
     // spark.read.parquet schedules a footer-inference JOB per open —
     // wasted cluster work the sidecar already knows the answer to
     val schemaField = schemaJson.map(s => s""", "schema": $s""").getOrElse("")
+    val extraField =
+      if (extraDims.isEmpty) ""
+      else ", \"extraDims\": [" + extraDims.map(d =>
+        s"""{"name": "${d.name}", "units": "${d.units}", """ +
+          s""""values": [${d.values.mkString(", ")}]}""").mkString(", ") + "]"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_graft_meta.json"),
       s"""{"grid": {"width": ${g.width}, "height": ${g.height},
          | "lonMin": ${g.lonMin}, "latMin": ${g.latMin}, "res": ${g.res},
          | "latAscending": ${g.latAscending}},
          | "variables": [${variables.map("\"" + _ + "\"").mkString(", ")}],
-         | "tileSize": $tileSize, "layout": 2$schemaField}"""
+         | "tileSize": $tileSize, "layout": 2$schemaField$extraField}"""
         .stripMargin)
   }
 
   private def readMeta(path: String)
       : Option[(CubeGrid, Seq[String],
-                Option[org.apache.spark.sql.types.StructType])] =
+                Option[org.apache.spark.sql.types.StructType],
+                Seq[graft.cube.ExtraDim])] =
     graft.sources.BlobStore.forStore(path).read("_graft_meta.json").map { b =>
       val n = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(new String(b, java.nio.charset.StandardCharsets.UTF_8))
@@ -109,10 +119,18 @@ object CubeIngest {
         try Some(org.apache.spark.sql.types.DataType.fromJson(s.toString)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
         catch { case scala.util.control.NonFatal(_) => None })
+      val extras = Option(n.get("extraDims")).map(e =>
+        (0 until e.size()).map { i =>
+          val d = e.get(i)
+          graft.cube.ExtraDim(d.get("name").asText(),
+            (0 until d.get("values").size())
+              .map(d.get("values").get(_).asDouble()),
+            Option(d.get("units")).map(_.asText()).getOrElse(""))
+        }.toSeq).getOrElse(Nil)
       (CubeGrid(g.get("width").asInt(), g.get("height").asInt(),
         g.get("lonMin").asDouble(), g.get("latMin").asDouble(),
         g.get("res").asDouble(), g.get("latAscending").asBoolean()), vars,
-        schema)
+        schema, extras)
     }
 
   /** Open a self-describing cube store: `.zarr` directories through the
@@ -127,7 +145,7 @@ object CubeIngest {
     val resolved = graft.sources.BlobStore.readFile(path + ".link")
       .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8).trim)
       .getOrElse(path)
-    val (grid, vars, schema) = readMeta(resolved).getOrElse(
+    val (grid, vars, schema, extras) = readMeta(resolved).getOrElse(
       throw new IllegalArgumentException(
         s"$resolved has no _graft_meta.json — written by an old ingest?"))
     // untransformed store read → the tile server may serve windows by
@@ -140,7 +158,7 @@ object CubeIngest {
     CubeFrame(reader.parquet(resolved), grid, vars,
       timeAxis = graft.sources.ParquetWindow.statsTimeAxis(resolved)
         .map(_.map(graft.cube.Cube.timestampOfMicros)),
-      storePath = Some(resolved))
+      storePath = Some(resolved), extraDims = extras)
   }
 
   /** Open all pyramid levels under `<path>` (level=k subdirs), finest

@@ -56,10 +56,14 @@ object Pyramid {
         }
         val aggs = cube.variables.map(v =>
           fn(graft.cube.Cube.nanToNull(col(v))).as(v))
+        // extra non-spatial dims are grouping keys: a depth plane
+        // downsamples within itself, never across the water column
+        val keys = Seq(col("time")) ++
+          cube.extraDims.map(d => col(d.name)) ++ Seq(
+          (col("y_idx") / 2).cast("int").as("y_idx"),
+          (col("x_idx") / 2).cast("int").as("x_idx"))
         cube.df
-          .groupBy(col("time"),
-            (col("y_idx") / 2).cast("int").as("y_idx"),
-            (col("x_idx") / 2).cast("int").as("x_idx"))
+          .groupBy(keys: _*)
           .agg(aggs.head, aggs.tail: _*)
     }
     val withCoords = df
@@ -71,7 +75,8 @@ object Pyramid {
     // through untouched — dropping them here would silently re-date a
     // 360_day/noleap pyramid level through the standard calendar
     CubeFrame(withCoords, ng, cube.variables,
-      timeAxis = cube.timeAxis, timeCalendar = cube.timeCalendar)
+      timeAxis = cube.timeAxis, timeCalendar = cube.timeCalendar,
+      extraDims = cube.extraDims)
   }
 
   /** Full pyramid, finest (level 0) first. */

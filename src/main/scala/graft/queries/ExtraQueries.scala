@@ -53,6 +53,48 @@ object ExtraQueries {
           FROM events)
     WHERE rn = 1 ORDER BY user_id"""
 
+  // --------------------------------------------------------------- P5
+  /** Extra-dim indexer (reference get_var_indexers, context.py:420-451
+    * + `sel(method='nearest')`, tiles.py:77): the event grid gains a
+    * depth axis (5 coordinate values); a request for depth=37.5
+    * nearest-matches to 50, and only that plane aggregates. The Spark
+    * side resolves the indexer the way the server does — against the
+    * STATIC axis on the driver (coordinate metadata, no scan) — while
+    * the oracle re-derives it relationally, so the coercion rule itself
+    * is what the hash compare checks. */
+  def dimIndexerDepth(s: SparkSession, d: String): DataFrame = {
+    val depthCase = "CASE CAST(event_id % 5 AS INT) WHEN 0 THEN 0.0 " +
+      "WHEN 1 THEN 10.0 WHEN 2 THEN 20.0 WHEN 3 THEN 50.0 " +
+      "ELSE 100.0 END"
+    val axis = Array(0.0, 10.0, 20.0, 50.0, 100.0)
+    val want = 37.5
+    // nearest coercion, value tie-break — identical to the server's
+    // extraSelections and the reference's sel(method='nearest')
+    val sel = axis.minBy(v => (math.abs(v - want), v))
+    Tables.events(s, d)
+      .withColumn("depth", expr(depthCase))
+      .filter(col("depth") === sel)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_obs"),
+        Q.davg(col("value")).as("avg_value"),
+        max(col("depth")).as("depth"))
+      .orderBy("event_type")
+  }
+
+  val dimIndexerDepthSql: String = {
+    val depthCase = "CASE CAST(event_id % 5 AS INT) WHEN 0 THEN 0.0 " +
+      "WHEN 1 THEN 10.0 WHEN 2 THEN 20.0 WHEN 3 THEN 50.0 " +
+      "ELSE 100.0 END"
+    s"""
+    WITH planes AS (SELECT *, $depthCase AS depth FROM events),
+    sel AS (SELECT depth AS d FROM (SELECT DISTINCT depth FROM planes)
+            ORDER BY ABS(depth - 37.5), depth LIMIT 1)
+    SELECT event_type, COUNT(*) AS n_obs,
+           ${Sql.davg("value")} AS avg_value, MAX(depth) AS depth
+    FROM planes WHERE depth = (SELECT d FROM sel)
+    GROUP BY event_type ORDER BY event_type"""
+  }
+
   // --------------------------------------------------------------- P8
   /** Strided decimation (array[::2, ::2]) on the event grid: keep every
     * 2nd row/col, per-cell stats. */
@@ -437,6 +479,8 @@ object ExtraQueries {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("catalogue_counts", catalogueCounts, Some(catalogueCountsSql)),
     QuerySpec("dim_current", dimCurrent, Some(dimCurrentSql)),
+    QuerySpec("dim_indexer_depth", dimIndexerDepth,
+      Some(dimIndexerDepthSql)),
     QuerySpec("stride_decimate", strideDecimate, Some(strideDecimateSql)),
     QuerySpec("mask_valid_range", maskValidRange, Some(maskValidRangeSql)),
     QuerySpec("antimeridian_window", antimeridianWindow,

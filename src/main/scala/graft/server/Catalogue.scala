@@ -29,12 +29,15 @@ object Catalogue {
     val g = ds.cube.grid
     val b = g.bbox
     val grid = ds.tileGrid
+    // var-dim order: time, <extra non-spatial dims>, lat, lon
+    val dimNames = Seq("time") ++ ds.cube.extraDims.map(_.name) ++
+      Seq("lat", "lon")
     val variables = ds.cube.variables.map { v =>
       val cm = ds.style.flatMap(_.colorMappings.get(v))
       Json.obj(
         "id" -> Json.str(v),
         "name" -> Json.str(v),
-        "dims" -> Json.arr(Seq("time", "lat", "lon").map(Json.str)),
+        "dims" -> Json.arr(dimNames.map(Json.str)),
         "dtype" -> Json.str("float64"),
         "colorBarName" -> Json.str(cm.map(_.colorBar).getOrElse("gray")),
         "colorBarMin" -> Json.num(cm.map(_.valueRange._1).getOrElse(0.0)),
@@ -48,7 +51,7 @@ object Catalogue {
       "variables" -> Json.arr(variables),
       // reference: dimensions are full coordinate dumps in var-dim order
       // (catalogue.py:87-88 → get_dataset_coordinates per dim)
-      "dimensions" -> Json.arr(Seq("time", "lat", "lon").map(coordsJson(ds, _))))
+      "dimensions" -> Json.arr(dimNames.map(coordsJson(ds, _))))
     // dataset-attached place groups (catalogue.py:89-91)
     val withGroups =
       if (ds.placeGroupRefs.isEmpty) base
@@ -79,7 +82,16 @@ object Catalogue {
           "dtype" -> Json.str("datetime64[ns]"),
           "coordinates" -> Json.arr(vals))
       case other =>
-        throw new NoSuchElementException(s"unknown dimension $other")
+        ds.cube.extraDims.find(_.name == other) match {
+          case Some(ed) =>
+            Json.obj("name" -> Json.str(ed.name),
+              "size" -> ed.values.size.toString,
+              "dtype" -> Json.str("float64"),
+              "units" -> Json.str(ed.units),
+              "coordinates" -> Json.arr(ed.values.map(Json.num)))
+          case None =>
+            throw new NoSuchElementException(s"unknown dimension $other")
+        }
     }
   }
 

@@ -131,7 +131,7 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
         withDataset(ex, ds) { d =>
           val q = query(ex)
           val (start, end) = dateRange(q)
-          val df = TimeSeries.point(d.cube, v,
+          val df = TimeSeries.point(cubeFor(d, q), v,
             q("lon").toDouble, q("lat").toDouble, start, end)
           send(ex, 200, tsJson(df), "application/json")
         }
@@ -139,8 +139,10 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
         withDataset(ex, ds) { d =>
           val wkt = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
-          val (start, end) = dateRange(query(ex))
-          val df = TimeSeries.zonal(d.cube, v, Geo.parseWkt(wkt), start, end)
+          val q = query(ex)
+          val (start, end) = dateRange(q)
+          val df = TimeSeries.zonal(cubeFor(d, q), v, Geo.parseWkt(wkt),
+            start, end)
           send(ex, 200, tsJson(df), "application/json")
         }
       // GeoJSON GeometryCollection body → one series per geometry
@@ -151,9 +153,10 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
           val geomsNode = Option(node.get("geometries")).getOrElse(
             throw new IllegalArgumentException(
               "Invalid GeoJSON geometry collection"))
+          val q = query(ex)
           val geoms = (0 until geomsNode.size())
             .map(i => Geo.parseGeoJson(geomsNode.get(i).toString))
-          tsMany(ex, d, v, geoms, dateRange(query(ex)))
+          tsMany(ex, d, v, geoms, dateRange(q), q)
         }
       // GeoJSON FeatureCollection body → one series per feature geometry
       // (reference GetTimeSeriesForFeaturesHandler, app.py:101-102)
@@ -163,9 +166,10 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
           val feats = Option(node.get("features")).getOrElse(
             throw new IllegalArgumentException(
               "Invalid GeoJSON feature collection"))
+          val q = query(ex)
           val geoms = (0 until feats.size())
             .map(i => Geo.parseGeoJson(feats.get(i).get("geometry").toString))
-          tsMany(ex, d, v, geoms, dateRange(query(ex)))
+          tsMany(ex, d, v, geoms, dateRange(q), q)
         }
       // place-group listing (GetPlaceGroupsHandler → context.py:297-303);
       // nested sub-groups surface as a placeGroups member
@@ -259,7 +263,7 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
       // WMTS RESTful tile URL — note {z}/{y}/{x} order (app.py:48-49)
       case ("GET", "wmts" :: "1.0.0" :: "tile" :: ds :: v :: z :: y :: xPng :: Nil) =>
         withDataset(ex, ds)(d => tile(ex, d, v, z.toInt,
-          xPng.stripSuffix(".png").toInt, y.toInt))
+          xPng.stripSuffix(".png").toInt, y.toInt, query(ex)))
       // NE2 background layer (app.py:66-73): tile-source options + tiles
       // served from the static root's ne2/ pyramid when present
       case ("GET", "ne2" :: "tilegrid" :: Nil) =>
@@ -341,6 +345,42 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
         Json.obj("error" -> Json.str(s"no dataset $id")), "application/json")
     }
 
+  /** Per-request indexers for the cube's EXTRA non-spatial dims
+    * (reference get_var_indexers, context.py:420-451): parameter
+    * absent → FIRST coordinate value, `'current'` → last, else numeric
+    * coercion + nearest-match (`sel(method='nearest')`,
+    * controllers/tiles.py:77). Returns (name, resolved value, axis
+    * index) per dim; malformed values are client errors. */
+  private def extraSelections(d: RegisteredDataset, q: Map[String, String])
+      : Seq[(String, Double, Int)] =
+    d.cube.extraDims.map { ed =>
+      val idx = q.get(ed.name) match {
+        case None => 0
+        case Some("current") => ed.values.length - 1
+        case Some(s) =>
+          val want =
+            try s.toDouble
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"'$s' is not a valid value for dimension '${ed.name}'") }
+          ed.values.indices.minBy(i =>
+            (math.abs(ed.values(i) - want), ed.values(i)))
+      }
+      (ed.name, ed.values(idx), idx)
+    }
+
+  /** the dataset's cube with the request's extra-dim indexers applied
+    * (one plane per extra dim — the equality predicate pushes to the
+    * store scan, so a 4-D cube's query reads one plane, not the
+    * whole column) */
+  private def cubeFor(d: RegisteredDataset,
+                      q: Map[String, String]): graft.cube.CubeFrame = {
+    val sel = extraSelections(d, q)
+    if (sel.isEmpty) d.cube
+    else d.cube.copy(df = sel.foldLeft(d.cube.df) {
+      case (df, (n, vv, _)) => df.filter(col(n) === lit(vv)) })
+  }
+
   private def mapping(d: RegisteredDataset, v: String): ColorMapping = {
     val cm = d.style.flatMap(_.colorMappings.get(v))
     ColorMapping(cm.map(_.valueRange._1).getOrElse(0.0),
@@ -383,8 +423,14 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
         .getOrElse(m1)
       q.get("vmax").map(s => m2.copy(vmax = s.toDouble)).getOrElse(m2)
     }
+    // extra-dim indexers resolve BEFORE the cache probe: the key is the
+    // resolved plane (two requests naming different raw values that
+    // snap to the same step share a cache entry, reference image_id at
+    // tiles.py:58-59)
+    val extraSel = extraSelections(d, q)
     val key = s"${d.id}/$v/$z/$x/$y/${t.getTime}/${m.vmin}/${m.vmax}/" +
-      q.getOrElse("cbar", "")
+      q.getOrElse("cbar", "") +
+      extraSel.map { case (n, vv, _) => s"/$n=$vv" }.mkString
     tileCache.get(key) match {
       case Some(cached) => sendBytes(ex, 200, cached, "image/png")
       case None =>
@@ -406,7 +452,8 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
           try {
             val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
             graft.sources.DirectWindow
-              .read(p, v, us, y * 256, x * 256, 256, 256)
+              .read(p, v, us, y * 256, x * 256, 256, 256,
+                extraIdx = extraSel.map(_._3))
               .map(winVals => Render.renderWindow(winVals, 256, 256,
                 m, flipY = cube.grid.latAscending))
           } catch { case scala.util.control.NonFatal(e) =>
@@ -414,9 +461,16 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
             None
           }
         }
-        val png = direct.getOrElse(
-          Render.renderTile(cube, v, t, x, y, 256, 256,
-            m, flipY = cube.grid.latAscending))
+        val png = direct.getOrElse {
+          // Spark path: one equality filter per extra dim — pushes to
+          // the store scan as a chunk-plane prune
+          val frame =
+            if (extraSel.isEmpty) cube
+            else cube.copy(df = extraSel.foldLeft(cube.df) {
+              case (df, (n, vv, _)) => df.filter(col(n) === lit(vv)) })
+          Render.renderTile(frame, v, t, x, y, 256, 256,
+            m, flipY = cube.grid.latAscending)
+        }
         tileCache.put(key, png)
         sendBytes(ex, 200, png, "image/png")
     }
@@ -442,11 +496,13 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
   private def tsMany(ex: HttpExchange, d: RegisteredDataset, v: String,
                      geoms: Seq[graft.geo.Geo.Geometry],
                      range: (Option[java.sql.Timestamp],
-                             Option[java.sql.Timestamp])): Unit = {
+                             Option[java.sql.Timestamp]),
+                     q: Map[String, String] = Map.empty): Unit = {
     if (geoms.isEmpty) {
       send(ex, 200, Json.obj("results" -> "[]"), "application/json"); return
     }
-    val rows = TimeSeries.zonalMany(d.cube, v, geoms, range._1, range._2)
+    val rows = TimeSeries.zonalMany(cubeFor(d, q), v, geoms,
+      range._1, range._2)
       .collect().groupBy(_.getAs[Int]("geometry_index"))
     val arrays = geoms.indices.map(i =>
       Json.arr(rows.getOrElse(i, Array.empty).sortBy(_.getAs[String]("date"))

@@ -103,7 +103,8 @@ class ServiceContext(val spark: SparkSession) {
     CubeFrame(cube.df.withColumn(name, org.apache.spark.sql.functions.expr(ex)
         .cast("double")),
       cube.grid, cube.variables :+ name,
-      timeAxis = cube.timeAxis, timeCalendar = cube.timeCalendar)
+      timeAxis = cube.timeAxis, timeCalendar = cube.timeCalendar,
+      extraDims = cube.extraDims)
   })
   // per-pixel trailing rolling mean over n time steps (xarray
   // min_periods semantics: default = the window size)
@@ -121,7 +122,8 @@ class ServiceContext(val spark: SparkSession) {
         validMin = params.get("valid_min").map(_.toDouble),
         validMax = params.get("valid_max").map(_.toDouble))),
       cube.grid, cube.variables,
-      timeAxis = cube.timeAxis, timeCalendar = cube.timeCalendar)
+      timeAxis = cube.timeAxis, timeCalendar = cube.timeCalendar,
+      extraDims = cube.extraDims)
   })
   // multi-input merge: variables of every input aligned on (time,y,x) —
   // the J4 equi-join as a computed dataset

@@ -46,9 +46,11 @@ object Wmts {
         seenGrids += tmsId
         matrixSets.append(tileMatrixSetXml(tmsId, grid))
       }
-      // time <Dimension> values are shared across a dataset's layers
-      // (the dimensions_xml_cache of wmts.py:199-201)
-      val dimensionXml = timeDimensionXml(ds)
+      // time (+ extra non-spatial dim) <Dimension> values are shared
+      // across a dataset's layers (the dimensions_xml_cache of
+      // wmts.py:199-201)
+      val dimensionXml = timeDimensionXml(ds) +
+        ds.cube.extraDims.map(extraDimensionXml).mkString
       ds.cube.variables.foreach { v =>
         layers.append(
           s"""    <Layer>
@@ -102,6 +104,26 @@ object Wmts {
        |        <ows:UOM>ISO8601</ows:UOM>
        |        <Default>current</Default>
        |        <Current>true</Current>
+       |$values      </Dimension>
+       |""".stripMargin
+  }
+
+  /** `<Dimension>` for an extra non-spatial axis (wmts.py:218-235 for
+    * non-time dims: UOM from the coordinate's units, Default = the
+    * FIRST coordinate value — the indexer's no-param default — Current
+    * false, one <Value> per coordinate). */
+  def extraDimensionXml(ed: graft.cube.ExtraDim): String = {
+    def fmt(v: Double): String =
+      if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString
+      else v.toString
+    val values = ed.values.map(v =>
+      s"        <Value>${fmt(v)}</Value>\n").mkString
+    s"""      <Dimension>
+       |        <ows:Identifier>${xmlEsc(ed.name)}</ows:Identifier>
+       |        <ows:Title>${xmlEsc(ed.name)}</ows:Title>
+       |        <ows:UOM>${xmlEsc(ed.units)}</ows:UOM>
+       |        <Default>${fmt(ed.values.head)}</Default>
+       |        <Current>false</Current>
        |$values      </Dimension>
        |""".stripMargin
   }

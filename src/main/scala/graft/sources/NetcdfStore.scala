@@ -201,11 +201,15 @@ object NetcdfStore {
     readSlab(path, v, 0L, header.shapeOf(v).head)
   }
 
-  /** 3-D (time, lat, lon) data variable names. */
+  /** Data variable names: rank ≥ 3, time-leading, (lat, lon)-trailing —
+    * extra non-spatial dims (depth, …) may sit between. */
   def variableNames(header: NcHeader): Seq[String] = {
-    val want = Seq("time", "lat", "lon").map(n =>
+    val t = header.dims.indexWhere(_.name == "time")
+    val spatial = Seq("lat", "lon").map(n =>
       header.dims.indexWhere(_.name == n))
-    header.vars.filter(_.dimIds == want).map(_.name).sorted
+    header.vars.filter(v => v.dimIds.length >= 3 &&
+      v.dimIds.headOption.contains(t) && v.dimIds.takeRight(2) == spatial)
+      .map(_.name).sorted
   }
 
   // ------------------------------------------------------------- writer
@@ -384,6 +388,10 @@ object NetcdfStore {
       catch { case scala.util.control.NonFatal(_) => None }
     val cal = try ops.textAttrs("time").get("calendar")
       catch { case scala.util.control.NonFatal(_) => None }
-    CubeFrame(df, grid, ops.variableNames, timeAxis, cal, Some(path))
+    val vars = ops.variableNames
+    val extras = vars.headOption
+      .map(v => StoreOps.extraDimsOf(ops, v)).getOrElse(Nil)
+    CubeFrame(df, grid, vars, timeAxis, cal, Some(path),
+      extraDims = extras)
   }
 }

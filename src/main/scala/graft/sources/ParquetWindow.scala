@@ -59,6 +59,22 @@ private[graft] object ParquetWindow {
 
   private val storeMetas = TrieMap.empty[String, Option[StoreMeta]]
 
+  // stores ingested from a 4-D cube (sidecar `extraDims`): this reader
+  // has no extra-dim predicate, so serving a window would silently
+  // overlay every depth plane — those stores keep the Spark path
+  private val extraDimStores = TrieMap.empty[String, Boolean]
+
+  private def hasExtraDims(path: String): Boolean =
+    extraDimStores.getOrElseUpdate(path,
+      BlobStore.forStore(path).read("_graft_meta.json").exists { b =>
+        try {
+          val n = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+          val e = n.get("extraDims")
+          e != null && e.isArray && e.size() > 0
+        } catch { case scala.util.control.NonFatal(_) => false }
+      })
+
   private def storeMeta(path: String): Option[StoreMeta] =
     storeMetas.getOrElseUpdate(path,
       BlobStore.forStore(path).read("_graft_meta.json").flatMap { b =>
@@ -133,6 +149,7 @@ private[graft] object ParquetWindow {
     fileLists.keys.filter(hit).foreach(fileLists.remove)
     metas.keys.filter(hit).foreach(metas.remove)
     storeMetas.keys.filter(hit).foreach(storeMetas.remove)
+    extraDimStores.keys.filter(hit).foreach(extraDimStores.remove)
     offsetIndexes.keys.filter(k => hit(k._1)).foreach(offsetIndexes.remove)
     dropReaders(hit)
   }
@@ -142,6 +159,7 @@ private[graft] object ParquetWindow {
 
   private[graft] def clear(): Unit = {
     confs.clear(); fileLists.clear(); metas.clear(); storeMetas.clear()
+    extraDimStores.clear()
     offsetIndexes.clear()
     dropReaders(_ => true)
   }
@@ -234,6 +252,7 @@ private[graft] object ParquetWindow {
     * (caller falls back to the Spark path). */
   def readWindow(path: String, variable: String, timeUs: Long,
                  y0: Int, x0: Int, h: Int, w: Int): Option[Array[Double]] = {
+    if (hasExtraDims(path)) return None // 4-D store → Spark path
     val date = java.time.LocalDate.ofEpochDay(Math.floorDiv(timeUs, DayUs))
     val dateDir = s"$path/p_date=$date"
     val conf = hadoopConf(path)

@@ -15,6 +15,13 @@ private[sources] sealed trait StoreOps extends Serializable {
   def read1dLongs(name: String): Array[Long]
   /** text attributes of one variable (CF `units`/`calendar` carriers) */
   def textAttrs(name: String): Map[String, String]
+  /** every array in the store, coordinate axes included */
+  def arrayNames: Seq[String]
+  /** declared axis names of one variable (zarr `_ARRAY_DIMENSIONS` /
+    * v3 `dimension_names`, NetCDF dim table); Nil when the format
+    * doesn't carry them (plain HDF5) — callers fall back to matching
+    * 1-D coordinate arrays by length */
+  def dimNames(name: String): Seq[String] = Nil
 }
 
 private[sources] object StoreOps {
@@ -24,6 +31,52 @@ private[sources] object StoreOps {
     if (java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(path))) {
       if (Hdf5.isHdf5(path)) Hdf5Ops(path) else NetcdfOps(path)
     } else ZarrOps(path)
+
+  /** Names + axis lengths of a rank≥3 variable's EXTRA non-spatial
+    * dims (the axes between time and the spatial pair — the
+    * `time × depth × y × x` case the reference serves with per-request
+    * indexers, context.py:420-451). Resolution: the variable's
+    * declared dim names when the store carries them, else the unique
+    * 1-D coordinate array whose length matches the axis. A dim with no
+    * coordinate array fails loudly — the reference's 400 for
+    * "dimension has no coordinates", and silently mis-labeling an axis
+    * would poison every indexer. */
+  def extraDimNames(ops: StoreOps, variable: String): Seq[String] = {
+    val shape = ops.arrayMeta(variable).shape
+    if (shape.length <= 3) return Nil
+    val declared = ops.dimNames(variable)
+    lazy val oneD: Seq[(String, Int)] = ops.arrayNames.flatMap { n =>
+      try {
+        val s = ops.arrayMeta(n).shape
+        if (s.length == 1) Some(n -> s.head) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val reserved = Set("time", "lat", "lon", "x", "y")
+    (1 to shape.length - 3).map { axis =>
+      if (declared.length == shape.length) declared(axis)
+      else oneD.filter { case (n, len) =>
+        !reserved(n) && len == shape(axis)
+      } match {
+        case Seq((one, _)) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"axis $axis of $variable (length ${shape(axis)}) has no 1-D " +
+            "coordinate array — extra dims need coordinates")
+        case many => throw new IllegalArgumentException(
+          s"axis $axis of $variable matches several coordinate arrays " +
+            s"(${many.map(_._1).mkString(", ")}) — declare dimension " +
+            "names (_ARRAY_DIMENSIONS / dimension_names)")
+      }
+    }
+  }
+
+  /** The [[graft.cube.ExtraDim]] descriptors of a variable: resolved
+    * names plus their coordinate values in store order. */
+  def extraDimsOf(ops: StoreOps, variable: String)
+      : Seq[graft.cube.ExtraDim] =
+    extraDimNames(ops, variable).map { n =>
+      graft.cube.ExtraDim(n, ops.read1d(n).toSeq,
+        units = ops.textAttrs(n).getOrElse("units", ""))
+    }
 }
 
 private[sources] final case class ZarrOps(path: String) extends StoreOps {
@@ -44,6 +97,9 @@ private[sources] final case class ZarrOps(path: String) extends StoreOps {
   }
   def textAttrs(name: String): Map[String, String] =
     ZarrStore.readArrayMeta(path, name).textAttrs
+  def arrayNames: Seq[String] = ZarrStore.allArrayNames(path)
+  override def dimNames(name: String): Seq[String] =
+    ZarrStore.readArrayMeta(path, name).dims
 }
 
 /** NetCDF-4/HDF5 files through the [[Hdf5]] reader. A chunked HDF5
@@ -54,7 +110,9 @@ private[sources] final case class Hdf5Ops(path: String) extends StoreOps {
   @transient private lazy val f = Hdf5.open(path)
 
   def variableNames: Seq[String] =
-    f.datasets.values.filter(_.shape.length == 3).map(_.name).toSeq.sorted
+    f.datasets.values.filter(_.shape.length >= 3).map(_.name).toSeq.sorted
+
+  def arrayNames: Seq[String] = f.datasets.keys.toSeq.sorted
 
   def arrayMeta(name: String): ZarrStore.ArrayMeta = {
     val d = f.datasets(name)
@@ -106,8 +164,13 @@ private[sources] final case class NetcdfOps(path: String) extends StoreOps {
   def arrayMeta(name: String): ZarrStore.ArrayMeta = {
     val v = header.variable(name)
     val shape = header.shapeOf(v)
+    // contiguous row-major: one chunk per leading-dim slice (a rank-4
+    // variable chunks (1, 1, lat, lon) — one (time, depth) plane per
+    // sequential slab read)
     val chunks =
-      if (shape.length == 3) Seq(1, shape(1), shape(2)) else shape
+      if (shape.length >= 3)
+        Seq.fill(shape.length - 2)(1) ++ shape.takeRight(2)
+      else shape
     ZarrStore.ArrayMeta(shape, chunks, "<f8", comp = "null", Double.NaN)
   }
 
@@ -115,8 +178,11 @@ private[sources] final case class NetcdfOps(path: String) extends StoreOps {
                 idx: Seq[Int]): Array[Double] = {
     val v = header.variable(name)
     val slab = meta.chunks.product
-    CfScale(v.attrs,
-      NetcdfStore.readSlab(path, v, idx.head.toLong * slab, slab))
+    // linearize the chunk index over the chunk grid (row-major); with
+    // spatial chunks == full extent the spatial components are 0
+    val lin = idx.zip(meta.numChunks)
+      .foldLeft(0L) { case (acc, (i, n)) => acc * n + i }
+    CfScale(v.attrs, NetcdfStore.readSlab(path, v, lin * slab, slab))
   }
 
   def read1d(name: String): Array[Double] =
@@ -130,4 +196,7 @@ private[sources] final case class NetcdfOps(path: String) extends StoreOps {
   }
   def textAttrs(name: String): Map[String, String] =
     header.variable(name).textAttrs
+  def arrayNames: Seq[String] = header.vars.map(_.name).sorted
+  override def dimNames(name: String): Seq[String] =
+    header.variable(name).dimIds.map(header.dims(_).name)
 }

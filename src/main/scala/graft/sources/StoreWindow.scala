@@ -17,23 +17,44 @@ package graft.sources
 private[graft] object StoreWindow {
 
   /** The cell window [y0, y0+h) × [x0, x0+w) of `variable` at the time
-    * step whose axis value is `timeUs`, row-major h×w with NaN padding
-    * outside the grid — exactly the value layout the per-request
-    * Spark path collects. None when the time step is absent. */
+    * step whose axis value is `timeUs` (and, for 4-D+ variables, at
+    * the extra-dim ARRAY indices `extraIdx` — the server resolves
+    * indexer values against `CubeFrame.extraDims` and passes their
+    * positions), row-major h×w with NaN padding outside the grid —
+    * exactly the value layout the per-request Spark path collects.
+    * None when the time step is absent. */
   def readWindow(path: String, variable: String, timeUs: Long,
-                 y0: Int, x0: Int, h: Int, w: Int): Option[Array[Double]] = {
+                 y0: Int, x0: Int, h: Int, w: Int,
+                 extraIdx: Seq[Int] = Nil): Option[Array[Double]] = {
     // memoized ops + decoded axis (binary-searched) + decoded-chunk
     // LRU: a warm tile re-parses/re-decompresses nothing
     val ops = StoreCache.ops(path)
     val tIdx = StoreCache.timeIndex(path, timeUs)
     if (tIdx < 0) return None
     val meta = ops.arrayMeta(variable)
-    val Seq(nt, nh, nw) = meta.shape
+    val rank = meta.shape.length
+    if (rank != 3 + extraIdx.length) return None // dim mismatch → Spark
+    val nt = meta.shape(0)
+    val nh = meta.shape(rank - 2)
+    val nw = meta.shape(rank - 1)
     if (tIdx >= nt) return None
-    val Seq(ct, cy, cx) = meta.chunks
+    if (extraIdx.zipWithIndex.exists { case (e, k) =>
+        e < 0 || e >= meta.shape(k + 1) }) return None
+    val ct = meta.chunks(0)
+    val cy = meta.chunks(rank - 2)
+    val cx = meta.chunks(rank - 1)
     val out = Array.fill(h * w)(Double.NaN)
     val tc = tIdx / ct
     val tt = tIdx % ct
+    // extra dims: one plane per request — chunk index + local offset
+    val ec = extraIdx.zipWithIndex.map { case (e, k) =>
+      e / meta.chunks(k + 1) }
+    val et = extraIdx.zipWithIndex.map { case (e, k) =>
+      e % meta.chunks(k + 1) }
+    // within-chunk stride of the (time, extras) prefix: offset =
+    // ((tt*ce1 + e1)*…*cy + yy)*cx + xx
+    val prefix = (1 until rank - 2).foldLeft(tt.toLong) { (acc, d) =>
+      acc * meta.chunks(d) + et(d - 1) }
     val ycFirst = math.max(0, y0) / cy
     val ycLast = math.min(y0 + h - 1, nh - 1) / cy
     val xcFirst = math.max(0, x0) / cx
@@ -42,7 +63,8 @@ private[graft] object StoreWindow {
     while (yc <= ycLast && yc >= 0) {
       var xc = xcFirst
       while (xc <= xcLast && xc >= 0) {
-        val data = StoreCache.chunk(path, variable, meta, Seq(tc, yc, xc))
+        val data = StoreCache.chunk(path, variable, meta,
+          Seq(tc) ++ ec ++ Seq(yc, xc))
         // overlap of this chunk's VALID extent with the window
         val cy0 = yc * cy
         val cx0 = xc * cx
@@ -55,7 +77,7 @@ private[graft] object StoreWindow {
           var x = xLo
           while (x < xHi) {
             out((y - y0) * w + (x - x0)) =
-              data((tt * cy + (y - cy0)) * cx + (x - cx0))
+              data(((prefix * cy + (y - cy0)) * cx + (x - cx0)).toInt)
             x += 1
           }
           y += 1
@@ -75,12 +97,19 @@ private[graft] object StoreWindow {
   * so values are identical to the Spark path by construction. */
 private[graft] object DirectWindow {
   def read(path: String, variable: String, timeUs: Long,
-           y0: Int, x0: Int, h: Int, w: Int): Option[Array[Double]] = {
+           y0: Int, x0: Int, h: Int, w: Int,
+           extraIdx: Seq[Int] = Nil): Option[Array[Double]] = {
     val chunkedStore = path.endsWith(".zarr") || path.endsWith(".nc") ||
       path.endsWith(".h5") ||
       java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(path))
     if (chunkedStore) StoreWindow.readWindow(path, variable, timeUs,
-      y0, x0, h, w)
+      y0, x0, h, w, extraIdx)
+    else if (extraIdx.nonEmpty)
+      // the ingested-parquet direct reader has no extra-dim predicate
+      // yet — overlaying all planes would be silently wrong, so 4-D
+      // parquet stores keep the Spark path (correct, just not the
+      // fast path; chunked stores cover the 4-D serving story)
+      None
     else
       // parquet windows cache decoded (the block IS this layout's
       // decode unit; chunked stores already cache per decoded chunk)

@@ -57,15 +57,34 @@ object ZarrDataSource {
   }
 
   def schemaFor(path: String): StructType = {
-    val vars = StoreOps.forPath(path).variableNames
+    val ops = StoreOps.forPath(path)
+    val vars = ops.variableNames
+    // extra non-spatial dims (time × depth × y × x …): one DOUBLE
+    // coordinate-value column per axis, between time and y_idx. All
+    // variables must agree on them — a store mixing ranks would
+    // mis-declare half its columns, so fail loudly instead.
+    val extras = vars.headOption
+      .map(v => StoreOps.extraDimNames(ops, v)).getOrElse(Nil)
+    vars.drop(1).foreach { v =>
+      val e = StoreOps.extraDimNames(ops, v)
+      require(e == extras,
+        s"variable $v extra dims $e differ from ${vars.head}'s $extras")
+    }
     StructType(Seq(
-      StructField("time", TimestampType, nullable = false),
-      StructField("y_idx", IntegerType, nullable = false),
-      StructField("x_idx", IntegerType, nullable = false),
-      StructField("lat", DoubleType, nullable = false),
-      StructField("lon", DoubleType, nullable = false)) ++
+      StructField("time", TimestampType, nullable = false)) ++
+      extras.map(d => StructField(d, DoubleType, nullable = false)) ++
+      Seq(
+        StructField("y_idx", IntegerType, nullable = false),
+        StructField("x_idx", IntegerType, nullable = false),
+        StructField("lat", DoubleType, nullable = false),
+        StructField("lon", DoubleType, nullable = false)) ++
       vars.map(v => StructField(v, DoubleType, nullable = false)))
   }
+
+  /** extra-dim column names as declared by a table schema: everything
+    * between `time` and `y_idx` */
+  private[sources] def extraNamesOf(schema: StructType): Seq[String] =
+    schema.fieldNames.drop(1).takeWhile(_ != "y_idx").toSeq
 }
 
 class ZarrTable(path: String, tableSchema: StructType)
@@ -78,11 +97,16 @@ class ZarrTable(path: String, tableSchema: StructType)
     new ZarrScanBuilder(path, tableSchema)
 }
 
-/** index-space bounds extracted from pushed filters (None = unbounded) */
+/** index-space bounds extracted from pushed filters (None = unbounded);
+  * `extra` holds VALUE-space bounds per extra-dim column — the tile
+  * server's `depth = <v>` equality prunes whole chunk planes at plan
+  * time, the property that keeps a 4-D cube's tile reads proportional
+  * to one plane, not the water column */
 private[sources] final case class ZarrBounds(
     tMinUs: Option[Long] = None, tMaxUs: Option[Long] = None,
     yMin: Option[Int] = None, yMax: Option[Int] = None,
-    xMin: Option[Int] = None, xMax: Option[Int] = None)
+    xMin: Option[Int] = None, xMax: Option[Int] = None,
+    extra: Map[String, (Option[Double], Option[Double])] = Map.empty)
 
 class ZarrScanBuilder(path: String, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
@@ -116,6 +140,29 @@ class ZarrScanBuilder(path: String, tableSchema: StructType)
     case l: Long => Some(l.toInt)
     case _ => None
   }
+  private def toDouble(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case i: Int => Some(i.toDouble)
+    case l: Long => Some(l.toDouble)
+    case _ => None
+  }
+
+  private val extraNames: Set[String] =
+    ZarrDataSource.extraNamesOf(tableSchema).toSet
+
+  /** fold a ≥/≤ value bound on an extra-dim column into the bounds
+    * (strict bounds relax to inclusive — chunk pruning is a superset
+    * selection, the residual row filter settles exactness) */
+  private def collectExtra(name: String, v: Any, isMin: Boolean): Boolean =
+    toDouble(v).exists { d =>
+      val (lo, hi) = bounds.extra.getOrElse(name, (None, None))
+      val next =
+        if (isMin) (Some(lo.fold(d)(math.max(_, d))), hi)
+        else (lo, Some(hi.fold(d)(math.min(_, d))))
+      bounds = bounds.copy(extra = bounds.extra + (name -> next))
+      true
+    }
 
   /** fold one filter into the bounds; true when it contributed */
   private def collectBound(f: Filter): Boolean = f match {
@@ -158,27 +205,41 @@ class ZarrScanBuilder(path: String, tableSchema: StructType)
     case sources.LessThan("x_idx", v) => toInt(v).exists { i =>
       bounds = bounds.copy(
         xMax = Some(bounds.xMax.fold(i - 1)(math.min(_, i - 1)))); true }
+    case sources.GreaterThanOrEqual(c, v) if extraNames(c) =>
+      collectExtra(c, v, isMin = true)
+    case sources.GreaterThan(c, v) if extraNames(c) =>
+      collectExtra(c, v, isMin = true)
+    case sources.LessThanOrEqual(c, v) if extraNames(c) =>
+      collectExtra(c, v, isMin = false)
+    case sources.LessThan(c, v) if extraNames(c) =>
+      collectExtra(c, v, isMin = false)
     case _ => false
   }
 
-  override def build(): Scan = new ZarrScan(path, required, bounds)
+  override def build(): Scan = new ZarrScan(path, tableSchema, required,
+    bounds)
 }
 
-/** one zarr chunk triple */
-private[sources] final case class ZarrInputPartition(tc: Int, yc: Int, xc: Int)
+/** one store chunk: its chunk-grid index per dimension (rank 3 =
+  * (time, y, x); rank 4 = (time, extra, y, x); …) */
+private[sources] final case class ZarrInputPartition(idx: Seq[Int])
     extends InputPartition
 
-class ZarrScan(path: String, required: StructType, bounds: ZarrBounds)
+class ZarrScan(path: String, tableSchema: StructType,
+               required: StructType, bounds: ZarrBounds)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
-    val b = Seq(
+    val b = (Seq(
       bounds.tMinUs.map(t => s"time>=$t"), bounds.tMaxUs.map(t => s"time<=$t"),
       bounds.yMin.map(y => s"y_idx>=$y"), bounds.yMax.map(y => s"y_idx<=$y"),
       bounds.xMin.map(x => s"x_idx>=$x"), bounds.xMax.map(x => s"x_idx<=$x"))
-      .flatten.mkString(", ")
+      .flatten ++
+      bounds.extra.toSeq.sortBy(_._1).flatMap { case (n, (lo, hi)) =>
+        lo.map(v => s"$n>=$v") ++ hi.map(v => s"$n<=$v")
+      }).mkString(", ")
     s"ZarrScan path=$path chunkPruning=[$b]"
   }
 
@@ -186,7 +247,7 @@ class ZarrScan(path: String, required: StructType, bounds: ZarrBounds)
   private lazy val vars = ops.variableNames
   private lazy val projectedVars =
     vars.filter(required.fieldNames.contains)
-  /** chunk geometry comes from the first 3-D array; all arrays must
+  /** chunk geometry comes from the first data array; all arrays must
     * share it (the store contract). Per-variable metas still matter:
     * dtype, fill and CF attributes are PER ARRAY (one packed int16
     * variable next to an unpacked f8 one is normal), so each readChunk
@@ -196,53 +257,71 @@ class ZarrScan(path: String, required: StructType, bounds: ZarrBounds)
   private lazy val metas: Map[String, ZarrStore.ArrayMeta] =
     projectedVars.map(v => v -> ops.arrayMeta(v)).toMap
   private lazy val timeUs = ops.read1dLongs("time")
+  // extra-dim axis names + coordinate values (axis k of rank-r shape =
+  // extraAxes(k - 1), dims 0 / r-2 / r-1 being time / y / x)
+  private lazy val extraAxes: Seq[(String, Array[Double])] =
+    ZarrDataSource.extraNamesOf(tableSchema).map(n => n -> ops.read1d(n))
 
   override def planInputPartitions(): Array[InputPartition] = {
     metas.foreach { case (v, m) =>
       require(m.shape == meta.shape && m.chunks == meta.chunks,
         s"variable $v chunking ${m.chunks} differs from ${meta.chunks}")
     }
-    val Seq(nt, nh, nw) = meta.shape
-    val Seq(ct, cy, cx) = meta.chunks
-    val parts = for {
-      tc <- 0 until (nt + ct - 1) / ct
-      if chunkTimeOverlaps(tc, ct, nt)
-      yc <- 0 until (nh + cy - 1) / cy
-      if rangeOverlaps(yc * cy, math.min(nh, (yc + 1) * cy) - 1,
-        bounds.yMin, bounds.yMax)
-      xc <- 0 until (nw + cx - 1) / cx
-      if rangeOverlaps(xc * cx, math.min(nw, (xc + 1) * cx) - 1,
-        bounds.xMin, bounds.xMax)
-    } yield ZarrInputPartition(tc, yc, xc)
-    parts.toArray[InputPartition]
+    val rank = meta.shape.length
+    require(rank == 3 + extraAxes.length,
+      s"rank $rank does not match ${extraAxes.length} declared extra dims")
+    // per-dimension surviving chunk indices, then their cartesian
+    // product — pruning composes across dims (one time step × one
+    // depth plane × a tile's y/x chunks at serving time)
+    val perDim: Seq[Seq[Int]] = (0 until rank).map { d =>
+      val (n, c) = (meta.shape(d), meta.chunks(d))
+      val nChunks = (n + c - 1) / c
+      (0 until nChunks).filter { ci =>
+        val lo = ci * c
+        val hi = math.min(n, (ci + 1) * c) - 1
+        if (d == 0) {
+          val tLo = timeUs(lo); val tHi = timeUs(hi)
+          bounds.tMinUs.forall(tHi >= _) && bounds.tMaxUs.forall(tLo <= _)
+        } else if (d == rank - 2)
+          rangeOverlaps(lo, hi, bounds.yMin, bounds.yMax)
+        else if (d == rank - 1)
+          rangeOverlaps(lo, hi, bounds.xMin, bounds.xMax)
+        else bounds.extra.get(extraAxes(d - 1)._1).forall {
+          case (vLo, vHi) =>
+            // coordinate axes need not be sorted — scan the slice
+            val coords = extraAxes(d - 1)._2
+            (lo to hi).exists(i =>
+              vLo.forall(coords(i) >= _) && vHi.forall(coords(i) <= _))
+        }
+      }.toSeq
+    }
+    perDim.foldLeft(Seq(Seq.empty[Int]))((acc, cs) =>
+      acc.flatMap(p => cs.map(c => p :+ c)))
+      .map(ZarrInputPartition(_)).toArray[InputPartition]
   }
 
   private def rangeOverlaps(lo: Int, hi: Int, min: Option[Int],
                             max: Option[Int]): Boolean =
     min.forall(hi >= _) && max.forall(lo <= _)
 
-  private def chunkTimeOverlaps(tc: Int, ct: Int, nt: Int): Boolean = {
-    val lo = timeUs(tc * ct)
-    val hi = timeUs(math.min(nt, (tc + 1) * ct) - 1)
-    bounds.tMinUs.forall(hi >= _) && bounds.tMaxUs.forall(lo <= _)
-  }
-
   override def createReaderFactory(): PartitionReaderFactory =
     new ZarrReaderFactory(ops, required, meta, metas, projectedVars, timeUs,
-      ops.read1d("lat"), ops.read1d("lon"))
+      extraAxes, ops.read1d("lat"), ops.read1d("lon"))
 }
 
 class ZarrReaderFactory(ops: StoreOps, required: StructType,
                         meta: ZarrStore.ArrayMeta,
                         metas: Map[String, ZarrStore.ArrayMeta],
                         vars: Seq[String],
-                        timeUs: Array[Long], lat: Array[Double],
+                        timeUs: Array[Long],
+                        extraAxes: Seq[(String, Array[Double])],
+                        lat: Array[Double],
                         lon: Array[Double])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val zp = p.asInstanceOf[ZarrInputPartition]
-    new ZarrPartitionReader(ops, required, meta, metas, vars, timeUs, lat,
-      lon, zp)
+    new ZarrPartitionReader(ops, required, meta, metas, vars, timeUs,
+      extraAxes, lat, lon, zp)
   }
 }
 
@@ -250,53 +329,72 @@ class ZarrPartitionReader(ops: StoreOps, required: StructType,
                           meta: ZarrStore.ArrayMeta,
                           metas: Map[String, ZarrStore.ArrayMeta],
                           vars: Seq[String],
-                          timeUs: Array[Long], lat: Array[Double],
+                          timeUs: Array[Long],
+                          extraAxes: Seq[(String, Array[Double])],
+                          lat: Array[Double],
                           lon: Array[Double], part: ZarrInputPartition)
     extends PartitionReader[InternalRow] {
 
-  private val Seq(nt, nh, nw) = meta.shape
-  private val Seq(ct, cy, cx) = meta.chunks
+  private val rank = meta.shape.length
+  private val chunks = meta.chunks.toArray
   // chunk extent clipped to the array shape (zarr edge chunks pad)
-  private val t0 = part.tc * ct
-  private val y0 = part.yc * cy
-  private val x0 = part.xc * cx
-  private val tLen = math.min(ct, nt - t0)
-  private val yLen = math.min(cy, nh - y0)
-  private val xLen = math.min(cx, nw - x0)
+  private val base = Array.tabulate(rank)(d => part.idx(d) * chunks(d))
+  private val lens = Array.tabulate(rank)(d =>
+    math.min(chunks(d), meta.shape(d) - base(d)))
 
   private val chunkData: Map[String, Array[Double]] = vars.map(v =>
-    v -> ops.readChunk(v, metas.getOrElse(v, meta),
-      Seq(part.tc, part.yc, part.xc))).toMap
+    v -> ops.readChunk(v, metas.getOrElse(v, meta), part.idx)).toMap
 
-  // field emitters resolved once (projection order = required order)
-  private val emitters: Array[(Int, Int, Int) => Any] =
+  private val axisOf: Map[String, Int] =
+    extraAxes.zipWithIndex.map { case ((n, _), k) => n -> (k + 1) }.toMap
+
+  // field emitters resolved once (projection order = required order):
+  // loc = per-dim local coords, off = row-major offset over CHUNK dims
+  private val emitters: Array[(Array[Int], Int) => Any] =
     required.fields.map { f =>
       f.name match {
-        case "time" => (t: Int, _: Int, _: Int) => timeUs(t0 + t)
-        case "y_idx" => (_: Int, y: Int, _: Int) => y0 + y
-        case "x_idx" => (_: Int, _: Int, x: Int) => x0 + x
-        case "lat" => (_: Int, y: Int, _: Int) => lat(y0 + y)
-        case "lon" => (_: Int, _: Int, x: Int) => lon(x0 + x)
+        case "time" => (loc: Array[Int], _: Int) => timeUs(base(0) + loc(0))
+        case "y_idx" => (loc: Array[Int], _: Int) =>
+          base(rank - 2) + loc(rank - 2)
+        case "x_idx" => (loc: Array[Int], _: Int) =>
+          base(rank - 1) + loc(rank - 1)
+        case "lat" => (loc: Array[Int], _: Int) =>
+          lat(base(rank - 2) + loc(rank - 2))
+        case "lon" => (loc: Array[Int], _: Int) =>
+          lon(base(rank - 1) + loc(rank - 1))
+        case n if axisOf.contains(n) =>
+          val d = axisOf(n)
+          val coords = extraAxes(d - 1)._2
+          (loc: Array[Int], _: Int) => coords(base(d) + loc(d))
         case v =>
           val data = chunkData(v)
-          (t: Int, y: Int, x: Int) => data((t * cy + y) * cx + x)
+          (_: Array[Int], off: Int) => data(off)
       }
     }
 
-  private var i = -1
-  private val n = tLen * yLen * xLen
+  private var i = -1L
+  private val n = lens.foldLeft(1L)(_ * _)
+  private val loc = new Array[Int](rank)
   private val row = new GenericInternalRow(required.length)
 
   override def next(): Boolean = { i += 1; i < n }
 
   override def get(): InternalRow = {
-    val t = i / (yLen * xLen)
-    val rem = i % (yLen * xLen)
-    val y = rem / xLen
-    val x = rem % xLen
+    // decompose the row counter into per-dim local coords (row-major
+    // over the VALID lens), then the offset over the full chunk dims
+    var rem = i
+    var d = rank - 1
+    while (d >= 0) {
+      loc(d) = (rem % lens(d)).toInt
+      rem /= lens(d)
+      d -= 1
+    }
+    var off = 0
+    d = 0
+    while (d < rank) { off = off * chunks(d) + loc(d); d += 1 }
     var k = 0
     while (k < emitters.length) {
-      row.update(k, emitters(k)(t, y, x))
+      row.update(k, emitters(k)(loc, off))
       k += 1
     }
     row

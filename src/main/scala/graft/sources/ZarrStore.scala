@@ -40,7 +40,8 @@ object ZarrStore {
                              shardShape: Seq[Int] = Nil,
                              shardIndexCrc: Boolean = false,
                              attrs: Map[String, Seq[Double]] = Map.empty,
-                             textAttrs: Map[String, String] = Map.empty) {
+                             textAttrs: Map[String, String] = Map.empty,
+                             dims: Seq[String] = Nil) {
     def numChunks: Seq[Int] =
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def elemBytes: Int = dtype.drop(2).toInt
@@ -113,7 +114,15 @@ object ZarrStore {
         val texts = n.properties().asScala.collect {
           case e if e.getValue.isTextual => e.getKey -> e.getValue.asText()
         }.toMap
-        meta.copy(attrs = nums, textAttrs = texts)
+        // xarray's dimension-name convention: _ARRAY_DIMENSIONS lists
+        // the axis names — the v2 carrier of what v3 makes first-class
+        // as dimension_names (needed to name extra non-spatial dims)
+        val dims = Option(n.get("_ARRAY_DIMENSIONS"))
+          .filter(d => d.isArray &&
+            (0 until d.size()).forall(d.get(_).isTextual))
+          .map(d => (0 until d.size()).map(d.get(_).asText()).toSeq)
+          .getOrElse(meta.dims)
+        meta.copy(attrs = nums, textAttrs = texts, dims = dims)
       }.getOrElse(meta)
     consolidated(store) match {
       case Some(m) if m.get(s"$name/.zarray") != null =>
@@ -283,8 +292,15 @@ object ZarrStore {
         case other => other.toDouble
       }
       else fillNode.asDouble()
+    // v3 first-class dimension names (nulls allowed per spec → drop all)
+    val dimNames = Option(node.get("dimension_names"))
+      .filter(d => d.isArray &&
+        (0 until d.size()).forall(d.get(_).isTextual))
+      .map(d => (0 until d.size()).map(d.get(_).asText()).toSeq)
+      .getOrElse(Nil)
     if (innerChunks.isEmpty)
-      ArrayMeta(shape, chunks, endian + baseType, comp, fill, prefix, sep)
+      ArrayMeta(shape, chunks, endian + baseType, comp, fill, prefix, sep,
+        dims = dimNames)
     else {
       // sharded: the outer grid's chunk_shape is the SHARD; inner
       // chunks are the read unit the planner partitions on
@@ -294,7 +310,8 @@ object ZarrStore {
       require(chunks.zip(innerChunks).forall { case (s, c) => s % c == 0 },
         s"shard shape $chunks not a multiple of inner chunks $innerChunks")
       ArrayMeta(shape, innerChunks, endian + baseType, comp, fill,
-        prefix, sep, shardShape = chunks, shardIndexCrc = indexCrc)
+        prefix, sep, shardShape = chunks, shardIndexCrc = indexCrc,
+        dims = dimNames)
     }
   }
 
@@ -444,10 +461,9 @@ object ZarrStore {
     out
   }
 
-  /** Variable (3-D array) names in the store = subdirs with a .zarray
-    * of rank 3. */
-  def variableNames(store: String): Seq[String] = {
-    val names = consolidated(store) match {
+  /** Every array in the store (any rank) — coordinate axes included. */
+  def allArrayNames(store: String): Seq[String] =
+    consolidated(store) match {
       case Some(m) =>
         val it = m.fieldNames()
         Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
@@ -458,8 +474,13 @@ object ZarrStore {
         blob(store).listDirs.filter(d => blob(store).exists(s"$d/.zarray") ||
           blob(store).exists(s"$d/zarr.json"))
     }
-    names.filter(s => readArrayMeta(store, s).shape.length == 3)
-  }
+
+  /** Data-variable names = arrays of rank ≥ 3: (time, y, x) plus any
+    * extra non-spatial dims between time and the spatial pair
+    * (time, depth, y, x — the reference's 4-D serving case). */
+  def variableNames(store: String): Seq[String] =
+    allArrayNames(store)
+      .filter(s => readArrayMeta(store, s).shape.length >= 3)
 
   private def decompress(meta: ArrayMeta, raw: Array[Byte],
                          hint: Int): Array[Byte] = meta.comp match {
@@ -863,6 +884,11 @@ object ZarrStore {
       catch { case scala.util.control.NonFatal(_) => None }
     val cal = try ZarrOps(path).textAttrs("time").get("calendar")
       catch { case scala.util.control.NonFatal(_) => None }
-    CubeFrame(df, grid, variableNames(path), timeAxis, cal, Some(path))
+    val vars = variableNames(path)
+    // extra non-spatial axes (depth, …) from the first variable's rank
+    val extras = vars.headOption
+      .map(v => StoreOps.extraDimsOf(ZarrOps(path), v)).getOrElse(Nil)
+    CubeFrame(df, grid, vars, timeAxis, cal, Some(path),
+      extraDims = extras)
   }
 }

@@ -1,0 +1,245 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.cube.{Cube, CubeFrame, CubeGrid, CubeIngest, ExtraDim}
+import graft.server.{GraftServer, RegisteredDataset, ServiceContext}
+
+/** Extra non-spatial dimensions (reference P5 full parity: xcube serves
+  * `time × depth × lat × lon` variables and resolves a per-request
+  * indexer for every non-spatial dim — default first, 'current' last,
+  * nearest coercion; context.py:420-451, controllers/tiles.py:77,
+  * wmts.py:199-237). */
+class ExtraDimSpec extends SparkSpec {
+
+  /** deterministic cell value of the 4-D fixture */
+  private def cell(t: Int, d: Int, y: Int, x: Int): Double =
+    t * 10000.0 + d * 1000.0 + y * 10.0 + x
+
+  private val (nT, nD, nH, nW) = (2, 3, 8, 10)
+  private val depths = Array(0.0, 10.0, 50.0)
+
+  /** Write a zarr v2 (time, depth, lat, lon) store by hand: raw
+    * (uncompressed) chunks, `_ARRAY_DIMENSIONS` on the data variable —
+    * the layout xarray's to_zarr produces for a 4-D ocean cube. */
+  private def writeFixture(): String = {
+    val dir = Files.createTempDirectory("graft-4d").resolve("c.zarr")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(".zgroup"), """{"zarr_format": 2}""")
+    def arr(name: String, shape: Seq[Int], chunks: Seq[Int], dtype: String,
+            attrs: Option[String] = None): Path = {
+      val sub = dir.resolve(name)
+      Files.createDirectories(sub)
+      Files.writeString(sub.resolve(".zarray"),
+        s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
+           | "chunks": [${chunks.mkString(", ")}], "dtype": "$dtype",
+           | "compressor": null, "fill_value": "NaN", "order": "C",
+           | "filters": null}""".stripMargin)
+      attrs.foreach(a => Files.writeString(sub.resolve(".zattrs"), a))
+      sub
+    }
+    // time: raw epoch-us int64 (graft-native convention)
+    val dayUs = 86400000000L
+    val times = Array(17167L * dayUs, 17168L * dayUs) // 2017-01-01/02
+    val tDir = arr("time", Seq(nT), Seq(nT), "<i8")
+    val tBuf = ByteBuffer.allocate(nT * 8).order(ByteOrder.LITTLE_ENDIAN)
+    times.foreach(tBuf.putLong)
+    Files.write(tDir.resolve("0"), tBuf.array())
+    def d1(name: String, values: Array[Double], attrs: Option[String] = None)
+        : Unit = {
+      val sub = arr(name, Seq(values.length), Seq(values.length), "<f8",
+        attrs)
+      val b = ByteBuffer.allocate(values.length * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      values.foreach(b.putDouble)
+      Files.write(sub.resolve("0"), b.array())
+    }
+    d1("depth", depths, Some("""{"units": "m"}"""))
+    d1("lat", Array.tabulate(nH)(y => 40.05 + 0.1 * y))
+    d1("lon", Array.tabulate(nW)(x => 0.05 + 0.1 * x))
+    // v0: rank 4, chunks (1, 2, 4, 5) — depth chunks SPLIT the axis
+    val chunks = Seq(1, 2, 4, 5)
+    val vDir = arr("v0", Seq(nT, nD, nH, nW), chunks, "<f8", Some(
+      """{"_ARRAY_DIMENSIONS": ["time", "depth", "lat", "lon"]}"""))
+    for (tc <- 0 until 2; dc <- 0 until 2; yc <- 0 until 2; xc <- 0 until 2) {
+      val b = ByteBuffer.allocate(chunks.product * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      for (t <- 0 until 1; d <- 0 until 2; y <- 0 until 4; x <- 0 until 5) {
+        val (gt, gd, gy, gx) = (tc + t, dc * 2 + d, yc * 4 + y, xc * 5 + x)
+        b.putDouble(
+          if (gd < nD) cell(gt, gd, gy, gx) else Double.NaN)
+      }
+      Files.write(vDir.resolve(s"$tc.$dc.$yc.$xc"), b.array())
+    }
+    dir.toString
+  }
+
+  test("4-D zarr registers: extraDims resolved, relation carries the " +
+      "depth column, values exact") {
+    val store = writeFixture()
+    val cube = CubeIngest.open(spark, store)
+    assert(cube.extraDims == Seq(ExtraDim("depth", depths.toSeq, "m")))
+    assert(cube.variables == Seq("v0"))
+    assert(cube.df.columns.toSeq ==
+      Seq("time", "depth", "y_idx", "x_idx", "lat", "lon", "v0"))
+    assert(cube.df.count() == nT.toLong * nD * nH * nW)
+    // spot-check values against the generator formula (t decoded from
+    // the time axis, d from the depth coordinate)
+    val rows = cube.df
+      .filter(col("y_idx") === 5 && col("x_idx") === 7)
+      .select("time", "depth", "v0").collect()
+    assert(rows.length == nT * nD)
+    rows.foreach { r =>
+      val t = if (r.getTimestamp(0).toInstant.toString.startsWith(
+        "2017-01-01")) 0 else 1
+      val d = depths.indexOf(r.getDouble(1))
+      assert(r.getDouble(2) == cell(t, d, 5, 7))
+    }
+  }
+
+  test("depth equality prunes chunk planes at plan time") {
+    val store = writeFixture()
+    val cube = CubeIngest.open(spark, store)
+    val all = cube.df.rdd.getNumPartitions // 2t × 2d × 2y × 2x = 16
+    assert(all == 16)
+    // depth 50 lives in the second depth chunk only → half the chunks
+    val pruned = cube.df.filter(col("depth") === 50.0)
+      .rdd.getNumPartitions
+    assert(pruned == 8, s"depth plane should halve the scan, got $pruned")
+    assert(cube.df.filter(col("depth") === 50.0).count() ==
+      nT.toLong * nH * nW)
+  }
+
+  test("direct chunk window honors the extra-dim index, zero jobs") {
+    val store = writeFixture()
+    val cube = CubeIngest.open(spark, store)
+    val t = cube.timeAxis.get.head
+    val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    for (di <- 0 until nD) {
+      val win = graft.sources.DirectWindow
+        .read(store, "v0", us, 0, 0, nH, nW, extraIdx = Seq(di)).get
+      for (y <- 0 until nH; x <- 0 until nW)
+        assert(win(y * nW + x) == cell(0, di, y, x), s"d=$di ($y,$x)")
+    }
+    // out-of-range / wrong-arity index → None (server falls to Spark)
+    assert(graft.sources.DirectWindow
+      .read(store, "v0", us, 0, 0, nH, nW, extraIdx = Seq(nD)).isEmpty)
+    assert(graft.sources.DirectWindow
+      .read(store, "v0", us, 0, 0, nH, nW).isEmpty)
+  }
+
+  test("server: ?depth= indexer (default first, nearest, current), " +
+      "coords, WMTS dimension, ts routes, 400s") {
+    val store = writeFixture()
+    val ctx = new ServiceContext(spark)
+    ctx.register(RegisteredDataset("ocean", "Ocean",
+      CubeIngest.open(spark, store), None))
+    val srv = new GraftServer(ctx).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(p: String): (Int, Array[Byte]) = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(srv.address + p)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+        (r.statusCode(), r.body())
+      }
+      def getOk(p: String): Array[Byte] = {
+        val (c, b) = get(p); assert(c == 200, s"$p -> $c"); b
+      }
+      // spread the value range so planes render distinct colors (the
+      // default style maps [0,1] — every cell would clip identically)
+      val base = "/datasets/ocean/vars/v0/tiles/0/0/0.png?vmin=0&vmax=13000"
+      // indexer semantics: absent → FIRST depth; nearest; 'current' →
+      // last (context.py:433-438 + sel(method='nearest'))
+      val d0 = getOk(base + "&depth=0")
+      assert(getOk(base).sameElements(d0), "default must be values[0]")
+      val d50 = getOk(base + "&depth=50")
+      assert(!d50.sameElements(d0))
+      assert(getOk(base + "&depth=37.5").sameElements(d50),
+        "37.5 must snap to 50 (|37.5-50| < |37.5-10|)")
+      assert(getOk(base + "&depth=current").sameElements(d50))
+      assert(getOk(base + "&depth=4.9").sameElements(d0),
+        "4.9 must snap to 0")
+      // malformed depth → 400
+      assert(get(base + "&depth=abyss")._1 == 400)
+      // coords endpoint dumps the depth axis
+      val coords = new String(getOk("/datasets/ocean/coords/depth"))
+      assert(coords.contains("\"name\":\"depth\"") &&
+        coords.contains("50") && coords.contains("\"units\":\"m\""))
+      // dataset details advertise the 4-D dims
+      val detail = new String(getOk("/datasets/ocean"))
+      assert(detail.contains("\"dims\":[\"time\",\"depth\",\"lat\",\"lon\"]"))
+      // WMTS capabilities carry a depth <Dimension> with Default=first
+      val caps = new String(getOk("/wmts/1.0.0/WMTSCapabilities.xml"))
+      assert(caps.contains("<ows:Identifier>depth</ows:Identifier>"))
+      assert(caps.contains("<ows:UOM>m</ows:UOM>"))
+      assert(caps.contains("<Default>0</Default>"))
+      assert(caps.contains("<Value>50</Value>"))
+      // ts point: depth plane selected before the per-day stats
+      val ts0 = new String(getOk("/ts/ocean/v0/point?lon=0.05&lat=40.05"))
+      val ts50 = new String(getOk(
+        "/ts/ocean/v0/point?lon=0.05&lat=40.05&depth=50"))
+      // cell(t, 0, 0, 0) = t*10000; cell(t, 2, 0, 0) = t*10000 + 2000
+      assert(ts0.contains("\"average\":0") &&
+        ts0.contains("\"average\":10000"))
+      assert(ts50.contains("\"average\":2000") &&
+        ts50.contains("\"average\":12000"))
+    } finally srv.stop()
+  }
+
+  test("pyramid downsampling keeps depth planes separate") {
+    val store = writeFixture()
+    val cube = CubeIngest.open(spark, store)
+    val lvl1 = graft.operators.Pyramid.downsample(cube,
+      graft.operators.Pyramid.Mean)
+    assert(lvl1.extraDims == cube.extraDims)
+    // (8+1)/2 × (10+1)/2 cells per (time, depth) plane — planes never
+    // blend, so the count is exactly nT × nD × 4 × 5
+    assert(lvl1.df.count() == nT.toLong * nD * 4 * 5)
+    // mean of a 2×2 block within ONE plane: cells (0,0),(0,1),(1,0),(1,1)
+    // of (t=0, d=2) average to 2000 + (0+1+10+11)/4
+    val got = lvl1.df.filter(col("y_idx") === 0 && col("x_idx") === 0 &&
+        col("depth") === 50.0)
+      .orderBy("time").select("v0").collect().map(_.getDouble(0))
+    assert(got.head == 2000.0 + 5.5)
+  }
+
+  test("writeCube/open round-trips a 4-D cube; direct parquet window " +
+      "refuses it (Spark path stays correct)") {
+    val store = writeFixture()
+    val cube = CubeIngest.open(spark, store)
+    val dir = Files.createTempDirectory("graft-4dpq").toString
+    CubeIngest.writeCube(cube, s"$dir/c", tileSize = 8)
+    val back = CubeIngest.open(spark, s"$dir/c")
+    assert(back.extraDims == cube.extraDims)
+    assert(back.df.count() == nT.toLong * nD * nH * nW)
+    val t = cube.timeAxis.get.head
+    val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    // the parquet direct reader has no extra-dim predicate — it must
+    // refuse (None), never overlay depth planes
+    assert(graft.sources.ParquetWindow
+      .readWindow(s"$dir/c", "v0", us, 0, 0, nH, nW).isEmpty)
+    // and the served tile (Spark path) still selects the right plane
+    val ctx = new ServiceContext(spark)
+    ctx.register(RegisteredDataset("pq", "PQ", back, None))
+    val srv = new GraftServer(ctx).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def getOk(p: String): Array[Byte] = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(srv.address + p)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+        assert(r.statusCode() == 200, p); r.body()
+      }
+      val pqBase = "/datasets/pq/vars/v0/tiles/0/0/0.png?vmin=0&vmax=13000"
+      val a = getOk(pqBase + "&depth=0")
+      val b = getOk(pqBase + "&depth=50")
+      assert(!a.sameElements(b))
+    } finally srv.stop()
+  }
+}
