@@ -125,6 +125,25 @@ class ServiceContext(val spark: SparkSession) {
       timeAxis = cube.timeAxis, timeCalendar = cube.timeCalendar,
       extraDims = cube.extraDims)
   })
+  // zero-input generator (the `FileSystem: memory` arm with no
+  // InputDatasets): a deterministic synthetic cube from parameters —
+  // the reference's in-memory datasets are callables producing an
+  // xr.Dataset (context.py:256-277); this is the registry-dispatch
+  // equivalent for demos/tests
+  transforms.put("synthetic_cube", (_, params) => {
+    val grid = graft.cube.CubeGrid(
+      width = params.getOrElse("width", "64").toInt,
+      height = params.getOrElse("height", "32").toInt,
+      lonMin = params.getOrElse("lon_min", "0.0").toDouble,
+      latMin = params.getOrElse("lat_min", "40.0").toDouble,
+      res = params.getOrElse("res", "0.1").toDouble,
+      latAscending = params.getOrElse("lat_ascending", "true").toBoolean)
+    graft.cube.Cube.synthetic(spark, grid,
+      numTimes = params.getOrElse("times", "2").toInt,
+      variables = params.get("variables").map(_.split(",").toSeq
+        .map(_.trim)).getOrElse(Seq("v0")),
+      startDay = params.getOrElse("start_day", "2017-01-01"))
+  })
   // multi-input merge: variables of every input aligned on (time,y,x) —
   // the J4 equi-join as a computed dataset
   transforms.put("merge_cubes", (inputs, _) => {
@@ -231,9 +250,19 @@ class ServiceContext(val spark: SparkSession) {
       newSubs)
     cfg.datasets.foreach { d =>
       val style = d.style.flatMap(cfg.style)
-      if (d.function.isDefined) {
+      if (d.fileSystem == "memory" || d.function.isDefined) {
+        // the reference's third FileSystem arm (context.py:256-277):
+        // a `memory` dataset IS a computed one — a callable over zero
+        // or more registered inputs. The callable dispatches through
+        // the transform registry (Q7 narrowing: no runtime exec()),
+        // so `Function` is required where the reference would default
+        // to exec'ing the script at Path.
+        val fn = d.function.getOrElse(throw new IllegalArgumentException(
+          s"memory dataset ${d.identifier} requires a 'Function' naming " +
+            s"a registered transform (${transforms.keys.toSeq.sorted
+              .mkString(", ")})"))
         newDatasets(d.identifier) = buildComputed(d.identifier, d.title,
-          d.function.get, d.inputDatasets, d.inputParameters,
+          fn, d.inputDatasets, d.inputParameters,
           newDatasets.get, style)
       } else {
         // obs descriptors: paths without a scheme address an S3-style

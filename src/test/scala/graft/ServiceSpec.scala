@@ -390,6 +390,58 @@ Datasets:
     } finally srv.stop()
   }
 
+  test("FileSystem: memory serves a zero-input synthetic cube " +
+      "(catalogue + tiles)") {
+    // the reference's third FileSystem dispatch arm (context.py:256-277)
+    // — an in-memory dataset from a callable, no files on disk at all
+    val yaml = """
+Datasets:
+  - Identifier: mem
+    Title: In-memory cube
+    FileSystem: memory
+    Path: synthetic_cube.py
+    Function: synthetic_cube
+    InputParameters:
+      width: "32"
+      height: "16"
+      times: "2"
+"""
+    val dir = java.nio.file.Files.createTempDirectory("graft-mem")
+    val f = dir.resolve("config.yml")
+    java.nio.file.Files.writeString(f, yaml)
+    val ctx = new ServiceContext(spark)
+    ctx.loadConfig(ServiceConfig.fromString(
+      java.nio.file.Files.readString(f)), dir.toString)
+    val d = ctx.dataset("mem").get
+    assert(d.cube.grid.width == 32 && d.cube.grid.height == 16)
+    assert(d.timeCoords.size == 2)
+    val srv = new GraftServer(ctx).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(p: String): (Int, Array[Byte]) = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(srv.address + p)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+        (r.statusCode(), r.body())
+      }
+      val (cc, cat) = get("/datasets")
+      assert(cc == 200 && new String(cat).contains("\"id\":\"mem\""))
+      assert(get("/datasets/mem/vars/v0/tiles/0/0/0.png")._1 == 200)
+      assert(get("/datasets/mem/coords/time")._1 == 200)
+    } finally srv.stop()
+    // a memory dataset WITHOUT a Function fails loudly, never falls
+    // through to the path-open arm
+    val bad = ServiceConfig.fromString("""
+Datasets:
+  - Identifier: m2
+    Title: bad
+    FileSystem: memory
+    Path: whatever.py
+""")
+    intercept[IllegalArgumentException](
+      new ServiceContext(spark).loadConfig(bad, dir.toString))
+  }
+
   test("tile ?time= parses through the dataset's CF calendar; malformed " +
       "values are 400s") {
     // a 360_day catalogue advertises calendar-native labels
