@@ -31,11 +31,17 @@ object TileMaterialize {
     import spark.implicits._
     val ntx = (cube.grid.width + tileW - 1) / tileW
     val nty = (cube.grid.height + tileH - 1) / tileH
+    // the colormap kernel runs MAP-SIDE as a codegen expression
+    // (ColorMapArgb fuses mask+normalize+palette into the scan
+    // projection, SURVEY X8): the shuffle carries one int per cell
+    // instead of a double re-kerneled per tile in a closure, and the
+    // post-shuffle closure only places pixels and PNG-encodes
     val cells = cube.df
       .filter(col("time") === lit(timeValue))
       .select((col("x_idx") / tileW).cast("int").as("tx"),
         (col("y_idx") / tileH).cast("int").as("ty"),
-        col("y_idx"), col("x_idx"), col(variable).cast("double").as("v"))
+        col("y_idx"), col("x_idx"),
+        graft.functions.ColorMapArgb(col(variable), mapping).as("argb"))
     // full key space via range: tiles with no cells must still render
     // (the per-request path serves them as all-NaN tiles)
     val keys = spark.range(ntx.toLong * nty)
@@ -45,16 +51,17 @@ object TileMaterialize {
       .groupByKey(r => (r.getInt(0), r.getInt(1)))
       .mapGroups { (key: (Int, Int), rows: Iterator[org.apache.spark.sql.Row]) =>
         val (tx, ty) = key
-        val grid = Array.fill(tileH * tileW)(Double.NaN)
+        val pixels = new Array[Int](tileH * tileW) // 0 = transparent,
+        // exactly what mapColors yields for the NaN padding
         rows.foreach { r =>
-          if (!r.isNullAt(2) && !r.isNullAt(4)) {
+          if (!r.isNullAt(2)) {
             val ry = r.getInt(2) - ty * tileH
             val rx = r.getInt(3) - tx * tileW
             val py = if (flipY) tileH - 1 - ry else ry
-            grid(py * tileW + rx) = r.getDouble(4)
+            pixels(py * tileW + rx) = r.getInt(4)
           }
         }
-        (tx, ty, Render.toPng(Render.mapColors(grid, mapping), tileW, tileH))
+        (tx, ty, Render.toPng(pixels, tileW, tileH))
       }
   }
 

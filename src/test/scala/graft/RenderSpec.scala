@@ -92,10 +92,19 @@ class RenderSpec extends SparkSpec {
     val m = Render.ColorMapping(0.0, 100.0,
       Render.gradientPalette(256, (0, 0, 128), (255, 255, 0)))
     // 16x16 tiles over 64x32 → 4x2 = 8 tiles, flip-y like the server
-    val tiles = graft.render.TileMaterialize
+    val level = graft.render.TileMaterialize
       .renderLevel(cube, "v0", t, 16, 16, m, flipY = true)
-      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val tiles = level.collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(tiles.size == 8)
+    // the colormap kernel is a codegen expression INSIDE the plan
+    // (map-side, before the tile shuffle) — not a per-tile closure.
+    // Plan inspected AFTER the action: AQE only finalizes (and prints
+    // WholeStageCodegen spans) once executed.
+    val plan = level.queryExecution.executedPlan.toString
+    // the `*(n)` star prefix is the WholeStageCodegen marker: the
+    // projection carrying the kernel must sit inside a codegen span
+    assert(plan.linesIterator.exists(l =>
+      l.contains("color_map_argb") && l.contains("*(")), plan.take(1200))
     for (tx <- 0 until 4; ty <- 0 until 2) {
       val direct = Render.renderTile(cube, "v0", t, tx, ty, 16, 16, m,
         flipY = true)
@@ -109,6 +118,17 @@ class RenderSpec extends SparkSpec {
     val one = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$out/3/2/1.png"))
     assert(one.sameElements(tiles((2, 1))))
+    // masking params (fill / valid range) flow through the codegen
+    // kernel byte-identically too
+    val mMask = m.copy(fillValue = Some(50.0), validMin = Some(10.0),
+      validMax = Some(90.0))
+    val masked = graft.render.TileMaterialize
+      .renderLevel(cube, "v0", t, 16, 16, mMask, flipY = true)
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    for (tx <- 0 until 4; ty <- 0 until 2)
+      assert(masked((tx, ty)).sameElements(
+        Render.renderTile(cube, "v0", t, tx, ty, 16, 16, mMask,
+          flipY = true)), s"masked tile ($tx,$ty)")
   }
 
   test("tick labels: mantissa-only zero trim keeps exponents intact") {
