@@ -230,6 +230,12 @@ object NetcdfStore {
       .collect().map(_.getTimestamp(0))
     val (nt, nh, nw) = (times.length, g.height, g.width)
     val tIdx = times.zipWithIndex.toMap
+    // extra non-spatial dims sit between time and the spatial pair
+    // (time, depth, lat, lon) — one f8 coordinate variable each
+    val extras = cube.extraDims
+    val ne = extras.map(_.values.length.toLong).product
+    val eIdx: Seq[Map[Double, Int]] =
+      extras.map(_.values.zipWithIndex.toMap)
 
     // all name arithmetic in UTF-8 BYTES — String.length counts UTF-16
     // units and diverges for non-ASCII names, corrupting every offset
@@ -239,8 +245,14 @@ object NetcdfStore {
       val b = nameBytes(n).length
       4 + b + ((4 - b % 4) % 4)
     }
-    val dims = Seq("time" -> nt, "lat" -> nh, "lon" -> nw)
-    val coordVars = Seq(("time", 0, nt), ("lat", 1, nh), ("lon", 2, nw))
+    val dims = Seq("time" -> nt) ++
+      extras.map(ed => ed.name -> ed.values.length) ++
+      Seq("lat" -> nh, "lon" -> nw)
+    val coordVars = Seq(("time", 0, nt)) ++
+      extras.zipWithIndex.map { case (ed, i) =>
+        (ed.name, i + 1, ed.values.length) } ++
+      Seq(("lat", 1 + extras.length, nh), ("lon", 2 + extras.length, nw))
+    val dataDimIds = 0 until (3 + extras.length)
     val dataVars = cube.variables
     // CF packing attribute block: tag+count (8) + scale_factor (32) +
     // add_offset (32) + _FillValue (28) — names padded to 4, values
@@ -264,13 +276,15 @@ object NetcdfStore {
       padded(name) + 4 + 4 * ndims + 8 /*atts*/ + 4 /*type*/ + 4 /*vsize*/ +
         8 /*begin, v2*/
     size += coordVars.map(v => varHeaderSize(v._1, 1)).sum + timeAttrBytes
-    size += dataVars.map(v => varHeaderSize(v, 3) + packAttrBytes).sum
+    size += dataVars.map(v =>
+      varHeaderSize(v, 3 + extras.length) + packAttrBytes).sum
 
     // data sections pad to 4-byte boundaries (the classic format's
     // begin-offset alignment rule; matters for NC_SHORT payloads)
+    val cellCount = nt.toLong * ne * nh * nw
     val dataBytes: Long = packed match {
-      case Some(_) => (nt.toLong * nh * nw * 2 + 3) / 4 * 4
-      case None => nt.toLong * nh * nw * 8
+      case Some(_) => (cellCount * 2 + 3) / 4 * 4
+      case None => cellCount * 8
     }
     val begins = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var off = size.toLong
@@ -326,7 +340,7 @@ object NetcdfStore {
     coordVars.foreach { case (n, dimId, len) =>
       putVar(n, Seq(dimId), len, begins(n), short = false) }
     dataVars.foreach(n =>
-      putVar(n, Seq(0, 1, 2), nt.toLong * nh * nw, begins(n),
+      putVar(n, dataDimIds, cellCount, begins(n),
         short = packed.isDefined))
 
     // data: coordinates
@@ -337,15 +351,22 @@ object NetcdfStore {
         case None => us.toDouble
       })
     }
+    extras.foreach(_.values.foreach(out.putDouble))
     (0 until nh).foreach(y => out.putDouble(g.latOfY(y)))
     (0 until nw).foreach(x => out.putDouble(g.lonOfX(x)))
     // data: variables
     cube.variables.foreach { v =>
-      val arr = Array.fill(nt * nh * nw)(Double.NaN)
-      cube.df.select(col("time"), col("y_idx"), col("x_idx"),
-          col(v).cast("double")).collect().foreach { r =>
+      val arr = Array.fill(cellCount.toInt)(Double.NaN)
+      val extraCols = extras.map(ed => col(ed.name))
+      cube.df.select(Seq(col("time"), col("y_idx"), col("x_idx"),
+          col(v).cast("double")) ++ extraCols: _*).collect().foreach { r =>
         val t = tIdx(r.getTimestamp(0))
-        arr((t * nh + r.getInt(1)) * nw + r.getInt(2)) =
+        // row-major (time, extras…, y, x) cell index
+        var lead = t.toLong
+        extras.indices.foreach { k =>
+          lead = lead * extras(k).values.length + eIdx(k)(r.getDouble(4 + k))
+        }
+        arr(((lead * nh + r.getInt(1)) * nw + r.getInt(2)).toInt) =
           if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
       }
       packed match {

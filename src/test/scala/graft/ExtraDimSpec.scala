@@ -209,6 +209,37 @@ class ExtraDimSpec extends SparkSpec {
     assert(got.head == 2000.0 + 5.5)
   }
 
+  test("4-D NetCDF classic round-trips: writer, header dims, linearized " +
+      "slab reads, direct window") {
+    val store = writeFixture()
+    val cube = CubeIngest.open(spark, store)
+    val dir = Files.createTempDirectory("graft-4dnc").toString
+    val nc = s"$dir/c.nc"
+    graft.sources.NetcdfStore.writeNetcdf(cube, nc)
+    val back = CubeIngest.open(spark, nc)
+    assert(back.extraDims.map(d => (d.name, d.values)) ==
+      Seq(("depth", depths.toSeq)))
+    assert(back.df.count() == nT.toLong * nD * nH * nW)
+    // every value survives the round trip (exercises the rank-4 header
+    // and NetcdfOps' linearized chunk-slab offsets)
+    val rows = back.df.filter(col("y_idx") === 3 && col("x_idx") === 9)
+      .select("time", "depth", "v0").collect()
+    assert(rows.length == nT * nD)
+    rows.foreach { r =>
+      val t = if (r.getTimestamp(0).toInstant.toString.startsWith(
+        "2017-01-01")) 0 else 1
+      val d = depths.indexOf(r.getDouble(1))
+      assert(r.getDouble(2) == cell(t, d, 3, 9))
+    }
+    // the direct chunk window serves (t, depth) planes from the .nc too
+    val t0 = back.timeAxis.get.head
+    val us = t0.getTime * 1000L + (t0.getNanos / 1000) % 1000
+    val win = graft.sources.DirectWindow
+      .read(nc, "v0", us, 0, 0, nH, nW, extraIdx = Seq(1)).get
+    for (y <- 0 until nH; x <- 0 until nW)
+      assert(win(y * nW + x) == cell(0, 1, y, x), s"($y,$x)")
+  }
+
   test("writeCube/open round-trips a 4-D cube; direct parquet window " +
       "refuses it (Spark path stays correct)") {
     val store = writeFixture()
