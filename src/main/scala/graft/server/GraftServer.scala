@@ -453,7 +453,7 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
             val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
             graft.sources.DirectWindow
               .read(p, v, us, y * 256, x * 256, 256, 256,
-                extraIdx = extraSel.map(_._3))
+                extra = extraSel)
               .map(winVals => Render.renderWindow(winVals, 256, 256,
                 m, flipY = cube.grid.latAscending))
           } catch { case scala.util.control.NonFatal(e) =>

@@ -52,28 +52,34 @@ private[graft] object ParquetWindow {
 
   /** Ingest-layout geometry from `_graft_meta.json` (layout ≥ 2 only —
     * the marker `CubeIngest.writeCube` stamps once its sort order is
-    * trustworthy): grid dims, tile size, and the row offset of each
-    * (tile_y, tile_x) block in file order. */
+    * trustworthy): grid dims, tile size, the row offset of each
+    * (tile_y, tile_x) block in file order, and the extra non-spatial
+    * dims (name → coordinate values) a 4-D ingest recorded. */
   private final case class StoreMeta(width: Int, height: Int,
-      tileSize: Int, tilesX: Int, blockOffsets: Array[Long])
+      tileSize: Int, tilesX: Int, blockOffsets: Array[Long],
+      extraDims: Seq[(String, Seq[Double])] = Nil) {
+    /** rows of one (time, extra-dims…) plane */
+    def planeRows: Long = width.toLong * height
+    def planeCount: Long = extraDims.map(_._2.length.toLong).product
+    /** Row offset of the plane holding the selected extra-dim values
+      * within one time step's run: the ingest sorts by the extra-dim
+      * COLUMNS ascending (between time and the tile id), so planes lie
+      * in lexicographic (sorted d1, sorted d2, …) order. None when a
+      * value is not on its axis. */
+    def planeRank(sel: Seq[Double]): Option[Long] = {
+      var rank = 0L
+      extraDims.zip(sel).foreach { case ((_, values), v) =>
+        val sorted = values.sorted
+        val pos = sorted.indexOf(v)
+        if (pos < 0) return None
+        rank = rank * values.length + pos
+      }
+      Some(rank)
+    }
+  }
 
   private val storeMetas = TrieMap.empty[String, Option[StoreMeta]]
 
-  // stores ingested from a 4-D cube (sidecar `extraDims`): this reader
-  // has no extra-dim predicate, so serving a window would silently
-  // overlay every depth plane — those stores keep the Spark path
-  private val extraDimStores = TrieMap.empty[String, Boolean]
-
-  private def hasExtraDims(path: String): Boolean =
-    extraDimStores.getOrElseUpdate(path,
-      BlobStore.forStore(path).read("_graft_meta.json").exists { b =>
-        try {
-          val n = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(new String(b, java.nio.charset.StandardCharsets.UTF_8))
-          val e = n.get("extraDims")
-          e != null && e.isArray && e.size() > 0
-        } catch { case scala.util.control.NonFatal(_) => false }
-      })
 
   private def storeMeta(path: String): Option[StoreMeta] =
     storeMetas.getOrElseUpdate(path,
@@ -84,6 +90,13 @@ private[graft] object ParquetWindow {
           val layout = Option(n.get("layout")).map(_.asInt).getOrElse(1)
           val ts = Option(n.get("tileSize")).map(_.asInt).getOrElse(0)
           val g = n.get("grid")
+          val extras = Option(n.get("extraDims")).map(e =>
+            (0 until e.size()).map { i =>
+              val d = e.get(i)
+              d.get("name").asText() ->
+                (0 until d.get("values").size())
+                  .map(d.get("values").get(_).asDouble()).toSeq
+            }.toSeq).getOrElse(Nil)
           if (layout < 2 || ts <= 0 || g == null) None
           else {
             val w = g.get("width").asInt()
@@ -106,7 +119,7 @@ private[graft] object ParquetWindow {
               ty += 1
             }
             offs(i) = acc
-            Some(StoreMeta(w, h, ts, tilesX, offs))
+            Some(StoreMeta(w, h, ts, tilesX, offs, extras))
           }
         } catch { case scala.util.control.NonFatal(_) => None }
       })
@@ -149,7 +162,6 @@ private[graft] object ParquetWindow {
     fileLists.keys.filter(hit).foreach(fileLists.remove)
     metas.keys.filter(hit).foreach(metas.remove)
     storeMetas.keys.filter(hit).foreach(storeMetas.remove)
-    extraDimStores.keys.filter(hit).foreach(extraDimStores.remove)
     offsetIndexes.keys.filter(k => hit(k._1)).foreach(offsetIndexes.remove)
     dropReaders(hit)
   }
@@ -159,7 +171,6 @@ private[graft] object ParquetWindow {
 
   private[graft] def clear(): Unit = {
     confs.clear(); fileLists.clear(); metas.clear(); storeMetas.clear()
-    extraDimStores.clear()
     offsetIndexes.clear()
     dropReaders(_ => true)
   }
@@ -246,13 +257,22 @@ private[graft] object ParquetWindow {
     if (times.isEmpty) None else Some(times.distinct.sorted.toSeq)
   }
 
-  /** The cell window [y0, y0+h) × [x0, x0+w) of `variable` at `timeUs`,
-    * row-major with NaN padding — the value layout the Spark tile path
-    * collects. None when the store has no partition dir for the date
-    * (caller falls back to the Spark path). */
+  /** The cell window [y0, y0+h) × [x0, x0+w) of `variable` at `timeUs`
+    * — and, for 4-D stores, at the extra-dim plane selected by `extra`
+    * (name → coordinate value, in sidecar dim order) — row-major with
+    * NaN padding: the value layout the Spark tile path collects. None
+    * when the store has no partition dir for the date, or when the
+    * request's extra dims don't match the sidecar's (caller falls back
+    * to the Spark path). */
   def readWindow(path: String, variable: String, timeUs: Long,
-                 y0: Int, x0: Int, h: Int, w: Int): Option[Array[Double]] = {
-    if (hasExtraDims(path)) return None // 4-D store → Spark path
+                 y0: Int, x0: Int, h: Int, w: Int,
+                 extra: Seq[(String, Double)] = Nil)
+      : Option[Array[Double]] = {
+    // the request must name exactly the dims the store was ingested
+    // with (same order): anything else would silently overlay planes
+    val metaExtras = storeMeta(path).map(_.extraDims.map(_._1))
+      .getOrElse(Seq.empty)
+    if (metaExtras != extra.map(_._1)) return None
     val date = java.time.LocalDate.ofEpochDay(Math.floorDiv(timeUs, DayUs))
     val dateDir = s"$path/p_date=$date"
     val conf = hadoopConf(path)
@@ -260,13 +280,14 @@ private[graft] object ParquetWindow {
     if (files.isEmpty) return None
     val out = Array.fill(h * w)(Double.NaN)
     files.foreach(f =>
-      readFile(path, f, conf, variable, timeUs, y0, x0, h, w, out))
+      readFile(path, f, conf, variable, timeUs, extra, y0, x0, h, w, out))
     Some(out)
   }
 
   private def readFile(storePath: String, file: Path, conf: Configuration,
-                       variable: String,
-                       timeUs: Long, y0: Int, x0: Int, h: Int, w: Int,
+                       variable: String, timeUs: Long,
+                       extra: Seq[(String, Double)],
+                       y0: Int, x0: Int, h: Int, w: Int,
                        out: Array[Double]): Unit = {
     val fm = metas.getOrElseUpdate(file.toString, {
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
@@ -279,8 +300,9 @@ private[graft] object ParquetWindow {
     def field(n: String): org.apache.parquet.schema.Type =
       fm.schema.getFields.get(fm.schema.getFieldIndex(n))
     val timeField = field("time").asPrimitiveType()
-    val proj = new MessageType("spark_schema", field("time"),
-      field("y_idx"), field("x_idx"), field(variable))
+    val proj = new MessageType("spark_schema", (Seq(field("time")) ++
+      extra.map(e => field(e._1)) ++
+      Seq(field("y_idx"), field("x_idx"), field(variable))): _*)
     var pred: FilterPredicate = FilterApi.and(
       FilterApi.and(
         FilterApi.gtEq(FilterApi.intColumn("y_idx"), Int.box(y0)),
@@ -288,6 +310,14 @@ private[graft] object ParquetWindow {
       FilterApi.and(
         FilterApi.gtEq(FilterApi.intColumn("x_idx"), Int.box(x0)),
         FilterApi.ltEq(FilterApi.intColumn("x_idx"), Int.box(x0 + w - 1))))
+    // one equality per extra dim selects the plane — stats + column
+    // index prune row groups/pages of other planes (the layout sorts
+    // extra dims between time and the tile id, so planes are
+    // contiguous runs with tight min/max)
+    extra.foreach { case (n, v) =>
+      pred = FilterApi.and(pred,
+        FilterApi.eq(FilterApi.doubleColumn(n), Double.box(v)))
+    }
     // INT64 timestamps also filter at the index level (stats +
     // dictionary prune); legacy INT96 has no usable stats
     val timeIsInt96 = timeField.getPrimitiveTypeName ==
@@ -334,12 +364,19 @@ private[graft] object ParquetWindow {
     }
     // single row group only: with one group, positions are row indexes
     // even when no page was filtered (absent row-index iterator); a
-    // multi-group file keeps the generic path rather than guess bases
+    // multi-group file keeps the generic path rather than guess bases.
+    // 4-D stores stay dense too: the sort puts each extra-dim plane in
+    // one contiguous planeRows-sized run (lexicographic by sorted
+    // coordinate values), so the selected plane is a row-offset shift.
+    val sm = storeMeta(storePath)
+    val planeBase: Option[Long] = sm.flatMap { m =>
+      if (totalRows != m.planeRows * m.planeCount) None
+      else m.planeRank(extra.map(_._2)).map(_ * m.planeRows)
+    }
     val dense = timeUniform && fm.footer.getBlocks.size() == 1 &&
-      storeMeta(storePath).exists(m =>
-        totalRows == m.width.toLong * m.height)
-    if (dense && readFileDense(file, conf, fm, storeMeta(storePath).get,
-        variable, y0, x0, h, w, out))
+      planeBase.isDefined
+    if (dense && readFileDense(file, conf, fm, sm.get, variable,
+        planeBase.get, y0, x0, h, w, out))
       return
     // cached footer: no per-request footer IO/parse
     val r = ParquetFileReader.open(in, fm.footer, opts, in.newStream())
@@ -353,14 +390,19 @@ private[graft] object ParquetWindow {
             new GroupRecordConverter(proj).getRootConverter, proj,
             fm.createdBy)
           val cols = proj.getColumns
+          val ne = extra.length
           val tr = if (timeUniform) null else crs.getColumnReader(cols.get(0))
-          val yr = crs.getColumnReader(cols.get(1))
-          val xr = crs.getColumnReader(cols.get(2))
-          val vr = crs.getColumnReader(cols.get(3))
+          val ers = Array.tabulate(ne)(k =>
+            crs.getColumnReader(cols.get(1 + k)))
+          val yr = crs.getColumnReader(cols.get(1 + ne))
+          val xr = crs.getColumnReader(cols.get(2 + ne))
+          val vr = crs.getColumnReader(cols.get(3 + ne))
           val tDef = cols.get(0).getMaxDefinitionLevel
-          val yDef = cols.get(1).getMaxDefinitionLevel
-          val xDef = cols.get(2).getMaxDefinitionLevel
-          val vDef = cols.get(3).getMaxDefinitionLevel
+          val eDefs = Array.tabulate(ne)(k =>
+            cols.get(1 + k).getMaxDefinitionLevel)
+          val yDef = cols.get(1 + ne).getMaxDefinitionLevel
+          val xDef = cols.get(2 + ne).getMaxDefinitionLevel
+          val vDef = cols.get(3 + ne).getMaxDefinitionLevel
           var i = 0L
           while (i < n) {
             val tOk = timeUniform || (tr.getCurrentDefinitionLevel == tDef && {
@@ -370,6 +412,14 @@ private[graft] object ParquetWindow {
             // EVERY present value must be read before consume():
             // ColumnReaderImpl does not skip unread values, so a
             // conditional read desynchronizes the column streams
+            var eOk = true
+            var k = 0
+            while (k < ne) {
+              val hasE = ers(k).getCurrentDefinitionLevel == eDefs(k)
+              val ev = if (hasE) ers(k).getDouble else Double.NaN
+              if (!hasE || ev != extra(k)._2) eOk = false
+              k += 1
+            }
             val hasY = yr.getCurrentDefinitionLevel == yDef
             val y = if (hasY) yr.getInteger else -1
             val hasX = xr.getCurrentDefinitionLevel == xDef
@@ -378,10 +428,12 @@ private[graft] object ParquetWindow {
             val v = if (hasV) vr.getDouble else Double.NaN
             // null (masked) cells keep the NaN the window initializes —
             // identical to the Spark path's null handling
-            if (tOk && hasY && hasX && hasV &&
+            if (tOk && eOk && hasY && hasX && hasV &&
                 y >= y0 && y < y0 + h && x >= x0 && x < x0 + w)
               out((y - y0) * w + (x - x0)) = v
             if (tr != null) tr.consume()
+            k = 0
+            while (k < ne) { ers(k).consume(); k += 1 }
             yr.consume(); xr.consume(); vr.consume()
             i += 1
           }
@@ -404,6 +456,7 @@ private[graft] object ParquetWindow {
     * reader instead of serving an empty window */
   private def readFileDense(file: Path, conf: Configuration, fm: FileMeta,
                             m: StoreMeta, variable: String,
+                            planeBase: Long,
                             y0: Int, x0: Int, h: Int, w: Int,
                             out: Array[Double]): Boolean = {
     import scala.jdk.CollectionConverters._
@@ -415,10 +468,12 @@ private[graft] object ParquetWindow {
     val txLo = math.max(x0, 0) / ts
     val txHi = math.min(x0 + w - 1, m.width - 1) / ts
     if (tyLo > tyHi || txLo > txHi) return true
-    // row intervals of the tile blocks the window touches
+    // row intervals of the tile blocks the window touches, shifted to
+    // the selected extra-dim plane's contiguous run
     val wanted = (for (ty <- tyLo to tyHi; tx <- txLo to txHi) yield {
       val bi = ty * m.tilesX + tx
-      (m.blockOffsets(bi), m.blockOffsets(bi + 1) - 1)
+      (planeBase + m.blockOffsets(bi),
+        planeBase + m.blockOffsets(bi + 1) - 1)
     }).sorted
     val block = fm.footer.getBlocks.get(0)
     val rowCount = block.getRowCount
@@ -475,18 +530,24 @@ private[graft] object ParquetWindow {
       var b = 0 // block cursor: row indexes arrive ascending
       var i = 0L
       while (i < n) {
-        val ri = if (it != null) it.nextLong() else i
+        val ri0 = if (it != null) it.nextLong() else i
         val hasV = vr.getCurrentDefinitionLevel == vDef
         val v = if (hasV) vr.getDouble else Double.NaN
-        while (ri >= m.blockOffsets(b + 1)) b += 1
-        val local = ri - m.blockOffsets(b)
-        val ty = b / m.tilesX
-        val tx = b % m.tilesX
-        val wB = math.min(m.tileSize, m.width - tx * m.tileSize)
-        val y = ty * m.tileSize + (local / wB).toInt
-        val x = tx * m.tileSize + (local % wB).toInt
-        if (hasV && y >= y0 && y < y0 + h && x >= x0 && x < x0 + w)
-          out((y - y0) * w + (x - x0)) = v
+        // rows outside the selected plane's run (page spans overlap
+        // neighboring planes) are read — streams must stay in sync —
+        // but never placed
+        val ri = ri0 - planeBase
+        if (ri >= 0 && ri < m.planeRows) {
+          while (ri >= m.blockOffsets(b + 1)) b += 1
+          val local = ri - m.blockOffsets(b)
+          val ty = b / m.tilesX
+          val tx = b % m.tilesX
+          val wB = math.min(m.tileSize, m.width - tx * m.tileSize)
+          val y = ty * m.tileSize + (local / wB).toInt
+          val x = tx * m.tileSize + (local % wB).toInt
+          if (hasV && y >= y0 && y < y0 + h && x >= x0 && x < x0 + w)
+            out((y - y0) * w + (x - x0)) = v
+        }
         vr.consume()
         i += 1
       }

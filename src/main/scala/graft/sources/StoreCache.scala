@@ -40,7 +40,8 @@ private[graft] object StoreCache {
     * block), sharing one byte budget + LRU order with chunks */
   private final case class WindowKey(path: String, variable: String,
                                      timeUs: Long, y0: Int, x0: Int,
-                                     h: Int, w: Int)
+                                     h: Int, w: Int,
+                                     extra: Seq[(String, Double)])
   private val chunkMap =
     new java.util.LinkedHashMap[AnyRef, Array[Double]](256, 0.75f, true)
   private var chunkBytes = 0L
@@ -82,9 +83,10 @@ private[graft] object StoreCache {
   /** decoded parquet tile window through the same LRU (consumers treat
     * the returned array as read-only — the renderer only reads) */
   def window(path: String, variable: String, timeUs: Long, y0: Int,
-             x0: Int, h: Int, w: Int)
+             x0: Int, h: Int, w: Int,
+             extra: Seq[(String, Double)] = Nil)
             (load: => Option[Array[Double]]): Option[Array[Double]] =
-    cached(WindowKey(path, variable, timeUs, y0, x0, h, w))(
+    cached(WindowKey(path, variable, timeUs, y0, x0, h, w, extra))(
       load.orNull)
 
   private def cached(key: AnyRef)

@@ -96,24 +96,25 @@ private[graft] object StoreWindow {
   * is unchanged — set iff the DataFrame reads the store untransformed,
   * so values are identical to the Spark path by construction. */
 private[graft] object DirectWindow {
+  /** `extra` selects one plane per extra non-spatial dim:
+    * (name, coordinate value, axis index) — chunked stores address by
+    * the index, the parquet reader by name+value (checked against its
+    * sidecar). */
   def read(path: String, variable: String, timeUs: Long,
            y0: Int, x0: Int, h: Int, w: Int,
-           extraIdx: Seq[Int] = Nil): Option[Array[Double]] = {
+           extra: Seq[(String, Double, Int)] = Nil)
+      : Option[Array[Double]] = {
     val chunkedStore = path.endsWith(".zarr") || path.endsWith(".nc") ||
       path.endsWith(".h5") ||
       java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(path))
     if (chunkedStore) StoreWindow.readWindow(path, variable, timeUs,
-      y0, x0, h, w, extraIdx)
-    else if (extraIdx.nonEmpty)
-      // the ingested-parquet direct reader has no extra-dim predicate
-      // yet — overlaying all planes would be silently wrong, so 4-D
-      // parquet stores keep the Spark path (correct, just not the
-      // fast path; chunked stores cover the 4-D serving story)
-      None
-    else
+      y0, x0, h, w, extra.map(_._3))
+    else {
       // parquet windows cache decoded (the block IS this layout's
       // decode unit; chunked stores already cache per decoded chunk)
-      StoreCache.window(path, variable, timeUs, y0, x0, h, w)(
-        ParquetWindow.readWindow(path, variable, timeUs, y0, x0, h, w))
+      val sel = extra.map(e => (e._1, e._2))
+      StoreCache.window(path, variable, timeUs, y0, x0, h, w, sel)(
+        ParquetWindow.readWindow(path, variable, timeUs, y0, x0, h, w, sel))
+    }
   }
 }

@@ -122,13 +122,15 @@ class ExtraDimSpec extends SparkSpec {
     val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
     for (di <- 0 until nD) {
       val win = graft.sources.DirectWindow
-        .read(store, "v0", us, 0, 0, nH, nW, extraIdx = Seq(di)).get
+        .read(store, "v0", us, 0, 0, nH, nW,
+          extra = Seq(("depth", depths(di), di))).get
       for (y <- 0 until nH; x <- 0 until nW)
         assert(win(y * nW + x) == cell(0, di, y, x), s"d=$di ($y,$x)")
     }
     // out-of-range / wrong-arity index → None (server falls to Spark)
     assert(graft.sources.DirectWindow
-      .read(store, "v0", us, 0, 0, nH, nW, extraIdx = Seq(nD)).isEmpty)
+      .read(store, "v0", us, 0, 0, nH, nW,
+        extra = Seq(("depth", 999.0, nD))).isEmpty)
     assert(graft.sources.DirectWindow
       .read(store, "v0", us, 0, 0, nH, nW).isEmpty)
   }
@@ -235,13 +237,14 @@ class ExtraDimSpec extends SparkSpec {
     val t0 = back.timeAxis.get.head
     val us = t0.getTime * 1000L + (t0.getNanos / 1000) % 1000
     val win = graft.sources.DirectWindow
-      .read(nc, "v0", us, 0, 0, nH, nW, extraIdx = Seq(1)).get
+      .read(nc, "v0", us, 0, 0, nH, nW,
+        extra = Seq(("depth", depths(1), 1))).get
     for (y <- 0 until nH; x <- 0 until nW)
       assert(win(y * nW + x) == cell(0, 1, y, x), s"($y,$x)")
   }
 
   test("writeCube/open round-trips a 4-D cube; direct parquet window " +
-      "refuses it (Spark path stays correct)") {
+      "serves per-plane, zero jobs") {
     val store = writeFixture()
     val cube = CubeIngest.open(spark, store)
     val dir = Files.createTempDirectory("graft-4dpq").toString
@@ -251,10 +254,49 @@ class ExtraDimSpec extends SparkSpec {
     assert(back.df.count() == nT.toLong * nD * nH * nW)
     val t = cube.timeAxis.get.head
     val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
-    // the parquet direct reader has no extra-dim predicate — it must
-    // refuse (None), never overlay depth planes
+    // a request naming the WRONG dims (or none) must refuse — never
+    // overlay depth planes
     assert(graft.sources.ParquetWindow
       .readWindow(s"$dir/c", "v0", us, 0, 0, nH, nW).isEmpty)
+    assert(graft.sources.ParquetWindow
+      .readWindow(s"$dir/c", "v0", us, 0, 0, nH, nW,
+        extra = Seq(("bogus", 0.0))).isEmpty)
+    // per-plane direct reads: values exact for every depth, no Spark
+    // job on the serving path
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for (di <- 0 until nD) {
+        val win = graft.sources.ParquetWindow
+          .readWindow(s"$dir/c", "v0", us, 0, 0, nH, nW,
+            extra = Seq(("depth", depths(di)))).get
+        for (y <- 0 until nH; x <- 0 until nW)
+          assert(win(y * nW + x) == cell(0, di, y, x),
+            s"parquet d=$di ($y,$x)")
+      }
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0, "direct 4-D parquet reads must schedule no job")
+    // DESCENDING axis order: disk order is sorted-by-value regardless
+    // (the ingest sorts the coordinate COLUMN), so the plane lookup
+    // must rank by sorted value, not axis position
+    val dirD = Files.createTempDirectory("graft-4dpqd").toString
+    CubeIngest.writeCube(
+      cube.copy(extraDims = Seq(ExtraDim("depth", depths.reverse.toSeq, "m"))),
+      s"$dirD/c", tileSize = 8)
+    for (di <- 0 until nD) {
+      val win = graft.sources.ParquetWindow
+        .readWindow(s"$dirD/c", "v0", us, 0, 0, nH, nW,
+          extra = Seq(("depth", depths(di)))).get
+      for (y <- 0 until nH; x <- 0 until nW)
+        assert(win(y * nW + x) == cell(0, di, y, x),
+          s"desc-axis d=$di ($y,$x)")
+    }
     // and the served tile (Spark path) still selects the right plane
     val ctx = new ServiceContext(spark)
     ctx.register(RegisteredDataset("pq", "PQ", back, None))
