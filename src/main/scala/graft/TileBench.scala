@@ -127,6 +127,32 @@ object TileBench {
       val t0pw = System.nanoTime()
       zTiles.foreach { case (x, y) => fetchP(x, y) }
       val parquetWarm = (System.nanoTime() - t0pw) / 1e9
+      // 4-D ingested store (time × depth × y × x): per-plane direct
+      // window reads with the extra-dim predicate / dense plane shift
+      import org.apache.spark.sql.functions.{explode, lit, typedLit}
+      val depths = Seq(0.0, 10.0, 50.0)
+      val p4dir = java.nio.file.Files.createTempDirectory("graft-tb4").toString
+      val cube4 = cube.copy(
+        df = cube.df.withColumn("depth", explode(typedLit(depths))),
+        extraDims = Seq(graft.cube.ExtraDim("depth", depths, "m")))
+      graft.cube.CubeIngest.writeCube(cube4, s"$p4dir/c")
+      ctx.register(graft.server.RegisteredDataset("bench4", "4d bench",
+        graft.cube.CubeIngest.open(spark, s"$p4dir/c"), None))
+      val f4 = ctx.dataset("bench4").get.tileGrid.numLevels - 1
+      def fetch4(x: Int, y: Int): Int = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"${srv.address}/datasets/bench4/vars/v0/tiles/$f4/$x/$y.png" +
+              "?depth=50")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        require(resp.statusCode() == 200)
+        resp.body().length
+      }
+      fetch4(0, 0) // warm footer/listing caches
+      srv.invalidateTiles()
+      val t04 = System.nanoTime()
+      zTiles.foreach { case (x, y) => fetch4(x, y) }
+      val plane4 = (System.nanoTime() - t04) / 1e9
       // bulk pre-render: one distributed job for a whole level — the
       // planning/scheduling cost the per-request path pays per tile is
       // amortized across all of them
@@ -138,7 +164,7 @@ object TileBench {
           graft.render.ColorMaps.paletteOrDefault("viridis")),
         flipY = levels.head.grid.latAscending).count()
       val batch = (System.nanoTime() - t0) / 1e9
-      println(f"""{"metric":"tile_latency","tiles":${tiles.size},"levels":${t.numLevels},"cold_sec_per_tile":${cold / tiles.size}%.4f,"warm_sec_per_tile":${warm / tiles.size}%.4f,"direct_sec_per_tile":${direct / zTiles.size}%.4f,"direct_warm_sec_per_tile":${directWarm / zTiles.size}%.4f,"parquet_sec_per_tile":${parquet / zTiles.size}%.4f,"parquet_warm_sec_per_tile":${parquetWarm / zTiles.size}%.4f,"batch_sec_per_tile":${batch / batchTiles}%.4f,"batch_tiles":$batchTiles,"cold_total_sec":$cold%.2f,"warm_total_sec":$warm%.2f}""")
+      println(f"""{"metric":"tile_latency","tiles":${tiles.size},"levels":${t.numLevels},"cold_sec_per_tile":${cold / tiles.size}%.4f,"warm_sec_per_tile":${warm / tiles.size}%.4f,"direct_sec_per_tile":${direct / zTiles.size}%.4f,"direct_warm_sec_per_tile":${directWarm / zTiles.size}%.4f,"parquet_sec_per_tile":${parquet / zTiles.size}%.4f,"parquet_warm_sec_per_tile":${parquetWarm / zTiles.size}%.4f,"parquet_4d_plane_sec_per_tile":${plane4 / zTiles.size}%.4f,"batch_sec_per_tile":${batch / batchTiles}%.4f,"batch_tiles":$batchTiles,"cold_total_sec":$cold%.2f,"warm_total_sec":$warm%.2f}""")
       System.out.flush()
     } finally { srv.stop(); spark.stop() }
     // the JDK HttpClient keeps non-daemon worker threads alive; don't
