@@ -43,13 +43,17 @@ object Resample {
         s"got ${cube.timeCalendar.get}")
     val aggs = cube.variables.map(v =>
       avg(graft.cube.Cube.nanToNull(col(v))).as(v))
+    // extra non-spatial dims are grouping keys: a depth plane resamples
+    // within itself, never across the water column
+    val keys = Seq(weekLabelSun(col("time")).as("week")) ++
+      cube.extraDims.map(d => col(d.name)) ++
+      Seq(col("y_idx"), col("x_idx"), col("lat"), col("lon"))
     val df = cube.df
-      .groupBy(weekLabelSun(col("time")).as("week"),
-        col("y_idx"), col("x_idx"), col("lat"), col("lon"))
+      .groupBy(keys: _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("time", col("week").cast("timestamp"))
       .drop("week")
-    CubeFrame(df, cube.grid, cube.variables)
+    CubeFrame(df, cube.grid, cube.variables, extraDims = cube.extraDims)
   }
 
   /** Per-pixel rolling mean over the trailing `n` time steps (the
@@ -63,8 +67,13 @@ object Resample {
   def rollingMean(cube: CubeFrame, n: Int, minPeriods: Int = -1): CubeFrame = {
     require(n >= 1, s"rolling window must be >= 1, got $n")
     val minP = if (minPeriods < 0) n else minPeriods
+    // partition by the extra dims too: a 4-D cube's trailing-time
+    // window must slide within ONE depth plane, not interleave the
+    // water column's rows for the same pixel
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("y_idx", "x_idx").orderBy("time")
+      .partitionBy(cube.extraDims.map(d => col(d.name)) ++
+        Seq(col("y_idx"), col("x_idx")): _*)
+      .orderBy("time")
       .rowsBetween(-(n - 1), 0)
     // min_periods counts OBSERVATIONS (non-null rows of the variable),
     // not window rows — a window padded with nulls must not satisfy it
@@ -73,6 +82,7 @@ object Resample {
         avg(col(v)).over(w)).otherwise(lit(Double.NaN))))
     // time axis unchanged: keep the coordinate metadata and CF calendar
     CubeFrame(df, cube.grid, cube.variables,
-      timeAxis = cube.timeAxis, timeCalendar = cube.timeCalendar)
+      timeAxis = cube.timeAxis, timeCalendar = cube.timeCalendar,
+      extraDims = cube.extraDims)
   }
 }

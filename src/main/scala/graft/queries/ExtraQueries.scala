@@ -85,10 +85,14 @@ object ExtraQueries {
     val depthCase = "CASE CAST(event_id % 5 AS INT) WHEN 0 THEN 0.0 " +
       "WHEN 1 THEN 10.0 WHEN 2 THEN 20.0 WHEN 3 THEN 50.0 " +
       "ELSE 100.0 END"
+    // the axis is STATIC metadata on both sides (the server resolves
+    // indexers against the coordinate axis, never a data scan) — a
+    // DISTINCT-derived axis would diverge whenever a residue class is
+    // absent from the data
     s"""
     WITH planes AS (SELECT *, $depthCase AS depth FROM events),
-    sel AS (SELECT depth AS d FROM (SELECT DISTINCT depth FROM planes)
-            ORDER BY ABS(depth - 37.5), depth LIMIT 1)
+    sel AS (SELECT d FROM (VALUES (0.0), (10.0), (20.0), (50.0), (100.0))
+            AS axis(d) ORDER BY ABS(d - 37.5), d LIMIT 1)
     SELECT event_type, COUNT(*) AS n_obs,
            ${Sql.davg("value")} AS avg_value, MAX(depth) AS depth
     FROM planes WHERE depth = (SELECT d FROM sel)

@@ -22,13 +22,25 @@ import graft.render.Render.ColorMapping
   * cluster). */
 object TileMaterialize {
 
-  /** All tiles of one level at one time step: (tileX, tileY, png). */
+  /** All tiles of one level at one time step (and, for a 4-D cube, one
+    * extra-dim plane — default: the FIRST coordinate per dim, the
+    * serving default): (tileX, tileY, png). Without the plane filter a
+    * 4-D cube's depth planes would overlay nondeterministically
+    * (last-shuffled-write-wins per pixel). */
   def renderLevel(cube: CubeFrame, variable: String,
                   timeValue: java.sql.Timestamp,
                   tileW: Int, tileH: Int, mapping: ColorMapping,
-                  flipY: Boolean = false): Dataset[(Int, Int, Array[Byte])] = {
+                  flipY: Boolean = false,
+                  extraSel: Seq[(String, Double)] = Nil)
+      : Dataset[(Int, Int, Array[Byte])] = {
     val spark = cube.df.sparkSession
     import spark.implicits._
+    val sel =
+      if (extraSel.nonEmpty) extraSel
+      else cube.extraDims.map(d => d.name -> d.values.head)
+    require(sel.map(_._1) == cube.extraDims.map(_.name),
+      s"extra-dim selection ${sel.map(_._1)} must name the cube's dims " +
+        s"${cube.extraDims.map(_.name)} in order")
     val ntx = (cube.grid.width + tileW - 1) / tileW
     val nty = (cube.grid.height + tileH - 1) / tileH
     // the colormap kernel runs MAP-SIDE as a codegen expression
@@ -36,8 +48,9 @@ object TileMaterialize {
     // projection, SURVEY X8): the shuffle carries one int per cell
     // instead of a double re-kerneled per tile in a closure, and the
     // post-shuffle closure only places pixels and PNG-encodes
-    val cells = cube.df
-      .filter(col("time") === lit(timeValue))
+    val cells = sel.foldLeft(cube.df.filter(col("time") === lit(timeValue))) {
+        case (df, (n, v)) => df.filter(col(n) === lit(v))
+      }
       .select((col("x_idx") / tileW).cast("int").as("tx"),
         (col("y_idx") / tileH).cast("int").as("ty"),
         col("y_idx"), col("x_idx"),
@@ -71,9 +84,10 @@ object TileMaterialize {
   def writeLevel(cube: CubeFrame, variable: String,
                  timeValue: java.sql.Timestamp, z: Int, outDir: String,
                  tileW: Int, tileH: Int, mapping: ColorMapping,
-                 flipY: Boolean = false): Long = {
+                 flipY: Boolean = false,
+                 extraSel: Seq[(String, Double)] = Nil): Long = {
     val tiles = renderLevel(cube, variable, timeValue, tileW, tileH,
-      mapping, flipY)
+      mapping, flipY, extraSel)
     val spark = tiles.sparkSession
     val confSer = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)

@@ -130,7 +130,7 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
       case ("GET", "ts" :: ds :: v :: "point" :: Nil) =>
         withDataset(ex, ds) { d =>
           val q = query(ex)
-          val (start, end) = dateRange(q)
+          val (start, end) = dateRange(q, d.cube.timeCalendar)
           val df = TimeSeries.point(cubeFor(d, q), v,
             q("lon").toDouble, q("lat").toDouble, start, end)
           send(ex, 200, tsJson(df), "application/json")
@@ -140,7 +140,7 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
           val wkt = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
           val q = query(ex)
-          val (start, end) = dateRange(q)
+          val (start, end) = dateRange(q, d.cube.timeCalendar)
           val df = TimeSeries.zonal(cubeFor(d, q), v, Geo.parseWkt(wkt),
             start, end)
           send(ex, 200, tsJson(df), "application/json")
@@ -156,7 +156,7 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
           val q = query(ex)
           val geoms = (0 until geomsNode.size())
             .map(i => Geo.parseGeoJson(geomsNode.get(i).toString))
-          tsMany(ex, d, v, geoms, dateRange(q), q)
+          tsMany(ex, d, v, geoms, dateRange(q, d.cube.timeCalendar), q)
         }
       // GeoJSON FeatureCollection body → one series per feature geometry
       // (reference GetTimeSeriesForFeaturesHandler, app.py:101-102)
@@ -169,7 +169,7 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
           val q = query(ex)
           val geoms = (0 until feats.size())
             .map(i => Geo.parseGeoJson(feats.get(i).get("geometry").toString))
-          tsMany(ex, d, v, geoms, dateRange(q), q)
+          tsMany(ex, d, v, geoms, dateRange(q, d.cube.timeCalendar), q)
         }
       // place-group listing (GetPlaceGroupsHandler → context.py:297-303);
       // nested sub-groups surface as a placeGroups member
@@ -354,7 +354,9 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
   private def extraSelections(d: RegisteredDataset, q: Map[String, String])
       : Seq[(String, Double, Int)] =
     d.cube.extraDims.map { ed =>
-      val idx = q.get(ed.name) match {
+      // WMTS KVP keys arrive lowercased (case-insensitive per spec);
+      // fall back so a mixed-case dim name still resolves there
+      val idx = q.get(ed.name).orElse(q.get(ed.name.toLowerCase)) match {
         case None => 0
         case Some("current") => ed.values.length - 1
         case Some(s) =>
@@ -369,17 +371,23 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
       (ed.name, ed.values(idx), idx)
     }
 
+  /** one equality filter per extra dim from a resolved selection —
+    * shared by the tile fallback and every ts route so plane-selection
+    * semantics can't diverge between them */
+  private def planeFiltered(cube: graft.cube.CubeFrame,
+                            sel: Seq[(String, Double, Int)])
+      : graft.cube.CubeFrame =
+    if (sel.isEmpty) cube
+    else cube.copy(df = sel.foldLeft(cube.df) {
+      case (df, (n, vv, _)) => df.filter(col(n) === lit(vv)) })
+
   /** the dataset's cube with the request's extra-dim indexers applied
     * (one plane per extra dim — the equality predicate pushes to the
     * store scan, so a 4-D cube's query reads one plane, not the
     * whole column) */
   private def cubeFor(d: RegisteredDataset,
-                      q: Map[String, String]): graft.cube.CubeFrame = {
-    val sel = extraSelections(d, q)
-    if (sel.isEmpty) d.cube
-    else d.cube.copy(df = sel.foldLeft(d.cube.df) {
-      case (df, (n, vv, _)) => df.filter(col(n) === lit(vv)) })
-  }
+                      q: Map[String, String]): graft.cube.CubeFrame =
+    planeFiltered(d.cube, extraSelections(d, q))
 
   private def mapping(d: RegisteredDataset, v: String): ColorMapping = {
     val cm = d.style.flatMap(_.colorMappings.get(v))
@@ -461,16 +469,11 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
             None
           }
         }
-        val png = direct.getOrElse {
+        val png = direct.getOrElse(
           // Spark path: one equality filter per extra dim — pushes to
           // the store scan as a chunk-plane prune
-          val frame =
-            if (extraSel.isEmpty) cube
-            else cube.copy(df = extraSel.foldLeft(cube.df) {
-              case (df, (n, vv, _)) => df.filter(col(n) === lit(vv)) })
-          Render.renderTile(frame, v, t, x, y, 256, 256,
-            m, flipY = cube.grid.latAscending)
-        }
+          Render.renderTile(planeFiltered(cube, extraSel), v, t, x, y,
+            256, 256, m, flipY = cube.grid.latAscending))
         tileCache.put(key, png)
         sendBytes(ex, 200, png, "image/png")
     }
@@ -531,16 +534,20 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
   }
 
   /** ISO date/instant query value (reference
-    * params.get_query_argument_datetime). */
-  private def parseTime(s: String): java.sql.Timestamp =
-    java.sql.Timestamp.from(
-      if (s.length <= 10) java.time.LocalDate.parse(s)
-        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
-      else java.time.Instant.parse(s))
+    * params.get_query_argument_datetime), parsed through the DATASET'S
+    * CF calendar — a 360_day catalogue advertises labels like
+    * 2017-02-30 and a client echoing one into startDate/endDate must
+    * get the range, not a 400 (same contract as the tile ?time=). */
+  private def parseTime(s: String,
+                        calendar: Option[String]): java.sql.Timestamp =
+    graft.cube.Cube.timestampOfMicros(
+      graft.sources.CfTime.parseIsoUs(s, calendar))
 
-  private def dateRange(q: Map[String, String])
+  private def dateRange(q: Map[String, String],
+                        calendar: Option[String])
       : (Option[java.sql.Timestamp], Option[java.sql.Timestamp]) =
-    (q.get("startDate").map(parseTime), q.get("endDate").map(parseTime))
+    (q.get("startDate").map(parseTime(_, calendar)),
+      q.get("endDate").map(parseTime(_, calendar)))
 
   private def readJsonBody(ex: HttpExchange)
       : com.fasterxml.jackson.databind.JsonNode =

@@ -155,17 +155,27 @@ class ServiceContext(val spark: SparkSession) {
       s"merge_cubes inputs disagree on CF calendar: " +
         inputs.map(_.timeCalendar.getOrElse("standard")).distinct
           .mkString(", "))
+    // extra non-spatial dims are JOIN KEYS: omitting them would
+    // cross-product the depth planes (every base row matching every
+    // depth of the other input); inputs must agree on them
+    require(inputs.forall(_.extraDims.map(d => (d.name, d.values)) ==
+      base.extraDims.map(d => (d.name, d.values))),
+      "merge_cubes inputs disagree on extra dims: " +
+        inputs.map(_.extraDims.map(_.name).mkString("/")).distinct
+          .mkString(", "))
+    val keys = Seq("time") ++ base.extraDims.map(_.name) ++
+      Seq("y_idx", "x_idx")
     val df = inputs.tail.foldLeft(base.df) { (acc, c) =>
-      acc.join(c.df.select((Seq("time", "y_idx", "x_idx") ++ c.variables)
-        .map(org.apache.spark.sql.functions.col): _*),
-        Seq("time", "y_idx", "x_idx"))
+      acc.join(c.df.select((keys ++ c.variables)
+        .map(org.apache.spark.sql.functions.col): _*), keys)
     }
     // the inner join keeps the base axis only when every input shares
     // it; otherwise fall back to the scan-derived axis (None)
     CubeFrame(df, base.grid, inputs.flatMap(_.variables),
       timeAxis = if (inputs.forall(_.timeAxis == base.timeAxis))
         base.timeAxis else None,
-      timeCalendar = base.timeCalendar)
+      timeCalendar = base.timeCalendar,
+      extraDims = base.extraDims)
   })
 
   def register(ds: RegisteredDataset): Unit = datasets.put(ds.id, ds)

@@ -113,9 +113,10 @@ object Wmts {
     * FIRST coordinate value — the indexer's no-param default — Current
     * false, one <Value> per coordinate). */
   def extraDimensionXml(ed: graft.cube.ExtraDim): String = {
-    def fmt(v: Double): String =
-      if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString
-      else v.toString
+    // same integral-double rendering as the JSON surface (a client
+    // pasting a WMTS <Value> into ?depth= must hit the same plane the
+    // catalogue advertises)
+    def fmt(v: Double): String = Json.num(v)
     val values = ed.values.map(v =>
       s"        <Value>${fmt(v)}</Value>\n").mkString
     s"""      <Dimension>

@@ -268,14 +268,24 @@ object NetcdfStore {
     }
     val timeAttrs: Seq[(String, String)] =
       timeCf.map("units" -> _._1).toSeq ++ timeCalendar.map("calendar" -> _)
-    val timeAttrBytes = timeAttrs.map { case (n, v) =>
-      padded(n) + 8 + (nameBytes(v).length + 3) / 4 * 4 }.sum
+    // char attributes per coordinate variable: CF time units/calendar
+    // on `time`, units on every extra dim that declares one (so
+    // ExtraDim.units survives a NetCDF round trip)
+    val coordAttrs: Map[String, Seq[(String, String)]] =
+      (Map("time" -> timeAttrs) ++
+        extras.filter(_.units.nonEmpty)
+          .map(ed => ed.name -> Seq("units" -> ed.units)))
+        .filter(_._2.nonEmpty)
+    def attrsBytes(attrs: Seq[(String, String)]): Int =
+      attrs.map { case (n, v) =>
+        padded(n) + 8 + (nameBytes(v).length + 3) / 4 * 4 }.sum
     // header size: magic(4) numrecs(4) + dim_list + gatts(8) + var_list
     var size = 4 + 4 + 8 + dims.map(d => padded(d._1) + 4).sum + 8 + 8
     def varHeaderSize(name: String, ndims: Int): Int =
       padded(name) + 4 + 4 * ndims + 8 /*atts*/ + 4 /*type*/ + 4 /*vsize*/ +
         8 /*begin, v2*/
-    size += coordVars.map(v => varHeaderSize(v._1, 1)).sum + timeAttrBytes
+    size += coordVars.map(v => varHeaderSize(v._1, 1) +
+      attrsBytes(coordAttrs.getOrElse(v._1, Nil))).sum
     size += dataVars.map(v =>
       varHeaderSize(v, 3 + extras.length) + packAttrBytes).sum
 
@@ -314,9 +324,10 @@ object NetcdfStore {
       putName(name)
       out.putInt(dimIds.length)
       dimIds.foreach(out.putInt)
-      if (name == "time" && timeAttrs.nonEmpty) {
-        out.putInt(0x0C).putInt(timeAttrs.length)
-        timeAttrs.foreach { case (an, av) =>
+      val cAttrs = coordAttrs.getOrElse(name, Nil)
+      if (cAttrs.nonEmpty) {
+        out.putInt(0x0C).putInt(cAttrs.length)
+        cAttrs.foreach { case (an, av) =>
           val u = nameBytes(av)
           putName(an)
           out.putInt(2).putInt(u.length) // NC_CHAR
@@ -409,7 +420,7 @@ object NetcdfStore {
       catch { case scala.util.control.NonFatal(_) => None }
     val cal = try ops.textAttrs("time").get("calendar")
       catch { case scala.util.control.NonFatal(_) => None }
-    val vars = ops.variableNames
+    val vars = StoreOps.servableVariables(ops)
     val extras = vars.headOption
       .map(v => StoreOps.extraDimsOf(ops, v)).getOrElse(Nil)
     CubeFrame(df, grid, vars, timeAxis, cal, Some(path),

@@ -32,6 +32,24 @@ private[sources] object StoreOps {
       if (Hdf5.isHdf5(path)) Hdf5Ops(path) else NetcdfOps(path)
     } else ZarrOps(path)
 
+  /** The servable variable subset: one relation carries ONE dim
+    * signature, but real stores mix ranks (a 3-D `sst` next to a 4-D
+    * `temp` column variable is normal xarray output). Serve the
+    * largest same-shape group — ties break to the group holding the
+    * first-sorted variable — and leave the rest unregistered, like the
+    * pre-extra-dims behavior served 3-D variables and silently ignored
+    * higher ranks. Failing the whole open on a mixed store would
+    * regress every store that used to work. */
+  def servableVariables(ops: StoreOps): Seq[String] = {
+    val all = ops.variableNames
+    if (all.lengthCompare(1) <= 0) all
+    else {
+      val groups = all.groupBy(v => ops.arrayMeta(v).shape).values.toSeq
+      groups.maxBy(g => (g.size, g.contains(all.head),
+        -all.indexOf(g.min)))
+    }
+  }
+
   /** Names + axis lengths of a rank≥3 variable's EXTRA non-spatial
     * dims (the axes between time and the spatial pair — the
     * `time × depth × y × x` case the reference serves with per-request

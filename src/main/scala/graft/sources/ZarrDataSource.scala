@@ -58,18 +58,14 @@ object ZarrDataSource {
 
   def schemaFor(path: String): StructType = {
     val ops = StoreOps.forPath(path)
-    val vars = ops.variableNames
     // extra non-spatial dims (time × depth × y × x …): one DOUBLE
-    // coordinate-value column per axis, between time and y_idx. All
-    // variables must agree on them — a store mixing ranks would
-    // mis-declare half its columns, so fail loudly instead.
+    // coordinate-value column per axis, between time and y_idx. The
+    // relation serves the store's largest same-shape variable group
+    // (a mixed-rank store registers its majority signature; the rest
+    // stay unserved, as pre-extra-dims code silently ignored rank-4).
+    val vars = StoreOps.servableVariables(ops)
     val extras = vars.headOption
       .map(v => StoreOps.extraDimNames(ops, v)).getOrElse(Nil)
-    vars.drop(1).foreach { v =>
-      val e = StoreOps.extraDimNames(ops, v)
-      require(e == extras,
-        s"variable $v extra dims $e differ from ${vars.head}'s $extras")
-    }
     StructType(Seq(
       StructField("time", TimestampType, nullable = false)) ++
       extras.map(d => StructField(d, DoubleType, nullable = false)) ++
@@ -244,7 +240,7 @@ class ZarrScan(path: String, tableSchema: StructType,
   }
 
   private lazy val ops = StoreOps.forPath(path)
-  private lazy val vars = ops.variableNames
+  private lazy val vars = StoreOps.servableVariables(ops)
   private lazy val projectedVars =
     vars.filter(required.fieldNames.contains)
   /** chunk geometry comes from the first data array; all arrays must

@@ -884,7 +884,7 @@ object ZarrStore {
       catch { case scala.util.control.NonFatal(_) => None }
     val cal = try ZarrOps(path).textAttrs("time").get("calendar")
       catch { case scala.util.control.NonFatal(_) => None }
-    val vars = variableNames(path)
+    val vars = StoreOps.servableVariables(ZarrOps(path))
     // extra non-spatial axes (depth, …) from the first variable's rank
     val extras = vars.headOption
       .map(v => StoreOps.extraDimsOf(ZarrOps(path), v)).getOrElse(Nil)

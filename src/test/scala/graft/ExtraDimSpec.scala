@@ -26,8 +26,10 @@ class ExtraDimSpec extends SparkSpec {
 
   /** Write a zarr v2 (time, depth, lat, lon) store by hand: raw
     * (uncompressed) chunks, `_ARRAY_DIMENSIONS` on the data variable —
-    * the layout xarray's to_zarr produces for a 4-D ocean cube. */
-  private def writeFixture(): String = {
+    * the layout xarray's to_zarr produces for a 4-D ocean cube.
+    * `mixed = true` adds a second 4-D variable and a 3-D `sst`
+    * (real-world ocean stores mix surface and column variables). */
+  private def writeFixture(mixed: Boolean = false): String = {
     val dir = Files.createTempDirectory("graft-4d").resolve("c.zarr")
     Files.createDirectories(dir)
     Files.writeString(dir.resolve(".zgroup"), """{"zarr_format": 2}""")
@@ -62,19 +64,36 @@ class ExtraDimSpec extends SparkSpec {
     d1("depth", depths, Some("""{"units": "m"}"""))
     d1("lat", Array.tabulate(nH)(y => 40.05 + 0.1 * y))
     d1("lon", Array.tabulate(nW)(x => 0.05 + 0.1 * x))
-    // v0: rank 4, chunks (1, 2, 4, 5) — depth chunks SPLIT the axis
+    // v0 (+ v1 when mixed): rank 4, chunks (1, 2, 4, 5) — depth chunks
+    // SPLIT the axis
     val chunks = Seq(1, 2, 4, 5)
-    val vDir = arr("v0", Seq(nT, nD, nH, nW), chunks, "<f8", Some(
-      """{"_ARRAY_DIMENSIONS": ["time", "depth", "lat", "lon"]}"""))
-    for (tc <- 0 until 2; dc <- 0 until 2; yc <- 0 until 2; xc <- 0 until 2) {
-      val b = ByteBuffer.allocate(chunks.product * 8)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      for (t <- 0 until 1; d <- 0 until 2; y <- 0 until 4; x <- 0 until 5) {
-        val (gt, gd, gy, gx) = (tc + t, dc * 2 + d, yc * 4 + y, xc * 5 + x)
-        b.putDouble(
-          if (gd < nD) cell(gt, gd, gy, gx) else Double.NaN)
+    def write4d(name: String, offset: Double): Unit = {
+      val vDir = arr(name, Seq(nT, nD, nH, nW), chunks, "<f8", Some(
+        """{"_ARRAY_DIMENSIONS": ["time", "depth", "lat", "lon"]}"""))
+      for (tc <- 0 until 2; dc <- 0 until 2; yc <- 0 until 2;
+           xc <- 0 until 2) {
+        val b = ByteBuffer.allocate(chunks.product * 8)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        for (t <- 0 until 1; d <- 0 until 2; y <- 0 until 4; x <- 0 until 5) {
+          val (gt, gd, gy, gx) = (tc + t, dc * 2 + d, yc * 4 + y, xc * 5 + x)
+          b.putDouble(
+            if (gd < nD) cell(gt, gd, gy, gx) + offset else Double.NaN)
+        }
+        Files.write(vDir.resolve(s"$tc.$dc.$yc.$xc"), b.array())
       }
-      Files.write(vDir.resolve(s"$tc.$dc.$yc.$xc"), b.array())
+    }
+    write4d("v0", 0.0)
+    if (mixed) {
+      write4d("v1", 100000.0)
+      // a rank-3 surface variable next to the column variables
+      val sDir = arr("sst", Seq(nT, nH, nW), Seq(1, 4, 5), "<f8", Some(
+        """{"_ARRAY_DIMENSIONS": ["time", "lat", "lon"]}"""))
+      for (tc <- 0 until 2; yc <- 0 until 2; xc <- 0 until 2) {
+        val b = ByteBuffer.allocate(20 * 8).order(ByteOrder.LITTLE_ENDIAN)
+        for (y <- 0 until 4; x <- 0 until 5)
+          b.putDouble(cell(tc, 0, yc * 4 + y, xc * 5 + x) - 7.0)
+        Files.write(sDir.resolve(s"$tc.$yc.$xc"), b.array())
+      }
     }
     dir.toString
   }
@@ -211,6 +230,79 @@ class ExtraDimSpec extends SparkSpec {
     assert(got.head == 2000.0 + 5.5)
   }
 
+  test("mixed-rank stores serve the majority shape group, never fail " +
+      "to open") {
+    val store = writeFixture(mixed = true)
+    val cube = CubeIngest.open(spark, store)
+    // two 4-D variables outvote the 3-D sst: the column group serves,
+    // sst stays unregistered (one relation carries one dim signature)
+    assert(cube.variables == Seq("v0", "v1"))
+    assert(cube.extraDims.map(_.name) == Seq("depth"))
+    assert(!cube.df.columns.contains("sst"))
+    assert(cube.df.count() == nT.toLong * nD * nH * nW)
+    val r = cube.df.filter(col("y_idx") === 1 && col("x_idx") === 2 &&
+        col("depth") === 10.0)
+      .orderBy("time").select("v0", "v1").collect()
+    assert(r.map(_.getDouble(0)).toSeq ==
+      Seq(cell(0, 1, 1, 2), cell(1, 1, 1, 2)))
+    assert(r.map(_.getDouble(1)).toSeq ==
+      Seq(cell(0, 1, 1, 2) + 100000.0, cell(1, 1, 1, 2) + 100000.0))
+  }
+
+  test("rolling mean and merge_cubes keep depth planes separate") {
+    val store = writeFixture()
+    val cube = CubeIngest.open(spark, store)
+    // trailing-2 rolling mean must window WITHIN a plane — interleaving
+    // the water column's rows for a pixel silently averages depths
+    val r = graft.operators.Resample.rollingMean(cube, 2, minPeriods = 1)
+    assert(r.extraDims == cube.extraDims)
+    val got = r.df.filter(col("y_idx") === 2 && col("x_idx") === 3 &&
+        col("depth") === 50.0)
+      .orderBy("time").select("v0").collect().map(_.getDouble(0))
+    assert(got.length == nT)
+    assert(got(0) == cell(0, 2, 2, 3))
+    assert(got(1) == (cell(0, 2, 2, 3) + cell(1, 2, 2, 3)) / 2)
+    // merge_cubes joins ON the extra dims: no plane cross-product
+    val ctx = new ServiceContext(spark)
+    ctx.register(RegisteredDataset("a", "A", cube, None))
+    ctx.register(RegisteredDataset("b", "B",
+      cube.copy(df = cube.df.withColumnRenamed("v0", "w0"),
+        variables = Seq("w0")), None))
+    ctx.registerComputed("m", "M", "merge_cubes", Seq("a", "b"), Map.empty)
+    val m = ctx.dataset("m").get.cube
+    assert(m.extraDims == cube.extraDims)
+    assert(m.df.count() == nT.toLong * nD * nH * nW)
+    val row = m.df.filter(col("y_idx") === 0 && col("x_idx") === 0 &&
+      col("depth") === 10.0).orderBy("time").select("v0", "w0").head()
+    assert(row.getDouble(0) == row.getDouble(1))
+  }
+
+  test("bulk pre-render selects one plane (default first, explicit " +
+      "selection byte-identical to the per-request path)") {
+    val store = writeFixture()
+    val cube = CubeIngest.open(spark, store)
+    val t = cube.timeAxis.get.last
+    val m = graft.render.Render.ColorMapping(0.0, 13000.0,
+      graft.render.ColorMaps.paletteOrDefault("viridis"))
+    def perRequest(depth: Double): Array[Byte] =
+      graft.render.Render.renderTile(
+        cube.copy(df = cube.df.filter(col("depth") === depth)),
+        "v0", t, 0, 0, 16, 16, m, flipY = cube.grid.latAscending)
+    val defaultTile = graft.render.TileMaterialize
+      .renderLevel(cube, "v0", t, 16, 16, m,
+        flipY = cube.grid.latAscending)
+      .collect().head._3
+    assert(defaultTile.sameElements(perRequest(depths.head)),
+      "default pre-render = first coordinate plane")
+    val deep = graft.render.TileMaterialize
+      .renderLevel(cube, "v0", t, 16, 16, m,
+        flipY = cube.grid.latAscending,
+        extraSel = Seq("depth" -> 50.0))
+      .collect().head._3
+    assert(deep.sameElements(perRequest(50.0)))
+    assert(!deep.sameElements(defaultTile))
+  }
+
   test("4-D NetCDF classic round-trips: writer, header dims, linearized " +
       "slab reads, direct window") {
     val store = writeFixture()
@@ -219,8 +311,9 @@ class ExtraDimSpec extends SparkSpec {
     val nc = s"$dir/c.nc"
     graft.sources.NetcdfStore.writeNetcdf(cube, nc)
     val back = CubeIngest.open(spark, nc)
-    assert(back.extraDims.map(d => (d.name, d.values)) ==
-      Seq(("depth", depths.toSeq)))
+    // units survive too: the writer emits a char `units` attribute on
+    // every extra coordinate variable
+    assert(back.extraDims == Seq(ExtraDim("depth", depths.toSeq, "m")))
     assert(back.df.count() == nT.toLong * nD * nH * nW)
     // every value survives the round trip (exercises the rank-4 header
     // and NetcdfOps' linearized chunk-slab offsets)
