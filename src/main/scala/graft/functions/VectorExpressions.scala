@@ -130,7 +130,79 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Squared-L2 distance of an array<float> column to EVERY row of a
+  * small broadcast centroid matrix, in one codegen pass: the
+  * assignment kernel of distributed Lloyd's k-means (centroids are
+  * driver state, the data never shuffles for assignment — MLlib's own
+  * shape). Arithmetic is float-upcast subtract + in-order double
+  * accumulation per centroid, bit-identical to the sequential SQL fold
+  * `Σ (CAST(e[i] AS DOUBLE) - c[i])²` the DuckDB oracle runs. */
+case class SqDistToCentroids(child: Expression, centroids: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq_dist_to_centroids"
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Double](cents.length)
+    var k = 0
+    while (k < cents.length) {
+      val c = cents(k)
+      val n = math.min(v.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = v.getFloat(i).toDouble - c(i)
+        acc += d * d
+        i += 1
+      }
+      out(k) = acc
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cRef = ctx.addReferenceObj("centroids", cents, "double[][]")
+      val out = ctx.freshName("out")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |double[] $out = new double[$cRef.length];
+         |for (int $k = 0; $k < $cRef.length; $k++) {
+         |  int $n = java.lang.Math.min($v.numElements(), $cRef[$k].length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double)$v.getFloat($i) - $cRef[$k][$i];
+         |    $acc += $d * $d;
+         |  }
+         |  $out[$k] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util
+         |  .GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VecF {
+  /** per-centroid squared distances of an array<float> column. */
+  def sqDistToCentroids(v: Column, cents: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(SqDistToCentroids(
+      GraftColumnBridge.expression(v), cents))
+
   /** dot(a, b) over array<float> columns, as a Column. */
   def dotF(a: Column, b: Column): Column =
     GraftColumnBridge.column(FloatVectorDot(

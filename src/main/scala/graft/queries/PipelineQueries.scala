@@ -1233,7 +1233,102 @@ object PipelineQueries {
         / COUNT(*), 6) AS kept_frac
     FROM ranked GROUP BY doc_id ORDER BY doc_id"""
 
+  // ------------------------------------------------------------ k-means
+  /** Distributed embedding k-means (Lloyd's, k = 8, two iterations) —
+    * the clustering pass curation pipelines run before per-cluster
+    * dedup/sampling (SemDeDup clusters with k-means first;
+    * cluster-balanced mixing needs the assignments). Spark shape is
+    * MLlib's own: centroids are DRIVER state (k × dim doubles),
+    * assignment is one codegen pass per row against the broadcast
+    * matrix ([[graft.functions.SqDistToCentroids]] — the data never
+    * shuffles to be assigned), and the update is a map-side-combinable
+    * groupBy over (cluster, dimension) with exact-decimal means so the
+    * refit centroids are order-independent and the DuckDB replay lands
+    * on identical doubles. Deterministic init: the k lowest vec_ids
+    * (seeding strategy is orthogonal to the distributed shape); empty
+    * clusters keep their previous centroid. */
+  def embKmeans(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val emb = Tables.embeddings(s, d)
+    val cents0: Seq[Seq[Double]] = emb.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val dim = cents0.head.length
+    def assigned(cents: Seq[Seq[Double]]): DataFrame =
+      emb.withColumn("dists",
+          graft.functions.VecF.sqDistToCentroids(col("embedding"), cents))
+        // argmin with first-occurrence (= lowest cluster id) tie-break
+        .withColumn("dist", expr("array_min(dists)"))
+        .withColumn("cluster",
+          (expr("array_position(dists, array_min(dists))") - 1).cast("int"))
+    // iteration 1: assign against the init centroids, then refit —
+    // exact DECIMAL(38,6) per-dimension means (order-independent)
+    val refit = assigned(cents0)
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("cluster", "i")
+      .agg(Q.davg(col("v").cast("double")).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val cents1: Seq[Seq[Double]] = (0 until k).map(c =>
+      if (refit.contains((c, 0))) (0 until dim).map(i => refit((c, i)))
+      else cents0(c))
+    // iteration 2: final assignment against the refit centroids
+    assigned(cents1)
+      .select(col("vec_id"), col("cluster"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy("vec_id")
+  }
+
+  val embKmeansSql: String = {
+    // squared-L2 as the same sequential fold the codegen kernel runs
+    def sqDist(e: String, c: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | [(CAST($e[CAST(i AS INT)] AS DOUBLE) - $c[CAST(i AS INT)]) *
+         |  (CAST($e[CAST(i AS INT)] AS DOUBLE) - $c[CAST(i AS INT)])
+         |  FOR i IN range(1, len($e) + 1)]),
+         | (x, y) -> x + y)""".stripMargin
+    s"""
+    WITH c0 AS (
+      SELECT vec_id AS cid,
+             [CAST(x AS DOUBLE) FOR x IN embedding] AS cvec
+      FROM embeddings WHERE vec_id < 8),
+    d1 AS (
+      SELECT e.vec_id, c0.cid, ${sqDist("e.embedding", "c0.cvec")} AS dist
+      FROM embeddings e CROSS JOIN c0),
+    a1 AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+      WHERE rn = 1),
+    x1 AS (
+      SELECT a1.cluster,
+             unnest(range(1, len(e.embedding) + 1)) AS i,
+             unnest([CAST(x AS DOUBLE) FOR x IN e.embedding]) AS v
+      FROM embeddings e JOIN a1 USING (vec_id)),
+    m1 AS (
+      SELECT cluster, i, ${Sql.davg("v")} AS c
+      FROM x1 GROUP BY cluster, i),
+    c1 AS (
+      SELECT cluster AS cid, list(c ORDER BY i) AS cvec
+      FROM m1 GROUP BY cluster),
+    cf AS (
+      SELECT cid, cvec FROM c1
+      UNION ALL
+      SELECT cid, cvec FROM c0
+      WHERE cid NOT IN (SELECT cid FROM c1)),
+    d2 AS (
+      SELECT e.vec_id, cf.cid, ${sqDist("e.embedding", "cf.cvec")} AS dist
+      FROM embeddings e CROSS JOIN cf)
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           ROUND(dist, 6) AS dist
+    FROM (
+      SELECT vec_id, cid AS cluster, dist, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+    WHERE rn = 1 ORDER BY vec_id"""
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("emb_kmeans", embKmeans, Some(embKmeansSql)),
     QuerySpec("text_tfidf_top", textTfidfTop, Some(textTfidfTopSql)),
     QuerySpec("text_chunk_windows", textChunkWindows,
       Some(textChunkWindowsSql)),

@@ -212,6 +212,20 @@ class ScaleSpec extends SparkSpec {
     assert(ds.timeCoords == ds.cube.timeAxis.get)
   }
 
+  test("emb_kmeans assigns via the codegen broadcast-centroid kernel") {
+    val q = graft.queries.PipelineQueries.embKmeans(
+      spark, "/root/testdata/sf0.001")
+    q.collect() // finalize THIS frame's adaptive plan (a sink executes
+    // a copy, leaving q.queryExecution un-finalized)
+    val plan = q.queryExecution.executedPlan.toString
+    // the assignment distance kernel is a codegen expression inside a
+    // whole-stage span — the data is never shuffled to be assigned
+    // (centroids broadcast as driver state, MLlib's Lloyd's shape)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("sq_dist_to_centroids") && l.contains("*(")),
+      plan.take(1200))
+  }
+
   test("dedup_paragraph shuffles 128-bit hashes, never paragraph text") {
     // AQE wraps exchanges in query stages — plan statically (planning
     // reads the flag lazily, so force the plan inside the try) for the
