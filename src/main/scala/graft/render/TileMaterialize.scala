@@ -41,6 +41,14 @@ object TileMaterialize {
     require(sel.map(_._1) == cube.extraDims.map(_.name),
       s"extra-dim selection ${sel.map(_._1)} must name the cube's dims " +
         s"${cube.extraDims.map(_.name)} in order")
+    // values must sit ON the axis: an off-axis value would match no
+    // rows and the bulk job would "succeed" writing zero tiles (the
+    // per-request path nearest-snaps; a batch job misconfiguration
+    // should fail loudly instead)
+    sel.zip(cube.extraDims).foreach { case ((n, v), ed) =>
+      require(ed.values.contains(v),
+        s"$n=$v is not on the axis ${ed.values.mkString("[", ", ", "]")}")
+    }
     val ntx = (cube.grid.width + tileW - 1) / tileW
     val nty = (cube.grid.height + tileH - 1) / tileH
     // the colormap kernel runs MAP-SIDE as a codegen expression

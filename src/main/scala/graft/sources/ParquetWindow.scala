@@ -80,6 +80,31 @@ private[graft] object ParquetWindow {
 
   private val storeMetas = TrieMap.empty[String, Option[StoreMeta]]
 
+  // sidecar extraDims parsed INDEPENDENTLY of StoreMeta validity: the
+  // 4-D refusal guard must hold even for stores whose layout/tileSize
+  // fails the StoreMeta parse (else an extra=Nil read on a degenerate
+  // 4-D sidecar would silently overlay every plane)
+  private val sidecarExtras =
+    TrieMap.empty[String, Seq[(String, Seq[Double])]]
+
+  private def parseExtraDims(n: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[(String, Seq[Double])] =
+    Option(n.get("extraDims")).map(e =>
+      (0 until e.size()).map { i =>
+        val d = e.get(i)
+        d.get("name").asText() ->
+          (0 until d.get("values").size())
+            .map(d.get("values").get(_).asDouble()).toSeq
+      }.toSeq).getOrElse(Nil)
+
+  private def extrasOf(path: String): Seq[(String, Seq[Double])] =
+    sidecarExtras.getOrElseUpdate(path,
+      BlobStore.forStore(path).read("_graft_meta.json").map { b =>
+        try parseExtraDims(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      }.getOrElse(Nil))
+
 
   private def storeMeta(path: String): Option[StoreMeta] =
     storeMetas.getOrElseUpdate(path,
@@ -90,13 +115,7 @@ private[graft] object ParquetWindow {
           val layout = Option(n.get("layout")).map(_.asInt).getOrElse(1)
           val ts = Option(n.get("tileSize")).map(_.asInt).getOrElse(0)
           val g = n.get("grid")
-          val extras = Option(n.get("extraDims")).map(e =>
-            (0 until e.size()).map { i =>
-              val d = e.get(i)
-              d.get("name").asText() ->
-                (0 until d.get("values").size())
-                  .map(d.get("values").get(_).asDouble()).toSeq
-            }.toSeq).getOrElse(Nil)
+          val extras = parseExtraDims(n)
           if (layout < 2 || ts <= 0 || g == null) None
           else {
             val w = g.get("width").asInt()
@@ -162,6 +181,7 @@ private[graft] object ParquetWindow {
     fileLists.keys.filter(hit).foreach(fileLists.remove)
     metas.keys.filter(hit).foreach(metas.remove)
     storeMetas.keys.filter(hit).foreach(storeMetas.remove)
+    sidecarExtras.keys.filter(hit).foreach(sidecarExtras.remove)
     offsetIndexes.keys.filter(k => hit(k._1)).foreach(offsetIndexes.remove)
     dropReaders(hit)
   }
@@ -171,6 +191,7 @@ private[graft] object ParquetWindow {
 
   private[graft] def clear(): Unit = {
     confs.clear(); fileLists.clear(); metas.clear(); storeMetas.clear()
+    sidecarExtras.clear()
     offsetIndexes.clear()
     dropReaders(_ => true)
   }
@@ -269,10 +290,14 @@ private[graft] object ParquetWindow {
                  extra: Seq[(String, Double)] = Nil)
       : Option[Array[Double]] = {
     // the request must name exactly the dims the store was ingested
-    // with (same order): anything else would silently overlay planes
-    val metaExtras = storeMeta(path).map(_.extraDims.map(_._1))
-      .getOrElse(Seq.empty)
-    if (metaExtras != extra.map(_._1)) return None
+    // with (same order) AND values that exist on their axes: anything
+    // else refuses (None → Spark path) — a mismatched request must
+    // never overlay planes, and an off-axis value must not serve a
+    // silently-blank Some (the chunked-store path refuses likewise)
+    val declared = extrasOf(path)
+    if (declared.map(_._1) != extra.map(_._1)) return None
+    if (declared.zip(extra).exists { case ((_, values), (_, v)) =>
+        !values.contains(v) }) return None
     val date = java.time.LocalDate.ofEpochDay(Math.floorDiv(timeUs, DayUs))
     val dateDir = s"$path/p_date=$date"
     val conf = hadoopConf(path)

@@ -44,7 +44,16 @@ private[sources] object StoreOps {
     val all = ops.variableNames
     if (all.lengthCompare(1) <= 0) all
     else {
-      val groups = all.groupBy(v => ops.arrayMeta(v).shape).values.toSeq
+      // group by shape AND resolved extra-dim names: two equal-shape
+      // variables on DIFFERENT axes (depth[5] vs sigma[5]) must not
+      // share a relation — the schema would label one variable's
+      // planes with the other's coordinates and every indexer on it
+      // would silently select the wrong physical plane
+      def dimsKey(v: String): Option[Seq[String]] =
+        try Some(extraDimNames(ops, v))
+        catch { case scala.util.control.NonFatal(_) => None }
+      val groups = all.groupBy(v => (ops.arrayMeta(v).shape, dimsKey(v)))
+        .values.toSeq
       groups.maxBy(g => (g.size, g.contains(all.head),
         -all.indexOf(g.min)))
     }

@@ -84,6 +84,20 @@ class ExtraDimSpec extends SparkSpec {
     }
     write4d("v0", 0.0)
     if (mixed) {
+      // same SHAPE but a different vertical axis: must not share a
+      // relation with the depth variables
+      d1("sigma", Array(0.1, 0.5, 0.9))
+      val wDir = arr("w0", Seq(nT, nD, nH, nW), chunks, "<f8", Some(
+        """{"_ARRAY_DIMENSIONS": ["time", "sigma", "lat", "lon"]}"""))
+      for (tc <- 0 until 2; dc <- 0 until 2; yc <- 0 until 2;
+           xc <- 0 until 2) {
+        val b = ByteBuffer.allocate(chunks.product * 8)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        (0 until chunks.product).foreach(_ => b.putDouble(1.0))
+        Files.write(wDir.resolve(s"$tc.$dc.$yc.$xc"), b.array())
+      }
+    }
+    if (mixed) {
       write4d("v1", 100000.0)
       // a rank-3 surface variable next to the column variables
       val sDir = arr("sst", Seq(nT, nH, nW), Seq(1, 4, 5), "<f8", Some(
@@ -234,11 +248,14 @@ class ExtraDimSpec extends SparkSpec {
       "to open") {
     val store = writeFixture(mixed = true)
     val cube = CubeIngest.open(spark, store)
-    // two 4-D variables outvote the 3-D sst: the column group serves,
-    // sst stays unregistered (one relation carries one dim signature)
+    // the two DEPTH variables outvote the 3-D sst AND the equal-shape
+    // sigma-axis w0: one relation carries one dim signature, and a
+    // same-length different-axis variable must NOT be labeled with
+    // depth coordinates (its indexers would select wrong planes)
     assert(cube.variables == Seq("v0", "v1"))
     assert(cube.extraDims.map(_.name) == Seq("depth"))
     assert(!cube.df.columns.contains("sst"))
+    assert(!cube.df.columns.contains("w0"))
     assert(cube.df.count() == nT.toLong * nD * nH * nW)
     val r = cube.df.filter(col("y_idx") === 1 && col("x_idx") === 2 &&
         col("depth") === 10.0)
@@ -301,6 +318,11 @@ class ExtraDimSpec extends SparkSpec {
       .collect().head._3
     assert(deep.sameElements(perRequest(50.0)))
     assert(!deep.sameElements(defaultTile))
+    // off-axis selection fails LOUDLY — a bulk job writing zero tiles
+    // "successfully" is a misconfiguration, not a result
+    intercept[IllegalArgumentException](graft.render.TileMaterialize
+      .renderLevel(cube, "v0", t, 16, 16, m,
+        extraSel = Seq("depth" -> 37.5)))
   }
 
   test("4-D NetCDF classic round-trips: writer, header dims, linearized " +
@@ -354,6 +376,11 @@ class ExtraDimSpec extends SparkSpec {
     assert(graft.sources.ParquetWindow
       .readWindow(s"$dir/c", "v0", us, 0, 0, nH, nW,
         extra = Seq(("bogus", 0.0))).isEmpty)
+    // an OFF-AXIS value refuses too (None → Spark path), like the
+    // chunked-store reader — never a silently-blank Some
+    assert(graft.sources.ParquetWindow
+      .readWindow(s"$dir/c", "v0", us, 0, 0, nH, nW,
+        extra = Seq(("depth", 999.0))).isEmpty)
     // per-plane direct reads: values exact for every depth, no Spark
     // job on the serving path
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
