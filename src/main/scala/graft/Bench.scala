@@ -40,11 +40,14 @@ object Bench {
     val os = ManagementFactory.getOperatingSystemMXBean
     def loadAvg: Double = os.getSystemLoadAverage
 
+    // pre-existing load is sampled BEFORE the warm-up: the warm-up
+    // itself runs on all cores and pushes the 1-min average past the
+    // flag threshold even on an idle host (observed 1.3 → 2.0)
+    val loadStart = loadAvg
+
     // session warm-up (JVM/codegen/FS metadata), not counted per-query
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables.table(spark, sfDir, n).schema)
-
-    val loadStart = loadAvg
     val results = SparkEntry.specs.filter(_.bench).map { q =>
       val times = (1 to runs).flatMap { _ =>
         // drop persisted intermediates from prior runs and let the

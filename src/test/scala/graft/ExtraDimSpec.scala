@@ -325,6 +325,51 @@ class ExtraDimSpec extends SparkSpec {
         extraSel = Seq("depth" -> 37.5)))
   }
 
+  test("materialized 4-D pyramid serves per-depth tiles over HTTP " +
+      "through the direct path, zero Spark jobs per tile") {
+    val store = writeFixture()
+    val cube = CubeIngest.open(spark, store)
+    val dir = Files.createTempDirectory("graft-4dlv").toString
+    CubeIngest.writeLevels(cube, s"$dir/c.levels", tileSize = 8)
+    val levels = CubeIngest.openLevels(spark, s"$dir/c.levels")
+    assert(levels.nonEmpty &&
+      levels.forall(_.extraDims == cube.extraDims))
+    val ctx = new ServiceContext(spark)
+    ctx.register(RegisteredDataset("pyr", "Pyr", cube, None,
+      levels = levels))
+    val srv = new GraftServer(ctx).start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def getOk(p: String): Array[Byte] = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(srv.address + p)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+        assert(r.statusCode() == 200, p); r.body()
+      }
+      val fine = ctx.dataset("pyr").get.tileGrid.numLevels - 1
+      val base = s"/datasets/pyr/vars/v0/tiles/$fine/0/0.png" +
+        "?vmin=0&vmax=13000"
+      // warm once (footer caches), then count jobs over per-plane tiles
+      getOk(base)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val (d0, d50) = try {
+        val a = getOk(base + "&depth=0")
+        val b = getOk(base + "&depth=50")
+        Thread.sleep(300)
+        (a, b)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(jobs.get() == 0,
+        s"4-D pyramid tiles scheduled ${jobs.get()} Spark job(s)")
+      assert(!d0.sameElements(d50), "planes must render distinct tiles")
+    } finally srv.stop()
+  }
+
   test("4-D NetCDF classic round-trips: writer, header dims, linearized " +
       "slab reads, direct window") {
     val store = writeFixture()
