@@ -1388,12 +1388,31 @@ object Hdf5 {
       (t.getTime * 1000L + (t.getNanos / 1000) % 1000).toDouble)
     val latArr = (0 until nh).map(g.latOfY).toArray
     val lonArr = (0 until nw).map(g.lonOfX).toArray
+    // extra non-spatial dims (time × depth × lat × lon): supported for
+    // the DEFAULT btree1 chunk index only — the v4 index writers carry
+    // per-type geometry math that stays rank-3 (a loud refusal, never
+    // a corrupt file)
+    val extras = cube.extraDims
+    require(extras.isEmpty || indexType == "btree1",
+      s"writeHdf5 extra dims require indexType btree1, got $indexType")
+    val extraLens = extras.map(_.values.length)
+    val ne = extraLens.map(_.toLong).product
+    val eIdx: Seq[Map[Double, Int]] =
+      extras.map(_.values.zipWithIndex.toMap)
+    val cellCount = nt.toLong * ne * nh * nw
+    require(cellCount <= Int.MaxValue / 8,
+      s"writeHdf5 builds in memory; $cellCount cells too large")
     val varData: Map[String, Array[Double]] = cube.variables.map { v =>
-      val arr = Array.fill(nt * nh * nw)(Double.NaN)
-      cube.df.select(col("time"), col("y_idx"), col("x_idx"),
-          col(v).cast("double")).collect().foreach { r =>
+      val arr = Array.fill(cellCount.toInt)(Double.NaN)
+      val extraCols = extras.map(ed => col(ed.name))
+      cube.df.select(Seq(col("time"), col("y_idx"), col("x_idx"),
+          col(v).cast("double")) ++ extraCols: _*).collect().foreach { r =>
         val t = tIdx(r.getTimestamp(0))
-        arr((t * nh + r.getInt(1)) * nw + r.getInt(2)) =
+        var lead = t.toLong
+        extras.indices.foreach { k =>
+          lead = lead * extraLens(k) + eIdx(k)(r.getDouble(4 + k))
+        }
+        arr(((lead * nh + r.getInt(1)) * nw + r.getInt(2)).toInt) =
           if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
       }
       v -> arr
@@ -1402,7 +1421,8 @@ object Hdf5 {
     // symbol tables are sorted by name — a B-tree format invariant:
     // external readers do binary search over SNOD entries, so an
     // unsorted table reads as silently missing variables
-    val names = (cube.variables ++ Seq("lat", "lon", "time")).sorted
+    val names = (cube.variables ++ Seq("lat", "lon", "time") ++
+      extras.map(_.name)).sorted
     require(names.distinct == names, "dataset names must be unique")
     // K and the SNOD symbol count are u16 fields; past this they would
     // wrap silently into a structurally corrupt file
@@ -1629,6 +1649,8 @@ object Hdf5 {
     writeCoord("time", timeVals,
       timeUnits.map("units" -> _).toSeq ++ timeCalendar.map("calendar" -> _),
       vlenAttrs = vlenTimeAttrs)
+    extras.foreach(ed => writeCoord(ed.name, ed.values.toArray,
+      if (ed.units.nonEmpty) Seq("units" -> ed.units) else Nil))
 
     // ---- chunked data variables, indexed per `indexType`
     val (ctd, cyd, cxd) = indexType match {
@@ -1642,7 +1664,7 @@ object Hdf5 {
     cube.variables.foreach { v =>
       announce(v)
       val layoutBody = indexType match {
-        case "btree1" => 27
+        case "btree1" => 27 + 4 * extras.length // one u32 dim per extra
         case "single" => 58
         case "implicit" => 46
         case "fixedarray" | "fixedarray-paged" => 47
@@ -1687,10 +1709,13 @@ object Hdf5 {
       }.sum
       val attrBytes = if (cfAttrs.isDefined) 2 * 72 else 0
       val nmsgs = (if (filtered) 5 else 4) + (if (cfAttrs.isDefined) 2 else 0)
-      val total = 40 + 32 + 24 + (if (filtered) 8 + pad8(filterBody) else 0) +
+      // dataspace message grows 8 bytes per extra dim
+      val spaceBytes = 8 + pad8(8 + (3 + extras.length) * 8)
+      val total = spaceBytes + 32 + 24 +
+        (if (filtered) 8 + pad8(filterBody) else 0) +
         8 + pad8(layoutBody) + attrBytes
       w.u8(1); w.u8(0); w.u16(nmsgs); w.u32(1); w.u32(total.toLong); w.zeros(4)
-      spaceMsg(Seq(nt, nh, nw))
+      spaceMsg(Seq(nt) ++ extraLens ++ Seq(nh, nw))
       dtypeF64Msg()
       fillMsg()
       cfAttrs.foreach { case (scale, offv) =>
@@ -1716,9 +1741,12 @@ object Hdf5 {
       msg(0x08, layoutBody) {
         indexType match {
           case "btree1" =>
-            w.u8(3); w.u8(2); w.u8(4) // layout v3, chunked, rank+1 dims
+            // layout v3, chunked, rank+1 dims (extras chunk at 1: one
+            // B-tree entry per (time, plane, tile) like the zarr layout)
+            w.u8(3); w.u8(2); w.u8(4 + extras.length)
             idxPatch = w.pos; w.u64(0)
-            w.u32(1); w.u32(cyd.toLong); w.u32(cxd.toLong); w.u32(8)
+            w.u32(1); extras.foreach(_ => w.u32(1))
+            w.u32(cyd.toLong); w.u32(cxd.toLong); w.u32(8)
           case _ =>
             w.u8(4); w.u8(2) // layout v4, chunked
             w.u8(if (indexType == "single") 0x02 else 0x00) // filtered-single flag
@@ -1749,23 +1777,45 @@ object Hdf5 {
             idxPatch = w.pos; w.u64(0)
         }
       }
-      // chunks first (row-major chunk order), then the index structure
+      // chunks first (row-major chunk order), then the index structure.
+      // With extra dims the leading loop runs over (time, plane) pairs
+      // (extras chunk at 1), and the chunk key gains one offset per
+      // extra dim; arr is lead-major so the source index just swaps
+      // `t*ctd + tt` for the flattened lead.
       val arr = varData(v)
+      val leadCount = ntc * ne.toInt
       val entries = for {
-        t <- 0 until ntc; yc0 <- 0 until nyc; xc0 <- 0 until nxc
+        lead <- 0 until leadCount; yc0 <- 0 until nyc; xc0 <- 0 until nxc
       } yield {
+        // decompose lead → (time chunk, extra offsets); extras.isEmpty
+        // degenerates to lead == t
+        var rem = lead
+        val eOffs = new Array[Long](extras.length)
+        var k = extras.length - 1
+        while (k >= 0) {
+          eOffs(k) = rem % extraLens(k); rem /= extraLens(k); k -= 1
+        }
+        val t = rem
         val slab = Array.fill(ctd * cyd * cxd)(Double.NaN)
         val tLen = math.min(ctd, nt - t * ctd)
         val yLen = math.min(cyd, nh - yc0 * cyd)
         val xLen = math.min(cxd, nw - xc0 * cxd)
         var tt = 0
         while (tt < tLen) {
+          // flattened lead index into arr: (t*ctd + tt) planes of ne
+          // each, plus this chunk's extra offsets (ne == 1 → identity)
+          var leadIdx = (t * ctd + tt).toLong
+          var k2 = 0
+          while (k2 < extras.length) {
+            leadIdx = leadIdx * extraLens(k2) + eOffs(k2); k2 += 1
+          }
           var y = 0
           while (y < yLen) {
             var x = 0
             while (x < xLen) {
               slab((tt * cyd + y) * cxd + x) =
-                arr(((t * ctd + tt) * nh + yc0 * cyd + y) * nw + xc0 * cxd + x)
+                arr(((leadIdx * nh + yc0 * cyd + y) * nw +
+                  xc0 * cxd + x).toInt)
               x += 1
             }
             y += 1
@@ -1798,12 +1848,14 @@ object Hdf5 {
           }
         val addr = w.pos
         w.bytes(packed)
-        (Seq(t.toLong * ctd, yc0.toLong * cyd, xc0.toLong * cxd, 0L), addr,
+        (Seq(t.toLong * ctd) ++ eOffs ++
+          Seq(yc0.toLong * cyd, xc0.toLong * cxd, 0L), addr,
           packed.length)
       }
       indexType match {
         case "btree1" => writeChunkBtree1(w, entries, idxPatch,
-          Seq(nt.toLong, nh.toLong, nw.toLong, 0L))
+          Seq(nt.toLong) ++ extraLens.map(_.toLong) ++
+            Seq(nh.toLong, nw.toLong, 0L))
         case "single" =>
           w.patch64(idxPatch, entries.head._2)
           w.patch64(fsizePatch, entries.head._3.toLong)

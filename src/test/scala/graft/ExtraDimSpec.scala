@@ -403,6 +403,41 @@ class ExtraDimSpec extends SparkSpec {
       assert(win(y * nW + x) == cell(0, 1, y, x), s"($y,$x)")
   }
 
+  test("4-D NetCDF-4/HDF5 round-trips (btree1 chunk index): rank-4 " +
+      "dataspace, per-plane chunk keys, direct window") {
+    val store = writeFixture()
+    val cube = CubeIngest.open(spark, store)
+    val dir = Files.createTempDirectory("graft-4dh5").toString
+    val nc4 = s"$dir/c.nc" // HDF5 container, dispatched on file magic
+    graft.sources.Hdf5.writeHdf5(cube, nc4, chunkY = 4, chunkX = 5)
+    val back = CubeIngest.open(spark, nc4)
+    assert(back.extraDims == Seq(ExtraDim("depth", depths.toSeq, "m")))
+    assert(back.df.count() == nT.toLong * nD * nH * nW)
+    val rows = back.df.filter(col("y_idx") === 6 && col("x_idx") === 8)
+      .select("time", "depth", "v0").collect()
+    assert(rows.length == nT * nD)
+    rows.foreach { r =>
+      val t = if (r.getTimestamp(0).toInstant.toString.startsWith(
+        "2017-01-01")) 0 else 1
+      val d = depths.indexOf(r.getDouble(1))
+      assert(r.getDouble(2) == cell(t, d, 6, 8))
+    }
+    // direct chunk window per (time, depth) plane — the rank-4 B-tree
+    // chunk keys resolve through the same read path h5py files take
+    val t0 = back.timeAxis.get.last
+    val us = t0.getTime * 1000L + (t0.getNanos / 1000) % 1000
+    val win = graft.sources.DirectWindow
+      .read(nc4, "v0", us, 0, 0, nH, nW,
+        extra = Seq(("depth", depths(2), 2))).get
+    for (y <- 0 until nH; x <- 0 until nW)
+      assert(win(y * nW + x) == cell(1, 2, y, x), s"($y,$x)")
+    // the v4 chunk-index writers stay rank-3: loud refusal, never a
+    // silently corrupt file
+    intercept[IllegalArgumentException](graft.sources.Hdf5.writeHdf5(
+      cube, s"$dir/bad.nc", chunkY = 4, chunkX = 5,
+      indexType = "extarray"))
+  }
+
   test("writeCube/open round-trips a 4-D cube; direct parquet window " +
       "serves per-plane, zero jobs") {
     val store = writeFixture()
