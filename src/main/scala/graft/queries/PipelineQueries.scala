@@ -1327,7 +1327,215 @@ object PipelineQueries {
     WHERE rn = 1 ORDER BY vec_id"""
   }
 
+  // ------------------------------------------------ sequence packing
+  /** Concat-and-chunk packing accounting (the pretraining shape: each
+    * source's documents concatenate into one token stream cut into
+    * fixed 2048-token contexts). One running-sum window per source is
+    * the only shuffle; everything else is integer arithmetic, exact on
+    * any engine. Reports how many contexts each source fills and how
+    * many documents straddle a context boundary — the loss-masking /
+    * attention-fragmentation concern packing introduces. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        sum(expr("CASE WHEN (cum - tok) div 2048 <> (cum - 1) div 2048 " +
+          "THEN 1 ELSE 0 END")).as("n_spanning"))
+      .withColumn("n_bins", expr("(n_tokens + 2047) div 2048"))
+      .select("source", "n_docs", "n_tokens", "n_bins", "n_spanning")
+      .orderBy("source")
+  }
+
+  val packSequencesSql: String = """
+    WITH t AS (SELECT source, doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+    c AS (SELECT source, doc_id, tok,
+        SUM(tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t)
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+      CAST((SUM(tok) + 2047) // 2048 AS BIGINT) AS n_bins,
+      CAST(SUM(CASE WHEN (cum - tok) // 2048 <> (cum - 1) // 2048
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+    FROM c GROUP BY source ORDER BY source"""
+
+  // ------------------------------------------- percentile quality gate
+  /** Corpus-wide p75 quality gate. The score domain is rounded to 1e-6
+    * and bounded in [0, 1], so Spark's exact `percentile` — which
+    * aggregates a value→count map, not raw rows — stays map-side-
+    * combinable with ≤1e6+1 map entries at ANY corpus size; the
+    * threshold then broadcasts as a scalar and the gate is a pure
+    * filter. DuckDB's `quantile_cont` shares the linear-interpolation
+    * definition on identical rounded doubles, so the threshold is
+    * bit-identical cross-engine. */
+  def qualityGateP75(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val stopHits =
+      size(filter(toks, t => t.isInCollection(TextAnalysis.Stopwords)))
+    val score = round(least(lit(1.0), nTok.cast("double") / 100.0) *
+      (lit(1.0) - stopHits.cast("double") / nTok), 6)
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), score.as("q"))
+    val thr = scored.agg(round(expr("percentile(q, 0.75)"), 6).as("p75"))
+    scored.crossJoin(broadcast(thr))
+      .groupBy("lang", "p75")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("q") >= col("p75"), 1L).otherwise(0L)).as("n_kept"))
+      .select("lang", "n_total", "n_kept", "p75")
+      .orderBy("lang")
+  }
+
+  val qualityGateP75Sql: String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""
+    WITH q AS (SELECT doc_id, lang,
+        ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) *
+          (1.0 - CAST(len(list_filter(string_split(text, ' '),
+             x -> x IN ($stop))) AS DOUBLE) / len(string_split(text, ' '))), 6)
+          AS q
+      FROM documents),
+    thr AS (SELECT ROUND(quantile_cont(q, 0.75), 6) AS p75 FROM q)
+    SELECT lang, COUNT(*) AS n_total,
+      CAST(SUM(CASE WHEN q >= p75 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, p75
+    FROM q CROSS JOIN thr GROUP BY lang, p75 ORDER BY lang"""
+  }
+
+  // --------------------------------------------- DSIR importance weights
+  /** DSIR-style importance weights (Xie et al. 2023): hashed-unigram
+    * bucket counts for a target domain (source `src1`) vs the raw
+    * corpus, per-document weight = Σ n_b · log(p_target(b)/p_raw(b))
+    * with add-one smoothing over B=256 buckets. The bucket tables are
+    * tiny (≤256 rows) and broadcast; the per-doc pass is one map-side-
+    * combinable (doc, bucket) aggregation, so the whole operator is
+    * scan-shaped at 100 TB. Per-bucket log-ratios are rounded to 9dp
+    * and the per-doc sum runs in DECIMAL(38,12), so addition order
+    * can't leak into the rounded output. */
+  def dsirImportance(s: SparkSession, d: String): DataFrame = {
+    val B = 256
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("b", expr(
+        s"""CAST(pmod(aggregate(transform(sequence(1, length(word)),
+           |    i -> CAST(ascii(substring(word, i, 1)) AS BIGINT)),
+           |  CAST(0 AS BIGINT),
+           |  (acc, c) -> pmod(acc * 31 + c, ${TextHash.P})), $B) AS INT)"""
+          .stripMargin))
+    val perDocBucket = words.groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("n"))
+    val raw = words.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = words.filter(col("source") === "src1")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = words.agg(count(lit(1)).as("nr"),
+      sum(when(col("source") === "src1", 1L).otherwise(0L)).as("nt"))
+    val num = (coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("nt") + lit(B.toLong)).cast("double")
+    val den = (col("cr").cast("double") + lit(1.0)) /
+      (col("nr") + lit(B.toLong)).cast("double")
+    val lw = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"), round(log(num / den), 9).as("lw"))
+    perDocBucket.join(broadcast(lw), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_tokens"),
+        round(sum((col("n") * col("lw")).cast("decimal(38,12)"))
+          .cast("double"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  val dsirImportanceSql: String = s"""
+    WITH w AS (
+      SELECT doc_id, source, word FROM (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+      WHERE length(word) > 0),
+    wb AS (SELECT doc_id, source,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [CAST(ascii(substr(word, CAST(i AS INT), 1)) AS BIGINT)
+           FOR i IN range(1, length(word) + 1)]),
+          (acc, c) -> (acc * 31 + c) % ${TextHash.P}) % 256 AS b
+      FROM w),
+    pdb AS (SELECT doc_id, b, COUNT(*) AS n FROM wb GROUP BY doc_id, b),
+    raw AS (SELECT b, COUNT(*) AS cr FROM wb GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS ct FROM wb WHERE source = 'src1'
+      GROUP BY b),
+    tot AS (SELECT COUNT(*) AS nr,
+        CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+          AS nt FROM wb),
+    lw AS (SELECT raw.b,
+        ROUND(ln(((COALESCE(ct, 0) + 1.0) / CAST(nt + 256 AS DOUBLE)) /
+                 ((cr + 1.0) / CAST(nr + 256 AS DOUBLE))), 9) AS lw
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+      ROUND(CAST(SUM(CAST(n * lw AS DECIMAL(38,12))) AS DOUBLE), 6) AS weight
+    FROM pdb JOIN lw ON pdb.b = lw.b
+    GROUP BY doc_id ORDER BY doc_id"""
+
+  // ------------------------------------------------ substring dedup
+  /** Cross-document duplicated 8-token spans — the suffix-array
+    * substring-dedup mechanic (Lee et al. 2022) at shingle granularity.
+    * Every shuffle carries a 128-bit two-seed xxhash64 of the span,
+    * never the text (collision odds ~2^-128; the DuckDB oracle groups
+    * the literal span text, so a collision would surface as a hash
+    * mismatch). Duplicated spans are rare, so AQE broadcasts the
+    * dup-key side of the count-back join at scale. */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+    val spans = base.filter(col("n") >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, n - 7), i -> concat_ws(' ', slice(w, i, 8)))"))
+        .as("span"))
+      .select(col("doc_id"), xxhash64(col("span")).as("h1"),
+        xxhash64(col("span"), lit(1L)).as("h2"))
+    val dup = spans.groupBy("h1", "h2")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h1", "h2")
+    val perDoc = spans.join(dup, Seq("h1", "h2"))
+      .groupBy("doc_id").agg(count(lit(1)).as("ndw"))
+    base.select(col("doc_id"),
+        greatest(col("n") - 7, lit(0)).cast("long").as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("ndw"), lit(0L)).as("n_dup_windows"),
+        when(col("n_windows") > 0,
+          round(coalesce(col("ndw"), lit(0L)).cast("double") /
+            col("n_windows"), 6)).otherwise(lit(0.0)).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSubstringSql: String = """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+    spans AS (SELECT doc_id,
+        array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS span
+      FROM base, UNNEST(range(1, n - 6)) AS t(i)
+      WHERE n >= 8),
+    dup AS (SELECT span FROM spans GROUP BY span
+      HAVING COUNT(DISTINCT doc_id) > 1),
+    pd AS (SELECT doc_id, COUNT(*) AS ndw
+      FROM spans JOIN dup USING (span) GROUP BY doc_id)
+    SELECT b.doc_id, CAST(GREATEST(b.n - 7, 0) AS BIGINT) AS n_windows,
+      CAST(COALESCE(pd.ndw, 0) AS BIGINT) AS n_dup_windows,
+      CASE WHEN b.n - 7 > 0
+        THEN ROUND(CAST(COALESCE(pd.ndw, 0) AS DOUBLE) / (b.n - 7), 6)
+        ELSE 0.0 END AS dup_ratio
+    FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id
+    ORDER BY b.doc_id"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("pack_sequences", packSequences, Some(packSequencesSql)),
+    QuerySpec("quality_gate_p75", qualityGateP75, Some(qualityGateP75Sql)),
+    QuerySpec("dsir_importance", dsirImportance, Some(dsirImportanceSql)),
+    QuerySpec("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     QuerySpec("emb_kmeans", embKmeans, Some(embKmeansSql)),
     QuerySpec("text_tfidf_top", textTfidfTop, Some(textTfidfTopSql)),
     QuerySpec("text_chunk_windows", textChunkWindows,
