@@ -1409,15 +1409,17 @@ object PipelineQueries {
   /** DSIR-style importance weights (Xie et al. 2023): hashed-unigram
     * bucket counts for a target domain (source `src1`) vs the raw
     * corpus, per-document weight = Σ n_b · log(p_target(b)/p_raw(b))
-    * with add-one smoothing over B=256 buckets. The bucket tables are
-    * tiny (≤256 rows) and broadcast; the per-doc pass is one map-side-
-    * combinable (doc, bucket) aggregation, so the whole operator is
-    * scan-shaped at 100 TB. Per-bucket log-ratios are rounded to 9dp
-    * and the per-doc sum runs in DECIMAL(38,12), so addition order
-    * can't leak into the rounded output. */
+    * with add-one smoothing over B=256 buckets. ONE pass over the
+    * corpus: the (doc, bucket) counts are the only corpus-sized
+    * aggregation, and the per-bucket raw/target counts, the corpus
+    * totals, and the log-ratio table all derive from that ≤256-row
+    * side (then broadcast back), so the operator is scan-shaped at
+    * 100 TB. Per-bucket log-ratios are rounded to 9dp and the per-doc
+    * sum runs in DECIMAL(38,12), so addition order can't leak into the
+    * rounded output. */
   def dsirImportance(s: SparkSession, d: String): DataFrame = {
     val B = 256
-    val words = Tables.documents(s, d)
+    val perDocBucket = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -1427,20 +1429,33 @@ object PipelineQueries {
            |  CAST(0 AS BIGINT),
            |  (acc, c) -> pmod(acc * 31 + c, ${TextHash.P})), $B) AS INT)"""
           .stripMargin))
-    val perDocBucket = words.groupBy("doc_id", "b")
+      // explicit (always-true) null guard: the final inner join infers
+      // isnotnull(b) on its probe side only; stating it at the source
+      // keeps both consumers' subtrees canonically identical
+      .filter(col("b").isNotNull)
+      // source is constant per doc; keeping it a GROUP KEY (not an agg)
+      // makes both consumers' exchange subtrees identical, so Spark's
+      // ReuseExchange runs the corpus scan + (doc, bucket) shuffle ONCE
+      .groupBy("doc_id", "source", "b")
       .agg(count(lit(1)).as("n"))
-    val raw = words.groupBy("b").agg(count(lit(1)).as("cr"))
-    val tgt = words.filter(col("source") === "src1")
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val totals = words.agg(count(lit(1)).as("nr"),
-      sum(when(col("source") === "src1", 1L).otherwise(0L)).as("nt"))
-    val num = (coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+    // corpus totals via a GLOBAL window over the ≤256-row bucket table
+    // (not a separate aggregate branch — a second branch re-derives
+    // perDocBucket with different pushed-down predicates and defeats
+    // ReuseExchange, doubling the corpus scan)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val bucketStats = perDocBucket.groupBy("b")
+      .agg(sum(col("n")).as("cr"),
+        sum(when(col("source") === "src1", col("n")).otherwise(0L)).as("ct"))
+      .withColumn("nr", sum(col("cr")).over(wAll))
+      .withColumn("nt", sum(col("ct")).over(wAll))
+    val num = (col("ct").cast("double") + lit(1.0)) /
       (col("nt") + lit(B.toLong)).cast("double")
     val den = (col("cr").cast("double") + lit(1.0)) /
       (col("nr") + lit(B.toLong)).cast("double")
-    val lw = raw.join(tgt, Seq("b"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("b"), round(log(num / den), 9).as("lw"))
+    val lw = bucketStats.select(col("b"), round(log(num / den), 9).as("lw"))
     perDocBucket.join(broadcast(lw), Seq("b"))
       .groupBy("doc_id")
       .agg(sum(col("n")).as("n_tokens"),

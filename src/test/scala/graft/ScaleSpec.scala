@@ -226,6 +226,77 @@ class ScaleSpec extends SparkSpec {
       plan.take(1200))
   }
 
+  test("dsir_importance scans the corpus once (ReuseExchange) and " +
+      "broadcasts the bucket table") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.dsirImportance(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan.toString
+      // the (doc, source, bucket) exchange feeds both the per-doc join
+      // branch and the bucket-stats branch — the corpus is read once
+      assert(plan.contains("ReusedExchange"), plan.take(1200))
+      assert(plan.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("text")) == 1,
+        "corpus must be scanned exactly once")
+      // the ≤256-row log-ratio table broadcasts back
+      assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("quality_gate_p75 aggregates the percentile map-side and " +
+      "broadcasts the threshold scalar") {
+    val q = graft.queries.PipelineQueries.qualityGateP75(
+      spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    // exact percentile over the ROUNDED score domain (≤1e6+1 distinct
+    // values) aggregates a value→count map partially per partition —
+    // bounded memory at any corpus size — and only the tiny buffers
+    // cross the SinglePartition exchange
+    assert(plan.contains("partial_percentile"), plan.take(1200))
+    // the 1-row threshold broadcasts; the corpus never shuffles for it
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1200))
+  }
+
+  test("pack_sequences reuses the per-source window partitioning for " +
+      "the final aggregate (one hash shuffle)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.packSequences(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val hashExchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("hashpartitioning") =>
+          e
+      }
+      // the groupBy(source) sits on the window's hashpartitioning(source)
+      // — no second hash exchange (the output orderBy adds only a range
+      // partitioning)
+      assert(hashExchanges.size == 1,
+        s"expected 1 hash exchange, got ${hashExchanges.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("dedup_substring shuffles span hashes, never span text") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.dedupSubstring(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach(e =>
+        assert(!e.child.output.exists(a =>
+          a.name == "span" || a.name == "text" || a.name == "w"),
+          e.child.output.map(_.name).mkString(",")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("dedup_paragraph shuffles 128-bit hashes, never paragraph text") {
     // AQE wraps exchanges in query stages — plan statically (planning
     // reads the flag lazily, so force the plan inside the try) for the
