@@ -1388,13 +1388,11 @@ object Hdf5 {
       (t.getTime * 1000L + (t.getNanos / 1000) % 1000).toDouble)
     val latArr = (0 until nh).map(g.latOfY).toArray
     val lonArr = (0 until nw).map(g.lonOfX).toArray
-    // extra non-spatial dims (time × depth × lat × lon): supported for
-    // the DEFAULT btree1 chunk index only — the v4 index writers carry
-    // per-type geometry math that stays rank-3 (a loud refusal, never
-    // a corrupt file)
+    // extra non-spatial dims (time × depth × lat × lon): every chunk
+    // index type writes rank-(3+k) files — extras chunk at 1 (one
+    // chunk per (time, plane, tile), the zarr layout) except `single`,
+    // whose one chunk covers the whole array
     val extras = cube.extraDims
-    require(extras.isEmpty || indexType == "btree1",
-      s"writeHdf5 extra dims require indexType btree1, got $indexType")
     val extraLens = extras.map(_.values.length)
     val ne = extraLens.map(_.toLong).product
     val eIdx: Seq[Map[Double, Int]] =
@@ -1663,13 +1661,15 @@ object Hdf5 {
     val nxc = (nw + cxd - 1) / cxd
     cube.variables.foreach { v =>
       announce(v)
+      // v4 layouts carry one u64 chunk dim per extra dim
       val layoutBody = indexType match {
         case "btree1" => 27 + 4 * extras.length // one u32 dim per extra
-        case "single" => 58
-        case "implicit" => 46
-        case "fixedarray" | "fixedarray-paged" => 47
-        case "extarray" | "extarray-paged" | "extarray-deep" => 51
-        case "btree2" => 52
+        case "single" => 58 + 8 * extras.length
+        case "implicit" => 46 + 8 * extras.length
+        case "fixedarray" | "fixedarray-paged" => 47 + 8 * extras.length
+        case "extarray" | "extarray-paged" | "extarray-deep" =>
+          51 + 8 * extras.length
+        case "btree2" => 52 + 8 * extras.length
         case t => throw new IllegalArgumentException(
           s"unknown chunk index type $t")
       }
@@ -1750,8 +1750,14 @@ object Hdf5 {
           case _ =>
             w.u8(4); w.u8(2) // layout v4, chunked
             w.u8(if (indexType == "single") 0x02 else 0x00) // filtered-single flag
-            w.u8(4); w.u8(8) // dimensionality (rank+1), dim-size enc len
-            w.u64(ctd.toLong); w.u64(cyd.toLong); w.u64(cxd.toLong); w.u64(8)
+            // dimensionality (rank+1), dim-size enc len
+            w.u8(4 + extras.length); w.u8(8)
+            w.u64(ctd.toLong)
+            // extras chunk at 1 — except single, whose one chunk spans
+            // the whole array (chunk dims must equal the full shape)
+            extraLens.foreach(n =>
+              w.u64(if (indexType == "single") n.toLong else 1L))
+            w.u64(cyd.toLong); w.u64(cxd.toLong); w.u64(8)
             indexType match {
               case "single" =>
                 w.u8(1)
@@ -1783,8 +1789,39 @@ object Hdf5 {
       // extra dim; arr is lead-major so the source index just swaps
       // `t*ctd + tt` for the flattened lead.
       val arr = varData(v)
+      def pack(raw: Array[Byte]): Array[Byte] =
+        if (!filtered) raw
+        else compression match {
+          case "deflate" => deflate(shuffleBytes(raw, 8), deflateLevel)
+          case "zstd" =>
+            com.github.luben.zstd.Zstd.compress(shuffleBytes(raw, 8), 3)
+          case "blosc" =>
+            Blosc.encode(raw, 8, "lz4", Blosc.ShuffleByte)
+          case "lz4" => // plugin 32004 framing: one block per chunk
+            val shuffled = shuffleBytes(raw, 8)
+            val comp = Blosc.lz4Compress(shuffled)
+            val stored = comp.length >= shuffled.length
+            val payload = if (stored) shuffled else comp
+            val bb = ByteBuffer.allocate(16 + payload.length)
+              .order(ByteOrder.BIG_ENDIAN)
+            bb.putLong(shuffled.length.toLong)
+            bb.putInt(shuffled.length) // block size = whole chunk
+            bb.putInt(payload.length)
+            bb.put(payload)
+            bb.array()
+        }
       val leadCount = ntc * ne.toInt
-      val entries = for {
+      val entries = if (indexType == "single") {
+        // the whole array is one chunk, and arr is already row-major
+        // (time, extras…, y, x) — the chunk payload IS the array
+        val raw = new Array[Byte](arr.length * 8)
+        val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        arr.foreach(bb.putDouble)
+        val packed = pack(raw)
+        val addr = w.pos
+        w.bytes(packed)
+        Seq((Seq.fill(4 + extras.length)(0L), addr, packed.length))
+      } else for {
         lead <- 0 until leadCount; yc0 <- 0 until nyc; xc0 <- 0 until nxc
       } yield {
         // decompose lead → (time chunk, extra offsets); extras.isEmpty
@@ -1825,27 +1862,7 @@ object Hdf5 {
         val raw = new Array[Byte](slab.length * 8)
         val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
         slab.foreach(bb.putDouble)
-        val packed =
-          if (!filtered) raw
-          else compression match {
-            case "deflate" => deflate(shuffleBytes(raw, 8), deflateLevel)
-            case "zstd" =>
-              com.github.luben.zstd.Zstd.compress(shuffleBytes(raw, 8), 3)
-            case "blosc" =>
-              Blosc.encode(raw, 8, "lz4", Blosc.ShuffleByte)
-            case "lz4" => // plugin 32004 framing: one block per chunk
-              val shuffled = shuffleBytes(raw, 8)
-              val comp = Blosc.lz4Compress(shuffled)
-              val stored = comp.length >= shuffled.length
-              val payload = if (stored) shuffled else comp
-              val bb = ByteBuffer.allocate(16 + payload.length)
-                .order(ByteOrder.BIG_ENDIAN)
-              bb.putLong(shuffled.length.toLong)
-              bb.putInt(shuffled.length) // block size = whole chunk
-              bb.putInt(payload.length)
-              bb.put(payload)
-              bb.array()
-          }
+        val packed = pack(raw)
         val addr = w.pos
         w.bytes(packed)
         (Seq(t.toLong * ctd) ++ eOffs ++
@@ -1883,7 +1900,8 @@ object Hdf5 {
             pageBits = 8, minElmts = 64))
         case "btree2" =>
           w.patch64(idxPatch, writeBt2ChunkIndex(w, entries,
-            Seq(ctd.toLong, cyd.toLong, cxd.toLong)))
+            Seq(ctd.toLong) ++ extras.map(_ => 1L) ++
+              Seq(cyd.toLong, cxd.toLong)))
       }
     }
 
@@ -2180,7 +2198,7 @@ object Hdf5 {
     * capacity. Returns the BTHD address. */
   private def writeBt2ChunkIndex(w: W, entries: Seq[(Seq[Long], Long, Int)],
                                  chunkDims: Seq[Long]): Long = {
-    val rank = 3
+    val rank = chunkDims.length
     val rrec = 8 + 4 + 4 + rank * 8
     val leafMax = (Bt2NodeSize - 10) / rrec
     val n = entries.length

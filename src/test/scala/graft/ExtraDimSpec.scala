@@ -431,11 +431,45 @@ class ExtraDimSpec extends SparkSpec {
         extra = Seq(("depth", depths(2), 2))).get
     for (y <- 0 until nH; x <- 0 until nW)
       assert(win(y * nW + x) == cell(1, 2, y, x), s"($y,$x)")
-    // the v4 chunk-index writers stay rank-3: loud refusal, never a
-    // silently corrupt file
-    intercept[IllegalArgumentException](graft.sources.Hdf5.writeHdf5(
-      cube, s"$dir/bad.nc", chunkY = 4, chunkX = 5,
-      indexType = "extarray"))
+  }
+
+  test("4-D HDF5 layout-v4 chunk indexes round-trip rank-4 " +
+      "(single/implicit/fixed/extensible/btree2)") {
+    val store = writeFixture()
+    val cube = CubeIngest.open(spark, store)
+    val dir = Files.createTempDirectory("graft-4dh5v4").toString
+    def rows(p: String): Seq[String] =
+      CubeIngest.open(spark, p).df
+        .select("time", "depth", "y_idx", "x_idx", "v0")
+        .collect().map(_.toString).sorted.toSeq
+    graft.sources.Hdf5.writeHdf5(cube, s"$dir/ref.nc",
+      chunkY = 4, chunkX = 5)
+    val expected = rows(s"$dir/ref.nc")
+    assert(expected.length == nT * nD * nH * nW)
+    val wantKind = Map("single" -> 1, "implicit" -> 2, "fixedarray" -> 3,
+      "fixedarray-paged" -> 3, "extarray" -> 4, "extarray-paged" -> 4,
+      "btree2" -> 5)
+    for (idx <- wantKind.keys.toSeq.sorted) {
+      val p = s"$dir/$idx.nc"
+      graft.sources.Hdf5.writeHdf5(cube, p, chunkY = 4, chunkX = 5,
+        indexType = idx)
+      val ds = graft.sources.Hdf5.open(p).datasets("v0")
+      assert(ds.index.kind == wantKind(idx),
+        s"$idx parsed as index kind ${ds.index.kind}")
+      assert(ds.shape == Seq(nT, nD, nH, nW), s"$idx shape ${ds.shape}")
+      val back = CubeIngest.open(spark, p)
+      assert(back.extraDims == Seq(ExtraDim("depth", depths.toSeq, "m")))
+      assert(rows(p) == expected, s"index type $idx")
+    }
+    // the direct per-plane window works through a v4 index too
+    val back = CubeIngest.open(spark, s"$dir/btree2.nc")
+    val t0 = back.timeAxis.get.head
+    val us = t0.getTime * 1000L + (t0.getNanos / 1000) % 1000
+    val win = graft.sources.DirectWindow
+      .read(s"$dir/btree2.nc", "v0", us, 0, 0, nH, nW,
+        extra = Seq(("depth", depths(2), 2))).get
+    for (y <- 0 until nH; x <- 0 until nW)
+      assert(win(y * nW + x) == cell(0, 2, y, x), s"($y,$x)")
   }
 
   test("writeCube/open round-trips a 4-D cube; direct parquet window " +
