@@ -141,7 +141,40 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Membership probe of a LONG hash column against a driver-built Bloom
+  * filter (`org.apache.spark.util.sketch.BloomFilter`, the sketch
+  * Spark's own runtime row-level filtering uses). The filter rides the
+  * plan as a reference object, so the probe inlines into whole-stage
+  * codegen — the incremental-dedup prefilter runs at scan speed with
+  * no UDF boxing. False positives are possible by construction; the
+  * caller must verify candidates exactly (false negatives cannot
+  * occur, so no duplicate is ever missed). */
+case class BloomMightContain(child: Expression,
+    filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(v: Any): Any =
+    filter.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj("bloom", filter,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, v => s"$f.mightContainLong($v)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object HashF {
+  def bloomMightContain(c: Column,
+      filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    GraftColumnBridge.column(BloomMightContain(
+      GraftColumnBridge.expression(c), filter))
   def bpeTokenCount(c: Column): Column =
     GraftColumnBridge.column(BpeTokenCount(GraftColumnBridge.expression(c)))
   def polyHash(c: Column): Column =

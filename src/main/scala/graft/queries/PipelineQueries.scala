@@ -1247,8 +1247,11 @@ object PipelineQueries {
     * on identical doubles. Deterministic init: the k lowest vec_ids
     * (seeding strategy is orthogonal to the distributed shape); empty
     * clusters keep their previous centroid. */
-  def embKmeans(s: SparkSession, d: String): DataFrame = {
-    val k = 8
+  /** Two-iteration Lloyd's assignment (the shared shape): returns
+    * (vec_id, cluster, dist) unordered — callers add their own
+    * ordering/rounding. */
+  private def kmeansAssigned(s: SparkSession, d: String,
+                             k: Int = 8): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val cents0: Seq[Seq[Double]] = emb.filter(col("vec_id") < k)
       .orderBy("vec_id").select("embedding").collect()
@@ -1274,10 +1277,13 @@ object PipelineQueries {
       else cents0(c))
     // iteration 2: final assignment against the refit centroids
     assigned(cents1)
+  }
+
+  def embKmeans(s: SparkSession, d: String): DataFrame =
+    kmeansAssigned(s, d)
       .select(col("vec_id"), col("cluster"),
         round(col("dist"), 6).as("dist"))
       .orderBy("vec_id")
-  }
 
   val embKmeansSql: String = {
     // squared-L2 as the same sequential fold the codegen kernel runs
@@ -1325,6 +1331,217 @@ object PipelineQueries {
       SELECT vec_id, cid AS cluster, dist, ROW_NUMBER() OVER (
         PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
     WHERE rn = 1 ORDER BY vec_id"""
+  }
+
+  // ---------------------------------------- cluster-balanced sampling
+  /** Cluster-balanced sampling (the DataComp/SemDeDup follow-up step):
+    * target 25% of the corpus drawn EVENLY across the k = 8 k-means
+    * clusters — per-cluster quota q = ceil(N/32), per-cluster keep
+    * rate min(1, q/n_c), membership decided by a deterministic Knuth
+    * hash threshold on vec_id. The rate table is DRIVER state exactly
+    * like the centroids (k rows, collected once), so the final plan is
+    * one scan + one 8-group aggregate with the rates inlined as a
+    * literal map — no join, no second corpus pass in the plan, and no
+    * per-cluster rank window (ranking would funnel the whole corpus
+    * through k partitions; hash thresholding keeps the filter
+    * scan-shaped at any size). All threshold arithmetic is integer
+    * (ppm), so the oracle replays it exactly. */
+  def sampleClusterBalanced(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val a = kmeansAssigned(s, d, k).select(col("vec_id"), col("cluster"))
+    val counts = a.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val q = (total + 4 * k - 1) / (4 * k) // ceil(0.25 * N / k)
+    val ratePpm: Map[Int, Long] = (0 until k).map(c =>
+      c -> counts.get(c).map(n => math.min(1000000L, q * 1000000L / n))
+        .getOrElse(1000000L)).toMap
+    val rateCol = element_at(
+      map(ratePpm.toSeq.sortBy(_._1)
+        .flatMap { case (c, r) => Seq(lit(c), lit(r)) }: _*),
+      col("cluster"))
+    val h = pmod(col("vec_id") * lit(2654435761L), lit(1000000L))
+    a.groupBy("cluster")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(h < rateCol, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("rate_ppm", rateCol)
+      .select("cluster", "n_total", "n_kept", "rate_ppm")
+      .orderBy("cluster")
+  }
+
+  val sampleClusterBalancedSql: String = s"""
+    WITH a AS ($embKmeansSql),
+    n AS (SELECT cluster, COUNT(*) AS n_total FROM a GROUP BY cluster),
+    t AS (SELECT CAST(SUM(n_total) AS BIGINT) AS nn FROM n),
+    r AS (SELECT cluster, n_total,
+        CAST(LEAST(1000000, ((nn + 31) // 32) * 1000000 // n_total)
+          AS BIGINT) AS rate_ppm
+      FROM n CROSS JOIN t)
+    SELECT a.cluster, r.n_total,
+      CAST(SUM(CASE WHEN (a.vec_id * 2654435761) % 1000000 < r.rate_ppm
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      r.rate_ppm
+    FROM a JOIN r USING (cluster)
+    GROUP BY a.cluster, r.n_total, r.rate_ppm
+    ORDER BY a.cluster"""
+
+  // ------------------------------------------- incremental (snapshot) dedup
+  /** Incremental dedup at PARAGRAPH granularity: a NEW crawl snapshot
+    * (a deterministic 25% hash split of doc_ids) against the EXISTING
+    * kept corpus — the every-snapshot CCNet shape, where re-shuffling
+    * the full corpus per batch is the thing you must never do. Shape:
+    * (1) one scan of the old corpus builds a driver-side Bloom filter
+    * over 64-bit paragraph hashes (`df.stat.bloomFilter`, a
+    * tree-aggregated sketch — no shuffle); (2) the new batch probes it
+    * with the codegen [[graft.functions.BloomMightContain]] at scan
+    * speed, leaving only CANDIDATES (true dups + fpp-bounded false
+    * positives — ~1% of the batch, broadcastable; past the broadcast
+    * budget the same plan degrades to a hash-only shuffle join, the
+    * Dedup.scala:90 guard pattern); (3) candidates broadcast back
+    * against the old corpus for EXACT verification on the 128-bit
+    * two-seed hash, so false positives drop out and the result equals
+    * text-equality dedup (the dedup_paragraph contract — text itself
+    * never shuffles); (4) one scan of the new batch joins the
+    * confirmed-dup hash set (broadcast) and aggregates per source.
+    * Neither side ever shuffles its text, and the old corpus is never
+    * hash-partitioned at all. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nPar = ceil(size(words) / lit(20.0)).cast("int")
+    val paras = transform(sequence(lit(0), nPar - 1),
+      i => array_join(slice(words, i * 20 + 1, lit(20)), " "))
+    val exploded = Tables.documents(s, d)
+      .withColumn("isnew",
+        pmod(col("doc_id") * lit(2654435761L), lit(100L)) >= 75)
+      .select(col("source"), col("isnew"), explode(paras).as("para"))
+      .select(col("source"), col("isnew"),
+        xxhash64(col("para")).as("h1"),
+        xxhash64(col("para"), lit(1L)).as("h2"))
+    val old = exploded.filter(!col("isnew")).select("h1", "h2")
+    val nOld = math.max(old.count(), 1L)
+    val bloom = old.stat.bloomFilter("h1", nOld, 0.01)
+    val neu = exploded.filter(col("isnew"))
+    val cands = neu
+      .filter(graft.functions.HashF.bloomMightContain(col("h1"), bloom))
+      .select("h1", "h2").distinct()
+    val dup = old.join(broadcast(cands), Seq("h1", "h2"), "left_semi")
+      .distinct()
+    neu.join(broadcast(dup.withColumn("dup", lit(1L))),
+        Seq("h1", "h2"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+      .withColumn("n_fresh", col("n_paras") - col("n_dup"))
+      .select("source", "n_paras", "n_dup", "n_fresh")
+      .orderBy("source")
+  }
+
+  val dedupIncrementalSql: String = """
+    WITH base AS (SELECT source,
+        (doc_id * 2654435761) % 100 >= 75 AS isnew,
+        string_split(text, ' ') AS words FROM documents),
+    paras AS (SELECT source, isnew,
+        array_to_string(list_slice(words, i * 20 + 1, i * 20 + 20), ' ')
+          AS para
+      FROM base,
+        UNNEST(range(CAST(ceil(len(words) / 20.0) AS BIGINT))) AS t(i)),
+    oldp AS (SELECT DISTINCT para FROM paras WHERE NOT isnew)
+    SELECT source, COUNT(*) AS n_paras,
+      CAST(SUM(CASE WHEN para IN (SELECT para FROM oldp)
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      CAST(COUNT(*) - SUM(CASE WHEN para IN (SELECT para FROM oldp)
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
+    FROM paras WHERE isnew GROUP BY source ORDER BY source"""
+
+  // ------------------------------------ quality-classifier training step
+  /** Distributed training of the quality classifier (the CCNet /
+    * fastText-filter step, done ON the cluster): two full-batch
+    * gradient-descent steps of a logistic model over cheap text
+    * features (bias, length, stopword ratio), target domain `src1`,
+    * then one inference pass scoring every source. Spark shape is the
+    * ML-training shape: the gradient is ONE map-side-combinable
+    * aggregate per step (per-feature DECIMAL(38,6) sums of 6dp-rounded
+    * per-row gradients — order-independent, so the replayed weights
+    * are bit-identical), the weight vector is DRIVER state exactly
+    * like the k-means centroids, and inference is a pure scan with the
+    * weights inlined as literals. The link is the HARD sigmoid
+    * clamp(0.5 + z/4, 0, 1): piecewise-rational, so no transcendental
+    * whose libm rounding could diverge cross-engine — step 1 from
+    * w = 0 reduces to p = 0.5 exactly. Positive examples carry the
+    * inverse-prevalence class weight 19 (src1 is 1 source in 20), the
+    * standard imbalance correction — without it the minority gradient
+    * drowns and the trained model degenerately predicts 'not target'
+    * for every document. */
+  def qualityLogreg(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val stopHits =
+      size(filter(toks, t => t.isInCollection(TextAnalysis.Stopwords)))
+    val feats = Tables.documents(s, d).select(
+      col("source"),
+      lit(1.0).as("x0"),
+      least(lit(1.0), nTok.cast("double") / 100.0).as("x1"),
+      (stopHits.cast("double") / nTok).as("x2"),
+      when(col("source") === "src1", 1.0).otherwise(0.0).as("y"))
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pCol(w: Seq[Double]): org.apache.spark.sql.Column =
+      least(lit(1.0), greatest(lit(0.0), lit(0.5) +
+        (lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2")) / 4.0))
+    val cw = when(col("y") === 1.0, 19.0).otherwise(1.0)
+    def step(w: Seq[Double]): Seq[Double] = {
+      val p = pCol(w)
+      val g = feats.agg(
+        Q.davg(round((p - col("y")) * cw * col("x0"), 6)).as("g0"),
+        Q.davg(round((p - col("y")) * cw * col("x1"), 6)).as("g1"),
+        Q.davg(round((p - col("y")) * cw * col("x2"), 6)).as("g2"))
+        .collect()(0)
+      (0 until 3).map(j => r6(w(j) - g.getDouble(j)))
+    }
+    val w2 = step(step(Seq(0.0, 0.0, 0.0)))
+    feats.select(col("source"), round(pCol(w2), 6).as("p"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        Q.davg(col("p")).as("mean_score"),
+        sum(when(col("p") >= 0.5, 1L).otherwise(0L)).as("n_pred_target"))
+      .orderBy("source")
+  }
+
+  val qualityLogregSql: String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    def p(w0: String, w1: String, w2: String): String =
+      s"LEAST(1.0, GREATEST(0.0, 0.5 + ($w0 * x0 + $w1 * x1 + $w2 * x2) / 4.0))"
+    s"""
+    WITH f AS (SELECT source,
+        CAST(1.0 AS DOUBLE) AS x0,
+        LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+          AS x1,
+        CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop)))
+          AS DOUBLE) / len(string_split(text, ' ')) AS x2,
+        CASE WHEN source = 'src1' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents),
+    fw AS (SELECT f.*, CASE WHEN y = 1.0 THEN 19.0 ELSE 1.0 END AS cw
+      FROM f),
+    ga AS (SELECT ${Sql.davg("ROUND((0.5 - y) * cw * x0, 6)")} AS g0,
+        ${Sql.davg("ROUND((0.5 - y) * cw * x1, 6)")} AS g1,
+        ${Sql.davg("ROUND((0.5 - y) * cw * x2, 6)")} AS g2 FROM fw),
+    wa AS (SELECT ROUND(0.0 - g0, 6) AS a0, ROUND(0.0 - g1, 6) AS a1,
+        ROUND(0.0 - g2, 6) AS a2 FROM ga),
+    f2 AS (SELECT fw.*, ${p("wa.a0", "wa.a1", "wa.a2")} AS p
+      FROM fw CROSS JOIN wa),
+    gb AS (SELECT ${Sql.davg("ROUND((p - y) * cw * x0, 6)")} AS g0,
+        ${Sql.davg("ROUND((p - y) * cw * x1, 6)")} AS g1,
+        ${Sql.davg("ROUND((p - y) * cw * x2, 6)")} AS g2 FROM f2),
+    wb AS (SELECT ROUND(wa.a0 - gb.g0, 6) AS b0,
+        ROUND(wa.a1 - gb.g1, 6) AS b1,
+        ROUND(wa.a2 - gb.g2, 6) AS b2 FROM wa CROSS JOIN gb),
+    pf AS (SELECT f.source, ROUND(${p("wb.b0", "wb.b1", "wb.b2")}, 6) AS p
+      FROM f CROSS JOIN wb)
+    SELECT source, COUNT(*) AS n_docs, ${Sql.davg("p")} AS mean_score,
+      CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_pred_target
+    FROM pf GROUP BY source ORDER BY source"""
   }
 
   // ------------------------------------------------ sequence packing
@@ -1552,6 +1769,11 @@ object PipelineQueries {
     QuerySpec("dsir_importance", dsirImportance, Some(dsirImportanceSql)),
     QuerySpec("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     QuerySpec("emb_kmeans", embKmeans, Some(embKmeansSql)),
+    QuerySpec("sample_cluster_balanced", sampleClusterBalanced,
+      Some(sampleClusterBalancedSql)),
+    QuerySpec("dedup_incremental", dedupIncremental,
+      Some(dedupIncrementalSql)),
+    QuerySpec("quality_logreg", qualityLogreg, Some(qualityLogregSql)),
     QuerySpec("text_tfidf_top", textTfidfTop, Some(textTfidfTopSql)),
     QuerySpec("text_chunk_windows", textChunkWindows,
       Some(textChunkWindowsSql)),

@@ -297,6 +297,71 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("sample_cluster_balanced inlines the driver-state rate table: " +
+      "no join, one aggregate exchange") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.sampleClusterBalanced(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val s = plan.toString
+      // rates are literals (driver state like the centroids) — the
+      // final plan must not join or re-scan for them
+      assert(!s.contains("Join"), s.take(1200))
+      assert(s.linesIterator.count(_.contains("FileScan parquet")) == 1,
+        "one corpus scan in the final plan")
+      // per-cluster Bernoulli thresholding, not a per-cluster rank: the
+      // only exchanges are the 8-group aggregate + the output sort
+      val hashExchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("hashpartitioning") =>
+          e
+      }
+      assert(hashExchanges.size == 1,
+        s"expected 1 hash exchange, got ${hashExchanges.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("dedup_incremental probes the bloom filter inside codegen, " +
+      "broadcasts both verify joins, and never shuffles text") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.dedupIncremental(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val s = plan.toString
+      // the prefilter is the codegen expression, not a UDF
+      assert(s.contains("bloom_might_contain"), s.take(1500))
+      // exact verification joins are broadcasts: the old corpus is
+      // never hash-partitioned, and no sort-merge join anywhere
+      assert(s.contains("BroadcastHashJoin"), s.take(1500))
+      assert(!s.contains("SortMergeJoin"), s.take(1500))
+      // no exchange carries document text — hashes only
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }.foreach(e =>
+        assert(!e.child.output.exists(_.name == "text"),
+          e.child.output.map(_.name).mkString(",")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("quality_logreg inference inlines driver-state weights: one " +
+      "scan, no join, map-side partial aggregation") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.qualityLogreg(
+        spark, "/root/testdata/sf0.001")
+      val s = q.queryExecution.executedPlan.toString
+      // weights are literals (driver state like the centroids): the
+      // scoring pass is a pure scan + 20-group aggregate
+      assert(!s.contains("Join"), s.take(1200))
+      assert(s.linesIterator.count(_.contains("FileScan parquet")) == 1,
+        "one corpus scan in the inference plan")
+      assert(s.contains("partial_"), s.take(1200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("dedup_paragraph shuffles 128-bit hashes, never paragraph text") {
     // AQE wraps exchanges in query stages — plan statically (planning
     // reads the flag lazily, so force the plan inside the try) for the
