@@ -180,6 +180,66 @@ object EventStreams {
       }
   }
 
+  /** Streaming incremental dedup — the streaming twin of the
+    * `dedup_incremental` batch pass: arriving documents explode into
+    * the same 20-word paragraphs; a driver-built Bloom filter over the
+    * PREVIOUSLY-KEPT corpus's paragraph hashes prefilters at scan
+    * speed (codegen [[graft.functions.BloomMightContain]]) —
+    * bloom-negative rows are definitely fresh (no false negatives) and
+    * skip the static join entirely, while maybe-rows verify exactly
+    * against the static old-paragraph hash table (stream-static left
+    * join; a null match is a Bloom false positive, i.e. fresh). A
+    * stateful 128-bit first-occurrence filter then dedups WITHIN the
+    * stream, so each genuinely new paragraph emits exactly once with
+    * its smallest (doc_id, para_idx) ordinal. State and join traffic
+    * carry 16-byte hashes, never paragraph text. */
+  def streamingIncrementalDedup(docs: DataFrame, oldParas: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      idCol: String, textCol: String)
+      : org.apache.spark.sql.Dataset[(String, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = split(col(textCol), " ")
+    val nPar = ceil(size(words) / lit(20.0)).cast("int")
+    val paras = transform(sequence(lit(0), nPar - 1),
+      i => array_join(slice(words, i * 20 + 1, lit(20)), " "))
+    val exploded = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(paras).as(Seq("para_idx", "para")))
+      .select(col("para"),
+        xxhash64(col("para")).as("h1"),
+        xxhash64(col("para"), lit(1L)).as("h2"),
+        when(col("para_idx") >= lit(100000),
+          raise_error(concat(lit("paragraph ordinal overflow (>= 100000 "
+            + "paragraphs) in doc "), col("doc_id"))).cast("long"))
+          .otherwise(col("doc_id") * 100000 + col("para_idx")).as("ord"))
+    val mightBeOld =
+      graft.functions.HashF.bloomMightContain(col("h1"), bloom)
+    val definitelyFresh = exploded.filter(!mightBeOld)
+    val verifiedFresh = exploded.filter(mightBeOld)
+      .join(oldParas.select(col("h1"), col("h2"),
+        lit(1).as("seen")), Seq("h1", "h2"), "left")
+      .filter(col("seen").isNull).drop("seen")
+    definitelyFresh.unionByName(verifiedFresh.select(
+        definitelyFresh.columns.map(col).toIndexedSeq: _*))
+      .select(concat_ws(":", col("h1"), col("h2")).as("hk"),
+        col("para"), col("ord"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[(String, String, Long)],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = it.minBy(_._3)
+            Iterator.single(first._2 -> first._3)
+          }
+      }
+  }
+
   /** Streaming trailing-window rolling aggregate (the streaming twin
     * of the cube_rolling_3d per-pixel trailing window): per event
     * type, each closed hour emits the trailing `steps`-hour event rate

@@ -78,6 +78,55 @@ class StreamingSpec extends SparkSpec {
     assert(total < exploded, "expected duplicate paragraphs in corpus")
   }
 
+  test("streaming incremental dedup: static-corpus bloom + exact " +
+      "verify matches the batch truth") {
+    val dir = Files.createTempDirectory("graft-istream").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .withColumn("isnew",
+        pmod(col("doc_id") * lit(2654435761L), lit(100L)) >= 75)
+    // the NEW snapshot arrives as a stream
+    docs.filter(col("isnew")).drop("isnew")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // old corpus: distinct 128-bit paragraph hashes + driver Bloom
+    val words = split(col("text"), " ")
+    val nPar = ceil(size(words) / lit(20.0)).cast("int")
+    val paras = transform(sequence(lit(0), nPar - 1),
+      i => array_join(slice(words, i * 20 + 1, lit(20)), " "))
+    val oldParas = docs.filter(!col("isnew"))
+      .select(explode(paras).as("para"))
+      .select(xxhash64(col("para")).as("h1"),
+        xxhash64(col("para"), lit(1L)).as("h2"))
+      .distinct()
+    val bloom = oldParas.stat.bloomFilter(
+      "h1", math.max(oldParas.count(), 1L), 0.01)
+    val stream = EventStreams.streamingIncrementalDedup(
+      EventStreams.readDocuments(spark, dir), oldParas, bloom,
+      "doc_id", "text")
+    val q = stream.toDF("para", "first_ord").writeStream.format("memory")
+      .queryName("idedup_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("idedup_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch truth: new-batch paragraphs whose text is NOT in the old
+    // corpus, first (doc_id, para_idx) ordinal
+    val oldTexts = docs.filter(!col("isnew"))
+      .select(explode(paras).as("para")).distinct()
+    val batch = docs.filter(col("isnew"))
+      .select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+      .join(oldTexts.withColumn("seen", lit(1)), Seq("para"), "left")
+      .filter(col("seen").isNull)
+      .groupBy("para")
+      .agg(min(col("doc_id") * 100000 + col("para_idx")).as("first_ord"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == batch)
+    // the static corpus genuinely absorbed some of the stream
+    val allNew = docs.filter(col("isnew"))
+      .select(explode(paras).as("para")).distinct().count()
+    assert(got.size < allNew,
+      "expected some new-batch paragraphs to duplicate the old corpus")
+    assert(got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionizer matches batch session count") {
     val dir = stageEventsDir()
     val stream = EventStreams.statefulSessions(
