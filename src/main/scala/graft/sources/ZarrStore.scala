@@ -558,19 +558,43 @@ object ZarrStore {
     val lons = (0 until g.width).map(g.lonOfX(_))
     write1dDoubles(dir, "lat", lats.toArray, codec)
     write1dDoubles(dir, "lon", lons.toArray, codec)
+    // extra non-spatial dims (time × depth × lat × lon): coordinate
+    // array + units attr per dim, rank-(3+k) data arrays chunked at 1
+    // per extra axis, axis names declared via _ARRAY_DIMENSIONS
+    val extras = cube.extraDims
+    extras.foreach { ed =>
+      write1dDoubles(dir, ed.name, ed.values.toArray, codec)
+      if (ed.units.nonEmpty)
+        Files.writeString(dir.resolve(ed.name).resolve(".zattrs"),
+          s"""{"units": "${ed.units}"}""")
+    }
+    val extraLens = extras.map(_.values.length)
+    val eIdx = extras.map(_.values.zipWithIndex.toMap)
+    val ne = extraLens.map(_.toLong).product
+    val dims = Seq("time") ++ extras.map(_.name) ++ Seq("lat", "lon")
 
     val tIdx = times.zipWithIndex.toMap
     val (nt, nh, nw) = (times.length, g.height, g.width)
+    val cellCount = nt.toLong * ne * nh * nw
+    require(cellCount <= Int.MaxValue / 8,
+      s"writeZarr builds in memory; $cellCount cells too large")
     cube.variables.foreach { v =>
-      val arr = Array.fill(nt * nh * nw)(Double.NaN)
-      cube.df.select(col("time"), col("y_idx"), col("x_idx"),
-          col(v).cast("double")).collect().foreach { r =>
+      val arr = Array.fill(cellCount.toInt)(Double.NaN)
+      val extraCols = extras.map(ed => col(ed.name))
+      cube.df.select(Seq(col("time"), col("y_idx"), col("x_idx"),
+          col(v).cast("double")) ++ extraCols: _*).collect().foreach { r =>
         val t = tIdx(r.getTimestamp(0))
-        val c = (t * nh + r.getInt(1)) * nw + r.getInt(2)
-        arr(c) = if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
+        var lead = t.toLong
+        extras.indices.foreach { k =>
+          lead = lead * extraLens(k) + eIdx(k)(r.getDouble(4 + k))
+        }
+        arr(((lead * nh + r.getInt(1)) * nw + r.getInt(2)).toInt) =
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
       }
-      writeArray(dir, v, arr, Seq(nt, nh, nw),
-        Seq(chunkT, math.min(chunkY, nh), math.min(chunkX, nw)), codec)
+      writeArray(dir, v, arr, Seq(nt) ++ extraLens ++ Seq(nh, nw),
+        Seq(chunkT) ++ extras.map(_ => 1) ++
+          Seq(math.min(chunkY, nh), math.min(chunkX, nw)), codec,
+        dims)
     }
     writeConsolidated(dir)
     invalidateMeta(path)
@@ -652,30 +676,46 @@ object ZarrStore {
     Files.write(sub.resolve("0"), compress(codec, buf.array(), 8))
   }
 
+  /** row-major cartesian product over per-dim counts */
+  private[sources] def gridIndices(ns: Seq[Int]): Iterator[Seq[Int]] =
+    ns.foldLeft(Iterator(Seq.empty[Int]))((acc, n) =>
+      acc.flatMap(p => (0 until n).iterator.map(p :+ _)))
+
+  /** one row-major C-order chunk slab of an N-d array; positions past
+    * the array edge fill NaN */
+  private def chunkSlab(data: Array[Double], shape: Seq[Int],
+                        chunks: Seq[Int], idx: Seq[Int]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(chunks.product * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    gridIndices(chunks).foreach { off =>
+      var flat = 0L
+      var inside = true
+      var d = 0
+      while (d < shape.length) {
+        val gd = idx(d) * chunks(d) + off(d)
+        if (gd >= shape(d)) inside = false
+        flat = flat * shape(d) + gd
+        d += 1
+      }
+      buf.putDouble(if (inside) data(flat.toInt) else Double.NaN)
+    }
+    buf.array()
+  }
+
   private def writeArray(dir: Path, name: String, data: Array[Double],
                          shape: Seq[Int], chunks: Seq[Int],
-                         codec: String): Unit = {
+                         codec: String, dims: Seq[String] = Nil): Unit = {
     val sub = dir.resolve(name)
     Files.createDirectories(sub)
     Files.writeString(sub.resolve(".zarray"),
       zarrayJson(shape, chunks, "<f8", codec, "\"NaN\""))
-    val Seq(nt, nh, nw) = shape
-    val Seq(ct, cy, cx) = chunks
-    for {
-      tc <- 0 until (nt + ct - 1) / ct
-      yc <- 0 until (nh + cy - 1) / cy
-      xc <- 0 until (nw + cx - 1) / cx
-    } {
-      val buf = ByteBuffer.allocate(ct * cy * cx * 8)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      for (t <- 0 until ct; y <- 0 until cy; x <- 0 until cx) {
-        val (gt, gy, gx) = (tc * ct + t, yc * cy + y, xc * cx + x)
-        buf.putDouble(
-          if (gt < nt && gy < nh && gx < nw) data((gt * nh + gy) * nw + gx)
-          else Double.NaN)
-      }
-      Files.write(sub.resolve(s"$tc.$yc.$xc"),
-        compress(codec, buf.array(), 8))
+    if (dims.nonEmpty)
+      Files.writeString(sub.resolve(".zattrs"),
+        s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(", ")}]}""")
+    val nChunks = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    gridIndices(nChunks).foreach { idx =>
+      Files.write(sub.resolve(idx.mkString(".")),
+        compress(codec, chunkSlab(data, shape, chunks, idx), 8))
     }
   }
 
@@ -711,9 +751,17 @@ object ZarrStore {
         s"writeZarrV3 codec $other (gzip, zstd)")
     }
     def arrayJson(shape: Seq[Int], chunks: Seq[Int], dataType: String,
-                  fill: String): String =
+                  fill: String, dims: Seq[String] = Nil,
+                  attrs: String = ""): String = {
+      val dimsField =
+        if (dims.isEmpty) ""
+        else s""" "dimension_names": [${dims.map("\"" + _ + "\"")
+          .mkString(", ")}],"""
+      val attrsField =
+        if (attrs.isEmpty) "" else s""" "attributes": $attrs,"""
       s"""{"zarr_format": 3, "node_type": "array",
          | "shape": [${shape.mkString(", ")}], "data_type": "$dataType",
+         |$dimsField$attrsField
          | "chunk_grid": {"name": "regular",
          |  "configuration": {"chunk_shape": [${chunks.mkString(", ")}]}},
          | "chunk_key_encoding": {"name": "default",
@@ -722,6 +770,7 @@ object ZarrStore {
          | "codecs": [
          |  {"name": "bytes", "configuration": {"endian": "little"}},
          |  $codecJson]}""".stripMargin
+    }
 
     def writeChunkFile(sub: Path, idx: Seq[Int], raw: Array[Byte]): Unit = {
       val f = idx.init.foldLeft(sub.resolve("c"))((p, i) =>
@@ -734,11 +783,12 @@ object ZarrStore {
       Files.write(f, packed)
     }
     def write1dV3(name: String, dataType: String, fill: String,
-                  n: Int, put: ByteBuffer => Unit): Unit = {
+                  n: Int, put: ByteBuffer => Unit,
+                  attrs: String = ""): Unit = {
       val sub = dir.resolve(name)
       Files.createDirectories(sub)
       Files.writeString(sub.resolve("zarr.json"),
-        arrayJson(Seq(n), Seq(n), dataType, fill))
+        arrayJson(Seq(n), Seq(n), dataType, fill, attrs = attrs))
       val buf = ByteBuffer.allocate(n * 8).order(ByteOrder.LITTLE_ENDIAN)
       put(buf)
       writeChunkFile(sub, Seq(0), buf.array())
@@ -754,50 +804,76 @@ object ZarrStore {
     write1dV3("lon", "float64", "\"NaN\"", g.width,
       b => (0 until g.width).foreach(x => b.putDouble(g.lonOfX(x))))
 
+    // extra non-spatial dims: coordinate array + units per dim,
+    // rank-(3+k) data arrays chunked at 1 per extra axis, axis names
+    // first-class via v3 dimension_names
+    val extras = cube.extraDims
+    extras.foreach { ed =>
+      write1dV3(ed.name, "float64", "\"NaN\"", ed.values.length,
+        b => ed.values.foreach(b.putDouble),
+        attrs =
+          if (ed.units.nonEmpty) s"""{"units": "${ed.units}"}""" else "")
+    }
+    val extraLens = extras.map(_.values.length)
+    val eIdx = extras.map(_.values.zipWithIndex.toMap)
+    val ne = extraLens.map(_.toLong).product
+    val dimNames = Seq("time") ++ extras.map(_.name) ++ Seq("lat", "lon")
+
     val tIdx = times.zipWithIndex.toMap
     val (nt, nh, nw) = (times.length, g.height, g.width)
-    val (ct, cy, cx) = (chunkT, math.min(chunkY, nh), math.min(chunkX, nw))
+    val cellCount = nt.toLong * ne * nh * nw
+    require(cellCount <= Int.MaxValue / 8,
+      s"writeZarrV3 builds in memory; $cellCount cells too large")
+    val shape = Seq(nt) ++ extraLens ++ Seq(nh, nw)
+    val chunks = Seq(chunkT) ++ extras.map(_ => 1) ++
+      Seq(math.min(chunkY, nh), math.min(chunkX, nw))
+    val nChunks = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     cube.variables.foreach { v =>
-      val arr = Array.fill(nt * nh * nw)(Double.NaN)
-      cube.df.select(col("time"), col("y_idx"), col("x_idx"),
-          col(v).cast("double")).collect().foreach { r =>
+      val arr = Array.fill(cellCount.toInt)(Double.NaN)
+      val extraCols = extras.map(ed => col(ed.name))
+      cube.df.select(Seq(col("time"), col("y_idx"), col("x_idx"),
+          col(v).cast("double")) ++ extraCols: _*).collect().foreach { r =>
         val t = tIdx(r.getTimestamp(0))
-        arr((t * nh + r.getInt(1)) * nw + r.getInt(2)) =
+        var lead = t.toLong
+        extras.indices.foreach { k =>
+          lead = lead * extraLens(k) + eIdx(k)(r.getDouble(4 + k))
+        }
+        arr(((lead * nh + r.getInt(1)) * nw + r.getInt(2)).toInt) =
           if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
       }
       val sub = dir.resolve(v)
       Files.createDirectories(sub)
-      def innerChunkBytes(tc: Int, yc: Int, xc: Int): Array[Byte] = {
-        val buf = ByteBuffer.allocate(ct * cy * cx * 8)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        for (t <- 0 until ct; y <- 0 until cy; x <- 0 until cx) {
-          val (gt, gy, gx) = (tc * ct + t, yc * cy + y, xc * cx + x)
-          buf.putDouble(
-            if (gt < nt && gy < nh && gx < nw) arr((gt * nh + gy) * nw + gx)
-            else Double.NaN)
-        }
-        buf.array()
-      }
-      val (nct, ncy, ncx) =
-        ((nt + ct - 1) / ct, (nh + cy - 1) / cy, (nw + cx - 1) / cx)
+      def innerChunkBytes(idx: Seq[Int]): Array[Byte] =
+        chunkSlab(arr, shape, chunks, idx)
       if (shardChunks.isEmpty) {
         Files.writeString(sub.resolve("zarr.json"),
-          arrayJson(Seq(nt, nh, nw), Seq(ct, cy, cx), "float64", "\"NaN\""))
-        for (tc <- 0 until nct; yc <- 0 until ncy; xc <- 0 until ncx)
-          writeChunkFile(sub, Seq(tc, yc, xc), innerChunkBytes(tc, yc, xc))
+          arrayJson(shape, chunks, "float64", "\"NaN\"", dimNames))
+        gridIndices(nChunks).foreach(idx =>
+          writeChunkFile(sub, idx, innerChunkBytes(idx)))
       } else {
-        val Seq(st, sy, sx) = shardChunks // inner chunks per shard, per dim
-        val shardShape = Seq(ct * st, cy * sy, cx * sx)
+        // inner chunks per shard, per dim: a rank-3 spec gets 1 per
+        // extra axis (extras are chunked at 1, so shards follow)
+        val sPerDim =
+          if (shardChunks.length == shape.length) shardChunks
+          else {
+            require(shardChunks.length == 3,
+              s"shardChunks rank ${shardChunks.length}: pass 3 or " +
+                s"${shape.length}")
+            Seq(shardChunks.head) ++ extras.map(_ => 1) ++ shardChunks.tail
+          }
+        val shardShape = chunks.zip(sPerDim).map { case (c, s) => c * s }
+        val dimsJson = dimNames.map("\"" + _ + "\"").mkString(", ")
         Files.writeString(sub.resolve("zarr.json"),
           s"""{"zarr_format": 3, "node_type": "array",
-             | "shape": [$nt, $nh, $nw], "data_type": "float64",
+             | "shape": [${shape.mkString(", ")}], "data_type": "float64",
+             | "dimension_names": [$dimsJson],
              | "chunk_grid": {"name": "regular",
              |  "configuration": {"chunk_shape": [${shardShape.mkString(", ")}]}},
              | "chunk_key_encoding": {"name": "default",
              |  "configuration": {"separator": "/"}},
              | "fill_value": "NaN",
              | "codecs": [{"name": "sharding_indexed", "configuration": {
-             |  "chunk_shape": [$ct, $cy, $cx],
+             |  "chunk_shape": [${chunks.mkString(", ")}],
              |  "codecs": [
              |   {"name": "bytes", "configuration": {"endian": "little"}},
              |   $codecJson],
@@ -805,21 +881,21 @@ object ZarrStore {
              |   {"name": "bytes", "configuration": {"endian": "little"}},
              |   {"name": "crc32c"}],
              |  "index_location": "end"}}]}""".stripMargin)
-        for {
-          sT <- 0 until (nct + st - 1) / st
-          sY <- 0 until (ncy + sy - 1) / sy
-          sX <- 0 until (ncx + sx - 1) / sx
-        } {
+        val nShards = nChunks.zip(sPerDim).map { case (n, s) =>
+          (n + s - 1) / s
+        }
+        gridIndices(nShards).foreach { sIdx =>
           val body = new java.io.ByteArrayOutputStream()
-          val index = ByteBuffer.allocate(st * sy * sx * 16)
+          val index = ByteBuffer.allocate(sPerDim.product * 16)
             .order(ByteOrder.LITTLE_ENDIAN)
-          for (it <- 0 until st; iy <- 0 until sy; ix <- 0 until sx) {
-            val (tc, yc, xc) = (sT * st + it, sY * sy + iy, sX * sx + ix)
-            if (tc < nct && yc < ncy && xc < ncx) {
+          gridIndices(sPerDim).foreach { off =>
+            val cIdx = sIdx.lazyZip(sPerDim).lazyZip(off)
+              .map((si, s, o) => si * s + o)
+            if (cIdx.zip(nChunks).forall { case (c, n) => c < n }) {
               val packed = codec match {
-                case "gzip" => gzipBytes(innerChunkBytes(tc, yc, xc))
+                case "gzip" => gzipBytes(innerChunkBytes(cIdx))
                 case "zstd" => com.github.luben.zstd.Zstd.compress(
-                  innerChunkBytes(tc, yc, xc), 3)
+                  innerChunkBytes(cIdx), 3)
               }
               index.putLong(body.size().toLong).putLong(packed.length.toLong)
               body.write(packed)
@@ -827,8 +903,8 @@ object ZarrStore {
           }
           val crc = new java.util.zip.CRC32C()
           crc.update(index.array())
-          val f = sub.resolve("c").resolve(sT.toString)
-            .resolve(sY.toString).resolve(sX.toString)
+          val f = sIdx.init.foldLeft(sub.resolve("c"))((p, i) =>
+            p.resolve(i.toString)).resolve(sIdx.last.toString)
           Files.createDirectories(f.getParent)
           // stream body + footer straight to the file: no second copy
           // of a potentially large shard in memory

@@ -472,6 +472,40 @@ class ExtraDimSpec extends SparkSpec {
       assert(win(y * nW + x) == cell(0, 2, y, x), s"($y,$x)")
   }
 
+  test("4-D zarr writers round-trip: v2 (_ARRAY_DIMENSIONS), v3 " +
+      "(dimension_names), v3 sharded") {
+    val store = writeFixture()
+    val cube = CubeIngest.open(spark, store)
+    val dir = Files.createTempDirectory("graft-4dzw").toString
+    def rows(p: String): Seq[String] =
+      CubeIngest.open(spark, p).df
+        .select("time", "depth", "y_idx", "x_idx", "v0")
+        .collect().map(_.toString).sorted.toSeq
+    val expected = rows(store)
+    assert(expected.length == nT * nD * nH * nW)
+    graft.sources.ZarrStore.writeZarr(cube, s"$dir/v2.zarr",
+      chunkT = 1, chunkY = 4, chunkX = 5)
+    graft.sources.ZarrStore.writeZarrV3(cube, s"$dir/v3.zarr",
+      chunkT = 1, chunkY = 4, chunkX = 5)
+    graft.sources.ZarrStore.writeZarrV3(cube, s"$dir/v3s.zarr",
+      chunkT = 1, chunkY = 4, chunkX = 5, shardChunks = Seq(2, 2, 2))
+    for (p <- Seq(s"$dir/v2.zarr", s"$dir/v3.zarr", s"$dir/v3s.zarr")) {
+      val back = CubeIngest.open(spark, p)
+      assert(back.extraDims == Seq(ExtraDim("depth", depths.toSeq, "m")), p)
+      assert(rows(p) == expected, p)
+    }
+    // the rank-3 shard spec widened to rank 4 (1 inner chunk per extra
+    // axis): 24 inner chunks collapse into 3 shard objects
+    def filesUnder(p: String): Int = {
+      val s = Files.walk(Paths.get(p))
+      try s.toArray.toSeq.map(_.asInstanceOf[Path])
+        .count(Files.isRegularFile(_))
+      finally s.close()
+    }
+    assert(filesUnder(s"$dir/v3s.zarr/v0/c") == 3)
+    assert(filesUnder(s"$dir/v3.zarr/v0/c") == 24)
+  }
+
   test("writeCube/open round-trips a 4-D cube; direct parquet window " +
       "serves per-plane, zero jobs") {
     val store = writeFixture()
