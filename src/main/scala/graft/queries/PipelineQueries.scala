@@ -1453,6 +1453,89 @@ object PipelineQueries {
         THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
     FROM paras WHERE isnew GROUP BY source ORDER BY source"""
 
+  // ------------------------------------------------- BPE merge training
+  /** Distributed BPE training (Sennrich et al. 2016): learn the top-6
+    * merge rules FROM the corpus. ONE corpus scan builds the
+    * word-frequency vocabulary (the classic trick — training runs on
+    * the ~|V|-row vocab table, never the corpus again); each iteration
+    * is then a map-side-combinable pair-frequency aggregate over the
+    * vocab plus a driver argmax (merge rules are DRIVER state, like
+    * the k-means centroids), exactly the shape a 100 TB tokenizer
+    * training job has. Merge application is a fixed 4-pass
+    * spaced-string replace fold, identical pass-for-pass to the DuckDB
+    * oracle's replay, so learned rules and counts are bit-exact
+    * cross-engine (ties break on the pair string; the 12-char word cap
+    * bounds same-pair runs so 4 halving passes always suffice). */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")).between(1, 12))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .withColumn("w", concat_ws(" ", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+      .persist()
+    var cur: DataFrame = vocab
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to 6) {
+      // CASE guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead
+      // of yielding empty, so single-token words need an explicit
+      // empty-array branch
+      val top = cur.select(col("f"), explode(expr(
+          "CASE WHEN size(split(w, ' ')) < 2 THEN array() " +
+          "ELSE transform(sequence(1, size(split(w, ' ')) - 1), i -> " +
+          "concat(element_at(split(w, ' '), i), ' ', " +
+          "element_at(split(w, ' '), i + 1))) END")).as("pr"))
+        .groupBy("pr").agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("pr").asc).limit(1).collect()(0)
+      val pr = top.getString(0)
+      merges += ((step, pr, pr.replace(" ", ""), top.getLong(1)))
+      val pat = lit(" " + pr + " ")
+      val rep = lit(" " + pr.replace(" ", "") + " ")
+      var e: org.apache.spark.sql.Column =
+        concat(lit(" "), col("w"), lit(" "))
+      (1 to 4).foreach(_ => e = call_function("replace", e, pat, rep))
+      cur = cur.withColumn("w", trim(e))
+    }
+    val out = merges.result().toDF("step", "pair", "merged", "cnt")
+      .orderBy("step")
+    graft.pipeline.Caching.materializeAndRelease(out, vocab)
+  }
+
+  val bpeTrainSql: String = {
+    def rep4(x: String, m: String): String =
+      (1 to 4).foldLeft(x)((acc, _) =>
+        s"replace($acc, ' ' || $m.pr || ' ', " +
+          s"' ' || replace($m.pr, ' ', '') || ' ')")
+    val sb = new StringBuilder
+    sb ++= """
+    WITH words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE len(word) BETWEEN 1 AND 12 GROUP BY word),
+    w0 AS (SELECT word, f,
+        array_to_string([substring(word, i, 1)
+          FOR i IN range(1, len(word) + 1)], ' ') AS w FROM words)"""
+    for (k <- 1 to 6) {
+      val prev = s"w${k - 1}"
+      sb ++= s""",
+    p$k AS (SELECT pr, CAST(SUM(f) AS BIGINT) AS c
+      FROM $prev, UNNEST([string_split(w, ' ')[i] || ' ' ||
+          string_split(w, ' ')[i + 1]
+        FOR i IN range(1, len(string_split(w, ' ')))]) AS t(pr)
+      GROUP BY pr),
+    m$k AS (SELECT pr, c FROM p$k ORDER BY c DESC, pr LIMIT 1),
+    w$k AS (SELECT word, f,
+        trim(${rep4("' ' || w || ' '", s"m$k")}) AS w
+      FROM $prev CROSS JOIN m$k)"""
+    }
+    sb ++= s"""
+    SELECT step, pr AS pair, replace(pr, ' ', '') AS merged, c AS cnt
+    FROM (${(1 to 6).map(k => s"SELECT $k AS step, pr, c FROM m$k")
+        .mkString(" UNION ALL ")})
+    ORDER BY step"""
+    sb.toString
+  }
+
   // ------------------------------------ quality-classifier training step
   /** Distributed training of the quality classifier (the CCNet /
     * fastText-filter step, done ON the cluster): two full-batch
@@ -1774,6 +1857,7 @@ object PipelineQueries {
     QuerySpec("dedup_incremental", dedupIncremental,
       Some(dedupIncrementalSql)),
     QuerySpec("quality_logreg", qualityLogreg, Some(qualityLogregSql)),
+    QuerySpec("bpe_train", bpeTrain, Some(bpeTrainSql)),
     QuerySpec("text_tfidf_top", textTfidfTop, Some(textTfidfTopSql)),
     QuerySpec("text_chunk_windows", textChunkWindows,
       Some(textChunkWindowsSql)),

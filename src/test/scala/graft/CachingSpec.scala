@@ -12,7 +12,7 @@ class CachingSpec extends SparkSpec {
   private val pipelineQueries = Seq(
     "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_keep_best", "dedup_emb_cosine",
-    "decontaminate", "pipeline_curate")
+    "decontaminate", "pipeline_curate", "bpe_train")
 
   for (name <- pipelineQueries)
     test(s"$name leaves no cached blocks behind") {
