@@ -28,7 +28,7 @@ object CubeQueries {
     lonMin = 0.0, latMin = 50.0, res = 0.1, latAscending = true)
 
   /** events + derived cell columns; arithmetic mirrored in cubeCte. */
-  private def cube(s: SparkSession, d: String): DataFrame =
+  private[queries] def cube(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("y_idx", expr("CAST(event_id % 20 AS INT)"))
       .withColumn("x_idx", expr("CAST((event_id div 20) % 40 AS INT)"))
@@ -47,7 +47,7 @@ object CubeQueries {
   private def coordLons: Array[Double] =
     Array.tabulate(40)(x => (x.toDouble + 0.5) * 0.1)
 
-  private val cubeCte: String = """
+  private[queries] val cubeCte: String = """
     cube AS (
       SELECT event_id, user_id, event_type, value,
         CAST(event_id % 20 AS INT) AS y_idx,

@@ -30,6 +30,39 @@ object ExtraQueries {
       s"SELECT '$n' AS table_name, COUNT(*) AS n_rows FROM $n")
       .mkString("", "\n    UNION ALL ", "\n    ORDER BY table_name")
 
+  // ------------------------------------------------------------- S6/U1
+  /** SQL-text computed dataset, end-to-end through the server registry
+    * (reference ComputedMultiLevelDataset, mldataset.py:308-382): the
+    * events-derived cube registers as dataset `base`, a computed
+    * dataset declares its derived variable as config SQL TEXT
+    * (ServiceContext's `Function: sql` arm — Catalyst-parsed and
+    * analyzer-validated at registration, no runtime code execution),
+    * and the query aggregates the DERIVED cube per day. The oracle
+    * replays the declared SQL inline, so the whole
+    * register → runtime-eval → serve chain is hash-checked. */
+  def computedSqlView(s: SparkSession, d: String): DataFrame = {
+    val ctx = new graft.server.ServiceContext(s)
+    val base = CubeQueries.cube(s, d).select(
+      col("ts").as("time"), col("y_idx"), col("x_idx"),
+      col("lat"), col("lon"), col("value"))
+    ctx.register(graft.server.RegisteredDataset("base", "Base",
+      graft.cube.CubeFrame(base, CubeQueries.grid, Seq("value")), None))
+    ctx.registerComputed("derived", "Derived", "sql", Seq("base"), Map(
+      "sql" -> ("SELECT time, y_idx, x_idx, lat, lon, " +
+        "value * 2.0 + 1.0 AS v2, date_format(time, 'yyyy-MM-dd') AS day " +
+        "FROM base")))
+    ctx.dataset("derived").get.cube.df
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_cells"), Q.davg(col("v2")).as("mean_v2"))
+      .orderBy("day")
+  }
+
+  val computedSqlViewSql: String = s"""
+    WITH ${CubeQueries.cubeCte},
+    derived AS (SELECT day, value * 2.0 + 1.0 AS v2 FROM cube)
+    SELECT day, COUNT(*) AS n_cells, ${Sql.davg("v2")} AS mean_v2
+    FROM derived GROUP BY day ORDER BY day"""
+
   // --------------------------------------------------------------- J5
   /** 'current' selection (context.py:437-438): latest event per user —
     * deterministic arg-max via one window pass. */
@@ -481,6 +514,7 @@ object ExtraQueries {
     FROM events GROUP BY 1 ORDER BY bucket"""
 
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("computed_sql_view", computedSqlView, Some(computedSqlViewSql)),
     QuerySpec("catalogue_counts", catalogueCounts, Some(catalogueCountsSql)),
     QuerySpec("dim_current", dimCurrent, Some(dimCurrentSql)),
     QuerySpec("dim_indexer_depth", dimIndexerDepth,

@@ -361,6 +361,54 @@ Datasets:
     assert(m.cube.df.count() == 4L * 2)
   }
 
+  test("sql computed dataset: runtime SQL eval over input views, " +
+      "per-level re-evaluation, command/analysis rejection (S6/U1)") {
+    val ctx = new ServiceContext(spark)
+    val grid = CubeGrid(8, 4, 0.0, 0.0, 1.0, latAscending = true)
+    val a = Cube.synthetic(spark, grid, 2, Seq("v0"), nanEvery = 1000)
+    val b = Cube.synthetic(spark, grid, 2, Seq("v1"), nanEvery = 1000)
+    ctx.register(RegisteredDataset("a", "A", a, None))
+    ctx.register(RegisteredDataset("b", "B", b, None))
+    // a two-input join + free-form arithmetic, as config-declared SQL —
+    // the reference's compute_dataset(ds1, ds2) script, declaratively
+    ctx.registerComputed("ratio", "Ratio", "sql", Seq("a", "b"), Map(
+      "sql" -> ("SELECT a.time, a.y_idx, a.x_idx, a.lat, a.lon, " +
+        "a.v0 / (b.v1 + 100.0) AS ratio FROM a JOIN b " +
+        "ON a.time = b.time AND a.y_idx = b.y_idx AND a.x_idx = b.x_idx")))
+    val d = ctx.dataset("ratio").get
+    assert(d.cube.variables == Seq("ratio"))
+    assert(d.cube.grid == grid)
+    import org.apache.spark.sql.functions.{col, isnan, not}
+    // cell 0 is a NaN hole in both inputs (synthetic's cell%nanEvery==0)
+    assert(d.cube.df.filter(not(isnan(col("ratio")))).count() == 2L * 8 * 4 - 2)
+    // per-level re-evaluation: inputs with materialized pyramids of
+    // equal depth get the SQL applied level-by-level (mldataset.py:369)
+    val aL = RegisteredDataset("al", "A", a, None,
+      levels = graft.operators.Pyramid.build(a, tileW = 4, tileH = 2))
+    ctx.register(aL)
+    ctx.registerComputed("lvl", "Lvl", "sql", Seq("al"), Map(
+      "sql" -> "SELECT time, y_idx, x_idx, lat, lon, v0 * 2.0 AS twice FROM al"))
+    val lvl = ctx.dataset("lvl").get
+    assert(lvl.levels.size == aL.levels.size && lvl.levels.size > 1)
+    assert(lvl.levels.last.grid.width < grid.width)
+    // sandbox boundary: commands refuse, analysis errors surface as 400s
+    intercept[IllegalArgumentException] {
+      ctx.registerComputed("bad", "Bad", "sql", Seq("a"),
+        Map("sql" -> "DROP TABLE a"))
+    }
+    intercept[IllegalArgumentException] {
+      ctx.registerComputed("bad2", "Bad", "sql", Seq("a"),
+        Map("sql" -> "SELECT nope FROM a"))
+    }
+    intercept[IllegalArgumentException] { // coords must survive
+      ctx.registerComputed("bad3", "Bad", "sql", Seq("a"),
+        Map("sql" -> "SELECT v0 FROM a"))
+    }
+    // the temp views were dropped after analysis — nothing leaks into
+    // the session catalog
+    assert(!spark.catalog.tableExists("a") && !spark.catalog.tableExists("b"))
+  }
+
   test("tile ?time= nearest-selects a step; cbar/vmin/vmax override " +
       "style") {
     val ctx = demoContext()
