@@ -197,6 +197,70 @@ case class SqDistToCentroids(child: Expression, centroids: Seq[Seq[Double]])
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Dense linear map of an embedding column by a small broadcast
+  * row-matrix M: out[k] = Σᵢ v[i]·M[k][i] — the projection kernel for
+  * Johnson-Lindenstrauss random projection / PCA-style dim reduction
+  * before ANN. The matrix is driver state riding the plan via
+  * addReferenceObj (like the k-means centroids); arithmetic is
+  * float-upcast multiply with in-order double accumulation per output
+  * row, bit-identical to the DuckDB oracle's list_reduce fold. */
+case class MatVecProduct(child: Expression, mat: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec_product"
+
+  @transient private lazy val rows: Array[Array[Double]] =
+    mat.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Double](rows.length)
+    var k = 0
+    while (k < rows.length) {
+      val r = rows(k)
+      val n = math.min(v.numElements(), r.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += v.getFloat(i).toDouble * r(i)
+        i += 1
+      }
+      out(k) = acc
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val mRef = ctx.addReferenceObj("mat", rows, "double[][]")
+      val out = ctx.freshName("out")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |double[] $out = new double[$mRef.length];
+         |for (int $k = 0; $k < $mRef.length; $k++) {
+         |  int $n = java.lang.Math.min($v.numElements(), $mRef[$k].length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double)$v.getFloat($i) * $mRef[$k][$i];
+         |  }
+         |  $out[$k] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util
+         |  .GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VecF {
   /** per-centroid squared distances of an array<float> column. */
   def sqDistToCentroids(v: Column, cents: Seq[Seq[Double]]): Column =
@@ -216,4 +280,9 @@ object VecF {
   def hyperplaneBucket(v: Column, planes: Array[Array[Double]]): Column =
     GraftColumnBridge.column(HyperplaneBucket(
       GraftColumnBridge.expression(v), planes.map(_.toSeq).toSeq))
+
+  /** dense row-matrix × vector product of an array<float> column. */
+  def matVec(v: Column, mat: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(MatVecProduct(
+      GraftColumnBridge.expression(v), mat.map(_.toSeq).toSeq))
 }

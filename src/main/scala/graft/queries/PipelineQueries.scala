@@ -1846,7 +1846,174 @@ object PipelineQueries {
     FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id
     ORDER BY b.doc_id"""
 
+  // ------------------------------------------- epoch-order global shuffle
+  /** Deterministic global training-order shuffle (the epoch-ordering
+    * step before packing: a stable pseudo-random permutation of the
+    * corpus, reproducible run-to-run and engine-to-engine). Order key =
+    * Knuth multiplicative hash of doc_id; the global position is
+    * computed WITHOUT a corpus-wide single-partition window: buckets
+    * are hash RANGES (so sorting by (bucket, h) equals sorting by h),
+    * each bucket ranks locally under one 256-way hash exchange, and
+    * bucket start offsets come from a ≤256-row count table whose
+    * cumulative sum is the only empty-partition window — metadata
+    * scale, never corpus scale. A uniform hash keeps buckets uniform,
+    * so the same plan holds at 100 TB with zero skew and no driver
+    * collect. */
+  def shuffleEpoch(s: SparkSession, d: String): DataFrame = {
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+    // ceil(1000000007 / 256) = 3906251 → bucket ∈ [0, 255], a RANGE of h
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("bucket", expr("h div 3906251"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = docs.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        coalesce(sum(col("n")).over(wOff), lit(0L)).as("off"))
+    docs.withColumn("rn", row_number().over(wB))
+      .join(broadcast(offs), "bucket")
+      .select((col("off") + col("rn") - 1).as("pos"), col("doc_id"),
+        col("source"))
+      .orderBy("pos")
+  }
+
+  val shuffleEpochSql: String = """
+    SELECT ROW_NUMBER() OVER (
+        ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) - 1 AS pos,
+      doc_id, source
+    FROM documents ORDER BY pos"""
+
+  // --------------------------------------- learnability-based selection
+  /** Dual-scorer data selection (the RHO-loss / DataComp shape: keep
+    * examples that are hard for a reference model but not junk): a
+    * document's learnability = z-score of its unigram-LM surprisal
+    * minus z-score of its cheap quality heuristic; the top 20% per
+    * source survive. Corpus mean/std of both scores are ONE exact
+    * DECIMAL aggregate broadcast as a scalar row; per-source ranking is
+    * one partitioned window. Rounded score domains make the z-scores
+    * and ranks bit-identical cross-engine. */
+  def selectLearnability(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val stopHits =
+      size(filter(toks, t => t.isInCollection(TextAnalysis.Stopwords)))
+    val q = round(least(lit(1.0), nTok.cast("double") / 100.0) *
+      (lit(1.0) - stopHits.cast("double") / nTok), 6)
+    val quality = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), q.as("q"))
+    val srp = textUnigramLogprob(s, d)
+      .select(col("doc_id"), col("avg_neg_logprob").as("srp"))
+    val joined = quality.join(srp, "doc_id")
+    val stats = joined.agg(
+      Q.davg(col("q")).as("mq"), Q.davg(round(col("q") * col("q"), 6)).as("q2"),
+      Q.davg(col("srp")).as("ms"),
+      Q.davg(round(col("srp") * col("srp"), 6)).as("s2"))
+      .select(col("mq"), col("ms"),
+        round(sqrt(greatest(lit(0.0), col("q2") - col("mq") * col("mq"))), 6)
+          .as("sq"),
+        round(sqrt(greatest(lit(0.0), col("s2") - col("ms") * col("ms"))), 6)
+          .as("ss"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("learn").desc, col("doc_id").asc)
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    joined.crossJoin(broadcast(stats))
+      .withColumn("learn", round(
+        (col("srp") - col("ms")) / col("ss") -
+          (col("q") - col("mq")) / col("sq"), 6))
+      .withColumn("rank", row_number().over(wR))
+      .withColumn("n_src", count(lit(1)).over(wN))
+      .filter(col("rank") <= expr("CAST(ceil(n_src / 5.0) AS BIGINT)"))
+      .select(col("source"), col("rank"), col("doc_id"), col("learn"))
+      .orderBy("source", "rank")
+  }
+
+  val selectLearnabilitySql: String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM freq),
+    srp AS (SELECT doc_id,
+        ROUND(-CAST(SUM(CAST(ln(CAST(c AS DOUBLE) / t) AS DECIMAL(38,12)))
+          AS DOUBLE) / COUNT(*), 6) AS srp
+      FROM toks JOIN freq USING (tok) CROSS JOIN tot GROUP BY doc_id),
+    q AS (SELECT doc_id, source,
+        ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+          * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ($stop))) AS DOUBLE)
+            / len(string_split(text, ' '))), 6) AS q
+      FROM documents),
+    j AS (SELECT q.doc_id, q.source, q.q, srp.srp
+      FROM q JOIN srp USING (doc_id)),
+    st AS (SELECT ${Sql.davg("q")} AS mq, ${Sql.davg("ROUND(q * q, 6)")} AS q2,
+        ${Sql.davg("srp")} AS ms, ${Sql.davg("ROUND(srp * srp, 6)")} AS s2
+      FROM j),
+    st2 AS (SELECT mq, ms,
+        ROUND(sqrt(GREATEST(0.0, q2 - mq * mq)), 6) AS sq,
+        ROUND(sqrt(GREATEST(0.0, s2 - ms * ms)), 6) AS ss FROM st),
+    z AS (SELECT j.source, j.doc_id,
+        ROUND((j.srp - ms) / ss - (j.q - mq) / sq, 6) AS learn
+      FROM j CROSS JOIN st2),
+    r AS (SELECT source, doc_id, learn,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY learn DESC, doc_id) AS INT) AS rank,
+        COUNT(*) OVER (PARTITION BY source) AS n_src FROM z)
+    SELECT source, rank, doc_id, learn FROM r
+    WHERE rank <= CAST(ceil(n_src / 5.0) AS BIGINT)
+    ORDER BY source, rank"""
+  }
+
+  // ---------------------------------------- JL random projection (ANN)
+  /** Johnson-Lindenstrauss random projection of the embedding column,
+    * 64 → 16 dims (the dim-reduction step before large-scale ANN: a
+    * 4× smaller index with bounded distance distortion, no training
+    * pass at all). The ±1 sign matrix derives from integer hashing on
+    * the DRIVER and rides the plan as a reference object inside the
+    * codegen [[graft.functions.MatVecProduct]] kernel — the projection
+    * is a pure scan (zero corpus shuffle; the output sort is the only
+    * exchange), so it scales with read bandwidth. Output: first 4
+    * projected components + the projected L2 norm, 6dp-rounded; the
+    * oracle replays the same hash-sign fold per component. */
+  def embRpProject(s: SparkSession, d: String): DataFrame = {
+    val outDim = 16
+    val mat: Array[Array[Double]] = Array.tabulate(outDim, 64)((k, j) =>
+      if (((k.toLong * 997 + j) * 2654435761L) % 2 == 0) 1.0 else -1.0)
+    val p = graft.functions.VecF.matVec(col("embedding"), mat)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), p.as("p"))
+      .select(col("vec_id"),
+        round(element_at(col("p"), 1) / 4.0, 6).as("p0"),
+        round(element_at(col("p"), 2) / 4.0, 6).as("p1"),
+        round(element_at(col("p"), 3) / 4.0, 6).as("p2"),
+        round(element_at(col("p"), 4) / 4.0, 6).as("p3"),
+        round(sqrt(aggregate(transform(col("p"), x => x * x / 16.0),
+          lit(0.0), (a, b) => a + b)), 6).as("pnorm"))
+      .orderBy("vec_id")
+  }
+
+  val embRpProjectSql: String = """
+    WITH p AS (SELECT vec_id,
+        [list_reduce([CASE WHEN ((k * 997 + j) * 2654435761) % 2 = 0
+            THEN CAST(embedding[j + 1] AS DOUBLE)
+            ELSE -CAST(embedding[j + 1] AS DOUBLE) END
+          FOR j IN range(0, len(embedding))], (a, b) -> a + b)
+        FOR k IN range(0, 16)] AS pr
+      FROM embeddings)
+    SELECT vec_id,
+      ROUND(pr[1] / 4.0, 6) AS p0, ROUND(pr[2] / 4.0, 6) AS p1,
+      ROUND(pr[3] / 4.0, 6) AS p2, ROUND(pr[4] / 4.0, 6) AS p3,
+      ROUND(sqrt(list_reduce([x * x / 16.0 FOR x IN pr],
+        (a, b) -> a + b)), 6) AS pnorm
+    FROM p ORDER BY vec_id"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("shuffle_epoch", shuffleEpoch, Some(shuffleEpochSql)),
+    QuerySpec("select_learnability", selectLearnability,
+      Some(selectLearnabilitySql)),
+    QuerySpec("emb_rp_project", embRpProject, Some(embRpProjectSql)),
     QuerySpec("pack_sequences", packSequences, Some(packSequencesSql)),
     QuerySpec("quality_gate_p75", qualityGateP75, Some(qualityGateP75Sql)),
     QuerySpec("dsir_importance", dsirImportance, Some(dsirImportanceSql)),

@@ -384,4 +384,82 @@ class ScaleSpec extends SparkSpec {
           e.child.output.map(_.name).mkString(",")))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("shuffle_epoch enumerates globally without a corpus-wide " +
+      "single-partition window") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.shuffleEpoch(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      // two windows: the per-bucket rank (partitioned — corpus scale)
+      // and the bucket-offset cumsum (global, but over the ≤256-row
+      // aggregated count table, never over document rows)
+      assert(windows.size == 2, windows.map(_.partitionSpec).toString)
+      val (global, bucketed) = windows.partition(_.partitionSpec.isEmpty)
+      assert(global.size == 1 && bucketed.size == 1)
+      assert(!global.head.output.exists(_.name == "doc_id"),
+        "the single-partition window must see only bucket aggregates: " +
+          global.head.output.map(_.name).mkString(","))
+      assert(global.head.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }.nonEmpty, "offset window must sit above the bucket count aggregate")
+      // the offsets table joins back by broadcast, not shuffle
+      assert(plan.collectFirst {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.nonEmpty, plan.toString.take(1200))
+      // verify the bucketed enumeration equals the global ordering
+      val got = q.collect()
+      assert(got.map(_.getLong(0)).toSeq == got.indices.map(_.toLong),
+        "positions must be 0..n-1")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("select_learnability broadcasts the corpus-stats scalar and " +
+      "ranks under a partitioned window") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.selectLearnability(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val s = plan.toString
+      // the mean/std row joins every doc via broadcast (single-row
+      // scalar — the correct cross join), never a shuffle
+      assert(s.contains("BroadcastNestedLoopJoin"), s.take(1200))
+      // every corpus-scale window is partitioned by source
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+        windows.map(_.partitionSpec).toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("emb_rp_project is a pure scan: codegen mat_vec_product kernel, " +
+      "no shuffle before the output sort") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.embRpProject(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val s = plan.toString
+      assert(s.contains("mat_vec_product"), s.take(1200))
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }
+      // only the deterministic output orderBy repartitions (range);
+      // the projection itself never shuffles the corpus
+      assert(exchanges.forall(
+        _.outputPartitioning.toString.contains("rangepartitioning")),
+        exchanges.map(_.outputPartitioning).toString)
+      // the kernel projection sits inside a whole-stage-codegen span
+      // (rendered as a `*(n)` marker on its plan line)
+      assert(s.linesIterator.exists(l =>
+        l.contains("mat_vec_product") && l.contains("*(")), s.take(600))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
