@@ -115,9 +115,26 @@ object Places {
     * a loadGeoJson frame. The query geometry is closure-captured
     * (broadcast with the task); exact intersects for every type pair. */
   def featuresIntersectingWkt(features: DataFrame, geoJsonCol: String,
-                              wkt: String): DataFrame = {
-    val query = Geo.parseWkt(wkt)
+                              wkt: String): DataFrame =
+    featuresIntersectingGeometry(features, geoJsonCol, Geo.parseWkt(wkt))
+
+  /** Same predicate over an already-parsed query geometry — the funnel
+    * every find_places input form (bbox / WKT / posted GeoJSON) reaches
+    * (places.py:64-94). */
+  def featuresIntersectingGeometry(features: DataFrame, geoJsonCol: String,
+                                   query: Geo.Geometry): DataFrame = {
     val hits = udf((gj: String) => Geo.intersects(Geo.parseGeoJson(gj), query))
     features.filter(hits(col(geoJsonCol)))
+  }
+
+  /** Point-frame variant over a parsed geometry. */
+  def pointsWithinGeometry(points: DataFrame, xCol: String, yCol: String,
+                           geom: Geo.Geometry): DataFrame = {
+    val bb = geom.bbox
+    val inGeom = udf((x: Double, y: Double) => geom.contains(Pt(x, y)))
+    points
+      .filter(col(xCol) >= bb.xMin && col(xCol) <= bb.xMax &&
+        col(yCol) >= bb.yMin && col(yCol) <= bb.yMax)
+      .filter(inGeom(col(xCol), col(yCol)))
   }
 }

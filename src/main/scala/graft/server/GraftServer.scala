@@ -33,7 +33,10 @@ import graft.render.Render.ColorMapping
   *   POST /ts/{ds}/{v}/geometry                   zonal time series (WKT body)
   *   POST /ts/{ds}/{v}/geometries                 per-geometry fan-out (GeoJSON GeometryCollection body)
   *   POST /ts/{ds}/{v}/places                     per-feature fan-out (GeoJSON FeatureCollection body)
-  *   GET  /places/{group}?geom=WKT                feature query
+  *   GET  /places/{group}[?geom=WKT|?bbox=..]     feature query (no
+  *                                                geometry = whole group)
+  *   POST /places/{group}                         feature query (GeoJSON body)
+  *   GET  /places/{group}/{ds}                    features in dataset bounds
   *   GET  /wmts/1.0.0/WMTSCapabilities.xml        capabilities
   *
   * All ts routes accept startDate/endDate query args (ISO date or
@@ -204,46 +207,56 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
           send(ex, 200, Json.obj("type" -> Json.str("FeatureCollection"),
             "features" -> Json.arr(feats)), "application/json")
         }
+      // generic find-places (FindPlacesHandler, places.py:32-94): GET
+      // takes ?geom= WKT or ?bbox= (antimeridian-split); POST takes a
+      // GeoJSON body; NO geometry at all returns the whole collection.
+      // ?query= expressions raise exactly like the reference's
+      // NotImplementedError (→ 500, not a silent ignore).
       case ("GET", "places" :: group :: Nil) =>
         val q = query(ex)
+        if (q.contains("query")) throw new UnsupportedOperationException(
+          "query expressions are not implemented")
         if (q.contains("geom") && q.contains("bbox"))
           throw new IllegalArgumentException(
             "Only one of 'geom' and 'bbox' may be given")
-        val geomWkt = q.get("geom").orElse(q.get("bbox").map { b =>
-          b.split(",").map(_.trim.toDouble) match {
-            case Array(x1, y1, x2, y2) =>
-              s"POLYGON(($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))"
-            case _ => throw new IllegalArgumentException(
-              "bbox must be x1,y1,x2,y2")
-          }
-        }).getOrElse(
-          throw new IllegalArgumentException("geom or bbox parameter required"))
-        val df = ctx.places(group).getOrElse {
-          send(ex, 404, Json.obj("error" -> Json.str(s"no place group $group")),
-            "application/json"); return
+        val geom = q.get("geom").map(Geo.parseWkt).orElse(q.get("bbox").map {
+          b =>
+            b.split(",").map(_.trim.toDouble) match {
+              case Array(x1, y1, x2, y2) =>
+                // east < west crosses the antimeridian and splits
+                // (get_box_split_bounds_geometry, utils.py:56-70)
+                Geo.boxSplitGeometry(x1, y1, x2, y2)
+              case _ => throw new IllegalArgumentException(
+                "Received invalid bounding box geometry")
+            }
+        })
+        findPlaces(ex, group, geom)
+      case ("POST", "places" :: group :: Nil) =>
+        val q = query(ex)
+        if (q.contains("query")) throw new UnsupportedOperationException(
+          "query expressions are not implemented")
+        val node = readJsonBody(ex)
+        // geometry extraction mirrors find_places(geojson_obj=...)
+        // (places.py:50-59) INCLUDING the FeatureCollection quirk: the
+        // reference indexes obj["places"][0]["geometry"], not
+        // obj["features"] — a posted standard FeatureCollection is
+        // rejected there, so it is here too
+        val gNode = Option(node.get("type")).map(_.asText("")) match {
+          case Some("FeatureCollection") =>
+            Option(node.get("places")).flatMap(p => Option(p.get(0)))
+              .flatMap(f => Option(f.get("geometry")))
+              .getOrElse(throw new IllegalArgumentException(
+                "Received invalid GeoJSON object"))
+          case Some("Feature") =>
+            Option(node.get("geometry")).getOrElse(
+              throw new IllegalArgumentException(
+                "Received invalid GeoJSON object"))
+          case _ => node
         }
-        if (df.columns.contains("geometry_json")) {
-          // loadGeoJson frames: exact intersects on the full geometry
-          // (reference FindPlacesHandler → places.py:74-94), response is
-          // a GeoJSON FeatureCollection
-          val feats = Places.featuresIntersectingWkt(df, "geometry_json",
-              geomWkt)
-            .collect().map(r => Json.obj(
-              "type" -> Json.str("Feature"),
-              "id" -> r.getAs[Long]("id").toString,
-              "geometry" -> r.getAs[String]("geometry_json"),
-              "properties" -> Option(r.getAs[String]("properties_json"))
-                .getOrElse("null")))
-          send(ex, 200, Json.obj("type" -> Json.str("FeatureCollection"),
-            "features" -> Json.arr(feats)), "application/json")
-        } else {
-          val hits = Places.pointsWithinWkt(df, "x", "y", geomWkt)
-            .collect().map(r => Json.obj(
-              "id" -> r.getAs[Long]("id").toString,
-              "x" -> Json.num(r.getAs[Double]("x")),
-              "y" -> Json.num(r.getAs[Double]("y"))))
-          send(ex, 200, Json.obj("places" -> Json.arr(hits)), "application/json")
-        }
+        val geom = try Geo.parseGeoJson(gNode.toString)
+        catch { case _: Exception => throw new IllegalArgumentException(
+          "Received invalid GeoJSON object") }
+        findPlaces(ex, group, Some(geom))
       // tile-source options for map clients (GetDatasetVarTileGridHandler,
       // tiles.py:187-198); ?tiles=ol4 (default) or cesium
       case ("GET", "datasets" :: ds :: "vars" :: v :: "tilegrid" :: Nil) =>
@@ -496,6 +509,46 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
     * (reference _get_time_series_for_geometries, time_series.py:208-219)
     * — ONE Spark job over the unioned per-geometry plans, grouped back
     * by geometry_index on the driver. */
+  /** Shared find-places response for GET (WKT/bbox) and POST (GeoJSON
+    * body): None = no query geometry → the WHOLE collection, exactly
+    * like __find_places returning the raw place group
+    * (places.py:80-86). */
+  private def findPlaces(ex: HttpExchange, group: String,
+                         geom: Option[Geo.Geometry]): Unit = {
+    val df = ctx.places(group).getOrElse {
+      send(ex, 404, Json.obj("error" -> Json.str(s"no place group $group")),
+        "application/json"); return
+    }
+    if (df.columns.contains("geometry_json")) {
+      // loadGeoJson frames: exact intersects on the full geometry
+      // (reference FindPlacesHandler → places.py:74-94), response is
+      // a GeoJSON FeatureCollection
+      val hits = geom match {
+        case Some(g) =>
+          Places.featuresIntersectingGeometry(df, "geometry_json", g)
+        case None => df
+      }
+      val feats = hits.collect().map(r => Json.obj(
+        "type" -> Json.str("Feature"),
+        "id" -> r.getAs[Long]("id").toString,
+        "geometry" -> r.getAs[String]("geometry_json"),
+        "properties" -> Option(r.getAs[String]("properties_json"))
+          .getOrElse("null")))
+      send(ex, 200, Json.obj("type" -> Json.str("FeatureCollection"),
+        "features" -> Json.arr(feats)), "application/json")
+    } else {
+      val hits = geom match {
+        case Some(g) => Places.pointsWithinGeometry(df, "x", "y", g)
+        case None => df
+      }
+      val rows = hits.collect().map(r => Json.obj(
+        "id" -> r.getAs[Long]("id").toString,
+        "x" -> Json.num(r.getAs[Double]("x")),
+        "y" -> Json.num(r.getAs[Double]("y"))))
+      send(ex, 200, Json.obj("places" -> Json.arr(rows)), "application/json")
+    }
+  }
+
   private def tsMany(ex: HttpExchange, d: RegisteredDataset, v: String,
                      geoms: Seq[graft.geo.Geo.Geometry],
                      range: (Option[java.sql.Timestamp],

@@ -331,6 +331,47 @@ Datasets:
       assert(inDs.contains("\"id\":1") && inDs.contains("\"id\":2"))
       assert(!inDs.contains("\"id\":3"))
       assert(get("/places/ga/nope").contains("no dataset"))
+      // find-places parity (places.py:32-94):
+      // no geometry at all → the WHOLE collection
+      val all = get("/places/ga")
+      assert(all.contains("\"id\":1") && all.contains("\"id\":2") &&
+        all.contains("\"id\":3"))
+      // POST GeoJSON Feature body → its geometry filters
+      def post(p: String, body: String): (Int, String) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(srv.address + p))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      val feat = """{"type":"Feature","geometry":{"type":"Polygon",
+        "coordinates":[[[0,0],[2.5,0],[2.5,2.5],[0,2.5],[0,0]]]},
+        "properties":{}}""".replaceAll("\n\\s*", "")
+      val (pc, pBody) = post("/places/ga", feat)
+      assert(pc == 200 && pBody.contains("\"id\":1") &&
+        pBody.contains("\"id\":2") && !pBody.contains("\"id\":3"))
+      // bare geometry body works too
+      val (gc, gBody) = post("/places/ga",
+        """{"type":"Polygon","coordinates":[[[2.5,2.5],[9,2.5],[9,9],[2.5,9],[2.5,2.5]]]}""")
+      assert(gc == 200 && gBody.contains("\"id\":3") && !gBody.contains("\"id\":1"))
+      // the reference's FeatureCollection quirk: it reads
+      // obj["places"][0]["geometry"] — a STANDARD FeatureCollection
+      // (features key) is invalid there, and here
+      val (fc400, _) = post("/places/ga",
+        s"""{"type":"FeatureCollection","features":[$feat]}""")
+      assert(fc400 == 400)
+      val (fcOk, fcBody) = post("/places/ga",
+        s"""{"type":"FeatureCollection","places":[$feat]}""")
+      assert(fcOk == 200 && fcBody.contains("\"id\":1"))
+      // ?query= expressions: NotImplementedError in the reference → 500
+      val q500 = client.send(HttpRequest.newBuilder(
+        URI.create(srv.address + "/places/ga?query=x")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(q500.statusCode() == 500)
+      // antimeridian bbox (east < west) splits into two boxes: nothing
+      // in this group sits near ±180, so the hit set is empty — but the
+      // request parses and succeeds
+      val am = get("/places/ga?bbox=170,0,-170,5")
+      assert(am.contains("\"features\":[]"))
     } finally srv.stop()
   }
 
