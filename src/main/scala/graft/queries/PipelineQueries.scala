@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -2009,7 +2009,150 @@ object PipelineQueries {
         (a, b) -> a + b)), 6) AS pnorm
     FROM p ORDER BY vec_id"""
 
+  // ------------------------------------------------ mixture epoch plan
+  /** Token-budget epoch planning (the step AFTER choosing mixture
+    * weights: turn weights into per-source repeat factors for a fixed
+    * training budget, the Pile/DoReMi recipe). Reuses the exact
+    * sqrt-share weight computation of source_mix_weights, then pure
+    * scalar math per source: target tokens, epochs (>1 = upsample by
+    * repetition, <1 = subsample), full passes, and the fractional last
+    * pass. One corpus aggregate + two broadcast scalars — the plan a
+    * 100 TB mixing job has. */
+  def mixEpochPlan(s: SparkSession, d: String): DataFrame = {
+    val budget = 1000000L
+    val per = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("t"))
+    val sh = per.crossJoin(broadcast(tot))
+      .withColumn("wr",
+        sqrt(col("n_tokens").cast("double") / col("t")).cast("decimal(38,12)"))
+    val z = sh.agg(sum(col("wr")).as("z"))
+    sh.crossJoin(broadcast(z))
+      .withColumn("weight",
+        round(col("wr").cast("double") / col("z").cast("double"), 6))
+      .withColumn("target_tokens",
+        round(lit(budget.toDouble) * col("weight")).cast("long"))
+      .withColumn("epochs", round(
+        col("target_tokens").cast("double") / col("n_tokens"), 6))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("target_tokens"), col("epochs"),
+        expr("CAST(ceil(epochs) AS BIGINT)").as("n_passes"),
+        round(col("epochs") - floor(col("epochs")), 6).as("last_pass_frac"))
+      .orderBy("source")
+  }
+
+  val mixEpochPlanSql: String = """
+    WITH per AS (SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per),
+    sh AS (SELECT source, n_tokens,
+        CAST(sqrt(CAST(n_tokens AS DOUBLE) / t) AS DECIMAL(38,12)) AS wr
+      FROM per CROSS JOIN tot),
+    z AS (SELECT SUM(wr) AS z FROM sh),
+    w AS (SELECT source, n_tokens,
+        ROUND(CAST(wr AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight
+      FROM sh CROSS JOIN z),
+    p AS (SELECT source, n_tokens, weight,
+        CAST(ROUND(1000000.0 * weight) AS BIGINT) AS target_tokens FROM w),
+    e AS (SELECT *, ROUND(CAST(target_tokens AS DOUBLE) / n_tokens, 6)
+        AS epochs FROM p)
+    SELECT source, n_tokens, weight, target_tokens, epochs,
+      CAST(ceil(epochs) AS BIGINT) AS n_passes,
+      ROUND(epochs - floor(epochs), 6) AS last_pass_frac
+    FROM e ORDER BY source"""
+
+  // ------------------------------- projected-space two-stage ANN
+  /** Two-stage ANN through the JL projection (what emb_rp_project is
+    * FOR): stage 1 shortlists 20 candidates per query by cosine in the
+    * 16-dim projected space (4× less arithmetic and index footprint),
+    * stage 2 exact-reranks only the shortlist at full 64 dims and
+    * keeps the top 5. The shortlist window shuffles (query, neighbor,
+    * score) triples ONLY — embeddings and projections never leave the
+    * scan (ScaleSpec-asserted); the 600-row shortlist then broadcasts
+    * back against the corpus for the rerank. Both stages replay
+    * bit-identically in the oracle (in-order double folds, rounded
+    * scores, id tie-breaks). */
+  def simTopKRp(s: SparkSession, d: String): DataFrame = {
+    val mat: Array[Array[Double]] = Array.tabulate(16, 64)((k, j) =>
+      if (((k.toLong * 997 + j) * 2654435761L) % 2 == 0) 1.0 else -1.0)
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val emb = Tables.embeddings(s, d)
+    val proj = emb.select(col("vec_id"),
+      graft.functions.VecF.matVec(col("embedding"), mat).as("p"))
+    val pq = proj.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("query_id"), col("p").as("pq"))
+    val pairs = proj.select(col("vec_id").as("neighbor_id"), col("p").as("pc"))
+      .crossJoin(broadcast(pq))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotD(col("pq"), col("pc")) /
+          (sqrt(dotD(col("pq"), col("pq"))) *
+            sqrt(dotD(col("pc"), col("pc")))), 6).as("pcos"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("pcos").desc, col("neighbor_id"))
+    val short = pairs.withColumn("prank", row_number().over(w1))
+      .filter(col("prank") <= 20).select("query_id", "neighbor_id")
+    val qSide = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val exact = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ec"))
+      .join(broadcast(short), "neighbor_id")
+      .join(broadcast(qSide), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.VecF.dotF(col("eq"), col("ec")) /
+          (graft.functions.VecF.normF(col("eq")) *
+            graft.functions.VecF.normF(col("ec"))), 6).as("cos"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  val simTopKRpSql: String = {
+    def pdot(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | [$a[CAST(i AS INT)] * $b[CAST(i AS INT)]
+         |  FOR i IN range(1, 17)]),
+         | (x, y) -> x + y)""".stripMargin
+    s"""
+    WITH pr AS (SELECT vec_id,
+        [list_reduce([CASE WHEN ((k * 997 + j) * 2654435761) % 2 = 0
+            THEN CAST(embedding[j + 1] AS DOUBLE)
+            ELSE -CAST(embedding[j + 1] AS DOUBLE) END
+          FOR j IN range(0, len(embedding))], (a, b) -> a + b)
+        FOR k IN range(0, 16)] AS p
+      FROM embeddings),
+    pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ROUND(${pdot("q.p", "c.p")} /
+          (sqrt(${pdot("q.p", "q.p")}) * sqrt(${pdot("c.p", "c.p")})), 6)
+          AS pcos
+      FROM pr q, pr c WHERE q.vec_id < 30 AND c.vec_id != q.vec_id),
+    short AS (SELECT query_id, neighbor_id FROM (SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY pcos DESC, neighbor_id) AS prank FROM pairs)
+      WHERE prank <= 20),
+    exact AS (SELECT s.query_id, s.neighbor_id,
+        ROUND(${dotSql("q.embedding", "c.embedding")} /
+          (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+            sqrt(${dotSql("c.embedding", "c.embedding")})), 6) AS cos
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.neighbor_id),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id) AS rn FROM exact)
+    SELECT query_id, neighbor_id, cos, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("mix_epoch_plan", mixEpochPlan, Some(mixEpochPlanSql)),
+    QuerySpec("sim_topk_rp", simTopKRp, Some(simTopKRpSql)),
     QuerySpec("shuffle_epoch", shuffleEpoch, Some(shuffleEpochSql)),
     QuerySpec("select_learnability", selectLearnability,
       Some(selectLearnabilitySql)),

@@ -462,4 +462,31 @@ class ScaleSpec extends SparkSpec {
         l.contains("mat_vec_product") && l.contains("*(")), s.take(600))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("sim_topk_rp shortlists in projected space without shuffling " +
+      "embeddings or projections") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.simTopKRp(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }
+      // the stage-1 window and output sort shuffle (query, neighbor,
+      // score) triples only; vectors stay inside scan-side projects
+      // and broadcasts
+      exchanges.foreach(e =>
+        assert(!e.child.output.exists(a =>
+          a.name == "embedding" || a.name == "p" || a.name == "pq" ||
+            a.name == "pc" || a.name == "eq" || a.name == "ec"),
+          e.child.output.map(_.name).mkString(",")))
+      // both join stages broadcast the small side
+      val bhj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.size >= 2, s"expected >=2 broadcast joins, got ${bhj.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
