@@ -917,6 +917,136 @@ object PipelineQueries {
     FROM toks JOIN freq USING (tok) CROSS JOIN tot
     GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------------------------------------------- boilerplate removal
+  /** Corpus-frequency boilerplate removal (the CCNet/RefinedWeb line-
+    * dedup rule: a paragraph appearing in ≥ 2 DISTINCT documents is
+    * boilerplate — nav bars, license footers, cookie banners — and is
+    * struck from every document that carries it, unlike
+    * `dedup_paragraph` which keeps the first occurrence). Shape: ONE
+    * corpus scan explodes 20-word paragraphs to 128-bit two-seed
+    * hashes; a single map-side-combinable aggregate per
+    * (hash, source) carries instance counts AND per-source distinct-doc
+    * counts, so the corpus-wide document frequency is a window SUM over
+    * the much smaller distinct-paragraph table (hash-keyed — no second
+    * corpus pass, and doc_ids never span sources so per-source distinct
+    * counts add up exactly). No exchange ever carries paragraph text —
+    * only 16-byte hashes plus the source key — which is what keeps the
+    * shuffle feasible when the corpus is 100 TB of text. */
+  def textBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nPar = ceil(size(words) / lit(20.0)).cast("int")
+    val paras = transform(sequence(lit(0), nPar - 1),
+      i => array_join(slice(words, i * 20 + 1, lit(20)), " "))
+    val exploded = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(paras).as("para"))
+      .select(col("doc_id"), col("source"),
+        xxhash64(col("para")).as("h1"),
+        xxhash64(col("para"), lit(1L)).as("h2"))
+    val perSrc = exploded.groupBy("h1", "h2", "source")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h1", "h2")
+    perSrc.withColumn("nd_tot", sum(col("nd")).over(w))
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_paras"),
+        sum(when(col("nd_tot") >= 2, col("n")).otherwise(0L))
+          .as("n_boiler"))
+      .withColumn("n_kept", col("n_paras") - col("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_paras"), 6))
+      .select("source", "n_paras", "n_boiler", "n_kept", "boiler_frac")
+      .orderBy("source")
+  }
+
+  val textBoilerplateSql: String = """
+    WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS words
+      FROM documents),
+    paras AS (SELECT doc_id, source,
+        array_to_string(list_slice(words, i * 20 + 1, i * 20 + 20), ' ')
+          AS para
+      FROM base,
+        UNNEST(range(CAST(ceil(len(words) / 20.0) AS BIGINT))) AS t(i)),
+    f AS (SELECT para, COUNT(DISTINCT doc_id) AS nd
+      FROM paras GROUP BY para)
+    SELECT source, COUNT(*) AS n_paras,
+      CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      CAST(COUNT(*) - SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_kept,
+      ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS boiler_frac
+    FROM paras JOIN f USING (para)
+    GROUP BY source ORDER BY source"""
+
+  // ----------------------------------------------- bigram LM quality
+  /** Interpolated bigram-LM surprisal per document (the KenLM-style
+    * perplexity filter CCNet runs, reduced to its distributed shape:
+    * train pass builds the model, score pass joins it back). score =
+    * -avg ln(0.7·p(w₂|w₁) + 0.3·p(w₂)). Unlike every broadcast-stats
+    * operator here, the bigram table is NOT broadcastable at corpus
+    * scale — the probability join is a genuine big×big hash join on the
+    * bigram key, the canonical distributed-LM-scoring shape. Costs are
+    * contained by pre-aggregating bigram INSTANCES per (doc, bigram)
+    * first (map-side combinable; the multiplicity rides as a weight),
+    * so the model aggregate and the scoring probe both consume that one
+    * exchange (ReuseExchange — one bigram-side corpus scan), and join
+    * traffic is distinct-bigrams-per-doc, not positions. The unigram
+    * side reuses its aggregate for both context and target counts (same
+    * canonical subtree → one exchange). Per-doc sums go through
+    * DECIMAL(38,12) so float addition order can't leak cross-engine. */
+  def textBigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val w = split(col("text"), " ")
+    val g = docs.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+    val uni = docs.select(explode(w).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("t"))
+    val big = g.groupBy("w1", "w2").agg(sum(col("n")).as("cb"))
+    val probs = big
+      .join(uni.select(col("tok").as("w1"), col("cu").as("cu1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        log(lit(0.7) * (col("cb").cast("double") / col("cu1")) +
+          lit(0.3) * (col("cu2").cast("double") / col("t"))).as("lp"))
+    g.join(probs, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum((col("n").cast("double") * col("lp"))
+          .cast("decimal(38,12)")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s").cast("double") / col("n_bigrams"), 6)
+          .as("avg_neg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val textBigramLogprobSql: String = """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents),
+    g AS (SELECT doc_id, w[CAST(i AS INT)] AS w1,
+        w[CAST(i + 1 AS INT)] AS w2, COUNT(*) AS n
+      FROM base, UNNEST(range(1, len(w))) AS t(i)
+      GROUP BY doc_id, w1, w2),
+    uni AS (SELECT unnest(w) AS tok FROM base),
+    freq AS (SELECT tok, COUNT(*) AS cu FROM uni GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS t FROM freq),
+    big AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS cb
+      FROM g GROUP BY w1, w2),
+    probs AS (SELECT w1, w2,
+        ln(CAST(0.7 AS DOUBLE) * (CAST(cb AS DOUBLE) / u1.cu) +
+           CAST(0.3 AS DOUBLE) * (CAST(u2.cu AS DOUBLE) / t)) AS lp
+      FROM big JOIN freq u1 ON big.w1 = u1.tok
+        JOIN freq u2 ON big.w2 = u2.tok CROSS JOIN tot)
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      ROUND(-CAST(SUM(CAST(n * lp AS DECIMAL(38,12))) AS DOUBLE)
+        / SUM(n), 6) AS avg_neg_logprob
+    FROM g JOIN probs USING (w1, w2)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   // ---------------------------------------------------- chunk windows
   /** Overlapping token-window chunking (the RAG/packing shape: 50-token
     * windows, stride 40): pure per-row array arithmetic — no shuffle at
@@ -2175,6 +2305,9 @@ object PipelineQueries {
       Some(sourceMixWeightsSql)),
     QuerySpec("text_unigram_logprob", textUnigramLogprob,
       Some(textUnigramLogprobSql)),
+    QuerySpec("text_boilerplate", textBoilerplate, Some(textBoilerplateSql)),
+    QuerySpec("text_bigram_logprob", textBigramLogprob,
+      Some(textBigramLogprobSql)),
     QuerySpec("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),
     QuerySpec("dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
     QuerySpec("multimodal_decode_stats", multimodalDecodeStats,

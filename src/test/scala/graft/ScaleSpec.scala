@@ -489,4 +489,57 @@ class ScaleSpec extends SparkSpec {
       assert(bhj.size >= 2, s"expected >=2 broadcast joins, got ${bhj.size}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("text_boilerplate scans the corpus once and shuffles only " +
+      "paragraph hashes") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.textBoilerplate(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val s = plan.toString
+      // the per-source instance counts AND the corpus-wide document
+      // frequency both derive from the single exploded scan — the
+      // window over (h1, h2) runs on the distinct-paragraph table, not
+      // a second corpus pass
+      assert(s.linesIterator.count(_.contains("FileScan parquet")) == 1,
+        "one corpus scan:\n" + s.take(1200))
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach(e =>
+        assert(!e.child.output.exists(a =>
+          a.name == "para" || a.name == "text" || a.name == "words"),
+          e.child.output.map(_.name).mkString(",")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("text_bigram_logprob reuses the bigram-instance exchange for " +
+      "model and probe, and the unigram aggregate for both count roles") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.textBigramLogprob(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val s = plan.toString
+      // two passes total — one bigram-side scan (shared by the model
+      // aggregate and the scoring probe through ReuseExchange) and one
+      // token-side scan (shared by cu1/cu2/total) — never three
+      assert(s.linesIterator.count(_.contains("FileScan parquet")) == 2,
+        "two corpus scans (bigram side + token side):\n" + s.take(1500))
+      assert(s.contains("ReusedExchange"), s.take(1500))
+      // raw document text never rides an exchange; only (doc_id, w1,
+      // w2, counts) rows do — the LM join key is the bigram itself
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }
+      exchanges.foreach(e =>
+        assert(!e.child.output.exists(a =>
+          a.name == "text" || a.name == "w" || a.name == "bg"),
+          e.child.output.map(_.name).mkString(",")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
