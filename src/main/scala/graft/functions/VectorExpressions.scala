@@ -261,6 +261,149 @@ case class MatVecProduct(child: Expression, mat: Seq[Seq[Double]])
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Product-quantization encoder: split the float vector into
+  * `books.length` contiguous subvectors and emit, per subspace j, the
+  * index of the nearest codebook centroid (squared-L2, first minimum =
+  * lowest index on ties — the same argmin rule the k-means oracle
+  * pins). The codebooks are driver state riding the plan via
+  * addReferenceObj, so corpus encoding is ONE codegen scan that turns
+  * a d-dim float vector into m bytes-worth of codes — the compression
+  * step that makes 100 TB of embeddings ADC-searchable from memory.
+  * Arithmetic is float-upcast subtract + in-order double accumulation,
+  * bit-identical to the DuckDB oracle's list_reduce fold. */
+case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val bookArr: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](bookArr.length)
+    var off = 0
+    var j = 0
+    while (j < bookArr.length) {
+      val cb = bookArr(j)
+      var best = 0
+      var bestd = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var acc = 0.0
+        var i = 0
+        while (i < cent.length) {
+          val dd = v.getFloat(off + i).toDouble - cent(i)
+          acc += dd * dd
+          i += 1
+        }
+        if (acc < bestd) { bestd = acc; best = c }
+        c += 1
+      }
+      out(j) = best
+      off += cb(0).length
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val bRef = ctx.addReferenceObj("books", bookArr, "double[][][]")
+      val out = ctx.freshName("out")
+      val off = ctx.freshName("off")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val cb = ctx.freshName("cb")
+      val cent = ctx.freshName("cent")
+      val best = ctx.freshName("best")
+      val bestd = ctx.freshName("bestd")
+      val acc = ctx.freshName("acc")
+      val dd = ctx.freshName("dd")
+      s"""
+         |int[] $out = new int[$bRef.length];
+         |int $off = 0;
+         |for (int $j = 0; $j < $bRef.length; $j++) {
+         |  double[][] $cb = $bRef[$j];
+         |  int $best = 0;
+         |  double $bestd = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $cb.length; $c++) {
+         |    double[] $cent = $cb[$c];
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $cent.length; $i++) {
+         |      double $dd = (double)$v.getFloat($off + $i) - $cent[$i];
+         |      $acc += $dd * $dd;
+         |    }
+         |    if ($acc < $bestd) { $bestd = $acc; $best = $c; }
+         |  }
+         |  $out[$j] = $best;
+         |  $off += $cb[0].length;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util
+         |  .GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Asymmetric-distance lookup: given a row's PQ codes and a query
+  * index, sum the precomputed per-subspace distances
+  * table(q)(j)(codes(j)) in subspace order. The table (queries ×
+  * subspaces × centroids) is driver state — ADC scoring per row is m
+  * array lookups + m adds, no float-vector math at all, which is the
+  * entire point of product quantization at corpus scale. */
+case class AdcLookup(left: Expression, right: Expression,
+                     table: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_lookup"
+
+  @transient private lazy val tArr: Array[Array[Array[Double]]] =
+    table.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(codes: Any, qi: Any): Any = {
+    val cd = codes.asInstanceOf[ArrayData]
+    val tq = tArr(qi.asInstanceOf[Int])
+    var acc = 0.0
+    var j = 0
+    while (j < tq.length) {
+      acc += tq(j)(cd.getInt(j))
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cd, qi) => {
+      val tRef = ctx.addReferenceObj("table", tArr, "double[][][]")
+      val tq = ctx.freshName("tq")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      s"""
+         |double[][] $tq = $tRef[$qi];
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $tq.length; $j++) {
+         |  $acc += $tq[$j][$cd.getInt($j)];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecF {
   /** per-centroid squared distances of an array<float> column. */
   def sqDistToCentroids(v: Column, cents: Seq[Seq[Double]]): Column =
@@ -285,4 +428,16 @@ object VecF {
   def matVec(v: Column, mat: Array[Array[Double]]): Column =
     GraftColumnBridge.column(MatVecProduct(
       GraftColumnBridge.expression(v), mat.map(_.toSeq).toSeq))
+
+  /** product-quantization codes of an array<float> column. */
+  def pqEncode(v: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    GraftColumnBridge.column(PqEncode(
+      GraftColumnBridge.expression(v), books))
+
+  /** ADC distance of a codes column for query index `qi`. */
+  def adcLookup(codes: Column, qi: Column,
+                table: Seq[Seq[Seq[Double]]]): Column =
+    GraftColumnBridge.column(AdcLookup(
+      GraftColumnBridge.expression(codes),
+      GraftColumnBridge.expression(qi), table))
 }

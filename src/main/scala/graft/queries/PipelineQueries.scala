@@ -2280,7 +2280,166 @@ object PipelineQueries {
     FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""
   }
 
+  // ------------------------------------- product-quantization ANN
+  /** Product-quantization ANN (Jégou et al. 2011, the IVF-PQ family's
+    * compression half): train per-subspace codebooks (m = 8 subspaces
+    * of 8 dims, 16 centroids each — one exact-decimal Lloyd refit, the
+    * emb_kmeans convention), encode the corpus into 8 small codes with
+    * the codegen [[graft.functions.PqEncode]] kernel (ONE scan — at
+    * 100 TB this is the step that turns 256-byte vectors into 8-byte
+    * codes an executor can hold billions of), then answer 30 queries
+    * by asymmetric distance: per-query subspace-distance tables are
+    * DRIVER state riding the plan via addReferenceObj, so scoring is m
+    * table lookups per (row, query) inside whole-stage codegen
+    * ([[graft.functions.AdcLookup]]) — no float math against the
+    * corpus at all. ADC shortlists 50 (the 10×k refinement factor;
+    * rounded, tie-broken), exact cosine re-ranks the top 5 — the
+    * two-stage contract shared with
+    * sim_topk_rp/sim_ann_ivf, so the final scores are EXACT while only
+    * the shortlist is approximate. Every distance is a sequential
+    * index-order double fold, so the DuckDB oracle replays training,
+    * encoding, and ADC bit-identically. */
+  def simTopKPq(s: SparkSession, d: String): DataFrame = {
+    val m = 8; val sd = 8; val k = 16; val nq = 30
+    val emb = Tables.embeddings(s, d)
+    // codebook init: subvectors of the k lowest vec_ids (driver state)
+    val base: Array[Array[Double]] = emb.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val cents0: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+      (0 until k).map(c => base(c).slice(j * sd, j * sd + sd).toSeq))
+    // one Lloyd refit: per-subspace assignment against the init
+    // codebooks, then exact-decimal per-dimension means (empty
+    // clusters keep their init centroid)
+    var asg = emb.select((col("vec_id") +: (0 until m).map(j =>
+      expr(s"slice(embedding, ${j * sd + 1}, $sd)").as(s"sv$j"))): _*)
+    for (j <- 0 until m)
+      asg = asg.withColumn(s"dists$j",
+        graft.functions.VecF.sqDistToCentroids(col(s"sv$j"), cents0(j)))
+    val subRows = asg.select(explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          (array_position(col(s"dists$j"), array_min(col(s"dists$j"))) - 1)
+            .cast("int").as("cid"),
+          col(s"sv$j").as("sv"))): _*)).as("s"))
+      .select(col("s.j"), col("s.cid"),
+        posexplode(col("s.sv")).as(Seq("i", "v")))
+    val refit = subRows.groupBy("j", "cid", "i")
+      .agg(Q.davg(col("v").cast("double")).as("c")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    val cents1: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+      (0 until k).map(c =>
+        if (refit.contains((j, c, 0))) (0 until sd).map(i => refit((j, c, i)))
+        else cents0(j)(c)))
+    // per-query ADC tables: same index-order fold as the encode kernel
+    val qbase: Array[Array[Double]] = emb.filter(col("vec_id") < nq)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(qbase.length == nq, s"expected $nq query vectors")
+    val dt: Seq[Seq[Seq[Double]]] = qbase.toSeq.map { qv =>
+      (0 until m).map { j =>
+        (0 until k).map { c =>
+          var acc = 0.0
+          var i = 0
+          while (i < sd) {
+            val dd = qv(j * sd + i) - cents1(j)(c)(i); acc += dd * dd; i += 1
+          }
+          acc
+        }: Seq[Double]
+      }
+    }
+    val codes = emb.select(col("vec_id"),
+      graft.functions.VecF.pqEncode(col("embedding"), cents1).as("codes"))
+    val scored = codes
+      .select(col("vec_id").as("neighbor_id"), col("codes"),
+        explode(sequence(lit(0), lit(nq - 1))).as("query_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id").cast("long").as("query_id"),
+        col("neighbor_id"),
+        round(graft.functions.VecF.adcLookup(col("codes"),
+          col("query_id"), dt), 6).as("radc"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("radc").asc, col("neighbor_id"))
+    val short = scored.withColumn("prank", row_number().over(w1))
+      .filter(col("prank") <= 50).select("query_id", "neighbor_id")
+    val qSide = emb.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val exact = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ec"))
+      .join(broadcast(short), "neighbor_id")
+      .join(broadcast(qSide), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.VecF.dotF(col("eq"), col("ec")) /
+          (graft.functions.VecF.normF(col("eq")) *
+            graft.functions.VecF.normF(col("ec"))), 6).as("cos"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  val simTopKPqSql: String = {
+    def sqd(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | [($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) *
+         |  ($a[CAST(i AS INT)] - $b[CAST(i AS INT)])
+         |  FOR i IN range(1, 9)]),
+         | (x, y) -> x + y)""".stripMargin
+    s"""
+    WITH sv AS (SELECT vec_id, j,
+        [CAST(x AS DOUBLE) FOR x IN
+          list_slice(embedding, j * 8 + 1, j * 8 + 8)] AS sv
+      FROM embeddings, UNNEST(range(8)) AS t(j)),
+    c0 AS (SELECT j, vec_id AS cid, sv AS cvec FROM sv WHERE vec_id < 16),
+    d1 AS (SELECT sv.vec_id, sv.j, c0.cid, ${sqd("sv.sv", "c0.cvec")} AS dist
+      FROM sv JOIN c0 ON sv.j = c0.j),
+    a1 AS (SELECT vec_id, j, cid FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id, j ORDER BY dist, cid) AS rn FROM d1)
+      WHERE rn = 1),
+    x1 AS (SELECT a1.j, a1.cid, i, sv.sv[CAST(i AS INT)] AS v
+      FROM sv JOIN a1 USING (vec_id, j), UNNEST(range(1, 9)) AS u(i)),
+    m1 AS (SELECT j, cid, i, ${Sql.davg("v")} AS c
+      FROM x1 GROUP BY j, cid, i),
+    c1 AS (SELECT j, cid, list(c ORDER BY i) AS cvec FROM m1 GROUP BY j, cid),
+    cf AS (SELECT j, cid, cvec FROM c1
+      UNION ALL
+      SELECT c0.j, c0.cid, c0.cvec FROM c0 LEFT JOIN c1
+        ON c0.j = c1.j AND c0.cid = c1.cid WHERE c1.cid IS NULL),
+    d2 AS (SELECT sv.vec_id, sv.j, cf.cid, ${sqd("sv.sv", "cf.cvec")} AS dist
+      FROM sv JOIN cf ON sv.j = cf.j),
+    codes AS (SELECT vec_id, j, cid AS code FROM (SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+      FROM d2) WHERE rn = 1),
+    dtq AS (SELECT sv.vec_id AS query_id, cf.j, cf.cid,
+        ${sqd("sv.sv", "cf.cvec")} AS dq
+      FROM sv JOIN cf ON sv.j = cf.j WHERE sv.vec_id < 30),
+    adc AS (SELECT dtq.query_id, codes.vec_id AS neighbor_id,
+        ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(dq ORDER BY dtq.j)), (x, y) -> x + y), 6) AS radc
+      FROM codes JOIN dtq ON codes.j = dtq.j AND codes.code = dtq.cid
+      WHERE codes.vec_id != dtq.query_id
+      GROUP BY dtq.query_id, codes.vec_id),
+    short AS (SELECT query_id, neighbor_id FROM (SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY radc, neighbor_id) AS prank FROM adc)
+      WHERE prank <= 50),
+    exact AS (SELECT s.query_id, s.neighbor_id,
+        ROUND(${dotSql("q.embedding", "c.embedding")} /
+          (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+            sqrt(${dotSql("c.embedding", "c.embedding")})), 6) AS cos
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.neighbor_id),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id) AS rn FROM exact)
+    SELECT query_id, neighbor_id, cos, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("sim_topk_pq", simTopKPq, Some(simTopKPqSql)),
     QuerySpec("mix_epoch_plan", mixEpochPlan, Some(mixEpochPlanSql)),
     QuerySpec("sim_topk_rp", simTopKRp, Some(simTopKRpSql)),
     QuerySpec("shuffle_epoch", shuffleEpoch, Some(shuffleEpochSql)),

@@ -490,6 +490,34 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("sim_topk_pq encodes and scores inside codegen; vectors and " +
+      "codes never ride a shuffle") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.simTopKPq(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val s = plan.toString
+      // the encode kernel and the ADC lookup both sit inside
+      // whole-stage-codegen projections (lines prefixed *(n))
+      assert(s.linesIterator.exists(l =>
+        l.contains("pq_encode") && l.contains("*(")), s.take(1500))
+      assert(s.linesIterator.exists(l =>
+        l.contains("adc_lookup") && l.contains("*(")), s.take(1500))
+      // shuffles carry only (query, neighbor, score) triples — the
+      // 8-code arrays stay scan-side, float vectors stay in broadcasts
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }
+      exchanges.foreach(e =>
+        assert(!e.child.output.exists(a =>
+          a.name == "embedding" || a.name == "codes" ||
+            a.name == "eq" || a.name == "ec"),
+          e.child.output.map(_.name).mkString(",")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("text_boilerplate scans the corpus once and shuffles only " +
       "paragraph hashes") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -79,4 +79,20 @@ class SimilarityRecallSpec extends SparkSpec {
     info(f"IVF recall@3 = $r%.3f")
     assert(r >= 0.9, f"IVF recall@3 $r%.3f below the 0.9 floor")
   }
+
+  test("PQ-ADC recall@5 vs exact top-5 on the testdata corpus") {
+    // sim_topk_pq and sim_cosine_topk share the 30-query/top-5
+    // contract on the same table, so recall is a direct set compare:
+    // how much of the exact top-5 survives the 50-wide ADC shortlist
+    val d = "/root/testdata/sf0.001"
+    val exact = graft.queries.PipelineQueries.simTopK(spark, d)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = graft.queries.PipelineQueries.simTopKPq(spark, d)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    val r = pq.toDouble / exact.size
+    info(f"PQ recall@5 = $r%.3f")
+    assert(r >= 0.6, f"PQ recall@5 $r%.3f below the 0.6 floor")
+  }
 }
