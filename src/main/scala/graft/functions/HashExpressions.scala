@@ -141,6 +141,34 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** [[BpeTokenCount]] with a caller-supplied merges table (e.g. the
+  * rules bpe_train just learned from the corpus): the
+  * [[graft.pipeline.BpeTable]] is driver state riding the plan via
+  * addReferenceObj, so tokenizing with a freshly-trained vocabulary is
+  * still one codegen call per document. */
+case class BpeTokenCountTable(child: Expression,
+    merges: Seq[(String, String)]) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count_table"
+
+  @transient private lazy val table =
+    new graft.pipeline.BpeTable(merges.toIndexedSeq)
+
+  override def nullSafeEval(v: Any): Any =
+    table.countTokens(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("bpeTable", table,
+      "graft.pipeline.BpeTable")
+    defineCodeGen(ctx, ev, c => s"$t.countTokens($c.toString())")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Membership probe of a LONG hash column against a driver-built Bloom
   * filter (`org.apache.spark.util.sketch.BloomFilter`, the sketch
   * Spark's own runtime row-level filtering uses). The filter rides the
@@ -177,6 +205,9 @@ object HashF {
       GraftColumnBridge.expression(c), filter))
   def bpeTokenCount(c: Column): Column =
     GraftColumnBridge.column(BpeTokenCount(GraftColumnBridge.expression(c)))
+  def bpeTokenCountTable(c: Column, merges: Seq[(String, String)]): Column =
+    GraftColumnBridge.column(BpeTokenCountTable(
+      GraftColumnBridge.expression(c), merges))
   def polyHash(c: Column): Column =
     GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
   def fingerprint8(c: Column): Column =

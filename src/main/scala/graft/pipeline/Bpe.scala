@@ -76,8 +76,26 @@ object Bpe {
       val Array(a, b) = l.split(' '); (a, b)
     }.toIndexedSeq
 
-  private val Rank: Map[(String, String), Int] =
-    Merges.zipWithIndex.toMap
+  /** shared with the oracle SQL — see the scaladoc's 16-char-cap note */
+  val PreTokenRegex = "[a-z]{1,16}|[0-9]|[^a-z0-9 ]"
+
+  /** the embedded table as a [[BpeTable]] */
+  val Default: BpeTable = new BpeTable(Merges)
+
+  def segment(word: String): Seq[String] = Default.segment(word)
+
+  def countTokens(text: String): Long = Default.countTokens(text)
+}
+
+/** A BPE merges table plus the segmentation loop, parameterized so a
+  * CORPUS-LEARNED table (bpe_train's output) can drive tokenization,
+  * not just the embedded one. Instances are driver state: they ride
+  * the plan into the codegen token-count kernel via addReferenceObj,
+  * exactly like the k-means centroids and PQ codebooks. */
+final class BpeTable(val merges: IndexedSeq[(String, String)])
+    extends Serializable {
+
+  private val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
 
   /** classic BPE: repeatedly merge the lowest-rank adjacent pair (all
     * leftmost non-overlapping occurrences), until no pair has a rank */
@@ -89,13 +107,13 @@ object Bpe {
       var bestRank = Int.MaxValue
       var i = 0
       while (i < syms.length - 1) {
-        val r = Rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
         if (r < bestRank) bestRank = r
         i += 1
       }
       if (bestRank == Int.MaxValue) done = true
       else {
-        val (a, b) = Merges(bestRank)
+        val (a, b) = merges(bestRank)
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         var j = 0
         while (j < syms.length) {
@@ -109,15 +127,13 @@ object Bpe {
     syms
   }
 
-  /** shared with the oracle SQL — see the scaladoc's 16-char-cap note */
-  val PreTokenRegex = "[a-z]{1,16}|[0-9]|[^a-z0-9 ]"
-
-  private val PreToken = java.util.regex.Pattern.compile(PreTokenRegex)
+  @transient private lazy val preToken =
+    java.util.regex.Pattern.compile(Bpe.PreTokenRegex)
 
   /** total BPE token count of a text: pre-tokenize, segment each
     * pre-token, sum. One pass, no allocation beyond the segment call. */
   def countTokens(text: String): Long = {
-    val m = PreToken.matcher(text)
+    val m = preToken.matcher(text)
     var n = 0L
     while (m.find()) {
       val w = m.group()

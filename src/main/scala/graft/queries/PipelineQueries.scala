@@ -1598,6 +1598,16 @@ object PipelineQueries {
     * bounds same-pair runs so 4 halving passes always suffice). */
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val out = bpeLearnMerges(s, d).toDF("step", "pair", "merged", "cnt")
+      .orderBy("step")
+    graft.pipeline.Caching.materializeAndRelease(out)
+  }
+
+  /** The 6-step training loop shared by bpe_train and
+    * tokenize_learned: the learned rules come back as DRIVER state
+    * (the vocab cache is released before returning). */
+  private def bpeLearnMerges(s: SparkSession, d: String)
+      : Seq[(Int, String, String, Long)] = {
     val vocab = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")).between(1, 12))
@@ -1627,19 +1637,53 @@ object PipelineQueries {
       (1 to 4).foreach(_ => e = call_function("replace", e, pat, rep))
       cur = cur.withColumn("w", trim(e))
     }
-    val out = merges.result().toDF("step", "pair", "merged", "cnt")
-      .orderBy("step")
-    graft.pipeline.Caching.materializeAndRelease(out, vocab)
+    vocab.unpersist()
+    merges.result()
   }
 
-  val bpeTrainSql: String = {
+  // -------------------------------------- learned-tokenizer application
+  /** Close the train→apply loop: tokenize the WHOLE corpus with the
+    * merge rules [[bpeTrain]] just learned from it (not the embedded
+    * table), and report per-source token economics — the accounting a
+    * mixture planner actually consumes. The learned rules are driver
+    * state feeding the codegen [[graft.functions.BpeTokenCountTable]]
+    * kernel, so application is ONE scan + a per-source
+    * map-side-combinable aggregate: training cost is amortized over an
+    * arbitrarily large corpus, and nothing but (source, counts) rows
+    * ever shuffle. The oracle replays training AND application as the
+    * same ordered replace folds, so the per-source totals are
+    * bit-exact. */
+  def tokenizeLearned(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeLearnMerges(s, d).map(m => (m._2.split(' ')(0),
+      m._2.split(' ')(1)))
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"),
+        graft.functions.HashF.bpeTokenCountTable(col("text"), merges)
+          .as("n_tok"),
+        size(expr(s"regexp_extract_all(text, " +
+          s"'${graft.pipeline.Bpe.PreTokenRegex}', 0)"))
+          .cast("long").as("n_pre"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_pre")).as("n_pre_tokens"),
+        sum(col("n_chars")).as("nc"))
+      .withColumn("chars_per_token",
+        round(col("nc").cast("double") / col("n_tokens"), 6))
+      .select("source", "n_docs", "n_tokens", "n_pre_tokens",
+        "chars_per_token")
+      .orderBy("source")
+  }
+
+  /** the training CTE chain (words/w0 … p6/m6/w6), shared by the
+    * bpe_train and tokenize_learned oracles */
+  private val bpeTrainCtes: String = {
     def rep4(x: String, m: String): String =
       (1 to 4).foldLeft(x)((acc, _) =>
         s"replace($acc, ' ' || $m.pr || ' ', " +
           s"' ' || replace($m.pr, ' ', '') || ' ')")
     val sb = new StringBuilder
-    sb ++= """
-    WITH words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
+    sb ++= """words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
         SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       WHERE len(word) BETWEEN 1 AND 12 GROUP BY word),
     w0 AS (SELECT word, f,
@@ -1658,12 +1702,48 @@ object PipelineQueries {
         trim(${rep4("' ' || w || ' '", s"m$k")}) AS w
       FROM $prev CROSS JOIN m$k)"""
     }
-    sb ++= s"""
+    sb.toString
+  }
+
+  val bpeTrainSql: String = s"""
+    WITH $bpeTrainCtes
     SELECT step, pr AS pair, replace(pr, ' ', '') AS merged, c AS cnt
     FROM (${(1 to 6).map(k => s"SELECT $k AS step, pr, c FROM m$k")
-        .mkString(" UNION ALL ")})
+      .mkString(" UNION ALL ")})
     ORDER BY step"""
-    sb.toString
+
+  val tokenizeLearnedSql: String = {
+    val learned = (1 to 6).map(k => s"(SELECT pr FROM m$k)")
+      .mkString("[", ", ", "]")
+    s"""
+    WITH $bpeTrainCtes,
+    pre AS (SELECT doc_id, source, n_chars,
+        regexp_extract_all(text, '${graft.pipeline.Bpe.PreTokenRegex}')
+          AS wlist
+      FROM documents),
+    sym AS (SELECT doc_id, source, n_chars,
+        CAST(len(wlist) AS BIGINT) AS n_pre,
+        ' ' || array_to_string([array_to_string(
+          regexp_extract_all(x, '(?s).'), ' ') FOR x IN wlist], ' ¶ ')
+          || ' ' AS s0
+      FROM pre),
+    folded AS (SELECT doc_id, source, n_chars, n_pre,
+        list_reduce(list_prepend(s0,
+          flatten([[m, m, m, m] FOR m IN $learned])),
+          (acc, m) -> replace(acc, ' ' || m || ' ',
+            ' ' || replace(m, ' ', '') || ' ')) AS s1
+      FROM sym),
+    cnt AS (SELECT doc_id, source, n_chars, n_pre,
+        CASE WHEN n_pre = 0 THEN 0 ELSE
+          CAST(len(list_filter(string_split(trim(s1), ' '),
+            x -> x != '¶')) AS BIGINT) END AS n_tok
+      FROM folded)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      CAST(SUM(n_pre) AS BIGINT) AS n_pre_tokens,
+      ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tok), 6)
+        AS chars_per_token
+    FROM cnt GROUP BY source ORDER BY source"""
   }
 
   // ------------------------------------ quality-classifier training step
@@ -2457,6 +2537,7 @@ object PipelineQueries {
       Some(dedupIncrementalSql)),
     QuerySpec("quality_logreg", qualityLogreg, Some(qualityLogregSql)),
     QuerySpec("bpe_train", bpeTrain, Some(bpeTrainSql)),
+    QuerySpec("tokenize_learned", tokenizeLearned, Some(tokenizeLearnedSql)),
     QuerySpec("text_tfidf_top", textTfidfTop, Some(textTfidfTopSql)),
     QuerySpec("text_chunk_windows", textChunkWindows,
       Some(textChunkWindowsSql)),

@@ -518,6 +518,27 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("tokenize_learned applies the learned table in one codegen " +
+      "scan: no join, map-side partial aggregation") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.tokenizeLearned(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val s = plan.toString
+      // the learned merges are driver state riding the plan as a
+      // reference object — application must not join or re-scan
+      assert(!s.contains("Join"), s.take(1200))
+      assert(s.linesIterator.count(_.contains("FileScan parquet")) == 1,
+        "one corpus scan in the application plan")
+      assert(s.linesIterator.exists(l =>
+        l.contains("bpe_token_count_table") && l.contains("*(")),
+        s.take(1500))
+      assert(s.contains("partial_count") || s.contains("partial_sum"),
+        s.take(1200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("text_boilerplate scans the corpus once and shuffles only " +
       "paragraph hashes") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
