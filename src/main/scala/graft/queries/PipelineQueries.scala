@@ -1078,6 +1078,64 @@ object PipelineQueries {
     FROM base, UNNEST(range((n - 1) // 40 + 1)) AS t(i)
     ORDER BY doc_id, chunk_idx"""
 
+  // ------------------------------------------ CCNet perplexity buckets
+  /** CCNet's hallmark head/middle/tail split: per-SOURCE perplexity
+    * tertiles of the unigram-LM surprisal (head = lowest third =
+    * cleanest text, the slice CCNet ships; tail = candidate discard).
+    * The per-source thresholds are an exact percentile over the
+    * ROUNDED 6dp score domain — the quality_gate_p75 trick that keeps
+    * the percentile map-side-combinable at any corpus size — and come
+    * back as a source-count-sized table that BROADCASTS to label every
+    * document. The per-doc score aggregate is consumed by both the
+    * threshold branch and the labeling branch as the same canonical
+    * subtree, so ReuseExchange computes it once. */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).as("t"))
+    val ppl = toks.join(freq, "tok").crossJoin(broadcast(tot))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"),
+        sum(log(col("c").cast("double") / col("t"))
+          .cast("decimal(38,12)")).as("s"))
+      .select(col("doc_id"), col("source"),
+        round(-col("s").cast("double") / col("n"), 6).as("ppl"))
+    val thr = ppl.groupBy("source")
+      .agg(round(expr("percentile(ppl, 0.33333)"), 6).as("p33"),
+        round(expr("percentile(ppl, 0.66667)"), 6).as("p66"))
+    ppl.join(broadcast(thr), "source")
+      .withColumn("bucket",
+        when(col("ppl") <= col("p33"), lit("head"))
+          .when(col("ppl") <= col("p66"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), Q.davg(col("ppl")).as("avg_ppl"))
+      .select("source", "bucket", "n_docs", "avg_ppl")
+      .orderBy("source", "bucket")
+  }
+
+  val ccnetBucketsSql: String = s"""
+    WITH toks AS (SELECT doc_id, source,
+        unnest(string_split(text, ' ')) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM freq),
+    ppl AS (SELECT doc_id, source,
+        ROUND(-CAST(SUM(CAST(ln(CAST(c AS DOUBLE) / t)
+          AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS ppl
+      FROM toks JOIN freq USING (tok) CROSS JOIN tot
+      GROUP BY doc_id, source),
+    thr AS (SELECT source, ROUND(quantile_cont(ppl, 0.33333), 6) AS p33,
+        ROUND(quantile_cont(ppl, 0.66667), 6) AS p66
+      FROM ppl GROUP BY source)
+    SELECT p.source,
+      CASE WHEN ppl <= p33 THEN 'head'
+           WHEN ppl <= p66 THEN 'middle' ELSE 'tail' END AS bucket,
+      COUNT(*) AS n_docs, ${Sql.davg("ppl")} AS avg_ppl
+    FROM ppl p JOIN thr USING (source)
+    GROUP BY 1, 2 ORDER BY source, bucket"""
+
   // ------------------------------------------------- mixture weights
   /** Per-source sampling weights for training-mixture planning (the
     * temperature-sampling rule w ∝ share^(1/2), the multilingual/
@@ -2546,6 +2604,7 @@ object PipelineQueries {
     QuerySpec("text_unigram_logprob", textUnigramLogprob,
       Some(textUnigramLogprobSql)),
     QuerySpec("text_boilerplate", textBoilerplate, Some(textBoilerplateSql)),
+    QuerySpec("ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),
     QuerySpec("text_bigram_logprob", textBigramLogprob,
       Some(textBigramLogprobSql)),
     QuerySpec("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),

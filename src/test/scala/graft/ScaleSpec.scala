@@ -518,6 +518,30 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("ccnet_buckets reuses the per-doc score aggregate for " +
+      "thresholds and labeling, and broadcasts the threshold table") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.ccnetBuckets(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val s = plan.toString
+      // the ppl aggregate feeds both the tertile branch and the
+      // labeling branch — canonical subtrees, so one exchange computes
+      assert(s.contains("ReusedExchange"), s.take(1500))
+      // the per-source threshold table broadcasts back
+      assert(s.contains("BroadcastHashJoin"), s.take(1500))
+      // document text never rides an exchange
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }
+      exchanges.foreach(e =>
+        assert(!e.child.output.exists(_.name == "text"),
+          e.child.output.map(_.name).mkString(",")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("tokenize_learned applies the learned table in one codegen " +
       "scan: no join, map-side partial aggregation") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
