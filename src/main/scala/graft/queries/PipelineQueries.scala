@@ -284,6 +284,46 @@ object PipelineQueries {
     GROUP BY sh.doc_id HAVING COUNT(*) >= $ContamK
     ORDER BY doc_id"""
 
+  private val SemContamTau = 0.3 // max-cosine flag threshold
+
+  /** Semantic decontamination: the embedding-space complement of the
+    * n-gram [[decontaminate]] — paraphrased or re-worded benchmark
+    * leakage shares no 13-gram but still sits next to the eval set in
+    * embedding space. Benchmark vectors (same deterministic
+    * `id % 97 == 0` split as the n-gram screen) BROADCAST — eval
+    * suites are thousands of rows, never corpus-scale — so the corpus
+    * scans ONCE, each row paying only the codegen
+    * [[graft.functions.FloatVectorDot]] kernel against the broadcast
+    * list; flagged rows aggregate map-side per vec_id. No corpus-side
+    * shuffle carries a vector. */
+  def decontaminateSemantic(s: SparkSession, d: String): DataFrame = {
+    val e = Similarity.withNorm(Tables.embeddings(s, d), "embedding")
+    val bench = e.filter(col("vec_id") % 97 === 0)
+      .select(col("embedding").as("b_vec"), col("norm").as("b_norm"))
+    val corpus = e.filter(col("vec_id") % 97 =!= 0)
+    corpus.crossJoin(broadcast(bench))
+      .withColumn("cos", round(
+        graft.functions.VecF.dotF(col("embedding"), col("b_vec")) /
+          (col("norm") * col("b_norm")), 6))
+      .filter(col("cos") >= SemContamTau)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  val decontaminateSemanticSql: String = s"""
+    WITH e AS (SELECT vec_id, embedding,
+      sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+    b AS (SELECT embedding AS b_vec, norm AS b_norm FROM e
+          WHERE vec_id % 97 = 0),
+    hits AS (SELECT vec_id,
+        ROUND(${dotSql("c.embedding", "b_vec")} / (c.norm * b_norm), 6)
+          AS cos
+      FROM e c CROSS JOIN b WHERE c.vec_id % 97 != 0)
+    SELECT vec_id, COUNT(*) AS n_hits, MAX(cos) AS max_cos
+    FROM hits WHERE cos >= $SemContamTau
+    GROUP BY vec_id ORDER BY vec_id"""
+
   /** KMV (k-minimum-values) distinct-count sketch over user ids per
     * event type. The sketch state is the k smallest distinct hash
     * values — a few hundred bytes per group regardless of cardinality,
@@ -2620,6 +2660,8 @@ object PipelineQueries {
     QuerySpec("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QuerySpec("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QuerySpec("decontaminate", decontaminate, Some(decontaminateSql)),
+    QuerySpec("decontaminate_semantic", decontaminateSemantic,
+      Some(decontaminateSemanticSql)),
     QuerySpec("text_repetition", textRepetition, Some(textRepetitionSql)),
     QuerySpec("sketch_kmv_distinct", sketchKmv, Some(sketchKmvSql)),
     QuerySpec("pipeline_curate", pipelineCurate, Some(pipelineCurateSql)),

@@ -542,6 +542,32 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("decontaminate_semantic broadcasts the benchmark vectors; no " +
+      "corpus-side shuffle carries an embedding") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.decontaminateSemantic(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val s = plan.toString
+      // non-equi cosine condition against a broadcast bench list —
+      // the corpus streams through in one scan
+      assert(s.contains("BroadcastNestedLoopJoin"), s.take(1500))
+      // flagged rows pre-aggregate map-side: only (vec_id, count, max)
+      // triples shuffle, never a vector
+      assert(s.contains("partial_count") || s.contains("partial"),
+        s.take(1500))
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }
+      exchanges.foreach(e =>
+        assert(!e.child.output.exists(a =>
+          a.name == "embedding" || a.name == "b_vec"),
+          e.child.output.map(_.name).mkString(",")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("tokenize_learned applies the learned table in one codegen " +
       "scan: no join, map-side partial aggregation") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
