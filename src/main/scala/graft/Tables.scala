@@ -39,15 +39,31 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** `events` with `ts_us: BIGINT` (epoch micros) and `ts: TIMESTAMP`
-    * at the same precision. The file stores TIMESTAMP(NANOS); DuckDB 1.0
-    * cannot observe sub-microsecond residue (`epoch_ns` truncates), so
-    * microseconds — floor-truncated identically by `div 1000` here and
-    * `epoch_us()` there — are the cross-engine time axis.
+    * at the same precision — the cross-engine time axis shared with the
+    * DuckDB oracle's `epoch_us(ts)`.
+    *
+    * The driver has shipped the `ts` column under two physical types
+    * across rounds — TIMESTAMP(NANOS) (read as epoch-nanos BIGINT via
+    * the `nanosAsLong` session flag, floor-truncated by `div 1000`
+    * exactly as DuckDB's `epoch_us` truncates TIMESTAMP_NS) and
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) — so the reader branches
+    * on the type it actually finds rather than assuming one. The
+    * session timezone is pinned to UTC, so the NTZ→LTZ cast is a
+    * wall-clock identity.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumnRenamed("ts", "ts_raw_ns")
-      .withColumn("ts_us", expr("ts_raw_ns div 1000"))
-      .withColumn("ts", expr("timestamp_micros(ts_us)"))
-      .drop("ts_raw_ns")
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_raw_ns")
+          .withColumn("ts_us", expr("ts_raw_ns div 1000"))
+          .withColumn("ts", expr("timestamp_micros(ts_us)"))
+          .drop("ts_raw_ns")
+      case _ =>
+        raw.withColumnRenamed("ts", "ts_raw")
+          .withColumn("ts_us", expr("unix_micros(cast(ts_raw as timestamp_ltz))"))
+          .withColumn("ts", expr("timestamp_micros(ts_us)"))
+          .drop("ts_raw")
+    }
+  }
 }

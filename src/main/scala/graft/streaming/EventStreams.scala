@@ -24,19 +24,37 @@ final case class RollingRate(event_type: String,
 
 object EventStreams {
 
-  /** events parquet schema as stored (ts read as epoch-nanos long via
-    * the nanosAsLong session flag). */
+  /** events parquet schema as stored when `ts` is TIMESTAMP(NANOS)
+    * (read as epoch-nanos long via the nanosAsLong session flag). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet files. */
+  /** File-source stream over a directory of events parquet files.
+    *
+    * A streaming source needs its schema up front, but the driver has
+    * shipped `ts` as both TIMESTAMP(NANOS) (→ BIGINT under nanosAsLong)
+    * and TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ) across rounds, so the
+    * stored type is probed from the footers of any files already in the
+    * directory (a batch-schema read — no job). Either way the stream
+    * surfaces `ts` as a session-UTC TIMESTAMP at micros precision,
+    * matching [[graft.Tables.events]].
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumnRenamed("ts", "ts_raw_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_raw_ns div 1000)"))
+    val storedTs = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
+      .getOrElse(TimestampNTZType)
+    if (storedTs == LongType)
+      spark.readStream.schema(eventsSchema).parquet(dir)
+        .withColumnRenamed("ts", "ts_raw_ns")
+        .withColumn("ts", expr("timestamp_micros(ts_raw_ns div 1000)"))
+    else {
+      val schema = StructType(eventsSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = storedTs) else f))
+      spark.readStream.schema(schema).parquet(dir)
+        .withColumn("ts", expr("cast(ts as timestamp_ltz)"))
+    }
   }
 
   /** Watermarked tumbling-hour counts per event type; in append mode a
