@@ -20,13 +20,9 @@ final case class KmvSummary(kk: Int, hk: Long)
   * identical results — KmvSpec asserts it — but shuffles the whole
   * distinct-hash table; this buffer-bounded form is why sketches exist.
   */
-class KmvAggregator(k: Int)
-    extends Aggregator[Long, Array[Long], KmvSummary] {
-
-  override def zero: Array[Long] = Array.emptyLongArray
-
+object KmvBuffer {
   /** insert keeping the buffer sorted, distinct and ≤ k long */
-  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+  def reduce(k: Int)(buf: Array[Long], h: Long): Array[Long] = {
     val pos = java.util.Arrays.binarySearch(buf, h)
     if (pos >= 0) return buf // already present
     val ins = -pos - 1
@@ -40,7 +36,7 @@ class KmvAggregator(k: Int)
   }
 
   /** merge two sorted distinct arrays, keeping the k smallest */
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+  def merge(k: Int)(a: Array[Long], b: Array[Long]): Array[Long] = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
     val out = new Array[Long](math.min(a.length + b.length, k))
@@ -55,6 +51,16 @@ class KmvAggregator(k: Int)
     }
     if (o == out.length) out else java.util.Arrays.copyOf(out, o)
   }
+}
+
+class KmvAggregator(k: Int)
+    extends Aggregator[Long, Array[Long], KmvSummary] {
+
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf: Array[Long], h: Long): Array[Long] =
+    KmvBuffer.reduce(k)(buf, h)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    KmvBuffer.merge(k)(a, b)
 
   override def finish(buf: Array[Long]): KmvSummary =
     KmvSummary(buf.length, if (buf.isEmpty) 0L else buf.last)
@@ -65,9 +71,33 @@ class KmvAggregator(k: Int)
     Encoders.product[KmvSummary]
 }
 
+/** Same sketch, but the FINAL value is the retained sorted hash array —
+  * the form set-operation estimators need (theta-sketch intersection /
+  * union work on the retained samples, not just the k-th value). Still
+  * k longs per group on the wire; the array only reaches the driver for
+  * the handful of group sketches being combined. */
+class KmvArrayAggregator(k: Int)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf: Array[Long], h: Long): Array[Long] =
+    KmvBuffer.reduce(k)(buf, h)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    KmvBuffer.merge(k)(a, b)
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+}
+
 object KmvF {
   /** untyped-DataFrame handle: `df.groupBy(...).agg(KmvF.kmv(64)(col))` */
   def kmv(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new KmvAggregator(k),
+      Encoders.scalaLong)
+
+  /** array-valued variant for set-operation estimators */
+  def kmvArray(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new KmvArrayAggregator(k),
       Encoders.scalaLong)
 }
