@@ -59,11 +59,17 @@ object Tables {
           .withColumn("ts_us", expr("ts_raw_ns div 1000"))
           .withColumn("ts", expr("timestamp_micros(ts_us)"))
           .drop("ts_raw_ns")
-      case _ =>
+      case org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.TimestampType =>
         raw.withColumnRenamed("ts", "ts_raw")
           .withColumn("ts_us", expr("unix_micros(cast(ts_raw as timestamp_ltz))"))
           .withColumn("ts", expr("timestamp_micros(ts_us)"))
           .drop("ts_raw")
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet 'ts' has unexpected stored type $other; " +
+            "expected TIMESTAMP(NANOS) (LongType under nanosAsLong) or " +
+            "TIMESTAMP_NTZ/TIMESTAMP")
     }
   }
 }

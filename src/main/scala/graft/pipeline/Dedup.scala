@@ -24,6 +24,34 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default driver-heap budget for [[boundedBloom]]: 2^30 bits =
+    * 128 MiB — ~112M elements at 1% fpp. Small enough to live on any
+    * driver, large enough that the prefilter stays useful well past
+    * the test scale. */
+  val DefaultBloomBits: Long = 1L << 30
+
+  /** Driver-side Bloom sketch with a BOUNDED bit budget.
+    *
+    * `df.stat.bloomFilter(col, n, fpp)` sizes the sketch proportionally
+    * to `n` (~9.6 bits/element at 1% fpp) — ~120 GB of driver heap at a
+    * 100 TB corpus. Here the bit count is capped at `maxBits` instead
+    * and the fpp degrades GRACEFULLY as the true element count passes
+    * the budget: a Bloom filter never false-negatives, so callers that
+    * follow the probe with an exact verify (every graft use does) stay
+    * correct — extra false positives only grow the candidate set the
+    * verify join absorbs. `estItems` may be a crude overestimate (e.g.
+    * from file sizes): it only tunes the hash count k, never the
+    * memory. Past ~10^9 elements, shard per-hash-range sub-Blooms
+    * across probes rather than raising the cap. */
+  def boundedBloom(df: DataFrame, colName: String, estItems: Long,
+      maxBits: Long = DefaultBloomBits)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val n = math.max(estItems, 1L)
+    val ideal = math.ceil(n * 9.585).toLong // optimal bits at 1% fpp
+    val bits = math.min(math.max(ideal, 1L << 16), maxBits)
+    df.stat.bloomFilter(colName, n, bits)
+  }
+
   /** Exact dedup: representative id + multiplicity per distinct key. */
   def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
     df.groupBy(col(keyCol))

@@ -1618,9 +1618,13 @@ object PipelineQueries {
     * (a deterministic 25% hash split of doc_ids) against the EXISTING
     * kept corpus — the every-snapshot CCNet shape, where re-shuffling
     * the full corpus per batch is the thing you must never do. Shape:
-    * (1) one scan of the old corpus builds a driver-side Bloom filter
-    * over 64-bit paragraph hashes (`df.stat.bloomFilter`, a
-    * tree-aggregated sketch — no shuffle); (2) the new batch probes it
+    * (1) one scan of the old corpus — its ONLY scan; the sketch is
+    * sized from file statistics, not a counting action — builds a
+    * driver-side Bloom filter over 64-bit paragraph hashes with a
+    * BOUNDED bit budget ([[graft.pipeline.Dedup.boundedBloom]]: fpp
+    * degrades gracefully past the budget instead of the sketch growing
+    * with the corpus; the exact verify in (3) absorbs any fpp, so
+    * correctness never depends on the sizing); (2) the new batch probes it
     * with the codegen [[graft.functions.BloomMightContain]] at scan
     * speed, leaving only CANDIDATES (true dups + fpp-bounded false
     * positives — ~1% of the batch, broadcastable; past the broadcast
@@ -1646,8 +1650,16 @@ object PipelineQueries {
         xxhash64(col("para")).as("h1"),
         xxhash64(col("para"), lit(1L)).as("h2"))
     val old = exploded.filter(!col("isnew")).select("h1", "h2")
-    val nOld = math.max(old.count(), 1L)
-    val bloom = old.stat.bloomFilter("h1", nOld, 0.01)
+    // Estimate the old-paragraph count from compressed file bytes (pure
+    // filesystem metadata — no Spark job, so the bloom build below is
+    // the old corpus's single scan). A 20-word paragraph compresses to
+    // well over 40 bytes, so bytes/40 overestimates; overestimating
+    // only lowers the sketch's hash count k, never its (capped) memory.
+    val docPath = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val docBytes = docPath.getFileSystem(s.sessionState.newHadoopConf())
+      .getContentSummary(docPath).getLength
+    val estOldParas = math.max(docBytes / 40L, 1024L)
+    val bloom = graft.pipeline.Dedup.boundedBloom(old, "h1", estOldParas)
     val neu = exploded.filter(col("isnew"))
     val cands = neu
       .filter(graft.functions.HashF.bloomMightContain(col("h1"), bloom))

@@ -42,9 +42,22 @@ object EventStreams {
     * matching [[graft.Tables.events]].
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val storedTs = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
-      .getOrElse(TimestampNTZType)
+    // Same session parity settings as the batch path (UTC + nanosAsLong):
+    // the NTZ->LTZ cast below is a wall-clock identity only under UTC.
+    graft.Tables.configure(spark)
+    // Probe the stored physical type from footers already present. Only
+    // an empty/unreadable directory raises AnalysisException here; that
+    // is a hard error (an arbitrary default could mis-declare the stream
+    // schema for files that arrive later), so fail fast with guidance.
+    val storedTs =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"cannot infer events schema from '$dir' (empty or unreadable); " +
+              "seed the directory with at least one parquet file before " +
+              "starting the stream", e)
+      }
     if (storedTs == LongType)
       spark.readStream.schema(eventsSchema).parquet(dir)
         .withColumnRenamed("ts", "ts_raw_ns")
@@ -201,7 +214,9 @@ object EventStreams {
   /** Streaming incremental dedup — the streaming twin of the
     * `dedup_incremental` batch pass: arriving documents explode into
     * the same 20-word paragraphs; a driver-built Bloom filter over the
-    * PREVIOUSLY-KEPT corpus's paragraph hashes prefilters at scan
+    * PREVIOUSLY-KEPT corpus's paragraph hashes (build it with
+    * [[graft.pipeline.Dedup.boundedBloom]] so the driver-heap budget
+    * stays fixed as the kept corpus grows) prefilters at scan
     * speed (codegen [[graft.functions.BloomMightContain]]) —
     * bloom-negative rows are definitely fresh (no false negatives) and
     * skip the static join entirely, while maybe-rows verify exactly

@@ -641,4 +641,42 @@ class ScaleSpec extends SparkSpec {
           e.child.output.map(_.name).mkString(",")))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("registry-wide audit: the only single-partition windows are the " +
+      "two known ≤256-row bucket cumsums (dsir_importance, shuffle_epoch)") {
+    // A global (empty-partitionSpec) window is the classic silent
+    // scale-killer: the whole input funnels through ONE task. The two
+    // deliberate instances run over ≤256-row bucket aggregates — every
+    // OTHER query must have none, and an accidental one added later
+    // must fail HERE, loudly, not as a log warning nobody reads.
+    val allowed = Map("dsir_importance" -> 1, "shuffle_epoch" -> 1)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      SparkEntry.specs.foreach { q =>
+        val plan =
+          q.run(spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+        val globals = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(globals.size == allowed.getOrElse(q.name, 0),
+          s"${q.name}: unexpected single-partition window(s); " +
+            "either partition it or, if it provably runs over a tiny " +
+            "aggregate, add it to the allowlist with a justification: " +
+            globals.map(_.output.map(_.name).mkString("[", ",", "]"))
+              .mkString("; "))
+        // the sanctioned ones must sit above an aggregate (bucket
+        // counts), never directly over corpus-scale rows
+        globals.foreach { w =>
+          assert(w.collectFirst {
+            case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+              => a
+          }.nonEmpty, s"${q.name}: global window not above an aggregate")
+          assert(!w.output.exists(a => a.name == "doc_id" || a.name == "text"),
+            s"${q.name}: global window sees corpus-row columns: " +
+              w.output.map(_.name).mkString(","))
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

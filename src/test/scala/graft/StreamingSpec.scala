@@ -97,8 +97,8 @@ class StreamingSpec extends SparkSpec {
       .select(xxhash64(col("para")).as("h1"),
         xxhash64(col("para"), lit(1L)).as("h2"))
       .distinct()
-    val bloom = oldParas.stat.bloomFilter(
-      "h1", math.max(oldParas.count(), 1L), 0.01)
+    val bloom = graft.pipeline.Dedup.boundedBloom(
+      oldParas, "h1", math.max(oldParas.count(), 1L))
     val stream = EventStreams.streamingIncrementalDedup(
       EventStreams.readDocuments(spark, dir), oldParas, bloom,
       "doc_id", "text")
