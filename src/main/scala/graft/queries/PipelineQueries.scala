@@ -2628,8 +2628,159 @@ object PipelineQueries {
     FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""
   }
 
+  // ------------------------------------------- cross-source overlap matrix
+  /** Pairwise source-overlap (contamination) matrix: for every pair of
+    * corpus sources, the number of DISTINCT 20-word paragraphs they
+    * share — the audit that tells you two crawls or vendors shipped
+    * the same content before you pay to dedup or double-weight it.
+    * One shuffle, keyed by the 128-bit paragraph hash (text never
+    * rides an exchange — the dedup_paragraph contract); each hash
+    * group carries at most one row per source, so `collect_set` is
+    * bounded by the source count (dozens in production, never corpus
+    * scale), and pair expansion happens map-side AFTER the aggregate
+    * on those tiny arrays. The result is ≤ |sources|² rows from one
+    * corpus scan at any corpus size. */
+  def overlapMatrix(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nPar = ceil(size(words) / lit(20.0)).cast("int")
+    val paras = transform(sequence(lit(0), nPar - 1),
+      i => array_join(slice(words, i * 20 + 1, lit(20)), " "))
+    val sp = Tables.documents(s, d)
+      .select(col("source"), explode(paras).as("para"))
+      .select(col("source"),
+        xxhash64(col("para")).as("h1"),
+        xxhash64(col("para"), lit(1L)).as("h2"))
+      .distinct()
+    sp.groupBy("h1", "h2")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)),
+          |    b -> named_struct('src_a', a, 'src_b', b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val overlapMatrixSql: String = """
+    WITH base AS (SELECT source, string_split(text, ' ') AS words
+      FROM documents),
+    paras AS (SELECT source,
+        array_to_string(list_slice(words, i * 20 + 1, i * 20 + 20), ' ')
+          AS para
+      FROM base,
+        UNNEST(range(CAST(ceil(len(words) / 20.0) AS BIGINT))) AS t(i)),
+    sp AS (SELECT DISTINCT source, para FROM paras)
+    SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+    FROM sp a JOIN sp b ON a.para = b.para AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // --------------------------------------------------- BM25 retrieval
+  /** BM25 top-k retrieval (Robertson-Spärck Jones; k1=1.2, b=0.75)
+    * for a fixed query set over the corpus — the lexical-retrieval
+    * complement of the embedding ANN family (and the standard first
+    * stage of retrieval-augmented data curation). The term filter
+    * (`isin` over the query vocabulary) sits ON the corpus scan, so
+    * only matching postings ever shuffle; doc length rides the explode
+    * as a group key (no separate doclen join), and the df
+    * (document-frequency) branch is a plain `count` over the tf rows —
+    * (doc_id, t) is unique there, and keeping it an aggregate OVER tf
+    * (not `countDistinct` from the scan, which Catalyst rewrites into
+    * a different subtree) makes both consumers' exchange subtrees
+    * identical, so ReuseExchange runs the postings scan+shuffle ONCE.
+    * df/query/scalar sides all broadcast. Top-k per query is a single
+    * ranked window: Spark's WindowGroupLimit already evaluates a
+    * PARTIAL top-k per input partition before the query_id exchange —
+    * the two-stage top-k is built into the engine, so no task ever
+    * sorts a query's full posting list (ScaleSpec-asserted). The one
+    * ln() per term rounds to 9dp before the exact DECIMAL sum (the
+    * dsir_importance cross-engine determinism pattern). */
+  def bm25Topk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val queryTerms: Seq[(String, String)] = Seq(
+      "q1" -> "spark", "q1" -> "join",
+      "q2" -> "window", "q2" -> "agg",
+      "q3" -> "hash", "q3" -> "table", "q3" -> "scan")
+    val qt = queryTerms.toDF("query_id", "t")
+    val terms = queryTerms.map(_._2).distinct
+    val docs = Tables.documents(s, d)
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("tot_len"))
+    val tf = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "dl", "t")
+      .agg(count(lit(1)).as("tf"))
+    // df = row count per term ((doc_id, t) is unique in tf). The
+    // always-true `tf >= 1` keeps the tf column REFERENCED: with a
+    // bare count(1), Catalyst prunes the count function out of the df
+    // branch's copy of the inner aggregate, the two subtrees stop
+    // being identical, and ReuseExchange no longer shares the postings
+    // scan+shuffle (observed: three corpus scans instead of two).
+    val dfreq = tf.groupBy("t")
+      .agg(count(when(col("tf") >= 1, 1)).as("df"))
+    val scored = tf
+      .join(broadcast(qt), Seq("t"))
+      .join(broadcast(dfreq), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(log(
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)), 9))
+      .withColumn("avgdl", col("tot_len").cast("double") / col("n_docs"))
+      .withColumn("c", col("idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("c").cast("decimal(38,12)")).cast("double"), 6)
+        .as("score"))
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val bm25TopkSql: String = """
+    WITH qt AS (SELECT * FROM (VALUES
+        ('q1', 'spark'), ('q1', 'join'),
+        ('q2', 'window'), ('q2', 'agg'),
+        ('q3', 'hash'), ('q3', 'table'), ('q3', 'scan'))
+      AS v(query_id, t)),
+    stats AS (SELECT COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot_len
+      FROM documents),
+    toks AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS dl,
+        unnest(string_split(text, ' ')) AS t
+      FROM documents),
+    tf AS (SELECT doc_id, dl, t, COUNT(*) AS tf FROM toks
+      WHERE t IN (SELECT DISTINCT t FROM qt)
+      GROUP BY doc_id, dl, t),
+    dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    contrib AS (SELECT qt.query_id, tf.doc_id,
+        ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 9) *
+          (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * dl /
+            (CAST(tot_len AS DOUBLE) / n_docs))) AS c
+      FROM tf JOIN qt ON tf.t = qt.t
+      JOIN dfreq ON tf.t = dfreq.t CROSS JOIN stats),
+    scored AS (SELECT query_id, doc_id,
+        ROUND(CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+      FROM contrib GROUP BY query_id, doc_id),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id) AS rank FROM scored)
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sim_topk_pq", simTopKPq, Some(simTopKPqSql)),
+    QuerySpec("overlap_matrix", overlapMatrix, Some(overlapMatrixSql)),
+    QuerySpec("bm25_topk", bm25Topk, Some(bm25TopkSql)),
     QuerySpec("mix_epoch_plan", mixEpochPlan, Some(mixEpochPlanSql)),
     QuerySpec("sim_topk_rp", simTopKRp, Some(simTopKRpSql)),
     QuerySpec("shuffle_epoch", shuffleEpoch, Some(shuffleEpochSql)),

@@ -290,8 +290,64 @@ object Relational {
     WHERE p.event_type = 'purchase'
     ORDER BY purchase_id"""
 
+  /** Blocked fuzzy string join (edit distance ≤ 1) via the FastSS
+    * deletion-neighborhood (Bocek et al. 2007): each name emits itself
+    * plus every single-character deletion as equality-join SIGNATURES.
+    * Two strings within edit distance 1 always share a signature
+    * (equal → the string itself; substitution at i → both strings'
+    * i-deletions coincide; insert/delete → the shorter string IS a
+    * deletion of the longer), so a hash equi-join on signatures plus an
+    * exact levenshtein verify replaces the quadratic all-pairs scan —
+    * the record-linkage shape for matching a dirty catalog against
+    * master data. The probe side is a deterministically corrupted
+    * sample of part names (one character dropped at a key-derived
+    * position). Both sides deduplicate names BEFORE signature
+    * expansion: signature volume scales with distinct names × avg
+    * length, and a popular name's multiplicity never amplifies the
+    * join (the 100 TB hot-key guard). The oracle brute-forces the
+    * distinct-name cross join — equivalent output by the FastSS
+    * completeness guarantee, quadratic only in the oracle. */
+  def fuzzyJoinParts(s: SparkSession, d: String): DataFrame = {
+    def sigs(df: DataFrame, nameCol: String): DataFrame =
+      df.select(col(nameCol), explode(expr(
+        s"""array_distinct(concat(array($nameCol),
+           |  transform(sequence(1, char_length($nameCol)),
+           |    i -> concat(substr($nameCol, 1, i - 1),
+           |                substr($nameCol, i + 1)))))""".stripMargin))
+        .as("sig"))
+    val part = Tables.part(s, d)
+    val probes = part.filter(col("p_partkey") % 7 === 0)
+      .withColumn("k",
+        (col("p_partkey") % length(col("p_name"))).cast("int") + 1)
+      .select(expr(
+        "concat(substr(p_name, 1, k - 1), substr(p_name, k + 1))")
+        .as("q_name"))
+      .distinct()
+    val masters = part.select(col("p_name").as("m_name")).distinct()
+    sigs(probes, "q_name").join(sigs(masters, "m_name"), "sig")
+      .select("q_name", "m_name").distinct()
+      .filter(levenshtein(col("q_name"), col("m_name")) <= 1)
+      .select(col("q_name"), col("m_name"),
+        levenshtein(col("q_name"), col("m_name")).as("dist"))
+      .orderBy("q_name", "m_name")
+  }
+
+  val fuzzyJoinPartsSql: String = """
+    WITH probes AS (SELECT DISTINCT
+        substr(p_name, 1, k - 1) || substr(p_name, k + 1) AS q_name
+      FROM (SELECT p_name,
+          CAST(p_partkey % length(p_name) AS INT) + 1 AS k
+        FROM part WHERE p_partkey % 7 = 0)),
+    masters AS (SELECT DISTINCT p_name AS m_name FROM part)
+    SELECT q_name, m_name,
+      CAST(levenshtein(q_name, m_name) AS INT) AS dist
+    FROM probes CROSS JOIN masters
+    WHERE levenshtein(q_name, m_name) <= 1
+    ORDER BY q_name, m_name"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q1_pricing_summary", q1, Some(q1Sql)),
+    QuerySpec("fuzzy_join_parts", fuzzyJoinParts, Some(fuzzyJoinPartsSql)),
     QuerySpec("q3_top_revenue", q3, Some(q3Sql)),
     QuerySpec("q5_regional_revenue", q5, Some(q5Sql)),
     QuerySpec("join_semi_exists", joinSemi, Some(joinSemiSql)),

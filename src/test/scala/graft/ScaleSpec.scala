@@ -642,6 +642,84 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bm25_topk prunes to query-vocabulary postings on the scan, " +
+      "shares the tf exchange with the df branch, and partial-top-ks") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.bm25Topk(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val s = plan.toString
+      // the tf postings exchange is shared with the df branch (df is a
+      // count OVER tf, kept structurally identical — the dsir lesson),
+      // so the corpus text is scanned twice total (postings + the
+      // N/avgdl stats scan), never three times
+      assert(s.contains("ReusedExchange"),
+        "tf exchange must be shared with the df branch:\n" + s.take(1500))
+      assert(s.linesIterator.count(_.contains("FileScan parquet")) == 2,
+        "two corpus scans (postings + stats):\n" + s.take(1500))
+      // the single ranking window is partitioned by query AND preceded
+      // by a PARTIAL WindowGroupLimit: each input partition keeps only
+      // its local top-k before the query_id exchange, so no task ever
+      // sorts a query's full posting list
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.size == 1 && windows.forall(_.partitionSpec.nonEmpty),
+        windows.map(_.partitionSpec).toString)
+      assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
+        "partial per-partition top-k missing:\n" + s.take(1500))
+      // raw text never rides an exchange
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }.foreach(e => assert(!e.child.output.exists(_.name == "text"),
+        e.child.output.map(_.name).mkString(",")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("overlap_matrix shuffles only 128-bit paragraph hashes and " +
+      "expands pairs after the bounded collect_set") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.overlapMatrix(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }.foreach(e => assert(!e.child.output.exists(a =>
+        a.name == "para" || a.name == "text"),
+        e.child.output.map(_.name).mkString(",")))
+      // pair expansion (the generator) sits ABOVE the hash aggregate —
+      // it runs on ≤|sources|-wide arrays, never on corpus rows
+      val gen = plan.collectFirst {
+        case g: org.apache.spark.sql.execution.GenerateExec
+            if g.output.exists(_.name == "p") => g
+      }
+      assert(gen.nonEmpty, "pair-expansion generator missing")
+      assert(gen.get.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }.nonEmpty, "pair expansion must run above the collect_set aggregate")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("fuzzy_join_parts joins on deletion signatures — hash join, " +
+      "no quadratic cross join anywhere") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.Relational.fuzzyJoinParts(
+        spark, "/root/testdata/sf0.001")
+      val s = q.queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"),
+        "signature join degenerated to a cross join:\n" + s.take(1500))
+      assert(s.contains("sig"), s.take(800))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("registry-wide audit: the only single-partition windows are the " +
       "two known ≤256-row bucket cumsums (dsir_importance, shuffle_epoch)") {
     // A global (empty-partitionSpec) window is the classic silent
