@@ -2777,10 +2777,98 @@ object PipelineQueries {
     SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  // -------------------------------------------- count-min sketch
+  /** Count-min sketch heavy-hitter probe (Cormode & Muthukrishnan
+    * 2005): token frequencies estimated from a FIXED 4×256-cell sketch
+    * instead of a corpus-wide per-token groupBy — the shape for "how
+    * often does X occur in 100 TB" questions where the distinct-token
+    * table itself is too big to materialize per probe. The sketch
+    * build is one corpus scan aggregating into ≤1024 (row, cell)
+    * groups — map-side partial combine flattens it to almost nothing
+    * on the wire, and the sketch size is CONSTANT in the corpus size
+    * (the KMV-sketch companion, §sketch_kmv_distinct). Cells come from
+    * the codegen [[graft.functions.HashF.polyHash]] base hash pushed
+    * through 4 fixed affine permutations mod P (the standard pairwise-
+    * independent family; same [[graft.pipeline.TextHash.coeffs]]
+    * arithmetic the minhash family uses, so the oracle replays every
+    * cell exactly — the sketch is checked bit-for-bit, not
+    * approximately). Candidate probes then broadcast-join the tiny
+    * sketch: est = min over the 4 rows, an upper bound that the
+    * emitted exact count verifies (`overcount` ≥ 0 by construction).
+    * The exact branch prunes to the candidate list ON the scan, so it
+    * stays cheap at any corpus size. */
+  def sketchCmsHeavy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cands = Seq("spark", "join", "window", "agg", "hash", "table",
+      "scan", "data", "the", "row")
+    val ks = 50 to 53 // affine-permutation ids (TextHash.coeffs)
+    def cellCols(h: org.apache.spark.sql.Column) = ks.map { k =>
+      val (a, b) = graft.pipeline.TextHash.coeffs(k)
+      ((lit(a) * h + lit(b)) % lit(graft.pipeline.TextHash.P)) % lit(256)
+    }
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("t"))
+    val cms = toks
+      .select(graft.functions.HashF.polyHash(col("t")).as("h"))
+      .select(posexplode(array(cellCols(col("h")): _*))
+        .as(Seq("r", "cell")))
+      .groupBy("r", "cell").agg(count(lit(1)).as("c"))
+    val candh = cands.toDF("token")
+      .withColumn("h", graft.functions.HashF.polyHash(col("token")))
+    val est = candh
+      .select(col("token"), posexplode(array(cellCols(col("h")): _*))
+        .as(Seq("r", "cell")))
+      .join(broadcast(cms), Seq("r", "cell"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+    val exact = toks.filter(col("t").isin(cands: _*))
+      .groupBy(col("t").as("token")).agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("token"), "left")
+      .select(col("token"), col("est"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (col("est") - coalesce(col("n_exact"), lit(0L))).as("overcount"))
+      .orderBy("token")
+  }
+
+  val sketchCmsHeavySql: String = {
+    val P = graft.pipeline.TextHash.P
+    val params = (50 to 53).zipWithIndex.map { case (k, r) =>
+      val (a, b) = graft.pipeline.TextHash.coeffs(k)
+      s"($r, $a, $b)"
+    }.mkString(", ")
+    val candVals = Seq("spark", "join", "window", "agg", "hash", "table",
+      "scan", "data", "the", "row").map(t => s"('$t')").mkString(", ")
+    def hashOf(x: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         | [CAST(ascii(substr($x, CAST(i AS INT), 1)) AS BIGINT)
+         |  FOR i IN range(1, length($x)+1)]),
+         | (a, b) -> (a * 31 + b) % $P)""".stripMargin
+    s"""
+    WITH params AS (SELECT * FROM (VALUES $params) AS p(r, a, b)),
+    toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+    th AS (SELECT t, ${hashOf("t")} AS h FROM toks),
+    cms AS (SELECT r, ((a * h + b) % $P) % 256 AS cell, COUNT(*) AS c
+      FROM th CROSS JOIN params GROUP BY 1, 2),
+    cand AS (SELECT token, ${hashOf("token")} AS h
+      FROM (VALUES $candVals) AS c(token)),
+    est AS (SELECT token, MIN(COALESCE(c, 0)) AS est
+      FROM (SELECT token, r, ((a * h + b) % $P) % 256 AS cell
+            FROM cand CROSS JOIN params) cc
+      LEFT JOIN cms USING (r, cell) GROUP BY token),
+    exact AS (SELECT t AS token, COUNT(*) AS n_exact FROM toks
+      WHERE t IN (SELECT token FROM cand) GROUP BY t)
+    SELECT est.token, est,
+      CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact,
+      CAST(est - COALESCE(n_exact, 0) AS BIGINT) AS overcount
+    FROM est LEFT JOIN exact ON est.token = exact.token
+    ORDER BY est.token"""
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sim_topk_pq", simTopKPq, Some(simTopKPqSql)),
     QuerySpec("overlap_matrix", overlapMatrix, Some(overlapMatrixSql)),
     QuerySpec("bm25_topk", bm25Topk, Some(bm25TopkSql)),
+    QuerySpec("sketch_cms_heavy", sketchCmsHeavy, Some(sketchCmsHeavySql)),
     QuerySpec("mix_epoch_plan", mixEpochPlan, Some(mixEpochPlanSql)),
     QuerySpec("sim_topk_rp", simTopKRp, Some(simTopKRpSql)),
     QuerySpec("shuffle_epoch", shuffleEpoch, Some(shuffleEpochSql)),

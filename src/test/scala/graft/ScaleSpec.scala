@@ -706,6 +706,33 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("sketch_cms_heavy builds a constant-size sketch: the cms " +
+      "exchange carries only (row, cell) counts, probes broadcast") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.PipelineQueries.sketchCmsHeavy(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val s = plan.toString
+      // sketch-build shuffle: map-side partial combine into <=1024
+      // (r, cell) groups — no token string may ride that exchange (the
+      // exact-count branch carries only the 10 candidate tokens)
+      val cmsEx = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.child.output.exists(_.name == "cell") => e
+      }
+      assert(cmsEx.nonEmpty, s.take(1200))
+      cmsEx.foreach(e => assert(
+        !e.child.output.exists(a => a.name == "t" || a.name == "text"),
+        e.child.output.map(_.name).mkString(",")))
+      // the sketch joins the candidate probes via broadcast
+      assert(s.contains("BroadcastHashJoin"), s.take(1200))
+      // two corpus scans: sketch build + pruned exact branch
+      assert(s.linesIterator.count(_.contains("FileScan parquet")) == 2,
+        s.take(1200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("fuzzy_join_parts joins on deletion signatures — hash join, " +
       "no quadratic cross join anywhere") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
