@@ -350,6 +350,32 @@ object EventStreams {
       }
   }
 
+  /** Streaming count-min sketch maintenance — the streaming twin of
+    * the `sketch_cms_heavy` batch build, and the sketch's REAL
+    * production shape: the 4×256-cell token-frequency sketch updates
+    * incrementally as documents arrive, so heavy-hitter estimates are
+    * queryable mid-ingest without ever re-scanning the corpus. A plain
+    * streaming aggregation keyed by (row, cell): the state store holds
+    * AT MOST 1024 counters no matter how many tokens stream through —
+    * bounded state by construction, no watermark needed (cells never
+    * expire; the sketch is a running total). Cell arithmetic is
+    * identical to the batch side (codegen poly_hash base hash through
+    * the TextHash.coeffs affine family), so the drained stream's cells
+    * equal the batch sketch bit-for-bit (StreamingSpec). */
+  def streamingCmsCells(docs: DataFrame): DataFrame = {
+    val ks = 50 to 53
+    def cellCols(h: org.apache.spark.sql.Column) = ks.map { k =>
+      val (a, b) = graft.pipeline.TextHash.coeffs(k)
+      ((lit(a) * h + lit(b)) % lit(graft.pipeline.TextHash.P)) % lit(256)
+    }
+    docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .select(graft.functions.HashF.polyHash(col("t")).as("h"))
+      .select(posexplode(array(cellCols(col("h")): _*)).as(Seq("r", "cell")))
+      .groupBy("r", "cell")
+      .agg(count(lit(1)).as("c"))
+  }
+
   /** Stateful per-user sessionization via session windows: Spark's
     * built-in session_window gives the same 30-minute-gap semantics as
     * the batch sessionize query. */

@@ -78,6 +78,31 @@ class StreamingSpec extends SparkSpec {
     assert(total < exploded, "expected duplicate paragraphs in corpus")
   }
 
+  test("streaming count-min sketch: cells after draining the stream " +
+      "equal the batch sketch bit-for-bit, with bounded (<=1024) state") {
+    val dir = Files.createTempDirectory("graft-cmsstream").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    // two files → at least two micro-batches under maxFilesPerTrigger=1:
+    // the sketch must accumulate across batches, not recompute
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = EventStreams.streamingCmsCells(
+      spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1")
+        .parquet(dir).select("doc_id", "text"))
+    val q = stream.writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("cms_out").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = EventStreams.streamingCmsCells(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.size <= 1024,
+      s"state must stay within the 4x256 sketch: ${got.size}")
+  }
+
   test("streaming incremental dedup: static-corpus bloom + exact " +
       "verify matches the batch truth") {
     val dir = Files.createTempDirectory("graft-istream").toString
