@@ -52,9 +52,23 @@ object Dedup {
     df.stat.bloomFilter(colName, n, bits)
   }
 
-  /** Exact dedup: representative id + multiplicity per distinct key. */
+  /** Exact dedup: representative id + multiplicity per distinct key.
+    * Groups by the RAW key — only for keys that are already narrow
+    * (ids, short strings). For document text use [[exactHashed]]: this
+    * variant ships the full key through the exchange. */
   def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
     df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact content dedup keyed by the 128-bit two-seed xxhash64 of the
+    * key column, so the groupBy exchange carries 16 bytes per row
+    * instead of the document text (the dedup_paragraph contract;
+    * collision odds ~2^-128, and an oracle comparing literal-text
+    * groups would surface one as a hash mismatch). Equality of counts
+    * with [[exact]] is asserted in PipelineSpec. */
+  def exactHashed(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.groupBy(xxhash64(col(keyCol)).as("h1"),
+        xxhash64(col(keyCol), lit(1L)).as("h2"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct word-bigram shingle hashes per doc: (id, shingle).

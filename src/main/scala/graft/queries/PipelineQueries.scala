@@ -20,7 +20,7 @@ object PipelineQueries {
 
   // ------------------------------------------------------------- dedup
   def dedupExact(s: SparkSession, d: String): DataFrame =
-    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+    Dedup.exactHashed(Tables.documents(s, d), "doc_id", "text")
       .select(col("rep_id"), col("n_copies"))
       .orderBy("rep_id")
 

@@ -32,6 +32,13 @@ class PipelineSpec extends SparkSpec {
     assert(out.length == 4)
     assert(out(0).getAs[Long]("rep_id") == 0L &&
       out(0).getAs[Long]("n_copies") == 2L)
+    // the hash-keyed variant (what dedup_exact ships — its exchange
+    // carries 16-byte hashes, not document text) groups identically
+    val hashed = Dedup.exactHashed(docs(), "doc_id", "text")
+      .select("rep_id", "n_copies").orderBy("rep_id").collect()
+    assert(hashed.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      out.map(r => (r.getAs[Long]("rep_id"), r.getAs[Long]("n_copies")))
+        .toSeq)
   }
 
   test("jaccard pairs find near-dups and exact dups") {

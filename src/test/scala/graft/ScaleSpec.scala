@@ -747,14 +747,23 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("registry-wide audit: the only single-partition windows are the " +
-      "two known ≤256-row bucket cumsums (dsir_importance, shuffle_epoch)") {
-    // A global (empty-partitionSpec) window is the classic silent
-    // scale-killer: the whole input funnels through ONE task. The two
-    // deliberate instances run over ≤256-row bucket aggregates — every
-    // OTHER query must have none, and an accidental one added later
-    // must fail HERE, loudly, not as a log warning nobody reads.
-    val allowed = Map("dsir_importance" -> 1, "shuffle_epoch" -> 1)
+  test("registry-wide audit: no unsanctioned single-partition window, " +
+      "no raw-text/embedding column on any exchange, no cartesian join") {
+    // One planning pass over every registered query, checking the
+    // three silent scale-killers:
+    //  1. a global (empty-partitionSpec) window funnels the whole
+    //     input through ONE task — only the two ≤256-row bucket
+    //     cumsums (dsir_importance, shuffle_epoch) are sanctioned;
+    //  2. a shuffle whose rows carry document text / word arrays /
+    //     embeddings ships the corpus body over the network — the
+    //     dedup contract is that exchanges carry hashes and ids;
+    //  3. a cartesian product is quadratic no matter what surrounds it
+    //     (scalar broadcasts plan as BroadcastNestedLoopJoin, which
+    //     stays allowed).
+    // An op added later that trips any of these must fail HERE,
+    // loudly, not as a log warning nobody reads.
+    val allowedGlobals = Map("dsir_importance" -> 1, "shuffle_epoch" -> 1)
+    val heavyCols = Set("text", "para", "words", "span", "embedding")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       SparkEntry.specs.foreach { q =>
@@ -764,7 +773,7 @@ class ScaleSpec extends SparkSpec {
           case w: org.apache.spark.sql.execution.window.WindowExec
               if w.partitionSpec.isEmpty => w
         }
-        assert(globals.size == allowed.getOrElse(q.name, 0),
+        assert(globals.size == allowedGlobals.getOrElse(q.name, 0),
           s"${q.name}: unexpected single-partition window(s); " +
             "either partition it or, if it provably runs over a tiny " +
             "aggregate, add it to the allowlist with a justification: " +
@@ -781,6 +790,15 @@ class ScaleSpec extends SparkSpec {
             s"${q.name}: global window sees corpus-row columns: " +
               w.output.map(_.name).mkString(","))
         }
+        plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if e.child.output.exists(a => heavyCols(a.name)) => e
+        }.foreach(e => fail(s"${q.name}: exchange carries a heavy column: " +
+          e.child.output.map(_.name).mkString(",")))
+        assert(plan.collectFirst {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+            c
+        }.isEmpty, s"${q.name}: cartesian product in plan")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
