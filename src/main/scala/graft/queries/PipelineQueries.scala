@@ -2864,11 +2864,96 @@ object PipelineQueries {
     ORDER BY est.token"""
   }
 
+  // --------------------------------------------------- graph PageRank
+  /** PageRank centrality, two damped iterations (d = 0.85), over the
+    * part↔supplier bipartite graph from lineitem (~52k edges at
+    * sf0.01, part degrees 13-41, supplier degrees 467-558 — a graph
+    * with real rank differentiation; the shared-paragraph document
+    * graph is pure cliques on this corpus, where uniform rank is the
+    * exact fixed point). The same iteration machinery serves dedup
+    * canonicalization: rank the near-dup graph, keep the most-central
+    * copy. ALL arithmetic is INTEGER parts-per-billion — integer sums
+    * are order-independent, so the oracle replays both iterations
+    * bit-exactly with no decimal or float divergence anywhere. Scale
+    * shape: the distinct edge list and the degree table persist across
+    * iterations; each iteration is one hash join (rank onto edges by
+    * src) and one groupBy(dst) sum — two bounded shuffles per
+    * iteration, rank state lives in the cluster, never on the driver
+    * (contrast bpe_train/emb_kmeans, where the learned state is
+    * deliberately driver-side because it is tiny; a rank vector is
+    * corpus-sized). Node ids are parity-encoded (part → 2k,
+    * supplier → 2k+1) so one rank vector spans both sides. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct().persist()
+    val edges = pairs
+      .select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+      .persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node_id")
+    val nodes = pairs.select((col("p") * 2).as("node_id")).distinct()
+      .unionByName(pairs.select((col("s") * 2 + 1).as("node_id")).distinct())
+    val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+    def step(p: DataFrame): DataFrame = {
+      val contrib = p.join(deg, Seq("node_id"))
+        .join(edges, col("node_id") === col("src"))
+        .select(col("dst").as("node_id"), expr("pr div deg").as("share"))
+        .groupBy("node_id").agg(sum(col("share")).as("inflow"))
+      nodes.join(contrib, Seq("node_id"), "left")
+        .crossJoin(broadcast(nNodes))
+        .select(col("node_id"),
+          (expr("150000000L div n_nodes") +
+            expr("85L * coalesce(inflow, 0L) div 100")).as("pr"))
+    }
+    val p0 = nodes.crossJoin(broadcast(nNodes))
+      .select(col("node_id"), expr("1000000000L div n_nodes").as("pr"))
+    val out = step(step(p0))
+      .select(col("node_id"), (col("node_id") % 2 === 1).as("is_supplier"),
+        col("pr").as("pr_ppb"))
+      .orderBy("node_id")
+    graft.pipeline.Caching.materializeAndRelease(out, pairs, edges)
+  }
+
+  val graphPagerankSql: String = """
+    WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      FROM lineitem),
+    edges AS (SELECT p * 2 AS src, s * 2 + 1 AS dst FROM pairs
+      UNION ALL SELECT s * 2 + 1, p * 2 FROM pairs),
+    deg AS (SELECT src AS node_id, COUNT(*) AS deg FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT p * 2 AS node_id FROM pairs
+      UNION SELECT DISTINCT s * 2 + 1 FROM pairs),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    p0 AS (SELECT node_id, 1000000000 // n_nodes AS pr
+      FROM nodes CROSS JOIN nn),
+    c1 AS (SELECT e.dst AS node_id,
+        CAST(SUM(p.pr // d.deg) AS BIGINT) AS inflow
+      FROM p0 p JOIN deg d USING (node_id)
+      JOIN edges e ON p.node_id = e.src
+      GROUP BY e.dst),
+    p1 AS (SELECT n.node_id,
+        150000000 // n_nodes + 85 * COALESCE(inflow, 0) // 100 AS pr
+      FROM nodes n LEFT JOIN c1 USING (node_id) CROSS JOIN nn),
+    c2 AS (SELECT e.dst AS node_id,
+        CAST(SUM(p.pr // d.deg) AS BIGINT) AS inflow
+      FROM p1 p JOIN deg d USING (node_id)
+      JOIN edges e ON p.node_id = e.src
+      GROUP BY e.dst),
+    p2 AS (SELECT n.node_id,
+        150000000 // n_nodes + 85 * COALESCE(inflow, 0) // 100 AS pr
+      FROM nodes n LEFT JOIN c2 USING (node_id) CROSS JOIN nn)
+    SELECT node_id, node_id % 2 = 1 AS is_supplier,
+      CAST(pr AS BIGINT) AS pr_ppb
+    FROM p2 ORDER BY node_id"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sim_topk_pq", simTopKPq, Some(simTopKPqSql)),
     QuerySpec("overlap_matrix", overlapMatrix, Some(overlapMatrixSql)),
     QuerySpec("bm25_topk", bm25Topk, Some(bm25TopkSql)),
     QuerySpec("sketch_cms_heavy", sketchCmsHeavy, Some(sketchCmsHeavySql)),
+    QuerySpec("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
     QuerySpec("mix_epoch_plan", mixEpochPlan, Some(mixEpochPlanSql)),
     QuerySpec("sim_topk_rp", simTopKRp, Some(simTopKRpSql)),
     QuerySpec("shuffle_epoch", shuffleEpoch, Some(shuffleEpochSql)),
