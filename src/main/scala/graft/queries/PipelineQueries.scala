@@ -2948,9 +2948,101 @@ object PipelineQueries {
       CAST(pr AS BIGINT) AS pr_ppb
     FROM p2 ORDER BY node_id"""
 
+  // ------------------------------------------------- character entropy
+  /** Character-level Shannon entropy per document (nats, 6dp) — the
+    * gibberish/boilerplate screen that catches what token-level
+    * signals miss (base64 blobs, key-mash, single-char floods score
+    * near 0 or far above text's ~2.9-3.2 nats). Identity:
+    * H = ln(n) − (Σ c·ln c)/n over per-character counts c, so the only
+    * libm call is ln on INTEGER counts — rounded to 9dp before the
+    * exact DECIMAL sum (the dsir pattern), making the oracle replay
+    * bit-exact. One explode + one (doc, char) groupBy, map-side
+    * combinable; the per-doc reduce is the second tiny aggregate. */
+  def textEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum((round(log(col("c")), 9) * col("c")).cast("decimal(38,12)"))
+          .as("clogc"))
+      .select(col("doc_id"), col("n").as("n_chars"),
+        col("n_distinct_chars"),
+        round(round(log(col("n")), 9) -
+          col("clogc").cast("double") / col("n"), 6).as("entropy_nats"))
+      .orderBy("doc_id")
+
+  val textEntropySql: String = """
+    WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+      FROM documents),
+    cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch
+      WHERE ch != '' GROUP BY 1, 2),
+    agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        COUNT(*) AS n_distinct_chars,
+        SUM(CAST(ROUND(ln(c), 9) * c AS DECIMAL(38,12))) AS clogc
+      FROM cc GROUP BY doc_id)
+    SELECT doc_id, n AS n_chars, n_distinct_chars,
+      ROUND(ROUND(ln(n), 9) - CAST(clogc AS DOUBLE) / n, 6)
+        AS entropy_nats
+    FROM agg ORDER BY doc_id"""
+
+  // ------------------------------------------------- n-gram novelty
+  /** First-occurrence novelty: the fraction of a document's word
+    * trigrams whose corpus-wide FIRST carrier (smallest doc_id) is the
+    * document itself — the data-valuation signal that separates docs
+    * contributing new content from docs rehashing what an earlier
+    * crawl already supplied (dedup tells you "is it a copy"; novelty
+    * tells you "how much of it is new"). One shuffle keyed by the
+    * 128-bit trigram hash computes min(doc_id) per distinct trigram
+    * (map-side combinable min); the per-doc join back is on the same
+    * hash key, so ReuseExchange shares the instance exchange and text
+    * never rides a shuffle. */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val tg = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, n - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
+        .as("tri"))
+      .select(col("doc_id"), xxhash64(col("tri")).as("h1"),
+        xxhash64(col("tri"), lit(1L)).as("h2"))
+    val firstCarrier = tg.groupBy("h1", "h2")
+      .agg(min(col("doc_id")).as("first_doc"))
+    tg.join(firstCarrier, Seq("h1", "h2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_trigrams"), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltySql: String = """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+    tg AS (SELECT doc_id,
+        array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS tri
+      FROM base, UNNEST(range(1, n - 1)) AS t(i)
+      WHERE n >= 3),
+    fc AS (SELECT tri, MIN(doc_id) AS first_doc FROM tg GROUP BY tri)
+    SELECT tg.doc_id, COUNT(*) AS n_trigrams,
+      CAST(SUM(CASE WHEN fc.first_doc = tg.doc_id THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_novel,
+      ROUND(CAST(SUM(CASE WHEN fc.first_doc = tg.doc_id THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM tg JOIN fc USING (tri)
+    GROUP BY tg.doc_id ORDER BY tg.doc_id"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sim_topk_pq", simTopKPq, Some(simTopKPqSql)),
     QuerySpec("overlap_matrix", overlapMatrix, Some(overlapMatrixSql)),
+    QuerySpec("text_entropy", textEntropy, Some(textEntropySql)),
+    QuerySpec("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QuerySpec("bm25_topk", bm25Topk, Some(bm25TopkSql)),
     QuerySpec("sketch_cms_heavy", sketchCmsHeavy, Some(sketchCmsHeavySql)),
     QuerySpec("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
