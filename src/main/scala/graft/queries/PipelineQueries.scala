@@ -2892,11 +2892,18 @@ object PipelineQueries {
       .unionByName(pairs
         .select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
       .persist()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .withColumnRenamed("src", "node_id")
-    val nodes = pairs.select((col("p") * 2).as("node_id")).distinct()
-      .unionByName(pairs.select((col("s") * 2 + 1).as("node_id")).distinct())
-    val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+    // degrees come straight from the persisted pair table (a part's
+    // out-degree IS its distinct supplier count and vice versa) — two
+    // side-sized groupBys instead of re-grouping the 2×-wider edge
+    // union; and since every node has >= 1 edge here, the node set is
+    // just the degree table's keys — no extra distincts over pairs.
+    val deg = pairs.groupBy("p").agg(count(lit(1)).as("deg"))
+      .select((col("p") * 2).as("node_id"), col("deg"))
+      .unionByName(pairs.groupBy("s").agg(count(lit(1)).as("deg"))
+        .select((col("s") * 2 + 1).as("node_id"), col("deg")))
+      .persist()
+    val nodes = deg.select("node_id")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     def step(p: DataFrame): DataFrame = {
       val contrib = p.join(deg, Seq("node_id"))
         .join(edges, col("node_id") === col("src"))
@@ -2914,7 +2921,7 @@ object PipelineQueries {
       .select(col("node_id"), (col("node_id") % 2 === 1).as("is_supplier"),
         col("pr").as("pr_ppb"))
       .orderBy("node_id")
-    graft.pipeline.Caching.materializeAndRelease(out, pairs, edges)
+    graft.pipeline.Caching.materializeAndRelease(out, pairs, edges, deg)
   }
 
   val graphPagerankSql: String = """
