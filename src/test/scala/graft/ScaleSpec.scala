@@ -792,9 +792,14 @@ class ScaleSpec extends SparkSpec {
         }
         plan.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-              if e.child.output.exists(a => heavyCols(a.name)) => e
-        }.foreach(e => fail(s"${q.name}: exchange carries a heavy column: " +
-          e.child.output.map(_.name).mkString(",")))
+              if e.child.output.exists(a => heavyCols(a.name) ||
+                a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+                a.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+            => e
+        }.foreach(e => fail(s"${q.name}: exchange carries a heavy " +
+          "(named or array/map-typed) column: " +
+          e.child.output.map(a => a.name + ":" + a.dataType.simpleString)
+            .mkString(",")))
         assert(plan.collectFirst {
           case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
             c
