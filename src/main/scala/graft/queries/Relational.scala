@@ -345,9 +345,90 @@ object Relational {
     WHERE levenshtein(q_name, m_name) <= 1
     ORDER BY q_name, m_name"""
 
+  /** Cohort retention: users bucketed by first-activity day, counted
+    * on each later active day offset — the table behind every
+    * retention curve. Days are epoch-day integers (`ts_us div 86.4e9`)
+    * so no date/timezone function can diverge cross-engine. Shape: one
+    * distinct over (user, day); the per-user first-day aggregate and
+    * the join back are both keyed by user_id on the SAME distinct
+    * subtree (ReuseExchange shares the shuffle); the final (cohort, k)
+    * aggregate is map-side combinable. Nothing here is driver state —
+    * the cohort table scales with users × active days. */
+  def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val first = ud.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ud.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("k"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "k")
+  }
+
+  val eventsRetentionSql: String = """
+    WITH ud AS (SELECT DISTINCT user_id,
+        epoch_us(ts) // 86400000000 AS day FROM events),
+    f AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1)
+    SELECT cohort_day, day - cohort_day AS k,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM ud JOIN f USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Ordered funnel: view → first click AT OR AFTER the first view →
+    * first purchase at or after that click, per user — the sequence
+    * constraint ("after") is what separates a funnel from three
+    * independent counts, and is exactly what naive conditional
+    * aggregation gets wrong. Three stage aggregates, each a map-side
+    * combinable min keyed by user_id, each stage joining (and
+    * shrinking) the previous stage's survivors — at scale every join
+    * is a same-key hash join on user_id and AQE broadcasts the
+    * later, smaller stages. Single-row summary output. */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts_us")
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_us")).as("v_ts"))
+    val fc = ev.filter(col("event_type") === "click")
+      .join(fv, Seq("user_id"))
+      .filter(col("ts_us") >= col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("c_ts"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(fc, Seq("user_id"))
+      .filter(col("ts_us") >= col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("p_ts"))
+    val total = ev.agg(countDistinct(col("user_id")).as("n_users"))
+    total
+      .crossJoin(broadcast(fv.agg(count(lit(1)).as("n_viewed"))))
+      .crossJoin(broadcast(fc.agg(count(lit(1)).as("n_clicked_after"))))
+      .crossJoin(broadcast(fp.agg(count(lit(1)).as("n_purchased_after"))))
+      .select(col("n_users"), col("n_viewed"), col("n_clicked_after"),
+        col("n_purchased_after"),
+        round(col("n_purchased_after").cast("double") / col("n_viewed"), 6)
+          .as("view_to_purchase"))
+  }
+
+  val eventsFunnelSql: String = """
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events),
+    fv AS (SELECT user_id, MIN(ts_us) AS v_ts FROM ev
+      WHERE event_type = 'view' GROUP BY 1),
+    fc AS (SELECT ev.user_id, MIN(ts_us) AS c_ts FROM ev
+      JOIN fv ON ev.user_id = fv.user_id
+      WHERE event_type = 'click' AND ts_us >= v_ts GROUP BY 1),
+    fp AS (SELECT ev.user_id, MIN(ts_us) AS p_ts FROM ev
+      JOIN fc ON ev.user_id = fc.user_id
+      WHERE event_type = 'purchase' AND ts_us >= c_ts GROUP BY 1)
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM ev) AS n_users,
+      (SELECT COUNT(*) FROM fv) AS n_viewed,
+      (SELECT COUNT(*) FROM fc) AS n_clicked_after,
+      (SELECT COUNT(*) FROM fp) AS n_purchased_after,
+      ROUND(CAST((SELECT COUNT(*) FROM fp) AS DOUBLE) /
+        (SELECT COUNT(*) FROM fv), 6) AS view_to_purchase"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q1_pricing_summary", q1, Some(q1Sql)),
     QuerySpec("fuzzy_join_parts", fuzzyJoinParts, Some(fuzzyJoinPartsSql)),
+    QuerySpec("events_retention", eventsRetention, Some(eventsRetentionSql)),
+    QuerySpec("events_funnel", eventsFunnel, Some(eventsFunnelSql)),
     QuerySpec("q3_top_revenue", q3, Some(q3Sql)),
     QuerySpec("q5_regional_revenue", q5, Some(q5Sql)),
     QuerySpec("join_semi_exists", joinSemi, Some(joinSemiSql)),
