@@ -3045,9 +3045,69 @@ object PipelineQueries {
     FROM tg JOIN fc USING (tri)
     GROUP BY tg.doc_id ORDER BY tg.doc_id"""
 
+  // ------------------------------------------------- split leakage audit
+  /** Train/val/test split with a cross-split LEAKAGE audit: documents
+    * split 80/10/10 by a deterministic key hash (split assignment must
+    * never depend on content, or filtering skews the held-out sets),
+    * then every pair of splits is audited for shared 20-word
+    * paragraphs — near-dup leakage across the train/test boundary is
+    * how held-out perplexity quietly turns into memorization
+    * measurement. Output per ordered split pair: distinct shared
+    * paragraphs and distinct leaking held-out docs. Same scale shape
+    * as overlap_matrix: one shuffle keyed by the 128-bit paragraph
+    * hash; each hash group carries ≤3 splits + bounded doc samples;
+    * text never rides an exchange. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nPar = ceil(size(words) / lit(20.0)).cast("int")
+    val paras = transform(sequence(lit(0), nPar - 1),
+      i => array_join(slice(words, i * 20 + 1, lit(20)), " "))
+    val sp = Tables.documents(s, d)
+      .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(10L)))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val").otherwise("test"))
+      .select(col("split"), col("doc_id"), explode(paras).as("para"))
+      .select(col("split"), col("doc_id"),
+        xxhash64(col("para")).as("h1"),
+        xxhash64(col("para"), lit(1L)).as("h2"))
+      .distinct()
+    val a = sp.select(col("split").as("split_a"), col("h1"), col("h2"))
+      .distinct()
+    val b = sp.select(col("split").as("split_b"), col("doc_id"),
+      col("h1"), col("h2"))
+    a.join(b, Seq("h1", "h2"))
+      .filter(col("split_a") < col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(countDistinct(col("h1"), col("h2")).as("n_shared_paras"),
+        countDistinct(col("doc_id")).as("n_leaking_docs"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val splitLeakageSql: String = """
+    WITH base AS (SELECT doc_id,
+        CASE WHEN (doc_id * 2654435761) % 10 < 8 THEN 'train'
+             WHEN (doc_id * 2654435761) % 10 = 8 THEN 'val'
+             ELSE 'test' END AS split,
+        string_split(text, ' ') AS words
+      FROM documents),
+    paras AS (SELECT split, doc_id,
+        array_to_string(list_slice(words, i * 20 + 1, i * 20 + 20), ' ')
+          AS para
+      FROM base,
+        UNNEST(range(CAST(ceil(len(words) / 20.0) AS BIGINT))) AS t(i)),
+    sp AS (SELECT DISTINCT split, doc_id, para FROM paras),
+    ap AS (SELECT DISTINCT split AS split_a, para FROM sp)
+    SELECT split_a, sp.split AS split_b,
+      COUNT(DISTINCT sp.para) AS n_shared_paras,
+      COUNT(DISTINCT sp.doc_id) AS n_leaking_docs
+    FROM ap JOIN sp ON ap.para = sp.para AND ap.split_a < sp.split
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sim_topk_pq", simTopKPq, Some(simTopKPqSql)),
     QuerySpec("overlap_matrix", overlapMatrix, Some(overlapMatrixSql)),
+    QuerySpec("split_leakage", splitLeakage, Some(splitLeakageSql)),
     QuerySpec("text_entropy", textEntropy, Some(textEntropySql)),
     QuerySpec("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QuerySpec("bm25_topk", bm25Topk, Some(bm25TopkSql)),
