@@ -3053,10 +3053,11 @@ object PipelineQueries {
     * paragraphs — near-dup leakage across the train/test boundary is
     * how held-out perplexity quietly turns into memorization
     * measurement. Output per ordered split pair: distinct shared
-    * paragraphs and distinct leaking held-out docs. Same scale shape
-    * as overlap_matrix: one shuffle keyed by the 128-bit paragraph
-    * hash; each hash group carries ≤3 splits + bounded doc samples;
-    * text never rides an exchange. */
+    * paragraphs and distinct leaking held-out docs. Scale shape: every
+    * exchange is keyed by the 128-bit paragraph hash and carries only
+    * (split, doc_id, hash) rows — text never rides a shuffle
+    * (registry-audited); the split-side dedup joins the doc-side table
+    * on the hash key, both map-side partial-aggregated. */
   def splitLeakage(s: SparkSession, d: String): DataFrame = {
     val words = split(col("text"), " ")
     val nPar = ceil(size(words) / lit(20.0)).cast("int")

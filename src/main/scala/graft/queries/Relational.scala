@@ -348,12 +348,16 @@ object Relational {
   /** Cohort retention: users bucketed by first-activity day, counted
     * on each later active day offset — the table behind every
     * retention curve. Days are epoch-day integers (`ts_us div 86.4e9`)
-    * so no date/timezone function can diverge cross-engine. Shape: one
-    * distinct over (user, day); the per-user first-day aggregate and
-    * the join back are both keyed by user_id on the SAME distinct
-    * subtree (ReuseExchange shares the shuffle); the final (cohort, k)
-    * aggregate is map-side combinable. Nothing here is driver state —
-    * the cohort table scales with users × active days. */
+    * so no date/timezone function can diverge cross-engine. Shape: the
+    * join side runs the distinct over (user, day); for the first-day
+    * side Catalyst REMOVES the redundant distinct under the min
+    * aggregate (min over raw rows ≡ min over distinct rows), so that
+    * branch partial-aggregates straight off a second two-column scan —
+    * one wide (user, day) exchange avoided at the cost of a cheap
+    * column-pruned re-scan, the right trade when the exchange rows
+    * outweigh two projected columns. The per-user table broadcasts
+    * back; the final (cohort, k) aggregate is map-side combinable.
+    * Nothing here is driver state. */
   def eventsRetention(s: SparkSession, d: String): DataFrame = {
     val ud = Tables.events(s, d)
       .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
