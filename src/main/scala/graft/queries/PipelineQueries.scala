@@ -2883,7 +2883,12 @@ object PipelineQueries {
     * deliberately driver-side because it is tiny; a rank vector is
     * corpus-sized). Node ids are parity-encoded (part → 2k,
     * supplier → 2k+1) so one rank vector spans both sides. */
-  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+  /** Distinct part↔supplier edge list from lineitem, parity-encoded
+    * (part → 2k, supplier → 2k+1) and materialized both directions.
+    * Shared by [[graphPagerank]] and [[graphHits]]; both sides
+    * persisted, released by the callers via materializeAndRelease. */
+  private def partSupplierGraph(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val pairs = Tables.lineitem(s, d)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct().persist()
@@ -2892,6 +2897,11 @@ object PipelineQueries {
       .unionByName(pairs
         .select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
       .persist()
+    (pairs, edges)
+  }
+
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val (pairs, edges) = partSupplierGraph(s, d)
     // degrees come straight from the persisted pair table (a part's
     // out-degree IS its distinct supplier count and vice versa) — two
     // side-sized groupBys instead of re-grouping the 2×-wider edge
@@ -2954,6 +2964,70 @@ object PipelineQueries {
     SELECT node_id, node_id % 2 = 1 AS is_supplier,
       CAST(pr AS BIGINT) AS pr_ppb
     FROM p2 ORDER BY node_id"""
+
+  /** HITS hubs & authorities (Kleinberg 1999) on the same graph — the
+    * mutual-reinforcement companion to [[graphPagerank]]: authority =
+    * Σ hub of in-neighbors, hub = Σ authority of out-neighbors, one
+    * full round from a uniform start, each vector rescaled to a 10⁹
+    * total through an integer quotient of the broadcast sum (scale =
+    * max(1, Σ div 10⁹)) — every operation is integer, so the oracle
+    * replays bit-exactly. Each push is one hash join of the score
+    * vector onto the persisted edge list plus one groupBy sum; the
+    * normalizer is a single-row broadcast, never a global window. */
+  def graphHits(s: SparkSession, d: String): DataFrame = {
+    val (pairs, edges) = partSupplierGraph(s, d)
+    val nodes = edges.select("src").distinct()
+      .withColumnRenamed("src", "node_id").persist()
+    val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+    def push(x: DataFrame): DataFrame =
+      x.join(edges, col("node_id") === col("src"))
+        .select(col("dst"), col("v"))
+        .groupBy(col("dst").as("node_id")).agg(sum(col("v")).as("raw"))
+    def rescale(y: DataFrame): DataFrame = {
+      val tot = y.agg(sum(col("raw")).as("tot"))
+      y.crossJoin(broadcast(tot))
+        .select(col("node_id"),
+          expr("raw div greatest(1L, tot div 1000000000L)").as("v"))
+    }
+    val h0 = nodes.crossJoin(broadcast(nNodes))
+      .select(col("node_id"), expr("1000000000L div n_nodes").as("v"))
+    val a1 = rescale(push(h0))
+    val h1 = rescale(push(a1))
+    val out = nodes
+      .join(a1.withColumnRenamed("v", "auth"), Seq("node_id"), "left")
+      .join(h1.withColumnRenamed("v", "hub"), Seq("node_id"), "left")
+      .select(col("node_id"), (col("node_id") % 2 === 1).as("is_supplier"),
+        coalesce(col("auth"), lit(0L)).as("auth_ppb"),
+        coalesce(col("hub"), lit(0L)).as("hub_ppb"))
+      .orderBy("node_id")
+    graft.pipeline.Caching.materializeAndRelease(out, pairs, edges, nodes)
+  }
+
+  val graphHitsSql: String = """
+    WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      FROM lineitem),
+    edges AS (SELECT p * 2 AS src, s * 2 + 1 AS dst FROM pairs
+      UNION ALL SELECT s * 2 + 1, p * 2 FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node_id FROM edges),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    h0 AS (SELECT node_id, 1000000000 // n_nodes AS v
+      FROM nodes CROSS JOIN nn),
+    a1r AS (SELECT e.dst AS node_id, CAST(SUM(x.v) AS BIGINT) AS raw
+      FROM h0 x JOIN edges e ON x.node_id = e.src GROUP BY e.dst),
+    a1t AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM a1r),
+    a1 AS (SELECT node_id, raw // GREATEST(1, tot // 1000000000) AS v
+      FROM a1r CROSS JOIN a1t),
+    h1r AS (SELECT e.dst AS node_id, CAST(SUM(x.v) AS BIGINT) AS raw
+      FROM a1 x JOIN edges e ON x.node_id = e.src GROUP BY e.dst),
+    h1t AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM h1r),
+    h1 AS (SELECT node_id, raw // GREATEST(1, tot // 1000000000) AS v
+      FROM h1r CROSS JOIN h1t)
+    SELECT n.node_id, n.node_id % 2 = 1 AS is_supplier,
+      CAST(COALESCE(a1.v, 0) AS BIGINT) AS auth_ppb,
+      CAST(COALESCE(h1.v, 0) AS BIGINT) AS hub_ppb
+    FROM nodes n LEFT JOIN a1 ON n.node_id = a1.node_id
+    LEFT JOIN h1 ON n.node_id = h1.node_id
+    ORDER BY n.node_id"""
 
   // ------------------------------------------------- character entropy
   /** Character-level Shannon entropy per document (nats, 6dp) — the
@@ -3114,6 +3188,7 @@ object PipelineQueries {
     QuerySpec("bm25_topk", bm25Topk, Some(bm25TopkSql)),
     QuerySpec("sketch_cms_heavy", sketchCmsHeavy, Some(sketchCmsHeavySql)),
     QuerySpec("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
+    QuerySpec("graph_hits", graphHits, Some(graphHitsSql)),
     QuerySpec("mix_epoch_plan", mixEpochPlan, Some(mixEpochPlanSql)),
     QuerySpec("sim_topk_rp", simTopKRp, Some(simTopKRpSql)),
     QuerySpec("shuffle_epoch", shuffleEpoch, Some(shuffleEpochSql)),
