@@ -272,54 +272,17 @@ object ExtraQueries {
   }
 
   // --------------------------------------------------------------- IVF ANN
-  /** deterministic IVF centroids: c(j)(i) = ((j*31 + i*7) % 200 - 100)/100 */
-  def centroids(k: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(k)(j => Array.tabulate(dim)(i =>
-      (((31L * j + 7L * i) % 200) - 100).toDouble / 100.0))
-
-  /** IVF-style ANN: assign every vector to its nearest coarse centroid
-    * (L2 argmin via ||v||² − 2v·c + ||c||²; ties → lowest centroid id),
-    * probe only the query's cell, exact-cosine rerank. The scale path:
-    * the corpus is written partitioned by cell, so probes read one
-    * partition (vs LSH's hash buckets — both ship in graft). */
-  private def dotCentroid(v: String, c: Array[Double]): Column = {
-    val arr = array(c.map(lit(_)).toIndexedSeq: _*)
-    aggregate(zip_with(col(v).cast("array<double>"), arr, (x, y) => x * y),
-      lit(0.0), (a, x) => a + x)
-  }
-
-  /** nearest-centroid cell id for the embedding column `v`:
-    * score_j = -2 v·c_j + ||c_j||² (||v||² constant per row); argmin
-    * with ties to the lowest centroid id */
-  private[graft] def ivfCellCol(v: String, cs: Array[Array[Double]]): Column = {
-    val scored = array(cs.zipWithIndex.map { case (c, j) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(-2.0) * dotCentroid(v, c) + lit(c2)).as("score"),
-        lit(j).as("cell"))
-    }.toIndexedSeq: _*)
-    array_min(scored).getField("cell")
-  }
-
-  /** DuckDB mirror of [[ivfCellCol]] (list_min over [score, cell]). */
-  private[queries] def ivfCellSql(v: String, cs: Array[Array[Double]]): String = {
-    def dotC(c: Array[Double]): String = {
-      val terms = c.zipWithIndex.map { case (x, i) =>
-        s"CAST($v[${i + 1}] AS DOUBLE) * ($x)" }
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         | [${terms.mkString(", ")}]), (x, y) -> x + y)""".stripMargin
-    }
-    "list_min([" + cs.zipWithIndex.map { case (c, j) =>
-      val c2 = c.map(x => x * x).sum
-      s"[-2.0 * ${dotC(c)} + ($c2), CAST($j AS DOUBLE)]"
-    }.mkString(", ") + "])[2]"
-  }
-
+  /** IVF-style ANN: assign every vector to its coarse cell via the
+    * data-driven [[graft.pipeline.IvfIndex]] (k = ceil(n/128) sampled
+    * two-level cells, oversized cells re-split), probe only the query's
+    * cell, exact-cosine rerank. The scale path: the corpus is written
+    * partitioned by cell, so probes read one partition (vs LSH's hash
+    * buckets — both ship in graft). */
   def simAnnIvf(s: SparkSession, d: String): DataFrame = {
-    val cs = centroids(4, 64)
-    def cellCol(v: String): Column = ivfCellCol(v, cs)
-    val emb = Tables.embeddings(s, d)
-    val base = emb.select(col("vec_id"), col("embedding"),
-      VecF.normF(col("embedding")).as("norm"), cellCol("embedding").as("cell"))
+    val base = graft.pipeline.IvfIndex.withCells(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        VecF.normF(col("embedding")).as("norm")),
+      "vec_id", "embedding")
     val queries = base.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
         col("norm").as("q_norm"), col("cell"))
@@ -337,7 +300,6 @@ object ExtraQueries {
   }
 
   val simAnnIvfSql: String = {
-    val cs = centroids(4, 64)
     def dotSelf(a: String): String = {
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          | [CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($a[CAST(i AS INT)] AS DOUBLE)
@@ -347,11 +309,13 @@ object ExtraQueries {
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          | [CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)
          |  FOR i IN range(1, len($a) + 1)]), (x, y) -> x + y)""".stripMargin
-    val cellExpr = ivfCellSql("embedding", cs)
     s"""
-    WITH e AS (SELECT vec_id, embedding,
-      sqrt(${dotSelf("embedding")}) AS norm,
-      $cellExpr AS cell FROM embeddings),
+    WITH ${graft.pipeline.IvfIndex.cellsSqlCtes(
+        "embeddings", "vec_id", "embedding")},
+    e AS (SELECT emb.vec_id, emb.embedding,
+      sqrt(${dotSelf("emb.embedding")}) AS norm,
+      ivf_cells.cell
+      FROM embeddings emb JOIN ivf_cells ON emb.vec_id = ivf_cells.id),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         ROUND(${dotAb("q.embedding", "c.embedding")} / (q.norm * c.norm), 6) AS cos

@@ -382,19 +382,19 @@ object PipelineQueries {
   private val SemT = 0.35 // semantic near-dup cosine threshold
 
   /** Semantic dedup (the SemDeDup shape, arXiv:2303.09540): partition
-    * the embedding space into IVF cells (nearest deterministic
-    * centroid), compare pairs ONLY within a cell, connect cos ≥ τ
-    * pairs, report each duplicate cluster with its kept representative
-    * (min id) and members. At scale the cell count grows with the
-    * corpus, so the quadratic pair scan stays per-cell bounded — the
-    * whole point of clustering before comparing; the equality join on
-    * `cell` is one shuffle. */
+    * the embedding space into IVF cells, compare pairs ONLY within a
+    * cell, connect cos ≥ τ pairs, report each duplicate cluster with
+    * its kept representative (min id) and members. The cell count is
+    * DERIVED FROM INPUT STATISTICS ([[graft.pipeline.IvfIndex]]:
+    * k = ceil(n/128), sampled two-level centroids, oversized cells
+    * re-split), so the per-cell quadratic scan stays bounded and total
+    * pair work is O(n·128) — linear in the corpus; the equality join
+    * on `cell` is one shuffle. */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
-    val cs = ExtraQueries.centroids(4, 64)
-    val base = Tables.embeddings(s, d).select(col("vec_id"),
-      col("embedding"),
-      graft.functions.VecF.normF(col("embedding")).as("norm"),
-      ExtraQueries.ivfCellCol("embedding", cs).as("cell"))
+    val base = graft.pipeline.IvfIndex.withCells(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        graft.functions.VecF.normF(col("embedding")).as("norm")),
+      "vec_id", "embedding")
     val a = base.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("ea"), col("norm").as("na"))
     val b = base.select(col("cell"), col("vec_id").as("id_b"),
@@ -414,11 +414,13 @@ object PipelineQueries {
   }
 
   val dedupSemanticSql: String = {
-    val cs = ExtraQueries.centroids(4, 64)
     s"""
-    WITH e AS (SELECT vec_id, embedding,
-      sqrt(${dotSql("embedding", "embedding")}) AS norm,
-      ${ExtraQueries.ivfCellSql("embedding", cs)} AS cell FROM embeddings),
+    WITH ${graft.pipeline.IvfIndex.cellsSqlCtes(
+        "embeddings", "vec_id", "embedding")},
+    e AS (SELECT emb.vec_id, emb.embedding,
+      sqrt(${dotSql("emb.embedding", "emb.embedding")}) AS norm,
+      ivf_cells.cell
+      FROM embeddings emb JOIN ivf_cells ON emb.vec_id = ivf_cells.id),
     near AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id

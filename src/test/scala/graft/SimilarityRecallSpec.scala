@@ -11,17 +11,21 @@ import graft.pipeline.Similarity
   * ANN exists for — near-duplicate embeddings), recall@k against
   * [[Similarity.bruteForceTopK]] must clear a pinned floor with the
   * SHIPPED parameters (sim_ann_lsh: 8 planes / dim 64; sim_ann_ivf:
-  * 4 coarse centroids). Generation is integer-deterministic, so the
-  * measured recall is reproducible, not flaky. */
+  * the data-driven [[graft.pipeline.IvfIndex]] — k = ceil(n/128)
+  * sampled two-level cells). The IVF floor is checked at TWO corpus
+  * sizes, because the cell count now grows with the corpus and recall
+  * must survive the cells getting finer. Generation is
+  * integer-deterministic, so the measured recall is reproducible, not
+  * flaky. */
 class SimilarityRecallSpec extends SparkSpec {
 
   private val dim = 64
 
-  /** 20 clusters × 10 points: centre from an integer hash in [-1,1],
-    * per-point noise ~2% of the component scale (≈0.02 rad) — tight
-    * near-duplicate clusters, the workload LSH/IVF are built for */
-  private def clusteredCorpus: DataFrame = {
-    val vecs = for (c <- 0 until 20; p <- 0 until 10) yield {
+  /** nClusters clusters × 10 points: centre from an integer hash in
+    * [-1,1], per-point noise ~2% of the component scale (≈0.02 rad) —
+    * tight near-duplicate clusters, the workload LSH/IVF are built for */
+  private def clusteredCorpus(nClusters: Int = 20): DataFrame = {
+    val vecs = for (c <- 0 until nClusters; p <- 0 until 10) yield {
       val emb = Array.tabulate(dim) { i =>
         val centre =
           (((2654435761L * (c * dim + i + 1)) % 2001) - 1000).toDouble / 1000.0
@@ -44,7 +48,7 @@ class SimilarityRecallSpec extends SparkSpec {
   }
 
   test("hyperplane-LSH recall@3 >= 0.9 with shipped parameters") {
-    val emb = clusteredCorpus
+    val emb = clusteredCorpus()
     val queries = emb.filter(col("vec_id") % 10 === 0) // one per cluster
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
       "embedding", 3)
@@ -55,12 +59,12 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(r >= 0.9, f"LSH recall@3 $r%.3f below the 0.9 floor")
   }
 
-  test("IVF recall@3 >= 0.9 with shipped parameters") {
-    val emb = clusteredCorpus
-    val cs = graft.queries.ExtraQueries.centroids(4, dim)
-    val base = emb.select(col("vec_id"), col("embedding"),
-      graft.functions.VecF.normF(col("embedding")).as("norm"),
-      graft.queries.ExtraQueries.ivfCellCol("embedding", cs).as("cell"))
+  /** the shipped sim_ann_ivf shape: data-driven cells, probe own cell */
+  private def ivfRecall(emb: DataFrame): Double = {
+    val base = graft.pipeline.IvfIndex.withCells(
+      emb.select(col("vec_id"), col("embedding"),
+        graft.functions.VecF.normF(col("embedding")).as("norm")),
+      "vec_id", "embedding")
     val queries = base.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
         col("norm").as("q_norm"), col("cell"))
@@ -75,8 +79,18 @@ class SimilarityRecallSpec extends SparkSpec {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
     val exact = Similarity.bruteForceTopK(emb,
       emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", 3)
-    val r = recallAt3(ann, exact)
-    info(f"IVF recall@3 = $r%.3f")
+    recallAt3(ann, exact)
+  }
+
+  test("IVF recall@3 >= 0.9 with shipped data-driven cells (n=200)") {
+    val r = ivfRecall(clusteredCorpus(20)) // plan(200): 2 cells
+    info(f"IVF recall@3 = $r%.3f at n=200")
+    assert(r >= 0.9, f"IVF recall@3 $r%.3f below the 0.9 floor")
+  }
+
+  test("IVF recall@3 >= 0.9 when the cells grow with the corpus (n=2000)") {
+    val r = ivfRecall(clusteredCorpus(200)) // plan(2000): 16 cells
+    info(f"IVF recall@3 = $r%.3f at n=2000")
     assert(r >= 0.9, f"IVF recall@3 $r%.3f below the 0.9 floor")
   }
 
