@@ -1336,38 +1336,74 @@ object PipelineQueries {
     SELECT doc_id, n_bytes, header_sum, header_sum % 256 AS stub_feature
     FROM t ORDER BY doc_id"""
 
-  /** Decode accounting as an oracle-checked aggregate (the relational
-    * shape of [[graft.pipeline.Multimodal.featureSummary]]): per media
-    * kind, item count, decode-ok count and ok-fraction. "Decodes" here
-    * is the deterministic payload floor both engines share (a payload
-    * shorter than the 16-byte header the stub reads cannot decode);
-    * the REAL ImageIO/PCM/AVI decode paths are asserted in
-    * PipelineSpec against actual media bytes. */
-  def multimodalDecodeStats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        octet_length(col("text")).cast("long").as("n_bytes"))
-      .groupBy("kind")
-      .agg(count(lit(1)).as("n_items"),
-        sum(when(col("n_bytes") >= 16, 1L).otherwise(0L)).as("n_decode_ok"))
-      .withColumn("decode_ok_frac",
-        round(col("n_decode_ok") / col("n_items"), 6))
-      .orderBy("kind")
+  /** Committed media fixtures for [[multimodalDecodeStats]]: real PNG /
+    * 16-bit-PCM WAV / MJPEG-AVI payloads plus corrupt bytes per kind
+    * (each ≥16 bytes — the retired byte-length proxy would have called
+    * every one of them "decoded ok"). */
+  private val mediaFixtures = Seq(
+    (1L, "image", "png_gradient.png"),
+    (2L, "image", "png_gray.png"),
+    (3L, "audio", "wav_sine.wav"),
+    (4L, "audio", "wav_stereo.wav"),
+    (5L, "video", "avi_clip.avi"),
+    (6L, "image", "corrupt_image.bin"),
+    (7L, "audio", "corrupt_audio.bin"),
+    (8L, "video", "corrupt_video.bin"))
 
+  /** REAL decode, oracle-gated: run the distributed decode path
+    * ([[graft.pipeline.Multimodal.extractMediaFeatures]] — ImageIO
+    * pixels, javax.sound PCM samples, RIFF/MJPEG frame parse) over the
+    * committed fixtures and emit every decoded feature (width/height/
+    * channel means for images; rate/channels/duration/RMS/ZCR/peak for
+    * audio; geometry/frame-count/fps/luma for video; the -1 sentinel +
+    * byte-stub features for the corrupt payloads). The oracle is the
+    * precomputed fixture table, so any decode regression breaks the
+    * hash — this replaces the round-8/9 `n_bytes >= 16` proxy. The
+    * corpus dir is unused by design: fixture bytes are the one input a
+    * SQL engine cannot derive, so they ship with the library. */
+  def multimodalDecodeStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = mediaFixtures.map { case (id, kind, name) =>
+      val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+      val bytes = try in.readAllBytes() finally in.close()
+      graft.pipeline.Multimodal.MediaItem(id, kind, bytes,
+        Map("src" -> name))
+    }
+    val feats = graft.pipeline.Multimodal
+      .extractMediaFeatures(s.createDataset(items))
+    val featCols = (1 to 8).map(i =>
+      round(element_at(col("features"), i).cast("double"), 4).as(s"f$i"))
+    feats.select(Seq(col("id").as("media_id"), col("kind"),
+        col("nBytes").cast("long").as("n_bytes"),
+        (element_at(col("features"), 1) =!= lit(-1f)).as("decode_ok")) ++
+        featCols: _*)
+      .orderBy("media_id")
+  }
+
+  /** Precomputed decode outputs of the committed fixtures. The numbers
+    * are physics, not copies: wav_sine RMS = 0.5/√2 = 0.3535, ZCR =
+    * 2·440/8000 = 0.11, mean|x| = 0.5·2/π = 0.3183; png_gradient 16×8
+    * channel means (120, 112, 88); avi_clip 3 frames / 0.3 s / 10 fps.
+    * PNG and PCM decode are bit-stable; the two JPEG-derived luma
+    * cells (f6/f7 of row 5) are stable for the pinned container JDK. */
   val multimodalDecodeStatsSql: String = """
-    WITH t AS (SELECT
-      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-      FROM documents)
-    SELECT kind, COUNT(*) AS n_items,
-      CAST(SUM(CASE WHEN n_bytes >= 16 THEN 1 ELSE 0 END) AS BIGINT)
-        AS n_decode_ok,
-      ROUND(CAST(SUM(CASE WHEN n_bytes >= 16 THEN 1 ELSE 0 END) AS DOUBLE)
-        / COUNT(*), 6) AS decode_ok_frac
-    FROM t GROUP BY kind ORDER BY kind"""
+    SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+      CAST(n_bytes AS BIGINT) AS n_bytes, decode_ok,
+      CAST(f1 AS DOUBLE) AS f1, CAST(f2 AS DOUBLE) AS f2,
+      CAST(f3 AS DOUBLE) AS f3, CAST(f4 AS DOUBLE) AS f4,
+      CAST(f5 AS DOUBLE) AS f5, CAST(f6 AS DOUBLE) AS f6,
+      CAST(f7 AS DOUBLE) AS f7, CAST(f8 AS DOUBLE) AS f8
+    FROM (VALUES
+      (1, 'image', 328, true, 16.0, 8.0, 120.0, 112.0, 88.0, 111.656, 52.212, 2.0),
+      (2, 'image', 93, true, 8.0, 8.0, 128.0, 128.0, 128.0, 128.0, 0.0, 1.0),
+      (3, 'audio', 4044, true, 8000.0, 1.0, 0.25, 0.3535, 0.11, 0.5, 0.3183, 16.0),
+      (4, 'audio', 4044, true, 16000.0, 2.0, 0.0625, 0.1768, 0.11, 0.25, 0.1591, 16.0),
+      (5, 'video', 2162, true, 16.0, 8.0, 3.0, 0.3, 10.0, 97.0, 48.9898, 2.0),
+      (6, 'image', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0625, 0.0625, 0.0313),
+      (7, 'audio', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0938, 0.0625, 0.0313),
+      (8, 'video', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0938, 0.0313, 0.0625))
+      AS t(media_id, kind, n_bytes, decode_ok, f1, f2, f3, f4, f5, f6, f7, f8)
+    ORDER BY media_id"""
 
   // ------------------------------------------------------------- PII
   /** PII redaction ([[TextAnalysis.redactPii]]) with per-kind audit
