@@ -63,8 +63,10 @@ object Dedup {
   /** Exact content dedup keyed by the 128-bit two-seed xxhash64 of the
     * key column, so the groupBy exchange carries 16 bytes per row
     * instead of the document text (the dedup_paragraph contract;
-    * collision odds ~2^-128, and an oracle comparing literal-text
-    * groups would surface one as a hash mismatch). Equality of counts
+    * collision odds are the birthday bound ~N²/2¹²⁹ over N distinct
+    * texts — < 10⁻²⁰ even at 10⁹ docs — and an oracle comparing
+    * literal-text groups would surface one as a hash mismatch).
+    * Equality of counts
     * with [[exact]] is asserted in PipelineSpec. */
   def exactHashed(df: DataFrame, idCol: String, keyCol: String): DataFrame =
     df.groupBy(xxhash64(col(keyCol)).as("h1"),

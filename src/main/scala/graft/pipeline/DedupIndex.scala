@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.util.sketch.BloomFilter
+
+import scala.util.control.NonFatal
+
+/** Persisted incremental-dedup sidecar: the bounded paragraph-hash
+  * Bloom plus the exact (h1, h2) hash index of a kept corpus snapshot.
+  *
+  * A production every-snapshot pipeline (the CCNet shape) must not
+  * rescan the old corpus per batch. This store writes, next to nothing
+  * (16 bytes per distinct paragraph + a capped Bloom), everything the
+  * next batch needs:
+  *  - `bloom.bin` — [[Dedup.boundedBloom]] bytes, loaded driver-side
+  *    with zero Spark jobs;
+  *  - `hashes/` — parquet of distinct (h1, h2), the exact-verify side,
+  *    so the verify join reads the hash index, never the corpus text.
+  *
+  * The sidecar key hashes the corpus path + length + mtime + a format
+  * version, so a corpus change is a clean cache miss, never a stale
+  * hit. Writes drop a `_COMPLETE` marker last: a crashed writer leaves
+  * an invisible (retried) entry, and concurrent writers are idempotent
+  * (same key ⇒ same content). Location: `spark.graft.dedup.indexDir`,
+  * defaulting to a per-user temp dir — production points it at the
+  * object store next to the corpus.
+  */
+object DedupIndex {
+
+  val FormatVersion = 1
+
+  def indexDir(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.dedup.indexDir").getOrElse(
+      sys.props("java.io.tmpdir") + "/graft_dedup_index_" +
+        sys.props.getOrElse("user.name", "anon"))
+
+  /** Cache key for one corpus snapshot + operator variant. Filesystem
+    * metadata only — no Spark job. */
+  def snapshotKey(spark: SparkSession, corpusPath: String,
+                  variant: String): String = {
+    val p = new Path(corpusPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val cs = fs.getContentSummary(p)
+    val mtime = fs.getFileStatus(p).getModificationTime
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val raw = s"$FormatVersion|$variant|$corpusPath|${cs.getLength}|$mtime"
+    md.digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Total row count of a parquet file/directory from footer metadata —
+    * driver-side reads only, no Spark job. Used to FLOOR crude
+    * byte-based element estimates (a duplicate-heavy corpus compresses
+    * far below the bytes/row a size heuristic assumes). */
+  def parquetRowCount(spark: SparkSession, pathStr: String): Option[Long] =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(pathStr)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        else Array(p)
+      Some(files.map { f =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try rdr.getRecordCount finally rdr.close()
+      }.sum)
+    } catch { case NonFatal(_) => None }
+
+  private def base(spark: SparkSession, key: String) =
+    new Path(indexDir(spark), key)
+
+  /** Load a complete sidecar: the Bloom (driver bytes, zero jobs) and
+    * the lazy hash-index DataFrame. None if absent or incomplete. */
+  def load(spark: SparkSession, key: String)
+      : Option[(BloomFilter, DataFrame)] = {
+    val b = base(spark, key)
+    val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(b, "_COMPLETE"))) None
+    else {
+      val in = fs.open(new Path(b, "bloom.bin"))
+      val bloom = try BloomFilter.readFrom(in) finally in.close()
+      // explicit schema: no inference job — loading must stay job-free
+      Some((bloom, spark.read.schema("h1 BIGINT, h2 BIGINT")
+        .parquet(new Path(b, "hashes").toString)))
+    }
+  }
+
+  /** Write bloom + hash index, marker last (crash-safe). */
+  def save(spark: SparkSession, key: String, bloom: BloomFilter,
+           hashes: DataFrame): Unit = {
+    val b = base(spark, key)
+    val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(b)
+    hashes.write.mode("overwrite").parquet(new Path(b, "hashes").toString)
+    val out = fs.create(new Path(b, "bloom.bin"), true)
+    try bloom.writeTo(out) finally out.close()
+    fs.create(new Path(b, "_COMPLETE"), true).close()
+  }
+
+  /** The one call operators use: reuse the snapshot's sidecar if
+    * complete (no job over the old corpus at all), else build it from
+    * `old` — ONE scan builds the Bloom, one writes the distinct hash
+    * index — and persist for every later batch/stream over the same
+    * snapshot. Returns the Bloom plus the hash-index DataFrame (always
+    * read back from the sidecar, so both paths run the identical
+    * verify plan). */
+  def loadOrBuild(spark: SparkSession, corpusPath: String, variant: String,
+                  old: => DataFrame, bloomCol: String, estItems: Long)
+      : (BloomFilter, DataFrame) = {
+    val key = snapshotKey(spark, corpusPath, variant)
+    load(spark, key).getOrElse {
+      val oldDf = old
+      val bloom = Dedup.boundedBloom(oldDf, bloomCol, estItems)
+      save(spark, key, bloom, oldDf.distinct())
+      load(spark, key).getOrElse(
+        throw new IllegalStateException(s"dedup sidecar write failed: $key"))
+    }
+  }
+}

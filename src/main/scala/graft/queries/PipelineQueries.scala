@@ -1688,22 +1688,30 @@ object PipelineQueries {
         xxhash64(col("para")).as("h1"),
         xxhash64(col("para"), lit(1L)).as("h2"))
     val old = exploded.filter(!col("isnew")).select("h1", "h2")
-    // Estimate the old-paragraph count from compressed file bytes (pure
-    // filesystem metadata — no Spark job, so the bloom build below is
-    // the old corpus's single scan). A 20-word paragraph compresses to
-    // well over 40 bytes, so bytes/40 overestimates; overestimating
-    // only lowers the sketch's hash count k, never its (capped) memory.
+    // Old-paragraph count estimate from metadata only (no Spark job):
+    // compressed file bytes / 40 as the crude guess, FLOORED by the
+    // parquet footers' row count (~¾ of rows are old, each ≥ 1
+    // paragraph) — a duplicate-heavy corpus compresses far below
+    // 40 bytes per 20-word paragraph, and undercounting would inflate
+    // the sketch's hash count and fpp. The estimate tunes k only; the
+    // exact verify below absorbs any fpp either way.
     val docPath = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
     val docBytes = docPath.getFileSystem(s.sessionState.newHadoopConf())
       .getContentSummary(docPath).getLength
-    val estOldParas = math.max(docBytes / 40L, 1024L)
-    val bloom = graft.pipeline.Dedup.boundedBloom(old, "h1", estOldParas)
+    val rowFloor = graft.pipeline.DedupIndex
+      .parquetRowCount(s, s"$d/documents.parquet").getOrElse(0L) * 3 / 4
+    val estOldParas = math.max(math.max(docBytes / 40L, rowFloor), 1024L)
+    // Snapshot sidecar (round-9 "Missing #4"): the first batch over a
+    // corpus snapshot builds bloom + exact hash index and persists
+    // them; every later batch (and the streaming twin) loads both and
+    // launches NO job over the old corpus — ScaleSpec asserts it.
+    val (bloom, oldIndex) = graft.pipeline.DedupIndex.loadOrBuild(
+      s, s"$d/documents.parquet", "incr-para-v1", old, "h1", estOldParas)
     val neu = exploded.filter(col("isnew"))
     val cands = neu
       .filter(graft.functions.HashF.bloomMightContain(col("h1"), bloom))
       .select("h1", "h2").distinct()
-    val dup = old.join(broadcast(cands), Seq("h1", "h2"), "left_semi")
-      .distinct()
+    val dup = oldIndex.join(broadcast(cands), Seq("h1", "h2"), "left_semi")
     neu.join(broadcast(dup.withColumn("dup", lit(1L))),
         Seq("h1", "h2"), "left")
       .groupBy("source")

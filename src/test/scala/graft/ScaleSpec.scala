@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.cube.{Cube, CubeGrid, CubeIngest}
@@ -868,6 +870,69 @@ class ScaleSpec extends SparkSpec {
       spark.sharedState.cacheManager.clearCache()
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("dedup_incremental persists the snapshot sidecar: the second " +
+      "batch launches zero jobs over the old corpus") {
+    // Round-9 "Missing #4": an every-snapshot pipeline must not rescan
+    // the kept corpus per batch. First invocation builds + persists
+    // bloom and hash index; the second invocation's BUILD phase (bloom
+    // load) must run no Spark job at all, and its plan's exact-verify
+    // side must scan the sidecar hash index, not documents.parquet.
+    val dir = java.nio.file.Files.createTempDirectory("graft_didx").toString
+    spark.conf.set("spark.graft.dedup.indexDir", dir)
+    val d = "/root/testdata/sf0.001"
+    // (job-group id, stage names) of every job, in arrival order
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.add((String.valueOf(
+          js.properties.getProperty("spark.jobGroup.id")),
+          js.stageInfos.map(_.name).mkString(";")))
+        ()
+      }
+    }
+    try {
+      val r1 = graft.queries.PipelineQueries.dedupIncremental(spark, d)
+        .collect()
+      spark.sparkContext.addSparkListener(listener)
+      // static plan for the scan inspection below (AQE hides children)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sparkContext.setJobGroup("didx-build", "sidecar-reuse build")
+      val q2 = graft.queries.PipelineQueries.dedupIncremental(spark, d)
+      spark.sparkContext.clearJobGroup()
+      // fence: listener events arrive in order, so once the fence job
+      // (different group) is visible, every build-phase job is counted
+      spark.range(1).count()
+      val deadline = System.nanoTime + 5L * 1000 * 1000 * 1000
+      while (!jobs.asScala.exists(_._1 != "didx-build") &&
+        System.nanoTime < deadline) Thread.sleep(20)
+      val build = jobs.asScala.filter(_._1 == "didx-build").toSeq
+      // the ONLY job the build phase may run is the new-batch parquet
+      // schema-inference footer read — no bloom aggregation, no
+      // old-corpus scan, no sidecar rewrite
+      assert(build.forall(_._2.startsWith("parquet at")),
+        s"sidecar miss: non-metadata job(s) during the second batch's " +
+          s"build: ${build.mkString("; ")}")
+      assert(build.size <= 1,
+        s"expected at most the schema-inference job, got: " +
+          build.mkString("; "))
+      val scans = q2.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",")
+      }
+      assert(scans.exists(_.contains(dir)),
+        s"verify side does not read the sidecar hash index: $scans")
+      assert(scans.count(_.contains("documents.parquet")) == 2,
+        s"old corpus still scanned beyond the two new-batch reads: $scans")
+      assert(q2.collect() === r1, "sidecar reuse changed the result")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset("spark.graft.dedup.indexDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
 

@@ -152,6 +152,61 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming incremental dedup reuses the batch-persisted " +
+      "snapshot sidecar — bloom and hash index load, nothing rebuilds") {
+    val idxDir = Files.createTempDirectory("graft-didx-stream").toString
+    spark.conf.set("spark.graft.dedup.indexDir", idxDir)
+    val streamDir = Files.createTempDirectory("graft-istream2").toString
+    try {
+      val d = sf("sf0.001")
+      // the batch pass persists bloom + exact hash index for this
+      // corpus snapshot...
+      graft.queries.PipelineQueries.dedupIncremental(spark, d).collect()
+      val key = graft.pipeline.DedupIndex.snapshotKey(
+        spark, s"$d/documents.parquet", "incr-para-v1")
+      val sidecar = graft.pipeline.DedupIndex.load(spark, key)
+      assert(sidecar.isDefined, "batch pass did not persist the sidecar")
+      // ...and the stream starts from the LOADED sidecar: no old-corpus
+      // DataFrame is ever constructed here, let alone scanned
+      val (bloom, oldIdx) = sidecar.get
+      val docs = Tables.documents(spark, d)
+        .withColumn("isnew",
+          pmod(col("doc_id") * lit(2654435761L), lit(100L)) >= 75)
+      docs.filter(col("isnew")).drop("isnew")
+        .coalesce(1).write.mode("overwrite").parquet(streamDir)
+      val stream = EventStreams.streamingIncrementalDedup(
+        EventStreams.readDocuments(spark, streamDir), oldIdx, bloom,
+        "doc_id", "text")
+      val q = stream.toDF("para", "first_ord").writeStream
+        .format("memory").queryName("idedup_sidecar_out")
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+      val got = spark.table("idedup_sidecar_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val words = split(col("text"), " ")
+      val nPar = ceil(size(words) / lit(20.0)).cast("int")
+      val paras = transform(sequence(lit(0), nPar - 1),
+        i => array_join(slice(words, i * 20 + 1, lit(20)), " "))
+      val oldTexts = docs.filter(!col("isnew"))
+        .select(explode(paras).as("para")).distinct()
+      val batch = docs.filter(col("isnew"))
+        .select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+        .join(oldTexts.withColumn("seen", lit(1)), Seq("para"), "left")
+        .filter(col("seen").isNull)
+        .groupBy("para")
+        .agg(min(col("doc_id") * 100000 + col("para_idx")).as("first_ord"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.dedup.indexDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idxDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(streamDir))
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer matches batch session count") {
     val dir = stageEventsDir()
     val stream = EventStreams.statefulSessions(
