@@ -55,13 +55,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // The two sanctioned ≤256-row global windows (dsir_importance,
-    // shuffle_epoch) would spam `WindowExec: No Partition Defined` and
-    // bury a REAL warning; ScaleSpec's registry-wide audit now fails on
-    // any unsanctioned global window, so the log channel is muted here.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
+    LogFilters.muteSanctionedGlobalWindowWarning()
     Tables.configure(spark)
 
     val os = ManagementFactory.getOperatingSystemMXBean

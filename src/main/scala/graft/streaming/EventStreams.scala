@@ -40,24 +40,35 @@ object EventStreams {
     * directory (a batch-schema read — no job). Either way the stream
     * surfaces `ts` as a session-UTC TIMESTAMP at micros precision,
     * matching [[graft.Tables.events]].
+    *
+    * A stream that must start BEFORE the first file lands cannot be
+    * probed; set `spark.graft.events.tsType` to `bigint` (nanos stored
+    * as int64) or `timestamp_ntz` (micros) to declare the stored type
+    * explicitly — the override wins over probing, and an empty
+    * directory without it stays a fail-fast error (an arbitrary default
+    * could mis-declare the schema for files that arrive later).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     // Same session parity settings as the batch path (UTC + nanosAsLong):
     // the NTZ->LTZ cast below is a wall-clock identity only under UTC.
     graft.Tables.configure(spark)
-    // Probe the stored physical type from footers already present. Only
-    // an empty/unreadable directory raises AnalysisException here; that
-    // is a hard error (an arbitrary default could mis-declare the stream
-    // schema for files that arrive later), so fail fast with guidance.
-    val storedTs =
-      try spark.read.parquet(dir).schema("ts").dataType
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalStateException(
-            s"cannot infer events schema from '$dir' (empty or unreadable); " +
-              "seed the directory with at least one parquet file before " +
-              "starting the stream", e)
-      }
+    val storedTs = spark.conf.getOption("spark.graft.events.tsType") match {
+      case Some("bigint")        => LongType
+      case Some("timestamp_ntz") => TimestampNTZType
+      case Some(other) => throw new IllegalArgumentException(
+        s"spark.graft.events.tsType='$other'; expected 'bigint' or " +
+          "'timestamp_ntz'")
+      case None =>
+        try spark.read.parquet(dir).schema("ts").dataType
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalStateException(
+              s"cannot infer events schema from '$dir' (empty or " +
+                "unreadable); seed the directory with at least one parquet " +
+                "file, or declare the stored ts type via " +
+                "spark.graft.events.tsType", e)
+        }
+    }
     if (storedTs == LongType)
       spark.readStream.schema(eventsSchema).parquet(dir)
         .withColumnRenamed("ts", "ts_raw_ns")

@@ -30,6 +30,39 @@ class StreamingSpec extends SparkSpec {
     assert(hours.nonEmpty)
   }
 
+  test("readEvents starts on an EMPTY directory when the ts type is " +
+      "declared via spark.graft.events.tsType, and fails fast without it") {
+    // The 'start the stream, seed files later' pattern: no footer to
+    // probe, so the stored type must be declared explicitly.
+    val dir = Files.createTempDirectory("graft-emptystream").toString
+    intercept[IllegalStateException] { EventStreams.readEvents(spark, dir) }
+    // declare whichever physical type this round's driver data uses
+    Tables.configure(spark)
+    val stored = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .schema("ts").dataType
+    spark.conf.set("spark.graft.events.tsType",
+      if (stored == org.apache.spark.sql.types.LongType) "bigint"
+      else "timestamp_ntz")
+    try {
+      val stream = EventStreams.hourlyCounts(EventStreams.readEvents(spark, dir))
+      val q = stream.writeStream.format("memory").queryName("late_seed_out")
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable() // zero batches over the empty dir
+        Files.copy(Paths.get(sf("sf0.001"), "events.parquet"),
+          Paths.get(dir, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("late_seed_out")
+        .agg(sum("n_obs")).collect()(0).getLong(0)
+      assert(streamed == Tables.events(spark, sf("sf0.001")).count())
+      intercept[IllegalArgumentException] {
+        spark.conf.set("spark.graft.events.tsType", "micros")
+        EventStreams.readEvents(spark, dir)
+      }
+    } finally spark.conf.unset("spark.graft.events.tsType")
+  }
+
   test("streaming dedup keeps only the first occurrence of a key") {
     val dir = stageEventsDir()
     // event_type has few distinct values → heavy duplication
