@@ -21,6 +21,18 @@ object Tables {
     // events.parquet stores TIMESTAMP(NANOS) which Spark does not model;
     // read it as epoch-nanos LongType and convert explicitly (see events()).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Let AQE re-coalesce the output partitioning of cached plans. The
+    // pipeline operators persist small intermediates (edge lists, degree
+    // tables, signatures); with the default (false) those caches pin the
+    // pre-AQE partition count — e.g. the graph queries' persisted edges
+    // kept 256 near-empty partitions, and every downstream stage over
+    // the cache paid 256 tasks (graph_pagerank: 10,809 tasks / 8 s at
+    // sf0.1 → 106 tasks / 3.8 s with this on). The documented trade-off
+    // (a consumer needing the pre-coalesce partitioning may re-shuffle)
+    // does not arise here: the caches feed joins/aggregations that
+    // shuffle anyway.
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
