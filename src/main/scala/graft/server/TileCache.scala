@@ -4,8 +4,9 @@ import scala.collection.mutable
 
 /** Byte-bounded tile cache with pluggable eviction policy (reference
   * X7/U4/F17: xcube_server/cache.py:174-197 priority plug-ins — LRU /
-  * MRU / LFU / RR — with byte accounting and trim-to-75% eviction,
-  * cache.py:257-274, defaults.py:30).
+  * MRU / LFU / RR, all four reproduced, plus a beyond-ref FIFO — with
+  * byte accounting and trim-to-75% eviction, cache.py:257-274,
+  * defaults.py:30).
   *
   * Driver-side concurrency: coarse lock (tile encode dominates cost).
   */
@@ -47,13 +48,17 @@ class TileCache(capacityBytes: Long,
     entries.remove(key).foreach(e => bytes -= e.value.length)
 
   /** evict lowest-priority entries until under trimRatio × capacity
-    * (cache.py:361-397 trim semantics). */
+    * (cache.py:361-397 trim semantics). One stable sort per trim burst
+    * (O(n log n)) instead of an O(n) minBy per eviction: priorities
+    * cannot change mid-trim (the lock is held, so no accesses), and the
+    * stable sort over insertion-ordered entries breaks priority ties in
+    * insertion order — exactly what minBy's first-encounter did. */
   private def trim(): Unit = {
     val target = (capacityBytes * trimRatio).toLong
-    while (bytes > target && entries.nonEmpty) {
-      val victim = entries.minBy { case (_, e) => policy.priority(e.lastAccess,
-        e.hits, e.insertedAt) }
-      remove(victim._1)
+    if (bytes > target) {
+      val victims = entries.toSeq.sortBy { case (_, e) =>
+        policy.priority(e.lastAccess, e.hits, e.insertedAt) }.iterator
+      while (bytes > target && victims.hasNext) remove(victims.next()._1)
     }
   }
 }
@@ -67,6 +72,12 @@ object TileCache {
   object Mru extends Policy { def priority(a: Long, h: Long, i: Long): Long = -a }
   /** least-frequently-used evicted first */
   object Lfu extends Policy { def priority(a: Long, h: Long, i: Long): Long = h }
-  /** FIFO: oldest insert evicted first */
+  /** FIFO: oldest insert evicted first (beyond-ref; a saner stand-in
+    * for RR when deterministic eviction is wanted) */
   object Fifo extends Policy { def priority(a: Long, h: Long, i: Long): Long = i }
+  /** The reference's 'random replacement', kept bug-for-bug: its
+    * priority is literally the access-count PARITY (cache.py:186-187
+    * `item.access_count % 2`), so even-hit-count entries evict first —
+    * not actually random, but it is what POLICY_RR ships. */
+  object Rr extends Policy { def priority(a: Long, h: Long, i: Long): Long = h % 2 }
 }

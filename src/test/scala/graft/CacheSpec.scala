@@ -36,6 +36,28 @@ class CacheSpec extends AnyFunSuite {
     assert(c.get("k1").isEmpty) // oldest insert evicted despite hits
   }
 
+  test("RR (reference parity): priority is access-count parity — " +
+      "even-hit entries evict first, odd-hit entries survive") {
+    val c = new TileCache(1000, TileCache.Rr)
+    (1 to 10).foreach(i => c.put(s"k$i", bytes(100)))
+    c.get("k5") // k5: 1 hit → priority 1; everything else 0
+    c.put("k11", bytes(100)) // overflow → trim to ≤750: evict 4 of the 0s
+    assert(c.sizeBytes <= 750)
+    assert(c.get("k5").isDefined, "odd-hit-count entry must survive")
+    // ties among priority-0 entries break in insertion order
+    assert(c.get("k1").isEmpty && c.get("k2").isEmpty)
+  }
+
+  test("trim evicts in one sorted burst with stable insertion-order ties") {
+    val c = new TileCache(1000, TileCache.Lfu)
+    (1 to 10).foreach(i => c.put(s"k$i", bytes(100)))
+    c.put("big", bytes(400)) // forces a multi-eviction burst (1400 → ≤750)
+    assert(c.sizeBytes <= 750)
+    // zero-hit ties: k1..k7 (earliest inserts) go first, later ones stay
+    assert(c.get("k1").isEmpty && c.get("k7").isEmpty)
+    assert(c.get("k8").isDefined && c.get("big").isDefined)
+  }
+
   test("clear() drops all entries and byte accounting (hot reload)") {
     val c = new graft.server.TileCache(1024)
     c.put("a", Array.fill(100)(1.toByte))
