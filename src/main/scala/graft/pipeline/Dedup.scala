@@ -491,7 +491,12 @@ object Dedup {
                    maxHamming: Int, bits: Int = 32): DataFrame = {
     val sigs = simhash(df, idCol, textCol, bits).persist()
     val nBands = maxHamming + 1
-    val banded = sigs.select(col("id"), explode(array(
+    // The 8-byte signature rides ALONG with each band row, so the band
+    // join emits (id_a, id_b, hamming) directly — no join-back to the
+    // signature table per side, and the cross-band duplicate-pair
+    // distinct runs AFTER the hamming filter (on true near-dup pairs
+    // only) instead of over the full candidate multiset.
+    val banded = sigs.select(col("id"), col("simhash"), explode(array(
       (0 until nBands).map { b =>
         val lo = b * bits / nBands
         val hi = (b + 1) * bits / nBands
@@ -499,18 +504,14 @@ object Dedup {
           shiftright(col("simhash"), lo)
             .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("key"))
       }: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.key"))
-    val cand = banded.toDF("id_a", "band", "key")
-      .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val out = banded.toDF("id_a", "sig_a", "band", "key")
+      .join(banded.toDF("id_b", "sig_b", "band", "key"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val out = cand
-      .join(sigs.toDF("id_a", "sig_a"), Seq("id_a"))
-      .join(sigs.toDF("id_b", "sig_b"), Seq("id_b"))
       .withColumn("hamming",
         bit_count(expr("sig_a ^ sig_b")).cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select("id_a", "id_b", "hamming").distinct()
     Caching.materializeAndRelease(out, sigs)
   }
 }
