@@ -1,0 +1,444 @@
+package graft.pipeline
+
+/** Header-level metadata extraction for COMPRESSED media — the part of
+  * the compressed-codec surface that needs no codec library, only the
+  * public bitstream specs, so it is REAL here (contrast the sample/
+  * pixel decode for these formats, which stays behind
+  * [[Multimodal.decodeStub]] — no H.264/MP3 decoder ships in a bare
+  * JVM).
+  *
+  * A training-data pipeline over mixed media mostly needs exactly this
+  * layer: duration / sample-rate / channel layout for audio, geometry /
+  * profile / frame-rate for video — to filter, bucket and cost-model
+  * items BEFORE deciding what to ship to a GPU decode stage.
+  *
+  *  - MP3 (MPEG-1/2/2.5 audio, ISO/IEC 11172-3 / 13818-3): frame-header
+  *    walk — sync scan, ID3v2 skip, per-frame bitrate/sample-rate
+  *    tables, frame-length arithmetic; yields duration, frame count,
+  *    average bitrate and a VBR flag.
+  *  - H.264 (ITU-T H.264 §7.3.2.1): Annex-B NAL scan, RBSP unescape,
+  *    Exp-Golomb SPS parse through the cropping window and VUI timing;
+  *    yields width/height (crop-exact), profile/level, fps when the
+  *    stream declares it, and IDR/non-IDR slice counts.
+  *
+  * Parsers return None on anything that does not parse cleanly —
+  * garbage, truncation mid-frame, reserved field values — never throw.
+  */
+object MediaMeta {
+
+  // ------------------------------------------------------------- MP3
+  /** Parsed MPEG-audio stream summary. `version` is 1.0/2.0/2.5 ×10 to
+    * stay integral (10, 20, 25). */
+  final case class Mp3Meta(version: Int, layer: Int, sampleRateHz: Int,
+                           channels: Int, frameCount: Int,
+                           avgBitrateKbps: Double, durationMs: Long,
+                           vbr: Boolean)
+
+  // bitrate tables in kbps, indexed [bitrateIdx 1..14]; idx 0 = "free"
+  // and 15 = invalid, both rejected (ISO 11172-3 table B.2)
+  private val BrMpeg1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256,
+    288, 320, 352, 384, 416, 448)
+  private val BrMpeg1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128,
+    160, 192, 224, 256, 320, 384)
+  private val BrMpeg1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320)
+  private val BrMpeg2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128,
+    144, 160, 176, 192, 224, 256)
+  private val BrMpeg2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+    96, 112, 128, 144, 160)
+  private val SrMpeg1 = Array(44100, 48000, 32000)
+  private val SrMpeg2 = Array(22050, 24000, 16000)
+  private val SrMpeg25 = Array(11025, 12000, 8000)
+
+  private final case class Mp3Frame(version: Int, layer: Int,
+                                    sampleRate: Int, channels: Int,
+                                    bitrateKbps: Int, samples: Int,
+                                    frameBytes: Int)
+
+  /** Decode one 4-byte frame header at `off`; None if not a valid
+    * header (bad sync, reserved version/layer/bitrate/sample-rate). */
+  private def mp3Header(b: Array[Byte], off: Int): Option[Mp3Frame] = {
+    if (off + 4 > b.length) return None
+    val b0 = b(off) & 0xFF; val b1 = b(off + 1) & 0xFF
+    val b2 = b(off + 2) & 0xFF; val b3 = b(off + 3) & 0xFF
+    if (b0 != 0xFF || (b1 & 0xE0) != 0xE0) return None
+    val verBits = (b1 >> 3) & 3      // 0=2.5, 1=reserved, 2=2, 3=1
+    val layerBits = (b1 >> 1) & 3    // 0=reserved, 1=III, 2=II, 3=I
+    val brIdx = (b2 >> 4) & 0xF
+    val srIdx = (b2 >> 2) & 3
+    val padding = (b2 >> 1) & 1
+    val chMode = (b3 >> 6) & 3       // 3 = mono
+    if (verBits == 1 || layerBits == 0 || brIdx == 0 || brIdx == 15 ||
+      srIdx == 3) return None
+    val version = verBits match { case 3 => 10; case 2 => 20; case _ => 25 }
+    val layer = 4 - layerBits        // 1, 2, 3
+    val sr = (version match {
+      case 10 => SrMpeg1; case 20 => SrMpeg2; case _ => SrMpeg25
+    })(srIdx)
+    val br = ((version, layer) match {
+      case (10, 1) => BrMpeg1L1
+      case (10, 2) => BrMpeg1L2
+      case (10, 3) => BrMpeg1L3
+      case (_, 1)  => BrMpeg2L1
+      case _       => BrMpeg2L23
+    })(brIdx)
+    val (samples, frameBytes) = layer match {
+      case 1 => (384, (12 * br * 1000 / sr + padding) * 4)
+      case 2 => (1152, 144 * br * 1000 / sr + padding)
+      case _ =>
+        if (version == 10) (1152, 144 * br * 1000 / sr + padding)
+        else (576, 72 * br * 1000 / sr + padding)
+    }
+    Some(Mp3Frame(version, layer, sr, if (chMode == 3) 1 else 2, br,
+      samples, frameBytes))
+  }
+
+  /** Walk the MPEG-audio frame chain. Accepts only a run of ≥2
+    * CONSECUTIVE valid frames agreeing on version/layer/sample-rate
+    * (one 0xFF sync byte in random data is common; two chained
+    * spec-consistent frames are not). Skips a leading ID3v2 tag. */
+  def parseMp3(bytes: Array[Byte]): Option[Mp3Meta] = {
+    var off = 0
+    // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4)
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+      bytes(2) == '3') {
+      val sz = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      off = 10 + sz
+    }
+    // scan to the first header that chains to a second one
+    var start = -1
+    var scan = off
+    while (start < 0 && scan + 4 <= bytes.length) {
+      mp3Header(bytes, scan) match {
+        case Some(f) if f.frameBytes > 0 &&
+          mp3Header(bytes, scan + f.frameBytes).exists(g =>
+            g.version == f.version && g.layer == f.layer &&
+              g.sampleRate == f.sampleRate) => start = scan
+        case _ => scan += 1
+      }
+    }
+    if (start < 0) return None
+    val first = mp3Header(bytes, start).get
+    var pos = start
+    var frames = 0
+    var samples = 0L
+    var brSum = 0L
+    var vbr = false
+    var ok = true
+    while (ok && pos + 4 <= bytes.length) {
+      mp3Header(bytes, pos) match {
+        case Some(f) if f.version == first.version &&
+            f.layer == first.layer && f.sampleRate == first.sampleRate &&
+            pos + f.frameBytes <= bytes.length =>
+          frames += 1
+          samples += f.samples
+          brSum += f.bitrateKbps
+          if (f.bitrateKbps != first.bitrateKbps) vbr = true
+          pos += f.frameBytes
+        case _ => ok = false // end of chain (trailing tag/garbage)
+      }
+    }
+    if (frames < 2) None
+    else Some(Mp3Meta(first.version, first.layer, first.sampleRate,
+      first.channels, frames, brSum.toDouble / frames,
+      samples * 1000L / first.sampleRate, vbr))
+  }
+
+  /** Minimal MPEG-audio writer (fixture/export path, the compressed
+    * twin of [[Multimodal.writeMjpegAvi]]): emits the given per-frame
+    * bitrate-index sequence as spec-exact headers with zeroed payload —
+    * header-parseable, not sample-decodable (there is no encoder here).
+    * `verBits`/`layerBits`/`srIdx` as in the header bit layout. */
+  def writeMp3(frameBitrateIdx: Seq[Int], verBits: Int = 3,
+               layerBits: Int = 1, srIdx: Int = 0, mono: Boolean = false,
+               id3Bytes: Int = 0): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) {
+      bos.write(Array('I', 'D', '3', 4, 0, 0).map(_.toByte))
+      bos.write(Array(((id3Bytes >> 21) & 0x7F), ((id3Bytes >> 14) & 0x7F),
+        ((id3Bytes >> 7) & 0x7F), (id3Bytes & 0x7F)).map(_.toByte))
+      bos.write(new Array[Byte](id3Bytes))
+    }
+    frameBitrateIdx.foreach { brIdx =>
+      val b1 = 0xE0 | (verBits << 3) | (layerBits << 1) | 1
+      val b2 = (brIdx << 4) | (srIdx << 2)
+      val b3 = if (mono) 0xC0 else 0x00
+      bos.write(Array(0xFF, b1, b2, b3).map(_.toByte))
+      val f = mp3Header(bos.toByteArray,
+        bos.size() - 4).getOrElse(sys.error(s"invalid header args: " +
+        s"brIdx=$brIdx ver=$verBits layer=$layerBits sr=$srIdx"))
+      bos.write(new Array[Byte](f.frameBytes - 4))
+    }
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------ H.264
+  /** Parsed H.264 stream summary: geometry is crop-exact; `fps` is 0.0
+    * when the SPS carries no VUI timing info. */
+  final case class H264Meta(profileIdc: Int, levelIdc: Int, width: Int,
+                            height: Int, fps: Double, nIdrSlices: Int,
+                            nNonIdrSlices: Int)
+
+  /** MSB-first bit reader over an RBSP with ue(v)/se(v) Exp-Golomb. */
+  private final class BitReader(b: Array[Byte]) {
+    private var pos = 0
+    def u(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        if (pos >= b.length * 8) throw new IndexOutOfBoundsException
+        v = (v << 1) | ((b(pos >> 3) >> (7 - (pos & 7))) & 1)
+        pos += 1; i += 1
+      }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) {
+        zeros += 1
+        if (zeros > 31) throw new IndexOutOfBoundsException
+      }
+      (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
+    }
+    def se(): Int = {
+      val k = ue()
+      if (k % 2 == 1) (k + 1) / 2 else -(k / 2)
+    }
+  }
+
+  /** Strip emulation-prevention bytes: 00 00 03 → 00 00 (§7.4.1.1). */
+  private def unescapeRbsp(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    while (i < b.length) {
+      if (i + 2 < b.length && b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 3) {
+        out.write(0); out.write(0); i += 3
+      } else { out.write(b(i)); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Split an Annex-B byte stream into NAL units (payload excludes the
+    * one-byte NAL header; type returned separately). Handles both
+    * 3- and 4-byte start codes: a following code's leading 00s are
+    * stripped from the PREVIOUS unit's tail (a legitimate RBSP cannot
+    * end in 00 — the stop bit is 1 — and emulation prevention keeps
+    * zero runs out of the body). */
+  private def nalUnits(b: Array[Byte]): Seq[(Int, Array[Byte])] = {
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i + 3 <= b.length) {
+      if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) {
+        starts += i + 3; i += 3
+      } else i += 1
+    }
+    starts.toSeq.zipWithIndex.collect {
+      case (s, idx) if s < b.length =>
+        var e =
+          if (idx + 1 < starts.length) {
+            var x = starts(idx + 1) - 3
+            while (x > s + 1 && b(x - 1) == 0) x -= 1
+            x
+          } else b.length
+        if (e <= s) e = s
+        ((b(s) & 0x1F), java.util.Arrays.copyOfRange(b, s + 1, math.max(s + 1, e)))
+    }
+  }
+
+  private val HighProfiles =
+    Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+
+  /** Parse one SPS RBSP → (profile, level, width, height, fps). */
+  private def parseSpsRbsp(rbsp: Array[Byte]): (Int, Int, Int, Int, Double) = {
+    val r = new BitReader(rbsp)
+    val profileIdc = r.u(8)
+    r.u(8) // constraint_set flags + reserved
+    val levelIdc = r.u(8)
+    r.ue() // seq_parameter_set_id
+    var chromaFormatIdc = 1
+    var separateColourPlane = 0
+    if (HighProfiles(profileIdc)) {
+      chromaFormatIdc = r.ue()
+      if (chromaFormatIdc == 3) separateColourPlane = r.u(1)
+      r.ue(); r.ue() // bit_depth_luma/chroma_minus8
+      r.u(1)         // qpprime_y_zero_transform_bypass_flag
+      if (r.u(1) == 1) { // seq_scaling_matrix_present_flag
+        val nLists = if (chromaFormatIdc == 3) 12 else 8
+        var li = 0
+        while (li < nLists) {
+          if (r.u(1) == 1) { // seq_scaling_list_present_flag[li]
+            val size = if (li < 6) 16 else 64
+            var lastScale = 8; var nextScale = 8; var j = 0
+            while (j < size) {
+              if (nextScale != 0) nextScale = (lastScale + r.se() + 256) % 256
+              lastScale = if (nextScale == 0) lastScale else nextScale
+              j += 1
+            }
+          }
+          li += 1
+        }
+      }
+    }
+    r.ue() // log2_max_frame_num_minus4
+    val pocType = r.ue()
+    if (pocType == 0) r.ue()
+    else if (pocType == 1) {
+      r.u(1); r.se(); r.se()
+      val n = r.ue()
+      var i = 0
+      while (i < n) { r.se(); i += 1 }
+    }
+    r.ue() // max_num_ref_frames
+    r.u(1) // gaps_in_frame_num_value_allowed_flag
+    val picWidthInMbs = r.ue() + 1
+    val picHeightInMapUnits = r.ue() + 1
+    val frameMbsOnly = r.u(1)
+    if (frameMbsOnly == 0) r.u(1) // mb_adaptive_frame_field_flag
+    r.u(1) // direct_8x8_inference_flag
+    var (cropL, cropR, cropT, cropB) = (0, 0, 0, 0)
+    if (r.u(1) == 1) { // frame_cropping_flag
+      cropL = r.ue(); cropR = r.ue(); cropT = r.ue(); cropB = r.ue()
+    }
+    // crop units (§7.4.2.1.1): ChromaArrayType 0 → 1; 4:2:0 → (2, 2);
+    // 4:2:2 → (2, 1); 4:4:4 → (1, 1); vertical also ×(2 − frame_mbs_only)
+    val chromaArrayType = if (separateColourPlane == 1) 0 else chromaFormatIdc
+    val (subW, subH) = chromaArrayType match {
+      case 1 => (2, 2); case 2 => (2, 1); case _ => (1, 1)
+    }
+    val cropUnitX = if (chromaArrayType == 0) 1 else subW
+    val cropUnitY =
+      (if (chromaArrayType == 0) 1 else subH) * (2 - frameMbsOnly)
+    val width = picWidthInMbs * 16 - cropUnitX * (cropL + cropR)
+    val height =
+      (2 - frameMbsOnly) * picHeightInMapUnits * 16 - cropUnitY * (cropT + cropB)
+    var fps = 0.0
+    if (r.u(1) == 1) { // vui_parameters_present_flag
+      if (r.u(1) == 1) { // aspect_ratio_info_present_flag
+        val idc = r.u(8)
+        if (idc == 255) { r.u(16); r.u(16) } // Extended_SAR
+      }
+      if (r.u(1) == 1) r.u(1) // overscan
+      if (r.u(1) == 1) { // video_signal_type_present_flag
+        r.u(3); r.u(1)
+        if (r.u(1) == 1) { r.u(8); r.u(8); r.u(8) }
+      }
+      if (r.u(1) == 1) { r.ue(); r.ue() } // chroma_loc_info
+      if (r.u(1) == 1) { // timing_info_present_flag
+        val numUnitsInTick = (r.u(16).toLong << 16) | r.u(16)
+        val timeScale = (r.u(16).toLong << 16) | r.u(16)
+        r.u(1) // fixed_frame_rate_flag
+        // field-based clock: two ticks per frame (§E.2.1)
+        if (numUnitsInTick > 0)
+          fps = timeScale.toDouble / (2.0 * numUnitsInTick)
+      }
+    }
+    (profileIdc, levelIdc, width, height, fps)
+  }
+
+  /** Parse an Annex-B H.264 elementary stream: SPS geometry + slice
+    * counts. None when no SPS parses. Slice counts assume one slice
+    * per picture (a frame COUNT needs first_mb_in_slice==0 checks the
+    * metadata layer does not attempt). */
+  def parseH264(bytes: Array[Byte]): Option[H264Meta] =
+    try {
+      val nals = nalUnits(bytes)
+      val sps = nals.collectFirst { case (7, payload) =>
+        parseSpsRbsp(unescapeRbsp(payload))
+      }
+      sps.collect { case (p, l, w, h, fps) if w > 0 && h > 0 =>
+        H264Meta(p, l, w, h, fps,
+          nals.count(_._1 == 5), nals.count(_._1 == 1))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** MSB-first bit writer with ue(v)/se(v) — the SPS fixture/export
+    * path (inverse of the parser, used to build test streams; a real
+    * encoder is out of scope). Adds emulation prevention on `toNal`. */
+  final class BitWriter {
+    private val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def u(v: Int, n: Int): this.type = {
+      var i = n - 1
+      while (i >= 0) { bits += ((v >> i) & 1); i -= 1 }
+      this
+    }
+    def ue(v: Int): this.type = {
+      val k = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(k)
+      u(0, len - 1); u(k, len)
+    }
+    def se(v: Int): this.type = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    /** rbsp_trailing_bits + byte align, then emulation-prevent. */
+    def toRbsp: Array[Byte] = {
+      val all = bits :+ 1
+      val padded = all ++ Seq.fill((8 - all.size % 8) % 8)(0)
+      val raw = padded.grouped(8)
+        .map(_.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+      val out = new java.io.ByteArrayOutputStream()
+      var zeros = 0
+      raw.foreach { b =>
+        if (zeros >= 2 && (b & 0xFC) == 0) { out.write(3); zeros = 0 }
+        out.write(b)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      out.toByteArray
+    }
+  }
+
+  /** Build a minimal Annex-B stream: SPS (+ fake PPS and slice NAL
+    * headers so the stream has countable pictures). Baseline profile
+    * unless `highProfile`; geometry via mbs + crop; optional fps via
+    * VUI timing. */
+  def writeH264(widthMbs: Int, heightMapUnits: Int,
+                cropRight: Int = 0, cropBottom: Int = 0,
+                highProfile: Boolean = false, fps: Double = 0.0,
+                nIdr: Int = 1, nNonIdr: Int = 2): Array[Byte] = {
+    val w = new BitWriter
+    w.u(if (highProfile) 100 else 66, 8) // profile_idc
+    w.u(0, 8)                            // constraint flags
+    w.u(31, 8)                           // level_idc 3.1
+    w.ue(0)                              // sps id
+    if (highProfile) {
+      w.ue(1)      // chroma_format_idc 4:2:0
+      w.ue(0).ue(0) // bit depths
+      w.u(0, 1)    // transform bypass
+      w.u(0, 1)    // no scaling matrix
+    }
+    w.ue(0)   // log2_max_frame_num_minus4
+    w.ue(2)   // pic_order_cnt_type (2: no extra fields)
+    w.ue(1)   // max_num_ref_frames
+    w.u(0, 1) // gaps allowed
+    w.ue(widthMbs - 1)
+    w.ue(heightMapUnits - 1)
+    w.u(1, 1) // frame_mbs_only
+    w.u(1, 1) // direct_8x8
+    if (cropRight > 0 || cropBottom > 0)
+      w.u(1, 1).ue(0).ue(cropRight).ue(0).ue(cropBottom)
+    else w.u(0, 1)
+    if (fps > 0) {
+      w.u(1, 1) // vui present
+      w.u(0, 1); w.u(0, 1); w.u(0, 1); w.u(0, 1) // aspect/overscan/signal/chroma-loc
+      w.u(1, 1) // timing_info_present
+      val num = 1000
+      val scale = math.round(fps * 2 * num).toInt
+      w.u(num >> 16, 16).u(num & 0xFFFF, 16)
+      w.u(scale >> 16, 16).u(scale & 0xFFFF, 16)
+      w.u(1, 1) // fixed_frame_rate
+      // remaining VUI flags: nal_hrd, vcl_hrd, pic_struct, bitstream_restriction
+      w.u(0, 1); w.u(0, 1); w.u(0, 1); w.u(0, 1)
+    } else w.u(0, 1)
+    val bos = new java.io.ByteArrayOutputStream()
+    def nal(refIdc: Int, t: Int, payload: Array[Byte]): Unit = {
+      bos.write(Array(0, 0, 0, 1).map(_.toByte))
+      bos.write((refIdc << 5) | t)
+      bos.write(payload)
+    }
+    nal(3, 7, w.toRbsp)
+    nal(3, 8, Array(0xE8, 0x43, 0x8F).map(_.toByte)) // opaque PPS payload
+    (0 until nIdr).foreach(_ =>
+      nal(3, 5, Array(0x88, 0x84, 0x21).map(_.toByte)))
+    (0 until nNonIdr).foreach(_ =>
+      nal(2, 1, Array(0x9A, 0x21, 0x04).map(_.toByte)))
+    bos.toByteArray
+  }
+}

@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   * javax.sound.sampled to actual samples (rate, duration, RMS,
   * zero-crossing rate).
   *
-  * ==== STUB BOUNDARY (video + compressed audio only) ====
-  * Video and compressed-audio codecs (H.264, MP3, ...) are NOT
-  * available in this container, so [[decodeStub]] /
+  * COMPRESSED media (H.264, MP3) get a REAL header-level metadata
+  * layer — [[MediaMeta]] parses the public bitstreams (frame chains,
+  * SPS geometry, VUI timing) with no codec dependency; see
+  * [[compressedMeta]] / [[extractCompressedMeta]].
+  *
+  * ==== STUB BOUNDARY (compressed-media SAMPLE/PIXEL decode only) ====
+  * Actual H.264 pixel / MP3 sample decoding needs a codec library this
+  * container does not have, so for those payloads [[decodeStub]] /
   * [[frameSampleStub]] remain deterministic fakes over the raw bytes,
   * clearly marked. Everything around them — schema, batching,
   * partitioning, feature vector shape — is the real distributed
@@ -350,6 +355,45 @@ object Multimodal {
             case _ => None
           }
           val feats = decoded.getOrElse(
+            Array(-1f) ++ decodeStub(m.content).take(7))
+          MediaFeatures(m.id, m.kind, m.content.length, feats)
+        }
+      }
+    }
+  }
+
+  /** Header-level metadata for COMPRESSED payloads ([[MediaMeta]] —
+    * real bitstream parsing, no codec): MP3 under kind "audio", H.264
+    * Annex-B under kind "video". Returns the 8-dim feature layout
+    * [sampleRate, channels, frames, avgKbps, durationMs, vbr, version,
+    * layer] for audio / [width, height, profile, level, fps, nIdr,
+    * nNonIdr, 0] for video; None when the payload does not parse. */
+  def compressedMeta(kind: String, content: Array[Byte]): Option[Array[Float]] =
+    kind match {
+      case "audio" => MediaMeta.parseMp3(content).map(m => Array(
+        m.sampleRateHz.toFloat, m.channels.toFloat, m.frameCount.toFloat,
+        m.avgBitrateKbps.toFloat, m.durationMs.toFloat,
+        if (m.vbr) 1f else 0f, m.version.toFloat, m.layer.toFloat))
+      case "video" => MediaMeta.parseH264(content).map(m => Array(
+        m.width.toFloat, m.height.toFloat, m.profileIdc.toFloat,
+        m.levelIdc.toFloat, m.fps.toFloat, m.nIdrSlices.toFloat,
+        m.nNonIdrSlices.toFloat, 0f))
+      case _ => None
+    }
+
+  /** Batched compressed-media metadata extraction — same distributed
+    * shape as [[extractMediaFeatures]] (partition-local, batch loop, no
+    * shuffle), but the per-item kernel is the header parser: the
+    * filter/bucket/cost-model pass a pipeline runs over compressed
+    * media BEFORE shipping bytes to a decode stage. Unparseable
+    * payloads get the -1 sentinel + byte-stub features. */
+  def extractCompressedMeta(items: Dataset[MediaItem],
+                            batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val feats = compressedMeta(m.kind, m.content).getOrElse(
             Array(-1f) ++ decodeStub(m.content).take(7))
           MediaFeatures(m.id, m.kind, m.content.length, feats)
         }

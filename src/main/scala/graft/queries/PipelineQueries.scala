@@ -1405,6 +1405,74 @@ object PipelineQueries {
       AS t(media_id, kind, n_bytes, decode_ok, f1, f2, f3, f4, f5, f6, f7, f8)
     ORDER BY media_id"""
 
+  /** Committed COMPRESSED-media fixtures for
+    * [[multimodalCompressedMeta]]: spec-exact MPEG-1 Layer III frame
+    * chains (CBR; VBR behind an ID3v2 tag) and H.264 Annex-B streams
+    * (baseline 320×240; high-profile 1920×1080 via the 1088→1080
+    * bottom crop, with VUI 29.97 fps) plus the per-kind corrupt
+    * payloads. */
+  private val compressedFixtures = Seq(
+    (1L, "audio", "mp3_cbr.mp3"),
+    (2L, "audio", "mp3_vbr.mp3"),
+    (3L, "video", "h264_base.h264"),
+    (4L, "video", "h264_high.h264"),
+    (5L, "audio", "corrupt_audio.bin"),
+    (6L, "video", "corrupt_video.bin"))
+
+  /** REAL compressed-media metadata, oracle-gated: run the distributed
+    * header-parse path ([[graft.pipeline.Multimodal
+    * .extractCompressedMeta]] — MP3 frame-chain walk, H.264 SPS
+    * Exp-Golomb parse incl. emulation-prevention unescape, cropping
+    * and VUI timing) over the committed fixtures. Feature layout:
+    * audio [sampleRate, channels, frames, avgKbps, durationMs, vbr,
+    * version×10, layer]; video [width, height, profile, level, fps,
+    * nIdr, nNonIdr, 0]. This is the layer a mixed-media pipeline uses
+    * to filter/bucket/cost-model items BEFORE any GPU decode stage —
+    * full sample/pixel decode of these codecs stays out of scope
+    * (documented stub boundary in [[graft.pipeline.Multimodal]]). */
+  def multimodalCompressedMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = compressedFixtures.map { case (id, kind, name) =>
+      val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+      val bytes = try in.readAllBytes() finally in.close()
+      graft.pipeline.Multimodal.MediaItem(id, kind, bytes,
+        Map("src" -> name))
+    }
+    val feats = graft.pipeline.Multimodal
+      .extractCompressedMeta(s.createDataset(items))
+    val featCols = (1 to 8).map(i =>
+      round(element_at(col("features"), i).cast("double"), 4).as(s"f$i"))
+    feats.select(Seq(col("id").as("media_id"), col("kind"),
+        col("nBytes").cast("long").as("n_bytes"),
+        (element_at(col("features"), 1) =!= lit(-1f)).as("parse_ok")) ++
+        featCols: _*)
+      .orderBy("media_id")
+  }
+
+  /** Precomputed header-parse outputs of the committed fixtures — all
+    * spec arithmetic: mp3_cbr = 10 CBR frames of 144·128000/44100 =
+    * 417 B → 10·1152/44100 s = 261 ms; mp3_vbr avg = (2·(64+224) +
+    * 4·128)/8 = 128 kbps at 32 kHz mono; h264_high = 120×68
+    * macroblocks minus a 4-unit (8-pixel, 4:2:0) bottom crop →
+    * 1920×1080, VUI 59940/2000 = 29.97 fps. Corrupt payloads carry the
+    * −1 sentinel + byte-stub features. */
+  val multimodalCompressedMetaSql: String = """
+    SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+      CAST(n_bytes AS BIGINT) AS n_bytes, parse_ok,
+      CAST(f1 AS DOUBLE) AS f1, CAST(f2 AS DOUBLE) AS f2,
+      CAST(f3 AS DOUBLE) AS f3, CAST(f4 AS DOUBLE) AS f4,
+      CAST(f5 AS DOUBLE) AS f5, CAST(f6 AS DOUBLE) AS f6,
+      CAST(f7 AS DOUBLE) AS f7, CAST(f8 AS DOUBLE) AS f8
+    FROM (VALUES
+      (1, 'audio', 4170, true, 44100.0, 2.0, 10.0, 128.0, 261.0, 0.0, 10.0, 3.0),
+      (2, 'audio', 4682, true, 32000.0, 1.0, 8.0, 128.0, 288.0, 1.0, 10.0, 3.0),
+      (3, 'video', 44, true, 320.0, 240.0, 66.0, 31.0, 0.0, 1.0, 2.0, 0.0),
+      (4, 'video', 113, true, 1920.0, 1080.0, 100.0, 31.0, 29.97, 2.0, 8.0, 0.0),
+      (5, 'audio', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0938, 0.0625, 0.0313),
+      (6, 'video', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0938, 0.0313, 0.0625))
+      AS t(media_id, kind, n_bytes, parse_ok, f1, f2, f3, f4, f5, f6, f7, f8)
+    ORDER BY media_id"""
+
   // ------------------------------------------------------------- PII
   /** PII redaction ([[TextAnalysis.redactPii]]) with per-kind audit
     * counts. The corpus text is plain words, so both engines append
@@ -3276,6 +3344,8 @@ object PipelineQueries {
     QuerySpec("dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
     QuerySpec("multimodal_decode_stats", multimodalDecodeStats,
       Some(multimodalDecodeStatsSql)),
+    QuerySpec("multimodal_compressed_meta", multimodalCompressedMeta,
+      Some(multimodalCompressedMetaSql)),
     QuerySpec("dedup_exact", dedupExact, Some(dedupExactSql)),
     QuerySpec("dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
     QuerySpec("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),

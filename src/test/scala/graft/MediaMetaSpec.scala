@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.MediaMeta
+
+class MediaMetaSpec extends AnyFunSuite {
+
+  // ------------------------------------------------------------- MP3
+  test("MP3: hand-pinned header 0xFF 0xFB 0x90 0x00 is MPEG-1 Layer " +
+      "III, 128 kbps, 44100 Hz, stereo, 417-byte frame") {
+    // The canonical textbook header: FF=sync, FB = 111 11 01 1
+    // (sync|MPEG1|LayerIII|no-crc), 90 = 1001 00 0 0 (128 kbps, 44.1
+    // kHz, no pad). Frame = 144*128000/44100 = 417 bytes (floor).
+    val frame = Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte) ++
+      new Array[Byte](413)
+    val m = MediaMeta.parseMp3(frame ++ frame ++ frame).get
+    assert(m.version == 10 && m.layer == 3)
+    assert(m.sampleRateHz == 44100 && m.channels == 2)
+    assert(m.frameCount == 3 && !m.vbr)
+    assert(m.avgBitrateKbps == 128.0)
+    // 3 frames * 1152 samples / 44100 Hz = 78.37 ms
+    assert(m.durationMs == 3 * 1152 * 1000L / 44100)
+  }
+
+  test("MP3: writer/parser round-trip across versions, layers, " +
+      "sample rates and channel modes") {
+    for {
+      (verBits, ver) <- Seq((3, 10), (2, 20), (0, 25))
+      (layerBits, layer) <- Seq((1, 3), (2, 2), (3, 1))
+      srIdx <- 0 to 2
+      mono <- Seq(true, false)
+    } {
+      val bytes = MediaMeta.writeMp3(Seq.fill(5)(9), verBits, layerBits,
+        srIdx, mono)
+      val m = MediaMeta.parseMp3(bytes).getOrElse(
+        fail(s"no parse: ver=$verBits layer=$layerBits sr=$srIdx"))
+      assert(m.version == ver && m.layer == layer, s"$verBits/$layerBits")
+      assert(m.channels == (if (mono) 1 else 2))
+      assert(m.frameCount == 5 && !m.vbr)
+    }
+  }
+
+  test("MP3: VBR detection, ID3v2 skip, and duration arithmetic") {
+    val vbr = MediaMeta.writeMp3(Seq(5, 9, 12, 9, 5), id3Bytes = 200)
+    val m = MediaMeta.parseMp3(vbr).get
+    assert(m.vbr && m.frameCount == 5)
+    // MPEG-1 L3 indexes 5/9/12 = 64/128/224 kbps
+    assert(m.avgBitrateKbps == (64 + 128 + 224 + 128 + 64) / 5.0)
+    assert(m.durationMs == 5 * 1152 * 1000L / 44100)
+  }
+
+  test("MP3: garbage, lone false sync, and truncation do not parse") {
+    assert(MediaMeta.parseMp3(Array.fill(64)(0xFF.toByte)).isEmpty)
+    assert(MediaMeta.parseMp3("not audio at all".getBytes).isEmpty)
+    assert(MediaMeta.parseMp3(Array[Byte]()).isEmpty)
+    // a single valid header with no chained second frame = false sync
+    val one = Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte) ++
+      new Array[Byte](100)
+    assert(MediaMeta.parseMp3(one).isEmpty)
+  }
+
+  // ------------------------------------------------------------ H.264
+  test("H.264: baseline SPS 320x240 (20x15 macroblocks, no crop)") {
+    val s = MediaMeta.writeH264(widthMbs = 20, heightMapUnits = 15)
+    val m = MediaMeta.parseH264(s).get
+    assert(m.profileIdc == 66 && m.levelIdc == 31)
+    assert(m.width == 320 && m.height == 240)
+    assert(m.fps == 0.0)
+    assert(m.nIdrSlices == 1 && m.nNonIdrSlices == 2)
+  }
+
+  test("H.264: 1920x1080 high profile needs the 1088->1080 bottom crop " +
+      "(cropBottom=4 in 2-pixel 4:2:0 units) and carries VUI fps") {
+    val s = MediaMeta.writeH264(widthMbs = 120, heightMapUnits = 68,
+      cropBottom = 4, highProfile = true, fps = 25.0, nIdr = 2, nNonIdr = 5)
+    val m = MediaMeta.parseH264(s).get
+    assert(m.profileIdc == 100)
+    assert(m.width == 1920 && m.height == 1080)
+    assert(m.fps == 25.0)
+    assert(m.nIdrSlices == 2 && m.nNonIdrSlices == 5)
+  }
+
+  test("H.264: odd geometry via right crop (854x480 from 54 mbs)") {
+    // 54*16 = 864; 854 needs 10 pixels = 5 crop units of 2 (4:2:0)
+    val s = MediaMeta.writeH264(widthMbs = 54, heightMapUnits = 30,
+      cropRight = 5)
+    val m = MediaMeta.parseH264(s).get
+    assert(m.width == 854 && m.height == 480)
+  }
+
+  test("H.264: emulation-prevention bytes round-trip through the " +
+      "escape/unescape pair") {
+    // heightMapUnits chosen so the ue() bit pattern forces zero bytes
+    // into the RBSP; the writer must escape them, the parser unescape
+    for (hm <- Seq(16, 32, 64, 128, 256)) {
+      val s = MediaMeta.writeH264(widthMbs = 256, heightMapUnits = hm)
+      val m = MediaMeta.parseH264(s).getOrElse(fail(s"hm=$hm"))
+      assert(m.width == 4096 && m.height == hm * 16, s"hm=$hm")
+    }
+  }
+
+  test("H.264: garbage and truncated streams do not parse") {
+    assert(MediaMeta.parseH264("random text".getBytes).isEmpty)
+    assert(MediaMeta.parseH264(Array[Byte]()).isEmpty)
+    val good = MediaMeta.writeH264(20, 15)
+    // cut inside the SPS payload: clean None, no throw
+    assert(MediaMeta.parseH264(good.take(8)).isEmpty)
+    // stream with only a PPS (no SPS): None
+    assert(MediaMeta.parseH264(
+      Array(0, 0, 1, 0x68, 0xE8, 0x43).map(_.toByte)).isEmpty)
+  }
+}
