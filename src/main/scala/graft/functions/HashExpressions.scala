@@ -31,6 +31,44 @@ object HashKernels {
     acc
   }
 
+  /** DISTINCT bigram shingle hashes in one pass: tokens split on
+    * single spaces with empty tokens KEPT (Spark `split(text, " ")`
+    * semantics — the per-token hash of an empty token is 0), bigram
+    * values (h(t_i)·8191 + h(t_{i+1})) mod `mod` with h = [[polyHash]]
+    * — the TextHash shingle contract — deduplicated per document
+    * (repeats can only occur WITHIN a doc, so exploding these arrays
+    * yields globally distinct (id, s) pairs with no distinct shuffle
+    * at all; the old formulation paid a window shuffle of every
+    * token-hash row plus a distinct shuffle of every shingle row).
+    * Output order is the first-occurrence order; every consumer
+    * aggregates, so order is immaterial. Empty array when the text
+    * has fewer than two tokens. */
+  def shingleHashes(s: UTF8String, mod: Long): Array[Long] = {
+    val str = s.toString
+    val hashes = scala.collection.mutable.ArrayBuilder.make[Long]
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c == ' ') { hashes += acc; acc = 0L }
+      else acc = (acc * 31 + c) % mod
+      i += 1
+    }
+    hashes += acc
+    val h = hashes.result()
+    if (h.length < 2) return Array.emptyLongArray
+    val seen = new java.util.HashSet[java.lang.Long](h.length * 2)
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    out.sizeHint(h.length - 1)
+    var j = 0
+    while (j < h.length - 1) {
+      val v = (h(j) * 8191L + h(j + 1)) % mod
+      if (seen.add(v)) out += v
+      j += 1
+    }
+    out.result()
+  }
+
   /** rolling 8-char window hashes (fixed 31^k weights, mod P):
     * returns (min window hash, distinct window count); null-signal -1
     * when the string is shorter than 8. */
@@ -65,6 +103,26 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.HashKernels.polyHash($c, ${HashKernels.P}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Codegen'd per-document bigram shingle-hash array (the TextHash
+  * shingle contract in one scan — see [[HashKernels.shingleHashes]]). */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(HashKernels.shingleHashes(
+        v.asInstanceOf[UTF8String], HashKernels.P))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.functions.HashKernels.shingleHashes(" +
+        s"$c, ${HashKernels.P}L))")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
@@ -210,6 +268,8 @@ object HashF {
       GraftColumnBridge.expression(c), merges))
   def polyHash(c: Column): Column =
     GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
+  def shingleHashes(c: Column): Column =
+    GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(c)))
   def fingerprint8(c: Column): Column =
     GraftColumnBridge.column(Fingerprint8(GraftColumnBridge.expression(c)))
   def bitsetAndCount(a: Column, b: Column): Column =

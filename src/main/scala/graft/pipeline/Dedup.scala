@@ -75,25 +75,18 @@ object Dedup {
 
   /** Distinct word-bigram shingle hashes per doc: (id, shingle).
     *
-    * Row-shaped pipeline — posexplode tokens, codegen'd PolyHash per
-    * token (graft.functions.PolyHash), window `lead` to pair adjacent
-    * tokens, then distinct. No Catalyst lambda anywhere: the equivalent
-    * higher-order-function formulation is interpreted per element and
-    * ~20× slower at sf0.1. The only shuffle is by doc id (the window),
-    * which the downstream distinct/groupBy reuse. */
-  def shingles(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("pos")
+    * One codegen scan per document (graft.functions.ShingleHashes —
+    * tight JVM loop, no Catalyst lambda: the higher-order-function
+    * formulation is interpreted per element and ~20× slower at sf0.1),
+    * deduplicated IN-kernel: repeats can only occur WITHIN a doc, so
+    * the exploded (id, s) pairs are globally distinct already — ZERO
+    * shuffles here. The previous posexplode → window(lead) → distinct
+    * formulation shuffled every token-hash row (the per-doc sort) and
+    * every shingle row (the distinct) to pair values that were
+    * adjacent in the document to begin with. */
+  def shingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
-      .select(col("id"), col("pos"),
-        graft.functions.HashF.polyHash(col("t")).as("h"))
-      .withColumn("h2", lead(col("h"), 1).over(w))
-      .filter(col("h2").isNotNull)
-      .select(col("id"),
-        ((col("h") * lit(8191L) + col("h2")) % lit(TextHash.P)).as("s"))
-      .distinct()
-  }
+        explode(graft.functions.HashF.shingleHashes(col(textCol))).as("s"))
 
   /** All-pairs n-gram Jaccard ≥ threshold via inverted-index self-join.
     * Output: (id_a, id_b, common, jaccard) with id_a < id_b.
