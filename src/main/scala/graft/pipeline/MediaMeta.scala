@@ -385,14 +385,206 @@ object MediaMeta {
     }
   }
 
-  /** Build a minimal Annex-B stream: SPS (+ fake PPS and slice NAL
-    * headers so the stream has countable pictures). Baseline profile
-    * unless `highProfile`; geometry via mbs + crop; optional fps via
-    * VUI timing. */
-  def writeH264(widthMbs: Int, heightMapUnits: Int,
-                cropRight: Int = 0, cropBottom: Int = 0,
-                highProfile: Boolean = false, fps: Double = 0.0,
-                nIdr: Int = 1, nNonIdr: Int = 2): Array[Byte] = {
+  // ------------------------------------------------- MP4 / ISO-BMFF
+  /** One parsed MP4 track. `kind` is the hdlr handler ("vide"/"soun"),
+    * `codec` the stsd sample-entry fourcc; width/height from the
+    * sample entry for video tracks; `durationMs` from mdhd;
+    * `sampleCount` summed from stts. */
+  final case class Mp4Track(kind: String, codec: String, width: Int,
+                            height: Int, durationMs: Long,
+                            sampleCount: Long)
+
+  /** Parsed MP4 container: brand, movie duration (mvhd), tracks, and —
+    * when a video track carries an avcC configuration — the embedded
+    * SPS parsed with the same machinery as Annex-B streams. */
+  final case class Mp4Meta(majorBrand: String, durationMs: Long,
+                           tracks: Seq[Mp4Track],
+                           sps: Option[H264Meta])
+
+  /** ISO-BMFF box walk (ISO/IEC 14496-12): size(4) fourcc(4) [size==1
+    * → 64-bit largesize]; container boxes (moov/trak/mdia/minf/stbl)
+    * recurse. Returns None unless the payload leads with a well-formed
+    * `ftyp` and contains a `moov` with at least one track. Truncated
+    * box trees stop cleanly at the damage. */
+  def parseMp4(bytes: Array[Byte]): Option[Mp4Meta] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      def fourcc(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (bytes.length < 16 || fourcc(4) != "ftyp") return None
+      val majorBrand = fourcc(8)
+      var movieDurMs = 0L
+      val tracks = scala.collection.mutable.ArrayBuffer.empty[Mp4Track]
+      var sps: Option[H264Meta] = None
+      // per-trak state, committed when the trak box closes
+      final class Trak {
+        var kind = ""; var codec = ""; var width = 0; var height = 0
+        var timescale = 1L; var duration = 0L; var samples = 0L
+      }
+      val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+      def fullBoxBody(off: Int): (Int, Int) = // (version, bodyOff)
+        ((bytes(off) & 0xFF), off + 4)
+      def parseStsd(off: Int, end: Int, t: Trak): Unit = {
+        val (_, b0) = fullBoxBody(off)
+        val n = bb.getInt(b0)
+        var off2 = b0 + 4
+        var i = 0
+        while (i < n && off2 + 8 <= end) {
+          val sz = bb.getInt(off2)
+          if (sz < 16 || off2 + sz > end) return
+          t.codec = fourcc(off2 + 4)
+          if (t.kind == "vide" && sz >= 86) {
+            // VisualSampleEntry: 6 reserved + dri(2) + 16 pre_defined/
+            // reserved → width(2) height(2) at offset 32 from entry
+            t.width = bb.getShort(off2 + 32) & 0xFFFF
+            t.height = bb.getShort(off2 + 34) & 0xFFFF
+            // child boxes start after the 86-byte VisualSampleEntry
+            var c = off2 + 86
+            while (c + 8 <= off2 + sz) {
+              val csz = bb.getInt(c)
+              if (csz < 8 || c + csz > off2 + sz) return
+              if (fourcc(c + 4) == "avcC" && csz >= 15) {
+                // avcC: ver(1) profile(1) compat(1) level(1)
+                // lengthSizeMinusOne(1) numSps(1,&0x1F) [len(2) sps...]
+                val nSps = bytes(c + 13) & 0x1F
+                if (nSps > 0) {
+                  val len = bb.getShort(c + 14) & 0xFFFF
+                  if (c + 16 + len <= c + csz && len > 1) {
+                    val nal = java.util.Arrays
+                      .copyOfRange(bytes, c + 16, c + 16 + len)
+                    if ((nal(0) & 0x1F) == 7) {
+                      val (p, lv, w, h, f) =
+                        parseSpsRbsp(unescapeRbsp(nal.drop(1)))
+                      if (w > 0 && h > 0)
+                        sps = Some(H264Meta(p, lv, w, h, f, 0, 0))
+                    }
+                  }
+                }
+              }
+              c += csz
+            }
+          }
+          off2 += sz; i += 1
+        }
+      }
+      def walk(off0: Int, end: Int, trak: Trak): Unit = {
+        var off = off0
+        while (off + 8 <= end) {
+          var sz: Long = bb.getInt(off) & 0xFFFFFFFFL
+          var body = off + 8
+          if (sz == 1) { sz = bb.getLong(off + 8); body = off + 16 }
+          if (sz < 8 || off + sz > end) return // truncated: stop clean
+          val id = fourcc(off + 4)
+          id match {
+            case "trak" =>
+              val t = new Trak
+              walk(body, (off + sz).toInt, t)
+              tracks += Mp4Track(t.kind, t.codec, t.width, t.height,
+                if (t.timescale > 0) t.duration * 1000 / t.timescale else 0,
+                t.samples)
+            case c if containers(c) => walk(body, (off + sz).toInt, trak)
+            case "mvhd" =>
+              val (v, b0) = fullBoxBody(body)
+              if (v == 1) {
+                val ts = bb.getInt(b0 + 16) & 0xFFFFFFFFL
+                val dur = bb.getLong(b0 + 20)
+                if (ts > 0) movieDurMs = dur * 1000 / ts
+              } else {
+                val ts = bb.getInt(b0 + 8) & 0xFFFFFFFFL
+                val dur = bb.getInt(b0 + 12) & 0xFFFFFFFFL
+                if (ts > 0) movieDurMs = dur * 1000 / ts
+              }
+            case "mdhd" =>
+              val (v, b0) = fullBoxBody(body)
+              if (v == 1) {
+                trak.timescale = bb.getInt(b0 + 16) & 0xFFFFFFFFL
+                trak.duration = bb.getLong(b0 + 20)
+              } else {
+                trak.timescale = bb.getInt(b0 + 8) & 0xFFFFFFFFL
+                trak.duration = bb.getInt(b0 + 12) & 0xFFFFFFFFL
+              }
+            case "hdlr" =>
+              val (_, b0) = fullBoxBody(body)
+              trak.kind = fourcc(b0 + 4)
+            case "stsd" => parseStsd(body, (off + sz).toInt, trak)
+            case "stts" =>
+              val (_, b0) = fullBoxBody(body)
+              val n = bb.getInt(b0)
+              var i = 0
+              while (i < n && b0 + 4 + (i + 1) * 8 <= (off + sz).toInt) {
+                trak.samples += bb.getInt(b0 + 4 + i * 8) & 0xFFFFFFFFL
+                i += 1
+              }
+            case _ => ()
+          }
+          off = (off + sz).toInt
+        }
+      }
+      walk(0, bytes.length, new Trak)
+      if (tracks.isEmpty) None
+      else Some(Mp4Meta(majorBrand, movieDurMs, tracks.toSeq, sps))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Minimal MP4 writer (fixture/export path): ftyp + moov[mvhd +
+    * trak[tkhd, mdia[mdhd, hdlr, minf[stbl[stsd(avc1+avcC | mp4a),
+    * stts]]]]] — structurally valid, no mdat (header metadata only,
+    * symmetric with [[writeMp3]]). */
+  def writeMp4(videoWidth: Int, videoHeight: Int, spsNal: Array[Byte],
+               durationMs: Long, timescale: Long = 1000,
+               videoSamples: Long = 0, audio: Boolean = false,
+               audioSamples: Long = 0): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array((v >> 24).toByte,
+      (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    def box(id: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ id.getBytes ++ body
+    def fullBox(id: String, body: Array[Byte], version: Int = 0)
+      : Array[Byte] =
+      box(id, Array(version.toByte, 0.toByte, 0.toByte, 0.toByte) ++ body)
+    val dur = durationMs * timescale / 1000
+    val mvhd = fullBox("mvhd", be32(0) ++ be32(0) ++ be32(timescale) ++
+      be32(dur) ++ new Array[Byte](80))
+    def trak(kind: String, stsdEntry: Array[Byte], samples: Long)
+      : Array[Byte] = {
+      val tkhd = fullBox("tkhd", new Array[Byte](84))
+      val mdhd = fullBox("mdhd", be32(0) ++ be32(0) ++ be32(timescale) ++
+        be32(dur) ++ be16(0x55C4) ++ be16(0))
+      val hdlr = fullBox("hdlr", be32(0) ++ kind.getBytes ++
+        new Array[Byte](13))
+      val stsd = fullBox("stsd", be32(1) ++ stsdEntry)
+      val stts = fullBox("stts", be32(1) ++ be32(samples) ++
+        be32(if (samples > 0) dur / samples else 0))
+      box("trak", tkhd ++ box("mdia", mdhd ++ hdlr ++
+        box("minf", box("stbl", stsd ++ stts))))
+    }
+    val avcC = box("avcC", Array[Byte](1, spsNal(1), spsNal(2), spsNal(3),
+      0xFF.toByte, 0xE1.toByte) ++ be16(spsNal.length) ++ spsNal)
+    val avc1 = box("avc1", new Array[Byte](24) ++ // 6+2 dri + 16 pre
+      be16(videoWidth) ++ be16(videoHeight) ++
+      new Array[Byte](50) ++ avcC) // res(8) rsv(4) fc(2) name(32) d(2) pd(2)
+    val vTrak = trak("vide", avc1, videoSamples)
+    val aTrak = if (audio)
+      trak("soun", box("mp4a", new Array[Byte](28)), audioSamples)
+    else Array.emptyByteArray
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++
+      "isomavc1".getBytes)
+    ftyp ++ box("moov", mvhd ++ vTrak ++ aTrak)
+  }
+
+  /** SPS NAL bytes (header + escaped RBSP) for the given geometry —
+    * what [[writeMp4]] embeds in avcC. */
+  def spsNal(widthMbs: Int, heightMapUnits: Int, cropRight: Int = 0,
+             cropBottom: Int = 0, highProfile: Boolean = false,
+             fps: Double = 0.0): Array[Byte] =
+    Array(0x67.toByte) ++ spsRbsp(widthMbs, heightMapUnits, cropRight,
+      cropBottom, highProfile, fps)
+
+  /** SPS RBSP bytes (escaped) for the given geometry — shared by
+    * [[writeH264]] (Annex-B) and [[writeMp4]] (avcC). */
+  def spsRbsp(widthMbs: Int, heightMapUnits: Int,
+              cropRight: Int = 0, cropBottom: Int = 0,
+              highProfile: Boolean = false, fps: Double = 0.0): Array[Byte] = {
     val w = new BitWriter
     w.u(if (highProfile) 100 else 66, 8) // profile_idc
     w.u(0, 8)                            // constraint flags
@@ -427,13 +619,25 @@ object MediaMeta {
       // remaining VUI flags: nal_hrd, vcl_hrd, pic_struct, bitstream_restriction
       w.u(0, 1); w.u(0, 1); w.u(0, 1); w.u(0, 1)
     } else w.u(0, 1)
+    w.toRbsp
+  }
+
+  /** Build a minimal Annex-B stream: SPS (+ fake PPS and slice NAL
+    * headers so the stream has countable pictures). Baseline profile
+    * unless `highProfile`; geometry via mbs + crop; optional fps via
+    * VUI timing. */
+  def writeH264(widthMbs: Int, heightMapUnits: Int,
+                cropRight: Int = 0, cropBottom: Int = 0,
+                highProfile: Boolean = false, fps: Double = 0.0,
+                nIdr: Int = 1, nNonIdr: Int = 2): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def nal(refIdc: Int, t: Int, payload: Array[Byte]): Unit = {
       bos.write(Array(0, 0, 0, 1).map(_.toByte))
       bos.write((refIdc << 5) | t)
       bos.write(payload)
     }
-    nal(3, 7, w.toRbsp)
+    nal(3, 7, spsRbsp(widthMbs, heightMapUnits, cropRight, cropBottom,
+      highProfile, fps))
     nal(3, 8, Array(0xE8, 0x43, 0x8F).map(_.toByte)) // opaque PPS payload
     (0 until nIdr).foreach(_ =>
       nal(3, 5, Array(0x88, 0x84, 0x21).map(_.toByte)))

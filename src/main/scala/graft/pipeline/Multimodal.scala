@@ -363,11 +363,15 @@ object Multimodal {
   }
 
   /** Header-level metadata for COMPRESSED payloads ([[MediaMeta]] —
-    * real bitstream parsing, no codec): MP3 under kind "audio", H.264
-    * Annex-B under kind "video". Returns the 8-dim feature layout
+    * real bitstream parsing, no codec): MP3 under kind "audio"; H.264
+    * Annex-B or MP4/ISO-BMFF (avcC SPS + track tables) under kind
+    * "video". Returns the 8-dim feature layout
     * [sampleRate, channels, frames, avgKbps, durationMs, vbr, version,
-    * layer] for audio / [width, height, profile, level, fps, nIdr,
-    * nNonIdr, 0] for video; None when the payload does not parse. */
+    * layer] for audio / [width, height, profile, level, fps, x6, x7,
+    * container] for video, where Annex-B has (x6, x7, container) =
+    * (nIdr, nNonIdr, 0) and MP4 has (durationMs, nTracks, 1) with fps
+    * from stts sample count over mdhd duration when the SPS declares
+    * none; None when the payload parses as neither. */
   def compressedMeta(kind: String, content: Array[Byte]): Option[Array[Float]] =
     kind match {
       case "audio" => MediaMeta.parseMp3(content).map(m => Array(
@@ -378,6 +382,19 @@ object Multimodal {
         m.width.toFloat, m.height.toFloat, m.profileIdc.toFloat,
         m.levelIdc.toFloat, m.fps.toFloat, m.nIdrSlices.toFloat,
         m.nNonIdrSlices.toFloat, 0f))
+        .orElse(MediaMeta.parseMp4(content).flatMap { m =>
+          m.tracks.find(_.kind == "vide").map { vt =>
+            val (w, h) = m.sps.map(s => (s.width, s.height))
+              .getOrElse((vt.width, vt.height))
+            val fps = m.sps.map(_.fps).filter(_ > 0).getOrElse(
+              if (vt.durationMs > 0) vt.sampleCount * 1000.0 / vt.durationMs
+              else 0.0)
+            Array(w.toFloat, h.toFloat,
+              m.sps.map(_.profileIdc).getOrElse(0).toFloat,
+              m.sps.map(_.levelIdc).getOrElse(0).toFloat, fps.toFloat,
+              m.durationMs.toFloat, m.tracks.size.toFloat, 1f)
+          }
+        })
       case _ => None
     }
 

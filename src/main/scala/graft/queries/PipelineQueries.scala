@@ -1409,7 +1409,8 @@ object PipelineQueries {
     * [[multimodalCompressedMeta]]: spec-exact MPEG-1 Layer III frame
     * chains (CBR; VBR behind an ID3v2 tag) and H.264 Annex-B streams
     * (baseline 320×240; high-profile 1920×1080 via the 1088→1080
-    * bottom crop, with VUI 29.97 fps) plus the per-kind corrupt
+    * bottom crop, with VUI 29.97 fps), an ISO-BMFF MP4 (avcC-embedded
+    * SPS, two tracks, mvhd/stts timing) plus the per-kind corrupt
     * payloads. */
   private val compressedFixtures = Seq(
     (1L, "audio", "mp3_cbr.mp3"),
@@ -1417,7 +1418,8 @@ object PipelineQueries {
     (3L, "video", "h264_base.h264"),
     (4L, "video", "h264_high.h264"),
     (5L, "audio", "corrupt_audio.bin"),
-    (6L, "video", "corrupt_video.bin"))
+    (6L, "video", "corrupt_video.bin"),
+    (7L, "video", "mp4_clip.mp4"))
 
   /** REAL compressed-media metadata, oracle-gated: run the distributed
     * header-parse path ([[graft.pipeline.Multimodal
@@ -1469,7 +1471,8 @@ object PipelineQueries {
       (3, 'video', 44, true, 320.0, 240.0, 66.0, 31.0, 0.0, 1.0, 2.0, 0.0),
       (4, 'video', 113, true, 1920.0, 1080.0, 100.0, 31.0, 29.97, 2.0, 8.0, 0.0),
       (5, 'audio', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0938, 0.0625, 0.0313),
-      (6, 'video', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0938, 0.0313, 0.0625))
+      (6, 'video', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0938, 0.0313, 0.0625),
+      (7, 'video', 763, true, 1280.0, 720.0, 100.0, 31.0, 30.0, 2000.0, 2.0, 1.0))
       AS t(media_id, kind, n_bytes, parse_ok, f1, f2, f3, f4, f5, f6, f7, f8)
     ORDER BY media_id"""
 

@@ -100,6 +100,51 @@ class MediaMetaSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4: box walk finds brand, movie duration, video track " +
+      "geometry, stts sample count, and the avcC-embedded SPS") {
+    val sps = MediaMeta.spsNal(widthMbs = 80, heightMapUnits = 45,
+      highProfile = true, fps = 30.0) // 1280x720
+    val mp4 = MediaMeta.writeMp4(videoWidth = 1280, videoHeight = 720,
+      spsNal = sps, durationMs = 2000, videoSamples = 60,
+      audio = true, audioSamples = 96)
+    val m = MediaMeta.parseMp4(mp4).get
+    assert(m.majorBrand == "isom")
+    assert(m.durationMs == 2000)
+    assert(m.tracks.size == 2)
+    val vt = m.tracks.find(_.kind == "vide").get
+    assert(vt.codec == "avc1" && vt.width == 1280 && vt.height == 720)
+    assert(vt.sampleCount == 60 && vt.durationMs == 2000)
+    val at = m.tracks.find(_.kind == "soun").get
+    assert(at.codec == "mp4a" && at.sampleCount == 96)
+    val sm = m.sps.get
+    assert(sm.profileIdc == 100 && sm.width == 1280 && sm.height == 720)
+    assert(sm.fps == 30.0)
+  }
+
+  test("MP4: SPS geometry (crop-exact) wins over the integer sample-" +
+      "entry fields in compressedMeta, and fps falls back to " +
+      "stts/mdhd when the SPS has no VUI") {
+    // SPS says 1920x1080 (cropped); the sample entry lies (1920x1088)
+    val sps = MediaMeta.spsNal(widthMbs = 120, heightMapUnits = 68,
+      cropBottom = 4, highProfile = true)
+    val mp4 = MediaMeta.writeMp4(1920, 1088, sps, durationMs = 4000,
+      videoSamples = 100)
+    val f = graft.pipeline.Multimodal.compressedMeta("video", mp4).get
+    assert(f(0) == 1920f && f(1) == 1080f)
+    assert(f(4) == 25.0f) // 100 samples / 4 s from stts+mdhd
+    assert(f(7) == 1f)    // container flag: MP4
+  }
+
+  test("MP4: garbage, AVI payloads, and truncated boxes do not parse") {
+    assert(MediaMeta.parseMp4("no boxes here".getBytes).isEmpty)
+    assert(MediaMeta.parseMp4(Array[Byte]()).isEmpty)
+    // an MJPEG AVI is RIFF, not BMFF
+    val avi = graft.pipeline.Multimodal.writeMjpegAvi(Seq(), 8, 8, 10)
+    assert(MediaMeta.parseMp4(avi).isEmpty)
+    val good = MediaMeta.writeMp4(320, 240, MediaMeta.spsNal(20, 15), 1000)
+    assert(MediaMeta.parseMp4(good.take(40)).isEmpty) // cut inside moov
+  }
+
   test("H.264: garbage and truncated streams do not parse") {
     assert(MediaMeta.parseH264("random text".getBytes).isEmpty)
     assert(MediaMeta.parseH264(Array[Byte]()).isEmpty)
