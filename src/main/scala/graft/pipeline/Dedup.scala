@@ -227,7 +227,15 @@ object Dedup {
     // published jaccard is rounded to 6 dp before the >= t comparison,
     // so a pair at J = t - 4e-7 rounds UP to t and must not be pruned
     val tPre = threshold - 1e-6
-    val pairs = docs.rdd.mapPartitions { it =>
+    // The scan work is QUADRATIC in docs (n²/2 popcount loops) while
+    // the table's byte size is tiny (bounded by the broadcast guard) —
+    // AQE coalesces it to one partition by size and would serialize
+    // the whole O(n²) kernel into a single task. An explicit RDD
+    // repartition to defaultParallelism is immune to AQE and costs one
+    // round-robin pass over a bounded table at any scale.
+    val pairs = docs.rdd
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       val ref = bcast.value
       it.flatMap { r =>
         val idA = r.get(0)
