@@ -1520,6 +1520,113 @@ object PipelineQueries {
     FROM aug ORDER BY doc_id"""
   }
 
+  // -------------------------------------------------------- URL dedup
+  /** URL-level dedup ([[graft.pipeline.Urls]]): the corpus text has no
+    * URL column, so both engines attach the SAME deterministic
+    * synthetic URL per doc — scheme/host case noise, an explicit :443
+    * on every third doc, parameter-order noise plus a utm_ tracker on
+    * even docs, a fragment on every fifth — then canonicalize and
+    * group. 500 raw URLs collapse to 200 canonical pages (host from
+    * doc_id mod 40, path from doc_id div 40 mod 5); the groupBy
+    * exchange carries the short canonical string. Scale shape: one
+    * codegen'd regexp/array projection + one partial-aggregated
+    * shuffle, the same plan at any corpus size. */
+  def urlDedup(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("HTTPS://WWW.Site"),
+      (col("doc_id") % 40).cast("string"), lit(".Example.COM"),
+      when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), expr("(doc_id div 40) % 5").cast("string"),
+      when(col("doc_id") % 2 === 0, lit("?b=2&a=1&utm_source=feed"))
+        .otherwise(lit("?a=1&b=2")),
+      when(col("doc_id") % 5 === 0, lit("#sec")).otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+        graft.pipeline.Urls.canonicalUrl(col("url")).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(min(col("doc_id")).as("rep_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("url")).as("n_raw_variants"))
+      .orderBy("canon_url")
+  }
+
+  /** The synthetic-URL CTE shared by the two URL oracles. */
+  private val urlCte: String = """
+    u AS (SELECT doc_id,
+      'HTTPS://WWW.Site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM'
+        || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+        || '/docs/' || CAST((doc_id // 40) % 5 AS VARCHAR)
+        || CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=feed'
+                ELSE '?a=1&b=2' END
+        || CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS url
+      FROM documents),
+    canon AS (SELECT doc_id, url,
+      lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+        AS scheme,
+      CASE
+        WHEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+          = 'https' THEN regexp_replace(regexp_replace(lower(
+            regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+            '^www\.', ''), ':443$', '')
+        WHEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+          = 'http' THEN regexp_replace(regexp_replace(lower(
+            regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+            '^www\.', ''), ':80$', '')
+        ELSE regexp_replace(lower(
+          regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+          '^www\.', '')
+      END AS host,
+      CASE WHEN regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = '' THEN '/'
+        ELSE regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) END AS path,
+      array_to_string(list_sort(list_filter(
+        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        x -> NOT regexp_matches(x, '^utm_') AND x <> '')), '&') AS q
+      FROM u),
+    cu AS (SELECT doc_id, url, host,
+      scheme || '://' || host || path ||
+        CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url
+      FROM canon)"""
+
+  val urlDedupSql: String = s"""
+    WITH $urlCte
+    SELECT canon_url, MIN(doc_id) AS rep_id,
+      COUNT(*) AS n_copies,
+      CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+    FROM cu GROUP BY canon_url ORDER BY canon_url"""
+
+  /** Per-domain crawl accounting over the same synthetic URLs: docs,
+    * distinct canonical pages, and the duplication ratio a crawl
+    * scheduler uses to down-weight mirror-heavy hosts. */
+  def urlDomainStats(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("HTTPS://WWW.Site"),
+      (col("doc_id") % 40).cast("string"), lit(".Example.COM"),
+      when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), expr("(doc_id div 40) % 5").cast("string"),
+      when(col("doc_id") % 2 === 0, lit("?b=2&a=1&utm_source=feed"))
+        .otherwise(lit("?a=1&b=2")),
+      when(col("doc_id") % 5 === 0, lit("#sec")).otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(graft.pipeline.Urls.canonicalHost(col("url")).as("domain"),
+        graft.pipeline.Urls.canonicalUrl(col("url")).as("canon_url"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon_url")).as("n_pages"))
+      .withColumn("dup_ratio",
+        round(col("n_docs") / col("n_pages"), 4))
+      .orderBy("domain")
+  }
+
+  val urlDomainStatsSql: String = s"""
+    WITH $urlCte
+    SELECT host AS domain, COUNT(*) AS n_docs,
+      CAST(COUNT(DISTINCT canon_url) AS BIGINT) AS n_pages,
+      ROUND(COUNT(*) / CAST(COUNT(DISTINCT canon_url) AS DOUBLE), 4)
+        AS dup_ratio
+    FROM cu GROUP BY host ORDER BY host"""
+
   // ------------------------------------------------ paragraph dedup
   /** Paragraph-level dedup (the RefinedWeb/CCNet pass: drop repeated
     * paragraphs corpus-wide, keep the first occurrence): fixed 20-word
@@ -3344,6 +3451,8 @@ object PipelineQueries {
     QuerySpec("text_bigram_logprob", textBigramLogprob,
       Some(textBigramLogprobSql)),
     QuerySpec("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),
+    QuerySpec("url_dedup", urlDedup, Some(urlDedupSql)),
+    QuerySpec("url_domain_stats", urlDomainStats, Some(urlDomainStatsSql)),
     QuerySpec("dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
     QuerySpec("multimodal_decode_stats", multimodalDecodeStats,
       Some(multimodalDecodeStatsSql)),

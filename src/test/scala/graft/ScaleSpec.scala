@@ -32,6 +32,28 @@ class ScaleSpec extends SparkSpec {
     assert(q.count() == 2)
   }
 
+  test("shingles is a zero-shuffle codegen scan: no exchange, no " +
+      "window, one shingle_hashes kernel") {
+    // The r10 contract: the shingle stage neither shuffles the token
+    // table (the old per-doc window sort) nor the shingle rows (the
+    // old distinct) — at 100 TB those two exchanges carried ~40-50% of
+    // the dedup family's shuffled bytes. Dedup happens IN-kernel.
+    val q = graft.pipeline.Dedup.shingles(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", "text")
+    val plan = q.queryExecution.executedPlan
+    assert(plan.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        => e
+    }.isEmpty, "shingles must not shuffle:\n" + plan.toString.take(800))
+    assert(plan.collectFirst {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "shingles must not window:\n" + plan.toString.take(800))
+    assert(plan.toString.contains("shingle_hashes"),
+      "kernel missing:\n" + plan.toString.take(800))
+    // in-kernel dedup really produces globally distinct pairs
+    assert(q.count() == q.distinct().count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val n = 10000
