@@ -26,13 +26,15 @@ object TextHash {
        |  t -> aggregate(sequence(1, length(t)), 0L,
        |         (acc, i) -> (acc * 31 + ascii(substr(t, i, 1))) % $P))""".stripMargin)
 
-  /** Spark-side: array<bigint> of word-bigram shingle hashes (needs >=2
-    * tokens). */
+  /** Spark-side: array<bigint> of word-bigram shingle hashes; empty
+    * array for texts with fewer than two tokens (`sequence(1, 0)`
+    * DESCENDS in Spark, so the single-token case must short-circuit). */
   def shingleHashesCol(tokenHashes: Column): Column = {
     val th = tokenHashes
     // (th[i]*8191 + th[i+1]) % P for i in 1..n-1 (element_at is 1-based)
-    transform(sequence(lit(1), size(th) - 1),
-      i => (element_at(th, i) * lit(8191L) + element_at(th, i + 1)) % lit(P))
+    when(size(th) < 2, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), size(th) - 1),
+        i => (element_at(th, i) * lit(8191L) + element_at(th, i + 1)) % lit(P)))
   }
 
   /** Spark-side: one minhash value over a shingle-hash array. */

@@ -26,6 +26,38 @@ class PipelineSpec extends SparkSpec {
     assert(h == Seq(638038L))
   }
 
+  test("ShingleHashes kernel agrees with the independent Catalyst-" +
+      "lambda formulation on edge-case strings and real corpus text") {
+    import spark.implicits._
+    // TextHash.{tokenHashesCol, shingleHashesCol} build the SAME
+    // contract from interpreted higher-order functions — a second,
+    // independently-written implementation that cross-checks the
+    // codegen kernel the dedup family actually ships (the in-JVM
+    // analogue of the DuckDB oracle, but edge-case-rich).
+    val edge = Seq("a b", "a  b", " a b ", "", "one", "a b a b a b",
+      "tab\tis one token", "ünïcödé tökens here", "x " * 200)
+    val real = Tables.documents(spark, sf("sf0.001"))
+      .select(col("text")).limit(50).as[String].collect().toSeq
+    val df = (edge ++ real).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val kernel = Dedup.shingles(df, "id", "text")
+      .groupBy("id").agg(sort_array(collect_list("s")).as("ks"))
+    val lambda = df.select(col("id"),
+        TextHash.shingleHashesCol(TextHash.tokenHashesCol("text")).as("sh"))
+      .select(col("id"), explode(col("sh")).as("s")).distinct()
+      .groupBy("id").agg(sort_array(collect_list("s")).as("ls"))
+    val joined = kernel.join(lambda, Seq("id"), "full")
+      .select(col("id"), col("ks"), col("ls")).collect()
+    // both implementations drop <2-token docs ("" and "one") the same
+    // way: an empty shingle array explodes to no rows at all
+    assert(joined.length == edge.length + real.length - 2)
+    assert(!joined.exists(r => r.isNullAt(1) || r.isNullAt(2)),
+      "one formulation emitted a doc the other dropped")
+    joined.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.get(0)}")
+    }
+  }
+
   test("exact dedup groups identical texts") {
     val out = Dedup.exact(docs(), "doc_id", "text")
       .orderBy("rep_id").collect()
