@@ -145,6 +145,44 @@ class MediaMetaSpec extends AnyFunSuite {
     assert(MediaMeta.parseMp4(good.take(40)).isEmpty) // cut inside moov
   }
 
+  test("fuzz: every truncation prefix and single-byte corruption of " +
+      "valid payloads parses cleanly or returns None — never throws") {
+    // Recursive binary parsers over untrusted corpus bytes: at 100 TB
+    // a throw on malformed input kills the task. Truncation sweeps and
+    // deterministic byte-flips of VALID payloads reach far deeper
+    // parser states than random bytes.
+    val payloads: Seq[(String, Array[Byte])] = Seq(
+      "mp3" -> MediaMeta.writeMp3(Seq(5, 9, 12), id3Bytes = 16),
+      "h264" -> MediaMeta.writeH264(54, 30, cropRight = 5,
+        highProfile = true, fps = 25.0),
+      "mp4" -> MediaMeta.writeMp4(320, 240, MediaMeta.spsNal(20, 15),
+        1000, videoSamples = 30, audio = true, audioSamples = 40))
+    def all(b: Array[Byte]): Unit = {
+      MediaMeta.parseMp3(b); MediaMeta.parseH264(b); MediaMeta.parseMp4(b)
+      ()
+    }
+    payloads.foreach { case (name, full) =>
+      (0 to full.length).foreach { n =>
+        try all(full.take(n))
+        catch { case e: Throwable =>
+          fail(s"$name truncated at $n threw: $e") }
+      }
+      full.indices.foreach { i =>
+        val mut = full.clone()
+        // flip all bits of one byte — corrupts sizes, fourccs, syncs
+        mut(i) = (~mut(i)).toByte
+        try all(mut)
+        catch { case e: Throwable => fail(s"$name flip@$i threw: $e") }
+      }
+    }
+    // and plain random bytes at several lengths (fixed seed)
+    val rnd = new scala.util.Random(42)
+    Seq(0, 1, 7, 64, 1024, 65536).foreach { n =>
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      try all(b) catch { case e: Throwable => fail(s"random[$n] threw: $e") }
+    }
+  }
+
   test("H.264: garbage and truncated streams do not parse") {
     assert(MediaMeta.parseH264("random text".getBytes).isEmpty)
     assert(MediaMeta.parseH264(Array[Byte]()).isEmpty)
