@@ -1627,6 +1627,59 @@ object PipelineQueries {
         AS dup_ratio
     FROM cu GROUP BY host ORDER BY host"""
 
+  // ---------------------------------------------------- snapshot diff
+  /** Cross-snapshot delta (the crawl-delta pass that pairs with
+    * [[dedupIncremental]]): which documents were added, removed, or
+    * changed between two corpus snapshots. Snapshot A = doc_id%4 ≠ 0,
+    * snapshot B = doc_id%4 ≠ 1 (50% overlap), with B's copy of every
+    * doc_id%8 = 2 doc textually modified — both engines derive the two
+    * snapshots from the same corpus, so the delta is fully
+    * oracle-checked. Scale shape: ONE full outer hash join on doc_id
+    * whose exchanges carry (id, source, 128-bit content hash) — the
+    * Spark side compares two-seed xxhash64 pairs, never text (the
+    * oracle compares raw text; equal verdicts absent a 2⁻¹²⁸
+    * collision); 'unchanged' rows — the overwhelming majority in a
+    * real delta — are filtered before the result materializes. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val a = docs.filter(col("doc_id") % 4 =!= 0)
+      .select(col("doc_id"), col("source").as("src_a"),
+        xxhash64(col("text")).as("ha1"),
+        xxhash64(col("text"), lit(1L)).as("ha2"))
+    val bt = when(col("doc_id") % 8 === 2,
+      concat(col("text"), lit(" updated"))).otherwise(col("text"))
+    val b = docs.filter(col("doc_id") % 4 =!= 1)
+      .select(col("doc_id"), col("source").as("src_b"),
+        xxhash64(bt).as("hb1"), xxhash64(bt, lit(1L)).as("hb2"))
+    a.join(b, Seq("doc_id"), "full")
+      .withColumn("status",
+        when(col("hb1").isNull, lit("removed"))
+          .when(col("ha1").isNull, lit("added"))
+          .when(col("ha1") =!= col("hb1") || col("ha2") =!= col("hb2"),
+            lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"),
+        coalesce(col("src_a"), col("src_b")).as("source"), col("status"))
+      .orderBy("doc_id")
+  }
+
+  val snapshotDiffSql: String = """
+    WITH a AS (SELECT doc_id, text, source FROM documents
+      WHERE doc_id % 4 <> 0),
+    b AS (SELECT doc_id,
+      CASE WHEN doc_id % 8 = 2 THEN text || ' updated' ELSE text END
+        AS text, source
+      FROM documents WHERE doc_id % 4 <> 1)
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      COALESCE(a.source, b.source) AS source,
+      CASE WHEN b.doc_id IS NULL THEN 'removed'
+           WHEN a.doc_id IS NULL THEN 'added'
+           ELSE 'changed' END AS status
+    FROM a FULL JOIN b ON a.doc_id = b.doc_id
+    WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.text <> b.text
+    ORDER BY doc_id"""
+
   // ------------------------------------------------ paragraph dedup
   /** Paragraph-level dedup (the RefinedWeb/CCNet pass: drop repeated
     * paragraphs corpus-wide, keep the first occurrence): fixed 20-word
@@ -3453,6 +3506,7 @@ object PipelineQueries {
     QuerySpec("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),
     QuerySpec("url_dedup", urlDedup, Some(urlDedupSql)),
     QuerySpec("url_domain_stats", urlDomainStats, Some(urlDomainStatsSql)),
+    QuerySpec("snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QuerySpec("dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
     QuerySpec("multimodal_decode_stats", multimodalDecodeStats,
       Some(multimodalDecodeStatsSql)),
