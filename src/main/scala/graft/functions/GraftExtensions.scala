@@ -30,6 +30,7 @@ object GraftFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "poly_hash" -> (args => PolyHash(args.head)),
+    "shingle_hashes" -> (args => ShingleHashes(args.head)),
     "fingerprint8" -> (args => Fingerprint8(args.head)),
     "float_vector_dot" -> (args => FloatVectorDot(args(0), args(1))),
     "bitset_and_count" -> (args => BitsetAndCount(args(0), args(1))))

@@ -1627,6 +1627,49 @@ object PipelineQueries {
         AS dup_ratio
     FROM cu GROUP BY host ORDER BY host"""
 
+  // --------------------------------------------------- shard planning
+  /** Export-shard manifest: assign every document to one of 16 output
+    * shards by an affine id hash (NOT modulo-of-id — consecutive ids
+    * land on different shards, the property a dataloader wants) and
+    * report the per-shard manifest a webdataset-style export writes:
+    * doc count, whitespace-token count, byte size, and token skew vs
+    * the mean shard. One map-side-combinable aggregate; the real
+    * export would partitionBy this shard id. Skew ≈ 1.0 across shards
+    * is the test that the hash spreads the corpus evenly. */
+  def shardManifest(s: SparkSession, d: String, nShards: Int = 16)
+      : DataFrame = {
+    val shard = ((col("doc_id") * 40503L + 1299721L) % 1048576L
+      % nShards).cast("int")
+    val toks = (size(split(col("text"), " "))).cast("long")
+    val agg = Tables.documents(s, d)
+      .select(shard.as("shard"), toks.as("n_toks"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_bytes")).as("total_bytes"))
+    val mean = agg.agg(avg(col("n_tokens")).as("mean_tokens"))
+    agg.crossJoin(broadcast(mean))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("total_bytes"),
+        round(col("n_tokens") / col("mean_tokens"), 4).as("token_skew"))
+      .orderBy("shard")
+  }
+
+  val shardManifestSql: String = """
+    WITH per AS (SELECT
+        CAST((doc_id * 40503 + 1299721) % 1048576 % 16 AS INT) AS shard,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents),
+    agg AS (SELECT shard, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+        SUM(n_bytes) AS total_bytes
+      FROM per GROUP BY shard),
+    m AS (SELECT AVG(n_tokens) AS mean_tokens FROM agg)
+    SELECT shard, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+      CAST(total_bytes AS BIGINT) AS total_bytes,
+      ROUND(n_tokens / mean_tokens, 4) AS token_skew
+    FROM agg CROSS JOIN m ORDER BY shard"""
+
   // ---------------------------------------------------- snapshot diff
   /** Cross-snapshot delta (the crawl-delta pass that pairs with
     * [[dedupIncremental]]): which documents were added, removed, or
@@ -3507,6 +3550,7 @@ object PipelineQueries {
     QuerySpec("url_dedup", urlDedup, Some(urlDedupSql)),
     QuerySpec("url_domain_stats", urlDomainStats, Some(urlDomainStatsSql)),
     QuerySpec("snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
+    QuerySpec("shard_manifest", shardManifest(_, _), Some(shardManifestSql)),
     QuerySpec("dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
     QuerySpec("multimodal_decode_stats", multimodalDecodeStats,
       Some(multimodalDecodeStatsSql)),
