@@ -474,7 +474,10 @@ object MediaMeta {
           var sz: Long = bb.getInt(off) & 0xFFFFFFFFL
           var body = off + 8
           if (sz == 1) { sz = bb.getLong(off + 8); body = off + 16 }
-          if (sz < 8 || off + sz > end) return // truncated: stop clean
+          // `sz > end - off` (not `off + sz > end`): a corrupt 64-bit
+          // largesize near Long.MaxValue would overflow the addition
+          // and sneak past the truncation guard
+          if (sz < 8 || sz > (end - off).toLong) return // truncated: stop
           val id = fourcc(off + 4)
           id match {
             case "trak" =>

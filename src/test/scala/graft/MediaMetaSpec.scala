@@ -175,6 +175,15 @@ class MediaMetaSpec extends AnyFunSuite {
         catch { case e: Throwable => fail(s"$name flip@$i threw: $e") }
       }
     }
+    // a 64-bit largesize near Long.MaxValue must not overflow the
+    // bounds check (off + sz wraps negative and passes `> end`)
+    val good = MediaMeta.writeMp4(320, 240, MediaMeta.spsNal(20, 15), 1000)
+    val evil = good.take(24) ++ // keep the valid ftyp
+      Array[Byte](0, 0, 0, 1) ++ "moov".getBytes ++ // size==1 → largesize
+      Array[Byte](0x7F, -1, -1, -1, -1, -1, -1, -1) ++ // 2^63-1
+      new Array[Byte](32)
+    try { MediaMeta.parseMp4(evil); () }
+    catch { case e: Throwable => fail(s"largesize overflow threw: $e") }
     // and plain random bytes at several lengths (fixed seed)
     val rnd = new scala.util.Random(42)
     Seq(0, 1, 7, 64, 1024, 65536).foreach { n =>
