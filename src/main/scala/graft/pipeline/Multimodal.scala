@@ -338,10 +338,13 @@ object Multimodal {
     }
   }
 
-  /** Kind-dispatched REAL decode: image → ImageIO, audio → PCM via
-    * javax.sound, video → MJPEG-AVI frames; payloads that fail their
-    * kind's decoder yield the byte-level fallback tagged with a leading
-    * -1f (the sentinel [[featureSummary]] accounts for). */
+  /** Kind-dispatched decode: REAL sample/pixel decode first (image →
+    * ImageIO, audio → PCM via javax.sound, video → MJPEG-AVI frames),
+    * then the REAL compressed-header metadata layer ([[compressedMeta]]
+    * — MP3 / Annex-B H.264 / MP4) for payloads the JDK cannot decode;
+    * payloads that parse as neither yield the byte-level fallback
+    * tagged with a leading -1f (the sentinel [[featureSummary]]
+    * accounts for). */
   def extractMediaFeatures(items: Dataset[MediaItem],
                            batchSize: Int = 64): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
@@ -351,7 +354,9 @@ object Multimodal {
           val decoded: Option[Array[Float]] = m.kind match {
             case "image" => decodeImage(m.content).map(imageFeatures)
             case "audio" => audioFeatures(m.content)
+              .orElse(compressedMeta("audio", m.content))
             case "video" => videoFeatures(m.content)
+              .orElse(compressedMeta("video", m.content))
             case _ => None
           }
           val feats = decoded.getOrElse(

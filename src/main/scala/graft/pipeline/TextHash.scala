@@ -17,9 +17,6 @@ object TextHash {
 
   val P: Long = 1000003L
 
-  /** Spark-side: array<string> tokens from single-space text. */
-  def tokensCol(text: String): Column = split(col(text), " ")
-
   /** Spark-side: array<bigint> of per-token polynomial hashes. */
   def tokenHashesCol(text: String): Column = expr(
     s"""transform(split($text, ' '),

@@ -56,6 +56,24 @@ class PipelineSpec extends SparkSpec {
     joined.foreach { r =>
       assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.get(0)}")
     }
+    // ...and the minhash built from the kernel shingles (the shipped
+    // agg formulation, Dedup.minhashSignatures) agrees with the
+    // array-lambda formulation TextHash.minhashCol per doc
+    val aggMh = Dedup.minhashSignatures(
+      Dedup.shingles(df, "id", "text"), numHashes = 4)
+    val lamMh = df.select(col("id"),
+        TextHash.shingleHashesCol(TextHash.tokenHashesCol("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(Seq(col("id")) ++
+        (0 until 4).map(k => TextHash.minhashCol(col("sh"), k).as(s"mh$k")): _*)
+    val mhJoined = aggMh.join(lamMh, Seq("id"), "full").collect()
+    assert(mhJoined.length == edge.length + real.length - 2)
+    mhJoined.foreach { r =>
+      (1 to 4).foreach { k =>
+        assert(!r.isNullAt(k) && !r.isNullAt(k + 4) &&
+          r.getLong(k) == r.getLong(k + 4), s"id=${r.get(0)} mh${k - 1}")
+      }
+    }
   }
 
   test("exact dedup groups identical texts") {
