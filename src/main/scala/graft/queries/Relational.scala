@@ -428,7 +428,45 @@ object Relational {
       ROUND(CAST((SELECT COUNT(*) FROM fp) AS DOUBLE) /
         (SELECT COUNT(*) FROM fv), 6) AS view_to_purchase"""
 
+  /** Point-in-interval join via bucket expansion
+    * ([[graft.operators.IntervalJoin]]): events against 20 derived
+    * maintenance windows (2 h cadence, 90 min long, anchored at the
+    * corpus's first timestamp — both engines derive identical windows,
+    * so the join is fully oracle-checked). The naive `ON ts >= s AND
+    * ts < e` formulation plans as BroadcastNestedLoopJoin once the
+    * interval side outgrows a broadcast; the bucketed form equi-joins
+    * on a 30-min bucket key and re-checks the exact predicate —
+    * linear, hash-partitioned, skew-free (ScaleSpec asserts no BNLJ
+    * under forced-shuffle planning). */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("ts_us"))
+    val windows = ev.agg(min(col("ts_us")).as("t0"))
+      .select(explode(sequence(lit(0L), lit(19L))).as("window_id"),
+        col("t0"))
+      .select(col("window_id"),
+        (col("t0") + col("window_id") * lit(7200000000L)).as("ws"),
+        (col("t0") + col("window_id") * lit(7200000000L) +
+          lit(5400000000L)).as("we"))
+    graft.operators.IntervalJoin
+      .pointInInterval(ev, "ts_us", windows, "ws", "we",
+        bucket = 1800000000L)
+      .select(col("event_id"), col("window_id"), col("ts_us"))
+      .orderBy("event_id", "window_id")
+  }
+
+  val intervalJoinSql: String = """
+    WITH t AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+    w AS (SELECT CAST(k AS BIGINT) AS window_id,
+        t0 + k * 7200000000 AS ws,
+        t0 + k * 7200000000 + 5400000000 AS we
+      FROM t CROSS JOIN range(20) r(k)),
+    e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events)
+    SELECT e.event_id, w.window_id, e.ts_us
+    FROM e JOIN w ON e.ts_us >= w.ws AND e.ts_us < w.we
+    ORDER BY event_id, window_id"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("interval_join", intervalJoin, Some(intervalJoinSql)),
     QuerySpec("q1_pricing_summary", q1, Some(q1Sql)),
     QuerySpec("fuzzy_join_parts", fuzzyJoinParts, Some(fuzzyJoinPartsSql)),
     QuerySpec("events_retention", eventsRetention, Some(eventsRetentionSql)),

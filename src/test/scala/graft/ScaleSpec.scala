@@ -54,6 +54,31 @@ class ScaleSpec extends SparkSpec {
     assert(q.count() == q.distinct().count())
   }
 
+  test("interval_join stays an equi-join under forced-shuffle " +
+      "planning — never BroadcastNestedLoopJoin") {
+    // The whole point of bucket expansion: a range join that does NOT
+    // degrade to per-row interval scans when the interval side is too
+    // big to broadcast. BNLJ is allowed elsewhere only for scalar
+    // broadcasts; here it would be the quadratic plan we built the
+    // operator to avoid.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.queries.Relational
+        .intervalJoin(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        "range join degenerated:\n" + plan.take(1200))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "expected a shuffled equi-join on the bucket key:\n" + plan.take(800))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val n = 10000
