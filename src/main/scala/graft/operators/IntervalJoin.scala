@@ -34,4 +34,24 @@ object IntervalJoin {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval×interval OVERLAP join (half-open [s, e) on both sides),
+    * same bucket expansion — with the standard dedup-free trick: a
+    * pair of intervals can share many buckets, so the match is emitted
+    * only in the FIRST bucket of their overlap (`bucket ==
+    * max(s_a, s_b) div width`), exactly one bucket per true pair — no
+    * post-join distinct over the (potentially huge) pair set. */
+  def intervalOverlap(a: DataFrame, aStart: String, aEnd: String,
+                      b: DataFrame, bStart: String, bEnd: String,
+                      bucket: Long): DataFrame = {
+    require(bucket > 0, s"bucket width must be positive: $bucket")
+    def expand(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__bucket", explode(sequence(
+        expr(s"$s div ${bucket}L"), expr(s"($e - 1) div ${bucket}L"))))
+    expand(a, aStart, aEnd).join(expand(b, bStart, bEnd), Seq("__bucket"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("__bucket") ===
+        expr(s"greatest($aStart, $bStart) div ${bucket}L"))
+      .drop("__bucket")
+  }
 }

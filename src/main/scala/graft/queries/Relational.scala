@@ -258,6 +258,63 @@ object Relational {
     GROUP BY user_id, session_idx
     ORDER BY user_id, session_idx"""
 
+  /** Interval×interval overlap join
+    * ([[graft.operators.IntervalJoin.intervalOverlap]]): user sessions
+    * against the derived maintenance windows — "how many active
+    * sessions did each window touch", the capacity-planning join. A
+    * session is the half-open [start_ns, end_ns + 1) (single-event
+    * sessions are 1 µs, still joinable); the match is emitted only in
+    * the first overlap bucket, so no pair-set distinct exists in the
+    * plan. */
+  def sessionWindowOverlap(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionize(s, d).select(col("user_id"), col("session_idx"),
+      col("start_ns"), (col("end_ns") + 1).as("end_x"))
+    val windows = Tables.events(s, d).agg(min(col("ts_us")).as("t0"))
+      .select(explode(sequence(lit(0L), lit(19L))).as("window_id"),
+        col("t0"))
+      .select(col("window_id"),
+        (col("t0") + col("window_id") * lit(7200000000L)).as("ws"),
+        (col("t0") + col("window_id") * lit(7200000000L) +
+          lit(5400000000L)).as("we"))
+    graft.operators.IntervalJoin
+      .intervalOverlap(sess, "start_ns", "end_x", windows, "ws", "we",
+        bucket = 1800000000L)
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("window_id")
+  }
+
+  val sessionWindowOverlapSql: String = s"""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        CASE WHEN LAG(epoch_us(ts), 1) OVER w IS NULL
+               OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w
+                  > ${30L * 60 * 1000000L}
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sessions AS (
+      SELECT user_id, ts_us,
+        CAST(SUM(is_new) OVER (PARTITION BY user_id
+          ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_idx
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_idx, MIN(ts_us) AS start_ns,
+        MAX(ts_us) + 1 AS end_x
+      FROM sessions GROUP BY user_id, session_idx
+    ), t AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+    w AS (SELECT CAST(k AS BIGINT) AS window_id,
+        t0 + k * 7200000000 AS ws,
+        t0 + k * 7200000000 + 5400000000 AS we
+      FROM t CROSS JOIN range(20) r(k))
+    SELECT w.window_id, COUNT(*) AS n_sessions,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM sess JOIN w ON sess.start_ns < w.we AND w.ws < sess.end_x
+    GROUP BY w.window_id ORDER BY w.window_id"""
+
   /** As-of join: each purchase event picks up the latest preceding view
     * event of the same user (graft.operators.AsOf — union + one sorted
     * window pass, a single shuffle at any scale). */
@@ -467,6 +524,8 @@ object Relational {
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("interval_join", intervalJoin, Some(intervalJoinSql)),
+    QuerySpec("session_window_overlap", sessionWindowOverlap,
+      Some(sessionWindowOverlapSql)),
     QuerySpec("q1_pricing_summary", q1, Some(q1Sql)),
     QuerySpec("fuzzy_join_parts", fuzzyJoinParts, Some(fuzzyJoinPartsSql)),
     QuerySpec("events_retention", eventsRetention, Some(eventsRetentionSql)),

@@ -35,6 +35,31 @@ class IntervalJoinSpec extends SparkSpec {
       "sanity: half-open semantics in the reference set itself")
   }
 
+  test("interval overlap: exact match vs brute force, exactly one row " +
+      "per overlapping pair even when the pair shares many buckets") {
+    import spark.implicits._
+    val as = Seq((1L, 0L, 100L), (2L, 10L, 20L), (3L, 95L, 105L),
+      (4L, 200L, 201L), (5L, 50L, 50L)) // zero-length: overlaps nothing
+      .toDF("aid", "as_", "ae")
+    val bs = Seq((10L, 5L, 15L), (11L, 0L, 300L), (12L, 100L, 110L),
+      (13L, 19L, 96L)).toDF("bid", "bs_", "be")
+    val got = IntervalJoin.intervalOverlap(as, "as_", "ae", bs, "bs_", "be",
+        bucket = 8L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      a <- Seq((1L, 0L, 100L), (2L, 10L, 20L), (3L, 95L, 105L),
+        (4L, 200L, 201L), (5L, 50L, 50L))
+      b <- Seq((10L, 5L, 15L), (11L, 0L, 300L), (12L, 100L, 110L),
+        (13L, 19L, 96L))
+      if a._2 < b._3 && b._2 < a._3
+    } yield (a._1, b._1))
+    // exactly one row per true pair: compare as multisets
+    assert(got.sorted.toSeq == brute.sorted.toSeq)
+    // (1, 11) shares 13 buckets yet appears once — implied by the
+    // multiset equality, spelled out for the reader
+    assert(got.count(_ == ((1L, 11L))) == 1)
+  }
+
   test("overlapping intervals each match; a point in one bucket never " +
       "duplicates within one interval") {
     import spark.implicits._
