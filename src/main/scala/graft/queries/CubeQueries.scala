@@ -296,6 +296,54 @@ object CubeQueries {
       event_type, COUNT(*) AS n_obs, ${Sql.dsum("value", 4)} AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
 
+  /** Trailing-window anomaly scores over the hourly event stream: per
+    * (hour, type), the z-score of that hour's count against the
+    * PRECEDING 24 hours' mean/std (range window over an integer hour
+    * axis — calendar-free and cross-engine exact). Everything stays
+    * integer (count, sum, sum-of-squares over a RANGE 24 PRECEDING AND
+    * 1 PRECEDING window) until one final double formula, so both
+    * engines compute bit-identical z-scores; rows without a full
+    * 24-hour history are excluded rather than scored against a partial
+    * baseline. The monitoring pass an ingest pipeline runs over its
+    * own telemetry. */
+  def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, d)
+      .groupBy(expr("ts_us div 3600000000").as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rangeBetween(-24, -1)
+    hourly
+      .withColumn("cnt", count(col("n")).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .filter(col("cnt") === 24)
+      .withColumn("mean", col("s").cast("double") / col("cnt"))
+      .withColumn("variance",
+        col("s2").cast("double") / col("cnt") - col("mean") * col("mean"))
+      .withColumn("z_score", round((col("n") - col("mean")) /
+        sqrt(greatest(col("variance"), lit(1e-9))), 4))
+      .select(col("h").as("hour_idx"), col("event_type"),
+        col("n").as("n_obs"), col("z_score"))
+      .orderBy("hour_idx", "event_type")
+  }
+
+  val eventsAnomalySql: String = """
+    WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h, event_type,
+        COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT h, event_type, n,
+        COUNT(n) OVER w AS cnt, SUM(n) OVER w AS s, SUM(n*n) OVER w AS s2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+        RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT h AS hour_idx, event_type, n AS n_obs,
+      ROUND((n - CAST(s AS DOUBLE) / cnt) /
+        sqrt(GREATEST(CAST(s2 AS DOUBLE) / cnt -
+          (CAST(s AS DOUBLE) / cnt) * (CAST(s AS DOUBLE) / cnt), 1e-9)), 4)
+        AS z_score
+    FROM t WHERE cnt = 24 ORDER BY hour_idx, event_type"""
+
   // ---------------------------------------------------------------- J1
   /** Spatial intersects filter (places query): customer-derived points
     * against a WKT triangle via the pure-Scala geometry kernel, bbox
@@ -368,5 +416,6 @@ object CubeQueries {
     QuerySpec("cube_minmax", minmax, Some(minmaxSql)),
     QuerySpec("cube_bounds", bounds, Some(boundsSql)),
     QuerySpec("events_hourly", hourly, Some(hourlySql)),
+    QuerySpec("events_anomaly", eventsAnomaly, Some(eventsAnomalySql)),
     QuerySpec("places_in_polygon", placesInPolygon, Some(placesInPolygonSql)))
 }
