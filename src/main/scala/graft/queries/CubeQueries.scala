@@ -344,6 +344,80 @@ object CubeQueries {
         AS z_score
     FROM t WHERE cnt = 24 ORDER BY hour_idx, event_type"""
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: lag each user's (ts, event_id)-ordered stream by one,
+    * count (prev → next) transitions, and row-normalize into
+    * transition probabilities. The behavioral-model fit a telemetry
+    * pipeline runs before sequence-aware sampling. Scale shape: ONE
+    * shuffle keyed by user_id feeds the lag window (per-user state,
+    * never global), and the 5×5 transition aggregate on top is
+    * map-side combined into constant-size partials; probabilities
+    * divide two exact BIGINTs per row, so both engines round the same
+    * doubles. */
+  def eventsMarkov(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val trans = Tables.events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val fromTot = Window.partitionBy("prev_type")
+    trans
+      .withColumn("p_trans",
+        round(col("n_trans").cast("double") /
+          sum(col("n_trans")).over(fromTot), 6))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val eventsMarkovSql: String = """
+    WITH seq AS (SELECT user_id, event_type,
+        LAG(event_type) OVER (PARTITION BY user_id
+          ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_type
+      FROM events),
+    trans AS (SELECT prev_type, event_type AS next_type,
+        COUNT(*) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, n_trans,
+      ROUND(CAST(n_trans AS DOUBLE) /
+        SUM(n_trans) OVER (PARTITION BY prev_type), 6) AS p_trans
+    FROM trans ORDER BY prev_type, next_type"""
+
+  /** Pinned-value pivot: per epoch-day event-type counts widened into
+    * one column per type. The values are PINNED (`pivot(col, values)`)
+    * rather than discovered, which matters at scale: value discovery
+    * is an extra full aggregation pass over the fact table before the
+    * real one, and an unpinned pivot's schema silently changes when a
+    * new event type appears. With pinned values the plan is a single
+    * hash aggregate keyed by day (map-side combined, 5 counters per
+    * partial) — same cost as a plain groupBy. */
+  def eventsPivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val day = Tables.events(s, d)
+      .withColumn("day", expr("ts_us div 86400000000"))
+    val wide = day.groupBy("day").pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(wide) { (df, t) =>
+        df.withColumn(s"n_$t", coalesce(col(t).cast("long"), lit(0L)))
+          .drop(t)
+      }
+      .orderBy("day")
+  }
+
+  val eventsPivotSql: String = """
+    SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+        AS n_click,
+      CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+        AS n_error,
+      CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+        AS n_purchase,
+      CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+        AS n_signup,
+      CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+        AS n_view
+    FROM events GROUP BY 1 ORDER BY day"""
+
   // ---------------------------------------------------------------- J1
   /** Spatial intersects filter (places query): customer-derived points
     * against a WKT triangle via the pure-Scala geometry kernel, bbox
@@ -417,5 +491,7 @@ object CubeQueries {
     QuerySpec("cube_bounds", bounds, Some(boundsSql)),
     QuerySpec("events_hourly", hourly, Some(hourlySql)),
     QuerySpec("events_anomaly", eventsAnomaly, Some(eventsAnomalySql)),
+    QuerySpec("events_markov", eventsMarkov, Some(eventsMarkovSql)),
+    QuerySpec("events_pivot", eventsPivot, Some(eventsPivotSql)),
     QuerySpec("places_in_polygon", placesInPolygon, Some(placesInPolygonSql)))
 }
