@@ -1178,6 +1178,56 @@ object PipelineQueries {
     FROM ppl p JOIN thr USING (source)
     GROUP BY 1, 2 ORDER BY source, bucket"""
 
+  // ------------------------------------------------- readability
+  /** Flesch reading-ease scoring — the classic shallow quality signal
+    * corpus filters run alongside stopword/length heuristics: words =
+    * `\S+` runs, sentences = `[.!?]+` runs, syllables ≈ vowel-group
+    * runs (the standard dictionary-free proxy). Entirely map-side
+    * (three codegen'd regex counters per row, no shuffle but the final
+    * order), and every arithmetic step — integer counts, two exact
+    * IEEE divisions, fused multiply-subtract-free formula — is
+    * correctly rounded, so both engines emit bit-identical scores. */
+  def textReadability(s: SparkSession, d: String): DataFrame = {
+    val w = greatest(regexp_count(col("text"), lit("\\S+")), lit(1))
+      .cast("long")
+    val sents = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val syl = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")),
+      lit(1)).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), w.as("n_words"), sents.as("n_sents"),
+        syl.as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+          4))
+      .withColumn("band",
+        when(col("flesch") >= 60, "easy")
+          .when(col("flesch") >= 30, "standard").otherwise("difficult"))
+      .orderBy("doc_id")
+  }
+
+  val textReadabilitySql: String = """
+    WITH c AS (SELECT doc_id,
+        CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS BIGINT)
+          AS n_words,
+        CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+          AS n_sents,
+        CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+          AS BIGINT) AS n_syllables
+      FROM documents),
+    f AS (SELECT doc_id, n_words, n_sents, n_syllables,
+        ROUND(206.835
+          - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+          - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+      FROM c)
+    SELECT doc_id, n_words, n_sents, n_syllables, flesch,
+      CASE WHEN flesch >= 60 THEN 'easy'
+           WHEN flesch >= 30 THEN 'standard'
+           ELSE 'difficult' END AS band
+    FROM f ORDER BY doc_id"""
+
   // ------------------------------------------------- mixture weights
   /** Per-source sampling weights for training-mixture planning (the
     * temperature-sampling rule w ∝ share^(1/2), the multilingual/
@@ -3547,6 +3597,7 @@ object PipelineQueries {
     QuerySpec("text_bigram_logprob", textBigramLogprob,
       Some(textBigramLogprobSql)),
     QuerySpec("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),
+    QuerySpec("text_readability", textReadability, Some(textReadabilitySql)),
     QuerySpec("url_dedup", urlDedup, Some(urlDedupSql)),
     QuerySpec("url_domain_stats", urlDomainStats, Some(urlDomainStatsSql)),
     QuerySpec("snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
