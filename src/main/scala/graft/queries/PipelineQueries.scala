@@ -1773,6 +1773,90 @@ object PipelineQueries {
     WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.text <> b.text
     ORDER BY doc_id"""
 
+  // ------------------------------------------- distribution drift
+  /** Token-distribution drift between two corpus snapshots (same A/B
+    * derivation as snapshot_diff): add-1-smoothed unigram KL in both
+    * directions — the monitoring statistic that tells a pipeline
+    * whether a recrawl actually shifted the data or just grew it.
+    * Numerics: with smoothing denominators D = N + V constant per
+    * side, KL(B‖A) = (1/D_B)·Σ(c_b+1)(ln(c_b+1) − ln(c_a+1)) +
+    * ln D_A − ln D_B, so every libm call is ln on an INTEGER count —
+    * rounded to 9dp before the exact DECIMAL(38,12) sum (the
+    * text_entropy convention), making both engines bit-exact. Scale
+    * shape: two map-side-combinable token aggregations + ONE full
+    * outer hash join keyed by token; the drift reduce is a
+    * constant-size partial per partition and the four scalars
+    * broadcast. */
+  def klSnapshotDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def freq(df: DataFrame, cnt: String): DataFrame = df
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as(cnt))
+    val fa = freq(docs.filter(col("doc_id") % 4 =!= 0), "ca")
+    val btext = when(col("doc_id") % 8 === 2,
+      concat(col("text"), lit(" updated"))).otherwise(col("text"))
+    val fb = freq(docs.filter(col("doc_id") % 4 =!= 1)
+      .select(btext.as("text")), "cb")
+    val j = fa.join(fb, Seq("tok"), "full")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val lnA = round(log(col("ca") + 1), 9)
+    val lnB = round(log(col("cb") + 1), 9)
+    j.agg(
+        count(lit(1)).as("n_vocab_joint"),
+        sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        sum(when(col("ca") > 0, 1L).otherwise(0L)).as("n_vocab_a"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("n_vocab_b"),
+        sum(((col("cb") + 1) * (lnB - lnA)).cast("decimal(38,12)"))
+          .as("sb"),
+        sum(((col("ca") + 1) * (lnA - lnB)).cast("decimal(38,12)"))
+          .as("sa"))
+      .select(col("n_vocab_a"), col("n_vocab_b"), col("n_vocab_joint"),
+        col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
+        round(col("sb").cast("double") / (col("nb") + col("n_vocab_joint"))
+          + round(log(col("na") + col("n_vocab_joint")), 9)
+          - round(log(col("nb") + col("n_vocab_joint")), 9), 6)
+          .as("kl_new_from_old"),
+        round(col("sa").cast("double") / (col("na") + col("n_vocab_joint"))
+          + round(log(col("nb") + col("n_vocab_joint")), 9)
+          - round(log(col("na") + col("n_vocab_joint")), 9), 6)
+          .as("kl_old_from_new"))
+  }
+
+  val klSnapshotDriftSql: String = """
+    WITH a AS (SELECT text FROM documents WHERE doc_id % 4 <> 0),
+    b AS (SELECT CASE WHEN doc_id % 8 = 2 THEN text || ' updated'
+        ELSE text END AS text
+      FROM documents WHERE doc_id % 4 <> 1),
+    fa AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ca
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM a)
+      GROUP BY tok),
+    fb AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM b)
+      GROUP BY tok),
+    j AS (SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM fa FULL JOIN fb USING (tok)),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab_joint,
+        CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+        CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_vocab_a,
+        CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_vocab_b,
+        SUM(CAST((cb + 1) * (ROUND(ln(cb + 1), 9) - ROUND(ln(ca + 1), 9))
+          AS DECIMAL(38,12))) AS sb,
+        SUM(CAST((ca + 1) * (ROUND(ln(ca + 1), 9) - ROUND(ln(cb + 1), 9))
+          AS DECIMAL(38,12))) AS sa
+      FROM j)
+    SELECT n_vocab_a, n_vocab_b, n_vocab_joint,
+      na AS n_tokens_a, nb AS n_tokens_b,
+      ROUND(CAST(sb AS DOUBLE) / (nb + n_vocab_joint)
+        + ROUND(ln(na + n_vocab_joint), 9)
+        - ROUND(ln(nb + n_vocab_joint), 9), 6) AS kl_new_from_old,
+      ROUND(CAST(sa AS DOUBLE) / (na + n_vocab_joint)
+        + ROUND(ln(nb + n_vocab_joint), 9)
+        - ROUND(ln(na + n_vocab_joint), 9), 6) AS kl_old_from_new
+    FROM g"""
+
   // ------------------------------------------------ paragraph dedup
   /** Paragraph-level dedup (the RefinedWeb/CCNet pass: drop repeated
     * paragraphs corpus-wide, keep the first occurrence): fixed 20-word
@@ -3682,6 +3766,8 @@ object PipelineQueries {
     QuerySpec("url_dedup", urlDedup, Some(urlDedupSql)),
     QuerySpec("url_domain_stats", urlDomainStats, Some(urlDomainStatsSql)),
     QuerySpec("snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
+    QuerySpec("kl_snapshot_drift", klSnapshotDrift,
+      Some(klSnapshotDriftSql)),
     QuerySpec("shard_manifest", shardManifest(_, _), Some(shardManifestSql)),
     QuerySpec("dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
     QuerySpec("multimodal_decode_stats", multimodalDecodeStats,
