@@ -21,6 +21,10 @@ final case class RollingRate(event_type: String,
                              hour_start: java.sql.Timestamp,
                              n_hours: Long, total_events: Long,
                              avg_per_hour: Double)
+/** per-user Markov state: the latest event seen, by (ts_us, event_id) */
+final case class LastEvent(tsUs: Long, eventId: Long, eventType: String)
+final case class Transition(user_id: Long, prev_type: String,
+                            next_type: String)
 
 object EventStreams {
 
@@ -385,6 +389,44 @@ object EventStreams {
       .select(posexplode(array(cellCols(col("h")): _*)).as(Seq("r", "cell")))
       .groupBy("r", "cell")
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** Streaming twin of the batch events_markov transition extraction:
+    * per-user first-order transitions (prev → next event type) emitted
+    * as events arrive, with ONE tiny state row per user — the last
+    * event type plus its (ts_us, event_id) ordinal. Within a
+    * micro-batch rows are sorted by the same (ts_us, event_id) key the
+    * batch lag window uses, so a drained in-order stream emits exactly
+    * the batch transition multiset (StreamingSpec); a production
+    * deployment layering this over late data would buffer behind a
+    * watermark first (the statefulSessions pattern). State is
+    * hash-partitioned by user across executors and checkpointed —
+    * nothing gathers on one node. Downstream transition COUNTS are one
+    * ordinary streaming aggregation over the emitted rows. */
+  def streamingTransitions(events: DataFrame)
+      : org.apache.spark.sql.Dataset[Transition] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+        "event_id", "event_type")
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[LastEvent]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var prev = state.getOption
+          val out = sorted.flatMap { case (_, tsUs, eid, et) =>
+            val t = prev.map(p => Transition(uid, p.eventType, et))
+            prev = Some(LastEvent(tsUs, eid, et))
+            t
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
   }
 
   /** Stateful per-user sessionization via session windows: Spark's

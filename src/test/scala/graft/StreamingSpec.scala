@@ -293,6 +293,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming per-user transitions match the batch Markov counts") {
+    val dir = stageEventsDir()
+    val stream = EventStreams.streamingTransitions(
+      EventStreams.readEvents(spark, dir))
+    val q = stream.toDF().writeStream.format("memory")
+      .queryName("markov_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("markov_out")
+      .groupBy("prev_type", "next_type").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = graft.queries.CubeQueries.eventsMarkov(spark, sf("sf0.001"))
+      .select("prev_type", "next_type", "n_trans").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(got.values.sum ==
+      Tables.events(spark, sf("sf0.001")).count() -
+        Tables.events(spark, sf("sf0.001")).select("user_id").distinct()
+          .count())
+  }
+
   test("flatMapGroupsWithState sessionizer matches batch session count") {
     val dir = stageEventsDir()
     val stream = EventStreams.statefulSessions(
