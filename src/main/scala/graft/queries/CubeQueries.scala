@@ -418,6 +418,40 @@ object CubeQueries {
         AS n_view
     FROM events GROUP BY 1 ORDER BY day"""
 
+  /** Hour-of-day seasonality profile per event type: the diurnal-shape
+    * fingerprint (counts, mean value, and a load factor vs the type's
+    * flat-rate expectation) that capacity planning and anomaly
+    * baselines start from. The hour-of-day index is pure integer
+    * arithmetic on epoch-micros — calendar- and timezone-free, so both
+    * engines bucket identically; per-type totals are a 5-row broadcast
+    * and the whole plan is two map-side-combinable aggregations. */
+  def eventsSeasonality(s: SparkSession, d: String): DataFrame = {
+    val byHour = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("(ts_us div 3600000000) % 24").as("hour_of_day"))
+      .agg(count(lit(1)).as("n_obs"), Q.davg(col("value")).as("avg_value"))
+    val tot = byHour.groupBy("event_type")
+      .agg(sum(col("n_obs")).as("n_total"))
+    byHour.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("hour_of_day"), col("n_obs"),
+        col("avg_value"),
+        round(col("n_obs").cast("double") * 24 / col("n_total"), 4)
+          .as("load_factor"))
+      .orderBy("event_type", "hour_of_day")
+  }
+
+  val eventsSeasonalitySql: String = s"""
+    WITH byh AS (SELECT event_type,
+        (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hour_of_day,
+        COUNT(*) AS n_obs, ${Sql.davg("value")} AS avg_value
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS n_total
+      FROM byh GROUP BY 1)
+    SELECT event_type, hour_of_day, n_obs, avg_value,
+      ROUND(CAST(n_obs AS DOUBLE) * 24 / n_total, 4) AS load_factor
+    FROM byh JOIN tot USING (event_type)
+    ORDER BY event_type, hour_of_day"""
+
   // ---------------------------------------------------------------- J1
   /** Spatial intersects filter (places query): customer-derived points
     * against a WKT triangle via the pure-Scala geometry kernel, bbox
@@ -493,5 +527,7 @@ object CubeQueries {
     QuerySpec("events_anomaly", eventsAnomaly, Some(eventsAnomalySql)),
     QuerySpec("events_markov", eventsMarkov, Some(eventsMarkovSql)),
     QuerySpec("events_pivot", eventsPivot, Some(eventsPivotSql)),
+    QuerySpec("events_seasonality", eventsSeasonality,
+      Some(eventsSeasonalitySql)),
     QuerySpec("places_in_polygon", placesInPolygon, Some(placesInPolygonSql)))
 }

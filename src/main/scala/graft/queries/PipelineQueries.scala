@@ -3571,6 +3571,72 @@ object PipelineQueries {
     FROM pn JOIN deg ON deg.v = pn.v
     ORDER BY n_triangles DESC, part_id LIMIT 20"""
 
+  // ------------------------------------------------- association rules
+  /** Market-basket association mining over order baskets: for each
+    * co-purchased part pair, support, directed confidences, lift and
+    * PMI — the co-occurrence statistics behind "related items" and
+    * behind PMI-weighted phrase/entity mining on text corpora. Scale
+    * shape: the pair expansion is bounded by the per-order line fanout
+    * (never corpus-quadratic), both count tables hash-aggregate with
+    * map-side combine, the basket-count scalar broadcasts, and the
+    * support floor prunes the pair table before the per-item joins.
+    * PMI uses ln on INTEGER counts (9dp-rounded, the repo convention)
+    * and lift divides exact-integer-valued doubles in one fixed
+    * expression tree, so both engines emit bit-identical statistics. */
+  def assocRules(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().persist()
+    val nOrders = op.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val item = op.groupBy("p").agg(count(lit(1)).as("n_item"))
+    val pairs = op.as("x").join(op.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    val out = pairs
+      .join(item.select(col("p").as("a"), col("n_item").as("n_a")), "a")
+      .join(item.select(col("p").as("b"), col("n_item").as("n_b")), "b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("n_orders"), 6)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_b"),
+        round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_a"),
+        round(col("n_ab").cast("double") * col("n_orders") /
+          (col("n_a").cast("double") * col("n_b")), 6).as("lift"),
+        round(round(log(col("n_ab")), 9) + round(log(col("n_orders")), 9)
+          - round(log(col("n_a")), 9) - round(log(col("n_b")), 9), 6)
+          .as("pmi"))
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+      .limit(25)
+    graft.pipeline.Caching.materializeAndRelease(out, op)
+  }
+
+  val assocRulesSql: String = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem),
+    nn AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+    item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM op GROUP BY p),
+    pairs AS (SELECT x.p AS a, y.p AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+    SELECT a AS part_a, b AS part_b, n_ab,
+      ia.n_item AS n_a, ib.n_item AS n_b,
+      ROUND(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
+      ROUND(CAST(n_ab AS DOUBLE) / ia.n_item, 6) AS conf_a_b,
+      ROUND(CAST(n_ab AS DOUBLE) / ib.n_item, 6) AS conf_b_a,
+      ROUND(CAST(n_ab AS DOUBLE) * n_orders /
+        (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift,
+      ROUND(ROUND(ln(n_ab), 9) + ROUND(ln(n_orders), 9)
+        - ROUND(ln(ia.n_item), 9) - ROUND(ln(ib.n_item), 9), 6) AS pmi
+    FROM pairs JOIN item ia ON ia.p = a JOIN item ib ON ib.p = b
+    CROSS JOIN nn
+    ORDER BY n_ab DESC, part_a, part_b LIMIT 25"""
+
   // ------------------------------------------------- character entropy
   /** Character-level Shannon entropy per document (nats, 6dp) — the
     * gibberish/boilerplate screen that catches what token-level
@@ -3732,6 +3798,7 @@ object PipelineQueries {
     QuerySpec("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
     QuerySpec("graph_hits", graphHits, Some(graphHitsSql)),
     QuerySpec("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
+    QuerySpec("assoc_rules", assocRules, Some(assocRulesSql)),
     QuerySpec("mix_epoch_plan", mixEpochPlan, Some(mixEpochPlanSql)),
     QuerySpec("sim_topk_rp", simTopKRp, Some(simTopKRpSql)),
     QuerySpec("shuffle_epoch", shuffleEpoch, Some(shuffleEpochSql)),
