@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.operators.SaltedJoin
+
+/** Second-tier analytics coverage: gaps-and-islands streaks, robust
+  * statistics (winsorization, MAD outlier gates), GROUPING SETS,
+  * an explicitly salted skew join, and Z-order (Morton) layout keys.
+  *
+  * Same determinism contract as [[Relational]]: every aggregate is
+  * decimal-exact or integer, every output ordered by a unique key,
+  * every column aliased identically in Spark and oracle SQL.
+  */
+object AnalyticsQueries {
+
+  private val UsPerDay = 86400000000L
+
+  // ------------------------------------------------- gaps and islands
+  /** Consecutive-day activity streaks per user (the classic
+    * gaps-and-islands shape). `day - row_number()` is constant within
+    * a run of consecutive days, so one window pass + one groupBy finds
+    * every streak — no self-join, no iteration. Scale: the window
+    * partitions by user_id (millions of small partitions, never a
+    * global sort) and the distinct + window + groupBy all share the
+    * user_id hash partitioning, so Catalyst plans a single exchange. */
+  def gapsIslands(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts_us div $UsPerDay").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    ud.withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(min(col("day")).as("start_day"), count(lit(1)).as("streak_len"))
+      .filter(col("streak_len") >= 2)
+      .select("user_id", "start_day", "streak_len")
+      .orderBy("user_id", "start_day")
+  }
+
+  val gapsIslandsSql: String = s"""
+    WITH ud AS (SELECT DISTINCT user_id,
+        epoch_us(ts) // $UsPerDay AS day FROM events),
+    r AS (SELECT user_id, day,
+        day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+          AS island
+      FROM ud)
+    SELECT user_id, MIN(day) AS start_day, COUNT(*) AS streak_len
+    FROM r GROUP BY user_id, island
+    HAVING COUNT(*) >= 2
+    ORDER BY user_id, start_day"""
+
+  // ------------------------------------------------------ winsorize
+  /** Per-segment winsorization at [p05, p95]: the robust-clipping gate
+    * a curation pipeline applies to heavy-tailed quality scores before
+    * averaging. Two passes over the fact: an exact-percentile
+    * aggregate (5 segments → tiny result, broadcast back) and the
+    * clip+sum pass. Spark `percentile` and DuckDB `quantile_cont`
+    * share the linear-interpolation definition; bounds are rounded
+    * once and BOTH engines clip against the rounded bounds, so the
+    * comparison stays bit-identical. */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val oc = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_totalprice").as("x"))
+    val bounds = oc.groupBy("segment")
+      .agg(round(expr("percentile(x, 0.05)"), 6).as("lo"),
+        round(expr("percentile(x, 0.95)"), 6).as("hi"))
+    oc.join(broadcast(bounds), Seq("segment"))
+      .groupBy("segment")
+      .agg(max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        count(lit(1)).as("n"),
+        count(when(col("x") < col("lo"), 1)).as("n_clipped_lo"),
+        count(when(col("x") > col("hi"), 1)).as("n_clipped_hi"),
+        Q.dsum(greatest(col("lo"), least(col("hi"), col("x"))))
+          .as("sum_winsorized"))
+      .orderBy("segment")
+  }
+
+  val winsorizeSql: String = s"""
+    WITH oc AS (SELECT c_mktsegment AS segment, o_totalprice AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+    b AS (SELECT segment, ROUND(quantile_cont(x, 0.05), 6) AS lo,
+        ROUND(quantile_cont(x, 0.95), 6) AS hi
+      FROM oc GROUP BY segment)
+    SELECT oc.segment AS segment, MAX(lo) AS lo, MAX(hi) AS hi,
+      COUNT(*) AS n,
+      COUNT(CASE WHEN x < lo THEN 1 END) AS n_clipped_lo,
+      COUNT(CASE WHEN x > hi THEN 1 END) AS n_clipped_hi,
+      ${Sql.dsum("GREATEST(lo, LEAST(hi, x))")} AS sum_winsorized
+    FROM oc JOIN b ON oc.segment = b.segment
+    GROUP BY oc.segment ORDER BY 1"""
+
+  // ---------------------------------------------------- MAD outliers
+  /** Median-absolute-deviation outlier gate per segment: robust to the
+    * very outliers it hunts (unlike z-scores, whose mean/stddev the
+    * outliers drag). Inherently two-pass — MAD needs the median first —
+    * so the fact is scanned twice with a 5-row broadcast between; both
+    * aggregates are exact percentiles. The 1.4826 factor scales MAD to
+    * σ under normality; > 3σ-equivalent flags the outlier. */
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val oc = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_totalprice").as("x"))
+    val med = oc.groupBy("segment")
+      .agg(round(expr("percentile(x, 0.5)"), 6).as("med"))
+    val dev = oc.join(broadcast(med), Seq("segment"))
+      .withColumn("ad", abs(col("x") - col("med")))
+    val mad = dev.groupBy("segment")
+      .agg(round(expr("percentile(ad, 0.5)"), 6).as("mad"))
+    dev.join(broadcast(mad), Seq("segment"))
+      .groupBy("segment")
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        count(when(col("ad") > lit(3.0) * lit(1.4826) * col("mad"), 1))
+          .as("n_outliers"))
+      .orderBy("segment")
+  }
+
+  val madOutliersSql: String = """
+    WITH oc AS (SELECT c_mktsegment AS segment, o_totalprice AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+    m AS (SELECT segment, ROUND(quantile_cont(x, 0.5), 6) AS med
+      FROM oc GROUP BY segment),
+    dev AS (SELECT oc.segment, ABS(x - med) AS ad, med
+      FROM oc JOIN m ON oc.segment = m.segment),
+    md AS (SELECT segment, ROUND(quantile_cont(ad, 0.5), 6) AS mad
+      FROM dev GROUP BY segment)
+    SELECT dev.segment AS segment, MAX(dev.med) AS med, MAX(mad) AS mad,
+      COUNT(*) AS n,
+      COUNT(CASE WHEN ad > 3.0 * 1.4826 * mad THEN 1 END) AS n_outliers
+    FROM dev JOIN md ON dev.segment = md.segment
+    GROUP BY dev.segment ORDER BY 1"""
+
+  // -------------------------------------------------- GROUPING SETS
+  /** Explicit GROUPING SETS (nation × year, nation, grand total) with
+    * `grouping_id` — the general form of [[Relational.aggRollup]]'s
+    * ROLLUP. One aggregation pass: Catalyst expands the sets via a
+    * single Expand node (3× map-side rows, still partial-aggregated),
+    * not three scans. */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("yr"),
+        col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("n_name"), col("yr")), Seq(col("n_name")), Seq.empty),
+        col("n_name"), col("yr"))
+      .agg(grouping_id().cast("bigint").as("gid"),
+        Q.dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("yr"), lit(-1)).as("yr"),
+        col("gid"), col("revenue"), col("n_orders"))
+      .orderBy("gid", "nation", "yr")
+
+  val aggGroupingSetsSql: String = s"""
+    WITH base AS (SELECT n_name,
+        CAST(year(o_orderdate) AS INT) AS yr, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey)
+    SELECT COALESCE(n_name, 'ALL') AS nation,
+      COALESCE(yr, -1) AS yr,
+      CAST(GROUPING(n_name, yr) AS BIGINT) AS gid,
+      ${Sql.dsum("o_totalprice")} AS revenue,
+      COUNT(*) AS n_orders
+    FROM base
+    GROUP BY GROUPING SETS ((n_name, yr), (n_name), ())
+    ORDER BY gid, nation, yr"""
+
+  // -------------------------------------------------- salted skew join
+  /** Power-law fact⋈dim with an explicit 16-way salt
+    * ([[graft.operators.SaltedJoin]]): events (skewed by user) against
+    * a per-user cohort dimension. The salt is plan-visible — the join
+    * keys become (user_id, __salt) — and the result is row-identical
+    * to the unsalted join, which is exactly what the oracle checks:
+    * the SQL below is the PLAIN join, so the gate proves the rewrite
+    * changes the physics, not the answer. */
+  def skewSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr(s"ts_us div $UsPerDay").as("day"))
+    val profile = ev.groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"))
+    SaltedJoin.join(ev, profile, "user_id", col("event_id"), 16)
+      .groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Q.dsum(col("value"), 4).as("sum_value"))
+      .orderBy("cohort_day")
+  }
+
+  val skewSaltedJoinSql: String = s"""
+    WITH ev AS (SELECT event_id, user_id, value,
+        epoch_us(ts) // $UsPerDay AS day FROM events),
+    p AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1)
+    SELECT cohort_day, COUNT(*) AS n_events,
+      COUNT(DISTINCT ev.user_id) AS n_users,
+      ${Sql.dsum("value", 4)} AS sum_value
+    FROM ev JOIN p USING (user_id)
+    GROUP BY 1 ORDER BY 1"""
+
+  // ------------------------------------------------- Z-order layout
+  /** Morton (Z-order) layout keys over (partkey, suppkey): interleave
+    * the bits of two 10-bit range-binned dimensions so that sorting by
+    * the single zkey co-locates rows that are close in BOTH dimensions
+    * — the standard multi-dimensional clustering trick (Delta/Iceberg
+    * `ZORDER BY`) that turns two-column range predicates into file
+    * skips. The query emits, per 64th of the z-range, the bounding
+    * rectangle (min/max of each dimension) — small and bounded is the
+    * whole point: each z-run covers a compact rect, so per-file
+    * min/max stats prune both columns. The interleave itself is one
+    * codegen'd `aggregate` over 10 bit positions — pure map-side
+    * arithmetic, no shuffle until the 64-row aggregate. */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+    val mx = li.agg(max(col("l_partkey")).as("mp"),
+      max(col("l_suppkey")).as("ms"))
+    li.crossJoin(broadcast(mx))
+      .select(expr("(l_partkey * 1024) div (mp + 1)").as("xb"),
+        expr("(l_suppkey * 1024) div (ms + 1)").as("yb"))
+      .withColumn("zkey", expr(
+        """aggregate(sequence(0, 9), 0L, (acc, i) -> acc
+          |  + shiftleft(shiftright(xb, i) & 1, 2 * i)
+          |  + shiftleft(shiftright(yb, i) & 1, 2 * i + 1))""".stripMargin))
+      .groupBy(expr("shiftright(zkey, 14)").cast("int").as("zrange"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
+        min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
+      .orderBy("zrange")
+  }
+
+  val zorderLayoutSql: String = """
+    WITH m AS (SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms
+        FROM lineitem),
+    b AS (SELECT (l_partkey * 1024) // (mp + 1) AS xb,
+                 (l_suppkey * 1024) // (ms + 1) AS yb
+      FROM lineitem CROSS JOIN m),
+    z AS (SELECT xb, yb, CAST(list_sum(
+        [(((xb >> CAST(i AS INT)) & 1) << CAST(2 * i AS INT))
+         + (((yb >> CAST(i AS INT)) & 1) << CAST(2 * i + 1 AS INT))
+         FOR i IN range(0, 10)]) AS BIGINT) AS zkey
+      FROM b)
+    SELECT CAST(zkey >> 14 AS INT) AS zrange, COUNT(*) AS n,
+      MIN(xb) AS x_min, MAX(xb) AS x_max,
+      MIN(yb) AS y_min, MAX(yb) AS y_max
+    FROM z GROUP BY 1 ORDER BY zrange"""
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("gaps_islands", gapsIslands, Some(gapsIslandsSql)),
+    QuerySpec("winsorize", winsorize, Some(winsorizeSql)),
+    QuerySpec("mad_outliers", madOutliers, Some(madOutliersSql)),
+    QuerySpec("agg_grouping_sets", aggGroupingSets,
+      Some(aggGroupingSetsSql)),
+    QuerySpec("skew_salted_join", skewSaltedJoin,
+      Some(skewSaltedJoinSql)),
+    QuerySpec("zorder_layout", zorderLayout, Some(zorderLayoutSql)))
+}

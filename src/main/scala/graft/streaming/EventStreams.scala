@@ -439,4 +439,44 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Stream-stream conversion join: every (click, purchase) pair by the
+    * same user with the purchase inside `[click_ts, click_ts+horizon)`.
+    * Both sides carry a watermark, so the join's buffered state is
+    * BOUNDED — a click older than the horizon past the watermark can
+    * never match a future purchase and is evicted; without the time
+    * condition the state would grow with the stream forever. Inner
+    * joins emit matches immediately (the watermark bounds state, not
+    * output latency). Works as a self-join of one source stream split
+    * by event_type — Spark plans the two filters as two scans of the
+    * same file source. The batch twin is the identical expression over
+    * the batch table; StreamingSpec pins stream ≡ batch. */
+  def conversionJoin(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("purchase_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    clicks.join(purchases,
+      col("user_id") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+  }
+
+  /** At-least-once → effectively-once id dedup with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps each event_id's first
+    * arrival and holds ids only until the watermark passes their event
+    * time + delay, so replayed/duplicated deliveries inside the window
+    * are dropped while state stays proportional to the window, not the
+    * stream. (Plain `dropDuplicates` on a stream buffers every key
+    * forever — unusable at 100 TB/day.) */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SaltedJoin
+
+class SaltedJoinSpec extends SparkSpec {
+
+  test("salted join is row-identical to the plain join under heavy skew") {
+    import spark.implicits._
+    // 90% of fact rows share one hot key; dim has one row per key
+    val fact = (0L until 2000L)
+      .map(i => (i, if (i % 10 == 0) i % 7 else 999L, i * 0.5))
+      .toDF("id", "k", "v")
+    val dim = (0L until 7L).map(k => (k, s"g$k")).toDF("k", "grp")
+      .union(Seq((999L, "hot")).toDF("k", "grp"))
+    val plain = fact.join(dim, Seq("k"))
+      .select("id", "k", "v", "grp")
+    val salted = SaltedJoin.join(fact, dim, "k", col("id"), 16)
+      .select("id", "k", "v", "grp")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salt spreads the hot key across buckets and fans the dim side") {
+    import spark.implicits._
+    val fact = (0L until 512L).map(i => (i, 42L)).toDF("id", "k")
+    val dim = Seq((42L, "x")).toDF("k", "grp")
+    // internal shape: fact salt column takes >1 distinct value for one
+    // hot key (the spread), dim is replicated exactly `buckets` ways
+    val buckets = 8
+    val saltVals = fact
+      .withColumn("__salt", pmod(hash(col("id")), lit(buckets)))
+      .select("__salt").distinct().count()
+    assert(saltVals > 1, "hot key's rows must spread over several salts")
+    val fanned = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    assert(fanned.count() === dim.count() * buckets)
+    // and the join result is still exactly fact-sized (every row matched)
+    assert(SaltedJoin.join(fact, dim, "k", col("id"), buckets).count() === 512L)
+  }
+
+  test("zorder interleave: zkey round-trips to its source bits") {
+    import spark.implicits._
+    // exhaustive over 5-bit coords: deinterleave(interleave(x,y)) == (x,y)
+    val xs = for { x <- 0 until 32; y <- 0 until 32 } yield (x.toLong, y.toLong)
+    val got = xs.toDF("xb", "yb")
+      .withColumn("zkey", expr(
+        """aggregate(sequence(0, 9), 0L, (acc, i) -> acc
+          |  + shiftleft(shiftright(xb, i) & 1, 2 * i)
+          |  + shiftleft(shiftright(yb, i) & 1, 2 * i + 1))""".stripMargin))
+      .withColumn("x2", expr(
+        "aggregate(sequence(0, 9), 0L, (acc, i) -> acc + shiftleft(shiftright(zkey, 2 * i) & 1, i))"))
+      .withColumn("y2", expr(
+        "aggregate(sequence(0, 9), 0L, (acc, i) -> acc + shiftleft(shiftright(zkey, 2 * i + 1) & 1, i))"))
+    assert(got.filter(col("x2") =!= col("xb") || col("y2") =!= col("yb"))
+      .count() === 0)
+    // distinct inputs → distinct zkeys (bijection on the binned domain)
+    assert(got.select("zkey").distinct().count() === 32L * 32L)
+  }
+}

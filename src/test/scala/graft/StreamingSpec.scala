@@ -393,4 +393,54 @@ class StreamingSpec extends SparkSpec {
       .count()
     assert(nSessions == batchSessions)
   }
+
+  test("stream-stream conversion join matches the batch twin exactly") {
+    val dir = stageEventsDir()
+    val stream = EventStreams.conversionJoin(
+      EventStreams.readEvents(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("conv_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("conv_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch twin via ts_us arithmetic on the batch reader
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "user_id", "event_type", "ts_us")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_ts"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") < col("c_ts") + lit(3600000000L))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("p_ts") - col("c_ts")).as("gap_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch.nonEmpty, "fixture must contain click→purchase pairs")
+    assert(streamed == batch)
+  }
+
+  test("dropDuplicatesWithinWatermark emits each replayed event once") {
+    // stage the same file TWICE → every event delivered twice
+    val dir = java.nio.file.Files.createTempDirectory("graft-dup").toString
+    for (n <- Seq("a", "b")) Files.copy(
+      Paths.get(sf("sf0.001"), "events.parquet"),
+      Paths.get(dir, s"events_$n.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val stream = EventStreams.dedupWithinWatermark(
+      EventStreams.readEvents(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("wmdedup_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table("wmdedup_out")
+    val nDistinctBatch = Tables.events(spark, sf("sf0.001"))
+      .select("event_id").distinct().count()
+    assert(out.count() == nDistinctBatch)
+    assert(out.select("event_id").distinct().count() == nDistinctBatch)
+  }
 }
