@@ -218,9 +218,10 @@ object AnalyticsQueries {
     * skips. The query emits, per 64th of the z-range, the bounding
     * rectangle (min/max of each dimension) — small and bounded is the
     * whole point: each z-run covers a compact rect, so per-file
-    * min/max stats prune both columns. The interleave itself is one
-    * codegen'd `aggregate` over 10 bit positions — pure map-side
-    * arithmetic, no shuffle until the 64-row aggregate. */
+    * min/max stats prune both columns. The interleave is the codegen
+    * constant-time mask cascade [[graft.functions.MortonInterleave]] —
+    * pure map-side arithmetic fused into the scan's codegen stage, no
+    * shuffle until the 64-row aggregate. */
   def zorderLayout(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
     val mx = li.agg(max(col("l_partkey")).as("mp"),
@@ -228,10 +229,8 @@ object AnalyticsQueries {
     li.crossJoin(broadcast(mx))
       .select(expr("(l_partkey * 1024) div (mp + 1)").as("xb"),
         expr("(l_suppkey * 1024) div (ms + 1)").as("yb"))
-      .withColumn("zkey", expr(
-        """aggregate(sequence(0, 9), 0L, (acc, i) -> acc
-          |  + shiftleft(shiftright(xb, i) & 1, 2 * i)
-          |  + shiftleft(shiftright(yb, i) & 1, 2 * i + 1))""".stripMargin))
+      .withColumn("zkey",
+        graft.functions.Morton.interleave(col("xb"), col("yb"), 10))
       .groupBy(expr("shiftright(zkey, 14)").cast("int").as("zrange"))
       .agg(count(lit(1)).as("n"),
         min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),

@@ -42,10 +42,14 @@ class SaltedJoinSpec extends SparkSpec {
 
   test("zorder interleave: zkey round-trips to its source bits") {
     import spark.implicits._
-    // exhaustive over 5-bit coords: deinterleave(interleave(x,y)) == (x,y)
+    // exhaustive over 5-bit coords: deinterleave(interleave(x,y)) == (x,y);
+    // the codegen mask cascade is cross-checked against an independent
+    // shift-and-or formulation (the HOF lambda) below
     val xs = for { x <- 0 until 32; y <- 0 until 32 } yield (x.toLong, y.toLong)
     val got = xs.toDF("xb", "yb")
-      .withColumn("zkey", expr(
+      .withColumn("zkey",
+        graft.functions.Morton.interleave(col("xb"), col("yb"), 10))
+      .withColumn("zkey_hof", expr(
         """aggregate(sequence(0, 9), 0L, (acc, i) -> acc
           |  + shiftleft(shiftright(xb, i) & 1, 2 * i)
           |  + shiftleft(shiftright(yb, i) & 1, 2 * i + 1))""".stripMargin))
@@ -53,6 +57,8 @@ class SaltedJoinSpec extends SparkSpec {
         "aggregate(sequence(0, 9), 0L, (acc, i) -> acc + shiftleft(shiftright(zkey, 2 * i) & 1, i))"))
       .withColumn("y2", expr(
         "aggregate(sequence(0, 9), 0L, (acc, i) -> acc + shiftleft(shiftright(zkey, 2 * i + 1) & 1, i))"))
+    assert(got.filter(col("zkey") =!= col("zkey_hof")).count() === 0,
+      "codegen cascade must agree with the independent HOF formulation")
     assert(got.filter(col("x2") =!= col("xb") || col("y2") =!= col("yb"))
       .count() === 0)
     // distinct inputs → distinct zkeys (bijection on the binned domain)
