@@ -69,7 +69,12 @@ object Bench {
     // session warm-up (JVM/codegen/FS metadata), not counted per-query
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables.table(spark, sfDir, n).schema)
-    val results = SparkEntry.specs.filter(_.bench).map { q =>
+    // local iteration: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.specs
+      .filter(q => q.bench && (only.isEmpty || only(q.name))).map { q =>
       val times = (1 to runs).flatMap { _ =>
         // drop persisted intermediates from prior runs and let the
         // ContextCleaner reap dead broadcasts (it is GC-triggered):

@@ -62,4 +62,14 @@ object TextHash {
     val (a, b) = coeffs(k)
     s"list_min(list_transform($shingles, h -> ($a * h + $b) % $P))"
   }
+
+  /** DuckDB: whole-string polynomial hash of expression `v` — the SQL
+    * mirror of the codegen [[graft.functions.PolyHash]] kernel
+    * (identical for ASCII input; the kernel folds UTF-16 units, the
+    * mirror folds `ascii()` codepoints). */
+  def polyHashSql(v: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       | [CAST(ascii(substr($v, CAST(i AS INT), 1)) AS BIGINT)
+       |  FOR i IN range(1, length($v)+1)]),
+       | (a, b) -> (a * 31 + b) % $P)""".stripMargin
 }

@@ -254,8 +254,166 @@ object AnalyticsQueries {
       MIN(yb) AS y_min, MAX(yb) AS y_max
     FROM z GROUP BY 1 ORDER BY zrange"""
 
+  // --------------------------------------------- last-touch attribution
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent NON-purchase event at-or-before it, if that touch is
+    * within a 1-hour lookback — else 'none'. One window pass per user
+    * (`last(..., ignoreNulls)` over rows-unbounded-preceding carries
+    * the running last touch), so unlike a purchases×touches as-of
+    * join there is no second shuffle and no range join: the classic
+    * streaming-style "carry state down the partition" formulation.
+    * Ordering ties (same ts) break by event_id identically in both
+    * engines. */
+  def eventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch = when(col("event_type") =!= "purchase", col("ts_us"))
+    val touchType = when(col("event_type") =!= "purchase", col("event_type"))
+    ev.withColumn("t_ts", last(touch, ignoreNulls = true).over(w))
+      .withColumn("t_type", last(touchType, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed",
+        when(col("t_ts").isNotNull &&
+          col("t_ts") >= col("ts_us") - lit(3600000000L), col("t_type"))
+          .otherwise(lit("none")))
+      .groupBy("attributed")
+      .agg(count(lit(1)).as("n_purchases"),
+        Q.dsum(col("value"), 4).as("sum_value"))
+      .orderBy("attributed")
+  }
+
+  val eventsAttributionSql: String = s"""
+    WITH ev AS (SELECT event_id, user_id, event_type,
+        epoch_us(ts) AS ts_us, value FROM events),
+    tr AS (SELECT event_type, ts_us, value,
+        last_value(CASE WHEN event_type <> 'purchase' THEN ts_us END
+          IGNORE NULLS) OVER w AS t_ts,
+        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+          IGNORE NULLS) OVER w AS t_type
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT CASE WHEN t_ts IS NOT NULL AND t_ts >= ts_us - 3600000000
+        THEN t_type ELSE 'none' END AS attributed,
+      COUNT(*) AS n_purchases,
+      ${Sql.dsum("value", 4)} AS sum_value
+    FROM tr WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY attributed"""
+
+  // ------------------------------------------- content-keyed splits
+  /** Deterministic train/val/test assignment keyed by CONTENT hash
+    * (bucket = polyhash(text) mod 100 → 80/10/10): byte-identical
+    * documents always land in the same split, so exact duplicates can
+    * never leak across the train/test boundary — the property an
+    * id- or random-keyed split silently lacks, and the reason
+    * [[PipelineQueries]]'s split_leakage audit exists. The hash is the
+    * codegen [[graft.functions.PolyHash]] scan kernel: assignment adds
+    * zero shuffles, the only exchange is the small (source × split)
+    * aggregate. */
+  def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val b = pmod(graft.functions.HashF.polyHash(col("text")), lit(100L))
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source", "split")
+  }
+
+  val splitAssignSql: String = {
+    val b = s"(${graft.pipeline.TextHash.polyHashSql("text")}) % 100"
+    s"""
+    WITH assigned AS (SELECT source, lang, n_chars,
+        CASE WHEN $b < 80 THEN 'train'
+             WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM documents)
+    SELECT source, split, COUNT(*) AS n_docs,
+      COUNT(DISTINCT lang) AS n_langs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned GROUP BY source, split ORDER BY source, split"""
+  }
+
+  // ------------------------------------------------ kNN label spread
+  /** kNN label propagation (the standard semi-supervised labeling
+    * pass): unlabeled vectors (ids ≥ 400 play that role) take the
+    * majority label of their 5 nearest labeled neighbors by cosine.
+    * Neighbor candidates come from the SAME data-driven IVF cells as
+    * dedup_semantic ([[graft.pipeline.IvfIndex]]) — an equality join
+    * on `cell`, never an all-pairs scan, so candidate work stays
+    * n·cellPop at any corpus size. Vote ties break toward the smaller
+    * label; `correct` compares against the held-out true label. */
+  def knnClassify(s: SparkSession, d: String): DataFrame = {
+    val base = graft.pipeline.IvfIndex.withCells(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        col("label"),
+        graft.functions.VecF.normF(col("embedding")).as("norm")),
+      "vec_id", "embedding")
+    val q = base.filter(col("vec_id") >= 400)
+      .select(col("cell"), col("vec_id"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("label").as("actual"))
+    val l = base.filter(col("vec_id") < 400)
+      .select(col("cell"), col("vec_id").as("nbr_id"),
+        col("embedding").as("le"), col("norm").as("ln"),
+        col("label").as("nbr_label"))
+    val wTop = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("nbr_id"))
+    val wVote = Window.partitionBy("vec_id")
+      .orderBy(col("votes").desc, col("nbr_label"))
+    q.join(l, Seq("cell"))
+      .withColumn("cos", round(
+        graft.functions.VecF.dotF(col("qe"), col("le")) /
+          (col("qn") * col("ln")), 6))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .groupBy("vec_id", "actual", "nbr_label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("vec_id"), col("nbr_label").as("predicted"),
+        col("actual"),
+        (col("nbr_label") === col("actual")).as("correct"))
+      .orderBy("vec_id")
+  }
+
+  val knnClassifySql: String = s"""
+    WITH ${graft.pipeline.IvfIndex.cellsSqlCtes(
+        "embeddings", "vec_id", "embedding")},
+    e AS (SELECT emb.vec_id, emb.embedding, emb.label, ivf_cells.cell,
+      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        [CAST(emb.embedding[CAST(i AS INT)] AS DOUBLE)
+           * CAST(emb.embedding[CAST(i AS INT)] AS DOUBLE)
+         FOR i IN range(1, len(emb.embedding) + 1)]),
+        (x, y) -> x + y)) AS norm
+      FROM embeddings emb JOIN ivf_cells ON emb.vec_id = ivf_cells.id),
+    pairs AS (SELECT q.vec_id, q.label AS actual,
+        c.vec_id AS nbr_id, c.label AS nbr_label,
+        ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          [CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+             * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)
+           FOR i IN range(1, len(q.embedding) + 1)]),
+          (x, y) -> x + y) / (q.norm * c.norm), 6) AS cos
+      FROM e q JOIN e c ON q.cell = c.cell
+      WHERE q.vec_id >= 400 AND c.vec_id < 400),
+    top5 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY cos DESC, nbr_id) AS rn FROM pairs QUALIFY rn <= 5),
+    votes AS (SELECT vec_id, actual, nbr_label, COUNT(*) AS votes
+      FROM top5 GROUP BY 1, 2, 3),
+    winner AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY votes DESC, nbr_label) AS vr FROM votes QUALIFY vr = 1)
+    SELECT vec_id, nbr_label AS predicted, actual,
+      nbr_label = actual AS correct
+    FROM winner ORDER BY vec_id"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("gaps_islands", gapsIslands, Some(gapsIslandsSql)),
+    QuerySpec("events_attribution", eventsAttribution,
+      Some(eventsAttributionSql)),
+    QuerySpec("split_assign", splitAssign, Some(splitAssignSql)),
+    QuerySpec("knn_classify", knnClassify, Some(knnClassifySql)),
     QuerySpec("winsorize", winsorize, Some(winsorizeSql)),
     QuerySpec("mad_outliers", madOutliers, Some(madOutliersSql)),
     QuerySpec("agg_grouping_sets", aggGroupingSets,

@@ -3532,17 +3532,18 @@ object PipelineQueries {
         (col("dv") === col("dw") && col("v") < col("w")))
       .select(col("u").as("x"), col("v").as("y"), col("w").as("z"))
     val closing = oe.select(col("u").as("y"), col("w").as("z"))
-    val tri = wedges.join(closing, Seq("y", "z")).persist()
-    val perNode = tri.select(col("x").as("v"))
-      .unionByName(tri.select(col("y").as("v")))
-      .unionByName(tri.select(col("z").as("v")))
+    // one consumer: explode each triangle to its 3 corners in the same
+    // stage as the closure join (no persist, no 3-way union re-read)
+    val tri = wedges.join(closing, Seq("y", "z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
     val out = perNode.join(deg, "v")
       .select(col("v").as("part_id"), col("dg").as("degree"),
         col("n_triangles"))
       .orderBy(col("n_triangles").desc, col("part_id"))
       .limit(20)
-    graft.pipeline.Caching.materializeAndRelease(out, e, deg, oe, tri)
+    graft.pipeline.Caching.materializeAndRelease(out, e, deg, oe)
   }
 
   val graphTrianglesSql: String = """
