@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -408,6 +408,152 @@ object AnalyticsQueries {
       nbr_label = actual AS correct
     FROM winner ORDER BY vec_id"""
 
+  // --------------------------------------------- histogram quantiles
+  /** Mergeable fixed-width histogram quantile sketch: 1024 equi-width
+    * buckets per group (two passes: a global min/max scalar, then one
+    * map-side-combinable (type, bucket) count), quantile estimate =
+    * upper edge of the first bucket whose cumulative count reaches
+    * q·n. Unlike the exact `percentiles` query — which shuffles every
+    * VALUE to sort inside each group — the sketch ships at most
+    * 1024 counts per group regardless of corpus size, the same
+    * constant-state contract as the KMV/CMS sketches; the oracle
+    * replays the identical bucket arithmetic AND pins the estimate's
+    * error against the exact quantile. */
+  def sketchQuantile(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val mm = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val hist = ev.crossJoin(broadcast(mm))
+      .withColumn("b", least(lit(1023), floor(
+        (col("value") - col("mn")) * lit(1024.0) / (col("mx") - col("mn"))))
+        .cast("int"))
+      .groupBy("event_type", "b")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy("b")
+    val wTot = Window.partitionBy("event_type")
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wTot))
+      .crossJoin(broadcast(mm))
+    def est(q: Double) = round(
+      max(col("mn")) + (min(when(col("cum") >= lit(q) * col("tot"), col("b")))
+        + 1) * (max(col("mx")) - max(col("mn"))) / lit(1024.0), 6)
+    val sk = cum.groupBy("event_type")
+      .agg(est(0.5).as("p50_est"), est(0.9).as("p90_est"),
+        est(0.99).as("p99_est"))
+    val exact = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90_exact"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99_exact"))
+    sk.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("p50_est"), col("p50_exact"),
+        col("p90_est"), col("p90_exact"), col("p99_est"), col("p99_exact"),
+        round(abs(col("p50_est") - col("p50_exact")), 6).as("p50_err"))
+      .orderBy("event_type")
+  }
+
+  val sketchQuantileSql: String = """
+    WITH mm AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+    hist AS (SELECT event_type,
+        CAST(LEAST(1023, FLOOR((value - mn) * 1024.0 / (mx - mn)))
+          AS INT) AS b, COUNT(*) AS c
+      FROM events CROSS JOIN mm GROUP BY 1, 2),
+    cum AS (SELECT event_type, b, c,
+        SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+        SUM(c) OVER (PARTITION BY event_type) AS tot
+      FROM hist),
+    sk AS (SELECT event_type,
+        ROUND(mn + (MIN(CASE WHEN cum >= 0.5 * tot THEN b END) + 1)
+          * (mx - mn) / 1024.0, 6) AS p50_est,
+        ROUND(mn + (MIN(CASE WHEN cum >= 0.9 * tot THEN b END) + 1)
+          * (mx - mn) / 1024.0, 6) AS p90_est,
+        ROUND(mn + (MIN(CASE WHEN cum >= 0.99 * tot THEN b END) + 1)
+          * (mx - mn) / 1024.0, 6) AS p99_est
+      FROM cum CROSS JOIN mm GROUP BY event_type, mn, mx),
+    exact AS (SELECT event_type,
+        ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+        ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
+        ROUND(quantile_cont(value, 0.99), 6) AS p99_exact
+      FROM events GROUP BY event_type)
+    SELECT sk.event_type AS event_type, p50_est, p50_exact,
+      p90_est, p90_exact, p99_est, p99_exact,
+      ROUND(ABS(p50_est - p50_exact), 6) AS p50_err
+    FROM sk JOIN exact ON sk.event_type = exact.event_type
+    ORDER BY 1"""
+
+  // ------------------------------------------------ z-order pruning
+  /** Quantifies what the [[zorderLayout]] key buys: partition lineitem
+    * into 64 files under two layouts — Z-ORDER (zkey range per file)
+    * vs LINEAR (range-partitioned on the leading column xb) — compute
+    * each file's min/max column stats, and count the files a reader
+    * must scan for (a) a yb-only range predicate and (b) an xb AND yb
+    * rectangle. The point the numbers make: linear layout prunes
+    * nothing for a predicate on the non-leading column (64/64 files),
+    * z-order bounds both dimensions in every file (~⅛ of files for an
+    * ⅛-range predicate). Stats-building is one aggregate per layout;
+    * the evaluation is arithmetic over 64-row stat tables. */
+  def zorderPruneEval(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+    val mx = li.agg(max(col("l_partkey")).as("mp"),
+      max(col("l_suppkey")).as("ms"))
+    val binned = li.crossJoin(broadcast(mx))
+      .select(expr("(l_partkey * 1024) div (mp + 1)").as("xb"),
+        expr("(l_suppkey * 1024) div (ms + 1)").as("yb"))
+      .withColumn("zkey",
+        graft.functions.Morton.interleave(col("xb"), col("yb"), 10))
+      .withColumn("zfile", expr("shiftright(zkey, 14)").cast("int"))
+    // predicates: (a) yb in [512, 639]; (b) that AND xb in [256, 383]
+    def stats(fileCol: Column, layout: String) = binned
+      .groupBy(fileCol.as("f"))
+      .agg(min(col("xb")).as("x0"), max(col("xb")).as("x1"),
+        min(col("yb")).as("y0"), max(col("yb")).as("y1"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("y1") >= 512 && col("y0") <= 639, 1L).otherwise(0L))
+          .as("scanned_y_range"),
+        sum(when(col("y1") >= 512 && col("y0") <= 639 &&
+          col("x1") >= 256 && col("x0") <= 383, 1L).otherwise(0L))
+          .as("scanned_xy_rect"))
+      .select(lit(layout).as("layout"), col("n_files"),
+        col("scanned_y_range"), col("scanned_xy_rect"))
+    stats(col("zfile"), "zorder")
+      .unionByName(stats(expr("shiftright(xb, 4)").cast("int"), "linear_x"))
+      .orderBy("layout")
+  }
+
+  val zorderPruneEvalSql: String = """
+    WITH m AS (SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms
+        FROM lineitem),
+    b AS (SELECT (l_partkey * 1024) // (mp + 1) AS xb,
+                 (l_suppkey * 1024) // (ms + 1) AS yb
+      FROM lineitem CROSS JOIN m),
+    z AS (SELECT xb, yb, CAST(CAST(list_sum(
+        [(((xb >> CAST(i AS INT)) & 1) << CAST(2 * i AS INT))
+         + (((yb >> CAST(i AS INT)) & 1) << CAST(2 * i + 1 AS INT))
+         FOR i IN range(0, 10)]) AS BIGINT) >> 14 AS INT) AS zfile,
+        CAST(xb >> 4 AS INT) AS lfile
+      FROM b),
+    zs AS (SELECT zfile AS f, MIN(xb) AS x0, MAX(xb) AS x1,
+        MIN(yb) AS y0, MAX(yb) AS y1 FROM z GROUP BY 1),
+    ls AS (SELECT lfile AS f, MIN(xb) AS x0, MAX(xb) AS x1,
+        MIN(yb) AS y0, MAX(yb) AS y1 FROM z GROUP BY 1),
+    ev AS (
+      SELECT 'zorder' AS layout, COUNT(*) AS n_files,
+        CAST(SUM(CASE WHEN y1 >= 512 AND y0 <= 639 THEN 1 ELSE 0 END)
+          AS BIGINT) AS scanned_y_range,
+        CAST(SUM(CASE WHEN y1 >= 512 AND y0 <= 639
+          AND x1 >= 256 AND x0 <= 383 THEN 1 ELSE 0 END)
+          AS BIGINT) AS scanned_xy_rect
+      FROM zs
+      UNION ALL
+      SELECT 'linear_x', COUNT(*),
+        CAST(SUM(CASE WHEN y1 >= 512 AND y0 <= 639 THEN 1 ELSE 0 END)
+          AS BIGINT),
+        CAST(SUM(CASE WHEN y1 >= 512 AND y0 <= 639
+          AND x1 >= 256 AND x0 <= 383 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM ls)
+    SELECT layout, n_files, scanned_y_range, scanned_xy_rect
+    FROM ev ORDER BY layout"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("gaps_islands", gapsIslands, Some(gapsIslandsSql)),
     QuerySpec("events_attribution", eventsAttribution,
@@ -420,5 +566,8 @@ object AnalyticsQueries {
       Some(aggGroupingSetsSql)),
     QuerySpec("skew_salted_join", skewSaltedJoin,
       Some(skewSaltedJoinSql)),
-    QuerySpec("zorder_layout", zorderLayout, Some(zorderLayoutSql)))
+    QuerySpec("zorder_layout", zorderLayout, Some(zorderLayoutSql)),
+    QuerySpec("sketch_quantile", sketchQuantile, Some(sketchQuantileSql)),
+    QuerySpec("zorder_prune_eval", zorderPruneEval,
+      Some(zorderPruneEvalSql)))
 }
