@@ -3531,7 +3531,12 @@ object PipelineQueries {
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
       .select(col("u").as("x"), col("v").as("y"), col("w").as("z"))
+    // shuffle-hash hint: the closure probe streams O(m^1.5) wedge rows
+    // against the m-row edge set — a sort-merge join would SORT the
+    // wedge side (the dominant cost); hashing the small edge side
+    // keeps the wedge side a streaming pass
     val closing = oe.select(col("u").as("y"), col("w").as("z"))
+      .hint("shuffle_hash")
     // one consumer: explode each triangle to its 3 corners in the same
     // stage as the closure join (no persist, no 3-way union re-read)
     val tri = wedges.join(closing, Seq("y", "z"))
