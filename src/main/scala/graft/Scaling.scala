@@ -25,7 +25,8 @@ object Scaling {
     "dedup_clusters", "dedup_semantic", "graph_hits", "dedup_jaccard",
     "graph_pagerank", "dedup_substring", "dsir_importance",
     "text_bigram_logprob", "dedup_minhash_lsh", "bm25_topk",
-    "dedup_incremental", "graph_triangles", "assoc_rules")
+    "dedup_incremental", "graph_triangles", "assoc_rules",
+    "knn_classify")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("SCALING.json")

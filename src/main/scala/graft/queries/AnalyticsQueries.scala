@@ -554,6 +554,68 @@ object AnalyticsQueries {
     SELECT layout, n_files, scanned_y_range, scanned_xy_rect
     FROM ev ORDER BY layout"""
 
+  // --------------------------------------------------- RFM segments
+  /** RFM (recency / frequency / monetary) customer segmentation: one
+    * aggregate builds the per-customer profile, quartile THRESHOLDS
+    * come from an exact-percentile aggregate over that profile (4-row
+    * broadcast) and scores are threshold comparisons — deliberately
+    * NOT `ntile`, whose global-ordering window cannot scale past one
+    * partition. Output is the (r, f, m) score-cell summary. Recency is
+    * in days before the corpus's last order date (integer — no tz
+    * arithmetic). */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val prof = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(expr(
+          // NTZ→LTZ is a wall-clock identity under the pinned UTC session
+          "unix_micros(cast(o_orderdate as timestamp_ltz)) div 86400000000"))
+          .as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast(graft.Q.Dec)).as("monetary"))
+    val maxDay = prof.agg(max(col("last_day")).as("max_day"))
+    val p = prof.crossJoin(broadcast(maxDay))
+      .select((col("max_day") - col("last_day")).as("recency"),
+        col("freq"), col("monetary"))
+    val th = p.agg(
+      round(expr("percentile(recency, 0.5)"), 6).as("r_med"),
+      round(expr("percentile(freq, 0.5)"), 6).as("f_med"),
+      round(expr("percentile(cast(monetary as double), 0.5)"), 6)
+        .as("m_med"))
+    p.crossJoin(broadcast(th))
+      .select(
+        when(col("recency") <= col("r_med"), 2).otherwise(1).as("r_score"),
+        when(col("freq") > col("f_med"), 2).otherwise(1).as("f_score"),
+        when(col("monetary").cast("double") > col("m_med"), 2)
+          .otherwise(1).as("m_score"),
+        col("monetary"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("monetary")), 2).cast("double").as("sum_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val rfmSegmentsSql: String = """
+    WITH prof AS (SELECT o_custkey,
+        MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+        COUNT(*) AS freq,
+        SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS monetary
+      FROM orders GROUP BY 1),
+    md AS (SELECT MAX(last_day) AS max_day FROM prof),
+    p AS (SELECT max_day - last_day AS recency, freq, monetary
+      FROM prof CROSS JOIN md),
+    th AS (SELECT ROUND(quantile_cont(recency, 0.5), 6) AS r_med,
+        ROUND(quantile_cont(freq, 0.5), 6) AS f_med,
+        ROUND(quantile_cont(CAST(monetary AS DOUBLE), 0.5), 6) AS m_med
+      FROM p)
+    SELECT CASE WHEN recency <= r_med THEN 2 ELSE 1 END AS r_score,
+      CASE WHEN freq > f_med THEN 2 ELSE 1 END AS f_score,
+      CASE WHEN CAST(monetary AS DOUBLE) > m_med THEN 2 ELSE 1 END
+        AS m_score,
+      COUNT(*) AS n_customers,
+      CAST(ROUND(SUM(monetary), 2) AS DOUBLE) AS sum_monetary
+    FROM p CROSS JOIN th
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("gaps_islands", gapsIslands, Some(gapsIslandsSql)),
     QuerySpec("events_attribution", eventsAttribution,
@@ -569,5 +631,6 @@ object AnalyticsQueries {
     QuerySpec("zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     QuerySpec("sketch_quantile", sketchQuantile, Some(sketchQuantileSql)),
     QuerySpec("zorder_prune_eval", zorderPruneEval,
-      Some(zorderPruneEvalSql)))
+      Some(zorderPruneEvalSql)),
+    QuerySpec("rfm_segments", rfmSegments, Some(rfmSegmentsSql)))
 }

@@ -469,6 +469,17 @@ object EventStreams {
           .as("gap_us"))
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension DataFrame (a batch parquet read) on user_id. The static
+    * side is re-planned per micro-batch — Spark broadcasts it when
+    * small, so enrichment adds no stream-side shuffle and no state
+    * store at all (unlike a stream-stream join); this is THE pattern
+    * for attaching reference data (user profiles, model scores,
+    * allow-lists) to a live stream. */
+  def enrich(events: DataFrame, dim: DataFrame,
+             key: String = "user_id"): DataFrame =
+    events.join(dim, Seq(key))
+
   /** At-least-once → effectively-once id dedup with bounded state:
     * `dropDuplicatesWithinWatermark` keeps each event_id's first
     * arrival and holds ids only until the watermark passes their event

@@ -425,6 +425,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    val dir = stageEventsDir()
+    // static dimension: per-user event count from the batch table
+    val dim = Tables.events(spark, sf("sf0.001"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_user_events"))
+    val stream = EventStreams.enrich(
+      EventStreams.readEvents(spark, dir), dim)
+      .groupBy("n_user_events").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("enrich_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sf("sf0.001")).join(dim, Seq("user_id"))
+      .groupBy("n_user_events").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("dropDuplicatesWithinWatermark emits each replayed event once") {
     // stage the same file TWICE → every event delivered twice
     val dir = java.nio.file.Files.createTempDirectory("graft-dup").toString
