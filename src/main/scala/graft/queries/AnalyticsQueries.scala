@@ -616,6 +616,69 @@ object AnalyticsQueries {
     FROM p CROSS JOIN th
     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
+  // ------------------------------------------------ snapshot upsert
+  /** CDC-style MERGE between corpus snapshots: a change feed of
+    * updates (docs truncated to their first 20 words), deletes and
+    * inserts resolves against the old snapshot in ONE full-outer hash
+    * join on doc_id. Scale contract: the change rows carry (id, op,
+    * new_len) — lengths computed map-side on the scan — so NO exchange
+    * carries document text (the registry audit enforces this); a
+    * production merge that must move payloads co-locates both
+    * snapshots bucketed by id instead (ScaleSpec's bucketed-join
+    * property). Output is the per-(source, op) merge audit. */
+  def snapshotUpsert(s: SparkSession, d: String): DataFrame = {
+    val old = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val mid = Tables.documents(s, d).agg(max(col("doc_id")).as("mid"))
+    val truncLen = length(array_join(
+      slice(split(col("text"), " "), 1, 20), " ")).cast("long")
+    val upd = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit("update").as("op"),
+        truncLen.as("new_len"))
+    val del = Tables.documents(s, d).filter(col("doc_id") % 10 === 1)
+      .select(col("doc_id"), lit("delete").as("op"),
+        lit(null).cast("long").as("new_len"))
+    val ins = Tables.documents(s, d).filter(col("doc_id") % 10 === 2)
+      .crossJoin(broadcast(mid))
+      .select((col("doc_id") + col("mid") + 1).as("doc_id"),
+        lit("insert").as("op"), col("n_chars").as("new_len"))
+    val changes = upd.unionByName(del).unionByName(ins)
+    old.join(changes, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("op"), lit("keep")).as("op"),
+        coalesce(col("source"), lit("new")).as("source"),
+        when(col("op").isNull, col("n_chars"))
+          .when(col("op") === "delete", lit(0L))
+          .otherwise(col("new_len")).as("chars_after"))
+      .groupBy("source", "op")
+      .agg(count(lit(1)).as("n"), sum(col("chars_after")).as("sum_chars"))
+      .orderBy("source", "op")
+  }
+
+  val snapshotUpsertSql: String = """
+    WITH mid AS (SELECT MAX(doc_id) AS mid FROM documents),
+    upd AS (SELECT doc_id, 'update' AS op,
+        CAST(length(array_to_string(
+          list_slice(string_split(text, ' '), 1, 20), ' ')) AS BIGINT)
+          AS new_len
+      FROM documents WHERE doc_id % 10 = 0),
+    del AS (SELECT doc_id, 'delete' AS op, CAST(NULL AS BIGINT) AS new_len
+      FROM documents WHERE doc_id % 10 = 1),
+    ins AS (SELECT doc_id + mid + 1 AS doc_id, 'insert' AS op,
+        CAST(n_chars AS BIGINT) AS new_len
+      FROM documents CROSS JOIN mid WHERE doc_id % 10 = 2),
+    changes AS (SELECT * FROM upd UNION ALL SELECT * FROM del
+      UNION ALL SELECT * FROM ins),
+    old AS (SELECT doc_id, source, n_chars FROM documents)
+    SELECT COALESCE(old.source, 'new') AS source,
+      COALESCE(changes.op, 'keep') AS op,
+      COUNT(*) AS n,
+      CAST(SUM(CASE WHEN changes.op IS NULL THEN old.n_chars
+        WHEN changes.op = 'delete' THEN 0
+        ELSE changes.new_len END) AS BIGINT) AS sum_chars
+    FROM old FULL OUTER JOIN changes ON old.doc_id = changes.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("gaps_islands", gapsIslands, Some(gapsIslandsSql)),
     QuerySpec("events_attribution", eventsAttribution,
@@ -632,5 +695,6 @@ object AnalyticsQueries {
     QuerySpec("sketch_quantile", sketchQuantile, Some(sketchQuantileSql)),
     QuerySpec("zorder_prune_eval", zorderPruneEval,
       Some(zorderPruneEvalSql)),
-    QuerySpec("rfm_segments", rfmSegments, Some(rfmSegmentsSql)))
+    QuerySpec("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
+    QuerySpec("snapshot_upsert", snapshotUpsert, Some(snapshotUpsertSql)))
 }

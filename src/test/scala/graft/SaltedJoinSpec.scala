@@ -40,6 +40,34 @@ class SaltedJoinSpec extends SparkSpec {
     assert(SaltedJoin.join(fact, dim, "k", col("id"), buckets).count() === 512L)
   }
 
+  test("write-side z-order layout: each written file's stats cover a " +
+      "compact rectangle, unlike the unsorted write") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+      .select("l_partkey", "l_suppkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zw").toString
+    graft.operators.Layout
+      .zorder(li, col("l_partkey"), col("l_suppkey"), 10, 8)
+      .write.mode("overwrite").parquet(dir + "/z")
+    li.repartition(8).write.mode("overwrite").parquet(dir + "/plain")
+    def meanBoxArea(path: String): Double = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("l_partkey") - min("l_partkey")).as("dx"),
+          (max("l_suppkey") - min("l_suppkey")).as("dy"))
+        .selectExpr("avg(dx * dy)").collect()(0).getDouble(0)
+      stats
+    }
+    val zArea = meanBoxArea(dir + "/z")
+    val pArea = meanBoxArea(dir + "/plain")
+    // content unchanged by the layout pass
+    assert(spark.read.parquet(dir + "/z").count() === li.count())
+    // z-order files bound BOTH dims: mean bbox area far below the
+    // round-robin write, where every file spans ~the whole domain
+    assert(zArea < pArea / 3.0,
+      s"z-order mean file bbox $zArea not < 1/3 of plain $pArea")
+  }
+
   test("zorder interleave: zkey round-trips to its source bits") {
     import spark.implicits._
     // exhaustive over 5-bit coords: deinterleave(interleave(x,y)) == (x,y);
