@@ -131,6 +131,54 @@ object Dedup {
     out
   }
 
+  /** Exact all-pairs shingle CONTAINMENT via the asymmetric prefix
+    * bound: C = common / min(n_a, n_b) — catches a short document
+    * quoted wholesale inside a long one, which symmetric Jaccard
+    * misses (the union term dilutes it). Completeness argument as in
+    * [[jaccardPairsPrefix]], applied to the smaller (contained) side:
+    * a pair with C ≥ t shares ≥ ⌈t·n_min⌉ shingles, so the min-side
+    * doc's rarest-first prefix of size n − ⌈t·n⌉ + 1 must intersect
+    * the other doc's FULL shingle set; every doc's prefix joins
+    * against the full inverted index (one side pruned — Σ df_prefix·df
+    * candidate rows instead of Σ df²), then candidates verify exactly.
+    * Output: (id_a < id_b, contained_id, common, containment ≥ t). */
+  def containmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                             threshold: Double): DataFrame = {
+    // persisted for the same reason as jaccardPairsAuto: the shingle
+    // kernel feeds the prefix, candidate and verify branches (4 reuses)
+    val sh = shingles(df, idCol, textCol).persist()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("df", "s")
+    val tEff = threshold - 1e-6
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n")).persist()
+    val prefix = sh.join(dfreq, Seq("s"))
+      .withColumn("r", row_number().over(w))
+      .join(counts, Seq("id"))
+      .filter(col("r") <= col("n") - ceil(col("n") * lit(tEff)) + 1)
+      .select("id", "s")
+    val cand = prefix.toDF("id_c", "s")
+      .join(sh.toDF("id_o", "s"), Seq("s"))
+      .filter(col("id_c") =!= col("id_o"))
+      .select(least(col("id_c"), col("id_o")).as("id_a"),
+        greatest(col("id_c"), col("id_o")).as("id_b"))
+      .distinct()
+    val out = cand
+      .join(sh.toDF("id_a", "s"), Seq("id_a"))
+      .join(sh.toDF("id_b", "s"), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(counts.toDF("id_a", "n_a"), Seq("id_a"))
+      .join(counts.toDF("id_b", "n_b"), Seq("id_b"))
+      .withColumn("containment",
+        round(col("common") / least(col("n_a"), col("n_b")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        when(col("n_a") <= col("n_b"), col("id_a")).otherwise(col("id_b"))
+          .as("contained_id"),
+        col("common"), col("containment"))
+    Caching.materializeAndRelease(out, counts, sh)
+  }
+
   /** Exact all-pairs Jaccard via prefix filtering (Bayardo et al.
     * "Scaling Up All Pairs Similarity Search", WWW'07): under a global
     * rarest-first shingle order, any pair with J ≥ t must share at

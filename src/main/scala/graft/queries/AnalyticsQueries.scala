@@ -679,6 +679,58 @@ object AnalyticsQueries {
     FROM old FULL OUTER JOIN changes ON old.doc_id = changes.doc_id
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // --------------------------------------------- CUSUM change points
+  /** CUSUM change-point detection per event type: cumulative sum of
+    * (hourly count − mean hourly count); the hour where |CUSUM| peaks
+    * is the classic Page-test estimate of where the rate shifted. The
+    * corpus-scale work is one (type, hour) count aggregate; the CUSUM
+    * runs over the per-type HOURLY table (already thousands of rows
+    * per year, not corpus-sized) under a type-partitioned window.
+    * Deviations are rounded once and summed in DECIMAL, so the running
+    * sum is order-exact in both engines. */
+  def eventsCusum(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("ts_us div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val wTot = Window.partitionBy("event_type")
+    val wCum = Window.partitionBy("event_type").orderBy("hour")
+    val dev = hourly
+      .withColumn("mean_n", round(
+        sum(col("n")).over(wTot).cast("double") /
+          count(lit(1)).over(wTot), 6))
+      .withColumn("cusum",
+        sum(round(col("n") - col("mean_n"), 6).cast(graft.Q.Dec))
+          .over(wCum))
+    dev.withColumn("max_abs", max(abs(col("cusum"))).over(wTot))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        round(max(col("max_abs")).cast("double"), 6).as("max_cusum"),
+        min(when(abs(col("cusum")) === col("max_abs"), col("hour")))
+          .as("cp_hour"))
+      .orderBy("event_type")
+  }
+
+  val eventsCusumSql: String = """
+    WITH hourly AS (SELECT event_type,
+        epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    dev AS (SELECT event_type, hour, n,
+        ROUND(CAST(SUM(n) OVER w AS DOUBLE)
+          / COUNT(*) OVER w, 6) AS mean_n
+      FROM hourly WINDOW w AS (PARTITION BY event_type)),
+    cs AS (SELECT event_type, hour,
+        SUM(CAST(ROUND(n - mean_n, 6) AS DECIMAL(38,6)))
+          OVER (PARTITION BY event_type ORDER BY hour) AS cusum
+      FROM dev),
+    mx AS (SELECT event_type, hour, cusum,
+        MAX(ABS(cusum)) OVER (PARTITION BY event_type) AS max_abs
+      FROM cs)
+    SELECT event_type, COUNT(*) AS n_hours,
+      ROUND(CAST(MAX(max_abs) AS DOUBLE), 6) AS max_cusum,
+      MIN(CASE WHEN ABS(cusum) = max_abs THEN hour END) AS cp_hour
+    FROM mx GROUP BY event_type ORDER BY event_type"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("gaps_islands", gapsIslands, Some(gapsIslandsSql)),
     QuerySpec("events_attribution", eventsAttribution,
@@ -696,5 +748,6 @@ object AnalyticsQueries {
     QuerySpec("zorder_prune_eval", zorderPruneEval,
       Some(zorderPruneEvalSql)),
     QuerySpec("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
-    QuerySpec("snapshot_upsert", snapshotUpsert, Some(snapshotUpsertSql)))
+    QuerySpec("snapshot_upsert", snapshotUpsert, Some(snapshotUpsertSql)),
+    QuerySpec("events_cusum", eventsCusum, Some(eventsCusumSql)))
 }

@@ -32,9 +32,36 @@ object PipelineQueries {
     Dedup.jaccardPairsAuto(Tables.documents(s, d), "doc_id", "text", J)
       .orderBy("id_a", "id_b")
 
-  private val thCte =
+  private val CT = 0.8 // containment threshold (fraction of smaller set)
+
+  /** Asymmetric containment dedup ([[Dedup.containmentPairsPrefix]]):
+    * the quoted-wholesale case Jaccard's union term dilutes away. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairsPrefix(Tables.documents(s, d), "doc_id",
+        "text", CT)
+      .orderBy("id_a", "id_b")
+
+  val dedupContainmentSql: String = s"""
+    WITH $thCte, $shCte,
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+      CASE WHEN ca.n <= cb.n THEN id_a ELSE id_b END AS contained_id,
+      common,
+      ROUND(common / LEAST(ca.n, cb.n), 6) AS containment
+    FROM pairs JOIN counts ca ON id_a = ca.doc_id
+      JOIN counts cb ON id_b = cb.doc_id
+    WHERE ROUND(common / LEAST(ca.n, cb.n), 6) >= $CT
+    ORDER BY id_a, id_b"""
+
+  // defs, not vals: interpolated into oracle strings that may
+  // initialize earlier in declaration order
+  private def thCte =
     s"th AS (SELECT doc_id, ${TextHash.tokenHashesSql("text")} AS th FROM documents)"
-  private val shCte =
+  private def shCte =
     s"""sh AS (SELECT DISTINCT doc_id, unnest(${TextHash.shingleHashesSql("th")}) AS s FROM th)"""
 
   val dedupJaccardSql: String = s"""
@@ -3849,6 +3876,8 @@ object PipelineQueries {
       Some(multimodalCompressedMetaSql)),
     QuerySpec("dedup_exact", dedupExact, Some(dedupExactSql)),
     QuerySpec("dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
+    QuerySpec("dedup_containment", dedupContainment,
+      Some(dedupContainmentSql)),
     QuerySpec("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
     QuerySpec("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QuerySpec("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
