@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
-import graft.operators.SaltedJoin
+import graft.operators.Skew
 
 /** Second-tier analytics coverage: gaps-and-islands streaks, robust
   * statistics (winsorization, MAD outlier gates), GROUPING SETS,
@@ -179,7 +179,8 @@ object AnalyticsQueries {
 
   // -------------------------------------------------- salted skew join
   /** Power-law fact⋈dim with an explicit 16-way salt
-    * ([[graft.operators.SaltedJoin]]): events (skewed by user) against
+    * ([[graft.operators.Skew.saltedJoin]], the always-on explicit form
+    * of the probe-gated auto-salting): events (skewed by user) against
     * a per-user cohort dimension. The salt is plan-visible — the join
     * keys become (user_id, __salt) — and the result is row-identical
     * to the unsalted join, which is exactly what the oracle checks:
@@ -191,7 +192,7 @@ object AnalyticsQueries {
         expr(s"ts_us div $UsPerDay").as("day"))
     val profile = ev.groupBy("user_id")
       .agg(min(col("day")).as("cohort_day"))
-    SaltedJoin.join(ev, profile, "user_id", col("event_id"), 16)
+    Skew.saltedJoin(ev, profile, "user_id", "event_id", 16)
       .groupBy("cohort_day")
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),

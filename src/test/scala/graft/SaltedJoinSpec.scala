@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.SaltedJoin
+import graft.operators.Skew
 
 class SaltedJoinSpec extends SparkSpec {
 
@@ -16,7 +16,7 @@ class SaltedJoinSpec extends SparkSpec {
       .union(Seq((999L, "hot")).toDF("k", "grp"))
     val plain = fact.join(dim, Seq("k"))
       .select("id", "k", "v", "grp")
-    val salted = SaltedJoin.join(fact, dim, "k", col("id"), 16)
+    val salted = Skew.saltedJoin(fact, dim, "k", "id", 16)
       .select("id", "k", "v", "grp")
     assert(salted.count() === plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
@@ -27,17 +27,17 @@ class SaltedJoinSpec extends SparkSpec {
     val fact = (0L until 512L).map(i => (i, 42L)).toDF("id", "k")
     val dim = Seq((42L, "x")).toDF("k", "grp")
     // internal shape: fact salt column takes >1 distinct value for one
-    // hot key (the spread), dim is replicated exactly `buckets` ways
+    // hot key (the spread), dim is replicated exactly `factor` ways
     val buckets = 8
     val saltVals = fact
-      .withColumn("__salt", pmod(hash(col("id")), lit(buckets)))
-      .select("__salt").distinct().count()
+      .withColumn("_salt", pmod(xxhash64(col("id")), lit(buckets)))
+      .select("_salt").distinct().count()
     assert(saltVals > 1, "hot key's rows must spread over several salts")
-    val fanned = dim.withColumn("__salt",
-      explode(sequence(lit(0), lit(buckets - 1))))
+    val fanned = dim.withColumn("_salt",
+      explode(array((0 until buckets).map(lit(_)): _*)))
     assert(fanned.count() === dim.count() * buckets)
     // and the join result is still exactly fact-sized (every row matched)
-    assert(SaltedJoin.join(fact, dim, "k", col("id"), buckets).count() === 512L)
+    assert(Skew.saltedJoin(fact, dim, "k", "id", buckets).count() === 512L)
   }
 
   test("write-side z-order layout: each written file's stats cover a " +
