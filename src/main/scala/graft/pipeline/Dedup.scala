@@ -142,11 +142,7 @@ object Dedup {
     * against the full inverted index (one side pruned — Σ df_prefix·df
     * candidate rows instead of Σ df²), then candidates verify exactly.
     * Output: (id_a < id_b, contained_id, common, containment ≥ t). */
-  def containmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-                             threshold: Double): DataFrame = {
-    // persisted for the same reason as jaccardPairsAuto: the shingle
-    // kernel feeds the prefix, candidate and verify branches (4 reuses)
-    val sh = shingles(df, idCol, textCol).persist()
+  def containmentPairsPrefix(sh: DataFrame, threshold: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("df", "s")
     val tEff = threshold - 1e-6
@@ -176,7 +172,7 @@ object Dedup {
         when(col("n_a") <= col("n_b"), col("id_a")).otherwise(col("id_b"))
           .as("contained_id"),
         col("common"), col("containment"))
-    Caching.materializeAndRelease(out, counts, sh)
+    Caching.materializeAndRelease(out, counts)
   }
 
   /** Exact all-pairs Jaccard via prefix filtering (Bayardo et al.
@@ -238,16 +234,19 @@ object Dedup {
     * ROUND (HALF_UP) exactly. Ids may be any Comparable type; `id_a <
     * id_b` orientation uses natural ordering (= Spark's for numeric and
     * BMP strings). */
-  def jaccardPairsBitmap(sh: DataFrame, vocab: Int,
-                         threshold: Double): DataFrame = {
+  /** dictionary-encode shingles to bit positions and pack per-doc
+    * bitsets: the shared front half of the dense bitmap kernels.
+    * Returns the PERSISTED (id, bm: array<bigint>, n) table.
+    *
+    * The dictionary is a distributed sort + zipWithIndex (deterministic
+    * bit per shingle); an unpartitioned row_number window would funnel
+    * the vocabulary through ONE task — harmless under the vocab guard
+    * but a needless serial stage at every size. */
+  private def packBitsets(sh: DataFrame, vocab: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = sh.sparkSession
     val words = (vocab + 63) / 64
-    // dictionary: distributed sort + zipWithIndex (deterministic bit per
-    // shingle). An unpartitioned row_number window would funnel the
-    // vocabulary through ONE task — harmless under the vocab guard but a
-    // needless serial stage (and a WindowExec warning) at every size.
     val sType = sh.schema("s").dataType
     val dict = spark.createDataFrame(
       sh.select("s").distinct().orderBy("s").rdd.zipWithIndex().map {
@@ -260,11 +259,20 @@ object Dedup {
       bits.foreach(b => arr(b >> 6) |= (1L << (b & 63)))
       arr
     })
-    val docs = sh.join(broadcast(dict), Seq("s"))
+    sh.join(broadcast(dict), Seq("s"))
       .groupBy("id").agg(collect_list(col("bit")).as("bits"),
         count(lit(1)).as("n"))
       .select(col("id"), toBitset(col("bits")).as("bm"), col("n"))
       .persist()
+  }
+
+  def jaccardPairsBitmap(sh: DataFrame, vocab: Int,
+                         threshold: Double): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = sh.sparkSession
+    val words = (vocab + 63) / 64
+    val docs = packBitsets(sh, vocab)
     val idType = docs.schema("id").dataType
     val all = docs.collect().map { r =>
       (r.get(0), r.getSeq[Long](1).toArray, r.getLong(2))
@@ -314,6 +322,91 @@ object Dedup {
       StructField("id_a", idType), StructField("id_b", idType),
       StructField("common", LongType), StructField("jaccard", DoubleType))))
     Caching.materializeAndRelease(out, docs)
+  }
+
+  /** Dense-vocab containment: the same broadcast AND-popcount scan as
+    * [[jaccardPairsBitmap]] scoring common/min(n_a, n_b). NO size
+    * prefilter is possible — a tiny doc fully inside a huge one is
+    * exactly what qualifies, at any size ratio — so every ordered pair
+    * popcounts; that is the honest cost of exact all-pairs containment
+    * on a dense corpus (where the prefix filter prunes nothing because
+    * every pair shares stop-shingles: measured at sf0.1, the prefix
+    * path generated 5.6M candidates out of 12.5M possible pairs and
+    * re-expanded them 40×, 34 s vs ~1 s here). */
+  def containmentPairsBitmap(sh: DataFrame, vocab: Int,
+                             threshold: Double): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = sh.sparkSession
+    val words = (vocab + 63) / 64
+    val docs = packBitsets(sh, vocab)
+    val idType = docs.schema("id").dataType
+    val all = docs.collect().map { r =>
+      (r.get(0), r.getSeq[Long](1).toArray, r.getLong(2))
+    }
+    val bcast = spark.sparkContext.broadcast(all)
+    val t = threshold
+    val pairs = docs.rdd
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val ref = bcast.value
+        it.flatMap { r =>
+          val idA = r.get(0)
+          val bmA = r.getSeq[Long](1).toArray
+          val nA = r.getLong(2)
+          val cmpA = idA.asInstanceOf[Comparable[Any]]
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var j = 0
+          while (j < ref.length) {
+            val (idB, bmB, nB) = ref(j)
+            if (cmpA.compareTo(idB) < 0) {
+              var c = 0L
+              var w = 0
+              while (w < words) {
+                c += java.lang.Long.bitCount(bmA(w) & bmB(w)); w += 1
+              }
+              val cont = java.math.BigDecimal
+                .valueOf(c / math.min(nA, nB).toDouble)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (cont >= t)
+                out += Row(idA, idB, if (nA <= nB) idA else idB, c, cont)
+            }
+            j += 1
+          }
+          out.iterator
+        }
+      }
+    val out = spark.createDataFrame(pairs, StructType(Seq(
+      StructField("id_a", idType), StructField("id_b", idType),
+      StructField("contained_id", idType),
+      StructField("common", LongType),
+      StructField("containment", DoubleType))))
+    Caching.materializeAndRelease(out, docs)
+  }
+
+  /** Strategy-adaptive containment, the asymmetric sibling of
+    * [[jaccardPairsAuto]] with the identical dense/sparse dispatch:
+    * dense corpora (bounded vocabulary → the inverted index
+    * degenerates) take the bitmap popcount scan; sparse corpora take
+    * the prefix-filtered index join ([[containmentPairsPrefix]]),
+    * where rare-first prefixes genuinely prune. Identical results
+    * either way. */
+  def containmentPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double,
+                           denseVocabLimit: Long = 1 << 16,
+                           denseBroadcastBytes: Long = 1L << 26): DataFrame = {
+    val sh = shingles(df, idCol, textCol).persist()
+    val stats = sh.agg(countDistinct(col("s")).as("vocab"),
+      countDistinct(col("id")).as("docs")).head()
+    val vocab = stats.getLong(0)
+    val docsN = stats.getLong(1)
+    val words = (vocab + 63) / 64
+    val out =
+      if (vocab <= denseVocabLimit && docsN * words * 8 <= denseBroadcastBytes)
+        containmentPairsBitmap(sh, vocab.toInt, threshold)
+      else containmentPairsPrefix(sh, threshold)
+    sh.unpersist()
+    out
   }
 
   /** Sparse-vocab path: classic inverted-index self-join. */

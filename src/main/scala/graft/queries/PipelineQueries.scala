@@ -34,10 +34,10 @@ object PipelineQueries {
 
   private val CT = 0.8 // containment threshold (fraction of smaller set)
 
-  /** Asymmetric containment dedup ([[Dedup.containmentPairsPrefix]]):
+  /** Asymmetric containment dedup ([[Dedup.containmentPairsAuto]]):
     * the quoted-wholesale case Jaccard's union term dilutes away. */
   def dedupContainment(s: SparkSession, d: String): DataFrame =
-    Dedup.containmentPairsPrefix(Tables.documents(s, d), "doc_id",
+    Dedup.containmentPairsAuto(Tables.documents(s, d), "doc_id",
         "text", CT)
       .orderBy("id_a", "id_b")
 

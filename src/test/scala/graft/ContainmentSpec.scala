@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 
 import graft.pipeline.Dedup
 
-/** Properties of the asymmetric containment join
-  * (Dedup.containmentPairsPrefix): completeness and exactness against
-  * a test-side brute force over randomized corpora with PLANTED
-  * containments — the same treatment the fuzzy join's FastSS
-  * construction gets in FuzzyJoinSpec.
+/** Properties of the asymmetric containment join: completeness and
+  * exactness against a test-side brute force over randomized corpora
+  * with PLANTED containments — the same treatment the fuzzy join's
+  * FastSS construction gets in FuzzyJoinSpec. BOTH strategy paths
+  * (dense bitmap popcount, sparse prefix-filtered index) are checked
+  * against the same brute force, pinning the auto dispatcher's
+  * identical-results contract.
   */
 class ContainmentSpec extends SparkSpec {
 
@@ -51,17 +53,24 @@ class ContainmentSpec extends SparkSpec {
       (100L + k, s"${doc(3 + k)} $t ${doc(2)}") // t quoted wholesale
     }
     val corpus = base ++ planted
-    val got = Dedup.containmentPairsPrefix(
-        corpus.toDF("doc_id", "text"), "doc_id", "text", T)
+    val df = corpus.toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, "doc_id", "text")
+    val nShingleVocab = sh.select("s").distinct().count().toInt
+    val gotPrefix = Dedup.containmentPairsPrefix(sh, T)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotBitmap = Dedup.containmentPairsBitmap(sh, nShingleVocab, T)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = brute(corpus)
     assert(want.nonEmpty, "planted containments must produce pairs")
-    assert(got == want,
-      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(gotPrefix == want, "prefix path: " +
+      s"missing=${(want -- gotPrefix).take(5)} extra=${(gotPrefix -- want).take(5)}")
+    assert(gotBitmap == want, "bitmap path: " +
+      s"missing=${(want -- gotBitmap).take(5)} extra=${(gotBitmap -- want).take(5)}")
     // the planted quotes specifically must all be found
     planted.zip(base.take(8)).foreach { case ((pid, _), (bid, _)) =>
-      assert(got.contains((bid, pid)),
+      assert(gotPrefix.contains((bid, pid)),
         s"planted containment ($bid, $pid) missed")
     }
   }
@@ -71,7 +80,7 @@ class ContainmentSpec extends SparkSpec {
     val corpus = Seq(
       (1L, "a b c d e f g h"),           // 7 shingles
       (2L, "x y a b c d e f g h z w"))   // superset + noise
-    val row = Dedup.containmentPairsPrefix(
+    val row = Dedup.containmentPairsAuto(
         corpus.toDF("doc_id", "text"), "doc_id", "text", T)
       .collect()
     assert(row.length == 1)

@@ -844,7 +844,8 @@ class ScaleSpec extends SparkSpec {
     // their SQL plan is an RDD scan BY DESIGN — each has its own
     // plan/behavior spec elsewhere in this file or its operator spec.
     val allowedRddTerminal = Set(
-      "dedup_jaccard") // dense-path popcount kernel (Dedup.jaccardPairsBitmap)
+      "dedup_jaccard",     // dense-path popcount kernel (jaccardPairsBitmap)
+      "dedup_containment") // same kernel, containment scoring
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
