@@ -26,7 +26,7 @@ object Scaling {
     "graph_pagerank", "dedup_substring", "dsir_importance",
     "text_bigram_logprob", "dedup_minhash_lsh", "bm25_topk",
     "dedup_incremental", "graph_triangles", "assoc_rules",
-    "knn_classify")
+    "knn_classify", "dedup_containment")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("SCALING.json")

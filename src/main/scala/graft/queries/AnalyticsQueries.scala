@@ -732,6 +732,75 @@ object AnalyticsQueries {
       MIN(CASE WHEN ABS(cusum) = max_abs THEN hour END) AS cp_hour
     FROM mx GROUP BY event_type ORDER BY event_type"""
 
+  // ------------------------------------------------- set operators
+  /** Churn/retention via genuine set operators: customers active in
+    * 1995 EXCEPT 1996 (churned), INTERSECT (retained), 1996 EXCEPT
+    * 1995 (new) — Spark plans except/intersect as left-anti /
+    * left-semi hash joins over the distinct sets, so the shape is two
+    * aggregates + key-only joins (no payload movement). */
+  def setOpsChurn(s: SparkSession, d: String): DataFrame = {
+    def active(yr: Int) = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === yr)
+      .select("o_custkey").distinct()
+    val a = active(1995)
+    val b = active(1996)
+    val churned = a.except(b).withColumn("status", lit("churned"))
+    val retained = a.intersect(b).withColumn("status", lit("retained"))
+    val fresh = b.except(a).withColumn("status", lit("new"))
+    churned.unionByName(retained).unionByName(fresh)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("status", "c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("status", "c_mktsegment")
+  }
+
+  val setOpsChurnSql: String = """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      WHERE year(o_orderdate) = 1995),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+      WHERE year(o_orderdate) = 1996),
+    labeled AS (
+      SELECT o_custkey, 'churned' AS status FROM (
+        SELECT * FROM a EXCEPT SELECT * FROM b)
+      UNION ALL
+      SELECT o_custkey, 'retained' FROM (
+        SELECT * FROM a INTERSECT SELECT * FROM b)
+      UNION ALL
+      SELECT o_custkey, 'new' FROM (
+        SELECT * FROM b EXCEPT SELECT * FROM a))
+    SELECT status, c_mktsegment, COUNT(*) AS n_customers
+    FROM labeled JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ------------------------------------------------------- unpivot
+  /** UNPIVOT (wide → long): per-segment aggregate metrics stacked to
+    * (segment, metric, value) rows via `stack` — one Expand node, no
+    * join; the inverse of events_pivot's PIVOT. */
+  def unpivotMetrics(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        Q.dsum(col("o_totalprice")).as("revenue"),
+        Q.davg(col("o_totalprice"), 2).as("avg_price"))
+      .select(col("segment"), expr(
+        """stack(3, 'n_orders', n_orders, 'revenue', revenue,
+          |'avg_price', avg_price) AS (metric, value)""".stripMargin))
+      .orderBy("segment", "metric")
+
+  val unpivotMetricsSql: String = s"""
+    WITH wide AS (SELECT c_mktsegment AS segment,
+        CAST(COUNT(*) AS DOUBLE) AS n_orders,
+        ${Sql.dsum("o_totalprice")} AS revenue,
+        ${Sql.davg("o_totalprice", 2)} AS avg_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1)
+    SELECT segment, metric, value FROM wide
+    UNPIVOT (value FOR metric IN (n_orders, revenue, avg_price))
+    ORDER BY segment, metric"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("gaps_islands", gapsIslands, Some(gapsIslandsSql)),
     QuerySpec("events_attribution", eventsAttribution,
@@ -750,5 +819,7 @@ object AnalyticsQueries {
       Some(zorderPruneEvalSql)),
     QuerySpec("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     QuerySpec("snapshot_upsert", snapshotUpsert, Some(snapshotUpsertSql)),
-    QuerySpec("events_cusum", eventsCusum, Some(eventsCusumSql)))
+    QuerySpec("events_cusum", eventsCusum, Some(eventsCusumSql)),
+    QuerySpec("set_ops_churn", setOpsChurn, Some(setOpsChurnSql)),
+    QuerySpec("unpivot_metrics", unpivotMetrics, Some(unpivotMetricsSql)))
 }
