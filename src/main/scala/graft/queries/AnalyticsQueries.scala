@@ -801,6 +801,68 @@ object AnalyticsQueries {
     UNPIVOT (value FOR metric IN (n_orders, revenue, avg_price))
     ORDER BY segment, metric"""
 
+  // --------------------------------------------- data-quality report
+  /** Expectation-suite audit (the Great-Expectations shape): each rule
+    * is one aggregate — key uniqueness, null rate, value range,
+    * referential integrity (orphan orders via left-anti join) — and
+    * the report is their union: (rule, n_checked, n_violations).
+    * Every rule is map-side-combinable or a key-only anti join; no
+    * rule ships payload columns, so the audit costs about one scan per
+    * table at any corpus size. */
+  def dataQualityReport(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    def rule(name: String, checked: DataFrame): DataFrame =
+      checked.select(lit(name).as("rule"), col("n_checked"),
+        col("n_violations"))
+    val keyUnique = rule("orders.o_orderkey unique",
+      orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_checked"),
+          sum(when(col("c") > 1, col("c") - 1).otherwise(0L))
+            .as("n_violations")))
+    val notNull = rule("lineitem.l_quantity not null",
+      li.agg(count(lit(1)).as("n_checked"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
+          .as("n_violations")))
+    val range = rule("lineitem.l_discount in [0, 0.1]",
+      li.agg(count(lit(1)).as("n_checked"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("n_violations")))
+    val refInt = rule("lineitem.l_orderkey references orders",
+      li.select(col("l_orderkey")).agg(count(lit(1)).as("n_checked"))
+        .crossJoin(broadcast(
+          li.select("l_orderkey")
+            .join(orders.select("o_orderkey"),
+              col("l_orderkey") === col("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("n_violations")))))
+    keyUnique.unionByName(notNull).unionByName(range).unionByName(refInt)
+      .orderBy("rule")
+  }
+
+  val dataQualityReportSql: String = """
+    SELECT * FROM (
+      SELECT 'orders.o_orderkey unique' AS rule,
+        CAST(SUM(c) AS BIGINT) AS n_checked,
+        CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+          AS n_violations
+      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'lineitem.l_quantity not null', COUNT(*),
+        CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_discount in [0, 0.1]', COUNT(*),
+        CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+          THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_orderkey references orders',
+        (SELECT COUNT(*) FROM lineitem),
+        (SELECT COUNT(*) FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
+    ORDER BY rule"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("gaps_islands", gapsIslands, Some(gapsIslandsSql)),
     QuerySpec("events_attribution", eventsAttribution,
@@ -821,5 +883,7 @@ object AnalyticsQueries {
     QuerySpec("snapshot_upsert", snapshotUpsert, Some(snapshotUpsertSql)),
     QuerySpec("events_cusum", eventsCusum, Some(eventsCusumSql)),
     QuerySpec("set_ops_churn", setOpsChurn, Some(setOpsChurnSql)),
-    QuerySpec("unpivot_metrics", unpivotMetrics, Some(unpivotMetricsSql)))
+    QuerySpec("unpivot_metrics", unpivotMetrics, Some(unpivotMetricsSql)),
+    QuerySpec("data_quality_report", dataQualityReport,
+      Some(dataQualityReportSql)))
 }
