@@ -863,6 +863,68 @@ object AnalyticsQueries {
          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
     ORDER BY rule"""
 
+  // -------------------------------------------- hard-negative mining
+  /** Hard-negative mining for contrastive training: for each anchor
+    * vector, the 3 most-similar vectors with a DIFFERENT label — the
+    * negatives that actually teach the margin (random negatives are
+    * trivially separable). Candidates come from the same data-driven
+    * IVF cells as dedup_semantic / knn_classify: an equality join on
+    * `cell`, never an all-pairs scan; per-anchor top-3 through a
+    * WindowGroupLimit partial top-k. Anchors are ids < 20 (the same
+    * probe set sim_ann_ivf uses). */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val base = graft.pipeline.IvfIndex.withCells(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        col("label"),
+        graft.functions.VecF.normF(col("embedding")).as("norm")),
+      "vec_id", "embedding")
+    val q = base.filter(col("vec_id") < 20)
+      .select(col("cell"), col("vec_id").as("anchor_id"),
+        col("embedding").as("qe"), col("norm").as("qn"),
+        col("label").as("anchor_label"))
+    val c = base
+      .select(col("cell"), col("vec_id").as("neg_id"),
+        col("embedding").as("ce"), col("norm").as("cn"),
+        col("label").as("neg_label"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cos").desc, col("neg_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("neg_label") =!= col("anchor_label"))
+      .withColumn("cos", round(
+        graft.functions.VecF.dotF(col("qe"), col("ce")) /
+          (col("qn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+        col("neg_label"), col("cos"), col("rn").cast("int").as("rank"))
+      .orderBy("anchor_id", "rank")
+  }
+
+  val hardNegativesSql: String = s"""
+    WITH ${graft.pipeline.IvfIndex.cellsSqlCtes(
+        "embeddings", "vec_id", "embedding")},
+    e AS (SELECT emb.vec_id, emb.embedding, emb.label, ivf_cells.cell,
+      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        [CAST(emb.embedding[CAST(i AS INT)] AS DOUBLE)
+           * CAST(emb.embedding[CAST(i AS INT)] AS DOUBLE)
+         FOR i IN range(1, len(emb.embedding) + 1)]),
+        (x, y) -> x + y)) AS norm
+      FROM embeddings emb JOIN ivf_cells ON emb.vec_id = ivf_cells.id),
+    pairs AS (SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+        c.vec_id AS neg_id, c.label AS neg_label,
+        ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          [CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+             * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)
+           FOR i IN range(1, len(q.embedding) + 1)]),
+          (x, y) -> x + y) / (q.norm * c.norm), 6) AS cos
+      FROM e q JOIN e c ON q.cell = c.cell
+      WHERE q.vec_id < 20 AND c.label <> q.label)
+    SELECT anchor_id, anchor_label, neg_id, neg_label, cos,
+      CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+        ORDER BY cos DESC, neg_id) AS rn FROM pairs)
+    WHERE rn <= 3 ORDER BY anchor_id, rank"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("gaps_islands", gapsIslands, Some(gapsIslandsSql)),
     QuerySpec("events_attribution", eventsAttribution,
@@ -885,5 +947,6 @@ object AnalyticsQueries {
     QuerySpec("set_ops_churn", setOpsChurn, Some(setOpsChurnSql)),
     QuerySpec("unpivot_metrics", unpivotMetrics, Some(unpivotMetricsSql)),
     QuerySpec("data_quality_report", dataQualityReport,
-      Some(dataQualityReportSql)))
+      Some(dataQualityReportSql)),
+    QuerySpec("hard_negatives", hardNegatives, Some(hardNegativesSql)))
 }

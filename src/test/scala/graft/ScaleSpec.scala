@@ -838,7 +838,8 @@ class ScaleSpec extends SparkSpec {
       "dedup_semantic" -> 2, // a/b sides of the within-cell pair join
       "sim_ann_ivf" -> 1,    // corpus side of the cell-probe join
       "dedup_emb_cosine" -> 2, // a/b sides of the LSH-band pair join
-      "knn_classify" -> 2)   // query/labeled sides of the cell join
+      "knn_classify" -> 2,   // query/labeled sides of the cell join
+      "hard_negatives" -> 2) // anchor/candidate sides of the cell join
     // Sanctioned RDD-terminal plans: operators whose final stage is a
     // deliberate per-partition imperative kernel (mapPartitions), so
     // their SQL plan is an RDD scan BY DESIGN — each has its own

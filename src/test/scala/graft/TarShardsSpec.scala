@@ -37,6 +37,30 @@ class TarShardsSpec extends SparkSpec {
     assert(txts.exceptAll(want).isEmpty && want.exceptAll(txts).isEmpty)
   }
 
+  test("corrupt tar shards fail loudly: header flip and truncation") {
+    val dir = Files.createTempDirectory("graft-wds3").toString
+    stage(dir)
+    val f = Paths.get(dir, "shard-00000.tar")
+    val bytes = Files.readAllBytes(f)
+    // 1) flip a byte inside the first header's name field
+    val flipped = bytes.clone()
+    flipped(3) = (flipped(3) ^ 0x01).toByte
+    val d1 = Files.createTempDirectory("graft-wds3a").toString
+    Files.write(Paths.get(d1, "bad.tar"), flipped)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      TarShards.read(spark, d1).count()
+    }
+    assert((e1.getMessage + Option(e1.getCause).map(_.getMessage)
+      .getOrElse("")).contains("checksum mismatch"))
+    // 2) truncate mid-member: EOF instead of silent partial data
+    val d2 = Files.createTempDirectory("graft-wds3b").toString
+    Files.write(Paths.get(d2, "trunc.tar"),
+      java.util.Arrays.copyOf(bytes, 700))
+    intercept[org.apache.spark.SparkException] {
+      TarShards.read(spark, d2).count()
+    }
+  }
+
   test("GNU tar reads our shards; we read GNU tar's output (interop)") {
     import scala.sys.process._
     val dir = Files.createTempDirectory("graft-wds2").toString
