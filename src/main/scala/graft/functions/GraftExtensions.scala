@@ -33,7 +33,14 @@ object GraftFunctions {
     "shingle_hashes" -> (args => ShingleHashes(args.head)),
     "fingerprint8" -> (args => Fingerprint8(args.head)),
     "float_vector_dot" -> (args => FloatVectorDot(args(0), args(1))),
-    "bitset_and_count" -> (args => BitsetAndCount(args(0), args(1))))
+    "bitset_and_count" -> (args => BitsetAndCount(args(0), args(1))),
+    "morton_interleave" -> (args => MortonInterleave(args(0), args(1),
+      args(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(b, _) =>
+          b.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"morton_interleave bits must be a literal, got $other")
+      })))
 
   def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>

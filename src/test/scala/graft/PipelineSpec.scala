@@ -521,6 +521,9 @@ class PipelineSpec extends SparkSpec {
       "SELECT kmv64(poly_hash(text)).kk AS kk FROM docs_v")
       .collect()(0).getInt(0)
     assert(kmv > 0 && kmv <= 64)
+    // morton_interleave: (0b11, 0b01) -> y0x0 y1x1 ... = 0b0111 = 7
+    assert(spark.sql("SELECT morton_interleave(3L, 1L, 10) AS z")
+      .collect()(0).getLong(0) == 7L)
   }
 
   test("HLL sketch (approx_count_distinct) lands near exact distinct") {
