@@ -465,11 +465,13 @@ object Dedup {
     * shingle rows — candidates are few, so the verify cost is bounded
     * by real near-dups, not by the corpus). rowsPerBand = numHashes /
     * bands. */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      threshold: Double, numHashes: Int = 16,
-                      bands: Int = 4): DataFrame = {
+  /** Raw LSH candidate pairs (band-bucket collisions, PRE-verify):
+    * exposed separately so index quality can be measured against the
+    * exact truth (`lsh_recall_eval`) — a production index ships with
+    * its recall number, not a hope. */
+  def minhashLshCandidates(sh: DataFrame, numHashes: Int = 16,
+                           bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    val sh = shingles(df, idCol, textCol).persist()
     val sigs = minhashSignatures(sh, numHashes)
     val bandKey = (b: Int) =>
       (0 until rows).foldLeft(lit(0L)) { (acc, r) =>
@@ -479,10 +481,17 @@ object Dedup {
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-    val cand = banded.toDF("id_a", "band", "key")
+    banded.toDF("id_a", "band", "key")
       .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, numHashes: Int = 16,
+                      bands: Int = 4): DataFrame = {
+    val sh = shingles(df, idCol, textCol).persist()
+    val cand = minhashLshCandidates(sh, numHashes, bands)
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val out = cand
       .join(sh.toDF("id_a", "s"), Seq("id_a"))

@@ -113,6 +113,72 @@ object PipelineQueries {
     ORDER BY id_a, id_b"""
   }
 
+  /** LSH index-quality evaluation: recall of the RAW MinHash band
+    * candidates (pre-verify) against the exact Jaccard ≥ J truth, plus
+    * the candidate fraction of all pairs — the two numbers that decide
+    * whether a banding configuration ships. Truth and candidates reuse
+    * the registered machinery; the (truth ∩ candidates) check is a
+    * key-only semi join, and the five scalar counts combine through
+    * broadcast cross joins (single-row sides). */
+  def lshRecallEval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sh = Dedup.shingles(docs, "doc_id", "text").persist()
+    val cand = Dedup.minhashLshCandidates(sh).persist()
+    val truth = Dedup.jaccardPairsAuto(docs, "doc_id", "text", J)
+      .select("id_a", "id_b").persist()
+    val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+    val out = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_docs"), col("n_truth"), col("n_candidates"),
+        col("n_hits"),
+        round(col("n_hits") / col("n_truth"), 6).as("recall"),
+        round(col("n_candidates") * 2.0 /
+          (col("n_docs") * (col("n_docs") - 1)), 6).as("candidate_frac"))
+    graft.pipeline.Caching.materializeAndRelease(out, sh, cand, truth)
+  }
+
+  val lshRecallEvalSql: String = {
+    val sigCols = (0 until 16)
+      .map(k => s"${TextHash.minhashSql("sh", k)} AS m$k").mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"m${b * 4 + r}")
+        .reduce((acc, m) => s"($acc * 131 + $m)")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH $thCte, $shCte,
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    px AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (SELECT id_a, id_b FROM px
+      JOIN counts ca ON id_a = ca.doc_id
+      JOIN counts cb ON id_b = cb.doc_id
+      WHERE ROUND(common / (ca.n + cb.n - common), 6) >= $J),
+    shl AS (SELECT doc_id,
+      list_distinct(${TextHash.shingleHashesSql("th")}) AS sh FROM th),
+    sig AS (SELECT doc_id, $sigCols FROM shl),
+    bands AS ($bandRows),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    hits AS (SELECT * FROM truth INTERSECT SELECT * FROM cand),
+    k AS (SELECT
+      (SELECT COUNT(*) FROM documents) AS n_docs,
+      (SELECT COUNT(*) FROM truth) AS n_truth,
+      (SELECT COUNT(*) FROM cand) AS n_candidates,
+      (SELECT COUNT(*) FROM hits) AS n_hits)
+    SELECT n_docs, n_truth, n_candidates, n_hits,
+      ROUND(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall,
+      ROUND(n_candidates * 2.0 / (n_docs * (n_docs - 1.0)), 6)
+        AS candidate_frac
+    FROM k"""
+  }
+
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 1)
@@ -3879,6 +3945,7 @@ object PipelineQueries {
     QuerySpec("dedup_containment", dedupContainment,
       Some(dedupContainmentSql)),
     QuerySpec("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
+    QuerySpec("lsh_recall_eval", lshRecallEval, Some(lshRecallEvalSql)),
     QuerySpec("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QuerySpec("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QuerySpec("dedup_emb_cosine", dedupEmbCosine, Some(dedupEmbCosineSql)),
