@@ -299,6 +299,78 @@ object ExtraQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF index-quality evaluation: per-query overlap of the IVF top-3
+    * against the brute-force cosine truth — the vector-side sibling of
+    * `lsh_recall_eval` (an ANN index ships with its recall measured,
+    * not assumed). The brute-force side is the sanctioned broadcast
+    * baseline (20 query vectors broadcast; the corpus scans once).
+    *
+    * What it shows on THIS corpus is the point of having it: the
+    * driver's synthetic embeddings are near-uniform, and single-probe
+    * IVF on uniform data is the textbook failure mode (neighbors
+    * scatter across cells → recall@3 ≈ 0.3 here), while on clustered
+    * corpora — the workload ANN indexes exist for — the same shipped
+    * parameters measure ≥ 0.9 (SimilarityRecallSpec, n=200 and
+    * n=2000). A production deployment on uniform-ish data raises
+    * nprobe (probe the query's nearest P cells) or falls back to the
+    * LSH path (`sim_ann_lsh`, recall ≥ 0.9 on this same corpus); the
+    * eval is what tells you which regime you are in. */
+  def ivfRecallEval(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 20)
+    val truth = graft.pipeline.Similarity
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id")
+    val ivf = simAnnIvf(s, d).select("query_id", "neighbor_id")
+    val overlap = truth.join(ivf, Seq("query_id", "neighbor_id"),
+        "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(overlap, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_truth"), 6)
+          .as("recall_at_3"))
+      .orderBy("query_id")
+  }
+
+  val ivfRecallEvalSql: String = {
+    def dot(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | [CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)
+         |  FOR i IN range(1, len($a) + 1)]), (x, y) -> x + y)""".stripMargin
+    s"""
+    WITH ${graft.pipeline.IvfIndex.cellsSqlCtes(
+        "embeddings", "vec_id", "embedding")},
+    e AS (SELECT emb.vec_id, emb.embedding,
+      sqrt(${dot("emb.embedding", "emb.embedding")}) AS norm,
+      ivf_cells.cell
+      FROM embeddings emb JOIN ivf_cells ON emb.vec_id = ivf_cells.id),
+    bf AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ROUND(${dot("q.embedding", "c.embedding")} / (q.norm * c.norm), 6)
+          AS cos
+      FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id != q.vec_id),
+    truth AS (SELECT query_id, neighbor_id FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id) AS rn FROM bf) WHERE rn <= 3),
+    ip AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ROUND(${dot("q.embedding", "c.embedding")} / (q.norm * c.norm), 6)
+          AS cos
+      FROM e q JOIN e c ON q.cell = c.cell
+      WHERE q.vec_id < 20 AND c.vec_id != q.vec_id),
+    ivf AS (SELECT query_id, neighbor_id FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id) AS rn FROM ip) WHERE rn <= 3),
+    hits AS (SELECT query_id, COUNT(*) AS n_hit FROM (
+      SELECT * FROM truth INTERSECT SELECT * FROM ivf) GROUP BY 1)
+    SELECT t.query_id AS query_id, COUNT(*) AS n_truth,
+      COALESCE(MAX(n_hit), 0) AS n_hit,
+      ROUND(CAST(COALESCE(MAX(n_hit), 0) AS DOUBLE) / COUNT(*), 6)
+        AS recall_at_3
+    FROM truth t LEFT JOIN hits ON t.query_id = hits.query_id
+    GROUP BY 1 ORDER BY 1"""
+  }
+
   val simAnnIvfSql: String = {
     def dotSelf(a: String): String = {
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -490,6 +562,7 @@ object ExtraQueries {
     QuerySpec("ts_multi_geom", tsMultiGeom, Some(tsMultiGeomSql)),
     QuerySpec("ts_places", tsPlaces, Some(tsPlacesSql)),
     QuerySpec("sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql)),
+    QuerySpec("ivf_recall_eval", ivfRecallEval, Some(ivfRecallEvalSql)),
     QuerySpec("window_rank", windowRank, Some(windowRankSql)),
     QuerySpec("above_avg_orders", aboveAvgOrders, Some(aboveAvgOrdersSql)),
     QuerySpec("distinct_aggs", distinctAggs, Some(distinctAggsSql)),
