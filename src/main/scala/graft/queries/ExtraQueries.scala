@@ -306,15 +306,18 @@ object ExtraQueries {
     * baseline (20 query vectors broadcast; the corpus scans once).
     *
     * What it shows on THIS corpus is the point of having it: the
-    * driver's synthetic embeddings are near-uniform, and single-probe
-    * IVF on uniform data is the textbook failure mode (neighbors
-    * scatter across cells → recall@3 ≈ 0.3 here), while on clustered
-    * corpora — the workload ANN indexes exist for — the same shipped
-    * parameters measure ≥ 0.9 (SimilarityRecallSpec, n=200 and
-    * n=2000). A production deployment on uniform-ish data raises
-    * nprobe (probe the query's nearest P cells) or falls back to the
-    * LSH path (`sim_ann_lsh`, recall ≥ 0.9 on this same corpus); the
-    * eval is what tells you which regime you are in. */
+    * driver's synthetic embeddings are near-uniform, and near-uniform
+    * high-dimensional data has essentially no neighbor structure
+    * (cosine similarities concentrate — the curse of dimensionality),
+    * so EVERY sublinear index degrades: measured here, single-probe
+    * IVF ≈ 0.32 recall@3, single-bucket LSH ≈ 0.32, and even
+    * Hamming-≤2 multi-probe LSH (37 buckets/query) only reaches 0.44.
+    * On clustered corpora — the workload ANN indexes exist for — the
+    * same shipped parameters measure ≥ 0.9 (SimilarityRecallSpec,
+    * n=200 and n=2000). The eval tells a deployment which regime it is
+    * in; in the no-structure regime the exact broadcast baseline
+    * (`sim_cosine_topk`) is the correct tool, and no index parameter
+    * will rescue recall. */
   def ivfRecallEval(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
     val probes = emb.filter(col("vec_id") < 20)
