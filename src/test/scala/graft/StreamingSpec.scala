@@ -444,6 +444,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming CDC apply: state after draining the change stream " +
+      "equals the batch merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val chDir = Files.createTempDirectory("graft-cdc-in").toString
+    val stateDir = Files.createTempDirectory("graft-cdc-st").toString + "/state"
+    val ckDir = Files.createTempDirectory("graft-cdc-ck").toString
+    // batch 1: seed keys 0..9; batch 2: update evens, delete 1 and 3,
+    // insert 100 — arriving as two files
+    val b1 = (0L until 10L).map(k => (k, "upsert", k, s"v$k"))
+      .toDF("change_id", "op", "key", "payload")
+    val b2 = Seq(
+      (100L, "upsert", 0L, "v0b"), (101L, "upsert", 2L, "v2b"),
+      (102L, "delete", 1L, null), (103L, "delete", 3L, null),
+      (104L, "upsert", 100L, "new"),
+      // same-key twice in one batch: later change_id must win
+      (105L, "upsert", 4L, "v4-mid"), (106L, "upsert", 4L, "v4-final"))
+      .toDF("change_id", "op", "key", "payload")
+    b1.coalesce(1).write.mode("overwrite").parquet(chDir + "/f1")
+    val schema = StructType(Seq(StructField("change_id", LongType),
+      StructField("op", StringType), StructField("key", LongType),
+      StructField("payload", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(chDir)
+    val q = graft.streaming.CdcApply.start(stream, stateDir, ckDir)
+    try {
+      q.processAllAvailable()
+      b2.coalesce(1).write.mode("overwrite").parquet(chDir + "/f2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(stateDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = ((0L until 10L).map(k => k -> s"v$k").toMap
+      ++ Map(0L -> "v0b", 2L -> "v2b", 100L -> "new", 4L -> "v4-final")
+      -- Seq(1L, 3L))
+    assert(got == want)
+  }
+
   test("dropDuplicatesWithinWatermark emits each replayed event once") {
     // stage the same file TWICE → every event delivered twice
     val dir = java.nio.file.Files.createTempDirectory("graft-dup").toString
