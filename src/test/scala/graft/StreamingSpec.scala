@@ -482,6 +482,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("CDC applyBatch is replay-idempotent (foreachBatch may re-run " +
+      "a batch after restart)") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft-cdc-rp").toString + "/st"
+    val b1 = (0L until 5L).map(k => (k, "upsert", k, s"v$k"))
+      .toDF("change_id", "op", "key", "payload")
+    val b2 = Seq((10L, "upsert", 0L, "v0b"), (11L, "delete", 1L, null))
+      .toDF("change_id", "op", "key", "payload")
+    graft.streaming.CdcApply.applyBatch(b1, stateDir)
+    graft.streaming.CdcApply.applyBatch(b2, stateDir)
+    val once = spark.read.parquet(stateDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // replay the SAME batch (restart-after-commit-failure scenario)
+    graft.streaming.CdcApply.applyBatch(b2, stateDir)
+    val twice = spark.read.parquet(stateDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once == twice && once == Map(0L -> "v0b", 2L -> "v2",
+      3L -> "v3", 4L -> "v4"))
+  }
+
   test("dropDuplicatesWithinWatermark emits each replayed event once") {
     // stage the same file TWICE → every event delivered twice
     val dir = java.nio.file.Files.createTempDirectory("graft-dup").toString
