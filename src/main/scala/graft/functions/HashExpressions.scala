@@ -19,6 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
 object HashKernels {
   val P: Long = 1000003L
 
+  /** Wide hash modulus for sketches that need real bit depth (HLL
+    * register geometry, theta-sketch thresholds): the largest prime
+    * below 2^58 = 288230376151711744. Chosen so BOTH engines stay in
+    * exact 64-bit integer arithmetic: the fold step `acc*31 + c` with
+    * `acc < PW` peaks at 31·(PW−1)+65535 ≈ 8.94e18 < 2^63−1, and the
+    * HLL bucket split `w = h / 256` leaves w < 2^50, so register
+    * geometry (W = 50 bits) is fixed and cross-engine exact. */
+  val PW: Long = 288230376151711717L
+
   /** fold: acc = (acc*31 + codepoint) % P over the string. */
   def polyHash(s: UTF8String, mod: Long): Long = {
     val str = s.toString
@@ -103,6 +112,24 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.HashKernels.polyHash($c, ${HashKernels.P}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Codegen'd polynomial string hash mod [[HashKernels.PW]] — the
+  * 58-bit variant sketches hash through. Same fold as [[PolyHash]],
+  * wider modulus: P (≈2^20) leaves too few bits to split into an HLL
+  * bucket index plus a leading-zero pattern, PW leaves 50. */
+case class PolyHashWide(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash_wide"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.polyHash(v.asInstanceOf[UTF8String], HashKernels.PW)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.polyHash($c, ${HashKernels.PW}L)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
@@ -268,6 +295,8 @@ object HashF {
       GraftColumnBridge.expression(c), merges))
   def polyHash(c: Column): Column =
     GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
+  def polyHashWide(c: Column): Column =
+    GraftColumnBridge.column(PolyHashWide(GraftColumnBridge.expression(c)))
   def shingleHashes(c: Column): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(c)))
   def fingerprint8(c: Column): Column =
