@@ -32,8 +32,8 @@ object SketchQueries {
     * estimate alpha·m²·2^k_max/S (pure IEEE arithmetic, no libm) and
     * the linear-counting estimate m·ln(m/V) that the standard
     * small-range correction would select (−1 when V = 0).
-    */
-  /** HLL needs its hash uniform in every bit, and a single polynomial
+    *
+    * HLL needs its hash uniform in every bit, and a single polynomial
     * fold is NOT: a bare "user:day" key peaks near 31^10 ≈ 8e14 « PW
     * (high bits constant — measured k_max collapse), and salting only
     * multiplies the key state by 31^k mod PW, whose lattice structure
@@ -150,6 +150,114 @@ object SketchQueries {
     ORDER BY event_type"""
   }
 
+  // --------------------------------------------- theta-sketch set ops
+  /** Theta-style set-operation estimation from KMV sketches (the
+    * Datasketches theta-sketch shape): estimate |A ∩ B| and Jaccard
+    * between two distinct-key sets — here "user-days with a click" vs
+    * "user-days with a view" — WITHOUT ever joining the raw key sets.
+    * Each side keeps its k = 128 smallest distinct hashes (the KMV
+    * aggregator: constant state, map-side combined); the combined
+    * threshold θ = min(θ_A, θ_B) defines a uniform sample of the key
+    * universe, inside which retained-hash intersection counts scale by
+    * PW/θ to estimate the true intersection. At 100 TB each side's
+    * sketch is 1 KiB on the wire where the exact answer is a full
+    * key-set shuffle; the exact columns here exist to EXHIBIT the
+    * sketch error, and the whole result is deterministic (house
+    * double-hash, no seed) so the oracle pins the retained sets
+    * bit-for-bit. Unsaturated sides degrade gracefully: θ = PW and the
+    * "sample" is the whole set, so the estimate is exact. */
+  def sketchSetOverlap(s: SparkSession, d: String): DataFrame = {
+    val k = 128
+    val keys = Tables.events(s, d)
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("click", "view"))
+      .select(col("event_type"),
+        concat_ws(":", col("user_id"),
+          expr("ts_us div 86400000000")).as("k"))
+    val hashes = keys.select(col("event_type"), hllHash(col("k")).as("h"))
+    def sketch(t: String, as: String) =
+      hashes.filter(col("event_type") === t)
+        .agg(graft.functions.KmvF.kmvArray(k)(col("h")).as(as))
+    val j = sketch("click", "ska").crossJoin(broadcast(sketch("view", "skb")))
+      .withColumn("n_ret_a", size(col("ska")).cast("long"))
+      .withColumn("n_ret_b", size(col("skb")).cast("long"))
+      .withColumn("theta", least(
+        when(col("n_ret_a") < k, lit(PW))
+          .otherwise(element_at(col("ska"), col("n_ret_a").cast("int"))),
+        when(col("n_ret_b") < k, lit(PW))
+          .otherwise(element_at(col("skb"), col("n_ret_b").cast("int")))))
+      .withColumn("n_sample",
+        size(filter(array_intersect(col("ska"), col("skb")),
+          x => x < col("theta"))).cast("long"))
+      .withColumn("n_union_sample",
+        size(filter(array_distinct(concat(col("ska"), col("skb"))),
+          x => x < col("theta"))).cast("long"))
+    val da = keys.filter(col("event_type") === "click").select("k").distinct()
+    val db = keys.filter(col("event_type") === "view").select("k").distinct()
+    val exact = da.agg(count(lit(1)).as("n_a_exact"))
+      .crossJoin(broadcast(db.agg(count(lit(1)).as("n_b_exact"))))
+      .crossJoin(broadcast(
+        da.join(db, "k").agg(count(lit(1)).as("n_inter_exact"))))
+    j.crossJoin(broadcast(exact))
+      .select(col("n_a_exact"), col("n_b_exact"), col("n_inter_exact"),
+        col("n_ret_a"), col("n_ret_b"), col("theta"),
+        col("n_sample"), col("n_union_sample"),
+        round(col("n_sample") * (lit(PW.toDouble) / col("theta")), 2)
+          .as("est_inter"),
+        round(col("n_inter_exact").cast("double") /
+          (col("n_a_exact") + col("n_b_exact") - col("n_inter_exact")), 6)
+          .as("jaccard_exact"),
+        round(col("n_sample").cast("double") / col("n_union_sample"), 6)
+          .as("jaccard_est"))
+  }
+
+  val sketchSetOverlapSql: String = {
+    val key = "CAST(user_id AS VARCHAR) || ':' || " +
+      "CAST(epoch_us(ts) // 86400000000 AS VARCHAR)"
+    s"""
+    WITH keys AS (SELECT event_type, $key AS k FROM events
+      WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')),
+    h1 AS (SELECT event_type,
+      CAST(${polyHashSqlW("k")} AS VARCHAR) || ':$HllSalt' AS k2
+      FROM keys),
+    hashes AS (SELECT DISTINCT event_type, ${polyHashSqlW("k2")} AS h
+      FROM h1),
+    sa AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+      FROM hashes WHERE event_type = 'click') WHERE rn <= 128),
+    sb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+      FROM hashes WHERE event_type = 'view') WHERE rn <= 128),
+    th AS (SELECT LEAST(
+        (SELECT CASE WHEN COUNT(*) < 128 THEN $PW ELSE MAX(h) END FROM sa),
+        (SELECT CASE WHEN COUNT(*) < 128 THEN $PW ELSE MAX(h) END FROM sb))
+        AS theta,
+      (SELECT COUNT(*) FROM sa) AS n_ret_a,
+      (SELECT COUNT(*) FROM sb) AS n_ret_b),
+    samp AS (SELECT
+      (SELECT COUNT(*) FROM sa JOIN sb USING (h), th WHERE h < theta)
+        AS n_sample,
+      (SELECT COUNT(DISTINCT h) FROM
+        (SELECT h FROM sa UNION ALL SELECT h FROM sb) u, th
+        WHERE h < theta) AS n_union_sample),
+    exact AS (SELECT
+      (SELECT COUNT(DISTINCT k) FROM keys WHERE event_type = 'click')
+        AS n_a_exact,
+      (SELECT COUNT(DISTINCT k) FROM keys WHERE event_type = 'view')
+        AS n_b_exact,
+      (SELECT COUNT(*) FROM
+        (SELECT DISTINCT k FROM keys WHERE event_type = 'click') x
+        JOIN (SELECT DISTINCT k FROM keys WHERE event_type = 'view') y
+        USING (k)) AS n_inter_exact)
+    SELECT n_a_exact, n_b_exact, n_inter_exact, n_ret_a, n_ret_b, theta,
+      n_sample, n_union_sample,
+      ROUND(n_sample * (CAST($PW AS DOUBLE) / theta), 2) AS est_inter,
+      ROUND(CAST(n_inter_exact AS DOUBLE) /
+        (n_a_exact + n_b_exact - n_inter_exact), 6) AS jaccard_exact,
+      ROUND(CAST(n_sample AS DOUBLE) / n_union_sample, 6) AS jaccard_est
+    FROM exact CROSS JOIN th CROSS JOIN samp"""
+  }
+
   def specs: Seq[QuerySpec] = Seq(
-    QuerySpec("sketch_hll_distinct", sketchHll, Some(sketchHllSql)))
+    QuerySpec("sketch_hll_distinct", sketchHll, Some(sketchHllSql)),
+    QuerySpec("sketch_set_overlap", sketchSetOverlap,
+      Some(sketchSetOverlapSql)))
 }
