@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.HashF
+
+/** N-gram language-model operators over the documents corpus: hot
+  * (repeated) n-gram mining and stupid-backoff scoring — the n-gram-LM
+  * tier of a training-data pipeline (dedup at phrase granularity,
+  * perplexity-style quality filtering) alongside the unigram/bigram
+  * surprisal operators in PipelineQueries. */
+object LmQueries {
+
+  /** word 5-grams of the space-split text, as (doc_id, ng) rows;
+    * documents shorter than 5 tokens contribute none. Built map-side —
+    * whether the TEXT of an n-gram ever rides an exchange is each
+    * consumer's contract (see callers). */
+  private def grams5(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    docs.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), explode(when(size(col("w")) >= 5,
+          sequence(lit(1), size(col("w")) - 4))
+        .otherwise(array().cast("array<int>"))).as("i"),
+        col("w"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("w"), col("i"), lit(5))).as("ng"))
+  }
+
+  // ------------------------------------------------------ hot n-grams
+  /** Hot n-gram mining (the phrase-granularity complement of
+    * dedup_paragraph — Lee et al. 2022's observation that training
+    * corpora repeat SPANS, not just documents): every word 5-gram
+    * appearing in ≥ 2 distinct documents, with document frequency and
+    * occurrence count.
+    *
+    * Two-pass scale shape: pass 1 counts distinct docs per 58-bit
+    * n-gram HASH — the corpus-wide exchange carries (hash, doc_id)
+    * longs, never text. Pass 2 equi-joins the hot hashes back (hash
+    * join, filter pushed to the candidate side) and re-aggregates BY
+    * EXACT TEXT, so a pass-1 hash collision can only add a spurious
+    * candidate that the exact re-count then drops — the hash tier is
+    * purely a pruner, correctness never depends on it. Only CANDIDATE
+    * n-grams (the hot set, by construction the corpus's repeated
+    * boilerplate) carry text on the pass-2 exchange — the same
+    * candidate-only contract as the dedup family. */
+  def ngramHot(s: SparkSession, d: String): DataFrame = {
+    val T = 2
+    val grams = grams5(Tables.documents(s, d))
+      .withColumn("hg", HashF.polyHashWide(col("ng")))
+    val hot = grams.select("doc_id", "hg").groupBy("hg")
+      .agg(countDistinct(col("doc_id")).as("df_h"))
+      .filter(col("df_h") >= T).select("hg")
+    grams.join(hot, "hg")
+      .groupBy("ng")
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("df") >= T)
+      .select(col("ng").as("ngram"), col("df"), col("n_occ"))
+      .orderBy(desc("df"), col("ngram"))
+  }
+
+  val ngramHotSql: String = """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents),
+    g AS (SELECT doc_id,
+        array_to_string(list_slice(w, CAST(i AS INT), CAST(i + 4 AS INT)),
+          ' ') AS ng
+      FROM base, UNNEST(range(1, GREATEST(len(w) - 3, 1))) AS t(i)),
+    f AS (SELECT ng AS ngram, COUNT(DISTINCT doc_id) AS df,
+        COUNT(*) AS n_occ
+      FROM g GROUP BY 1)
+    SELECT ngram, df, n_occ FROM f WHERE df >= 2
+    ORDER BY df DESC, ngram"""
+
+  // ---------------------------------------- stupid-backoff trigram LM
+  /** Trigram stupid-backoff scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the smoothing built FOR
+    * distributed count tables: no discount mass bookkeeping, just
+    * S(w₃|w₁w₂) = c₃/c₂ if seen, else 0.4·c(w₂w₃)/c(w₂), else
+    * 0.4²·(c(w₃)+1)/N — the +1 floors unseen words so ln never sees
+    * zero). Train on 90% of the corpus (doc_id % 10 ≠ 0), score the
+    * held-out 10% — self-scoring would never exercise backoff since
+    * every observed trigram has c₃ ≥ 1.
+    *
+    * Scale shape mirrors text_bigram_logprob: scored-doc trigram
+    * INSTANCES pre-aggregate per (doc, trigram) map-side, the count
+    * tables are genuine big×big hash joins on the n-gram keys (an LM
+    * count table is NOT broadcastable at corpus scale — this is the
+    * canonical distributed-LM-scoring join), the unigram total is the
+    * one broadcast scalar, and per-doc sums go through DECIMAL(38,12).
+    * The per-branch hit counters (exact integers) pin the backoff
+    * routing cross-engine, not just the float score. */
+  def textStupidBackoff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val w = split(col("text"), " ")
+    // held-out trigram instances, multiplicity pre-aggregated
+    val tri = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), explode(when(size(col("w")) >= 3,
+          sequence(lit(1), size(col("w")) - 2))
+        .otherwise(array().cast("array<int>"))).as("i"), col("w"))
+      .select(col("doc_id"), element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"),
+        element_at(col("w"), col("i") + 2).as("w3"))
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("n"))
+    // training count tables
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), w.as("w"))
+    val uni = train.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("t"))
+    val bi = train
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val tri3 = train
+      .select(explode(when(size(col("w")) >= 3,
+          sequence(lit(1), size(col("w")) - 2))
+        .otherwise(array().cast("array<int>"))).as("i"), col("w"))
+      .select(element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"),
+        element_at(col("w"), col("i") + 2).as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+
+    val scored = tri
+      .join(tri3, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("cb").as("cb12")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cb").as("cb23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("tok").as("w3"), col("cu").as("cu3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("branch",
+        when(col("ct").isNotNull, lit(0))
+          .when(col("cb23").isNotNull, lit(1))
+          .otherwise(lit(2)))
+      .withColumn("sc",
+        when(col("branch") === 0, col("ct").cast("double") / col("cb12"))
+          .when(col("branch") === 1,
+            lit(0.4) * (col("cb23").cast("double") / col("cu2")))
+          .otherwise(lit(0.4) * lit(0.4) *
+            ((coalesce(col("cu3"), lit(0L)) + 1).cast("double") / col("t"))))
+    scored.groupBy("doc_id")
+      .agg(sum(col("n")).as("n_trigrams"),
+        sum(when(col("branch") === 0, col("n")).otherwise(0L))
+          .as("n_tri_hit"),
+        sum(when(col("branch") === 1, col("n")).otherwise(0L))
+          .as("n_big_hit"),
+        sum(when(col("branch") === 2, col("n")).otherwise(0L))
+          .as("n_uni_hit"),
+        sum((col("n").cast("double") * log(col("sc")))
+          .cast("decimal(38,12)")).as("s"))
+      .select(col("doc_id"), col("n_trigrams"),
+        col("n_tri_hit"), col("n_big_hit"), col("n_uni_hit"),
+        round(-col("s").cast("double") / col("n_trigrams"), 6)
+          .as("avg_neg_logscore"))
+      .orderBy("doc_id")
+  }
+
+  val textStupidBackoffSql: String = """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents),
+    tri AS (SELECT doc_id, w[CAST(i AS INT)] AS w1,
+        w[CAST(i + 1 AS INT)] AS w2, w[CAST(i + 2 AS INT)] AS w3,
+        COUNT(*) AS n
+      FROM base, UNNEST(range(1, GREATEST(len(w) - 1, 1))) AS t(i)
+      WHERE doc_id % 10 = 0 GROUP BY doc_id, w1, w2, w3),
+    train AS (SELECT * FROM base WHERE doc_id % 10 != 0),
+    uni AS (SELECT unnest(w) AS tok FROM train),
+    freq AS (SELECT tok, COUNT(*) AS cu FROM uni GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS t FROM freq),
+    bi AS (SELECT w[CAST(i AS INT)] AS w1, w[CAST(i + 1 AS INT)] AS w2,
+        COUNT(*) AS cb
+      FROM train, UNNEST(range(1, len(w))) AS t(i) GROUP BY 1, 2),
+    tri3 AS (SELECT w[CAST(i AS INT)] AS w1, w[CAST(i + 1 AS INT)] AS w2,
+        w[CAST(i + 2 AS INT)] AS w3, COUNT(*) AS ct
+      FROM train, UNNEST(range(1, GREATEST(len(w) - 1, 1))) AS t(i)
+      GROUP BY 1, 2, 3),
+    scored AS (SELECT doc_id, n,
+        CASE WHEN ct IS NOT NULL THEN 0
+             WHEN cb23.cb IS NOT NULL THEN 1 ELSE 2 END AS branch,
+        CASE WHEN ct IS NOT NULL THEN CAST(ct AS DOUBLE) / cb12.cb
+             WHEN cb23.cb IS NOT NULL
+               THEN 0.4 * (CAST(cb23.cb AS DOUBLE) / cu2.cu)
+             ELSE 0.4 * 0.4 *
+               (CAST(COALESCE(cu3.cu, 0) + 1 AS DOUBLE) / t) END AS sc
+      FROM tri
+      LEFT JOIN tri3 USING (w1, w2, w3)
+      LEFT JOIN bi cb12 ON tri.w1 = cb12.w1 AND tri.w2 = cb12.w2
+      LEFT JOIN bi cb23 ON tri.w2 = cb23.w1 AND tri.w3 = cb23.w2
+      LEFT JOIN freq cu2 ON tri.w2 = cu2.tok
+      LEFT JOIN freq cu3 ON tri.w3 = cu3.tok
+      CROSS JOIN tot)
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_trigrams,
+      CAST(SUM(CASE WHEN branch = 0 THEN n ELSE 0 END) AS BIGINT)
+        AS n_tri_hit,
+      CAST(SUM(CASE WHEN branch = 1 THEN n ELSE 0 END) AS BIGINT)
+        AS n_big_hit,
+      CAST(SUM(CASE WHEN branch = 2 THEN n ELSE 0 END) AS BIGINT)
+        AS n_uni_hit,
+      ROUND(-CAST(SUM(CAST(n * ln(sc) AS DECIMAL(38,12))) AS DOUBLE)
+        / SUM(n), 6) AS avg_neg_logscore
+    FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
+  def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("ngram_hot", ngramHot, Some(ngramHotSql)),
+    QuerySpec("text_stupid_backoff", textStupidBackoff,
+      Some(textStupidBackoffSql)))
+}
