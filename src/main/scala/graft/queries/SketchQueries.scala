@@ -43,10 +43,10 @@ object SketchQueries {
     * salt) — which is nonlinear over the field (digit expansion), so
     * the lattice dissolves; measured within 1σ (6.5%) at 1.6k, 10k
     * and 100k distinct. Both engines express it as nested folds. */
-  private val HllSalt = "hll256salt-mixer"
+  val HllSalt = "hll256salt-mixer"
 
   /** cross-engine HLL key hash: fold, decimal round-trip, fold again */
-  private def hllHash(c: org.apache.spark.sql.Column) =
+  def hllHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     HashF.polyHashWide(concat_ws(":", HashF.polyHashWide(c), lit(HllSalt)))
 
   def sketchHll(s: SparkSession, d: String): DataFrame = {

@@ -391,6 +391,29 @@ object EventStreams {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Streaming HyperLogLog register maintenance — the streaming twin
+    * of the `sketch_hll_distinct` batch sketch, and HLL's production
+    * shape: live DAU/uniques estimates mid-ingest without re-scanning
+    * history. A plain streaming aggregation keyed by
+    * (event_type, bucket) with a MAX: the state store holds at most
+    * 5×256 single-byte registers no matter how many events stream
+    * through — bounded by construction, no watermark (registers never
+    * expire; monotone max is replay-idempotent, so at-least-once
+    * delivery cannot corrupt the sketch). Key hashing is
+    * [[graft.queries.SketchQueries.hllHash]], identical to the batch
+    * side, so the drained stream's registers equal the batch
+    * HllAggregator's bit-for-bit (StreamingSpec). */
+  def streamingHllRegisters(events: DataFrame): DataFrame =
+    events.filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        graft.queries.SketchQueries.hllHash(concat_ws(":", col("user_id"),
+          expr("unix_micros(ts) div 86400000000"))).as("h"))
+      .select(col("event_type"), (col("h") % 256).as("bucket"),
+        expr(s"CASE WHEN h div 256 = 0 THEN 51" +
+          s" ELSE 51 - length(bin(h div 256)) END").as("rho"))
+      .groupBy("event_type", "bucket")
+      .agg(max(col("rho")).as("rho"))
+
   /** Streaming twin of the batch events_markov transition extraction:
     * per-user first-order transitions (prev → next event type) emitted
     * as events arrive, with ONE tiny state row per user — the last

@@ -136,6 +136,42 @@ class StreamingSpec extends SparkSpec {
       s"state must stay within the 4x256 sketch: ${got.size}")
   }
 
+  test("streaming HLL registers: drained stream equals the batch " +
+      "HllAggregator bit-for-bit, with bounded (<=5x256) state") {
+    val dir = Files.createTempDirectory("graft-hllstream").toString
+    val ev = Tables.events(spark, sf("sf0.001"))
+    // two files → accumulate across micro-batches, not recompute
+    ev.filter(col("event_id") % 2 === 0).drop("ts_us").coalesce(1)
+      .write.mode("append").parquet(dir)
+    ev.filter(col("event_id") % 2 === 1).drop("ts_us").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = EventStreams.streamingHllRegisters(
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+    val q = stream.writeStream.format("memory").queryName("hll_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hll_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.nonEmpty && got.size <= 5 * 256,
+      s"state must stay within 5x256 registers: ${got.size}")
+    // batch truth: the HllAggregator registers per event type
+    val batch = ev.filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        graft.queries.SketchQueries.hllHash(concat_ws(":", col("user_id"),
+          expr("ts_us div 86400000000"))).as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.HllF.hll(col("h")).as("regs"))
+      .collect()
+      .flatMap { r =>
+        val t = r.getString(0)
+        r.getSeq[Int](1).zipWithIndex.collect {
+          case (rho, b) if rho > 0 => (t, b.toLong) -> rho
+        }
+      }.toMap
+    assert(got == batch)
+  }
+
   test("streaming incremental dedup: static-corpus bloom + exact " +
       "verify matches the batch truth") {
     val dir = Files.createTempDirectory("graft-istream").toString
