@@ -210,8 +210,120 @@ object LmQueries {
         / SUM(n), 6) AS avg_neg_logscore
     FROM scored GROUP BY doc_id ORDER BY doc_id"""
 
+  // --------------------------------------- Kneser-Ney bigram LM
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    * standard n-gram smoothing KenLM implements, and the principled
+    * counterpart to [[textStupidBackoff]]'s heuristic): absolute
+    * discount D = 0.75 off every seen bigram, redistributed via the
+    * CONTINUATION distribution — p_cont(w) ∝ how many distinct
+    * contexts w follows, the fix for the "San Francisco" pathology
+    * where raw unigram frequency overweights words that only ever
+    * appear in one collocation.
+    *
+    *   p(w₂|w₁) = (max(c(w₁w₂)−D, 0) + D·N₁₊(w₁·)·p_cont(w₂)) / c(w₁)
+    *   p_cont(w₂) = (N₁₊(·w₂)+1) / (B+V)   [add-one floor: unseen w₂
+    *                                        scores, ln never sees 0]
+    *   c(w₁) = 0  →  p = p_cont(w₂)         [unseen context backs all
+    *                                        the way off]
+    *
+    * c(w₁) is the bigram-marginal Σ_w c(w₁w), not the raw unigram
+    * count, so the seen and discount masses sum exactly to 1 before
+    * the floor. Train on 90% (doc_id % 10 ≠ 0), score the held-out
+    * 10%. Scale shape is the same as the other LM scorers: count
+    * tables are big×big hash joins on n-gram keys, type-count scalars
+    * (B, V) broadcast, per-doc sums in DECIMAL(38,12). The integer
+    * n_ctx_known column pins the context-known/unknown routing. */
+  def textKnBigram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val w = split(col("text"), " ")
+    def bigrams(df: DataFrame, extra: Seq[Column]): DataFrame =
+      df.select(extra :+ w.as("w"): _*)
+        .select(extra :+ explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"): _*)
+        .select(extra :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+    val held = bigrams(docs.filter(col("doc_id") % 10 === 0),
+      Seq(col("doc_id")))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val cb = bigrams(train, Seq.empty)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val c1 = cb.groupBy("w1").agg(sum(col("cb")).as("c1"),
+      count(lit(1)).as("n1p_fwd")) // distinct continuations of w1
+    val nbwd = cb.groupBy("w2").agg(count(lit(1)).as("n1p_bwd"))
+    val scal = cb.agg(count(lit(1)).as("bb"))
+      .crossJoin(broadcast(
+        train.select(explode(w).as("tok")).agg(
+          countDistinct(col("tok")).as("vv"))))
+
+    val scored = held
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(nbwd.select(col("w2"), col("n1p_bwd")), Seq("w2"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("pcont",
+        (coalesce(col("n1p_bwd"), lit(0L)) + 1).cast("double") /
+          (col("bb") + col("vv")))
+      .withColumn("p",
+        when(col("c1").isNotNull,
+          (greatest(coalesce(col("cb"), lit(0L)).cast("double") - 0.75,
+            lit(0.0)) +
+            lit(0.75) * col("n1p_fwd") * col("pcont")) / col("c1"))
+          .otherwise(col("pcont")))
+    scored.groupBy("doc_id")
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(when(col("c1").isNotNull, col("n")).otherwise(0L))
+          .as("n_ctx_known"),
+        sum((col("n").cast("double") * log(col("p")))
+          .cast("decimal(38,12)")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_ctx_known"),
+        round(-col("s").cast("double") / col("n_bigrams"), 6)
+          .as("avg_neg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val textKnBigramSql: String = """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents),
+    held AS (SELECT doc_id, w[CAST(i AS INT)] AS w1,
+        w[CAST(i + 1 AS INT)] AS w2, COUNT(*) AS n
+      FROM base, UNNEST(range(1, len(w))) AS t(i)
+      WHERE doc_id % 10 = 0 GROUP BY doc_id, w1, w2),
+    train AS (SELECT * FROM base WHERE doc_id % 10 != 0),
+    cb AS (SELECT w[CAST(i AS INT)] AS w1, w[CAST(i + 1 AS INT)] AS w2,
+        COUNT(*) AS cb
+      FROM train, UNNEST(range(1, len(w))) AS t(i) GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1,
+        COUNT(*) AS n1p_fwd FROM cb GROUP BY 1),
+    nbwd AS (SELECT w2, COUNT(*) AS n1p_bwd FROM cb GROUP BY 1),
+    scal AS (SELECT
+      (SELECT COUNT(*) FROM cb) AS bb,
+      (SELECT COUNT(DISTINCT tok) FROM
+        (SELECT unnest(w) AS tok FROM train)) AS vv),
+    scored AS (SELECT doc_id, n, c1.c1 AS c1,
+        CASE WHEN c1.c1 IS NOT NULL THEN
+          (GREATEST(CAST(COALESCE(cb.cb, 0) AS DOUBLE) - 0.75, 0.0) +
+            0.75 * n1p_fwd *
+            (CAST(COALESCE(n1p_bwd, 0) + 1 AS DOUBLE) / (bb + vv)))
+            / c1.c1
+        ELSE CAST(COALESCE(n1p_bwd, 0) + 1 AS DOUBLE) / (bb + vv)
+        END AS p
+      FROM held
+      LEFT JOIN cb USING (w1, w2)
+      LEFT JOIN c1 USING (w1)
+      LEFT JOIN nbwd USING (w2)
+      CROSS JOIN scal)
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      CAST(SUM(CASE WHEN c1 IS NOT NULL THEN n ELSE 0 END) AS BIGINT)
+        AS n_ctx_known,
+      ROUND(-CAST(SUM(CAST(n * ln(p) AS DECIMAL(38,12))) AS DOUBLE)
+        / SUM(n), 6) AS avg_neg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("ngram_hot", ngramHot, Some(ngramHotSql)),
     QuerySpec("text_stupid_backoff", textStupidBackoff,
-      Some(textStupidBackoffSql)))
+      Some(textStupidBackoffSql)),
+    QuerySpec("text_kn_bigram", textKnBigram, Some(textKnBigramSql)))
 }
