@@ -925,6 +925,55 @@ object AnalyticsQueries {
         ORDER BY cos DESC, neg_id) AS rn FROM pairs)
     WHERE rn <= 3 ORDER BY anchor_id, rank"""
 
+  // ------------------------------------------------- compaction planner
+  /** Small-files compaction planning (the Delta/Iceberg OPTIMIZE
+    * bin-packing shape): treat each document as a landing file of
+    * `octet_length(text)` bytes and assign files, in (source, doc_id)
+    * order, to target-size bins by EXCLUSIVE running cumsum div
+    * target — order-preserving first-fit binning, the same policy
+    * streaming compactors use (true FFD bin-packing is sequential and
+    * order-destroying; cumsum binning parallelizes and keeps any
+    * z-order/sort layout intact). A bin can exceed the target only by
+    * its last file — the standard overflow contract.
+    *
+    * Scale shape: the plan operates on file METADATA (name, size) —
+    * orders of magnitude smaller than the data — with one window
+    * partitioned by source (running cumsum); no global window, no
+    * shuffle of file contents. Output: per-(source, bin) file count,
+    * bytes, id range — exactly what an executor compacting bin-by-bin
+    * needs. */
+  def compactionPlan(s: SparkSession, d: String): DataFrame = {
+    val target = 4096L // bytes per compacted output file
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .withColumn("bin",
+        (coalesce(sum(col("bytes")).over(w), lit(0L)) / target)
+          .cast("long"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "bin")
+  }
+
+  val compactionPlanSql: String = """
+    WITH f AS (SELECT source, doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+      FROM documents),
+    b AS (SELECT source, doc_id, bytes,
+        CAST(COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          // 4096 AS BIGINT) AS bin
+      FROM f)
+    SELECT source, bin, COUNT(*) AS n_files,
+      CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+      MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM b GROUP BY source, bin ORDER BY source, bin"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("gaps_islands", gapsIslands, Some(gapsIslandsSql)),
     QuerySpec("events_attribution", eventsAttribution,
@@ -948,5 +997,8 @@ object AnalyticsQueries {
     QuerySpec("unpivot_metrics", unpivotMetrics, Some(unpivotMetricsSql)),
     QuerySpec("data_quality_report", dataQualityReport,
       Some(dataQualityReportSql)),
-    QuerySpec("hard_negatives", hardNegatives, Some(hardNegativesSql)))
+    QuerySpec("hard_negatives", hardNegatives, Some(hardNegativesSql)),
+    QuerySpec("compaction_plan", compactionPlan, Some(compactionPlanSql)))
+
+
 }

@@ -2876,6 +2876,88 @@ object PipelineQueries {
         (a, b) -> a + b)), 6) AS pnorm
     FROM p ORDER BY vec_id"""
 
+  // ---------------------------------------------- PCA power iteration
+  /** Top principal direction of the embedding corpus by two rounds of
+    * covariance-free power iteration — v ← Σᵢ (eᵢ·v)·eᵢ — the
+    * distributed-linear-algebra shape (one corpus scan per round, no
+    * d×d Gram matrix materialized) that mean-centering diagnostics,
+    * ABTT ("all-but-the-top") embedding post-processing, and spectral
+    * initialization all reduce to. Each round: the codegen MatVec
+    * kernel computes cᵢ = eᵢ·v map-side, and the per-dimension
+    * accumulation Σᵢ cᵢ·eᵢ[d] goes through DECIMAL(38,12) sums (64
+    * groups — map-side combinable, order-free, so both engines land
+    * the identical vector bit-for-bit). The 64-double iterate is
+    * DRIVER state between rounds (the emb_kmeans centroid pattern);
+    * norms and the Rayleigh-style λ estimate fold sequentially in
+    * dimension order (sqrt is IEEE-exact). The oracle replays both
+    * rounds in SQL with the same ordered folds. */
+  def embPcaPower(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val e = Tables.embeddings(s, d).select(col("embedding"))
+    def step(v: Array[Double]): Array[Double] = {
+      val c = element_at(
+        graft.functions.VecF.matVec(col("embedding"), Array(v)), 1)
+      val sums = e.select(c.as("c"),
+          posexplode(col("embedding")).as(Seq("dimm", "x")))
+        .groupBy("dimm")
+        .agg(sum((col("c") * col("x").cast("double"))
+          .cast("decimal(38,12)")).as("s"))
+        .collect()
+      val out = new Array[Double](dim)
+      sums.foreach(r => out(r.getInt(0)) = r.getDecimal(1).doubleValue)
+      out
+    }
+    val v0 = Array.fill(dim)(0.125) // 1/sqrt(64), exact in binary
+    val v1 = step(v0)
+    val v2 = step(v1)
+    def norm(v: Array[Double]): Double =
+      math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    val (n1, n2) = (norm(v1), norm(v2))
+    val rows = (0 until dim).map { i =>
+      (i.toLong,
+        BigDecimal(v2(i) / n2).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(n2 / n1).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    s.createDataFrame(rows).toDF("dim", "loading", "lambda_est")
+      .orderBy("dim")
+  }
+
+  val embPcaPowerSql: String = {
+    // dot(embedding, vl) with vl an ordered 64-list from a CTE —
+    // same index-ordered fold as the MatVec kernel
+    def dotList(vl: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | [CAST(embedding[CAST(i AS INT)] AS DOUBLE) * $vl[CAST(i AS INT)]
+         |  FOR i IN range(1, 65)]), (x, y) -> x + y)""".stripMargin
+    def sumSq(vl: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | [$vl[CAST(i AS INT)] * $vl[CAST(i AS INT)]
+         |  FOR i IN range(1, 65)]), (x, y) -> x + y)""".stripMargin
+    s"""
+    WITH c0 AS (SELECT embedding,
+        ${dotList("[0.125 FOR q IN range(64)]")} AS c FROM embeddings),
+    v1 AS (SELECT dimm,
+        CAST(SUM(CAST(c * CAST(embedding[CAST(dimm AS INT)] AS DOUBLE)
+          AS DECIMAL(38,12))) AS DOUBLE) AS val
+      FROM c0, UNNEST(range(1, 65)) AS t(dimm) GROUP BY dimm),
+    v1l AS (SELECT list(val ORDER BY dimm) AS vl FROM v1),
+    c1 AS (SELECT embedding, ${dotList("vl")} AS c
+      FROM embeddings, v1l),
+    v2 AS (SELECT dimm,
+        CAST(SUM(CAST(c * CAST(embedding[CAST(dimm AS INT)] AS DOUBLE)
+          AS DECIMAL(38,12))) AS DOUBLE) AS val
+      FROM c1, UNNEST(range(1, 65)) AS t(dimm) GROUP BY dimm),
+    v2l AS (SELECT list(val ORDER BY dimm) AS vl FROM v2),
+    norms AS (SELECT sqrt(${sumSq("v1l.vl")}) AS n1,
+        sqrt(${sumSq("v2l.vl")}) AS n2
+      FROM v1l, v2l)
+    SELECT dimm - 1 AS dim, ROUND(v2.val / n2, 6) AS loading,
+      ROUND(n2 / n1, 4) AS lambda_est
+    FROM v2, norms ORDER BY dim"""
+  }
+
   // ------------------------------------------------ mixture epoch plan
   /** Token-budget epoch planning (the step AFTER choosing mixture
     * weights: turn weights into per-source repeat factors for a fixed
@@ -3670,6 +3752,73 @@ object PipelineQueries {
     FROM pn JOIN deg ON deg.v = pn.v
     ORDER BY n_triangles DESC, part_id LIMIT 20"""
 
+  // ------------------------------------------------ label propagation
+  /** Community detection by two rounds of synchronous label
+    * propagation (Raghavan et al. 2007) on the part co-purchase graph:
+    * each vertex adopts its neighbors' most frequent label, ties
+    * broken by smallest label — fully deterministic, unlike classic
+    * async LPA, so the oracle replays the rounds exactly. Round 1
+    * degenerates to min-neighbor (every neighbor label is unique);
+    * round 2 propagates real label frequencies, which is where
+    * communities (not just components — cf. dedup_clusters' CC)
+    * start to form.
+    *
+    * Scale shape: each round is ONE hash join (edges × labels, both
+    * keyed by vertex id) and two hash aggregations with map-side
+    * combine — linear in edges per round, the same iteration shape as
+    * graph_pagerank; exchanges carry integer ids only. The argmax per
+    * vertex is a single max(struct(cnt, −label)) aggregate, not a
+    * rank window. */
+  def graphCommunities(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = op.as("x").join(op.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+    val edges = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    var lab = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+    for (_ <- 1 to 2) {
+      lab = edges
+        .join(lab.select(col("v").as("dst"), col("label")), "dst")
+        .groupBy("src", "label").agg(count(lit(1)).as("cnt"))
+        .groupBy("src")
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("v"), (-col("m.nl")).as("label"))
+    }
+    val out = lab.groupBy("label").agg(count(lit(1)).as("n_members"))
+      .select(col("label").as("community"), col("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
+    graft.pipeline.Caching.materializeAndRelease(out, edges)
+  }
+
+  val graphCommunitiesSql: String = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem),
+    e AS (SELECT DISTINCT x.p AS a, y.p AS b
+      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+    edges AS (SELECT a AS src, b AS dst FROM e
+      UNION ALL SELECT b, a FROM e),
+    l0 AS (SELECT DISTINCT src AS v, src AS label FROM edges),
+    n1 AS (SELECT ed.src, l.label, COUNT(*) AS cnt
+      FROM edges ed JOIN l0 l ON ed.dst = l.v GROUP BY 1, 2),
+    r1 AS (SELECT src AS v, label FROM (SELECT src, label,
+        ROW_NUMBER() OVER (PARTITION BY src ORDER BY cnt DESC, label)
+          AS rn FROM n1) WHERE rn = 1),
+    n2 AS (SELECT ed.src, l.label, COUNT(*) AS cnt
+      FROM edges ed JOIN r1 l ON ed.dst = l.v GROUP BY 1, 2),
+    r2 AS (SELECT src AS v, label FROM (SELECT src, label,
+        ROW_NUMBER() OVER (PARTITION BY src ORDER BY cnt DESC, label)
+          AS rn FROM n2) WHERE rn = 1)
+    SELECT label AS community, COUNT(*) AS n_members
+    FROM r2 GROUP BY label
+    ORDER BY n_members DESC, community LIMIT 20"""
+
   // ------------------------------------------------- association rules
   /** Market-basket association mining over order baskets: for each
     * co-purchased part pair, support, directed confidences, lift and
@@ -3897,6 +4046,8 @@ object PipelineQueries {
     QuerySpec("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
     QuerySpec("graph_hits", graphHits, Some(graphHitsSql)),
     QuerySpec("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
+    QuerySpec("graph_communities", graphCommunities,
+      Some(graphCommunitiesSql)),
     QuerySpec("assoc_rules", assocRules, Some(assocRulesSql)),
     QuerySpec("mix_epoch_plan", mixEpochPlan, Some(mixEpochPlanSql)),
     QuerySpec("sim_topk_rp", simTopKRp, Some(simTopKRpSql)),
@@ -3904,6 +4055,7 @@ object PipelineQueries {
     QuerySpec("select_learnability", selectLearnability,
       Some(selectLearnabilitySql)),
     QuerySpec("emb_rp_project", embRpProject, Some(embRpProjectSql)),
+    QuerySpec("emb_pca_power", embPcaPower, Some(embPcaPowerSql)),
     QuerySpec("pack_sequences", packSequences, Some(packSequencesSql)),
     QuerySpec("quality_gate_p75", qualityGateP75, Some(qualityGateP75Sql)),
     QuerySpec("dsir_importance", dsirImportance, Some(dsirImportanceSql)),
