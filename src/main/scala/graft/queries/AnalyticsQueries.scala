@@ -974,7 +974,49 @@ object AnalyticsQueries {
       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM b GROUP BY source, bin ORDER BY source, bin"""
 
+  // ---------------------------------------------------- cohort LTV
+  /** Customer-cohort lifetime-value matrix: customers cohorted by
+    * first-order month, revenue and active-customer counts by month
+    * offset — the retention economics view (events_retention counts
+    * USERS by day; this weights by REVENUE on the sales facts).
+    * Month index is pure integer arithmetic (year·12 + month−1), no
+    * calendar/timezone surface. Scale shape: the first-order aggregate
+    * and the fact join both key on o_custkey, so Catalyst reuses one
+    * hash partitioning (aggregate → join, no second exchange of the
+    * fact); the (cohort, offset) matrix is a map-side-combinable
+    * aggregate over ≤ decades×12 cells. */
+  def ordersCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("m"),
+        col("o_totalprice"))
+    val first = o.groupBy("o_custkey").agg(min(col("m")).as("m0"))
+    o.join(first, "o_custkey")
+      .groupBy(((col("m0") / 12).cast("long") * 100 + col("m0") % 12 + 1)
+          .as("cohort"),
+        (col("m") - col("m0")).cast("long").as("offset_m"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        Q.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("cohort", "offset_m")
+  }
+
+  val ordersCohortLtvSql: String = s"""
+    WITH o AS (SELECT o_custkey,
+        year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS m,
+        o_totalprice
+      FROM orders),
+    f AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY 1)
+    SELECT CAST((m0 // 12) * 100 + (m0 % 12) + 1 AS BIGINT) AS cohort,
+      CAST(m - m0 AS BIGINT) AS offset_m,
+      COUNT(DISTINCT o.o_custkey) AS n_customers,
+      ${Sql.dsum("o_totalprice")} AS revenue
+    FROM o JOIN f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2 ORDER BY cohort, offset_m"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("orders_cohort_ltv", ordersCohortLtv,
+      Some(ordersCohortLtvSql)),
     QuerySpec("gaps_islands", gapsIslands, Some(gapsIslandsSql)),
     QuerySpec("events_attribution", eventsAttribution,
       Some(eventsAttributionSql)),

@@ -2958,6 +2958,53 @@ object PipelineQueries {
     FROM v2, norms ORDER BY dim"""
   }
 
+  // ------------------------------------------------ embedding outliers
+  /** Embedding-space outlier audit: squared distance of every vector
+    * to the corpus MEAN embedding, top 20 — the quick screen for
+    * mis-embedded / out-of-distribution rows before clustering or ANN
+    * indexing trusts the space. The mean is one per-dimension
+    * DECIMAL(38,12) aggregate (64 groups, map-side combinable, exact →
+    * both engines derive the identical mean vector), held as driver
+    * state like the kmeans centroids; the distance pass is the codegen
+    * [[graft.functions.SqDistToCentroids]] kernel against that single
+    * constant centroid — one scan, no shuffle of vectors, and the
+    * top-20 is a tiny ordered aggregate. */
+  def embOutliers(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val e = Tables.embeddings(s, d)
+    val sums = e.select(posexplode(col("embedding")).as(Seq("dimm", "x")))
+      .groupBy("dimm")
+      .agg(sum(col("x").cast("double").cast("decimal(38,12)")).as("sx"),
+        count(lit(1)).as("n"))
+      .collect()
+    val mean = new Array[Double](dim)
+    sums.foreach(r =>
+      mean(r.getInt(0)) = r.getDecimal(1).doubleValue / r.getLong(2))
+    val dist = element_at(
+      graft.functions.VecF.sqDistToCentroids(col("embedding"),
+        Seq(mean.toSeq)), 1)
+    e.select(col("vec_id"), round(dist, 6).as("sq_dist"))
+      .orderBy(desc("sq_dist"), col("vec_id"))
+      .limit(20)
+  }
+
+  val embOutliersSql: String = """
+    WITH sums AS (SELECT dimm,
+        CAST(SUM(CAST(CAST(embedding[CAST(dimm AS INT)] AS DOUBLE)
+          AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        COUNT(*) AS n
+      FROM embeddings, UNNEST(range(1, 65)) AS t(dimm) GROUP BY dimm),
+    m AS (SELECT list(sx / n ORDER BY dimm) AS ml FROM sums),
+    dists AS (SELECT vec_id,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          [(CAST(embedding[CAST(i AS INT)] AS DOUBLE) - ml[CAST(i AS INT)])
+            * (CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+               - ml[CAST(i AS INT)])
+           FOR i IN range(1, 65)]), (x, y) -> x + y) AS sd
+      FROM embeddings, m)
+    SELECT vec_id, ROUND(sd, 6) AS sq_dist FROM dists
+    ORDER BY sq_dist DESC, vec_id LIMIT 20"""
+
   // ------------------------------------------------ mixture epoch plan
   /** Token-budget epoch planning (the step AFTER choosing mixture
     * weights: turn weights into per-source repeat factors for a fixed
@@ -4056,6 +4103,7 @@ object PipelineQueries {
       Some(selectLearnabilitySql)),
     QuerySpec("emb_rp_project", embRpProject, Some(embRpProjectSql)),
     QuerySpec("emb_pca_power", embPcaPower, Some(embPcaPowerSql)),
+    QuerySpec("emb_outliers", embOutliers, Some(embOutliersSql)),
     QuerySpec("pack_sequences", packSequences, Some(packSequencesSql)),
     QuerySpec("quality_gate_p75", qualityGateP75, Some(qualityGateP75Sql)),
     QuerySpec("dsir_importance", dsirImportance, Some(dsirImportanceSql)),

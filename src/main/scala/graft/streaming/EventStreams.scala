@@ -414,6 +414,26 @@ object EventStreams {
       .groupBy("event_type", "bucket")
       .agg(max(col("rho")).as("rho"))
 
+  /** Streaming KMV (theta) sketch maintenance — the streaming twin of
+    * the `sketch_kmv_distinct` / `sketch_set_overlap` batch sketches:
+    * per-event-type k-minimum-values state kept live as events arrive,
+    * so distinct-count and set-overlap estimates are queryable
+    * mid-ingest. One streaming aggregation with the KmvArrayAggregator
+    * as its UDAF: state is the k smallest distinct hashes per group —
+    * bounded at k longs regardless of stream length, min-merge is
+    * idempotent so replays cannot corrupt it, no watermark (the sketch
+    * is a running total). Key hashing matches the batch side
+    * ([[graft.queries.SketchQueries.hllHash]]), so the drained
+    * stream's retained-hash arrays equal the batch sketch
+    * element-for-element (StreamingSpec). */
+  def streamingKmvSketch(events: DataFrame, k: Int = 128): DataFrame =
+    events.filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        graft.queries.SketchQueries.hllHash(concat_ws(":", col("user_id"),
+          expr("unix_micros(ts) div 86400000000"))).as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.KmvF.kmvArray(k)(col("h")).as("sketch"))
+
   /** Streaming twin of the batch events_markov transition extraction:
     * per-user first-order transitions (prev → next event type) emitted
     * as events arrive, with ONE tiny state row per user — the last

@@ -172,6 +172,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming KMV sketch: drained stream retains the batch " +
+      "k-minimum values element-for-element") {
+    val dir = Files.createTempDirectory("graft-kmvstream").toString
+    val ev = Tables.events(spark, sf("sf0.001"))
+    ev.filter(col("event_id") % 2 === 0).drop("ts_us").coalesce(1)
+      .write.mode("append").parquet(dir)
+    ev.filter(col("event_id") % 2 === 1).drop("ts_us").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = EventStreams.streamingKmvSketch(
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir), k = 64)
+    val q = stream.writeStream.format("memory").queryName("kmv_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("kmv_out").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // batch truth over the same derived key hash
+    val want = ev.filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        graft.queries.SketchQueries.hllHash(concat_ws(":", col("user_id"),
+          expr("ts_us div 86400000000"))).as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.KmvF.kmvArray(64)(col("h")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got == want && got.nonEmpty)
+    assert(got.values.forall(_.length <= 64))
+  }
+
   test("streaming incremental dedup: static-corpus bloom + exact " +
       "verify matches the batch truth") {
     val dir = Files.createTempDirectory("graft-istream").toString
