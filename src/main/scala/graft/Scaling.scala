@@ -26,7 +26,9 @@ object Scaling {
     "graph_pagerank", "dedup_substring", "dsir_importance",
     "text_bigram_logprob", "dedup_minhash_lsh", "bm25_topk",
     "dedup_incremental", "graph_triangles", "assoc_rules",
-    "knn_classify", "dedup_containment")
+    "knn_classify", "dedup_containment",
+    "graph_communities", "ngram_hot", "text_kn_bigram",
+    "text_stupid_backoff", "sketch_hll_distinct")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("SCALING.json")

@@ -72,8 +72,37 @@ class HllAggregator extends Aggregator[Long, Array[Int], Array[Int]] {
     ExpressionEncoder[Array[Int]]()
 }
 
+/** Codegen'd HLL rho of a PW-domain hash: rho(h/256) per
+  * [[HllSketch.rho]] — one numberOfLeadingZeros instruction, replacing
+  * the `51 - length(bin(w))` string formulation (per-row allocation)
+  * in streaming register maintenance. */
+case class HllRho(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, IntegerType}
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hll_rho"
+
+  override def nullSafeEval(v: Any): Any =
+    HllSketch.rho(v.asInstanceOf[Long] / HllSketch.M)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HllSketch.rho($c / ${HllSketch.M}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}
+
 object HllF {
   /** untyped-DataFrame handle: `df.groupBy(...).agg(HllF.hll(col))` */
   def hll: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new HllAggregator, Encoders.scalaLong)
+
+  /** codegen rho(h/256) of a PW-domain hash column */
+  def hllRho(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(HllRho(
+      org.apache.spark.sql.GraftColumnBridge.expression(c)))
 }

@@ -409,8 +409,7 @@ object EventStreams {
         graft.queries.SketchQueries.hllHash(concat_ws(":", col("user_id"),
           expr("unix_micros(ts) div 86400000000"))).as("h"))
       .select(col("event_type"), (col("h") % 256).as("bucket"),
-        expr(s"CASE WHEN h div 256 = 0 THEN 51" +
-          s" ELSE 51 - length(bin(h div 256)) END").as("rho"))
+        graft.functions.HllF.hllRho(col("h")).as("rho"))
       .groupBy("event_type", "bucket")
       .agg(max(col("rho")).as("rho"))
 

@@ -89,4 +89,18 @@ class HllSpec extends SparkSpec {
     val agg = new HllAggregator
     assert(agg.finish(agg.zero).toSeq == Seq.fill(256)(0))
   }
+
+  test("codegen hll_rho equals the bin-length SQL formulation") {
+    val s = spark
+    import s.implicits._
+    val hs = Seq(0L, 1L, 255L, 256L, 257L, 1L << 30, HashKernels.PW - 1,
+      (1L << 49) * 256, ((1L << 49) - 1) * 256 + 17)
+    val df = hs.toDF("h")
+    val got = df.select(HllF.hllRho(col("h"))).as[Int].collect().toSeq
+    val want = df.selectExpr(
+      "CASE WHEN h div 256 = 0 THEN 51" +
+        " ELSE 51 - length(bin(h div 256)) END").as[Int].collect().toSeq
+    assert(got == want)
+    assert(got == hs.map(h => HllSketch.rho(h / 256)))
+  }
 }
