@@ -1014,7 +1014,80 @@ object AnalyticsQueries {
     FROM o JOIN f ON o.o_custkey = f.o_custkey
     GROUP BY 1, 2 ORDER BY cohort, offset_m"""
 
+  // ---------------------------------------------------- forecast eval
+  /** Forecast backtest on the daily event series: seasonal-naive
+    * (ŷ_d = y_{d−7}) vs naive (ŷ_d = y_{d−1}) per event type, scored
+    * by MAE and their ratio (MASE, Hyndman & Koehler 2006 — the
+    * scale-free "is this model better than persistence" number every
+    * forecasting pipeline gates on). The day axis is DENSIFIED first
+    * (type × full day range, zero-filled) so the lags mean calendar
+    * days, not observation gaps. Integer counts throughout — the only
+    * floats are the final rounded divisions. Scale shape: the daily
+    * aggregate is map-side combinable; the grid is types × days (tiny,
+    * from a broadcast bounds scalar); the lag window partitions by
+    * event_type — many independent series, never a global sort. */
+  def forecastEval(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr(s"ts_us div $UsPerDay").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val bounds = daily.agg(min(col("day")).as("dmin"),
+      max(col("day")).as("dmax"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("dmin"), col("dmax"))).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val dense = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .withColumn("l7", lag(col("y"), 7).over(w))
+      .withColumn("l1", lag(col("y"), 1).over(w))
+      .filter(col("l7").isNotNull && col("l1").isNotNull)
+    dense.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("y") - col("l7"))).as("e7"),
+        sum(abs(col("y") - col("l1"))).as("e1"))
+      .select(col("event_type"), col("n_days"),
+        round(col("e7").cast("double") / col("n_days"), 4)
+          .as("mae_snaive"),
+        round(col("e1").cast("double") / col("n_days"), 4)
+          .as("mae_naive"),
+        when(col("e1") === 0, lit(-1.0))
+          .otherwise(round((col("e7").cast("double") / col("n_days")) /
+            (col("e1").cast("double") / col("n_days")), 4)).as("mase"))
+      .orderBy("event_type")
+  }
+
+  val forecastEvalSql: String = s"""
+    WITH daily AS (SELECT event_type, epoch_us(ts) // $UsPerDay AS day,
+        COUNT(*) AS y
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM daily),
+    grid AS (SELECT event_type, gs.day
+      FROM (SELECT DISTINCT event_type FROM daily), b,
+        UNNEST(range(dmin, dmax + 1)) AS gs(day)),
+    dense AS (SELECT g.event_type, g.day, COALESCE(y, 0) AS y
+      FROM grid g LEFT JOIN daily dd
+        ON g.event_type = dd.event_type AND g.day = dd.day),
+    lagd AS (SELECT event_type, y,
+        LAG(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7,
+        LAG(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1
+      FROM dense),
+    agg AS (SELECT event_type, COUNT(*) AS n_days,
+        CAST(SUM(ABS(y - l7)) AS BIGINT) AS e7,
+        CAST(SUM(ABS(y - l1)) AS BIGINT) AS e1
+      FROM lagd WHERE l7 IS NOT NULL AND l1 IS NOT NULL GROUP BY 1)
+    SELECT event_type, n_days,
+      ROUND(CAST(e7 AS DOUBLE) / n_days, 4) AS mae_snaive,
+      ROUND(CAST(e1 AS DOUBLE) / n_days, 4) AS mae_naive,
+      CASE WHEN e1 = 0 THEN -1.0
+           ELSE ROUND((CAST(e7 AS DOUBLE) / n_days) /
+                      (CAST(e1 AS DOUBLE) / n_days), 4) END AS mase
+    FROM agg ORDER BY event_type"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("forecast_eval", forecastEval, Some(forecastEvalSql)),
     QuerySpec("orders_cohort_ltv", ordersCohortLtv,
       Some(ordersCohortLtvSql)),
     QuerySpec("gaps_islands", gapsIslands, Some(gapsIslandsSql)),
