@@ -78,13 +78,12 @@ object SketchQueries {
       .groupBy("event_type")
       .agg(sum(expr("shiftleft(1L, cast(k_max - rho as int))")).as("s_num"))
 
-    val keys = Tables.events(s, d).filter(col("user_id").isNotNull)
-      .select(col("event_type"),
-        concat_ws(":", col("user_id"),
-          expr("ts_us div 86400000000")).as("k"))
-    val exact = keys.groupBy("event_type")
-      .agg(countDistinct(col("k")).as("n_exact"))
-      .unionByName(keys.agg(countDistinct(col("k")).as("n_exact"))
+    // "exact" = distinct HASHES, not key strings, so this exchange too
+    // carries only longs (collision odds ≈ n²/2^59 — immaterial even
+    // at 10^9 keys, and both engines count the identical hash set)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("h")).as("n_exact"))
+      .unionByName(ev.agg(countDistinct(col("h")).as("n_exact"))
         .select(lit("__all__").as("event_type"), col("n_exact")))
 
     base.join(sNum, Seq("event_type")).join(exact, Seq("event_type"))
@@ -136,10 +135,10 @@ object SketchQueries {
     sn AS (SELECT r.event_type,
         CAST(SUM(CAST(1 AS BIGINT) << (k_max - rho)) AS BIGINT) AS s_num
       FROM regs r JOIN km USING (event_type) GROUP BY 1),
-    exact AS (SELECT event_type, COUNT(DISTINCT k) AS n_exact FROM keys
+    exact AS (SELECT event_type, COUNT(DISTINCT h) AS n_exact FROM hashes
         GROUP BY 1
       UNION ALL
-      SELECT '__all__', COUNT(DISTINCT k) FROM keys)
+      SELECT '__all__', COUNT(DISTINCT h) FROM hashes)
     SELECT km.event_type, n_exact, v_zero, k_max, reg_checksum, s_num,
       ROUND((0.7213/(1+1.079/256.0)) * 65536.0 *
         CAST(CAST(1 AS BIGINT) << k_max AS DOUBLE) / s_num, 2)
