@@ -30,6 +30,8 @@ object GraftFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "poly_hash" -> (args => PolyHash(args.head)),
+    "poly_hash_wide" -> (args => PolyHashWide(args.head)),
+    "hll_rho" -> (args => HllRho(args.head)),
     "shingle_hashes" -> (args => ShingleHashes(args.head)),
     "fingerprint8" -> (args => Fingerprint8(args.head)),
     "float_vector_dot" -> (args => FloatVectorDot(args(0), args(1))),
@@ -49,5 +51,6 @@ object GraftFunctions {
     }
     // typed aggregators register through the UDF registry
     spark.udf.register("kmv64", KmvF.kmv(64))
+    spark.udf.register("hll256", HllF.hll)
   }
 }

@@ -524,6 +524,16 @@ class PipelineSpec extends SparkSpec {
     // morton_interleave: (0b11, 0b01) -> y0x0 y1x1 ... = 0b0111 = 7
     assert(spark.sql("SELECT morton_interleave(3L, 1L, 10) AS z")
       .collect()(0).getLong(0) == 7L)
+    // wide hash + HLL rho + register aggregator, SQL-reachable
+    assert(spark.sql("SELECT poly_hash_wide('spark') AS h")
+      .collect()(0).getLong(0) == 109638365L) // unwrapped below PW
+    assert(spark.sql("SELECT hll_rho(0L) AS r").collect()(0).getInt(0) == 51)
+    assert(spark.sql("SELECT hll_rho(256L) AS r")
+      .collect()(0).getInt(0) == 50) // w = 1
+    val regs = spark.sql(
+      "SELECT hll256(poly_hash_wide(text)) AS regs FROM docs_v")
+      .collect()(0).getSeq[Int](0)
+    assert(regs.length == 256 && regs.exists(_ > 0))
   }
 
   test("HLL sketch (approx_count_distinct) lands near exact distinct") {
