@@ -1086,7 +1086,73 @@ object AnalyticsQueries {
                       (CAST(e1 AS DOUBLE) / n_days), 4) END AS mase
     FROM agg ORDER BY event_type"""
 
+  // ---------------------------------------------- conversion latency
+  /** Click→purchase conversion latency percentiles per day: for every
+    * purchase, the same user's most recent PRIOR click (24 h horizon)
+    * via a running conditional max — the as-of lookup as ONE sorted
+    * window over the unioned stream, no join at all (the
+    * [[graft.operators.AsOf]] trick applied to funnel latency; the
+    * streaming twin is EventStreams.conversionJoin). Ties at the same
+    * microsecond break on event_id in BOTH engines. Latency p50/p90
+    * are exact percentiles over converted purchases only (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, the winsorize-established
+    * bridge); days with no conversions report −1. Scale shape: one
+    * per-user window shuffle, then a map-side-combinable daily
+    * aggregate — never a global sort. */
+  def conversionLatency(s: SparkSession, d: String): DataFrame = {
+    val horizon = 86400000000L // 24 h in micros
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = ev
+      .withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("conv", col("last_click").isNotNull &&
+        col("ts_us") - col("last_click") <= horizon)
+      .select((col("ts_us") / UsPerDay).cast("long").as("day"),
+        col("conv"),
+        when(col("conv"),
+          (col("ts_us") - col("last_click")) / 60000000.0).as("lat_min"))
+    p.groupBy("day")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("n_converted"),
+        coalesce(round(expr("percentile(lat_min, 0.5)"), 4), lit(-1.0))
+          .as("p50_min"),
+        coalesce(round(expr("percentile(lat_min, 0.9)"), 4), lit(-1.0))
+          .as("p90_min"))
+      .orderBy("day")
+  }
+
+  val conversionLatencySql: String = s"""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+      FROM events WHERE user_id IS NOT NULL
+        AND event_type IN ('click', 'purchase')),
+    m AS (SELECT *, MAX(CASE WHEN event_type = 'click' THEN tu END)
+        OVER (PARTITION BY user_id ORDER BY tu, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+      FROM ev),
+    p AS (SELECT tu // $UsPerDay AS day,
+        (last_click IS NOT NULL AND tu - last_click <= 86400000000)
+          AS conv,
+        CASE WHEN last_click IS NOT NULL
+               AND tu - last_click <= 86400000000
+             THEN (tu - last_click) / 60000000.0 END AS lat_min
+      FROM m WHERE event_type = 'purchase')
+    SELECT day, COUNT(*) AS n_purchases,
+      CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_converted,
+      COALESCE(ROUND(quantile_cont(lat_min, 0.5), 4), -1.0) AS p50_min,
+      COALESCE(ROUND(quantile_cont(lat_min, 0.9), 4), -1.0) AS p90_min
+    FROM p GROUP BY day ORDER BY day"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("conversion_latency", conversionLatency,
+      Some(conversionLatencySql)),
     QuerySpec("forecast_eval", forecastEval, Some(forecastEvalSql)),
     QuerySpec("orders_cohort_ltv", ordersCohortLtv,
       Some(ordersCohortLtvSql)),
