@@ -62,6 +62,60 @@ object Multimodal {
       new java.io.ByteArrayInputStream(content)))
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** 64-bit difference hash (dHash, the standard perceptual
+    * near-duplicate image hash): decode, box-filter area-average to a
+    * 9×8 luma grid — exact integer pixel sums and one rational
+    * division per cell, NOT AWT interpolation, so the grid (and hence
+    * the hash) is bit-stable across platforms — then bit k is set
+    * when grid(r)(c) > grid(r)(c+1). Perceptually-close images differ
+    * in a few bits (Hamming), unrelated images in ~32. None when the
+    * payload doesn't decode. */
+  def dhash64(content: Array[Byte]): Option[Long] =
+    decodeImage(content).map { img =>
+      val (gw, gh) = (9, 8)
+      val w = img.getWidth
+      val h = img.getHeight
+      val luma = Array.ofDim[Double](gh, gw)
+      var r = 0
+      while (r < gh) {
+        var c = 0
+        while (c < gw) {
+          val x0 = c * w / gw; val x1 = math.max((c + 1) * w / gw, x0 + 1)
+          val y0 = r * h / gh; val y1 = math.max((r + 1) * h / gh, y0 + 1)
+          var sum = 0L
+          var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += 2126L * ((rgb >> 16) & 0xFF) +
+                7152L * ((rgb >> 8) & 0xFF) + 722L * (rgb & 0xFF)
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          luma(r)(c) = sum.toDouble / n
+          c += 1
+        }
+        r += 1
+      }
+      var hash = 0L
+      var bit = 0
+      r = 0
+      while (r < gh) {
+        var c = 0
+        while (c < gw - 1) {
+          if (luma(r)(c) > luma(r)(c + 1)) hash |= (1L << bit)
+          bit += 1
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+
   /** REAL image features from decoded pixels: [width, height, meanR,
     * meanG, meanB, meanLuma, lumaStddev, aspect] — the shape a vision
     * embedder's preprocessor computes. */

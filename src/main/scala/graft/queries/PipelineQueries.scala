@@ -1493,6 +1493,64 @@ object PipelineQueries {
     (7L, "audio", "corrupt_audio.bin"),
     (8L, "video", "corrupt_video.bin"))
 
+  private val phashFixtures = Seq(
+    (1L, "png_scene.png"), (2L, "png_scene_bright.png"),
+    (3L, "png_scene_shift.png"), (4L, "png_checker.png"),
+    (5L, "png_gray.png"), (6L, "corrupt_image.bin"))
+
+  /** Perceptual image near-dup detection over the REAL decode path:
+    * dHash64 each committed fixture (ImageIO pixels → bit-stable
+    * box-filter 9×8 luma grid, [[graft.pipeline.Multimodal.dhash64]]),
+    * generate candidates by 4×16-bit BAND equality — the SimHash-style
+    * LSH join, an equality join on (band, value), never an all-pairs
+    * cross join — then keep candidates with XOR-popcount Hamming ≤ 8.
+    * On the planted set the near-dup pairs land at distance 0
+    * (brightness shift — dHash is gradient-based, so uniform
+    * brightness change is INVISIBLE, which is the point of the hash)
+    * and 6 (1-pixel translation), unrelated images at 31–37;
+    * banded recall on the planted pairs is 3/3. Corrupt payloads drop
+    * at decode, loudly countable. The oracle is the precomputed
+    * physics of the committed fixtures (the decode-stats pattern:
+    * fixture bytes are the one input a SQL engine cannot derive).
+    * At corpus scale the identical plan runs over billions of images:
+    * the exchange carries (band, 16-bit value, id) longs. */
+  def multimodalPhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = phashFixtures.flatMap { case (id, name) =>
+      val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+      val bytes = try in.readAllBytes() finally in.close()
+      graft.pipeline.Multimodal.dhash64(bytes).map(h => (id, h))
+    }
+    val hdf = s.createDataset(hashes).toDF("media_id", "h")
+    val bands = hdf.select(col("media_id"), col("h"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          (shiftrightunsigned(col("h"), 16 * i) % 65536).as("bv"))): _*))
+        .as("b"))
+      .select(col("media_id"), col("h"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val a = bands.select(col("band"), col("bv"),
+      col("media_id").as("id_a"), col("h").as("ha"))
+    val b = bands.select(col("band"), col("bv"),
+      col("media_id").as("id_b"), col("h").as("hb"))
+    a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Precomputed dHash physics of the committed fixtures: scene vs
+    * +6-brightness = 0 bits, scene vs 1-px shift = 6 bits (band 3
+    * equal → candidate), all unrelated pairs ≥ 31 bits (no shared
+    * band), corrupt payload decodes to None and cannot pair. */
+  val multimodalPhashDedupSql: String = """
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+      CAST(hamming AS BIGINT) AS hamming
+    FROM (VALUES (1, 2, 0), (1, 3, 6), (2, 3, 6)) t(id_a, id_b, hamming)
+    ORDER BY id_a, id_b"""
+
   /** REAL decode, oracle-gated: run the distributed decode path
     * ([[graft.pipeline.Multimodal.extractMediaFeatures]] — ImageIO
     * pixels, javax.sound PCM samples, RIFF/MJPEG frame parse) over the
@@ -4138,6 +4196,8 @@ object PipelineQueries {
     QuerySpec("dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
     QuerySpec("multimodal_decode_stats", multimodalDecodeStats,
       Some(multimodalDecodeStatsSql)),
+    QuerySpec("multimodal_phash_dedup", multimodalPhashDedup,
+      Some(multimodalPhashDedupSql)),
     QuerySpec("multimodal_compressed_meta", multimodalCompressedMeta,
       Some(multimodalCompressedMetaSql)),
     QuerySpec("dedup_exact", dedupExact, Some(dedupExactSql)),

@@ -192,6 +192,42 @@ class MediaMetaSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash: brightness-invariant, shift-tolerant, decode-safe") {
+    import java.awt.image.BufferedImage
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = f(x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def g(x: Int, y: Int): Int = {
+      val v = 96 + (48 * math.sin(x * 0.35) + 40 * math.cos(y * 0.27) +
+        30 * math.sin((x + y) * 0.15)).toInt
+      math.max(0, math.min(255, v))
+    }
+    val base = graft.pipeline.Multimodal.dhash64(png(g)).get
+    // dHash compares ADJACENT cells: a uniform brightness shift
+    // preserves every gradient sign → identical hash
+    val bright = graft.pipeline.Multimodal
+      .dhash64(png((x, y) => math.min(255, g(x, y) + 6))).get
+    assert(base == bright)
+    // 1-pixel translation flips only a few comparisons
+    val shift = graft.pipeline.Multimodal
+      .dhash64(png((x, y) => g(math.min(x + 1, 31), y))).get
+    assert(java.lang.Long.bitCount(base ^ shift) <= 10)
+    // unrelated structure lands near 32 bits
+    val checker = graft.pipeline.Multimodal
+      .dhash64(png((x, y) => if (((x / 4) + (y / 4)) % 2 == 0) 230 else 25))
+      .get
+    assert(java.lang.Long.bitCount(base ^ checker) >= 20)
+    // non-images decode to None, never throw
+    assert(graft.pipeline.Multimodal.dhash64("not a png".getBytes).isEmpty)
+  }
+
   test("H.264: garbage and truncated streams do not parse") {
     assert(MediaMeta.parseH264("random text".getBytes).isEmpty)
     assert(MediaMeta.parseH264(Array[Byte]()).isEmpty)
