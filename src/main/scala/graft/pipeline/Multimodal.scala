@@ -183,6 +183,65 @@ object Multimodal {
   /** REAL audio features via the JDK's javax.sound.sampled (WAV/AU/
     * AIFF PCM): [sampleRateHz, channels, durationSec, rms, zeroCrossRate,
     * peak, meanAbs, bitsPerSample]. None = not a decodable audio payload. */
+  /** 64-bit audio energy-envelope fingerprint: decode to canonical
+    * 16-bit PCM, take channel 0, split into 64 equal windows, bit k
+    * set when window k's energy (exact in-order sum of squares)
+    * exceeds the mean window energy. Comparing to the GLOBAL mean
+    * rather than the adjacent window keeps bits stable inside
+    * constant-loudness passages (adjacent-window energies there are
+    * near-ties that phase shifts flip — measured 45-bit flips from a
+    * 60-sample shift under the dHash-style adjacent form). Amplitude
+    * scaling multiplies every energy AND the mean by the same factor,
+    * so volume-normalized copies hash identically. None when the
+    * payload doesn't decode or is shorter than 64 samples. */
+  def audioFingerprint64(content: Array[Byte]): Option[Long] =
+    try {
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val sf = src.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          sf.getSampleRate, 16, sf.getChannels, sf.getChannels * 2,
+          sf.getSampleRate, false)
+        val in = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(target, src)
+        val bytes = in.readAllBytes()
+        val ch = target.getChannels
+        val n = bytes.length / 2
+        val frames = if (ch == 0) 0 else n / ch
+        if (frames < 64) return None
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val energy = new Array[Double](64)
+        var w = 0
+        while (w < 64) {
+          val f0 = w * frames / 64
+          val f1 = (w + 1) * frames / 64
+          var s = 0.0
+          var f = f0
+          while (f < f1) {
+            val v = bb.getShort(f * ch * 2) / 32768.0
+            s += v * v
+            f += 1
+          }
+          energy(w) = s
+          w += 1
+        }
+        var mean = 0.0
+        var k = 0
+        while (k < 64) { mean += energy(k); k += 1 }
+        mean /= 64.0
+        var hash = 0L
+        k = 0
+        while (k < 64) {
+          if (energy(k) > mean) hash |= (1L << k)
+          k += 1
+        }
+        Some(hash)
+      } finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def audioFeatures(content: Array[Byte]): Option[Array[Float]] =
     try {
       val src = javax.sound.sampled.AudioSystem.getAudioInputStream(

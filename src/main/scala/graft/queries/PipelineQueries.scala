@@ -1551,6 +1551,60 @@ object PipelineQueries {
     FROM (VALUES (1, 2, 0), (1, 3, 6), (2, 3, 6)) t(id_a, id_b, hamming)
     ORDER BY id_a, id_b"""
 
+  private val audioFpFixtures = Seq(
+    (1L, "wav_melody.wav"), (2L, "wav_melody_quiet.wav"),
+    (3L, "wav_melody_stereo.wav"), (4L, "wav_melody_shift.wav"),
+    (5L, "wav_noise.wav"), (6L, "wav_sine.wav"),
+    (7L, "corrupt_audio.bin"))
+
+  /** Audio duplicate detection over the REAL javax.sound decode path:
+    * energy-envelope fingerprint per committed fixture
+    * ([[graft.pipeline.Multimodal.audioFingerprint64]] — window k's
+    * energy vs the global mean, so volume scaling and channel
+    * re-encodes hash IDENTICALLY), banded 4×16-bit candidate join,
+    * Hamming ≤ 8 keeps. The planted copies (half-volume, mono→stereo
+    * re-encode) land at distance 0; a 5%-trimmed copy lands at 25 —
+    * positional envelope bits are translation-sensitive BY DESIGN
+    * (catching trims needs overlap-and-search, a different cost
+    * class), and the fixture pins that boundary honestly. Corrupt
+    * payloads drop at decode. Oracle = precomputed fixture physics. */
+  def multimodalAudioDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = audioFpFixtures.flatMap { case (id, name) =>
+      val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+      val bytes = try in.readAllBytes() finally in.close()
+      graft.pipeline.Multimodal.audioFingerprint64(bytes).map(h => (id, h))
+    }
+    val hdf = s.createDataset(hashes).toDF("media_id", "h")
+    val bands = hdf.select(col("media_id"), col("h"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          (shiftrightunsigned(col("h"), 16 * i) % 65536).as("bv"))): _*))
+        .as("b"))
+      .select(col("media_id"), col("h"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val a = bands.select(col("band"), col("bv"),
+      col("media_id").as("id_a"), col("h").as("ha"))
+    val b = bands.select(col("band"), col("bv"),
+      col("media_id").as("id_b"), col("h").as("hb"))
+    a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Precomputed fingerprint physics of the committed fixtures: the
+    * half-volume and stereo re-encodes of the melody are bit-identical
+    * to it (pairwise 0), everything else ≥ 25 bits with no shared
+    * band; the corrupt payload decodes to None. */
+  val multimodalAudioDedupSql: String = """
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+      CAST(hamming AS BIGINT) AS hamming
+    FROM (VALUES (1, 2, 0), (1, 3, 0), (2, 3, 0)) t(id_a, id_b, hamming)
+    ORDER BY id_a, id_b"""
+
   /** REAL decode, oracle-gated: run the distributed decode path
     * ([[graft.pipeline.Multimodal.extractMediaFeatures]] — ImageIO
     * pixels, javax.sound PCM samples, RIFF/MJPEG frame parse) over the
@@ -4198,6 +4252,8 @@ object PipelineQueries {
       Some(multimodalDecodeStatsSql)),
     QuerySpec("multimodal_phash_dedup", multimodalPhashDedup,
       Some(multimodalPhashDedupSql)),
+    QuerySpec("multimodal_audio_dedup", multimodalAudioDedup,
+      Some(multimodalAudioDedupSql)),
     QuerySpec("multimodal_compressed_meta", multimodalCompressedMeta,
       Some(multimodalCompressedMetaSql)),
     QuerySpec("dedup_exact", dedupExact, Some(dedupExactSql)),

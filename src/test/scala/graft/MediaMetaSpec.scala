@@ -228,6 +228,27 @@ class MediaMetaSpec extends AnyFunSuite {
     assert(graft.pipeline.Multimodal.dhash64("not a png".getBytes).isEmpty)
   }
 
+  test("audio fingerprint: volume/channel-invariant, decode-safe") {
+    def res(n: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/graft/fixtures/$n")
+      try in.readAllBytes() finally in.close()
+    }
+    val m = graft.pipeline.Multimodal.audioFingerprint64(
+      res("wav_melody.wav")).get
+    assert(graft.pipeline.Multimodal.audioFingerprint64(
+      res("wav_melody_quiet.wav")).get == m)
+    assert(graft.pipeline.Multimodal.audioFingerprint64(
+      res("wav_melody_stereo.wav")).get == m)
+    val shift = graft.pipeline.Multimodal.audioFingerprint64(
+      res("wav_melody_shift.wav")).get
+    assert(java.lang.Long.bitCount(m ^ shift) > 8) // trims are NOT caught
+    val noise = graft.pipeline.Multimodal.audioFingerprint64(
+      res("wav_noise.wav")).get
+    assert(java.lang.Long.bitCount(m ^ noise) >= 20)
+    assert(graft.pipeline.Multimodal
+      .audioFingerprint64("nope".getBytes).isEmpty)
+  }
+
   test("H.264: garbage and truncated streams do not parse") {
     assert(MediaMeta.parseH264("random text".getBytes).isEmpty)
     assert(MediaMeta.parseH264(Array[Byte]()).isEmpty)
