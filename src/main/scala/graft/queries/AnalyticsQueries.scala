@@ -1150,7 +1150,51 @@ object AnalyticsQueries {
       COALESCE(ROUND(quantile_cont(lat_min, 0.9), 4), -1.0) AS p90_min
     FROM p GROUP BY day ORDER BY day"""
 
+  // ---------------------------------------------------- k-anonymity
+  /** k-anonymity audit (Sweeney 2002) before a data release: customers
+    * fall into equivalence classes by quasi-identifier (nation,
+    * market segment, account-balance bucket); for each candidate k the
+    * report counts classes smaller than k and the individuals those
+    * classes expose — the go/no-go table an anonymization pipeline
+    * gates on. Scale shape: ONE hash aggregate builds the class-size
+    * table (map-side combinable); the per-k report is a broadcast
+    * cross of that tiny table with the k list. */
+  def kanonAudit(s: SparkSession, d: String): DataFrame = {
+    val qi = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+    val cls = qi.groupBy("n_name", "c_mktsegment", "bal_bucket")
+      .agg(count(lit(1)).as("sz"))
+    val ks = s.createDataFrame(Seq(Tuple1(2L), Tuple1(5L), Tuple1(10L)))
+      .toDF("k")
+    cls.crossJoin(broadcast(ks))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("sz") < col("k"), 1L).otherwise(0L))
+          .as("n_small_classes"),
+        sum(when(col("sz") < col("k"), col("sz")).otherwise(0L))
+          .as("n_at_risk"))
+      .orderBy("k")
+  }
+
+  val kanonAuditSql: String = """
+    WITH qi AS (SELECT n_name, c_mktsegment,
+        CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+      FROM customer JOIN nation ON c_nationkey = n_nationkey),
+    cls AS (SELECT n_name, c_mktsegment, bal_bucket, COUNT(*) AS sz
+      FROM qi GROUP BY 1, 2, 3),
+    ks AS (SELECT UNNEST([2, 5, 10]) AS k)
+    SELECT CAST(k AS BIGINT) AS k, COUNT(*) AS n_classes,
+      CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_small_classes,
+      CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+        AS n_at_risk
+    FROM cls CROSS JOIN ks GROUP BY k ORDER BY k"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("kanon_audit", kanonAudit, Some(kanonAuditSql)),
     QuerySpec("conversion_latency", conversionLatency,
       Some(conversionLatencySql)),
     QuerySpec("forecast_eval", forecastEval, Some(forecastEvalSql)),

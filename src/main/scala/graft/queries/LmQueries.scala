@@ -321,7 +321,133 @@ object LmQueries {
         / SUM(n), 6) AS avg_neg_logprob
     FROM scored GROUP BY doc_id ORDER BY doc_id"""
 
+  // ------------------------------------------------- retrieval nDCG
+  /** Retrieval-quality evaluation: nDCG@10 of the BM25 ranking (same
+    * arithmetic as bm25_topk, same vocabulary-filtered postings shape)
+    * against a graded-relevance truth — rel(q, d) = total query-term
+    * frequency in the document, capped at 8 — a label the ranker does
+    * not see (BM25 length-normalizes and idf-weights; raw capped
+    * frequency is an independent signal, so the two rankings genuinely
+    * diverge and nDCG lands strictly below 1). DCG terms rel/log2(rank+1) go through DECIMAL(38,12)
+    * before summing (order-free); the ideal ranking sorts the same
+    * grades (ties by doc_id) corpus-wide, so IDCG is the true optimum,
+    * not the optimum of the retrieved set. The eval-harness shape:
+    * rank, join truth, two tiny per-query aggregates. */
+  def retrievalNdcgEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val queryTerms: Seq[(String, String)] = Seq(
+      "q1" -> "spark", "q1" -> "join",
+      "q2" -> "window", "q2" -> "agg",
+      "q3" -> "hash", "q3" -> "table", "q3" -> "scan")
+    val qt = queryTerms.toDF("query_id", "t")
+    val terms = queryTerms.map(_._2).distinct
+    val docs = Tables.documents(s, d)
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("tot_len"))
+    val tf = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "dl", "t")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t")
+      .agg(count(when(col("tf") >= 1, 1)).as("df"))
+    val scored = tf
+      .join(broadcast(qt), Seq("t"))
+      .join(broadcast(dfreq), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(log(
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)), 9))
+      .withColumn("avgdl", col("tot_len").cast("double") / col("n_docs"))
+      .withColumn("c", col("idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("c").cast("decimal(38,12)")).cast("double"), 6)
+        .as("score"))
+    val rel = tf.join(broadcast(qt), Seq("t"))
+      .groupBy("query_id", "doc_id")
+      .agg(least(sum(col("tf")), lit(8L)).as("rel"))
+    val wScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    val dcg = scored.withColumn("rank", row_number().over(wScore))
+      .filter(col("rank") <= 10)
+      .join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(sum((col("rel") / (log(col("rank") + lit(1.0)) / log(lit(2.0))))
+        .cast("decimal(38,12)")).as("dcg_d"))
+    val wRel = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))
+    val idcg = rel.withColumn("irank", row_number().over(wRel))
+      .filter(col("irank") <= 10)
+      .groupBy("query_id")
+      .agg(sum((col("rel") /
+        (log(col("irank") + lit(1.0)) / log(lit(2.0))))
+        .cast("decimal(38,12)")).as("idcg_d"))
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"),
+        round(col("dcg_d").cast("double"), 6).as("dcg10"),
+        round(col("idcg_d").cast("double"), 6).as("idcg10"),
+        round(col("dcg_d").cast("double") /
+          col("idcg_d").cast("double"), 6).as("ndcg10"))
+      .orderBy("query_id")
+  }
+
+  val retrievalNdcgEvalSql: String = """
+    WITH qt AS (SELECT * FROM (VALUES
+        ('q1', 'spark'), ('q1', 'join'),
+        ('q2', 'window'), ('q2', 'agg'),
+        ('q3', 'hash'), ('q3', 'table'), ('q3', 'scan'))
+      AS v(query_id, t)),
+    stats AS (SELECT COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot_len
+      FROM documents),
+    toks AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS dl,
+        unnest(string_split(text, ' ')) AS t
+      FROM documents),
+    tf AS (SELECT doc_id, dl, t, COUNT(*) AS tf FROM toks
+      WHERE t IN (SELECT DISTINCT t FROM qt)
+      GROUP BY doc_id, dl, t),
+    dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    contrib AS (SELECT qt.query_id, tf.doc_id,
+        ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 9) *
+          (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * dl /
+            (CAST(tot_len AS DOUBLE) / n_docs))) AS c
+      FROM tf JOIN qt ON tf.t = qt.t
+      JOIN dfreq ON tf.t = dfreq.t CROSS JOIN stats),
+    scored AS (SELECT query_id, doc_id,
+        ROUND(CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+      FROM contrib GROUP BY query_id, doc_id),
+    rel AS (SELECT qt.query_id, tf.doc_id,
+        LEAST(CAST(SUM(tf.tf) AS BIGINT), 8) AS rel
+      FROM tf JOIN qt ON tf.t = qt.t GROUP BY 1, 2),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id) AS rank FROM scored),
+    dcg AS (SELECT ranked.query_id,
+        SUM(CAST(rel / (ln(rank + 1.0) / ln(2.0)) AS DECIMAL(38,12)))
+          AS dcg_d
+      FROM ranked JOIN rel ON ranked.query_id = rel.query_id
+        AND ranked.doc_id = rel.doc_id
+      WHERE rank <= 10 GROUP BY 1),
+    ideal AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY rel DESC, doc_id) AS irank FROM rel),
+    idcg AS (SELECT query_id,
+        SUM(CAST(rel / (ln(irank + 1.0) / ln(2.0)) AS DECIMAL(38,12)))
+          AS idcg_d
+      FROM ideal WHERE irank <= 10 GROUP BY 1)
+    SELECT dcg.query_id AS query_id,
+      ROUND(CAST(dcg_d AS DOUBLE), 6) AS dcg10,
+      ROUND(CAST(idcg_d AS DOUBLE), 6) AS idcg10,
+      ROUND(CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE), 6) AS ndcg10
+    FROM dcg JOIN idcg ON dcg.query_id = idcg.query_id
+    ORDER BY query_id"""
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("retrieval_ndcg_eval", retrievalNdcgEval,
+      Some(retrievalNdcgEvalSql)),
     QuerySpec("ngram_hot", ngramHot, Some(ngramHotSql)),
     QuerySpec("text_stupid_backoff", textStupidBackoff,
       Some(textStupidBackoffSql)),
