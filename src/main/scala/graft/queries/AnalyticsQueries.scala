@@ -1193,7 +1193,146 @@ object AnalyticsQueries {
         AS n_at_risk
     FROM cls CROSS JOIN ks GROUP BY k ORDER BY k"""
 
+  // ------------------------------------------------ sequence patterns
+  /** Sequence pattern matching over event streams (the MATCH_RECOGNIZE
+    * / Flink-CEP capability class, reduced to its distributed shape):
+    * per user-day, encode the time-ordered event sequence as a
+    * character string (c/e/p/s/v) and count regex matches of the
+    * funnel pattern `c v* p` (click, any views, purchase) plus the
+    * error-burst pattern `e e e+`. Encoding happens in ONE ordered
+    * aggregation per user-day partition — tiny strings (a user-day's
+    * events), never a corpus-wide sort — and the regex runs map-side
+    * on the aggregated row. Ties at the same microsecond order by
+    * event_id in both engines. */
+  def eventsPatternMatch(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id"), expr(s"ts_us div $UsPerDay").as("day"),
+        col("ts_us"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+    val seqs = ev
+      .groupBy("user_id", "day")
+      .agg(concat_ws("",
+        array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+          col("c")))).getField("c")).as("seq"))
+    val funnel = "c[v]*p"
+    val burst = "eee+"
+    seqs.select(col("user_id"), col("day"),
+        length(col("seq")).cast("long").as("n_events"),
+        size(expr(s"regexp_extract_all(seq, '$funnel', 0)")).cast("long")
+          .as("n_funnel"),
+        size(expr(s"regexp_extract_all(seq, '$burst', 0)")).cast("long")
+          .as("n_error_burst"))
+      .filter(col("n_funnel") > 0 || col("n_error_burst") > 0)
+      .orderBy("user_id", "day")
+  }
+
+  val eventsPatternMatchSql: String = s"""
+    WITH ev AS (SELECT user_id, epoch_us(ts) // $UsPerDay AS day,
+        epoch_us(ts) AS tu, event_id, substr(event_type, 1, 1) AS c
+      FROM events WHERE user_id IS NOT NULL),
+    seqs AS (SELECT user_id, day,
+        string_agg(c, '' ORDER BY tu, event_id) AS seq
+      FROM ev GROUP BY 1, 2)
+    SELECT user_id, day, CAST(length(seq) AS BIGINT) AS n_events,
+      CAST(len(regexp_extract_all(seq, 'c[v]*p')) AS BIGINT) AS n_funnel,
+      CAST(len(regexp_extract_all(seq, 'eee+')) AS BIGINT)
+        AS n_error_burst
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, 'c[v]*p')) > 0
+       OR len(regexp_extract_all(seq, 'eee+')) > 0
+    ORDER BY user_id, day"""
+
+  // ----------------------------------------------------- ABC analysis
+  /** Per-brand ABC (Pareto) classification of parts by revenue:
+    * cumulative revenue share within brand → A (≤ 70%), B (≤ 90%),
+    * C (rest) — the inventory-prioritization classic. The cumulative
+    * window runs over the per-part AGGREGATE, partitioned by brand —
+    * thousands of small partitions, never a global sort; revenue sums
+    * are DECIMAL-exact and the share divides the two exact decimals
+    * once, so class boundaries are bit-stable cross-engine. */
+  def ordersAbc(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("p_partkey").as("part_id"))
+      .agg(sum(col("l_extendedprice").cast("decimal(38,6)")).as("rev"))
+    val w = Window.partitionBy("brand")
+      .orderBy(col("rev").desc, col("part_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("brand")
+    val classed = rev
+      .withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("tot", sum(col("rev")).over(wAll))
+      .withColumn("share", (col("cum").cast("double") /
+        col("tot").cast("double")))
+      .withColumn("abc", when(col("share") <= 0.7, "A")
+        .when(col("share") <= 0.9, "B").otherwise("C"))
+    classed.groupBy("brand", "abc")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("rev")).cast("double"), 2).as("class_revenue"))
+      .orderBy("brand", "abc")
+  }
+
+  val ordersAbcSql: String = """
+    WITH rev AS (SELECT p_brand AS brand, p_partkey AS part_id,
+        SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2),
+    c AS (SELECT brand, part_id, rev,
+        SUM(rev) OVER (PARTITION BY brand ORDER BY rev DESC, part_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(rev) OVER (PARTITION BY brand) AS tot
+      FROM rev),
+    k AS (SELECT brand, part_id, rev,
+        CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.7
+          THEN 'A'
+          WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.9
+          THEN 'B' ELSE 'C' END AS abc
+      FROM c)
+    SELECT brand, abc, COUNT(*) AS n_parts,
+      ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS class_revenue
+    FROM k GROUP BY 1, 2 ORDER BY brand, abc"""
+
+  // -------------------------------------------------- velocity rules
+  /** Trailing-window velocity flags (the fraud/rate-limit rule shape):
+    * for each event, the count of the SAME user's events in the
+    * preceding 10 minutes via a RANGE frame on epoch-micros — the
+    * event-time sliding window that row frames cannot express (events
+    * are irregular). Flag when ≥ 5 precede; report per day. The
+    * window partitions by user (millions of small partitions); counts
+    * are integers end-to-end. */
+  def eventsVelocityFlags(s: SparkSession, d: String): DataFrame = {
+    val horizon = 600000000L // 10 min in micros
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-horizon, -1)
+    Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts_us"))
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .select(expr(s"ts_us div $UsPerDay").as("day"),
+        col("n_prev"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("n_prev") >= 5, 1L).otherwise(0L)).as("n_flagged"),
+        max(col("n_prev")).as("max_burst"))
+      .orderBy("day")
+  }
+
+  val eventsVelocityFlagsSql: String = s"""
+    WITH v AS (SELECT user_id, epoch_us(ts) AS tu,
+        COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING) AS n_prev
+      FROM events WHERE user_id IS NOT NULL)
+    SELECT tu // $UsPerDay AS day, COUNT(*) AS n_events,
+      CAST(SUM(CASE WHEN n_prev >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_flagged,
+      CAST(MAX(n_prev) AS BIGINT) AS max_burst
+    FROM v GROUP BY 1 ORDER BY day"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("events_pattern_match", eventsPatternMatch,
+      Some(eventsPatternMatchSql)),
+    QuerySpec("orders_abc", ordersAbc, Some(ordersAbcSql)),
+    QuerySpec("events_velocity_flags", eventsVelocityFlags,
+      Some(eventsVelocityFlagsSql)),
     QuerySpec("kanon_audit", kanonAudit, Some(kanonAuditSql)),
     QuerySpec("conversion_latency", conversionLatency,
       Some(conversionLatencySql)),
