@@ -172,6 +172,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming Arrow export: drained shard sets decode to exactly " +
+      "the streamed rows") {
+    val src = Files.createTempDirectory("graft-arrowsrc").toString
+    val out = Files.createTempDirectory("graft-arrowsink").toString
+    val ckpt = Files.createTempDirectory("graft-arrowckpt").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"),
+        col("n_chars").cast("long").as("n_chars"))
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(src)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = graft.streaming.ArrowSink.start(stream, out, ckpt)
+    try { q.processAllAvailable() } finally q.stop()
+    val back = graft.sources.ArrowIpc.readShards(spark, s"$out/batch-*")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val want = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(back.toSeq == want.toSeq)
+    // at least two batch directories (accumulation, not recompute)
+    val batches = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch-"))
+    assert(batches.length >= 2)
+  }
+
   test("streaming KMV sketch: drained stream retains the batch " +
       "k-minimum values element-for-element") {
     val dir = Files.createTempDirectory("graft-kmvstream").toString
