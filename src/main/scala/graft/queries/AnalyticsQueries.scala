@@ -1327,7 +1327,155 @@ object AnalyticsQueries {
       CAST(MAX(n_prev) AS BIGINT) AS max_burst
     FROM v GROUP BY 1 ORDER BY day"""
 
+  // ------------------------------------------------------ SCD type 2
+  /** Slowly-changing-dimension type-2 build from an event history: a
+    * user's "status" is their event type; consecutive duplicates
+    * collapse, each retained change opens a validity interval
+    * [valid_from, valid_to) closed by the NEXT change (the current row
+    * keeps valid_to = −1 and is_current = true) — the warehouse
+    * dimension-versioning classic, built with two per-user window
+    * passes (lag to drop consecutive repeats, lead to close
+    * intervals); no self-join, no global sort. Ties at the same
+    * microsecond order by event_id in both engines. */
+  def scd2Build(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val changes = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type").as("status"))
+      .withColumn("prev", lag(col("status"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+    val w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes
+      .withColumn("valid_to",
+        coalesce(lead(col("ts_us"), 1).over(w2), lit(-1L)))
+      .select(col("user_id"), col("status"),
+        col("ts_us").as("valid_from"), col("valid_to"),
+        (col("valid_to") === -1L).as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  val scd2BuildSql: String = """
+    WITH h AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
+        event_type AS status,
+        LAG(event_type, 1) OVER (PARTITION BY user_id
+          ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events WHERE user_id IS NOT NULL),
+    ch AS (SELECT user_id, tu, event_id, status FROM h
+      WHERE prev IS NULL OR prev != status)
+    SELECT user_id, status, tu AS valid_from,
+      COALESCE(LEAD(tu, 1) OVER (PARTITION BY user_id
+        ORDER BY tu, event_id), -1) AS valid_to,
+      (COALESCE(LEAD(tu, 1) OVER (PARTITION BY user_id
+        ORDER BY tu, event_id), -1) = -1) AS is_current
+    FROM ch ORDER BY user_id, valid_from"""
+
+  // --------------------------------------------------- Benford audit
+  /** Benford first-digit audit of order totals: observed first-digit
+    * counts vs the Benford expectation n·log10(1+1/d), with the χ²
+    * statistic — the forensic-accounting screen for fabricated
+    * numerics, and a one-aggregate map-side-combinable scan. The
+    * expected counts and χ² terms are fixed-form double expressions
+    * over exact integer counts, identical in both engines. */
+  def benfordAudit(s: SparkSession, d: String): DataFrame = {
+    val digit = substring(col("o_totalprice").cast("string"), 1, 1)
+      .cast("int")
+    val obs = Tables.orders(s, d)
+      .filter(col("o_totalprice") >= 1)
+      .select(digit.as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("n"))
+    obs.crossJoin(broadcast(tot))
+      .withColumn("n_exp",
+        round(col("n") * (log(lit(1.0) + lit(1.0) / col("d")) /
+          log(lit(10.0))), 2))
+      .select(col("d"), col("n_obs"), col("n_exp"),
+        round(pow(col("n_obs") - col("n_exp"), 2) / col("n_exp"), 4)
+          .as("chi2_term"))
+      .orderBy("d")
+  }
+
+  val benfordAuditSql: String = """
+    WITH obs AS (SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1)
+          AS INT) AS d,
+        COUNT(*) AS n_obs
+      FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT d, n_obs,
+      ROUND(n * (ln(1.0 + 1.0 / d) / ln(10.0)), 2) AS n_exp,
+      ROUND(POW(n_obs - ROUND(n * (ln(1.0 + 1.0 / d) / ln(10.0)), 2), 2)
+        / ROUND(n * (ln(1.0 + 1.0 / d) / ln(10.0)), 2), 4) AS chi2_term
+    FROM obs CROSS JOIN tot ORDER BY d"""
+
+  // ----------------------------------------------- correlation matrix
+  /** Pairwise Pearson correlation of the lineitem measures — the
+    * profiling matrix feature stores compute before model training.
+    * All five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    * DECIMAL(38,6)-exact sums in ONE map-side-combinable aggregate per
+    * pair (one scan total via a single wide aggregate), so r is the
+    * same IEEE expression over identical integers-scaled decimals in
+    * both engines; only the final r is floating. */
+  def corrMatrix(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- i + 1 until cols.length
+    } yield (cols(i), cols(j))
+    def dsum(e: Column) = sum(e.cast("decimal(38,6)"))
+    val aggs = pairs.flatMap { case (x, y) =>
+      val (cx, cy) = (col(x), col(y))
+      Seq(dsum(cx).as(s"sx_${x}_$y"), dsum(cy).as(s"sy_${x}_$y"),
+        dsum(cx * cy).as(s"sxy_${x}_$y"),
+        dsum(cx * cx).as(s"sxx_${x}_$y"),
+        dsum(cy * cy).as(s"syy_${x}_$y"))
+    }
+    val allAggs = count(lit(1)).as("n") +: aggs
+    val m = Tables.lineitem(s, d).agg(allAggs.head, allAggs.tail: _*)
+    // all six r's from the ONE aggregate row, then unpivot — a single
+    // corpus scan, not one per pair
+    val pairStructs = pairs.map { case (x, y) =>
+      val n = col("n").cast("double")
+      val (sx, sy, sxy, sxx, syy) = (
+        col(s"sx_${x}_$y").cast("double"), col(s"sy_${x}_$y").cast("double"),
+        col(s"sxy_${x}_$y").cast("double"),
+        col(s"sxx_${x}_$y").cast("double"),
+        col(s"syy_${x}_$y").cast("double"))
+      struct(lit(x).as("x"), lit(y).as("y"),
+        round((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6).as("r"))
+    }
+    m.select(explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"), col("p.r").as("r"))
+      .orderBy("x", "y")
+  }
+
+  val corrMatrixSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- i + 1 until cols.length
+    } yield (cols(i), cols(j))
+    // one wide-aggregate CTE (single scan), tiny per-pair selects over it
+    val sums = cols.flatMap(c => Seq(
+      s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS s_$c",
+      s"CAST(SUM(CAST($c * $c AS DECIMAL(38,6))) AS DOUBLE) AS ss_$c")) ++
+      pairs.map { case (x, y) =>
+        s"CAST(SUM(CAST($x * $y AS DECIMAL(38,6))) AS DOUBLE) AS sp_${x}_$y"
+      }
+    val selects = pairs.map { case (x, y) =>
+      s"""SELECT '$x' AS x, '$y' AS y,
+         ROUND((n * sp_${x}_$y - s_$x * s_$y) /
+           (sqrt(n * ss_$x - s_$x * s_$x) *
+            sqrt(n * ss_$y - s_$y * s_$y)), 6) AS r
+         FROM m"""
+    }
+    s"""WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       ${sums.mkString(",\n       ")}
+       FROM lineitem)
+       ${selects.mkString("", " UNION ALL ", " ORDER BY x, y")}"""
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("scd2_build", scd2Build, Some(scd2BuildSql)),
+    QuerySpec("benford_audit", benfordAudit, Some(benfordAuditSql)),
+    QuerySpec("corr_matrix", corrMatrix, Some(corrMatrixSql)),
     QuerySpec("events_pattern_match", eventsPatternMatch,
       Some(eventsPatternMatchSql)),
     QuerySpec("orders_abc", ordersAbc, Some(ordersAbcSql)),
