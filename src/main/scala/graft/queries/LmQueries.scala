@@ -445,7 +445,73 @@ object LmQueries {
     FROM dcg JOIN idcg ON dcg.query_id = idcg.query_id
     ORDER BY query_id"""
 
+  // ------------------------------------------------ vocabulary growth
+  /** Heaps-law vocabulary-growth curve: cumulative distinct tokens vs
+    * cumulative token count over a doc_id-ordered prefix sweep — the
+    * curve tokenizer vocab sizing and dedup-health monitoring read
+    * (sub-Heaps growth flags duplication; super-linear flags noise).
+    * Scale shape: ONE aggregate finds each token's FIRST document
+    * (min doc_id — map-side combinable, the exchange carries token
+    * hashes... here tokens, a bounded vocabulary by definition of the
+    * output), one aggregate per bucket for token totals, and the
+    * cumulative sums run over the B-row bucket table (B = 10), not the
+    * corpus. */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nb = 10
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val w = split(col("text"), " ")
+    val toks = docs.crossJoin(broadcast(mx))
+      .select(expr(s"cast(doc_id * $nb div (mx + 1) as int)")
+        .as("bucket"), explode(w).as("tok"))
+    val firstSeen = toks.groupBy("tok").agg(min(col("bucket")).as("b0"))
+      .groupBy("b0").agg(count(lit(1)).as("new_types"))
+    val perBucket = toks.groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"))
+    val cw = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    perBucket
+      .join(firstSeen.withColumnRenamed("b0", "bucket"), Seq("bucket"),
+        "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cw))
+      .withColumn("cum_types", sum(col("new_types")).over(cw))
+      .select(col("bucket"), col("cum_tokens"), col("cum_types"),
+        round(col("cum_types").cast("double") / col("cum_tokens"), 6)
+          .as("type_token_ratio"))
+      .orderBy("bucket")
+  }
+
+  val vocabGrowthSql: String = """
+    WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+    toks AS (SELECT CAST(doc_id * 10 // (mx + 1) AS INT) AS bucket,
+        unnest(string_split(text, ' ')) AS tok
+      FROM documents, mx),
+    fs AS (SELECT b0, COUNT(*) AS new_types FROM
+      (SELECT tok, MIN(bucket) AS b0 FROM toks GROUP BY tok)
+      GROUP BY b0),
+    pb AS (SELECT bucket, COUNT(*) AS n_tokens FROM toks GROUP BY bucket),
+    j AS (SELECT pb.bucket, n_tokens,
+        COALESCE(new_types, 0) AS new_types
+      FROM pb LEFT JOIN fs ON pb.bucket = fs.b0)
+    SELECT bucket,
+      CAST(SUM(n_tokens) OVER (ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_tokens,
+      CAST(SUM(new_types) OVER (ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_types,
+      ROUND(CAST(SUM(new_types) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        CAST(SUM(n_tokens) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+        AS type_token_ratio
+    FROM j ORDER BY bucket"""
+
   def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     QuerySpec("retrieval_ndcg_eval", retrievalNdcgEval,
       Some(retrievalNdcgEvalSql)),
     QuerySpec("ngram_hot", ngramHot, Some(ngramHotSql)),

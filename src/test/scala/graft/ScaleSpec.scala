@@ -915,7 +915,9 @@ class ScaleSpec extends SparkSpec {
     //    expose their REAL plan instead of a collapsed
     //    `Scan ExistingRDD` the checks would vacuously pass; a
     //    collapsed-plan guard backstops any future direct checkpoint.
-    val allowedGlobals = Map("dsir_importance" -> 1, "shuffle_epoch" -> 1)
+    val allowedGlobals = Map("dsir_importance" -> 1, "shuffle_epoch" -> 1,
+      // cumulative sums over the 10-row bucket aggregate (Heaps curve)
+      "vocab_growth" -> 1)
     val heavyCols = Set("text", "para", "words", "span", "embedding")
     // Intrinsic candidate co-location: these ops ship CANDIDATE vectors
     // to their cell/bucket to be compared there — that exchange is the
