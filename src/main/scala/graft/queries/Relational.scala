@@ -119,6 +119,59 @@ object Relational {
     GROUP BY n_name
     ORDER BY revenue DESC, n_name"""
 
+  /** TPC-H Q6 (forecast revenue change): the pure filter-aggregate
+    * query — every predicate (date range, discount band, quantity cap)
+    * must reach the parquet scan as a pushed filter, and the single
+    * DECIMAL-exact sum partial-aggregates map-side; at 100 TB this is
+    * a scan-rate benchmark, nothing else. */
+  def q6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(Q.dsum(col("l_extendedprice") * col("l_discount"))
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val q6Sql: String = s"""
+    SELECT ${Sql.dsum("l_extendedprice * l_discount")} AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24"""
+
+  /** TPC-H Q12 adapted to the reduced schema (no l_shipmode /
+    * commitdate in the driver's tables): per return flag, line counts
+    * split by high vs low order priority for a ship-date year — the
+    * join + conditional-aggregate shape (orders side broadcasts at
+    * dimension scale; at fact-scale both sides it is the classic
+    * shuffle equi-join with map-side partials). */
+  def q12(s: SparkSession, d: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val q12Sql: String = """
+    SELECT l_returnflag,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** Left-semi join (EXISTS): customers holding at least one big order. */
   def joinSemi(s: SparkSession, d: String): DataFrame = {
     val big = Tables.orders(s, d).filter(col("o_totalprice") > 150000.0)
@@ -532,6 +585,8 @@ object Relational {
     QuerySpec("events_funnel", eventsFunnel, Some(eventsFunnelSql)),
     QuerySpec("q3_top_revenue", q3, Some(q3Sql)),
     QuerySpec("q5_regional_revenue", q5, Some(q5Sql)),
+    QuerySpec("q6_forecast_revenue", q6, Some(q6Sql)),
+    QuerySpec("q12_priority_shipping", q12, Some(q12Sql)),
     QuerySpec("join_semi_exists", joinSemi, Some(joinSemiSql)),
     QuerySpec("join_anti_not_exists", joinAnti, Some(joinAntiSql)),
     QuerySpec("agg_rollup", aggRollup, Some(aggRollupSql)),

@@ -25,6 +25,9 @@ final case class RollingRate(event_type: String,
 final case class LastEvent(tsUs: Long, eventId: Long, eventType: String)
 final case class Transition(user_id: Long, prev_type: String,
                             next_type: String)
+/** per-user velocity state: event micros within the trailing horizon */
+final case class RecentTs(ts: Seq[Long])
+final case class VelocityFlag(user_id: Long, ts_us: Long, n_prev: Long)
 
 object EventStreams {
 
@@ -467,6 +470,44 @@ object EventStreams {
             t
           }
           prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Streaming velocity counting — the streaming twin of the batch
+    * events_velocity_flags RANGE window: per event, how many of the
+    * SAME user's events landed in the trailing 10 minutes, as events
+    * arrive. State per user is ONLY the timestamps inside the horizon
+    * (evicted as it slides — bounded by horizon × peak rate, not by
+    * stream length). In-order delivery assumed per the
+    * streamingTransitions contract (rows sorted by (ts_us, event_id)
+    * within each micro-batch; production would watermark-buffer late
+    * data first). Drained stream ≡ the batch window, per event
+    * (StreamingSpec). */
+  def streamingVelocity(events: DataFrame, horizonUs: Long = 600000000L)
+      : org.apache.spark.sql.Dataset[VelocityFlag] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+        "event_id")
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[RecentTs, VelocityFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[RecentTs]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var buf = state.getOption.map(_.ts.toVector).getOrElse(Vector.empty)
+          val out = sorted.map { case (_, tsUs, _) =>
+            buf = buf.dropWhile(_ < tsUs - horizonUs)
+            // batch RANGE frame is [-horizon, -1]: strictly-before ts
+            val nPrev = buf.count(t => t < tsUs)
+            buf = buf :+ tsUs
+            VelocityFlag(uid, tsUs, nPrev)
+          }
+          state.update(RecentTs(buf))
           out.iterator
       }
   }

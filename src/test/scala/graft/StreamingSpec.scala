@@ -201,6 +201,36 @@ class StreamingSpec extends SparkSpec {
     assert(batches.length >= 2)
   }
 
+  test("streaming velocity: per-event trailing-window counts equal " +
+      "the batch RANGE frame") {
+    val dir = Files.createTempDirectory("graft-velstream").toString
+    val ev = Tables.events(spark, sf("sf0.001"))
+    // split by time (in-order delivery, per the twin's contract)
+    val cut = ev.agg(expr("percentile(ts_us, 0.5)")).head.getDouble(0)
+    ev.filter(col("ts_us") <= cut).drop("ts_us").coalesce(1)
+      .write.mode("append").parquet(dir)
+    ev.filter(col("ts_us") > cut).drop("ts_us").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = EventStreams.streamingVelocity(
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withColumn("ts", expr("cast(ts as timestamp_ltz)")))
+    val q = stream.writeStream.format("memory").queryName("vel_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("vel_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-600000000L, -1)
+    val want = ev.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts_us"))
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming KMV sketch: drained stream retains the batch " +
       "k-minimum values element-for-element") {
     val dir = Files.createTempDirectory("graft-kmvstream").toString
