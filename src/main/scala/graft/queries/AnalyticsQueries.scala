@@ -1472,7 +1472,89 @@ object AnalyticsQueries {
        ${selects.mkString("", " UNION ALL ", " ORDER BY x, y")}"""
   }
 
+  // ------------------------------------------------- decile windows
+  /** Per-segment revenue deciles via ntile(10) — the quantile-bucket
+    * window (percent_rank/cume_dist family) with per-decile aggregate
+    * roll-up. The tie-break on o_orderkey makes ntile's row
+    * assignment, and therefore every downstream number, deterministic
+    * cross-engine. Window partitions by segment; the roll-up is
+    * map-side combinable. */
+  def windowNtile(s: SparkSession, d: String): DataFrame = {
+    val oc = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+        col("o_totalprice"))
+    val w = Window.partitionBy("segment")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    oc.withColumn("decile", ntile(10).over(w))
+      .groupBy("segment", "decile")
+      .agg(count(lit(1)).as("n_orders"),
+        Q.dsum(col("o_totalprice")).as("revenue"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy("segment", "decile")
+  }
+
+  val windowNtileSql: String = s"""
+    WITH oc AS (SELECT c_mktsegment AS segment, o_orderkey, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    t AS (SELECT segment, o_totalprice,
+        NTILE(10) OVER (PARTITION BY segment
+          ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM oc)
+    SELECT segment, CAST(decile AS INT) AS decile, COUNT(*) AS n_orders,
+      ${Sql.dsum("o_totalprice")} AS revenue,
+      ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+    FROM t GROUP BY 1, 2 ORDER BY segment, decile"""
+
+  // ------------------------------------------------- DAU/WAU sticky
+  /** Engagement stickiness: daily active users vs trailing-7-day
+    * actives, per day — the DAU/WAU product metric. Distinct-over-
+    * window doesn't exist, so the trailing-7d distinct builds as the
+    * standard expansion: the (day, user) DISTINCT table joins a 7-row
+    * offset grid (each active user-day votes into the 7 windows ending
+    * ≤ 6 days later) and re-distincts per window — row volume is
+    * 7 × active-user-days, linear, and every exchange carries (day,
+    * user) longs. Days with no history shorter than 7 report the
+    * partial window honestly. */
+  def eventsStickiness(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(expr(s"ts_us div $UsPerDay").as("day"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val offsets = s.createDataFrame(
+      (0L to 6L).map(Tuple1(_))).toDF("off")
+    val wau = ud.crossJoin(broadcast(offsets))
+      .select((col("day") + col("off")).as("wday"), col("user_id"))
+      .join(broadcast(dau.select(col("day").as("wday"))), Seq("wday"))
+      .distinct()
+      .groupBy("wday").agg(count(lit(1)).as("wau"))
+    dau.join(wau.withColumnRenamed("wday", "day"), Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6)
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  val eventsStickinessSql: String = s"""
+    WITH ud AS (SELECT DISTINCT epoch_us(ts) // $UsPerDay AS day, user_id
+      FROM events WHERE user_id IS NOT NULL),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    wau AS (SELECT wday, COUNT(*) AS wau FROM
+      (SELECT DISTINCT ud.day + off AS wday, user_id
+       FROM ud CROSS JOIN (SELECT UNNEST(range(0, 7)) AS off)
+       WHERE ud.day + off IN (SELECT day FROM dau))
+      GROUP BY wday)
+    SELECT dau.day AS day, dau, wau,
+      ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.wday
+    ORDER BY day"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("window_ntile", windowNtile, Some(windowNtileSql)),
+    QuerySpec("events_stickiness", eventsStickiness,
+      Some(eventsStickinessSql)),
     QuerySpec("scd2_build", scd2Build, Some(scd2BuildSql)),
     QuerySpec("benford_audit", benfordAudit, Some(benfordAuditSql)),
     QuerySpec("corr_matrix", corrMatrix, Some(corrMatrixSql)),
