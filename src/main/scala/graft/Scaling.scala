@@ -28,7 +28,8 @@ object Scaling {
     "dedup_incremental", "graph_triangles", "assoc_rules",
     "knn_classify", "dedup_containment",
     "graph_communities", "ngram_hot", "text_kn_bigram",
-    "text_stupid_backoff", "sketch_hll_distinct")
+    "text_stupid_backoff", "sketch_hll_distinct",
+    "corr_matrix", "events_stickiness", "conversion_latency")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("SCALING.json")

@@ -1551,7 +1551,59 @@ object AnalyticsQueries {
     FROM dau JOIN wau ON dau.day = wau.wday
     ORDER BY day"""
 
+  // ----------------------------------------------------- bounce rate
+  /** Session bounce rate per day: sessions assigned by the 30-minute
+    * inactivity gap (lag flag → running cumsum per user — the
+    * gaps-and-islands session id, one per-user window), then one
+    * aggregate per session and a daily roll-up of single-event
+    * ("bounce") sessions. A session's day is its FIRST event's day.
+    * Integer arithmetic end-to-end except the final rounded rate. */
+  def sessionBounce(s: SparkSession, d: String): DataFrame = {
+    val gap = 1800000000L // 30 min in micros
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gap ||
+          lag(col("ts_us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("ts_us")).as("t0"), count(lit(1)).as("n_events"))
+    sess.groupBy(expr(s"t0 div $UsPerDay").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        round(sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("bounce_rate"))
+      .orderBy("day")
+  }
+
+  val sessionBounceSql: String = s"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id
+      FROM events WHERE user_id IS NOT NULL),
+    f AS (SELECT user_id, tu, event_id,
+        CASE WHEN tu - LAG(tu, 1) OVER (PARTITION BY user_id
+            ORDER BY tu, event_id) > 1800000000
+          OR LAG(tu, 1) OVER (PARTITION BY user_id
+            ORDER BY tu, event_id) IS NULL
+          THEN 1 ELSE 0 END AS new_sess
+      FROM e),
+    sid AS (SELECT user_id, tu,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tu, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM f),
+    sess AS (SELECT user_id, sess_id, MIN(tu) AS t0, COUNT(*) AS n_events
+      FROM sid GROUP BY 1, 2)
+    SELECT t0 // $UsPerDay AS day, COUNT(*) AS n_sessions,
+      CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_bounce,
+      ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS bounce_rate
+    FROM sess GROUP BY 1 ORDER BY day"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("session_bounce", sessionBounce, Some(sessionBounceSql)),
     QuerySpec("window_ntile", windowNtile, Some(windowNtileSql)),
     QuerySpec("events_stickiness", eventsStickiness,
       Some(eventsStickinessSql)),
