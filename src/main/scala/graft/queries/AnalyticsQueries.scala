@@ -1602,7 +1602,42 @@ object AnalyticsQueries {
         / COUNT(*), 6) AS bounce_rate
     FROM sess GROUP BY 1 ORDER BY day"""
 
+  // ------------------------------------------------------ WoW growth
+  /** Week-over-week growth per event type: epoch-week buckets (pure
+    * integer division of epoch-micros — calendar-free), lag-1 window
+    * per type, percentage change rounded once. The reporting staple;
+    * the window partitions by type over the tiny weekly aggregate. */
+  def eventsWowGrowth(s: SparkSession, d: String): DataFrame = {
+    val usPerWeek = UsPerDay * 7
+    val weekly = Tables.events(s, d)
+      .groupBy(col("event_type"), expr(s"ts_us div $usPerWeek").as("week"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    weekly.withColumn("prev", lag(col("n"), 1).over(w))
+      .select(col("event_type"), col("week"), col("n"),
+        coalesce(col("prev"), lit(-1L)).as("prev_n"),
+        when(col("prev").isNotNull && col("prev") > 0,
+          round((col("n") - col("prev")).cast("double") * 100.0 /
+            col("prev"), 4)).otherwise(lit(null)).as("wow_pct"))
+      .orderBy("event_type", "week")
+  }
+
+  val eventsWowGrowthSql: String = s"""
+    WITH weekly AS (SELECT event_type,
+        epoch_us(ts) // ${UsPerDay * 7} AS week, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, week, n,
+        LAG(n, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev
+      FROM weekly)
+    SELECT event_type, week, n, COALESCE(prev, -1) AS prev_n,
+      CASE WHEN prev IS NOT NULL AND prev > 0
+        THEN ROUND(CAST(n - prev AS DOUBLE) * 100.0 / prev, 4) END
+        AS wow_pct
+    FROM l ORDER BY event_type, week"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("events_wow_growth", eventsWowGrowth,
+      Some(eventsWowGrowthSql)),
     QuerySpec("session_bounce", sessionBounce, Some(sessionBounceSql)),
     QuerySpec("window_ntile", windowNtile, Some(windowNtileSql)),
     QuerySpec("events_stickiness", eventsStickiness,
