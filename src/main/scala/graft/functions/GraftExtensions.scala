@@ -36,13 +36,19 @@ object GraftFunctions {
     "fingerprint8" -> (args => Fingerprint8(args.head)),
     "float_vector_dot" -> (args => FloatVectorDot(args(0), args(1))),
     "bitset_and_count" -> (args => BitsetAndCount(args(0), args(1))),
-    "morton_interleave" -> (args => MortonInterleave(args(0), args(1),
-      args(2) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(b, _) =>
-          b.toString.toInt
+    "morton_interleave" -> (args => {
+      if (args.length != 3) throw new IllegalArgumentException(
+        s"morton_interleave expects 3 arguments (x, y, bits literal); " +
+          s"got ${args.length}")
+      val bits = args(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(b: Int, _) => b
+        case org.apache.spark.sql.catalyst.expressions.Literal(b: Long, _) =>
+          b.toInt
         case other => throw new IllegalArgumentException(
-          s"morton_interleave bits must be a literal, got $other")
-      })))
+          s"morton_interleave bits must be an integer literal, got $other")
+      }
+      MortonInterleave(args(0), args(1), bits)
+    }))
 
   def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>

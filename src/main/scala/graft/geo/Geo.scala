@@ -50,10 +50,45 @@ object Geo {
   }
 
   final case class MultiPolygon(polys: Seq[Polygon]) extends Geometry {
-    def bbox: BBox = polys.map(_.bbox).reduce((a, b) =>
-      BBox(math.min(a.xMin, b.xMin), math.min(a.yMin, b.yMin),
-        math.max(a.xMax, b.xMax), math.max(a.yMax, b.yMax)))
+    def bbox: BBox = Geo.bboxUnion(polys.map(_.bbox))
     def contains(p: Pt): Boolean = polys.exists(_.contains(p))
+  }
+
+  /** RFC 7946 §3.1.3 / shapely MultiPoint (utils.py:100-121 lists it in
+    * PRIMITIVE_GEOMETRY_TYPES — accepted everywhere a geometry is). */
+  final case class MultiPoint(points: Seq[Pt]) extends Geometry {
+    def bbox: BBox = Geo.bboxOf(points)
+    def contains(q: Pt): Boolean = points.contains(q)
+  }
+
+  /** RFC 7946 §3.1.5 / shapely MultiLineString. */
+  final case class MultiLineString(lines: Seq[IndexedSeq[Pt]]) extends Geometry {
+    def bbox: BBox = Geo.bboxUnion(lines.map(Geo.bboxOf))
+    def contains(q: Pt): Boolean = false
+  }
+
+  /** RFC 7946 §3.1.8 / shapely GeometryCollection (utils.py
+    * GEOMETRY_COLLECTION_TYPE): heterogeneous members; every spatial
+    * predicate is the union (∃ member) of the members' answers, matching
+    * shapely's collection semantics. */
+  final case class GeometryCollection(members: Seq[Geometry]) extends Geometry {
+    def bbox: BBox = Geo.bboxUnion(members.map(_.bbox))
+    def contains(p: Pt): Boolean = members.exists(_.contains(p))
+  }
+
+  def bboxUnion(bs: Iterable[BBox]): BBox = bs.reduce((a, b) =>
+    BBox(math.min(a.xMin, b.xMin), math.min(a.yMin, b.yMin),
+      math.max(a.xMax, b.xMax), math.max(a.yMax, b.yMax)))
+
+  /** Composite geometries decomposed to primitive members (identity on
+    * Point/LineString/Polygon). Lets every pairwise predicate reduce to
+    * the primitive × primitive core. */
+  def primitives(g: Geometry): Seq[Geometry] = g match {
+    case MultiPolygon(ps) => ps
+    case MultiPoint(ps) => ps.map(Point)
+    case MultiLineString(ls) => ls.map(LineString)
+    case GeometryCollection(ms) => ms.flatMap(primitives)
+    case prim => Seq(prim)
   }
 
   def bboxOf(pts: Iterable[Pt]): BBox =
@@ -134,6 +169,9 @@ object Geo {
           poly.contains(Pt((r.xMin + r.xMax) / 2, (r.yMin + r.yMax) / 2))
       }
     case MultiPolygon(ps) => ps.exists(intersectsRect(_, r))
+    case MultiPoint(ps) => ps.exists(r.contains)
+    case MultiLineString(ls) => ls.exists(l => intersectsRect(LineString(l), r))
+    case GeometryCollection(ms) => ms.exists(intersectsRect(_, r))
   }
 
   /** Is p on segment a→b (collinear within a small tolerance and inside
@@ -167,6 +205,13 @@ object Geo {
     (a, b) match {
       case (MultiPolygon(ps), g) => ps.exists(intersects(_, g))
       case (g, MultiPolygon(ps)) => ps.exists(intersects(g, _))
+      // composites (Multi*/Collection) = ∃ primitive member intersecting
+      // (shapely collection semantics); decompose the left side first,
+      // then the right, so only primitive pairs reach the core below.
+      case (c @ (_: MultiPoint | _: MultiLineString | _: GeometryCollection), g) =>
+        primitives(c).exists(intersects(_, g))
+      case (g, c @ (_: MultiPoint | _: MultiLineString | _: GeometryCollection)) =>
+        primitives(c).exists(intersects(g, _))
       case (Point(p), Point(q)) => p == q
       case (Point(p), LineString(pts)) =>
         ringEdges(pts, closed = false).exists { case (u, v) => onSegment(u, v, p) }
@@ -205,15 +250,26 @@ object Geo {
       (0 until n.size()).map(i => pt(n.get(i)))
     def poly(n: com.fasterxml.jackson.databind.JsonNode): Polygon =
       Polygon(pts(n.get(0)), (1 until n.size()).map(i => pts(n.get(i))))
-    val coords = node.get("coordinates")
     node.get("type").asText() match {
-      case "Point" => Point(pt(coords))
-      case "LineString" => LineString(pts(coords))
-      case "Polygon" => poly(coords)
-      case "MultiPolygon" =>
-        MultiPolygon((0 until coords.size()).map(i => poly(coords.get(i))))
-      case other =>
-        throw new IllegalArgumentException(s"unsupported geometry type $other")
+      case "GeometryCollection" =>
+        // RFC 7946 §3.1.8: members under "geometries", not "coordinates"
+        val gs = node.get("geometries")
+        GeometryCollection((0 until gs.size()).map(i =>
+          parseGeoJson(gs.get(i).toString)))
+      case ty =>
+        val coords = node.get("coordinates")
+        ty match {
+          case "Point" => Point(pt(coords))
+          case "LineString" => LineString(pts(coords))
+          case "Polygon" => poly(coords)
+          case "MultiPoint" => MultiPoint(pts(coords))
+          case "MultiLineString" =>
+            MultiLineString((0 until coords.size()).map(i => pts(coords.get(i))))
+          case "MultiPolygon" =>
+            MultiPolygon((0 until coords.size()).map(i => poly(coords.get(i))))
+          case other =>
+            throw new IllegalArgumentException(s"unsupported geometry type $other")
+        }
     }
   }
 
@@ -263,6 +319,9 @@ object Geo {
     case LineString(pts) => pts
     case Polygon(shell, holes) => shell ++ holes.flatten
     case MultiPolygon(ps) => ps.flatMap(p => p.shell ++ p.holes.flatten)
+    case MultiPoint(ps) => ps
+    case MultiLineString(ls) => ls.flatten
+    case GeometryCollection(ms) => ms.flatMap(vertices)
   }
 
   /** Antimeridian-aware bbox → geometry (xcube_server/utils.py:56-70):
@@ -297,7 +356,22 @@ object Geo {
       val inner = str.trim.stripPrefix("(").stripSuffix(")")
       splitTopLevel(inner).map(g => coords(g.trim.stripPrefix("(").stripSuffix(")")))
     }
-    if (upper.startsWith("POINT")) {
+    if (upper.startsWith("GEOMETRYCOLLECTION")) {
+      // members are full WKT geometries; their commas are nested, so
+      // the depth-0 split isolates them
+      val inner = body("GEOMETRYCOLLECTION").stripPrefix("(").stripSuffix(")")
+      GeometryCollection(splitTopLevel(inner).map(m => parseWkt(m.trim)))
+    } else if (upper.startsWith("MULTIPOINT")) {
+      // both WKT forms: MULTIPOINT (1 2, 3 4) and MULTIPOINT ((1 2), (3 4))
+      val inner = body("MULTIPOINT").stripPrefix("(").stripSuffix(")")
+      MultiPoint(splitTopLevel(inner).map { g =>
+        coords(g.trim.stripPrefix("(").stripSuffix(")")).head
+      })
+    } else if (upper.startsWith("MULTILINESTRING")) {
+      val inner = body("MULTILINESTRING").stripPrefix("(").stripSuffix(")")
+      MultiLineString(splitTopLevel(inner).map(g =>
+        coords(g.trim.stripPrefix("(").stripSuffix(")"))))
+    } else if (upper.startsWith("POINT")) {
       val c = coords(body("POINT").stripPrefix("(").stripSuffix(")"))
       Point(c.head)
     } else if (upper.startsWith("LINESTRING")) {

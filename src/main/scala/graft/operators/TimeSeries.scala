@@ -143,14 +143,87 @@ object TimeSeries {
       .withColumn("date", Q.iso(col("time"))))
   }
 
-  /** Multi-geometry fan-out (time_series.py:208-219): one plan per
-    * geometry, unioned with a geometry index — a single job, not a
-    * driver loop over collect()s. */
+  /** Per-geometry bbox window + rasterized mask, resolved on the driver
+    * (shared by [[zonal]]'s plan shape and [[zonalMany]]'s mask table).
+    * Returns None when the geometry misses the cube bounds. Each cell is
+    * (y_idx, x_idx, in_mask); the Long is the mask cell count
+    * (reference totalCount). A Point resolves to its nearest cell. */
+  private def windowCells(cube: CubeFrame, geometry: Geometry)
+      : Option[(IndexedSeq[(Int, Int, Boolean)], Long)] = {
+    val g = cube.grid
+    geometry match {
+      case Point(p) =>
+        if (!g.bbox.contains(p)) return None
+        return Some((IndexedSeq((g.nearestY(p.y), g.nearestX(p.x), true)), 1L))
+      case _ =>
+    }
+    val inter = g.bbox.intersection(geometry.bbox).getOrElse(return None)
+    def clamp(v: Int, lo: Int, hi: Int) = math.max(lo, math.min(hi, v))
+    val res = (g.latMax - g.latMin) / g.height
+    val x1 = clamp(math.floor((inter.xMin - g.lonMin) / res).toInt, 0, g.width - 1)
+    val x2 = clamp(math.ceil((inter.xMax - g.lonMin) / res).toInt + 1, 0, g.width - 1)
+    val y1 = clamp(math.floor((g.latMax - inter.yMax) / res).toInt, 0, g.height - 1)
+    val y2 = clamp(math.ceil((g.latMax - inter.yMin) / res).toInt + 1, 0, g.height - 1)
+    val subW = x2 - x1
+    val subH = y2 - y1
+    if (subW <= 0 || subH <= 0) return None
+    def topToIdx(yTop: Int): Int =
+      if (g.latAscending) g.height - 1 - yTop else yTop
+    val subLonMin = g.lonMin + x1 * res
+    val subLatMin = g.latMax - y2 * res
+    val mask = Geo.geometryMask(subW, subH, geometry, subLonMin, subLatMin, res)
+    val cells = for { my <- 0 until subH; mx <- 0 until subW }
+      yield (topToIdx(y1 + my), x1 + mx, mask(my)(mx))
+    Some((cells.toIndexedSeq, mask.map(_.count(identity)).sum.toLong))
+  }
+
+  /** Multi-geometry fan-out (time_series.py:208-219) as ONE cube scan:
+    * every geometry's bbox window is rasterized on the driver into a
+    * shared broadcast (geometry_index, y_idx, x_idx, in_mask, total)
+    * table; the cube is scanned once (pre-filtered to the union bbox so
+    * pruning still reaches parquet), inner-joined to the broadcast, and
+    * grouped by (geometry_index, time). Per-geometry semantics are
+    * identical to [[zonal]] — window cells appear exactly once per
+    * geometry, so avg(v) is the reference bbox-window mean and
+    * count(in_mask ∧ valid) the mask valid count.
+    *
+    * This is the 100×-safe shape: a 1,000-feature FeatureCollection is
+    * one scan + one broadcast join, not a 1,000-branch union plan. */
   def zonalMany(cube: CubeFrame, variable: String, geometries: Seq[Geometry],
-                start: Option[Timestamp] = None, end: Option[Timestamp] = None): DataFrame =
-    geometries.zipWithIndex.map { case (geom, i) =>
-      zonal(cube, variable, geom, start, end).withColumn("geometry_index", lit(i))
-    }.reduce(_ unionByName _)
+                start: Option[Timestamp] = None, end: Option[Timestamp] = None,
+                exactMaskMean: Boolean = false): DataFrame = {
+    val spark = cube.df.sparkSession
+    import spark.implicits._
+    val windows = geometries.zipWithIndex.flatMap { case (geom, i) =>
+      windowCells(cube, geom).map { case (cells, total) => (i, cells, total) }
+    }
+    if (windows.isEmpty)
+      return emptyResult(spark).withColumn("geometry_index", lit(0))
+        .filter(lit(false))
+    val cellRows = windows.flatMap { case (i, cells, total) =>
+      cells.map { case (y, x, m) => (i, y, x, m, total) }
+    }.toDF("geometry_index", "y_idx", "x_idx", "in_mask", "__total")
+    // union-bbox pre-filter keeps parquet row-group pruning effective
+    val allCells = windows.flatMap(_._2)
+    val (xLo, xHi) = (allCells.map(_._2).min, allCells.map(_._2).max)
+    val (yLo, yHi) = (allCells.map(_._1).min, allCells.map(_._1).max)
+    val v = Cube.nanToNull(col(variable))
+    val avgCol = if (exactMaskMean) avg(when(col("in_mask"), v)) else avg(v)
+    timeFiltered(
+      cube.df.filter(col("x_idx") >= xLo && col("x_idx") <= xHi &&
+        col("y_idx") >= yLo && col("y_idx") <= yHi), start, end)
+      .join(broadcast(cellRows), Seq("y_idx", "x_idx"))
+      .groupBy(col("geometry_index"), col("time"))
+      .agg(count(when(col("in_mask"), v)).as("valid_count"),
+        avgCol.as("average"),
+        max(col("__total")).as("total_count"))
+      .withColumn("valid_count",
+        when(col("average").isNull, 0L).otherwise(col("valid_count")))
+      .withColumn("date", Q.iso(col("time")))
+      .select(col("date"), col("total_count"), col("valid_count"),
+        col("average"), col("geometry_index"))
+      .orderBy("geometry_index", "date")
+  }
 
   private def timeFiltered(df: DataFrame, start: Option[Timestamp],
                            end: Option[Timestamp]): DataFrame = {

@@ -14,16 +14,19 @@ import org.apache.spark.sql.functions._
   * decode actual pixels with no external dependency. AUDIO decode is
   * REAL for WAV/AU/AIFF PCM: [[audioFeatures]] goes through the JDK's
   * javax.sound.sampled to actual samples (rate, duration, RMS,
-  * zero-crossing rate).
+  * zero-crossing rate) — and REAL for FLAC, a compressed format,
+  * through the pure-JVM [[Flac]] codec (rice residuals, FIXED/LPC
+  * prediction, stereo decorrelation), which re-enters the same
+  * javax.sound path as canonical PCM.
   *
-  * COMPRESSED media (H.264, MP3) get a REAL header-level metadata
-  * layer — [[MediaMeta]] parses the public bitstreams (frame chains,
-  * SPS geometry, VUI timing) with no codec dependency; see
+  * Other COMPRESSED media (H.264, MP3, MP4) get a REAL header-level
+  * metadata layer — [[MediaMeta]] parses the public bitstreams (frame
+  * chains, SPS geometry, VUI timing) with no codec dependency; see
   * [[compressedMeta]] / [[extractCompressedMeta]].
   *
-  * ==== STUB BOUNDARY (compressed-media SAMPLE/PIXEL decode only) ====
-  * Actual H.264 pixel / MP3 sample decoding needs a codec library this
-  * container does not have, so for those payloads [[decodeStub]] /
+  * ==== STUB BOUNDARY (lossy-codec SAMPLE/PIXEL decode only) ====
+  * Actual H.264 pixel / MP3 sample decoding needs a DCT codec library
+  * this container does not have, so for those payloads [[decodeStub]] /
   * [[frameSampleStub]] remain deterministic fakes over the raw bytes,
   * clearly marked. Everything around them — schema, batching,
   * partitioning, feature vector shape — is the real distributed
@@ -197,7 +200,7 @@ object Multimodal {
   def audioFingerprint64(content: Array[Byte]): Option[Long] =
     try {
       val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(content))
+        new java.io.ByteArrayInputStream(asPcmContainer(content)))
       try {
         val sf = src.getFormat
         val target = new javax.sound.sampled.AudioFormat(
@@ -242,10 +245,18 @@ object Multimodal {
       } finally src.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** FLAC payloads decode through the pure-JVM [[Flac]] codec and
+    * re-enter the shared javax.sound path as canonical PCM WAV, so
+    * every audio stat/fingerprint has ONE definition regardless of the
+    * source container; non-FLAC bytes pass through untouched. */
+  private def asPcmContainer(content: Array[Byte]): Array[Byte] =
+    if (Flac.isFlac(content)) Flac.decodeToWav(content).getOrElse(content)
+    else content
+
   def audioFeatures(content: Array[Byte]): Option[Array[Float]] =
     try {
       val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(content))
+        new java.io.ByteArrayInputStream(asPcmContainer(content)))
       try {
         val sf = src.getFormat
         // canonicalize through the JDK converter: signed 16-bit LE PCM

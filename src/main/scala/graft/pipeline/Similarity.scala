@@ -128,11 +128,29 @@ object Similarity {
     Caching.materializeAndRelease(out, e)
   }
 
+  /** Rows above which [[cosinePairs]] refuses to run un-forced: 10⁴
+    * rows ≈ 5·10⁷ candidate pairs — the point where the O(n²) cross
+    * join stops being a "baseline" and starts being an outage. */
+  val CosinePairsGuardRows: Long = 10000L
+
   /** All near-duplicate pairs by cosine ≥ threshold — exact brute
     * force, for small inputs or as the recall baseline for
-    * [[cosinePairsLsh]] (which is the 100 TB path). */
+    * [[cosinePairsLsh]] (which is the 100 TB path).
+    *
+    * GUARDED: this is an all-pairs cross join; above
+    * [[CosinePairsGuardRows]] rows it fails loudly unless `force=true`,
+    * so the baseline can never silently become a production path. The
+    * guard's count() is one cheap columnar scan of the id column —
+    * negligible next to the n² join it is protecting against. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double): DataFrame = {
+                  threshold: Double, force: Boolean = false): DataFrame = {
+    if (!force) {
+      val n = emb.select(idCol).count()
+      require(n <= CosinePairsGuardRows,
+        s"cosinePairs is O(n^2) brute force and got n=$n rows " +
+          s"(> $CosinePairsGuardRows); use cosinePairsLsh for scale, or " +
+          "pass force=true if this is a deliberate small-sample baseline")
+    }
     val e = withNorm(emb, vecCol)
     val a = e.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       col("norm").as("na"))

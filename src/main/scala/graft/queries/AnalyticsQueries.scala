@@ -951,9 +951,13 @@ object AnalyticsQueries {
     Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
         octet_length(col("text")).cast("long").as("bytes"))
-      .withColumn("bin",
-        (coalesce(sum(col("bytes")).over(w), lit(0L)) / target)
-          .cast("long"))
+      // integer `div`, NOT double `/`+cast: the oracle uses integer
+      // `//`, and double division drifts once the running cumsum
+      // exceeds 2^53 bytes — at corpus scale the engines would
+      // disagree on a bin boundary.
+      .withColumn("__cum", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__cum div ${target}L"))
+      .drop("__cum")
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))

@@ -141,6 +141,61 @@ object CubeQueries {
     WHERE lon >= 0.51 AND lon <= 3.49 AND lat >= 50.21 AND lat <= 51.79
     GROUP BY day ORDER BY day"""
 
+  // ---------------------------------------------------------------- J3/F12
+  /** Zonal time series for a GeometryCollection (utils.py:100-121:
+    * GEOMETRY_COLLECTION_TYPE accepted everywhere a geometry is): two
+    * axis-aligned box polygons + a MultiPoint at two exact cell centers.
+    * The collection mask is the UNION of member masks
+    * (Geo.GeometryCollection.contains = ∃ member), the window is the
+    * collection bbox, aggregation identical to cube_ts_zonal. The oracle
+    * re-derives membership independently (range tests + index equality). */
+  def tsGeomCollection(s: SparkSession, d: String): DataFrame = {
+    val gc = Geo.GeometryCollection(Seq(
+      Geo.boxPolygon(0.41, 50.11, 1.99, 51.29),
+      Geo.boxPolygon(2.21, 51.01, 3.79, 51.99),
+      Geo.MultiPoint(Seq(
+        Pt(grid.lonOfX(35), grid.latOfY(2)),
+        Pt(grid.lonOfX(5), grid.latOfY(18))))))
+    val maskCells = for {
+      y <- 0 until grid.height; x <- 0 until grid.width
+      if gc.contains(Pt(grid.lonOfX(x), grid.latOfY(y)))
+    } yield (y, x)
+    val totalCount = maskCells.size.toLong
+    import s.implicits._
+    val maskDf = maskCells.toDF("y_idx", "x_idx").withColumn("in_mask", lit(1))
+    val bb = gc.bbox
+    cube(s, d)
+      .filter(col("lon") >= bb.xMin && col("lon") <= bb.xMax &&
+        col("lat") >= bb.yMin && col("lat") <= bb.yMax)
+      .join(broadcast(maskDf), Seq("y_idx", "x_idx"), "left")
+      .groupBy("day")
+      .agg(count(col("in_mask")).as("valid_count"),
+        Q.davg(col("value")).as("avg_value"))
+      .withColumn("total_count", lit(totalCount))
+      .select("day", "total_count", "valid_count", "avg_value")
+      .orderBy("day")
+  }
+
+  val tsGeomCollectionSql: String = s"""
+    WITH $cubeCte,
+    grid AS (
+      SELECT CAST(y.range AS INT) AS y, CAST(x.range AS INT) AS x,
+        50.0 + (CAST(y.range AS DOUBLE) + 0.5) * 0.1 AS cy,
+        (CAST(x.range AS DOUBLE) + 0.5) * 0.1 AS cx
+      FROM range(0,20) y, range(0,40) x),
+    mask AS (
+      SELECT y, x FROM grid
+      WHERE (cx > 0.41 AND cx < 1.99 AND cy > 50.11 AND cy < 51.29)
+         OR (cx > 2.21 AND cx < 3.79 AND cy > 51.01 AND cy < 51.99)
+         OR (y = 2 AND x = 35) OR (y = 18 AND x = 5))
+    SELECT day,
+      (SELECT COUNT(*) FROM mask) AS total_count,
+      COUNT(m.y) AS valid_count,
+      ${Sql.davg("value")} AS avg_value
+    FROM cube LEFT JOIN mask m ON cube.y_idx = m.y AND cube.x_idx = m.x
+    WHERE lon >= 0.41 AND lon <= 3.79 AND lat >= 50.11 AND lat <= 51.99
+    GROUP BY day ORDER BY day"""
+
   // ---------------------------------------------------------------- A6/Q3
   /** pandas-'1W'-compatible weekly resample (Sunday-anchored,
     * right-labeled — graft.operators.Resample) per event_type. */
@@ -517,6 +572,7 @@ object CubeQueries {
     QuerySpec("cube_cal_360day", cal360Day, Some(cal360DaySql)),
     QuerySpec("cube_ts_point", tsPoint, Some(tsPointSql)),
     QuerySpec("cube_ts_zonal", tsZonal, Some(tsZonalSql)),
+    QuerySpec("ts_geom_collection", tsGeomCollection, Some(tsGeomCollectionSql)),
     QuerySpec("cube_resample_1w", resample1w, Some(resample1wSql)),
     QuerySpec("cube_resample_5d", resample5d, Some(resample5dSql)),
     QuerySpec("cube_rolling_3d", rolling3d, Some(rolling3dSql)),

@@ -1491,7 +1491,12 @@ object PipelineQueries {
     (5L, "video", "avi_clip.avi"),
     (6L, "image", "corrupt_image.bin"),
     (7L, "audio", "corrupt_audio.bin"),
-    (8L, "video", "corrupt_video.bin"))
+    (8L, "video", "corrupt_video.bin"),
+    // flac_sine is the SAME PCM as wav_sine re-encoded losslessly with
+    // graft.pipeline.Flac (FIXED+rice frames), so its decoded feature
+    // row must equal wav_sine's exactly — any FLAC decode drift breaks
+    // the hash
+    (9L, "audio", "flac_sine.flac"))
 
   private val phashFixtures = Seq(
     (1L, "png_scene.png"), (2L, "png_scene_bright.png"),
@@ -1656,7 +1661,8 @@ object PipelineQueries {
       (5, 'video', 2162, true, 16.0, 8.0, 3.0, 0.3, 10.0, 97.0, 48.9898, 2.0),
       (6, 'image', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0625, 0.0625, 0.0313),
       (7, 'audio', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0938, 0.0625, 0.0313),
-      (8, 'video', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0938, 0.0313, 0.0625))
+      (8, 'video', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0938, 0.0313, 0.0625),
+      (9, 'audio', 3218, true, 8000.0, 1.0, 0.25, 0.3535, 0.11, 0.5, 0.3183, 16.0))
       AS t(media_id, kind, n_bytes, decode_ok, f1, f2, f3, f4, f5, f6, f7, f8)
     ORDER BY media_id"""
 

@@ -61,6 +61,11 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
     * files served straight from disk, ne2.py:63-78) */
   @volatile var staticRoot: Option[java.nio.file.Path] = None
 
+  /** `--traceperf` (reference cli.py:58-59): per-stage request timing
+    * to [[Perf.sink]]. A tile request can override per-request with
+    * `?debug=1`/`?debug=0` (tiles.py:33-35). */
+  @volatile var tracePerf: Boolean = false
+
   def address: String = s"http://localhost:${server.getAddress.getPort}"
 
   def start(): GraftServer = { server.start(); this }
@@ -132,21 +137,42 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
         send(ex, 200, tsInfoJson(), "application/json")
       case ("GET", "ts" :: ds :: v :: "point" :: Nil) =>
         withDataset(ex, ds) { d =>
-          val q = query(ex)
-          val (start, end) = dateRange(q, d.cube.timeCalendar)
-          val df = TimeSeries.point(cubeFor(d, q), v,
-            q("lon").toDouble, q("lat").toDouble, start, end)
-          send(ex, 200, tsJson(df), "application/json")
+          val trace = Perf.trace(tracePerf, s"GET /ts/$ds/$v/point")
+          val df = trace.stage("parse") {
+            val q = query(ex)
+            val (start, end) = dateRange(q, d.cube.timeCalendar)
+            TimeSeries.point(cubeFor(d, q), v,
+              q("lon").toDouble, q("lat").toDouble, start, end)
+          }
+          val rows = trace.stage("query")(df.collect())
+          val body = trace.stage("encode")(
+            Json.obj("results" -> Json.arr(rows.map(tsRowJson))))
+          send(ex, 200, body, "application/json")
+          trace.done()
         }
       case ("POST", "ts" :: ds :: v :: "geometry" :: Nil) =>
         withDataset(ex, ds) { d =>
-          val wkt = new String(ex.getRequestBody.readAllBytes(),
-            StandardCharsets.UTF_8)
-          val q = query(ex)
-          val (start, end) = dateRange(q, d.cube.timeCalendar)
-          val df = TimeSeries.zonal(cubeFor(d, q), v, Geo.parseWkt(wkt),
-            start, end)
-          send(ex, 200, tsJson(df), "application/json")
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8).trim
+          // Reference contract: the body is a GeoJSON geometry OBJECT
+          // (handlers.py:344-345 get_body_as_json_object, validated at
+          // time_series.py:71-74). A leading '{' is GeoJSON; anything
+          // else is accepted as WKT — a graft extension, not reference
+          // behavior.
+          val trace = Perf.trace(tracePerf, s"POST /ts/$ds/$v/geometry")
+          val df = trace.stage("parse") {
+            val geom =
+              if (body.startsWith("{")) Geo.parseGeoJson(body)
+              else Geo.parseWkt(body)
+            val q = query(ex)
+            val (start, end) = dateRange(q, d.cube.timeCalendar)
+            TimeSeries.zonal(cubeFor(d, q), v, geom, start, end)
+          }
+          val rows = trace.stage("query")(df.collect())
+          val respBody = trace.stage("encode")(
+            Json.obj("results" -> Json.arr(rows.map(tsRowJson))))
+          send(ex, 200, respBody, "application/json")
+          trace.done()
         }
       // GeoJSON GeometryCollection body → one series per geometry
       // (reference GetTimeSeriesForGeometriesHandler, app.py:99-100)
@@ -423,7 +449,13 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
   private def tile(ex: HttpExchange, d: RegisteredDataset, v: String,
                    z: Int, x: Int, y: Int,
                    q: Map[String, String] = Map.empty): Unit = {
-    val t: java.sql.Timestamp = q.get("time") match {
+    // per-tile timing under ?debug=1 (tiles.py:33-35: the query param
+    // overrides the service-level flag in either direction)
+    val trace = Perf.trace(
+      q.get("debug").map(_ != "0").getOrElse(tracePerf),
+      s"tile ${d.id}.$v/$z/$x/$y")
+    trace.info(s">>> tile ${d.id}.$v/$z/$x/$y")
+    val t: java.sql.Timestamp = trace.stage("parse")(q.get("time") match {
       case Some("current") => d.latestTime // J5 'current' (context.py:437)
       case Some(s) =>
         // parse through the dataset's OWN CF calendar: the catalogue
@@ -435,7 +467,7 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
         else coords.minBy(c => math.abs(
           c.getTime * 1000L + (c.getNanos / 1000) % 1000 - wantUs))
       case None => d.latestTime
-    }
+    })
     val m = {
       val base = mapping(d, v)
       val m1 = q.get("cbar").map(cb => base.copy(palette =
@@ -453,7 +485,9 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
       q.getOrElse("cbar", "") +
       extraSel.map { case (n, vv, _) => s"/$n=$vv" }.mkString
     tileCache.get(key) match {
-      case Some(cached) => sendBytes(ex, 200, cached, "image/png")
+      case Some(cached) =>
+        trace.stage("send")(sendBytes(ex, 200, cached, "image/png"))
+        trace.info(s"<<< tile ${d.id}.$v/$z/$x/$y: cache hit")
       case None =>
         // z indexes the ADVERTISED TileGrid (z=0 coarsest); map through
         // its numLevels, then clamp into the available level stack —
@@ -482,14 +516,15 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
             None
           }
         }
-        val png = direct.getOrElse(
+        val png = trace.stage("render")(direct.getOrElse(
           // Spark path: one equality filter per extra dim — pushes to
           // the store scan as a chunk-plane prune
           Render.renderTile(planeFiltered(cube, extraSel), v, t, x, y,
-            256, 256, m, flipY = cube.grid.latAscending))
+            256, 256, m, flipY = cube.grid.latAscending)))
         tileCache.put(key, png)
-        sendBytes(ex, 200, png, "image/png")
+        trace.stage("send")(sendBytes(ex, 200, png, "image/png"))
     }
+    trace.done()
   }
 
   /** time-series rows → reference JSON shape (time_series.py:133-145) */

@@ -26,9 +26,13 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.server.Main <config.yml> [port]")
-    val cfgPath = args(0)
-    val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    // --traceperf (reference cli.py:58-59): per-stage request timing
+    val tracePerf = args.contains("--traceperf")
+    val pos = args.filterNot(_.startsWith("--"))
+    require(pos.nonEmpty,
+      "usage: graft.server.Main <config.yml> [port] [--traceperf]")
+    val cfgPath = pos(0)
+    val port = pos.lift(1).map(_.toInt).getOrElse(8080)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
@@ -39,6 +43,7 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val (ctx, server) = build(spark, cfgPath, port)
+    server.tracePerf = tracePerf
     server.start()
     println(s"graft server listening on ${server.address}")
 

@@ -56,6 +56,20 @@ object CdcApply {
       .filter(col("__rn") === 1).drop("__rn")
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery: the swap below renames target→.old then
+    // .next→target. A crash between the two leaves NO target but a
+    // complete pre-batch copy at .old — promote it back before reading,
+    // else this batch would merge against empty state and the cleanup
+    // delete of .old would destroy the only surviving copy. (.old is
+    // only ever a fully-promoted former target, so it is always safe to
+    // restore; a lone .next with no .old means the first-ever batch
+    // crashed mid-write — empty state is then correct and .next is
+    // overwritten below.)
+    if (!fs.exists(new Path(stateDir)) &&
+        fs.exists(new Path(stateDir + ".old"))) {
+      require(fs.rename(new Path(stateDir + ".old"), new Path(stateDir)),
+        s"cannot restore $stateDir from crash-surviving .old")
+    }
     val current =
       if (fs.exists(new Path(stateDir))) spark.read.parquet(stateDir)
       else latest.filter(lit(false)).select(

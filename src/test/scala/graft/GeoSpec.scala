@@ -90,4 +90,78 @@ class GeoSpec extends AnyFunSuite {
     assert(!Geo.intersectsRect(tri, BBox(3.5, 3.5, 5, 5))) // outside hypotenuse
     assert(Geo.intersectsRect(tri, BBox(-1, -1, 10, 10)))  // rect contains tri
   }
+
+  // --- Multi*/GeometryCollection surface (utils.py:100-121
+  // PRIMITIVE_GEOMETRY_TYPES + GEOMETRY_COLLECTION_TYPE) ---
+
+  test("GeoJSON parses MultiPoint / MultiLineString / GeometryCollection") {
+    val mp = Geo.parseGeoJson(
+      """{"type":"MultiPoint","coordinates":[[1,2],[3,4]]}""")
+      .asInstanceOf[MultiPoint]
+    assert(mp.points == Seq(Pt(1, 2), Pt(3, 4)))
+    val mls = Geo.parseGeoJson(
+      """{"type":"MultiLineString","coordinates":[[[0,0],[1,1]],[[2,2],[3,3]]]}""")
+      .asInstanceOf[MultiLineString]
+    assert(mls.lines.length == 2 && mls.lines(1) == IndexedSeq(Pt(2, 2), Pt(3, 3)))
+    val gc = Geo.parseGeoJson(
+      """{"type":"GeometryCollection","geometries":[
+           {"type":"Point","coordinates":[5,5]},
+           {"type":"Polygon","coordinates":[[[0,0],[2,0],[2,2],[0,2],[0,0]]]},
+           {"type":"GeometryCollection","geometries":[
+             {"type":"LineString","coordinates":[[8,8],[9,9]]}]}]}""")
+      .asInstanceOf[GeometryCollection]
+    assert(gc.members.length == 3)
+    assert(Geo.primitives(gc).length == 3) // nested collection flattens
+    assert(gc.bbox == BBox(0, 0, 9, 9))
+  }
+
+  test("WKT parses MULTIPOINT (both forms) / MULTILINESTRING / GEOMETRYCOLLECTION") {
+    val mp1 = Geo.parseWkt("MULTIPOINT (1 2, 3 4)").asInstanceOf[MultiPoint]
+    val mp2 = Geo.parseWkt("MULTIPOINT ((1 2), (3 4))").asInstanceOf[MultiPoint]
+    assert(mp1 == mp2 && mp1.points == Seq(Pt(1, 2), Pt(3, 4)))
+    val mls = Geo.parseWkt("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))")
+      .asInstanceOf[MultiLineString]
+    assert(mls.lines.map(_.length) == Seq(2, 3))
+    val gc = Geo.parseWkt(
+      "GEOMETRYCOLLECTION (POINT (5 5), POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), " +
+        "LINESTRING (8 8, 9 9))").asInstanceOf[GeometryCollection]
+    assert(gc.members.length == 3)
+    assert(gc.members(0) == Point(Pt(5, 5)))
+    assert(gc.members(1).asInstanceOf[Polygon].shell.length == 5)
+  }
+
+  test("intersects over composite type pairs (shapely semantics: any member)") {
+    val square = Polygon(IndexedSeq(Pt(0, 0), Pt(10, 0), Pt(10, 10), Pt(0, 10)))
+    val mpIn = MultiPoint(Seq(Pt(50, 50), Pt(5, 5)))
+    val mpOut = MultiPoint(Seq(Pt(50, 50), Pt(60, 60)))
+    assert(Geo.intersects(mpIn, square) && Geo.intersects(square, mpIn))
+    assert(!Geo.intersects(mpOut, square))
+    val mlsCross = MultiLineString(Seq(
+      IndexedSeq(Pt(-5, -5), Pt(-1, -1)), IndexedSeq(Pt(-1, 5), Pt(5, 5))))
+    assert(Geo.intersects(mlsCross, square) && Geo.intersects(square, mlsCross))
+    assert(!Geo.intersects(
+      MultiLineString(Seq(IndexedSeq(Pt(-5, -5), Pt(-1, -1)))), square))
+    val gc = GeometryCollection(Seq(
+      Point(Pt(50, 50)), LineString(IndexedSeq(Pt(3, 3), Pt(4, 4)))))
+    assert(Geo.intersects(gc, square) && Geo.intersects(square, gc))
+    assert(!Geo.intersects(GeometryCollection(Seq(Point(Pt(50, 50)))), square))
+    // composite × composite: gc's Point(50,50) coincides with mpIn's
+    assert(Geo.intersects(gc, mpIn))
+    assert(!Geo.intersects(gc, MultiPoint(Seq(Pt(60, 60), Pt(70, 70)))))
+    assert(Geo.intersects(gc,
+      GeometryCollection(Seq(Point(Pt(50, 50))))))
+    // boundary touch counts (shapely intersects)
+    assert(Geo.intersects(MultiPoint(Seq(Pt(0, 0))), square))
+  }
+
+  test("geometryMask of a collection = union of member masks") {
+    val a = Polygon(IndexedSeq(Pt(0, 0), Pt(2, 0), Pt(2, 2), Pt(0, 2)))
+    val b = Polygon(IndexedSeq(Pt(5, 5), Pt(7, 5), Pt(7, 7), Pt(5, 7)))
+    val gc = GeometryCollection(Seq(a, b))
+    val mA = Geo.geometryMask(8, 8, a, 0, 0, 1.0)
+    val mB = Geo.geometryMask(8, 8, b, 0, 0, 1.0)
+    val mGc = Geo.geometryMask(8, 8, gc, 0, 0, 1.0)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(mGc(y)(x) == (mA(y)(x) || mB(y)(x)), s"cell ($y,$x)")
+  }
 }

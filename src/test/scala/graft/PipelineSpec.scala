@@ -315,6 +315,24 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 4L))
   }
 
+  test("cosinePairs guard: fails loudly above the row cap unless forced") {
+    import spark.implicits._
+    val big = spark.range(Similarity.CosinePairsGuardRows + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(big, "vec_id", "embedding", 0.9)
+    }
+    assert(e.getMessage.contains("cosinePairsLsh"))
+    // force=true bypasses (plan only — no need to execute the n² join)
+    Similarity.cosinePairs(big, "vec_id", "embedding", 0.9, force = true)
+    // at/below the cap it runs
+    val small = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.cosinePairs(small, "vec_id", "embedding", 0.99)
+      .count() == 1)
+  }
+
   test("REAL image decode: PNG payloads yield pixel features, resize works") {
     import spark.implicits._
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {

@@ -1111,4 +1111,38 @@ class ScaleSpec extends SparkSpec {
       maxBig <= IvfIndex.CapMult * IvfIndex.Target,
       s"cell population exceeded the re-split cap: $maxSmall / $maxBig")
   }
+
+  test("zonalMany is ONE cube scan for 120 geometries (broadcast mask " +
+    "table, no per-geometry union)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zmany").toString
+    val grid = CubeGrid(64, 32, 0.0, 40.0, 0.1, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, 2, Seq("v0"))
+    CubeIngest.writeCube(cube, s"$dir/cube", tileSize = 16)
+    val back = CubeIngest.readCube(spark, s"$dir/cube", grid, Seq("v0"))
+    // 120 small boxes tiling the grid — a FeatureCollection-scale fan-out
+    val geoms = (0 until 120).map { i =>
+      val gx = (i % 12) * 0.5
+      val gy = 40.0 + (i / 12) * 0.3
+      graft.geo.Geo.boxPolygon(gx + 0.01, gy + 0.01, gx + 0.45, gy + 0.25)
+    }
+    val q = TimeSeries.zonalMany(back, "v0", geoms)
+    val plan = q.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly one cube scan, got $scans:\n" +
+      plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), "mask table not broadcast:\n" +
+      plan.take(1200))
+    // semantics: identical to the per-geometry zonal operator
+    val many = q.collect().filter(_.getAs[Int]("geometry_index") == 7)
+    val one = TimeSeries.zonal(back, "v0", geoms(7)).collect()
+    assert(many.length == one.length && many.nonEmpty)
+    many.sortBy(_.getAs[String]("date")).zip(one.sortBy(_.getAs[String]("date")))
+      .foreach { case (m, o) =>
+        assert(m.getAs[Long]("total_count") == o.getAs[Long]("total_count"))
+        assert(m.getAs[Long]("valid_count") == o.getAs[Long]("valid_count"))
+        assert(math.abs(m.getAs[Double]("average") -
+          o.getAs[Double]("average")) < 1e-12)
+      }
+  }
 }

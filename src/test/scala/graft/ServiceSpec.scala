@@ -171,6 +171,68 @@ ServiceProvider:
           "POLYGON((0.5 50.2, 3.5 50.2, 0.5 51.8, 0.5 50.2))")).build(),
         HttpResponse.BodyHandlers.ofString())
       assert(zonal.statusCode() == 200 && zonal.body().contains("totalCount"))
+      // reference contract (handlers.py:344-345): the body is a GeoJSON
+      // geometry OBJECT — same polygon, must return the same series
+      val zonalGj = client.send(HttpRequest.newBuilder(
+          URI.create(srv.address + "/ts/local/v0/geometry"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"type":"Polygon","coordinates":
+             [[[0.5,50.2],[3.5,50.2],[0.5,51.8],[0.5,50.2]]]}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(zonalGj.statusCode() == 200 && zonalGj.body() == zonal.body())
+      // GeometryCollection body succeeds where pre-r11 returned 400
+      val zonalGc = client.send(HttpRequest.newBuilder(
+          URI.create(srv.address + "/ts/local/v0/geometry"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"type":"GeometryCollection","geometries":[
+               {"type":"Polygon","coordinates":
+                 [[[0.5,50.2],[3.5,50.2],[0.5,51.8],[0.5,50.2]]]}]}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(zonalGc.statusCode() == 200 && zonalGc.body() == zonal.body())
+      // --traceperf parity (perf.py:7-66, tiles.py:33-35,133-140):
+      // per-tile timing under ?debug=1, per-stage ms on ts routes under
+      // the service flag, and NOTHING traced when off
+      val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val oldSink = graft.server.Perf.sink
+      // trace.done() runs on the server thread AFTER the response bytes
+      // are written, so the client can observe the response before the
+      // lines land — poll for the terminal "total:" line
+      def awaitLines(): Seq[String] = {
+        val deadline = System.nanoTime() + 5000L * 1000 * 1000
+        while (System.nanoTime() < deadline &&
+            !captured.toArray(Array.empty[String]).exists(_.contains("total:")))
+          Thread.sleep(10)
+        captured.toArray(Array.empty[String]).toSeq
+      }
+      try {
+        graft.server.Perf.sink = line => captured.add(line)
+        assert(get("/datasets/local/vars/v0/tiles/0/0/0.png?debug=1")
+          .statusCode() == 200)
+        val tileLines = awaitLines()
+        assert(tileLines.exists(_.matches(
+          """\[perf\] >>> tile local\.v0/0/0/0""")), tileLines)
+        assert(tileLines.exists(_.matches(
+          """\[perf\] tile local\.v0/0/0/0 parse: took \d+\.\d\dms""")),
+          tileLines)
+        assert(tileLines.exists(_.matches(
+          """\[perf\] tile local\.v0/0/0/0 total: took \d+\.\d\dms""")),
+          tileLines)
+        captured.clear()
+        srv.tracePerf = true
+        assert(get("/ts/local/v0/point?lon=1.2&lat=51.3").statusCode() == 200)
+        val tsLines = awaitLines()
+        for (stage <- Seq("parse", "query", "encode", "total"))
+          assert(tsLines.exists(_.matches(
+            s"""\\[perf\\] GET /ts/local/v0/point $stage: took \\d+\\.\\d\\dms""")),
+            s"missing $stage in $tsLines")
+        srv.tracePerf = false
+        Thread.sleep(100) // drain any in-flight done() before the off-check
+        captured.clear()
+        assert(get("/ts/local/v0/point?lon=1.2&lat=51.3").statusCode() == 200)
+        assert(get("/datasets/local/vars/v0/tiles/0/0/0.png").statusCode() == 200)
+        Thread.sleep(100)
+        assert(captured.isEmpty, captured.toArray.toSeq)
+      } finally graft.server.Perf.sink = oldSink
       val places = get("/places/test?geom=" + java.net.URLEncoder.encode(
         "POLYGON((0 0, 5 0, 5 5, 0 5, 0 0))", "UTF-8"))
       val pBody = new String(places.body())
