@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-more-decade scaling probe: synthesizes an sf1-scale slice
+  * (~6M lineitem rows, 10× sf0.1) under /tmp and times the steepest
+  * SCALING.json queries at sf0.1 vs sf1, appending a "decade" section
+  * to the record. Answers the r10 verdict's open question: do the
+  * worst ratios (corr_matrix 7.13, dsir_importance 3.20) hold linear
+  * at 100× total data, or curve up?
+  *
+  * Synthesis = 10 key-shifted replicas of the sf0.1 tables, sized so
+  * every per-key working set grows the way a real corpus grows:
+  *   - lineitem/orders: orderkey, partkey, suppkey shifted per replica
+  *     (the part×supplier graph gains 10× distinct nodes/edges — the
+  *     graph queries see a genuinely bigger graph, not 10× multi-edges)
+  *   - events: event_id and user_id shifted (10× users, same behavior
+  *     per user — windows/sessionization grow by partition count, not
+  *     partition size)
+  *   - documents: doc_id shifted; replica text is a deterministic
+  *     Fisher-Yates token permutation (unigram stats preserved —
+  *     honest for DSIR/BM25 postings — while shingle/bigram sets
+  *     diverge, so the corpus is NOT 10× exact dups)
+  *   - embeddings: vec_id shifted, per-replica hash-noise on each
+  *     coordinate (no degenerate 10×-identical IVF cells)
+  * Dimensions (region..part) copy unchanged: dims grow slower than
+  * facts in every real warehouse.
+  *
+  * Usage: runMain graft.ScalingDecade [outFile] (default SCALING.json —
+  * merged, existing content preserved under its original keys).
+  */
+object ScalingDecade {
+
+  /** The steepest sf0.01→sf0.1 ratios from the r10 record, plus the
+    * graph pair — the plans whose next decade is worth buying. */
+  val panel: Seq[String] = Seq(
+    "corr_matrix", "dsir_importance", "dedup_substring",
+    "graph_pagerank", "graph_hits", "sketch_hll_distinct",
+    "conversion_latency", "events_stickiness", "bm25_topk")
+
+  def synthesize(spark: SparkSession, src: String, dst: String): Unit = {
+    val reps = 10
+    val repDf = broadcast(spark.range(reps)
+      .select(col("id").cast("long").as("rep")))
+    new java.io.File(dst).mkdirs()
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c)).cast("long")).head.getLong(0) + 1
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val (maxOk, maxPk, maxSk) =
+      (maxOf(li, "l_orderkey"), maxOf(li, "l_partkey"), maxOf(li, "l_suppkey"))
+    write(li.crossJoin(repDf)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOk)
+      .withColumn("l_partkey", col("l_partkey") + col("rep") * maxPk)
+      .withColumn("l_suppkey", col("l_suppkey") + col("rep") * maxSk)
+      .drop("rep"), "lineitem")
+
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val maxCust = maxOf(ord, "o_custkey")
+    write(ord.crossJoin(repDf)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * maxOk)
+      .withColumn("o_custkey", col("o_custkey") + col("rep") * maxCust)
+      .drop("rep"), "orders")
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val (maxEv, maxUser) = (maxOf(ev, "event_id"), maxOf(ev, "user_id"))
+    write(ev.crossJoin(repDf)
+      .withColumn("event_id", col("event_id") + col("rep") * maxEv)
+      .withColumn("user_id",
+        when(col("user_id").isNotNull,
+          col("user_id") + col("rep") * maxUser))
+      .drop("rep"), "events")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val maxDoc = maxOf(docs, "doc_id")
+    val permute = udf { (text: String, seed: Long) =>
+      if (seed == 0L) text
+      else {
+        val toks = text.split(" ")
+        var s = seed * 0x9E3779B97F4A7C15L
+        def next(): Long = { // splitmix64
+          s += 0x9E3779B97F4A7C15L
+          var z = s
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        var i = toks.length - 1
+        while (i > 0) {
+          val j = (math.floorMod(next(), i + 1)).toInt
+          val t = toks(i); toks(i) = toks(j); toks(j) = t
+          i -= 1
+        }
+        toks.mkString(" ")
+      }
+    }
+    write(docs.crossJoin(repDf)
+      .withColumn("text",
+        permute(col("text"), col("rep") * lit(1000003L) + col("doc_id")))
+      .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc)
+      .drop("rep"), "documents")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVec = maxOf(emb, "vec_id")
+    write(emb.crossJoin(repDf)
+      .withColumn("embedding",
+        when(col("rep") === 0, col("embedding")).otherwise(
+          zip_with(col("embedding"),
+            transform(col("embedding"), (_, i) =>
+              pmod(xxhash64(col("vec_id"), col("rep"), i), lit(1000))
+                .cast("float") / 50000f - 0.01f),
+            (v, n) => v + n)))
+      .withColumn("vec_id", col("vec_id") + col("rep") * maxVec)
+      .drop("rep"), "embeddings")
+
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      write(spark.read.parquet(s"$src/$t.parquet"), t)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outFile = args.headOption.getOrElse("SCALING.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+    val sfBig = "/root/testdata/sf0.1"
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        "256")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    LogFilters.muteSanctionedGlobalWindowWarning()
+    Tables.configure(spark)
+    if (!new java.io.File(s"$sf1/lineitem.parquet").exists()) {
+      println(s"synthesizing sf1 decade at $sf1 …")
+      synthesize(spark, sfBig, sf1)
+    }
+    spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup
+    Seq(sfBig, sf1).foreach(d =>
+      Tables.names.foreach(n => Tables.table(spark, d, n).schema))
+    val specs = SparkEntry.specs.filter(q => panel.contains(q.name))
+    def time(name: String, dir: String): Double = {
+      val q = specs.find(_.name == name).get
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        q.run(spark, dir).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val rows = panel.filter(n => specs.exists(_.name == n)).map { n =>
+      val t01 = time(n, sfBig)
+      val t1 = time(n, sf1)
+      println(f"$n%-22s sf0.1 $t01%7.3f s   sf1 $t1%7.3f s   ratio ${t1 / t01}%5.2f")
+      (n, t01, t1, t1 / t01)
+    }
+    val json = rows.map { case (n, a, b, r) =>
+      f""""$n":{"sf01_sec":$a%.3f,"sf1_sec":$b%.3f,"ratio":$r%.2f}"""
+    }.mkString(",")
+    val worst = rows.maxBy(_._4)
+    val decade =
+      f""""decade":{"data_ratio":10,"runs":$runs,"cpus":$cpus,""" +
+        f""""worst":{"name":"${worst._1}","ratio":${worst._4}%.2f},""" +
+        s""""queries":{$json}}"""
+    val path = java.nio.file.Paths.get(outFile)
+    val merged =
+      if (java.nio.file.Files.exists(path)) {
+        val cur = java.nio.file.Files.readString(path).trim
+        // idempotent merge: drop a previous decade section, append this one
+        val base = cur.indexOf(""","decade":""") match {
+          case -1 => cur.stripSuffix("}")
+          case i => cur.substring(0, i)
+        }
+        base + "," + decade + "}"
+      } else "{" + decade + "}"
+    java.nio.file.Files.writeString(path, merged)
+    println(merged.takeRight(400))
+    spark.stop()
+    rows.filter(_._4 > 12.0).foreach { case (n, _, _, r) =>
+      System.err.println(f"SUPER-LINEAR at the sf1 decade: $n ratio $r%.2f > 12")
+    }
+    if (rows.exists(_._4 > 12.0)) sys.exit(1)
+  }
+}

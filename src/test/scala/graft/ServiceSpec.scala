@@ -124,6 +124,29 @@ ServiceProvider:
     assert(xml.contains("<ServiceMetadataURL"))
   }
 
+  test("WMTS capabilities golden: full document locked against drift " +
+    "(reference shape test: test/controllers/test_wmts.py)") {
+    val xml = Wmts.capabilitiesXml(demoContext(), "http://bibo")
+    val goldenPath = java.nio.file.Paths.get(
+      "src/test/resources/graft/goldens/wmts_capabilities.xml")
+    if (sys.props.contains("graft.regen.goldens")) {
+      java.nio.file.Files.createDirectories(goldenPath.getParent)
+      java.nio.file.Files.writeString(goldenPath, xml)
+      info(s"regenerated $goldenPath")
+    } else {
+      val in = getClass.getResourceAsStream(
+        "/graft/goldens/wmts_capabilities.xml")
+      assert(in != null, "golden missing — run with -Dgraft.regen.goldens")
+      val expected = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      // whitespace-insensitive compare, as the reference test does
+      // (test_wmts.py: expected.replace(' ','') == actual.replace(' ',''))
+      assert(xml.replace(" ", "").replace("\n", "") ==
+        expected.replace(" ", "").replace("\n", ""),
+        "capabilities structure drifted from the committed golden")
+    }
+  }
+
   test("WMTS KVP binding: GetCapabilities and GetTile") {
     val srv = new GraftServer(demoContext()).start()
     try {
