@@ -245,12 +245,16 @@ object Multimodal {
       } finally src.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** FLAC payloads decode through the pure-JVM [[Flac]] codec and
-    * re-enter the shared javax.sound path as canonical PCM WAV, so
-    * every audio stat/fingerprint has ONE definition regardless of the
-    * source container; non-FLAC bytes pass through untouched. */
+  /** FLAC and IMA-ADPCM payloads decode through the pure-JVM [[Flac]]/
+    * [[Adpcm]] codecs and re-enter the shared javax.sound path as
+    * canonical PCM WAV, so every audio stat/fingerprint has ONE
+    * definition regardless of the source container; everything else
+    * (PCM, G.711 µ-law/A-law, AU, AIFF) passes through untouched
+    * because javax.sound reads those natively. */
   private def asPcmContainer(content: Array[Byte]): Array[Byte] =
     if (Flac.isFlac(content)) Flac.decodeToWav(content).getOrElse(content)
+    else if (Adpcm.isImaAdpcmWav(content))
+      Adpcm.decodeToWav(content).getOrElse(content)
     else content
 
   def audioFeatures(content: Array[Byte]): Option[Array[Float]] =

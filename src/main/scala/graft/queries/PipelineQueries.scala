@@ -1496,7 +1496,20 @@ object PipelineQueries {
     // graft.pipeline.Flac (FIXED+rice frames), so its decoded feature
     // row must equal wav_sine's exactly — any FLAC decode drift breaks
     // the hash
-    (9L, "audio", "flac_sine.flac"))
+    (9L, "audio", "flac_sine.flac"),
+    // LOSSY re-encodes of the same PCM: rows 10/11 are wav_sine /
+    // wav_stereo through graft.pipeline.Adpcm (IMA 0x11, decoded by
+    // graft's own pure-JVM decoder); rows 12/13 are wav_sine through
+    // the graft G.711 µ-law/A-law ENCODERS decoded by the JDK's own
+    // converters — a cross-implementation check where an encoder
+    // sign/bias/chord bug cannot cancel. The pinned stats sit within
+    // quantization noise of the source (RMS 0.3535 → 0.3535/0.3551/
+    // 0.3528; ADPCM's 0.52 peak is the classic slope-overload
+    // transient overshoot).
+    (10L, "audio", "adpcm_sine.wav"),
+    (11L, "audio", "adpcm_stereo.wav"),
+    (12L, "audio", "ulaw_sine.wav"),
+    (13L, "audio", "alaw_sine.wav"))
 
   private val phashFixtures = Seq(
     (1L, "png_scene.png"), (2L, "png_scene_bright.png"),
@@ -1662,7 +1675,11 @@ object PipelineQueries {
       (6, 'image', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0625, 0.0625, 0.0313),
       (7, 'audio', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0938, 0.0625, 0.0313),
       (8, 'video', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0938, 0.0313, 0.0625),
-      (9, 'audio', 3218, true, 8000.0, 1.0, 0.25, 0.3535, 0.11, 0.5, 0.3183, 16.0))
+      (9, 'audio', 3218, true, 8000.0, 1.0, 0.25, 0.3535, 0.11, 0.5, 0.3183, 16.0),
+      (10, 'audio', 1084, true, 8000.0, 1.0, 0.25, 0.3535, 0.11, 0.52, 0.3179, 16.0),
+      (11, 'audio', 1084, true, 16000.0, 2.0, 0.0625, 0.1762, 0.11, 0.2574, 0.1581, 16.0),
+      (12, 'audio', 2058, true, 8000.0, 1.0, 0.25, 0.3551, 0.11, 0.5116, 0.3196, 8.0),
+      (13, 'audio', 2058, true, 8000.0, 1.0, 0.25, 0.3528, 0.1095, 0.4922, 0.3177, 8.0))
       AS t(media_id, kind, n_bytes, decode_ok, f1, f2, f3, f4, f5, f6, f7, f8)
     ORDER BY media_id"""
 
