@@ -12,6 +12,8 @@ import org.apache.spark.sql.types._
   * results as the batch hourly query when the stream drains.)
   */
 final case class SessionState(n: Long, startMs: Long, endMs: Long, sum: Double)
+final case class AbUserState(seen: Boolean, converted: Boolean)
+final case class AbDelta(variant: Long, dUser: Long, dConv: Long)
 final case class UserSession(user_id: Long, n_events: Long,
                              start_ms: Long, end_ms: Long, sum_value: Double)
 /** rolling-aggregate state: open hour buckets + recently closed ones */
@@ -573,4 +575,43 @@ object EventStreams {
   def dedupWithinWatermark(events: DataFrame, delay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming A/B conversion counts — the sequential-testing twin of
+    * [[graft.queries.StatQueries.abTestZ]]: per-user (seen, converted)
+    * dedup state emits +1 deltas exactly once per user and per first
+    * conversion, and a downstream per-variant aggregate accumulates
+    * (n, c) so the experimentation dashboard can recompute the
+    * two-proportion z after EVERY micro-batch instead of waiting for a
+    * batch job. State is two booleans per user, hash-partitioned by
+    * user_id across executors and checkpointed — the same bounded-state
+    * contract as streamingDedup. The delta trick is what makes the
+    * downstream aggregate correct across micro-batches: the stateful
+    * stage emits changes, never totals, so SUM over the append stream
+    * equals the batch distinct-user counts at any point in time. */
+  def streamingAbConversions(events: DataFrame,
+                             minValue: Double = 150.0): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"),
+        (col("event_type") === "purchase" && col("value") > minValue)
+          .cast("int").as("conv"))
+      .as[(Long, Int)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[AbUserState, AbDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Int)],
+         state: GroupState[AbUserState]) =>
+          val prev = state.getOption.getOrElse(AbUserState(false, false))
+          val anyConv = rows.exists(_._2 == 1)
+          val dUser = if (prev.seen) 0L else 1L
+          val dConv = if (!prev.converted && anyConv) 1L else 0L
+          state.update(AbUserState(seen = true,
+            converted = prev.converted || anyConv))
+          if (dUser == 0 && dConv == 0) Iterator.empty
+          else Iterator.single(AbDelta(user % 2, dUser, dConv))
+      }
+      .groupBy(col("variant"))
+      .agg(sum(col("dUser")).as("n"), sum(col("dConv")).as("c"))
+  }
 }

@@ -548,6 +548,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming A/B conversion counts match the batch twin and stay " +
+      "stable under replayed delivery") {
+    val dir = stageEventsDir()
+    val stream = EventStreams.streamingAbConversions(
+      EventStreams.readEvents(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("ab_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def counts(): Map[Long, (Long, Long)] = spark.table("ab_out")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      // batch twin: distinct users / converted users per parity variant
+      val batch = Tables.events(spark, sf("sf0.001"))
+        .groupBy(expr("user_id % 2").as("variant"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 150, 1).otherwise(0)).as("conv"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(batch.values.map(_._2).sum > 0,
+        "fixture must contain high-value conversions")
+      assert(counts() == batch)
+      // replayed delivery: the same file again must add ZERO deltas
+      // (per-user state dedups users and conversions across batches)
+      Files.copy(Paths.get(sf("sf0.001"), "events.parquet"),
+        Paths.get(dir, "events_replay.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      assert(counts() == batch)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join matches the batch join") {
     val dir = stageEventsDir()
     // static dimension: per-user event count from the batch table
