@@ -2538,6 +2538,71 @@ object PipelineQueries {
     FROM cnt GROUP BY source ORDER BY source"""
   }
 
+  // --------------------------------------------- tokenizer fertility
+  /** Per-LANGUAGE tokenizer fertility — learned-BPE tokens per
+    * whitespace word. The number a multilingual pipeline watches when
+    * choosing/validating a tokenizer: a language whose fertility is
+    * 2× another's pays 2× the sequence length (and compute) for the
+    * same text, so fertility drives vocabulary allocation and
+    * per-language token budgets. Same distributed shape as
+    * tokenize_learned (driver-state merges → codegen count kernel →
+    * one scan + map-side-combinable per-lang aggregate); the oracle
+    * replays training + application as the identical ordered replace
+    * folds, per-lang instead of per-source. */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeLearnMerges(s, d).map(m => (m._2.split(' ')(0),
+      m._2.split(' ')(1)))
+    Tables.documents(s, d)
+      .select(col("lang"),
+        graft.functions.HashF.bpeTokenCountTable(col("text"), merges)
+          .as("n_tok"),
+        size(split(col("text"), " ")).cast("long").as("n_w"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_w")).as("n_words"))
+      .withColumn("fertility",
+        expr("ROUND(CAST(n_tokens AS DOUBLE) / n_words, 6)"))
+      .select("lang", "n_docs", "n_tokens", "n_words", "fertility")
+      .orderBy("lang")
+  }
+
+  val tokenizerFertilitySql: String = {
+    val learned = (1 to 6).map(k => s"(SELECT pr FROM m$k)")
+      .mkString("[", ", ", "]")
+    s"""
+    WITH $bpeTrainCtes,
+    pre AS (SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_w,
+        regexp_extract_all(text, '${graft.pipeline.Bpe.PreTokenRegex}')
+          AS wlist
+      FROM documents),
+    sym AS (SELECT doc_id, lang, n_w,
+        CAST(len(wlist) AS BIGINT) AS n_pre,
+        ' ' || array_to_string([array_to_string(
+          regexp_extract_all(x, '(?s).'), ' ') FOR x IN wlist], ' ¶ ')
+          || ' ' AS s0
+      FROM pre),
+    folded AS (SELECT doc_id, lang, n_w, n_pre,
+        list_reduce(list_prepend(s0,
+          flatten([[m, m, m, m] FOR m IN $learned])),
+          (acc, m) -> replace(acc, ' ' || m || ' ',
+            ' ' || replace(m, ' ', '') || ' ')) AS s1
+      FROM sym),
+    cnt AS (SELECT doc_id, lang, n_w,
+        CASE WHEN n_pre = 0 THEN 0 ELSE
+          CAST(len(list_filter(string_split(trim(s1), ' '),
+            x -> x != '¶')) AS BIGINT) END AS n_tok
+      FROM folded),
+    agg AS (SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_w) AS BIGINT) AS n_words
+      FROM cnt GROUP BY lang)
+    SELECT lang, n_docs, n_tokens, n_words,
+      ROUND(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility
+    FROM agg ORDER BY lang"""
+  }
+
   // ------------------------------------ quality-classifier training step
   /** Distributed training of the quality classifier (the CCNet /
     * fastText-filter step, done ON the cluster): two full-batch
@@ -4251,6 +4316,8 @@ object PipelineQueries {
     QuerySpec("quality_logreg", qualityLogreg, Some(qualityLogregSql)),
     QuerySpec("bpe_train", bpeTrain, Some(bpeTrainSql)),
     QuerySpec("tokenize_learned", tokenizeLearned, Some(tokenizeLearnedSql)),
+    QuerySpec("tokenizer_fertility", tokenizerFertility,
+      Some(tokenizerFertilitySql)),
     QuerySpec("text_tfidf_top", textTfidfTop, Some(textTfidfTopSql)),
     QuerySpec("text_chunk_windows", textChunkWindows,
       Some(textChunkWindowsSql)),
