@@ -437,6 +437,172 @@ object StatQueries {
     FROM m
     ORDER BY month"""
 
+  // ------------------------------------------------ Theil–Sen trend
+  /** Robust median-slope trend per event type (Theil–Sen): the median
+    * of all pairwise slopes (y_j−y_i)/(d_j−d_i) over the daily series
+    * — immune to the outlier days that bend OLS (launch spikes,
+    * outages). Median = the ⌈m/2⌉-th pair under the total order
+    * (slope, day_i, day_j), the LOWER median, picked by a window
+    * PARTITIONED BY TYPE. Scale: the pair join is the daily aggregate
+    * against itself — O(D²) per type in CALENDAR DAYS (≤ ~10⁷ pairs at
+    * a decade), constant in corpus rows; slopes are doubles computed
+    * from exact integer counts by one shared formula. */
+  def trendTheilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr(s"ts_us div $UsPerDay").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val a = daily.toDF("event_type", "da", "ya")
+    val b = daily.toDF("bt", "db", "yb")
+    val pairs = a.join(b, col("event_type") === col("bt") &&
+        col("da") < col("db"))
+      .withColumn("slope", expr(SenSlopeF))
+    val m = pairs.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("slope"), col("da"), col("db"))
+    pairs.withColumn("rn", row_number().over(w))
+      .join(m, "event_type")
+      .filter(col("rn") === expr("CAST((n_pairs + 1) / 2 AS BIGINT)"))
+      .select(col("event_type"), col("n_pairs"),
+        expr("ROUND(slope, 6)").as("sen_slope"))
+      .orderBy("event_type")
+  }
+
+  private val SenSlopeF: String =
+    "(CAST(yb AS DOUBLE) - ya) / (db - da)"
+
+  val trendTheilSenSql: String = s"""
+    WITH daily AS (SELECT event_type, epoch_us(ts) // $UsPerDay AS day,
+        COUNT(*) AS y
+      FROM events GROUP BY 1, 2),
+    pairs AS (SELECT a.event_type,
+        a.day AS da, b.day AS db, a.y AS ya, b.y AS yb,
+        $SenSlopeF AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day),
+    m AS (SELECT event_type, COUNT(*) AS n_pairs
+      FROM pairs GROUP BY 1),
+    rk AS (SELECT event_type, slope, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY slope, da, db) AS rn
+      FROM pairs)
+    SELECT rk.event_type, n_pairs, ROUND(slope, 6) AS sen_slope
+    FROM rk JOIN m USING (event_type)
+    WHERE rn = CAST((n_pairs + 1) / 2 AS BIGINT)
+    ORDER BY event_type"""
+
+  // ------------------------------------------------------- Zipf fit
+  /** Zipf-law fit over the top-1000 token frequencies: log-log OLS of
+    * ln(freq) on ln(rank) — the corpus-health diagnostic (natural text
+    * fits slope ≈ −1; templated/boilerplate corpora bend the curve).
+    * Per-row ln values are rounded to 9 dp (double ln agrees across
+    * engines far beyond that; a last-ulp libm difference is 1e-15)
+    * then summed in exact DECIMAL(38,12), so the regression inputs
+    * are order-independent and the closed-form slope/intercept/r²
+    * evaluate from ONE shared formula. Scale: the vocabulary
+    * aggregate shuffles (token, count); the top-1000 is a distributed
+    * TakeOrdered; the rank window runs over ≤1000 rows ABOVE that
+    * aggregate (allow-listed global window, same class as
+    * vocab_growth's Heaps curve). */
+  def textZipfFit(s: SparkSession, d: String): DataFrame = {
+    val top = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(1000)
+    val w = Window.orderBy(col("c").desc, col("tok"))
+    top.withColumn("r", row_number().over(w))
+      .withColumn("lx", expr(
+        "CAST(ROUND(LN(CAST(r AS DOUBLE)), 9) AS DECIMAL(38,12))"))
+      .withColumn("ly", expr(
+        "CAST(ROUND(LN(CAST(c AS DOUBLE)), 9) AS DECIMAL(38,12))"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(expr("CAST(ROUND(LN(CAST(r AS DOUBLE)) * LN(CAST(r AS DOUBLE)), 9) AS DECIMAL(38,12))")).as("sxx"),
+        sum(expr("CAST(ROUND(LN(CAST(c AS DOUBLE)) * LN(CAST(c AS DOUBLE)), 9) AS DECIMAL(38,12))")).as("syy"),
+        sum(expr("CAST(ROUND(LN(CAST(r AS DOUBLE)) * LN(CAST(c AS DOUBLE)), 9) AS DECIMAL(38,12))")).as("sxy"))
+      .select(col("n_terms"), expr(ZipfSlopeF).as("slope"),
+        expr(ZipfInterceptF).as("intercept"), expr(ZipfR2F).as("r2"))
+  }
+
+  private val ZipfSlopeF: String =
+    "ROUND((CAST(n_terms AS DOUBLE)*CAST(sxy AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))" +
+      " / (CAST(n_terms AS DOUBLE)*CAST(sxx AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6)"
+  private val ZipfInterceptF: String =
+    "ROUND((CAST(sy AS DOUBLE)" +
+      " - ((CAST(n_terms AS DOUBLE)*CAST(sxy AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))" +
+      " / (CAST(n_terms AS DOUBLE)*CAST(sxx AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))*CAST(sx AS DOUBLE))" +
+      " / n_terms, 6)"
+  private val ZipfR2F: String =
+    "ROUND(((CAST(n_terms AS DOUBLE)*CAST(sxy AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))" +
+      " * (CAST(n_terms AS DOUBLE)*CAST(sxy AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)))" +
+      " / ((CAST(n_terms AS DOUBLE)*CAST(sxx AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))" +
+      " * (CAST(n_terms AS DOUBLE)*CAST(syy AS DOUBLE)" +
+      " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)"
+
+  val textZipfFitSql: String = s"""
+    WITH cnt AS (SELECT tok, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY 1),
+    top AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 1000),
+    rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+      FROM top),
+    g AS (SELECT COUNT(*) AS n_terms,
+        SUM(CAST(ROUND(LN(CAST(r AS DOUBLE)), 9) AS DECIMAL(38,12)))
+          AS sx,
+        SUM(CAST(ROUND(LN(CAST(c AS DOUBLE)), 9) AS DECIMAL(38,12)))
+          AS sy,
+        SUM(CAST(ROUND(LN(CAST(r AS DOUBLE)) * LN(CAST(r AS DOUBLE)), 9)
+          AS DECIMAL(38,12))) AS sxx,
+        SUM(CAST(ROUND(LN(CAST(c AS DOUBLE)) * LN(CAST(c AS DOUBLE)), 9)
+          AS DECIMAL(38,12))) AS syy,
+        SUM(CAST(ROUND(LN(CAST(r AS DOUBLE)) * LN(CAST(c AS DOUBLE)), 9)
+          AS DECIMAL(38,12))) AS sxy
+      FROM rk)
+    SELECT n_terms, $ZipfSlopeF AS slope, $ZipfInterceptF AS intercept,
+      $ZipfR2F AS r2
+    FROM g"""
+
+  // ------------------------------------------------ key-skew profile
+  /** Join-key skew profile of lineitem.l_partkey — the diagnostic a
+    * planner (or an engineer sizing a salted join) reads before
+    * picking a join strategy: distinct keys, max single-key share,
+    * top-10 share, mean rows/key. No windows: the top-10 is a
+    * distributed TakeOrdered over the per-key aggregate, and the
+    * shares divide exact integers. */
+  def keySkewProfile(s: SparkSession, d: String): DataFrame = {
+    val kc = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val tot = kc.agg(count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"), max(col("c")).as("max_c"))
+    val top10 = kc.orderBy(col("c").desc, col("l_partkey")).limit(10)
+      .agg(sum(col("c")).as("top10_rows"))
+    tot.crossJoin(broadcast(top10))
+      .select(col("n_keys"), col("n_rows"), col("max_c"),
+        expr("ROUND(CAST(max_c AS DOUBLE) / n_rows, 6)").as("max_share"),
+        expr("ROUND(CAST(top10_rows AS DOUBLE) / n_rows, 6)")
+          .as("top10_share"),
+        expr("ROUND(CAST(n_rows AS DOUBLE) / n_keys, 6)").as("rows_per_key"))
+  }
+
+  val keySkewProfileSql: String = """
+    WITH kc AS (SELECT l_partkey, COUNT(*) AS c
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+        CAST(MAX(c) AS BIGINT) AS max_c FROM kc),
+    t10 AS (SELECT CAST(SUM(c) AS BIGINT) AS top10_rows FROM (
+        SELECT c FROM kc ORDER BY c DESC, l_partkey LIMIT 10))
+    SELECT n_keys, n_rows, max_c,
+      ROUND(CAST(max_c AS DOUBLE) / n_rows, 6) AS max_share,
+      ROUND(CAST(top10_rows AS DOUBLE) / n_rows, 6) AS top10_share,
+      ROUND(CAST(n_rows AS DOUBLE) / n_keys, 6) AS rows_per_key
+    FROM tot, t10"""
+
   // ----------------------------------------------------------- specs
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("events_acf", eventsAcf, Some(eventsAcfSql)),
@@ -446,5 +612,9 @@ object StatQueries {
     QuerySpec("pmi_collocations", pmiCollocations, Some(pmiCollocationsSql)),
     QuerySpec("survival_weeks", survivalWeeks, Some(survivalWeeksSql)),
     QuerySpec("q10_returned_items", q10Returned, Some(q10ReturnedSql)),
-    QuerySpec("q14_promo_share", q14PromoShare, Some(q14PromoShareSql)))
+    QuerySpec("q14_promo_share", q14PromoShare, Some(q14PromoShareSql)),
+    QuerySpec("trend_theil_sen", trendTheilSen, Some(trendTheilSenSql)),
+    QuerySpec("text_zipf_fit", textZipfFit, Some(textZipfFitSql)),
+    QuerySpec("key_skew_profile", keySkewProfile,
+      Some(keySkewProfileSql)))
 }

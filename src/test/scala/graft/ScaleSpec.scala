@@ -917,7 +917,10 @@ class ScaleSpec extends SparkSpec {
     //    collapsed-plan guard backstops any future direct checkpoint.
     val allowedGlobals = Map("dsir_importance" -> 1, "shuffle_epoch" -> 1,
       // cumulative sums over the 10-row bucket aggregate (Heaps curve)
-      "vocab_growth" -> 1)
+      "vocab_growth" -> 1,
+      // rank over the distributed-TakeOrdered top-1000 vocabulary rows
+      // (bounded by the LIMIT, sits above the vocab aggregate)
+      "text_zipf_fit" -> 1)
     val heavyCols = Set("text", "para", "words", "span", "embedding")
     // Intrinsic candidate co-location: these ops ship CANDIDATE vectors
     // to their cell/bucket to be compared there — that exchange is the
