@@ -29,7 +29,12 @@ object Scaling {
     "knn_classify", "dedup_containment",
     "graph_communities", "ngram_hot", "text_kn_bigram",
     "text_stupid_backoff", "sketch_hll_distinct",
-    "corr_matrix", "events_stickiness", "conversion_latency")
+    "corr_matrix", "events_stickiness", "conversion_latency",
+    // round-11 additions with non-trivial scale shapes: bigram-PMI
+    // count joins, the O(days²) Theil-Sen pair join, the learned-BPE
+    // per-lang application, and the label-term tf-idf joins
+    "pmi_collocations", "trend_theil_sen", "tokenizer_fertility",
+    "cluster_label_terms")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("SCALING.json")
