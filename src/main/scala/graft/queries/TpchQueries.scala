@@ -1,0 +1,640 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** The remainder of the TPC-H suite, adapted to the driver's reduced
+  * star schema (no partsupp table, no commit/receipt dates, no
+  * shipmode/container/phone columns — see TESTDATA.md). Together with
+  * q1/q3/q5/q6/q12 (Relational) and q10/q14 (StatQueries) this
+  * completes the 22-query shape catalogue: every classic decision-
+  * support plan shape — correlated-min decorrelation, EXISTS/NOT-IN
+  * semi/anti joins, scalar-subquery thresholds, disjunctive join
+  * residuals, double-aggregation distributions, group-having join-backs
+  * — expressed the way you'd run it on a 1000-executor cluster.
+  *
+  * Scale notes common to all: dimensions (part/supplier/customer/
+  * nation) broadcast explicitly; facts (lineitem/orders) only ever
+  * shuffle on their join/group keys; scalar thresholds cross in via
+  * `crossJoin(broadcast(_))` (BroadcastNestedLoopJoin on a 1-row side,
+  * sanctioned by the ScaleSpec plan audit); all money sums go through
+  * DECIMAL(38,6) (graft.Q) for order-independent cross-engine
+  * hash-parity.
+  */
+object TpchQueries {
+
+  // ------------------------------------------------------------- Q2
+  /** Q2 shape (min-cost supplier): per-part minimum over a grouped
+    * aggregate, decorrelated as a partitioned window instead of the
+    * textbook correlated subquery. The part-supplier relation is
+    * derived from lineitem (no partsupp in this schema): unit price =
+    * exact-decimal avg of extendedprice/quantity per (part, supplier).
+    * The filtered part dimension joins BEFORE both the aggregate and
+    * the window — the (part, supplier) groupBy and the row_number only
+    * ever see lines of surviving parts, so at 100 TB the grouped state
+    * is |parts of interest| × |suppliers|, not |lineitem| groups. The
+    * pre-agg filter is safe because unit price is a per-(part,supplier)
+    * quantity: dropping other parts' lines cannot change it. */
+  def q2(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_type") === "SMALL" && col("p_size").between(10, 20))
+      .select("p_partkey", "p_brand")
+    val unit = Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey", "p_partkey", "p_brand")
+      .agg(Q.davg(col("l_extendedprice") / col("l_quantity"))
+        .as("unit_price"))
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("unit_price"), col("l_suppkey"))
+    unit.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"),
+        col("n_name"), col("unit_price"))
+      .orderBy("p_partkey")
+  }
+
+  val q2Sql: String = s"""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+        ${Sql.davg("l_extendedprice / l_quantity")} AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (
+      SELECT u.l_partkey, u.l_suppkey, u.unit_price, p_brand,
+        ROW_NUMBER() OVER (PARTITION BY l_partkey
+          ORDER BY unit_price, l_suppkey) AS rn
+      FROM unit u JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'SMALL' AND p_size BETWEEN 10 AND 20)
+    SELECT l_partkey AS p_partkey, p_brand, s_name, n_name, unit_price
+    FROM best JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE rn = 1
+    ORDER BY p_partkey"""
+
+  // ------------------------------------------------------------- Q4
+  /** Q4 shape (order-priority checking): EXISTS rewritten as a
+    * left-semi join from orders onto a pushed-down lineitem predicate
+    * (quantity >= 45 stands in for the absent commit/receipt-date
+    * lateness test). The semi join carries only l_orderkey across the
+    * exchange — no payload columns shuffle. */
+  def q4(s: SparkSession, d: String): DataFrame = {
+    val heavy = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 45).select("l_orderkey")
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  // ------------------------------------------------------------- Q7
+  /** Q7 shape (volume shipping between two nations): the supplier and
+    * customer sides each pre-filter to the two nations of interest
+    * BEFORE joining the fact, so both dimension branches broadcast and
+    * the disjunctive nation-pair predicate runs as a cheap residual on
+    * the already-joined row, not as a join condition. One fact
+    * shuffle (lineitem ⋈ orders on orderkey); everything else is
+    * broadcast. */
+  def q7(s: SparkSession, d: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+    val sup = Tables.supplier(s, d)
+      .join(n.select(col("n_nationkey"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(s, d)
+      .join(n.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation")), col("c_nationkey") === col("cnk"))
+      .select("c_custkey", "cust_nation")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Sql: String = s"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      CAST(year(l_shipdate) AS INT) AS l_year,
+      ${Sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+  // ------------------------------------------------------------- Q8
+  /** Q8 shape (national market share): conditional-sum ratio per order
+    * year — the numerator is a CASE inside the same exact-decimal
+    * aggregate as the denominator, so market share costs ONE pass and
+    * one shuffle, never two scans. Customer region membership and part
+    * type both pre-filter broadcast dimensions. */
+  def q8(s: SparkSession, d: String): DataFrame = {
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("ank"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("ank"))
+      .select("c_custkey")
+    val supN = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        Q.dsum(when(col("supp_nation") === "NATION_7", vol)
+          .otherwise(lit(0.0))).as("nation_volume"),
+        Q.dsum(vol).as("total_volume"))
+      .withColumn("mkt_share",
+        round(col("nation_volume") / col("total_volume"), 6))
+      .orderBy("o_year")
+  }
+
+  val q8Sql: String = s"""
+    WITH v AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        ${Sql.dsum("CASE WHEN n1.n_name = 'NATION_7' " +
+          "THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END")}
+          AS nation_volume,
+        ${Sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS total_volume
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+      WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+      GROUP BY o_year)
+    SELECT o_year, nation_volume, total_volume,
+      ROUND(nation_volume / total_volume, 6) AS mkt_share
+    FROM v ORDER BY o_year"""
+
+  // ------------------------------------------------------------- Q9
+  /** Q9 shape (product-type profit): profit = revenue − synthetic
+    * supply cost (0.5 · retailprice · quantity stands in for the
+    * absent ps_supplycost). Part filter broadcasts; the only fact
+    * shuffle is the final (nation, year) aggregation. */
+  def q9(s: SparkSession, d: String): DataFrame = {
+    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.5) * col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_name").contains("bolt"))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).as("o_year"))
+      .agg(Q.dsum(profit).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9Sql: String = s"""
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+      ${Sql.dsum("l_extendedprice * (1.0 - l_discount) " +
+        "- 0.5 * p_retailprice * l_quantity")} AS sum_profit
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC"""
+
+  // ------------------------------------------------------------ Q11
+  /** Q11 shape (important stock): per-part value with a
+    * fraction-of-global-total HAVING. The per-part aggregate persists
+    * (it is bounded by the part dimension) and the global total
+    * re-aggregates the cached rows — sum of rounded part values,
+    * identically defined in the oracle — so the fact scans ONCE; the
+    * one-row threshold crosses back in as a broadcast. Supplier
+    * region filter derives the part-supplier relation from
+    * lineitem. */
+  def q11(s: SparkSession, d: String): DataFrame = {
+    val supEurope = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_regionkey") === 3)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = Tables.lineitem(s, d)
+      .join(broadcast(supEurope), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("part_value"))
+      .persist()
+    val total = perPart.agg(Q.dsum(col("part_value")).as("total_value"))
+    val out = perPart.crossJoin(broadcast(total))
+      .filter(col("part_value") > col("total_value") * 0.001)
+      .select(col("l_partkey").as("p_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+    graft.pipeline.Caching.materializeAndRelease(out, perPart)
+  }
+
+  val q11Sql: String = s"""
+    WITH per AS (
+      SELECT l_partkey,
+        ${Sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS part_value
+      FROM lineitem
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier JOIN nation
+          ON s_nationkey = n_nationkey WHERE n_regionkey = 3)
+      GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey, part_value
+    FROM per
+    WHERE part_value > (SELECT ${Sql.dsum("part_value")} FROM per) * 0.001
+    ORDER BY part_value DESC, p_partkey"""
+
+  // ------------------------------------------------------------ Q13
+  /** Q13 shape (customer order-count distribution): left outer join +
+    * double aggregation. The first groupBy keys on c_custkey (the join
+    * key — Catalyst reuses the exchange), the second on the tiny
+    * count domain. */
+  def q13(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select("o_custkey", "o_orderkey")
+    Tables.customer(s, d).select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String = """
+    WITH per AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+
+  // ------------------------------------------------------------ Q15
+  /** Q15 shape (top supplier): grouped revenue, then select the rows
+    * equal to the global max — the max is a one-row broadcast, and
+    * equality on the rounded exact-decimal revenue is deterministic
+    * in both engines. The per-supplier revenue persists (bounded by
+    * the supplier dimension) so the max branch reads the cached
+    * aggregate instead of re-scanning the fact slice. */
+  def q15(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_revenue"))
+      .persist()
+    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    val out = rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+    graft.pipeline.Caching.materializeAndRelease(out, rev)
+  }
+
+  val q15Sql: String = s"""
+    WITH rev AS (
+      SELECT l_suppkey,
+        ${Sql.dsum("l_extendedprice * (1.0 - l_discount)")}
+          AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey"""
+
+  // ------------------------------------------------------------ Q16
+  /** Q16 shape (supplier count by part attribute): NOT-IN rewritten as
+    * a left-anti join against the (tiny, broadcast) excluded-supplier
+    * list, then COUNT(DISTINCT supplier) per part attribute triple.
+    * The distinct-count expands to a two-phase aggregate — partial
+    * de-dup map-side, no row explosion. */
+  def q16(s: SparkSession, d: String): DataFrame = {
+    val sizes = Seq(1, 4, 9, 14, 19, 23, 36, 45)
+    val p = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val excluded = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q16Sql: String = """
+    SELECT p_brand, p_type, p_size,
+      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  // ------------------------------------------------------------ Q17
+  /** Q17 shape (small-quantity-order revenue): the correlated
+    * avg-quantity subquery decorrelates into a per-part aggregate
+    * joined back to the same filtered fact slice. Both the part filter
+    * and the per-part averages are bounded by the part dimension, so
+    * both broadcast; the filtered slice (a ~1/2000 brand+size cut of
+    * the fact) persists so the avg subquery and the revenue pass read
+    * it once instead of scanning the full fact twice. */
+  def q17(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#7" && col("p_size") < 5)
+      .select("p_partkey")
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .persist()
+    val avgQ = li.groupBy(col("l_partkey").as("ap"))
+      .agg(Q.davg(col("l_quantity")).as("avg_qty"))
+    val out = li.join(broadcast(avgQ), col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg(round(Q.dsum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+    graft.pipeline.Caching.materializeAndRelease(out, li)
+  }
+
+  val q17Sql: String = s"""
+    WITH li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#7' AND p_size < 5),
+    a AS (SELECT l_partkey AS ap, ${Sql.davg("l_quantity")} AS avg_qty
+      FROM li GROUP BY l_partkey)
+    SELECT ROUND(${Sql.dsum("l_extendedprice")} / 7.0, 2) AS avg_yearly,
+      COUNT(*) AS n_lines
+    FROM li JOIN a ON l_partkey = ap
+    WHERE l_quantity < avg_qty * 0.2"""
+
+  // ------------------------------------------------------------ Q18
+  /** Q18 shape (large-volume customers): group-having on the fact,
+    * then join back to orders/customer for the payload. The HAVING
+    * list is small (big orders are rare), so the join-back broadcasts
+    * the survivors, not the fact. */
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(Q.dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300.0)
+    Tables.orders(s, d)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        Q.iso(col("o_orderdate")).as("o_date"), col("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18Sql: String = s"""
+    WITH big AS (
+      SELECT l_orderkey, ${Sql.dsum("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING ${Sql.dsum("l_quantity")} > 300.0)
+    SELECT c_custkey, c_name, o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS o_date,
+      o_totalprice, sum_qty
+    FROM orders JOIN big ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20"""
+
+  // ------------------------------------------------------------ Q19
+  /** Q19 shape (disjunctive predicates): equi-join on partkey with the
+    * three-branch OR as a post-join residual — the join itself stays a
+    * broadcast hash join; the disjunction never degrades it to a
+    * nested loop. */
+  def q19(s: SparkSession, d: String): DataFrame = {
+    val branch = (
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30)))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19Sql: String = s"""
+    SELECT ${Sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        AND l_quantity BETWEEN 1 AND 11)
+      OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+        AND l_quantity BETWEEN 10 AND 20)
+      OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 20 AND 30)"""
+
+  // ------------------------------------------------------------ Q20
+  /** Q20 shape (excess-inventory suppliers): nested IN-subqueries
+    * rewritten as a group-having aggregate (shipped quantity of the
+    * part class per supplier) feeding a left-semi join into the
+    * supplier dimension. */
+  def q20(s: SparkSession, d: String): DataFrame = {
+    val redParts = Tables.part(s, d)
+      .filter(col("p_name").startsWith("red")).select("p_partkey")
+    val shippers = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(Q.dsum(col("l_quantity")).as("ship_qty"))
+      .filter(col("ship_qty") > 50.0)
+      .select("l_suppkey")
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .filter(col("n_name") === "NATION_4")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
+  val q20Sql: String = s"""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_4'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey
+        HAVING ${Sql.dsum("l_quantity")} > 50.0)
+    ORDER BY s_suppkey"""
+
+  // ------------------------------------------------------------ Q21
+  /** Q21 shape (suppliers who kept orders waiting): the textbook form
+    * is EXISTS(another supplier) AND NOT EXISTS(another late supplier)
+    * — two correlated probes of the same fact. Decorrelated here as
+    * ONE groupBy per order computing (distinct suppliers, distinct
+    * late suppliers, the late supplier when unique): three aggregates,
+    * one shuffle, instead of two extra fact joins. Lateness =
+    * shipdate > orderdate + 90 days (no receipt/commit dates in this
+    * schema); only 'F'-status orders qualify. */
+  def q21(s: SparkSession, d: String): DataFrame = {
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    val per = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+        min(when(late, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    per.groupBy("late_supp")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(25)
+  }
+
+  val q21Sql: String = """
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+        CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+          THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'),
+    per AS (
+      SELECT l_orderkey,
+        COUNT(DISTINCT l_suppkey) AS n_supp,
+        COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+        MIN(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+      FROM li GROUP BY l_orderkey)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per JOIN supplier ON late_supp = s_suppkey
+    WHERE n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25"""
+
+  // ------------------------------------------------------------ Q22
+  /** Q22 shape (global sales opportunity): scalar-average threshold
+    * (one-row broadcast) + NOT EXISTS as a left-anti join. Country
+    * code = nationkey mod 5 stands in for the absent phone prefix;
+    * "no orders" is narrowed to "no 1-URGENT orders" so the anti side
+    * still prunes at this data's density. */
+  def q22(s: SparkSession, d: String): DataFrame = {
+    val eligible = Tables.customer(s, d)
+      .withColumn("cntrycode", (col("c_nationkey") % 5).cast("int"))
+      .filter(col("cntrycode").isin(0, 1, 2))
+    val avgBal = eligible.filter(col("c_acctbal") > 0)
+      .agg(Q.davg(col("c_acctbal")).as("avg_bal"))
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    eligible.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"),
+        Q.dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  val q22Sql: String = s"""
+    SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+      COUNT(*) AS numcust, ${Sql.dsum("c_acctbal")} AS totacctbal
+    FROM customer
+    WHERE c_nationkey % 5 IN (0, 1, 2)
+      AND c_acctbal > (
+        SELECT ${Sql.davg("c_acctbal")} FROM customer
+        WHERE c_acctbal > 0 AND c_nationkey % 5 IN (0, 1, 2))
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY cntrycode
+    ORDER BY cntrycode"""
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q2_min_cost_supplier", q2, Some(q2Sql)),
+    QuerySpec("q4_priority_exists", q4, Some(q4Sql)),
+    QuerySpec("q7_volume_shipping", q7, Some(q7Sql)),
+    QuerySpec("q8_market_share", q8, Some(q8Sql)),
+    QuerySpec("q9_product_profit", q9, Some(q9Sql)),
+    QuerySpec("q11_important_parts", q11, Some(q11Sql)),
+    QuerySpec("q13_custdist", q13, Some(q13Sql)),
+    QuerySpec("q15_top_supplier", q15, Some(q15Sql)),
+    QuerySpec("q16_supplier_cnt", q16, Some(q16Sql)),
+    QuerySpec("q17_small_qty_revenue", q17, Some(q17Sql)),
+    QuerySpec("q18_large_orders", q18, Some(q18Sql)),
+    QuerySpec("q19_disjunctive_rev", q19, Some(q19Sql)),
+    QuerySpec("q20_excess_shippers", q20, Some(q20Sql)),
+    QuerySpec("q21_waiting_supplier", q21, Some(q21Sql)),
+    QuerySpec("q22_sales_opportunity", q22, Some(q22Sql)))
+}
