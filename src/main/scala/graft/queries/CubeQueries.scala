@@ -568,7 +568,99 @@ object CubeQueries {
       MIN(cal_date) AS first_date, MAX(cal_date) AS last_date
     FROM decoded GROUP BY 1 ORDER BY cal_month"""
 
+  // ------------------------------------------------------------ gap-fill
+  /** Linear-interpolation gap fill over the sparse (cell, day) series —
+    * the temporal-regularization step a cube store runs before
+    * resampling a variable whose observations have holes (the purchase
+    * slice fills only ~9% of the 744-cell × 30-day spine at sf0.01).
+    *
+    * Scale shape: the spine is grid × calendar — metadata-sized, NOT
+    * fact-sized — built as observed-cells ⨯ broadcast(observed-days)
+    * (BroadcastNestedLoopJoin on a calendar-bounded side). The fill
+    * windows partition by cell (never global); prev/next neighbors come
+    * from IGNORE-NULLS last/first over the per-cell frame, so the fill
+    * is one keyed window pass, no self-join, no per-gap probing. The
+    * daily aggregate persists because spine construction reads it three
+    * times (cells, days, values). Interpolation arithmetic is written
+    * as the identical IEEE expression in both engines: the neighbor
+    * values are already 6-dp-rounded decimals, the day-offset ratio is
+    * an explicit double division. */
+  def gapfillLinear(s: SparkSession, d: String): DataFrame = {
+    val daily = cube(s, d).filter(col("event_type") === "purchase")
+      .groupBy("y_idx", "x_idx", "day")
+      .agg(graft.Q.davg(col("value")).as("v"))
+      .persist()
+    val cells = daily.select("y_idx", "x_idx").distinct()
+    val days = daily.select("day").distinct()
+    val joined = cells.crossJoin(broadcast(days))
+      .join(daily, Seq("y_idx", "x_idx", "day"), "left")
+      .withColumn("dn",
+        datediff(to_date(col("day")), lit("1970-01-01").cast("date")))
+    val W = org.apache.spark.sql.expressions.Window
+    val wBase = W.partitionBy("y_idx", "x_idx").orderBy("dn")
+    val wPrev = wBase.rowsBetween(W.unboundedPreceding, -1)
+    val wNext = wBase.rowsBetween(1, W.unboundedFollowing)
+    val vp = last(col("v"), ignoreNulls = true).over(wPrev)
+    val dp = last(when(col("v").isNotNull, col("dn")), ignoreNulls = true)
+      .over(wPrev)
+    val vn = first(col("v"), ignoreNulls = true).over(wNext)
+    val dq = first(when(col("v").isNotNull, col("dn")), ignoreNulls = true)
+      .over(wNext)
+    val filled = when(col("v").isNotNull, col("v")).otherwise(
+      round(vp + (vn - vp) *
+        ((col("dn") - dp).cast("double") / (dq - dp).cast("double")), 6))
+    val out = joined
+      .withColumn("value_filled", filled)
+      .withColumn("was_gap", col("v").isNull)
+      .filter(col("value_filled").isNotNull)
+      .select(col("y_idx"), col("x_idx"), col("day"), col("value_filled"),
+        col("was_gap"))
+      .orderBy("y_idx", "x_idx", "day")
+    graft.pipeline.Caching.materializeAndRelease(out, daily)
+  }
+
+  val gapfillLinearSql: String = s"""
+    WITH $cubeCte,
+    daily AS (
+      SELECT y_idx, x_idx, day, ${Sql.davg("value")} AS v
+      FROM cube WHERE event_type = 'purchase'
+      GROUP BY y_idx, x_idx, day),
+    spine AS (
+      SELECT c.y_idx, c.x_idx, dd.day
+      FROM (SELECT DISTINCT y_idx, x_idx FROM daily) c
+      CROSS JOIN (SELECT DISTINCT day FROM daily) dd),
+    j AS (
+      SELECT s.y_idx, s.x_idx, s.day, d.v,
+        date_diff('day', DATE '1970-01-01', CAST(s.day AS DATE)) AS dn
+      FROM spine s LEFT JOIN daily d
+        ON s.y_idx = d.y_idx AND s.x_idx = d.x_idx AND s.day = d.day),
+    w AS (
+      SELECT y_idx, x_idx, day, v, dn,
+        LAST_VALUE(v IGNORE NULLS) OVER wp AS vp,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN dn END IGNORE NULLS)
+          OVER wp AS dp,
+        FIRST_VALUE(v IGNORE NULLS) OVER wn AS vn,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN dn END IGNORE NULLS)
+          OVER wn AS dq
+      FROM j
+      WINDOW wp AS (PARTITION BY y_idx, x_idx ORDER BY dn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        wn AS (PARTITION BY y_idx, x_idx ORDER BY dn
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+    f AS (
+      SELECT y_idx, x_idx, day,
+        CASE WHEN v IS NOT NULL THEN v
+          ELSE ROUND(vp + (vn - vp) *
+            (CAST(dn - dp AS DOUBLE) / CAST(dq - dp AS DOUBLE)), 6)
+        END AS value_filled,
+        v IS NULL AS was_gap
+      FROM w)
+    SELECT y_idx, x_idx, day, value_filled, was_gap
+    FROM f WHERE value_filled IS NOT NULL
+    ORDER BY y_idx, x_idx, day"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("cube_gapfill_linear", gapfillLinear, Some(gapfillLinearSql)),
     QuerySpec("cube_cal_360day", cal360Day, Some(cal360DaySql)),
     QuerySpec("cube_ts_point", tsPoint, Some(tsPointSql)),
     QuerySpec("cube_ts_zonal", tsZonal, Some(tsZonalSql)),

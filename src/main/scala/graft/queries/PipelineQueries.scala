@@ -4282,7 +4282,67 @@ object PipelineQueries {
     FROM ap JOIN sp ON ap.para = sp.para AND ap.split_a < sp.split
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // --------------------------------------------------------------- BFS
+  /** Breadth-first shortest-path levels from a seed node over the
+    * part–supplier bipartite graph — the iterative frontier-expansion
+    * shape none of the other graph operators exercise (pagerank/HITS
+    * iterate over ALL nodes; BFS's working set is the frontier).
+    *
+    * Scale shape: per round ONE equi-join frontier⋉edges (the frontier
+    * side is small and shrinks after the reachable set saturates —
+    * AQE broadcasts it) and one anti-join against the visited set,
+    * which is a union of per-round persisted frontiers (each bounded
+    * by the node set, never edge-sized). Depth is fixed (3 — the
+    * bipartite diameter here); distances are exact integers. The
+    * DuckDB oracle is a recursive CTE with UNION-dedup — a genuinely
+    * different evaluation strategy (semi-naive fixpoint) arriving at
+    * the identical level sets, which is the point of the check. */
+  def graphBfsLevels(s: SparkSession, d: String): DataFrame = {
+    val (pairs, edges) = partSupplierGraph(s, d)
+    val seed = Tables.lineitem(s, d)
+      .agg((min(col("l_partkey")) * 2).as("node_id"))
+      .withColumn("dist", lit(0))
+      .persist()
+    val frontiers = scala.collection.mutable.Buffer[DataFrame](seed)
+    var visited = seed
+    var frontier: DataFrame = seed.select("node_id")
+    for (k <- 1 to 3) {
+      val next = frontier.join(edges, col("node_id") === col("src"))
+        .select(col("dst").as("node_id")).distinct()
+        .join(visited, Seq("node_id"), "left_anti")
+        .withColumn("dist", lit(k))
+        .persist()
+      frontiers += next
+      visited = visited.unionByName(next)
+      frontier = next.select("node_id")
+    }
+    val out = visited
+      .select(col("node_id"), (col("node_id") % 2 === 1).as("is_supplier"),
+        col("dist"))
+      .orderBy("node_id")
+    graft.pipeline.Caching.materializeAndRelease(
+      out, (Seq(pairs, edges) ++ frontiers): _*)
+  }
+
+  val graphBfsLevelsSql: String = """
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    edges AS (SELECT p * 2 AS src, s * 2 + 1 AS dst FROM pairs
+      UNION ALL SELECT s * 2 + 1, p * 2 FROM pairs),
+    seed AS (SELECT MIN(l_partkey) * 2 AS src_node FROM lineitem),
+    walk(node_id, dist) AS (
+      SELECT src_node, 0 FROM seed
+      UNION
+      SELECT e.dst, w.dist + 1
+      FROM walk w JOIN edges e ON w.node_id = e.src
+      WHERE w.dist < 3),
+    lv AS (SELECT node_id, MIN(dist) AS dist FROM walk GROUP BY node_id)
+    SELECT node_id, node_id % 2 = 1 AS is_supplier,
+      CAST(dist AS INT) AS dist
+    FROM lv ORDER BY node_id"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("graph_bfs_levels", graphBfsLevels, Some(graphBfsLevelsSql)),
     QuerySpec("sim_topk_pq", simTopKPq, Some(simTopKPqSql)),
     QuerySpec("overlap_matrix", overlapMatrix, Some(overlapMatrixSql)),
     QuerySpec("split_leakage", splitLeakage, Some(splitLeakageSql)),
