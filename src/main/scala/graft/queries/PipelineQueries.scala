@@ -4341,7 +4341,166 @@ object PipelineQueries {
       CAST(dist AS INT) AS dist
     FROM lv ORDER BY node_id"""
 
+  // ------------------------------------------------------ join-size CMS
+  /** Join-cardinality estimation from mergeable CMS sketches — the
+    * planner-statistics use case: |A ⋈ B| on a key equals the inner
+    * product of the two frequency vectors, and the CMS row-wise inner
+    * product min-estimates it WITHOUT executing the join (AMS/CMS
+    * inner-product estimator, Cormode & Muthukrishnan §4.2). At 100 TB
+    * each side reduces to a constant 4×4096-cell sketch (128 KB,
+    * map-side partial, mergeable across partitions/days); the estimate
+    * is a 16k-row join of the two sketches. The exact join count is
+    * emitted alongside (the estimator is an upper bound — collisions
+    * only add), and the sketch cells use the same affine-permutation
+    * family as the minhash/CMS queries so the oracle replays every
+    * cell bit-exactly. */
+  def sketchJoinSize(s: SparkSession, d: String): DataFrame = {
+    val w = 4096
+    val ks = 54 to 57
+    def cellCols(h: org.apache.spark.sql.Column) = ks.map { k =>
+      val (a, b) = graft.pipeline.TextHash.coeffs(k)
+      ((lit(a) * h + lit(b)) % lit(graft.pipeline.TextHash.P)) % lit(w)
+    }
+    def cms(df: DataFrame, cname: String) = df
+      .select(graft.functions.HashF
+        .polyHash(col("l_partkey").cast("string")).as("h"))
+      .select(posexplode(array(cellCols(col("h")): _*))
+        .as(Seq("r", "cell")))
+      .groupBy("r", "cell").agg(count(lit(1)).as(cname))
+    val cmsA = cms(Tables.lineitem(s, d), "ca")
+    val cmsB = cms(Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R"), "cb")
+    val est = cmsA.join(cmsB, Seq("r", "cell"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join_rows"))
+    val fa = Tables.lineitem(s, d)
+      .groupBy("l_partkey").agg(count(lit(1)).as("fa"))
+    val fb = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .groupBy("l_partkey").agg(count(lit(1)).as("fb"))
+    val exact = fa.join(fb, Seq("l_partkey"))
+      .agg(sum(col("fa") * col("fb")).as("exact_join_rows"))
+    est.crossJoin(broadcast(exact))
+      .select(col("est_join_rows"), col("exact_join_rows"),
+        round(col("est_join_rows").cast("double") /
+          col("exact_join_rows"), 4).as("overestimate_ratio"))
+  }
+
+  val sketchJoinSizeSql: String = {
+    val P = graft.pipeline.TextHash.P
+    val params = (54 to 57).zipWithIndex.map { case (k, r) =>
+      val (a, b) = graft.pipeline.TextHash.coeffs(k)
+      s"($r, $a, $b)"
+    }.mkString(", ")
+    def hashOf(x: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         | [CAST(ascii(substr($x, CAST(i AS INT), 1)) AS BIGINT)
+         |  FOR i IN range(1, length($x)+1)]),
+         | (a, b) -> (a * 31 + b) % $P)""".stripMargin
+    s"""
+    WITH params AS (SELECT * FROM (VALUES $params) AS p(r, a, b)),
+    ha AS (SELECT ${hashOf("CAST(l_partkey AS VARCHAR)")} AS h
+      FROM lineitem),
+    cmsa AS (SELECT r, ((a * h + b) % $P) % 4096 AS cell, COUNT(*) AS ca
+      FROM ha CROSS JOIN params GROUP BY 1, 2),
+    hb AS (SELECT ${hashOf("CAST(l_partkey AS VARCHAR)")} AS h
+      FROM lineitem WHERE l_returnflag = 'R'),
+    cmsb AS (SELECT r, ((a * h + b) % $P) % 4096 AS cell, COUNT(*) AS cb
+      FROM hb CROSS JOIN params GROUP BY 1, 2),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_rows FROM
+      (SELECT r, SUM(ca * cb) AS ip
+       FROM cmsa JOIN cmsb USING (r, cell) GROUP BY r)),
+    fa AS (SELECT l_partkey, COUNT(*) AS fa FROM lineitem GROUP BY 1),
+    fb AS (SELECT l_partkey, COUNT(*) AS fb FROM lineitem
+      WHERE l_returnflag = 'R' GROUP BY 1),
+    exact AS (SELECT CAST(SUM(fa.fa * fb.fb) AS BIGINT)
+        AS exact_join_rows
+      FROM fa JOIN fb USING (l_partkey))
+    SELECT est_join_rows, exact_join_rows,
+      ROUND(CAST(est_join_rows AS DOUBLE) / exact_join_rows, 4)
+        AS overestimate_ratio
+    FROM est CROSS JOIN exact"""
+  }
+
+  // ----------------------------------------------------- k-core peeling
+  /** Fixed-round k-core peeling of the part–supplier graph: repeatedly
+    * drop nodes whose degree in the INDUCED subgraph falls below k —
+    * the classic dense-substructure extraction whose working set
+    * shrinks every round (unlike pagerank's fixed node set and BFS's
+    * growing visited set). k is data-driven — 1.3× the mean part
+    * degree, in exact integer arithmetic ((13·|E|) div (10·|P|) + 1) —
+    * so the peel stays meaningful at any scale factor. Per round: two
+    * keyed degree aggregates + two semi-joins; the threshold is a
+    * one-row broadcast. Output is the peeling trajectory
+    * (edges/parts/suppliers per round), the shape a curation pipeline
+    * reads to pick a core cut-off. */
+  def graphKcorePeel(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct().persist()
+    val kdf = pairs
+      .agg(count(lit(1)).as("ne"), countDistinct(col("p")).as("np"))
+      .select(expr("(13L * ne) div (10L * np) + 1L").as("kk"))
+    def peel(e: DataFrame): DataFrame = {
+      val keepP = e.groupBy("p").agg(count(lit(1)).as("cp"))
+        .crossJoin(broadcast(kdf)).filter(col("cp") >= col("kk"))
+        .select("p")
+      val keepS = e.groupBy("s").agg(count(lit(1)).as("cs"))
+        .crossJoin(broadcast(kdf)).filter(col("cs") >= col("kk"))
+        .select("s")
+      e.join(keepP, Seq("p"), "left_semi").join(keepS, Seq("s"), "left_semi")
+    }
+    val e1 = peel(pairs).persist()
+    val e2 = peel(e1).persist()
+    val e3 = peel(e2).persist()
+    def summary(r: Int, e: DataFrame) = e
+      .agg(count(lit(1)).as("n_edges"), countDistinct(col("p")).as("n_parts"),
+        countDistinct(col("s")).as("n_suppliers"))
+      .select(lit(r).as("round"), col("n_edges"), col("n_parts"),
+        col("n_suppliers"))
+    val out = summary(0, pairs).unionByName(summary(1, e1))
+      .unionByName(summary(2, e2)).unionByName(summary(3, e3))
+      .orderBy("round")
+    graft.pipeline.Caching.materializeAndRelease(out, pairs, e1, e2, e3)
+  }
+
+  val graphKcorePeelSql: String = """
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    kk AS (SELECT (13 * COUNT(*)) // (10 * COUNT(DISTINCT p)) + 1 AS k
+      FROM pairs),
+    e1 AS (SELECT p, s FROM pairs
+      WHERE p IN (SELECT p FROM pairs GROUP BY p
+                  HAVING COUNT(*) >= (SELECT k FROM kk))
+        AND s IN (SELECT s FROM pairs GROUP BY s
+                  HAVING COUNT(*) >= (SELECT k FROM kk))),
+    e2 AS (SELECT p, s FROM e1
+      WHERE p IN (SELECT p FROM e1 GROUP BY p
+                  HAVING COUNT(*) >= (SELECT k FROM kk))
+        AND s IN (SELECT s FROM e1 GROUP BY s
+                  HAVING COUNT(*) >= (SELECT k FROM kk))),
+    e3 AS (SELECT p, s FROM e2
+      WHERE p IN (SELECT p FROM e2 GROUP BY p
+                  HAVING COUNT(*) >= (SELECT k FROM kk))
+        AND s IN (SELECT s FROM e2 GROUP BY s
+                  HAVING COUNT(*) >= (SELECT k FROM kk)))
+    SELECT * FROM (
+      SELECT CAST(0 AS INT) AS round, COUNT(*) AS n_edges,
+        CAST(COUNT(DISTINCT p) AS BIGINT) AS n_parts,
+        CAST(COUNT(DISTINCT s) AS BIGINT) AS n_suppliers FROM pairs
+      UNION ALL
+      SELECT CAST(1 AS INT), COUNT(*), CAST(COUNT(DISTINCT p) AS BIGINT),
+        CAST(COUNT(DISTINCT s) AS BIGINT) FROM e1
+      UNION ALL
+      SELECT CAST(2 AS INT), COUNT(*), CAST(COUNT(DISTINCT p) AS BIGINT),
+        CAST(COUNT(DISTINCT s) AS BIGINT) FROM e2
+      UNION ALL
+      SELECT CAST(3 AS INT), COUNT(*), CAST(COUNT(DISTINCT p) AS BIGINT),
+        CAST(COUNT(DISTINCT s) AS BIGINT) FROM e3)
+    ORDER BY round"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("sketch_join_size", sketchJoinSize, Some(sketchJoinSizeSql)),
+    QuerySpec("graph_kcore_peel", graphKcorePeel, Some(graphKcorePeelSql)),
     QuerySpec("graph_bfs_levels", graphBfsLevels, Some(graphBfsLevelsSql)),
     QuerySpec("sim_topk_pq", simTopKPq, Some(simTopKPqSql)),
     QuerySpec("overlap_matrix", overlapMatrix, Some(overlapMatrixSql)),
