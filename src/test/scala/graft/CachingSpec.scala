@@ -12,7 +12,11 @@ class CachingSpec extends SparkSpec {
   private val pipelineQueries = Seq(
     "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_keep_best", "dedup_emb_cosine",
-    "decontaminate", "pipeline_curate", "bpe_train")
+    "decontaminate", "pipeline_curate", "bpe_train",
+    // round-11 persisting queries (scalar-threshold TPC-H shapes,
+    // iterative graph shapes, the spine-building gap fill)
+    "q11_important_parts", "q15_top_supplier", "q17_small_qty_revenue",
+    "graph_bfs_levels", "graph_kcore_peel", "cube_gapfill_linear")
 
   for (name <- pipelineQueries)
     test(s"$name leaves no cached blocks behind") {
