@@ -34,7 +34,13 @@ object Scaling {
     // count joins, the O(days²) Theil-Sen pair join, the learned-BPE
     // per-lang application, and the label-term tf-idf joins
     "pmi_collocations", "trend_theil_sen", "tokenizer_fertility",
-    "cluster_label_terms")
+    "cluster_label_terms",
+    // round-11 tail: iterative graph shapes (frontier BFS, k-core
+    // peeling), the grid×calendar gap-fill spine, the CMS join-size
+    // sketch, and the two heaviest TPC-H completions (Q21's fact-fact
+    // join + triple distinct aggregate; Q2's grouped-min window)
+    "graph_bfs_levels", "graph_kcore_peel", "cube_gapfill_linear",
+    "sketch_join_size", "q21_waiting_supplier", "q2_min_cost_supplier")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("SCALING.json")
