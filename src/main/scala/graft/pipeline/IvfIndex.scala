@@ -142,6 +142,40 @@ object IvfIndex {
     assignCells(df, idCol, vecCol, p, sampleBanks(df, idCol, vecCol, p))
   }
 
+  /** Persisted cell-assignment sidecar — the build-once/query-many ANN
+    * contract (the DedupIndex pattern applied to the vector index): an
+    * ANN index over a corpus snapshot is built by the FIRST query and
+    * written next to nothing (the assignment table, parquet,
+    * PARTITIONED BY cell), so every later query over the same snapshot
+    * loads the index with zero jobs over the corpus and its cell-probe
+    * join reads only the probed cells' partitions (partition pruning —
+    * the "corpus written partitioned by cell" scale path). The key
+    * hashes corpus path + length + mtime (DedupIndex.snapshotKey), so
+    * a corpus change is a clean miss, never a stale hit; the
+    * `_COMPLETE` marker lands last, so a crashed writer is invisible
+    * and concurrent writers are idempotent. `assigned` is by-name:
+    * on a sidecar hit the assignment plan (and its corpus count/scan)
+    * is never even constructed. */
+  def cellsSidecar(spark: org.apache.spark.sql.SparkSession,
+                   corpusPath: String, variant: String, schemaDdl: String,
+                   assigned: => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val key = DedupIndex.snapshotKey(spark, corpusPath, variant)
+    val b = new Path(DedupIndex.indexDir(spark), key)
+    val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
+    // explicit schema: no inference job — loading must stay job-free
+    def read: DataFrame = spark.read.schema(schemaDdl)
+      .parquet(new Path(b, "cells").toString)
+    if (fs.exists(new Path(b, "_COMPLETE"))) read
+    else {
+      fs.mkdirs(b)
+      assigned.write.mode("overwrite").partitionBy("cell")
+        .parquet(new Path(b, "cells").toString)
+      fs.create(new Path(b, "_COMPLETE"), true).close()
+      read
+    }
+  }
+
   // ------------------------------------------------------- SQL mirror
 
   private def dotSql(a: String, b: String): String =

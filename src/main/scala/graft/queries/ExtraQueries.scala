@@ -278,11 +278,16 @@ object ExtraQueries {
     * cell, exact-cosine rerank. The scale path: the corpus is written
     * partitioned by cell, so probes read one partition (vs LSH's hash
     * buckets — both ship in graft). */
-  def simAnnIvf(s: SparkSession, d: String): DataFrame = {
-    val base = graft.pipeline.IvfIndex.withCells(
+  def simAnnIvf(s: SparkSession, d: String): DataFrame =
+    ivfCellTopK(graft.pipeline.IvfIndex.withCells(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
         VecF.normF(col("embedding")).as("norm")),
-      "vec_id", "embedding")
+      "vec_id", "embedding"))
+
+  /** cell-probe + exact-cosine rerank over an assigned (vec_id,
+    * embedding, norm, cell) corpus — shared by the in-flight and the
+    * persisted-sidecar index variants (same plan, same oracle). */
+  private def ivfCellTopK(base: DataFrame): DataFrame = {
     val queries = base.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
         col("norm").as("q_norm"), col("cell"))
@@ -298,6 +303,23 @@ object ExtraQueries {
         col("rank").cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** [[simAnnIvf]] through the persisted index sidecar
+    * ([[graft.pipeline.IvfIndex.cellsSidecar]]): the first query over a
+    * corpus snapshot builds and persists the cell assignment
+    * (partitioned by cell); every later query loads it with zero jobs
+    * over embeddings.parquet and probes only the queried cells'
+    * partitions — the build-once/query-many contract a 100 TB ANN
+    * service actually runs (asserted plan-level in ScaleSpec). Results
+    * are identical to the in-flight variant, so it shares its oracle. */
+  def simAnnIvfPersisted(s: SparkSession, d: String): DataFrame =
+    ivfCellTopK(graft.pipeline.IvfIndex.cellsSidecar(
+      s, s"$d/embeddings.parquet", "ivf-cells-v1",
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, norm DOUBLE, cell BIGINT",
+      graft.pipeline.IvfIndex.withCells(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+          VecF.normF(col("embedding")).as("norm")),
+        "vec_id", "embedding")))
 
   /** IVF index-quality evaluation: per-query overlap of the IVF top-3
     * against the brute-force cosine truth — the vector-side sibling of
@@ -565,6 +587,8 @@ object ExtraQueries {
     QuerySpec("ts_multi_geom", tsMultiGeom, Some(tsMultiGeomSql)),
     QuerySpec("ts_places", tsPlaces, Some(tsPlacesSql)),
     QuerySpec("sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql)),
+    QuerySpec("sim_ann_ivf_persisted", simAnnIvfPersisted,
+      Some(simAnnIvfSql)),
     QuerySpec("ivf_recall_eval", ivfRecallEval, Some(ivfRecallEvalSql)),
     QuerySpec("window_rank", windowRank, Some(windowRankSql)),
     QuerySpec("above_avg_orders", aboveAvgOrders, Some(aboveAvgOrdersSql)),

@@ -1080,6 +1080,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("sim_ann_ivf_persisted reuses the index sidecar: the second " +
+      "query scans only cell partitions, never embeddings.parquet") {
+    // The build-once/query-many ANN contract: the first query over a
+    // corpus snapshot persists the cell assignment (parquet partitioned
+    // by cell); a later query's plan must read ONLY the sidecar — the
+    // corpus itself never re-scans, and the assignment (count + bank
+    // sampling + argmin scan) is never re-planned.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfsc").toString
+    spark.conf.set("spark.graft.dedup.indexDir", dir)
+    val d = sf("sf0.001")
+    try {
+      val r1 = graft.queries.ExtraQueries.simAnnIvfPersisted(spark, d)
+        .collect()
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val q2 = graft.queries.ExtraQueries.simAnnIvfPersisted(spark, d)
+      val scans = q2.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",")
+      }
+      assert(scans.nonEmpty && scans.forall(_.contains(dir)),
+        s"second query reads beyond the sidecar: $scans")
+      assert(!scans.exists(_.contains("embeddings.parquet")),
+        s"corpus re-scanned on a sidecar hit: $scans")
+      assert(q2.collect() === r1, "sidecar reuse changed the result")
+      // and the persisted path agrees with the in-flight index
+      assert(graft.queries.ExtraQueries.simAnnIvf(spark, d).collect()
+        === r1, "persisted index diverged from the in-flight assignment")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.graft.dedup.indexDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("IVF candidate-pair work grows ~linearly with the corpus " +
       "(data-driven cell count)") {
     // The round-9 scale gap: fixed k=4 cells made the semantic-dedup
