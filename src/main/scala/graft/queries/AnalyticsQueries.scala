@@ -1639,7 +1639,66 @@ object AnalyticsQueries {
         AS wow_pct
     FROM l ORDER BY event_type, week"""
 
+  // --------------------------------------------------- IVM merge proof
+  /** Incremental-view-maintenance merge: an aggregate maintained from
+    * per-batch partials must equal the from-scratch aggregate — which
+    * holds ONLY for algebraically mergeable state. The fact is split
+    * into base/delta by a hash (the snapshot-vs-new-batch shape);
+    * each side aggregates to (decimal sum, count) partials, the
+    * partials merge by re-aggregation, and ONLY the merged result
+    * rounds — so merged ≡ full bit-for-bit, which the query emits as a
+    * checked column. This is the contract that lets a 100 TB warehouse
+    * maintain its rollups from daily deltas without rescanning
+    * history; raw double sums would fail it (order-dependent), which
+    * is exactly why every graft aggregate goes through DECIMAL. */
+  def ivmMergeAgg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .withColumn("isdelta",
+        pmod(col("l_orderkey") * lit(2654435761L), lit(100L)) >= 75)
+    def partial(df: DataFrame) = df.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast(Q.Dec)).as("sq"),
+        count(lit(1)).as("n"))
+    val merged = partial(li.filter(!col("isdelta")))
+      .unionByName(partial(li.filter(col("isdelta"))))
+      .groupBy("l_returnflag")
+      .agg(round(sum(col("sq")), 2).cast("double").as("sum_qty_merged"),
+        sum(col("n")).as("n_merged"))
+    val full = Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(Q.dsum(col("l_quantity")).as("sum_qty_full"),
+        count(lit(1)).as("n_full"))
+    merged.join(full, Seq("l_returnflag"))
+      .withColumn("consistent",
+        col("sum_qty_merged") === col("sum_qty_full") &&
+          col("n_merged") === col("n_full"))
+      .select("l_returnflag", "sum_qty_merged", "sum_qty_full",
+        "n_merged", "n_full", "consistent")
+      .orderBy("l_returnflag")
+  }
+
+  val ivmMergeAggSql: String = s"""
+    WITH li AS (SELECT l_returnflag, l_quantity,
+        (l_orderkey * 2654435761) % 100 >= 75 AS isdelta FROM lineitem),
+    pb AS (SELECT l_returnflag,
+        SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sq, COUNT(*) AS n
+      FROM li WHERE NOT isdelta GROUP BY 1),
+    pd AS (SELECT l_returnflag,
+        SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sq, COUNT(*) AS n
+      FROM li WHERE isdelta GROUP BY 1),
+    merged AS (SELECT l_returnflag,
+        CAST(ROUND(SUM(sq), 2) AS DOUBLE) AS sum_qty_merged,
+        CAST(SUM(n) AS BIGINT) AS n_merged
+      FROM (SELECT * FROM pb UNION ALL SELECT * FROM pd)
+      GROUP BY l_returnflag),
+    tot AS (SELECT l_returnflag,
+        ${Sql.dsum("l_quantity")} AS sum_qty_full, COUNT(*) AS n_full
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, sum_qty_merged, sum_qty_full, n_merged, n_full,
+      sum_qty_merged = sum_qty_full AND n_merged = n_full AS consistent
+    FROM merged JOIN tot USING (l_returnflag)
+    ORDER BY l_returnflag"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("ivm_merge_agg", ivmMergeAgg, Some(ivmMergeAggSql)),
     QuerySpec("events_wow_growth", eventsWowGrowth,
       Some(eventsWowGrowthSql)),
     QuerySpec("session_bounce", sessionBounce, Some(sessionBounceSql)),

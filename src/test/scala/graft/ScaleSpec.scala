@@ -1080,6 +1080,42 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bucketed fact tables join with ZERO exchange (co-located " +
+      "sort-merge join)") {
+    // The 100 TB fact-fact join answer the queries can't show on plain
+    // parquet: write both sides bucketed (and sorted) on the join key,
+    // and the join plans as a sort-merge join with NO ShuffleExchange
+    // on either side — the shuffle is paid once at layout time, then
+    // every subsequent join of the co-located tables is exchange-free.
+    val dir = java.nio.file.Files.createTempDirectory("graft_smb").toString
+    val d = sf("sf0.001")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      Tables.lineitem(spark, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$dir/li").saveAsTable("graft_smb_li")
+      Tables.orders(spark, d).select("o_orderkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$dir/o").saveAsTable("graft_smb_o")
+      val j = spark.table("graft_smb_li")
+        .join(spark.table("graft_smb_o"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        "bucketed join still shuffles:\n" + plan.take(1200))
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_smb_li")
+      spark.sql("DROP TABLE IF EXISTS graft_smb_o")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("sim_ann_ivf_persisted reuses the index sidecar: the second " +
       "query scans only cell partitions, never embeddings.parquet") {
     // The build-once/query-many ANN contract: the first query over a
