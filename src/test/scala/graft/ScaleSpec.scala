@@ -1080,6 +1080,35 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("cellsSidecar crash-safety: a partial write without _COMPLETE " +
+      "is invisible and rebuilds cleanly") {
+    // The marker-last contract: a writer that died after the parquet
+    // write but before the _COMPLETE create must be treated as a miss
+    // (rebuild), never read as a (possibly truncated) index.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfcr").toString
+    spark.conf.set("spark.graft.dedup.indexDir", dir)
+    val d = sf("sf0.001")
+    try {
+      val r1 = graft.queries.ExtraQueries.simAnnIvfPersisted(spark, d)
+        .collect()
+      // simulate the crash: delete the marker, truncate the cells dir
+      val key = graft.pipeline.DedupIndex.snapshotKey(
+        spark, s"$d/embeddings.parquet", "ivf-cells-v1")
+      val base = new java.io.File(dir, key)
+      assert(new java.io.File(base, "_COMPLETE").delete())
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base, "cells"))
+      val r2 = graft.queries.ExtraQueries.simAnnIvfPersisted(spark, d)
+        .collect()
+      assert(r2 === r1, "rebuild after crash changed the result")
+      assert(new java.io.File(base, "_COMPLETE").exists(),
+        "rebuild did not re-mark the sidecar complete")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.indexDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("bucketed fact tables join with ZERO exchange (co-located " +
       "sort-merge join)") {
     // The 100 TB fact-fact join answer the queries can't show on plain
