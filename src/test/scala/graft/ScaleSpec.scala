@@ -920,7 +920,10 @@ class ScaleSpec extends SparkSpec {
       "vocab_growth" -> 1,
       // rank over the distributed-TakeOrdered top-1000 vocabulary rows
       // (bounded by the LIMIT, sits above the vocab aggregate)
-      "text_zipf_fit" -> 1)
+      "text_zipf_fit" -> 1,
+      // EWMA lag-chain over the DAILY revenue aggregate (one row per
+      // calendar day — metadata-sized at any corpus scale)
+      "smooth_ewma" -> 1)
     val heavyCols = Set("text", "para", "words", "span", "embedding")
     // Intrinsic candidate co-location: these ops ship CANDIDATE vectors
     // to their cell/bucket to be compared there — that exchange is the
@@ -1246,5 +1249,74 @@ class ScaleSpec extends SparkSpec {
         assert(math.abs(m.getAs[Double]("average") -
           o.getAs[Double]("average")) < 1e-12)
       }
+  }
+
+  test("join_bloom_prune: the Bloom probe filters the fact side BELOW " +
+      "the shuffle, and the join survives forced-shuffle planning") {
+    // The semi-join-reduction contract: rows that cannot match are
+    // dropped before they are hashed onto the exchange, so at 100 TB
+    // the shuffle carries ~1/5 of lineitem, not all of it. The probe
+    // must be visible in the optimized plan as a Filter under the
+    // join's fact side, and the physical join must be a shuffle hash
+    // join (the scenario is "dim too big to broadcast").
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.queries.ScaleOpsQueries.joinBloomPrune(
+        spark, sf("sf0.001"))
+      val opt = q.queryExecution.optimizedPlan
+      val joins = opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.nonEmpty, "no join in optimized plan")
+      val factSideFiltered = joins.exists(_.left.toString
+        .contains("bloom_might_contain"))
+      assert(factSideFiltered,
+        "bloom probe not below the join on the fact side:\n" +
+          opt.toString.take(1500))
+      val phys = q.queryExecution.executedPlan.toString
+      assert(phys.contains("ShuffledHashJoin"),
+        "expected a shuffle hash join under forced-shuffle planning:\n" +
+          phys.take(1200))
+      assert(phys.contains("bloom_might_contain"),
+        "probe missing from the physical plan")
+      // exactness: the bloom can only ADD candidates the join rejects,
+      // never drop matches — same row count as the unpruned join
+      val plain = Tables.lineitem(spark, sf("sf0.001"))
+        .join(Tables.orders(spark, sf("sf0.001"))
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .count()
+      val pruned = Tables.lineitem(spark, sf("sf0.001"))
+        .join(Tables.orders(spark, sf("sf0.001"))
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(lit(1L))).collect()(0).getLong(0)
+      assert(plain == pruned)
+      assert(q.agg(sum(col("n_items"))).collect()(0).getLong(0) == plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
+  test("timeline_cogroup: one exchange per input, no window, no union " +
+      "shuffle — the typed cogroup plan shape") {
+    val q = graft.queries.ScaleOpsQueries.timelineCogroup(
+      spark, sf("sf0.001"))
+    val plan = q.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        => e
+    }
+    // 2 hash exchanges (events, orders) + the final rangepartitioning
+    // for the deterministic ORDER BY — nothing else
+    assert(exchanges.size <= 3,
+      s"expected ≤3 exchanges, got ${exchanges.size}:\n" +
+        plan.toString.take(1500))
+    assert(plan.collectFirst {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "cogroup path must not need a window")
+    assert(plan.toString.contains("CoGroup"),
+      "CoGroup operator missing:\n" + plan.toString.take(1200))
   }
 }
