@@ -40,7 +40,12 @@ object Scaling {
     // sketch, and the two heaviest TPC-H completions (Q21's fact-fact
     // join + triple distinct aggregate; Q2's grouped-min window)
     "graph_bfs_levels", "graph_kcore_peel", "cube_gapfill_linear",
-    "sketch_join_size", "q21_waiting_supplier", "q2_min_cost_supplier")
+    "sketch_join_size", "q21_waiting_supplier", "q2_min_cost_supplier",
+    // round-11 third sweep: Bloom semi-join reduction (prune ratio is
+    // the scale story), the typed cogroup merge, the domain-bounded
+    // skyline, and the shared-as-of SCD2 point-in-time lookup
+    "join_bloom_prune", "timeline_cogroup", "skyline_pareto",
+    "scd2_lookup")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("SCALING.json")

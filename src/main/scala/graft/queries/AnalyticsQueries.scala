@@ -1373,6 +1373,60 @@ object AnalyticsQueries {
         ORDER BY tu, event_id), -1) = -1) AS is_current
     FROM ch ORDER BY user_id, valid_from"""
 
+  // --------------------------------------------- SCD2 point-in-time lookup
+  /** Consumption side of the type-2 dimension: enrich every purchase
+    * with the user's activity state AS OF the purchase instant — the
+    * point-in-time lookup that keeps feature pipelines leak-free
+    * (attributing revenue to a state the user entered later is label
+    * leakage). Rather than an interval join against
+    * [valid_from, valid_to) — an inequality join that degrades to
+    * per-row interval scans — the dimension's CHANGE rows and the
+    * facts take ONE shared as-of pass: union, one sort per key, carry
+    * the state forward ([[graft.operators.AsOf]], the sort-merge-join
+    * shape). Ties resolve to the highest change event_id, matching
+    * the SCD2 build's window order. */
+  def scd2Lookup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val changes = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type").as("status"))
+      .withColumn("prev", lag(col("status"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+      .select(col("user_id"), col("status"), col("ts_us"), col("event_id"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_ts"), col("value"))
+    graft.operators.AsOf
+      .joinAsOf(facts, changes, "user_id", "p_ts", "ts_us", "event_id")
+      .select(coalesce(col("asof.status"), lit("none")).as("status"),
+        col("value"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_purchases"),
+        Q.dsum(col("value")).as("revenue"))
+      .orderBy("status")
+  }
+
+  val scd2LookupSql: String = """
+    WITH h AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
+        event_type AS status,
+        LAG(event_type, 1) OVER (PARTITION BY user_id
+          ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events WHERE user_id IS NOT NULL AND event_type != 'purchase'),
+    ch AS (SELECT user_id, tu, event_id, status FROM h
+      WHERE prev IS NULL OR prev != status),
+    p AS (SELECT user_id, epoch_us(ts) AS ptu, value FROM events
+      WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+    pit AS (SELECT p.value,
+        (SELECT status FROM ch
+          WHERE ch.user_id = p.user_id AND ch.tu <= p.ptu
+          ORDER BY tu DESC, event_id DESC LIMIT 1) AS status
+      FROM p)
+    SELECT COALESCE(status, 'none') AS status, COUNT(*) AS n_purchases,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+        AS revenue
+    FROM pit GROUP BY 1 ORDER BY status"""
+
   // --------------------------------------------------- Benford audit
   /** Benford first-digit audit of order totals: observed first-digit
     * counts vs the Benford expectation n·log10(1+1/d), with the χ²
@@ -1706,6 +1760,7 @@ object AnalyticsQueries {
     QuerySpec("events_stickiness", eventsStickiness,
       Some(eventsStickinessSql)),
     QuerySpec("scd2_build", scd2Build, Some(scd2BuildSql)),
+    QuerySpec("scd2_lookup", scd2Lookup, Some(scd2LookupSql)),
     QuerySpec("benford_audit", benfordAudit, Some(benfordAuditSql)),
     QuerySpec("corr_matrix", corrMatrix, Some(corrMatrixSql)),
     QuerySpec("events_pattern_match", eventsPatternMatch,

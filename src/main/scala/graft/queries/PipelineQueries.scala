@@ -2622,7 +2622,18 @@ object PipelineQueries {
     * standard imbalance correction — without it the minority gradient
     * drowns and the trained model degenerately predicts 'not target'
     * for every document. */
-  def qualityLogreg(s: SparkSession, d: String): DataFrame = {
+  def qualityLogreg(s: SparkSession, d: String): DataFrame =
+    logregScoredRows(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        Q.davg(col("p")).as("mean_score"),
+        sum(when(col("p") >= 0.5, 1L).otherwise(0L)).as("n_pred_target"))
+      .orderBy("source")
+
+  /** Per-document (source, y, p) after the two shared training steps —
+    * the scored corpus both [[qualityLogreg]] and [[calibrationEce]]
+    * summarize. */
+  private def logregScoredRows(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val stopHits =
@@ -2650,20 +2661,66 @@ object PipelineQueries {
       (0 until 3).map(j => r6(w(j) - g.getDouble(j)))
     }
     val w2 = step(step(Seq(0.0, 0.0, 0.0)))
-    feats.select(col("source"), round(pCol(w2), 6).as("p"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        Q.davg(col("p")).as("mean_score"),
-        sum(when(col("p") >= 0.5, 1L).otherwise(0L)).as("n_pred_target"))
-      .orderBy("source")
+    feats.select(col("source"), col("y"), round(pCol(w2), 6).as("p"))
   }
 
-  val qualityLogregSql: String = {
+  /** Reliability analysis of the trained quality classifier —
+    * calibration-error accounting (the eval step a filtering pipeline
+    * runs before trusting model scores as keep-probabilities). The
+    * scored corpus is bucketed into 10 confidence bins; per bin the
+    * mean confidence is compared to the empirical positive rate, and
+    * ECE = Σ n_b/N · |acc_b − conf_b| rides along as an exact-decimal
+    * scalar. Shape: one scan + one 10-row aggregate + two broadcast
+    * scalars — nothing new shuffles at any corpus size. Bin edges are
+    * `floor(p·10)` on the SAME IEEE double in both engines, so
+    * boundary values land identically by construction. */
+  def calibrationEce(s: SparkSession, d: String): DataFrame = {
+    val rows = logregScoredRows(s, d)
+    val binned = rows.withColumn("bin",
+      least(floor(col("p") * 10), lit(9)).cast("long"))
+    val ba = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        Q.davg(col("p")).as("conf"),
+        Q.davg(col("y")).as("acc"))
+    val tot = ba.agg(
+      Q.dsum(abs(col("acc") - col("conf")) * col("n_docs"), 6).as("tot"))
+    val n = rows.agg(count(lit(1)).as("nn"))
+    ba.crossJoin(broadcast(tot)).crossJoin(broadcast(n))
+      .withColumn("gap", round(abs(col("acc") - col("conf")), 6))
+      .withColumn("ece", round(col("tot") / col("nn"), 6))
+      .select("bin", "n_docs", "conf", "acc", "gap", "ece")
+      .orderBy("bin")
+  }
+
+  val qualityLogregSql: String = s"""
+    WITH $logregCtes
+    SELECT source, COUNT(*) AS n_docs, ${Sql.davg("p")} AS mean_score,
+      CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_pred_target
+    FROM pfy GROUP BY source ORDER BY source"""
+
+  val calibrationEceSql: String = s"""
+    WITH $logregCtes,
+    b AS (SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin, y, p
+      FROM pfy),
+    ba AS (SELECT bin, COUNT(*) AS n_docs, ${Sql.davg("p")} AS conf,
+        ${Sql.davg("y")} AS acc
+      FROM b GROUP BY bin),
+    e AS (SELECT ${Sql.dsum("ABS(acc - conf) * n_docs", 6)} AS tot FROM ba),
+    nn AS (SELECT COUNT(*) AS nn FROM pfy)
+    SELECT bin, n_docs, conf, acc,
+      ROUND(ABS(acc - conf), 6) AS gap,
+      ROUND(tot / nn, 6) AS ece
+    FROM ba CROSS JOIN e CROSS JOIN nn ORDER BY bin"""
+
+  /** The shared logistic-training CTE chain (two exact-decimal
+    * gradient steps from w = 0), ending in `pfy(source, y, p)` — the
+    * SQL twin of [[logregScoredRows]]. */
+  private lazy val logregCtes: String = {
     val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
     def p(w0: String, w1: String, w2: String): String =
       s"LEAST(1.0, GREATEST(0.0, 0.5 + ($w0 * x0 + $w1 * x1 + $w2 * x2) / 4.0))"
-    s"""
-    WITH f AS (SELECT source,
+    s"""f AS (SELECT source,
         CAST(1.0 AS DOUBLE) AS x0,
         LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
           AS x1,
@@ -2686,12 +2743,9 @@ object PipelineQueries {
     wb AS (SELECT ROUND(wa.a0 - gb.g0, 6) AS b0,
         ROUND(wa.a1 - gb.g1, 6) AS b1,
         ROUND(wa.a2 - gb.g2, 6) AS b2 FROM wa CROSS JOIN gb),
-    pf AS (SELECT f.source, ROUND(${p("wb.b0", "wb.b1", "wb.b2")}, 6) AS p
-      FROM f CROSS JOIN wb)
-    SELECT source, COUNT(*) AS n_docs, ${Sql.davg("p")} AS mean_score,
-      CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-        AS n_pred_target
-    FROM pf GROUP BY source ORDER BY source"""
+    pfy AS (SELECT f.source, f.y,
+        ROUND(${p("wb.b0", "wb.b1", "wb.b2")}, 6) AS p
+      FROM f CROSS JOIN wb)"""
   }
 
   // ------------------------------------------------ sequence packing
@@ -4533,6 +4587,7 @@ object PipelineQueries {
     QuerySpec("dedup_incremental", dedupIncremental,
       Some(dedupIncrementalSql)),
     QuerySpec("quality_logreg", qualityLogreg, Some(qualityLogregSql)),
+    QuerySpec("calibration_ece", calibrationEce, Some(calibrationEceSql)),
     QuerySpec("bpe_train", bpeTrain, Some(bpeTrainSql)),
     QuerySpec("tokenize_learned", tokenizeLearned, Some(tokenizeLearnedSql)),
     QuerySpec("tokenizer_fertility", tokenizerFertility,

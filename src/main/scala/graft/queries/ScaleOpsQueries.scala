@@ -215,8 +215,206 @@ object ScaleOpsQueries {
     FROM l ORDER BY day"""
   }
 
+  // ---------------------------------------------------------------
+  // skyline_pareto — multi-objective Pareto front without a cartesian
+  // ---------------------------------------------------------------
+
+  /** 2-D skyline (Pareto front) over documents: the docs not dominated
+    * in (token count, quality) — the multi-objective "keep the best
+    * trade-offs" selection step. `q` dominates `p` iff q ≥ p on both
+    * axes and > on at least one.
+    *
+    * The naive skyline is an all-pairs NOT EXISTS — quadratic, dead at
+    * scale. The 2-D structure collapses it to: p is skyline iff
+    * (a) p.y equals the max y at p.x, and (b) p.y strictly exceeds the
+    * max y over all x' > p.x. So: one groupBy(x) aggregate (bounded by
+    * the VALUE DOMAIN of x — token counts, a few thousand distinct —
+    * not by corpus size), one cumulative max over that tiny table
+    * (sanctioned global window above an aggregate), and one broadcast
+    * join back. Corpus rows are touched exactly twice, shuffled once
+    * (the groupBy), never paired. */
+  def skylinePareto(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    // axes in genuine tension: length vs type-token ratio (lexical
+    // diversity falls with length, so the front is a real curve)
+    val pts = Tables.documents(s, d).select(
+      col("doc_id"),
+      nTok.cast("long").as("x"),
+      round(size(array_distinct(toks)).cast("double") / nTok, 6).as("y"))
+    val dx = pts.groupBy("x").agg(max(col("y")).as("ymax"))
+    val w = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = dx
+      .withColumn("cmax", max(col("ymax")).over(w))
+      .filter(col("cmax").isNull || col("ymax") > col("cmax"))
+      .select(col("x").as("fx"), col("ymax"))
+    pts.join(broadcast(front),
+        col("x") === col("fx") && col("y") === col("ymax"))
+      .select(col("doc_id"), col("x").as("n_tok"), col("y").as("q"))
+      .orderBy("n_tok", "doc_id")
+  }
+
+  val skylineParetoSql: String = s"""
+    WITH pts AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        ROUND(CAST(len(list_distinct(string_split(text, ' ')))
+            AS DOUBLE)
+          / len(string_split(text, ' ')), 6) AS y
+      FROM documents),
+    dx AS (SELECT x, MAX(y) AS ymax FROM pts GROUP BY x),
+    f AS (SELECT x, ymax,
+        MAX(ymax) OVER (ORDER BY x DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cmax
+      FROM dx)
+    SELECT p.doc_id, p.x AS n_tok, p.y AS q
+    FROM pts p JOIN f ON p.x = f.x AND p.y = f.ymax
+    WHERE f.cmax IS NULL OR f.ymax > f.cmax
+    ORDER BY n_tok, doc_id"""
+
+  // ---------------------------------------------------------------
+  // grouped_topk — per-key TakeOrdered as a bounded aggregate
+  // ---------------------------------------------------------------
+
+  /** Top-3 orders per priority class WITHOUT the window-rank shape:
+    * [[graft.functions.TopKAggregator]] keeps a bounded best-first
+    * buffer, so the map-side partial pass reduces every partition to
+    * ≤ 3 pairs per key before the exchange — the shuffle carries
+    * k·partitions rows per key instead of the whole orders table, and
+    * no full-partition sort exists anywhere in the plan. TopKSpec
+    * pins equivalence with the window form; ScaleSpec pins the
+    * partial-aggregate plan shape. Prices ride the aggregate as exact
+    * integer cents (total deterministic order, ties to the lowest
+    * order key). */
+  def groupedTopk(s: SparkSession, d: String): DataFrame = {
+    val cents = expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopK.topKBy(3)(cents, col("o_orderkey"))
+        .as("hits"))
+      .select(col("o_orderpriority"), explode(col("hits")).as("h"))
+      .select(col("o_orderpriority"), col("h.rank").as("rnk"),
+        col("h.id").as("o_orderkey"),
+        (col("h.value_cents") / lit(100.0)).as("o_totalprice"))
+      .orderBy("o_orderpriority", "rnk")
+  }
+
+  val groupedTopkSql: String = """
+    WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+          ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+            o_orderkey) AS rnk
+      FROM orders)
+    SELECT o_orderpriority, CAST(rnk AS INTEGER) AS rnk, o_orderkey,
+      o_totalprice
+    FROM r WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""
+
+  // ---------------------------------------------------------------
+  // agg_sample_ci — approximate query processing with error bounds
+  // ---------------------------------------------------------------
+
+  /** Sampled aggregation with a confidence interval, checked against
+    * the exact answer — the AQP bargain a 100 TB deployment actually
+    * uses (scan 10%, answer with ±bounds, scan it all only when the
+    * bound isn't tight enough). The sample predicate is a
+    * deterministic row-hash mod (so both engines pick the SAME 10%),
+    * and the CI is the classic mean ± 1.96·s/√n with s² from exact
+    * DECIMAL first/second moments — every double op after the decimal
+    * sums is the identical IEEE expression cross-engine, so even the
+    * interval endpoints hash-match. `covered` records whether the
+    * exact mean fell inside — the eval a pipeline monitors. */
+  def aggSampleCi(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val sampled = li
+      .filter((col("l_orderkey") * 7 + col("l_linenumber")) % 10 === 3)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_s"),
+        sum(col("l_extendedprice").cast("decimal(38,6)")).as("s1"),
+        sum((col("l_extendedprice") * col("l_extendedprice"))
+          .cast("decimal(38,6)")).as("s2"))
+      .select(col("l_returnflag"), col("n_s"),
+        (col("s1").cast("double") / col("n_s")).as("m"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("n_s")) / (col("n_s") - 1)).as("sd"))
+    val exact = li.groupBy(col("l_returnflag").as("ef"))
+      .agg(Q.davg(col("l_extendedprice")).as("exact_mean"))
+    sampled.join(broadcast(exact), col("l_returnflag") === col("ef"))
+      .select(col("l_returnflag"), col("n_s").as("n_sample"),
+        round(col("m"), 4).as("est_mean"),
+        round(col("m") - lit(1.96) * col("sd") / sqrt(col("n_s")), 4)
+          .as("ci_low"),
+        round(col("m") + lit(1.96) * col("sd") / sqrt(col("n_s")), 4)
+          .as("ci_high"),
+        col("exact_mean"),
+        (col("exact_mean") >=
+            col("m") - lit(1.96) * col("sd") / sqrt(col("n_s")) &&
+          col("exact_mean") <=
+            col("m") + lit(1.96) * col("sd") / sqrt(col("n_s")))
+          .as("covered"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggSampleCiSql: String = s"""
+    WITH sa AS (SELECT l_returnflag, COUNT(*) AS n_s,
+        SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS s1,
+        SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+          AS s2
+      FROM lineitem
+      WHERE (l_orderkey * 7 + l_linenumber) % 10 = 3
+      GROUP BY l_returnflag),
+    sm AS (SELECT l_returnflag, n_s,
+        CAST(s1 AS DOUBLE) / n_s AS m,
+        SQRT((CAST(s2 AS DOUBLE) -
+          CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_s) / (n_s - 1))
+          AS sd
+      FROM sa),
+    ex AS (SELECT l_returnflag AS ef,
+        ${Sql.davg("l_extendedprice")} AS exact_mean
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n_s AS n_sample,
+      ROUND(m, 4) AS est_mean,
+      ROUND(m - 1.96 * sd / SQRT(n_s), 4) AS ci_low,
+      ROUND(m + 1.96 * sd / SQRT(n_s), 4) AS ci_high,
+      exact_mean,
+      (exact_mean >= m - 1.96 * sd / SQRT(n_s) AND
+       exact_mean <= m + 1.96 * sd / SQRT(n_s)) AS covered
+    FROM sm JOIN ex ON l_returnflag = ef
+    ORDER BY l_returnflag"""
+
+  // ---------------------------------------------------------------
+  // agg_cube — the CUBE lattice (completes rollup/grouping-sets)
+  // ---------------------------------------------------------------
+
+  /** Full CUBE over (priority, status): all four grouping-set levels
+    * in one pass — Spark expands the lattice map-side, so the scan is
+    * still read once. Null grouping keys are labeled 'ALL' in BOTH
+    * engines so the ORDER BY is engine-independent (Spark sorts nulls
+    * first, DuckDB last). */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Q.dsum(col("o_totalprice")).as("revenue"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("revenue"))
+      .orderBy("prio", "status")
+
+  val aggCubeSql: String = s"""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+      COALESCE(o_orderstatus, 'ALL') AS status,
+      COUNT(*) AS n_orders,
+      ${Sql.dsum("o_totalprice")} AS revenue
+    FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    ORDER BY prio, status"""
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("join_bloom_prune", joinBloomPrune, Some(joinBloomPruneSql)),
     QuerySpec("timeline_cogroup", timelineCogroup, Some(timelineCogroupSql)),
-    QuerySpec("smooth_ewma", smoothEwma, Some(smoothEwmaSql)))
+    QuerySpec("smooth_ewma", smoothEwma, Some(smoothEwmaSql)),
+    QuerySpec("skyline_pareto", skylinePareto, Some(skylineParetoSql)),
+    QuerySpec("grouped_topk", groupedTopk, Some(groupedTopkSql)),
+    QuerySpec("agg_sample_ci", aggSampleCi, Some(aggSampleCiSql)),
+    QuerySpec("agg_cube", aggCube, Some(aggCubeSql)))
 }

@@ -17,7 +17,16 @@ import graft.sources.ArrowIpc
   * returns, and the checkpoint makes batch ids monotone), and payload
   * bytes never visit the driver. Read everything exported so far with
   * `ArrowIpc.readShards(spark, s"$dir/batch-*")` — the Hadoop glob
-  * spans batch directories. Stream≡batch in StreamingSpec. */
+  * spans batch directories. Stream≡batch in StreamingSpec.
+  *
+  * Exactly-once across restarts: foreachBatch is at-least-once (after
+  * a crash the checkpoint REPLAYS the in-flight batch id), so each
+  * batch directory follows the marker protocol — a replayed id whose
+  * `_COMPLETE` marker exists is skipped untouched, and a partial
+  * directory from a mid-write crash (no marker) is wiped and
+  * rewritten before the marker lands. Readers that must not observe
+  * in-flight output gate on the marker; the glob read above is for
+  * completed-stream consumption. */
 object ArrowSink {
 
   def start(df: DataFrame, dir: String, checkpoint: String)
@@ -25,10 +34,22 @@ object ArrowSink {
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          ArrowIpc.writeShards(batch, f"$dir/batch-$id%05d")
-          ()
-        }
+        if (!batch.isEmpty) { writeBatchIdempotent(batch, dir, id); () }
       }
       .start()
+
+  /** The marker-gated single-batch write — also the crash-recovery
+    * path, exercised directly by StreamingSpec. */
+  def writeBatchIdempotent(batch: DataFrame, dir: String, id: Long)
+      : Unit = {
+    val target = new org.apache.hadoop.fs.Path(f"$dir/batch-$id%05d")
+    val fs = target.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(target, "_COMPLETE")
+    if (!fs.exists(marker)) {
+      if (fs.exists(target)) fs.delete(target, true) // partial: crashed write
+      ArrowIpc.writeShards(batch, target.toString)
+      fs.create(marker, true).close()
+    }
+  }
 }

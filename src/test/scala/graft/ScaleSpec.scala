@@ -923,7 +923,10 @@ class ScaleSpec extends SparkSpec {
       "text_zipf_fit" -> 1,
       // EWMA lag-chain over the DAILY revenue aggregate (one row per
       // calendar day — metadata-sized at any corpus scale)
-      "smooth_ewma" -> 1)
+      "smooth_ewma" -> 1,
+      // skyline cumulative max over the distinct-token-count aggregate
+      // (bounded by the VALUE DOMAIN of doc lengths, not corpus rows)
+      "skyline_pareto" -> 1)
     val heavyCols = Set("text", "para", "words", "span", "embedding")
     // Intrinsic candidate co-location: these ops ship CANDIDATE vectors
     // to their cell/bucket to be compared there — that exchange is the

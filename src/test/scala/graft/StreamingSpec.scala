@@ -201,6 +201,36 @@ class StreamingSpec extends SparkSpec {
     assert(batches.length >= 2)
   }
 
+  test("ArrowSink batch write is exactly-once under replay and " +
+      "crash-partial recovery") {
+    val out = Files.createTempDirectory("graft-arrowonce").toString
+    val a = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .limit(10)
+    // 1. clean write lands with a marker
+    graft.streaming.ArrowSink.writeBatchIdempotent(a, out, 3L)
+    val dir = new java.io.File(s"$out/batch-00003")
+    assert(new java.io.File(dir, "_COMPLETE").exists())
+    val first = graft.sources.ArrowIpc.readShards(spark, dir.toString)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(first.size == 10)
+    // 2. replay of a COMPLETED id is a no-op even with different data
+    //    (at-least-once foreachBatch re-delivery must not double-land)
+    graft.streaming.ArrowSink.writeBatchIdempotent(a.limit(3), out, 3L)
+    assert(graft.sources.ArrowIpc.readShards(spark, dir.toString)
+      .collect().map(_.getLong(0)).sorted.toSeq == first)
+    // 3. a crash mid-write leaves shards but NO marker: recovery wipes
+    //    the partial directory and rewrites it whole
+    new java.io.File(dir, "_COMPLETE").delete()
+    val junk = new java.io.File(dir, "part-99999.arrows")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+    graft.streaming.ArrowSink.writeBatchIdempotent(a, out, 3L)
+    assert(!junk.exists(), "partial shard must be wiped on recovery")
+    assert(new java.io.File(dir, "_COMPLETE").exists())
+    assert(graft.sources.ArrowIpc.readShards(spark, dir.toString)
+      .collect().map(_.getLong(0)).sorted.toSeq == first)
+  }
+
   test("streaming velocity: per-event trailing-window counts equal " +
       "the batch RANGE frame") {
     val dir = Files.createTempDirectory("graft-velstream").toString
