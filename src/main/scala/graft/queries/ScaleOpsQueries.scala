@@ -409,6 +409,48 @@ object ScaleOpsQueries {
     FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
     ORDER BY prio, status"""
 
+  // ---------------------------------------------------------------
+  // text_blocklist — Aho-Corasick multi-pattern scan kernel
+  // ---------------------------------------------------------------
+
+  /** Blocklist terms, chosen to exercise the automaton's hard cases:
+    * prefixes of each other (spa/spark, tab/table), a suffix overlap
+    * (ark⊂spark), and multi-word phrases that span token boundaries. */
+  val Blocklist: Seq[String] = Seq(
+    "spark", "spa", "ark", "table", "tab", "scan slow", "slow fast",
+    "fast table", "window table", "agg", "customer query", "value")
+
+  /** Keyword/blocklist scan: distinct blocklist terms per document via
+    * the [[graft.functions.AhoCorasick]] codegen kernel — ONE byte-walk
+    * per document regardless of pattern count, vs the O(patterns×text)
+    * per-row `contains` chain the oracle spells out. The aggregate is
+    * the moderation report a filtering pipeline emits per source. */
+  def textBlocklist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        graft.functions.AhoCorasickF
+          .blocklistHits(col("text"), Blocklist).as("hits"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("hits").cast("long")).as("total_hits"),
+        max(col("hits")).as("max_hits"))
+      .orderBy("source")
+
+  val textBlocklistSql: String = {
+    val lst = Blocklist.map(p => s"'$p'").mkString(", ")
+    s"""
+    WITH h AS (SELECT source,
+        len([p FOR p IN [$lst] IF contains(text, p)]) AS hits
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_flagged,
+      CAST(SUM(hits) AS BIGINT) AS total_hits,
+      CAST(MAX(hits) AS INTEGER) AS max_hits
+    FROM h GROUP BY source ORDER BY source"""
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("join_bloom_prune", joinBloomPrune, Some(joinBloomPruneSql)),
     QuerySpec("timeline_cogroup", timelineCogroup, Some(timelineCogroupSql)),
@@ -416,5 +458,6 @@ object ScaleOpsQueries {
     QuerySpec("skyline_pareto", skylinePareto, Some(skylineParetoSql)),
     QuerySpec("grouped_topk", groupedTopk, Some(groupedTopkSql)),
     QuerySpec("agg_sample_ci", aggSampleCi, Some(aggSampleCiSql)),
-    QuerySpec("agg_cube", aggCube, Some(aggCubeSql)))
+    QuerySpec("agg_cube", aggCube, Some(aggCubeSql)),
+    QuerySpec("text_blocklist", textBlocklist, Some(textBlocklistSql)))
 }
