@@ -2678,18 +2678,22 @@ object PipelineQueries {
     val rows = logregScoredRows(s, d)
     val binned = rows.withColumn("bin",
       least(floor(col("p") * 10), lit(9)).cast("long"))
+    // the scored-corpus scan happens ONCE: the 10-row bin table is
+    // persisted and both scalars (decimal gap total, N) derive from it
     val ba = binned.groupBy("bin")
       .agg(count(lit(1)).as("n_docs"),
         Q.davg(col("p")).as("conf"),
         Q.davg(col("y")).as("acc"))
+      .persist()
     val tot = ba.agg(
       Q.dsum(abs(col("acc") - col("conf")) * col("n_docs"), 6).as("tot"))
-    val n = rows.agg(count(lit(1)).as("nn"))
-    ba.crossJoin(broadcast(tot)).crossJoin(broadcast(n))
+    val n = ba.agg(sum(col("n_docs")).as("nn"))
+    val res = ba.crossJoin(broadcast(tot)).crossJoin(broadcast(n))
       .withColumn("gap", round(abs(col("acc") - col("conf")), 6))
       .withColumn("ece", round(col("tot") / col("nn"), 6))
       .select("bin", "n_docs", "conf", "acc", "gap", "ece")
       .orderBy("bin")
+    graft.pipeline.Caching.materializeAndRelease(res, ba)
   }
 
   val qualityLogregSql: String = s"""

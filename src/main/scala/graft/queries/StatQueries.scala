@@ -210,6 +210,61 @@ object StatQueries {
       z, ABS(z) > CAST(1.96 AS DOUBLE) AS significant
     FROM z"""
 
+  // --------------------------------------- chi-square independence test
+  /** Pearson χ² independence test on the lang × source contingency
+    * table — "is language distribution independent of corpus source?",
+    * the categorical-drift screen run before mixing sources. The
+    * corpus reduces map-side to the |langs|·|sources| cell table;
+    * row/column margins and the grand total broadcast back onto it;
+    * each cell's (O−E)²/E term is the shared formula string rounded
+    * at 6dp, and the χ² total is an exact-decimal sum of those rounded
+    * terms — order-independent, so cross-engine byte-equal. */
+  def chi2Independence(s: SparkSession, d: String): DataFrame = {
+    // the corpus scan happens ONCE: the cell table is persisted and
+    // the margins/total derive from it, not from re-scans
+    val cells = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+      .persist()
+    val rowT = cells.groupBy("lang").agg(sum(col("o")).as("rl"))
+    val colT = cells.groupBy("source").agg(sum(col("o")).as("cs"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val res = cells
+      .join(broadcast(rowT), "lang")
+      .join(broadcast(colT), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", expr(Chi2TermF))
+      .agg(min(col("n")).as("n_docs"),
+        min(col("n_langs")).as("n_langs"),
+        min(col("n_sources")).as("n_sources"),
+        min((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
+        Q.dsum(col("term"), 6).as("chi2"))
+    Caching.materializeAndRelease(res, cells)
+  }
+
+  private val Chi2TermF: String =
+    "ROUND(POWER(o - CAST(rl AS DOUBLE) * cs / n, 2)" +
+      " / (CAST(rl AS DOUBLE) * cs / n), 6)"
+
+  val chi2IndependenceSql: String = s"""
+    WITH cells AS (SELECT lang, source, COUNT(*) AS o
+      FROM documents GROUP BY 1, 2),
+    rt AS (SELECT lang, SUM(o) AS rl FROM cells GROUP BY 1),
+    ct AS (SELECT source, SUM(o) AS cs FROM cells GROUP BY 1),
+    tt AS (SELECT SUM(o) AS n, COUNT(DISTINCT lang) AS n_langs,
+        COUNT(DISTINCT source) AS n_sources FROM cells),
+    j AS (SELECT cells.o, rt.rl, ct.cs, tt.n, tt.n_langs, tt.n_sources
+      FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+        CROSS JOIN tt)
+    SELECT CAST(MIN(n) AS BIGINT) AS n_docs,
+      CAST(MIN(n_langs) AS BIGINT) AS n_langs,
+      CAST(MIN(n_sources) AS BIGINT) AS n_sources,
+      CAST(MIN((n_langs - 1) * (n_sources - 1)) AS BIGINT) AS dof,
+      ${Sql.dsum(Chi2TermF, 6)} AS chi2
+    FROM j"""
+
   // --------------------------------------------- Gini / concentration
   /** Per-nation Gini coefficient of customer revenue — the
     * concentration audit ("do 1% of customers carry the book?").
@@ -616,5 +671,7 @@ object StatQueries {
     QuerySpec("trend_theil_sen", trendTheilSen, Some(trendTheilSenSql)),
     QuerySpec("text_zipf_fit", textZipfFit, Some(textZipfFitSql)),
     QuerySpec("key_skew_profile", keySkewProfile,
-      Some(keySkewProfileSql)))
+      Some(keySkewProfileSql)),
+    QuerySpec("chi2_independence", chi2Independence,
+      Some(chi2IndependenceSql)))
 }

@@ -16,7 +16,10 @@ class CachingSpec extends SparkSpec {
     // round-11 persisting queries (scalar-threshold TPC-H shapes,
     // iterative graph shapes, the spine-building gap fill)
     "q11_important_parts", "q15_top_supplier", "q17_small_qty_revenue",
-    "graph_bfs_levels", "graph_kcore_peel", "cube_gapfill_linear")
+    "graph_bfs_levels", "graph_kcore_peel", "cube_gapfill_linear",
+    // round-11 third sweep: the chi-square cell table and the
+    // calibration bin table
+    "chi2_independence", "calibration_ece")
 
   for (name <- pipelineQueries)
     test(s"$name leaves no cached blocks behind") {
