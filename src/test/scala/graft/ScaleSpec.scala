@@ -1254,6 +1254,83 @@ class ScaleSpec extends SparkSpec {
       }
   }
 
+  test("AQE re-plans a static sort-merge join into a broadcast join " +
+      "when the filtered side turns out tiny at runtime") {
+    // The adaptive contract the engine leans on at 100 TB: a dim side
+    // whose STATIC stats exceed the broadcast threshold (so the
+    // initial plan is SMJ) but whose runtime output after a selective
+    // filter is a handful of rows must be switched to a broadcast
+    // join by AQE — no manual hint, no re-deploy. This is why graft
+    // only hand-broadcasts PROVABLY bounded sides (driver state,
+    // aggregates) and leaves data-dependent cases to runtime stats.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    // the runtime switch uses its own threshold: static planning sees
+    // file-size stats (SMJ), the finalized stage sees ~rows of bytes
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+    try {
+      val li = Tables.lineitem(spark, sf("sf0.01"))
+      val ord = Tables.orders(spark, sf("sf0.01"))
+        .filter(col("o_totalprice") > 450000.0) // runtime: a few rows
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      q.collect() // finalize the adaptive plan
+      val finalPlan = q.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        "AQE did not switch to broadcast:\n" + finalPlan.take(1500))
+      assert(finalPlan.contains("AdaptiveSparkPlan isFinalPlan=true"),
+        finalPlan.take(300))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("dynamic partition pruning: a dim filter prunes the " +
+      "partitioned fact scan at runtime") {
+    // Layout contract for date-partitioned facts: joining through a
+    // filtered dimension must not scan every partition — Spark plants
+    // a dynamicpruning subquery on the fact's partition column. This
+    // is the mechanism that turns "join January's orders" into a
+    // 1/84th scan on a date-partitioned 100 TB fact table.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dpp").toString
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+      .withColumn("ship_month",
+        date_format(col("l_shipdate"), "yyyy-MM"))
+    li.write.partitionBy("ship_month").parquet(s"$dir/li")
+    val fact = spark.read.parquet(s"$dir/li")
+    val months = fact.select(col("ship_month").as("m")).distinct()
+      .withColumn("mm", expr("substr(m, 6, 2)"))
+    months.write.parquet(s"$dir/dim")
+    // the dim filter must be one the PartitionPruning rule considers
+    // LIKELY SELECTIVE (literal equality here) — a bare boolean
+    // column doesn't qualify and silently disables DPP
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("mm") === "03")
+    // without table-level ANALYZE stats the distinct-count benefit
+    // model can't see the filter's selectivity; the fallback ratio is
+    // the config documented for exactly this catalog-less case
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    // the aggregate reads real fact columns so the optimizer's
+    // pruning-benefit estimate (filter ratio × fact scan bytes) is
+    // positive — a keys-only probe would estimate a near-zero scan
+    val q = fact.join(dim, col("ship_month") === col("m"))
+      .groupBy("m").agg(Q.dsum(col("l_quantity")).as("qty"),
+        count(lit(1)).as("n"))
+    val planned = q.queryExecution.executedPlan.toString
+    assert(planned.contains("dynamicpruning") ||
+      planned.contains("DynamicPruning"),
+      "no dynamic pruning subquery on the fact scan:\n" +
+        planned.take(1500))
+    // semantics: only March partitions contribute
+    val got = q.collect()
+    assert(got.nonEmpty && got.forall(_.getString(0).endsWith("-03")))
+    spark.conf.unset(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+  }
+
   test("join_bloom_prune: the Bloom probe filters the fact side BELOW " +
       "the shuffle, and the join survives forced-shuffle planning") {
     // The semi-join-reduction contract: rows that cannot match are
