@@ -1,0 +1,54 @@
+package graft
+
+/** Regenerates the committed `avi_scenes.avi` fixture — a 12-frame
+  * MJPEG AVI with two planted scene cuts (dark 0-4 → bright 5-8 →
+  * mid 9-11; ±3-gray in-scene jitter so within-scene deltas are small
+  * but nonzero). Deterministic: same bytes every run, so the fixture's
+  * luma physics (pinned in `multimodal_scene_cuts`' oracle) are
+  * reproducible from source. Prints the decoded per-frame lumas for
+  * every committed AVI so the oracle constants can be re-derived.
+  *
+  * Usage: runMain graft.FixtureGen [outDir]
+  */
+object FixtureGen {
+
+  def jpegGray(w: Int, h: Int, base: Int, jitter: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = math.min(255, math.max(0, base + ((x + y) % 3) + jitter))
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  def sceneAvi(): Array[Byte] = {
+    val stills = (0 until 12).map { f =>
+      if (f < 5) jpegGray(32, 16, 0x20, f)
+      else if (f < 9) jpegGray(32, 16, 0xC0, f - 5)
+      else jpegGray(32, 16, 0x60, f - 9)
+    }
+    graft.pipeline.Multimodal.writeMjpegAvi(stills, 32, 16, fps = 10)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption
+      .getOrElse("src/main/resources/graft/fixtures")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/avi_scenes.avi"), sceneAvi())
+    for (name <- Seq("avi_scenes.avi", "avi_clip.avi")) {
+      val p = java.nio.file.Paths.get(s"$dir/$name")
+      if (java.nio.file.Files.exists(p)) {
+        val v = graft.pipeline.Multimodal
+          .parseAvi(java.nio.file.Files.readAllBytes(p)).get
+        val lumas = v.frames
+          .flatMap(graft.pipeline.Multimodal.decodeImage)
+          .map(img => graft.pipeline.Multimodal.imageFeatures(img)(5))
+        println(s"PHYSICS $name lumas=" +
+          lumas.map(l => f"$l%.3f").mkString(","))
+      }
+    }
+  }
+}

@@ -1683,6 +1683,63 @@ object PipelineQueries {
       AS t(media_id, kind, n_bytes, decode_ok, f1, f2, f3, f4, f5, f6, f7, f8)
     ORDER BY media_id"""
 
+  private val sceneCutFixtures = Seq(
+    (1L, "avi_scenes.avi"), (2L, "avi_clip.avi"),
+    (3L, "corrupt_video.bin"))
+
+  /** Temporal video analysis over the REAL MJPEG decode path: per
+    * clip, decode every frame (RIFF walk → JPEG stills → ImageIO),
+    * take the mean-luma series, and call a scene CUT wherever the
+    * frame-to-frame luma delta exceeds 24 — the shot-boundary
+    * heuristic a video curation pipeline uses to pick per-scene
+    * keyframes. Frame lumas are extracted at decode (driver-side over
+    * the committed fixtures, exactly like the dHash/audio paths); the
+    * TEMPORAL detection is the distributed part — one keyed window
+    * per clip, then a keyed aggregate. The committed `avi_scenes.avi`
+    * plants two cuts (dark→bright at frame 5, bright→mid at 9; ±3
+    * in-scene jitter keeps within-scene deltas ≤ 1); `avi_clip`'s
+    * gray staircase steps 60 luma per frame, so every transition is
+    * honestly a cut; the corrupt payload decodes to None and emits
+    * nothing. Oracle = that pinned fixture physics
+    * ([[graft.FixtureGen]] reprints the luma series). */
+  def multimodalSceneCuts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lumas = sceneCutFixtures.flatMap { case (id, name) =>
+      val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+      val bytes = try in.readAllBytes() finally in.close()
+      graft.pipeline.Multimodal.parseAvi(bytes).toSeq.flatMap { v =>
+        v.frames.flatMap(graft.pipeline.Multimodal.decodeImage)
+          .zipWithIndex.map { case (img, f) =>
+            (id, f,
+              graft.pipeline.Multimodal.imageFeatures(img)(5).toDouble)
+          }
+      }
+    }
+    val df = s.createDataset(lumas).toDF("media_id", "fidx", "luma")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("fidx")
+    df.withColumn("delta", abs(col("luma") - lag(col("luma"), 1).over(w)))
+      .withColumn("cut",
+        when(col("delta") > 24.0, 1L).otherwise(0L))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("cut")).as("n_cuts"),
+        min(when(col("cut") === 1L, col("fidx"))).as("first_cut"))
+      .orderBy("media_id")
+  }
+
+  /** Pinned physics: avi_scenes 12 frames, cuts at 5 and 9;
+    * avi_clip's 3-frame 60-luma staircase → both transitions cut;
+    * corrupt payload absent. */
+  val multimodalSceneCutsSql: String = """
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+      CAST(n_frames AS BIGINT) AS n_frames,
+      CAST(n_cuts AS BIGINT) AS n_cuts,
+      CAST(first_cut AS INTEGER) AS first_cut
+    FROM (VALUES (1, 12, 2, 5), (2, 3, 2, 1))
+      t(media_id, n_frames, n_cuts, first_cut)
+    ORDER BY media_id"""
+
   /** Committed COMPRESSED-media fixtures for
     * [[multimodalCompressedMeta]]: spec-exact MPEG-1 Layer III frame
     * chains (CBR; VBR behind an ID3v2 tag) and H.264 Annex-B streams
@@ -4618,6 +4675,8 @@ object PipelineQueries {
     QuerySpec("dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
     QuerySpec("multimodal_decode_stats", multimodalDecodeStats,
       Some(multimodalDecodeStatsSql)),
+    QuerySpec("multimodal_scene_cuts", multimodalSceneCuts,
+      Some(multimodalSceneCutsSql)),
     QuerySpec("multimodal_phash_dedup", multimodalPhashDedup,
       Some(multimodalPhashDedupSql)),
     QuerySpec("multimodal_audio_dedup", multimodalAudioDedup,
