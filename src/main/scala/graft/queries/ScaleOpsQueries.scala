@@ -216,6 +216,40 @@ object ScaleOpsQueries {
   }
 
   // ---------------------------------------------------------------
+  // smooth_rolling_median — robust trailing smoother (EWMA companion)
+  // ---------------------------------------------------------------
+
+  /** Exact 7-day trailing median of daily revenue — the robust
+    * smoother that shrugs off the spike days that drag an EWMA. The
+    * window runs over the DAILY aggregate (one row per calendar day,
+    * metadata-sized at any corpus scale — same sanctioned class as
+    * smooth_ewma); the median interpolates between two exact 2-dp
+    * values, the identical IEEE a+(b−a)·f in both engines. */
+  def smoothRollingMedian(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp_ltz))" +
+        s" div $UsPerDay").as("day"))
+      .agg(Q.dsum(col("o_totalprice")).as("rev"))
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("med7",
+        round(expr("percentile(rev, 0.5)")
+          .over(w), 4))
+      .select(col("day"), col("rev"), col("med7"))
+      .orderBy("day")
+  }
+
+  val smoothRollingMedianSql: String = s"""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // $UsPerDay AS day,
+        ${Sql.dsum("o_totalprice")} AS rev
+      FROM orders GROUP BY 1)
+    SELECT day, rev,
+      ROUND(quantile_cont(rev, 0.5) OVER (ORDER BY day
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+    FROM daily ORDER BY day"""
+
+  // ---------------------------------------------------------------
   // skyline_pareto — multi-objective Pareto front without a cartesian
   // ---------------------------------------------------------------
 
@@ -459,5 +493,7 @@ object ScaleOpsQueries {
     QuerySpec("grouped_topk", groupedTopk, Some(groupedTopkSql)),
     QuerySpec("agg_sample_ci", aggSampleCi, Some(aggSampleCiSql)),
     QuerySpec("agg_cube", aggCube, Some(aggCubeSql)),
-    QuerySpec("text_blocklist", textBlocklist, Some(textBlocklistSql)))
+    QuerySpec("text_blocklist", textBlocklist, Some(textBlocklistSql)),
+    QuerySpec("smooth_rolling_median", smoothRollingMedian,
+      Some(smoothRollingMedianSql)))
 }

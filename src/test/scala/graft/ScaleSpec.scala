@@ -926,7 +926,9 @@ class ScaleSpec extends SparkSpec {
       "smooth_ewma" -> 1,
       // skyline cumulative max over the distinct-token-count aggregate
       // (bounded by the VALUE DOMAIN of doc lengths, not corpus rows)
-      "skyline_pareto" -> 1)
+      "skyline_pareto" -> 1,
+      // rolling median over the same daily aggregate as smooth_ewma
+      "smooth_rolling_median" -> 1)
     val heavyCols = Set("text", "para", "words", "span", "embedding")
     // Intrinsic candidate co-location: these ops ship CANDIDATE vectors
     // to their cell/bucket to be compared there — that exchange is the
