@@ -2774,6 +2774,84 @@ object PipelineQueries {
       ROUND(tot / nn, 6) AS ece
     FROM ba CROSS JOIN e CROSS JOIN nn ORDER BY bin"""
 
+  // ----------------------------------------------------- ROC / AUC eval
+  /** ROC curve + tie-corrected AUC for the trained quality classifier —
+    * the discrimination half of the eval whose calibration half is
+    * [[calibrationEce]] (a filtering pipeline needs BOTH: a model can
+    * rank perfectly yet be miscalibrated, and vice versa). Shape: the
+    * scored corpus reduces ONCE to a per-distinct-score table — p is
+    * rounded to 6dp in [0, 1], so that aggregate is bounded by the
+    * VALUE DOMAIN (≤1e6+1 rows) at any corpus size and stays map-side
+    * combinable, exactly the quality_gate_p75 argument. AUC is then
+    * the tie-corrected Mann-Whitney statistic computed from the score
+    * table in INTEGER arithmetic (ties count half, so the doubled sum
+    * U2 = Σ_s np(s)·(2·neg_below(s) + nn(s)) stays integral and the
+    * one division at the end is the only float op), and the 10-point
+    * ROC curve is a cumulative sum over the 10-row bin rollup. Both
+    * cumsums are global windows over bounded aggregates — the
+    * sanctioned class, never corpus rows. */
+  def rocAuc(s: SparkSession, d: String): DataFrame = {
+    val st = logregScoredRows(s, d)
+      .groupBy("p")
+      .agg(sum(col("y")).cast("long").as("np"),
+        sum(lit(1.0) - col("y")).cast("long").as("nn"))
+      .persist()
+    val below = org.apache.spark.sql.expressions.Window.orderBy("p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val u = st
+      .withColumn("negbelow",
+        coalesce(sum(col("nn")).over(below), lit(0L)))
+      .agg(sum(col("np") * (lit(2L) * col("negbelow") + col("nn")))
+        .as("u2"))
+    val tot = st.agg(sum(col("np")).as("pos"), sum(col("nn")).as("neg"))
+    val fromTop = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val curve = st
+      .groupBy(least(floor(col("p") * 10), lit(9)).cast("long").as("bin"))
+      .agg(sum(col("np")).as("bp"), sum(col("nn")).as("bn"))
+      .withColumn("pos_ge", sum(col("bp")).over(fromTop))
+      .withColumn("neg_ge", sum(col("bn")).over(fromTop))
+    val res = curve.crossJoin(broadcast(u)).crossJoin(broadcast(tot))
+      .select(col("bin"),
+        round(col("pos_ge").cast("double") / col("pos"), 6).as("tpr"),
+        round(col("neg_ge").cast("double") / col("neg"), 6).as("fpr"),
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("pos") * col("neg")), 6).as("auc"))
+      .orderBy("bin")
+    graft.pipeline.Caching.materializeAndRelease(res, st)
+  }
+
+  val rocAucSql: String = s"""
+    WITH $logregCtes,
+    st AS (SELECT p, CAST(SUM(y) AS BIGINT) AS np,
+        CAST(SUM(1.0 - y) AS BIGINT) AS nn
+      FROM pfy GROUP BY p),
+    cum AS (SELECT p, np, nn,
+        COALESCE(SUM(nn) OVER (ORDER BY p
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS negbelow
+      FROM st),
+    u AS (SELECT CAST(SUM(np * (2 * negbelow + nn)) AS BIGINT) AS u2
+      FROM cum),
+    tot AS (SELECT CAST(SUM(np) AS BIGINT) AS pos,
+        CAST(SUM(nn) AS BIGINT) AS neg FROM st),
+    bins AS (SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin,
+        SUM(np) AS bp, SUM(nn) AS bn
+      FROM st GROUP BY 1),
+    curve AS (SELECT bin,
+        SUM(bp) OVER (ORDER BY bin DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos_ge,
+        SUM(bn) OVER (ORDER BY bin DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS neg_ge
+      FROM bins)
+    SELECT bin, ROUND(CAST(pos_ge AS DOUBLE) / pos, 6) AS tpr,
+      ROUND(CAST(neg_ge AS DOUBLE) / neg, 6) AS fpr,
+      ROUND(CAST(u2 AS DOUBLE) / (2.0 * pos * neg), 6) AS auc
+    FROM curve CROSS JOIN u CROSS JOIN tot ORDER BY bin"""
+
   /** The shared logistic-training CTE chain (two exact-decimal
     * gradient steps from w = 0), ending in `pfy(source, y, p)` — the
     * SQL twin of [[logregScoredRows]]. */
@@ -4649,6 +4727,7 @@ object PipelineQueries {
       Some(dedupIncrementalSql)),
     QuerySpec("quality_logreg", qualityLogreg, Some(qualityLogregSql)),
     QuerySpec("calibration_ece", calibrationEce, Some(calibrationEceSql)),
+    QuerySpec("roc_auc", rocAuc, Some(rocAucSql)),
     QuerySpec("bpe_train", bpeTrain, Some(bpeTrainSql)),
     QuerySpec("tokenize_learned", tokenizeLearned, Some(tokenizeLearnedSql)),
     QuerySpec("tokenizer_fertility", tokenizerFertility,

@@ -19,7 +19,9 @@ class CachingSpec extends SparkSpec {
     "graph_bfs_levels", "graph_kcore_peel", "cube_gapfill_linear",
     // round-11 third sweep: the chi-square cell table and the
     // calibration bin table
-    "chi2_independence", "calibration_ece")
+    "chi2_independence", "calibration_ece",
+    // roc_auc persists the bounded score-domain table
+    "roc_auc")
 
   for (name <- pipelineQueries)
     test(s"$name leaves no cached blocks behind") {

@@ -928,7 +928,10 @@ class ScaleSpec extends SparkSpec {
       // (bounded by the VALUE DOMAIN of doc lengths, not corpus rows)
       "skyline_pareto" -> 1,
       // rolling median over the same daily aggregate as smooth_ewma
-      "smooth_rolling_median" -> 1)
+      "smooth_rolling_median" -> 1,
+      // negatives-below cumsum over the bounded 6dp score-domain
+      // aggregate + ROC cumsum over the 10-row bin rollup
+      "roc_auc" -> 2)
     val heavyCols = Set("text", "para", "words", "span", "embedding")
     // Intrinsic candidate co-location: these ops ship CANDIDATE vectors
     // to their cell/bucket to be compared there — that exchange is the
@@ -968,12 +971,20 @@ class ScaleSpec extends SparkSpec {
             globals.map(_.output.map(_.name).mkString("[", ",", "]"))
               .mkString("; "))
         // the sanctioned ones must sit above an aggregate (bucket
-        // counts), never directly over corpus-scale rows
+        // counts), never directly over corpus-scale rows; a persisted
+        // intermediate is looked THROUGH (the cached plan is where the
+        // bounding aggregate lives — e.g. roc_auc's score-domain table)
+        def hasAggBeneath(p: org.apache.spark.sql.execution.SparkPlan)
+            : Boolean = p.exists {
+          case _: org.apache.spark.sql.execution.aggregate
+            .HashAggregateExec => true
+          case s: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec => hasAggBeneath(s.relation.cachedPlan)
+          case _ => false
+        }
         globals.foreach { w =>
-          assert(w.collectFirst {
-            case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
-              => a
-          }.nonEmpty, s"${q.name}: global window not above an aggregate")
+          assert(hasAggBeneath(w),
+            s"${q.name}: global window not above an aggregate")
           assert(!w.output.exists(a => a.name == "doc_id" || a.name == "text"),
             s"${q.name}: global window sees corpus-row columns: " +
               w.output.map(_.name).mkString(","))
