@@ -3768,6 +3768,18 @@ object PipelineQueries {
     * ln() per term rounds to 9dp before the exact DECIMAL sum (the
     * dsir_importance cross-engine determinism pattern). */
   def bm25Topk(s: SparkSession, d: String): DataFrame = {
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    bm25Scored(s, d).withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The scored-but-unranked BM25 list (query_id, doc_id, score) —
+    * shared by [[bm25Topk]] (top-5 cut) and [[retrievalRrfFusion]]
+    * (top-20 lexical arm). */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val queryTerms: Seq[(String, String)] = Seq(
       "q1" -> "spark", "q1" -> "join",
@@ -3806,16 +3818,12 @@ object PipelineQueries {
       .groupBy("query_id", "doc_id")
       .agg(round(sum(col("c").cast("decimal(38,12)")).cast("double"), 6)
         .as("score"))
-    val wGlobal = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(wGlobal))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
-      .orderBy("query_id", "rank")
+    scored
   }
 
-  val bm25TopkSql: String = """
-    WITH qt AS (SELECT * FROM (VALUES
+  /** The BM25 CTE chain ending in `scored(query_id, doc_id, score)` —
+    * the SQL twin of [[bm25Scored]]. */
+  private val bm25ScoredCtes: String = """qt AS (SELECT * FROM (VALUES
         ('q1', 'spark'), ('q1', 'join'),
         ('q2', 'window'), ('q2', 'agg'),
         ('q3', 'hash'), ('q3', 'table'), ('q3', 'scan'))
@@ -3840,11 +3848,93 @@ object PipelineQueries {
       JOIN dfreq ON tf.t = dfreq.t CROSS JOIN stats),
     scored AS (SELECT query_id, doc_id,
         ROUND(CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
-      FROM contrib GROUP BY query_id, doc_id),
+      FROM contrib GROUP BY query_id, doc_id)"""
+
+  val bm25TopkSql: String = s"""
+    WITH $bm25ScoredCtes,
     ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         ORDER BY score DESC, doc_id) AS rank FROM scored)
     SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  // --------------------------------------- hybrid retrieval (RRF fusion)
+  /** Reciprocal-rank fusion of lexical and dense retrieval — the
+    * standard hybrid-search combiner (Cormack, Clarke & Buettcher,
+    * SIGIR 2009: rrf = Σ_arms 1/(60 + rank)). Arm 1 is the shared
+    * BM25 list cut at top-20; arm 2 is cosine retrieval for the same
+    * three queries, each carrying an exemplar embedding
+    * (query-by-example: vec_id 0/1/2 ↔ q1/q2/q3, the embeddings table
+    * aligning vec_id = doc_id). The scale story is the real hybrid-
+    * search architecture: each arm independently produces a k-BOUNDED
+    * per-query list under partial top-k (WindowGroupLimit evaluates
+    * per-partition top-k before the exchange; the dense arm broadcasts
+    * the 3 query vectors), so the fusion full-outer join runs over
+    * ≤ 2k rows per query — metadata-sized at any corpus size. Rank
+    * arithmetic is integer; 1/(60+r) is one IEEE division on identical
+    * operands, so fused scores are bit-equal cross-engine. */
+  def retrievalRrfFusion(s: SparkSession, d: String): DataFrame = {
+    val wLex = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25Scored(s, d)
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= 20)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val emb = Tables.embeddings(s, d)
+    val dense = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id").isin(0L, 1L, 2L)),
+        "vec_id", "embedding", k = 20)
+      .select(concat(lit("q"), (col("query_id") + 1).cast("string"))
+          .as("query_id"),
+        col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val wFused = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)), 6))
+      .withColumn("fused_rank", row_number().over(wFused))
+      .filter(col("fused_rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("dense_rank"), col("rrf"), col("fused_rank"))
+      .orderBy("query_id", "fused_rank")
+  }
+
+  val retrievalRrfFusionSql: String = s"""
+    WITH $bm25ScoredCtes,
+    lexr AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) AS lex_rank
+      FROM scored),
+    lex AS (SELECT query_id, doc_id, CAST(lex_rank AS INT) AS lex_rank
+      FROM lexr WHERE lex_rank <= 20),
+    e AS (SELECT vec_id, embedding,
+        sqrt(${dotSql("embedding", "embedding")}) AS norm
+      FROM embeddings),
+    dpairs AS (SELECT q.vec_id AS qv, c.vec_id AS doc_id,
+        ROUND(${dotSql("q.embedding", "c.embedding")} / (q.norm * c.norm),
+          6) AS cos
+      FROM e q, e c
+      WHERE q.vec_id IN (0, 1, 2) AND c.vec_id != q.vec_id),
+    dranked AS (SELECT 'q' || CAST(qv + 1 AS VARCHAR) AS query_id, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY qv ORDER BY cos DESC, doc_id)
+          AS dense_rank
+      FROM dpairs),
+    dense AS (SELECT query_id, doc_id, CAST(dense_rank AS INT)
+        AS dense_rank
+      FROM dranked WHERE dense_rank <= 20),
+    fused AS (SELECT COALESCE(l.query_id, de.query_id) AS query_id,
+        COALESCE(l.doc_id, de.doc_id) AS doc_id,
+        l.lex_rank, de.dense_rank,
+        ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0.0) +
+          COALESCE(CAST(1.0 AS DOUBLE) / (60 + de.dense_rank), 0.0), 6)
+          AS rrf
+      FROM lex l FULL OUTER JOIN dense de
+        ON l.query_id = de.query_id AND l.doc_id = de.doc_id),
+    fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY rrf DESC, doc_id) AS fused_rank FROM fused)
+    SELECT query_id, doc_id, lex_rank, dense_rank, rrf,
+      CAST(fused_rank AS INT) AS fused_rank
+    FROM fr WHERE fused_rank <= 10 ORDER BY query_id, fused_rank"""
 
   // -------------------------------------------- count-min sketch
   /** Count-min sketch heavy-hitter probe (Cormode & Muthukrishnan
@@ -4701,6 +4791,8 @@ object PipelineQueries {
     QuerySpec("text_entropy", textEntropy, Some(textEntropySql)),
     QuerySpec("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QuerySpec("bm25_topk", bm25Topk, Some(bm25TopkSql)),
+    QuerySpec("retrieval_rrf_fusion", retrievalRrfFusion,
+      Some(retrievalRrfFusionSql)),
     QuerySpec("sketch_cms_heavy", sketchCmsHeavy, Some(sketchCmsHeavySql)),
     QuerySpec("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
     QuerySpec("graph_hits", graphHits, Some(graphHitsSql)),
