@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.StatQueries.specs ++
       graft.queries.ClusterQueries.specs ++
       graft.queries.TpchQueries.specs ++
-      graft.queries.ScaleOpsQueries.specs
+      graft.queries.ScaleOpsQueries.specs ++
+      graft.queries.EngineQueries.specs
 
   /** Flagship query (zonal time series, SURVEY §3.2/§7.2) on
     * /root/testdata/sf0.001; driver smoke-checks rows>0. */
