@@ -404,6 +404,96 @@ case class AdcLookup(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign binarization of a float vector: bit i of word ⌊i/32⌋ is set
+  * iff v[i] >= 0. 32 bits per long word — NOT 64 — because the DuckDB
+  * oracle rebuilds the signature with `(1::BIGINT << i)` and DuckDB's
+  * checked shift refuses `1 << 63`; half-full words keep every shift
+  * in range for both engines while still compressing a float32 vector
+  * 16× (dim floats → ⌈dim/32⌉ longs). Runs once per row at index
+  * build, so the signature — not the vector — is what the retrieval
+  * exchange carries. */
+case class SignPack(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "sign_pack"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Long]((n + 31) / 32)
+    var i = 0
+    while (i < n) {
+      if (v.getFloat(i) >= 0f) out(i / 32) |= 1L << (i % 32)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[($n + 31) / 32];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getFloat($i) >= 0f) $out[$i / 32] |= 1L << ($i % 32);
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Hamming distance between two sign signatures (array<long> from
+  * [[SignPack]]): Σ bitCount(a[w] ^ b[w]). The binary-retrieval hot
+  * loop — |queries|·|corpus| evaluations — so it must stay inside
+  * whole-stage codegen: two instructions per word, no boxing. */
+case class HammingDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "hamming_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecF {
   /** per-centroid squared distances of an array<float> column. */
   def sqDistToCentroids(v: Column, cents: Seq[Seq[Double]]): Column =
@@ -418,6 +508,15 @@ object VecF {
   /** L2 norm of an array<float> column. */
   def normF(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotF(a, a))
+
+  /** 32-bit-per-word sign signature of an array<float> column. */
+  def signPack(v: Column): Column =
+    GraftColumnBridge.column(SignPack(GraftColumnBridge.expression(v)))
+
+  /** Hamming distance between two sign-signature columns. */
+  def hamming(a: Column, b: Column): Column =
+    GraftColumnBridge.column(HammingDist(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** hyperplane-LSH bucket of an array<float> column. */
   def hyperplaneBucket(v: Column, planes: Array[Array[Double]]): Column =

@@ -128,6 +128,64 @@ object Similarity {
     Caching.materializeAndRelease(out, e)
   }
 
+  /** Two-stage binary retrieval: sign-quantize every vector to a
+    * 32-bits-per-word signature ([[graft.functions.SignPack]], 16×
+    * smaller than float32), rank the whole corpus per query by Hamming
+    * distance ([[graft.functions.HammingDist]] — two instructions per
+    * word, whole-stage codegen), keep the `prefilter` closest, then
+    * rerank only those survivors with the exact cosine kernel.
+    *
+    * The engine shape is what makes this the 100 TB fast path:
+    *  - the Hamming scan reads (id, signature) only — the float
+    *    vectors never enter stage 1, so the scan is 16× less I/O and
+    *    the exchange carries longs;
+    *  - per-query candidate selection is the bounded mergeable
+    *    [[graft.functions.TopKAggregator]], so each map partition
+    *    reduces to ≤ prefilter rows per query BEFORE any shuffle — no
+    *    global sort, no skewed per-query window over the corpus;
+    *  - the rerank joins the tiny survivor set (|q|·prefilter rows)
+    *    back to the corpus by id — point lookups, broadcast from the
+    *    survivor side.
+    *
+    * Determinism: Hamming is integral; ties break by neighbor id, so
+    * the survivor set — and therefore the reranked answer — is
+    * bit-reproducible cross-engine (the DuckDB oracle rebuilds the
+    * same signatures with its own checked 32-bit shifts). */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, prefilter: Int): DataFrame = {
+    val sigs = corpus.select(col(idCol).as("neighbor_id"),
+      VecF.signPack(col(vecCol)).as("sig"))
+    val qSide = withNorm(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col("norm").as("q_norm"), VecF.signPack(col(vecCol)).as("q_sig"))
+    val hits = sigs
+      .crossJoin(broadcast(qSide.select(col("query_id"), col("q_sig"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        (-VecF.hamming(col("sig"), col("q_sig"))).cast("long").as("negham"),
+        col("neighbor_id"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topKBy(prefilter)(
+        col("negham"), col("neighbor_id")).as("short_list"))
+      .select(col("query_id"), explode(col("short_list")).as("h"))
+      .select(col("query_id"), col("h.id").as("neighbor_id"),
+        (-col("h.value_cents")).cast("int").as("hamming"))
+    val reranked = withNorm(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col("norm").as("c_norm"))
+      .join(broadcast(hits), Seq("neighbor_id"))
+      .join(broadcast(qSide.drop("q_sig")), Seq("query_id"))
+      .withColumn("cos", round(
+        VecF.dotF(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")),
+        6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("cos"), col("rank").cast("int").as("rank"))
+  }
+
   /** Rows above which [[cosinePairs]] refuses to run un-forced: 10⁴
     * rows ≈ 5·10⁷ candidate pairs — the point where the O(n²) cross
     * join stops being a "baseline" and starts being an outage. */

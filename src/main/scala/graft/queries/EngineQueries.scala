@@ -78,6 +78,57 @@ object EngineQueries {
     SELECT event_type, n_exact, n_containers, state_words
     FROM per ORDER BY event_type"""
 
+  // ---------------------------------------------------------------
+  // sim_topk_binary — sign-quantized Hamming prefilter + exact rerank
+  // ---------------------------------------------------------------
+
+  /** Binary-signature ANN: Hamming over 32-bit-per-word sign
+    * signatures selects 32 candidates per query (bounded TopK
+    * aggregate — map-side partial, no per-query window over the
+    * corpus), then only those pay the exact-cosine rerank. Stage 1
+    * never reads the float vectors. See
+    * [[graft.pipeline.Similarity.binaryTopK]] for the plan argument.
+    */
+  def simTopkBinary(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.pipeline.Similarity.binaryTopK(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, prefilter = 32)
+      .orderBy("query_id", "rank")
+  }
+
+  val simTopkBinarySql: String = {
+    val dot = PipelineQueries.dotSql("q.embedding", "c.embedding")
+    val sig = """
+      [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        [CASE WHEN embedding[32*w + i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i)
+              ELSE CAST(0 AS BIGINT) END FOR i IN range(0, 32)]),
+        (a, b) -> a | b) FOR w IN range(0, (len(embedding)+31)//32)]"""
+    s"""
+    WITH e AS (SELECT vec_id, embedding,
+      sqrt(${PipelineQueries.dotSql("embedding", "embedding")}) AS norm,
+      $sig AS sig FROM embeddings),
+    pre AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(list_sum([bit_count(xor(q.sig[j], c.sig[j]))
+          FOR j IN range(1, len(q.sig) + 1)]) AS INT) AS hamming
+      FROM e q, e c WHERE q.vec_id < 8 AND c.vec_id != q.vec_id),
+    short AS (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS pr FROM pre),
+    rr AS (
+      SELECT s.query_id, s.neighbor_id, s.hamming,
+        ROUND($dot / (q.norm * c.norm), 6) AS cos
+      FROM short s
+      JOIN e q ON s.query_id = q.vec_id
+      JOIN e c ON s.neighbor_id = c.vec_id
+      WHERE s.pr <= 32),
+    ranked AS (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM rr)
+    SELECT query_id, neighbor_id, hamming, cos, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""
+  }
+
   def specs: Seq[QuerySpec] = Seq(
-    QuerySpec("bitmap_distinct", bitmapDistinct, Some(bitmapDistinctSql)))
+    QuerySpec("bitmap_distinct", bitmapDistinct, Some(bitmapDistinctSql)),
+    QuerySpec("sim_topk_binary", simTopkBinary, Some(simTopkBinarySql)))
 }

@@ -251,7 +251,7 @@ object PipelineQueries {
 
   /** sequential-fold dot product of two embedding expressions (1-based
     * element access), bit-identical to FloatVectorDot's loop. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        | [CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)
        |  FOR i IN range(1, len($a) + 1)]),
