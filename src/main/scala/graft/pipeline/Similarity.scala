@@ -178,6 +178,9 @@ object Similarity {
       .withColumn("cos", round(
         VecF.dotF(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")),
         6))
+      // drop the vectors BEFORE the ranking window so its exchange
+      // carries only (query_id, neighbor_id, hamming, cos)
+      .select("query_id", "neighbor_id", "hamming", "cos")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     reranked.withColumn("rank", row_number().over(w))

@@ -339,10 +339,232 @@ object EngineQueries {
     $branches ORDER BY phrase"""
   }
 
+  // ---------------------------------------------------------------
+  // fd_discovery — functional-dependency profiling (TANE g3 metric)
+  // ---------------------------------------------------------------
+
+  /** Schema-constraint discovery over candidate column pairs: does
+    * lhs → rhs hold, and if not, how badly — `g3` is the minimum
+    * number of rows to delete to make it hold (Σ per-lhs-group
+    * rows − its plurality-rhs count; Kivinen & Mannila's measure as
+    * used by TANE). The engine shape is two cheap aggregations per
+    * candidate — (lhs, rhs) cell counts, then per-lhs rollup — so each
+    * probe is one scan of two columns with map-side combine, never a
+    * pairwise comparison. This is the profiling pass a lakehouse runs
+    * before trusting a join key or declaring a constraint.
+    */
+  def fdDiscovery(s: SparkSession, d: String): DataFrame = {
+    def probe(df: DataFrame, tab: String, lhs: String, rhs: String)
+        : DataFrame = {
+      val cell = df.groupBy(col(lhs).as("l"), col(rhs).as("r"))
+        .agg(count(lit(1)).as("n"))
+      cell.groupBy("l")
+        .agg(sum(col("n")).as("nl"), max(col("n")).as("ml"),
+          count(lit(1)).as("nr"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nr") > 1, 1L).otherwise(0L)).as("violating_groups"),
+          sum(col("nl") - col("ml")).as("g3_rows"))
+        .select(lit(tab).as("tab"), lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_groups"), col("violating_groups"), col("g3_rows"),
+          (col("violating_groups") === 0L).as("holds"))
+    }
+    val nation = Tables.nation(s, d); val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d); val li = Tables.lineitem(s, d)
+    Seq(
+      probe(nation, "nation", "n_nationkey", "n_name"),
+      probe(nation, "nation", "n_regionkey", "n_name"),
+      probe(cust, "customer", "c_custkey", "c_mktsegment"),
+      probe(cust, "customer", "c_nationkey", "c_mktsegment"),
+      probe(ord, "orders", "o_orderkey", "o_custkey"),
+      probe(ord, "orders", "o_orderpriority", "o_orderstatus"),
+      probe(li, "lineitem", "l_orderkey", "l_returnflag"))
+      .reduce(_ unionByName _)
+      .orderBy("tab", "lhs", "rhs")
+  }
+
+  val fdDiscoverySql: String = {
+    val branches = Seq(
+      ("nation", "n_nationkey", "n_name"),
+      ("nation", "n_regionkey", "n_name"),
+      ("customer", "c_custkey", "c_mktsegment"),
+      ("customer", "c_nationkey", "c_mktsegment"),
+      ("orders", "o_orderkey", "o_custkey"),
+      ("orders", "o_orderpriority", "o_orderstatus"),
+      ("lineitem", "l_orderkey", "l_returnflag"))
+      .map { case (tab, lhs, rhs) => s"""
+      SELECT '$tab' AS tab, '$lhs' AS lhs, '$rhs' AS rhs,
+        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS violating_groups,
+        CAST(SUM(nl - ml) AS BIGINT) AS g3_rows,
+        SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0 AS holds
+      FROM (SELECT l, SUM(n) AS nl, MAX(n) AS ml, COUNT(*) AS nr
+        FROM (SELECT $lhs AS l, $rhs AS r, COUNT(*) AS n
+          FROM $tab GROUP BY 1, 2) GROUP BY l)""" }
+      .mkString(" UNION ALL ")
+    s"$branches ORDER BY tab, lhs, rhs"
+  }
+
+  // ---------------------------------------------------------------
+  // score_quantile_norm — cross-source score normalization
+  // ---------------------------------------------------------------
+
+  /** Quantile normalization of a per-source score (here doc length)
+    * onto the global distribution — the mixing-time fix for "source A's
+    * 0.8 means something different than source B's 0.8". Histogram
+    * form, not window form: per-source CDFs come from groupBy counts
+    * on the bounded bin domain (n_chars div 32), the global CDF is a
+    * second tiny rollup, and the bin→global-quantile mapping is an
+    * inequality join between two METADATA-sized tables. No window ever
+    * touches a per-document row, so a 10^9-doc source costs one
+    * map-side-combined scan — the reason production score calibration
+    * is histogram-based.
+    */
+  def scoreQuantileNorm(s: SparkSession, d: String): DataFrame = {
+    val binned = Tables.documents(s, d)
+      .select(col("source"), expr("n_chars div 32").as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("n"))
+      .persist()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bin")
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val srcCdf = binned
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(tot))
+      .withColumn("cdf", col("cum").cast("double") / col("total"))
+    // the global CDF runs a window over the ~17-row bin table — a
+    // metadata-sized frame, sanctioned exactly like value_histogram's
+    val gw = org.apache.spark.sql.expressions.Window.orderBy("bin")
+    val globalCdf = binned.groupBy("bin").agg(sum(col("n")).as("gn"))
+      .withColumn("gcum", sum(col("gn")).over(gw))
+      .crossJoin(broadcast(binned.agg(sum(col("n")).as("gtotal"))))
+      .select(col("bin").as("gbin"),
+        (col("gcum").cast("double") / col("gtotal")).as("gcdf"))
+    val mapped = srcCdf.join(broadcast(globalCdf), col("gcdf") >= col("cdf"))
+      .groupBy(col("source"), col("bin"), col("n"), col("cdf"))
+      .agg(min(col("gbin")).as("norm_bin"))
+    val out = mapped
+      .select(col("source"), col("bin"), col("n"),
+        round(col("cdf"), 6).as("cdf"), col("norm_bin"))
+      .orderBy("source", "bin")
+    graft.pipeline.Caching.materializeAndRelease(out, binned)
+  }
+
+  val scoreQuantileNormSql: String = """
+    WITH binned AS (
+      SELECT source, n_chars // 32 AS bin, COUNT(*) AS n
+      FROM documents GROUP BY 1, 2),
+    src AS (
+      SELECT source, bin, n,
+        CAST(SUM(n) OVER (PARTITION BY source ORDER BY bin) AS DOUBLE) /
+          SUM(n) OVER (PARTITION BY source) AS cdf
+      FROM binned),
+    gq AS (
+      SELECT bin AS gbin,
+        CAST(SUM(gn) OVER (ORDER BY gbin) AS DOUBLE) /
+          SUM(gn) OVER () AS gcdf
+      FROM (SELECT bin, SUM(n) AS gn FROM binned GROUP BY 1)),
+    mapped AS (
+      SELECT source, bin, n, cdf, MIN(gbin) AS norm_bin
+      FROM src JOIN gq ON gcdf >= cdf
+      GROUP BY 1, 2, 3, 4)
+    SELECT source, CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+      ROUND(cdf, 6) AS cdf, CAST(norm_bin AS BIGINT) AS norm_bin
+    FROM mapped ORDER BY source, bin"""
+
+  // ---------------------------------------------------------------
+  // graph_link_predict — common-neighbor link prediction
+  // ---------------------------------------------------------------
+
+  /** Link prediction on the part co-purchase graph: for NON-adjacent
+    * pairs, score by common-neighbor count and Jaccard over neighbor
+    * sets — the classic similarity heuristics (Liben-Nowell &
+    * Kleinberg 2007). Candidate pairs are exactly the open wedges, so
+    * the same degree-orientation that bounds `graph_triangles` at
+    * O(m^1.5) bounds candidate generation here; existing edges drop
+    * out via one anti-join against the oriented edge set (orientation
+    * is (degree, id)-canonical, so a wedge's endpoint pair and the
+    * edge it might close are spelled identically). Exchanges carry
+    * integer ids only.
+    */
+  def graphLinkPredict(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = op.as("x").join(op.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct().persist()
+    val deg = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg")).persist()
+    val da = deg.select(col("v").as("a"), col("dg").as("da"))
+    val db = deg.select(col("v").as("b"), col("dg").as("db"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oe = e.join(da, "a").join(db, "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("w"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dw"))
+      .persist()
+    val o1 = oe.select(col("u"), col("w").as("v"), col("dw").as("dv"))
+    val wedges = o1.join(oe, "u")
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("v").as("y"), col("w").as("z"))
+    val open = wedges
+      .join(oe.select(col("u").as("y"), col("w").as("z")).hint("shuffle_hash"),
+        Seq("y", "z"), "left_anti")
+    val cn = open.groupBy("y", "z").agg(count(lit(1)).as("common"))
+    val out = cn
+      .join(deg.select(col("v").as("y"), col("dg").as("dy")), Seq("y"))
+      .join(deg.select(col("v").as("z"), col("dg").as("dz")), Seq("z"))
+      .select(least(col("y"), col("z")).as("part_a"),
+        greatest(col("y"), col("z")).as("part_b"), col("common"),
+        round(col("common").cast("double") /
+          (col("dy") + col("dz") - col("common")), 6).as("jaccard"))
+      .orderBy(col("common").desc, col("part_a"), col("part_b"))
+      .limit(20)
+    graft.pipeline.Caching.materializeAndRelease(out, e, deg, oe)
+  }
+
+  val graphLinkPredictSql: String = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem),
+    e AS (SELECT DISTINCT x.p AS a, y.p AS b
+      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS dg
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+    oe AS (SELECT
+        CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b)
+          THEN e.a ELSE e.b END AS u,
+        CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b)
+          THEN e.b ELSE e.a END AS w,
+        CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b)
+          THEN db.dg ELSE da.dg END AS dw
+      FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+    open_w AS (SELECT o1.w AS y, o2.w AS z
+      FROM oe o1 JOIN oe o2 ON o1.u = o2.u
+        AND (o1.dw < o2.dw OR (o1.dw = o2.dw AND o1.w < o2.w))
+      WHERE NOT EXISTS (SELECT 1 FROM oe o3
+        WHERE o3.u = o1.w AND o3.w = o2.w)),
+    cn AS (SELECT y, z, CAST(COUNT(*) AS BIGINT) AS common
+      FROM open_w GROUP BY 1, 2)
+    SELECT LEAST(y, z) AS part_a, GREATEST(y, z) AS part_b, common,
+      ROUND(CAST(common AS DOUBLE) / (dy.dg + dz.dg - common), 6) AS jaccard
+    FROM cn JOIN deg dy ON dy.v = cn.y JOIN deg dz ON dz.v = cn.z
+    ORDER BY common DESC, part_a, part_b LIMIT 20"""
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("bitmap_distinct", bitmapDistinct, Some(bitmapDistinctSql)),
     QuerySpec("sim_topk_binary", simTopkBinary, Some(simTopkBinarySql)),
     QuerySpec("ivm_delta_join", ivmDeltaJoin, Some(ivmDeltaJoinSql)),
     QuerySpec("seq_patterns", seqPatterns, Some(seqPatternsSql)),
-    QuerySpec("phrase_search", phraseSearch, Some(phraseSearchSql)))
+    QuerySpec("phrase_search", phraseSearch, Some(phraseSearchSql)),
+    QuerySpec("fd_discovery", fdDiscovery, Some(fdDiscoverySql)),
+    QuerySpec("score_quantile_norm", scoreQuantileNorm,
+      Some(scoreQuantileNormSql)),
+    QuerySpec("graph_link_predict", graphLinkPredict,
+      Some(graphLinkPredictSql)))
 }

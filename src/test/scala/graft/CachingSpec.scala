@@ -21,7 +21,10 @@ class CachingSpec extends SparkSpec {
     // calibration bin table
     "chi2_independence", "calibration_ece",
     // roc_auc persists the bounded score-domain table
-    "roc_auc")
+    "roc_auc",
+    // round-11 fourth sweep: the per-source bin histogram and the
+    // link-prediction edge/degree/oriented-edge triple
+    "score_quantile_norm", "graph_link_predict")
 
   for (name <- pipelineQueries)
     test(s"$name leaves no cached blocks behind") {

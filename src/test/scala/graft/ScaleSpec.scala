@@ -931,7 +931,10 @@ class ScaleSpec extends SparkSpec {
       "smooth_rolling_median" -> 1,
       // negatives-below cumsum over the bounded 6dp score-domain
       // aggregate + ROC cumsum over the 10-row bin rollup
-      "roc_auc" -> 2)
+      "roc_auc" -> 2,
+      // global-CDF cumsum over the ~17-row length-bin aggregate
+      // (bounded by the n_chars/32 value domain, not corpus rows)
+      "score_quantile_norm" -> 1)
     val heavyCols = Set("text", "para", "words", "span", "embedding")
     // Intrinsic candidate co-location: these ops ship CANDIDATE vectors
     // to their cell/bucket to be compared there — that exchange is the
