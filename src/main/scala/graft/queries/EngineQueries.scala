@@ -556,6 +556,87 @@ object EngineQueries {
     FROM cn JOIN deg dy ON dy.v = cn.y JOIN deg dz ON dz.v = cn.z
     ORDER BY common DESC, part_a, part_b LIMIT 20"""
 
+  // ---------------------------------------------------------------
+  // bitext_mine — margin-based cross-corpus pair mining
+  // ---------------------------------------------------------------
+
+  /** Parallel-pair mining with the ratio-margin criterion (the
+    * LASER/CCMatrix recipe): absolute cosine is miscalibrated across
+    * corpora, so a candidate pair (x, y) scores
+    * 2·cos(x,y) / (avgₖNN_B(x) + avgₖNN_A(y)) — cosine normalized by
+    * BOTH endpoints' local neighborhood density — and x keeps only
+    * its argmax-margin neighbor above 1.0. Corpus halves here are the
+    * embedding label groups (0–4 vs 5–9).
+    *
+    * Plan: two bounded kNN passes (the broadcast-query
+    * `bruteForceTopK` form — corpus never shuffles), the per-endpoint
+    * density aggregates are exact-DECIMAL sums over exactly k rows,
+    * and the final argmax is max-of-struct per query over ≤ k
+    * candidates. At 100 TB each kNN pass swaps in the IVF/binary
+    * index (`sim_ann_ivf_persisted`, `sim_topk_binary`) — the margin
+    * algebra downstream is index-agnostic.
+    */
+  def bitextMine(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val a = emb.filter(col("label") < 5)
+    val b = emb.filter(col("label") >= 5)
+    val kAB = graft.pipeline.Similarity
+      .bruteForceTopK(b, a, "vec_id", "embedding", k = 4)
+    val kBA = graft.pipeline.Similarity
+      .bruteForceTopK(a, b, "vec_id", "embedding", k = 4)
+    val densA = kAB.groupBy(col("query_id").as("a_id"))
+      .agg((sum(col("cos").cast(Q.Dec)).cast("double") /
+        count(lit(1))).as("dens_a"))
+    val densB = kBA.groupBy(col("query_id").as("b_id"))
+      .agg((sum(col("cos").cast(Q.Dec)).cast("double") /
+        count(lit(1))).as("dens_b"))
+    val scored = kAB
+      .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
+        col("cos"))
+      .join(densA, Seq("a_id"))
+      .join(densB, Seq("b_id"))
+      .withColumn("margin",
+        round(lit(2.0) * col("cos") / (col("dens_a") + col("dens_b")), 6))
+    val best = scored.groupBy("a_id")
+      .agg(max(struct(col("margin"), (-col("b_id")).as("nb"),
+        col("b_id"), col("cos"))).as("m"))
+      .select(col("a_id"), col("m.b_id").as("b_id"), col("m.cos").as("cos"),
+        col("m.margin").as("margin"))
+    best.filter(col("margin") > 1.0).orderBy("a_id")
+  }
+
+  val bitextMineSql: String = {
+    val dot = PipelineQueries.dotSql("a.embedding", "b.embedding")
+    s"""
+    WITH e AS (SELECT vec_id, label, embedding,
+      sqrt(${PipelineQueries.dotSql("embedding", "embedding")}) AS norm
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        ROUND($dot / (a.norm * b.norm), 6) AS cos
+      FROM e a JOIN e b ON a.label < 5 AND b.label >= 5),
+    kab AS (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn FROM pairs),
+    kba AS (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rn FROM pairs),
+    dens_a AS (SELECT a_id,
+        CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS dens_a
+      FROM kab WHERE rn <= 4 GROUP BY 1),
+    dens_b AS (SELECT b_id,
+        CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS dens_b
+      FROM kba WHERE rn <= 4 GROUP BY 1),
+    scored AS (
+      SELECT k.a_id, k.b_id, k.cos,
+        ROUND(2.0 * k.cos / (da.dens_a + db.dens_b), 6) AS margin
+      FROM kab k JOIN dens_a da ON k.a_id = da.a_id
+      JOIN dens_b db ON k.b_id = db.b_id
+      WHERE k.rn <= 4),
+    best AS (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY a_id ORDER BY margin DESC, b_id) AS br FROM scored)
+    SELECT a_id, b_id, cos, margin FROM best
+    WHERE br = 1 AND margin > 1.0 ORDER BY a_id"""
+  }
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("bitmap_distinct", bitmapDistinct, Some(bitmapDistinctSql)),
     QuerySpec("sim_topk_binary", simTopkBinary, Some(simTopkBinarySql)),
@@ -566,5 +647,6 @@ object EngineQueries {
     QuerySpec("score_quantile_norm", scoreQuantileNorm,
       Some(scoreQuantileNormSql)),
     QuerySpec("graph_link_predict", graphLinkPredict,
-      Some(graphLinkPredictSql)))
+      Some(graphLinkPredictSql)),
+    QuerySpec("bitext_mine", bitextMine, Some(bitextMineSql)))
 }

@@ -418,6 +418,26 @@ object EventStreams {
       .groupBy("event_type", "bucket")
       .agg(max(col("rho")).as("rho"))
 
+  /** Streaming EXACT distinct maintenance — the streaming twin of the
+    * `bitmap_distinct` batch rollup: per-event-type RoaringLite
+    * bitmap state kept live as events arrive, so exact (not
+    * estimated) distinct user-day counts are queryable mid-ingest.
+    * One streaming aggregation with [[graft.functions.BitmapAggregator]]
+    * as its UDAF: state is the compressed container set — 16 bits per
+    * sparse key, 1 bit per dense key, and OR-merge is idempotent, so
+    * at-least-once replay cannot inflate the count (the property raw
+    * `COUNT(DISTINCT)` loses the moment it leaves batch). No
+    * watermark: the bitmap is a running total. The drained stream's
+    * state equals the batch aggregator's container-for-container
+    * (StreamingSpec). */
+  def streamingBitmapDistinct(events: DataFrame): DataFrame =
+    events.filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        (col("user_id") * 65536L +
+          pmod(expr("unix_micros(ts) div 86400000000"), lit(65536L))).as("k"))
+      .groupBy("event_type")
+      .agg(graft.functions.BitmapF.bitmap(col("k")).as("state"))
+
   /** Streaming KMV (theta) sketch maintenance — the streaming twin of
     * the `sketch_kmv_distinct` / `sketch_set_overlap` batch sketches:
     * per-event-type k-minimum-values state kept live as events arrive,

@@ -289,6 +289,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.forall(_.length <= 64))
   }
 
+  test("streaming exact-distinct bitmap: drained state equals the " +
+      "batch aggregator container-for-container") {
+    val dir = Files.createTempDirectory("graft-bmstream").toString
+    val ev = Tables.events(spark, sf("sf0.001"))
+    ev.filter(col("event_id") % 2 === 0).drop("ts_us").coalesce(1)
+      .write.mode("append").parquet(dir)
+    ev.filter(col("event_id") % 2 === 1).drop("ts_us").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = EventStreams.streamingBitmapDistinct(
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+    val q = stream.writeStream.format("memory").queryName("bm_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def stateMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) ->
+        r.getSeq[scala.collection.Seq[Long]](1).map(_.toSeq)).toMap
+    val got = stateMap(spark.table("bm_out").collect())
+    val keyed = ev.filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        (col("user_id") * 65536L +
+          pmod(expr("ts_us div 86400000000"), lit(65536L))).as("k"))
+    val want = stateMap(keyed.groupBy("event_type")
+      .agg(graft.functions.BitmapF.bitmap(col("k")).as("state")).collect())
+    assert(got == want && got.nonEmpty)
+    // and the state decodes to the exact distinct count
+    val exact = keyed.groupBy("event_type")
+      .agg(countDistinct(col("k")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (t, state) =>
+      val card = state.map(c => (c(1) & 0xFFFFFFFFL)).sum
+      assert(card == exact(t), t)
+    }
+  }
+
   test("streaming incremental dedup: static-corpus bloom + exact " +
       "verify matches the batch truth") {
     val dir = Files.createTempDirectory("graft-istream").toString
