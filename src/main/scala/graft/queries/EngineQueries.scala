@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -476,18 +478,55 @@ object EngineQueries {
   // graph_link_predict — common-neighbor link prediction
   // ---------------------------------------------------------------
 
-  /** Link prediction on the part co-purchase graph: for NON-adjacent
-    * pairs, score by common-neighbor count and Jaccard over neighbor
-    * sets — the classic similarity heuristics (Liben-Nowell &
-    * Kleinberg 2007). Candidate pairs are exactly the open wedges, so
-    * the same degree-orientation that bounds `graph_triangles` at
-    * O(m^1.5) bounds candidate generation here; existing edges drop
-    * out via one anti-join against the oriented edge set (orientation
-    * is (degree, id)-canonical, so a wedge's endpoint pair and the
-    * edge it might close are spelled identically). Exchanges carry
-    * integer ids only.
+  /** Link prediction on the part co-purchase graph — candidate
+    * generation by ORIENTED-WEDGE SUPPORT, exact metrics for the
+    * selected pairs.
+    *
+    * The candidate score (`support`) counts the wedges whose center
+    * ranks below BOTH endpoints in the (degree, id) total order — the
+    * same orientation that bounds `graph_triangles` at O(m^1.5). That
+    * is a deterministic LOWER BOUND of the true common-neighbor count
+    * (wedges centered at a vertex ranking between or above the
+    * endpoints are deliberately not enumerated), i.e. a bounded-cost
+    * candidate-generation heuristic, not the Liben-Nowell & Kleinberg
+    * metric itself. For the 20 selected pairs the query then computes
+    * the EXACT common-neighbor count and exact Jaccard over full
+    * neighbor sets — a two-stage "cheap candidate score, exact
+    * re-rank metric" shape, with the exact pass touching only
+    * 20 × maxdeg rows.
+    *
+    * Plan: wedge enumeration is one BROADCAST hash join on the center
+    * (the oriented edge list is ~24 B/edge — broadcastable far beyond
+    * this scale), so wedges never shuffle; endpoint pairs are packed
+    * into ONE long (`y<<32|z`) so the single exchange of the plan
+    * carries 8 B/row. Counting 41 M wedges into 32 M nearly-unique
+    * groups is where hash aggregation collapses (measured 23 s at
+    * sf0.1: the partial pass builds a useless 41 M-entry map, the
+    * final pass a 32 M-entry one), so the count is a SORT-based
+    * run-length scan instead: hash-repartition the packed longs,
+    * radix-sort within partitions, and one fused pass run-length
+    * counts, drops existing edges (sorted-array membership against
+    * the broadcast packed edge list), and keeps a bounded top-20 per
+    * partition under the final total order — each task emits ≤ 20
+    * rows, and the global top-20 is a 20·P-row TakeOrdered. The same
+    * total order per partition makes the bounded merge exact.
     */
   def graphLinkPredict(s: SparkSession, d: String): DataFrame = {
+    val proj = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    if (proj.count() <= graft.operators.LinkPredict.DenseMaxPairs)
+      graft.operators.LinkPredict.densePath(s, proj)
+    else graphLinkPredictDistributed(s, d)
+  }
+
+  /** Fully distributed formulation (the 100 TB shape): one 8 B/row
+    * exchange of packed wedge endpoints, sort-based run-length
+    * counting fused with the anti filter and a bounded per-partition
+    * top-20. See [[graft.operators.LinkPredict]] for the dense-regime
+    * broadcast-CSR twin and the dispatch guard; LinkPredictSpec pins
+    * both paths to identical rows. */
+  def graphLinkPredictDistributed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
@@ -508,24 +547,76 @@ object EngineQueries {
         when(aFirst, col("b")).otherwise(col("a")).as("w"),
         when(aFirst, col("db")).otherwise(col("da")).as("dw"))
       .persist()
+    def pack(y: org.apache.spark.sql.Column,
+             z: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      shiftleft(y.cast("long"), 32).bitwiseOR(z.cast("long"))
     val o1 = oe.select(col("u"), col("w").as("v"), col("dw").as("dv"))
-    val wedges = o1.join(oe, "u")
+    val wedges = o1.join(broadcast(oe), "u")
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
-      .select(col("v").as("y"), col("w").as("z"))
-    val open = wedges
-      .join(oe.select(col("u").as("y"), col("w").as("z")).hint("shuffle_hash"),
-        Seq("y", "z"), "left_anti")
-    val cn = open.groupBy("y", "z").agg(count(lit(1)).as("common"))
-    val out = cn
-      .join(deg.select(col("v").as("y"), col("dg").as("dy")), Seq("y"))
-      .join(deg.select(col("v").as("z"), col("dg").as("dz")), Seq("z"))
-      .select(least(col("y"), col("z")).as("part_a"),
-        greatest(col("y"), col("z")).as("part_b"), col("common"),
+      .select(pack(col("v"), col("w")).as("yz"))
+    // packed existing-edge list for the in-task anti filter: ~8 B/edge,
+    // sorted for binary-search membership
+    val edgeArr = oe.select(pack(col("u"), col("w")).as("yz"))
+      .as[Long].collect()
+    java.util.Arrays.sort(edgeArr)
+    val edgeB = s.sparkContext.broadcast(edgeArr)
+    val perPart = wedges.repartition(col("yz"))
+      .sortWithinPartitions("yz").as[Long]
+      .mapPartitions { it =>
+        val edges = edgeB.value
+        // worst-first heap under (support desc, part_a asc, part_b asc)
+        val worstFirst = new java.util.Comparator[Array[Long]] {
+          def compare(a: Array[Long], b: Array[Long]): Int = {
+            if (a(2) != b(2)) java.lang.Long.compare(a(2), b(2))
+            else if (a(0) != b(0)) java.lang.Long.compare(b(0), a(0))
+            else java.lang.Long.compare(b(1), a(1))
+          }
+        }
+        val pq = new java.util.PriorityQueue[Array[Long]](21, worstFirst)
+        def offer(yz: Long, n: Long): Unit = {
+          val y = yz >>> 32; val z = yz & 0xffffffffL
+          val pa = math.min(y, z); val pb = math.max(y, z)
+          val cand = Array(pa, pb, n)
+          if (pq.size < 20) {
+            if (java.util.Arrays.binarySearch(edges, yz) < 0) pq.add(cand)
+          } else if (worstFirst.compare(cand, pq.peek) > 0 &&
+              java.util.Arrays.binarySearch(edges, yz) < 0) {
+            pq.poll(); pq.add(cand)
+          }
+        }
+        var cur = 0L; var n = 0L; var has = false
+        while (it.hasNext) {
+          val v = it.next()
+          if (has && v == cur) n += 1
+          else { if (has) offer(cur, n); cur = v; n = 1L; has = true }
+        }
+        if (has) offer(cur, n)
+        pq.iterator.asScala.map(a => (a(0), a(1), a(2)))
+      }.toDF("part_a", "part_b", "support")
+    val top = perPart
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(20)
+    // exact re-rank metrics for the 20 winners: true common-neighbor
+    // count from the undirected adjacency, restricted to the winners
+    // (≤ 20·maxdeg rows on the small side of each broadcast join)
+    val nbr = e.select(col("a").as("v"), col("b").as("c"))
+      .unionByName(e.select(col("b").as("v"), col("a").as("c")))
+    val seed = nbr.join(broadcast(top), col("v") === col("part_a"))
+      .select(col("part_a"), col("part_b"), col("support"), col("c"))
+    val tc = nbr.select(col("v").as("part_b"), col("c"))
+      .join(broadcast(seed), Seq("part_b", "c"))
+      .groupBy("part_a", "part_b", "support")
+      .agg(count(lit(1)).as("common"))
+    val out = tc
+      .join(broadcast(deg.select(col("v").as("part_a"), col("dg").as("dy"))),
+        Seq("part_a"))
+      .join(broadcast(deg.select(col("v").as("part_b"), col("dg").as("dz"))),
+        Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("support"), col("common"),
         round(col("common").cast("double") /
           (col("dy") + col("dz") - col("common")), 6).as("jaccard"))
-      .orderBy(col("common").desc, col("part_a"), col("part_b"))
-      .limit(20)
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
     graft.pipeline.Caching.materializeAndRelease(out, e, deg, oe)
   }
 
@@ -544,17 +635,26 @@ object EngineQueries {
         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b)
           THEN db.dg ELSE da.dg END AS dw
       FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
-    open_w AS (SELECT o1.w AS y, o2.w AS z
+    cn AS (SELECT o1.w AS y, o2.w AS z, CAST(COUNT(*) AS BIGINT) AS support
       FROM oe o1 JOIN oe o2 ON o1.u = o2.u
         AND (o1.dw < o2.dw OR (o1.dw = o2.dw AND o1.w < o2.w))
+      GROUP BY 1, 2),
+    top AS (SELECT LEAST(y, z) AS part_a, GREATEST(y, z) AS part_b, support
+      FROM cn
       WHERE NOT EXISTS (SELECT 1 FROM oe o3
-        WHERE o3.u = o1.w AND o3.w = o2.w)),
-    cn AS (SELECT y, z, CAST(COUNT(*) AS BIGINT) AS common
-      FROM open_w GROUP BY 1, 2)
-    SELECT LEAST(y, z) AS part_a, GREATEST(y, z) AS part_b, common,
+        WHERE o3.u = cn.y AND o3.w = cn.z)
+      ORDER BY support DESC, part_a, part_b LIMIT 20),
+    nbr AS (SELECT a AS v, b AS c FROM e UNION ALL SELECT b, a FROM e),
+    tc AS (SELECT t.part_a, t.part_b, t.support,
+        CAST(COUNT(*) AS BIGINT) AS common
+      FROM top t
+      JOIN nbr n1 ON n1.v = t.part_a
+      JOIN nbr n2 ON n2.v = t.part_b AND n2.c = n1.c
+      GROUP BY 1, 2, 3)
+    SELECT part_a, part_b, support, common,
       ROUND(CAST(common AS DOUBLE) / (dy.dg + dz.dg - common), 6) AS jaccard
-    FROM cn JOIN deg dy ON dy.v = cn.y JOIN deg dz ON dz.v = cn.z
-    ORDER BY common DESC, part_a, part_b LIMIT 20"""
+    FROM tc JOIN deg dy ON dy.v = part_a JOIN deg dz ON dz.v = part_b
+    ORDER BY support DESC, part_a, part_b"""
 
   // ---------------------------------------------------------------
   // bitext_mine — margin-based cross-corpus pair mining
