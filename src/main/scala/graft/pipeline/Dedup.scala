@@ -539,8 +539,14 @@ object Dedup {
     */
   def clusterPairs(pairs: DataFrame, maxIters: Int = 20,
                    driverEdgeLimit: Long = 1L << 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Persist the INPUT, not just the edge view: the size probe below
+    // materializes the pair plan once, and without this cache the
+    // small-graph collect (or the first propagation round) would run
+    // the whole upstream pair-generation plan — typically an LSH or
+    // IVF candidate join — a second time from scratch.
+    val p = pairs.persist()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     // Adaptive small-graph path: near-dup pair graphs are usually tiny
     // relative to the corpus (only docs with a near-duplicate appear).
@@ -548,10 +554,12 @@ object Dedup {
     // replaces O(log diameter) iterative Spark rounds — same labels,
     // one job. The distributed loop below is the >limit path.
     if (edges.count() / 2 <= driverEdgeLimit) {
-      val out = clusterOnDriver(pairs)
+      val out = clusterOnDriver(p)
+      p.unpersist()
       edges.unpersist()
       return out
     }
+    p.unpersist() // large path: pairs are materialized inside `edges`
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .persist()

@@ -141,10 +141,11 @@ object EngineQueries {
     *   Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB
     *
     * (batches split at 1998-07-01 on each side's own date). The query
-    * computes the view both ways — merged from the four quadrant
-    * partials vs recomputed from scratch — and emits the equality as
-    * a checked column, so the algebraic contract is part of the
-    * oracle-verified answer, not a comment.
+    * emits the view merged from the four quadrant partials; the
+    * equality against a from-scratch recompute is asserted by
+    * IvmSpec (a deliberate compute-it-twice proof belongs in a test,
+    * not in every bench run — the oracle already recomputes the view
+    * independently in DuckDB, which is the stronger check anyway).
     *
     * Why this is the 100 TB shape: in steady state only the three
     * delta terms run, and each joins a SMALL delta against the big
@@ -172,18 +173,25 @@ object EngineQueries {
       .unionByName(quad(oOld, broadcast(lNew)))
       .unionByName(quad(broadcast(oNew), lOld))
       .unionByName(quad(broadcast(oNew), lNew))
-    val maintained = parts.groupBy("month").agg(
-      round(sum(col("rev_part")), 2).cast("double").as("rev_maintained"),
-      sum(col("n_part")).as("n_items"))
-    val full = o.join(l, col("o_orderkey") === col("l_orderkey"))
+    parts.groupBy("month").agg(
+        round(sum(col("rev_part")), 2).cast("double").as("rev_maintained"),
+        sum(col("n_part")).as("n_items"))
+      .select(col("month"), col("n_items"), col("rev_maintained"))
+      .orderBy("month")
+  }
+
+  /** From-scratch recompute of the [[ivmDeltaJoin]] view — test-only
+    * (IvmSpec asserts it equals the maintained view). */
+  def ivmDeltaJoinFull(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(Q.Dec).as("rev"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-      .agg(round(sum(col("rev")), 2).cast("double").as("rev_full"),
-        count(lit(1)).as("n_full"))
-    maintained.join(full, Seq("month"))
-      .select(col("month"), col("n_items"), col("rev_maintained"),
-        col("rev_full"),
-        (col("rev_maintained") === col("rev_full") &&
-          col("n_items") === col("n_full")).as("consistent"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("rev")), 2).cast("double").as("rev_maintained"))
+      .select(col("month"), col("n_items"), col("rev_maintained"))
       .orderBy("month")
   }
 
@@ -206,14 +214,8 @@ object EngineQueries {
       FROM lineitem),
     parts AS ($quads),
     m AS (SELECT month, CAST(ROUND(SUM(rev_part), 2) AS DOUBLE) AS rev_maintained,
-      CAST(SUM(n_part) AS BIGINT) AS n_items FROM parts GROUP BY 1),
-    f AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
-      CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS rev_full,
-      CAST(COUNT(*) AS BIGINT) AS n_full
-      FROM o JOIN l ON o_orderkey = l_orderkey GROUP BY 1)
-    SELECT m.month, n_items, rev_maintained, rev_full,
-      (rev_maintained = rev_full AND n_items = n_full) AS consistent
-    FROM m JOIN f USING (month) ORDER BY month"""
+      CAST(SUM(n_part) AS BIGINT) AS n_items FROM parts GROUP BY 1)
+    SELECT month, n_items, rev_maintained FROM m ORDER BY month"""
   }
 
   // ---------------------------------------------------------------

@@ -484,10 +484,14 @@ object PipelineQueries {
     * pair work is O(n·128) — linear in the corpus; the equality join
     * on `cell` is one shuffle. */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    // persisted: both sides of the within-cell self-join consume the
+    // IVF assignment, which is itself a multi-pass plan (sample scan,
+    // population count, re-split join) — without the cache it runs once
+    // per side
     val base = graft.pipeline.IvfIndex.withCells(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
         graft.functions.VecF.normF(col("embedding")).as("norm")),
-      "vec_id", "embedding")
+      "vec_id", "embedding").persist()
     val a = base.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("ea"), col("norm").as("na"))
     val b = base.select(col("cell"), col("vec_id").as("id_b"),
@@ -499,11 +503,12 @@ object PipelineQueries {
           (col("na") * col("nb")), 6))
       .filter(col("cos") >= SemT)
       .select("id_a", "id_b")
-    Dedup.clusterPairs(pairs)
+    val out = Dedup.clusterPairs(pairs)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_members"),
         concat_ws(",", sort_array(collect_list(col("id")))).as("members"))
       .orderBy("cluster")
+    graft.pipeline.Caching.materializeAndRelease(out, base)
   }
 
   val dedupSemanticSql: String = {
