@@ -1,34 +1,31 @@
 package graft
 import org.apache.spark.sql.functions._
 object Probe {
-  def t[A](n: String)(f: => A): A = { val t0=System.nanoTime; val r=f; println(f"$n: ${(System.nanoTime-t0)/1e9}%.2f s"); r }
   def main(args: Array[String]): Unit = {
     val s = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
-    // warm
-    s.range(100000).selectExpr("sum(id)").collect()
-    t("full dedup_semantic (1st)")(graft.queries.PipelineQueries.dedupSemantic(s, d).collect())
-    t("full dedup_semantic (2nd)")(graft.queries.PipelineQueries.dedupSemantic(s, d).collect())
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-      graft.functions.VecF.normF(col("embedding")).as("norm"))
-    val n = t("count")(emb.count())
-    val p = graft.pipeline.IvfIndex.plan(n)
-    val banks = t("sampleBanks")(graft.pipeline.IvfIndex.sampleBanks(emb, "vec_id", "embedding", p))
-    val assigned = graft.pipeline.IvfIndex.assignCells(emb, "vec_id", "embedding", p, banks)
-    t("assign collect")(assigned.collect())
-    val base = assigned
-    val a = base.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("ea"), col("norm").as("na"))
-    val b = base.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("eb"), col("norm").as("nb"))
-    val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(graft.functions.VecF.dotF(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
-      .filter(col("cos") >= 0.35).select("id_a", "id_b")
-    t("pairs")(pairs.collect())
-    t("clusterPairs+agg")(graft.pipeline.Dedup.clusterPairs(pairs).groupBy("cluster")
-      .agg(count(lit(1)).as("n"), concat_ws(",", sort_array(collect_list(col("id")))).as("m")).collect())
+    import graft.pipeline.Similarity
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = Tables.embeddings(s, d)
+      for ((qs, cs, tag) <- Seq((emb.filter(col("label")<5), emb.filter(col("label")>=5), "A->B"),
+                                 (emb.filter(col("label")>=5), emb.filter(col("label")<5), "B->A"))) {
+      // exact top-4
+      val bf = Similarity.bruteForceTopK(cs, qs, "vec_id", "embedding", 4)
+        .select("query_id","neighbor_id")
+      // hamming rank of every (q,c)
+      val sigs = cs.select(col("vec_id").as("neighbor_id"), graft.functions.VecF.signPack(col("embedding")).as("sig"))
+      val qsig = qs.select(col("vec_id").as("query_id"), graft.functions.VecF.signPack(col("embedding")).as("q_sig"))
+      val ham = sigs.crossJoin(broadcast(qsig))
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.VecF.hamming(col("sig"), col("q_sig")).as("h"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id").orderBy(col("h"), col("neighbor_id"))
+      val ranked = ham.withColumn("hrank", row_number().over(w))
+      val worst = bf.join(ranked, Seq("query_id","neighbor_id"))
+        .agg(max("hrank"), percentile_approx(col("hrank"), lit(0.99), lit(1000))).collect()(0)
+      println(s"$d $tag worst_hamming_rank=${worst.get(0)} p99=${worst.get(1)} corpus=${cs.count()}")
+      }
+    }
   }
 }

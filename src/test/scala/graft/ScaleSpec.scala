@@ -1415,4 +1415,33 @@ class ScaleSpec extends SparkSpec {
     assert(plan.toString.contains("CoGroup"),
       "CoGroup operator missing:\n" + plan.toString.take(1200))
   }
+
+  test("bitext_mine: no corpus-side exchange carries a float vector " +
+      "(ANN prefilter + bounded rerank)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.EngineQueries.bitextMine(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }
+      assert(exchanges.nonEmpty)
+      // every exchange carries ids/scores only: vectors live in
+      // scan-side projects and broadcasts (signatures are 4 longs,
+      // allowed; float/double arrays are not)
+      exchanges.foreach { e =>
+        e.child.output.foreach { a =>
+          a.dataType match {
+            case org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType |
+                org.apache.spark.sql.types.DoubleType, _) =>
+              fail(s"exchange carries vector column ${a.name}")
+            case _ =>
+          }
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
