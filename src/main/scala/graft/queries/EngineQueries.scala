@@ -779,46 +779,43 @@ object EngineQueries {
   // ---------------------------------------------------------------
 
   /** Exact p50/p90/p99 of l_extendedprice without ever sorting the
-    * table: pass 1 is a map-side-combined histogram on the bounded
-    * price-bin domain (div 64 → ≲ 2 k bins at any scale, since the
-    * bin count follows the VALUE range, not the row count); the
-    * cumulative scan over that metadata-sized table finds each target
-    * rank's bin and in-bin offset as driver state; pass 2 re-scans
-    * with `bin IN (…)` — a pushed-down filter selecting a ~1/bins
-    * sliver — and row_numbers only that sliver per percentile. The
-    * contrast is `percentiles`' single-node formulation: a global
-    * ORDER BY at 100 TB is a full-table range exchange; this is two
-    * cheap scans and a filter. Exactness: rank r = ceil(p·N), the
-    * type-1 (lower discontinuous) sample quantile.
+    * table — via [[graft.operators.ExactPercentile]]'s iterative
+    * narrowing: each round is one scan histogramming every target's
+    * current candidate range into 2048 sub-ranges (driver state ≤
+    * targets·bins, never rows), ranges shrink ~2048× per round, and
+    * the final pass row_numbers only the slivers. Unlike the
+    * round-11 single-level formulation this does NOT depend on the
+    * value domain being ≲2k bins wide — `percentile_twophase_ts`
+    * exercises the same operator over the unbounded μs-timestamp
+    * domain. The contrast is `percentiles`' single-node formulation:
+    * a global ORDER BY at 100 TB is a full-table range exchange; this
+    * is ≤ ⌈64/11⌉ cheap scans and a filter. Exactness: rank
+    * r = ceil(p·N) in integer permille arithmetic, the type-1 (lower
+    * discontinuous) sample quantile.
     */
-  def percentileTwophase(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_extendedprice").as("v"),
-        expr("CAST(floor(l_extendedprice) AS BIGINT) div 64").as("bin"))
-    val hist = li.groupBy("bin").agg(count(lit(1)).as("n"))
-      .orderBy("bin").collect() // bounded by the value domain: ≲2k rows
-    val total = hist.map(_.getLong(1)).sum
-    // permille targets in INTEGER arithmetic — ceil(p·N) computed as
-    // (pm·N + 999) div 1000 so no engine's float rounding can move a
-    // rank that lands exactly on an integer
-    val pms = Seq(500L, 900L, 990L)
-    val targets = pms.map { pm =>
-      val r = (pm * total + 999L) / 1000L
-      var cum = 0L
-      val row = hist.find { h => cum += h.getLong(1); cum >= r }.get
-      val before = cum - row.getLong(1)
-      (pm / 1000.0, r, row.getLong(0), r - before)
-    }
-    val tdf = s.createDataFrame(targets).toDF("p", "r", "bin", "k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("p").orderBy("v")
-    li.filter(col("bin").isin(targets.map(_._3): _*))
-      .join(broadcast(tdf), Seq("bin"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === col("k"))
-      .select(col("p"), col("r").as("rank"), col("v").as("value"))
-      .orderBy("p")
-  }
+  def percentileTwophase(s: SparkSession, d: String): DataFrame =
+    graft.operators.ExactPercentile.percentiles(
+      Tables.lineitem(s, d).select(col("l_extendedprice")),
+      "l_extendedprice", Seq(500L, 900L, 990L))
+
+  /** [[percentileTwophase]] over the unbounded-domain event
+    * timestamps (μs since epoch, ~2⁵⁰ wide — no single-level
+    * value-domain histogram can cover it): the iterative-narrowing
+    * proof query. */
+  def percentileTwophaseTs(s: SparkSession, d: String): DataFrame =
+    graft.operators.ExactPercentile.percentiles(
+      Tables.events(s, d).select(col("ts_us")),
+      "ts_us", Seq(500L, 900L, 990L))
+
+  val percentileTwophaseTsSql: String = """
+    WITH n AS (SELECT COUNT(*) AS total FROM events),
+    ps AS (SELECT UNNEST([500, 900, 990]) AS pm),
+    t AS (SELECT pm / 1000.0 AS p,
+      CAST((pm * total + 999) // 1000 AS BIGINT) AS r FROM ps, n),
+    ranked AS (SELECT epoch_us(ts) AS v,
+      ROW_NUMBER() OVER (ORDER BY epoch_us(ts)) AS rn FROM events)
+    SELECT p, r AS rank, v AS value
+    FROM t JOIN ranked ON ranked.rn = t.r ORDER BY p"""
 
   val percentileTwophaseSql: String = """
     WITH n AS (SELECT COUNT(*) AS total FROM lineitem),
@@ -843,5 +840,7 @@ object EngineQueries {
       Some(graphLinkPredictSql)),
     QuerySpec("bitext_mine", bitextMine, Some(bitextMineSql)),
     QuerySpec("percentile_twophase", percentileTwophase,
-      Some(percentileTwophaseSql)))
+      Some(percentileTwophaseSql)),
+    QuerySpec("percentile_twophase_ts", percentileTwophaseTs,
+      Some(percentileTwophaseTsSql)))
 }
