@@ -104,6 +104,11 @@ object UnigramLm {
         .persist()
       val chars = seed.filter(length(col("sub")) === 1)
         .collect().map(r => (r.getString(0), r.getLong(1)))
+      require(chars.length <= VocabSize,
+        s"unigram-LM vocab size $VocabSize cannot even hold the " +
+          s"${chars.length}-char alphabet — raise VocabSize (single " +
+          "chars are never prunable or every word with a missing char " +
+          "becomes unsegmentable)")
       val multi = seed.filter(length(col("sub")) > 1)
         .orderBy(col("c").desc, col("sub"))
         .limit(VocabSize - chars.length)

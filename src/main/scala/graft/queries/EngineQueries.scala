@@ -32,7 +32,9 @@ object EngineQueries {
     * user's active days as that container's low bits — so
     * `state_words` (total longs shipped) is a pure function of the
     * member set (exact-sized sparse arrays, 2 + ceil(days/4) words
-    * per user) and the oracle can predict it to the word.
+    * per user; 2 + 1024 once a user passes RoaringLite's 4096-member
+    * dense promotion) and the oracle predicts it to the word in
+    * BOTH regimes.
     */
   def bitmapDistinct(s: SparkSession, d: String): DataFrame = {
     val keys = Tables.events(s, d)
@@ -70,12 +72,14 @@ object EngineQueries {
       SELECT event_type,
         CAST(SUM(n) AS BIGINT) AS n_exact,
         CAST(COUNT(*) AS BIGINT) AS n_containers,
-        CAST(SUM(2 + (n + 3) // 4) AS BIGINT) AS state_words
+        CAST(SUM(CASE WHEN n > 4096 THEN 1026
+                      ELSE 2 + (n + 3) // 4 END) AS BIGINT) AS state_words
       FROM cont GROUP BY 1
       UNION ALL
       SELECT '__all__',
         CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT),
-        CAST(SUM(2 + (n + 3) // 4) AS BIGINT)
+        CAST(SUM(CASE WHEN n > 4096 THEN 1026
+                      ELSE 2 + (n + 3) // 4 END) AS BIGINT)
       FROM cont_all)
     SELECT event_type, n_exact, n_containers, state_words
     FROM per ORDER BY event_type"""

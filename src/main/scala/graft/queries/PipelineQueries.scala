@@ -2507,6 +2507,23 @@ object PipelineQueries {
     * ever shuffle. The oracle replays training AND application as the
     * same ordered replace folds, so the per-source totals are
     * bit-exact. */
+  /** SentencePiece-style unigram-LM tokenizer training
+    * ([[graft.pipeline.UnigramLm]]): substring seeding + 2 EM rounds
+    * (E-step = the [[graft.functions.UnigramSegment]] codegen Viterbi
+    * kernel over the distinct-word table, M-step = a usage aggregate +
+    * driver re-cost). Emits the final vocabulary with usages and
+    * integer micro-nat costs. NO SQL oracle: the EM fixed point is a
+    * 2-round iterative DP — the driver records the weaker rows-only
+    * check, and UnigramLmSpec carries the correctness load (Viterbi
+    * tie-breaking, segmentation round-trip, char flooring, cost
+    * arithmetic against an in-memory replay). */
+  def unigramTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.pipeline.UnigramLm.train(s, d)
+      .toDF("piece", "usage", "cost_unats")
+      .orderBy("piece")
+  }
+
   def tokenizeLearned(s: SparkSession, d: String): DataFrame = {
     val merges = bpeLearnMerges(s, d).map(m => (m._2.split(' ')(0),
       m._2.split(' ')(1)))
@@ -4826,6 +4843,7 @@ object PipelineQueries {
     QuerySpec("calibration_ece", calibrationEce, Some(calibrationEceSql)),
     QuerySpec("roc_auc", rocAuc, Some(rocAucSql)),
     QuerySpec("bpe_train", bpeTrain, Some(bpeTrainSql)),
+    QuerySpec("unigram_train", unigramTrain, None),
     QuerySpec("tokenize_learned", tokenizeLearned, Some(tokenizeLearnedSql)),
     QuerySpec("tokenizer_fertility", tokenizerFertility,
       Some(tokenizerFertilitySql)),

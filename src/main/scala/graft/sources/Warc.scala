@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.{ByteArrayOutputStream, DataInputStream, EOFException,
   InputStream}
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.GZIPInputStream
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -99,10 +99,16 @@ object Warc {
     out.toMap
   }
 
-  /** Parse every record of one (possibly gzipped) WARC stream. */
+  /** Parse every record of one (possibly gzipped) WARC stream. The
+    * stream closes itself when fully drained; when running inside a
+    * Spark task it ALSO closes on task completion, so a limit/take
+    * that abandons the iterator mid-file cannot leak the file handle
+    * (or the gzip inflater's native window). */
   def parseStream(in0: InputStream, fileName: String): Iterator[Row] = {
     val in = new DataInputStream(
       if (fileName.endsWith(".gz")) new GZIPInputStream(in0) else in0)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => in.close()))
     var idx = 0L
     new Iterator[Row] {
       private var nextRow: Row = advance()
@@ -231,9 +237,33 @@ object Warc {
         val path = new Path(dir, f"part-$pid%05d.warc.gz")
         val fs = path.getFileSystem(conf.value)
         val out = fs.create(path, true)
+        // ONE zlib Deflater per partition, reset between members — a
+        // fresh GZIPOutputStream per record leaks a native deflater
+        // window until finalization (real memory pressure at
+        // Common-Crawl record counts). end() runs on task completion
+        // even if the write aborts. Framing replicates
+        // java.util.zip.GZIPOutputStream byte for byte: 10-byte
+        // header, raw deflate stream, CRC32 + ISIZE little-endian.
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
+        val gzHeader = Array[Byte](0x1f.toByte, 0x8b.toByte, 8,
+          0, 0, 0, 0, 0, 0, 0)
         def member(bytes: Array[Byte]): Int = {
-          val gz = new GZIPOutputStream(out)
-          gz.write(bytes); gz.finish()
+          out.write(gzHeader)
+          val dos = new java.util.zip.DeflaterOutputStream(
+            out, deflater, 8192, false)
+          dos.write(bytes); dos.finish()
+          val crc = new java.util.zip.CRC32()
+          crc.update(bytes)
+          def le32(v: Long): Unit = {
+            var i = 0
+            while (i < 4) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+          }
+          le32(crc.getValue)
+          le32(bytes.length.toLong & 0xffffffffL)
+          deflater.reset()
           bytes.length
         }
         val info = "software: graft\r\nformat: WARC File Format 1.0\r\n"
