@@ -33,11 +33,27 @@ object FixtureGen {
     graft.pipeline.Multimodal.writeMjpegAvi(stills, 32, 16, fps = 10)
   }
 
+  /** The wav_sine PCM (440 Hz, 8 kHz, 0.25 s, half amplitude,
+    * truncating conversion) wrapped in a QuickTime 'sowt' PCM MP4 —
+    * its decoded feature row must equal wav_sine's exactly, so the
+    * decode-stats oracle pins the MP4 sample-table walk to the same
+    * physics. */
+  def pcmMp4(): Array[Byte] = {
+    val pcm = Array.tabulate(2000)(i =>
+      (0.5 * math.sin(2 * math.Pi * 440 * i / 8000) * 32767).toShort)
+    graft.pipeline.MediaMeta.writePcmMp4(pcm, 8000, "sowt")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption
       .getOrElse("src/main/resources/graft/fixtures")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/avi_scenes.avi"), sceneAvi())
+    val mp4 = pcmMp4()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/mp4_pcm_sine.mp4"), mp4)
+    println(s"PHYSICS mp4_pcm_sine.mp4 n_bytes=${mp4.length} features=" +
+      graft.pipeline.Multimodal.audioFeatures(mp4).get.mkString(","))
     for (name <- Seq("avi_scenes.avi", "avi_clip.avi")) {
       val p = java.nio.file.Paths.get(s"$dir/$name")
       if (java.nio.file.Files.exists(p)) {

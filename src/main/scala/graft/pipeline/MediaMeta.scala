@@ -648,4 +648,208 @@ object MediaMeta {
       nal(2, 1, Array(0x9A, 0x21, 0x04).map(_.toByte)))
     bos.toByteArray
   }
+
+  // ------------------------------------------------- PCM-in-MP4 decode
+  /** Leads with an ISO-BMFF `ftyp` box? */
+  def isMp4(bytes: Array[Byte]): Boolean =
+    bytes.length >= 16 && bytes(4) == 'f' && bytes(5) == 't' &&
+      bytes(6) == 'y' && bytes(7) == 'p'
+
+  /** PCM sample-entry fourccs this decoder handles: QuickTime's
+    * uncompressed-audio codecs ('sowt' little-endian / 'twos'
+    * big-endian signed 16-bit, 'raw ' 8-bit offset-binary). */
+  private val PcmCodecs = Set("sowt", "twos", "raw ")
+
+  /** REAL sample decode for UNCOMPRESSED-PCM audio tracks in an
+    * MP4/QuickTime container (ISO/IEC 14496-12 sample tables): walks
+    * stsd for the audio sample entry, maps samples to byte ranges via
+    * stsc × stsz × stco/co64, reads the PCM out of mdat, and re-emits
+    * it as canonical little-endian WAV so it enters the SAME shared
+    * javax.sound feature path as every other audio container (the
+    * Flac.decodeToWav pattern). None when the container has no PCM
+    * audio track (compressed codecs like real `mp4a`/AAC stay
+    * header-metadata-only — that stub is documented, this closes the
+    * uncompressed-in-MP4 notch). Truncated sample tables fail to None,
+    * never throw. */
+  def mp4PcmToWav(bytes: Array[Byte]): Option[Array[Byte]] =
+    try {
+      if (!isMp4(bytes)) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      def fourcc(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+      final class Trak {
+        var kind = ""; var codec = ""; var channels = 0
+        var sampleBits = 0; var rate = 0
+        var stco: Array[Long] = Array.empty
+        var stscFirst: Array[Long] = Array.empty // 1-based first chunk
+        var stscSpc: Array[Long] = Array.empty
+        var szConst = 0L
+        var szTable: Array[Long] = Array.empty
+      }
+      var pcm: Option[Trak] = None
+      def walk(off0: Int, end: Int, trak: Trak): Unit = {
+        var off = off0
+        while (off + 8 <= end) {
+          var sz: Long = bb.getInt(off) & 0xFFFFFFFFL
+          var body = off + 8
+          if (sz == 1) { sz = bb.getLong(off + 8); body = off + 16 }
+          if (sz < 8 || sz > (end - off).toLong) return
+          val id = fourcc(off + 4)
+          id match {
+            case "trak" =>
+              val t = new Trak
+              walk(body, (off + sz).toInt, t)
+              if (t.kind == "soun" && PcmCodecs(t.codec) && pcm.isEmpty &&
+                  t.channels > 0 && t.stco.nonEmpty) pcm = Some(t)
+            case c if containers(c) => walk(body, (off + sz).toInt, trak)
+            case "hdlr" => trak.kind = fourcc(body + 8)
+            case "stsd" =>
+              val n = bb.getInt(body + 4)
+              var e = body + 8
+              var i = 0
+              while (i < n && e + 36 <= (off + sz).toInt) {
+                val esz = bb.getInt(e)
+                if (esz < 36 || e + esz > (off + sz).toInt) return
+                trak.codec = fourcc(e + 4)
+                // AudioSampleEntry: 6 reserved + dri(2), version(2)
+                // revision(2) vendor(4), channelcount(2) samplesize(2),
+                // pre_defined(2) reserved(2), samplerate(16.16)
+                trak.channels = bb.getShort(e + 24) & 0xFFFF
+                trak.sampleBits = bb.getShort(e + 26) & 0xFFFF
+                trak.rate = bb.getInt(e + 32) >>> 16
+                e += esz; i += 1
+              }
+            case "stco" | "co64" =>
+              val n = bb.getInt(body + 4)
+              trak.stco = Array.tabulate(n)(i =>
+                if (id == "stco") bb.getInt(body + 8 + 4 * i) & 0xFFFFFFFFL
+                else bb.getLong(body + 8 + 8 * i))
+            case "stsc" =>
+              val n = bb.getInt(body + 4)
+              trak.stscFirst = Array.tabulate(n)(i =>
+                bb.getInt(body + 8 + 12 * i) & 0xFFFFFFFFL)
+              trak.stscSpc = Array.tabulate(n)(i =>
+                bb.getInt(body + 12 + 12 * i) & 0xFFFFFFFFL)
+            case "stsz" =>
+              trak.szConst = bb.getInt(body + 4) & 0xFFFFFFFFL
+              val n = bb.getInt(body + 8)
+              if (trak.szConst == 0)
+                trak.szTable = Array.tabulate(n)(i =>
+                  bb.getInt(body + 12 + 4 * i) & 0xFFFFFFFFL)
+              else trak.szTable = Array.fill(n)(trak.szConst)
+            case _ => ()
+          }
+          off = (off + sz).toInt
+        }
+      }
+      walk(0, bytes.length, new Trak)
+      pcm.flatMap { t =>
+        // chunk c (1-based) holds spc(c) samples per the stsc run table
+        def spcOf(chunk1: Long): Long = {
+          var i = t.stscFirst.length - 1
+          while (i > 0 && t.stscFirst(i) > chunk1) i -= 1
+          if (t.stscSpc.isEmpty) 0L else t.stscSpc(i)
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        var sample = 0
+        var chunk = 0
+        while (chunk < t.stco.length && sample < t.szTable.length) {
+          var byteOff = t.stco(chunk)
+          var k = 0L
+          val spc = spcOf(chunk + 1L)
+          while (k < spc && sample < t.szTable.length) {
+            val len = t.szTable(sample).toInt
+            if (byteOff < 0 || byteOff + len > bytes.length) return None
+            out.write(bytes, byteOff.toInt, len)
+            byteOff += len; sample += 1; k += 1
+          }
+          chunk += 1
+        }
+        val data0 = out.toByteArray
+        if (data0.isEmpty) return None
+        // canonicalize byte order: WAV is little-endian
+        val (data, bits) = t.codec match {
+          case "twos" =>
+            val d = data0.clone()
+            var i = 0
+            while (i + 1 < d.length) {
+              val tmp = d(i); d(i) = d(i + 1); d(i + 1) = tmp; i += 2
+            }
+            (d, 16)
+          case "sowt" => (data0, 16)
+          case _ => (data0, 8) // 'raw ': 8-bit offset-binary == WAV u8
+        }
+        Some(wavOf(data, t.channels, if (t.rate > 0) t.rate else 8000, bits))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Minimal canonical WAV container around raw PCM bytes. */
+  private def wavOf(data: Array[Byte], channels: Int, rate: Int,
+                    bits: Int): Array[Byte] = {
+    def le32(v: Long): Array[Byte] = Array((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte)
+    val block = channels * bits / 8
+    "RIFF".getBytes ++ le32(36L + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate.toLong) ++ le32(rate.toLong * block) ++ le16(block) ++
+      le16(bits) ++ "data".getBytes ++ le32(data.length.toLong) ++ data
+  }
+
+  /** Fixture/export writer for a PCM audio MP4: ftyp + mdat + moov
+    * with full sample tables (stsd PCM entry, stts, stsc, stsz, stco).
+    * mdat precedes moov so the single stco chunk offset is a constant
+    * (ftyp length + 8) — no post-hoc patching. Round-tripped against
+    * [[mp4PcmToWav]] in Mp4PcmSpec. */
+  def writePcmMp4(pcm: Array[Short], rate: Int, codec: String = "sowt")
+      : Array[Byte] = {
+    require(PcmCodecs(codec) && codec != "raw ", s"unsupported $codec")
+    def be32(v: Long): Array[Byte] = Array((v >> 24).toByte,
+      (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    def box(id: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ id.getBytes ++ body
+    def fullBox(id: String, body: Array[Byte]): Array[Byte] =
+      box(id, new Array[Byte](4) ++ body)
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++
+      "isomqt  ".getBytes)
+    val data = new Array[Byte](pcm.length * 2)
+    var i = 0
+    while (i < pcm.length) {
+      val v = pcm(i)
+      if (codec == "sowt") {
+        data(2 * i) = (v & 0xFF).toByte; data(2 * i + 1) = (v >> 8).toByte
+      } else {
+        data(2 * i) = (v >> 8).toByte; data(2 * i + 1) = (v & 0xFF).toByte
+      }
+      i += 1
+    }
+    val mdat = box("mdat", data)
+    val n = pcm.length.toLong
+    val mvhd = fullBox("mvhd", be32(0) ++ be32(0) ++ be32(rate.toLong) ++
+      be32(n) ++ new Array[Byte](80))
+    val tkhd = fullBox("tkhd", new Array[Byte](84))
+    val mdhd = fullBox("mdhd", be32(0) ++ be32(0) ++ be32(rate.toLong) ++
+      be32(n) ++ be16(0x55C4) ++ be16(0))
+    val hdlr = fullBox("hdlr", be32(0) ++ "soun".getBytes ++
+      new Array[Byte](13))
+    val entry = box(codec, new Array[Byte](8) ++ // 6 reserved + dri
+      be16(0) ++ be16(0) ++ be32(0) ++            // version/revision/vendor
+      be16(1) ++ be16(16) ++ be16(0) ++ be16(0) ++ // ch, bits, pre, res
+      be32(rate.toLong << 16))                     // 16.16 sample rate
+    val stsd = fullBox("stsd", be32(1) ++ entry)
+    val stts = fullBox("stts", be32(1) ++ be32(n) ++ be32(1))
+    val stsc = fullBox("stsc", be32(1) ++ be32(1) ++ be32(n) ++ be32(1))
+    val stsz = fullBox("stsz", be32(2) ++ be32(n))
+    val stco = fullBox("stco", be32(1) ++ be32(ftyp.length + 8L))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val smhd = fullBox("smhd", be32(0))
+    val trak = box("trak", tkhd ++ box("mdia", mdhd ++ hdlr ++
+      box("minf", smhd ++ stbl)))
+    ftyp ++ mdat ++ box("moov", mvhd ++ trak)
+  }
 }

@@ -255,6 +255,8 @@ object Multimodal {
     if (Flac.isFlac(content)) Flac.decodeToWav(content).getOrElse(content)
     else if (Adpcm.isImaAdpcmWav(content))
       Adpcm.decodeToWav(content).getOrElse(content)
+    else if (MediaMeta.isMp4(content))
+      MediaMeta.mp4PcmToWav(content).getOrElse(content)
     else content
 
   def audioFeatures(content: Array[Byte]): Option[Array[Float]] =

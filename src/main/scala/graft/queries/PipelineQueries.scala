@@ -1514,7 +1514,11 @@ object PipelineQueries {
     (10L, "audio", "adpcm_sine.wav"),
     (11L, "audio", "adpcm_stereo.wav"),
     (12L, "audio", "ulaw_sine.wav"),
-    (13L, "audio", "alaw_sine.wav"))
+    (13L, "audio", "alaw_sine.wav"),
+    // row 14 is the SAME PCM as wav_sine inside a QuickTime 'sowt'
+    // PCM MP4, decoded through the ISO-BMFF sample-table walk
+    // (MediaMeta.mp4PcmToWav) — its stats must equal row 3's exactly
+    (14L, "audio", "mp4_pcm_sine.mp4"))
 
   private val phashFixtures = Seq(
     (1L, "png_scene.png"), (2L, "png_scene_bright.png"),
@@ -1684,7 +1688,8 @@ object PipelineQueries {
       (10, 'audio', 1084, true, 8000.0, 1.0, 0.25, 0.3535, 0.11, 0.52, 0.3179, 16.0),
       (11, 'audio', 1084, true, 16000.0, 2.0, 0.0625, 0.1762, 0.11, 0.2574, 0.1581, 16.0),
       (12, 'audio', 2058, true, 8000.0, 1.0, 0.25, 0.3551, 0.11, 0.5116, 0.3196, 8.0),
-      (13, 'audio', 2058, true, 8000.0, 1.0, 0.25, 0.3528, 0.1095, 0.4922, 0.3177, 8.0))
+      (13, 'audio', 2058, true, 8000.0, 1.0, 0.25, 0.3528, 0.1095, 0.4922, 0.3177, 8.0),
+      (14, 'audio', 4501, true, 8000.0, 1.0, 0.25, 0.3535, 0.11, 0.5, 0.3183, 16.0))
       AS t(media_id, kind, n_bytes, decode_ok, f1, f2, f3, f4, f5, f6, f7, f8)
     ORDER BY media_id"""
 
