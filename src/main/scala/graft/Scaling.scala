@@ -45,7 +45,18 @@ object Scaling {
     // the scale story), the typed cogroup merge, the domain-bounded
     // skyline, and the shared-as-of SCD2 point-in-time lookup
     "join_bloom_prune", "timeline_cogroup", "skyline_pareto",
-    "scd2_lookup")
+    "scd2_lookup",
+    // round-11 fourth sweep + round-12 reworks, previously unmeasured:
+    // the dense/distributed link-predict dispatch, ANN-routed bitext
+    // mining, lattice FD discovery, iterative-narrowing percentiles
+    // (bounded and unbounded domains), the delta-maintained join view,
+    // bitmap exact-distinct, per-source quantile normalization,
+    // positional phrase search, sequential patterns, the binary ANN
+    // tier, and the unigram-LM trainer
+    "graph_link_predict", "bitext_mine", "fd_discovery",
+    "percentile_twophase", "percentile_twophase_ts", "ivm_delta_join",
+    "bitmap_distinct", "score_quantile_norm", "phrase_search",
+    "seq_patterns", "sim_topk_binary", "unigram_train")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("SCALING.json")

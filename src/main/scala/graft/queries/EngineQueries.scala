@@ -520,15 +520,15 @@ object EngineQueries {
   def graphLinkPredict(s: SparkSession, d: String): DataFrame = {
     val proj = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    if (proj.count() <= graft.operators.LinkPredict.DenseMaxPairs)
-      graft.operators.LinkPredict.densePath(s, proj)
+    if (proj.count() <= graft.operators.DenseGraph.DenseMaxPairs)
+      graft.operators.DenseGraph.densePath(s, proj)
     else graphLinkPredictDistributed(s, d)
   }
 
   /** Fully distributed formulation (the 100 TB shape): one 8 B/row
     * exchange of packed wedge endpoints, sort-based run-length
     * counting fused with the anti filter and a bounded per-partition
-    * top-20. See [[graft.operators.LinkPredict]] for the dense-regime
+    * top-20. See [[graft.operators.DenseGraph]] for the dense-regime
     * broadcast-CSR twin and the dispatch guard; LinkPredictSpec pins
     * both paths to identical rows. */
   def graphLinkPredictDistributed(s: SparkSession, d: String): DataFrame = {

@@ -4238,6 +4238,18 @@ object PipelineQueries {
     * wedge-closure probe is one hash join keyed by the oriented edge
     * pair. */
   def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val proj = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    if (proj.count() <= graft.operators.DenseGraph.DenseMaxPairs)
+      graft.operators.DenseGraph.trianglesDense(s, proj)
+    else graphTrianglesDistributed(s, d)
+  }
+
+  /** Fully distributed formulation (the 100 TB shape) — see
+    * [[graft.operators.DenseGraph]] for the broadcast-CSR twin and the
+    * dispatch guard; LinkPredictSpec pins both paths to identical
+    * rows. */
+  def graphTrianglesDistributed(s: SparkSession, d: String): DataFrame = {
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()

@@ -16,4 +16,17 @@ class LinkPredictSpec extends SparkSpec {
       assert(dense.size == 20)
     }
   }
+
+  test("dense and distributed triangle paths agree") {
+    val s = spark
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val dense = graft.queries.PipelineQueries.graphTriangles(s, sf)
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq
+      val dist = graft.queries.PipelineQueries
+        .graphTrianglesDistributed(s, sf)
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(dense == dist, s"triangle paths diverge at $sf")
+      assert(dense.size == 20)
+    }
+  }
 }
