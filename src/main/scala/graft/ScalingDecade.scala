@@ -37,7 +37,13 @@ object ScalingDecade {
   val panel: Seq[String] = Seq(
     "corr_matrix", "dsir_importance", "dedup_substring",
     "graph_pagerank", "graph_hits", "sketch_hll_distinct",
-    "conversion_latency", "events_stickiness", "bm25_topk")
+    "conversion_latency", "events_stickiness", "bm25_topk",
+    // the dense/distributed dispatch boundary sits right at sf1
+    // (6M (o,p) rows > the 2^22 DenseMaxPairs guard), so the decade
+    // panel measures the _dist FALLBACK forms at BOTH SFs — the
+    // like-for-like scaling of the plan that actually runs at sf1,
+    // not a ratio smeared across the dispatch boundary
+    "graph_link_predict_dist", "graph_triangles_dist")
 
   def synthesize(spark: SparkSession, src: String, dst: String): Unit = {
     val reps = 10

@@ -842,6 +842,12 @@ object EngineQueries {
       Some(scoreQuantileNormSql)),
     QuerySpec("graph_link_predict", graphLinkPredict,
       Some(graphLinkPredictSql)),
+    // the at-scale fallback, pinned to the same oracle (and to the
+    // dense path row-for-row by LinkPredictSpec); bench=false — it
+    // exists so the decade probe can measure the fallback's OWN
+    // scaling like-for-like instead of across the dispatch boundary
+    QuerySpec("graph_link_predict_dist", graphLinkPredictDistributed,
+      Some(graphLinkPredictSql), bench = false),
     QuerySpec("bitext_mine", bitextMine, Some(bitextMineSql)),
     QuerySpec("percentile_twophase", percentileTwophase,
       Some(percentileTwophaseSql)),

@@ -4836,6 +4836,8 @@ object PipelineQueries {
     QuerySpec("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
     QuerySpec("graph_hits", graphHits, Some(graphHitsSql)),
     QuerySpec("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
+    QuerySpec("graph_triangles_dist", graphTrianglesDistributed,
+      Some(graphTrianglesSql), bench = false),
     QuerySpec("graph_communities", graphCommunities,
       Some(graphCommunitiesSql)),
     QuerySpec("assoc_rules", assocRules, Some(assocRulesSql)),
