@@ -3114,6 +3114,102 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** The OTHER HALF of Lee et al. 2022: don't just measure duplicated
+    * spans — CUT them and emit the cleaned corpus. Duplicated 8-token
+    * windows (cross-document, same criterion as `dedup_substring`)
+    * are merged into maximal per-doc intervals (lag-based island
+    * detection — windows overlapping or ≤ L apart fuse), and every
+    * covered token is removed from the rebuilt text. Output is the
+    * cleaned corpus itself plus removal accounting, which is what a
+    * pipeline actually writes back out.
+    *
+    * Plan: the span pass shuffles (doc_id, start, 128-bit hash) — no
+    * text; island merge is one doc-keyed window over HIT rows only
+    * (duplicated spans, a vanishing fraction); the rebuild joins the
+    * per-doc interval lists (docs-with-dups rows, AQE-broadcastable)
+    * back to the corpus scan, so full text never rides an exchange.
+    */
+  def dedupSubstringCut(s: SparkSession, d: String): DataFrame = {
+    val L = 8
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+    val spans = base.filter(col("n") >= L)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, n - ${L - 1}), i -> " +
+          s"struct(i AS i, concat_ws(' ', slice(w, i, $L)) AS sp))"))
+        .as("s"))
+      .select(col("doc_id"), col("s.i").as("i"),
+        xxhash64(col("s.sp")).as("h1"),
+        xxhash64(col("s.sp"), lit(1L)).as("h2"))
+      .persist() // consumed twice: dup-key aggregate + hit join
+    val dup = spans.groupBy("h1", "h2")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h1", "h2")
+    val hits = spans.join(dup, Seq("h1", "h2")).select("doc_id", "i")
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    val iv = hits
+      .withColumn("brk",
+        when(lag(col("i"), 1).over(w1).isNull ||
+          col("i") - lag(col("i"), 1).over(w1) > L, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(w1))
+      .groupBy("doc_id", "island")
+      .agg(min(col("i")).as("st"), (max(col("i")) + L).as("en"))
+    val perDoc = iv.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("st"), col("en"))))
+          .as("ivs"),
+        sum(col("en") - col("st")).as("n_removed"))
+    val out = base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        when(col("ivs").isNull, concat_ws(" ", col("w"))).otherwise(
+          expr("concat_ws(' ', filter(transform(w, (t, p) -> " +
+            "CASE WHEN exists(ivs, v -> p + 1 >= v.st AND p + 1 < v.en) " +
+            "THEN NULL ELSE t END), x -> x IS NOT NULL))"))
+          .as("clean_text"))
+      .orderBy("doc_id")
+    graft.pipeline.Caching.materializeAndRelease(out, spans)
+  }
+
+  val dedupSubstringCutSql: String = """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+    spans AS (SELECT doc_id, i,
+        array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS span
+      FROM base, UNNEST(range(1, n - 6)) AS t(i)
+      WHERE n >= 8),
+    dup AS (SELECT span FROM spans GROUP BY span
+      HAVING COUNT(DISTINCT doc_id) > 1),
+    hits AS (SELECT doc_id, i FROM spans JOIN dup USING (span)),
+    brks AS (SELECT doc_id, i,
+        CASE WHEN LAG(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+          OR i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+          THEN 1 ELSE 0 END AS brk
+      FROM hits),
+    isl AS (SELECT doc_id, i,
+        SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM brks),
+    iv AS (SELECT doc_id, MIN(i) AS st, MAX(i) + 8 AS en
+      FROM isl GROUP BY doc_id, island),
+    rem AS (SELECT doc_id, SUM(en - st) AS n_removed FROM iv GROUP BY 1),
+    toks AS (SELECT doc_id, p, w[CAST(p AS INT)] AS t
+      FROM base, UNNEST(range(1, n + 1)) AS u(p)),
+    kept AS (SELECT t.doc_id, t.p, t.t
+      FROM toks t LEFT JOIN iv
+        ON t.doc_id = iv.doc_id AND t.p >= iv.st AND t.p < iv.en
+      WHERE iv.st IS NULL),
+    clean AS (SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT b.doc_id, b.n AS n_tokens,
+      CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+      COALESCE(c.clean_text, '') AS clean_text
+    FROM base b
+    LEFT JOIN rem r ON b.doc_id = r.doc_id
+    LEFT JOIN clean c ON b.doc_id = c.doc_id
+    ORDER BY b.doc_id"""
+
   val dedupSubstringSql: String = """
     WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
@@ -4853,6 +4949,8 @@ object PipelineQueries {
     QuerySpec("quality_gate_p75", qualityGateP75, Some(qualityGateP75Sql)),
     QuerySpec("dsir_importance", dsirImportance, Some(dsirImportanceSql)),
     QuerySpec("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
+    QuerySpec("dedup_substring_cut", dedupSubstringCut,
+      Some(dedupSubstringCutSql)),
     QuerySpec("emb_kmeans", embKmeans, Some(embKmeansSql)),
     QuerySpec("sample_cluster_balanced", sampleClusterBalanced,
       Some(sampleClusterBalancedSql)),
