@@ -3173,6 +3173,46 @@ object PipelineQueries {
     graft.pipeline.Caching.materializeAndRelease(out, spans)
   }
 
+  /** Exact longest-duplicated-span profile per document via
+    * DISTRIBUTED SUFFIX RANKS ([[graft.operators.SuffixRanks]]):
+    * prefix-doubling rank levels, a range-partitioned global ordinal,
+    * and an LCP rank-walk — the memorization/contamination
+    * fingerprint span hashing cannot produce (a hash answers "is this
+    * fixed window duplicated", never "how LONG is the longest
+    * duplicated run here"). Capped at 64 tokens. The oracle sorts the
+    * literal 64-token prefixes and compares neighbors token-wise. */
+  def substringRepeatProfile(s: SparkSession, d: String): DataFrame =
+    graft.operators.SuffixRanks.maxRepeatProfile(
+      Tables.documents(s, d), "doc_id", "text")
+
+  val substringRepeatProfileSql: String = """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+    suf AS (SELECT doc_id, p,
+        w[CAST(p AS INT):CAST(LEAST(p + 63, n) AS INT)] AS pref
+      FROM base, UNNEST(range(1, n + 1)) AS t(p)),
+    srt AS (SELECT doc_id, p, pref,
+        LAG(pref) OVER (ORDER BY pref, doc_id, p) AS prv,
+        LEAD(pref) OVER (ORDER BY pref, doc_id, p) AS nxt
+      FROM suf),
+    l AS (SELECT doc_id, p,
+        GREATEST(
+          CASE WHEN prv IS NULL THEN 0 ELSE
+            COALESCE(list_min([CASE WHEN pref[i] != prv[i] THEN i-1 END
+              FOR i IN range(1, LEAST(len(pref), len(prv)) + 1)]),
+              LEAST(len(pref), len(prv))) END,
+          CASE WHEN nxt IS NULL THEN 0 ELSE
+            COALESCE(list_min([CASE WHEN pref[i] != nxt[i] THEN i-1 END
+              FOR i IN range(1, LEAST(len(pref), len(nxt)) + 1)]),
+              LEAST(len(pref), len(nxt))) END) AS m
+      FROM srt)
+    SELECT b.doc_id, b.n AS n_tokens,
+      CAST(COALESCE(MAX(l.m), 0) AS BIGINT) AS max_repeat,
+      CAST(COALESCE(SUM(CASE WHEN l.m >= 16 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        AS n_pos_rep16
+    FROM base b LEFT JOIN l ON b.doc_id = l.doc_id
+    GROUP BY b.doc_id, b.n ORDER BY b.doc_id"""
+
   val dedupSubstringCutSql: String = """
     WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
@@ -4951,6 +4991,8 @@ object PipelineQueries {
     QuerySpec("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     QuerySpec("dedup_substring_cut", dedupSubstringCut,
       Some(dedupSubstringCutSql)),
+    QuerySpec("substring_repeat_profile", substringRepeatProfile,
+      Some(substringRepeatProfileSql)),
     QuerySpec("emb_kmeans", embKmeans, Some(embKmeansSql)),
     QuerySpec("sample_cluster_balanced", sampleClusterBalanced,
       Some(sampleClusterBalancedSql)),
