@@ -56,7 +56,12 @@ object Scaling {
     "graph_link_predict", "bitext_mine", "fd_discovery",
     "percentile_twophase", "percentile_twophase_ts", "ivm_delta_join",
     "bitmap_distinct", "score_quantile_norm", "phrase_search",
-    "seq_patterns", "sim_topk_binary", "unigram_train")
+    "seq_patterns", "sim_topk_binary", "unigram_train",
+    // round-12 additions: the Lee-et-al corpus cut and the
+    // suffix-rank repeat profile (log-round build, stage-count-bound
+    // at small SF — the ratio is the honest answer to whether the
+    // doubling rounds scale)
+    "dedup_substring_cut", "substring_repeat_profile")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("SCALING.json")

@@ -24,7 +24,11 @@ class CachingSpec extends SparkSpec {
     "roc_auc",
     // round-11 fourth sweep: the per-source bin histogram and the
     // link-prediction edge/degree/oriented-edge triple
-    "score_quantile_norm", "graph_link_predict")
+    "score_quantile_norm", "graph_link_predict",
+    // round-12: the duplicated-span table behind the corpus cut, and
+    // the suffix-rank pipeline (RDD-level caches only — the assert
+    // below also proves it leaves no cacheManager entries)
+    "dedup_substring_cut", "substring_repeat_profile")
 
   for (name <- pipelineQueries)
     test(s"$name leaves no cached blocks behind") {
