@@ -3161,7 +3161,15 @@ object PipelineQueries {
       .agg(sort_array(collect_list(struct(col("st"), col("en"))))
           .as("ivs"),
         sum(col("en") - col("st")).as("n_removed"))
-    val out = base.join(perDoc, Seq("doc_id"), "left")
+      .persist()
+    // guarded dispatch: the interval side is docs-WITH-duplicates —
+    // usually a sliver, so broadcasting it keeps the corpus text off
+    // every exchange (the registry plan audit pins this). Above the
+    // guard the plain join shuffles the text side once, which is the
+    // irreducible cost of rewriting a corpus.
+    val ivSide = if (perDoc.count() <= (1L << 20)) broadcast(perDoc)
+      else perDoc
+    val out = base.join(ivSide, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         when(col("ivs").isNull, concat_ws(" ", col("w"))).otherwise(
@@ -3170,7 +3178,7 @@ object PipelineQueries {
             "THEN NULL ELSE t END), x -> x IS NOT NULL))"))
           .as("clean_text"))
       .orderBy("doc_id")
-    graft.pipeline.Caching.materializeAndRelease(out, spans)
+    graft.pipeline.Caching.materializeAndRelease(out, spans, perDoc)
   }
 
   /** Exact longest-duplicated-span profile per document via
