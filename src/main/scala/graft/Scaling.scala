@@ -58,10 +58,13 @@ object Scaling {
     "bitmap_distinct", "score_quantile_norm", "phrase_search",
     "seq_patterns", "sim_topk_binary", "unigram_train",
     // round-12 additions: the Lee-et-al corpus cut and the
-    // suffix-rank repeat profile (log-round build, stage-count-bound
-    // at small SF — the ratio is the honest answer to whether the
-    // doubling rounds scale)
-    "dedup_substring_cut", "substring_repeat_profile")
+    // suffix-rank repeat profile — both the dispatched default (dense
+    // driver-side suffix sort under the 2²² guard) and the forced
+    // distributed form (log-round build, stage-count-bound at small
+    // SF — its ratio is the honest answer to whether the quadrupling
+    // rounds scale)
+    "dedup_substring_cut", "substring_repeat_profile",
+    "substring_repeat_profile_dist")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("SCALING.json")

@@ -3181,16 +3181,27 @@ object PipelineQueries {
     graft.pipeline.Caching.materializeAndRelease(out, spans, perDoc)
   }
 
-  /** Exact longest-duplicated-span profile per document via
-    * DISTRIBUTED SUFFIX RANKS ([[graft.operators.SuffixRanks]]):
-    * prefix-doubling rank levels, a range-partitioned global ordinal,
-    * and an LCP rank-walk — the memorization/contamination
-    * fingerprint span hashing cannot produce (a hash answers "is this
-    * fixed window duplicated", never "how LONG is the longest
-    * duplicated run here"). Capped at 64 tokens. The oracle sorts the
-    * literal 64-token prefixes and compares neighbors token-wise. */
+  /** Exact longest-duplicated-span profile per document via SUFFIX
+    * RANKS ([[graft.operators.SuffixRanks]]): under the dense guard
+    * (2²² corpus positions — the bound at which the distributed
+    * form's own LCP walk would broadcast every position anyway) a
+    * driver-local Manber–Myers suffix sort; above it, prefix-
+    * QUADRUPLING rank rounds, a range-partitioned global ordinal, and
+    * an LCP rank-walk — the memorization/contamination fingerprint
+    * span hashing cannot produce (a hash answers "is this fixed
+    * window duplicated", never "how LONG is the longest duplicated
+    * run here"). Capped at 64 tokens. The oracle sorts the literal
+    * 64-token prefixes and compares neighbors token-wise;
+    * `substring_repeat_profile_dist` keeps the at-scale form
+    * oracle-checked every round. */
   def substringRepeatProfile(s: SparkSession, d: String): DataFrame =
     graft.operators.SuffixRanks.maxRepeatProfile(
+      Tables.documents(s, d), "doc_id", "text")
+
+  /** The at-scale (distributed) form of the repeat profile, forced
+    * past the dense dispatch guard — same oracle. */
+  def substringRepeatProfileDist(s: SparkSession, d: String): DataFrame =
+    graft.operators.SuffixRanks.maxRepeatProfileDistributed(
       Tables.documents(s, d), "doc_id", "text")
 
   val substringRepeatProfileSql: String = """
@@ -5001,6 +5012,8 @@ object PipelineQueries {
       Some(dedupSubstringCutSql)),
     QuerySpec("substring_repeat_profile", substringRepeatProfile,
       Some(substringRepeatProfileSql)),
+    QuerySpec("substring_repeat_profile_dist", substringRepeatProfileDist,
+      Some(substringRepeatProfileSql), bench = false),
     QuerySpec("emb_kmeans", embKmeans, Some(embKmeansSql)),
     QuerySpec("sample_cluster_balanced", sampleClusterBalanced,
       Some(sampleClusterBalancedSql)),

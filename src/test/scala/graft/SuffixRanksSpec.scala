@@ -2,23 +2,29 @@ package graft
 
 import graft.operators.SuffixRanks
 
-/** Pins the suffix-rank repeat profile: dense-broadcast and join-walk
-  * LCP forms agree row for row (the dispatch guard can change plans,
-  * never answers), and hand-built corpora hit known exact lengths. */
+/** Pins the suffix-rank repeat profile: the driver-local dense form
+  * (the default under the position guard), the distributed dense-
+  * broadcast walk, and the distributed join walk agree row for row
+  * (the dispatch guards can change plans, never answers), and
+  * hand-built corpora hit known exact lengths. */
 class SuffixRanksSpec extends SparkSpec {
 
-  test("dense and join walks agree on the test corpora") {
+  test("local, distributed-dense and join-walk forms agree on corpora") {
     for (d <- Seq(sf("sf0.001"), sf("sf0.01"))) {
       val docs = Tables.documents(spark, d)
       val a = SuffixRanks.maxRepeatProfile(docs, "doc_id", "text")
         .collect().map(_.toSeq).toSeq
       val b = SuffixRanks.maxRepeatProfileJoinWalk(docs, "doc_id", "text")
         .collect().map(_.toSeq).toSeq
-      assert(a == b && a.nonEmpty, s"walks diverge at $d")
+      val c = SuffixRanks
+        .maxRepeatProfileDistributed(docs, "doc_id", "text")
+        .collect().map(_.toSeq).toSeq
+      assert(a == b && a.nonEmpty, s"local vs join walk diverge at $d")
+      assert(a == c, s"local vs distributed dense walk diverge at $d")
     }
   }
 
-  test("known exact repeat lengths on a planted corpus") {
+  test("known exact repeat lengths on a planted corpus, all forms") {
     import spark.implicits._
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
@@ -26,9 +32,39 @@ class SuffixRanksSpec extends SparkSpec {
       (3L, "z z z"),               // self-overlap: max 2
       (4L, "solo unique tokens only here")
     ).toDF("doc_id", "text")
-    val got = SuffixRanks.maxRepeatProfile(docs, "doc_id", "text")
+    val want = Map(1L -> 6L, 2L -> 6L, 3L -> 2L, 4L -> 0L)
+    type Form = org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame
+    for (f <- Seq[Form](
+        SuffixRanks.maxRepeatProfile(_, "doc_id", "text"),
+        SuffixRanks.maxRepeatProfileDistributed(_, "doc_id", "text"),
+        SuffixRanks.maxRepeatProfileJoinWalk(_, "doc_id", "text"))) {
+      val got = f(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got == want, got.toString)
+    }
+  }
+
+  test("repeats spanning the 16 and 64 boundaries, local vs distributed") {
+    import spark.implicits._
+    // one 80-token run duplicated verbatim across two docs → capped 64;
+    // a 17-token run duplicated within one doc → exactly 17
+    val run80 = (0 until 80).map(i => s"t$i").mkString(" ")
+    val run17 = (0 until 17).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, run80 + " endone"),
+      (2L, "lead " + run80),
+      (3L, run17 + " mid " + run17),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val want = Map(1L -> 64L, 2L -> 64L, 3L -> 17L, 4L -> 0L)
+    val local = SuffixRanks.maxRepeatProfile(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
-    assert(got == Map(1L -> 6L, 2L -> 6L, 3L -> 2L, 4L -> 0L), got.toString)
+    val dist = SuffixRanks
+      .maxRepeatProfileDistributed(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(local == want, s"local: $local")
+    assert(dist == want, s"distributed: $dist")
   }
 
   test("rankWithin assigns exact dense ranks across partition boundaries") {
