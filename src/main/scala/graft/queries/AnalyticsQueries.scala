@@ -1467,23 +1467,27 @@ object AnalyticsQueries {
   // ----------------------------------------------- correlation matrix
   /** Pairwise Pearson correlation of the lineitem measures — the
     * profiling matrix feature stores compute before model training.
-    * All five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as
-    * DECIMAL(38,6)-exact sums in ONE map-side-combinable aggregate per
-    * pair (one scan total via a single wide aggregate), so r is the
-    * same IEEE expression over identical integers-scaled decimals in
-    * both engines; only the final r is floating. */
+    * The 2-dp measures are scaled to LONGs once (`round(x·100)` — the
+    * events_acf integer-moment pattern), so every per-row product is a
+    * codegen long multiply; only the 15 moment SUMS accumulate as
+    * exact DECIMAL(20,0)→(30,0) (DuckDB: BIGINT→HUGEINT — both exact
+    * integers, so the doubles they cast to are identical). Pearson r
+    * is scale-invariant, and the closing IEEE expression is textually
+    * shared, so ROUND(r, 6) matches bit-for-bit. One scan, one
+    * map-side-combinable wide aggregate; per-row products stay under
+    * 2⁶³ at any corpus size (the sums are where the magnitude goes,
+    * and those are decimal). */
   def corrMatrix(s: SparkSession, d: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val pairs = for {
       i <- cols.indices; j <- i + 1 until cols.length
     } yield (cols(i), cols(j))
-    def dsum(e: Column) = sum(e.cast("decimal(38,6)"))
-    val aggs = pairs.flatMap { case (x, y) =>
-      val (cx, cy) = (col(x), col(y))
-      Seq(dsum(cx).as(s"sx_${x}_$y"), dsum(cy).as(s"sy_${x}_$y"),
-        dsum(cx * cy).as(s"sxy_${x}_$y"),
-        dsum(cx * cx).as(s"sxx_${x}_$y"),
-        dsum(cy * cy).as(s"syy_${x}_$y"))
+    def lx(c: String): Column = round(col(c) * 100, 0).cast("long")
+    def dsum(e: Column) = sum(e.cast("decimal(20,0)"))
+    val aggs = cols.flatMap { c =>
+      Seq(dsum(lx(c)).as(s"s_$c"), dsum(lx(c) * lx(c)).as(s"ss_$c"))
+    } ++ pairs.map { case (x, y) =>
+      dsum(lx(x) * lx(y)).as(s"sp_${x}_$y")
     }
     val allAggs = count(lit(1)).as("n") +: aggs
     val m = Tables.lineitem(s, d).agg(allAggs.head, allAggs.tail: _*)
@@ -1492,10 +1496,10 @@ object AnalyticsQueries {
     val pairStructs = pairs.map { case (x, y) =>
       val n = col("n").cast("double")
       val (sx, sy, sxy, sxx, syy) = (
-        col(s"sx_${x}_$y").cast("double"), col(s"sy_${x}_$y").cast("double"),
-        col(s"sxy_${x}_$y").cast("double"),
-        col(s"sxx_${x}_$y").cast("double"),
-        col(s"syy_${x}_$y").cast("double"))
+        col(s"s_$x").cast("double"), col(s"s_$y").cast("double"),
+        col(s"sp_${x}_$y").cast("double"),
+        col(s"ss_$x").cast("double"),
+        col(s"ss_$y").cast("double"))
       struct(lit(x).as("x"), lit(y).as("y"),
         round((n * sxy - sx * sy) /
           (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6).as("r"))
@@ -1510,12 +1514,15 @@ object AnalyticsQueries {
     val pairs = for {
       i <- cols.indices; j <- i + 1 until cols.length
     } yield (cols(i), cols(j))
-    // one wide-aggregate CTE (single scan), tiny per-pair selects over it
+    def lx(c: String) = s"CAST(ROUND($c * 100, 0) AS BIGINT)"
+    // one wide-aggregate CTE (single scan), tiny per-pair selects over
+    // it; BIGINT sums promote to HUGEINT in DuckDB — exact like
+    // Spark's DECIMAL(30,0) accumulator, so the double casts agree
     val sums = cols.flatMap(c => Seq(
-      s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS s_$c",
-      s"CAST(SUM(CAST($c * $c AS DECIMAL(38,6))) AS DOUBLE) AS ss_$c")) ++
+      s"CAST(SUM(${lx(c)}) AS DOUBLE) AS s_$c",
+      s"CAST(SUM(${lx(c)} * ${lx(c)}) AS DOUBLE) AS ss_$c")) ++
       pairs.map { case (x, y) =>
-        s"CAST(SUM(CAST($x * $y AS DECIMAL(38,6))) AS DOUBLE) AS sp_${x}_$y"
+        s"CAST(SUM(${lx(x)} * ${lx(y)}) AS DOUBLE) AS sp_${x}_$y"
       }
     val selects = pairs.map { case (x, y) =>
       s"""SELECT '$x' AS x, '$y' AS y,
