@@ -2517,16 +2517,111 @@ object PipelineQueries {
     * (E-step = the [[graft.functions.UnigramSegment]] codegen Viterbi
     * kernel over the distinct-word table, M-step = a usage aggregate +
     * driver re-cost). Emits the final vocabulary with usages and
-    * integer micro-nat costs. NO SQL oracle: the EM fixed point is a
-    * 2-round iterative DP — the driver records the weaker rows-only
-    * check, and UnigramLmSpec carries the correctness load (Viterbi
-    * tie-breaking, segmentation round-trip, char flooring, cost
-    * arithmetic against an in-memory replay). */
+    * integer micro-nat costs. The oracle REPLAYS the whole training —
+    * seeding, both EM rounds, char flooring — in SQL: the Viterbi DP
+    * is unrolled over the ≤MaxWordLen positions as materialized CTE
+    * steps (each step carries dp(j)..dp(j−3) plus their winning
+    * segmentations; ties prefer the smallest split point = the longest
+    * last piece, matching the engine's ascending strict-< scan), and
+    * all costs are integer micro-nats so the DP compares longs
+    * bit-for-bit. UnigramLmSpec still carries the kernel-level load
+    * (tie-breaking, round-trip, flooring). */
   def unigramTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.pipeline.UnigramLm.train(s, d)
       .toDF("piece", "usage", "cost_unats")
       .orderBy("piece")
+  }
+
+  val unigramTrainSql: String = {
+    import graft.pipeline.UnigramLm.{MaxPieceLen, MaxWordLen, VocabSize}
+    // one Viterbi DP step: advance every word's dp window from
+    // position j-1 to j under the round's cost table
+    def viterbiCtes(pfx: String, costCte: String): Seq[String] = {
+      val init = s"""${pfx}_0 AS MATERIALIZED (SELECT word, f,
+      len(word) AS n,
+      CAST(0 AS BIGINT) AS d1, '' AS g1,
+      CAST(NULL AS BIGINT) AS d2, CAST(NULL AS VARCHAR) AS g2,
+      CAST(NULL AS BIGINT) AS d3, CAST(NULL AS VARCHAR) AS g3,
+      CAST(NULL AS BIGINT) AS d4, CAST(NULL AS VARCHAR) AS g4,
+      CAST(NULL AS VARCHAR) AS seg
+    FROM words)"""
+      init +: (1 to MaxWordLen).map { j =>
+        def gnew(k: Int) =
+          s"g$k || ' ' || substring(word, ${j - k + 1}, $k)"
+        // ties prefer the smallest split i == the LARGEST piece k
+        val pickG =
+          s"""CASE WHEN c4 IS NOT NULL AND c4 = bc THEN ${gnew(4)}
+           WHEN c3 IS NOT NULL AND c3 = bc THEN ${gnew(3)}
+           WHEN c2 IS NOT NULL AND c2 = bc THEN ${gnew(2)}
+           ELSE ${gnew(1)} END"""
+        val joins = (1 to MaxPieceLen).map { k =>
+          s"""LEFT JOIN $costCte k$k ON n >= $j AND
+          k$k.piece = substring(word, ${j - k + 1}, $k)"""
+        }.mkString(" ")
+        s"""${pfx}_$j AS MATERIALIZED (
+    SELECT word, f, n,
+      CASE WHEN n >= $j THEN bc ELSE d1 END AS d1,
+      CASE WHEN n >= $j THEN $pickG ELSE g1 END AS g1,
+      CASE WHEN n >= $j THEN d1 ELSE d2 END AS d2,
+      CASE WHEN n >= $j THEN g1 ELSE g2 END AS g2,
+      CASE WHEN n >= $j THEN d2 ELSE d3 END AS d3,
+      CASE WHEN n >= $j THEN g2 ELSE g3 END AS g3,
+      CASE WHEN n >= $j THEN d3 ELSE d4 END AS d4,
+      CASE WHEN n >= $j THEN g3 ELSE g4 END AS g4,
+      CASE WHEN n = $j THEN $pickG ELSE seg END AS seg
+    FROM (SELECT *, LEAST(c1, c2, c3, c4) AS bc FROM (
+      SELECT ${pfx}_${j - 1}.*, d1 + k1.cost AS c1, d2 + k2.cost AS c2,
+        d3 + k3.cost AS c3, d4 + k4.cost AS c4
+      FROM ${pfx}_${j - 1} $joins)))"""
+      }
+    }
+    // integer micro-nat costs: round(1e6·ln(Σu/u)) — UnigramLm.costsOf
+    def costCte(name: String, vcte: String) =
+      s"""$name AS MATERIALIZED (SELECT piece,
+      CAST(ROUND(1e6 * ln(
+      CAST((SELECT SUM(u) FROM $vcte) AS DOUBLE) / u), 0) AS BIGINT)
+      AS cost FROM $vcte)"""
+    def usageCte(name: String, tpfx: String) =
+      s"""$name AS MATERIALIZED (SELECT piece,
+      CAST(SUM(f) AS BIGINT) AS u
+    FROM (SELECT f, unnest(string_split(trim(seg), ' ')) AS piece
+          FROM ${tpfx}_$MaxWordLen) GROUP BY piece)"""
+    // M-step vocab update: chars floored to 1, unused multis pruned
+    def vocabNext(name: String, vprev: String, ucte: String) =
+      s"""$name AS MATERIALIZED (SELECT $vprev.piece,
+      CASE WHEN len($vprev.piece) = 1
+           THEN GREATEST(COALESCE($ucte.u, 0), 1) ELSE $ucte.u END AS u
+    FROM $vprev LEFT JOIN $ucte USING (piece)
+    WHERE len($vprev.piece) = 1 OR $ucte.u IS NOT NULL)"""
+    val ctes = Seq(
+      s"""words AS MATERIALIZED (SELECT word,
+      CAST(COUNT(*) AS BIGINT) AS f FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE len(word) BETWEEN 1 AND $MaxWordLen GROUP BY word)""",
+      s"""seeds AS MATERIALIZED (SELECT substring(word, i, l) AS sub,
+      CAST(SUM(f) AS BIGINT) AS c
+    FROM words, UNNEST(range(1, len(word) + 1)) AS a(i),
+      UNNEST(range(1, ${MaxPieceLen + 1})) AS b(l)
+    WHERE i + l <= len(word) + 1 GROUP BY 1)""",
+      """chars AS MATERIALIZED (SELECT sub, c FROM seeds
+    WHERE len(sub) = 1)""",
+      s"""multi AS MATERIALIZED (SELECT sub, c FROM (
+      SELECT sub, c, ROW_NUMBER() OVER (ORDER BY c DESC, sub) AS rn
+      FROM seeds WHERE len(sub) > 1)
+    WHERE rn <= $VocabSize - (SELECT COUNT(*) FROM chars))""",
+      """v0 AS MATERIALIZED (SELECT sub AS piece, c AS u FROM chars
+    UNION ALL SELECT sub, c FROM multi)""",
+      costCte("c0", "v0")) ++
+      viterbiCtes("ta", "c0") ++
+      Seq(usageCte("u1", "ta"), vocabNext("v1", "v0", "u1"),
+        costCte("c1", "v1")) ++
+      viterbiCtes("tb", "c1") ++
+      Seq(usageCte("u2", "tb"), vocabNext("v2", "v1", "u2"),
+        costCte("c2", "v2"))
+    s"""WITH ${ctes.mkString(",\n")}
+    SELECT v2.piece, v2.u AS usage, c2.cost AS cost_unats
+    FROM v2 JOIN c2 USING (piece) ORDER BY piece"""
   }
 
   def tokenizeLearned(s: SparkSession, d: String): DataFrame = {
@@ -5023,7 +5118,7 @@ object PipelineQueries {
     QuerySpec("calibration_ece", calibrationEce, Some(calibrationEceSql)),
     QuerySpec("roc_auc", rocAuc, Some(rocAucSql)),
     QuerySpec("bpe_train", bpeTrain, Some(bpeTrainSql)),
-    QuerySpec("unigram_train", unigramTrain, None),
+    QuerySpec("unigram_train", unigramTrain, Some(unigramTrainSql)),
     QuerySpec("tokenize_learned", tokenizeLearned, Some(tokenizeLearnedSql)),
     QuerySpec("tokenizer_fertility", tokenizerFertility,
       Some(tokenizerFertilitySql)),
