@@ -37,6 +37,36 @@ object DenseGraph {
     * path takes over. */
   val DenseMaxPairs: Long = 1L << 22
 
+  /** Max Σ_orders k·(k−1)/2 per-order pair fan-out admitted to the
+    * dense branch: 2²⁶ candidate edges ≈ 512 MB of packed longs. The
+    * row-count guard alone cannot see ONE mega-order whose quadratic
+    * expansion blows the driver even though total rows sit under
+    * [[DenseMaxPairs]] — real basket data has exactly that shape. */
+  val DenseMaxFanout: Long = 1L << 26
+
+  /** Collect the per-order part sets if the pair FAN-OUT also fits:
+    * the sets themselves are linear in the (already row-guarded) input
+    * — only the pair expansion is quadratic — so collecting them first
+    * and summing k·(k−1)/2 on the driver costs nothing extra (the
+    * dense path collects exactly this table anyway) and catches the
+    * one-mega-order shape the row guard cannot see. Returns None when
+    * a caller must fall back to the distributed formulation. */
+  private def collectSetsIfFanoutFits(s: SparkSession, pairs: DataFrame)
+      : Option[Array[Array[Long]]] = {
+    import s.implicits._
+    val sets = pairs.groupBy(col("o"))
+      .agg(collect_set(col("p").cast("long")).as("ps"))
+      .select(col("ps")).as[Array[Long]].collect()
+    var fanout = 0L
+    var i = 0
+    while (i < sets.length && fanout <= DenseMaxFanout) {
+      val k = sets(i).length.toLong
+      fanout += k * (k - 1) / 2
+      i += 1
+    }
+    if (fanout > DenseMaxFanout) None else Some(sets)
+  }
+
   /** Immutable broadcastable adjacency: vertex ids (sorted, index =
     * dense id), per-vertex degree, CSR offsets + neighbor indices
     * (neighbors sorted by index), and the (degree, id) rank key. */
@@ -47,10 +77,14 @@ object DenseGraph {
   /** Build the co-purchase CSR on the driver from per-order part sets
     * (each set already deduplicated by collect_set). */
   def buildCsr(orderSets: Array[Array[Long]]): Csr = {
-    // distinct undirected edges as packed (loIdx unknown yet) id pairs
-    val raw = new ArrayBuffer[Long](orderSets.map { s =>
-      val k = s.length; k * (k - 1) / 2
-    }.sum)
+    // distinct undirected edges as packed (loIdx unknown yet) id pairs;
+    // the capacity hint sums in LONG (k·(k−1)/2 overflows Int past 2¹⁶
+    // parts in one order) and caps at the dispatch guard's fan-out
+    // bound — it is only a hint, the buffer still grows if exceeded
+    val hint = math.min(orderSets.map { s =>
+      val k = s.length.toLong; k * (k - 1) / 2
+    }.sum, DenseMaxFanout).toInt
+    val raw = new ArrayBuffer[Long](hint)
     orderSets.foreach { set =>
       val s = set.sorted
       var i = 0
@@ -203,12 +237,16 @@ object DenseGraph {
 
   /** Full dense-path query: one exchange (the per-order groupBy), a
     * bounded driver collect, and a vertex-parallel counting stage over
-    * the broadcast CSR. `pairs` is the distinct (o, p) projection. */
-  def densePath(s: SparkSession, pairs: DataFrame, k: Int = 20): DataFrame = {
+    * the broadcast CSR. `pairs` is the distinct (o, p) projection —
+    * callers row-guard it with [[DenseMaxPairs]] first; the fan-out
+    * guard here returns None (fall back to the distributed form) when
+    * one mega-order would make the CSR edge expansion quadratic. */
+  def densePath(s: SparkSession, pairs: DataFrame, k: Int = 20)
+      : Option[DataFrame] = {
     import s.implicits._
-    val sets = pairs.groupBy(col("o"))
-      .agg(collect_set(col("p").cast("long")).as("ps"))
-      .select(col("ps")).as[Array[Long]].collect()
+    val setsOpt = collectSetsIfFanoutFits(s, pairs)
+    if (setsOpt.isEmpty) return None
+    val sets = setsOpt.get
     val csr = buildCsr(sets)
     val bc = s.sparkContext.broadcast(csr)
     val n = csr.ids.length
@@ -223,13 +261,13 @@ object DenseGraph {
           countRange(c, from, until, k)
         }
       }.toDF("part_a", "part_b", "support", "common", "deg_sum")
-    local
+    Some(local
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(k)
       .select(col("part_a"), col("part_b"), col("support"), col("common"),
         round(col("common").cast("double") /
           (col("deg_sum") - col("common")), 6).as("jaccard"))
-      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b")))
   }
 
   /** Per-node triangle counts, dense regime: iterate ORIENTED edges
@@ -241,11 +279,11 @@ object DenseGraph {
     * keyed sum merges them. Returns the top-20 by
     * (n_triangles desc, part_id). */
   def trianglesDense(s: SparkSession, pairs: DataFrame, k: Int = 20)
-      : DataFrame = {
+      : Option[DataFrame] = {
     import s.implicits._
-    val sets = pairs.groupBy(col("o"))
-      .agg(collect_set(col("p").cast("long")).as("ps"))
-      .select(col("ps")).as[Array[Long]].collect()
+    val setsOpt = collectSetsIfFanoutFits(s, pairs)
+    if (setsOpt.isEmpty) return None
+    val sets = setsOpt.get
     val csr = buildCsr(sets)
     val bc = s.sparkContext.broadcast(csr)
     val n = csr.ids.length
@@ -290,10 +328,10 @@ object DenseGraph {
             .map(v => (c.ids(v), cnt(v), c.deg(v).toLong))
         }
       }.toDF("part_id", "n_partial", "degree")
-    partials.groupBy("part_id", "degree")
+    Some(partials.groupBy("part_id", "degree")
       .agg(sum(col("n_partial")).as("n_triangles"))
       .select(col("part_id"), col("degree"), col("n_triangles"))
       .orderBy(col("n_triangles").desc, col("part_id"))
-      .limit(k)
+      .limit(k))
   }
 }

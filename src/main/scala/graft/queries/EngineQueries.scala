@@ -520,25 +520,48 @@ object EngineQueries {
   def graphLinkPredict(s: SparkSession, d: String): DataFrame = {
     val proj = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    if (proj.count() <= graft.operators.DenseGraph.DenseMaxPairs)
-      graft.operators.DenseGraph.densePath(s, proj)
-    else graphLinkPredictDistributed(s, d)
+    // two-axis dense guard: the row count bounds the collect, then the
+    // fan-out check inside densePath (from the collected set sizes —
+    // linear data) catches the one-mega-order quadratic shape
+    val dense =
+      if (proj.count() <= graft.operators.DenseGraph.DenseMaxPairs)
+        graft.operators.DenseGraph.densePath(s, proj)
+      else None
+    dense.getOrElse(graphLinkPredictDistributed(s, d))
   }
+
+  /** Distinct undirected edges above which the fused
+    * collect-and-broadcast anti filter gives way to a distributed
+    * left_anti join: 2²⁴ packed edges = 128 MB on the driver and in
+    * the wedge-join broadcast — comfortably under executor memory, and
+    * the regime the dispatch routes here starts right above the 2²²
+    * dense guard, so the fast fused form still covers two octaves. */
+  val LinkPredictBroadcastEdges: Long = 1L << 24
 
   /** Fully distributed formulation (the 100 TB shape): one 8 B/row
     * exchange of packed wedge endpoints, sort-based run-length
-    * counting fused with the anti filter and a bounded per-partition
-    * top-20. See [[graft.operators.DenseGraph]] for the dense-regime
-    * broadcast-CSR twin and the dispatch guard; LinkPredictSpec pins
-    * both paths to identical rows. */
-  def graphLinkPredictDistributed(s: SparkSession, d: String): DataFrame = {
+    * counting — fused with the broadcast anti filter and a bounded
+    * per-partition top-20 while the edge set fits
+    * [[LinkPredictBroadcastEdges]]; above that NOTHING edge-sized
+    * touches the driver or a broadcast: the wedge join shuffles, the
+    * run-length pass emits one row per candidate pair, and the anti
+    * filter is a distributed left_anti on the packed key before the
+    * TakeOrdered. See [[graft.operators.DenseGraph]] for the
+    * dense-regime broadcast-CSR twin and the dispatch guard;
+    * LinkPredictSpec pins all paths to identical rows. */
+  def graphLinkPredictDistributed(s: SparkSession, d: String): DataFrame =
+    graphLinkPredictDistributed(s, d, LinkPredictBroadcastEdges)
+
+  /** Test seam: `broadcastMax` forces the at-scale anti-join branch
+    * when 0. */
+  def graphLinkPredictDistributed(s: SparkSession, d: String,
+                                  broadcastMax: Long): DataFrame = {
     import s.implicits._
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    val e = op.as("x").join(op.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
+    val (opPairs, probed) = graft.operators.GraphEdges.coPurchasePairs(op)
+    val e = opPairs.select(col("a"), col("b"))
       .distinct().persist()
     val deg = e.select(col("a").as("v"))
       .unionByName(e.select(col("b").as("v")))
@@ -556,53 +579,88 @@ object EngineQueries {
     def pack(y: org.apache.spark.sql.Column,
              z: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       shiftleft(y.cast("long"), 32).bitwiseOR(z.cast("long"))
+    val m = oe.count()
     val o1 = oe.select(col("u"), col("w").as("v"), col("dw").as("dv"))
-    val wedges = o1.join(broadcast(oe), "u")
+    val wedges = o1
+      .join(if (m <= broadcastMax) broadcast(oe) else oe, "u")
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
       .select(pack(col("v"), col("w")).as("yz"))
-    // packed existing-edge list for the in-task anti filter: ~8 B/edge,
-    // sorted for binary-search membership
-    val edgeArr = oe.select(pack(col("u"), col("w")).as("yz"))
-      .as[Long].collect()
-    java.util.Arrays.sort(edgeArr)
-    val edgeB = s.sparkContext.broadcast(edgeArr)
-    val perPart = wedges.repartition(col("yz"))
-      .sortWithinPartitions("yz").as[Long]
-      .mapPartitions { it =>
-        val edges = edgeB.value
-        // worst-first heap under (support desc, part_a asc, part_b asc)
-        val worstFirst = new java.util.Comparator[Array[Long]] {
-          def compare(a: Array[Long], b: Array[Long]): Int = {
-            if (a(2) != b(2)) java.lang.Long.compare(a(2), b(2))
-            else if (a(0) != b(0)) java.lang.Long.compare(b(0), a(0))
-            else java.lang.Long.compare(b(1), a(1))
+    val top = if (m <= broadcastMax) {
+      // packed existing-edge list for the in-task anti filter:
+      // ~8 B/edge under the guard, sorted for binary-search membership
+      val edgeArr = oe.select(pack(col("u"), col("w")).as("yz"))
+        .as[Long].collect()
+      java.util.Arrays.sort(edgeArr)
+      val edgeB = s.sparkContext.broadcast(edgeArr)
+      val perPart = wedges.repartition(col("yz"))
+        .sortWithinPartitions("yz").as[Long]
+        .mapPartitions { it =>
+          val edges = edgeB.value
+          // worst-first heap under (support desc, part_a, part_b asc)
+          val worstFirst = new java.util.Comparator[Array[Long]] {
+            def compare(a: Array[Long], b: Array[Long]): Int = {
+              if (a(2) != b(2)) java.lang.Long.compare(a(2), b(2))
+              else if (a(0) != b(0)) java.lang.Long.compare(b(0), a(0))
+              else java.lang.Long.compare(b(1), a(1))
+            }
           }
-        }
-        val pq = new java.util.PriorityQueue[Array[Long]](21, worstFirst)
-        def offer(yz: Long, n: Long): Unit = {
-          val y = yz >>> 32; val z = yz & 0xffffffffL
-          val pa = math.min(y, z); val pb = math.max(y, z)
-          val cand = Array(pa, pb, n)
-          if (pq.size < 20) {
-            if (java.util.Arrays.binarySearch(edges, yz) < 0) pq.add(cand)
-          } else if (worstFirst.compare(cand, pq.peek) > 0 &&
-              java.util.Arrays.binarySearch(edges, yz) < 0) {
-            pq.poll(); pq.add(cand)
+          val pq = new java.util.PriorityQueue[Array[Long]](21, worstFirst)
+          def offer(yz: Long, n: Long): Unit = {
+            val y = yz >>> 32; val z = yz & 0xffffffffL
+            val pa = math.min(y, z); val pb = math.max(y, z)
+            val cand = Array(pa, pb, n)
+            if (pq.size < 20) {
+              if (java.util.Arrays.binarySearch(edges, yz) < 0) pq.add(cand)
+            } else if (worstFirst.compare(cand, pq.peek) > 0 &&
+                java.util.Arrays.binarySearch(edges, yz) < 0) {
+              pq.poll(); pq.add(cand)
+            }
           }
-        }
-        var cur = 0L; var n = 0L; var has = false
-        while (it.hasNext) {
-          val v = it.next()
-          if (has && v == cur) n += 1
-          else { if (has) offer(cur, n); cur = v; n = 1L; has = true }
-        }
-        if (has) offer(cur, n)
-        pq.iterator.asScala.map(a => (a(0), a(1), a(2)))
-      }.toDF("part_a", "part_b", "support")
-    val top = perPart
-      .orderBy(col("support").desc, col("part_a"), col("part_b"))
-      .limit(20)
+          var cur = 0L; var n = 0L; var has = false
+          while (it.hasNext) {
+            val v = it.next()
+            if (has && v == cur) n += 1
+            else { if (has) offer(cur, n); cur = v; n = 1L; has = true }
+          }
+          if (has) offer(cur, n)
+          pq.iterator.asScala.map(a => (a(0), a(1), a(2)))
+        }.toDF("part_a", "part_b", "support")
+      perPart
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    } else {
+      // at-scale branch: the anti filter must precede any bounding, so
+      // the run-length pass emits every candidate once (still one
+      // 8 B/row exchange + a streaming fold, never a hash aggregate)
+      // and a distributed left_anti on the packed key drops existing
+      // edges before the TakeOrdered
+      val counts = wedges.repartition(col("yz"))
+        .sortWithinPartitions("yz").as[Long]
+        .mapPartitions { it =>
+          val base = it.buffered
+          new Iterator[(Long, Long)] {
+            def hasNext: Boolean = base.hasNext
+            def next(): (Long, Long) = {
+              val v = base.head
+              var n = 0L
+              while (base.hasNext && base.head == v) { base.next(); n += 1 }
+              (v, n)
+            }
+          }
+        }.toDF("yz", "support")
+      counts
+        .join(oe.select(pack(col("u"), col("w")).as("yz")),
+          Seq("yz"), "left_anti")
+        .select(
+          least(shiftrightunsigned(col("yz"), 32),
+            col("yz").bitwiseAND(lit(0xffffffffL))).as("part_a"),
+          greatest(shiftrightunsigned(col("yz"), 32),
+            col("yz").bitwiseAND(lit(0xffffffffL))).as("part_b"),
+          col("support"))
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }
     // exact re-rank metrics for the 20 winners: true common-neighbor
     // count from the undirected adjacency, restricted to the winners
     // (≤ 20·maxdeg rows on the small side of each broadcast join)
@@ -614,16 +672,18 @@ object EngineQueries {
       .join(broadcast(seed), Seq("part_b", "c"))
       .groupBy("part_a", "part_b", "support")
       .agg(count(lit(1)).as("common"))
-    val out = tc
-      .join(broadcast(deg.select(col("v").as("part_a"), col("dg").as("dy"))),
-        Seq("part_a"))
-      .join(broadcast(deg.select(col("v").as("part_b"), col("dg").as("dz"))),
-        Seq("part_b"))
+    // the ≤20-row side is what broadcasts — deg is vertex-sized and
+    // must never ride a broadcast at scale
+    val withDy = deg.select(col("v").as("part_a"), col("dg").as("dy"))
+      .join(broadcast(tc), Seq("part_a"))
+    val out = deg.select(col("v").as("part_b"), col("dg").as("dz"))
+      .join(broadcast(withDy), Seq("part_b"))
       .select(col("part_a"), col("part_b"), col("support"), col("common"),
         round(col("common").cast("double") /
           (col("dy") + col("dz") - col("common")), 6).as("jaccard"))
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
-    graft.pipeline.Caching.materializeAndRelease(out, e, deg, oe)
+    graft.pipeline.Caching.materializeAndRelease(out,
+      (Seq(e, deg, oe) ++ probed): _*)
   }
 
   val graphLinkPredictSql: String = """
@@ -682,12 +742,16 @@ object EngineQueries {
     * only those candidates pay the exact cosine re-rank. The
     * per-endpoint density aggregates are exact-DECIMAL sums over
     * exactly k rows, and the final argmax is max-of-struct per query
-    * over ≤ k candidates. BitextSpec pins the ANN-routed top-4 to the
-    * brute-force top-4 at both test SFs (the DuckDB oracle IS the
-    * brute force, so the correctness gate re-checks this every
-    * round); the margin algebra downstream is index-agnostic, so at
-    * larger corpora the candidate source swaps for the partitioned
-    * IVF sidecar (`sim_ann_ivf_persisted`) without touching it.
+    * over ≤ k candidates. Verification split: the DuckDB oracle
+    * REPLAYS the same Hamming-prefilter candidate generation (it pins
+    * determinism of the ANN route, not its recall), while BitextSpec
+    * pins the ANN-routed top-4 against the exact brute-force top-4 on
+    * the clustered regime at both test SFs and floors recall at 0.5
+    * on the no-structure corpus — recall regressions are the spec's
+    * job, determinism regressions the gate's. The margin algebra
+    * downstream is index-agnostic, so at larger corpora the candidate
+    * source swaps for the partitioned IVF sidecar
+    * (`sim_ann_ivf_persisted`) without touching it.
     */
   val BitextPrefilter = 48
 

@@ -3259,10 +3259,19 @@ object PipelineQueries {
       .persist()
     // guarded dispatch: the interval side is docs-WITH-duplicates —
     // usually a sliver, so broadcasting it keeps the corpus text off
-    // every exchange (the registry plan audit pins this). Above the
-    // guard the plain join shuffles the text side once, which is the
-    // irreducible cost of rewriting a corpus.
-    val ivSide = if (perDoc.count() <= (1L << 20)) broadcast(perDoc)
+    // every exchange (the registry plan audit pins this). The guard is
+    // BYTE-shaped, not row-shaped: each row carries an unbounded
+    // interval array, so a dup-heavy corpus can be few rows yet
+    // gigabytes — estimate ~24 B per interval + ~48 B per row and cap
+    // at 256 MB. Above the guard the plain join shuffles the text side
+    // once, which is the irreducible cost of rewriting a corpus.
+    val ivStats = perDoc
+      .agg(count(lit(1)).as("rows"), sum(size(col("ivs"))).as("nivs"))
+      .first()
+    val ivBytes =
+      if (ivStats.isNullAt(1)) 0L
+      else ivStats.getLong(0) * 48L + ivStats.getLong(1) * 24L
+    val ivSide = if (ivBytes <= (256L << 20)) broadcast(perDoc)
       else perDoc
     val out = base.join(ivSide, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
@@ -4490,9 +4499,12 @@ object PipelineQueries {
   def graphTriangles(s: SparkSession, d: String): DataFrame = {
     val proj = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    if (proj.count() <= graft.operators.DenseGraph.DenseMaxPairs)
-      graft.operators.DenseGraph.trianglesDense(s, proj)
-    else graphTrianglesDistributed(s, d)
+    // two-axis dense guard — see graphLinkPredict
+    val dense =
+      if (proj.count() <= graft.operators.DenseGraph.DenseMaxPairs)
+        graft.operators.DenseGraph.trianglesDense(s, proj)
+      else None
+    dense.getOrElse(graphTrianglesDistributed(s, d))
   }
 
   /** Fully distributed formulation (the 100 TB shape) — see
@@ -4503,9 +4515,8 @@ object PipelineQueries {
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    val e = op.as("x").join(op.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
+    val (opPairs, probed) = graft.operators.GraphEdges.coPurchasePairs(op)
+    val e = opPairs.select(col("a"), col("b"))
       .distinct().persist()
     val deg = e.select(col("a").as("v"))
       .unionByName(e.select(col("b").as("v")))
@@ -4542,7 +4553,8 @@ object PipelineQueries {
         col("n_triangles"))
       .orderBy(col("n_triangles").desc, col("part_id"))
       .limit(20)
-    graft.pipeline.Caching.materializeAndRelease(out, e, deg, oe)
+    graft.pipeline.Caching.materializeAndRelease(out,
+      (Seq(e, deg, oe) ++ probed): _*)
   }
 
   val graphTrianglesSql: String = """
@@ -4592,10 +4604,8 @@ object PipelineQueries {
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    val e = op.as("x").join(op.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
-      .distinct()
+    val (opPairs, probed) = graft.operators.GraphEdges.coPurchasePairs(op)
+    val e = opPairs.select(col("a"), col("b")).distinct()
     val edges = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
       .persist()
@@ -4613,7 +4623,8 @@ object PipelineQueries {
       .select(col("label").as("community"), col("n_members"))
       .orderBy(col("n_members").desc, col("community"))
       .limit(20)
-    graft.pipeline.Caching.materializeAndRelease(out, edges)
+    graft.pipeline.Caching.materializeAndRelease(out,
+      (Seq(edges) ++ probed): _*)
   }
 
   val graphCommunitiesSql: String = """
@@ -4657,9 +4668,11 @@ object PipelineQueries {
     val nOrders = op.select(col("o")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val item = op.groupBy("p").agg(count(lit(1)).as("n_item"))
-    val pairs = op.as("x").join(op.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+    // one row per (order, pair) from the hot-order-safe expansion, so
+    // the per-pair count is the co-purchase order count as before
+    val (opPairs, probed) = graft.operators.GraphEdges.coPurchasePairs(op)
+    val pairs = opPairs
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 3)
     val out = pairs
@@ -4679,7 +4692,8 @@ object PipelineQueries {
           .as("pmi"))
       .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
       .limit(25)
-    graft.pipeline.Caching.materializeAndRelease(out, op)
+    graft.pipeline.Caching.materializeAndRelease(out,
+      (Seq(op) ++ probed): _*)
   }
 
   val assocRulesSql: String = """

@@ -17,6 +17,22 @@ class LinkPredictSpec extends SparkSpec {
     }
   }
 
+  test("forced anti-join branch (edges over the broadcast guard) " +
+      "matches the fused broadcast form") {
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val fused = graft.queries.EngineQueries
+      .graphLinkPredictDistributed(s, sf)
+      .collect().map(_.toSeq).toSeq
+    // broadcastMax = 0 forces the at-scale branch: shuffled wedge
+    // join, full run-length candidate emission, distributed left_anti
+    val anti = graft.queries.EngineQueries
+      .graphLinkPredictDistributed(s, sf, 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(fused == anti, "anti-join branch diverges from fused branch")
+    assert(fused.size == 20)
+  }
+
   test("dense and distributed triangle paths agree") {
     val s = spark
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
