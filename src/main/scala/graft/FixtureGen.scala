@@ -44,6 +44,16 @@ object FixtureGen {
     graft.pipeline.MediaMeta.writePcmMp4(pcm, 8000, "sowt")
   }
 
+  /** A 0.25 s-ish mono Layer-I tone: constant amplitude 0.5 planted in
+    * subband 4 (scalefactor 2.0, 15-bit codes), quantized through the
+    * exact inverse of the §2.4.3.3 requantization — so the decoded
+    * subband stats are closed-form physics: peak ≈ 0.5 (within the
+    * 15-bit step), RMS = peak/√32, mean|s| = peak/32, dominant-subband
+    * energy share exactly 1.0. */
+  def mp3L1Tone(): Array[Byte] =
+    graft.pipeline.MediaMeta.writeMp3L1Tone(nFrames = 21, subband = 4,
+      amplitude = 0.5)
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption
       .getOrElse("src/main/resources/graft/fixtures")
@@ -54,6 +64,11 @@ object FixtureGen {
       java.nio.file.Paths.get(s"$dir/mp4_pcm_sine.mp4"), mp4)
     println(s"PHYSICS mp4_pcm_sine.mp4 n_bytes=${mp4.length} features=" +
       graft.pipeline.Multimodal.audioFeatures(mp4).get.mkString(","))
+    val l1 = mp3L1Tone()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/mp3_l1_tone.mp3"), l1)
+    println(s"PHYSICS mp3_l1_tone.mp3 n_bytes=${l1.length} features=" +
+      graft.pipeline.Multimodal.mp3L1Features(l1).get.mkString(","))
     for (name <- Seq("avi_scenes.avi", "avi_clip.avi")) {
       val p = java.nio.file.Paths.get(s"$dir/$name")
       if (java.nio.file.Files.exists(p)) {

@@ -93,11 +93,10 @@ object MediaMeta {
       samples, frameBytes))
   }
 
-  /** Walk the MPEG-audio frame chain. Accepts only a run of ≥2
-    * CONSECUTIVE valid frames agreeing on version/layer/sample-rate
-    * (one 0xFF sync byte in random data is common; two chained
-    * spec-consistent frames are not). Skips a leading ID3v2 tag. */
-  def parseMp3(bytes: Array[Byte]): Option[Mp3Meta] = {
+  /** Find the first header that chains to a second spec-consistent
+    * one (one 0xFF sync byte in random data is common; two chained
+    * frames are not). Skips a leading ID3v2 tag. −1 when none. */
+  private def mp3ChainStart(bytes: Array[Byte]): Int = {
     var off = 0
     // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4)
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
@@ -106,7 +105,6 @@ object MediaMeta {
         ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
       off = 10 + sz
     }
-    // scan to the first header that chains to a second one
     var start = -1
     var scan = off
     while (start < 0 && scan + 4 <= bytes.length) {
@@ -118,6 +116,13 @@ object MediaMeta {
         case _ => scan += 1
       }
     }
+    start
+  }
+
+  /** Walk the MPEG-audio frame chain. Accepts only a run of ≥2
+    * CONSECUTIVE valid frames agreeing on version/layer/sample-rate. */
+  def parseMp3(bytes: Array[Byte]): Option[Mp3Meta] = {
+    val start = mp3ChainStart(bytes)
     if (start < 0) return None
     val first = mp3Header(bytes, start).get
     var pos = start
@@ -170,6 +175,178 @@ object MediaMeta {
         s"brIdx=$brIdx ver=$verBits layer=$layerBits sr=$srIdx"))
       bos.write(new Array[Byte](f.frameBytes - 4))
     }
+    bos.toByteArray
+  }
+
+  // ---------------------------------------- MP3 Layer I subband decode
+  /** Layer-I SUBBAND-sample decode result. `sub` holds the
+    * requantized, rescaled subband samples s′ in stream order —
+    * index ((frame·12 + s)·32 + sb)·channels + ch — with silent
+    * (unallocated) subbands as exact 0f. `nbMax` is the largest
+    * per-sample code width seen. */
+  final case class Mp3L1Subbands(sampleRateHz: Int, channels: Int,
+                                 frames: Int, nbMax: Int,
+                                 sub: Array[Float])
+
+  /** MSB-first bounded bit reader for the Layer-I payload walk. */
+  private final class L1BitReader(b: Array[Byte], start: Long,
+                                  val end: Long) {
+    private var bp = start
+    def ok(n: Int): Boolean = bp + n <= end
+    def read(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val bi = (bp >> 3).toInt
+        v = (v << 1) | ((b(bi) >> (7 - (bp & 7).toInt)) & 1)
+        bp += 1
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** MPEG-1 Layer I sample decode to the SUBBAND domain (ISO 11172-3
+    * §2.4.3.3): the 4-bit allocations, 6-bit scalefactor indices
+    * (sf = 2·2^(−idx/3) — a closed-form geometric table), and the
+    * midrise requantization
+    * s″ = 2^nb/(2^nb−1) · (s‴ + 2^(1−nb)), s‴ = code/2^(nb−1) − 1
+    * are all FORMULA-exact from the public spec, no tables. What this
+    * deliberately does not do is §2.4.3.4's synthesis to time-domain
+    * PCM: the polyphase matrixing is a closed-form cosine, but its
+    * 512-coefficient prototype window is a spec TABLE (Annex 3-B.3)
+    * with no generating formula, and fabricating those constants
+    * offline would be fake precision — so PCM stays behind the
+    * documented stub. The filterbank is power-complementary, so
+    * energy statistics computed in the subband domain ARE the
+    * time-domain statistics up to window ripple; that is the layer
+    * [[Multimodal.mp3L1Features]] reports and the decode-stats
+    * fixture row pins. Mono and independent stereo; None for
+    * joint-stereo (intensity coding), Layer II/III (their allocation
+    * tables are spec tables), truncation, or any reserved field. */
+  def decodeMp3L1(bytes: Array[Byte]): Option[Mp3L1Subbands] = {
+    val start = mp3ChainStart(bytes)
+    if (start < 0) return None
+    val first = mp3Header(bytes, start).get
+    if (first.version != 10 || first.layer != 1) return None
+    val out = new scala.collection.mutable.ArrayBuffer[Float]()
+    var frames = 0
+    var nbMax = 0
+    var pos = start
+    var ok = true
+    while (ok && pos + 4 <= bytes.length) {
+      mp3Header(bytes, pos) match {
+        case Some(f) if f.version == 10 && f.layer == 1 &&
+            f.sampleRate == first.sampleRate &&
+            pos + f.frameBytes <= bytes.length =>
+          val chMode = (bytes(pos + 3) >> 6) & 3
+          if (chMode == 1) return None // intensity stereo unsupported
+          val nch = if (chMode == 3) 1 else 2
+          val crc = (bytes(pos + 1) & 1) == 0
+          val br = new L1BitReader(bytes,
+            (pos + 4).toLong * 8 + (if (crc) 16 else 0),
+            (pos + f.frameBytes).toLong * 8)
+          val alloc = Array.ofDim[Int](32, nch)
+          var sb = 0
+          while (sb < 32) {
+            var ch = 0
+            while (ch < nch) {
+              if (!br.ok(4)) return None
+              val a = br.read(4)
+              if (a == 15) return None // forbidden allocation
+              alloc(sb)(ch) = a
+              ch += 1
+            }
+            sb += 1
+          }
+          val sf = Array.ofDim[Double](32, nch)
+          sb = 0
+          while (sb < 32) {
+            var ch = 0
+            while (ch < nch) {
+              if (alloc(sb)(ch) > 0) {
+                if (!br.ok(6)) return None
+                sf(sb)(ch) = 2.0 * math.pow(2.0, -br.read(6) / 3.0)
+              }
+              ch += 1
+            }
+            sb += 1
+          }
+          var s = 0
+          while (s < 12) {
+            sb = 0
+            while (sb < 32) {
+              var ch = 0
+              while (ch < nch) {
+                if (alloc(sb)(ch) > 0) {
+                  val nb = alloc(sb)(ch) + 1
+                  if (nb > nbMax) nbMax = nb
+                  if (!br.ok(nb)) return None
+                  val code = br.read(nb)
+                  val s3 = code.toDouble / (1 << (nb - 1)) - 1.0
+                  val s2 = (s3 + math.pow(2.0, 1 - nb)) *
+                    (1L << nb).toDouble / ((1L << nb) - 1)
+                  out += (sf(sb)(ch) * s2).toFloat
+                } else out += 0f
+                ch += 1
+              }
+              sb += 1
+            }
+            s += 1
+          }
+          frames += 1
+          pos += f.frameBytes
+        case _ => ok = false
+      }
+    }
+    if (frames < 2) None
+    else Some(Mp3L1Subbands(first.sampleRate, first.channels, frames,
+      nbMax, out.toArray))
+  }
+
+  /** Layer-I fixture writer (the Layer-I twin of [[writeMp3]]'s
+    * zero-payload frames): a mono constant tone in ONE subband,
+    * quantized through the exact inverse of [[decodeMp3L1]]'s
+    * requantization, so decode recovers `amplitude` to within the
+    * nb-bit quantization step — the physics the decode-stats row
+    * pins. 32 kHz MPEG-1 Layer I at 32 kbps → 48-byte frames, which
+    * fit the mono 1-subband payload (346 bits) with zero padding. */
+  def writeMp3L1Tone(nFrames: Int, subband: Int, amplitude: Double,
+                     sfIdx: Int = 0, nb: Int = 15): Array[Byte] = {
+    require(nFrames >= 2 && subband >= 0 && subband < 32 &&
+      nb >= 2 && nb <= 15 && sfIdx >= 0 && sfIdx < 63)
+    val sf = 2.0 * math.pow(2.0, -sfIdx / 3.0)
+    // invert: s″ = A/sf; s‴ = s″·(2^nb−1)/2^nb − 2^(1−nb);
+    // code = round((s‴+1)·2^(nb−1)), clamped to the nb-bit range
+    val s2 = amplitude / sf
+    val s3 = s2 * ((1L << nb) - 1).toDouble / (1L << nb) -
+      math.pow(2.0, 1 - nb)
+    val code = math.max(0L, math.min((1L << nb) - 1,
+      math.round((s3 + 1.0) * (1L << (nb - 1))))).toInt
+    val frame = new Array[Byte](48)
+    // header: MPEG-1 (11), Layer I (11), no CRC (1) → 0xFF 0xFF;
+    // bitrate idx 1 (32 kbps), sr idx 2 (32 kHz), mono
+    frame(0) = 0xFF.toByte; frame(1) = 0xFF.toByte
+    frame(2) = ((1 << 4) | (2 << 2)).toByte; frame(3) = 0xC0.toByte
+    var bp = 32L
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        val bi = (bp >> 3).toInt
+        frame(bi) = (frame(bi) | (((v >> i) & 1) <<
+          (7 - (bp & 7).toInt))).toByte
+        bp += 1
+        i -= 1
+      }
+    }
+    var sb = 0
+    while (sb < 32) { put(if (sb == subband) nb - 1 else 0, 4); sb += 1 }
+    put(sfIdx, 6)
+    var s = 0
+    while (s < 12) { put(code, nb); s += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    var fI = 0
+    while (fI < nFrames) { bos.write(frame); fI += 1 }
     bos.toByteArray
   }
 

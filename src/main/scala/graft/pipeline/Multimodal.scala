@@ -484,6 +484,7 @@ object Multimodal {
           val decoded: Option[Array[Float]] = m.kind match {
             case "image" => decodeImage(m.content).map(imageFeatures)
             case "audio" => audioFeatures(m.content)
+              .orElse(mp3L1Features(m.content))
               .orElse(compressedMeta("audio", m.content))
             case "video" => videoFeatures(m.content)
               .orElse(compressedMeta("video", m.content))
@@ -496,6 +497,39 @@ object Multimodal {
       }
     }
   }
+
+  /** MPEG-1 Layer-I SAMPLE decode ([[MediaMeta.decodeMp3L1]] — the
+    * spec-formula requantization to the subband domain; the synthesis
+    * window is a spec table unavailable offline, and the filterbank
+    * is power-complementary, so subband-domain energy statistics ARE
+    * the time-domain ones up to window ripple). Layout
+    * [sampleRate, channels, durationSec, sbRms, dominantShare,
+    * sbPeak, sbMeanAbs, nbMax] — f4/f6/f7 are real decoded sample
+    * statistics, f5 is the energy share of the loudest subband. */
+  def mp3L1Features(content: Array[Byte]): Option[Array[Float]] =
+    MediaMeta.decodeMp3L1(content).map { d =>
+      val n = d.sub.length
+      val nch = d.channels
+      val eSb = new Array[Double](32)
+      var e = 0.0
+      var pk = 0.0
+      var ma = 0.0
+      var i = 0
+      while (i < n) {
+        val v = d.sub(i).toDouble
+        val av = math.abs(v)
+        e += v * v
+        ma += av
+        if (av > pk) pk = av
+        eSb((i / nch) % 32) += v * v
+        i += 1
+      }
+      val dur = d.frames * 384.0 / d.sampleRateHz
+      Array(d.sampleRateHz.toFloat, d.channels.toFloat, dur.toFloat,
+        (if (n == 0) 0.0 else math.sqrt(e / n)).toFloat,
+        (if (e == 0.0) 0.0 else eSb.max / e).toFloat, pk.toFloat,
+        (if (n == 0) 0.0 else ma / n).toFloat, d.nbMax.toFloat)
+    }
 
   /** Header-level metadata for COMPRESSED payloads ([[MediaMeta]] —
     * real bitstream parsing, no codec): MP3 under kind "audio"; H.264

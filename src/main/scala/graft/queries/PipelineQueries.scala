@@ -1518,7 +1518,12 @@ object PipelineQueries {
     // row 14 is the SAME PCM as wav_sine inside a QuickTime 'sowt'
     // PCM MP4, decoded through the ISO-BMFF sample-table walk
     // (MediaMeta.mp4PcmToWav) — its stats must equal row 3's exactly
-    (14L, "audio", "mp4_pcm_sine.mp4"))
+    (14L, "audio", "mp4_pcm_sine.mp4"),
+    // MPEG-1 Layer I tone through the spec-formula SUBBAND decode
+    // (MediaMeta.decodeMp3L1): amplitude 0.5 planted in subband 4 →
+    // peak 0.5 (within the 15-bit step), RMS 0.5/√32 = 0.0884,
+    // mean|s| 0.5/32 = 0.0156, dominant-subband share exactly 1.0
+    (15L, "audio", "mp3_l1_tone.mp3"))
 
   private val phashFixtures = Seq(
     (1L, "png_scene.png"), (2L, "png_scene_bright.png"),
@@ -1665,7 +1670,9 @@ object PipelineQueries {
   /** Precomputed decode outputs of the committed fixtures. The numbers
     * are physics, not copies: wav_sine RMS = 0.5/√2 = 0.3535, ZCR =
     * 2·440/8000 = 0.11, mean|x| = 0.5·2/π = 0.3183; png_gradient 16×8
-    * channel means (120, 112, 88); avi_clip 3 frames / 0.3 s / 10 fps.
+    * channel means (120, 112, 88); avi_clip 3 frames / 0.3 s / 10 fps;
+    * row 15 is the Layer-I subband decode physics (peak 0.5, RMS
+    * 0.5/√32, mean|s| 0.5/32, one dominant subband → share 1.0).
     * PNG and PCM decode are bit-stable; the two JPEG-derived luma
     * cells (f6/f7 of row 5) are stable for the pinned container JDK. */
   val multimodalDecodeStatsSql: String = """
@@ -1689,7 +1696,8 @@ object PipelineQueries {
       (11, 'audio', 1084, true, 16000.0, 2.0, 0.0625, 0.1762, 0.11, 0.2574, 0.1581, 16.0),
       (12, 'audio', 2058, true, 8000.0, 1.0, 0.25, 0.3551, 0.11, 0.5116, 0.3196, 8.0),
       (13, 'audio', 2058, true, 8000.0, 1.0, 0.25, 0.3528, 0.1095, 0.4922, 0.3177, 8.0),
-      (14, 'audio', 4501, true, 8000.0, 1.0, 0.25, 0.3535, 0.11, 0.5, 0.3183, 16.0))
+      (14, 'audio', 4501, true, 8000.0, 1.0, 0.25, 0.3535, 0.11, 0.5, 0.3183, 16.0),
+      (15, 'audio', 1008, true, 32000.0, 1.0, 0.252, 0.0884, 1.0, 0.5, 0.0156, 15.0))
       AS t(media_id, kind, n_bytes, decode_ok, f1, f2, f3, f4, f5, f6, f7, f8)
     ORDER BY media_id"""
 
