@@ -64,7 +64,40 @@ object Scaling {
     // SF — its ratio is the honest answer to whether the quadrupling
     // rounds scale)
     "dedup_substring_cut", "substring_repeat_profile",
-    "substring_repeat_profile_dist")
+    "substring_repeat_profile_dist",
+    // round-13 widening (verdict: the decade panel is the only
+    // 100×-design evidence the harness records — cover the registry
+    // broadly, not just the tail): the full TPC-H suite, every ANN
+    // tier + the recall evals, the remaining dedup family, the
+    // embedding kernels, the text-analysis scans, the event-sequence
+    // shapes, and the join/window/sketch workhorses. Fixture-driven
+    // multimodal queries are excluded on purpose — their input does
+    // not scale with SF, so a ratio would be meaningless.
+    "q1_pricing_summary", "q3_top_revenue", "q4_priority_exists",
+    "q5_regional_revenue", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q11_important_parts", "q12_priority_shipping", "q13_custdist",
+    "q14_promo_share", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_rev",
+    "q20_excess_shippers", "q22_sales_opportunity",
+    "sim_ann_ivf", "sim_ann_ivf_persisted", "sim_ann_lsh",
+    "sim_cosine_topk", "sim_topk_pq", "sim_topk_mrl", "sim_topk_rp",
+    "ivf_recall_eval", "lsh_recall_eval",
+    "dedup_exact", "dedup_paragraph", "dedup_emb_cosine", "url_dedup",
+    "decontaminate", "decontaminate_semantic",
+    "emb_kmeans", "emb_pca_power", "emb_outliers", "emb_rp_project",
+    "emb_quantize",
+    "bpe_train", "tokenize_learned", "ngram_novelty", "overlap_matrix",
+    "text_tfidf_top", "text_token_bpe", "text_entropy", "text_langid",
+    "text_quality", "retrieval_rrf_fusion", "retrieval_ndcg_eval",
+    "vocab_growth",
+    "sessionize", "events_funnel", "events_retention", "events_markov",
+    "events_pattern_match", "events_acf",
+    "window_running", "window_rank", "grouped_topk", "percentiles",
+    "interval_join", "fuzzy_join_parts", "skew_salted_join",
+    "gaps_islands", "sketch_cms_heavy", "sketch_kmv_distinct",
+    "sketch_quantile", "snapshot_upsert", "scd2_build",
+    "zorder_prune_eval")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("SCALING.json")

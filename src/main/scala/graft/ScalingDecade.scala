@@ -43,7 +43,11 @@ object ScalingDecade {
     // panel measures the _dist FALLBACK forms at BOTH SFs — the
     // like-for-like scaling of the plan that actually runs at sf1,
     // not a ratio smeared across the dispatch boundary
-    "graph_link_predict_dist", "graph_triangles_dist")
+    "graph_link_predict_dist", "graph_triangles_dist",
+    // round-13: the quadrupled suffix-rank build (the dense dispatch
+    // still wins at sf1's 2.7M positions — the _dist form measures the
+    // plan that runs past the 2^22 guard) and the corpus cut
+    "substring_repeat_profile_dist", "dedup_substring_cut")
 
   def synthesize(spark: SparkSession, src: String, dst: String): Unit = {
     val reps = 10
