@@ -954,7 +954,11 @@ class ScaleSpec extends SparkSpec {
     // plan/behavior spec elsewhere in this file or its operator spec.
     val allowedRddTerminal = Set(
       "dedup_jaccard",     // dense-path popcount kernel (jaccardPairsBitmap)
-      "dedup_containment") // same kernel, containment scoring
+      "dedup_containment", // same kernel, containment scoring
+      // dense-dispatch driver suffix sort under the 2^22-position
+      // guard (the distributed twin keeps a full inspectable plan and
+      // is audited as substring_repeat_profile_dist right below)
+      "substring_repeat_profile")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
