@@ -42,22 +42,28 @@ object GraphEdges {
 
   /** One row per (order, unordered part pair): columns (o, a, b) with
     * a < b — exactly what the naive self-join emits, hot-order-safe.
-    * `op` must already be the DISTINCT (o, p) projection. Returns the
-    * pair frame plus any persisted intermediates for the caller to
-    * release after materializing. */
-  def coPurchasePairs(op0: DataFrame): (DataFrame, Seq[DataFrame]) = {
-    // persist the distinct projection: the probe is a separate JOB, so
-    // without this the upstream distinct exchange runs twice
-    val op = op0.persist()
-    val k = op.groupBy(col("o")).agg(count(lit(1)).as("k"))
-    val anyHot = k.filter(col("k") > HotOrderParts).limit(1).count() > 0
+    * `op` must already be the DISTINCT (o, p) projection; `probeRaw`
+    * is the same projection BEFORE the distinct — the probe counts
+    * raw rows per order (map-side-combinable, no distinct exchange,
+    * nothing persisted on the cold path), which can only OVERestimate
+    * the distinct part count, so the guard stays conservative while
+    * the no-hot-orders plan is byte-identical to the naive join.
+    * Returns the pair frame plus any persisted intermediates for the
+    * caller to release after materializing. */
+  def coPurchasePairs(op: DataFrame, probeRaw: DataFrame)
+      : (DataFrame, Seq[DataFrame]) = {
+    val kRaw = probeRaw.groupBy(col("o")).agg(count(lit(1)).as("k"))
+    val anyHot =
+      kRaw.filter(col("k") > HotOrderParts).limit(1).count() > 0
     if (!anyHot) {
       val pairs = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.o").as("o"), col("x.p").as("a"),
           col("y.p").as("b"))
-      (pairs, Seq(op))
+      (pairs, Nil)
     } else {
+      // exact per-order distinct counts drive the chunk layout
+      val k = op.groupBy(col("o")).agg(count(lit(1)).as("k"))
       val withK = op.join(k, Seq("o")).persist()
       val cold = withK.filter(col("k") <= HotOrderParts)
         .select("o", "p")
@@ -83,7 +89,7 @@ object GraphEdges {
         .filter(col("ci") < col("cj") || col("pa") < col("pb"))
         .select(col("o"), least(col("pa"), col("pb")).as("a"),
           greatest(col("pa"), col("pb")).as("b"))
-      (coldPairs.unionByName(hotPairs), Seq(op, withK))
+      (coldPairs.unionByName(hotPairs), Seq(withK))
     }
   }
 }

@@ -557,10 +557,11 @@ object EngineQueries {
   def graphLinkPredictDistributed(s: SparkSession, d: String,
                                   broadcastMax: Long): DataFrame = {
     import s.implicits._
-    val op = Tables.lineitem(s, d)
+    val raw = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val (opPairs, probed) = graft.operators.GraphEdges.coPurchasePairs(op)
+    val op = raw.distinct()
+    val (opPairs, probed) =
+      graft.operators.GraphEdges.coPurchasePairs(op, raw)
     val e = opPairs.select(col("a"), col("b"))
       .distinct().persist()
     val deg = e.select(col("a").as("v"))

@@ -4520,10 +4520,11 @@ object PipelineQueries {
     * dispatch guard; LinkPredictSpec pins both paths to identical
     * rows. */
   def graphTrianglesDistributed(s: SparkSession, d: String): DataFrame = {
-    val op = Tables.lineitem(s, d)
+    val raw = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val (opPairs, probed) = graft.operators.GraphEdges.coPurchasePairs(op)
+    val op = raw.distinct()
+    val (opPairs, probed) =
+      graft.operators.GraphEdges.coPurchasePairs(op, raw)
     val e = opPairs.select(col("a"), col("b"))
       .distinct().persist()
     val deg = e.select(col("a").as("v"))
@@ -4609,10 +4610,11 @@ object PipelineQueries {
     * vertex is a single max(struct(cnt, −label)) aggregate, not a
     * rank window. */
   def graphCommunities(s: SparkSession, d: String): DataFrame = {
-    val op = Tables.lineitem(s, d)
+    val raw = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val (opPairs, probed) = graft.operators.GraphEdges.coPurchasePairs(op)
+    val op = raw.distinct()
+    val (opPairs, probed) =
+      graft.operators.GraphEdges.coPurchasePairs(op, raw)
     val e = opPairs.select(col("a"), col("b")).distinct()
     val edges = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
@@ -4670,15 +4672,16 @@ object PipelineQueries {
     * and lift divides exact-integer-valued doubles in one fixed
     * expression tree, so both engines emit bit-identical statistics. */
   def assocRules(s: SparkSession, d: String): DataFrame = {
-    val op = Tables.lineitem(s, d)
+    val raw = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct().persist()
+    val op = raw.distinct().persist()
     val nOrders = op.select(col("o")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val item = op.groupBy("p").agg(count(lit(1)).as("n_item"))
     // one row per (order, pair) from the hot-order-safe expansion, so
     // the per-pair count is the co-purchase order count as before
-    val (opPairs, probed) = graft.operators.GraphEdges.coPurchasePairs(op)
+    val (opPairs, probed) =
+      graft.operators.GraphEdges.coPurchasePairs(op, raw)
     val pairs = opPairs
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))

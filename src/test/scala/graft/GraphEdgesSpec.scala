@@ -27,9 +27,10 @@ class GraphEdgesSpec extends SparkSpec {
       // normal orders: ≤ 5 parts each, overlapping part space
       (0 until 500).flatMap(o =>
         (0 until 1 + o % 5).map(i => (100L + o, ((o * 13 + i * 7) % 200).toLong)))
-    val op = rows.toDF("o", "p").distinct().repartition(8)
+    val raw = rows.toDF("o", "p").repartition(8)
+    val op = raw.distinct()
 
-    val (pairs, probed) = GraphEdges.coPurchasePairs(op)
+    val (pairs, probed) = GraphEdges.coPurchasePairs(op, raw)
     // order-independent fingerprint: (count, Σ xxhash64(o,a,b)) — any
     // lost, duplicated, or altered (order, pair) row moves it
     def fp(df: org.apache.spark.sql.DataFrame): (Long, BigDecimal) = {
@@ -76,14 +77,14 @@ class GraphEdgesSpec extends SparkSpec {
     import spark.implicits._
     val rows = (0 until 300).flatMap(o =>
       (0 until 1 + o % 6).map(i => (o.toLong, ((o * 11 + i * 3) % 97).toLong)))
-    val op = rows.toDF("o", "p").distinct()
-    val (pairs, probed) = GraphEdges.coPurchasePairs(op)
-    // cold corpus: only the persisted distinct projection comes back —
-    // no chunked-expansion state
-    assert(probed.size == 1, "unexpected persisted state on cold corpus")
+    val raw = rows.toDF("o", "p")
+    val op = raw.distinct()
+    val (pairs, probed) = GraphEdges.coPurchasePairs(op, raw)
+    // cold corpus: the raw-row probe persists nothing and the plan is
+    // byte-identical to the naive self-join
+    assert(probed.isEmpty, "probe persisted state on a cold corpus")
     val got = pairs.collect().map(_.toSeq).toSet
     val want = naive(op).collect().map(_.toSeq).toSet
     assert(got == want)
-    probed.foreach(_.unpersist())
   }
 }
