@@ -54,6 +54,18 @@ object FixtureGen {
     graft.pipeline.MediaMeta.writeMp3L1Tone(nFrames = 21, subband = 4,
       amplitude = 0.5)
 
+  /** Three 32×16 I_PCM frames at constant lumas 40/120/200 (10 fps):
+    * decoded physics are closed-form — per-frame means exactly
+    * 40/120/200, overall mean 120, std √(12800/3) = 65.3197,
+    * duration 0.3 s. */
+  def h264IPcm(): Array[Byte] = {
+    val frames = Seq(40, 120, 200).map { v =>
+      Array.fill[Byte](32 * 16)(v.toByte)
+    }
+    graft.pipeline.MediaMeta.writeH264IPcm(frames, widthMbs = 2,
+      heightMbs = 1, fps = 10.0)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption
       .getOrElse("src/main/resources/graft/fixtures")
@@ -69,6 +81,11 @@ object FixtureGen {
       java.nio.file.Paths.get(s"$dir/mp3_l1_tone.mp3"), l1)
     println(s"PHYSICS mp3_l1_tone.mp3 n_bytes=${l1.length} features=" +
       graft.pipeline.Multimodal.mp3L1Features(l1).get.mkString(","))
+    val ipcm = h264IPcm()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/h264_ipcm.264"), ipcm)
+    println(s"PHYSICS h264_ipcm.264 n_bytes=${ipcm.length} features=" +
+      graft.pipeline.Multimodal.h264IPcmFeatures(ipcm).get.mkString(","))
     for (name <- Seq("avi_scenes.avi", "avi_clip.avi")) {
       val p = java.nio.file.Paths.get(s"$dir/$name")
       if (java.nio.file.Files.exists(p)) {

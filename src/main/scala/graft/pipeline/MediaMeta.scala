@@ -382,6 +382,11 @@ object MediaMeta {
       val k = ue()
       if (k % 2 == 1) (k + 1) / 2 else -(k / 2)
     }
+    /** pcm_alignment_zero_bit run: skip to the next byte boundary,
+      * requiring the padding bits to be 0 (§7.3.5 I_PCM). */
+    def alignZero(): Unit =
+      while ((pos & 7) != 0)
+        if (u(1) != 0) throw new IllegalStateException("pcm align bit")
   }
 
   /** Strip emulation-prevention bytes: 00 00 03 → 00 00 (§7.4.1.1). */
@@ -426,8 +431,19 @@ object MediaMeta {
   private val HighProfiles =
     Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
 
+  /** Every SPS field the metadata layer or the I_PCM decoder needs. */
+  private final case class SpsInfo(profileIdc: Int, levelIdc: Int,
+      width: Int, height: Int, fps: Double, widthMbs: Int,
+      heightMapUnits: Int, frameMbsOnly: Boolean, log2MaxFrameNum: Int,
+      pocType: Int, cropped: Boolean)
+
   /** Parse one SPS RBSP → (profile, level, width, height, fps). */
   private def parseSpsRbsp(rbsp: Array[Byte]): (Int, Int, Int, Int, Double) = {
+    val i = parseSpsInfo(rbsp)
+    (i.profileIdc, i.levelIdc, i.width, i.height, i.fps)
+  }
+
+  private def parseSpsInfo(rbsp: Array[Byte]): SpsInfo = {
     val r = new BitReader(rbsp)
     val profileIdc = r.u(8)
     r.u(8) // constraint_set flags + reserved
@@ -457,7 +473,7 @@ object MediaMeta {
         }
       }
     }
-    r.ue() // log2_max_frame_num_minus4
+    val log2MaxFrameNum = r.ue() + 4
     val pocType = r.ue()
     if (pocType == 0) r.ue()
     else if (pocType == 1) {
@@ -510,7 +526,9 @@ object MediaMeta {
           fps = timeScale.toDouble / (2.0 * numUnitsInTick)
       }
     }
-    (profileIdc, levelIdc, width, height, fps)
+    SpsInfo(profileIdc, levelIdc, width, height, fps, picWidthInMbs,
+      picHeightInMapUnits, frameMbsOnly == 1, log2MaxFrameNum, pocType,
+      cropL + cropR + cropT + cropB > 0)
   }
 
   /** Parse an Annex-B H.264 elementary stream: SPS geometry + slice
@@ -545,6 +563,11 @@ object MediaMeta {
       u(0, len - 1); u(k, len)
     }
     def se(v: Int): this.type = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    /** pcm_alignment_zero_bit run to the next byte boundary. */
+    def alignZero(): this.type = {
+      while (bits.size % 8 != 0) u(0, 1)
+      this
+    }
     /** rbsp_trailing_bits + byte align, then emulation-prevent. */
     def toRbsp: Array[Byte] = {
       val all = bits :+ 1
@@ -754,6 +777,155 @@ object MediaMeta {
 
   /** SPS NAL bytes (header + escaped RBSP) for the given geometry —
     * what [[writeMp4]] embeds in avcC. */
+  // ------------------------------------------ H.264 I_PCM pixel decode
+  /** Decoded I_PCM video: per-frame LUMA planes (row-major w×h bytes);
+    * chroma is parsed and discarded (the stats layer is luma-only,
+    * like the MJPEG path's mean-luma features). */
+  final case class H264IPcm(width: Int, height: Int, fps: Double,
+                            frames: Seq[Array[Byte]])
+
+  /** The PPS fields the I_PCM decoder must honor. */
+  private final case class PpsInfo(cavlc: Boolean, sliceGroups: Int,
+                                   deblockCtl: Boolean,
+                                   redundantCnt: Boolean)
+
+  private def parsePpsRbsp(b: Array[Byte]): PpsInfo = {
+    val r = new BitReader(b)
+    r.ue(); r.ue()              // pps id, sps id
+    val cavlc = r.u(1) == 0     // entropy_coding_mode_flag
+    r.u(1)                      // bottom_field_pic_order_in_frame
+    val groups = r.ue() + 1     // num_slice_groups
+    r.ue(); r.ue()              // num_ref_idx_l0/l1 defaults
+    r.u(1); r.u(2)              // weighted_pred / weighted_bipred_idc
+    r.se(); r.se(); r.se()      // pic_init_qp/qs, chroma_qp_offset
+    val deblock = r.u(1) == 1   // deblocking_filter_control_present
+    r.u(1)                      // constrained_intra_pred
+    val redundant = r.u(1) == 1 // redundant_pic_cnt_present
+    PpsInfo(cavlc, groups, deblock, redundant)
+  }
+
+  /** H.264 PIXEL decode for the I_PCM subset (ITU-T H.264 §7.3.5
+    * mb_type 25): raw uncompressed macroblocks every conformant
+    * decoder must support, and the one slice of the codec whose
+    * bitstream is entirely FORMULA-defined — Exp-Golomb headers,
+    * alignment bits, then literal samples. Full residual decode
+    * (CAVLC/CABAC + intra prediction + IDCT) needs the spec's VLC
+    * tables, which have no generating formula and no offline source
+    * here — so any slice containing a non-I_PCM macroblock honestly
+    * returns None rather than half-decoding. Supported shape: CAVLC
+    * PPS, one slice group, poc_type 2, frame_mbs_only, uncropped,
+    * one slice per picture, 4:2:0 8-bit (baseline defaults). */
+  def decodeH264IPcm(bytes: Array[Byte]): Option[H264IPcm] =
+    try {
+      val nals = nalUnits(bytes)
+      val sps = nals.collectFirst { case (7, p) =>
+        parseSpsInfo(unescapeRbsp(p))
+      }.getOrElse(return None)
+      if (sps.pocType != 2 || !sps.frameMbsOnly || sps.cropped ||
+        HighProfiles(sps.profileIdc)) return None
+      val pps = nals.collectFirst { case (8, p) =>
+        parsePpsRbsp(unescapeRbsp(p))
+      }.getOrElse(return None)
+      if (!pps.cavlc || pps.sliceGroups != 1) return None
+      val (mbW, mbH) = (sps.widthMbs, sps.heightMapUnits)
+      val (w, h) = (mbW * 16, mbH * 16)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      nals.foreach {
+        case (t, p) if t == 5 || t == 1 =>
+          val r = new BitReader(unescapeRbsp(p))
+          if (r.ue() != 0) return None // one slice per picture only
+          val sliceType = r.ue()
+          if (sliceType % 5 != 2) return None // I slices only
+          r.ue()                    // pps id
+          r.u(sps.log2MaxFrameNum)  // frame_num
+          if (t == 5) r.ue()        // idr_pic_id
+          // poc_type 2 → no poc fields
+          if (pps.redundantCnt) r.ue()
+          r.se()                    // slice_qp_delta
+          if (pps.deblockCtl) {
+            val idc = r.ue()
+            if (idc != 1) { r.se(); r.se() }
+          }
+          val luma = new Array[Byte](w * h)
+          var mb = 0
+          while (mb < mbW * mbH) {
+            if (r.ue() != 25) return None // I_PCM or nothing
+            r.alignZero()
+            val mx = (mb % mbW) * 16
+            val my = (mb / mbW) * 16
+            var i = 0
+            while (i < 256) {
+              luma((my + i / 16) * w + mx + (i % 16)) = r.u(8).toByte
+              i += 1
+            }
+            var c = 0
+            while (c < 128) { r.u(8); c += 1 } // Cb + Cr 8×8, discarded
+            mb += 1
+          }
+          frames += luma
+        case _ => ()
+      }
+      if (frames.isEmpty) None
+      else Some(H264IPcm(w, h, sps.fps, frames.toSeq))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** I_PCM fixture writer (the pixel twin of [[writeMp3L1Tone]]): each
+    * frame's luma plane goes out verbatim as I_PCM macroblocks inside
+    * one IDR slice (chroma written as neutral 128), behind a real
+    * SPS/PPS pair — spec-exact headers, emulation prevention included,
+    * so [[decodeH264IPcm]] must return the planted planes
+    * byte-for-byte. */
+  def writeH264IPcm(frames: Seq[Array[Byte]], widthMbs: Int,
+                    heightMbs: Int, fps: Double = 10.0): Array[Byte] = {
+    val (w, h) = (widthMbs * 16, heightMbs * 16)
+    require(frames.nonEmpty && frames.forall(_.length == w * h))
+    val bos = new java.io.ByteArrayOutputStream()
+    def nal(header: Int, rbsp: Array[Byte]): Unit = {
+      bos.write(Array[Byte](0, 0, 0, 1))
+      bos.write(header)
+      bos.write(rbsp)
+    }
+    nal(0x67, spsRbsp(widthMbs, heightMbs, fps = fps))
+    val ppsW = new BitWriter
+    ppsW.ue(0).ue(0)        // pps id, sps id
+      .u(0, 1)              // CAVLC
+      .u(0, 1)              // bottom_field_pic_order
+      .ue(0)                // one slice group
+      .ue(0).ue(0)          // num_ref_idx defaults
+      .u(0, 1).u(0, 2)      // weighted pred / bipred
+      .se(0).se(0).se(0)    // qp / qs / chroma offset
+      .u(0, 1)              // deblocking ctl absent
+      .u(0, 1)              // constrained intra
+      .u(0, 1)              // redundant cnt absent
+    nal(0x68, ppsW.toRbsp)
+    frames.zipWithIndex.foreach { case (luma, fi) =>
+      val sw = new BitWriter
+      sw.ue(0)       // first_mb_in_slice
+        .ue(7)       // slice_type: I (all slices I)
+        .ue(0)       // pps id
+        .u(0, 4)     // frame_num (log2_max_frame_num = 4)
+        .ue(fi % 64) // idr_pic_id
+        .se(0)       // slice_qp_delta
+      var mb = 0
+      while (mb < widthMbs * heightMbs) {
+        sw.ue(25)    // I_PCM
+        sw.alignZero()
+        val mx = (mb % widthMbs) * 16
+        val my = (mb / widthMbs) * 16
+        var i = 0
+        while (i < 256) {
+          sw.u(luma((my + i / 16) * w + mx + (i % 16)) & 0xFF, 8)
+          i += 1
+        }
+        var c = 0
+        while (c < 128) { sw.u(128, 8); c += 1 } // neutral chroma
+        mb += 1
+      }
+      nal(0x65, sw.toRbsp) // IDR, nal_ref_idc 3
+    }
+    bos.toByteArray
+  }
+
   def spsNal(widthMbs: Int, heightMapUnits: Int, cropRight: Int = 0,
              cropBottom: Int = 0, highProfile: Boolean = false,
              fps: Double = 0.0): Array[Byte] =

@@ -487,6 +487,7 @@ object Multimodal {
               .orElse(mp3L1Features(m.content))
               .orElse(compressedMeta("audio", m.content))
             case "video" => videoFeatures(m.content)
+              .orElse(h264IPcmFeatures(m.content))
               .orElse(compressedMeta("video", m.content))
             case _ => None
           }
@@ -497,6 +498,30 @@ object Multimodal {
       }
     }
   }
+
+  /** H.264 PIXEL decode for the I_PCM subset
+    * ([[MediaMeta.decodeH264IPcm]] — raw macroblocks, the
+    * formula-defined slice of the codec; residual-coded streams
+    * return None and fall through to the header-metadata layer).
+    * Same layout as the MJPEG path: [w, h, nFrames, durationSec, fps,
+    * meanLuma, stdLuma, aspect], with the luma statistics over REAL
+    * decoded pixels. */
+  def h264IPcmFeatures(content: Array[Byte]): Option[Array[Float]] =
+    MediaMeta.decodeH264IPcm(content).map { v =>
+      val lumas = v.frames.map { f =>
+        var s = 0L
+        var i = 0
+        while (i < f.length) { s += (f(i) & 0xFF); i += 1 }
+        s.toDouble / f.length
+      }
+      val mean = lumas.sum / lumas.size
+      val std = math.sqrt(math.max(0.0,
+        lumas.map(l => l * l).sum / lumas.size - mean * mean))
+      val dur = if (v.fps > 0) v.frames.size / v.fps else 0.0
+      Array(v.width.toFloat, v.height.toFloat, v.frames.size.toFloat,
+        dur.toFloat, v.fps.toFloat, mean.toFloat, std.toFloat,
+        v.width.toFloat / v.height)
+    }
 
   /** MPEG-1 Layer-I SAMPLE decode ([[MediaMeta.decodeMp3L1]] — the
     * spec-formula requantization to the subband domain; the synthesis

@@ -1523,7 +1523,11 @@ object PipelineQueries {
     // (MediaMeta.decodeMp3L1): amplitude 0.5 planted in subband 4 →
     // peak 0.5 (within the 15-bit step), RMS 0.5/√32 = 0.0884,
     // mean|s| 0.5/32 = 0.0156, dominant-subband share exactly 1.0
-    (15L, "audio", "mp3_l1_tone.mp3"))
+    (15L, "audio", "mp3_l1_tone.mp3"),
+    // H.264 I_PCM pixel decode (MediaMeta.decodeH264IPcm): raw
+    // macroblocks — the formula-defined slice of the codec — carrying
+    // constant-luma frames 40/120/200 → mean 120, std √(12800/3)
+    (16L, "video", "h264_ipcm.264"))
 
   private val phashFixtures = Seq(
     (1L, "png_scene.png"), (2L, "png_scene_bright.png"),
@@ -1672,7 +1676,10 @@ object PipelineQueries {
     * 2·440/8000 = 0.11, mean|x| = 0.5·2/π = 0.3183; png_gradient 16×8
     * channel means (120, 112, 88); avi_clip 3 frames / 0.3 s / 10 fps;
     * row 15 is the Layer-I subband decode physics (peak 0.5, RMS
-    * 0.5/√32, mean|s| 0.5/32, one dominant subband → share 1.0).
+    * 0.5/√32, mean|s| 0.5/32, one dominant subband → share 1.0);
+    * row 16 is the H.264 I_PCM pixel decode physics (constant lumas
+    * 40/120/200 → mean 120, std √(12800/3) = 65.3197, 3 frames at
+    * 10 fps → 0.3 s).
     * PNG and PCM decode are bit-stable; the two JPEG-derived luma
     * cells (f6/f7 of row 5) are stable for the pinned container JDK. */
   val multimodalDecodeStatsSql: String = """
@@ -1697,7 +1704,8 @@ object PipelineQueries {
       (12, 'audio', 2058, true, 8000.0, 1.0, 0.25, 0.3551, 0.11, 0.5116, 0.3196, 8.0),
       (13, 'audio', 2058, true, 8000.0, 1.0, 0.25, 0.3528, 0.1095, 0.4922, 0.3177, 8.0),
       (14, 'audio', 4501, true, 8000.0, 1.0, 0.25, 0.3535, 0.11, 0.5, 0.3183, 16.0),
-      (15, 'audio', 1008, true, 32000.0, 1.0, 0.252, 0.0884, 1.0, 0.5, 0.0156, 15.0))
+      (15, 'audio', 1008, true, 32000.0, 1.0, 0.252, 0.0884, 1.0, 0.5, 0.0156, 15.0),
+      (16, 'video', 2367, true, 32.0, 16.0, 3.0, 0.3, 10.0, 120.0, 65.3197, 2.0))
       AS t(media_id, kind, n_bytes, decode_ok, f1, f2, f3, f4, f5, f6, f7, f8)
     ORDER BY media_id"""
 
