@@ -66,6 +66,13 @@ object FixtureGen {
       heightMbs = 1, fps = 10.0)
   }
 
+  /** 12 ADTS AAC-LC frames at 48 kHz stereo, alternating 200/300-byte
+    * frames: duration 12·1024/48000 = 256 ms, measured bitrate
+    * (6·200+6·300)·8/256 = 93.75 kbps, variable-rate flag set. */
+  def aacAdts(): Array[Byte] =
+    graft.pipeline.MediaMeta.writeAdts(
+      (0 until 12).map(i => if (i % 2 == 0) 200 else 300))
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption
       .getOrElse("src/main/resources/graft/fixtures")
@@ -86,6 +93,11 @@ object FixtureGen {
       java.nio.file.Paths.get(s"$dir/h264_ipcm.264"), ipcm)
     println(s"PHYSICS h264_ipcm.264 n_bytes=${ipcm.length} features=" +
       graft.pipeline.Multimodal.h264IPcmFeatures(ipcm).get.mkString(","))
+    val aac = aacAdts()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/aac_lc.aac"), aac)
+    println(s"PHYSICS aac_lc.aac n_bytes=${aac.length} meta=" +
+      graft.pipeline.MediaMeta.parseAdts(aac))
     for (name <- Seq("avi_scenes.avi", "avi_clip.avi")) {
       val p = java.nio.file.Paths.get(s"$dir/$name")
       if (java.nio.file.Files.exists(p)) {

@@ -178,6 +178,116 @@ object MediaMeta {
     bos.toByteArray
   }
 
+  // ------------------------------------------------------- ADTS (AAC)
+  /** Parsed ADTS (the MPEG-2/4 AAC transport framing, ISO/IEC 13818-7
+    * §6.2) stream summary. `objectType` = profile+1 (1 Main, 2 LC,
+    * 3 SSR, 4 LTP); `avgBitrateKbps` is measured from the actual frame
+    * bytes over the decoded duration (ADTS carries no per-frame
+    * bitrate field); `variableRate` when frame lengths differ. Raw
+    * AAC payload decode needs the codec's Huffman tables (spec tables,
+    * no generating formula) — this is deliberately the header layer,
+    * like [[parseMp3]]. */
+  final case class AdtsMeta(objectType: Int, sampleRateHz: Int,
+                            channels: Int, frameCount: Int,
+                            avgBitrateKbps: Double, durationMs: Long,
+                            variableRate: Boolean)
+
+  /** MPEG-4 audio sampling-frequency-index table (indices 13/14
+    * reserved, 15 = escape — all rejected). */
+  private val AdtsSampleRates = Array(96000, 88200, 64000, 48000, 44100,
+    32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  private final case class AdtsFrame(objectType: Int, sampleRate: Int,
+                                     channels: Int, frameBytes: Int,
+                                     samples: Int)
+
+  /** Decode one ADTS header at `off`: 12-bit sync, layer must be 00,
+    * sampling index in range, channel config present (0 = in-band PCE,
+    * unsupported), frame length covering at least its own header. */
+  private def adtsHeader(b: Array[Byte], off: Int): Option[AdtsFrame] = {
+    if (off + 7 > b.length) return None
+    if ((b(off) & 0xFF) != 0xFF || ((b(off + 1) & 0xF6) != 0xF0))
+      return None
+    val protAbsent = b(off + 1) & 1
+    val profile = (b(off + 2) >> 6) & 3
+    val srIdx = (b(off + 2) >> 2) & 0xF
+    if (srIdx >= AdtsSampleRates.length) return None
+    val chanCfg = ((b(off + 2) & 1) << 2) | ((b(off + 3) >> 6) & 3)
+    if (chanCfg == 0) return None
+    val frameLen = ((b(off + 3) & 3) << 11) | ((b(off + 4) & 0xFF) << 3) |
+      ((b(off + 5) >> 5) & 7)
+    val blocks = (b(off + 6) & 3) + 1
+    val hdr = if (protAbsent == 1) 7 else 9
+    if (frameLen < hdr) return None
+    val channels = if (chanCfg == 7) 8 else chanCfg
+    Some(AdtsFrame(profile + 1, AdtsSampleRates(srIdx), channels,
+      frameLen, blocks * 1024))
+  }
+
+  /** Walk the ADTS frame chain — same ≥2-consecutive-consistent-frames
+    * acceptance rule as [[parseMp3]] (a lone 0xFFFx sync in random
+    * bytes is common; two chained spec-consistent headers are not). */
+  def parseAdts(bytes: Array[Byte]): Option[AdtsMeta] = {
+    var start = -1
+    var scan = 0
+    while (start < 0 && scan + 7 <= bytes.length) {
+      adtsHeader(bytes, scan) match {
+        case Some(f) if adtsHeader(bytes, scan + f.frameBytes).exists(g =>
+          g.objectType == f.objectType && g.sampleRate == f.sampleRate &&
+            g.channels == f.channels) => start = scan
+        case _ => scan += 1
+      }
+    }
+    if (start < 0) return None
+    val first = adtsHeader(bytes, start).get
+    var pos = start
+    var frames = 0
+    var samples = 0L
+    var payloadBytes = 0L
+    var variable = false
+    var ok = true
+    while (ok && pos + 7 <= bytes.length) {
+      adtsHeader(bytes, pos) match {
+        case Some(f) if f.objectType == first.objectType &&
+            f.sampleRate == first.sampleRate &&
+            f.channels == first.channels &&
+            pos + f.frameBytes <= bytes.length =>
+          frames += 1
+          samples += f.samples
+          payloadBytes += f.frameBytes
+          if (f.frameBytes != first.frameBytes) variable = true
+          pos += f.frameBytes
+        case _ => ok = false
+      }
+    }
+    if (frames < 2) None
+    else {
+      val durMs = samples * 1000L / first.sampleRate
+      Some(AdtsMeta(first.objectType, first.sampleRate, first.channels,
+        frames, payloadBytes * 8.0 / durMs, durMs, variable))
+    }
+  }
+
+  /** ADTS fixture writer (the AAC twin of [[writeMp3]]): spec-exact
+    * headers with zeroed payloads of the given lengths —
+    * header-parseable, not sample-decodable. */
+  def writeAdts(frameLens: Seq[Int], profile: Int = 1, srIdx: Int = 3,
+                chanCfg: Int = 2): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    frameLens.foreach { len =>
+      require(len >= 7 && len < (1 << 13))
+      bos.write(0xFF)
+      bos.write(0xF1) // MPEG-4, layer 00, protection absent
+      bos.write((profile << 6) | (srIdx << 2) | ((chanCfg >> 2) & 1))
+      bos.write(((chanCfg & 3) << 6) | ((len >> 11) & 3))
+      bos.write((len >> 3) & 0xFF)
+      bos.write(((len & 7) << 5) | 0x1F) // + buffer fullness high bits
+      bos.write(0xFC)                    // fullness low, 1 raw block
+      bos.write(new Array[Byte](len - 7))
+    }
+    bos.toByteArray
+  }
+
   // ---------------------------------------- MP3 Layer I subband decode
   /** Layer-I SUBBAND-sample decode result. `sub` holds the
     * requantized, rescaled subband samples s′ in stream order —

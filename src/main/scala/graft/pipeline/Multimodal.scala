@@ -572,6 +572,13 @@ object Multimodal {
         m.sampleRateHz.toFloat, m.channels.toFloat, m.frameCount.toFloat,
         m.avgBitrateKbps.toFloat, m.durationMs.toFloat,
         if (m.vbr) 1f else 0f, m.version.toFloat, m.layer.toFloat))
+        // ADTS AAC shares the audio layout; the version slot carries
+        // the audio object type and the layer slot is 0 (no layers)
+        .orElse(MediaMeta.parseAdts(content).map(m => Array(
+          m.sampleRateHz.toFloat, m.channels.toFloat,
+          m.frameCount.toFloat, m.avgBitrateKbps.toFloat,
+          m.durationMs.toFloat, if (m.variableRate) 1f else 0f,
+          m.objectType.toFloat, 0f)))
       case "video" => MediaMeta.parseH264(content).map(m => Array(
         m.width.toFloat, m.height.toFloat, m.profileIdc.toFloat,
         m.levelIdc.toFloat, m.fps.toFloat, m.nIdrSlices.toFloat,

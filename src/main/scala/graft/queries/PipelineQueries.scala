@@ -1780,7 +1780,10 @@ object PipelineQueries {
     (4L, "video", "h264_high.h264"),
     (5L, "audio", "corrupt_audio.bin"),
     (6L, "video", "corrupt_video.bin"),
-    (7L, "video", "mp4_clip.mp4"))
+    (7L, "video", "mp4_clip.mp4"),
+    // ADTS AAC-LC, variable frame lengths: 12 × 1024 samples at
+    // 48 kHz = 256 ms; measured bitrate (6·200+6·300)·8/256 = 93.75
+    (8L, "audio", "aac_lc.aac"))
 
   /** REAL compressed-media metadata, oracle-gated: run the distributed
     * header-parse path ([[graft.pipeline.Multimodal
@@ -1817,8 +1820,10 @@ object PipelineQueries {
     * 417 B → 10·1152/44100 s = 261 ms; mp3_vbr avg = (2·(64+224) +
     * 4·128)/8 = 128 kbps at 32 kHz mono; h264_high = 120×68
     * macroblocks minus a 4-unit (8-pixel, 4:2:0) bottom crop →
-    * 1920×1080, VUI 59940/2000 = 29.97 fps. Corrupt payloads carry the
-    * −1 sentinel + byte-stub features. */
+    * 1920×1080, VUI 59940/2000 = 29.97 fps; aac_lc = 12 ADTS AAC-LC
+    * frames (alternating 200/300 B) → 12·1024/48000 = 256 ms at a
+    * measured 3000·8/256 = 93.75 kbps, variable-rate. Corrupt payloads
+    * carry the −1 sentinel + byte-stub features. */
   val multimodalCompressedMetaSql: String = """
     SELECT CAST(media_id AS BIGINT) AS media_id, kind,
       CAST(n_bytes AS BIGINT) AS n_bytes, parse_ok,
@@ -1833,7 +1838,8 @@ object PipelineQueries {
       (4, 'video', 113, true, 1920.0, 1080.0, 100.0, 31.0, 29.97, 2.0, 8.0, 0.0),
       (5, 'audio', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0938, 0.0625, 0.0313),
       (6, 'video', 32, false, -1.0, 0.0313, 0.0625, 0.0938, 0.5625, 0.0938, 0.0313, 0.0625),
-      (7, 'video', 763, true, 1280.0, 720.0, 100.0, 31.0, 30.0, 2000.0, 2.0, 1.0))
+      (7, 'video', 763, true, 1280.0, 720.0, 100.0, 31.0, 30.0, 2000.0, 2.0, 1.0),
+      (8, 'audio', 3000, true, 48000.0, 2.0, 12.0, 93.75, 256.0, 1.0, 2.0, 0.0))
       AS t(media_id, kind, n_bytes, parse_ok, f1, f2, f3, f4, f5, f6, f7, f8)
     ORDER BY media_id"""
 

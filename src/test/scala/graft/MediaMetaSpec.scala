@@ -259,4 +259,40 @@ class MediaMetaSpec extends AnyFunSuite {
     assert(MediaMeta.parseH264(
       Array(0, 0, 1, 0x68, 0xE8, 0x43).map(_.toByte)).isEmpty)
   }
+
+  test("ADTS: writer/parser round-trip, measured bitrate, VBR flag") {
+    // CBR: 10 × 256-byte AAC-LC frames, 44100 Hz (srIdx 4), mono
+    val cbr = MediaMeta.writeAdts(Seq.fill(10)(256), profile = 1,
+      srIdx = 4, chanCfg = 1)
+    val m = MediaMeta.parseAdts(cbr).get
+    assert(m.objectType == 2 && m.sampleRateHz == 44100 &&
+      m.channels == 1 && m.frameCount == 10 && !m.variableRate)
+    assert(m.durationMs == 10 * 1024 * 1000L / 44100) // 232 ms
+    // variable frame lengths flip the flag and the measured bitrate
+    // follows the byte count exactly
+    val vbr = MediaMeta.writeAdts((0 until 12).map(i =>
+      if (i % 2 == 0) 200 else 300))
+    val v = MediaMeta.parseAdts(vbr).get
+    assert(v.variableRate && v.frameCount == 12 && v.durationMs == 256)
+    assert(math.abs(v.avgBitrateKbps - 93.75) < 1e-9)
+    // 8-channel config maps through (7 → 7.1 layout = 8 channels)
+    val eight = MediaMeta.writeAdts(Seq(64, 64), chanCfg = 7)
+    assert(MediaMeta.parseAdts(eight).get.channels == 8)
+  }
+
+  test("ADTS: garbage, lone sync, reserved index and truncation " +
+      "do not parse") {
+    assert(MediaMeta.parseAdts("random bytes here".getBytes).isEmpty)
+    // a single valid frame never qualifies (chain rule)
+    assert(MediaMeta.parseAdts(MediaMeta.writeAdts(Seq(64))).isEmpty)
+    // truncation mid-frame: clean prefix
+    val ok = MediaMeta.writeAdts(Seq.fill(4)(100))
+    val t = MediaMeta.parseAdts(java.util.Arrays.copyOf(ok, 350))
+    assert(t.exists(_.frameCount == 3))
+    // reserved sampling index (13) rejected at the header level
+    val bad = MediaMeta.writeAdts(Seq(64, 64)).clone()
+    bad(2) = ((1 << 6) | (13 << 2)).toByte // srIdx 13
+    assert(MediaMeta.parseAdts(bad).isEmpty ||
+      MediaMeta.parseAdts(bad).get.frameCount < 2)
+  }
 }
