@@ -67,6 +67,54 @@ class SuffixRanksSpec extends SparkSpec {
     assert(dist == want, s"distributed: $dist")
   }
 
+  test("seeded random repeat-heavy corpora: local == distributed == " +
+      "a brute-force oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      // tiny alphabet + copied spans force dense repeat structure,
+      // including runs crossing the 16 boundary and self-overlaps
+      val alphabet = Vector("a", "b", "c", "d")
+      val docs = (1 to 30).map { id =>
+        val n = 1 + rnd.nextInt(40)
+        val base = Array.fill(n)(alphabet(rnd.nextInt(alphabet.size)))
+        // splice a span copied from another position half the time
+        if (n > 8 && rnd.nextBoolean()) {
+          val len = 2 + rnd.nextInt(n / 2)
+          val from = rnd.nextInt(n - len)
+          val to = rnd.nextInt(n - len)
+          System.arraycopy(base, from, base, to, len)
+        }
+        (id.toLong, base.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val local = SuffixRanks.maxRepeatProfile(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val dist = SuffixRanks
+        .maxRepeatProfileDistributed(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(local == dist, s"trial $trial: local vs distributed")
+      // brute force: for every position, the max common prefix with
+      // any other position (capped at 64, never across doc ends)
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }
+      val all = for ((id, a) <- toks; p <- a.indices) yield (id, a, p)
+      val brute = toks.map { case (id, a) =>
+        var best = new Array[Long](a.length)
+        for (p <- a.indices; (jd, b, q) <- all
+             if jd != id || q != p) {
+          var l = 0
+          while (l < 64 && p + l < a.length && q + l < b.length &&
+            a(p + l) == b(q + l)) l += 1
+          if (l > best(p)) best(p) = l
+        }
+        id -> (best.max, best.count(_ >= 16).toLong)
+      }.toMap
+      assert(local == brute, s"trial $trial: engine vs brute force")
+    }
+  }
+
   test("rankWithin assigns exact dense ranks across partition boundaries") {
     import spark.implicits._
     val df = (1 to 1000).map(i => ("k%03d".format(i % 97), i)).toDF("k", "v")
