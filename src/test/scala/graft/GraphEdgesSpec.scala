@@ -73,6 +73,33 @@ class GraphEdgesSpec extends SparkSpec {
     assert(graft.operators.DenseGraph.trianglesDense(spark, op).isEmpty)
   }
 
+  test("seeded random heavy-tailed corpora: chunked == naive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1717)
+    for (trial <- 1 to 2) {
+      // heavy-tailed order sizes: mostly small, a few over the hot
+      // bound, part ids colliding across orders
+      val rows = (0 until 60).flatMap { o =>
+        val k = if (o % 20 == 0) 1100 + rnd.nextInt(800)
+          else 1 + rnd.nextInt(8)
+        (0 until k).map(i => (o.toLong, rnd.nextInt(3000).toLong))
+      }
+      val raw = rows.toDF("o", "p").repartition(6)
+      val op = raw.distinct()
+      val (pairs, probed) = GraphEdges.coPurchasePairs(op, raw)
+      def fp(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(col("o"), col("a"), col("b"))
+            .cast("decimal(38,0)"))).first()
+        (r.getLong(0),
+          if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+      }
+      assert(fp(pairs) == fp(naive(op)), s"trial $trial diverged")
+      assert(probed.nonEmpty, s"trial $trial: hot path did not engage")
+      probed.foreach(_.unpersist())
+    }
+  }
+
   test("normal corpus takes the naive plan and matches it") {
     import spark.implicits._
     val rows = (0 until 300).flatMap(o =>
