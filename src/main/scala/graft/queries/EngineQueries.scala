@@ -633,9 +633,14 @@ object EngineQueries {
     } else {
       // at-scale branch: the anti filter must precede any bounding, so
       // the run-length pass emits every candidate once (still one
-      // 8 B/row exchange + a streaming fold, never a hash aggregate)
-      // and a distributed left_anti on the packed key drops existing
-      // edges before the TakeOrdered
+      // 8 B/row exchange + a streaming fold, never a hash aggregate).
+      // The existing-edge drop is two-tier: a BOUNDED driver Bloom
+      // over the packed edges (Dedup.boundedBloom — capped bits, fpp
+      // degrades gracefully, never false-negative) routes definite
+      // non-edges straight to the TakeOrdered via a codegen probe, so
+      // the distributed left_anti exchange carries only the
+      // might-be-edge sliver (~m·(1+fpp) rows), not the full
+      // candidate stream
       val counts = wedges.repartition(col("yz"))
         .sortWithinPartitions("yz").as[Long]
         .mapPartitions { it =>
@@ -650,9 +655,13 @@ object EngineQueries {
             }
           }
         }.toDF("yz", "support")
-      counts
-        .join(oe.select(pack(col("u"), col("w")).as("yz")),
-          Seq("yz"), "left_anti")
+      val packedEdges = oe.select(pack(col("u"), col("w")).as("yz"))
+      val bloom = graft.pipeline.Dedup.boundedBloom(packedEdges, "yz", m)
+      val probe = graft.functions.HashF.bloomMightContain(col("yz"), bloom)
+      val definite = counts.filter(!probe)
+      val suspect = counts.filter(probe)
+        .join(packedEdges, Seq("yz"), "left_anti")
+      definite.unionByName(suspect)
         .select(
           least(shiftrightunsigned(col("yz"), 32),
             col("yz").bitwiseAND(lit(0xffffffffL))).as("part_a"),
