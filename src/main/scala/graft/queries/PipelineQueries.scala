@@ -4559,15 +4559,30 @@ object PipelineQueries {
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
       .select(col("u").as("x"), col("v").as("y"), col("w").as("z"))
-    // shuffle-hash hint: the closure probe streams O(m^1.5) wedge rows
-    // against the m-row edge set — a sort-merge join would SORT the
-    // wedge side (the dominant cost); hashing the small edge side
+    // Bloom semi-join reduction (the join_bloom_prune pattern): most
+    // wedges do not close, so a bounded driver Bloom over the packed
+    // oriented edges drops definite non-triangles with a map-side
+    // codegen probe BEFORE the closure exchange — false positives are
+    // absorbed by the exact join, false negatives are impossible, and
+    // the shuffle carries ~triangles·(1+fpp) rows instead of the full
+    // O(m^1.5) wedge stream
+    val m = oe.count()
+    def packYz(y: org.apache.spark.sql.Column,
+               z: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      shiftleft(y.cast("long"), 32).bitwiseOR(z.cast("long"))
+    val bloom = graft.pipeline.Dedup.boundedBloom(
+      oe.select(packYz(col("u"), col("w")).as("yz")), "yz", m)
+    val wedgesPre = wedges.filter(graft.functions.HashF
+      .bloomMightContain(packYz(col("y"), col("z")), bloom))
+    // shuffle-hash hint: the closure probe streams the surviving wedge
+    // rows against the m-row edge set — a sort-merge join would SORT
+    // the wedge side (the dominant cost); hashing the small edge side
     // keeps the wedge side a streaming pass
     val closing = oe.select(col("u").as("y"), col("w").as("z"))
       .hint("shuffle_hash")
     // one consumer: explode each triangle to its 3 corners in the same
     // stage as the closure join (no persist, no 3-way union re-read)
-    val tri = wedges.join(closing, Seq("y", "z"))
+    val tri = wedgesPre.join(closing, Seq("y", "z"))
     val perNode = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
