@@ -44,27 +44,27 @@ object DenseGraph {
     * [[DenseMaxPairs]] — real basket data has exactly that shape. */
   val DenseMaxFanout: Long = 1L << 26
 
-  /** Collect the per-order part sets if the pair FAN-OUT also fits:
-    * the sets themselves are linear in the (already row-guarded) input
-    * — only the pair expansion is quadratic — so collecting them first
-    * and summing k·(k−1)/2 on the driver costs nothing extra (the
-    * dense path collects exactly this table anyway) and catches the
-    * one-mega-order shape the row guard cannot see. Returns None when
-    * a caller must fall back to the distributed formulation. */
+  /** Collect the per-order part sets if the pair FAN-OUT also fits.
+    * The fan-out Σ_orders k·(k−1)/2 is checked with a DISTRIBUTED
+    * aggregate FIRST — one tiny groupBy+sum over the (already
+    * row-guarded) input — so a rejected dispatch never pays a driver
+    * collect that it then throws away; only after the guard passes do
+    * the sets come to the driver. Catches the one-mega-order quadratic
+    * shape the row guard cannot see. Returns None when a caller must
+    * fall back to the distributed formulation. */
   private def collectSetsIfFanoutFits(s: SparkSession, pairs: DataFrame)
       : Option[Array[Array[Long]]] = {
     import s.implicits._
-    val sets = pairs.groupBy(col("o"))
+    // k ≤ DenseMaxPairs rows total, so k·(k−1) stays far below Long
+    // overflow; the product is even, so the shift is exact
+    val fo = pairs.groupBy(col("o"))
+      .agg(countDistinct(col("p")).as("k"))
+      .agg(sum(shiftright(col("k") * (col("k") - lit(1L)), 1))).first()
+    val fanout = if (fo.isNullAt(0)) 0L else fo.getLong(0)
+    if (fanout > DenseMaxFanout) None
+    else Some(pairs.groupBy(col("o"))
       .agg(collect_set(col("p").cast("long")).as("ps"))
-      .select(col("ps")).as[Array[Long]].collect()
-    var fanout = 0L
-    var i = 0
-    while (i < sets.length && fanout <= DenseMaxFanout) {
-      val k = sets(i).length.toLong
-      fanout += k * (k - 1) / 2
-      i += 1
-    }
-    if (fanout > DenseMaxFanout) None else Some(sets)
+      .select(col("ps")).as[Array[Long]].collect())
   }
 
   /** Immutable broadcastable adjacency: vertex ids (sorted, index =

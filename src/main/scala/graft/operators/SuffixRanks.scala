@@ -72,6 +72,15 @@ object SuffixRanks {
     * dominates at that size. */
   val DenseMaxPositions: Long = 1L << 22
 
+  /** Byte-shaped companion to [[DenseMaxPositions]]: the driver-local
+    * branch collects the corpus TEXT (plus a per-token String array
+    * and an intern map — several× the raw bytes in JVM heap), so a
+    * position-shaped guard alone under-counts long-token corpora the
+    * same way the dedup_substring_cut row guard did before its
+    * byte-shaped term. 256 MB of text keeps the collected heap
+    * comfortably inside a plain driver. */
+  val DenseMaxTextBytes: Long = 256L << 20
+
   /** Rows above which the distributed form's LCP walk uses joins
     * instead of a broadcast rank map: 2²² positions × ~9·8 B ≈ 300 MB
     * — the same dense/sparse dispatch shape as
@@ -224,8 +233,9 @@ object SuffixRanks {
     * the corpus position count. */
   def maxRepeatProfile(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val (nPos, maxLen) = corpusStats(docs, textCol)
-    if (nPos <= DenseMaxPositions) localProfile(docs, idCol, textCol)
+    val (nPos, maxLen, nBytes) = corpusStats(docs, textCol)
+    if (nPos <= DenseMaxPositions && nBytes <= DenseMaxTextBytes)
+      localProfile(docs, idCol, textCol)
     else distributedImpl(docs, idCol, textCol, nPos, maxLen,
       forceJoinWalk = false)
   }
@@ -234,7 +244,7 @@ object SuffixRanks {
     * oracle-checked every round as `substring_repeat_profile_dist`). */
   def maxRepeatProfileDistributed(docs: DataFrame, idCol: String,
                                   textCol: String): DataFrame = {
-    val (nPos, maxLen) = corpusStats(docs, textCol)
+    val (nPos, maxLen, _) = corpusStats(docs, textCol)
     distributedImpl(docs, idCol, textCol, nPos, maxLen,
       forceJoinWalk = false)
   }
@@ -242,19 +252,23 @@ object SuffixRanks {
   /** Test seam: the distributed form with the join-walk forced. */
   def maxRepeatProfileJoinWalk(docs: DataFrame, idCol: String,
                                textCol: String): DataFrame = {
-    val (nPos, maxLen) = corpusStats(docs, textCol)
+    val (nPos, maxLen, _) = corpusStats(docs, textCol)
     distributedImpl(docs, idCol, textCol, nPos, maxLen,
       forceJoinWalk = true)
   }
 
-  /** (total token positions, max doc length) — one cheap scan. */
-  private def corpusStats(docs: DataFrame, textCol: String): (Long, Int) = {
+  /** (total token positions, max doc length, total text bytes) — one
+    * cheap scan. */
+  private def corpusStats(docs: DataFrame, textCol: String)
+      : (Long, Int, Long) = {
     val st = docs.agg(
       sum(size(split(col(textCol), " ")).cast("long")),
-      max(size(split(col(textCol), " ")))).first()
+      max(size(split(col(textCol), " "))),
+      sum(octet_length(col(textCol)).cast("long"))).first()
     val nPos = if (st.isNullAt(0)) 0L else st.getLong(0)
     val maxLen = if (st.isNullAt(1)) 1 else math.max(1, st.getInt(1))
-    (nPos, maxLen)
+    val nBytes = if (st.isNullAt(2)) 0L else st.getLong(2)
+    (nPos, maxLen, nBytes)
   }
 
   // ------------------------------------------------------------------

@@ -262,9 +262,14 @@ object MediaMeta {
     }
     if (frames < 2) None
     else {
+      // bitrate over the EXACT duration samples/sampleRate — dividing
+      // by the millisecond-truncated durMs skews short or
+      // odd-sample-rate streams by up to ~0.5%; durMs stays the
+      // reported integer field only
       val durMs = samples * 1000L / first.sampleRate
+      val kbps = payloadBytes * 8.0 * first.sampleRate / (samples * 1000.0)
       Some(AdtsMeta(first.objectType, first.sampleRate, first.channels,
-        frames, payloadBytes * 8.0 / durMs, durMs, variable))
+        frames, kbps, durMs, variable))
     }
   }
 

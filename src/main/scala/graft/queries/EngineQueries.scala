@@ -561,7 +561,9 @@ object EngineQueries {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     val op = raw.distinct()
     val (opPairs, probed) =
-      graft.operators.GraphEdges.coPurchasePairs(op, raw)
+      graft.operators.GraphEdges.coPurchasePairs(op, raw,
+        memoKey = Some(s"lineitem-copurchase|$d"))
+    val released = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val e = opPairs.select(col("a"), col("b"))
       .distinct().persist()
     val deg = e.select(col("a").as("v"))
@@ -631,36 +633,79 @@ object EngineQueries {
         .orderBy(col("support").desc, col("part_a"), col("part_b"))
         .limit(20)
     } else {
-      // at-scale branch: the anti filter must precede any bounding, so
-      // the run-length pass emits every candidate once (still one
-      // 8 B/row exchange + a streaming fold, never a hash aggregate).
-      // The existing-edge drop is two-tier: a BOUNDED driver Bloom
-      // over the packed edges (Dedup.boundedBloom — capped bits, fpp
-      // degrades gracefully, never false-negative) routes definite
-      // non-edges straight to the TakeOrdered via a codegen probe, so
-      // the distributed left_anti exchange carries only the
-      // might-be-edge sliver (~m·(1+fpp) rows), not the full
-      // candidate stream
-      val counts = wedges.repartition(col("yz"))
-        .sortWithinPartitions("yz").as[Long]
-        .mapPartitions { it =>
-          val base = it.buffered
-          new Iterator[(Long, Long)] {
-            def hasNext: Boolean = base.hasNext
-            def next(): (Long, Long) = {
-              val v = base.head
-              var n = 0L
-              while (base.hasNext && base.head == v) { base.next(); n += 1 }
-              (v, n)
-            }
-          }
-        }.toDF("yz", "support")
+      // at-scale branch: ONE sort + run-length fold over the yz
+      // exchange, with the BOUNDED driver Bloom over the packed edges
+      // (Dedup.boundedBloom — capped bits, fpp degrades gracefully,
+      // never false-negative) probed INSIDE the fold. Round 13 shipped
+      // the Bloom tier as two filter consumers of the folded frame —
+      // ReuseExchange deduped the shuffle WRITE but each consumer
+      // re-ran the sort + fold; this form folds once. Bloom-negative
+      // candidates — definite non-edges, the overwhelming majority —
+      // never leave the task: after the yz repartition each candidate
+      // pair lives wholly in one partition, so its support is complete
+      // here and it reduces into a bounded per-partition top-20 under
+      // the final total order (the hot branch's exact shape). Only the
+      // Bloom-positive sliver (~m·(1+fpp) rows) is emitted for the
+      // distributed left_anti verify — false positives die there,
+      // false negatives are impossible. The folded output is tiny
+      // (≤ 20 rows/partition + the sliver), so the persist that lets
+      // both consumers share the single fold costs nothing.
       val packedEdges = oe.select(pack(col("u"), col("w")).as("yz"))
       val bloom = graft.pipeline.Dedup.boundedBloom(packedEdges, "yz", m)
-      val probe = graft.functions.HashF.bloomMightContain(col("yz"), bloom)
-      val definite = counts.filter(!probe)
-      val suspect = counts.filter(probe)
+      val bloomB = s.sparkContext.broadcast(bloom)
+      val folded = wedges.repartition(col("yz"))
+        .sortWithinPartitions("yz").as[Long]
+        .mapPartitions { it =>
+          val bf = bloomB.value
+          val worstFirst = new java.util.Comparator[Array[Long]] {
+            def compare(a: Array[Long], b: Array[Long]): Int = {
+              if (a(2) != b(2)) java.lang.Long.compare(a(2), b(2))
+              else if (a(0) != b(0)) java.lang.Long.compare(b(0), a(0))
+              else java.lang.Long.compare(b(1), a(1))
+            }
+          }
+          val pq = new java.util.PriorityQueue[Array[Long]](21, worstFirst)
+          def offer(yz: Long, n: Long): Unit = {
+            val y = yz >>> 32; val z = yz & 0xffffffffL
+            val pa = math.min(y, z); val pb = math.max(y, z)
+            val cand = Array(pa, pb, n, yz)
+            if (pq.size < 20) pq.add(cand)
+            else if (worstFirst.compare(cand, pq.peek) > 0) {
+              pq.poll(); pq.add(cand)
+            }
+          }
+          val base = it.buffered
+          new Iterator[(Long, Long, Boolean)] {
+            private var flush: Iterator[Array[Long]] = null
+            private var row: (Long, Long, Boolean) = null
+            private def advance(): Unit = {
+              while (row == null && base.hasNext) {
+                val v = base.head
+                var n = 0L
+                while (base.hasNext && base.head == v) { base.next(); n += 1 }
+                if (bf.mightContainLong(v)) row = (v, n, true)
+                else offer(v, n) // definite non-edge: fold into the heap
+              }
+              if (row == null) {
+                if (flush == null) flush = pq.iterator.asScala
+                if (flush.hasNext) {
+                  val a = flush.next(); row = (a(3), a(2), false)
+                }
+              }
+            }
+            def hasNext: Boolean = { if (row == null) advance(); row != null }
+            def next(): (Long, Long, Boolean) = {
+              if (row == null) advance()
+              val r = row; row = null; r
+            }
+          }
+        }.toDF("yz", "support", "might")
+        .persist()
+      released += folded
+      val definite = folded.filter(!col("might")).select("yz", "support")
+      val suspect = folded.filter(col("might"))
         .join(packedEdges, Seq("yz"), "left_anti")
+        .select("yz", "support")
       definite.unionByName(suspect)
         .select(
           least(shiftrightunsigned(col("yz"), 32),
@@ -693,7 +738,7 @@ object EngineQueries {
           (col("dy") + col("dz") - col("common")), 6).as("jaccard"))
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
     graft.pipeline.Caching.materializeAndRelease(out,
-      (Seq(e, deg, oe) ++ probed): _*)
+      (Seq(e, deg, oe) ++ released ++ probed): _*)
   }
 
   val graphLinkPredictSql: String = """

@@ -4538,7 +4538,8 @@ object PipelineQueries {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     val op = raw.distinct()
     val (opPairs, probed) =
-      graft.operators.GraphEdges.coPurchasePairs(op, raw)
+      graft.operators.GraphEdges.coPurchasePairs(op, raw,
+        memoKey = Some(s"lineitem-copurchase|$d"))
     val e = opPairs.select(col("a"), col("b"))
       .distinct().persist()
     val deg = e.select(col("a").as("v"))
@@ -4643,20 +4644,31 @@ object PipelineQueries {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     val op = raw.distinct()
     val (opPairs, probed) =
-      graft.operators.GraphEdges.coPurchasePairs(op, raw)
+      graft.operators.GraphEdges.coPurchasePairs(op, raw,
+        memoKey = Some(s"lineitem-copurchase|$d"))
     val e = opPairs.select(col("a"), col("b")).distinct()
     val edges = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
       .persist()
     var lab = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
+    // argmax per vertex as max over ONE packed long —
+    // cnt·2³² + (2³²−1−label): max pack ⇔ (max cnt, then MIN label),
+    // exactly max(struct(cnt, −label)), but the fixed-width buffer
+    // keeps the aggregate in HashAggregate; the struct form fell back
+    // to SortAggregate and paid two sorts per round. Fits while
+    // label < 2³² and cnt < 2³¹ — part keys and degrees are both far
+    // inside that here; a wider id domain would densify ids first.
     for (_ <- 1 to 2) {
       lab = edges
         .join(lab.select(col("v").as("dst"), col("label")), "dst")
         .groupBy("src", "label").agg(count(lit(1)).as("cnt"))
         .groupBy("src")
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("src").as("v"), (-col("m.nl")).as("label"))
+        .agg(max(shiftleft(col("cnt"), 32)
+          .bitwiseOR(lit(0xffffffffL) - col("label"))).as("m"))
+        .select(col("src").as("v"),
+          (lit(0xffffffffL) - col("m").bitwiseAND(lit(0xffffffffL)))
+            .as("label"))
     }
     val out = lab.groupBy("label").agg(count(lit(1)).as("n_members"))
       .select(col("label").as("community"), col("n_members"))
@@ -4710,7 +4722,8 @@ object PipelineQueries {
     // one row per (order, pair) from the hot-order-safe expansion, so
     // the per-pair count is the co-purchase order count as before
     val (opPairs, probed) =
-      graft.operators.GraphEdges.coPurchasePairs(op, raw)
+      graft.operators.GraphEdges.coPurchasePairs(op, raw,
+        memoKey = Some(s"lineitem-copurchase|$d"))
     val pairs = opPairs
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))
