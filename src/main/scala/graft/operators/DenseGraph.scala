@@ -44,24 +44,27 @@ object DenseGraph {
     * [[DenseMaxPairs]] — real basket data has exactly that shape. */
   val DenseMaxFanout: Long = 1L << 26
 
-  /** Collect the per-order part sets if the pair FAN-OUT also fits.
-    * The fan-out Σ_orders k·(k−1)/2 is checked with a DISTRIBUTED
-    * aggregate FIRST — one tiny groupBy+sum over the (already
-    * row-guarded) input — so a rejected dispatch never pays a driver
-    * collect that it then throws away; only after the guard passes do
-    * the sets come to the driver. Catches the one-mega-order quadratic
-    * shape the row guard cannot see. Returns None when a caller must
-    * fall back to the distributed formulation. */
+  /** Collect the per-order part sets if BOTH guards fit. One
+    * DISTRIBUTED aggregate checks the row count and the pair fan-out
+    * Σ_orders k·(k−1)/2 together — so callers need no separate count()
+    * action and a rejected dispatch never pays a driver collect that
+    * it then throws away; only after the guard passes do the sets come
+    * to the driver (accept = 2 jobs, reject = 1). The fan-out term
+    * catches the one-mega-order quadratic shape the row guard cannot
+    * see; per-order k is the RAW row count (pairs may predate the
+    * distinct), which only OVERestimates — a conservative reject just
+    * routes to the distributed form. Returns None on reject. */
   private def collectSetsIfFanoutFits(s: SparkSession, pairs: DataFrame)
       : Option[Array[Array[Long]]] = {
     import s.implicits._
-    // k ≤ DenseMaxPairs rows total, so k·(k−1) stays far below Long
+    // row guard caps k at 2²², so k·(k−1) stays far below Long
     // overflow; the product is even, so the shift is exact
-    val fo = pairs.groupBy(col("o"))
-      .agg(countDistinct(col("p")).as("k"))
-      .agg(sum(shiftright(col("k") * (col("k") - lit(1L)), 1))).first()
-    val fanout = if (fo.isNullAt(0)) 0L else fo.getLong(0)
-    if (fanout > DenseMaxFanout) None
+    val st = pairs.groupBy(col("o")).agg(count(lit(1)).as("k"))
+      .agg(sum(col("k")),
+        sum(shiftright(col("k") * (col("k") - lit(1L)), 1))).first()
+    val rows = if (st.isNullAt(0)) 0L else st.getLong(0)
+    val fanout = if (st.isNullAt(1)) 0L else st.getLong(1)
+    if (rows > DenseMaxPairs || fanout > DenseMaxFanout) None
     else Some(pairs.groupBy(col("o"))
       .agg(collect_set(col("p").cast("long")).as("ps"))
       .select(col("ps")).as[Array[Long]].collect())
@@ -235,12 +238,13 @@ object DenseGraph {
     out.iterator
   }
 
-  /** Full dense-path query: one exchange (the per-order groupBy), a
-    * bounded driver collect, and a vertex-parallel counting stage over
-    * the broadcast CSR. `pairs` is the distinct (o, p) projection —
-    * callers row-guard it with [[DenseMaxPairs]] first; the fan-out
-    * guard here returns None (fall back to the distributed form) when
-    * one mega-order would make the CSR edge expansion quadratic. */
+  /** Full dense-path query: one guard aggregate, a bounded driver
+    * collect (per-order groupBy), and a vertex-parallel counting stage
+    * over the broadcast CSR. `pairs` is the raw (o, p) projection
+    * (collect_set dedups); the combined row+fan-out guard returns None
+    * (fall back to the distributed form) when the corpus is too big to
+    * collect or one mega-order would make the CSR edge expansion
+    * quadratic. */
   def densePath(s: SparkSession, pairs: DataFrame, k: Int = 20)
       : Option[DataFrame] = {
     import s.implicits._

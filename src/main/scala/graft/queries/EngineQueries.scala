@@ -520,14 +520,12 @@ object EngineQueries {
   def graphLinkPredict(s: SparkSession, d: String): DataFrame = {
     val proj = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    // two-axis dense guard: the row count bounds the collect, then the
-    // fan-out check inside densePath (from the collected set sizes —
-    // linear data) catches the one-mega-order quadratic shape
-    val dense =
-      if (proj.count() <= graft.operators.DenseGraph.DenseMaxPairs)
-        graft.operators.DenseGraph.densePath(s, proj)
-      else None
-    dense.getOrElse(graphLinkPredictDistributed(s, d))
+    // two-axis dense guard inside densePath: ONE distributed aggregate
+    // checks the row count (bounds the collect) AND the pair fan-out
+    // (catches the one-mega-order quadratic shape) before anything is
+    // collected; None = fall back to the distributed form
+    graft.operators.DenseGraph.densePath(s, proj)
+      .getOrElse(graphLinkPredictDistributed(s, d))
   }
 
   /** Distinct undirected edges above which the fused

@@ -4521,12 +4521,9 @@ object PipelineQueries {
   def graphTriangles(s: SparkSession, d: String): DataFrame = {
     val proj = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    // two-axis dense guard — see graphLinkPredict
-    val dense =
-      if (proj.count() <= graft.operators.DenseGraph.DenseMaxPairs)
-        graft.operators.DenseGraph.trianglesDense(s, proj)
-      else None
-    dense.getOrElse(graphTrianglesDistributed(s, d))
+    // two-axis dense guard inside trianglesDense — see graphLinkPredict
+    graft.operators.DenseGraph.trianglesDense(s, proj)
+      .getOrElse(graphTrianglesDistributed(s, d))
   }
 
   /** Fully distributed formulation (the 100 TB shape) — see
