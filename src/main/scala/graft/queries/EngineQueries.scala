@@ -818,6 +818,15 @@ object EngineQueries {
     val kBA = graft.pipeline.Similarity
       .binaryTopK(a, b, "vec_id", "embedding", k = 4,
         prefilter = BitextPrefilter).drop("hamming")
+    bitextMargin(kAB, kBA)
+  }
+
+  /** The index-agnostic margin algebra shared by [[bitextMine]] and
+    * [[bitextMineExact]]: per-endpoint kNN density normalization,
+    * margin scoring, per-query argmax, margin > 1.0 keep. `kAB` is
+    * the A-queries→B-neighbors top-k (query_id, neighbor_id, cos),
+    * `kBA` the reverse. */
+  private def bitextMargin(kAB: DataFrame, kBA: DataFrame): DataFrame = {
     val densA = kAB.groupBy(col("query_id").as("a_id"))
       .agg((sum(col("cos").cast(Q.Dec)).cast("double") /
         count(lit(1))).as("dens_a"))
@@ -878,6 +887,72 @@ object EngineQueries {
           ORDER BY ROUND($dot / (a.norm * b.norm), 6) DESC, s.a_id) AS rn
       FROM short_ba s JOIN e a ON s.a_id = a.vec_id
       JOIN e b ON s.b_id = b.vec_id) WHERE rn <= 4),
+    dens_a AS (SELECT a_id,
+        CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS dens_a
+      FROM kab GROUP BY 1),
+    dens_b AS (SELECT b_id,
+        CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS dens_b
+      FROM kba GROUP BY 1),
+    scored AS (
+      SELECT k.a_id, k.b_id, k.cos,
+        ROUND(2.0 * k.cos / (da.dens_a + db.dens_b), 6) AS margin
+      FROM kab k JOIN dens_a da ON k.a_id = da.a_id
+      JOIN dens_b db ON k.b_id = db.b_id),
+    best AS (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY a_id ORDER BY margin DESC, b_id) AS br FROM scored)
+    SELECT a_id, b_id, cos, margin FROM best
+    WHERE br = 1 AND margin > 1.0 ORDER BY a_id"""
+  }
+
+  /** Slice bound for [[bitextMineExact]]: vec_id < 512 caps BOTH brute
+    *-force sides at a constant few hundred vectors at every SF. */
+  val BitextExactSlice = 512
+
+  /** Oracle-independence companion to [[bitextMine]] (round-13 verdict
+    * ask #3): same margin algebra, but its DuckDB oracle is EXACT
+    * brute-force cosine kNN — no Hamming prefilter anywhere in the
+    * SQL, so the gate no longer mirrors the ANN candidate route. The
+    * Spark side still runs the production [[graft.pipeline.Similarity
+    * .binaryTopK]] machinery, with `prefilter` = the slice bound —
+    * wide enough that NO candidate is dropped — so the bounded TopK
+    * aggregate, the exact-cosine re-rank and the margin algebra are
+    * all checked end-to-end against a prefilter-free truth. (The
+    * production 48-candidate prefilter cannot equal brute force on an
+    * unstructured corpus — recall stays BitextSpec's job; this row
+    * owns exactness of everything downstream of the candidate set.)
+    * The slice keeps the oracle's O(n²) join constant-size at every
+    * SF — deliberately scale-flat, like the other *_exact baselines. */
+  def bitextMineExact(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .filter(col("vec_id") < BitextExactSlice)
+    val a = emb.filter(col("label") < 5)
+    val b = emb.filter(col("label") >= 5)
+    val kAB = graft.pipeline.Similarity
+      .binaryTopK(b, a, "vec_id", "embedding", k = 4,
+        prefilter = BitextExactSlice).drop("hamming")
+    val kBA = graft.pipeline.Similarity
+      .binaryTopK(a, b, "vec_id", "embedding", k = 4,
+        prefilter = BitextExactSlice).drop("hamming")
+    bitextMargin(kAB, kBA)
+  }
+
+  val bitextMineExactSql: String = {
+    val dot = PipelineQueries.dotSql("a.embedding", "b.embedding")
+    val cos = s"ROUND($dot / (a.norm * b.norm), 6)"
+    s"""
+    WITH e AS (SELECT vec_id, label, embedding,
+      sqrt(${PipelineQueries.dotSql("embedding", "embedding")}) AS norm
+      FROM embeddings WHERE vec_id < $BitextExactSlice),
+    kab AS (SELECT * FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cos,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id
+          ORDER BY $cos DESC, b.vec_id) AS rn
+      FROM e a JOIN e b ON a.label < 5 AND b.label >= 5) WHERE rn <= 4),
+    kba AS (SELECT * FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cos,
+        ROW_NUMBER() OVER (PARTITION BY b.vec_id
+          ORDER BY $cos DESC, a.vec_id) AS rn
+      FROM e a JOIN e b ON a.label < 5 AND b.label >= 5) WHERE rn <= 4),
     dens_a AS (SELECT a_id,
         CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS dens_a
       FROM kab GROUP BY 1),
@@ -966,6 +1041,8 @@ object EngineQueries {
     QuerySpec("graph_link_predict_dist", graphLinkPredictDistributed,
       Some(graphLinkPredictSql), bench = false),
     QuerySpec("bitext_mine", bitextMine, Some(bitextMineSql)),
+    QuerySpec("bitext_mine_exact", bitextMineExact,
+      Some(bitextMineExactSql)),
     QuerySpec("percentile_twophase", percentileTwophase,
       Some(percentileTwophaseSql)),
     QuerySpec("percentile_twophase_ts", percentileTwophaseTs,
