@@ -469,18 +469,27 @@ object Dedup {
     * exposed separately so index quality can be measured against the
     * exact truth (`lsh_recall_eval`) — a production index ships with
     * its recall number, not a hope. */
-  def minhashLshCandidates(sh: DataFrame, numHashes: Int = 16,
-                           bands: Int = 4): DataFrame = {
+  /** LSH band rows per doc: (id, band, key) — `bands` rows per doc,
+    * key = the folded hash of that band's minhash components. The
+    * join-ready form a persisted near-dup index stores
+    * ([[DedupIndex]]) and the band-bucket candidate join consumes. */
+  def minhashBands(sh: DataFrame, numHashes: Int = 16,
+                   bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
     val sigs = minhashSignatures(sh, numHashes)
     val bandKey = (b: Int) =>
       (0 until rows).foldLeft(lit(0L)) { (acc, r) =>
         acc * 131L + col(s"mh${b * rows + r}")
       }
-    val banded = sigs.select(col("id"),
+    sigs.select(col("id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
+  }
+
+  def minhashLshCandidates(sh: DataFrame, numHashes: Int = 16,
+                           bands: Int = 4): DataFrame = {
+    val banded = minhashBands(sh, numHashes, bands)
     banded.toDF("id_a", "band", "key")
       .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))

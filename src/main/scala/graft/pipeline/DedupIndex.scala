@@ -100,6 +100,59 @@ object DedupIndex {
     fs.create(new Path(b, "_COMPLETE"), true).close()
   }
 
+  /** Load a complete NEAR-dup sidecar: the lazy MinHash band-row index
+    * (id, band, key) and the per-doc distinct shingle-hash table
+    * (id, s) — both read job-free with explicit schemas. None if
+    * absent or incomplete. */
+  def loadNearDup(spark: SparkSession, key: String)
+      : Option[(DataFrame, DataFrame)] = {
+    val b = base(spark, key)
+    val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(b, "_COMPLETE"))) None
+    else Some((
+      spark.read.schema("id BIGINT, band INT, key BIGINT")
+        .parquet(new Path(b, "bands").toString),
+      spark.read.schema("id BIGINT, s BIGINT")
+        .parquet(new Path(b, "shingles").toString)))
+  }
+
+  /** Write band index + shingle-hash table, marker last (crash-safe,
+    * same protocol as [[save]]). */
+  def saveNearDup(spark: SparkSession, key: String, bands: DataFrame,
+                  shingles: DataFrame): Unit = {
+    val b = base(spark, key)
+    val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(b)
+    bands.write.mode("overwrite").parquet(new Path(b, "bands").toString)
+    shingles.write.mode("overwrite")
+      .parquet(new Path(b, "shingles").toString)
+    fs.create(new Path(b, "_COMPLETE"), true).close()
+  }
+
+  /** Near-dup twin of [[loadOrBuild]]: reuse the snapshot's MinHash
+    * sidecar if complete (no job over the old corpus at all), else ONE
+    * pass over `old` builds the shingle rows, derives the band index,
+    * and persists both — 4 band rows (~24 B) + one row per distinct
+    * shingle (~16 B) per doc; the corpus TEXT is never stored and
+    * never rescanned. Both paths return frames read back from the
+    * sidecar so every later batch runs the identical candidate-join +
+    * exact-verify plan. */
+  def loadOrBuildNearDup(spark: SparkSession, corpusPath: String,
+                         variant: String, old: => DataFrame,
+                         idCol: String, textCol: String,
+                         numHashes: Int = 16, bands: Int = 4)
+      : (DataFrame, DataFrame) = {
+    val key = snapshotKey(spark, corpusPath, variant)
+    loadNearDup(spark, key).getOrElse {
+      val sh = Dedup.shingles(old, idCol, textCol).persist()
+      saveNearDup(spark, key, Dedup.minhashBands(sh, numHashes, bands),
+        sh)
+      sh.unpersist(blocking = false)
+      loadNearDup(spark, key).getOrElse(throw new IllegalStateException(
+        s"near-dup sidecar write failed: $key"))
+    }
+  }
+
   /** The one call operators use: reuse the snapshot's sidecar if
     * complete (no job over the old corpus at all), else build it from
     * `old` — ONE scan builds the Bloom, one writes the distinct hash

@@ -2464,6 +2464,88 @@ object PipelineQueries {
         THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
     FROM paras WHERE isnew GROUP BY source ORDER BY source"""
 
+  /** Incremental NEAR-dup — the missing quadrant of the dedup matrix
+    * next to [[dedupIncremental]]'s exact-hash form: a NEW crawl
+    * snapshot's near-duplicates of the EXISTING kept corpus (the
+    * CCNet/RefinedWeb every-snapshot need), without ever rescanning or
+    * re-shuffling the old corpus. The persisted
+    * [[graft.pipeline.DedupIndex]] sidecar stores, per old doc, its 4
+    * MinHash band rows (the candidate-join side) and its distinct
+    * shingle hashes (the exact-verify side) — ~16 B/shingle, text
+    * never stored. Per batch: (1) shingle + sign the NEW docs only;
+    * (2) band-equality join new band rows against the index — the
+    * classic LSH bucket join, never all-pairs, and the only thing the
+    * old corpus contributes is sidecar parquet reads; (3) candidates
+    * verify by EXACT Jaccard against the index's shingle rows, so the
+    * result equals text-level near-dup (threshold [[J]]) with zero old
+    * text touched. ScaleSpec pins the second batch to zero old-corpus
+    * jobs and hash-only exchanges. */
+  def dedupIncrementalMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("isnew",
+        pmod(col("doc_id") * lit(2654435761L), lit(100L)) >= 75)
+    val oldDocs = docs.filter(!col("isnew")).select("doc_id", "text")
+    val (oldBands, oldSh) = graft.pipeline.DedupIndex.loadOrBuildNearDup(
+      s, s"$d/documents.parquet", "incr-minhash-v1", oldDocs,
+      "doc_id", "text")
+    val newSh = Dedup.shingles(docs.filter(col("isnew")),
+      "doc_id", "text").persist()
+    val cand = Dedup.minhashBands(newSh)
+      .toDF("new_id", "band", "key")
+      .join(oldBands.toDF("old_id", "band", "key"), Seq("band", "key"))
+      .select("new_id", "old_id").distinct()
+    val nNew = newSh.groupBy("id").agg(count(lit(1)).as("n_new"))
+      .toDF("new_id", "n_new")
+    val nOld = oldSh.groupBy("id").agg(count(lit(1)).as("n_old"))
+      .toDF("old_id", "n_old")
+    val common = cand
+      .join(newSh.toDF("new_id", "s"), Seq("new_id"))
+      .join(oldSh.toDF("old_id", "s"), Seq("old_id", "s"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("common"))
+    val out = common
+      .join(nNew, Seq("new_id")).join(nOld, Seq("old_id"))
+      .withColumn("jaccard", round(col("common") /
+        (col("n_new") + col("n_old") - col("common")), 6))
+      .filter(col("jaccard") >= J)
+      .select(col("new_id"), col("old_id"),
+        col("common").cast("long").as("common"), col("jaccard"))
+      .orderBy("new_id", "old_id")
+    graft.pipeline.Caching.materializeAndRelease(out, newSh)
+  }
+
+  val dedupIncrementalMinhashSql: String = {
+    val sigCols = (0 until 16)
+      .map(k => s"${TextHash.minhashSql("sh", k)} AS m$k").mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"m${b * 4 + r}")
+        .reduce((acc, m) => s"($acc * 131 + $m)")
+      s"SELECT doc_id, isnew, sh, $b AS band, $key AS key FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH base AS (SELECT doc_id, text,
+        (doc_id * 2654435761) % 100 >= 75 AS isnew FROM documents),
+    th AS (SELECT doc_id, isnew,
+      ${TextHash.tokenHashesSql("text")} AS th FROM base),
+    shl AS (SELECT doc_id, isnew,
+      list_distinct(${TextHash.shingleHashesSql("th")}) AS sh FROM th),
+    sig AS (SELECT doc_id, isnew, sh, $sigCols FROM shl),
+    bands AS ($bandRows),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id,
+        n.sh AS shn, o.sh AS sho
+      FROM bands n JOIN bands o
+        ON n.band = o.band AND n.key = o.key AND n.isnew AND NOT o.isnew)
+    SELECT new_id, old_id,
+      CAST(len(list_intersect(shn, sho)) AS BIGINT) AS common,
+      ROUND(len(list_intersect(shn, sho)) /
+        (len(shn) + len(sho) - len(list_intersect(shn, sho))), 6)
+        AS jaccard
+    FROM cand
+    WHERE ROUND(len(list_intersect(shn, sho)) /
+        (len(shn) + len(sho) - len(list_intersect(shn, sho))), 6) >= $J
+    ORDER BY new_id, old_id"""
+  }
+
   // ------------------------------------------------- BPE merge training
   /** Distributed BPE training (Sennrich et al. 2016): learn the top-6
     * merge rules FROM the corpus. ONE corpus scan builds the
@@ -5178,6 +5260,8 @@ object PipelineQueries {
       Some(sampleClusterBalancedSql)),
     QuerySpec("dedup_incremental", dedupIncremental,
       Some(dedupIncrementalSql)),
+    QuerySpec("dedup_incremental_minhash", dedupIncrementalMinhash,
+      Some(dedupIncrementalMinhashSql)),
     QuerySpec("quality_logreg", qualityLogreg, Some(qualityLogregSql)),
     QuerySpec("calibration_ece", calibrationEce, Some(calibrationEceSql)),
     QuerySpec("roc_auc", rocAuc, Some(rocAucSql)),

@@ -1106,6 +1106,80 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental_minhash persists the near-dup sidecar: the " +
+      "second batch runs zero old-corpus jobs, hash-only exchanges") {
+    // Round-13 verdict ask #4: the near-dup quadrant of the
+    // every-snapshot pipeline. First invocation builds + persists the
+    // band index and the shingle-hash table; the second invocation's
+    // build phase must launch no Spark job over the old corpus, its
+    // candidate-join and exact-verify sides must scan the sidecar
+    // parquet (never old documents text), and no exchange may carry
+    // the text column.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndidx").toString
+    spark.conf.set("spark.graft.dedup.indexDir", dir)
+    val d = "/root/testdata/sf0.01"
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.add((String.valueOf(
+          js.properties.getProperty("spark.jobGroup.id")),
+          js.stageInfos.map(_.name).mkString(";")))
+        ()
+      }
+    }
+    try {
+      val r1 = graft.queries.PipelineQueries
+        .dedupIncrementalMinhash(spark, d).collect()
+      assert(r1.nonEmpty, "fixture lost its cross-split near-dup pairs")
+      spark.sparkContext.addSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // lazy-plan mode: without it materializeAndRelease localCheckpoints
+      // (runs) the whole query at construction, drowning the build-phase
+      // job assertion below in execution jobs
+      graft.pipeline.Caching.inspectLazyPlans = true
+      spark.sparkContext.setJobGroup("ndidx-build", "near-dup sidecar reuse")
+      val q2 = graft.queries.PipelineQueries
+        .dedupIncrementalMinhash(spark, d)
+      spark.sparkContext.clearJobGroup()
+      spark.range(1).count() // fence (listener events arrive in order)
+      val deadline = System.nanoTime + 5L * 1000 * 1000 * 1000
+      while (!jobs.asScala.exists(_._1 != "ndidx-build") &&
+        System.nanoTime < deadline) Thread.sleep(20)
+      val build = jobs.asScala.filter(_._1 == "ndidx-build").toSeq
+      assert(build.forall(_._2.startsWith("parquet at")),
+        s"sidecar miss: non-metadata job(s) during the second batch's " +
+          s"build: ${build.mkString("; ")}")
+      assert(build.size <= 1,
+        s"expected at most the schema-inference job, got: " +
+          build.mkString("; "))
+      val scans = q2.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",")
+      }
+      assert(scans.count(_.contains(dir)) >= 2,
+        s"band/shingle sides do not read the sidecar: $scans")
+      // the only documents.parquet read is the NEW batch's shingle scan
+      // (persisted: one materialization feeds bands, counts and verify)
+      assert(scans.count(_.contains("documents.parquet")) <= 1,
+        s"old corpus still scanned beyond the new-batch read: $scans")
+      q2.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }.foreach(e =>
+        assert(!e.child.output.exists(_.name == "text"),
+          e.child.output.map(_.name).mkString(",")))
+      assert(q2.collect() === r1, "sidecar reuse changed the result")
+    } finally {
+      graft.pipeline.Caching.inspectLazyPlans = false
+      spark.sharedState.cacheManager.clearCache() // lazy mode released none
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset("spark.graft.dedup.indexDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("cellsSidecar crash-safety: a partial write without _COMPLETE " +
       "is invisible and rebuilds cleanly") {
     // The marker-last contract: a writer that died after the parquet
