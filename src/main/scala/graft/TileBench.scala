@@ -153,18 +153,34 @@ object TileBench {
       val t04 = System.nanoTime()
       zTiles.foreach { case (x, y) => fetch4(x, y) }
       val plane4 = (System.nanoTime() - t04) / 1e9
-      // bulk pre-render: one distributed job for a whole level — the
-      // planning/scheduling cost the per-request path pays per tile is
-      // amortized across all of them
+      // bulk pre-render: the whole pyramid — every level × every time
+      // step — as ONE distributed job (TileMaterialize.renderLevels),
+      // so the fixed planning/scheduling floor that dominated the old
+      // single-level batch (~95% of its 0.14 s/tile) is paid once for
+      // the batch. Timed twice: the first run carries the one-time
+      // codegen/JIT cost, the second is the steady-state throughput a
+      // long-lived pre-render job sees — both recorded.
       val d = ctx.dataset("bench").get
-      val t0 = System.nanoTime()
-      val batchTiles = graft.render.TileMaterialize.renderLevel(
-        levels.head, "v0", d.latestTime, 256, 256,
-        graft.render.Render.ColorMapping(0.0, 1.0, // server default style
-          graft.render.ColorMaps.paletteOrDefault("viridis")),
-        flipY = levels.head.grid.latAscending).count()
-      val batch = (System.nanoTime() - t0) / 1e9
-      println(f"""{"metric":"tile_latency","tiles":${tiles.size},"levels":${t.numLevels},"cold_sec_per_tile":${cold / tiles.size}%.4f,"warm_sec_per_tile":${warm / tiles.size}%.4f,"direct_sec_per_tile":${direct / zTiles.size}%.4f,"direct_warm_sec_per_tile":${directWarm / zTiles.size}%.4f,"parquet_sec_per_tile":${parquet / zTiles.size}%.4f,"parquet_warm_sec_per_tile":${parquetWarm / zTiles.size}%.4f,"parquet_4d_plane_sec_per_tile":${plane4 / zTiles.size}%.4f,"batch_sec_per_tile":${batch / batchTiles}%.4f,"batch_tiles":$batchTiles,"cold_total_sec":$cold%.2f,"warm_total_sec":$warm%.2f}""")
+      import org.apache.spark.sql.functions.col
+      val times = cube.df.select(col("time")).distinct()
+        .collect().map(_.getTimestamp(0)).sortBy(_.getTime)
+      val batchJobs = for {
+        (lv, z) <- levels.zipWithIndex
+        (tv, ti) <- times.zipWithIndex
+      } yield graft.render.TileMaterialize.LevelJob(
+        z * times.length + ti, lv, tv)
+      val style = graft.render.Render.ColorMapping(0.0, 1.0, // server default
+        graft.render.ColorMaps.paletteOrDefault("viridis"))
+      def runBatch(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = graft.render.TileMaterialize.renderLevels(
+          batchJobs, "v0", 256, 256, style,
+          flipY = levels.head.grid.latAscending).count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val (batchTiles, batchCold) = runBatch()
+      val (_, batch) = runBatch()
+      println(f"""{"metric":"tile_latency","tiles":${tiles.size},"levels":${t.numLevels},"cold_sec_per_tile":${cold / tiles.size}%.4f,"warm_sec_per_tile":${warm / tiles.size}%.4f,"direct_sec_per_tile":${direct / zTiles.size}%.4f,"direct_warm_sec_per_tile":${directWarm / zTiles.size}%.4f,"parquet_sec_per_tile":${parquet / zTiles.size}%.4f,"parquet_warm_sec_per_tile":${parquetWarm / zTiles.size}%.4f,"parquet_4d_plane_sec_per_tile":${plane4 / zTiles.size}%.4f,"batch_sec_per_tile":${batch / batchTiles}%.4f,"batch_cold_sec_per_tile":${batchCold / batchTiles}%.4f,"batch_tiles":$batchTiles,"batch_members":${batchJobs.size},"cold_total_sec":$cold%.2f,"warm_total_sec":$warm%.2f}""")
       System.out.flush()
     } finally { srv.stop(); spark.stop() }
     // the JDK HttpClient keeps non-daemon worker threads alive; don't
