@@ -32,8 +32,11 @@ import org.apache.spark.sql.functions._
   */
 object ScalingDecade {
 
-  /** The steepest sf0.01→sf0.1 ratios from the r10 record, plus the
-    * graph pair — the plans whose next decade is worth buying. */
+  /** Round 14: EVERY query ≥ 1 s at sf0.1 in the round-13 quiet-host
+    * bench (the r13 verdict's ask — the decade panel is the only
+    * 100×-design evidence the harness records, so it must not rest on
+    * hand-picked rows), plus the historical steepest-ratio set and the
+    * new round-14 rows. */
   val panel: Seq[String] = Seq(
     "corr_matrix", "dsir_importance", "dedup_substring",
     "graph_pagerank", "graph_hits", "sketch_hll_distinct",
@@ -42,12 +45,31 @@ object ScalingDecade {
     // (6M (o,p) rows > the 2^22 DenseMaxPairs guard), so the decade
     // panel measures the _dist FALLBACK forms at BOTH SFs — the
     // like-for-like scaling of the plan that actually runs at sf1,
-    // not a ratio smeared across the dispatch boundary
+    // not a ratio smeared across the dispatch boundary (their
+    // dispatching wrappers graph_link_predict / graph_triangles are
+    // therefore deliberately absent)
     "graph_link_predict_dist", "graph_triangles_dist",
     // round-13: the quadrupled suffix-rank build (the dense dispatch
     // still wins at sf1's 2.7M positions — the _dist form measures the
     // plan that runs past the 2^22 guard) and the corpus cut
-    "substring_repeat_profile_dist", "dedup_substring_cut")
+    "substring_repeat_profile_dist", "dedup_substring_cut",
+    // round-14 widening: the full ≥1 s-at-sf0.1 tier
+    "graph_communities", "graph_kcore_peel", "graph_bfs_levels",
+    "assoc_rules", "pipeline_curate", "ivf_recall_eval",
+    "ngram_novelty", "knn_classify", "hard_negatives",
+    "lsh_recall_eval", "dedup_simhash", "dedup_keep_best",
+    "text_bigram_logprob", "bitext_mine", "sim_ann_ivf",
+    "dedup_semantic", "dedup_emb_cosine", "mad_outliers",
+    "orders_abc", "winsorize", "text_token_bpe",
+    "retrieval_ndcg_eval", "retrieval_rrf_fusion", "agg_rollup",
+    "q14_promo_share", "window_ntile", "ngram_hot", "dedup_clusters",
+    "join_bloom_prune", "session_window_overlap", "tokenize_learned",
+    "dedup_jaccard", "tokenizer_fertility", "sim_topk_pq",
+    // round-14 additions: the incremental near-dup (sidecar warm on
+    // the min-of-runs, the steady-state batch shape) and the bounded
+    // exact-bitext companion (deliberately scale-FLAT — its ratio
+    // should sit near 1)
+    "dedup_incremental_minhash", "bitext_mine_exact")
 
   def synthesize(spark: SparkSession, src: String, dst: String): Unit = {
     val reps = 10

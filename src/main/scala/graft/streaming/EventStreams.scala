@@ -293,6 +293,60 @@ object EventStreams {
       }
   }
 
+  /** Streaming incremental NEAR-dup — the streaming twin of the
+    * `dedup_incremental_minhash` batch pass, driven entirely by the
+    * batch-persisted [[graft.pipeline.DedupIndex]] sidecar: arriving
+    * docs compute their distinct word-bigram shingle set in one
+    * codegen kernel per row ([[graft.functions.ShingleHashes]]), derive
+    * the SAME 16-hash/4-band MinHash signature with per-row array
+    * expressions (array_min over the affine-transformed set — value-
+    * identical to the batch min() aggregate over exploded rows, since
+    * both reduce the same distinct shingle set), band-equality-join the
+    * STATIC sidecar band index for candidates, and verify exact
+    * Jaccard per candidate against the sidecar's per-old-doc shingle
+    * SETS (a static aggregation, done once) — all stateless per-row
+    * algebra except the candidate-pair dedup (one pair can collide in
+    * several bands), the single stateful op. Stream state and joins
+    * carry 8-byte hashes only; the old corpus is never scanned and the
+    * new text never leaves its scan projection. */
+  def streamingIncrementalNearDup(docs: DataFrame, oldBands: DataFrame,
+      oldShingles: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 16, bands: Int = 4)
+      : DataFrame = {
+    import graft.pipeline.TextHash
+    val rows = numHashes / bands
+    val withSh = docs.select(col(idCol).cast("long").as("new_id"),
+      graft.functions.HashF.shingleHashes(col(textCol)).as("shn"))
+    val sigCols = (0 until numHashes).map { k =>
+      val (a, b) = TextHash.coeffs(k)
+      array_min(transform(col("shn"),
+        s => (s * lit(a) + lit(b)) % lit(TextHash.P))).as(s"mh$k")
+    }
+    val sigs = withSh.select(
+      (col("new_id") +: col("shn") +: sigCols): _*)
+    val bandKey = (b: Int) =>
+      (0 until rows).foldLeft(lit(0L)) { (acc, r) =>
+        acc * 131L + col(s"mh${b * rows + r}")
+      }
+    val banded = sigs.select(col("new_id"), col("shn"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("new_id"), col("shn"), col("bk.band"), col("bk.key"))
+    val oldSets = oldShingles.groupBy(col("id").as("old_id"))
+      .agg(collect_list(col("s")).as("sho"))
+    banded
+      .join(oldBands.select(col("id").as("old_id"), col("band"),
+        col("key")), Seq("band", "key"))
+      .dropDuplicates("new_id", "old_id")
+      .join(oldSets, Seq("old_id"))
+      .withColumn("common",
+        size(array_intersect(col("shn"), col("sho"))).cast("long"))
+      .withColumn("jaccard", round(col("common") /
+        (size(col("shn")) + size(col("sho")) - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), col("common"), col("jaccard"))
+  }
+
   /** Streaming trailing-window rolling aggregate (the streaming twin
     * of the cube_rolling_3d per-pixel trailing window): per event
     * type, each closed hour emits the trailing `steps`-hour event rate

@@ -373,6 +373,51 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming incremental NEAR-dup matches the batch pass from " +
+      "the same persisted MinHash sidecar") {
+    val idxDir = Files.createTempDirectory("graft-ndidx-stream").toString
+    spark.conf.set("spark.graft.dedup.indexDir", idxDir)
+    val streamDir = Files.createTempDirectory("graft-ndstream").toString
+    try {
+      val d = sf("sf0.01") // sf0.001 has no cross-split near-dup pairs
+      // the batch pass persists band index + shingle sets...
+      val batch = graft.queries.PipelineQueries
+        .dedupIncrementalMinhash(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(batch.nonEmpty, "fixture lost its cross-split pairs")
+      val key = graft.pipeline.DedupIndex.snapshotKey(
+        spark, s"$d/documents.parquet", "incr-minhash-v1")
+      val sidecar = graft.pipeline.DedupIndex.loadNearDup(spark, key)
+      assert(sidecar.isDefined, "batch pass did not persist the sidecar")
+      val (oldBands, oldSh) = sidecar.get
+      val docs = Tables.documents(spark, d)
+        .withColumn("isnew",
+          pmod(col("doc_id") * lit(2654435761L), lit(100L)) >= 75)
+      docs.filter(col("isnew")).drop("isnew")
+        .coalesce(1).write.mode("overwrite").parquet(streamDir)
+      val stream = EventStreams.streamingIncrementalNearDup(
+        EventStreams.readDocuments(spark, streamDir), oldBands, oldSh,
+        "doc_id", "text", threshold = 0.5)
+      val q = stream.writeStream
+        .format("memory").queryName("ineardup_out")
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+      val got = spark.table("ineardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got == batch,
+        s"stream/batch diverged: only-stream ${got -- batch}, " +
+          s"only-batch ${batch -- got}")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.indexDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idxDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(streamDir))
+    }
+  }
+
   test("streaming incremental dedup reuses the batch-persisted " +
       "snapshot sidecar — bloom and hash index load, nothing rebuilds") {
     val idxDir = Files.createTempDirectory("graft-didx-stream").toString
