@@ -78,6 +78,41 @@ object HashKernels {
     out.result()
   }
 
+  /** One-pass SimHash over whitespace tokens: tokens split on single
+    * spaces with empties KEPT (`split(text, " ")` semantics, h("")=0),
+    * per-OCCURRENCE token hash h = [[polyHash]], bit j of the result
+    * set iff Σ_occurrences (bit j of h ? +1 : −1) > 0 — value-identical
+    * to the exploded 32-sum-aggregate formulation (integer sums,
+    * order-independent), executed as one tight loop per document
+    * instead of a 32-column HashAggregate over every token row (the
+    * explode form was the dedup_simhash decade pole: ~20M aggregated
+    * rows × 32 conditional sums at sf1). */
+  def simhash(s: UTF8String, bits: Int, mod: Long): Long = {
+    val str = s.toString
+    val cnt = new Array[Int](bits)
+    var acc = 0L
+    var i = 0
+    while (i <= str.length) {
+      val boundary = i == str.length || str.charAt(i) == ' '
+      if (boundary) {
+        var j = 0
+        while (j < bits) {
+          if (((acc >>> j) & 1L) == 1L) cnt(j) += 1 else cnt(j) -= 1
+          j += 1
+        }
+        acc = 0L
+      } else acc = (acc * 31 + str.charAt(i)) % mod
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (cnt(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
   /** rolling 8-char window hashes (fixed 31^k weights, mod P):
     * returns (min window hash, distinct window count); null-signal -1
     * when the string is shorter than 8. */
@@ -114,6 +149,22 @@ case class PolyHash(child: Expression) extends UnaryExpression {
       s"graft.functions.HashKernels.polyHash($c, ${HashKernels.P}L)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Codegen'd one-pass SimHash ([[HashKernels.simhash]]). */
+case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.simhash(v.asInstanceOf[UTF8String], bits, HashKernels.P)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.simhash($c, $bits, ${HashKernels.P}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Codegen'd polynomial string hash mod [[HashKernels.PW]] — the
@@ -295,6 +346,8 @@ object HashF {
       GraftColumnBridge.expression(c), merges))
   def polyHash(c: Column): Column =
     GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
+  def simhash(c: Column, bits: Int): Column =
+    GraftColumnBridge.column(SimHash(GraftColumnBridge.expression(c), bits))
   def polyHashWide(c: Column): Column =
     GraftColumnBridge.column(PolyHashWide(GraftColumnBridge.expression(c)))
   def shingleHashes(c: Column): Column =

@@ -518,25 +518,18 @@ object Dedup {
   /** 32-bit SimHash from per-occurrence token hashes: bit j of the
     * signature is set iff Σ_tokens (±1 by bit j of tokenHash) > 0.
     *
-    * Shape: explode tokens → one interpreted hash eval per token → 32
-    * codegen'd conditional-sum aggregates → signature reassembly. The
-    * naive all-expression form would re-run the interpreted hash
-    * pipeline once per bit (32×). */
+    * ONE codegen kernel evaluation per document
+    * ([[graft.functions.HashKernels.simhash]] — tokenize, hash and
+    * bit-vote in a single tight loop), value-identical to the previous
+    * explode → 32-conditional-sum-aggregate formulation (integer sums
+    * are order-independent) but with ZERO shuffles and no token-row
+    * blow-up: the aggregate form shuffled and aggregated every token
+    * occurrence (~20M rows × 32 sum columns at sf1 — the decade
+    * panel's dedup_simhash pole; this form is one linear scan). */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              bits: Int = 32): DataFrame = {
-    val hashed = df
-      .select(col(idCol).as("id"),
-        explode(split(col(textCol), " ")).as("t"))
-      .select(col("id"), graft.functions.HashF.polyHash(col("t")).as("h"))
-    val bitAggs = (0 until bits).map(j =>
-      sum(when(shiftright(col("h"), j) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
-        .as(s"s$j"))
-    val sums = hashed.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
-    val sig = (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
-      acc + when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    sums.select(col("id"), sig.as("simhash"))
-  }
+              bits: Int = 32): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.HashF.simhash(col(textCol), bits).as("simhash"))
 
   /** Duplicate clusters from near-dup pairs: connected components by
     * iterative min-label propagation (each node adopts the smallest id
