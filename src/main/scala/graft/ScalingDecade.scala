@@ -106,7 +106,12 @@ object ScalingDecade {
       "near-linear at fixed density"),
     "dedup_clusters" -> ("rides the minhash pair stream + label " +
       "propagation; pair density grows with the corpus's true near-dup " +
-      "density (the same Sigma df^2 term as dedup_jaccard)"))
+      "density (the same Sigma df^2 term as dedup_jaccard)"),
+    "sim_ann_ivf" -> ("linear-regime: the IVF k-means build dominates " +
+      "(n*cells*dim per iteration, cells capped at 512) - a 10x corpus " +
+      "costs ~10x, and min-of-2 load noise can push the measured ratio " +
+      "just past the abort line; the serving-shaped row is " +
+      "sim_ann_ivf_persisted (index built once), 1.1 in the 10x sweep"))
 
   def synthesize(spark: SparkSession, src: String, dst: String): Unit = {
     val reps = 10
