@@ -44,27 +44,43 @@ object DenseGraph {
     * [[DenseMaxPairs]] — real basket data has exactly that shape. */
   val DenseMaxFanout: Long = 1L << 26
 
+  /** Memoized guard verdicts per `memoKey` — same contract as
+    * [[GraphEdges.probeMemo]]: the verdict only routes between two
+    * row-identical plans (dense CSR vs distributed fallback), so a
+    * stale entry can never change results; callers key it to an
+    * immutable dataset snapshot. */
+  private val guardMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** Collect the per-order part sets if BOTH guards fit. One
     * DISTRIBUTED aggregate checks the row count and the pair fan-out
     * Σ_orders k·(k−1)/2 together — so callers need no separate count()
     * action and a rejected dispatch never pays a driver collect that
     * it then throws away; only after the guard passes do the sets come
-    * to the driver (accept = 2 jobs, reject = 1). The fan-out term
+    * to the driver (accept = 2 jobs, reject = 1; with a `memoKey` hit,
+    * accept = 1 and reject = 0). The fan-out term
     * catches the one-mega-order quadratic shape the row guard cannot
     * see; per-order k is the RAW row count (pairs may predate the
     * distinct), which only OVERestimates — a conservative reject just
     * routes to the distributed form. Returns None on reject. */
-  private def collectSetsIfFanoutFits(s: SparkSession, pairs: DataFrame)
+  private def collectSetsIfFanoutFits(s: SparkSession, pairs: DataFrame,
+                                      memoKey: Option[String])
       : Option[Array[Array[Long]]] = {
     import s.implicits._
-    // row guard caps k at 2²², so k·(k−1) stays far below Long
-    // overflow; the product is even, so the shift is exact
-    val st = pairs.groupBy(col("o")).agg(count(lit(1)).as("k"))
-      .agg(sum(col("k")),
-        sum(shiftright(col("k") * (col("k") - lit(1L)), 1))).first()
-    val rows = if (st.isNullAt(0)) 0L else st.getLong(0)
-    val fanout = if (st.isNullAt(1)) 0L else st.getLong(1)
-    if (rows > DenseMaxPairs || fanout > DenseMaxFanout) None
+    val fits = memoKey.flatMap(k => Option(guardMemo.get(k)))
+      .map(_.booleanValue).getOrElse {
+        // row guard caps k at 2²², so k·(k−1) stays far below Long
+        // overflow; the product is even, so the shift is exact
+        val st = pairs.groupBy(col("o")).agg(count(lit(1)).as("k"))
+          .agg(sum(col("k")),
+            sum(shiftright(col("k") * (col("k") - lit(1L)), 1))).first()
+        val rows = if (st.isNullAt(0)) 0L else st.getLong(0)
+        val fanout = if (st.isNullAt(1)) 0L else st.getLong(1)
+        val ok = rows <= DenseMaxPairs && fanout <= DenseMaxFanout
+        memoKey.foreach(k => guardMemo.put(k, ok))
+        ok
+      }
+    if (!fits) None
     else Some(pairs.groupBy(col("o"))
       .agg(collect_set(col("p").cast("long")).as("ps"))
       .select(col("ps")).as[Array[Long]].collect())
@@ -245,10 +261,11 @@ object DenseGraph {
     * (fall back to the distributed form) when the corpus is too big to
     * collect or one mega-order would make the CSR edge expansion
     * quadratic. */
-  def densePath(s: SparkSession, pairs: DataFrame, k: Int = 20)
+  def densePath(s: SparkSession, pairs: DataFrame, k: Int = 20,
+                memoKey: Option[String] = None)
       : Option[DataFrame] = {
     import s.implicits._
-    val setsOpt = collectSetsIfFanoutFits(s, pairs)
+    val setsOpt = collectSetsIfFanoutFits(s, pairs, memoKey)
     if (setsOpt.isEmpty) return None
     val sets = setsOpt.get
     val csr = buildCsr(sets)
@@ -282,10 +299,11 @@ object DenseGraph {
     * their nonzero (vertex, count) partials (≤ n rows each); one tiny
     * keyed sum merges them. Returns the top-20 by
     * (n_triangles desc, part_id). */
-  def trianglesDense(s: SparkSession, pairs: DataFrame, k: Int = 20)
+  def trianglesDense(s: SparkSession, pairs: DataFrame, k: Int = 20,
+                     memoKey: Option[String] = None)
       : Option[DataFrame] = {
     import s.implicits._
-    val setsOpt = collectSetsIfFanoutFits(s, pairs)
+    val setsOpt = collectSetsIfFanoutFits(s, pairs, memoKey)
     if (setsOpt.isEmpty) return None
     val sets = setsOpt.get
     val csr = buildCsr(sets)

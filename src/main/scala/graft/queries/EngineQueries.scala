@@ -524,7 +524,8 @@ object EngineQueries {
     // checks the row count (bounds the collect) AND the pair fan-out
     // (catches the one-mega-order quadratic shape) before anything is
     // collected; None = fall back to the distributed form
-    graft.operators.DenseGraph.densePath(s, proj)
+    graft.operators.DenseGraph.densePath(s, proj,
+        memoKey = Some(s"lineitem-densegraph|$d"))
       .getOrElse(graphLinkPredictDistributed(s, d))
   }
 

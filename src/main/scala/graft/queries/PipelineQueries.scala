@@ -4604,7 +4604,8 @@ object PipelineQueries {
     val proj = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     // two-axis dense guard inside trianglesDense — see graphLinkPredict
-    graft.operators.DenseGraph.trianglesDense(s, proj)
+    graft.operators.DenseGraph.trianglesDense(s, proj,
+        memoKey = Some(s"lineitem-densegraph|$d"))
       .getOrElse(graphTrianglesDistributed(s, d))
   }
 
