@@ -236,6 +236,39 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((0L, 4L)))
   }
 
+  test("simhash kernel == the exploded ±1-sum aggregate semantics " +
+      "on seeded random corpora (incl. empty tokens, repeats)") {
+    // the round-14 one-pass kernel replaced a 32-conditional-sum
+    // aggregate over exploded token rows; this pins value identity
+    // against an independent reimplementation of that definition
+    def reference(text: String, bits: Int): Long = {
+      val cnt = new Array[Int](bits)
+      text.split(" ", -1).foreach { t =>
+        val h = t.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000003L)
+        (0 until bits).foreach { j =>
+          if (((h >>> j) & 1L) == 1L) cnt(j) += 1 else cnt(j) -= 1
+        }
+      }
+      (0 until bits).map(j => if (cnt(j) > 0) 1L << j else 0L).sum
+    }
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "beta", "gamma", "", "x", "longertoken",
+      "été", "n°7") // incl. empty + non-ASCII codepoints
+    val texts = (1 to 60).map { _ =>
+      (0 until 1 + rnd.nextInt(40))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } :+ "" :+ " " :+ "  " // boundary shapes: empty and space-only docs
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == reference(t, 32),
+        s"kernel diverged from the aggregate definition on doc $i: '$t'")
+    }
+  }
+
   test("FloatVectorDot: interpreted + codegen agree with manual dot") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
