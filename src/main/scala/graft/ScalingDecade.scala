@@ -60,7 +60,16 @@ object ScalingDecade {
     // measure index quality on a BOUNDED sample at production scale,
     // while its candidate side (the actual scale path) is covered by
     // dedup_minhash_lsh in the 10× sweep
-    "graph_communities", "graph_kcore_peel", "graph_bfs_levels",
+    // round-14 dense dispatch: graph_communities crosses its 2²²
+    // (o,p) guard at sf1 (6M rows), so — like triangles/link-predict —
+    // the panel measures its _dist fallback; the four BIPARTITE
+    // fixpoints (pagerank/hits/bfs/kcore) stay dense at sf1 (distinct
+    // (p,s) ≈ 0.8M < 2²², boundary ≈ sf5), so their wrappers measure
+    // dense-vs-dense like-for-like AND their _dist twins ride along as
+    // the at-scale evidence
+    "graph_communities_dist", "graph_pagerank_dist", "graph_hits_dist",
+    "graph_kcore_peel_dist", "graph_bfs_levels_dist",
+    "graph_kcore_peel", "graph_bfs_levels",
     "assoc_rules", "pipeline_curate", "ivf_recall_eval",
     "ngram_novelty", "knn_classify", "hard_negatives",
     "dedup_simhash", "dedup_keep_best",

@@ -291,6 +291,72 @@ object DenseGraph {
       .orderBy(col("support").desc, col("part_a"), col("part_b")))
   }
 
+  /** Two synchronous label-propagation rounds (the graph_communities
+    * recurrence) in the dense regime: labels start at the vertex id;
+    * each round every vertex adopts its neighbors' most frequent label,
+    * ties to the SMALLEST label — evaluated per vertex by sorting the
+    * neighbor-label scratch and scanning runs (ascending label order
+    * makes "first run with the max count" exactly the min-label
+    * tiebreak). Integer counts on an identical edge set ⇒ bit-identical
+    * to the distributed join+argmax form. Returns the top-k communities
+    * by (members desc, label). */
+  def communitiesDense(s: SparkSession, pairs: DataFrame, k: Int = 20,
+                       memoKey: Option[String] = None)
+      : Option[DataFrame] = {
+    import s.implicits._
+    val setsOpt = collectSetsIfFanoutFits(s, pairs, memoKey)
+    if (setsOpt.isEmpty) return None
+    val csr = buildCsr(setsOpt.get)
+    val n = csr.ids.length
+    var lab: Array[Long] = csr.ids.clone()
+    var maxDeg = 0
+    var v = 0
+    while (v < n) { maxDeg = math.max(maxDeg, csr.deg(v)); v += 1 }
+    val buf = new Array[Long](maxDeg)
+    var round = 0
+    while (round < 2) {
+      val next = new Array[Long](n)
+      v = 0
+      while (v < n) {
+        val d0 = csr.off(v); val d1 = csr.off(v + 1)
+        var j = d0
+        while (j < d1) { buf(j - d0) = lab(csr.adj(j)); j += 1 }
+        val len = d1 - d0
+        java.util.Arrays.sort(buf, 0, len)
+        var best = buf(0); var bestCnt = 0
+        var i = 0
+        while (i < len) {
+          var run = 1
+          while (i + run < len && buf(i + run) == buf(i)) run += 1
+          if (run > bestCnt) { bestCnt = run; best = buf(i) }
+          i += run
+        }
+        next(v) = best
+        v += 1
+      }
+      lab = next
+      round += 1
+    }
+    // final community sizes: sort the label array, run-length count
+    java.util.Arrays.sort(lab)
+    val out = new ArrayBuffer[(Long, Long)]()
+    var i = 0
+    while (i < n) {
+      var run = 1
+      while (i + run < n && lab(i + run) == lab(i)) run += 1
+      out += ((lab(i), run.toLong))
+      i += run
+    }
+    val top = out.sortBy { case (label, cnt) => (-cnt, label) }.take(k).toSeq
+    val df = s.createDataFrame(top).toDF("community", "n_members")
+    // the distributed twin's label column is parquet-derived, hence
+    // nullable — mirror it so the dispatch is invisible to schema gates
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields
+      .map(f => f.copy(nullable = f.name == "community")))
+    Some(s.createDataFrame(df.rdd.coalesce(1), schema)
+      .sortWithinPartitions(col("n_members").desc, col("community")))
+  }
+
   /** Per-node triangle counts, dense regime: iterate ORIENTED edges
     * (u→w), merge-intersect outAdj(u) ∩ outAdj(w) — every triangle is
     * found exactly once at its lowest-rank edge, with work

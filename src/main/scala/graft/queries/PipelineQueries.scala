@@ -4449,7 +4449,16 @@ object PipelineQueries {
     (pairs, edges)
   }
 
-  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+  /** Dense-first dispatch: up to [[graft.operators.BipartiteFixpoint]]'s
+    * 2²² distinct-pair guard the 2-round fixpoint runs as one bounded
+    * collect + driver CSR loop (bit-identical integer recurrence);
+    * above it, the distributed one-exchange-per-round form below. The
+    * `_dist` twin keeps the at-scale plan oracle-checked at every SF. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame =
+    graft.operators.BipartiteFixpoint.pagerank(s, d)
+      .getOrElse(graphPagerankDistributed(s, d))
+
+  def graphPagerankDistributed(s: SparkSession, d: String): DataFrame = {
     val (pairs, edges) = partSupplierGraph(s, d)
     // degrees come straight from the persisted pair table (a part's
     // out-degree IS its distinct supplier count and vice versa) — two
@@ -4523,7 +4532,12 @@ object PipelineQueries {
     * replays bit-exactly. Each push is one hash join of the score
     * vector onto the persisted edge list plus one groupBy sum; the
     * normalizer is a single-row broadcast, never a global window. */
-  def graphHits(s: SparkSession, d: String): DataFrame = {
+  /** Dense-first dispatch — see [[graphPagerank]]. */
+  def graphHits(s: SparkSession, d: String): DataFrame =
+    graft.operators.BipartiteFixpoint.hits(s, d)
+      .getOrElse(graphHitsDistributed(s, d))
+
+  def graphHitsDistributed(s: SparkSession, d: String): DataFrame = {
     val (pairs, edges) = partSupplierGraph(s, d)
     val nodes = edges.select("src").distinct()
       .withColumnRenamed("src", "node_id").persist()
@@ -4719,7 +4733,19 @@ object PipelineQueries {
     * graph_pagerank; exchanges carry integer ids only. The argmax per
     * vertex is a single max(struct(cnt, −label)) aggregate, not a
     * rank window. */
+  /** Dense-first dispatch: same guard + memo key as [[graphTriangles]]
+    * (the co-purchase CSR is shared machinery), so one verdict
+    * aggregate covers both; above the guard the distributed LPA below
+    * runs, oracle-checked at every SF via `graph_communities_dist`. */
   def graphCommunities(s: SparkSession, d: String): DataFrame = {
+    val proj = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    graft.operators.DenseGraph.communitiesDense(s, proj,
+        memoKey = Some(s"lineitem-densegraph|$d"))
+      .getOrElse(graphCommunitiesDistributed(s, d))
+  }
+
+  def graphCommunitiesDistributed(s: SparkSession, d: String): DataFrame = {
     val raw = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     val op = raw.distinct()
@@ -5016,7 +5042,12 @@ object PipelineQueries {
     * DuckDB oracle is a recursive CTE with UNION-dedup — a genuinely
     * different evaluation strategy (semi-naive fixpoint) arriving at
     * the identical level sets, which is the point of the check. */
-  def graphBfsLevels(s: SparkSession, d: String): DataFrame = {
+  /** Dense-first dispatch — see [[graphPagerank]]. */
+  def graphBfsLevels(s: SparkSession, d: String): DataFrame =
+    graft.operators.BipartiteFixpoint.bfsLevels(s, d)
+      .getOrElse(graphBfsLevelsDistributed(s, d))
+
+  def graphBfsLevelsDistributed(s: SparkSession, d: String): DataFrame = {
     val (pairs, edges) = partSupplierGraph(s, d)
     val seed = Tables.lineitem(s, d)
       .agg((min(col("l_partkey")) * 2).as("node_id"))
@@ -5152,7 +5183,12 @@ object PipelineQueries {
     * one-row broadcast. Output is the peeling trajectory
     * (edges/parts/suppliers per round), the shape a curation pipeline
     * reads to pick a core cut-off. */
-  def graphKcorePeel(s: SparkSession, d: String): DataFrame = {
+  /** Dense-first dispatch — see [[graphPagerank]]. */
+  def graphKcorePeel(s: SparkSession, d: String): DataFrame =
+    graft.operators.BipartiteFixpoint.kcorePeel(s, d)
+      .getOrElse(graphKcorePeelDistributed(s, d))
+
+  def graphKcorePeelDistributed(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct().persist()
@@ -5220,7 +5256,11 @@ object PipelineQueries {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sketch_join_size", sketchJoinSize, Some(sketchJoinSizeSql)),
     QuerySpec("graph_kcore_peel", graphKcorePeel, Some(graphKcorePeelSql)),
+    QuerySpec("graph_kcore_peel_dist", graphKcorePeelDistributed,
+      Some(graphKcorePeelSql), bench = false),
     QuerySpec("graph_bfs_levels", graphBfsLevels, Some(graphBfsLevelsSql)),
+    QuerySpec("graph_bfs_levels_dist", graphBfsLevelsDistributed,
+      Some(graphBfsLevelsSql), bench = false),
     QuerySpec("sim_topk_pq", simTopKPq, Some(simTopKPqSql)),
     QuerySpec("overlap_matrix", overlapMatrix, Some(overlapMatrixSql)),
     QuerySpec("split_leakage", splitLeakage, Some(splitLeakageSql)),
@@ -5231,12 +5271,18 @@ object PipelineQueries {
       Some(retrievalRrfFusionSql)),
     QuerySpec("sketch_cms_heavy", sketchCmsHeavy, Some(sketchCmsHeavySql)),
     QuerySpec("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
+    QuerySpec("graph_pagerank_dist", graphPagerankDistributed,
+      Some(graphPagerankSql), bench = false),
     QuerySpec("graph_hits", graphHits, Some(graphHitsSql)),
+    QuerySpec("graph_hits_dist", graphHitsDistributed,
+      Some(graphHitsSql), bench = false),
     QuerySpec("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     QuerySpec("graph_triangles_dist", graphTrianglesDistributed,
       Some(graphTrianglesSql), bench = false),
     QuerySpec("graph_communities", graphCommunities,
       Some(graphCommunitiesSql)),
+    QuerySpec("graph_communities_dist", graphCommunitiesDistributed,
+      Some(graphCommunitiesSql), bench = false),
     QuerySpec("assoc_rules", assocRules, Some(assocRulesSql)),
     QuerySpec("mix_epoch_plan", mixEpochPlan, Some(mixEpochPlanSql)),
     QuerySpec("sim_topk_rp", simTopKRp, Some(simTopKRpSql)),

@@ -831,7 +831,8 @@ class ScaleSpec extends SparkSpec {
     graft.pipeline.Caching.inspectLazyPlans = true
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val q = graft.queries.PipelineQueries.graphCommunities(
+      // the DISTRIBUTED form: the wrapper dispatches dense at test SF
+      val q = graft.queries.PipelineQueries.graphCommunitiesDistributed(
         spark, "/root/testdata/sf0.001")
       val plan = q.queryExecution.executedPlan
       assert(plan.collect {
@@ -958,7 +959,12 @@ class ScaleSpec extends SparkSpec {
       // dense-dispatch driver suffix sort under the 2^22-position
       // guard (the distributed twin keeps a full inspectable plan and
       // is audited as substring_repeat_profile_dist right below)
-      "substring_repeat_profile")
+      "substring_repeat_profile",
+      // dense-dispatch driver CSR fixpoints under the 2^22-pair guard
+      // (BipartiteFixpoint / DenseGraph.communitiesDense); each keeps
+      // a fully inspectable distributed twin audited as graph_*_dist
+      "graph_pagerank", "graph_hits", "graph_bfs_levels",
+      "graph_kcore_peel", "graph_communities")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
