@@ -113,6 +113,79 @@ object HashKernels {
     sig
   }
 
+  /** All L-token window span hashes in ONE pass over the text bytes.
+    *
+    * `split(text, " ")` followed by `concat_ws(" ", slice(w, i, L))` is
+    * the identity on byte ranges — splitting on the single-space
+    * regex and re-joining with a space reconstructs the exact input
+    * bytes (empty tokens included) — so the span of tokens i..i+L−1 IS
+    * the byte range from token i's start to token i+L−1's end, and the
+    * kernel hashes straight off the UTF8String's memory: no per-window
+    * token-array slice, no string materialization, no interpreted
+    * higher-order lambda (the transform/slice/concat_ws form costs ~µs
+    * and an allocation per window; this is the same 40 s → 2 s class
+    * of win as [[shingleHashes]]).
+    *
+    * Each element is struct(i, h1, h2): i = the 1-based window start
+    * (`sequence(1, n−L+1)` semantics), h1 = XXH64(span bytes, seed 42)
+    * — bit-identical to Spark's `xxhash64(span)` — and h2 =
+    * XXH64(span bytes, seed 1), an INDEPENDENT second fold. The old
+    * `xxhash64(span, lit(1))` "second half" was h2 = hashLong(1, h1) —
+    * a pure function of h1, so the (h1,h2) key carried only 64 real
+    * bits; two seeded folds make the 128-bit key genuine (collision
+    * odds at 10¹⁰ windows: ~10⁻¹⁸ rather than a handful expected).
+    * Returns an empty array when the text has fewer than L tokens. */
+  def spanHashes(s: UTF8String, L: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes
+    // token start byte offsets (split-on-space keeps empties)
+    val starts = scala.collection.mutable.ArrayBuilder.make[Int]
+    starts += 0
+    var k = 0
+    while (k < nb) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + k) == 0x20)
+        starts += k + 1
+      k += 1
+    }
+    val st = starts.result()
+    val nTok = st.length
+    val nWin = nTok - L + 1
+    if (nWin <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val rows = new Array[Any](nWin)
+    var i = 0
+    while (i < nWin) {
+      val b = st(i)
+      val e = if (i + L < nTok) st(i + L) - 1 else nb
+      val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + b, e - b, 42L)
+      val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + b, e - b, 1L)
+      rows(i) = InternalRow(i + 1, h1, h2)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** `size(split(text, " "))` without materializing the token array:
+    * spaces + 1 in one byte scan. */
+  def tokenCount(s: UTF8String): Int = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes
+    var c = 1
+    var k = 0
+    while (k < nb) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + k) == 0x20)
+        c += 1
+      k += 1
+    }
+    c
+  }
+
   /** rolling 8-char window hashes (fixed 31^k weights, mod P):
     * returns (min window hash, distinct window count); null-signal -1
     * when the string is shorter than 8. */
@@ -203,6 +276,43 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
         s"$c, ${HashKernels.P}L))")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Codegen'd per-document L-token span-hash array
+  * ([[HashKernels.spanHashes]]): element = struct(i, h1, h2) per
+  * window, hashed straight off the text bytes. */
+case class SpanHashes(child: Expression, l: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "span_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.spanHashes(v.asInstanceOf[UTF8String], l)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.spanHashes($c, $l)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Codegen'd token count (`size(split(text, " "))` without the array). */
+case class TokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.tokenCount(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.tokenCount($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Per-document rolling-fingerprint kernel: one pass over the text,
@@ -354,6 +464,10 @@ object HashF {
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(c)))
   def fingerprint8(c: Column): Column =
     GraftColumnBridge.column(Fingerprint8(GraftColumnBridge.expression(c)))
+  def spanHashes(c: Column, l: Int): Column =
+    GraftColumnBridge.column(SpanHashes(GraftColumnBridge.expression(c), l))
+  def tokenCount(c: Column): Column =
+    GraftColumnBridge.column(TokenCount(GraftColumnBridge.expression(c)))
   def bitsetAndCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(BitsetAndCount(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

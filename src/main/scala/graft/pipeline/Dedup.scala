@@ -66,11 +66,15 @@ object Dedup {
     * collision odds are the birthday bound ~N²/2¹²⁹ over N distinct
     * texts — < 10⁻²⁰ even at 10⁹ docs — and an oracle comparing
     * literal-text groups would surface one as a hash mismatch).
-    * Equality of counts
+    * The second half is `xxhash64(lit(1L), key)` — the literal FIRST,
+    * so the key bytes fold under the derived seed hashLong(1, 42) ≠ 42
+    * and the two halves are independent; `xxhash64(key, lit(1L))` is
+    * hashLong(1, h1), a pure function of h1 that silently narrowed the
+    * key to 64 real bits. Equality of counts
     * with [[exact]] is asserted in PipelineSpec. */
   def exactHashed(df: DataFrame, idCol: String, keyCol: String): DataFrame =
     df.groupBy(xxhash64(col(keyCol)).as("h1"),
-        xxhash64(col(keyCol), lit(1L)).as("h2"))
+        xxhash64(lit(1L), col(keyCol)).as("h2"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct word-bigram shingle hashes per doc: (id, shingle).

@@ -28,7 +28,11 @@ import scala.util.control.NonFatal
   */
 object DedupIndex {
 
-  val FormatVersion = 1
+  // v2: the persisted second paragraph hash became the independent
+  // seed-1 fold xxhash64(lit(1L), para) — the old chained form was a
+  // pure function of h1; bumping the version makes pre-change sidecars
+  // a clean miss instead of a silent probe mismatch
+  val FormatVersion = 2
 
   def indexDir(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.dedup.indexDir").getOrElse(

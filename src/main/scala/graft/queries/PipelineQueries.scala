@@ -1081,7 +1081,7 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), explode(paras).as("para"))
       .select(col("doc_id"), col("source"),
         xxhash64(col("para")).as("h1"),
-        xxhash64(col("para"), lit(1L)).as("h2"))
+        xxhash64(lit(1L), col("para")).as("h2"))
     val perSrc = exploded.groupBy("h1", "h2", "source")
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("h1", "h2")
@@ -2055,12 +2055,12 @@ object PipelineQueries {
     val a = docs.filter(col("doc_id") % 4 =!= 0)
       .select(col("doc_id"), col("source").as("src_a"),
         xxhash64(col("text")).as("ha1"),
-        xxhash64(col("text"), lit(1L)).as("ha2"))
+        xxhash64(lit(1L), col("text")).as("ha2"))
     val bt = when(col("doc_id") % 8 === 2,
       concat(col("text"), lit(" updated"))).otherwise(col("text"))
     val b = docs.filter(col("doc_id") % 4 =!= 1)
       .select(col("doc_id"), col("source").as("src_b"),
-        xxhash64(bt).as("hb1"), xxhash64(bt, lit(1L)).as("hb2"))
+        xxhash64(bt).as("hb1"), xxhash64(lit(1L), bt).as("hb2"))
     a.join(b, Seq("doc_id"), "full")
       .withColumn("status",
         when(col("hb1").isNull, lit("removed"))
@@ -2194,7 +2194,7 @@ object PipelineQueries {
       .select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
       .select(col("doc_id"), col("para_idx"),
         xxhash64(col("para")).as("h1"),
-        xxhash64(col("para"), lit(1L)).as("h2"))
+        xxhash64(lit(1L), col("para")).as("h2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("h1", "h2").orderBy("doc_id", "para_idx")
     exploded
@@ -2411,7 +2411,7 @@ object PipelineQueries {
       .select(col("source"), col("isnew"), explode(paras).as("para"))
       .select(col("source"), col("isnew"),
         xxhash64(col("para")).as("h1"),
-        xxhash64(col("para"), lit(1L)).as("h2"))
+        xxhash64(lit(1L), col("para")).as("h2"))
     val old = exploded.filter(!col("isnew")).select("h1", "h2")
     // Old-paragraph count estimate from metadata only (no Spark job):
     // compressed file bytes / 40 as the crude guess, FLOORED by the
@@ -3287,15 +3287,17 @@ object PipelineQueries {
     * mismatch). Duplicated spans are rare, so AQE broadcasts the
     * dup-key side of the count-back join at scale. */
   def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    // one codegen pass per doc: window hashes straight off the text
+    // bytes (split/join identity — see HashKernels.spanHashes), two
+    // independent seeds = a REAL 128-bit dup key
     val base = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("n", size(col("w")))
+      .select(col("doc_id"),
+        graft.functions.HashF.tokenCount(col("text")).as("n"),
+        col("text"))
     val spans = base.filter(col("n") >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, n - 7), i -> concat_ws(' ', slice(w, i, 8)))"))
-        .as("span"))
-      .select(col("doc_id"), xxhash64(col("span")).as("h1"),
-        xxhash64(col("span"), lit(1L)).as("h2"))
+      .select(col("doc_id"),
+        explode(graft.functions.HashF.spanHashes(col("text"), 8)).as("sp"))
+      .select(col("doc_id"), col("sp.h1").as("h1"), col("sp.h2").as("h2"))
     val dup = spans.groupBy("h1", "h2")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
@@ -3330,17 +3332,18 @@ object PipelineQueries {
     */
   def dedupSubstringCut(s: SparkSession, d: String): DataFrame = {
     val L = 8
+    // same one-pass byte-range span kernel as dedup_substring, keeping
+    // the 1-based window index the island merge needs; `w` stays for
+    // the rebuild side only (column pruning keeps the span scan on
+    // (doc_id, text) and the rebuild scan on (doc_id, w))
     val base = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
       .withColumn("n", size(col("w")))
     val spans = base.filter(col("n") >= L)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, n - ${L - 1}), i -> " +
-          s"struct(i AS i, concat_ws(' ', slice(w, i, $L)) AS sp))"))
-        .as("s"))
-      .select(col("doc_id"), col("s.i").as("i"),
-        xxhash64(col("s.sp")).as("h1"),
-        xxhash64(col("s.sp"), lit(1L)).as("h2"))
+      .select(col("doc_id"),
+        explode(graft.functions.HashF.spanHashes(col("text"), L)).as("sp"))
+      .select(col("doc_id"), col("sp.i").as("i"),
+        col("sp.h1").as("h1"), col("sp.h2").as("h2"))
       .persist() // consumed twice: dup-key aggregate + hit join
     val dup = spans.groupBy("h1", "h2")
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -4108,7 +4111,7 @@ object PipelineQueries {
       .select(col("source"), explode(paras).as("para"))
       .select(col("source"),
         xxhash64(col("para")).as("h1"),
-        xxhash64(col("para"), lit(1L)).as("h2"))
+        xxhash64(lit(1L), col("para")).as("h2"))
       .distinct()
     sp.groupBy("h1", "h2")
       .agg(sort_array(collect_set(col("source"))).as("ss"))
@@ -4930,14 +4933,10 @@ object PipelineQueries {
     * never rides a shuffle. */
   def ngramNovelty(s: SparkSession, d: String): DataFrame = {
     val tg = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("n", size(col("w")))
-      .filter(col("n") >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, n - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
-        .as("tri"))
-      .select(col("doc_id"), xxhash64(col("tri")).as("h1"),
-        xxhash64(col("tri"), lit(1L)).as("h2"))
+      .filter(graft.functions.HashF.tokenCount(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.functions.HashF.spanHashes(col("text"), 3)).as("sp"))
+      .select(col("doc_id"), col("sp.h1").as("h1"), col("sp.h2").as("h2"))
     val firstCarrier = tg.groupBy("h1", "h2")
       .agg(min(col("doc_id")).as("first_doc"))
     tg.join(firstCarrier, Seq("h1", "h2"))
@@ -4993,7 +4992,7 @@ object PipelineQueries {
       .select(col("split"), col("doc_id"), explode(paras).as("para"))
       .select(col("split"), col("doc_id"),
         xxhash64(col("para")).as("h1"),
-        xxhash64(col("para"), lit(1L)).as("h2"))
+        xxhash64(lit(1L), col("para")).as("h2"))
       .distinct()
     val a = sp.select(col("split").as("split_a"), col("h1"), col("h2"))
       .distinct()

@@ -210,7 +210,7 @@ object EventStreams {
       // documents and corrupt dedup attribution
       .select(
         concat_ws(":", xxhash64(col("para")),
-          xxhash64(col("para"), lit(1L))).as("hk"),
+          xxhash64(lit(1L), col("para"))).as("hk"),
         col("para"),
         when(col("para_idx") >= lit(100000),
           raise_error(concat(lit("paragraph ordinal overflow (>= 100000 "
@@ -262,7 +262,7 @@ object EventStreams {
         posexplode(paras).as(Seq("para_idx", "para")))
       .select(col("para"),
         xxhash64(col("para")).as("h1"),
-        xxhash64(col("para"), lit(1L)).as("h2"),
+        xxhash64(lit(1L), col("para")).as("h2"),
         when(col("para_idx") >= lit(100000),
           raise_error(concat(lit("paragraph ordinal overflow (>= 100000 "
             + "paragraphs) in doc "), col("doc_id"))).cast("long"))

@@ -341,7 +341,7 @@ class StreamingSpec extends SparkSpec {
     val oldParas = docs.filter(!col("isnew"))
       .select(explode(paras).as("para"))
       .select(xxhash64(col("para")).as("h1"),
-        xxhash64(col("para"), lit(1L)).as("h2"))
+        xxhash64(lit(1L), col("para")).as("h2"))
       .distinct()
     val bloom = graft.pipeline.Dedup.boundedBloom(
       oldParas, "h1", math.max(oldParas.count(), 1L))
