@@ -55,13 +55,55 @@ object BipartiteFixpoint {
     def deg(v: Int): Int = off(v + 1) - off(v)
   }
 
-  /** Collect the distinct (p, s) relation if it fits `maxPairs`
-    * (memoized count per dataset dir; reject = at most 1 job ever,
-    * accept = count + collect). Returns None → caller takes the
-    * distributed form. */
+  /** Raw lineitem rows admitted to the zero-exchange fast path: one
+    * packed collect of the raw (p, s) projection (2²⁴ rows = 128 MB of
+    * longs) with dedup on the driver — cheaper than a distinct
+    * exchange whenever the raw relation itself is collectable, and the
+    * guard reads parquet FOOTERS only (no Spark job at all). */
+  val RawCollectMax: Long = 1L << 24
+
+  /** Collect the distinct (p, s) relation if it fits `maxPairs`.
+    * Fast path: footer row count ≤ [[RawCollectMax]] and key ranges
+    * 32-bit-safe (footer min/max — zero jobs) → ONE packed collect of
+    * the raw projection, sort + dedup on the driver. Fallback (footers
+    * unavailable, or raw too big while the distinct may still fit): a
+    * memoized distinct count, then a distinct-exchange collect.
+    * Returns None → caller takes the distributed form. */
   private def collectIfFits(s: SparkSession, d: String, maxPairs: Long)
       : Option[(Array[Long], Array[Long])] = {
     import s.implicits._
+    val path = s"$d/lineitem.parquet"
+    val fast = (for {
+      rows <- graft.sources.ParquetStats.rowCount(s, path)
+      pm <- graft.sources.ParquetStats.longMinMax(s, path, "l_partkey")
+      sm <- graft.sources.ParquetStats.longMinMax(s, path, "l_suppkey")
+    } yield rows <= RawCollectMax &&
+      pm._1 >= 0 && pm._2 < (1L << 31) &&
+      sm._1 >= 0 && sm._2 < (1L << 32)).getOrElse(false)
+    if (fast) {
+      val raw = graft.Tables.lineitem(s, d)
+        .select((col("l_partkey").cast("long") * lit(4294967296L) +
+          col("l_suppkey").cast("long")).as("x"))
+        .as[Long].collect()
+      if (raw.isEmpty) return None // empty: distributed form decides
+      java.util.Arrays.sort(raw)
+      var m = 0
+      var i = 0
+      while (i < raw.length) {
+        if (m == 0 || raw(m - 1) != raw(i)) { raw(m) = raw(i); m += 1 }
+        i += 1
+      }
+      if (m > maxPairs) return None // distinct still too big for a CSR
+      val ps = new Array[Long](m)
+      val ss = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        ps(i) = raw(i) >>> 32
+        ss(i) = raw(i) & 0xffffffffL
+        i += 1
+      }
+      return Some((ps, ss))
+    }
     val pairs = graft.Tables.lineitem(s, d)
       .select(col("l_partkey").cast("long").as("p"),
         col("l_suppkey").cast("long").as("s"))

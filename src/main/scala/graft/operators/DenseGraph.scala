@@ -52,38 +52,94 @@ object DenseGraph {
   private val guardMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  /** Collect the per-order part sets if BOTH guards fit. One
-    * DISTRIBUTED aggregate checks the row count and the pair fan-out
-    * Σ_orders k·(k−1)/2 together — so callers need no separate count()
-    * action and a rejected dispatch never pays a driver collect that
-    * it then throws away; only after the guard passes do the sets come
-    * to the driver (accept = 2 jobs, reject = 1; with a `memoKey` hit,
-    * accept = 1 and reject = 0). The fan-out term
-    * catches the one-mega-order quadratic shape the row guard cannot
-    * see; per-order k is the RAW row count (pairs may predate the
-    * distinct), which only OVERestimates — a conservative reject just
-    * routes to the distributed form. Returns None on reject. */
-  private def collectSetsIfFanoutFits(s: SparkSession, pairs: DataFrame,
-                                      memoKey: Option[String])
-      : Option[Array[Array[Long]]] = {
+  /** Source-parquet footer hint for the zero-job guard:
+    * (path, orderCol, partCol). With footers present, the row count
+    * and key ranges come straight from row-group metadata, so the
+    * dense dispatch decides without ANY cluster action. */
+  type FooterHint = (String, String, String)
+
+  /** Collect the distinct (o, p) relation PACKED (o·2³² | p, sorted) if
+    * the guards fit; None → caller takes the distributed form.
+    *
+    * Fast path (footer hint with statistics): raw row count ≤
+    * [[DenseMaxPairs]] and both keys inside the 32-bit pack — checked
+    * from parquet footers with NO Spark job — then ONE packed collect
+    * of the raw projection; dedup, per-order grouping, and the
+    * Σ k·(k−1)/2 fan-out check all run on the driver (the true
+    * distinct fan-out, not the raw overestimate). This replaces the
+    * old guard aggregate + groupBy/collect_set chain (two jobs and an
+    * all-rows exchange) with one scan-and-collect: measured 2–4 s →
+    * ~1 s at sf0.1 on the co-purchase projection.
+    *
+    * Fallback (no footers — derived frames, tests): the memoized
+    * one-aggregate guard (raw rows, raw fan-out overestimate, key
+    * ranges), then the same packed collect. The fan-out term catches
+    * the one-mega-order quadratic shape the row guard cannot see;
+    * raw counts only OVERestimate, so a conservative reject just
+    * routes to the distributed form. */
+  private def collectPackedIfFits(s: SparkSession, pairs: DataFrame,
+                                  memoKey: Option[String],
+                                  footer: Option[FooterHint])
+      : Option[Array[Long]] = {
     import s.implicits._
-    val fits = memoKey.flatMap(k => Option(guardMemo.get(k)))
-      .map(_.booleanValue).getOrElse {
-        // row guard caps k at 2²², so k·(k−1) stays far below Long
-        // overflow; the product is even, so the shift is exact
-        val st = pairs.groupBy(col("o")).agg(count(lit(1)).as("k"))
-          .agg(sum(col("k")),
-            sum(shiftright(col("k") * (col("k") - lit(1L)), 1))).first()
-        val rows = if (st.isNullAt(0)) 0L else st.getLong(0)
-        val fanout = if (st.isNullAt(1)) 0L else st.getLong(1)
-        val ok = rows <= DenseMaxPairs && fanout <= DenseMaxFanout
-        memoKey.foreach(k => guardMemo.put(k, ok))
-        ok
-      }
-    if (!fits) None
-    else Some(pairs.groupBy(col("o"))
-      .agg(collect_set(col("p").cast("long")).as("ps"))
-      .select(col("ps")).as[Array[Long]].collect())
+    val fastVerdict: Option[Boolean] = footer.flatMap {
+      case (path, ocol, pcol) =>
+        for {
+          rows <- graft.sources.ParquetStats.rowCount(s, path)
+          om <- graft.sources.ParquetStats.longMinMax(s, path, ocol)
+          pm <- graft.sources.ParquetStats.longMinMax(s, path, pcol)
+        } yield rows <= DenseMaxPairs &&
+          om._1 >= 0 && om._2 < (1L << 31) &&
+          pm._1 >= 0 && pm._2 < (1L << 32)
+    }
+    val fits = fastVerdict.getOrElse {
+      memoKey.flatMap(k => Option(guardMemo.get(k)))
+        .map(_.booleanValue).getOrElse {
+          // row guard caps k at 2²², so k·(k−1) stays far below Long
+          // overflow; the product is even, so the shift is exact
+          val st = pairs.groupBy(col("o"))
+            .agg(count(lit(1)).as("k"), max(col("p")).as("mp"),
+              min(col("p")).as("np"))
+            .agg(sum(col("k")),
+              sum(shiftright(col("k") * (col("k") - lit(1L)), 1)),
+              max(col("o")), min(col("o")), max(col("mp")),
+              min(col("np"))).first()
+          val ok = !st.isNullAt(0) &&
+            st.getLong(0) <= DenseMaxPairs &&
+            st.getLong(1) <= DenseMaxFanout &&
+            st.getLong(3) >= 0 && st.getLong(2) < (1L << 31) &&
+            st.getLong(5) >= 0 && st.getLong(4) < (1L << 32)
+          memoKey.foreach(k => guardMemo.put(k, ok))
+          ok
+        }
+    }
+    if (!fits) return None
+    val raw = pairs
+      .select((col("o").cast("long") * lit(4294967296L) +
+        col("p").cast("long")).as("x"))
+      .as[Long].collect()
+    if (raw.isEmpty) return None // empty graph: distributed form decides
+    java.util.Arrays.sort(raw)
+    var m = 0
+    var i = 0
+    while (i < raw.length) {
+      if (m == 0 || raw(m - 1) != raw(i)) { raw(m) = raw(i); m += 1 }
+      i += 1
+    }
+    val op = java.util.Arrays.copyOf(raw, m)
+    // true per-order fan-out over the DISTINCT relation (the CSR edge
+    // expansion this actually bounds); reject = one wasted bounded
+    // collect, never an unbounded driver build
+    var fanout = 0L
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && (op(j) >>> 32) == (op(i) >>> 32)) j += 1
+      val k = (j - i).toLong
+      fanout += k * (k - 1) / 2
+      i = j
+    }
+    if (fanout > DenseMaxFanout) None else Some(op)
   }
 
   /** Immutable broadcastable adjacency: vertex ids (sorted, index =
@@ -93,28 +149,40 @@ object DenseGraph {
                        off: Array[Int], adj: Array[Int],
                        rank: Array[Long]) extends Serializable
 
-  /** Build the co-purchase CSR on the driver from per-order part sets
-    * (each set already deduplicated by collect_set). */
-  def buildCsr(orderSets: Array[Array[Long]]): Csr = {
-    // distinct undirected edges as packed (loIdx unknown yet) id pairs;
-    // the capacity hint sums in LONG (k·(k−1)/2 overflows Int past 2¹⁶
-    // parts in one order) and caps at the dispatch guard's fan-out
-    // bound — it is only a hint, the buffer still grows if exceeded
-    val hint = math.min(orderSets.map { s =>
-      val k = s.length.toLong; k * (k - 1) / 2
-    }.sum, DenseMaxFanout).toInt
-    val raw = new ArrayBuffer[Long](hint)
-    orderSets.foreach { set =>
-      val s = set.sorted
-      var i = 0
-      while (i < s.length) {
+  /** Build the co-purchase CSR on the driver from the sorted distinct
+    * packed (o·2³² | p) relation ([[collectPackedIfFits]]'s output):
+    * per-order runs are contiguous with part ids ascending, so each
+    * run expands its pairs directly — no per-order set arrays ever
+    * materialize. */
+  def buildCsr(op: Array[Long]): Csr = {
+    // distinct undirected edges as packed id pairs; capacity from the
+    // per-run fan-out, summed in LONG (k·(k−1)/2 overflows Int past
+    // 2¹⁶ parts in one order) and capped at the dispatch guard's
+    // fan-out bound — only a hint, the buffer still grows if exceeded
+    var hint = 0L
+    var r = 0
+    while (r < op.length) {
+      var q = r + 1
+      while (q < op.length && (op(q) >>> 32) == (op(r) >>> 32)) q += 1
+      val k = (q - r).toLong
+      hint += k * (k - 1) / 2
+      r = q
+    }
+    val raw = new ArrayBuffer[Long](math.min(hint, DenseMaxFanout).toInt)
+    r = 0
+    while (r < op.length) {
+      var q = r + 1
+      while (q < op.length && (op(q) >>> 32) == (op(r) >>> 32)) q += 1
+      var i = r
+      while (i < q) {
         var j = i + 1
-        while (j < s.length) {
-          raw += (s(i) << 32) | s(j) // part ids are 32-bit-safe
+        while (j < q) { // part ids are 32-bit-safe (guarded)
+          raw += ((op(i) & 0xffffffffL) << 32) | (op(j) & 0xffffffffL)
           j += 1
         }
         i += 1
       }
+      r = q
     }
     val edges = raw.toArray
     java.util.Arrays.sort(edges)
@@ -262,13 +330,13 @@ object DenseGraph {
     * collect or one mega-order would make the CSR edge expansion
     * quadratic. */
   def densePath(s: SparkSession, pairs: DataFrame, k: Int = 20,
-                memoKey: Option[String] = None)
+                memoKey: Option[String] = None,
+                footer: Option[FooterHint] = None)
       : Option[DataFrame] = {
     import s.implicits._
-    val setsOpt = collectSetsIfFanoutFits(s, pairs, memoKey)
-    if (setsOpt.isEmpty) return None
-    val sets = setsOpt.get
-    val csr = buildCsr(sets)
+    val opOpt = collectPackedIfFits(s, pairs, memoKey, footer)
+    if (opOpt.isEmpty) return None
+    val csr = buildCsr(opOpt.get)
     val bc = s.sparkContext.broadcast(csr)
     val n = csr.ids.length
     val par = math.max(1, s.sparkContext.defaultParallelism)
@@ -301,12 +369,13 @@ object DenseGraph {
     * to the distributed join+argmax form. Returns the top-k communities
     * by (members desc, label). */
   def communitiesDense(s: SparkSession, pairs: DataFrame, k: Int = 20,
-                       memoKey: Option[String] = None)
+                       memoKey: Option[String] = None,
+                       footer: Option[FooterHint] = None)
       : Option[DataFrame] = {
     import s.implicits._
-    val setsOpt = collectSetsIfFanoutFits(s, pairs, memoKey)
-    if (setsOpt.isEmpty) return None
-    val csr = buildCsr(setsOpt.get)
+    val opOpt = collectPackedIfFits(s, pairs, memoKey, footer)
+    if (opOpt.isEmpty) return None
+    val csr = buildCsr(opOpt.get)
     val n = csr.ids.length
     var lab: Array[Long] = csr.ids.clone()
     var maxDeg = 0
@@ -366,13 +435,13 @@ object DenseGraph {
     * keyed sum merges them. Returns the top-20 by
     * (n_triangles desc, part_id). */
   def trianglesDense(s: SparkSession, pairs: DataFrame, k: Int = 20,
-                     memoKey: Option[String] = None)
+                     memoKey: Option[String] = None,
+                     footer: Option[FooterHint] = None)
       : Option[DataFrame] = {
     import s.implicits._
-    val setsOpt = collectSetsIfFanoutFits(s, pairs, memoKey)
-    if (setsOpt.isEmpty) return None
-    val sets = setsOpt.get
-    val csr = buildCsr(sets)
+    val opOpt = collectPackedIfFits(s, pairs, memoKey, footer)
+    if (opOpt.isEmpty) return None
+    val csr = buildCsr(opOpt.get)
     val bc = s.sparkContext.broadcast(csr)
     val n = csr.ids.length
     val par = math.max(1, s.sparkContext.defaultParallelism)

@@ -520,12 +520,13 @@ object EngineQueries {
   def graphLinkPredict(s: SparkSession, d: String): DataFrame = {
     val proj = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    // two-axis dense guard inside densePath: ONE distributed aggregate
-    // checks the row count (bounds the collect) AND the pair fan-out
-    // (catches the one-mega-order quadratic shape) before anything is
-    // collected; None = fall back to the distributed form
+    // two-axis dense guard inside densePath: parquet footer stats
+    // (zero jobs) bound the collect and the key widths; the pair
+    // fan-out (the one-mega-order quadratic shape) is checked on the
+    // driver before any CSR expansion; None = distributed form
     graft.operators.DenseGraph.densePath(s, proj,
-        memoKey = Some(s"lineitem-densegraph|$d"))
+        memoKey = Some(s"lineitem-densegraph|$d"),
+        footer = Some((s"$d/lineitem.parquet", "l_orderkey", "l_partkey")))
       .getOrElse(graphLinkPredictDistributed(s, d))
   }
 

@@ -4622,7 +4622,8 @@ object PipelineQueries {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     // two-axis dense guard inside trianglesDense — see graphLinkPredict
     graft.operators.DenseGraph.trianglesDense(s, proj,
-        memoKey = Some(s"lineitem-densegraph|$d"))
+        memoKey = Some(s"lineitem-densegraph|$d"),
+        footer = Some((s"$d/lineitem.parquet", "l_orderkey", "l_partkey")))
       .getOrElse(graphTrianglesDistributed(s, d))
   }
 
@@ -4744,7 +4745,8 @@ object PipelineQueries {
     val proj = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     graft.operators.DenseGraph.communitiesDense(s, proj,
-        memoKey = Some(s"lineitem-densegraph|$d"))
+        memoKey = Some(s"lineitem-densegraph|$d"),
+        footer = Some((s"$d/lineitem.parquet", "l_orderkey", "l_partkey")))
       .getOrElse(graphCommunitiesDistributed(s, d))
   }
 

@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Driver-side parquet footer statistics — row counts and int64 column
+  * min/max straight from row-group metadata, NO Spark job. Dispatch
+  * guards use these to pick a plan before paying any cluster action:
+  * a footer read is ~ms per file and exact (parquet stores exact
+  * per-row-group statistics for int64 columns; a missing statistic
+  * returns None and the caller falls back to an aggregate probe). */
+object ParquetStats {
+
+  private def footers(spark: SparkSession, pathStr: String)
+      : Seq[org.apache.parquet.hadoop.metadata.ParquetMetadata] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(pathStr)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).toSeq
+      else Seq(p)
+    files.map { f =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try rdr.getFooter finally rdr.close()
+    }
+  }
+
+  /** Total rows from footers; None on any read failure. */
+  def rowCount(spark: SparkSession, pathStr: String): Option[Long] =
+    try Some(footers(spark, pathStr).map { fm =>
+      var n = 0L
+      val it = fm.getBlocks.iterator()
+      while (it.hasNext) n += it.next().getRowCount
+      n
+    }.sum)
+    catch { case _: Exception => None }
+
+  /** (min, max) of an int64 column across all row groups; None when any
+    * row group lacks the statistic (or on read failure) — callers must
+    * treat None as "unknown", never as empty. */
+  def longMinMax(spark: SparkSession, pathStr: String, colName: String)
+      : Option[(Long, Long)] =
+    try {
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      var any = false
+      footers(spark, pathStr).foreach { fm =>
+        val it = fm.getBlocks.iterator()
+        while (it.hasNext) {
+          val blk = it.next()
+          val cit = blk.getColumns.iterator()
+          var found = false
+          while (cit.hasNext) {
+            val c = cit.next()
+            if (c.getPath.toDotString == colName) {
+              found = true
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) return None
+              (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  lo = math.min(lo, mn.longValue)
+                  hi = math.max(hi, mx.longValue)
+                  any = true
+                case _ => return None
+              }
+            }
+          }
+          if (!found) return None
+        }
+      }
+      if (any) Some((lo, hi)) else None
+    } catch { case _: Exception => None }
+}
