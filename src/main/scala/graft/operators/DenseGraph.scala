@@ -359,6 +359,111 @@ object DenseGraph {
       .orderBy(col("support").desc, col("part_a"), col("part_b")))
   }
 
+  /** Market-basket association statistics (the assoc_rules recurrence)
+    * in the dense regime: expand per-order pair instances from the
+    * packed distinct (o, p) relation (bounded by the fan-out guard,
+    * exactly like the CSR build), run-length count pairs and items,
+    * and compute support / confidence / lift / PMI with Spark's OWN
+    * scalar semantics — `round(double, s)` is
+    * BigDecimal.valueOf(x).setScale(s, HALF_UP) and `log` is
+    * StrictMath.log (both probe-verified; Math.log differs on ~0.7% of
+    * inputs) — so the dense branch is bit-identical to the distributed
+    * join+aggregate form, which stays oracle-checked as
+    * `assoc_rules_dist`. Returns the top-k by (n_ab desc, a, b) with
+    * support floor `minCount`. */
+  def assocRulesDense(s: SparkSession, pairs: DataFrame, k: Int = 25,
+                      minCount: Long = 3L,
+                      memoKey: Option[String] = None,
+                      footer: Option[FooterHint] = None)
+      : Option[DataFrame] = {
+    val opOpt = collectPackedIfFits(s, pairs, memoKey, footer)
+    if (opOpt.isEmpty) return None
+    val op = opOpt.get
+    val m = op.length
+    // item counts over the distinct relation: sorted distinct part ids
+    // + a parallel count array (op is sorted by (o, p), so p's need one
+    // extraction + sort)
+    val pAll = new Array[Long](m)
+    var i = 0
+    while (i < m) { pAll(i) = op(i) & 0xffffffffL; i += 1 }
+    java.util.Arrays.sort(pAll)
+    var nItems = 0
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && pAll(j) == pAll(i)) j += 1
+      nItems += 1
+      i = j
+    }
+    val itemId = new Array[Long](nItems)
+    val itemCnt = new Array[Long](nItems)
+    var t = 0
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && pAll(j) == pAll(i)) j += 1
+      itemId(t) = pAll(i); itemCnt(t) = (j - i).toLong; t += 1
+      i = j
+    }
+    // pair instances per order run (capacity ≤ DenseMaxFanout by guard)
+    var nOrders = 0L
+    val inst = new ArrayBuffer[Long]()
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && (op(j) >>> 32) == (op(i) >>> 32)) j += 1
+      nOrders += 1
+      var a = i
+      while (a < j) {
+        var b = a + 1
+        while (b < j) {
+          inst += ((op(a) & 0xffffffffL) << 32) | (op(b) & 0xffffffffL)
+          b += 1
+        }
+        a += 1
+      }
+      i = j
+    }
+    val pe = inst.toArray
+    java.util.Arrays.sort(pe)
+    // run-length pair counts with the support floor, then the final
+    // total order (n_ab desc, a, b)
+    val winners = new ArrayBuffer[(Long, Long)]() // (packed pair, n_ab)
+    i = 0
+    while (i < pe.length) {
+      var j = i + 1
+      while (j < pe.length && pe(j) == pe(i)) j += 1
+      if ((j - i).toLong >= minCount) winners += ((pe(i), (j - i).toLong))
+      i = j
+    }
+    val top = winners.sortBy { case (pp, c) => (-c, pp) }.take(k)
+    def r(x: Double, sc: Int): Double =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ln(x: Long): Double = java.lang.StrictMath.log(x.toDouble)
+    val rows = top.map { case (pp, nab) =>
+      val a = pp >>> 32
+      val b = pp & 0xffffffffL
+      val na = itemCnt(java.util.Arrays.binarySearch(itemId, a))
+      val nb = itemCnt(java.util.Arrays.binarySearch(itemId, b))
+      (a, b, nab, na, nb,
+        r(nab.toDouble / nOrders.toDouble, 6),
+        r(nab.toDouble / na.toDouble, 6),
+        r(nab.toDouble / nb.toDouble, 6),
+        r(nab.toDouble * nOrders.toDouble / (na.toDouble * nb.toDouble), 6),
+        r(r(ln(nab), 9) + r(ln(nOrders), 9) - r(ln(na), 9) - r(ln(nb), 9),
+          6))
+    }.toSeq
+    val df = s.createDataFrame(rows).toDF("part_a", "part_b", "n_ab",
+      "n_a", "n_b", "support", "conf_a_b", "conf_b_a", "lift", "pmi")
+    val nullable = Set("part_a", "part_b",
+      "support", "conf_a_b", "conf_b_a", "lift", "pmi")
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields
+      .map(f => f.copy(nullable = nullable(f.name))))
+    Some(s.createDataFrame(df.rdd.coalesce(1), schema)
+      .sortWithinPartitions(col("n_ab").desc, col("part_a"), col("part_b")))
+  }
+
   /** Two synchronous label-propagation rounds (the graph_communities
     * recurrence) in the dense regime: labels start at the vertex id;
     * each round every vertex adopts its neighbors' most frequent label,

@@ -4823,7 +4823,21 @@ object PipelineQueries {
     * PMI uses ln on INTEGER counts (9dp-rounded, the repo convention)
     * and lift divides exact-integer-valued doubles in one fixed
     * expression tree, so both engines emit bit-identical statistics. */
+  /** Dense-first dispatch — same packed-collect guard and footer hint
+    * as [[graphTriangles]]; the dense kernel replays Spark's exact
+    * scalar semantics (probe-verified round/StrictMath.log), pinned
+    * bit-for-bit by BipartiteFixpointSpec and oracle-checked at every
+    * SF via `assoc_rules_dist`. */
   def assocRules(s: SparkSession, d: String): DataFrame = {
+    val proj = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    graft.operators.DenseGraph.assocRulesDense(s, proj,
+        memoKey = Some(s"lineitem-densegraph|$d"),
+        footer = Some((s"$d/lineitem.parquet", "l_orderkey", "l_partkey")))
+      .getOrElse(assocRulesDistributed(s, d))
+  }
+
+  def assocRulesDistributed(s: SparkSession, d: String): DataFrame = {
     val raw = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     val op = raw.distinct().persist()
@@ -5285,6 +5299,8 @@ object PipelineQueries {
     QuerySpec("graph_communities_dist", graphCommunitiesDistributed,
       Some(graphCommunitiesSql), bench = false),
     QuerySpec("assoc_rules", assocRules, Some(assocRulesSql)),
+    QuerySpec("assoc_rules_dist", assocRulesDistributed,
+      Some(assocRulesSql), bench = false),
     QuerySpec("mix_epoch_plan", mixEpochPlan, Some(mixEpochPlanSql)),
     QuerySpec("sim_topk_rp", simTopKRp, Some(simTopKRpSql)),
     QuerySpec("shuffle_epoch", shuffleEpoch, Some(shuffleEpochSql)),

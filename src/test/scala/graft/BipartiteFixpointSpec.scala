@@ -56,6 +56,15 @@ class BipartiteFixpointSpec extends SparkSpec {
       PipelineQueries.graphCommunitiesDistributed(spark, d))
   }
 
+  test("assoc_rules: dense == distributed, bit-exact incl. round/ln") {
+    import org.apache.spark.sql.functions.col
+    val proj = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    pin("assoc_rules",
+      graft.operators.DenseGraph.assocRulesDense(spark, proj),
+      PipelineQueries.assocRulesDistributed(spark, d))
+  }
+
   test("undersized guard rejects; wrapper falls back to distributed") {
     assert(BipartiteFixpoint.pagerank(spark, d, maxPairs = 4).isEmpty)
     assert(BipartiteFixpoint.hits(spark, d, maxPairs = 4).isEmpty)
