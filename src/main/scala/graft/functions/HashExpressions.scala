@@ -170,6 +170,43 @@ object HashKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
+  /** Per-document DSIR bucket counts in one pass: words split on
+    * single spaces, EMPTY words skipped (the `length(word) > 0` filter),
+    * per-word [[polyHash]] mod `buckets` (h ≥ 0, so pmod = %), counted
+    * into a dense array — value-identical to exploding every word
+    * occurrence through the interpreted aggregate/transform lambda and
+    * re-grouping (integer counts, order-independent), with ZERO
+    * exchanged word rows. Element = struct(b, n) for nonzero buckets. */
+  def dsirBuckets(s: UTF8String, buckets: Int, mod: Long)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val cnt = new Array[Long](buckets)
+    var acc = 0L
+    var len = 0
+    var i = 0
+    while (i <= str.length) {
+      if (i == str.length || str.charAt(i) == ' ') {
+        if (len > 0) cnt((acc % buckets).toInt) += 1
+        acc = 0L; len = 0
+      } else {
+        acc = (acc * 31 + str.charAt(i)) % mod
+        len += 1
+      }
+      i += 1
+    }
+    var nz = 0
+    i = 0
+    while (i < buckets) { if (cnt(i) > 0) nz += 1; i += 1 }
+    val rows = new Array[Any](nz)
+    var t = 0
+    i = 0
+    while (i < buckets) {
+      if (cnt(i) > 0) { rows(t) = InternalRow(i, cnt(i)); t += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   /** `size(split(text, " "))` without materializing the token array:
     * spaces + 1 in one byte scan. */
   def tokenCount(s: UTF8String): Int = {
@@ -294,6 +331,28 @@ case class SpanHashes(child: Expression, l: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.HashKernels.spanHashes($c, $l)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Codegen'd per-document DSIR bucket-count array
+  * ([[HashKernels.dsirBuckets]]): element = struct(b, n). */
+case class DsirBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("b", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "dsir_buckets"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.dsirBuckets(v.asInstanceOf[UTF8String], buckets,
+      HashKernels.P)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.dsirBuckets($c, $buckets, " +
+        s"${HashKernels.P}L)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -468,6 +527,9 @@ object HashF {
     GraftColumnBridge.column(SpanHashes(GraftColumnBridge.expression(c), l))
   def tokenCount(c: Column): Column =
     GraftColumnBridge.column(TokenCount(GraftColumnBridge.expression(c)))
+  def dsirBuckets(c: Column, buckets: Int): Column =
+    GraftColumnBridge.column(DsirBuckets(
+      GraftColumnBridge.expression(c), buckets))
   def bitsetAndCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(BitsetAndCount(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

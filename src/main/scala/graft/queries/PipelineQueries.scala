@@ -3205,25 +3205,21 @@ object PipelineQueries {
     * rounded output. */
   def dsirImportance(s: SparkSession, d: String): DataFrame = {
     val B = 256
+    // one codegen pass per document (HashKernels.dsirBuckets): per-word
+    // polyHash mod B counted in-kernel — value-identical to exploding
+    // every word occurrence through the interpreted aggregate lambda
+    // and re-grouping (integer counts, order-independent). The old
+    // form's word-level (doc, bucket) shuffle disappears; the per-doc
+    // count table PERSISTS so its two consumers share one corpus scan
+    // (the column-pruned subtrees differ, so ReuseExchange can't — the
+    // shingle-table precedent), and the only corpus-scale exchange
+    // left is the final per-doc aggregate's.
     val perDocBucket = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .withColumn("b", expr(
-        s"""CAST(pmod(aggregate(transform(sequence(1, length(word)),
-           |    i -> CAST(ascii(substring(word, i, 1)) AS BIGINT)),
-           |  CAST(0 AS BIGINT),
-           |  (acc, c) -> pmod(acc * 31 + c, ${TextHash.P})), $B) AS INT)"""
-          .stripMargin))
-      // explicit (always-true) null guard: the final inner join infers
-      // isnotnull(b) on its probe side only; stating it at the source
-      // keeps both consumers' subtrees canonically identical
-      .filter(col("b").isNotNull)
-      // source is constant per doc; keeping it a GROUP KEY (not an agg)
-      // makes both consumers' exchange subtrees identical, so Spark's
-      // ReuseExchange runs the corpus scan + (doc, bucket) shuffle ONCE
-      .groupBy("doc_id", "source", "b")
-      .agg(count(lit(1)).as("n"))
+        explode(graft.functions.HashF.dsirBuckets(col("text"), B)).as("x"))
+      .select(col("doc_id"), col("source"),
+        col("x.b").as("b"), col("x.n").as("n"))
+      .persist()
     // corpus totals via a GLOBAL window over the ≤256-row bucket table
     // (not a separate aggregate branch — a second branch re-derives
     // perDocBucket with different pushed-down predicates and defeats
@@ -3242,12 +3238,13 @@ object PipelineQueries {
     val den = (col("cr").cast("double") + lit(1.0)) /
       (col("nr") + lit(B.toLong)).cast("double")
     val lw = bucketStats.select(col("b"), round(log(num / den), 9).as("lw"))
-    perDocBucket.join(broadcast(lw), Seq("b"))
+    val out = perDocBucket.join(broadcast(lw), Seq("b"))
       .groupBy("doc_id")
       .agg(sum(col("n")).as("n_tokens"),
         round(sum((col("n") * col("lw")).cast("decimal(38,12)"))
           .cast("double"), 6).as("weight"))
       .orderBy("doc_id")
+    graft.pipeline.Caching.materializeAndRelease(out, perDocBucket)
   }
 
   val dsirImportanceSql: String = s"""

@@ -275,22 +275,30 @@ class ScaleSpec extends SparkSpec {
       plan.take(1200))
   }
 
-  test("dsir_importance scans the corpus once (ReuseExchange) and " +
-      "broadcasts the bucket table") {
+  test("dsir_importance scans the corpus once (persisted kernel " +
+      "counts) and broadcasts the bucket table") {
+    val prev = graft.pipeline.Caching.inspectLazyPlans
+    graft.pipeline.Caching.inspectLazyPlans = true
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val q = graft.queries.PipelineQueries.dsirImportance(
         spark, "/root/testdata/sf0.001")
       val plan = q.queryExecution.executedPlan.toString
-      // the (doc, source, bucket) exchange feeds both the per-doc join
-      // branch and the bucket-stats branch — the corpus is read once
-      assert(plan.contains("ReusedExchange"), plan.take(1200))
-      assert(plan.linesIterator.count(l =>
-        l.contains("FileScan parquet") && l.contains("text")) == 1,
-        "corpus must be scanned exactly once")
+      // the per-(doc, bucket) kernel counts persist; both consumers
+      // read the cache, so the corpus text is scanned exactly once and
+      // the word-level exchange of the old lambda form is gone
+      assert(plan.contains("dsir_buckets"), plan.take(1200))
+      // both consumers read the cache (>= 2 InMemoryTableScans); the
+      // FileScan of text appears only inside the cached-plan printout
+      assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+        plan.take(1200))
       // the ≤256-row log-ratio table broadcasts back
       assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally {
+      graft.pipeline.Caching.inspectLazyPlans = prev
+      spark.sharedState.cacheManager.clearCache()
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("quality_gate_p75 aggregates the percentile map-side and " +
