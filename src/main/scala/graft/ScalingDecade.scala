@@ -67,10 +67,12 @@ object ScalingDecade {
     // (p,s) ≈ 0.8M < 2²², boundary ≈ sf5), so their wrappers measure
     // dense-vs-dense like-for-like AND their _dist twins ride along as
     // the at-scale evidence
+    // assoc_rules joined the dense dispatch this round and crosses the
+    // same sf1 boundary as communities — its _dist twin carries the row
     "graph_communities_dist", "graph_pagerank_dist", "graph_hits_dist",
-    "graph_kcore_peel_dist", "graph_bfs_levels_dist",
+    "graph_kcore_peel_dist", "graph_bfs_levels_dist", "assoc_rules_dist",
     "graph_kcore_peel", "graph_bfs_levels",
-    "assoc_rules", "pipeline_curate", "ivf_recall_eval",
+    "pipeline_curate", "ivf_recall_eval",
     "ngram_novelty", "knn_classify", "hard_negatives",
     "dedup_simhash", "dedup_keep_best",
     "text_bigram_logprob", "bitext_mine", "sim_ann_ivf",
