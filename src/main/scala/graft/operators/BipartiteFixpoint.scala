@@ -35,8 +35,12 @@ object BipartiteFixpoint {
 
   /** Max distinct (part, supplier) pairs for the dense branch — same
     * bound as [[DenseGraph.DenseMaxPairs]]: 2²² pairs ≈ 64 MB of
-    * driver arrays, CSR well under a broadcast-sized footprint. TPC-H
-    * crosses it near sf5 (partsupp = 800 k/sf·0.8). */
+    * driver arrays, CSR well under a broadcast-sized footprint. Real
+    * TPC-H (partsupp = 800 k/sf·0.8) crosses it near sf5; the
+    * driver's synthetic corpus assigns suppliers ~independently of
+    * parts (~1 distinct pair per lineitem row), so there the boundary
+    * sits just under sf1 — the decade panel therefore measures the
+    * `_dist` twins, never a wrapper that would smear the dispatch. */
   val DenseMaxPairs: Long = DenseGraph.DenseMaxPairs
 
   /** Memoized guard verdicts per (dataset dir, bound) — same contract

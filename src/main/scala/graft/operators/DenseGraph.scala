@@ -322,13 +322,13 @@ object DenseGraph {
     out.iterator
   }
 
-  /** Full dense-path query: one guard aggregate, a bounded driver
-    * collect (per-order groupBy), and a vertex-parallel counting stage
-    * over the broadcast CSR. `pairs` is the raw (o, p) projection
-    * (collect_set dedups); the combined row+fan-out guard returns None
-    * (fall back to the distributed form) when the corpus is too big to
-    * collect or one mega-order would make the CSR edge expansion
-    * quadratic. */
+  /** Full dense-path query: a zero-job (footer) or one-aggregate
+    * guard, ONE bounded packed collect of the raw (o, p) projection
+    * (driver dedup — see [[collectPackedIfFits]]), and a
+    * vertex-parallel counting stage over the broadcast CSR. Returns
+    * None (fall back to the distributed form) when the corpus is too
+    * big to collect or one mega-order would make the CSR edge
+    * expansion quadratic. */
   def densePath(s: SparkSession, pairs: DataFrame, k: Int = 20,
                 memoKey: Option[String] = None,
                 footer: Option[FooterHint] = None)
