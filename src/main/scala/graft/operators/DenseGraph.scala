@@ -350,13 +350,18 @@ object DenseGraph {
           countRange(c, from, until, k)
         }
       }.toDF("part_a", "part_b", "support", "common", "deg_sum")
-    Some(local
+    val ranked = local
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(k)
       .select(col("part_a"), col("part_b"), col("support"), col("common"),
         round(col("common").cast("double") /
           (col("deg_sum") - col("common")), 6).as("jaccard"))
-      .orderBy(col("support").desc, col("part_a"), col("part_b")))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+    // mirror the distributed twin's nullability (see trianglesDense)
+    val schema = org.apache.spark.sql.types.StructType(ranked.schema.fields
+      .map(f => f.copy(nullable =
+        f.name == "part_a" || f.name == "part_b" || f.name == "jaccard")))
+    Some(s.createDataFrame(ranked.rdd, schema))
   }
 
   /** Market-basket association statistics (the assoc_rules recurrence)
@@ -590,10 +595,16 @@ object DenseGraph {
             .map(v => (c.ids(v), cnt(v), c.deg(v).toLong))
         }
       }.toDF("part_id", "n_partial", "degree")
-    Some(partials.groupBy("part_id", "degree")
+    val agg = partials.groupBy("part_id", "degree")
       .agg(sum(col("n_partial")).as("n_triangles"))
       .select(col("part_id"), col("degree"), col("n_triangles"))
       .orderBy(col("n_triangles").desc, col("part_id"))
-      .limit(k))
+      .limit(k)
+    // mirror the distributed twin's nullability (parquet-derived key
+    // nullable, counted metrics not) so the dispatch is invisible to
+    // schema equality, not just to the row values
+    val schema = org.apache.spark.sql.types.StructType(agg.schema.fields
+      .map(f => f.copy(nullable = f.name == "part_id")))
+    Some(s.createDataFrame(agg.rdd, schema))
   }
 }

@@ -49,7 +49,13 @@ object Dedup {
     val n = math.max(estItems, 1L)
     val ideal = math.ceil(n * 9.585).toLong // optimal bits at 1% fpp
     val bits = math.min(math.max(ideal, 1L << 16), maxBits)
-    df.stat.bloomFilter(colName, n, bits)
+    // Spark's stat.bloomFilter NPEs on an EMPTY input (its aggregate
+    // returns a null buffer and readFrom(null) throws — hit by a
+    // degenerate corpus whose edge/pair set is empty); an empty filter
+    // (nothing inserted → every probe false) is the exact semantics
+    if (df.isEmpty)
+      org.apache.spark.util.sketch.BloomFilter.create(n, bits)
+    else df.stat.bloomFilter(colName, n, bits)
   }
 
   /** Exact dedup: representative id + multiplicity per distinct key.

@@ -972,7 +972,8 @@ class ScaleSpec extends SparkSpec {
       // (BipartiteFixpoint / DenseGraph.communitiesDense); each keeps
       // a fully inspectable distributed twin audited as graph_*_dist
       "graph_pagerank", "graph_hits", "graph_bfs_levels",
-      "graph_kcore_peel", "graph_communities", "assoc_rules")
+      "graph_kcore_peel", "graph_communities", "assoc_rules",
+      "graph_triangles", "graph_link_predict")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
