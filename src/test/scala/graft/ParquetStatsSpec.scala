@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+
+import graft.sources.ParquetStats
+
+/** Unit contract of the zero-job footer-statistics reader the dense
+  * dispatch guards depend on: exact counts and ranges from written
+  * parquet, and STRICT None on anything unknown — a guard must never
+  * mistake "statistic unavailable" for "range is safe". */
+class ParquetStatsSpec extends SparkSpec {
+
+  private def write(rows: Seq[(Long, Long)], parts: Int): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pstats").toString
+    rows.toDF("a", "b").repartition(parts)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/t.parquet")
+    s"$dir/t.parquet"
+  }
+
+  test("rowCount and longMinMax are exact across multiple files") {
+    val rows = (1L to 5000L).map(i => (i * 3 - 2, 7000L - i))
+    val p = write(rows, 4)
+    assert(ParquetStats.rowCount(spark, p).contains(5000L))
+    assert(ParquetStats.longMinMax(spark, p, "a").contains((1L, 14998L)))
+    assert(ParquetStats.longMinMax(spark, p, "b").contains((2000L, 6999L)))
+  }
+
+  test("negative and boundary values survive the statistics round-trip") {
+    val p = write(Seq((-5L, Long.MaxValue), (0L, Long.MinValue + 1)), 1)
+    assert(ParquetStats.longMinMax(spark, p, "a").contains((-5L, 0L)))
+    assert(ParquetStats.longMinMax(spark, p, "b")
+      .contains((Long.MinValue + 1, Long.MaxValue)))
+  }
+
+  test("unknowns are None, never a guess") {
+    val p = write(Seq((1L, 2L)), 1)
+    assert(ParquetStats.longMinMax(spark, p, "no_such_col").isEmpty)
+    assert(ParquetStats.rowCount(spark, "/nonexistent/path.parquet").isEmpty)
+    assert(ParquetStats
+      .longMinMax(spark, "/nonexistent/path.parquet", "a").isEmpty)
+  }
+
+  test("non-long columns return None (the pack guard needs int64)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pstats").toString
+    Seq(("x", 1.5), ("y", 2.5)).toDF("s", "d")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/t.parquet")
+    assert(ParquetStats.longMinMax(spark, s"$dir/t.parquet", "s").isEmpty)
+    assert(ParquetStats.longMinMax(spark, s"$dir/t.parquet", "d").isEmpty)
+  }
+}
