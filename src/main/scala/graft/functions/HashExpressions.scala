@@ -23,19 +23,25 @@ object HashKernels {
     * register geometry, theta-sketch thresholds): the largest prime
     * below 2^58 = 288230376151711744. Chosen so BOTH engines stay in
     * exact 64-bit integer arithmetic: the fold step `acc*31 + c` with
-    * `acc < PW` peaks at 31·(PW−1)+65535 ≈ 8.94e18 < 2^63−1, and the
+    * `acc < PW` peaks at 31·(PW−1)+0x10FFFF ≈ 8.94e18 < 2^63−1, and the
     * HLL bucket split `w = h / 256` leaves w < 2^50, so register
     * geometry (W = 50 bits) is fixed and cross-engine exact. */
   val PW: Long = 288230376151711717L
 
-  /** fold: acc = (acc*31 + codepoint) % P over the string. */
+  /** fold: acc = (acc*31 + codepoint) % P over the string — CODE
+    * POINTS, not UTF-16 units: both mirror formulations iterate code
+    * points (Spark's `ascii(substr(t,i,1))` over `sequence(1,
+    * length(t))` and DuckDB's `ascii()` fold — probe-verified on
+    * non-BMP input), so a surrogate pair contributes ONE value here
+    * too. Identical on BMP text (code unit == code point). */
   def polyHash(s: UTF8String, mod: Long): Long = {
     val str = s.toString
     var acc = 0L
     var i = 0
     while (i < str.length) {
-      acc = (acc * 31 + str.charAt(i)) % mod
-      i += 1
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % mod
+      i += java.lang.Character.charCount(cp)
     }
     acc
   }
@@ -58,10 +64,10 @@ object HashKernels {
     var acc = 0L
     var i = 0
     while (i < str.length) {
-      val c = str.charAt(i)
-      if (c == ' ') { hashes += acc; acc = 0L }
-      else acc = (acc * 31 + c) % mod
-      i += 1
+      val cp = str.codePointAt(i) // code-point fold, see [[polyHash]]
+      if (cp == ' ') { hashes += acc; acc = 0L }
+      else acc = (acc * 31 + cp) % mod
+      i += java.lang.Character.charCount(cp)
     }
     hashes += acc
     val h = hashes.result()
@@ -101,8 +107,12 @@ object HashKernels {
           j += 1
         }
         acc = 0L
-      } else acc = (acc * 31 + str.charAt(i)) % mod
-      i += 1
+        i += 1
+      } else {
+        val cp = str.codePointAt(i) // code-point fold, see [[polyHash]]
+        acc = (acc * 31 + cp) % mod
+        i += java.lang.Character.charCount(cp)
+      }
     }
     var sig = 0L
     var j = 0
@@ -188,11 +198,13 @@ object HashKernels {
       if (i == str.length || str.charAt(i) == ' ') {
         if (len > 0) cnt((acc % buckets).toInt) += 1
         acc = 0L; len = 0
+        i += 1
       } else {
-        acc = (acc * 31 + str.charAt(i)) % mod
+        val cp = str.codePointAt(i) // code-point fold, see [[polyHash]]
+        acc = (acc * 31 + cp) % mod
         len += 1
+        i += java.lang.Character.charCount(cp)
       }
-      i += 1
     }
     var nz = 0
     i = 0
@@ -223,12 +235,14 @@ object HashKernels {
     c
   }
 
-  /** rolling 8-char window hashes (fixed 31^k weights, mod P):
+  /** rolling 8-codepoint window hashes (fixed 31^k weights, mod P):
     * returns (min window hash, distinct window count); null-signal -1
-    * when the string is shorter than 8. */
+    * when the string is shorter than 8 code points. Windows and values
+    * are CODE POINTS (`substr(text, i+k, 1)` / `length(text)` in both
+    * mirror engines count code points — see [[polyHash]]). */
   def fingerprint8(s: UTF8String, mod: Long): Array[Long] = {
-    val str = s.toString
-    val n = str.length - 7
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length - 7
     if (n <= 0) return null
     val seen = new java.util.HashSet[Long](math.min(n * 2, 1 << 16))
     var minH = Long.MaxValue
@@ -236,7 +250,7 @@ object HashKernels {
     while (i < n) {
       var h = 0L
       var k = 0
-      while (k < 8) { h = h * 31 + str.charAt(i + k); k += 1 }
+      while (k < 8) { h = h * 31 + cps(i + k); k += 1 }
       h %= mod
       if (h < minH) minH = h
       seen.add(h)

@@ -84,6 +84,14 @@ object BipartiteFixpoint {
     } yield rows <= RawCollectMax &&
       pm._1 >= 0 && pm._2 < (1L << 31) &&
       sm._1 >= 0 && sm._2 < (1L << 32)).getOrElse(false)
+    val key = s"lineitem-bipartite|$d|$maxPairs"
+    // a memoized REJECT short-circuits both paths: at sfs where the raw
+    // relation is collectable but its distinct exceeds the CSR bound,
+    // the fast path would otherwise pay the ~raw·8B collect on EVERY
+    // fixpoint call before falling back — one wasted collect per
+    // (dir, bound) at most, and a stale verdict only routes between
+    // row-identical plans (same contract as the accept memo below).
+    if (Option(guardMemo.get(key)).exists(!_.booleanValue)) return None
     if (fast) {
       val raw = graft.Tables.lineitem(s, d)
         .select((col("l_partkey").cast("long") * lit(4294967296L) +
@@ -97,7 +105,10 @@ object BipartiteFixpoint {
         if (m == 0 || raw(m - 1) != raw(i)) { raw(m) = raw(i); m += 1 }
         i += 1
       }
-      if (m > maxPairs) return None // distinct still too big for a CSR
+      if (m > maxPairs) { // distinct still too big for a CSR
+        guardMemo.put(key, java.lang.Boolean.FALSE)
+        return None
+      }
       val ps = new Array[Long](m)
       val ss = new Array[Long](m)
       i = 0
@@ -112,7 +123,6 @@ object BipartiteFixpoint {
       .select(col("l_partkey").cast("long").as("p"),
         col("l_suppkey").cast("long").as("s"))
       .distinct()
-    val key = s"lineitem-bipartite|$d|$maxPairs"
     val fits = Option(guardMemo.get(key)).map(_.booleanValue).getOrElse {
       val ok = pairs.limit((maxPairs + 1).toInt).count() <= maxPairs
       guardMemo.put(key, ok)
@@ -121,7 +131,12 @@ object BipartiteFixpoint {
     if (!fits) None
     else {
       val rows = pairs.as[(Long, Long)].collect()
-      Some((rows.map(_._1), rows.map(_._2)))
+      // empty relation: the dense kernels would divide by n = 0 /
+      // call min on an empty frontier — mirror the fast path's
+      // raw.isEmpty and let the distributed twin return its empty
+      // frame gracefully.
+      if (rows.isEmpty) None
+      else Some((rows.map(_._1), rows.map(_._2)))
     }
   }
 

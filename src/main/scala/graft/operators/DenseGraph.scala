@@ -441,7 +441,14 @@ object DenseGraph {
       if ((j - i).toLong >= minCount) winners += ((pe(i), (j - i).toLong))
       i = j
     }
-    val top = winners.sortBy { case (pp, c) => (-c, pp) }.take(k)
+    // (n_ab desc, part_a, part_b): the packed key must compare
+    // UNSIGNED — the guard admits part ids up to 2^32, and a signed
+    // compare would sort ids in [2^31, 2^32) (sign bit set) first,
+    // diverging from the distributed ORDER BY at the top-k cutoff.
+    val top = winners.sortWith { case ((p1, c1), (p2, c2)) =>
+      if (c1 != c2) c1 > c2
+      else java.lang.Long.compareUnsigned(p1, p2) < 0
+    }.take(k)
     def r(x: Double, sc: Int): Double =
       BigDecimal(java.math.BigDecimal.valueOf(x))
         .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -64,9 +64,9 @@ object TextHash {
   }
 
   /** DuckDB: whole-string polynomial hash of expression `v` — the SQL
-    * mirror of the codegen [[graft.functions.PolyHash]] kernel
-    * (identical for ASCII input; the kernel folds UTF-16 units, the
-    * mirror folds `ascii()` codepoints). */
+    * mirror of the codegen [[graft.functions.PolyHash]] kernel (both
+    * fold code points, so they agree on all Unicode text incl.
+    * surrogate pairs). */
   def polyHashSql(v: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        | [CAST(ascii(substr($v, CAST(i AS INT), 1)) AS BIGINT)

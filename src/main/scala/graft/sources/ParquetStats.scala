@@ -16,10 +16,20 @@ object ParquetStats {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(pathStr)
     val fs = p.getFileSystem(conf)
+    // RECURSE into subdirectories: a nested/partitioned layout whose
+    // files were silently skipped would under-count rows and narrow
+    // min/max — a dispatch guard could then admit a packed collect
+    // whose unseen files hold keys past the pack range. (Partition
+    // columns live in directory names, not footers, so longMinMax on
+    // one still correctly returns None via its column-not-found path.)
+    def list(dir: Path): Seq[Path] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        if (st.isDirectory) list(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Seq.empty
+      }
     val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).toSeq
+      if (fs.getFileStatus(p).isDirectory) list(p)
       else Seq(p)
     files.map { f =>
       val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(

@@ -71,4 +71,20 @@ class BipartiteFixpointSpec extends SparkSpec {
     assert(BipartiteFixpoint.bfsLevels(spark, d, maxPairs = 4).isEmpty)
     assert(BipartiteFixpoint.kcorePeel(spark, d, maxPairs = 4).isEmpty)
   }
+
+  test("empty edge relation: dense dispatch declines (no 1/0, no " +
+      "empty-frontier min) and leaves the result to the distributed twin") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bifix-empty").toString
+    Seq.empty[(Long, Long)].toDF("l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    // an empty file has no row-group statistics → the footer fast path
+    // declines and the FALLBACK branch must mirror its raw.isEmpty
+    // guard: Some((empty, empty)) would crash every kernel
+    assert(BipartiteFixpoint.pagerank(spark, dir).isEmpty)
+    assert(BipartiteFixpoint.hits(spark, dir).isEmpty)
+    assert(BipartiteFixpoint.bfsLevels(spark, dir).isEmpty)
+    assert(BipartiteFixpoint.kcorePeel(spark, dir).isEmpty)
+  }
 }

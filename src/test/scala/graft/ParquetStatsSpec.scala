@@ -42,6 +42,24 @@ class ParquetStatsSpec extends SparkSpec {
       .longMinMax(spark, "/nonexistent/path.parquet", "a").isEmpty)
   }
 
+  test("nested/partitioned layouts are fully counted (recursive walk)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pstats").toString
+    (1L to 300L).map(i => (i, i % 3)).toDF("a", "pk")
+      .write.mode(SaveMode.Overwrite).partitionBy("pk")
+      .parquet(s"$dir/t.parquet")
+    // every file under pk=0/, pk=1/, pk=2/ must be seen: a non-recursive
+    // listing would report 0 rows here and a dense guard could admit a
+    // collect whose unseen files hold keys past the pack range
+    assert(ParquetStats.rowCount(spark, s"$dir/t.parquet").contains(300L))
+    assert(ParquetStats.longMinMax(spark, s"$dir/t.parquet", "a")
+      .contains((1L, 300L)))
+    // the partition column lives in directory names, not footers:
+    // still None (unknown), never a guess
+    assert(ParquetStats.longMinMax(spark, s"$dir/t.parquet", "pk").isEmpty)
+  }
+
   test("non-long columns return None (the pack guard needs int64)") {
     import spark.implicits._
     val dir = java.nio.file.Files

@@ -35,7 +35,11 @@ class PipelineSpec extends SparkSpec {
     // codegen kernel the dedup family actually ships (the in-JVM
     // analogue of the DuckDB oracle, but edge-case-rich).
     val edge = Seq("a b", "a  b", " a b ", "", "one", "a b a b a b",
-      "tab\tis one token", "ünïcödé tökens here", "x " * 200)
+      "tab\tis one token", "ünïcödé tökens here", "x " * 200,
+      // non-BMP (surrogate-pair) code points: the kernels fold CODE
+      // POINTS like the interpreted ascii(substr) form, so 😀 / 𝄞
+      // contribute ONE value, not two surrogate halves
+      "a😀b c😀", "𝄞clef 𝄞clef again")
     val real = Tables.documents(spark, sf("sf0.001"))
       .select(col("text")).limit(50).as[String].collect().toSeq
     val df = (edge ++ real).zipWithIndex
@@ -244,7 +248,9 @@ class PipelineSpec extends SparkSpec {
     def reference(text: String, bits: Int): Long = {
       val cnt = new Array[Int](bits)
       text.split(" ", -1).foreach { t =>
-        val h = t.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000003L)
+        // code-point fold (the ascii(substr) mirror semantics)
+        val h = t.codePoints().toArray
+          .foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000003L)
         (0 until bits).foreach { j =>
           if (((h >>> j) & 1L) == 1L) cnt(j) += 1 else cnt(j) -= 1
         }
@@ -253,7 +259,7 @@ class PipelineSpec extends SparkSpec {
     }
     val rnd = new scala.util.Random(4242)
     val vocab = Vector("alpha", "beta", "gamma", "", "x", "longertoken",
-      "été", "n°7") // incl. empty + non-ASCII codepoints
+      "été", "n°7", "e😀moji") // incl. empty + non-ASCII + non-BMP
     val texts = (1 to 60).map { _ =>
       (0 until 1 + rnd.nextInt(40))
         .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
@@ -267,6 +273,65 @@ class PipelineSpec extends SparkSpec {
       assert(got(i.toLong) == reference(t, 32),
         s"kernel diverged from the aggregate definition on doc $i: '$t'")
     }
+  }
+
+  test("char-folding kernels fold CODE POINTS: agree with the " +
+      "interpreted ascii(substr) mirror on non-BMP (surrogate) text") {
+    import spark.implicits._
+    val texts = Seq("a😀b", "𝄞 clef 𝄞𝄞", "plain ascii words", "é😀é 𝄞x",
+      "😀😀😀😀😀😀😀😀😀😀", "") // 10-cp emoji run: 8-cp windows are non-BMP
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    // poly_hash == the interpreted whole-string ascii(substr) fold
+    // (probe-verified: Spark's ascii/substr/length count code points,
+    // like the DuckDB oracle — a surrogate pair is ONE fold step)
+    df.select(col("id"),
+        expr("""aggregate(sequence(1, length(text)), 0L,
+          (acc, i) -> (acc * 31 + ascii(substr(text, i, 1))) % 1000003L)""")
+          .as("m"),
+        graft.functions.HashF.polyHash(col("text")).as("k"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) == r.getLong(2), s"poly_hash id=${r.get(0)}")
+      }
+    // fingerprint8 == an independent code-point reference
+    def fpRef(t: String): Option[(Long, Long)] = {
+      val cps = t.codePoints().toArray
+      if (cps.length < 8) None
+      else {
+        val hs = (0 to cps.length - 8).map { i =>
+          var h = 0L
+          (0 until 8).foreach(k => h = h * 31 + cps(i + k))
+          h % 1000003L
+        }
+        Some((hs.min, hs.distinct.size.toLong))
+      }
+    }
+    df.select(col("id"), col("text"),
+        graft.functions.HashF.fingerprint8(col("text")).as("fp"))
+      .collect().foreach { r =>
+        val want = fpRef(r.getString(1))
+        if (want.isEmpty) assert(r.isNullAt(2), s"fp id=${r.get(0)}")
+        else {
+          val s = r.getStruct(2)
+          assert((s.getLong(0), s.getLong(1)) == want.get,
+            s"fp id=${r.get(0)}")
+        }
+      }
+    // dsir_buckets == the exploded interpreted per-word fold
+    val kern = df.select(col("id"),
+        explode(graft.functions.HashF.dsirBuckets(col("text"), 256)).as("e"))
+      .select(col("id"), col("e.b"), col("e.n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val mirror = df.select(col("id"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("id"),
+        (expr("""aggregate(sequence(1, length(w)), 0L,
+          (acc, i) -> (acc * 31 + ascii(substr(w, i, 1))) % 1000003L)""")
+          % 256).cast("int").as("b"))
+      .groupBy("id", "b").count()
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(kern == mirror, "dsir_buckets diverged from the mirror")
   }
 
   test("FloatVectorDot: interpreted + codegen agree with manual dot") {
