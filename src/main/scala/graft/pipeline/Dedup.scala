@@ -525,6 +525,65 @@ object Dedup {
     Caching.materializeAndRelease(out, sh)
   }
 
+  /** One batch of the every-snapshot NEAR-dup loop (the CCNet shape)
+    * against the persisted [[DedupIndex]] sidecar, WITH the fold-in
+    * that closes the snapshot chain:
+    *
+    *  1. load (or, first time only, build from `old`) the index —
+    *     base corpus plus every previously kept batch's segment;
+    *  2. band-join the batch's MinHash band rows against the index
+    *     and verify candidates by EXACT Jaccard on the index's
+    *     shingle rows (identical candidate/verify plan to
+    *     `dedup_incremental_minhash`; the old corpus contributes
+    *     sidecar parquet reads only, its text is never touched);
+    *  3. APPEND the batch's KEPT docs (no index near-dup at
+    *     `threshold`) to the sidecar as segment `batchId`
+    *     ([[DedupIndex.appendNearDup]], marker-last crash-safe) — so
+    *     batch N+2 sees batch N+1's survivors with still-zero
+    *     old-corpus rescans.
+    *
+    * Returns the batch's near-dup pairs (new_id, old_id, common,
+    * jaccard). Within-batch duplicates are deliberately out of scope
+    * (run the batch through the in-flight dedup family first); `old`
+    * is by-name and never evaluated on a sidecar hit. */
+  def incrementalNearDupBatch(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String, variant: String, old: => DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, batchId: String,
+      threshold: Double): DataFrame = {
+    val key = DedupIndex.snapshotKey(spark, corpusPath, variant)
+    val (oldBands, oldSh) = DedupIndex.loadOrBuildNearDup(
+      spark, corpusPath, variant, old, idCol, textCol)
+    val newSh = shingles(batch, idCol, textCol).persist()
+    val cand = minhashBands(newSh).toDF("new_id", "band", "key")
+      .join(oldBands.toDF("old_id", "band", "key"), Seq("band", "key"))
+      .select("new_id", "old_id").distinct()
+    val nNew = newSh.groupBy("id").agg(count(lit(1)).as("n_new"))
+      .toDF("new_id", "n_new")
+    val nOld = oldSh.groupBy("id").agg(count(lit(1)).as("n_old"))
+      .toDF("old_id", "n_old")
+    val common = cand
+      .join(newSh.toDF("new_id", "s"), Seq("new_id"))
+      .join(oldSh.toDF("old_id", "s"), Seq("old_id", "s"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("common"))
+    val pairs = common
+      .join(nNew, Seq("new_id")).join(nOld, Seq("old_id"))
+      .withColumn("jaccard", round(col("common") /
+        (col("n_new") + col("n_old") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"),
+        col("common").cast("long").as("common"), col("jaccard"))
+      .persist()
+    // fold-in: kept = batch docs with no index near-dup; their band +
+    // shingle rows append as this batch's segment (the writes run over
+    // BATCH data only — the index sides above stay sidecar reads)
+    val keptSh = newSh.join(
+      pairs.select(col("new_id").as("id")).distinct(), Seq("id"),
+      "left_anti").persist()
+    DedupIndex.appendNearDup(spark, key, batchId,
+      minhashBands(keptSh), keptSh)
+    Caching.materializeAndRelease(pairs, newSh, keptSh, pairs)
+  }
+
   /** 32-bit SimHash from per-occurrence token hashes: bit j of the
     * signature is set iff Σ_tokens (±1 by bit j of tokenHash) > 0.
     *

@@ -106,18 +106,54 @@ object DedupIndex {
 
   /** Load a complete NEAR-dup sidecar: the lazy MinHash band-row index
     * (id, band, key) and the per-doc distinct shingle-hash table
-    * (id, s) — both read job-free with explicit schemas. None if
-    * absent or incomplete. */
+    * (id, s) — both read job-free with explicit schemas, as the UNION
+    * of the base segment and every complete appended segment
+    * ([[appendNearDup]] — the fold-in path of the every-snapshot
+    * loop). A segment missing its own `_COMPLETE` marker (a crashed
+    * appender) is invisible. None if the base is absent/incomplete. */
   def loadNearDup(spark: SparkSession, key: String)
       : Option[(DataFrame, DataFrame)] = {
     val b = base(spark, key)
     val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(b, "_COMPLETE"))) None
-    else Some((
-      spark.read.schema("id BIGINT, band INT, key BIGINT")
-        .parquet(new Path(b, "bands").toString),
-      spark.read.schema("id BIGINT, s BIGINT")
-        .parquet(new Path(b, "shingles").toString)))
+    else {
+      // driver-side listing only — loading stays job-free
+      val segs = fs.listStatus(b).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("seg-") &&
+          fs.exists(new Path(st.getPath, "_COMPLETE")))
+        .map(_.getPath).sortBy(_.getName)
+      val roots = b +: segs
+      Some((
+        spark.read.schema("id BIGINT, band INT, key BIGINT")
+          .parquet(roots.map(r => new Path(r, "bands").toString): _*),
+        spark.read.schema("id BIGINT, s BIGINT")
+          .parquet(roots.map(r => new Path(r, "shingles").toString): _*)))
+    }
+  }
+
+  /** Fold one kept batch into an existing near-dup sidecar as a
+    * self-contained SEGMENT (`seg-<id>/{bands,shingles,_COMPLETE}`):
+    * batch N+2 then candidates against old ∪ kept(N+1) ∪ … with still
+    * zero old-corpus rescans — the append half of the CCNet loop.
+    * Same crash-safety protocol as [[saveNearDup]]: the segment's
+    * marker lands last, so a crashed appender is invisible and
+    * re-appending the same segment id is idempotent (identical
+    * content, overwrite). The caller must hand DISTINCT kept-doc rows
+    * (band rows + distinct shingle hashes), exactly what
+    * [[graft.pipeline.Dedup.minhashBands]] / `Dedup.shingles` emit. */
+  def appendNearDup(spark: SparkSession, key: String, segment: String,
+                    bands: DataFrame, shingles: DataFrame): Unit = {
+    val b = base(spark, key)
+    val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new Path(b, "_COMPLETE")),
+      s"appendNearDup: base sidecar incomplete at $b")
+    val seg = new Path(b, s"seg-$segment")
+    bands.write.mode("overwrite")
+      .parquet(new Path(seg, "bands").toString)
+    shingles.write.mode("overwrite")
+      .parquet(new Path(seg, "shingles").toString)
+    fs.create(new Path(seg, "_COMPLETE"), true).close()
   }
 
   /** Write band index + shingle-hash table, marker last (crash-safe,

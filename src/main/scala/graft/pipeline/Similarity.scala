@@ -23,12 +23,30 @@ import graft.functions.VecF
   */
 object Similarity {
 
+  /** splitmix64 finalizer — full avalanche, so consecutive indices
+    * yield effectively independent values. */
+  private def mix64(x: Long): Long = {
+    var z = x * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Deterministic pseudo-random hyperplanes: component (j,i) =
-    * ((1009*j + 9176*i) % 2001 - 1000) / 1000 ∈ [-1, 1]. Integer-exact,
-    * so any engine reproduces the same planes. */
+    * (splitmix64(j·dim + i) mod 1001) / 1000 ∈ (-1, 1). Integer-exact
+    * and engine-independent (the SQL mirrors embed the values as
+    * literals). The mixer matters: the previous linear-congruence
+    * formula ((1009j + 9176i) % 2001) left the planes MASSIVELY
+    * correlated — planes 0 and 2 were identical (cos = 1.000),
+    * neighbors sat at |cos| ≈ 0.5–0.9 — so a 16-bit signature carried
+    * only ~4 effective bits and band keys concentrated on EVERY
+    * corpus, quietly degrading banded-LSH candidate quality (the
+    * oracle replays the same planes, so parity hid it). Avalanche-
+    * mixed components make the planes near-orthogonal in expectation,
+    * which is the entire premise of sign-LSH. */
   def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(numPlanes)(j => Array.tabulate(dim)(i =>
-      (((1009L * j + 9176L * i) % 2001) - 1000).toDouble / 1000.0))
+      (mix64(j.toLong * dim + i) % 1001).toDouble / 1000.0))
 
   def withNorm(emb: DataFrame, vecCol: String): DataFrame =
     emb.withColumn("norm", VecF.normF(col(vecCol)))
@@ -127,6 +145,94 @@ object Similarity {
       .select("id_a", "id_b", "cos")
     Caching.materializeAndRelease(out, e)
   }
+
+  /** Max banded candidate pairs per corpus row before
+    * [[cosinePairsAuto]] abandons banding for IVF cells. The celled
+    * route generates ≈ Target/2 = 64 verify pairs per row by
+    * construction; banding must stay within 2× of that to keep its
+    * (higher-recall) seat. */
+  val BandCandidateFactor = 128
+
+  /** Band-overload probe for [[cosinePairsAuto]]: true iff the banded
+    * candidate mass Σ_{band,key} c·(c−1)/2 — EXACTLY the number of
+    * ordered candidate pairs the equality join will generate — exceeds
+    * [[BandCandidateFactor]] pairs per corpus row. A fixed band width
+    * (16 keys/band) makes banded candidates inherently quadratic in n,
+    * so every corpus crosses this line at SOME size; concentrated
+    * (dominant-direction) corpora just cross it ~16² times sooner.
+    * One pruned corpus scan + one tiny aggregate (≤ bands·2^rows
+    * groups, map-side combined). The test is INTEGER
+    * (Σc(c−1) > 2·factor·n), so the DuckDB oracle replays the
+    * dispatch with zero float-parity risk. */
+  def bandsOverloaded(emb: DataFrame, idCol: String, vecCol: String,
+                      numPlanes: Int = 16, bands: Int = 4,
+                      dim: Int = 64): Boolean = {
+    val ps = planes(numPlanes, dim)
+    val rows = numPlanes / bands
+    val banded = emb
+      .select(col(idCol).as("id"), bucketCol(vecCol, ps).as("bucket"))
+      .select(explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("bucket"), b * rows)
+            .bitwiseAND(lit((1L << rows) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("bk.band"), col("bk.key"))
+    val r = banded.groupBy("band", "key").count()
+      .agg(sum(col("count") * (col("count") - 1)).as("mass"),
+        sum(col("count")).as("tot"))
+      .head()
+    // tot = n·bands (each row lands in every band exactly once)
+    r.getLong(0) > 2L * BandCandidateFactor * (r.getLong(1) / bands)
+  }
+
+  /** IVF-celled near-dup pairs: the SAME exact-cosine verify as
+    * [[cosinePairsLsh]], but candidates are same-cell pairs under the
+    * data-driven [[IvfIndex]] assignment (k = ceil(n/128) sampled
+    * two-level cells, oversized cells re-split) — the SemDeDup shape.
+    * Cell populations are bounded, so total pair work is O(n·128),
+    * LINEAR in the corpus even when every sign band collapses into
+    * one bucket (a dominant-direction corpus). The trade is recall
+    * across cell boundaries — near-dups that straddle two cells are
+    * not candidates — which is the documented SemDeDup contract and
+    * exactly why [[cosinePairsAuto]] only routes here when banding
+    * degenerates. Deterministic end to end (stride-sampled centroids,
+    * left-fold float math), mirrored by [[IvfIndex.cellsSqlCtes]]. */
+  def cosinePairsCells(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val base = IvfIndex.withCells(
+      withNorm(emb, vecCol).select(col(idCol).as("id"),
+        col(vecCol).as("v"), col("norm").as("nrm")),
+      "id", "v").persist()
+    val a = base.select(col("cell"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("cell"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val out = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(VecF.dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+    Caching.materializeAndRelease(out, base)
+  }
+
+  /** Auto-dispatched near-dup pairs: [[bandsOverloaded]] probes the
+    * banded candidate mass; while it stays bounded the corpus takes
+    * the banded route ([[cosinePairsLsh]] — highest recall), and once
+    * banding goes quadratic (large corpora, and dominant-direction
+    * corpora ~16² times sooner) the candidate source switches to the
+    * IVF-celled route ([[cosinePairsCells]] — candidates bounded by
+    * cell caps at ANY corpus size, because the cell count grows with
+    * n). The probe is one cheap aggregate, integer-exact, and
+    * replayed verbatim by the DuckDB oracle, so the dispatched result
+    * stays oracle-checked on either side of the boundary; the
+    * `_banded` / `_cells` twins keep both routes independently gated
+    * at every SF. */
+  def cosinePairsAuto(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double): DataFrame =
+    if (bandsOverloaded(emb, idCol, vecCol))
+      cosinePairsCells(emb, idCol, vecCol, threshold)
+    else cosinePairsLsh(emb, idCol, vecCol, threshold)
 
   /** Two-stage binary retrieval: sign-quantize every vector to a
     * 32-bits-per-word signature ([[graft.functions.SignPack]], 16×

@@ -798,19 +798,45 @@ object EngineQueries {
     * per-endpoint density aggregates are exact-DECIMAL sums over
     * exactly k rows, and the final argmax is max-of-struct per query
     * over ≤ k candidates. Verification split: the DuckDB oracle
-    * REPLAYS the same Hamming-prefilter candidate generation (it pins
-    * determinism of the ANN route, not its recall), while BitextSpec
-    * pins the ANN-routed top-4 against the exact brute-force top-4 on
-    * the clustered regime at both test SFs and floors recall at 0.5
-    * on the no-structure corpus — recall regressions are the spec's
-    * job, determinism regressions the gate's. The margin algebra
-    * downstream is index-agnostic, so at larger corpora the candidate
-    * source swaps for the partitioned IVF sidecar
-    * (`sim_ann_ivf_persisted`) without touching it.
+    * REPLAYS the dispatch and the same candidate generation on both
+    * branches (it pins determinism of the routed plan, not its
+    * recall), while BitextSpec pins the ANN-routed top-4 against the
+    * exact brute-force top-4 on the clustered regime at both test SFs
+    * and floors recall on the no-structure corpus — recall
+    * regressions are the spec's job, determinism regressions the
+    * gate's.
+    *
+    * DISPATCH: the Hamming signature stage is O(|A|·|B|) by
+    * construction — fine up to [[BitextHamMaxRows]] corpus rows (the
+    * guard reads the parquet FOOTER, zero jobs), beyond which the
+    * candidate source swaps for the IVF-celled route
+    * ([[bitextMineIvf]] — same cells as `sim_ann_ivf_persisted`,
+    * pair work bounded by cell caps, so the stage goes linear). The
+    * margin algebra ([[bitextMargin]]) is index-agnostic and shared
+    * verbatim by both branches; `bitext_mine_ivf` keeps the at-scale
+    * branch independently oracle-checked at every SF (twin
+    * convention), and `bitext_mine_exact` pins the algebra against a
+    * prefilter-free exact oracle.
     */
   val BitextPrefilter = 48
 
+  /** Corpus rows above which [[bitextMine]] leaves the O(|A|·|B|)
+    * Hamming stage for the IVF-celled candidate source: 4096² ≈ 17M
+    * signature comparisons is where the cross stage stops being cheap
+    * relative to one cell-assignment pass. */
+  val BitextHamMaxRows: Long = 4096L
+
   def bitextMine(s: SparkSession, d: String): DataFrame = {
+    val n = graft.sources.ParquetStats
+      .rowCount(s, s"$d/embeddings.parquet")
+      .getOrElse(Tables.embeddings(s, d).count())
+    if (n <= BitextHamMaxRows) bitextMineHamming(s, d)
+    else bitextMineIvf(s, d)
+  }
+
+  /** The bounded-corpus branch: binary-signature Hamming prefilter
+    * over the full cross product, exact-cosine re-rank, margin. */
+  def bitextMineHamming(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val a = emb.filter(col("label") < 5)
     val b = emb.filter(col("label") >= 5)
@@ -821,6 +847,48 @@ object EngineQueries {
       .binaryTopK(a, b, "vec_id", "embedding", k = 4,
         prefilter = BitextPrefilter).drop("hamming")
     bitextMargin(kAB, kBA)
+  }
+
+  /** The at-scale branch: candidates come from the data-driven IVF
+    * cell assignment ([[graft.pipeline.IvfIndex]] — k = ceil(n/128)
+    * sampled two-level cells, oversized cells re-split; the same
+    * machinery behind `sim_ann_ivf_persisted`). Each query's top-4
+    * opposite-half neighbors are mined within its cell, so the
+    * candidate stage is one equality join on `cell` with pair work
+    * bounded by the cell caps — O(n·128), linear in the corpus, vs
+    * the Hamming branch's O(|A|·|B|). Neighbors straddling a cell
+    * boundary are the recall trade (BitextSpec measures and floors
+    * it); the margin algebra downstream is shared verbatim. At
+    * 100 TB the assignment rides the persisted cell sidecar and the
+    * join prunes to cell partitions. */
+  def bitextMineIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding"),
+      graft.functions.VecF.normF(col("embedding")).as("norm"))
+    val base = graft.pipeline.IvfIndex
+      .withCells(emb, "vec_id", "embedding").persist()
+    val a = base.filter(col("label") < 5)
+    val b = base.filter(col("label") >= 5)
+    def cellTopK(queries: DataFrame, corpus: DataFrame): DataFrame = {
+      val q = queries.select(col("cell"), col("vec_id").as("query_id"),
+        col("embedding").as("q_vec"), col("norm").as("q_norm"))
+      val c = corpus.select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_vec"), col("norm").as("c_norm"))
+      val scored = c.join(q, Seq("cell"))
+        .withColumn("cos", round(
+          graft.functions.VecF.dotF(col("q_vec"), col("c_vec")) /
+            (col("q_norm") * col("c_norm")), 6))
+        // drop the vectors before the ranking window so its exchange
+        // carries only (query_id, neighbor_id, cos)
+        .select("query_id", "neighbor_id", "cos")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+        .select("query_id", "neighbor_id", "cos")
+    }
+    val out = bitextMargin(cellTopK(a, b), cellTopK(b, a))
+    graft.pipeline.Caching.materializeAndRelease(out, base)
   }
 
   /** The index-agnostic margin algebra shared by [[bitextMine]] and
@@ -850,7 +918,30 @@ object EngineQueries {
     best.filter(col("margin") > 1.0).orderBy("a_id")
   }
 
-  val bitextMineSql: String = {
+  /** margin-algebra tail CTEs over `${p}kab` / `${p}kba`, emitting
+    * `${p}final` — the SQL mirror of [[bitextMargin]], shared by every
+    * branch oracle (prefix `p` keeps the dispatched oracle's two
+    * branches from colliding). */
+  private def bitextMarginTailSql(p: String): String = s"""
+    ${p}dens_a AS (SELECT a_id,
+        CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS dens_a
+      FROM ${p}kab GROUP BY 1),
+    ${p}dens_b AS (SELECT b_id,
+        CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS dens_b
+      FROM ${p}kba GROUP BY 1),
+    ${p}scored AS (
+      SELECT k.a_id, k.b_id, k.cos,
+        ROUND(2.0 * k.cos / (da.dens_a + db.dens_b), 6) AS margin
+      FROM ${p}kab k JOIN ${p}dens_a da ON k.a_id = da.a_id
+      JOIN ${p}dens_b db ON k.b_id = db.b_id),
+    ${p}best AS (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY a_id ORDER BY margin DESC, b_id) AS br
+      FROM ${p}scored),
+    ${p}final AS (SELECT a_id, b_id, cos, margin FROM ${p}best
+      WHERE br = 1 AND margin > 1.0)"""
+
+  /** Hamming-branch candidate CTEs (prefix `h_`), emitting h_kab/h_kba. */
+  private def bitextHammingCtes: String = {
     val dot = PipelineQueries.dotSql("a.embedding", "b.embedding")
     val sig = """
       [list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -859,52 +950,86 @@ object EngineQueries {
         (a, b) -> a | b) FOR w IN range(0, (len(embedding)+31)//32)]"""
     val ham = """CAST(list_sum([bit_count(xor(q.sig[j], c.sig[j]))
           FOR j IN range(1, len(q.sig) + 1)]) AS BIGINT)"""
-    s"""
-    WITH e AS (SELECT vec_id, label, embedding,
+    s"""he AS (SELECT vec_id, label, embedding,
       sqrt(${PipelineQueries.dotSql("embedding", "embedding")}) AS norm,
       $sig AS sig FROM embeddings),
-    pre_ab AS (
+    h_pre_ab AS (
       SELECT q.vec_id AS a_id, c.vec_id AS b_id, $ham AS hamming
-      FROM e q JOIN e c ON q.label < 5 AND c.label >= 5),
-    pre_ba AS (
+      FROM he q JOIN he c ON q.label < 5 AND c.label >= 5),
+    h_pre_ba AS (
       SELECT q.vec_id AS b_id, c.vec_id AS a_id, $ham AS hamming
-      FROM e q JOIN e c ON q.label >= 5 AND c.label < 5),
-    short_ab AS (SELECT a_id, b_id FROM (SELECT *, ROW_NUMBER() OVER
-      (PARTITION BY a_id ORDER BY hamming, b_id) AS pr FROM pre_ab)
+      FROM he q JOIN he c ON q.label >= 5 AND c.label < 5),
+    h_short_ab AS (SELECT a_id, b_id FROM (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY a_id ORDER BY hamming, b_id) AS pr FROM h_pre_ab)
       WHERE pr <= $BitextPrefilter),
-    short_ba AS (SELECT a_id, b_id FROM (SELECT *, ROW_NUMBER() OVER
-      (PARTITION BY b_id ORDER BY hamming, a_id) AS pr FROM pre_ba)
+    h_short_ba AS (SELECT a_id, b_id FROM (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY b_id ORDER BY hamming, a_id) AS pr FROM h_pre_ba)
       WHERE pr <= $BitextPrefilter),
-    kab AS (SELECT * FROM (
+    h_kab AS (SELECT * FROM (
       SELECT s.a_id, s.b_id,
         ROUND($dot / (a.norm * b.norm), 6) AS cos,
         ROW_NUMBER() OVER (PARTITION BY s.a_id
           ORDER BY ROUND($dot / (a.norm * b.norm), 6) DESC, s.b_id) AS rn
-      FROM short_ab s JOIN e a ON s.a_id = a.vec_id
-      JOIN e b ON s.b_id = b.vec_id) WHERE rn <= 4),
-    kba AS (SELECT * FROM (
+      FROM h_short_ab s JOIN he a ON s.a_id = a.vec_id
+      JOIN he b ON s.b_id = b.vec_id) WHERE rn <= 4),
+    h_kba AS (SELECT * FROM (
       SELECT s.a_id, s.b_id,
         ROUND($dot / (a.norm * b.norm), 6) AS cos,
         ROW_NUMBER() OVER (PARTITION BY s.b_id
           ORDER BY ROUND($dot / (a.norm * b.norm), 6) DESC, s.a_id) AS rn
-      FROM short_ba s JOIN e a ON s.a_id = a.vec_id
-      JOIN e b ON s.b_id = b.vec_id) WHERE rn <= 4),
-    dens_a AS (SELECT a_id,
-        CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS dens_a
-      FROM kab GROUP BY 1),
-    dens_b AS (SELECT b_id,
-        CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS dens_b
-      FROM kba GROUP BY 1),
-    scored AS (
-      SELECT k.a_id, k.b_id, k.cos,
-        ROUND(2.0 * k.cos / (da.dens_a + db.dens_b), 6) AS margin
-      FROM kab k JOIN dens_a da ON k.a_id = da.a_id
-      JOIN dens_b db ON k.b_id = db.b_id),
-    best AS (SELECT *, ROW_NUMBER() OVER
-      (PARTITION BY a_id ORDER BY margin DESC, b_id) AS br FROM scored)
-    SELECT a_id, b_id, cos, margin FROM best
-    WHERE br = 1 AND margin > 1.0 ORDER BY a_id"""
+      FROM h_short_ba s JOIN he a ON s.a_id = a.vec_id
+      JOIN he b ON s.b_id = b.vec_id) WHERE rn <= 4)"""
   }
+
+  /** IVF-branch candidate CTEs (prefix `v_`): the
+    * [[graft.pipeline.IvfIndex.cellsSqlCtes]] replay plus
+    * same-cell top-4 per query half, emitting v_kab/v_kba. */
+  private def bitextIvfCtes: String = {
+    val dot = PipelineQueries.dotSql("a.embedding", "b.embedding")
+    s"""${graft.pipeline.IvfIndex.cellsSqlCtes(
+        "embeddings", "vec_id", "embedding")},
+    ce AS (SELECT emb.vec_id, emb.label, emb.embedding,
+      sqrt(${PipelineQueries.dotSql("emb.embedding", "emb.embedding")})
+        AS norm,
+      ivf_cells.cell
+      FROM embeddings emb JOIN ivf_cells ON emb.vec_id = ivf_cells.id),
+    v_kab AS (SELECT * FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        ROUND($dot / (a.norm * b.norm), 6) AS cos,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id
+          ORDER BY ROUND($dot / (a.norm * b.norm), 6) DESC, b.vec_id) AS rn
+      FROM ce a JOIN ce b ON a.cell = b.cell
+        AND a.label < 5 AND b.label >= 5) WHERE rn <= 4),
+    v_kba AS (SELECT * FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        ROUND($dot / (a.norm * b.norm), 6) AS cos,
+        ROW_NUMBER() OVER (PARTITION BY b.vec_id
+          ORDER BY ROUND($dot / (a.norm * b.norm), 6) DESC, a.vec_id) AS rn
+      FROM ce a JOIN ce b ON a.cell = b.cell
+        AND a.label < 5 AND b.label >= 5) WHERE rn <= 4)"""
+  }
+
+  /** Dispatched oracle: replays the footer row-count guard with a
+    * COUNT(*) scalar (the exact same integer) and selects the branch
+    * the engine takes, so the gate stays green at every SF. */
+  val bitextMineSql: String = s"""
+    WITH $bitextHammingCtes,
+    ${bitextMarginTailSql("h_").trim},
+    $bitextIvfCtes,
+    ${bitextMarginTailSql("v_").trim}
+    SELECT a_id, b_id, cos, margin FROM h_final
+      WHERE (SELECT COUNT(*) FROM embeddings) <= $BitextHamMaxRows
+    UNION ALL
+    SELECT a_id, b_id, cos, margin FROM v_final
+      WHERE (SELECT COUNT(*) FROM embeddings) > $BitextHamMaxRows
+    ORDER BY a_id"""
+
+  /** The forced IVF branch's own oracle — keeps the at-scale plan
+    * checked at every SF regardless of where the dispatch lands. */
+  val bitextMineIvfSql: String = s"""
+    WITH $bitextIvfCtes,
+    ${bitextMarginTailSql("v_").trim}
+    SELECT a_id, b_id, cos, margin FROM v_final ORDER BY a_id"""
 
   /** Slice bound for [[bitextMineExact]]: vec_id < 512 caps BOTH brute
     *-force sides at a constant few hundred vectors at every SF. */
@@ -1043,6 +1168,12 @@ object EngineQueries {
     QuerySpec("graph_link_predict_dist", graphLinkPredictDistributed,
       Some(graphLinkPredictSql), bench = false),
     QuerySpec("bitext_mine", bitextMine, Some(bitextMineSql)),
+    // the forced at-scale branch (twin convention, like graph_*_dist):
+    // oracle-checked at every SF and decade-measured like-for-like so
+    // the panel never smears a ratio across the dispatch boundary;
+    // bench=false — the dispatched wrapper is the benched surface
+    QuerySpec("bitext_mine_ivf", bitextMineIvf, Some(bitextMineIvfSql),
+      bench = false),
     QuerySpec("bitext_mine_exact", bitextMineExact,
       Some(bitextMineExactSql)),
     QuerySpec("percentile_twophase", percentileTwophase,

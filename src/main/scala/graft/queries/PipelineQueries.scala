@@ -239,14 +239,37 @@ object PipelineQueries {
       UNION ALL SELECT a, b FROM reach)
     GROUP BY id ORDER BY id"""
 
-  /** Embedding near-dup via banded hyperplane LSH (the 100 TB shape:
-    * equality joins on band bits, exact-verify candidates only). The
-    * oracle replicates the deterministic planes and banding, so the
-    * candidate set — hence the result — is bit-identical across
-    * engines, same contract as dedup_minhash_lsh. */
+  /** Embedding near-dup, AUTO-DISPATCHED between the two candidate
+    * regimes ([[graft.pipeline.Similarity.cosinePairsAuto]]): a cheap
+    * integer candidate-mass probe keeps small/balanced corpora on
+    * banded hyperplane LSH (equality joins on band bits — highest
+    * recall) and routes corpora whose banded candidate mass has gone
+    * quadratic (fixed 16-key bands make that inevitable at SOME size;
+    * dominant-direction corpora — the 97.5×/decade regime the
+    * round-14 panel measured — get there ~16² times sooner) to the
+    * IVF-celled route (cell count grows with n ⇒ O(n·128) pair work
+    * at any size). Both routes end in the same exact-cosine verify;
+    * the oracle replays the probe AND both routes, so the dispatched
+    * result is oracle-checked wherever the corpus lands. Each route
+    * also stays independently gated via the `dedup_emb_cosine_banded`
+    * / `dedup_emb_cosine_cells` twins. */
   def dedupEmbCosine(s: SparkSession, d: String): DataFrame =
+    Similarity.cosinePairsAuto(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** The banded-LSH route, un-dispatched — keeps the bounded-corpus
+    * plan oracle-checked at every SF regardless of where the wrapper's
+    * dispatch lands (the same twin convention as `graph_*_dist`). */
+  def dedupEmbCosineBanded(s: SparkSession, d: String): DataFrame =
     Similarity.cosinePairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** The IVF-celled route, un-dispatched — the at-scale twin. */
+  def dedupEmbCosineCells(s: SparkSession, d: String): DataFrame =
+    Similarity.cosinePairsCells(Tables.embeddings(s, d), "vec_id",
+        "embedding", threshold = 0.4)
       .orderBy("id_a", "id_b")
 
   /** sequential-fold dot product of two embedding expressions (1-based
@@ -257,7 +280,10 @@ object PipelineQueries {
        |  FOR i IN range(1, len($a) + 1)]),
        | (x, y) -> x + y)""".stripMargin
 
-  val dedupEmbCosineSql: String = {
+  /** Shared CTE prologue for the emb-cosine oracles: `e` (vector +
+    * norm + 16-bit sign bucket) and `bands` (4×4-bit band keys) —
+    * bit-identical to [[Similarity.cosinePairsLsh]]'s banding. */
+  private def embBandCtes: String = {
     val ps = Similarity.planes(16, 64)
     def planeDot(v: String, j: Int): String = {
       val terms = ps(j).zipWithIndex.map { case (c, i) =>
@@ -272,20 +298,65 @@ object PipelineQueries {
     val bandRows = (0 until 4).map(b =>
       s"SELECT vec_id, $b AS band, (bucket >> ${b * 4}) & 15 AS key FROM e")
       .mkString("\n      UNION ALL ")
-    s"""
-    WITH e AS (SELECT vec_id, embedding,
+    s"""e AS (SELECT vec_id, embedding,
       sqrt(${dotSql("embedding", "embedding")}) AS norm,
       CAST($bucket AS BIGINT) AS bucket FROM embeddings),
-    bands AS ($bandRows),
+    bands AS ($bandRows)"""
+  }
+
+  /** banded-route result CTE body (id_a, id_b, cos ≥ 0.4) */
+  private def embLshResultCte: String = s"""
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
-    SELECT id_a, id_b,
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+    lsh_res AS (SELECT id_a, id_b,
       ROUND(${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) AS cos
     FROM cand JOIN e a ON id_a = a.vec_id JOIN e b ON id_b = b.vec_id
-    WHERE ROUND(${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) >= 0.4
+    WHERE ROUND(${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) >= 0.4)"""
+
+  val dedupEmbCosineBandedSql: String = s"""
+    WITH $embBandCtes,
+    ${embLshResultCte.trim}
+    SELECT id_a, id_b, cos FROM lsh_res ORDER BY id_a, id_b"""
+
+  /** celled-route result CTE body — the
+    * [[graft.pipeline.IvfIndex.cellsSqlCtes]] replay + same-cell
+    * pairs with the exact-cosine verify */
+  private def embCellResultCtes: String = s"""
+    ${graft.pipeline.IvfIndex.cellsSqlCtes(
+        "embeddings", "vec_id", "embedding")},
+    ce AS (SELECT emb.vec_id, emb.embedding,
+      sqrt(${dotSql("emb.embedding", "emb.embedding")}) AS norm,
+      ivf_cells.cell
+      FROM embeddings emb JOIN ivf_cells ON emb.vec_id = ivf_cells.id),
+    cell_res AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      ROUND(${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) AS cos
+    FROM ce a JOIN ce b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE ROUND(${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) >= 0.4)"""
+
+  val dedupEmbCosineCellsSql: String = s"""
+    WITH ${embCellResultCtes.trim}
+    SELECT id_a, id_b, cos FROM cell_res ORDER BY id_a, id_b"""
+
+  /** Dispatched oracle: replays [[Similarity.bandsOverloaded]]'s
+    * INTEGER probe (Σ c·(c−1) over the band-key histogram vs
+    * 2·128·n) and selects the same branch the engine takes — banded
+    * LSH or the IVF-celled route — so the gate stays green at every
+    * SF on either side of the dispatch. */
+  val dedupEmbCosineSql: String = s"""
+    WITH $embBandCtes,
+    probe AS (SELECT SUM(c * (c - 1)) >
+        2 * ${Similarity.BandCandidateFactor} *
+        (SELECT COUNT(*) FROM embeddings) AS overloaded FROM
+      (SELECT band, key, COUNT(*) AS c FROM bands GROUP BY 1, 2)),
+    ${embLshResultCte.trim},
+    ${embCellResultCtes.trim}
+    SELECT id_a, id_b, cos FROM lsh_res
+      WHERE NOT (SELECT overloaded FROM probe)
+    UNION ALL
+    SELECT id_a, id_b, cos FROM cell_res
+      WHERE (SELECT overloaded FROM probe)
     ORDER BY id_a, id_b"""
-  }
 
   /** Gopher-style repetition quality signals (arXiv:2112.11446 §A.1.1
     * adapted to the token-stream corpus): most-frequent-token fraction
@@ -5370,6 +5441,14 @@ object PipelineQueries {
     QuerySpec("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QuerySpec("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QuerySpec("dedup_emb_cosine", dedupEmbCosine, Some(dedupEmbCosineSql)),
+    // the un-dispatched route twins — keep BOTH candidate plans
+    // oracle-checked at every SF regardless of where the wrapper's
+    // probe lands (twin convention; bench=false: the wrapper is the
+    // benched surface)
+    QuerySpec("dedup_emb_cosine_banded", dedupEmbCosineBanded,
+      Some(dedupEmbCosineBandedSql), bench = false),
+    QuerySpec("dedup_emb_cosine_cells", dedupEmbCosineCells,
+      Some(dedupEmbCosineCellsSql), bench = false),
     QuerySpec("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QuerySpec("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QuerySpec("decontaminate", decontaminate, Some(decontaminateSql)),

@@ -1195,6 +1195,103 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dup CLOSES the snapshot chain: batch 3 " +
+      "candidates against old + batch-1 + batch-2 survivors, with " +
+      "zero old-corpus rescans and crash-safe segment appends") {
+    // Round-14 verdict ask #3: the sidecar used to be built once from
+    // the old corpus — kept NEW docs were never folded in, so batch
+    // N+2 could not see batch N+1. incrementalNearDupBatch appends
+    // each batch's survivors as a marker-protected segment; this test
+    // drives three batches and pins every edge of the contract.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndseg").toString
+    spark.conf.set("spark.graft.dedup.indexDir", dir)
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_ndcorp").toString
+    try {
+      def doc(id: Long, seed: Long): (Long, String) = {
+        // 30 distinct tokens per doc; near-dup = same seed
+        (id, (0 until 30).map(k => s"w${seed * 100 + k}").mkString(" "))
+      }
+      val old = Seq(doc(1, 1), doc(2, 2), doc(3, 3))
+      old.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$corpus/old.parquet")
+      val oldDf = spark.read.parquet(s"$corpus/old.parquet")
+      def run(batch: Seq[(Long, String)], id: String) =
+        graft.pipeline.Dedup.incrementalNearDupBatch(spark,
+          s"$corpus/old.parquet", "nd-chain-test", oldDf,
+          batch.toDF("doc_id", "text"), "doc_id", "text", id,
+          threshold = 0.5)
+      // batch 1: doc 11 dups OLD doc 2; doc 12 is fresh (kept)
+      val p1 = run(Seq(doc(11, 2), doc(12, 12)), "b1")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p1 == Set((11L, 2L)), s"batch 1 pairs: $p1")
+      // batch 2: doc 21 dups batch-1 SURVIVOR 12 (invisible without
+      // the fold-in); doc 22 fresh
+      val p2 = run(Seq(doc(21, 12), doc(22, 22)), "b2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p2 == Set((21L, 12L)),
+        s"batch 2 did not see batch 1's survivor: $p2")
+      // batch 3: doc 31 dups batch-2 survivor 22, doc 32 dups OLD doc
+      // 3, doc 33 fresh — the chain spans base + both segments. Note
+      // 21 was a DUP in batch 2, so it must NOT be in the index (a
+      // seed-12 match may only hit survivor 12).
+      // static plan for the scan inspection below (AQE hides children)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.pipeline.Caching.inspectLazyPlans = true
+      val q3 = try run(Seq(doc(31, 22), doc(32, 3), doc(33, 33)), "b3")
+        finally { graft.pipeline.Caching.inspectLazyPlans = false }
+      val p3 = q3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p3 == Set((31L, 22L), (32L, 3L)), s"batch 3 pairs: $p3")
+      // zero old-corpus rescans: batch 3's plan reads the sidecar
+      // (base + segments), never old.parquet. The pair frame is
+      // persisted inside the operator, so walk THROUGH cached
+      // relations (and any AQE wrapper) to the real file scans.
+      def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[String] = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Seq(f.relation.location.rootPaths.mkString(","))
+        case im: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec =>
+          fileScans(im.relation.cachedPlan)
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec =>
+          fileScans(a.executedPlan)
+      }.flatten
+      val scans = fileScans(q3.queryExecution.executedPlan)
+      assert(scans.exists(_.contains("seg-b1")) &&
+        scans.exists(_.contains("seg-b2")),
+        s"batch 3 does not union the appended segments: $scans")
+      assert(!scans.exists(_.contains("old.parquet")),
+        s"batch 3 still rescans the old corpus: $scans")
+      // crash-safety: a segment without its marker is invisible
+      val key = graft.pipeline.DedupIndex.snapshotKey(spark,
+        s"$corpus/old.parquet", "nd-chain-test")
+      val crashSh = graft.pipeline.Dedup.shingles(
+        Seq(doc(99, 99)).toDF("doc_id", "text"), "doc_id", "text")
+      crashSh.write.mode("overwrite").parquet(
+        s"$dir/$key/seg-crashed/shingles")
+      graft.pipeline.Dedup.minhashBands(crashSh).write.mode("overwrite")
+        .parquet(s"$dir/$key/seg-crashed/bands")
+      // no _COMPLETE marker → loadNearDup must ignore seg-crashed
+      val (bandsDf, _) = graft.pipeline.DedupIndex
+        .loadNearDup(spark, key).get
+      val ids = bandsDf.select("id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(99L),
+        s"markerless segment leaked into the index: $ids")
+      // base(1,2,3) + kept: b1→12, b2→22, b3→(33, and 31/32 are dups)
+      assert(ids == Set(1L, 2L, 3L, 12L, 22L, 33L),
+        s"index ids after three batches: $ids")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sharedState.cacheManager.clearCache()
+      spark.conf.unset("spark.graft.dedup.indexDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpus))
+    }
+  }
+
   test("cellsSidecar crash-safety: a partial write without _COMPLETE " +
       "is invisible and rebuilds cleanly") {
     // The marker-last contract: a writer that died after the parquet

@@ -94,6 +94,77 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(r >= 0.9, f"IVF recall@3 $r%.3f below the 0.9 floor")
   }
 
+  /** deterministic no-structure corpus: every component through a
+    * full-avalanche mixer (splitmix64), so the 16 sign bits are
+    * effectively independent and band keys stay balanced — a linear
+    * congruence here leaves cross-vector sign correlations that trip
+    * the concentration probe */
+  private def balancedCorpus(n: Int): DataFrame = {
+    def mix(x: Long): Long = {
+      var z = x * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val vecs = (0 until n).map { v =>
+      val emb = Array.tabulate(dim) { i =>
+        (mix(v.toLong * dim + i + 7) % 1001).toFloat / 1000f
+      }
+      (v, emb)
+    }
+    import spark.implicits._
+    vecs.toDF("vec_id", "embedding")
+  }
+
+  test("emb near-dup routes: celled == banded == brute force where " +
+      "both candidate schemes cover every qualifying pair") {
+    // tight clusters: members share every sign band AND land in the
+    // same IVF cell, so BOTH routes surface exactly the within-cluster
+    // pairs — the regime where the dispatch must be invisible.
+    // Threshold 0.99: within-cluster cos ≥ 0.9993 on this corpus while
+    // the strongest cross-cluster correlation measures 0.912 — the
+    // truth set is exactly the within-cluster pairs.
+    val emb = clusteredCorpus(20)
+    def pairs(df: DataFrame): Set[(Int, Int, Double)] =
+      df.collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    val banded = pairs(
+      Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.99))
+    val celled = pairs(
+      Similarity.cosinePairsCells(emb, "vec_id", "embedding", 0.99))
+    val brute = pairs(
+      Similarity.cosinePairs(emb, "vec_id", "embedding", 0.99))
+    assert(brute.nonEmpty, "degenerate corpus: no near-dup pairs at all")
+    assert(banded == brute, "banded route diverged from brute force")
+    assert(celled == brute, "celled route diverged from brute force")
+  }
+
+  test("band-overload probe routes the auto dispatch: quadratic " +
+      "candidate mass -> celled, bounded mass -> banded") {
+    // sf0.1 testdata: banded candidate mass ≈ 267 pairs/row > the 128
+    // factor (fixed 16-key bands are quadratic in n — this corpus has
+    // crossed the line); sf0.001 (500 rows, ~66 pairs/row) has not
+    val big = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+    assert(Similarity.bandsOverloaded(big, "vec_id", "embedding"),
+      "sf0.1 corpus no longer trips the candidate-mass probe")
+    val small = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert(!Similarity.bandsOverloaded(small, "vec_id", "embedding"),
+      "sf0.001 corpus tripped the candidate-mass probe")
+    val bal = balancedCorpus(400)
+    assert(!Similarity.bandsOverloaded(bal, "vec_id", "embedding"),
+      "hash-random 400-row corpus tripped the candidate-mass probe")
+    // the dispatch is the probe: auto == celled on one side,
+    // auto == banded on the other
+    def rows(df: DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Similarity.cosinePairsAuto(big, "vec_id", "embedding", 0.4))
+      == rows(Similarity.cosinePairsCells(big, "vec_id", "embedding", 0.4)))
+    assert(rows(Similarity.cosinePairsAuto(small, "vec_id", "embedding", 0.4))
+      == rows(Similarity.cosinePairsLsh(small, "vec_id", "embedding", 0.4)))
+  }
+
   test("PQ-ADC recall@5 vs exact top-5 on the testdata corpus") {
     // sim_topk_pq and sim_cosine_topk share the 30-query/top-5
     // contract on the same table, so recall is a direct set compare:
