@@ -80,7 +80,16 @@ object ScalingDecade {
     "pipeline_curate", "ivf_recall_eval",
     "ngram_novelty", "knn_classify", "hard_negatives",
     "dedup_simhash", "dedup_keep_best",
-    "text_bigram_logprob", "bitext_mine", "sim_ann_ivf",
+    // round-15: bitext_mine became a dispatched wrapper (Hamming ≤
+    // 4096 corpus rows, IVF-celled above) whose boundary sits between
+    // sf0.1 (2k) and sf1 (20k) — so the panel measures the forced
+    // bitext_mine_ivf twin like-for-like (the plan that actually runs
+    // at scale), not a ratio smeared across the dispatch; the bounded
+    // Hamming branch stays covered by bitext_mine_exact's flat row.
+    // dedup_emb_cosine stays: its candidate-mass probe routes CELLED
+    // at BOTH decade SFs (sf0.1 crossed the 128-pairs/row line), so
+    // the wrapper row is already like-for-like.
+    "text_bigram_logprob", "bitext_mine_ivf", "sim_ann_ivf",
     "dedup_semantic", "dedup_emb_cosine", "mad_outliers",
     "orders_abc", "winsorize", "text_token_bpe",
     "retrieval_ndcg_eval", "retrieval_rrf_fusion", "agg_rollup",
@@ -110,18 +119,13 @@ object ScalingDecade {
       "signatures concentrate on this shared-vocab corpus, so near-dup " +
       "groups are huge); candidate generation stays banded on 16-bit " +
       "keys - the emission IS the result, not wasted compute"),
-    "dedup_emb_cosine" -> ("data-regime-bound: sign-LSH band bits " +
-      "concentrate on a corpus with a dominant direction, so bands " +
-      "cannot partition it, and the decade synthesis makes every " +
-      "noised replica a true near-dup (cos~0.9998) - candidates and " +
-      "output both grow ~quadratically; the structured-corpus scale " +
-      "path is the IVF-celled route (dedup_semantic, " +
-      "sim_ann_ivf_persisted)"),
-    "bitext_mine" -> ("problem-bound: mines ALL of side A against ALL " +
-      "of side B - the signature stage is O(|A|*|B|) by definition; at " +
-      "corpus scale the candidate source swaps to the partitioned IVF " +
-      "sidecar without touching the margin algebra (see the operator " +
-      "doc); bitext_mine_exact pins the algebra at bounded scale"),
+    "dedup_keep_best" -> ("density-bound composition: rides the SAME " +
+      "Sigma df^2 inverted-index/minhash pair stream as dedup_jaccard " +
+      "and dedup_clusters (both annotated density-bound on this " +
+      "shared-vocab decade corpus); keep-best adds only the quality " +
+      "join and a per-cluster argmax over the clustered subset, so " +
+      "its ratio tracks the pair stream and sits below both " +
+      "components"),
     "dedup_jaccard" -> ("density-bound: the inverted-index join is " +
       "Sigma df^2 and the decade corpus raises shingle document " +
       "frequency superlinearly (permuted replicas share vocabulary); " +

@@ -193,6 +193,34 @@ object DedupIndex {
     }
   }
 
+  /** Generic snapshot-keyed derived-table sidecar (the
+    * [[IvfIndex.cellsSidecar]] pattern without the partitioning):
+    * persist a small table derived from a corpus snapshot — an exact
+    * ground-truth pair table, an eval denominator — so every later
+    * query over the same snapshot loads it job-free instead of
+    * recomputing it (the recall evals' exact-truth side is a
+    * DENOMINATOR, not the operator under eval, so caching it is the
+    * serving shape, not a benchmark cheat). Same key/marker protocol
+    * as every other sidecar: corpus change ⇒ clean miss; crashed
+    * writer ⇒ invisible; `build` is by-name and never constructed on
+    * a hit. */
+  def tableSidecar(spark: SparkSession, corpusPath: String,
+                   variant: String, schemaDdl: String,
+                   build: => DataFrame): DataFrame = {
+    val key = snapshotKey(spark, corpusPath, variant)
+    val b = base(spark, key)
+    val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
+    def read: DataFrame = spark.read.schema(schemaDdl)
+      .parquet(new Path(b, "table").toString)
+    if (fs.exists(new Path(b, "_COMPLETE"))) read
+    else {
+      fs.mkdirs(b)
+      build.write.mode("overwrite").parquet(new Path(b, "table").toString)
+      fs.create(new Path(b, "_COMPLETE"), true).close()
+      read
+    }
+  }
+
   /** The one call operators use: reuse the snapshot's sidecar if
     * complete (no job over the old corpus at all), else build it from
     * `old` — ONE scan builds the Bloom, one writes the distinct hash

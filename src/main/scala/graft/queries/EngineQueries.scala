@@ -862,11 +862,20 @@ object EngineQueries {
     * 100 TB the assignment rides the persisted cell sidecar and the
     * join prunes to cell partitions. */
   def bitextMineIvf(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-      col("embedding"),
-      graft.functions.VecF.normF(col("embedding")).as("norm"))
-    val base = graft.pipeline.IvfIndex
-      .withCells(emb, "vec_id", "embedding").persist()
+    // the persisted cell sidecar (the sim_ann_ivf_persisted machinery,
+    // own variant to carry the label column): the first query over a
+    // corpus snapshot builds + persists the assignment partitioned by
+    // cell; every later mining run loads it with zero jobs over
+    // embeddings.parquet and the cell join prunes to cell partitions
+    val base = graft.pipeline.IvfIndex.cellsSidecar(
+      s, s"$d/embeddings.parquet", "ivf-cells-bitext-v1",
+      "vec_id BIGINT, label INT, embedding ARRAY<FLOAT>, " +
+        "norm DOUBLE, cell BIGINT",
+      graft.pipeline.IvfIndex.withCells(
+        Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+          col("embedding"),
+          graft.functions.VecF.normF(col("embedding")).as("norm")),
+        "vec_id", "embedding")).persist()
     val a = base.filter(col("label") < 5)
     val b = base.filter(col("label") >= 5)
     def cellTopK(queries: DataFrame, corpus: DataFrame): DataFrame = {

@@ -343,9 +343,15 @@ object ExtraQueries {
   def ivfRecallEval(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
     val probes = emb.filter(col("vec_id") < 20)
-    val truth = graft.pipeline.Similarity
-      .bruteForceTopK(emb, probes, "vec_id", "embedding", 3)
-      .select("query_id", "neighbor_id")
+    // exact-truth denominator through the snapshot-keyed sidecar —
+    // built once per corpus snapshot, job-free after (same rationale
+    // as lsh_recall_eval's truth side)
+    val truth = graft.pipeline.DedupIndex.tableSidecar(
+      s, s"$d/embeddings.parquet", "cos-top3-q20-v1",
+      "query_id BIGINT, neighbor_id BIGINT",
+      graft.pipeline.Similarity
+        .bruteForceTopK(emb, probes, "vec_id", "embedding", 3)
+        .select("query_id", "neighbor_id"))
     val ivf = simAnnIvf(s, d).select("query_id", "neighbor_id")
     val overlap = truth.join(ivf, Seq("query_id", "neighbor_id"),
         "left_semi")

@@ -954,7 +954,16 @@ class ScaleSpec extends SparkSpec {
     val allowedHeavyExchanges = Map(
       "dedup_semantic" -> 2, // a/b sides of the within-cell pair join
       "sim_ann_ivf" -> 1,    // corpus side of the cell-probe join
-      "dedup_emb_cosine" -> 2, // a/b sides of the LSH-band pair join
+      "dedup_emb_cosine" -> 2, // a/b sides of the routed pair join
+      // the un-dispatched route twins inherit their route's shape:
+      // banded = a/b sides of the LSH-band join, cells = a/b sides of
+      // the within-cell join (dedup_semantic's sanctioned shape)
+      "dedup_emb_cosine_banded" -> 2,
+      "dedup_emb_cosine_cells" -> 2,
+      // query/corpus sides of the two cell-probe joins (kAB + kBA);
+      // at scale both sides read the cell-partitioned sidecar, so the
+      // exchange is the co-location step, not a corpus re-shuffle
+      "bitext_mine_ivf" -> 4,
       "knn_classify" -> 2,   // query/labeled sides of the cell join
       "hard_negatives" -> 2) // anchor/candidate sides of the cell join
     // Sanctioned RDD-terminal plans: operators whose final stage is a
