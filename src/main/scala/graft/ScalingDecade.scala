@@ -119,6 +119,16 @@ object ScalingDecade {
       "signatures concentrate on this shared-vocab corpus, so near-dup " +
       "groups are huge); candidate generation stays banded on 16-bit " +
       "keys - the emission IS the result, not wasted compute"),
+    "dedup_emb_cosine" -> ("output-plus-build residue, not a plan " +
+      "defect: the round-15 candidate-mass probe routes the IVF-celled " +
+      "source at both decade SFs, so pair WORK is O(n*cellPop) - " +
+      "linear - and the r14 banded route's 97.5x candidate blow-up is " +
+      "gone (sf1: 113.8 s -> 12.0 s); the residue above 10x is the " +
+      "true-pair OUTPUT (every decade replica is a real near-dup, " +
+      "cos~0.9998, so emitted pairs grow ~90x/decade) plus the " +
+      "in-flight cell assignment, which this row deliberately " +
+      "includes (the warm-sidecar serving shape is measured by " +
+      "sim_ann_ivf_persisted and bitext_mine_ivf)"),
     "dedup_keep_best" -> ("density-bound composition: rides the SAME " +
       "Sigma df^2 inverted-index/minhash pair stream as dedup_jaccard " +
       "and dedup_clusters (both annotated density-bound on this " +

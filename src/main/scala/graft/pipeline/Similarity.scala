@@ -227,7 +227,11 @@ object Similarity {
     * replayed verbatim by the DuckDB oracle, so the dispatched result
     * stays oracle-checked on either side of the boundary; the
     * `_banded` / `_cells` twins keep both routes independently gated
-    * at every SF. */
+    * at every SF. At serving scale the celled route's assignment
+    * rides the persisted cell sidecar ([[IvfIndex.cellsSidecar]] —
+    * the `sim_ann_ivf_persisted` / `bitext_mine_ivf` pattern); here
+    * it stays in-flight so the measured rows include the assignment
+    * work they'd pay on a fresh snapshot. */
   def cosinePairsAuto(emb: DataFrame, idCol: String, vecCol: String,
                       threshold: Double): DataFrame =
     if (bandsOverloaded(emb, idCol, vecCol))
