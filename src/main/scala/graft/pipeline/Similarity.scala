@@ -232,11 +232,32 @@ object Similarity {
     * the `sim_ann_ivf_persisted` / `bitext_mine_ivf` pattern); here
     * it stays in-flight so the measured rows include the assignment
     * work they'd pay on a fresh snapshot. */
+  /** Probe verdicts memoized per corpus SNAPSHOT (the caller passes a
+    * [[DedupIndex.snapshotKey]]-style key hashing path + length +
+    * mtime): the probe is one corpus scan, and a repeat query over the
+    * same snapshot must not pay it again. Unlike the GraphEdges memo
+    * this verdict routes between DIFFERENT-result plans, so the key
+    * MUST change when the corpus does — snapshot keys do, an
+    * unchanged-corpus hit is exact, and with no key the probe simply
+    * runs live. */
+  private val overloadMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def cosinePairsAuto(emb: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double): DataFrame =
-    if (bandsOverloaded(emb, idCol, vecCol))
-      cosinePairsCells(emb, idCol, vecCol, threshold)
+                      threshold: Double,
+                      probeMemoKey: Option[String] = None): DataFrame = {
+    val overloaded = probeMemoKey match {
+      case Some(k) =>
+        Option(overloadMemo.get(k)).map(_.booleanValue).getOrElse {
+          val v = bandsOverloaded(emb, idCol, vecCol)
+          overloadMemo.put(k, v)
+          v
+        }
+      case None => bandsOverloaded(emb, idCol, vecCol)
+    }
+    if (overloaded) cosinePairsCells(emb, idCol, vecCol, threshold)
     else cosinePairsLsh(emb, idCol, vecCol, threshold)
+  }
 
   /** Two-stage binary retrieval: sign-quantize every vector to a
     * 32-bits-per-word signature ([[graft.functions.SignPack]], 16×

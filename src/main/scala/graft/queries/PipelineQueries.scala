@@ -262,7 +262,12 @@ object PipelineQueries {
     * / `dedup_emb_cosine_cells` twins. */
   def dedupEmbCosine(s: SparkSession, d: String): DataFrame =
     Similarity.cosinePairsAuto(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.4)
+        threshold = 0.4,
+        // snapshot-keyed probe memo: the band-mass scan runs once per
+        // corpus snapshot, not once per query (key hashes path +
+        // length + mtime, so a corpus change is a clean miss)
+        probeMemoKey = Some(graft.pipeline.DedupIndex.snapshotKey(
+          s, s"$d/embeddings.parquet", "band-mass-probe-v1")))
       .orderBy("id_a", "id_b")
 
   /** The banded-LSH route, un-dispatched — keeps the bounded-corpus
