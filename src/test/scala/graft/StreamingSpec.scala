@@ -418,6 +418,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup twin sees appended sidecar segments — the " +
+      "snapshot chain composes with the streaming side") {
+    // Round-15 chain closure, streaming view: after a batch folds its
+    // survivors into the sidecar (appendNearDup), a RE-created stream
+    // loads the UNION index and matches arrivals against the appended
+    // docs too — no old-corpus scan anywhere.
+    import spark.implicits._
+    val idxDir = Files.createTempDirectory("graft-ndseg-stream").toString
+    spark.conf.set("spark.graft.dedup.indexDir", idxDir)
+    val streamDir = Files.createTempDirectory("graft-ndsegstr").toString
+    val corpus = Files.createTempDirectory("graft-ndsegcorp").toString
+    try {
+      def doc(id: Long, seed: Long): (Long, String) =
+        (id, (0 until 30).map(k => s"w${seed * 100 + k}").mkString(" "))
+      Seq(doc(1, 1), doc(2, 2), doc(3, 3)).toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$corpus/old.parquet")
+      val oldDf = spark.read.parquet(s"$corpus/old.parquet")
+      graft.pipeline.DedupIndex.loadOrBuildNearDup(spark,
+        s"$corpus/old.parquet", "nd-stream-chain", oldDf,
+        "doc_id", "text")
+      val key = graft.pipeline.DedupIndex.snapshotKey(spark,
+        s"$corpus/old.parquet", "nd-stream-chain")
+      // a prior batch's survivor folds in as a segment…
+      val keptSh = graft.pipeline.Dedup.shingles(
+        Seq(doc(12, 12)).toDF("doc_id", "text"), "doc_id", "text")
+      graft.pipeline.DedupIndex.appendNearDup(spark, key, "b1",
+        graft.pipeline.Dedup.minhashBands(keptSh), keptSh)
+      // …and the stream created AFTER the append loads the union
+      val (bands2, sh2) =
+        graft.pipeline.DedupIndex.loadNearDup(spark, key).get
+      Seq(doc(21, 12), doc(22, 2), doc(23, 23))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(streamDir)
+      val stream = EventStreams.streamingIncrementalNearDup(
+        EventStreams.readDocuments(spark, streamDir), bands2, sh2,
+        "doc_id", "text", threshold = 0.5)
+      val q = stream.writeStream
+        .format("memory").queryName("ndseg_out")
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+      val got = spark.table("ndseg_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // 21 dups the APPENDED survivor 12; 22 dups base old doc 2;
+      // 23 is fresh — the union index answers both tiers
+      assert(got == Set((21L, 12L), (22L, 2L)),
+        s"stream missed appended-segment or base matches: $got")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.indexDir")
+      Seq(idxDir, streamDir, corpus).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(p)))
+    }
+  }
+
   test("streaming incremental dedup reuses the batch-persisted " +
       "snapshot sidecar — bloom and hash index load, nothing rebuilds") {
     val idxDir = Files.createTempDirectory("graft-didx-stream").toString
