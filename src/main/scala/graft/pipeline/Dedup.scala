@@ -545,14 +545,21 @@ object Dedup {
     * Returns the batch's near-dup pairs (new_id, old_id, common,
     * jaccard). Within-batch duplicates are deliberately out of scope
     * (run the batch through the in-flight dedup family first); `old`
-    * is by-name and never evaluated on a sidecar hit. */
+    * is by-name and never evaluated on a sidecar hit. RETRY-SAFE: the
+    * index load EXCLUDES this batch's own segment, so re-running a
+    * batch whose append already landed sees exactly the index the
+    * first run saw — identical pairs, identical kept set, and the
+    * re-append rewrites identical content (without the exclusion a
+    * retry would report every prior survivor as a near-dup of itself
+    * and then fold in an EMPTY segment, silently dropping survivors). */
   def incrementalNearDupBatch(spark: org.apache.spark.sql.SparkSession,
       corpusPath: String, variant: String, old: => DataFrame,
       batch: DataFrame, idCol: String, textCol: String, batchId: String,
       threshold: Double): DataFrame = {
     val key = DedupIndex.snapshotKey(spark, corpusPath, variant)
     val (oldBands, oldSh) = DedupIndex.loadOrBuildNearDup(
-      spark, corpusPath, variant, old, idCol, textCol)
+      spark, corpusPath, variant, old, idCol, textCol,
+      excludeSegments = Set(batchId))
     val newSh = shingles(batch, idCol, textCol).persist()
     val cand = minhashBands(newSh).toDF("new_id", "band", "key")
       .join(oldBands.toDF("old_id", "band", "key"), Seq("band", "key"))

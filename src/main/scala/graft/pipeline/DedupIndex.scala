@@ -32,7 +32,11 @@ object DedupIndex {
   // seed-1 fold xxhash64(lit(1L), para) — the old chained form was a
   // pure function of h1; bumping the version makes pre-change sidecars
   // a clean miss instead of a silent probe mismatch
-  val FormatVersion = 2
+  // v3: the char-folding kernels (polyHash/shingleHashes/…) switched
+  // from UTF-16-unit to code-point folding (round 15) — persisted
+  // shingle/band hashes built by v2 code differ on non-BMP text, so
+  // pre-change sidecars must miss cleanly
+  val FormatVersion = 3
 
   def indexDir(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.dedup.indexDir").getOrElse(
@@ -111,16 +115,21 @@ object DedupIndex {
     * ([[appendNearDup]] — the fold-in path of the every-snapshot
     * loop). A segment missing its own `_COMPLETE` marker (a crashed
     * appender) is invisible. None if the base is absent/incomplete. */
-  def loadNearDup(spark: SparkSession, key: String)
+  def loadNearDup(spark: SparkSession, key: String,
+                  excludeSegments: Set[String] = Set.empty)
       : Option[(DataFrame, DataFrame)] = {
     val b = base(spark, key)
     val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(b, "_COMPLETE"))) None
     else {
-      // driver-side listing only — loading stays job-free
+      // driver-side listing only — loading stays job-free.
+      // excludeSegments: a batch RETRY must not candidate against its
+      // own prior segment (it would report every prior survivor as a
+      // near-dup of itself and then fold in nothing).
       val segs = fs.listStatus(b).toSeq
         .filter(st => st.isDirectory &&
           st.getPath.getName.startsWith("seg-") &&
+          !excludeSegments(st.getPath.getName.stripPrefix("seg-")) &&
           fs.exists(new Path(st.getPath, "_COMPLETE")))
         .map(_.getPath).sortBy(_.getName)
       val roots = b +: segs
@@ -149,11 +158,16 @@ object DedupIndex {
     require(fs.exists(new Path(b, "_COMPLETE")),
       s"appendNearDup: base sidecar incomplete at $b")
     val seg = new Path(b, s"seg-$segment")
+    // marker-LAST also on re-append: a stale _COMPLETE left standing
+    // while the segment data is rewritten would mark a half-rewritten
+    // segment valid if the rewriter crashes between the two writes
+    val marker = new Path(seg, "_COMPLETE")
+    if (fs.exists(marker)) fs.delete(marker, false)
     bands.write.mode("overwrite")
       .parquet(new Path(seg, "bands").toString)
     shingles.write.mode("overwrite")
       .parquet(new Path(seg, "shingles").toString)
-    fs.create(new Path(seg, "_COMPLETE"), true).close()
+    fs.create(marker, true).close()
   }
 
   /** Write band index + shingle-hash table, marker last (crash-safe,
@@ -180,16 +194,18 @@ object DedupIndex {
   def loadOrBuildNearDup(spark: SparkSession, corpusPath: String,
                          variant: String, old: => DataFrame,
                          idCol: String, textCol: String,
-                         numHashes: Int = 16, bands: Int = 4)
+                         numHashes: Int = 16, bands: Int = 4,
+                         excludeSegments: Set[String] = Set.empty)
       : (DataFrame, DataFrame) = {
     val key = snapshotKey(spark, corpusPath, variant)
-    loadNearDup(spark, key).getOrElse {
+    loadNearDup(spark, key, excludeSegments).getOrElse {
       val sh = Dedup.shingles(old, idCol, textCol).persist()
       saveNearDup(spark, key, Dedup.minhashBands(sh, numHashes, bands),
         sh)
       sh.unpersist(blocking = false)
-      loadNearDup(spark, key).getOrElse(throw new IllegalStateException(
-        s"near-dup sidecar write failed: $key"))
+      loadNearDup(spark, key, excludeSegments)
+        .getOrElse(throw new IllegalStateException(
+          s"near-dup sidecar write failed: $key"))
     }
   }
 

@@ -181,8 +181,11 @@ object Similarity {
       .agg(sum(col("count") * (col("count") - 1)).as("mass"),
         sum(col("count")).as("tot"))
       .head()
+    // empty corpus: SUM over zero rows is null — not overloaded (both
+    // routes return the empty frame; banded is the cheaper no-op)
+    if (r.isNullAt(0)) false
     // tot = n·bands (each row lands in every band exactly once)
-    r.getLong(0) > 2L * BandCandidateFactor * (r.getLong(1) / bands)
+    else r.getLong(0) > 2L * BandCandidateFactor * (r.getLong(1) / bands)
   }
 
   /** IVF-celled near-dup pairs: the SAME exact-cosine verify as

@@ -1020,7 +1020,12 @@ object EngineQueries {
 
   /** Dispatched oracle: replays the footer row-count guard with a
     * COUNT(*) scalar (the exact same integer) and selects the branch
-    * the engine takes, so the gate stays green at every SF. */
+    * the engine takes, so the gate stays green at every SF. Known
+    * cost: the guard is a runtime scalar, so DuckDB cannot prune the
+    * dead branch at plan time and evaluates BOTH — acceptable because
+    * the gate runs at sf0.01 (both branches cheap) and each branch is
+    * independently gated at scale by its twin (`bitext_mine_ivf`,
+    * `bitext_mine_exact`); a static SQL string cannot know the SF. */
   val bitextMineSql: String = s"""
     WITH $bitextHammingCtes,
     ${bitextMarginTailSql("h_").trim},

@@ -354,7 +354,10 @@ object PipelineQueries {
     * INTEGER probe (Σ c·(c−1) over the band-key histogram vs
     * 2·128·n) and selects the same branch the engine takes — banded
     * LSH or the IVF-celled route — so the gate stays green at every
-    * SF on either side of the dispatch. */
+    * SF on either side of the dispatch. Known cost: the probe is a
+    * runtime scalar, so DuckDB evaluates BOTH branch CTEs; fine at
+    * the sf0.01 gate, and each branch is independently gated at
+    * every SF by its `_banded` / `_cells` twin. */
   val dedupEmbCosineSql: String = s"""
     WITH $embBandCtes,
     probe AS (SELECT SUM(c * (c - 1)) >

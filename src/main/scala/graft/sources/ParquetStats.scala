@@ -22,9 +22,19 @@ object ParquetStats {
     // whose unseen files hold keys past the pack range. (Partition
     // columns live in directory names, not footers, so longMinMax on
     // one still correctly returns None via its column-not-found path.)
+    // skip hidden/temporary entries (names starting with '_' or '.'):
+    // Spark readers ignore them, so counting e.g. a crashed write's
+    // _temporary/ files would make the footer count diverge from the
+    // logical COUNT(*) the oracles replay (partition dirs like pk=0
+    // are unaffected)
+    def visible(p: Path): Boolean = {
+      val n = p.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
     def list(dir: Path): Seq[Path] =
       fs.listStatus(dir).toSeq.flatMap { st =>
-        if (st.isDirectory) list(st.getPath)
+        if (!visible(st.getPath)) Seq.empty
+        else if (st.isDirectory) list(st.getPath)
         else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
         else Seq.empty
       }

@@ -60,6 +60,24 @@ class ParquetStatsSpec extends SparkSpec {
     assert(ParquetStats.longMinMax(spark, s"$dir/t.parquet", "pk").isEmpty)
   }
 
+  test("hidden/temporary entries are ignored, like Spark readers do") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pstats").toString
+    (1L to 10L).map(i => (i, i)).toDF("a", "b").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/t.parquet")
+    // a crashed write's leftovers: Spark ignores '_'/'.' names, so the
+    // footer count must too — over-counting could flip a dispatch
+    // branch the oracle's logical COUNT(*) doesn't take
+    (1L to 90L).map(i => (i, i)).toDF("a", "b").coalesce(1)
+      .write.parquet(s"$dir/t.parquet/_temporary/0/part.parquet")
+    (1L to 7L).map(i => (i, i)).toDF("a", "b").coalesce(1)
+      .write.parquet(s"$dir/t.parquet/.hidden/part.parquet")
+    assert(ParquetStats.rowCount(spark, s"$dir/t.parquet").contains(10L))
+    assert(ParquetStats.longMinMax(spark, s"$dir/t.parquet", "a")
+      .contains((1L, 10L)))
+  }
+
   test("non-long columns return None (the pack guard needs int64)") {
     import spark.implicits._
     val dir = java.nio.file.Files

@@ -1241,6 +1241,13 @@ class ScaleSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(p2 == Set((21L, 12L)),
         s"batch 2 did not see batch 1's survivor: $p2")
+      // RETRY of batch 2 (its segment already landed): the index load
+      // excludes seg-b2, so the retry reports the SAME pairs — no
+      // (22, 22) self-pair — and re-appends the same survivor set
+      // instead of wiping the segment
+      val p2r = run(Seq(doc(21, 12), doc(22, 22)), "b2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p2r == p2, s"batch-2 retry diverged: $p2r")
       // batch 3: doc 31 dups batch-2 survivor 22, doc 32 dups OLD doc
       // 3, doc 33 fresh — the chain spans base + both segments. Note
       // 21 was a DUP in batch 2, so it must NOT be in the index (a

@@ -155,6 +155,13 @@ class SimilarityRecallSpec extends SparkSpec {
     val bal = balancedCorpus(400)
     assert(!Similarity.bandsOverloaded(bal, "vec_id", "embedding"),
       "hash-random 400-row corpus tripped the candidate-mass probe")
+    // empty corpus: the probe's SUM is null — must answer "not
+    // overloaded" (both routes return the empty frame), not NPE
+    val empty = balancedCorpus(0)
+    assert(!Similarity.bandsOverloaded(empty, "vec_id", "embedding"),
+      "empty corpus broke the candidate-mass probe")
+    assert(Similarity
+      .cosinePairsAuto(empty, "vec_id", "embedding", 0.4).count() == 0)
     // the dispatch is the probe: auto == celled on one side,
     // auto == banded on the other
     def rows(df: DataFrame): Set[Seq[Any]] =
