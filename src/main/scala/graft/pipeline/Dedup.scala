@@ -546,19 +546,26 @@ object Dedup {
     * jaccard). Within-batch duplicates are deliberately out of scope
     * (run the batch through the in-flight dedup family first); `old`
     * is by-name and never evaluated on a sidecar hit. RETRY-SAFE: the
-    * index load EXCLUDES this batch's own segment, so re-running a
-    * batch whose append already landed sees exactly the index the
-    * first run saw — identical pairs, identical kept set, and the
-    * re-append rewrites identical content (without the exclusion a
+    * index load EXCLUDES this batch's own segment (without that, a
     * retry would report every prior survivor as a near-dup of itself
-    * and then fold in an EMPTY segment, silently dropping survivors). */
+    * and fold in an EMPTY segment, silently dropping survivors), and
+    * the append is a no-op on a complete segment. A retry's KEPT set
+    * is provably identical to the first run's even if LATER batches
+    * appended in between (a later survivor Y cannot near-dup a kept
+    * doc D of this batch — D was in the index when Y's batch ran, so
+    * Y surviving implies no match, and Jaccard is symmetric); only
+    * the returned pair REPORT can gain extra true pairs for docs this
+    * batch had already dropped, matched against those later
+    * survivors. */
   def incrementalNearDupBatch(spark: org.apache.spark.sql.SparkSession,
       corpusPath: String, variant: String, old: => DataFrame,
       batch: DataFrame, idCol: String, textCol: String, batchId: String,
       threshold: Double): DataFrame = {
+    // key computed ONCE and shared by load + append (one
+    // getContentSummary walk, no load/append key race)
     val key = DedupIndex.snapshotKey(spark, corpusPath, variant)
-    val (oldBands, oldSh) = DedupIndex.loadOrBuildNearDup(
-      spark, corpusPath, variant, old, idCol, textCol,
+    val (oldBands, oldSh) = DedupIndex.loadOrBuildNearDupKeyed(
+      spark, key, old, idCol, textCol,
       excludeSegments = Set(batchId))
     val newSh = shingles(batch, idCol, textCol).persist()
     val cand = minhashBands(newSh).toDF("new_id", "band", "key")

@@ -146,11 +146,20 @@ object DedupIndex {
     * batch N+2 then candidates against old ∪ kept(N+1) ∪ … with still
     * zero old-corpus rescans — the append half of the CCNet loop.
     * Same crash-safety protocol as [[saveNearDup]]: the segment's
-    * marker lands last, so a crashed appender is invisible and
-    * re-appending the same segment id is idempotent (identical
-    * content, overwrite). The caller must hand DISTINCT kept-doc rows
-    * (band rows + distinct shingle hashes), exactly what
-    * [[graft.pipeline.Dedup.minhashBands]] / `Dedup.shingles` emit. */
+    * marker lands last, so a crashed appender is invisible.
+    *
+    * Segments are APPEND-ONCE AND IMMUTABLE: if the segment is
+    * already complete this call is a NO-OP (the idempotent-retry
+    * path — a retried batch recomputes identical content by
+    * construction, see [[Dedup.incrementalNearDupBatch]], so there is
+    * nothing to rewrite, and NOT rewriting means a published segment
+    * can never be un-committed by a crashed retry or go invisible to
+    * concurrent readers mid-rewrite). Publishing DIFFERENT content
+    * requires a new segment id. An INCOMPLETE leftover (prior crash
+    * before its marker) is overwritten and completed. The caller must
+    * hand DISTINCT kept-doc rows (band rows + distinct shingle
+    * hashes), exactly what [[graft.pipeline.Dedup.minhashBands]] /
+    * `Dedup.shingles` emit. */
   def appendNearDup(spark: SparkSession, key: String, segment: String,
                     bands: DataFrame, shingles: DataFrame): Unit = {
     val b = base(spark, key)
@@ -158,11 +167,8 @@ object DedupIndex {
     require(fs.exists(new Path(b, "_COMPLETE")),
       s"appendNearDup: base sidecar incomplete at $b")
     val seg = new Path(b, s"seg-$segment")
-    // marker-LAST also on re-append: a stale _COMPLETE left standing
-    // while the segment data is rewritten would mark a half-rewritten
-    // segment valid if the rewriter crashes between the two writes
     val marker = new Path(seg, "_COMPLETE")
-    if (fs.exists(marker)) fs.delete(marker, false)
+    if (fs.exists(marker)) return // complete segments are immutable
     bands.write.mode("overwrite")
       .parquet(new Path(seg, "bands").toString)
     shingles.write.mode("overwrite")
@@ -196,8 +202,21 @@ object DedupIndex {
                          idCol: String, textCol: String,
                          numHashes: Int = 16, bands: Int = 4,
                          excludeSegments: Set[String] = Set.empty)
-      : (DataFrame, DataFrame) = {
-    val key = snapshotKey(spark, corpusPath, variant)
+      : (DataFrame, DataFrame) =
+    loadOrBuildNearDupKeyed(spark, snapshotKey(spark, corpusPath, variant),
+      old, idCol, textCol, numHashes, bands, excludeSegments)
+
+  /** [[loadOrBuildNearDup]] with a PRE-computed key: callers that also
+    * append (the batch loop) compute the snapshot key once and use it
+    * for both load and append — one getContentSummary walk instead of
+    * two, and no load-key/append-key race if the corpus path mutates
+    * between the calls. */
+  def loadOrBuildNearDupKeyed(spark: SparkSession, key: String,
+                              old: => DataFrame,
+                              idCol: String, textCol: String,
+                              numHashes: Int = 16, bands: Int = 4,
+                              excludeSegments: Set[String] = Set.empty)
+      : (DataFrame, DataFrame) =
     loadNearDup(spark, key, excludeSegments).getOrElse {
       val sh = Dedup.shingles(old, idCol, textCol).persist()
       saveNearDup(spark, key, Dedup.minhashBands(sh, numHashes, bands),
@@ -207,7 +226,6 @@ object DedupIndex {
         .getOrElse(throw new IllegalStateException(
           s"near-dup sidecar write failed: $key"))
     }
-  }
 
   /** Generic snapshot-keyed derived-table sidecar (the
     * [[IvfIndex.cellsSidecar]] pattern without the partitioning):

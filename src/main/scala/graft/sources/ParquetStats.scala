@@ -22,14 +22,17 @@ object ParquetStats {
     // whose unseen files hold keys past the pack range. (Partition
     // columns live in directory names, not footers, so longMinMax on
     // one still correctly returns None via its column-not-found path.)
-    // skip hidden/temporary entries (names starting with '_' or '.'):
-    // Spark readers ignore them, so counting e.g. a crashed write's
-    // _temporary/ files would make the footer count diverge from the
-    // logical COUNT(*) the oracles replay (partition dirs like pk=0
-    // are unaffected)
+    // skip hidden/temporary entries, with SPARK'S exact rule
+    // (InMemoryFileIndex): '.'-prefixed always hidden; '_'-prefixed
+    // hidden UNLESS the name contains '=' (a partition dir for a
+    // column named e.g. `_year` is `_year=2020/` and Spark READS it —
+    // filtering it here would under-count in exactly the way this
+    // filter exists to prevent). Counting a crashed write's
+    // _temporary/ files would diverge the footer count from the
+    // logical COUNT(*) the oracles replay.
     def visible(p: Path): Boolean = {
       val n = p.getName
-      !n.startsWith("_") && !n.startsWith(".")
+      !(n.startsWith(".") || (n.startsWith("_") && !n.contains("=")))
     }
     def list(dir: Path): Seq[Path] =
       fs.listStatus(dir).toSeq.flatMap { st =>

@@ -1299,6 +1299,14 @@ class ScaleSpec extends SparkSpec {
       // base(1,2,3) + kept: b1→12, b2→22, b3→(33, and 31/32 are dups)
       assert(ids == Set(1L, 2L, 3L, 12L, 22L, 33L),
         s"index ids after three batches: $ids")
+      // complete segments are IMMUTABLE: appending different content
+      // under an existing id is a no-op (publishing new content needs
+      // a new id), so a crashed retry can never un-commit a segment
+      graft.pipeline.DedupIndex.appendNearDup(spark, key, "b1",
+        graft.pipeline.Dedup.minhashBands(crashSh), crashSh)
+      val ids2 = graft.pipeline.DedupIndex.loadNearDup(spark, key).get
+        ._1.select("id").distinct().collect().map(_.getLong(0)).toSet
+      assert(ids2 == ids, s"complete segment was rewritten: $ids2")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.sharedState.cacheManager.clearCache()
