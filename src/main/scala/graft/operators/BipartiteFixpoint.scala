@@ -43,9 +43,14 @@ object BipartiteFixpoint {
     * `_dist` twins, never a wrapper that would smear the dispatch. */
   val DenseMaxPairs: Long = DenseGraph.DenseMaxPairs
 
-  /** Memoized guard verdicts per (dataset dir, bound) — same contract
-    * as [[GraphEdges]]: a verdict only routes between row-identical
-    * plans, so a stale entry can never change results. */
+  /** Memoized guard verdicts per (corpus SNAPSHOT, bound) — same
+    * result contract as [[GraphEdges]] (a verdict only routes between
+    * row-identical plans, so a stale entry can never change results),
+    * but the key hashes path + length + mtime like the band-mass
+    * probe memo: on a dir whose data grew IN PLACE, a stale ACCEPT
+    * would otherwise re-collect a now-oversized distinct relation to
+    * the driver — a heap risk, not a wrong answer. A snapshot change
+    * is a clean memo miss. */
   private val guardMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
@@ -84,7 +89,8 @@ object BipartiteFixpoint {
     } yield rows <= RawCollectMax &&
       pm._1 >= 0 && pm._2 < (1L << 31) &&
       sm._1 >= 0 && sm._2 < (1L << 32)).getOrElse(false)
-    val key = s"lineitem-bipartite|$d|$maxPairs"
+    val key = "lineitem-bipartite|" + d + "|" +
+      graft.sources.ParquetStats.snapshotToken(s, path) + "|" + maxPairs
     // a memoized REJECT short-circuits both paths: at sfs where the raw
     // relation is collectable but its distinct exceeds the CSR bound,
     // the fast path would otherwise pay the ~raw·8B collect on EVERY

@@ -4,8 +4,6 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.util.sketch.BloomFilter
 
-import scala.util.control.NonFatal
-
 /** Persisted incremental-dedup sidecar: the bounded paragraph-hash
   * Bloom plus the exact (h1, h2) hash index of a kept corpus snapshot.
   *
@@ -56,27 +54,6 @@ object DedupIndex {
     md.digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  /** Total row count of a parquet file/directory from footer metadata —
-    * driver-side reads only, no Spark job. Used to FLOOR crude
-    * byte-based element estimates (a duplicate-heavy corpus compresses
-    * far below the bytes/row a size heuristic assumes). */
-  def parquetRowCount(spark: SparkSession, pathStr: String): Option[Long] =
-    try {
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new Path(pathStr)
-      val fs = p.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet"))
-        else Array(p)
-      Some(files.map { f =>
-        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
-        try rdr.getRecordCount finally rdr.close()
-      }.sum)
-    } catch { case NonFatal(_) => None }
-
   private def base(spark: SparkSession, key: String) =
     new Path(indexDir(spark), key)
 
@@ -122,17 +99,7 @@ object DedupIndex {
     val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(b, "_COMPLETE"))) None
     else {
-      // driver-side listing only — loading stays job-free.
-      // excludeSegments: a batch RETRY must not candidate against its
-      // own prior segment (it would report every prior survivor as a
-      // near-dup of itself and then fold in nothing).
-      val segs = fs.listStatus(b).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("seg-") &&
-          !excludeSegments(st.getPath.getName.stripPrefix("seg-")) &&
-          fs.exists(new Path(st.getPath, "_COMPLETE")))
-        .map(_.getPath).sortBy(_.getName)
-      val roots = b +: segs
+      val roots = nearDupRoots(fs, b, excludeSegments)
       Some((
         spark.read.schema("id BIGINT, band INT, key BIGINT")
           .parquet(roots.map(r => new Path(r, "bands").toString): _*),
@@ -141,12 +108,144 @@ object DedupIndex {
     }
   }
 
+  /** The effective read roots of a near-dup sidecar: the newest
+    * usable compaction generation (or the original base), plus every
+    * complete segment it does not cover. Driver-side listing only —
+    * loading stays job-free.
+    *
+    * excludeSegments: a batch RETRY must not candidate against its
+    * own prior segment (it would report every prior survivor as a
+    * near-dup of itself and then fold in nothing) — so a compaction
+    * generation that already FOLDED an excluded segment is unusable
+    * for that reader and selection falls back to an older generation
+    * (ultimately the never-deleted base). In the single-orchestrator
+    * batch contract this cannot happen (compaction runs between
+    * batches, a batch only excludes its own id), but the fallback
+    * makes the retry semantics hold even if it does. */
+  private def nearDupRoots(fs: org.apache.hadoop.fs.FileSystem, b: Path,
+                           excludeSegments: Set[String]): Seq[Path] = {
+    val entries = fs.listStatus(b).toSeq.filter(_.isDirectory)
+    def complete(p: Path): Boolean = fs.exists(new Path(p, "_COMPLETE"))
+    val segs = entries
+      .filter(st => st.getPath.getName.startsWith("seg-") &&
+        complete(st.getPath))
+      .map(_.getPath).sortBy(_.getName)
+    val compacts = entries
+      .filter(st => st.getPath.getName.startsWith("compact-") &&
+        complete(st.getPath))
+      .map(_.getPath)
+      .sortBy(_.getName)(Ordering[String].reverse) // newest gen first
+    val chosen = compacts.iterator
+      .map(p => (p, readCovered(fs, p)))
+      .find { case (_, covered) =>
+        covered.intersect(excludeSegments).isEmpty }
+    chosen match {
+      case Some((cp, covered)) =>
+        cp +: segs.filter(p => {
+          val n = p.getName.stripPrefix("seg-")
+          !covered(n) && !excludeSegments(n)
+        })
+      case None =>
+        b +: segs.filter(p =>
+          !excludeSegments(p.getName.stripPrefix("seg-")))
+    }
+  }
+
+  /** Segment names folded into a compaction generation (its
+    * `_COVERED` manifest, one name per line). */
+  private def readCovered(fs: org.apache.hadoop.fs.FileSystem,
+                          compactDir: Path): Set[String] = {
+    val in = fs.open(new Path(compactDir, "_COVERED"))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
+  /** Fold the base (or newest compaction) plus every complete segment
+    * into ONE new compaction generation — the maintenance step of the
+    * every-snapshot loop. Without it the CCNet batch cadence appends
+    * one `seg-*` directory forever and the union read degrades into
+    * thousands of tiny parquet files behind a long driver listing;
+    * after it, [[loadNearDup]] reads ONE root (plus any segments
+    * appended after the fold started).
+    *
+    * Protocol mirrors [[appendNearDup]]: the generation is built —
+    * `_COVERED` manifest and marker included — under a hidden
+    * `_stage-*` name and published by a single rename, so readers
+    * never see a partial generation and a crashed compactor is
+    * invisible. Everything it folds stays immutable on disk: a reader
+    * that listed the sidecar a moment earlier keeps reading the old
+    * base + segments unharmed. Set `pruneCovered` to delete the
+    * folded segments and superseded generations AFTER the publish —
+    * only safe once no concurrent reader can still hold the old
+    * listing (the single-orchestrator batch loop between batches).
+    *
+    * Returns the number of segments folded; 0 = nothing to do (no
+    * complete segments beyond the current generation). */
+  def compactNearDup(spark: SparkSession, key: String,
+                     pruneCovered: Boolean = false): Int = {
+    val b = base(spark, key)
+    val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new Path(b, "_COMPLETE")),
+      s"compactNearDup: base sidecar incomplete at $b")
+    val entries = fs.listStatus(b).toSeq.filter(_.isDirectory)
+    def complete(p: Path): Boolean = fs.exists(new Path(p, "_COMPLETE"))
+    val segs = entries
+      .filter(st => st.getPath.getName.startsWith("seg-") &&
+        complete(st.getPath))
+      .map(_.getPath).sortBy(_.getName)
+    val compacts = entries
+      .filter(st => st.getPath.getName.startsWith("compact-") &&
+        complete(st.getPath))
+      .map(_.getPath).sortBy(_.getName)
+    val prevGen = compacts.lastOption
+    val prevCovered = prevGen.map(readCovered(fs, _)).getOrElse(Set.empty)
+    val fold = segs.filter(p => !prevCovered(p.getName.stripPrefix("seg-")))
+    if (fold.isEmpty) return 0
+    val gen = prevGen
+      .map(_.getName.stripPrefix("compact-").toLong + 1).getOrElse(1L)
+    val roots = prevGen.getOrElse(b) +: fold
+    val tmp = new Path(b, s"_stage-compact-${java.util.UUID.randomUUID}")
+    spark.read.schema("id BIGINT, band INT, key BIGINT")
+      .parquet(roots.map(r => new Path(r, "bands").toString): _*)
+      .write.mode("overwrite").parquet(new Path(tmp, "bands").toString)
+    spark.read.schema("id BIGINT, s BIGINT")
+      .parquet(roots.map(r => new Path(r, "shingles").toString): _*)
+      .write.mode("overwrite").parquet(new Path(tmp, "shingles").toString)
+    val covered = prevCovered ++ fold.map(_.getName.stripPrefix("seg-"))
+    val out = fs.create(new Path(tmp, "_COVERED"), true)
+    try out.write(covered.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.create(new Path(tmp, "_COMPLETE"), true).close()
+    val dst = new Path(b, f"compact-$gen%06d")
+    if (!fs.rename(tmp, dst)) {
+      val raced = fs.exists(new Path(dst, "_COMPLETE"))
+      fs.delete(tmp, true)
+      require(raced, s"compactNearDup: could not publish $dst")
+      return 0 // a concurrent compactor published this generation
+    }
+    if (pruneCovered) {
+      // everything the published generation supersedes: every segment
+      // it covers (whether folded now or by an earlier generation),
+      // all earlier generations, and crashed staging leftovers
+      segs.filter(p => covered(p.getName.stripPrefix("seg-")))
+        .foreach(fs.delete(_, true))
+      (compacts ++ entries.map(_.getPath)
+          .filter(_.getName.startsWith("_stage-")))
+        .foreach(fs.delete(_, true))
+    }
+    fold.size
+  }
+
   /** Fold one kept batch into an existing near-dup sidecar as a
     * self-contained SEGMENT (`seg-<id>/{bands,shingles,_COMPLETE}`):
     * batch N+2 then candidates against old ∪ kept(N+1) ∪ … with still
     * zero old-corpus rescans — the append half of the CCNet loop.
-    * Same crash-safety protocol as [[saveNearDup]]: the segment's
-    * marker lands last, so a crashed appender is invisible.
+    * Crash-safe AND race-safe: the segment is staged under a hidden
+    * `_stage-*` name (marker written inside the staging dir) and
+    * published by a single rename — a crashed appender leaves only an
+    * invisible staging dir, and concurrent appenders of the same
+    * segment never expose partial content under the published name.
     *
     * Segments are APPEND-ONCE AND IMMUTABLE: if the segment is
     * already complete this call is a NO-OP (the idempotent-retry
@@ -167,13 +266,38 @@ object DedupIndex {
     require(fs.exists(new Path(b, "_COMPLETE")),
       s"appendNearDup: base sidecar incomplete at $b")
     val seg = new Path(b, s"seg-$segment")
-    val marker = new Path(seg, "_COMPLETE")
-    if (fs.exists(marker)) return // complete segments are immutable
-    bands.write.mode("overwrite")
-      .parquet(new Path(seg, "bands").toString)
+    if (fs.exists(new Path(seg, "_COMPLETE")))
+      return // complete segments are immutable
+    // ATOMIC PUBLISH: build the whole segment — marker included —
+    // under a staging name ('_'-prefixed: hidden to readers AND to
+    // [[loadNearDup]]'s seg- filter), then one rename drops it into
+    // place. Two concurrent appenders of the same still-incomplete
+    // segment therefore never interleave partial writes under the
+    // published name: each stages privately, the first rename wins,
+    // and the loser sees the winner's complete segment and discards
+    // its own staging dir (identical content by the retry contract).
+    // A visible seg- dir without a marker can only be a pre-rename-
+    // protocol crash leftover; it is invisible to readers and safely
+    // replaced here.
+    val tmp = new Path(b, s"_stage-$segment-${java.util.UUID.randomUUID}")
+    bands.write.mode("overwrite").parquet(new Path(tmp, "bands").toString)
     shingles.write.mode("overwrite")
-      .parquet(new Path(seg, "shingles").toString)
-    fs.create(marker, true).close()
+      .parquet(new Path(tmp, "shingles").toString)
+    fs.create(new Path(tmp, "_COMPLETE"), true).close()
+    if (fs.exists(seg)) {
+      if (fs.exists(new Path(seg, "_COMPLETE"))) { // lost the race
+        fs.delete(tmp, true)
+        return
+      }
+      fs.delete(seg, true) // markerless crash leftover
+    }
+    if (!fs.rename(tmp, seg)) {
+      // rename refused: a concurrent appender published first — valid
+      // only if its segment is complete (identical content)
+      val ok = fs.exists(new Path(seg, "_COMPLETE"))
+      fs.delete(tmp, true)
+      require(ok, s"appendNearDup: could not publish segment at $seg")
+    }
   }
 
   /** Write band index + shingle-hash table, marker last (crash-safe,

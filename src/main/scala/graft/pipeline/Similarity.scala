@@ -33,7 +33,8 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: component (j,i) =
-    * (splitmix64(j·dim + i) mod 1001) / 1000 ∈ (-1, 1). Integer-exact
+    * (splitmix64(j·dim + i) mod 1001) / 1000 ∈ [-1, 1] (Java's signed
+    * remainder spans [-1000, 1000], endpoints included). Integer-exact
     * and engine-independent (the SQL mirrors embed the values as
     * literals). The mixer matters: the previous linear-congruence
     * formula ((1009j + 9176i) % 2001) left the planes MASSIVELY

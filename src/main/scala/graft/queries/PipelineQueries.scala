@@ -2509,8 +2509,8 @@ object PipelineQueries {
     val docPath = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
     val docBytes = docPath.getFileSystem(s.sessionState.newHadoopConf())
       .getContentSummary(docPath).getLength
-    val rowFloor = graft.pipeline.DedupIndex
-      .parquetRowCount(s, s"$d/documents.parquet").getOrElse(0L) * 3 / 4
+    val rowFloor = graft.sources.ParquetStats
+      .rowCount(s, s"$d/documents.parquet").getOrElse(0L) * 3 / 4
     val estOldParas = math.max(math.max(docBytes / 40L, rowFloor), 1024L)
     // Snapshot sidecar (round-9 "Missing #4"): the first batch over a
     // corpus snapshot builds bloom + exact hash index and persists
@@ -4705,7 +4705,8 @@ object PipelineQueries {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     // two-axis dense guard inside trianglesDense — see graphLinkPredict
     graft.operators.DenseGraph.trianglesDense(s, proj,
-        memoKey = Some(s"lineitem-densegraph|$d"),
+        memoKey = Some("lineitem-densegraph|" + d + "|" +
+          graft.sources.ParquetStats.snapshotToken(s, s"$d/lineitem.parquet")),
         footer = Some((s"$d/lineitem.parquet", "l_orderkey", "l_partkey")))
       .getOrElse(graphTrianglesDistributed(s, d))
   }
@@ -4720,7 +4721,8 @@ object PipelineQueries {
     val op = raw.distinct()
     val (opPairs, probed) =
       graft.operators.GraphEdges.coPurchasePairs(op, raw,
-        memoKey = Some(s"lineitem-copurchase|$d"))
+        memoKey = Some("lineitem-copurchase|" + d + "|" +
+          graft.sources.ParquetStats.snapshotToken(s, s"$d/lineitem.parquet")))
     val e = opPairs.select(col("a"), col("b"))
       .distinct().persist()
     val deg = e.select(col("a").as("v"))
@@ -4828,7 +4830,8 @@ object PipelineQueries {
     val proj = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     graft.operators.DenseGraph.communitiesDense(s, proj,
-        memoKey = Some(s"lineitem-densegraph|$d"),
+        memoKey = Some("lineitem-densegraph|" + d + "|" +
+          graft.sources.ParquetStats.snapshotToken(s, s"$d/lineitem.parquet")),
         footer = Some((s"$d/lineitem.parquet", "l_orderkey", "l_partkey")))
       .getOrElse(graphCommunitiesDistributed(s, d))
   }
@@ -4839,7 +4842,8 @@ object PipelineQueries {
     val op = raw.distinct()
     val (opPairs, probed) =
       graft.operators.GraphEdges.coPurchasePairs(op, raw,
-        memoKey = Some(s"lineitem-copurchase|$d"))
+        memoKey = Some("lineitem-copurchase|" + d + "|" +
+          graft.sources.ParquetStats.snapshotToken(s, s"$d/lineitem.parquet")))
     val e = opPairs.select(col("a"), col("b")).distinct()
     val edges = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
@@ -4915,7 +4919,8 @@ object PipelineQueries {
     val proj = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     graft.operators.DenseGraph.assocRulesDense(s, proj,
-        memoKey = Some(s"lineitem-densegraph|$d"),
+        memoKey = Some("lineitem-densegraph|" + d + "|" +
+          graft.sources.ParquetStats.snapshotToken(s, s"$d/lineitem.parquet")),
         footer = Some((s"$d/lineitem.parquet", "l_orderkey", "l_partkey")))
       .getOrElse(assocRulesDistributed(s, d))
   }
@@ -4931,7 +4936,8 @@ object PipelineQueries {
     // the per-pair count is the co-purchase order count as before
     val (opPairs, probed) =
       graft.operators.GraphEdges.coPurchasePairs(op, raw,
-        memoKey = Some(s"lineitem-copurchase|$d"))
+        memoKey = Some("lineitem-copurchase|" + d + "|" +
+          graft.sources.ParquetStats.snapshotToken(s, s"$d/lineitem.parquet")))
     val pairs = opPairs
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))

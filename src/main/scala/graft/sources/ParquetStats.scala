@@ -34,12 +34,20 @@ object ParquetStats {
       val n = p.getName
       !(n.startsWith(".") || (n.startsWith("_") && !n.contains("=")))
     }
+    // No extension filter: Spark's InMemoryFileIndex treats EVERY
+    // visible file as a data file, so an externally produced layout
+    // with extensionless part files must count here too — an
+    // extension filter would under-count it and flip dispatch guards
+    // relative to the oracle's COUNT(*). A visible non-parquet stray
+    // makes the footer open below throw, and the caller's catch
+    // reports None ("unknown") — the same layout makes Spark's own
+    // parquet scan fail, so falling back to a live probe (which then
+    // fails loudly) is the honest behavior, never a silent skip.
     def list(dir: Path): Seq[Path] =
       fs.listStatus(dir).toSeq.flatMap { st =>
         if (!visible(st.getPath)) Seq.empty
         else if (st.isDirectory) list(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
-        else Seq.empty
+        else Seq(st.getPath)
       }
     val files =
       if (fs.getFileStatus(p).isDirectory) list(p)
@@ -50,6 +58,20 @@ object ParquetStats {
       try rdr.getFooter finally rdr.close()
     }
   }
+
+  /** Snapshot token for guard-memo keys: total length + mtime of the
+    * file/dir (driver metadata only, no job, no footer reads). Memo
+    * entries keyed with this can never ride a stale verdict onto a
+    * corpus that grew in place — the token changes, the memo misses.
+    * Unreadable paths token as "nosnap" (the subsequent scan fails
+    * loudly anyway, so a collision there routes nothing). */
+  def snapshotToken(spark: SparkSession, pathStr: String): String =
+    try {
+      val p = new Path(pathStr)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val cs = fs.getContentSummary(p)
+      s"${cs.getLength}|${fs.getFileStatus(p).getModificationTime}"
+    } catch { case _: Exception => "nosnap" }
 
   /** Total rows from footers; None on any read failure. */
   def rowCount(spark: SparkSession, pathStr: String): Option[Long] =

@@ -1316,6 +1316,87 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("near-dup sidecar compaction folds segments into one root and " +
+      "the snapshot chain survives it") {
+    // Round-15 verdict ask #4: the CCNet loop appends one seg-* dir
+    // per batch forever; compactNearDup folds base + complete
+    // segments into ONE compaction generation (staged + renamed, old
+    // dirs immutable until an explicit prune) so the union read stays
+    // a short driver listing at production batch cadence.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndcmp").toString
+    spark.conf.set("spark.graft.dedup.indexDir", dir)
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_ndcmpc").toString
+    try {
+      def doc(id: Long, seed: Long): (Long, String) =
+        (id, (0 until 30).map(k => s"w${seed * 100 + k}").mkString(" "))
+      Seq(doc(1, 1), doc(2, 2), doc(3, 3)).toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$corpus/old.parquet")
+      val oldDf = spark.read.parquet(s"$corpus/old.parquet")
+      def run(batch: Seq[(Long, String)], id: String) =
+        graft.pipeline.Dedup.incrementalNearDupBatch(spark,
+          s"$corpus/old.parquet", "nd-compact-test", oldDf,
+          batch.toDF("doc_id", "text"), "doc_id", "text", id,
+          threshold = 0.5).collect()
+      run(Seq(doc(11, 2), doc(12, 12)), "b1") // 12 kept
+      run(Seq(doc(21, 12), doc(22, 22)), "b2") // 22 kept
+      run(Seq(doc(31, 31)), "b3") // 31 kept
+      val key = graft.pipeline.DedupIndex.snapshotKey(spark,
+        s"$corpus/old.parquet", "nd-compact-test")
+      def indexIds: Set[Long] = graft.pipeline.DedupIndex
+        .loadNearDup(spark, key).get._1
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+      val before = indexIds
+      assert(before == Set(1L, 2L, 3L, 12L, 22L, 31L), s"pre: $before")
+      // fold the three segments
+      assert(graft.pipeline.DedupIndex.compactNearDup(spark, key) == 3)
+      assert(indexIds == before, "compaction changed the index content")
+      // the read now has ONE root: the compaction generation — not
+      // the base, not the segments
+      val (bandsDf, _) = graft.pipeline.DedupIndex
+        .loadNearDup(spark, key).get
+      val inputs = bandsDf.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources
+            .LogicalRelation =>
+          r.relation.asInstanceOf[org.apache.spark.sql.execution
+            .datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toString)
+      }.flatten
+      assert(inputs.exists(_.contains("compact-000001")), s"$inputs")
+      assert(!inputs.exists(_.contains("seg-b1")), s"$inputs")
+      // idempotent: nothing new to fold
+      assert(graft.pipeline.DedupIndex.compactNearDup(spark, key) == 0)
+      // the chain continues across the fold: batch 4 dups batch-2's
+      // survivor (22, lives only inside the compacted generation) and
+      // keeps doc 42, appended as a fresh post-compaction segment
+      val p4 = run(Seq(doc(41, 22), doc(42, 42)), "b4")
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p4 == Set((41L, 22L)), s"post-compaction batch: $p4")
+      assert(indexIds == before + 42L)
+      // a retry of batch 4 must not see its own segment: with seg-b4
+      // excluded the roots are the generation alone — same pairs
+      val p4r = run(Seq(doc(41, 22), doc(42, 42)), "b4")
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p4r == p4, s"batch-4 retry diverged: $p4r")
+      // second fold picks up only the new segment, then prune drops
+      // the covered dirs; content is unchanged
+      assert(graft.pipeline.DedupIndex
+        .compactNearDup(spark, key, pruneCovered = true) == 1)
+      assert(indexIds == before + 42L, "prune changed the index content")
+      val names = new java.io.File(dir, key).listFiles()
+        .map(_.getName).toSet
+      assert(!names.exists(_.startsWith("seg-")), s"$names")
+      assert(names("compact-000002") && !names("compact-000001"),
+        s"$names")
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+      spark.conf.unset("spark.graft.dedup.indexDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpus))
+    }
+  }
+
   test("cellsSidecar crash-safety: a partial write without _COMPLETE " +
       "is invisible and rebuilds cleanly") {
     // The marker-last contract: a writer that died after the parquet
