@@ -142,11 +142,20 @@ object Bench {
       .map { case (k, ts, _) =>
         "\"" + k + "\":{\"min\":" + ts.min + ",\"median\":" + median(ts) + "}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"means":$means,"medians":$medians,"runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_flagged":$loadFlag,"load_gate_waited_sec":$waitedSec,"failed":$failed,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"means":$means,"medians":$medians,"runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_flagged":$loadFlag,"load_gate_waited_sec":$waitedSec,"failed":$failed,"sf":"$sfDir"}"""
+    println(fullLine)
     // BENCH_r04's tail capture truncated the line above and destroyed
     // the total. Repeat the headline figures in a second, short line so
     // they survive any tail-only capture of stdout.
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_flagged":$loadFlag,"load_gate_waited_sec":$waitedSec,"slowest":$slowest,"failed":$failed,"sf":"$sfDir","summary":true}""")
+    // First-class artifact path: the FULL record (per-query map
+    // included) goes straight to a file, so the auditable per-query
+    // evidence never depends on how stdout was captured
+    // (BENCH_r15_local.json was summary-only for exactly that reason).
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { f =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+        fullLine + "\n")
+    }
     spark.stop()
   }
 }

@@ -176,6 +176,42 @@ object IvfIndex {
     }
   }
 
+  /** Session-scoped (per-JVM) reuse of the cell ASSIGNMENT across the
+    * queries that consume the same corpus snapshot in one session
+    * (dedup_semantic / knn_classify / hard_negatives each rebuilt the
+    * identical assignment in-flight — the multi-job sample + count +
+    * population-resplit plan, ~1 s of scheduling latency apiece).
+    * The first call builds [[withCells]] and pins the tiny (id, cell)
+    * table with an EAGER localCheckpoint: the blocks live at RDD
+    * level, outside the SQL cache, so an operator's own
+    * `catalog.clearCache()` hygiene cannot silently drop them, and
+    * the table is ~16 B/row — MBs even at millions of vectors. Later
+    * calls broadcast-join the pinned assignment back to the caller's
+    * projection: one map-side hash join instead of four jobs.
+    *
+    * This is deliberately NOT the persisted [[cellsSidecar]]: it dies
+    * with the JVM, so a fresh session still measures (and a fresh
+    * cluster still pays) one in-flight build per snapshot — the
+    * serving shape across PROCESSES stays the sidecar's job. Keyed by
+    * [[DedupIndex.snapshotKey]] (path + length + mtime + version), so
+    * a corpus change is a clean miss, never a stale assignment. */
+  private val sessionAssign = new java.util.concurrent
+    .ConcurrentHashMap[String, DataFrame]()
+
+  def withCellsSession(spark: org.apache.spark.sql.SparkSession,
+                       corpusPath: String, df: DataFrame,
+                       idCol: String, vecCol: String): DataFrame = {
+    val key = DedupIndex.snapshotKey(spark, corpusPath,
+      s"ivf-session|$idCol|$vecCol")
+    val assign = sessionAssign.computeIfAbsent(key, _ =>
+      withCells(df, idCol, vecCol)
+        .select(col(idCol).cast("long").as("ivf_sess_id"), col("cell"))
+        .localCheckpoint(true))
+    df.join(broadcast(assign),
+        df(idCol).cast("long") === assign("ivf_sess_id"))
+      .drop("ivf_sess_id")
+  }
+
   // ------------------------------------------------------- SQL mirror
 
   private def dotSql(a: String, b: String): String =

@@ -348,7 +348,10 @@ object AnalyticsQueries {
     * n·cellPop at any corpus size. Vote ties break toward the smaller
     * label; `correct` compares against the held-out true label. */
   def knnClassify(s: SparkSession, d: String): DataFrame = {
-    val base = graft.pipeline.IvfIndex.withCells(
+    // session-scoped assignment reuse: same cells as dedup_semantic /
+    // hard_negatives, built once per corpus snapshot per JVM
+    val base = graft.pipeline.IvfIndex.withCellsSession(
+      s, s"$d/embeddings.parquet",
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
         col("label"),
         graft.functions.VecF.normF(col("embedding")).as("norm")),
@@ -873,7 +876,10 @@ object AnalyticsQueries {
     * WindowGroupLimit partial top-k. Anchors are ids < 20 (the same
     * probe set sim_ann_ivf uses). */
   def hardNegatives(s: SparkSession, d: String): DataFrame = {
-    val base = graft.pipeline.IvfIndex.withCells(
+    // session-scoped assignment reuse: same cells as dedup_semantic /
+    // knn_classify, built once per corpus snapshot per JVM
+    val base = graft.pipeline.IvfIndex.withCellsSession(
+      s, s"$d/embeddings.parquet",
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
         col("label"),
         graft.functions.VecF.normF(col("embedding")).as("norm")),

@@ -191,7 +191,11 @@ object PipelineQueries {
         maxHamming = 1)
       .orderBy("id_a", "id_b")
 
-  val dedupSimhashSql: String = {
+  /** `sigs` CTE: per-doc 32-bit SimHash, the SQL mirror of
+    * [[graft.pipeline.Dedup.simhash]] (bit j set iff the ±1 vote fold
+    * over token-hash bit j is positive) — shared by the pair query
+    * and the clusters query. */
+  private def simhashSigsCte: String = {
     // bit j sum: fold ±1 per token by bit j of its hash
     val bitSums = (0 until 32).map { j =>
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -202,15 +206,97 @@ object PipelineQueries {
     val sig = (0 until 32).map(j =>
       s"(CASE WHEN ${bitSums(j)} > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
-    s"""
+    s"sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM th)"
+  }
+
+  val dedupSimhashSql: String = s"""
     WITH $thCte,
-    sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM th)
+    $simhashSigsCte
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sig, b.sig)) <= 1
     ORDER BY id_a, id_b"""
+
+  /** The at-scale OUTPUT SHAPE for SimHash dedup: one row per near-dup
+    * CLUSTER (connected components of the hamming ≤ 1 pair graph),
+    * not one row per pair. On a concentrated corpus the pair LIST is
+    * quadratic in the duplicate-group sizes — dedup_simhash at the
+    * sf1 decade emits 37.6M true pairs, and at 100× the emission
+    * itself is the outage even though candidate generation stays
+    * banded — while the cluster surface is what a curation pipeline
+    * actually consumes (keep one representative per cluster, drop
+    * n_members − 1 docs).
+    *
+    * The engine shape makes it SUB-QUADRATIC EVERYWHERE, not just on
+    * output: docs collapse to their distinct signature first (one
+    * scan + one ~|distinct sigs| shuffle), the hamming ≤ 1 edges are
+    * found between DISTINCT SIGNATURES via the same two-band
+    * pigeonhole as [[graft.pipeline.Dedup.simhashPairs]], components
+    * run on the signature graph (nodes = distinct sigs, tiny), and
+    * membership counts come from the per-signature group sizes — no
+    * doc-level pair is ever materialized. Output: (representative =
+    * min doc_id of the cluster, n_members), clusters of size ≥ 2. */
+  def dedupSimhashClusters(s: SparkSession, d: String): DataFrame = {
+    val sigs = graft.pipeline.Dedup
+      .simhash(Tables.documents(s, d), "doc_id", "text")
+    val groups = sigs.groupBy(col("simhash").as("sig"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_doc"))
+      .persist()
+    // hamming ≤ 1 ⇒ one 16-bit half is bit-identical (pigeonhole):
+    // equality joins on (band, half), exact popcount verify after
+    val banded = groups.select(col("sig"), explode(array(
+        struct(lit(0).as("band"),
+          col("sig").bitwiseAND(lit(0xffffL)).as("key")),
+        struct(lit(1).as("band"),
+          shiftright(col("sig"), 16).bitwiseAND(lit(0xffffL)).as("key"))))
+        .as("bk"))
+      .select(col("sig"), col("bk.band"), col("bk.key"))
+    val sigPairs = banded.toDF("id_a", "band", "key")
+      .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(expr("id_a ^ id_b")) <= 1)
+      .select("id_a", "id_b").distinct()
+    val comp = graft.pipeline.Dedup.clusterPairs(sigPairs)
+      .toDF("sig", "comp")
+    val out = groups.join(comp, Seq("sig"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("sig")))
+      .groupBy("comp")
+      .agg(sum(col("n")).as("n_members"), min(col("min_doc")).as("representative"))
+      .filter(col("n_members") >= 2)
+      .select(col("representative"), col("n_members"))
+      .orderBy("representative")
+    graft.pipeline.Caching.materializeAndRelease(out, groups)
   }
+
+  val dedupSimhashClustersSql: String = s"""
+    WITH $thCte,
+    $simhashSigsCte,
+    groups AS (SELECT sig, COUNT(*) AS n, MIN(doc_id) AS min_doc
+      FROM sigs GROUP BY sig),
+    spairs AS (SELECT a.sig AS sa, b.sig AS sb
+      FROM groups a JOIN groups b
+      ON a.sig < b.sig AND bit_count(xor(a.sig, b.sig)) <= 1),
+    edges AS (SELECT sa AS src, sb AS dst FROM spairs
+      UNION ALL SELECT sb, sa FROM spairs),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+      SELECT a, b FROM r),
+    comp AS (SELECT id AS sig, MIN(lbl) AS comp FROM (
+        SELECT src AS id, src AS lbl FROM edges
+        UNION ALL SELECT a, b FROM reach)
+      GROUP BY id),
+    labeled AS (SELECT g.sig, g.n, g.min_doc,
+        COALESCE(c.comp, g.sig) AS comp
+      FROM groups g LEFT JOIN comp c ON g.sig = c.sig),
+    clusters AS (SELECT comp, CAST(SUM(n) AS BIGINT) AS n_members,
+        MIN(min_doc) AS representative
+      FROM labeled GROUP BY comp)
+    SELECT representative, n_members FROM clusters
+    WHERE n_members >= 2 ORDER BY representative"""
 
   /** Near-dup clusters: connected components over the Jaccard pair
     * graph (what a dedup pipeline keeps: one representative per
@@ -571,10 +657,11 @@ object PipelineQueries {
     * on `cell` is one shuffle. */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
     // persisted: both sides of the within-cell self-join consume the
-    // IVF assignment, which is itself a multi-pass plan (sample scan,
-    // population count, re-split join) — without the cache it runs once
-    // per side
-    val base = graft.pipeline.IvfIndex.withCells(
+    // assignment join, which would otherwise run once per side; the
+    // assignment itself rides the session-scoped per-snapshot cache
+    // (shared with knn_classify / hard_negatives)
+    val base = graft.pipeline.IvfIndex.withCellsSession(
+      s, s"$d/embeddings.parquet",
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
         graft.functions.VecF.normF(col("embedding")).as("norm")),
       "vec_id", "embedding").persist()
@@ -5461,6 +5548,8 @@ object PipelineQueries {
     QuerySpec("lsh_recall_eval", lshRecallEval, Some(lshRecallEvalSql)),
     QuerySpec("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QuerySpec("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    QuerySpec("dedup_simhash_clusters", dedupSimhashClusters,
+      Some(dedupSimhashClustersSql)),
     QuerySpec("dedup_emb_cosine", dedupEmbCosine, Some(dedupEmbCosineSql)),
     // the un-dispatched route twins — keep BOTH candidate plans
     // oracle-checked at every SF regardless of where the wrapper's

@@ -28,7 +28,9 @@ class CachingSpec extends SparkSpec {
     // round-12: the duplicated-span table behind the corpus cut, and
     // the suffix-rank pipeline (RDD-level caches only — the assert
     // below also proves it leaves no cacheManager entries)
-    "dedup_substring_cut", "substring_repeat_profile")
+    "dedup_substring_cut", "substring_repeat_profile",
+    // round-16: the signature-group table behind the cluster surface
+    "dedup_simhash_clusters")
 
   for (name <- pipelineQueries)
     test(s"$name leaves no cached blocks behind") {

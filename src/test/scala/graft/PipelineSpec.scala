@@ -240,6 +240,28 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((0L, 4L)))
   }
 
+  test("dedup_simhash_clusters == clustering the doc-level pair " +
+      "stream (the sig-graph shortcut loses nothing)") {
+    // The cluster surface never materializes a doc pair: components
+    // run over DISTINCT signatures, membership comes from group
+    // sizes. Equivalence to clustering the emitted hamming ≤ 1 pair
+    // stream is exactly what makes it the at-scale output shape.
+    import org.apache.spark.sql.functions._
+    val d = sf("sf0.01")
+    val viaPairs = Dedup.clusterPairs(
+        Dedup.simhashPairs(Tables.documents(spark, d), "doc_id", "text",
+          maxHamming = 1))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster").as("representative"), col("n_members"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaSigs = graft.queries.PipelineQueries
+      .dedupSimhashClusters(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSigs == viaPairs)
+    assert(viaSigs.nonEmpty)
+  }
+
   test("simhash kernel == the exploded ±1-sum aggregate semantics " +
       "on seeded random corpora (incl. empty tokens, repeats)") {
     // the round-14 one-pass kernel replaced a 32-conditional-sum

@@ -1397,6 +1397,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("IVF ranking windows keep a PARTIAL WindowGroupLimit (map-side " +
+      "top-k) in their physical plans") {
+    // The hot IVF queries depend on Spark's InferWindowGroupLimit
+    // planning the row_number()+filter as a partial (pre-exchange)
+    // group limit, so the ranking shuffle carries ≤ k rows per query
+    // key instead of every candidate pair (docs/PLANS.md pins the
+    // shape). A Spark upgrade or query refactor that silently dropped
+    // it would turn the rank stage back into a full-candidate
+    // exchange at 100 TB — assert it like the Q6 PushedFilters test.
+    val dir = java.nio.file.Files.createTempDirectory("graft_wgl").toString
+    spark.conf.set("spark.graft.dedup.indexDir", dir)
+    val d = sf("sf0.001")
+    try {
+      for (name <- Seq("knn_classify", "hard_negatives",
+          "bitext_mine_ivf")) {
+        // lazy-plan mode: materializeAndRelease otherwise collapses
+        // the bitext plan to a Scan ExistingRDD before inspection
+        graft.pipeline.Caching.inspectLazyPlans = true
+        val q = try SparkEntry.specs.find(_.name == name).get.run(spark, d)
+          finally { graft.pipeline.Caching.inspectLazyPlans = false }
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("WindowGroupLimit"),
+          s"$name lost its WindowGroupLimit:\n" + plan.take(1500))
+        assert(plan.contains("Partial"),
+          s"$name's WindowGroupLimit is not partial (map-side):\n" +
+            plan.take(1500))
+      }
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+      spark.conf.unset("spark.graft.dedup.indexDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("cellsSidecar crash-safety: a partial write without _COMPLETE " +
       "is invisible and rebuilds cleanly") {
     // The marker-last contract: a writer that died after the parquet
