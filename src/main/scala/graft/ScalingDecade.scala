@@ -80,6 +80,11 @@ object ScalingDecade {
     "pipeline_curate", "ivf_recall_eval",
     "ngram_novelty", "knn_classify", "hard_negatives",
     "dedup_simhash", "dedup_keep_best",
+    // round-16: the cluster-shaped SimHash surface — the documented
+    // at-scale output (dedup_simhash's 37.6M-pair decade emission is
+    // the outage this row exists to avoid); its decade ratio measures
+    // the signature-graph path, whose output is per-cluster
+    "dedup_simhash_clusters",
     // round-15: bitext_mine became a dispatched wrapper (Hamming ≤
     // 4096 corpus rows, IVF-celled above) whose boundary sits between
     // sf0.1 (2k) and sf1 (20k) — so the panel measures the forced
@@ -136,6 +141,14 @@ object ScalingDecade {
       "join and a per-cluster argmax over the clustered subset, so " +
       "its ratio tracks the pair stream and sits below both " +
       "components"),
+    "dedup_semantic" -> ("same class as dedup_emb_cosine's annotated " +
+      "residue: pair WORK is O(n*cellPop) - linear - but the decade " +
+      "corpus is replica-heavy, so true cos>=0.35 pairs (and the " +
+      "cluster/member OUTPUT built from them) grow ~90x/decade, and " +
+      "the row includes the per-JVM cell-assignment build plus the " +
+      "label-propagation rounds over the denser pair graph; the " +
+      "warm-assignment serving shape is measured by " +
+      "sim_ann_ivf_persisted / bitext_mine_ivf"),
     "dedup_jaccard" -> ("density-bound: the inverted-index join is " +
       "Sigma df^2 and the decade corpus raises shingle document " +
       "frequency superlinearly (permuted replicas share vocabulary); " +
