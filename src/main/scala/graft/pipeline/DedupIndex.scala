@@ -224,6 +224,11 @@ object DedupIndex {
       require(raced, s"compactNearDup: could not publish $dst")
       return 0 // a concurrent compactor published this generation
     }
+    // Hadoop rename-into-existing-dir heal (see appendNearDup): if a
+    // concurrent compactor published this generation first, our tmp
+    // may have landed NESTED inside it — treat as the raced case
+    val nested = new Path(dst, tmp.getName)
+    if (fs.exists(nested)) { fs.delete(nested, true); return 0 }
     if (pruneCovered) {
       // everything the published generation supersedes: every segment
       // it covers (whether folded now or by an earlier generation),
@@ -298,6 +303,14 @@ object DedupIndex {
       fs.delete(tmp, true)
       require(ok, s"appendNearDup: could not publish segment at $seg")
     }
+    // Hadoop rename semantics heal: if a concurrent appender published
+    // `seg` between our exists check and the rename, some FileSystems
+    // move `tmp` INSIDE the existing dir instead of refusing. The
+    // published (identical) content is untouched and the nested
+    // staging dir is hidden to readers — but delete it so it cannot
+    // accumulate.
+    val nested = new Path(seg, tmp.getName)
+    if (fs.exists(nested)) fs.delete(nested, true)
   }
 
   /** Write band index + shingle-hash table, marker last (crash-safe,

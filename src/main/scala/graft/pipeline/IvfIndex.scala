@@ -203,10 +203,17 @@ object IvfIndex {
                        idCol: String, vecCol: String): DataFrame = {
     val key = DedupIndex.snapshotKey(spark, corpusPath,
       s"ivf-session|$idCol|$vecCol")
-    val assign = sessionAssign.computeIfAbsent(key, _ =>
-      withCells(df, idCol, vecCol)
+    // a cached frame from a stopped context (multi-session app that
+    // restarted Spark in the same JVM) must rebuild, not throw
+    val cached = Option(sessionAssign.get(key))
+      .filterNot(_.sparkSession.sparkContext.isStopped)
+    val assign = cached.getOrElse {
+      val built = withCells(df, idCol, vecCol)
         .select(col(idCol).cast("long").as("ivf_sess_id"), col("cell"))
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+      sessionAssign.put(key, built)
+      built
+    }
     df.join(broadcast(assign),
         df(idCol).cast("long") === assign("ivf_sess_id"))
       .drop("ivf_sess_id")
