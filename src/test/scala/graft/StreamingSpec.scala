@@ -464,6 +464,22 @@ class StreamingSpec extends SparkSpec {
       // 23 is fresh — the union index answers both tiers
       assert(got == Set((21L, 12L), (22L, 2L)),
         s"stream missed appended-segment or base matches: $got")
+      // round 16: COMPACTION composes too — fold base + segment into
+      // one generation, re-create the stream from a fresh load, same
+      // arrivals, same matches (now off the single compacted root)
+      assert(graft.pipeline.DedupIndex.compactNearDup(spark, key) == 1)
+      val (bands3, sh3) =
+        graft.pipeline.DedupIndex.loadNearDup(spark, key).get
+      val stream2 = EventStreams.streamingIncrementalNearDup(
+        EventStreams.readDocuments(spark, streamDir), bands3, sh3,
+        "doc_id", "text", threshold = 0.5)
+      val q2 = stream2.writeStream
+        .format("memory").queryName("ndseg_out2")
+        .outputMode("append").start()
+      try { q2.processAllAvailable() } finally q2.stop()
+      val got2 = spark.table("ndseg_out2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 == got, s"post-compaction stream diverged: $got2")
     } finally {
       spark.conf.unset("spark.graft.dedup.indexDir")
       Seq(idxDir, streamDir, corpus).foreach(p =>
