@@ -352,7 +352,16 @@ object ExtraQueries {
       graft.pipeline.Similarity
         .bruteForceTopK(emb, probes, "vec_id", "embedding", 3)
         .select("query_id", "neighbor_id"))
-    val ivf = simAnnIvf(s, d).select("query_id", "neighbor_id")
+    // candidate side through the session-scoped assignment (same
+    // cells, same results): an EVAL measures the index's recall, not
+    // its build time — the in-flight build cost stays sim_ann_ivf's
+    // own row, exactly like the truth side riding its sidecar
+    val ivf = ivfCellTopK(graft.pipeline.IvfIndex.withCellsSession(
+        s, s"$d/embeddings.parquet",
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+          VecF.normF(col("embedding")).as("norm")),
+        "vec_id", "embedding"))
+      .select("query_id", "neighbor_id")
     val overlap = truth.join(ivf, Seq("query_id", "neighbor_id"),
         "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
