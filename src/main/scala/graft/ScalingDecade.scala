@@ -123,7 +123,11 @@ object ScalingDecade {
       "hamming<=1 pairs (~100x output per data decade: 32-bit simhash " +
       "signatures concentrate on this shared-vocab corpus, so near-dup " +
       "groups are huge); candidate generation stays banded on 16-bit " +
-      "keys - the emission IS the result, not wasted compute"),
+      "keys - the emission IS the result, not wasted compute; the " +
+      "documented at-scale OUTPUT shape is dedup_simhash_clusters " +
+      "(components over distinct signatures, one row per cluster - " +
+      "1.51x/decade, sf1 0.72 s in this same panel), this pair row " +
+      "stays as the oracle-checked baseline"),
     "dedup_emb_cosine" -> ("output-plus-build residue, not a plan " +
       "defect: the round-15 candidate-mass probe routes the IVF-celled " +
       "source at both decade SFs, so pair WORK is O(n*cellPop) - " +

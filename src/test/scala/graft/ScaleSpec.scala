@@ -1397,6 +1397,100 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("near-dup chain fuzz: seeded random batch/retry/compact " +
+      "interleavings match a driver-side reference model") {
+    // The compaction protocol's edges (retry exclusion across a fold,
+    // generation selection, fold-then-append) are each pinned by the
+    // directed test above; this drives RANDOM interleavings against a
+    // plain-Scala model of the contract. Ops per the single-
+    // orchestrator rules: a retry targets the most recent batch and
+    // only before any compact that folded it; prune only between
+    // batches (both documented).
+    import spark.implicits._
+    for (seed <- Seq(11, 23)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_ndfz$seed").toString
+      spark.conf.set("spark.graft.dedup.indexDir", dir)
+      val corpus = java.nio.file.Files
+        .createTempDirectory(s"graft_ndfzc$seed").toString
+      try {
+        val rnd = new scala.util.Random(seed)
+        def doc(id: Long, s: Long): (Long, String) =
+          (id, (0 until 30).map(k => s"w${s * 100 + k}").mkString(" "))
+        // base corpus: 3 docs, seeds 1..3
+        val baseDocs = Seq(doc(1, 1), doc(2, 2), doc(3, 3))
+        baseDocs.toDF("doc_id", "text").coalesce(1)
+          .write.parquet(s"$corpus/old.parquet")
+        val oldDf = spark.read.parquet(s"$corpus/old.parquet")
+        val key = graft.pipeline.DedupIndex.snapshotKey(spark,
+          s"$corpus/old.parquet", s"nd-fuzz-$seed")
+        // reference model: survivor docId -> seed
+        var model = baseDocs.map { case (id, _) => id -> id }.toMap
+        var nextId = 100L
+        var nextSeed = 100L
+        var lastBatch: Option[(Seq[(Long, Long)], String,
+          Set[(Long, Long)])] = None // (docs as (id, seed), batchId, pairs)
+        var compactedSince = true // base build counts; no retry target yet
+        def runBatch(docs: Seq[(Long, Long)], id: String)
+            : Set[(Long, Long)] =
+          graft.pipeline.Dedup.incrementalNearDupBatch(spark,
+              s"$corpus/old.parquet", s"nd-fuzz-$seed", oldDf,
+              docs.map { case (i, s) => doc(i, s) }.toDF("doc_id", "text"),
+              "doc_id", "text", id, threshold = 0.5)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        def indexIds: Set[Long] = graft.pipeline.DedupIndex
+          .loadNearDup(spark, key).get._1
+          .select("id").distinct().collect().map(_.getLong(0)).toSet
+        for (step <- 1 to 14) {
+          val op = rnd.nextInt(10)
+          if (op < 6 || lastBatch.isEmpty) { // new batch
+            val n = 1 + rnd.nextInt(3)
+            val docs = (1 to n).map { _ =>
+              val dup = model.nonEmpty && rnd.nextBoolean()
+              val s = if (dup) {
+                val seeds = model.values.toSeq.sorted
+                seeds(rnd.nextInt(seeds.size))
+              } else { nextSeed += 1; nextSeed }
+              nextId += 1
+              (nextId, s)
+            }.toSeq
+            val id = s"b$step"
+            val expected = (for {
+              (di, ds) <- docs
+              (mi, ms) <- model if ms == ds
+            } yield (di, mi)).toSet
+            val got = runBatch(docs, id)
+            assert(got == expected,
+              s"seed=$seed step=$step batch pairs: $got != $expected")
+            val dupIds = expected.map(_._1)
+            model ++= docs.filterNot(d => dupIds(d._1)).toMap
+            lastBatch = Some((docs, id, expected))
+            compactedSince = false
+          } else if (op < 8 && !compactedSince) { // retry last batch
+            val (docs, id, expected) = lastBatch.get
+            val got = runBatch(docs, id)
+            assert(got == expected,
+              s"seed=$seed step=$step retry diverged: $got != $expected")
+          } else { // compact (sometimes pruning)
+            graft.pipeline.DedupIndex.compactNearDup(spark, key,
+              pruneCovered = rnd.nextBoolean())
+            compactedSince = true
+            assert(indexIds == model.keySet,
+              s"seed=$seed step=$step post-compact index != model")
+          }
+        }
+        assert(indexIds == model.keySet, s"seed=$seed final index")
+      } finally {
+        spark.sharedState.cacheManager.clearCache()
+        spark.conf.unset("spark.graft.dedup.indexDir")
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(dir))
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(corpus))
+      }
+    }
+  }
+
   test("IVF ranking windows keep a PARTIAL WindowGroupLimit (map-side " +
       "top-k) in their physical plans") {
     // The hot IVF queries depend on Spark's InferWindowGroupLimit
