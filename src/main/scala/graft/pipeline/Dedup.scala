@@ -598,6 +598,64 @@ object Dedup {
     Caching.materializeAndRelease(pairs, newSh, keptSh, pairs)
   }
 
+  /** One batch of the every-snapshot EXACT paragraph-dedup loop — the
+    * exact sibling of [[incrementalNearDupBatch]], closing the same
+    * snapshot chain for the (h1, h2) hash index behind
+    * `dedup_incremental`:
+    *
+    *  1. ensure the base sidecar exists (first time only: ONE pass
+    *     over `old` builds the bounded Bloom + distinct hash index —
+    *     [[DedupIndex.save]]); then load the CHAIN (base/newest
+    *     compaction + every complete segment,
+    *     [[DedupIndex.loadExactChain]]), EXCLUDING this batch's own
+    *     segment so a retry never reads its own prior fold-in;
+    *  2. probe the OR of the per-root Blooms (codegen, no false
+    *     negatives) and verify the maybe-rows exactly against the
+    *     union hash index — the old corpus contributes sidecar
+    *     parquet reads only, its text is never rescanned;
+    *  3. APPEND the batch's NOVEL hashes as segment `batchId`
+    *     ([[DedupIndex.appendExact]], staged + renamed) — batch N+2
+    *     then dedups against old ∪ novel(N+1) ∪ … with zero
+    *     old-corpus rescans; [[DedupIndex.compactExact]] periodically
+    *     folds the chain back to one Bloom + one hash table.
+    *
+    * `batch` must carry BIGINT `h1`/`h2` columns (the two-seed
+    * paragraph hashes — any other columns ride along into the
+    * report); the returned frame is `batch` plus an `is_dup` flag
+    * (true = the pair exists in the index chain). Within-batch
+    * duplicates are out of scope, exactly like the near-dup loop. */
+  def incrementalExactBatch(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String, variant: String, old: => DataFrame,
+      estOldItems: Long, batch: DataFrame, batchId: String): DataFrame = {
+    val key = DedupIndex.snapshotKey(spark, corpusPath, variant)
+    if (DedupIndex.load(spark, key).isEmpty) {
+      val oldDf = old
+      DedupIndex.save(spark, key,
+        boundedBloom(oldDf, "h1", estOldItems), oldDf.distinct())
+    }
+    val (blooms, index) = DedupIndex
+      .loadExactChain(spark, key, excludeSegments = Set(batchId))
+      .getOrElse(throw new IllegalStateException(
+        s"exact sidecar missing after build: $key"))
+    val might = blooms
+      .map(b => graft.functions.HashF.bloomMightContain(col("h1"), b))
+      .reduce(_ || _)
+    val bt = batch.persist()
+    val cands = bt.filter(might).select("h1", "h2").distinct()
+    val dup = index.join(broadcast(cands), Seq("h1", "h2"), "left_semi")
+    val report = bt
+      .join(broadcast(dup.withColumn("gdup", lit(true))),
+        Seq("h1", "h2"), "left")
+      .withColumn("is_dup", coalesce(col("gdup"), lit(false)))
+      .drop("gdup")
+      .persist()
+    val novel = report.filter(!col("is_dup"))
+      .select("h1", "h2").distinct().persist()
+    DedupIndex.appendExact(spark, key, batchId, novel,
+      math.max(novel.count(), 1L))
+    Caching.materializeAndRelease(report, bt, novel, report)
+  }
+
   /** 32-bit SimHash from per-occurrence token hashes: bit j of the
     * signature is set iff Σ_tokens (±1 by bit j of tokenHash) > 0.
     *

@@ -99,7 +99,7 @@ object DedupIndex {
     val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(b, "_COMPLETE"))) None
     else {
-      val roots = nearDupRoots(fs, b, excludeSegments)
+      val roots = chainRoots(fs, b, excludeSegments)
       Some((
         spark.read.schema("id BIGINT, band INT, key BIGINT")
           .parquet(roots.map(r => new Path(r, "bands").toString): _*),
@@ -122,8 +122,8 @@ object DedupIndex {
     * batch contract this cannot happen (compaction runs between
     * batches, a batch only excludes its own id), but the fallback
     * makes the retry semantics hold even if it does. */
-  private def nearDupRoots(fs: org.apache.hadoop.fs.FileSystem, b: Path,
-                           excludeSegments: Set[String]): Seq[Path] = {
+  private def chainRoots(fs: org.apache.hadoop.fs.FileSystem, b: Path,
+                         excludeSegments: Set[String]): Seq[Path] = {
     val entries = fs.listStatus(b).toSeq.filter(_.isDirectory)
     def complete(p: Path): Boolean = fs.exists(new Path(p, "_COMPLETE"))
     val segs = entries
@@ -159,6 +159,36 @@ object DedupIndex {
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().map(_.trim).filter(_.nonEmpty).toSet
     finally in.close()
+  }
+
+  /** Stage→rename publish with the Hadoop rename-into-existing-dir
+    * heal. `tmp` must already be complete (marker included). Returns
+    * true iff OUR staged dir became `dst`; false when a concurrent
+    * publisher won the race (our staging is discarded and `dst` is
+    * verified complete — identical content by the callers'
+    * idempotent-retry contracts). */
+  private def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
+                            tmp: Path, dst: Path): Boolean = {
+    if (fs.exists(dst)) {
+      if (fs.exists(new Path(dst, "_COMPLETE"))) {
+        fs.delete(tmp, true)
+        return false
+      }
+      fs.delete(dst, true) // markerless crash leftover
+    }
+    if (!fs.rename(tmp, dst)) {
+      val ok = fs.exists(new Path(dst, "_COMPLETE"))
+      fs.delete(tmp, true)
+      require(ok, s"publishStaged: could not publish $dst")
+      return false
+    }
+    // some FileSystems move the source INSIDE an existing destination
+    // instead of refusing: if a concurrent publisher landed dst
+    // between our exists check and the rename, our tmp is now nested
+    // (hidden to readers) — delete it and report the race
+    val nested = new Path(dst, tmp.getName)
+    if (fs.exists(nested)) { fs.delete(nested, true); return false }
+    true
   }
 
   /** Fold the base (or newest compaction) plus every complete segment
@@ -218,21 +248,128 @@ object DedupIndex {
     finally out.close()
     fs.create(new Path(tmp, "_COMPLETE"), true).close()
     val dst = new Path(b, f"compact-$gen%06d")
-    if (!fs.rename(tmp, dst)) {
-      val raced = fs.exists(new Path(dst, "_COMPLETE"))
-      fs.delete(tmp, true)
-      require(raced, s"compactNearDup: could not publish $dst")
+    if (!publishStaged(fs, tmp, dst))
       return 0 // a concurrent compactor published this generation
-    }
-    // Hadoop rename-into-existing-dir heal (see appendNearDup): if a
-    // concurrent compactor published this generation first, our tmp
-    // may have landed NESTED inside it — treat as the raced case
-    val nested = new Path(dst, tmp.getName)
-    if (fs.exists(nested)) { fs.delete(nested, true); return 0 }
     if (pruneCovered) {
       // everything the published generation supersedes: every segment
       // it covers (whether folded now or by an earlier generation),
       // all earlier generations, and crashed staging leftovers
+      segs.filter(p => covered(p.getName.stripPrefix("seg-")))
+        .foreach(fs.delete(_, true))
+      (compacts ++ entries.map(_.getPath)
+          .filter(_.getName.startsWith("_stage-")))
+        .foreach(fs.delete(_, true))
+    }
+    fold.size
+  }
+
+  /** Load a complete EXACT-dedup sidecar CHAIN: the per-root Bloom
+    * filters (driver bytes, zero jobs) and the lazy union hash index
+    * — base (or newest compaction) plus every complete appended
+    * segment, same root selection and retry-exclusion semantics as
+    * [[loadNearDup]]. Callers probe with the OR of the per-root
+    * Blooms (false positives verify exactly against the index; false
+    * negatives are impossible, per-root or OR'd) — [[compactExact]]
+    * folds the roots back to ONE bloom + one hash table. None if the
+    * base is absent/incomplete. */
+  def loadExactChain(spark: SparkSession, key: String,
+                     excludeSegments: Set[String] = Set.empty)
+      : Option[(Seq[BloomFilter], DataFrame)] = {
+    val b = base(spark, key)
+    val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(b, "_COMPLETE"))) None
+    else {
+      val roots = chainRoots(fs, b, excludeSegments)
+      val blooms = roots.map { r =>
+        val in = fs.open(new Path(r, "bloom.bin"))
+        try BloomFilter.readFrom(in) finally in.close()
+      }
+      Some((blooms, spark.read.schema("h1 BIGINT, h2 BIGINT")
+        .parquet(roots.map(r => new Path(r, "hashes").toString): _*)))
+    }
+  }
+
+  /** Fold one batch's NOVEL paragraph hashes into an existing exact
+    * sidecar as a self-contained segment
+    * (`seg-<id>/{hashes,bloom.bin,_COMPLETE}`) — the exact-dedup
+    * sibling of [[appendNearDup]], same staging/rename publish, same
+    * append-once/immutable contract. The segment carries its own
+    * Bloom (built from the hashes as written back, so staged content
+    * is self-consistent); readers OR it with the other roots'. */
+  def appendExact(spark: SparkSession, key: String, segment: String,
+                  hashes: DataFrame, estItems: Long): Unit = {
+    val b = base(spark, key)
+    val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new Path(b, "_COMPLETE")),
+      s"appendExact: base sidecar incomplete at $b")
+    val seg = new Path(b, s"seg-$segment")
+    if (fs.exists(new Path(seg, "_COMPLETE")))
+      return // complete segments are immutable
+    val tmp = new Path(b, s"_stage-$segment-${java.util.UUID.randomUUID}")
+    hashes.write.mode("overwrite")
+      .parquet(new Path(tmp, "hashes").toString)
+    val written = spark.read.schema("h1 BIGINT, h2 BIGINT")
+      .parquet(new Path(tmp, "hashes").toString)
+    val bloom = Dedup.boundedBloom(written, "h1", estItems)
+    val out = fs.create(new Path(tmp, "bloom.bin"), true)
+    try bloom.writeTo(out) finally out.close()
+    fs.create(new Path(tmp, "_COMPLETE"), true).close()
+    publishStaged(fs, tmp, seg) // raced loser = identical content, fine
+  }
+
+  /** Exact-chain compaction — [[compactNearDup]]'s sibling: fold the
+    * base (or newest generation) plus every complete segment into one
+    * `compact-NNNNNN` generation holding ONE distinct hash table and
+    * ONE Bloom sized by its exact row count (staged parquet footers —
+    * no extra job beyond the bloom build's single pass over 16-byte
+    * rows; corpus text is never touched). The union is de-duplicated
+    * here, so even hashes double-folded by concurrent batch appends
+    * (harmless to probes, which are semi-joins) collapse to one row.
+    * Same `_COVERED`/marker/publish protocol and `pruneCovered`
+    * semantics as the near-dup fold. Returns segments folded. */
+  def compactExact(spark: SparkSession, key: String,
+                   pruneCovered: Boolean = false): Int = {
+    val b = base(spark, key)
+    val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new Path(b, "_COMPLETE")),
+      s"compactExact: base sidecar incomplete at $b")
+    val entries = fs.listStatus(b).toSeq.filter(_.isDirectory)
+    def complete(p: Path): Boolean = fs.exists(new Path(p, "_COMPLETE"))
+    val segs = entries
+      .filter(st => st.getPath.getName.startsWith("seg-") &&
+        complete(st.getPath))
+      .map(_.getPath).sortBy(_.getName)
+    val compacts = entries
+      .filter(st => st.getPath.getName.startsWith("compact-") &&
+        complete(st.getPath))
+      .map(_.getPath).sortBy(_.getName)
+    val prevGen = compacts.lastOption
+    val prevCovered = prevGen.map(readCovered(fs, _)).getOrElse(Set.empty)
+    val fold = segs.filter(p => !prevCovered(p.getName.stripPrefix("seg-")))
+    if (fold.isEmpty) return 0
+    val gen = prevGen
+      .map(_.getName.stripPrefix("compact-").toLong + 1).getOrElse(1L)
+    val roots = prevGen.getOrElse(b) +: fold
+    val tmp = new Path(b, s"_stage-compact-${java.util.UUID.randomUUID}")
+    spark.read.schema("h1 BIGINT, h2 BIGINT")
+      .parquet(roots.map(r => new Path(r, "hashes").toString): _*)
+      .distinct()
+      .write.mode("overwrite").parquet(new Path(tmp, "hashes").toString)
+    val written = spark.read.schema("h1 BIGINT, h2 BIGINT")
+      .parquet(new Path(tmp, "hashes").toString)
+    val n = graft.sources.ParquetStats
+      .rowCount(spark, new Path(tmp, "hashes").toString).getOrElse(1L)
+    val bloom = Dedup.boundedBloom(written, "h1", math.max(n, 1L))
+    val outB = fs.create(new Path(tmp, "bloom.bin"), true)
+    try bloom.writeTo(outB) finally outB.close()
+    val covered = prevCovered ++ fold.map(_.getName.stripPrefix("seg-"))
+    val outC = fs.create(new Path(tmp, "_COVERED"), true)
+    try outC.write(covered.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally outC.close()
+    fs.create(new Path(tmp, "_COMPLETE"), true).close()
+    val dst = new Path(b, f"compact-$gen%06d")
+    if (!publishStaged(fs, tmp, dst)) return 0
+    if (pruneCovered) {
       segs.filter(p => covered(p.getName.stripPrefix("seg-")))
         .foreach(fs.delete(_, true))
       (compacts ++ entries.map(_.getPath)
@@ -289,28 +426,7 @@ object DedupIndex {
     shingles.write.mode("overwrite")
       .parquet(new Path(tmp, "shingles").toString)
     fs.create(new Path(tmp, "_COMPLETE"), true).close()
-    if (fs.exists(seg)) {
-      if (fs.exists(new Path(seg, "_COMPLETE"))) { // lost the race
-        fs.delete(tmp, true)
-        return
-      }
-      fs.delete(seg, true) // markerless crash leftover
-    }
-    if (!fs.rename(tmp, seg)) {
-      // rename refused: a concurrent appender published first — valid
-      // only if its segment is complete (identical content)
-      val ok = fs.exists(new Path(seg, "_COMPLETE"))
-      fs.delete(tmp, true)
-      require(ok, s"appendNearDup: could not publish segment at $seg")
-    }
-    // Hadoop rename semantics heal: if a concurrent appender published
-    // `seg` between our exists check and the rename, some FileSystems
-    // move `tmp` INSIDE the existing dir instead of refusing. The
-    // published (identical) content is untouched and the nested
-    // staging dir is hidden to readers — but delete it so it cannot
-    // accumulate.
-    val nested = new Path(seg, tmp.getName)
-    if (fs.exists(nested)) fs.delete(nested, true)
+    publishStaged(fs, tmp, seg) // raced loser = identical content, fine
   }
 
   /** Write band index + shingle-hash table, marker last (crash-safe,

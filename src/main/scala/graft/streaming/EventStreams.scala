@@ -249,7 +249,19 @@ object EventStreams {
   def streamingIncrementalDedup(docs: DataFrame, oldParas: DataFrame,
       bloom: org.apache.spark.util.sketch.BloomFilter,
       idCol: String, textCol: String)
+      : org.apache.spark.sql.Dataset[(String, Long)] =
+    streamingIncrementalDedup(docs, oldParas, Seq(bloom), idCol, textCol)
+
+  /** Chain-aware variant: `blooms` are the per-root filters of an
+    * exact sidecar CHAIN ([[graft.pipeline.DedupIndex.loadExactChain]]
+    * — base/compaction + appended batch segments); the probe is their
+    * OR (no false negatives, per-root or OR'd) and `oldParas` is the
+    * matching union hash index. */
+  def streamingIncrementalDedup(docs: DataFrame, oldParas: DataFrame,
+      blooms: Seq[org.apache.spark.util.sketch.BloomFilter],
+      idCol: String, textCol: String)
       : org.apache.spark.sql.Dataset[(String, Long)] = {
+    require(blooms.nonEmpty, "streamingIncrementalDedup: no blooms")
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
@@ -267,8 +279,9 @@ object EventStreams {
           raise_error(concat(lit("paragraph ordinal overflow (>= 100000 "
             + "paragraphs) in doc "), col("doc_id"))).cast("long"))
           .otherwise(col("doc_id") * 100000 + col("para_idx")).as("ord"))
-    val mightBeOld =
-      graft.functions.HashF.bloomMightContain(col("h1"), bloom)
+    val mightBeOld = blooms
+      .map(b => graft.functions.HashF.bloomMightContain(col("h1"), b))
+      .reduce(_ || _)
     val definitelyFresh = exploded.filter(!mightBeOld)
     val verifiedFresh = exploded.filter(mightBeOld)
       .join(oldParas.select(col("h1"), col("h2"),

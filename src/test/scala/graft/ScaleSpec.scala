@@ -1397,6 +1397,77 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("EXACT-dedup chain: batches fold novel hashes, retries exclude " +
+      "their own segment, compaction folds to one bloom + one table") {
+    // The exact sibling of the near-dup snapshot chain: batch N+2
+    // must see batch N+1's novel paragraphs without any old-corpus
+    // rescans, and compaction must fold the per-segment Blooms back
+    // to one.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_exch").toString
+    spark.conf.set("spark.graft.dedup.indexDir", dir)
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_exchc").toString
+    try {
+      // the chain API is hash-level: (h1, h2) stand in for paragraph
+      // hashes; `ord` rides along into the report
+      def paras(ps: Long*): org.apache.spark.sql.DataFrame =
+        ps.zipWithIndex.map { case (p, i) => (p, p * 1000L, i.toLong) }
+          .toDF("h1", "h2", "ord")
+      paras(1, 2, 3).write.parquet(s"$corpus/old.parquet")
+      val oldDf = spark.read.parquet(s"$corpus/old.parquet")
+        .select("h1", "h2")
+      def run(batch: org.apache.spark.sql.DataFrame, id: String)
+          : Map[Long, Boolean] =
+        graft.pipeline.Dedup.incrementalExactBatch(spark,
+            s"$corpus/old.parquet", "exact-chain-test", oldDf, 16L,
+            batch, id)
+          .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      val r1 = run(paras(2, 10), "b1")
+      assert(r1 == Map(2L -> true, 10L -> false), s"b1: $r1")
+      // batch 2 sees batch 1's NOVEL para 10 via the chain
+      val r2 = run(paras(10, 11), "b2")
+      assert(r2 == Map(10L -> true, 11L -> false), s"b2: $r2")
+      // retry of b2 excludes its own segment: same verdicts
+      val r2r = run(paras(10, 11), "b2")
+      assert(r2r == r2, s"b2 retry diverged: $r2r")
+      val key = graft.pipeline.DedupIndex.snapshotKey(spark,
+        s"$corpus/old.parquet", "exact-chain-test")
+      // markerless crash segment is invisible
+      paras(99).select("h1", "h2").write
+        .parquet(s"$dir/$key/seg-crashed/hashes")
+      def chain = graft.pipeline.DedupIndex
+        .loadExactChain(spark, key).get
+      assert(!chain._2.collect().map(_.getLong(0)).contains(99L))
+      // compaction folds base + both segments to ONE root/bloom
+      assert(graft.pipeline.DedupIndex.compactExact(spark, key) == 2)
+      val (blooms, idx) = chain
+      assert(blooms.size == 1, s"expected one bloom, got ${blooms.size}")
+      assert(idx.collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 3L, 10L, 11L))
+      // the chain keeps working off the compacted root
+      val r3 = run(paras(11, 12), "b3")
+      assert(r3 == Map(11L -> true, 12L -> false), s"b3: $r3")
+      // second fold + prune: one segment folded, old dirs gone
+      assert(graft.pipeline.DedupIndex
+        .compactExact(spark, key, pruneCovered = true) == 1)
+      val names = new java.io.File(dir, key).listFiles()
+        .map(_.getName).toSet
+      assert(!names.exists(_.startsWith("seg-b")), s"$names")
+      assert(names("compact-000002") && !names("compact-000001"),
+        s"$names")
+      assert(graft.pipeline.DedupIndex.loadExactChain(spark, key).get
+        ._2.collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 3L, 10L, 11L, 12L))
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+      spark.conf.unset("spark.graft.dedup.indexDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(corpus))
+    }
+  }
+
   test("near-dup chain fuzz: seeded random batch/retry/compact " +
       "interleavings match a driver-side reference model") {
     // The compaction protocol's edges (retry exclusion across a fold,

@@ -534,6 +534,31 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got == batch)
       assert(got.nonEmpty)
+      // round 16: the stream composes with the EXACT chain — fold one
+      // emitted paragraph in as a batch segment (appendExact), re-
+      // create the stream from the CHAIN load (per-root blooms OR'd),
+      // and exactly that paragraph stops emitting
+      import spark.implicits._
+      val foldPara = got.keysIterator.min
+      val foldHashes = Seq(foldPara).toDF("para")
+        .select(xxhash64(col("para")).as("h1"),
+          xxhash64(lit(1L), col("para")).as("h2"))
+      graft.pipeline.DedupIndex.appendExact(spark, key, "s1",
+        foldHashes, 4L)
+      val (blooms2, idx2) =
+        graft.pipeline.DedupIndex.loadExactChain(spark, key).get
+      assert(blooms2.size == 2, s"chain roots: ${blooms2.size}")
+      val stream2 = EventStreams.streamingIncrementalDedup(
+        EventStreams.readDocuments(spark, streamDir), idx2, blooms2,
+        "doc_id", "text")
+      val q2 = stream2.toDF("para", "first_ord").writeStream
+        .format("memory").queryName("idedup_sidecar_out2")
+        .outputMode("append").start()
+      try { q2.processAllAvailable() } finally q2.stop()
+      val got2 = spark.table("idedup_sidecar_out2").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got2 == got - foldPara,
+        s"chain-aware stream diverged: missing=${(got - foldPara).keySet -- got2.keySet} extra=${got2.keySet -- (got - foldPara).keySet}")
     } finally {
       spark.conf.unset("spark.graft.dedup.indexDir")
       org.apache.commons.io.FileUtils.deleteDirectory(
