@@ -1468,6 +1468,87 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("exact-dedup chain fuzz: seeded random batch/retry/compact " +
+      "interleavings match a reference hash-set model") {
+    // Same discipline as the near-dup fuzz below, for the exact
+    // chain: the model is simply the set of (h1) hashes the index
+    // must contain; batches mix duplicates of random indexed hashes
+    // with novel ones; retries target the most recent batch before
+    // any compact that folded it; prune only between batches.
+    import spark.implicits._
+    for (seed <- Seq(7, 31)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_exfz$seed").toString
+      spark.conf.set("spark.graft.dedup.indexDir", dir)
+      val corpus = java.nio.file.Files
+        .createTempDirectory(s"graft_exfzc$seed").toString
+      try {
+        val rnd = new scala.util.Random(seed)
+        def paras(ps: Seq[Long]): org.apache.spark.sql.DataFrame =
+          ps.map(p => (p, p * 1000L)).toDF("h1", "h2")
+        paras(Seq(1L, 2L, 3L)).write.parquet(s"$corpus/old.parquet")
+        val oldDf = spark.read.parquet(s"$corpus/old.parquet")
+        val key = graft.pipeline.DedupIndex.snapshotKey(spark,
+          s"$corpus/old.parquet", s"exact-fuzz-$seed")
+        var model = Set(1L, 2L, 3L)
+        var nextH = 100L
+        var lastBatch: Option[(Seq[Long], String, Map[Long, Boolean])] =
+          None
+        var compactedSince = true
+        def run(ps: Seq[Long], id: String): Map[Long, Boolean] =
+          graft.pipeline.Dedup.incrementalExactBatch(spark,
+              s"$corpus/old.parquet", s"exact-fuzz-$seed", oldDf, 16L,
+              paras(ps), id)
+            .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+        def indexHashes: Set[Long] = graft.pipeline.DedupIndex
+          .loadExactChain(spark, key).get._2
+          .select("h1").distinct().collect().map(_.getLong(0)).toSet
+        for (step <- 1 to 14) {
+          val op = rnd.nextInt(10)
+          if (op < 6 || lastBatch.isEmpty) { // new batch
+            val n = 1 + rnd.nextInt(3)
+            // distinct hashes within the batch (within-batch dups are
+            // out of the contract's scope, like the near-dup loop)
+            val ps = scala.collection.mutable.LinkedHashSet[Long]()
+            while (ps.size < n) {
+              if (model.nonEmpty && rnd.nextBoolean()) {
+                val hs = model.toSeq.sorted
+                ps += hs(rnd.nextInt(hs.size))
+              } else { nextH += 1; ps += nextH }
+            }
+            val id = s"b$step"
+            val expected = ps.map(p => p -> model(p)).toMap
+            val got = run(ps.toSeq, id)
+            assert(got == expected,
+              s"seed=$seed step=$step batch: $got != $expected")
+            model ++= ps.filterNot(model)
+            lastBatch = Some((ps.toSeq, id, expected))
+            compactedSince = false
+          } else if (op < 8 && !compactedSince) { // retry
+            val (ps, id, expected) = lastBatch.get
+            val got = run(ps, id)
+            assert(got == expected,
+              s"seed=$seed step=$step retry diverged: $got")
+          } else { // compact
+            graft.pipeline.DedupIndex.compactExact(spark, key,
+              pruneCovered = rnd.nextBoolean())
+            compactedSince = true
+            assert(indexHashes == model,
+              s"seed=$seed step=$step post-compact index != model")
+          }
+        }
+        assert(indexHashes == model, s"seed=$seed final index")
+      } finally {
+        spark.sharedState.cacheManager.clearCache()
+        spark.conf.unset("spark.graft.dedup.indexDir")
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(dir))
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(corpus))
+      }
+    }
+  }
+
   test("near-dup chain fuzz: seeded random batch/retry/compact " +
       "interleavings match a driver-side reference model") {
     // The compaction protocol's edges (retry exclusion across a fold,
