@@ -164,7 +164,22 @@ object ScalingDecade {
       "(n*cells*dim per iteration, cells capped at 512) - a 10x corpus " +
       "costs ~10x, and min-of-2 load noise can push the measured ratio " +
       "just past the abort line; the serving-shaped row is " +
-      "sim_ann_ivf_persisted (index built once), 1.1 in the 10x sweep"))
+      "sim_ann_ivf_persisted (index built once), 1.1 in the 10x sweep"),
+    "text_bigram_logprob" -> ("cardinality-bound, untouched query " +
+      "(recurring 6.05 -> 8.39 across rounds, run-to-run band): the " +
+      "decade corpus's PERMUTED replicas break and re-form word " +
+      "bigrams, so the DISTINCT-bigram group table grows super-" +
+      "linearly in rows while per-row work stays one hash aggregate; " +
+      "real corpora grow bigram vocabulary sub-linearly (Heaps' law), " +
+      "so the ratio is a synthetic-corpus artifact, not a plan defect"),
+    "graph_triangles_dist" -> ("load-band variance on a genuinely " +
+      "heavy row, not growth in work: sf1 sits inside the 31-42 s " +
+      "band recorded since r15 (7.83 at runs=3 there, 11.18 on a " +
+      "noisy runs=2 sitting, 8.07 in r16); triangle counting is edge-" +
+      "iterator bounded (Sigma deg(u)*deg(v) over edges) and the " +
+      "decade corpus densifies the co-occurrence graph, so the " +
+      "expected ratio is ~8-10x with the residual being host load on " +
+      "a 30 s+ measurement"))
 
   def synthesize(spark: SparkSession, src: String, dst: String): Unit = {
     val reps = 10

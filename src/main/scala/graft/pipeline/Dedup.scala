@@ -630,8 +630,13 @@ object Dedup {
     val key = DedupIndex.snapshotKey(spark, corpusPath, variant)
     if (DedupIndex.load(spark, key).isEmpty) {
       val oldDf = old
+      // project BEFORE distinct: the base parquet must be distinct in
+      // (h1, h2) — the projection loadExactChain reads back — not in
+      // whatever extra columns `old` happens to carry, or duplicate
+      // pairs land in the index and multiply the report join below
       DedupIndex.save(spark, key,
-        boundedBloom(oldDf, "h1", estOldItems), oldDf.distinct())
+        boundedBloom(oldDf, "h1", estOldItems),
+        oldDf.select("h1", "h2").distinct())
     }
     val (blooms, index) = DedupIndex
       .loadExactChain(spark, key, excludeSegments = Set(batchId))
@@ -642,7 +647,14 @@ object Dedup {
       .reduce(_ || _)
     val bt = batch.persist()
     val cands = bt.filter(might).select("h1", "h2").distinct()
+    // DISTINCT the verified dups before the LEFT join below: the union
+    // index can legitimately hold a pair twice (concurrent appends of
+    // different batches can both fold the same then-novel hash — the
+    // semi-join PROBES are immune, but this report join is a left
+    // join, and a duplicate match row would multiply batch rows).
+    // Cheap: bounded by the candidate count, already broadcast-sized.
     val dup = index.join(broadcast(cands), Seq("h1", "h2"), "left_semi")
+      .distinct()
     val report = bt
       .join(broadcast(dup.withColumn("gdup", lit(true))),
         Seq("h1", "h2"), "left")

@@ -73,17 +73,21 @@ object DedupIndex {
     }
   }
 
-  /** Write bloom + hash index, marker last (crash-safe). */
+  /** Write bloom + hash index — staged + renamed like every other
+    * sidecar write ([[publishStagedBase]]): two concurrent FIRST
+    * queries over a fresh snapshot both build, but each stages
+    * privately and one rename wins, so a reader can never observe one
+    * writer's `overwrite` interleaved with the other's `_COMPLETE`
+    * (the round-16 residual: direct writes into the published dir let
+    * writer B delete writer A's part files mid-write while A's marker
+    * was already visible). */
   def save(spark: SparkSession, key: String, bloom: BloomFilter,
-           hashes: DataFrame): Unit = {
-    val b = base(spark, key)
-    val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.mkdirs(b)
-    hashes.write.mode("overwrite").parquet(new Path(b, "hashes").toString)
-    val out = fs.create(new Path(b, "bloom.bin"), true)
-    try bloom.writeTo(out) finally out.close()
-    fs.create(new Path(b, "_COMPLETE"), true).close()
-  }
+           hashes: DataFrame): Unit =
+    publishStagedBase(spark, key) { (fs, tmp) =>
+      hashes.write.mode("overwrite").parquet(new Path(tmp, "hashes").toString)
+      val out = fs.create(new Path(tmp, "bloom.bin"), true)
+      try bloom.writeTo(out) finally out.close()
+    }
 
   /** Load a complete NEAR-dup sidecar: the lazy MinHash band-row index
     * (id, band, key) and the per-doc distinct shingle-hash table
@@ -139,13 +143,35 @@ object DedupIndex {
       .map(p => (p, readCovered(fs, p)))
       .find { case (_, covered) =>
         covered.intersect(excludeSegments).isEmpty }
+    // The fallback only reconstructs the excluded reader's view if the
+    // segments the SKIPPED (newer) generations folded still exist on
+    // disk — a generation published with pruneCovered=true deleted
+    // them. A silently incomplete chain would re-report previously-
+    // indexed duplicates as novel, so fail loudly instead: retries
+    // that exclude a folded segment and pruning are mutually exclusive
+    // by contract (prune only after the retry window — see
+    // [[pruneSuperseded]]'s lease).
+    val segNames = segs.map(_.getName.stripPrefix("seg-")).toSet
+    def requireUnprunedFallback(skipped: Seq[Path],
+                                chosenCovered: Set[String]): Unit =
+      skipped.foreach { gen =>
+        val missing = readCovered(fs, gen) -- chosenCovered --
+          excludeSegments -- segNames
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"chain fallback past ${gen.getName} at $b is incomplete: " +
+            s"covered segments ${missing.toSeq.sorted.mkString(",")} " +
+            "were pruned — a retry excluding a folded segment cannot " +
+            "run after pruneCovered/pruneSuperseded deleted its siblings")
+      }
     chosen match {
       case Some((cp, covered)) =>
+        requireUnprunedFallback(compacts.takeWhile(_ != cp), covered)
         cp +: segs.filter(p => {
           val n = p.getName.stripPrefix("seg-")
           !covered(n) && !excludeSegments(n)
         })
       case None =>
+        requireUnprunedFallback(compacts, Set.empty)
         b +: segs.filter(p =>
           !excludeSegments(p.getName.stripPrefix("seg-")))
     }
@@ -189,6 +215,35 @@ object DedupIndex {
     val nested = new Path(dst, tmp.getName)
     if (fs.exists(nested)) { fs.delete(nested, true); return false }
     true
+  }
+
+  /** Staged publish of a whole sidecar BASE directory (the first-build
+    * path of every sidecar family): `build` writes the content under a
+    * hidden `_stage-*` sibling of the destination, the `_COMPLETE`
+    * marker is created inside the staging dir, and ONE rename makes
+    * the sidecar visible — so two concurrent first builders of the
+    * same fresh key never interleave parquet `overwrite`s under the
+    * published name, and a reader that can see `_COMPLETE` can only
+    * see a whole sidecar. The losing racer's staging dir is discarded
+    * (identical content by the snapshot-key contract). A markerless
+    * `dst` (pre-protocol crash leftover) is replaced. Crashed staging
+    * leftovers at the indexDir level are invisible to readers
+    * (underscore prefix) and reaped by [[pruneSuperseded]].
+    *
+    * Returns true iff OUR build became the published sidecar. Fast
+    * path: if `dst` is already complete, `build` is never run. */
+  private[pipeline] def publishStagedBase(spark: SparkSession, key: String)
+      (build: (org.apache.hadoop.fs.FileSystem, Path) => Unit): Boolean = {
+    val root = new Path(indexDir(spark))
+    val dst = new Path(root, key)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(dst, "_COMPLETE"))) return false
+    val tmp = new Path(root, s"_stage-$key-${java.util.UUID.randomUUID}")
+    try {
+      build(fs, tmp)
+      fs.create(new Path(tmp, "_COMPLETE"), true).close()
+      publishStaged(fs, tmp, dst)
+    } finally fs.delete(tmp, true) // no-op when the rename moved it
   }
 
   /** Fold the base (or newest compaction) plus every complete segment
@@ -357,8 +412,14 @@ object DedupIndex {
       .write.mode("overwrite").parquet(new Path(tmp, "hashes").toString)
     val written = spark.read.schema("h1 BIGINT, h2 BIGINT")
       .parquet(new Path(tmp, "hashes").toString)
+    // Bloom capacity: parquet footers of the just-written table (zero
+    // jobs). If the footer read fails, COUNT the staged table — one
+    // cheap job over 16-byte rows — never a fixed fallback: a Bloom
+    // sized for 1 item is saturated, so every future batch probe would
+    // pass it and pay the full verify join forever after.
     val n = graft.sources.ParquetStats
-      .rowCount(spark, new Path(tmp, "hashes").toString).getOrElse(1L)
+      .rowCount(spark, new Path(tmp, "hashes").toString)
+      .getOrElse(written.count())
     val bloom = Dedup.boundedBloom(written, "h1", math.max(n, 1L))
     val outB = fs.create(new Path(tmp, "bloom.bin"), true)
     try bloom.writeTo(outB) finally outB.close()
@@ -377,6 +438,57 @@ object DedupIndex {
         .foreach(fs.delete(_, true))
     }
     fold.size
+  }
+
+  /** Age-based prune usable OUTSIDE the single-orchestrator loop —
+    * works on both chain families (exact and near-dup share the
+    * base / `seg-*` / `compact-NNNNNN` / `_COVERED` layout).
+    *
+    * `compact*`'s `pruneCovered` deletes the folded dirs immediately,
+    * which is documented safe only when no concurrent reader can hold
+    * a pre-compaction listing (the orchestrator's between-batches
+    * window). A multi-reader serving tier instead calls this with a
+    * LEASE: superseded dirs (segments the newest complete generation
+    * covers, older generations, and `_stage-*` crash leftovers) are
+    * deleted only once the newest generation has been published for at
+    * least `leaseMs`. Any reader's listing is at most one session old,
+    * so a lease ≥ the maximum reader session length (plus the retry
+    * window — a retry excluding a folded segment needs the covered
+    * siblings, see [[chainRoots]]) guarantees every live reader's
+    * roots survive. Everything a reader can currently select stays
+    * immutable; nothing the newest generation doesn't supersede is
+    * touched. Returns directories deleted (0 = nothing superseded or
+    * lease not yet expired). */
+  def pruneSuperseded(spark: SparkSession, key: String,
+                      leaseMs: Long): Int = {
+    val b = base(spark, key)
+    val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(b, "_COMPLETE"))) return 0
+    val entries = fs.listStatus(b).toSeq.filter(_.isDirectory)
+    def complete(p: Path): Boolean = fs.exists(new Path(p, "_COMPLETE"))
+    val compacts = entries
+      .filter(st => st.getPath.getName.startsWith("compact-") &&
+        complete(st.getPath))
+      .sortBy(_.getPath.getName)
+    val now = System.currentTimeMillis()
+    val victims = compacts.lastOption match {
+      case None => Seq.empty // nothing superseded without a generation
+      case Some(newest) if now - newest.getModificationTime < leaseMs =>
+        Seq.empty // inside the reader lease — delete nothing yet
+      case Some(newest) =>
+        val covered = readCovered(fs, newest.getPath)
+        entries.map(_.getPath).filter { p =>
+          val n = p.getName
+          (n.startsWith("seg-") && covered(n.stripPrefix("seg-"))) ||
+          (n.startsWith("compact-") && n < newest.getPath.getName) ||
+          // a staging dir older than the lease can only be a crashed
+          // writer's leftover (a live stager finishes within a lease)
+          (n.startsWith("_stage-") &&
+            now - fs.getFileStatus(p).getModificationTime >= leaseMs)
+        }
+    }
+    victims.foreach(fs.delete(_, true))
+    victims.size
   }
 
   /** Fold one kept batch into an existing near-dup sidecar as a
@@ -429,18 +541,15 @@ object DedupIndex {
     publishStaged(fs, tmp, seg) // raced loser = identical content, fine
   }
 
-  /** Write band index + shingle-hash table, marker last (crash-safe,
-    * same protocol as [[save]]). */
+  /** Write band index + shingle-hash table — staged + renamed, same
+    * concurrent-first-build protocol as [[save]]. */
   def saveNearDup(spark: SparkSession, key: String, bands: DataFrame,
-                  shingles: DataFrame): Unit = {
-    val b = base(spark, key)
-    val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.mkdirs(b)
-    bands.write.mode("overwrite").parquet(new Path(b, "bands").toString)
-    shingles.write.mode("overwrite")
-      .parquet(new Path(b, "shingles").toString)
-    fs.create(new Path(b, "_COMPLETE"), true).close()
-  }
+                  shingles: DataFrame): Unit =
+    publishStagedBase(spark, key) { (_, tmp) =>
+      bands.write.mode("overwrite").parquet(new Path(tmp, "bands").toString)
+      shingles.write.mode("overwrite")
+        .parquet(new Path(tmp, "shingles").toString)
+    }
 
   /** Near-dup twin of [[loadOrBuild]]: reuse the snapshot's MinHash
     * sidecar if complete (no job over the old corpus at all), else ONE
@@ -501,9 +610,9 @@ object DedupIndex {
       .parquet(new Path(b, "table").toString)
     if (fs.exists(new Path(b, "_COMPLETE"))) read
     else {
-      fs.mkdirs(b)
-      build.write.mode("overwrite").parquet(new Path(b, "table").toString)
-      fs.create(new Path(b, "_COMPLETE"), true).close()
+      publishStagedBase(spark, key) { (_, tmp) =>
+        build.write.mode("overwrite").parquet(new Path(tmp, "table").toString)
+      }
       read
     }
   }

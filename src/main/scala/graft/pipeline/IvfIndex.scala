@@ -168,10 +168,14 @@ object IvfIndex {
       .parquet(new Path(b, "cells").toString)
     if (fs.exists(new Path(b, "_COMPLETE"))) read
     else {
-      fs.mkdirs(b)
-      assigned.write.mode("overwrite").partitionBy("cell")
-        .parquet(new Path(b, "cells").toString)
-      fs.create(new Path(b, "_COMPLETE"), true).close()
+      // staged + renamed (DedupIndex.publishStagedBase): two racing
+      // first builders each stage privately and one rename publishes,
+      // so a reader can never see one builder's overwrite interleaved
+      // with the other's marker
+      DedupIndex.publishStagedBase(spark, key) { (_, tmp) =>
+        assigned.write.mode("overwrite").partitionBy("cell")
+          .parquet(new Path(tmp, "cells").toString)
+      }
       read
     }
   }
@@ -192,27 +196,64 @@ object IvfIndex {
     * This is deliberately NOT the persisted [[cellsSidecar]]: it dies
     * with the JVM, so a fresh session still measures (and a fresh
     * cluster still pays) one in-flight build per snapshot — the
-    * serving shape across PROCESSES stays the sidecar's job. Keyed by
-    * [[DedupIndex.snapshotKey]] (path + length + mtime + version), so
-    * a corpus change is a clean miss, never a stale assignment. */
+    * serving shape across PROCESSES stays the sidecar's job.
+    *
+    * BOUNDED + SELF-HEALING (round-17): the map is keyed by the
+    * LOGICAL identity (corpusPath, idCol, vecCol) and each entry
+    * carries its [[DedupIndex.snapshotKey]] (path + length + mtime +
+    * version). A corpus change therefore EVICTS the superseded
+    * assignment (its checkpointed blocks are unpersisted and become
+    * collectable) instead of pinning one dead RDD per snapshot for
+    * the life of a long-lived serving JVM. And because localCheckpoint
+    * blocks are non-replicated with truncated lineage, a hit first
+    * PROBES the pinned table (one count job over the in-memory ~16 B
+    * rows — milliseconds, vs the ~1 s build it replaces): if an
+    * executor loss dropped a block, the entry is evicted and rebuilt
+    * once rather than failing every later query mid-session. */
   private val sessionAssign = new java.util.concurrent
-    .ConcurrentHashMap[String, DataFrame]()
+    .ConcurrentHashMap[String, (String, DataFrame)]()
+  private val sessionLock = new Object
+
+  /** test hook: live pinned assignments (one per logical corpus key) */
+  private[graft] def sessionAssignSize: Int = sessionAssign.size
+
+  /** Free a superseded assignment's checkpointed blocks: the frame is
+    * backed by a LogicalRDD over the eagerly-checkpointed RDD —
+    * Dataset.unpersist would only touch the SQL cache, so unpersist
+    * the RDD itself. Best-effort (a stopped context just no-ops). */
+  private def unpin(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+    catch { case scala.util.control.NonFatal(_) => () }
 
   def withCellsSession(spark: org.apache.spark.sql.SparkSession,
                        corpusPath: String, df: DataFrame,
                        idCol: String, vecCol: String): DataFrame = {
-    val key = DedupIndex.snapshotKey(spark, corpusPath,
+    val logical = s"$corpusPath|$idCol|$vecCol"
+    val snapKey = DedupIndex.snapshotKey(spark, corpusPath,
       s"ivf-session|$idCol|$vecCol")
-    // a cached frame from a stopped context (multi-session app that
-    // restarted Spark in the same JVM) must rebuild, not throw
-    val cached = Option(sessionAssign.get(key))
-      .filterNot(_.sparkSession.sparkContext.isStopped)
-    val assign = cached.getOrElse {
-      val built = withCells(df, idCol, vecCol)
-        .select(col(idCol).cast("long").as("ivf_sess_id"), col("cell"))
-        .localCheckpoint(true)
-      sessionAssign.put(key, built)
-      built
+    // current snapshot + live context + all blocks still readable
+    def usable(e: (String, DataFrame)): Boolean =
+      e != null && e._1 == snapKey &&
+        !e._2.sparkSession.sparkContext.isStopped &&
+        (try { e._2.count(); true }
+         catch { case scala.util.control.NonFatal(_) => false })
+    // one lock for lookup AND build: concurrent first queries over the
+    // same snapshot build ONCE (the second waits and reuses), and an
+    // eviction can never unpin an assignment another thread is about
+    // to adopt
+    val assign = sessionLock.synchronized {
+      val cur = sessionAssign.get(logical)
+      if (usable(cur)) cur._2
+      else {
+        if (cur != null) unpin(cur._2) // superseded snapshot/lost blocks
+        val built = withCells(df, idCol, vecCol)
+          .select(col(idCol).cast("long").as("ivf_sess_id"), col("cell"))
+          .localCheckpoint(true)
+        sessionAssign.put(logical, (snapKey, built))
+        built
+      }
     }
     df.join(broadcast(assign),
         df(idCol).cast("long") === assign("ivf_sess_id"))

@@ -1656,8 +1656,11 @@ class ScaleSpec extends SparkSpec {
     spark.conf.set("spark.graft.dedup.indexDir", dir)
     val d = sf("sf0.001")
     try {
+      // retrieval_ndcg_eval joined the composite top-8 in r16: its two
+      // top-10 rank windows (DCG + ideal-DCG) carry the same partial
+      // group-limit contract as the IVF rankers — pin it with them
       for (name <- Seq("knn_classify", "hard_negatives",
-          "bitext_mine_ivf")) {
+          "bitext_mine_ivf", "retrieval_ndcg_eval")) {
         // lazy-plan mode: materializeAndRelease otherwise collapses
         // the bitext plan to a Scan ExistingRDD before inspection
         graft.pipeline.Caching.inspectLazyPlans = true
@@ -1675,6 +1678,35 @@ class ScaleSpec extends SparkSpec {
       spark.conf.unset("spark.graft.dedup.indexDir")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
+  }
+
+  test("mad_outliers: three column-pruned fact scans, one reused " +
+      "customer broadcast, map-side partial percentiles, no " +
+      "sort-merge join") {
+    // The other new composite-top-8 pole (r16, 1.38 s). MAD is
+    // inherently three-pass; the contract is that the THREE scans are
+    // the only repetition: the customer broadcast builds once
+    // (ReusedExchange into every pass), the 5-row med/mad frames ride
+    // broadcast joins, and both exact percentiles partial-aggregate
+    // map-side (ObjectHashAggregate) — nothing fact-sized crosses a
+    // non-broadcast exchange before the final 5-group aggregate.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.AnalyticsQueries.madOutliers(spark, sf("sf0.001"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_percentile"),
+        "percentiles lost their map-side partial:\n" + plan.take(1200))
+      assert(plan.contains("ObjectHashAggregate"), plan.take(1200))
+      assert(plan.contains("ReusedExchange"),
+        "customer broadcast no longer reused across passes:\n" +
+          plan.take(1500))
+      assert(!plan.contains("SortMergeJoin"),
+        "a MAD pass degraded to a shuffle join:\n" + plan.take(1500))
+      val factScans = plan.linesIterator
+        .count(l => l.contains("FileScan") && l.contains("orders.parquet"))
+      assert(factScans == 3,
+        s"expected exactly 3 column-pruned orders scans, got $factScans")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("cellsSidecar crash-safety: a partial write without _COMPLETE " +
@@ -2018,5 +2050,347 @@ class ScaleSpec extends SparkSpec {
         }
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("staged base publish: two racing first builders of a fresh key " +
+      "never expose a partial sidecar to a polling reader") {
+    // Round-16 residual #1: the base writers (save / saveNearDup /
+    // tableSidecar / cellsSidecar) wrote parquet directly into the
+    // published directory — two concurrent FIRST queries over the same
+    // new snapshot could interleave one writer's mode("overwrite")
+    // delete with the other's _COMPLETE create, exposing a partial
+    // table under a valid marker. All four now stage under a hidden
+    // _stage-* sibling and publish by ONE rename
+    // (DedupIndex.publishStagedBase), so a reader that can see the
+    // marker can only see a whole sidecar. This drives the realistic
+    // race: two builder threads + a reader thread polling load() the
+    // whole time, every visible read must be complete.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_race").toString
+    spark.conf.set("spark.graft.dedup.indexDir", dir)
+    try {
+      val n = 5000
+      val hashes = (1L to n).map(h => (h, h * 1000L)).toDF("h1", "h2")
+        .repartition(8) // several part files → a wide write window
+      val bloom = graft.pipeline.Dedup.boundedBloom(hashes, "h1", n)
+      for (round <- 1 to 3) {
+        val key = f"race-exact-$round"
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val bad = new java.util.concurrent.atomic
+          .AtomicReference[String](null)
+        val reader = new Thread(() => {
+          while (!stop.get()) {
+            Thread.sleep(2)
+            try graft.pipeline.DedupIndex.load(spark, key).foreach {
+              case (_, idx) =>
+                val got = idx.count()
+                if (got != n)
+                  bad.compareAndSet(null, s"partial index visible: " +
+                    s"$got of $n rows under a _COMPLETE marker")
+            } catch {
+              case e: Throwable => bad.compareAndSet(null,
+                s"reader threw mid-race: ${e.getMessage}")
+            }
+          }
+        })
+        reader.start()
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+        val writers = (1 to 2).map(_ => new Thread(() =>
+          try graft.pipeline.DedupIndex.save(spark, key, bloom, hashes)
+          catch { case e: Throwable => errs.add(e) }))
+        writers.foreach(_.start()); writers.foreach(_.join())
+        stop.set(true); reader.join()
+        assert(errs.isEmpty, s"writer threw: ${errs.peek()}")
+        assert(bad.get() == null, String.valueOf(bad.get()))
+        val (_, idx) = graft.pipeline.DedupIndex.load(spark, key).get
+        assert(idx.count() == n, "published sidecar incomplete")
+        // no staging leftovers visible as data (underscore-hidden ok)
+        val names = new java.io.File(dir).listFiles().map(_.getName)
+        assert(names.count(_ == key) == 1)
+      }
+      // the partitioned IVF cells sidecar takes the same path: race
+      // two first builders through cellsSidecar with a polling reader
+      val corpus = java.nio.file.Files
+        .createTempDirectory("graft_racec").toString
+      try {
+        (0L until 1000L).map(i => (i, i % 7))
+          .toDF("id", "x").write.parquet(s"$corpus/emb.parquet")
+        val assigned = (0L until 1000L).map(i => (i, i % 10))
+          .toDF("id", "cell").repartition(4)
+        val key = graft.pipeline.DedupIndex.snapshotKey(spark,
+          s"$corpus/emb.parquet", "race-cells")
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val bad = new java.util.concurrent.atomic
+          .AtomicReference[String](null)
+        val reader = new Thread(() => {
+          while (!stop.get()) {
+            Thread.sleep(2)
+            try {
+              if (new java.io.File(s"$dir/$key/_COMPLETE").exists()) {
+                val got = spark.read.schema("id BIGINT, cell BIGINT")
+                  .parquet(s"$dir/$key/cells").count()
+                if (got != 1000)
+                  bad.compareAndSet(null, s"partial cells visible: $got")
+              }
+            } catch {
+              case e: Throwable => bad.compareAndSet(null,
+                s"cells reader threw mid-race: ${e.getMessage}")
+            }
+          }
+        })
+        reader.start()
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+        val writers = (1 to 2).map(_ => new Thread(() =>
+          try graft.pipeline.IvfIndex.cellsSidecar(spark,
+            s"$corpus/emb.parquet", "race-cells",
+            "id BIGINT, cell BIGINT", assigned).count()
+          catch { case e: Throwable => errs.add(e) }))
+        writers.foreach(_.start()); writers.foreach(_.join())
+        stop.set(true); reader.join()
+        assert(errs.isEmpty, s"cells writer threw: ${errs.peek()}")
+        assert(bad.get() == null, String.valueOf(bad.get()))
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(corpus))
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+      spark.conf.unset("spark.graft.dedup.indexDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("exact-chain concurrent publish fuzz: racing appenders and a " +
+      "compactor leave the chain content-equal to the model after " +
+      "every quiesce") {
+    // The round-16 chain fuzzes drive SEQUENTIAL interleavings; this
+    // drives the race paths the directed tests covered one at a time:
+    // concurrent appenders of DIFFERENT segments, duplicate appenders
+    // of the SAME segment (the retry race — identical content, loser
+    // discards), and a compactor folding mid-append. After each round
+    // quiesces, the chain must hold exactly the model's hashes. Prune
+    // during the race is deliberately absent — that is what the lease
+    // prune (pruneSuperseded) is for; lease-window pruning runs in the
+    // quiesced gaps below like a serving tier would.
+    import spark.implicits._
+    for (seed <- Seq(13, 29)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_cfz$seed").toString
+      spark.conf.set("spark.graft.dedup.indexDir", dir)
+      try {
+        val rnd = new scala.util.Random(seed)
+        val key = s"cfuzz-$seed"
+        def hdf(hs: Seq[Long]) = hs.map(h => (h, h * 1000L)).toDF("h1", "h2")
+        graft.pipeline.DedupIndex.save(spark, key,
+          graft.pipeline.Dedup.boundedBloom(hdf(Seq(1L, 2L, 3L)), "h1", 16),
+          hdf(Seq(1L, 2L, 3L)))
+        var model = Set(1L, 2L, 3L)
+        var nextH = 100L
+        var nextSeg = 0
+        def chainHashes: Set[Long] = graft.pipeline.DedupIndex
+          .loadExactChain(spark, key).get._2
+          .select("h1").distinct().collect().map(_.getLong(0)).toSet
+        for (round <- 1 to 4) {
+          val errs = new java.util.concurrent
+            .ConcurrentLinkedQueue[Throwable]
+          def th(body: => Unit) = new Thread(() =>
+            try body catch { case e: Throwable => errs.add(e) })
+          // two fresh segments with disjoint novel hashes…
+          val segs = (1 to 2).map { _ =>
+            nextSeg += 1
+            val hs = (1 to 1 + rnd.nextInt(3)).map { _ =>
+              nextH += 1; nextH }
+            (s"s$nextSeg", hs)
+          }
+          val threads = new scala.util.Random(seed * 100 + round).shuffle(
+            segs.map { case (id, hs) => th {
+              graft.pipeline.DedupIndex.appendExact(spark, key, id,
+                hdf(hs), hs.size.toLong)
+            } } ++
+            // …a duplicate appender racing the first segment (retry
+            // race: same id, same content — loser must discard)…
+            Seq(th {
+              graft.pipeline.DedupIndex.appendExact(spark, key,
+                segs.head._1, hdf(segs.head._2), segs.head._2.size.toLong)
+            }) ++
+            // …and TWO compactors racing each other (same-generation
+            // publish: one rename wins, the loser discards) and the
+            // appenders, folding whatever is complete mid-race
+            Seq(
+              th { graft.pipeline.DedupIndex.compactExact(spark, key) },
+              th { graft.pipeline.DedupIndex.compactExact(spark, key) }))
+          threads.foreach(_.start()); threads.foreach(_.join())
+          assert(errs.isEmpty,
+            s"seed=$seed round=$round racer threw: ${errs.peek()}")
+          model ++= segs.flatMap(_._2)
+          assert(chainHashes == model,
+            s"seed=$seed round=$round chain != model after quiesce")
+          // quiesced lease prune, serving-tier style: a fresh
+          // generation is younger than a real lease → no-op; then a
+          // second compact + zero lease reaps what it superseded
+          assert(graft.pipeline.DedupIndex
+            .pruneSuperseded(spark, key, leaseMs = 3600000L) == 0)
+          graft.pipeline.DedupIndex.compactExact(spark, key)
+          graft.pipeline.DedupIndex.pruneSuperseded(spark, key, 0L)
+          assert(chainHashes == model,
+            s"seed=$seed round=$round chain != model after lease prune")
+        }
+      } finally {
+        spark.sharedState.cacheManager.clearCache()
+        spark.conf.unset("spark.graft.dedup.indexDir")
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(dir))
+      }
+    }
+  }
+
+  test("pruneSuperseded honors the reader lease and chainRoots fails " +
+      "loudly when a retry's fallback segments were pruned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lease").toString
+    spark.conf.set("spark.graft.dedup.indexDir", dir)
+    try {
+      val key = "lease-test"
+      def hdf(hs: Seq[Long]) = hs.map(h => (h, h * 1000L)).toDF("h1", "h2")
+      graft.pipeline.DedupIndex.save(spark, key,
+        graft.pipeline.Dedup.boundedBloom(hdf(Seq(1L, 2L)), "h1", 16),
+        hdf(Seq(1L, 2L)))
+      graft.pipeline.DedupIndex.appendExact(spark, key, "sA", hdf(Seq(10L)), 1L)
+      graft.pipeline.DedupIndex.appendExact(spark, key, "sB", hdf(Seq(20L)), 1L)
+      // a reader holding the PRE-compaction listing (files resolved)
+      val pre = graft.pipeline.DedupIndex.loadExactChain(spark, key).get._2
+      assert(pre.count() == 4)
+      assert(graft.pipeline.DedupIndex.compactExact(spark, key) == 2)
+      // inside the lease: nothing superseded may be deleted — the
+      // pre-compaction reader's roots must survive
+      assert(graft.pipeline.DedupIndex
+        .pruneSuperseded(spark, key, leaseMs = 3600000L) == 0)
+      assert(pre.count() == 4, "lease prune broke a live reader")
+      // no generation yet superseded twice: prune with expired lease
+      // reaps the two folded segments (and nothing else exists to reap)
+      val reaped = graft.pipeline.DedupIndex.pruneSuperseded(spark, key, 0L)
+      assert(reaped == 2, s"expected the 2 folded segments, got $reaped")
+      val names = new java.io.File(dir, key).listFiles().map(_.getName).toSet
+      assert(!names.exists(_.startsWith("seg-")), s"$names")
+      assert(names("compact-000001"), s"$names")
+      assert(graft.pipeline.DedupIndex.loadExactChain(spark, key).get._2
+        .select("h1").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 10L, 20L))
+      // ADVICE r16: after a prune, a retry that must FALL BACK past
+      // the generation that folded its own segment cannot silently
+      // reconstruct an incomplete chain (sB's hashes only live inside
+      // the generation now) — it must fail loudly instead of
+      // re-reporting previously-indexed duplicates as novel
+      val ex = intercept[IllegalStateException] {
+        graft.pipeline.DedupIndex.loadExactChain(spark, key,
+          excludeSegments = Set("sA"))
+      }
+      assert(ex.getMessage.contains("pruned"), ex.getMessage)
+      // while a retry whose OWN segment is the only pruned one is
+      // fine: excluding it is exactly what the fallback view wants
+      graft.pipeline.DedupIndex.appendExact(spark, key, "sC",
+        hdf(Seq(30L)), 1L)
+      assert(graft.pipeline.DedupIndex.loadExactChain(spark, key,
+        excludeSegments = Set("sC")).get._2
+        .select("h1").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 10L, 20L))
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+      spark.conf.unset("spark.graft.dedup.indexDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("compactExact publishes a correctly-sized generation Bloom: " +
+      "absent keys stay below the configured false-positive band") {
+    // Round-16 residual #2: the generation Bloom's capacity fell back
+    // to 1 when the staged footers were unreadable — a saturated Bloom
+    // passes EVERY probe, silently defeating the probe tier forever
+    // (correct results, full verify-join cost). The fallback is now a
+    // count of the staged 16-byte rows. This pins the observable
+    // contract either way: after compaction, absent hashes must pass
+    // the published Bloom at ≲ the sketch's fpp, never ~100%.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bsz").toString
+    spark.conf.set("spark.graft.dedup.indexDir", dir)
+    try {
+      val key = "bloomsize-test"
+      def hdf(hs: Seq[Long]) = hs.map(h => (h, h * 1000L)).toDF("h1", "h2")
+      val base = (1L to 20000L).map(_ * 7L)
+      graft.pipeline.DedupIndex.save(spark, key,
+        graft.pipeline.Dedup.boundedBloom(hdf(base), "h1", base.size.toLong),
+        hdf(base))
+      val seg = (1L to 10000L).map(_ * 7L + 1L)
+      graft.pipeline.DedupIndex.appendExact(spark, key, "big",
+        hdf(seg), seg.size.toLong)
+      assert(graft.pipeline.DedupIndex.compactExact(spark, key) == 1)
+      val (blooms, _) = graft.pipeline.DedupIndex
+        .loadExactChain(spark, key).get
+      assert(blooms.size == 1)
+      val absent = (1L to 2000L).map(_ * 7L + 3L) // in neither set
+      val fp = absent.count(blooms.head.mightContainLong)
+      assert(fp < 200, // 10% — a saturated (capacity-1) Bloom passes all
+        s"generation Bloom saturated: $fp/2000 absent keys pass")
+      // present keys never miss (no false negatives, base + segment)
+      assert(base.forall(blooms.head.mightContainLong))
+      assert(seg.forall(blooms.head.mightContainLong))
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+      spark.conf.unset("spark.graft.dedup.indexDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("session IVF assignment is bounded: successive snapshots of one " +
+      "corpus evict the superseded pinned assignment") {
+    // Round-16 residual #3 / ADVICE: the per-JVM assignment cache was
+    // keyed by snapshot (path+mtime), so a long-lived serving JVM
+    // pinned one dead localCheckpoint per superseded snapshot forever.
+    // Now it's keyed by the LOGICAL (path, idCol, vecCol) identity and
+    // a new snapshot replaces (and unpins) the old entry.
+    import spark.implicits._
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_sesev").toString
+    try {
+      val path = s"$corpus/emb.parquet"
+      def writeCorpus(gen: Int): Unit =
+        (0 until 300).map(i => (i.toLong,
+          Array.tabulate(8)(j => (i * (j + 1) + gen * 17).toFloat)))
+          .toDF("id", "vec")
+          .write.mode("overwrite").parquet(path)
+      writeCorpus(1)
+      def consume(): Unit = {
+        val df = spark.read.parquet(path)
+        assert(graft.pipeline.IvfIndex
+          .withCellsSession(spark, path, df, "id", "vec").count() == 300)
+      }
+      // track OUR pinned RDDs by id (robust to the ContextCleaner
+      // asynchronously reaping unrelated leftovers from other tests)
+      def pinnedIds: Set[Int] =
+        spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val idsBefore = pinnedIds
+      consume()
+      val entriesAfterFirst = graft.pipeline.IvfIndex.sessionAssignSize
+      val idsFirst = pinnedIds -- idsBefore
+      assert(idsFirst.size == 1,
+        s"first build should pin exactly one RDD, pinned: $idsFirst")
+      // same snapshot: reuse, nothing new pinned
+      consume()
+      assert((pinnedIds -- idsBefore -- idsFirst).isEmpty)
+      // three successive snapshots: ONE live entry, ONE pinned RDD —
+      // superseded assignments are evicted and unpinned
+      for (gen <- 2 to 4) {
+        Thread.sleep(15) // distinct snapshot mtime
+        writeCorpus(gen)
+        consume()
+      }
+      assert(graft.pipeline.IvfIndex.sessionAssignSize == entriesAfterFirst,
+        "snapshot churn grew the session assignment map")
+      val liveNew = pinnedIds -- idsBefore
+      assert(liveNew.size == 1,
+        s"superseded snapshot assignments stayed pinned: $liveNew")
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(corpus))
+    }
   }
 }

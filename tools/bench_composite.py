@@ -12,11 +12,26 @@ which sitting it came from, plus each sitting's own headline figures
 a bare number in prose. Queries that failed (-1) in a sitting are
 ignored for that sitting; a query missing from every sitting is an
 error.
+
+Mid-run pollution (round-17): graft.Bench gates and flags on
+load_avg_start only — a sitting that goes noisy MID-run self-reports
+only through median >> min. The composite is made robust to that by
+construction: the quietest sitting's load_avg_end approximates the
+bench's own steady-state self-load (the bench is the only heavy process
+on a quiet host), and any sitting whose load_avg_end exceeds that
+baseline by more than --load-slack (default 3.0) is marked "polluted"
+and its per-query values are EXCLUDED from the composite min — unless a
+query has values only in polluted sittings, in which case the polluted
+value is used and the provenance entry says so. The min-end sitting
+itself can never be polluted (zero excess), so the composite never
+degenerates to empty.
 """
 import sys, json, os
 
+LOAD_SLACK = 3.0
 
-def main(out, files):
+
+def main(out, files, load_slack=LOAD_SLACK):
     sittings = []
     for f in files:
         with open(f) as fh:
@@ -32,16 +47,33 @@ def main(out, files):
                     break
             else:
                 raise SystemExit(f"{f}: no record with a queries map")
+    # mid-run pollution mark: excess of a sitting's end-load over the
+    # quietest sitting's (~ the bench's own self-load)
+    ends = [rec.get("load_avg_end") for _, rec in sittings
+            if isinstance(rec.get("load_avg_end"), (int, float))]
+    base_end = min(ends) if ends else None
+    polluted = {}
+    for fname, rec in sittings:
+        e = rec.get("load_avg_end")
+        polluted[fname] = (base_end is not None and
+                           isinstance(e, (int, float)) and
+                           e - base_end > load_slack)
     names = set()
     for _, rec in sittings:
         names.update(k for k, v in rec["queries"].items() if v >= 0)
     comp, prov = {}, {}
     for q in sorted(names):
-        best = None
+        best, best_any = None, None
         for fname, rec in sittings:
             v = rec["queries"].get(q, -1)
-            if v >= 0 and (best is None or v < best[0]):
+            if v < 0:
+                continue
+            if best_any is None or v < best_any[0]:
+                best_any = (v, fname)
+            if not polluted[fname] and (best is None or v < best[0]):
                 best = (v, fname)
+        if best is None:  # only polluted sittings carry this query
+            best = (best_any[0], best_any[1] + " (polluted)")
         comp[q], prov[q] = best
     total = sum(comp.values())
     record = {
@@ -60,10 +92,12 @@ def main(out, files):
                 "load_avg_start": rec.get("load_avg_start"),
                 "load_avg_end": rec.get("load_avg_end"),
                 "load_flagged": rec.get("load_flagged"),
+                "polluted_mid_run": polluted[fname],
                 "failed": rec.get("failed", []),
             }
             for fname, rec in sittings
         ],
+        "load_slack": load_slack,
     }
     with open(out, "w") as fh:
         json.dump(record, fh, indent=1)
@@ -72,6 +106,11 @@ def main(out, files):
 
 
 if __name__ == "__main__":
-    if len(sys.argv) < 3:
+    args = sys.argv[1:]
+    slack = LOAD_SLACK
+    if args and args[0] == "--load-slack":
+        slack = float(args[1])
+        args = args[2:]
+    if len(args) < 2:
         raise SystemExit(__doc__)
-    main(sys.argv[1], sys.argv[2:])
+    main(args[0], args[1:], slack)
