@@ -2242,6 +2242,88 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("near-dup chain concurrent publish fuzz: racing appenders and " +
+      "compactors leave the band/shingle index content-equal to the " +
+      "model after every quiesce") {
+    // The near-dup twin of the exact-chain concurrent fuzz above:
+    // appendNearDup/compactNearDup are separate implementations (two
+    // tables per root, no blooms), so the race paths need their own
+    // drive — two fresh-segment appenders, a duplicate appender of the
+    // first segment (retry race), and two racing compactors per
+    // round; lease prune in the quiesced gaps.
+    import spark.implicits._
+    for (seed <- Seq(19, 37)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_ncfz$seed").toString
+      spark.conf.set("spark.graft.dedup.indexDir", dir)
+      try {
+        val key = s"ndcfuzz-$seed"
+        def rows(ids: Seq[Long]) = {
+          val sh = ids.flatMap(i => (0 until 8)
+            .map(k => (i, i * 100L + k))).toDF("id", "s")
+          val bands = ids.flatMap(i => (0 until 4)
+            .map(b => (i, b, i * 10L + b))).toDF("id", "band", "key")
+          (bands, sh)
+        }
+        val (b0, s0) = rows(Seq(1L, 2L, 3L))
+        graft.pipeline.DedupIndex.saveNearDup(spark, key, b0, s0)
+        var model = Set(1L, 2L, 3L)
+        var nextId = 100L
+        var nextSeg = 0
+        def indexIds: Set[Long] = graft.pipeline.DedupIndex
+          .loadNearDup(spark, key).get._1
+          .select("id").distinct().collect().map(_.getLong(0)).toSet
+        for (round <- 1 to 3) {
+          val errs = new java.util.concurrent
+            .ConcurrentLinkedQueue[Throwable]
+          def th(body: => Unit) = new Thread(() =>
+            try body catch { case e: Throwable => errs.add(e) })
+          val segs = (1 to 2).map { _ =>
+            nextSeg += 1
+            val ids = (1 to 2).map { _ => nextId += 1; nextId }
+            (s"s$nextSeg", ids)
+          }
+          val threads = new scala.util.Random(seed * 10 + round).shuffle(
+            segs.map { case (id, ids) => th {
+              val (b, s) = rows(ids)
+              graft.pipeline.DedupIndex.appendNearDup(spark, key, id, b, s)
+            } } ++
+            Seq(th {
+              val (b, s) = rows(segs.head._2)
+              graft.pipeline.DedupIndex.appendNearDup(spark, key,
+                segs.head._1, b, s)
+            }) ++
+            Seq(
+              th { graft.pipeline.DedupIndex.compactNearDup(spark, key) },
+              th { graft.pipeline.DedupIndex.compactNearDup(spark, key) }))
+          threads.foreach(_.start()); threads.foreach(_.join())
+          assert(errs.isEmpty,
+            s"seed=$seed round=$round racer threw: ${errs.peek()}")
+          model ++= segs.flatMap(_._2)
+          assert(indexIds == model,
+            s"seed=$seed round=$round index != model after quiesce")
+          assert(graft.pipeline.DedupIndex
+            .pruneSuperseded(spark, key, leaseMs = 3600000L) == 0)
+          graft.pipeline.DedupIndex.compactNearDup(spark, key)
+          graft.pipeline.DedupIndex.pruneSuperseded(spark, key, 0L)
+          assert(indexIds == model,
+            s"seed=$seed round=$round index != model after lease prune")
+          // the shingle side must track the band side through folds
+          val shIds = graft.pipeline.DedupIndex.loadNearDup(spark, key)
+            .get._2.select("id").distinct().collect()
+            .map(_.getLong(0)).toSet
+          assert(shIds == model,
+            s"seed=$seed round=$round shingle table diverged")
+        }
+      } finally {
+        spark.sharedState.cacheManager.clearCache()
+        spark.conf.unset("spark.graft.dedup.indexDir")
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(dir))
+      }
+    }
+  }
+
   test("pruneSuperseded honors the reader lease and chainRoots fails " +
       "loudly when a retry's fallback segments were pruned") {
     import spark.implicits._
