@@ -200,7 +200,21 @@ object DedupIndex {
         fs.delete(tmp, true)
         return false
       }
-      fs.delete(dst, true) // markerless crash leftover
+      // markerless crash leftover: move it ASIDE atomically rather
+      // than deleting in place — two racers both seeing the leftover
+      // would otherwise double-delete, and the second delete can land
+      // AFTER a concurrent publisher renamed its COMPLETE sidecar
+      // into dst (destroying a published index under its marker). The
+      // rename-aside succeeds for exactly one racer; a loser re-checks
+      // and only falls back to delete when dst is still the markerless
+      // leftover.
+      val aside = new Path(dst.getParent,
+        s"_stage-trash-${java.util.UUID.randomUUID}")
+      if (fs.rename(dst, aside)) fs.delete(aside, true)
+      else if (fs.exists(new Path(dst, "_COMPLETE"))) {
+        fs.delete(tmp, true) // a racer published while we raced the heal
+        return false
+      } else if (fs.exists(dst)) fs.delete(dst, true)
     }
     if (!fs.rename(tmp, dst)) {
       val ok = fs.exists(new Path(dst, "_COMPLETE"))
@@ -463,14 +477,40 @@ object DedupIndex {
                       leaseMs: Long): Int = {
     val b = base(spark, key)
     val fs = b.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new Path(b, "_COMPLETE"))) return 0
+    val now = System.currentTimeMillis()
+    // a staging dir is a crash leftover only when NOTHING under it has
+    // been written inside the lease — the dir's own mtime is not
+    // refreshed by part files landing deeper in the tree, so a live
+    // stager mid-parquet-write must be judged by its newest file, not
+    // its creation time
+    def newestMtime(p: Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).toSeq.map(s => newestMtime(s.getPath))).max
+    }
+    def staleStage(p: Path): Boolean =
+      try now - newestMtime(p) >= leaseMs
+      catch { case _: java.io.FileNotFoundException => false } // racing
+    // crashed FIRST-BUILD staging lives at the indexDir level
+    // (publishStagedBase stages as a SIBLING of the base dir): reap
+    // this key's stale `_stage-<key>-*` and any `_stage-trash-*`
+    // (rename-aside garbage is deletable by definition) even when the
+    // sidecar itself has no generations yet
+    val rootStale = fs.listStatus(new Path(indexDir(spark))).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(p => (p.getName.startsWith(s"_stage-$key-") ||
+        p.getName.startsWith("_stage-trash-")) && staleStage(p))
+    if (!fs.exists(new Path(b, "_COMPLETE"))) {
+      rootStale.foreach(fs.delete(_, true))
+      return rootStale.size
+    }
     val entries = fs.listStatus(b).toSeq.filter(_.isDirectory)
     def complete(p: Path): Boolean = fs.exists(new Path(p, "_COMPLETE"))
     val compacts = entries
       .filter(st => st.getPath.getName.startsWith("compact-") &&
         complete(st.getPath))
       .sortBy(_.getPath.getName)
-    val now = System.currentTimeMillis()
     val victims = compacts.lastOption match {
       case None => Seq.empty // nothing superseded without a generation
       case Some(newest) if now - newest.getModificationTime < leaseMs =>
@@ -481,14 +521,11 @@ object DedupIndex {
           val n = p.getName
           (n.startsWith("seg-") && covered(n.stripPrefix("seg-"))) ||
           (n.startsWith("compact-") && n < newest.getPath.getName) ||
-          // a staging dir older than the lease can only be a crashed
-          // writer's leftover (a live stager finishes within a lease)
-          (n.startsWith("_stage-") &&
-            now - fs.getFileStatus(p).getModificationTime >= leaseMs)
+          (n.startsWith("_stage-") && staleStage(p))
         }
     }
-    victims.foreach(fs.delete(_, true))
-    victims.size
+    (victims ++ rootStale).foreach(fs.delete(_, true))
+    victims.size + rootStale.size
   }
 
   /** Fold one kept batch into an existing near-dup sidecar as a

@@ -202,23 +202,33 @@ object IvfIndex {
     * LOGICAL identity (corpusPath, idCol, vecCol) and each entry
     * carries its [[DedupIndex.snapshotKey]] (path + length + mtime +
     * version). A corpus change therefore EVICTS the superseded
-    * assignment (its checkpointed blocks are unpersisted and become
-    * collectable) instead of pinning one dead RDD per snapshot for
-    * the life of a long-lived serving JVM. And because localCheckpoint
-    * blocks are non-replicated with truncated lineage, a hit first
-    * PROBES the pinned table (one count job over the in-memory ~16 B
-    * rows — milliseconds, vs the ~1 s build it replaces): if an
-    * executor loss dropped a block, the entry is evicted and rebuilt
-    * once rather than failing every later query mid-session. */
+    * assignment instead of pinning one dead RDD per snapshot for the
+    * life of a long-lived serving JVM — with a GRACE OF ONE
+    * generation: the superseded frame is RETIRED (still pinned) and
+    * its blocks are only unpersisted when the following supersession
+    * lands, so a query that adopted the old assignment and is still
+    * executing when the corpus is rewritten keeps its checkpointed
+    * blocks (localCheckpoint truncates lineage — unpinning mid-flight
+    * would fail the job unrecoverably). Bounded: ≤ 2 pinned
+    * assignments per logical key, ever. And because localCheckpoint
+    * blocks are non-replicated, a hit first PROBES the pinned table
+    * (one count job over the in-memory ~16 B rows — milliseconds, vs
+    * the ~1 s build it replaces): if an executor loss dropped a
+    * block, the entry is evicted and rebuilt once rather than failing
+    * every later query mid-session. */
   private val sessionAssign = new java.util.concurrent
-    .ConcurrentHashMap[String, (String, DataFrame)]()
-  private val sessionLock = new Object
+    .ConcurrentHashMap[String, (String, DataFrame, Option[DataFrame])]()
+  // per-logical-key build locks: corpora build/evict independently —
+  // a global monitor would serialize corpus B's queries behind corpus
+  // A's ~1 s rebuild
+  private val sessionLocks = new java.util.concurrent
+    .ConcurrentHashMap[String, Object]()
 
-  /** test hook: live pinned assignments (one per logical corpus key) */
+  /** test hook: live map entries (one per logical corpus key) */
   private[graft] def sessionAssignSize: Int = sessionAssign.size
 
-  /** Free a superseded assignment's checkpointed blocks: the frame is
-    * backed by a LogicalRDD over the eagerly-checkpointed RDD —
+  /** Free an assignment's checkpointed blocks: the frame is backed by
+    * a LogicalRDD over the eagerly-checkpointed RDD —
     * Dataset.unpersist would only touch the SQL cache, so unpersist
     * the RDD itself. Best-effort (a stopped context just no-ops). */
   private def unpin(df: DataFrame): Unit =
@@ -233,28 +243,38 @@ object IvfIndex {
     val logical = s"$corpusPath|$idCol|$vecCol"
     val snapKey = DedupIndex.snapshotKey(spark, corpusPath,
       s"ivf-session|$idCol|$vecCol")
-    // current snapshot + live context + all blocks still readable
-    def usable(e: (String, DataFrame)): Boolean =
+    // current snapshot + live context + all blocks still readable (the
+    // probe runs OUTSIDE the lock: concurrent hits validate in
+    // parallel; only a miss/rebuild takes the key's lock)
+    def usable(e: (String, DataFrame, Option[DataFrame])): Boolean =
       e != null && e._1 == snapKey &&
         !e._2.sparkSession.sparkContext.isStopped &&
         (try { e._2.count(); true }
          catch { case scala.util.control.NonFatal(_) => false })
-    // one lock for lookup AND build: concurrent first queries over the
-    // same snapshot build ONCE (the second waits and reuses), and an
-    // eviction can never unpin an assignment another thread is about
-    // to adopt
-    val assign = sessionLock.synchronized {
-      val cur = sessionAssign.get(logical)
-      if (usable(cur)) cur._2
-      else {
-        if (cur != null) unpin(cur._2) // superseded snapshot/lost blocks
-        val built = withCells(df, idCol, vecCol)
-          .select(col(idCol).cast("long").as("ivf_sess_id"), col("cell"))
-          .localCheckpoint(true)
-        sessionAssign.put(logical, (snapKey, built))
-        built
+    val fast = sessionAssign.get(logical)
+    val assign =
+      if (usable(fast)) fast._2
+      else sessionLocks.computeIfAbsent(logical, _ => new Object)
+          .synchronized {
+        // re-check under the key's lock: concurrent first queries over
+        // the same snapshot build ONCE (the second waits and reuses)
+        val cur = sessionAssign.get(logical)
+        if (usable(cur)) cur._2
+        else {
+          // grace-of-one retirement: unpin only the PREVIOUSLY retired
+          // generation (two supersessions old — nothing in-flight can
+          // still reference it), retire the one being replaced
+          val retired = Option(cur).flatMap { c =>
+            c._3.foreach(unpin)
+            Option(c._2)
+          }
+          val built = withCells(df, idCol, vecCol)
+            .select(col(idCol).cast("long").as("ivf_sess_id"), col("cell"))
+            .localCheckpoint(true)
+          sessionAssign.put(logical, (snapKey, built, retired))
+          built
+        }
       }
-    }
     df.join(broadcast(assign),
         df(idCol).cast("long") === assign("ivf_sess_id"))
       .drop("ivf_sess_id")

@@ -2374,6 +2374,24 @@ class ScaleSpec extends SparkSpec {
         excludeSegments = Set("sC")).get._2
         .select("h1").collect().map(_.getLong(0)).toSet ==
         Set(1L, 2L, 10L, 20L))
+      // crashed FIRST-BUILD staging leftovers live at the indexDir
+      // level (publishStagedBase stages a SIBLING of the base):
+      // pruneSuperseded reaps them once stale — judged by the NEWEST
+      // mtime under the dir, so a freshly-written one survives
+      val stale = new java.io.File(dir, s"_stage-$key-crashed")
+      assert(new java.io.File(stale, "hashes").mkdirs())
+      val f = new java.io.File(stale, "hashes/part-0.parquet")
+      assert(f.createNewFile())
+      assert(graft.pipeline.DedupIndex
+        .pruneSuperseded(spark, key, leaseMs = 60000L) == 0,
+        "a freshly-staged dir must survive the lease prune")
+      val old = System.currentTimeMillis() - 120000L
+      Seq(stale, new java.io.File(stale, "hashes"), f)
+        .foreach(x => assert(x.setLastModified(old)))
+      assert(graft.pipeline.DedupIndex
+        .pruneSuperseded(spark, key, leaseMs = 60000L) == 1,
+        "stale root-level staging leftover was not reaped")
+      assert(!stale.exists())
     } finally {
       spark.sharedState.cacheManager.clearCache()
       spark.conf.unset("spark.graft.dedup.indexDir")
@@ -2427,7 +2445,11 @@ class ScaleSpec extends SparkSpec {
     // keyed by snapshot (path+mtime), so a long-lived serving JVM
     // pinned one dead localCheckpoint per superseded snapshot forever.
     // Now it's keyed by the LOGICAL (path, idCol, vecCol) identity and
-    // a new snapshot replaces (and unpins) the old entry.
+    // a new snapshot replaces the old entry with a GRACE OF ONE
+    // generation: the superseded assignment stays pinned (an in-flight
+    // query that adopted it must keep its truncated-lineage blocks)
+    // and is unpinned when the NEXT supersession lands — so the bound
+    // is ≤ 2 pinned assignments per logical key, ever.
     import spark.implicits._
     val corpus = java.nio.file.Files
       .createTempDirectory("graft_sesev").toString
@@ -2457,9 +2479,10 @@ class ScaleSpec extends SparkSpec {
       // same snapshot: reuse, nothing new pinned
       consume()
       assert((pinnedIds -- idsBefore -- idsFirst).isEmpty)
-      // three successive snapshots: ONE live entry, ONE pinned RDD —
-      // superseded assignments are evicted and unpinned
-      for (gen <- 2 to 4) {
+      // successive snapshots: ONE live map entry and at most TWO
+      // pinned RDDs (live + the one-generation grace), no matter how
+      // many snapshots supersede each other
+      for (gen <- 2 to 5) {
         Thread.sleep(15) // distinct snapshot mtime
         writeCorpus(gen)
         consume()
@@ -2467,8 +2490,8 @@ class ScaleSpec extends SparkSpec {
       assert(graft.pipeline.IvfIndex.sessionAssignSize == entriesAfterFirst,
         "snapshot churn grew the session assignment map")
       val liveNew = pinnedIds -- idsBefore
-      assert(liveNew.size == 1,
-        s"superseded snapshot assignments stayed pinned: $liveNew")
+      assert(liveNew.size == 2,
+        s"expected live + one retired assignment pinned, got: $liveNew")
     } finally {
       spark.sharedState.cacheManager.clearCache()
       org.apache.commons.io.FileUtils

@@ -2,7 +2,9 @@
 """Fold N bench sittings into one composite-min artifact with per-query
 provenance.
 
-Usage: python3 tools/bench_composite.py OUT.json SITTING1.json [SITTING2.json ...]
+Usage: python3 tools/bench_composite.py [--load-slack N] OUT.json
+       SITTING1.json [SITTING2.json ...]
+(--load-slack may appear anywhere; default 3.0)
 
 Each sitting is a full graft.Bench record (the first stdout line, or the
 SPARK_GRAFT_BENCH_OUT file) — it must carry the per-query "queries" map.
@@ -36,17 +38,24 @@ def main(out, files, load_slack=LOAD_SLACK):
     for f in files:
         with open(f) as fh:
             # tolerate a file holding both lines: take the first line
-            # that has a queries map
+            # that has a queries map. Keyed by the FULL path (basename
+            # alone would collide for same-named files in different
+            # dirs and cross-wire their pollution flags); the basename
+            # is display-only where unambiguous.
             for line in fh:
                 line = line.strip()
                 if not line:
                     continue
                 rec = json.loads(line)
                 if "queries" in rec:
-                    sittings.append((os.path.basename(f), rec))
+                    sittings.append((f, rec))
                     break
             else:
                 raise SystemExit(f"{f}: no record with a queries map")
+    bases = [os.path.basename(f) for f, _ in sittings]
+    def label(f):
+        bn = os.path.basename(f)
+        return bn if bases.count(bn) == 1 else f
     # mid-run pollution mark: excess of a sitting's end-load over the
     # quietest sitting's (~ the bench's own self-load)
     ends = [rec.get("load_avg_end") for _, rec in sittings
@@ -73,7 +82,9 @@ def main(out, files, load_slack=LOAD_SLACK):
             if not polluted[fname] and (best is None or v < best[0]):
                 best = (v, fname)
         if best is None:  # only polluted sittings carry this query
-            best = (best_any[0], best_any[1] + " (polluted)")
+            best = (best_any[0], label(best_any[1]) + " (polluted)")
+        else:
+            best = (best[0], label(best[1]))
         comp[q], prov[q] = best
     total = sum(comp.values())
     record = {
@@ -86,7 +97,7 @@ def main(out, files, load_slack=LOAD_SLACK):
         "provenance": prov,
         "sittings": [
             {
-                "file": fname,
+                "file": label(fname),
                 "total": rec.get("value"),
                 "runs": rec.get("runs"),
                 "load_avg_start": rec.get("load_avg_start"),
@@ -108,9 +119,12 @@ def main(out, files, load_slack=LOAD_SLACK):
 if __name__ == "__main__":
     args = sys.argv[1:]
     slack = LOAD_SLACK
-    if args and args[0] == "--load-slack":
-        slack = float(args[1])
-        args = args[2:]
+    if "--load-slack" in args:
+        i = args.index("--load-slack")
+        if i + 1 >= len(args):
+            raise SystemExit(__doc__)
+        slack = float(args[i + 1])
+        args = args[:i] + args[i + 2:]
     if len(args) < 2:
         raise SystemExit(__doc__)
     main(args[0], args[1:], slack)
