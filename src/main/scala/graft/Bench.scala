@@ -77,8 +77,19 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // mid-run load samples (taken between queries, never inside a
+    // timed run): load_avg_start only proves the run STARTED quiet —
+    // a burst landing mid-run previously self-reported only through
+    // median >> min. The max over these samples rides in the record
+    // (load_avg_mid_max) so mid-run pollution is OBSERVED, not
+    // inferred; bench_composite.py prefers it over load_avg_end when
+    // marking polluted sittings. The samples include this bench's own
+    // 32 threads, so only the EXCESS over the quietest sitting's
+    // value means anything — same calibration as load_avg_end.
+    var loadMidMax = 0.0
     val results = SparkEntry.specs
       .filter(q => q.bench && (only.isEmpty || only(q.name))).map { q =>
+      loadMidMax = math.max(loadMidMax, loadAvg)
       val times = (1 to runs).flatMap { _ =>
         // drop persisted intermediates from prior runs and let the
         // ContextCleaner reap dead broadcasts (it is GC-triggered):
@@ -146,12 +157,12 @@ object Bench {
       .map { case (k, ts, _) =>
         "\"" + k + "\":{\"min\":" + ts.min + ",\"median\":" + median(ts) + "}" }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"means":$means,"medians":$medians,"runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_flagged":$loadFlag,"load_gate_waited_sec":$waitedSec,"failed":$failed,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"means":$means,"medians":$medians,"runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_avg_mid_max":$loadMidMax,"load_flagged":$loadFlag,"load_gate_waited_sec":$waitedSec,"failed":$failed,"sf":"$sfDir"}"""
     println(fullLine)
     // BENCH_r04's tail capture truncated the line above and destroyed
     // the total. Repeat the headline figures in a second, short line so
     // they survive any tail-only capture of stdout.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_flagged":$loadFlag,"load_gate_waited_sec":$waitedSec,"slowest":$slowest,"failed":$failed,"sf":"$sfDir","summary":true}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_avg_mid_max":$loadMidMax,"load_flagged":$loadFlag,"load_gate_waited_sec":$waitedSec,"slowest":$slowest,"failed":$failed,"sf":"$sfDir","summary":true}""")
     // First-class artifact path: the FULL record (per-query map
     // included) goes straight to a file, so the auditable per-query
     // evidence never depends on how stdout was captured

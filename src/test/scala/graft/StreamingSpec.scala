@@ -480,6 +480,29 @@ class StreamingSpec extends SparkSpec {
       val got2 = spark.table("ndseg_out2").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got2 == got, s"post-compaction stream diverged: $got2")
+      // round 17: the LEASE prune composes with live readers — inside
+      // the lease nothing superseded is deleted, so the PRE-compaction
+      // listing (bands2/sh2: base + seg-b1 roots) stays fully
+      // readable; a zero-lease prune then reaps the folded segment and
+      // a stream re-created from a fresh load still matches
+      assert(graft.pipeline.DedupIndex
+        .pruneSuperseded(spark, key, leaseMs = 3600000L) == 0)
+      assert(bands2.count() > 0 && sh2.count() > 0,
+        "lease prune broke the pre-compaction reader's roots")
+      assert(graft.pipeline.DedupIndex
+        .pruneSuperseded(spark, key, leaseMs = 0L) == 1)
+      val (bands5, sh5) =
+        graft.pipeline.DedupIndex.loadNearDup(spark, key).get
+      val stream3 = EventStreams.streamingIncrementalNearDup(
+        EventStreams.readDocuments(spark, streamDir), bands5, sh5,
+        "doc_id", "text", threshold = 0.5)
+      val q3 = stream3.writeStream
+        .format("memory").queryName("ndseg_out3")
+        .outputMode("append").start()
+      try { q3.processAllAvailable() } finally q3.stop()
+      val got3 = spark.table("ndseg_out3").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got3 == got, s"post-prune stream diverged: $got3")
     } finally {
       spark.conf.unset("spark.graft.dedup.indexDir")
       Seq(idxDir, streamDir, corpus).foreach(p =>

@@ -56,17 +56,25 @@ def main(out, files, load_slack=LOAD_SLACK):
     def label(f):
         bn = os.path.basename(f)
         return bn if bases.count(bn) == 1 else f
-    # mid-run pollution mark: excess of a sitting's end-load over the
-    # quietest sitting's (~ the bench's own self-load)
-    ends = [rec.get("load_avg_end") for _, rec in sittings
-            if isinstance(rec.get("load_avg_end"), (int, float))]
-    base_end = min(ends) if ends else None
+    # mid-run pollution mark: excess of a sitting's observed load over
+    # the quietest sitting's (~ the bench's own self-load). Prefer the
+    # between-queries max (load_avg_mid_max, recorded since r17 — a
+    # burst that decays before the end sample is still caught); fall
+    # back to load_avg_end for older records. The baseline and each
+    # sitting's value use the SAME field, so the excess is calibrated.
+    def load_of(rec):
+        v = rec.get("load_avg_mid_max")
+        if not isinstance(v, (int, float)):
+            v = rec.get("load_avg_end")
+        return v if isinstance(v, (int, float)) else None
+    loads = [load_of(rec) for _, rec in sittings
+             if load_of(rec) is not None]
+    base_load = min(loads) if loads else None
     polluted = {}
     for fname, rec in sittings:
-        e = rec.get("load_avg_end")
-        polluted[fname] = (base_end is not None and
-                           isinstance(e, (int, float)) and
-                           e - base_end > load_slack)
+        e = load_of(rec)
+        polluted[fname] = (base_load is not None and e is not None and
+                           e - base_load > load_slack)
     names = set()
     for _, rec in sittings:
         names.update(k for k, v in rec["queries"].items() if v >= 0)
@@ -102,6 +110,7 @@ def main(out, files, load_slack=LOAD_SLACK):
                 "runs": rec.get("runs"),
                 "load_avg_start": rec.get("load_avg_start"),
                 "load_avg_end": rec.get("load_avg_end"),
+                "load_avg_mid_max": rec.get("load_avg_mid_max"),
                 "load_flagged": rec.get("load_flagged"),
                 "polluted_mid_run": polluted[fname],
                 "failed": rec.get("failed", []),
