@@ -96,6 +96,27 @@ object Hdf5 {
     StoreCache.invalidate(path)
   }
 
+  /** Format-cache-only removal for every cached file at or under
+    * `prefix` — called BY [[StoreCache.invalidate]] (the shared
+    * invalidation seam), so unlike [[invalidate]] it must not re-enter
+    * StoreCache. Before round 17 these caches survived the seam: a
+    * file rewritten by anything other than [[writeHdf5]] kept serving
+    * stale parsed headers and chunk addresses. */
+  private[sources] def invalidateUnder(prefix: String): Unit = {
+    def under(k: String) = k == prefix || k.startsWith(prefix + "/")
+    (fileCache.keys ++ baseCache.keys).filter(under).foreach { k =>
+      fileCache.remove(k)
+      baseCache.remove(k)
+      chunkCache.keys.filter(_._1 == k).foreach(chunkCache.remove)
+    }
+  }
+
+  /** drop every parsed header / superblock / chunk index — the
+    * [[StoreCache.clear]] (config reload) hook */
+  private[sources] def clearCaches(): Unit = {
+    fileCache.clear(); baseCache.clear(); chunkCache.clear()
+  }
+
   private def withRaf[A](path: String)(f: R => A): A = {
     val raf = new RandomAccessFile(path, "r")
     try f(new R(raf)) finally raf.close()

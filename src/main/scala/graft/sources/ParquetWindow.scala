@@ -154,14 +154,64 @@ private[graft] object ParquetWindow {
   // setup) — random-access readFilteredRowGroup needs no cursor, so
   // one long-lived reader per file serves every tile. Access is
   // serialized per reader (decompressors are not thread-safe).
+  //
+  // BOUNDED (round-17): a long-running tile server over a daily-
+  // partitioned multi-year store would otherwise accumulate one open
+  // fd per part file ever served, for the process lifetime, until
+  // EMFILE. The pool holds at most [[ReaderPoolCap]] readers; beyond
+  // it the least-recently-acquired are evicted. Eviction protocol:
+  // membership changes under [[poolLock]]; the evicted reader is
+  // closed under ITS OWN monitor (in-flight reads hold it, so a read
+  // always finishes on an open reader); readers re-check pool
+  // membership inside their monitor and re-acquire if they lost the
+  // race. Closing costs the next request on that file one ~10 ms
+  // reopen — bounded fds beat unbounded.
+  private[graft] var ReaderPoolCap = 128 // var: test seam only
   private val readers = TrieMap.empty[String, ParquetFileReader]
-  // offset index per (file, column) — one footer-section parse
+  private val lastUsed = TrieMap.empty[String, Long]
+  private val useTick = new java.util.concurrent.atomic.AtomicLong
+  private val poolLock = new Object
+  // offset index per (file, column) — one footer-section parse; parsed
+  // DATA (not an open resource), so it survives reader eviction and a
+  // reopened reader reuses it
   private val offsetIndexes = TrieMap.empty[(String, String), AnyRef]
 
+  /** get-or-open the pooled reader for `file`, touch its LRU stamp,
+    * and evict past the cap (never the reader just acquired). */
+  private def acquireReader(file: Path, conf: Configuration,
+                            fm: FileMeta): ParquetFileReader = {
+    val k = file.toString
+    val (r, victims) = poolLock.synchronized {
+      val got = readers.getOrElseUpdate(k, {
+        val in = HadoopInputFile.fromPath(file, conf)
+        ParquetFileReader.open(in, fm.footer,
+          ParquetReadOptions.builder().build(), in.newStream())
+      })
+      lastUsed.put(k, useTick.incrementAndGet())
+      val vs =
+        if (readers.size <= ReaderPoolCap) Nil
+        else readers.keys.toSeq.filter(_ != k)
+          .sortBy(x => lastUsed.getOrElse(x, 0L))
+          .take(readers.size - ReaderPoolCap)
+          .flatMap { v =>
+            lastUsed.remove(v)
+            readers.remove(v)
+          }
+      (got, vs)
+    }
+    victims.foreach(rd => rd.synchronized {
+      try rd.close() catch { case scala.util.control.NonFatal(_) => () }
+    })
+    r
+  }
+
   private def dropReaders(pred: String => Boolean): Unit =
-    readers.keys.filter(pred).foreach(k =>
-      readers.remove(k).foreach(r =>
-        try r.close() catch { case scala.util.control.NonFatal(_) => () }))
+    readers.keys.filter(pred).foreach { k =>
+      lastUsed.remove(k)
+      readers.remove(k).foreach(r => r.synchronized {
+        try r.close() catch { case scala.util.control.NonFatal(_) => () }
+      })
+    }
 
   private[graft] def invalidate(path: String): Unit = {
     // metas/readers/offsetIndexes are keyed by listStatus paths, which
@@ -505,21 +555,19 @@ private[graft] object ParquetWindow {
     val vChunk = block.getColumns.asScala
       .find(_.getPath.toDotString == variable).orNull
     if (vChunk == null) return false
-    val r = readers.get(file.toString).getOrElse {
-      val in = HadoopInputFile.fromPath(file, conf)
-      val fresh = ParquetFileReader.open(in, fm.footer,
-        ParquetReadOptions.builder().build(), in.newStream())
-      readers.putIfAbsent(file.toString, fresh) match {
-        case Some(winner) => // racing thread won: release ours
-          try fresh.close()
-          catch { case scala.util.control.NonFatal(_) => () }
-          winner
-        case None => fresh
-      }
-    }
     // serialize per file: the pooled reader's stream/decompressors are
-    // stateful; decompressed pages are consumed inside the lock too
+    // stateful; decompressed pages are consumed inside the lock too.
+    // Membership is re-checked INSIDE the monitor: an evictor removes
+    // from the pool first and only closes under this monitor, so a
+    // reader still pooled while we hold its lock cannot be closed
+    // under us; one that lost the race (evicted between acquire and
+    // lock — needs 128 other files touched in that window) is simply
+    // re-acquired.
+    val r = acquireReader(file, conf, fm)
     r.synchronized {
+      if (!readers.get(file.toString).exists(_ eq r))
+        return readFileDense(file, conf, fm, m, variable, planeBase,
+          y0, x0, h, w, out)
       r.setRequestedSchema(proj)
       val oi = offsetIndexes.getOrElseUpdate((file.toString, variable),
         r.readOffsetIndex(vChunk)).asInstanceOf[

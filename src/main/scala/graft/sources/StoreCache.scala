@@ -116,7 +116,12 @@ private[graft] object StoreCache {
     chunkMap.synchronized(chunkBytes)
 
   /** drop everything cached under one store path (writers re-writing a
-    * fixture, metadata invalidation hooks) */
+    * fixture, metadata invalidation hooks). This is THE invalidation
+    * seam — every format-level cache hangs off it, so a caller that
+    * invalidates a store never keeps reading stale parsed headers,
+    * chunk indexes or consolidated metadata from a format cache the
+    * seam forgot (the round-17 review found Hdf5's and ZarrStore's
+    * caches surviving it). */
   def invalidate(path: String): Unit = {
     opsMap.remove(path)
     axisMap.remove(path)
@@ -131,6 +136,8 @@ private[graft] object StoreCache {
       }
     }
     ParquetWindow.invalidate(path)
+    Hdf5.invalidateUnder(path)
+    ZarrStore.invalidateMetaUnder(path)
   }
 
   def clear(): Unit = {
@@ -138,5 +145,7 @@ private[graft] object StoreCache {
     axisMap.clear()
     chunkMap.synchronized { chunkMap.clear(); chunkBytes = 0L }
     ParquetWindow.clear()
+    Hdf5.clearCaches()
+    ZarrStore.clearMetaCaches()
   }
 }

@@ -176,8 +176,9 @@ private[sources] final case class Hdf5Ops(path: String) extends StoreOps {
 
   def read1dLongs(name: String): Array[Long] = {
     val d = f.datasets(name)
-    CfTime.axisUs(d.textAttrs, read1d(name))
-      .getOrElse(read1d(name).map(_.toLong)) // native: epoch-us doubles
+    val vals = read1d(name) // read ONCE; shared by both outcomes below
+    CfTime.axisUs(d.textAttrs, vals)
+      .getOrElse(vals.map(_.toLong)) // native: epoch-us doubles
   }
   def textAttrs(name: String): Map[String, String] =
     f.datasets(name).textAttrs
@@ -218,8 +219,9 @@ private[sources] final case class NetcdfOps(path: String) extends StoreOps {
 
   def read1dLongs(name: String): Array[Long] = {
     val v = header.variable(name)
-    CfTime.axisUs(v.textAttrs, read1d(name))
-      .getOrElse(read1d(name).map(_.toLong)) // native: epoch-us doubles
+    val vals = read1d(name) // read ONCE; shared by both outcomes below
+    CfTime.axisUs(v.textAttrs, vals)
+      .getOrElse(vals.map(_.toLong)) // native: epoch-us doubles
   }
   def textAttrs(name: String): Map[String, String] =
     header.variable(name).textAttrs

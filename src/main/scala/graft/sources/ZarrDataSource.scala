@@ -276,8 +276,16 @@ class ZarrScan(path: String, tableSchema: StructType,
         val lo = ci * c
         val hi = math.min(n, (ci + 1) * c) - 1
         if (d == 0) {
-          val tLo = timeUs(lo); val tHi = timeUs(hi)
-          bounds.tMinUs.forall(tHi >= _) && bounds.tMaxUs.forall(tLo <= _)
+          // the time axis need not be ascending (CF axes can be
+          // reversed, and StoreCache.timeAxis handles even unsorted
+          // ones with a linear scan): test the chunk's actual time
+          // slice like the extra-dim branch below — endpoint-only
+          // bounds would silently prune matching chunks on a
+          // descending axis. timeUs is already in memory; the scan is
+          // O(axis length) once per plan.
+          (lo to hi).exists(i =>
+            bounds.tMinUs.forall(timeUs(i) >= _) &&
+              bounds.tMaxUs.forall(timeUs(i) <= _))
         } else if (d == rank - 2)
           rangeOverlaps(lo, hi, bounds.yMin, bounds.yMax)
         else if (d == rank - 1)

@@ -96,6 +96,24 @@ object ZarrStore {
     StoreCache.invalidate(store)
   }
 
+  /** Meta-cache-only removal for every store at or under `prefix` —
+    * called BY [[StoreCache.invalidate]] (the shared seam), so unlike
+    * [[invalidateMeta]] it must not re-enter StoreCache/BlobStore.
+    * Before round 17 the consolidated-metadata and shard-index caches
+    * survived the seam (and config reloads), serving pre-publication
+    * ArrayMetas against republished objects. */
+  private[graft] def invalidateMetaUnder(prefix: String): Unit = {
+    def under(k: String) = k == prefix || k.startsWith(prefix + "/")
+    zmetaCache.keys.filter(under).foreach(zmetaCache.remove)
+    shardIndexCache.keys.filter(k => under(k._1))
+      .foreach(shardIndexCache.remove)
+  }
+
+  /** the [[StoreCache.clear]] (config reload) hook */
+  private[graft] def clearMetaCaches(): Unit = {
+    zmetaCache.clear(); shardIndexCache.clear()
+  }
+
   def readArrayMeta(store: String, name: String): ArrayMeta = {
     // per-array attributes (.zattrs / v3 "attributes"): numbers feed
     // CF mask-and-scale, strings feed CF time decoding — exactly what
@@ -390,8 +408,13 @@ object ZarrStore {
       throw new IllegalStateException(
         s"$store/$key: inner chunk $chunkIdx extent ($off, $len) outside " +
           s"the shard body — corrupt index")
+    // loud like the index read above: the index SAID this chunk has a
+    // body, so a missing range is a shard vanishing mid-read (or a
+    // concurrent republish) — silently emitting fill here would pass
+    // real data off as absent
     val raw0 = b.readRange(key, off, len.toInt).getOrElse(
-      return Array.fill(n)(meta.fillValue))
+      throw new IllegalStateException(
+        s"$store/$key: shard body vanished mid-read (inner $chunkIdx)"))
     decodeValues(meta, decompress(meta, raw0, n * meta.elemBytes), n)
   }
 

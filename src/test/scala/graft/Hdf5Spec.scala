@@ -484,4 +484,39 @@ Datasets:
     // classic still routes to the classic reader after dispatch unification
     assert(CubeIngest.open(spark, s"$dir/classic.nc").df.count() == 8L)
   }
+
+  test("StoreCache.invalidate drops the parsed-header cache: an " +
+      "externally rewritten HDF5 file serves its NEW values") {
+    // Round-17 review find: Hdf5's fileCache/baseCache/chunkCache
+    // survived the shared invalidation seam — only writeHdf5 cleared
+    // them, so a file rewritten by anything else kept serving stale
+    // chunk addresses through StoreCache.invalidate. This simulates
+    // the external rewriter (built elsewhere, copied in).
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5inv").toString
+    val grid = CubeGrid(8, 4, 0.0, 0.0, 1.0, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 1, Seq("v0"))
+    val path = s"$dir/c.nc"
+    Hdf5.writeHdf5(cube, path, chunkY = 4, chunkX = 8)
+    def vals(): Map[(Int, Int), Double] =
+      NetcdfStore.openCube(spark, path).df
+        .select("y_idx", "x_idx", "v0").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val before = vals() // warms Hdf5.fileCache/baseCache/chunkCache
+    // external rewrite: same path, shifted values, different chunking
+    // (writeHdf5 invalidates only the path IT writes — the copy is
+    // the uninstrumented publisher this seam must survive)
+    val shifted = cube.copy(df = cube.df.withColumn("v0",
+      col("v0") + lit(1000.0)))
+    Hdf5.writeHdf5(shifted, s"$dir/rebuilt.nc", chunkY = 2, chunkX = 4)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/rebuilt.nc"),
+      java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.sources.StoreCache.invalidate(path)
+    val after = vals()
+    assert(after.size == before.size)
+    assert(after.forall { case (k, a) =>
+      val b = before(k)
+      (a.isNaN && b.isNaN) || math.abs(a - (b + 1000.0)) < 1e-9
+    }, "invalidate left the stale parsed header/chunk index cached")
+  }
 }

@@ -178,4 +178,56 @@ class ParquetWindowSpec extends SparkSpec {
     assert(win.exists(v => !v.isNaN && v >= 1000.0),
       "post-rewrite read must see the new data, not cached readers")
   }
+
+  test("reader pool is LRU-bounded: serving more files than the cap " +
+      "never holds more open readers, and evicted files still read") {
+    // Round-17 review find: the pooled-reader map grew one permanently
+    // open fd per part file ever served — a multi-year daily store
+    // runs the serving process into EMFILE. The pool is now capped
+    // (LRU-evicted; a reopened file costs one ~10 ms open).
+    val grid = CubeGrid(32, 32, 0.0, 0.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 4, Seq("v0"),
+      nanEvery = 9)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pwcap").toString
+    val store = s"$dir/c"
+    CubeIngest.writeCube(cube, store, tileSize = 32)
+    val opened = CubeIngest.open(spark, store)
+    val times = opened.timeAxis.get
+    assert(times.length == 4)
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val capBefore = graft.sources.ParquetWindow.ReaderPoolCap
+    graft.sources.ParquetWindow.ReaderPoolCap = 2
+    try {
+      graft.sources.StoreCache.invalidate(store) // start from an empty pool
+      // serve all 4 dates (4 part files), twice — the pool must never
+      // exceed the cap and every window must still read correctly
+      for (_ <- 1 to 2; t <- times) {
+        val w = graft.sources.ParquetWindow
+          .readWindow(store, "v0", usOf(t), 0, 0, 32, 32)
+        assert(w.isDefined && w.get.exists(!_.isNaN),
+          s"window read failed at $t under the capped pool")
+        val pooled = graft.sources.ParquetWindow.pooledReaderPaths
+          .count(_.contains("graft-pwcap"))
+        assert(pooled <= 2, s"pool exceeded its cap: $pooled readers")
+      }
+      // values through the capped (evict/reopen) pool match Spark
+      val viaSpark = opened.df
+        .filter(col("time") === times.head && col("y_idx") < 32 &&
+          col("x_idx") < 32)
+        .select("y_idx", "x_idx", "v0").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      val w0 = graft.sources.ParquetWindow
+        .readWindow(store, "v0", usOf(times.head), 0, 0, 32, 32).get
+      viaSpark.foreach { case ((y, x), v) =>
+        val got = w0(y * 32 + x)
+        assert((v.isNaN && got.isNaN) || math.abs(v - got) < 1e-9,
+          s"capped-pool read diverged at ($y,$x)")
+      }
+    } finally {
+      graft.sources.ParquetWindow.ReaderPoolCap = capBefore
+      graft.sources.StoreCache.invalidate(store)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -654,4 +654,96 @@ class ZarrSpec extends SparkSpec {
     ZarrStore.invalidateMeta(store)
     assert(ZarrStore.openCube(spark, store).df.count() == 16L * 8 * 2)
   }
+
+  test("zarr time pruning is correct on a DESCENDING time axis") {
+    // CF stores legally carry reversed time axes (StoreCache.timeAxis
+    // handles them); chunk pruning must test the chunk's actual time
+    // slice, not assume its ENDPOINTS are [min, max] — an
+    // endpoint-only check silently prunes the chunk holding the
+    // latest time on a descending axis (round-17 review find).
+    val grid = CubeGrid(16, 8, 0.0, 0.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 4, Seq("v0"),
+      nanEvery = 1000)
+    val dir = java.nio.file.Files.createTempDirectory("graft-zdesc").toString
+    val store = s"$dir/c.zarr"
+    ZarrStore.writeZarr(cube, store, chunkT = 2, chunkY = 8, chunkX = 16,
+      codec = "null")
+    val times = ZarrStore.openCube(spark, store).df
+      .select("time").distinct().orderBy("time")
+      .collect().map(_.getTimestamp(0))
+    val latest = ZarrStore.openCube(spark, store).df
+      .filter(col("time") === times(3))
+      .select("y_idx", "x_idx", "v0").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // surgery: reverse the axis to [t3,t2,t1,t0] and rearrange v0 so
+    // data still matches its time. codec=null → raw LE f8 bytes:
+    // reverse the axis chunk's 8-byte groups; v0 chunk files hold two
+    // (t, 8, 16) planes each — swap the files AND their halves, so
+    // file 0 = [plane(t3), plane(t2)], file 1 = [plane(t1), plane(t0)]
+    import java.nio.file.{Files => F, Paths => P}
+    val axis = F.readAllBytes(P.get(store, "time", "0"))
+    val rev = new Array[Byte](axis.length)
+    for (i <- 0 until axis.length / 8; b <- 0 until 8)
+      rev(i * 8 + b) = axis(axis.length - (i + 1) * 8 + b)
+    F.write(P.get(store, "time", "0"), rev)
+    def halfSwap(bytes: Array[Byte]): Array[Byte] = {
+      val h = bytes.length / 2
+      bytes.slice(h, bytes.length) ++ bytes.slice(0, h)
+    }
+    val c0 = F.readAllBytes(P.get(store, "v0", "0.0.0"))
+    val c1 = F.readAllBytes(P.get(store, "v0", "1.0.0"))
+    F.write(P.get(store, "v0", "0.0.0"), halfSwap(c1))
+    F.write(P.get(store, "v0", "1.0.0"), halfSwap(c0))
+    graft.sources.StoreCache.invalidate(store)
+    val df = ZarrStore.openCube(spark, store).df
+    assert(df.count() == 4L * 8 * 16, "surgery changed the row count")
+    // the regression: filter at the MAX time — it lives in the chunk
+    // whose endpoint values are [t3, t2], which the old endpoint check
+    // pruned (t2 < t3) even though the chunk contains t3
+    val late = df.filter(col("time") >= times(3))
+    assert(late.count() == 8L * 16,
+      "descending-axis chunk holding the latest time was pruned")
+    // pruning still prunes: the [t1, t0] chunk is gone from the plan
+    assert(late.rdd.getNumPartitions == 1)
+    // and the data still rides with its time after the surgery
+    // (NaN-tolerant compare: the byte-level surgery preserves the
+    // store's non-canonical NaN bits, which boxed equality rejects)
+    val lateVals = late.select("y_idx", "x_idx", "v0").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(lateVals.keySet == latest.keySet &&
+      lateVals.forall { case (k, a) =>
+        val b = latest(k); (a.isNaN && b.isNaN) || a == b },
+      "surgery broke the data-time pairing")
+  }
+
+  test("StoreCache.invalidate drops the consolidated-metadata cache: " +
+      "an externally republished store serves its NEW metadata") {
+    // Round-17 review find: zmetaCache/shardIndexCache survived the
+    // shared invalidation seam (and config reloads via
+    // BlobStore.dropAll → StoreCache.clear), serving pre-publication
+    // ArrayMetas against republished objects. Writers that go through
+    // writeZarr invalidate themselves — this simulates an EXTERNAL
+    // republisher (different chunk grid, same path).
+    val grid = CubeGrid(16, 8, 0.0, 0.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0"),
+      nanEvery = 7)
+    val dir = java.nio.file.Files.createTempDirectory("graft-zinv").toString
+    val store = s"$dir/c.zarr"
+    ZarrStore.writeZarr(cube, store, chunkT = 1, chunkY = 8, chunkX = 16)
+    assert(ZarrStore.readArrayMeta(store, "v0").chunks == Seq(1, 8, 16))
+    // external republish: same path, different chunking (built
+    // elsewhere, moved in — no writeZarr call on THIS path)
+    val other = s"$dir/rebuilt.zarr"
+    ZarrStore.writeZarr(cube, other, chunkT = 1, chunkY = 4, chunkX = 8)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(other), new java.io.File(store))
+    // precondition: without invalidation the stale consolidated
+    // metadata still answers (that is the hazard being closed)
+    assert(ZarrStore.readArrayMeta(store, "v0").chunks == Seq(1, 8, 16))
+    graft.sources.StoreCache.invalidate(store)
+    assert(ZarrStore.readArrayMeta(store, "v0").chunks == Seq(1, 4, 8),
+      "invalidate left the stale consolidated metadata cached")
+    assert(ZarrStore.openCube(spark, store).df.count() == 16L * 8 * 2)
+  }
 }
