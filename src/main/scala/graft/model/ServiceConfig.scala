@@ -99,7 +99,8 @@ object ServiceConfig {
         cm.properties().asScala.map { e =>
           val vr = e.getValue.get("ValueRange")
           e.getKey -> ColorMappingConfig(
-            Option(e.getValue.get("ColorBar")).map(_.asText()).getOrElse("gray"),
+            Option(e.getValue.get("ColorBar")).map(_.asText())
+              .getOrElse("jet"), // DEFAULT_CMAP_CBAR (context.py:195)
             (vr.get(0).asDouble(), vr.get(1).asDouble()))
         }.toMap
       }.getOrElse(Map.empty[String, ColorMappingConfig])

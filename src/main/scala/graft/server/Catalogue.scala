@@ -39,7 +39,11 @@ object Catalogue {
         "name" -> Json.str(v),
         "dims" -> Json.arr(dimNames.map(Json.str)),
         "dtype" -> Json.str("float64"),
-        "colorBarName" -> Json.str(cm.map(_.colorBar).getOrElse("gray")),
+        // unstyled default = the reference's DEFAULT_CMAP_CBAR
+        // (defaults.py:36) — and the SAME default the tile/legend
+        // render path uses, so the advertised colorbar is the
+        // rendered one
+        "colorBarName" -> Json.str(cm.map(_.colorBar).getOrElse("jet")),
         "colorBarMin" -> Json.num(cm.map(_.valueRange._1).getOrElse(0.0)),
         "colorBarMax" -> Json.num(cm.map(_.valueRange._2).getOrElse(1.0)),
         "tileGrid" -> tileGridJson(grid))

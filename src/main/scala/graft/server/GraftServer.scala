@@ -69,7 +69,16 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
   def address: String = s"http://localhost:${server.getAddress.getPort}"
 
   def start(): GraftServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    // the fixed pool's threads are non-daemon: without this an
+    // embedding app that stops the server (but never exits) leaks 8
+    // live threads per instance and hangs on JVM shutdown
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ =>
+    }
+  }
 
   /** Invalidate all cached tiles — must be called whenever the dataset
     * registry changes (config hot reload), or stale tiles from the old
@@ -179,9 +188,10 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
       case ("POST", "ts" :: ds :: v :: "geometries" :: Nil) =>
         withDataset(ex, ds) { d =>
           val node = readJsonBody(ex)
-          val geomsNode = Option(node.get("geometries")).getOrElse(
-            throw new IllegalArgumentException(
-              "Invalid GeoJSON geometry collection"))
+          val geomsNode = Option(node.get("geometries"))
+            .filter(_.isArray).getOrElse(
+              throw new IllegalArgumentException(
+                "Invalid GeoJSON geometry collection"))
           val q = query(ex)
           val geoms = (0 until geomsNode.size())
             .map(i => Geo.parseGeoJson(geomsNode.get(i).toString))
@@ -192,12 +202,16 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
       case ("POST", "ts" :: ds :: v :: "places" :: Nil) =>
         withDataset(ex, ds) { d =>
           val node = readJsonBody(ex)
-          val feats = Option(node.get("features")).getOrElse(
-            throw new IllegalArgumentException(
-              "Invalid GeoJSON feature collection"))
+          val feats = Option(node.get("features"))
+            .filter(_.isArray).getOrElse(
+              throw new IllegalArgumentException(
+                "Invalid GeoJSON feature collection"))
           val q = query(ex)
           val geoms = (0 until feats.size())
-            .map(i => Geo.parseGeoJson(feats.get(i).get("geometry").toString))
+            .map(i => Geo.parseGeoJson(Option(feats.get(i).get("geometry"))
+              .getOrElse(throw new IllegalArgumentException(
+                s"Invalid GeoJSON feature collection: feature $i has " +
+                  "no geometry")).toString))
           tsMany(ex, d, v, geoms, dateRange(q, d.cube.timeCalendar), q)
         }
       // place-group listing (GetPlaceGroupsHandler → context.py:297-303);
@@ -433,7 +447,7 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
     ColorMapping(cm.map(_.valueRange._1).getOrElse(0.0),
       cm.map(_.valueRange._2).getOrElse(1.0),
       graft.render.ColorMaps.paletteOrDefault(
-        cm.map(_.colorBar).getOrElse("viridis")))
+        cm.map(_.colorBar).getOrElse("jet"))) // DEFAULT_CMAP_CBAR, defaults.py:36
   }
 
   /** Tile request: cache probe → tile render, keyed like the reference
@@ -481,7 +495,10 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
     // snap to the same step share a cache entry, reference image_id at
     // tiles.py:58-59)
     val extraSel = extraSelections(d, q)
-    val key = s"${d.id}/$v/$z/$x/$y/${t.getTime}/${m.vmin}/${m.vmax}/" +
+    // key time in MICROseconds (getTime alone is millis — a sub-ms
+    // time axis would alias two steps onto one cached tile)
+    val keyUs = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val key = s"${d.id}/$v/$z/$x/$y/$keyUs/${m.vmin}/${m.vmax}/" +
       q.getOrElse("cbar", "") +
       extraSel.map { case (n, vv, _) => s"/$n=$vv" }.mkString
     tileCache.get(key) match {
@@ -537,8 +554,14 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
       "result" -> Json.obj(
         "totalCount" -> r.getAs[Long]("total_count").toString,
         "validCount" -> r.getAs[Long]("valid_count").toString,
+        // finite averages keep Double.toString (golden formatting);
+        // NaN/Infinity (e.g. +Inf cube cells survive nanToNull) become
+        // null — a bare NaN token would invalidate the WHOLE response
         "average" -> (if (r.isNullAt(r.fieldIndex("average"))) "null"
-                      else r.getAs[Double]("average").toString)))
+                      else {
+                        val a = r.getAs[Double]("average")
+                        if (a.isNaN || a.isInfinite) "null" else a.toString
+                      })))
 
   /** Fan-out response: results = array of per-geometry result arrays
     * (reference _get_time_series_for_geometries, time_series.py:208-219)
@@ -560,7 +583,10 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
       // a GeoJSON FeatureCollection
       val hits = geom match {
         case Some(g) =>
-          Places.featuresIntersectingGeometry(df, "geometry_json", g)
+          // null geometries: skip, like the dataset-bounds route above
+          // (the UDF would NPE inside the Spark job → 500)
+          Places.featuresIntersectingGeometry(
+            df.filter(col("geometry_json").isNotNull), "geometry_json", g)
         case None => df
       }
       val feats = hits.collect().map(r => Json.obj(
@@ -639,13 +665,28 @@ class GraftServer(ctx: ServiceContext, port: Int = 0) {
 
   private def readJsonBody(ex: HttpExchange)
       : com.fasterxml.jackson.databind.JsonNode =
-    new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+    try new com.fasterxml.jackson.databind.ObjectMapper().readTree(
       new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+    catch {
+      // malformed bodies are CLIENT errors (reference handlers.py
+      // get_body_as_json_object wraps parse failures as 400) — without
+      // this, JsonProcessingException falls to the 500 arm
+      case e: com.fasterxml.jackson.core.JsonProcessingException =>
+        throw new IllegalArgumentException(
+          s"Invalid JSON body: ${e.getOriginalMessage}")
+    }
 
   private def query(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getQuery).map(_.split("&").flatMap { kv =>
+      // decode KEYS too (a strict client percent-encodes both) and
+      // keep valueless flags (?debug) as empty-string values instead
+      // of silently dropping them
       kv.split("=", 2) match {
-        case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case Array(k, v) =>
+          Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8"))
+        case Array(k) if k.nonEmpty =>
+          Some(java.net.URLDecoder.decode(k, "UTF-8") -> "")
         case _ => None
       }
     }.toMap).getOrElse(Map.empty)

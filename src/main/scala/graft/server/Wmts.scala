@@ -36,16 +36,34 @@ object Wmts {
     val datasets = ctx.datasetIds.flatMap(ctx.dataset)
     val layers = new StringBuilder
     val matrixSets = new StringBuilder
-    var seenGrids = Set.empty[String]
+    // TileMatrixSet identity is the WHOLE grid — extent and tile size
+    // included, not just max-level pixel dimensions: two equal-sized
+    // grids over different bboxes have different TopLeftCorners, and
+    // sharing one tmsId would send the second dataset's WMTS clients
+    // to the wrong geography. The first grid of each pixel size keeps
+    // the plain TileGrid_w_h name (stable for existing clients);
+    // extent-conflicting latecomers get a _2/_3… suffix.
+    var tmsByIdentity = Map.empty[String, String]
+    var taken = Set.empty[String]
 
     datasets.foreach { ds =>
       val g = ds.cube.grid
       val grid = ds.tileGrid
-      val tmsId = s"TileGrid_${grid.width(grid.maxLevel)}_${grid.height(grid.maxLevel)}"
-      if (!seenGrids.contains(tmsId)) {
-        seenGrids += tmsId
-        matrixSets.append(tileMatrixSetXml(tmsId, grid))
-      }
+      val identity = s"${grid.width(grid.maxLevel)}_" +
+        s"${grid.height(grid.maxLevel)}_${grid.extent.xMin}_" +
+        s"${grid.extent.yMin}_${grid.extent.xMax}_${grid.extent.yMax}_" +
+        s"${grid.tileWidth}_${grid.tileHeight}"
+      val tmsId = tmsByIdentity.getOrElse(identity, {
+        val base = s"TileGrid_${grid.width(grid.maxLevel)}_" +
+          s"${grid.height(grid.maxLevel)}"
+        val fresh = Iterator.from(1)
+          .map(i => if (i == 1) base else s"${base}_$i")
+          .find(!taken(_)).get
+        taken += fresh
+        tmsByIdentity += identity -> fresh
+        matrixSets.append(tileMatrixSetXml(fresh, grid))
+        fresh
+      })
       // time (+ extra non-spatial dim) <Dimension> values are shared
       // across a dataset's layers (the dimensions_xml_cache of
       // wmts.py:199-201)
@@ -54,8 +72,8 @@ object Wmts {
       ds.cube.variables.foreach { v =>
         layers.append(
           s"""    <Layer>
-             |      <ows:Identifier>${ds.id}.$v</ows:Identifier>
-             |      <ows:Title>${xmlEsc(ds.title)} $v</ows:Title>
+             |      <ows:Identifier>${xmlEsc(ds.id)}.${xmlEsc(v)}</ows:Identifier>
+             |      <ows:Title>${xmlEsc(ds.title)} ${xmlEsc(v)}</ows:Title>
              |      <ows:WGS84BoundingBox>
              |        <ows:LowerCorner>${g.bbox.xMin} ${g.bbox.yMin}</ows:LowerCorner>
              |        <ows:UpperCorner>${g.bbox.xMax} ${g.bbox.yMax}</ows:UpperCorner>
@@ -64,7 +82,7 @@ object Wmts {
              |      <Format>image/png</Format>
              |$dimensionXml      <TileMatrixSetLink><TileMatrixSet>$tmsId</TileMatrixSet></TileMatrixSetLink>
              |      <ResourceURL format="image/png" resourceType="tile"
-             |        template="$serviceUrl/datasets/${ds.id}/vars/$v/tiles/{TileMatrix}/{TileCol}/{TileRow}.png"/>
+             |        template="$serviceUrl/datasets/${xmlEsc(ds.id)}/vars/${xmlEsc(v)}/tiles/{TileMatrix}/{TileCol}/{TileRow}.png"/>
              |    </Layer>
              |""".stripMargin)
       }
@@ -137,12 +155,12 @@ object Wmts {
       b.append("    <Theme>\n")
         .append(s"      <ows:Title>${xmlEsc(ds.title)}</ows:Title>\n")
         .append(s"      <ows:Abstract></ows:Abstract>\n")
-        .append(s"      <ows:Identifier>${ds.id}</ows:Identifier>\n")
+        .append(s"      <ows:Identifier>${xmlEsc(ds.id)}</ows:Identifier>\n")
       ds.cube.variables.foreach { v =>
         b.append("      <Theme>\n")
-          .append(s"        <ows:Title>$v</ows:Title>\n")
-          .append(s"        <ows:Identifier>${ds.id}.$v</ows:Identifier>\n")
-          .append(s"        <LayerRef>${ds.id}.$v</LayerRef>\n")
+          .append(s"        <ows:Title>${xmlEsc(v)}</ows:Title>\n")
+          .append(s"        <ows:Identifier>${xmlEsc(ds.id)}.${xmlEsc(v)}</ows:Identifier>\n")
+          .append(s"        <LayerRef>${xmlEsc(ds.id)}.${xmlEsc(v)}</LayerRef>\n")
           .append("      </Theme>\n")
       }
       b.append("    </Theme>\n")

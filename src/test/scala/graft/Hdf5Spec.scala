@@ -139,8 +139,10 @@ Datasets:
       val d = ctx.dataset("nc4").get
       val lv = d.levelSeq.head
       assert(lv.storePath.isDefined, "NC4 level 0 must be store-backed")
+      // unstyled default palette = jet (the reference's
+      // DEFAULT_CMAP_CBAR, aligned in round 17)
       val m = graft.render.Render.ColorMapping(0.0, 1.0,
-        graft.render.ColorMaps.paletteOrDefault("viridis"))
+        graft.render.ColorMaps.paletteOrDefault("jet"))
       val viaSpark = graft.render.Render.renderTile(lv, "v0",
         d.latestTime, 0, 0, 256, 256, m, flipY = lv.grid.latAscending)
       val z = d.tileGrid.numLevels - 1 // finest advertised zoom = level 0

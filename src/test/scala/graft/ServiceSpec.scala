@@ -783,7 +783,53 @@ Datasets:
       assert(narrowed.body().contains("2017-01-02T00:00:00Z"))
       // invalid body → 400
       assert(post("/ts/local/v0/geometries", "{}").statusCode() == 400)
+      // round-17 review finds: body-parse failures and structurally
+      // invalid GeoJSON are CLIENT errors (reference
+      // get_body_as_json_object → 400), never 500s
+      assert(post("/ts/local/v0/geometries", "not json").statusCode()
+        == 400, "malformed JSON body must be a 400")
+      assert(post("/ts/local/v0/geometries",
+        """{"geometries":{"not":"an array"}}""").statusCode() == 400)
+      assert(post("/ts/local/v0/places",
+        """{"features":[{}]}""").statusCode() == 400,
+        "a feature without geometry must be a 400, not an NPE 500")
     } finally srv.stop()
+  }
+
+  test("WMTS: equal-sized grids over different extents get DISTINCT " +
+      "TileMatrixSets (review r17)") {
+    // the dedup key was max-level pixel size only — dataset B with
+    // A's dimensions but another bbox linked to A's TileMatrixSet and
+    // clients computed B's tiles from A's TopLeftCorner
+    val grid1 = CubeGrid(512, 256, -180.0, -90.0, 360.0 / 512,
+      latAscending = true)
+    val grid2 = CubeGrid(512, 256, 0.0, 40.0, 20.0 / 512,
+      latAscending = true)
+    val ctx = new ServiceContext(spark)
+    ctx.register(RegisteredDataset("wide", "Wide",
+      Cube.synthetic(spark, grid1, 1, Seq("v0")), None))
+    ctx.register(RegisteredDataset("narrow", "Narrow",
+      Cube.synthetic(spark, grid2, 1, Seq("v0")), None))
+    val xml = Wmts.capabilitiesXml(ctx, "http://x")
+    val links = "<TileMatrixSetLink><TileMatrixSet>([^<]+)".r
+      .findAllMatchIn(xml).map(_.group(1)).toSeq
+    assert(links.distinct.size == 2,
+      s"extent-conflicting grids share a TileMatrixSet: $links")
+    // and each advertised set carries ITS OWN origin
+    assert(xml.contains("<TopLeftCorner>-180.0 90.0</TopLeftCorner>"))
+    assert(xml.contains("<TopLeftCorner>0.0 50.0</TopLeftCorner>"))
+    // identifiers with XML metacharacters escape rather than breaking
+    // the document
+    ctx.register(RegisteredDataset("a&b", "Amp",
+      Cube.synthetic(spark, grid2, 1, Seq("v0")), None))
+    val xml2 = Wmts.capabilitiesXml(ctx, "http://x")
+    assert(!xml2.contains("<ows:Identifier>a&b"),
+      "raw & inside an identifier makes the document unparseable")
+    assert(xml2.contains("<ows:Identifier>a&amp;b.v0</ows:Identifier>"))
+    javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(
+        xml2.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   test("places route serves loadGeoJson groups with exact intersects") {
