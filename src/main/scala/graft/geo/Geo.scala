@@ -91,8 +91,24 @@ object Geo {
     case prim => Seq(prim)
   }
 
-  def bboxOf(pts: Iterable[Pt]): BBox =
-    BBox(pts.map(_.x).min, pts.map(_.y).min, pts.map(_.x).max, pts.map(_.y).max)
+  def bboxOf(pts: Iterable[Pt]): BBox = {
+    // reject empty point sets LOUDLY as a client error: valid GeoJSON
+    // permits empty coordinate arrays, and `.min` on an empty
+    // collection would throw UnsupportedOperationException — which the
+    // server maps to a 500 instead of the 400 a bad body deserves
+    require(pts.nonEmpty, "empty geometry (no coordinates)")
+    // single fold (bbox sits on predicate hot paths): one pass, no
+    // intermediate collections
+    var xMin = Double.PositiveInfinity; var yMin = Double.PositiveInfinity
+    var xMax = Double.NegativeInfinity; var yMax = Double.NegativeInfinity
+    pts.foreach { p =>
+      if (p.x < xMin) xMin = p.x
+      if (p.y < yMin) yMin = p.y
+      if (p.x > xMax) xMax = p.x
+      if (p.y > yMax) yMax = p.y
+    }
+    BBox(xMin, yMin, xMax, yMax)
+  }
 
   /** Even-odd ray casting (horizontal ray to +inf). Half-open edge rule
     * gives consistent results for points off the boundary. */
@@ -248,16 +264,25 @@ object Geo {
       Pt(n.get(0).asDouble(), n.get(1).asDouble())
     def pts(n: com.fasterxml.jackson.databind.JsonNode): IndexedSeq[Pt] =
       (0 until n.size()).map(i => pt(n.get(i)))
-    def poly(n: com.fasterxml.jackson.databind.JsonNode): Polygon =
+    def poly(n: com.fasterxml.jackson.databind.JsonNode): Polygon = {
+      require(n.size() > 0, "empty Polygon coordinates")
       Polygon(pts(n.get(0)), (1 until n.size()).map(i => pts(n.get(i))))
+    }
     node.get("type").asText() match {
       case "GeometryCollection" =>
         // RFC 7946 §3.1.8: members under "geometries", not "coordinates"
         val gs = node.get("geometries")
+        require(gs != null && gs.size() > 0,
+          "empty GeometryCollection") // EMPTY is valid GeoJSON but has
+        // no bbox — reject at PARSE time as a client error, not deep
+        // inside a predicate (possibly a Spark UDF → 500)
         GeometryCollection((0 until gs.size()).map(i =>
           parseGeoJson(gs.get(i).toString)))
       case ty =>
         val coords = node.get("coordinates")
+        require(coords != null &&
+          (if (ty == "Point") coords.size() >= 2 else coords.size() > 0),
+          s"empty $ty coordinates")
         ty match {
           case "Point" => Point(pt(coords))
           case "LineString" => LineString(pts(coords))
@@ -344,8 +369,14 @@ object Geo {
   def parseWkt(wkt: String): Geometry = {
     val s = wkt.trim
     val upper = s.toUpperCase
-    def body(prefix: String): String =
-      s.substring(s.indexOf('(')).trim
+    def body(prefix: String): String = {
+      val i = s.indexOf('(')
+      // paren-less input (e.g. the standard `POINT EMPTY` form, or
+      // plain garbage) must be a CLIENT error, not a
+      // StringIndexOutOfBoundsException the server maps to a 500
+      require(i >= 0, s"unparseable WKT (no coordinate body): $wkt")
+      s.substring(i).trim
+    }
     def coords(str: String): IndexedSeq[Pt] =
       str.split(",").iterator.map { pair =>
         val xs = pair.trim.split("\\s+")

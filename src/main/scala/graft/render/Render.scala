@@ -181,7 +181,10 @@ object Render {
     g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF,
       java.awt.Font.PLAIN, 11))
     niceTicks(mapping.vmin, mapping.vmax, 5).foreach { v =>
-      val t = (v - mapping.vmin) / (mapping.vmax - mapping.vmin)
+      // vmin == vmax is a reachable query override: 0/0 = NaN would
+      // pin the tick at the bar top — center the single value instead
+      val range = mapping.vmax - mapping.vmin
+      val t = if (range == 0.0) 0.5 else (v - mapping.vmin) / range
       val ty = top + ((1.0 - t) * barH).round.toInt
       g.drawLine(barX + barW, ty, barX + barW + 4, ty)
       g.drawString(tickLabel(v), barX + barW + 7, ty + 4)

@@ -28,7 +28,17 @@ class TileService(levels: Seq[CubeFrame], tileSize: Int = 256) {
   def renderTile(variable: String, time: Timestamp, z: Int,
                  tileX: Int, tileY: Int, mapping: ColorMapping): Array[Byte] = {
     val cube = levelForZ(z)
-    Render.renderTile(cube, variable, time, tileX, tileY, tileSize, tileSize,
-      mapping, flipY = cube.grid.latAscending)
+    // a 4-D cube must render ONE plane — unfiltered, every extra-dim
+    // plane's rows overlay last-write-wins in collect order
+    // (nondeterministic pixels). This convenience API selects each
+    // extra dim's FIRST coordinate, the documented no-param default
+    // (GraftServer's ?dim= routes pick explicit planes upstream).
+    val plane =
+      if (cube.extraDims.isEmpty) cube
+      else cube.copy(df = cube.extraDims.foldLeft(cube.df)((df, ed) =>
+        df.filter(org.apache.spark.sql.functions.col(ed.name) ===
+          ed.values.head)))
+    Render.renderTile(plane, variable, time, tileX, tileY, tileSize,
+      tileSize, mapping, flipY = cube.grid.latAscending)
   }
 }

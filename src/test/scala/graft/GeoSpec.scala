@@ -164,4 +164,25 @@ class GeoSpec extends AnyFunSuite {
     for (y <- 0 until 8; x <- 0 until 8)
       assert(mGc(y)(x) == (mA(y)(x) || mB(y)(x)), s"cell ($y,$x)")
   }
+
+  test("empty/degenerate geometries are rejected at PARSE time as " +
+      "client errors (review r17)") {
+    // Empty coordinate arrays are valid GeoJSON and `POINT EMPTY` is
+    // valid WKT, but neither has a bbox — failing later inside a
+    // predicate (UnsupportedOperationException / StringIndexOOB, both
+    // mapped to HTTP 500, possibly from inside a Spark UDF) hid a
+    // client error. parseGeoJson/parseWkt now throw
+    // IllegalArgumentException (the server's 400 class) up front.
+    for (bad <- Seq(
+        """{"type":"LineString","coordinates":[]}""",
+        """{"type":"Polygon","coordinates":[]}""",
+        """{"type":"MultiPolygon","coordinates":[]}""",
+        """{"type":"Point","coordinates":[]}""",
+        """{"type":"GeometryCollection","geometries":[]}"""))
+      intercept[IllegalArgumentException](Geo.parseGeoJson(bad))
+    for (bad <- Seq("POINT EMPTY", "POLYGON EMPTY", "not wkt at all"))
+      intercept[IllegalArgumentException](Geo.parseWkt(bad))
+    // non-empty forms still parse
+    assert(Geo.parseWkt("POINT (1 2)") == Point(Pt(1, 2)))
+  }
 }
