@@ -36,6 +36,11 @@ object AsOf {
   private def ordCol(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
       case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      // NTZ → LTZ is a wall-clock identity under the engine's UTC
+      // session contract; a direct cast("long") on NTZ is an
+      // AnalysisException, so route through the timestamp cast.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
       case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("long")
       case _ => col(c).cast("long")
     }

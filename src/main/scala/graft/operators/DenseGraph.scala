@@ -158,7 +158,11 @@ object DenseGraph {
     // distinct undirected edges as packed id pairs; capacity from the
     // per-run fan-out, summed in LONG (k·(k−1)/2 overflows Int past
     // 2¹⁶ parts in one order) and capped at the dispatch guard's
-    // fan-out bound — only a hint, the buffer still grows if exceeded
+    // fan-out bound — only a hint, the builder still grows if exceeded.
+    // ArrayBuilder.ofLong keeps the backing array PRIMITIVE: a generic
+    // ArrayBuffer[Long] boxes every element (~32 B each), which at the
+    // 2²⁶ guard bound is ~2 GB of java.lang.Long — the 8 B/edge budget
+    // the guard math promises only holds unboxed.
     var hint = 0L
     var r = 0
     while (r < op.length) {
@@ -168,7 +172,8 @@ object DenseGraph {
       hint += k * (k - 1) / 2
       r = q
     }
-    val raw = new ArrayBuffer[Long](math.min(hint, DenseMaxFanout).toInt)
+    val raw = new scala.collection.mutable.ArrayBuilder.ofLong
+    raw.sizeHint(math.min(hint, DenseMaxFanout).toInt)
     r = 0
     while (r < op.length) {
       var q = r + 1
@@ -184,7 +189,7 @@ object DenseGraph {
       }
       r = q
     }
-    val edges = raw.toArray
+    val edges = raw.result()
     java.util.Arrays.sort(edges)
     var m = 0
     var i = 0
@@ -410,9 +415,10 @@ object DenseGraph {
       itemId(t) = pAll(i); itemCnt(t) = (j - i).toLong; t += 1
       i = j
     }
-    // pair instances per order run (capacity ≤ DenseMaxFanout by guard)
+    // pair instances per order run (capacity ≤ DenseMaxFanout by
+    // guard); primitive builder — see the boxing note in buildCsr
     var nOrders = 0L
-    val inst = new ArrayBuffer[Long]()
+    val inst = new scala.collection.mutable.ArrayBuilder.ofLong
     i = 0
     while (i < m) {
       var j = i + 1
@@ -429,7 +435,7 @@ object DenseGraph {
       }
       i = j
     }
-    val pe = inst.toArray
+    val pe = inst.result()
     java.util.Arrays.sort(pe)
     // run-length pair counts with the support floor, then the final
     // total order (n_ab desc, a, b)

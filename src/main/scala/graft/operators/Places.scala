@@ -107,7 +107,9 @@ object Places {
     val parse: String => Geo.Geometry =
       if (geoJson) Geo.parseGeoJson else Geo.parseWkt
     val hits = udf((g: String) => Geo.intersects(parse(g), box))
-    features.filter(hits(col(geomCol)))
+    // geometry-less features (null column) can't intersect anything;
+    // without the filter the UDF receives the null and NPEs mid-task
+    features.filter(col(geomCol).isNotNull).filter(hits(col(geomCol)))
   }
 
   /** Keep features whose GeoJSON geometry intersects the WKT query
@@ -124,7 +126,10 @@ object Places {
   def featuresIntersectingGeometry(features: DataFrame, geoJsonCol: String,
                                    query: Geo.Geometry): DataFrame = {
     val hits = udf((gj: String) => Geo.intersects(Geo.parseGeoJson(gj), query))
-    features.filter(hits(col(geoJsonCol)))
+    // null-geometry features excluded up front (NPE guard, same as
+    // featuresIntersectingBox; the server routes filter too — this
+    // keeps the operator safe for direct library callers)
+    features.filter(col(geoJsonCol).isNotNull).filter(hits(col(geoJsonCol)))
   }
 
   /** Point-frame variant over a parsed geometry. */

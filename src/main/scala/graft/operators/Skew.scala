@@ -16,9 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types whose semantics survive salting: each BIG row carries
+    * exactly one salt, so big-side multiplicity is unchanged; the
+    * SMALL side is replicated factor×, so any join type that can emit
+    * unmatched small rows (right/full outer) would emit them factor
+    * times — silently wrong, hence rejected. */
+  private val SaltSafeJoinTypes = Set(
+    "inner", "cross", "left", "leftouter", "left_outer",
+    "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltFrom: String, factor: Int,
                  joinType: String = "inner"): DataFrame = {
+    require(
+      SaltSafeJoinTypes(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: join type '$joinType' would duplicate unmatched " +
+        s"small-side rows $factor times (the small side is replicated " +
+        "per salt); use inner/left/left_semi/left_anti")
     val salted = big.withColumn("_salt",
       pmod(xxhash64(col(saltFrom)), lit(factor)).cast("int"))
     val replicated = small.withColumn("_salt",
@@ -70,6 +84,12 @@ object Skew {
                      saltFrom: String, factor: Int, partitions: Int,
                      sampleFraction: Double = 0.05,
                      joinType: String = "inner"): (DataFrame, Boolean) = {
+    // validate up front, not only on the (data-dependent) hot path —
+    // a 'full_outer' caller must fail on every corpus, not just hot ones
+    require(
+      SaltSafeJoinTypes(joinType.toLowerCase.replace(" ", "")),
+      s"autoSaltedJoin: join type '$joinType' is not salt-safe; " +
+        "use inner/left/left_semi/left_anti")
     val report = probe(big, key, sampleFraction)
     if (report.hot(partitions))
       (saltedJoin(big, small, key, saltFrom, factor, joinType), true)

@@ -49,9 +49,20 @@ object CdcApply {
     val spark = batch.sparkSession
     val payloadCols = batch.columns.filterNot(
       Set("change_id", "op", "key")).toSeq
+    // Reject unknown ops up front: without this, an op that is neither
+    // 'upsert' nor 'delete' (a producer typo like 'Upsert') falls into
+    // the merge's otherwise() branch and silently INSERTS the key with
+    // all-null payload (new key) or silently keeps stale state
+    // (existing key) — corruption, not an error.
+    val checked = batch.withColumn("op",
+      when(col("op").isin("upsert", "delete"), col("op"))
+        .otherwise(raise_error(concat(
+          lit("CdcApply: unknown op '"), col("op"),
+          lit("' for key "), col("key"),
+          lit(" (expected 'upsert' or 'delete')")))))
     // latest change per key within the batch wins
     val w = Window.partitionBy("key").orderBy(col("change_id").desc)
-    val latest = batch
+    val latest = checked
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val fs = new Path(stateDir)

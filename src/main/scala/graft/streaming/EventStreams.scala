@@ -110,8 +110,15 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
+    // null guard (same contract as streamingVelocity): a null user_id
+    // or value would crash the primitive tuple decoder at runtime; the
+    // batch twin groups null users into one meaningless pseudo-user —
+    // excluding them is the honest streaming semantics. null values
+    // ride as 0.0: sum-wise identical to the batch null-skipping sum.
     val typed = events
-      .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts",
+        "coalesce(value, 0.0d) AS value")
       .withWatermark("ts", "1 hour")
       .as[(Long, java.sql.Timestamp, Double)]
     typed.groupByKey(_._1)
@@ -159,7 +166,8 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = rows.sparkSession
     import spark.implicits._
-    rows.selectExpr(s"CAST($keyCol AS STRING) AS k", s"$idCol AS id")
+    rows.filter(col(idCol).isNotNull) // null id crashes the Long decoder
+      .selectExpr(s"CAST($keyCol AS STRING) AS k", s"$idCol AS id")
       .as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, (String, Long)](
@@ -383,6 +391,7 @@ object EventStreams {
     import spark.implicits._
     val HourMs = 3600000L
     val typed = events
+      .filter(col("ts").isNotNull) // a null ts would NPE at ts.getTime
       .selectExpr("event_type", "CAST(ts AS TIMESTAMP) AS ts")
       .withWatermark("ts", "1 hour")
       .as[(String, java.sql.Timestamp)]
@@ -542,7 +551,11 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
+    // null user_id/event_id would crash the primitive decoder; the
+    // batch twin's null-user partition produces pseudo-user
+    // transitions — excluded here (streamingVelocity contract)
     val typed = events
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
       .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
         "event_id", "event_type")
       .as[(Long, Long, Long, String)]
@@ -680,9 +693,15 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    val typed = events.select(col("user_id"),
-        (col("event_type") === "purchase" && col("value") > minValue)
-          .cast("int").as("conv"))
+    // filter + when/otherwise mirror the batch abTestZ exactly: null
+    // users fall outside both variants' sums there (variant NULL
+    // matches neither when()), and a null value/event_type counts as
+    // conv=0 via otherwise(0) — a bare cast("int") would carry the
+    // null into the primitive decoder and crash
+    val typed = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase" && col("value") > minValue,
+          1).otherwise(0).as("conv"))
       .as[(Long, Int)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[AbUserState, AbDelta](

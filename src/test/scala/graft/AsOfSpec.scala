@@ -74,4 +74,23 @@ class AsOfSpec extends SparkSpec {
     assert(out.getAs[org.apache.spark.sql.Row]("asof")
       .getAs[String]("rv") == "last")
   }
+
+  test("TIMESTAMP_NTZ time columns join at micros precision " +
+      "(a bare cast-to-long on NTZ is an AnalysisException)") {
+    import spark.implicits._
+    def ntz(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("t", col("t").cast("timestamp_ntz"))
+    val left = ntz(Seq((1L, "2024-01-01 10:00:00.1", "l"))
+      .toDF("k", "t", "tag"))
+    val right = ntz(Seq(
+        (1L, "2024-01-01 09:59:59.5", 1L, "before"),
+        (1L, "2024-01-01 10:00:00.9", 2L, "after"))
+      .toDF("k", "t", "rid", "rv"))
+    assert(left.schema("t").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val out = AsOf.joinAsOf(left, right, "k", "t", "t", "rid").collect()(0)
+    // sub-second semantics preserved: .9 is after .1, only .5 precedes
+    assert(out.getAs[org.apache.spark.sql.Row]("asof")
+      .getAs[String]("rv") == "before")
+  }
 }

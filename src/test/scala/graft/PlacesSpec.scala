@@ -50,6 +50,22 @@ class PlacesSpec extends SparkSpec {
     assert(hits == Set(1L, 2L))
   }
 
+  test("null-geometry features are excluded, not an NPE mid-task") {
+    import spark.implicits._
+    val features = Seq((1L, "POINT (0.5 0.5)"), (2L, null))
+      .toDF("fid", "wkt")
+    val hits = Places.featuresIntersectingBox(features, "wkt",
+      lonMin = 0.0, latMin = 0.0, lonMax = 1.0, latMax = 1.0)
+      .select("fid").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L))
+    val gj = Seq((1L, """{"type":"Point","coordinates":[0.5,0.5]}"""),
+      (2L, null)).toDF("fid", "gj")
+    val hits2 = Places.featuresIntersectingGeometry(gj, "gj",
+      graft.geo.Geo.parseWkt("POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"))
+      .select("fid").collect().map(_.getLong(0)).toSet
+    assert(hits2 == Set(1L))
+  }
+
   test("exact intersects excludes bbox-overlap-only features (J1 full)") {
     import spark.implicits._
     // diamond polygon: bbox is [0,0]..[10,10] but the geometry misses

@@ -22,6 +22,26 @@ class SaltedJoinSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salt-unsafe join types are rejected (replicated small side " +
+      "would emit unmatched rows factor times)") {
+    import spark.implicits._
+    val fact = Seq((1L, 1L)).toDF("id", "k")
+    val dim = Seq((1L, "a"), (2L, "unmatched")).toDF("k", "grp")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      intercept[IllegalArgumentException] {
+        Skew.saltedJoin(fact, dim, "k", "id", 4, joinType = jt)
+      }
+      intercept[IllegalArgumentException] {
+        Skew.autoSaltedJoin(fact, dim, "k", "id", 4, 8, joinType = jt)
+      }
+    }
+    // the safe types still work, salted and probed
+    assert(Skew.saltedJoin(fact, dim, "k", "id", 4, joinType = "left")
+      .count() == 1L)
+    assert(Skew.saltedJoin(fact, dim, "k", "id", 4, joinType = "left_anti")
+      .count() == 0L)
+  }
+
   test("salt spreads the hot key across buckets and fans the dim side") {
     import spark.implicits._
     val fact = (0L until 512L).map(i => (i, 42L)).toDF("id", "k")
