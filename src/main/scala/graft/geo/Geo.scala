@@ -25,6 +25,9 @@ object Geo {
   }
 
   sealed trait Geometry {
+    /** cached per instance (lazy val in every case class): bbox sits on
+      * the Places/zonal predicate hot paths, where a per-call recompute
+      * walked every coordinate again for each row tested */
     def bbox: BBox
     /** even-odd containment; boundary points count as inside for
       * horizontal-ray crossing in the usual half-open convention */
@@ -32,38 +35,38 @@ object Geo {
   }
 
   final case class Point(p: Pt) extends Geometry {
-    def bbox: BBox = BBox(p.x, p.y, p.x, p.y)
+    lazy val bbox: BBox = BBox(p.x, p.y, p.x, p.y)
     def contains(q: Pt): Boolean = q == p
   }
 
   final case class LineString(pts: IndexedSeq[Pt]) extends Geometry {
-    def bbox: BBox = Geo.bboxOf(pts)
+    lazy val bbox: BBox = Geo.bboxOf(pts)
     def contains(q: Pt): Boolean = false
   }
 
   /** shell + holes, neither necessarily closed (first==last optional) */
   final case class Polygon(shell: IndexedSeq[Pt],
                            holes: Seq[IndexedSeq[Pt]] = Nil) extends Geometry {
-    def bbox: BBox = Geo.bboxOf(shell)
+    lazy val bbox: BBox = Geo.bboxOf(shell)
     def contains(p: Pt): Boolean =
       rayCast(shell, p) && !holes.exists(h => rayCast(h, p))
   }
 
   final case class MultiPolygon(polys: Seq[Polygon]) extends Geometry {
-    def bbox: BBox = Geo.bboxUnion(polys.map(_.bbox))
+    lazy val bbox: BBox = Geo.bboxUnion(polys.map(_.bbox))
     def contains(p: Pt): Boolean = polys.exists(_.contains(p))
   }
 
   /** RFC 7946 §3.1.3 / shapely MultiPoint (utils.py:100-121 lists it in
     * PRIMITIVE_GEOMETRY_TYPES — accepted everywhere a geometry is). */
   final case class MultiPoint(points: Seq[Pt]) extends Geometry {
-    def bbox: BBox = Geo.bboxOf(points)
+    lazy val bbox: BBox = Geo.bboxOf(points)
     def contains(q: Pt): Boolean = points.contains(q)
   }
 
   /** RFC 7946 §3.1.5 / shapely MultiLineString. */
   final case class MultiLineString(lines: Seq[IndexedSeq[Pt]]) extends Geometry {
-    def bbox: BBox = Geo.bboxUnion(lines.map(Geo.bboxOf))
+    lazy val bbox: BBox = Geo.bboxUnion(lines.map(Geo.bboxOf))
     def contains(q: Pt): Boolean = false
   }
 
@@ -72,7 +75,7 @@ object Geo {
     * predicate is the union (∃ member) of the members' answers, matching
     * shapely's collection semantics. */
   final case class GeometryCollection(members: Seq[Geometry]) extends Geometry {
-    def bbox: BBox = Geo.bboxUnion(members.map(_.bbox))
+    lazy val bbox: BBox = Geo.bboxUnion(members.map(_.bbox))
     def contains(p: Pt): Boolean = members.exists(_.contains(p))
   }
 
@@ -219,14 +222,14 @@ object Geo {
   def intersects(a: Geometry, b: Geometry): Boolean = {
     if (!a.bbox.intersects(b.bbox)) return false
     (a, b) match {
-      case (MultiPolygon(ps), g) => ps.exists(intersects(_, g))
-      case (g, MultiPolygon(ps)) => ps.exists(intersects(g, _))
       // composites (Multi*/Collection) = ∃ primitive member intersecting
       // (shapely collection semantics); decompose the left side first,
       // then the right, so only primitive pairs reach the core below.
-      case (c @ (_: MultiPoint | _: MultiLineString | _: GeometryCollection), g) =>
+      case (c @ (_: MultiPolygon | _: MultiPoint | _: MultiLineString |
+                 _: GeometryCollection), g) =>
         primitives(c).exists(intersects(_, g))
-      case (g, c @ (_: MultiPoint | _: MultiLineString | _: GeometryCollection)) =>
+      case (g, c @ (_: MultiPolygon | _: MultiPoint | _: MultiLineString |
+                    _: GeometryCollection)) =>
         primitives(c).exists(intersects(g, _))
       case (Point(p), Point(q)) => p == q
       case (Point(p), LineString(pts)) =>

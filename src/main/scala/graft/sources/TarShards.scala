@@ -92,51 +92,51 @@ object TarShards {
   }
 
   /** Read every `*.tar` under `dir` back as (file, name, payload),
-    * one task per shard. Accepts any ustar archive with regular-file
-    * members (including GNU tar output). */
+    * one task per shard ([[ShardIo]] scaffolding). Accepts any ustar
+    * archive with regular-file members (including GNU tar output). */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val base = new Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(base).map(_.getPath)
-      .filter(_.getName.endsWith(".tar")).map(_.toString).sorted
-    val rows = spark.sparkContext
-      .parallelize(files.toIndexedSeq, math.max(1, files.length))
-      .flatMap { f =>
-        val p = new Path(f)
-        val in = p.getFileSystem(conf.value).open(p)
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        try {
-          var done = false
-          while (!done) {
-            val h = new Array[Byte](Block)
-            in.readFully(h)
-            if (h.forall(_ == 0)) done = true // end-of-archive block
-            else {
-              val name = new String(h, 0, 100, "UTF-8").takeWhile(_ != 0)
-              val sizeStr = new String(h, 124, 12, "US-ASCII")
-                .takeWhile(c => c != 0 && c != ' ')
-              val size = java.lang.Long.parseLong(sizeStr, 8)
-              val stored = new String(h, 148, 8, "US-ASCII")
-                .filter(c => c >= '0' && c <= '7')
-              java.util.Arrays.fill(h, 148, 156, ' '.toByte)
-              val sum = h.map(_ & 0xFF).sum
-              require(java.lang.Long.parseLong(stored, 8) == sum,
-                s"$f: tar header checksum mismatch for '$name'")
-              val payload = new Array[Byte](size.toInt)
-              in.readFully(payload)
-              val tail = size % Block
-              if (tail != 0) in.skipBytes((Block - tail).toInt)
-              if (h(156) == '0' || h(156) == 0) // regular file members
-                out += Row(p.getName, name, payload)
-            }
-          }
-        } finally in.close()
-        out
-      }
+    val files = ShardIo.listShards(spark, dir)(_.endsWith(".tar"))
+    val rows = ShardIo.perShardRows(spark, files)(parseStream)
     spark.createDataFrame(rows, StructType(Seq(
       StructField("file", StringType), StructField("name", StringType),
       StructField("payload", BinaryType))))
+  }
+
+  /** Strict one-shard parse: (shard, member name, payload) rows.
+    * Closes the stream (the [[ShardIo.perShardRows]] ownership
+    * contract). */
+  def parseStream(in0: java.io.InputStream, shard: String): Seq[Row] = {
+    val in = in0 match {
+      case d: java.io.DataInputStream => d
+      case other => new java.io.DataInputStream(other)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      var done = false
+      while (!done) {
+        val h = new Array[Byte](Block)
+        in.readFully(h)
+        if (h.forall(_ == 0)) done = true // end-of-archive block
+        else {
+          val name = new String(h, 0, 100, "UTF-8").takeWhile(_ != 0)
+          val sizeStr = new String(h, 124, 12, "US-ASCII")
+            .takeWhile(c => c != 0 && c != ' ')
+          val size = java.lang.Long.parseLong(sizeStr, 8)
+          val stored = new String(h, 148, 8, "US-ASCII")
+            .filter(c => c >= '0' && c <= '7')
+          java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+          val sum = h.map(_ & 0xFF).sum
+          require(java.lang.Long.parseLong(stored, 8) == sum,
+            s"$shard: tar header checksum mismatch for '$name'")
+          val payload = new Array[Byte](size.toInt)
+          in.readFully(payload)
+          val tail = size % Block
+          if (tail != 0) in.skipBytes((Block - tail).toInt)
+          if (h(156) == '0' || h(156) == 0) // regular file members
+            out += Row(shard, name, payload)
+        }
+      }
+    } finally in.close()
+    out.toSeq
   }
 }

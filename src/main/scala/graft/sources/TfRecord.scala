@@ -39,19 +39,14 @@ object TfRecord {
     (rot + MaskDelta) & 0xFFFFFFFFL
   }
 
-  private def le64(v: Long): Array[Byte] =
-    (0 until 8).map(i => ((v >>> (8 * i)) & 0xFF).toByte).toArray
-  private def le32(v: Long): Array[Byte] =
-    (0 until 4).map(i => ((v >>> (8 * i)) & 0xFF).toByte).toArray
-  private def readLe64(b: Array[Byte]): Long =
-    (0 until 8).map(i => (b(i) & 0xFFL) << (8 * i)).sum
-  private def readLe32(b: Array[Byte]): Long =
-    (0 until 4).map(i => (b(i) & 0xFFL) << (8 * i)).sum
-
-  /** One serialized record: length, length-crc, payload, payload-crc. */
+  /** One serialized record: length, length-crc, payload, payload-crc.
+    * LE words via the shared [[Le]] codec (maskedCrc is an unsigned
+    * 32-bit value — the truncating toInt keeps its low 32 bits, which
+    * is exactly the wire word). */
   def encode(payload: Array[Byte]): Array[Byte] = {
-    val len = le64(payload.length.toLong)
-    len ++ le32(maskedCrc(len)) ++ payload ++ le32(maskedCrc(payload))
+    val len = Le.bytes64(payload.length.toLong)
+    len ++ Le.bytes32(maskedCrc(len).toInt) ++ payload ++
+      Le.bytes32(maskedCrc(payload).toInt)
   }
 
   /** Write each partition of `df`'s single binary column as one
@@ -94,54 +89,54 @@ object TfRecord {
     * are listed driver-side (file metadata only) and parsed inside
     * tasks, one task per shard. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val base = new Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(base).map(_.getPath)
-      .filter(_.getName.endsWith(".tfrecord")).map(_.toString).sorted
-    val rows = spark.sparkContext
-      .parallelize(files.toIndexedSeq, math.max(1, files.length))
-      .flatMap { f =>
-        val p = new Path(f)
-        val in = p.getFileSystem(conf.value).open(p)
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        try {
-          var idx = 0L
-          var done = false
-          while (!done) {
-            val lenB = new Array[Byte](8)
-            val first = in.read(lenB, 0, 8)
-            if (first < 0) done = true
-            else {
-              var off = first
-              while (off < 8) {
-                val k = in.read(lenB, off, 8 - off)
-                require(k > 0, s"$f: truncated length at record $idx")
-                off += k
-              }
-              val lenCrc = new Array[Byte](4)
-              in.readFully(lenCrc)
-              require(readLe32(lenCrc) == maskedCrc(lenB),
-                s"$f: length CRC mismatch at record $idx")
-              val len = readLe64(lenB)
-              require(len >= 0 && len <= Int.MaxValue,
-                s"$f: unreasonable record length $len at record $idx")
-              val payload = new Array[Byte](len.toInt)
-              in.readFully(payload)
-              val payCrc = new Array[Byte](4)
-              in.readFully(payCrc)
-              require(readLe32(payCrc) == maskedCrc(payload),
-                s"$f: payload CRC mismatch at record $idx")
-              out += Row(p.getName, idx, payload)
-              idx += 1
-            }
-          }
-        } finally in.close()
-        out
-      }
+    val files = ShardIo.listShards(spark, dir)(_.endsWith(".tfrecord"))
+    val rows = ShardIo.perShardRows(spark, files)(parseStream)
     spark.createDataFrame(rows, StructType(Seq(
       StructField("file", StringType), StructField("record_idx", LongType),
       StructField("payload", BinaryType))))
+  }
+
+  /** Strict one-shard parse with both CRCs verified per record.
+    * Closes the stream (the [[ShardIo.perShardRows]] ownership
+    * contract). */
+  def parseStream(in0: java.io.InputStream, shard: String): Seq[Row] = {
+    val in = in0 match {
+      case d: java.io.DataInputStream => d
+      case other => new java.io.DataInputStream(other)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      var idx = 0L
+      var done = false
+      while (!done) {
+        val lenB = new Array[Byte](8)
+        val first = in.read(lenB, 0, 8)
+        if (first < 0) done = true
+        else {
+          var off = first
+          while (off < 8) {
+            val k = in.read(lenB, off, 8 - off)
+            require(k > 0, s"$shard: truncated length at record $idx")
+            off += k
+          }
+          val lenCrc = new Array[Byte](4)
+          in.readFully(lenCrc)
+          require((Le.read32(lenCrc) & 0xffffffffL) == maskedCrc(lenB),
+            s"$shard: length CRC mismatch at record $idx")
+          val len = Le.read64(lenB)
+          require(len >= 0 && len <= Int.MaxValue,
+            s"$shard: unreasonable record length $len at record $idx")
+          val payload = new Array[Byte](len.toInt)
+          in.readFully(payload)
+          val payCrc = new Array[Byte](4)
+          in.readFully(payCrc)
+          require((Le.read32(payCrc) & 0xffffffffL) == maskedCrc(payload),
+            s"$shard: payload CRC mismatch at record $idx")
+          out += Row(shard, idx, payload)
+          idx += 1
+        }
+      }
+    } finally in.close()
+    out.toSeq
   }
 }

@@ -184,20 +184,11 @@ object Warc {
   /** Read every `*.warc` / `*.warc.gz` under `dir` — one task per
     * shard file, shard list driver-side (metadata only). */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val base = new Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(base).map(_.getPath)
-      .filter(p => p.getName.endsWith(".warc") ||
-        p.getName.endsWith(".warc.gz"))
-      .map(_.toString).sorted
-    val rows = spark.sparkContext
-      .parallelize(files.toIndexedSeq, math.max(1, files.length))
-      .flatMap { f =>
-        val p = new Path(f)
-        parseStream(p.getFileSystem(conf.value).open(p), p.getName)
-      }
+    val files = ShardIo.listShards(spark, dir)(n =>
+      n.endsWith(".warc") || n.endsWith(".warc.gz"))
+    // parseStream is LAZY (iterator) — it closes via a task-completion
+    // listener, per the ShardIo ownership contract
+    val rows = ShardIo.perShardRows(spark, files)(parseStream)
     spark.createDataFrame(rows, schema)
   }
 
@@ -257,12 +248,9 @@ object Warc {
           dos.write(bytes); dos.finish()
           val crc = new java.util.zip.CRC32()
           crc.update(bytes)
-          def le32(v: Long): Unit = {
-            var i = 0
-            while (i < 4) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
-          }
-          le32(crc.getValue)
-          le32(bytes.length.toLong & 0xffffffffL)
+          // gzip trailer: CRC32 + ISIZE, both LE (shared Le codec)
+          out.write(Le.bytes32(crc.getValue.toInt))
+          out.write(Le.bytes32(bytes.length))
           deflater.reset()
           bytes.length
         }
