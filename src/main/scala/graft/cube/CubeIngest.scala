@@ -95,14 +95,29 @@ object CubeIngest {
       else ", \"extraDims\": [" + extraDims.map(d =>
         s"""{"name": "${d.name}", "units": "${d.units}", """ +
           s""""values": [${d.values.mkString(", ")}]}""").mkString(", ") + "]"
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_graft_meta.json"),
+    writeSidecar(path, "_graft_meta.json",
       s"""{"grid": {"width": ${g.width}, "height": ${g.height},
          | "lonMin": ${g.lonMin}, "latMin": ${g.latMin}, "res": ${g.res},
          | "latAscending": ${g.latAscending}},
          | "variables": [${variables.map("\"" + _ + "\"").mkString(", ")}],
          | "tileSize": $tileSize, "layout": 2$schemaField$extraField}"""
         .stripMargin)
+  }
+
+  /** Sidecar writes go through the Hadoop FileSystem of the TARGET
+    * path, like the parquet write beside them — a java.nio write would
+    * silently bind the ingest to the local filesystem while the data
+    * itself lands wherever the cluster mounts (S5: levels on object
+    * stores). */
+  private def writeSidecar(dir: String, name: String, body: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   private def readMeta(path: String)
@@ -204,9 +219,8 @@ object CubeIngest {
                         agg: Pyramid.Agg = Pyramid.Mean,
                         tileSize: Int = 256): Seq[CubeGrid] = {
     val levels = Pyramid.build(cube, agg, tileSize, tileSize)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/level=0.link"), fullResPath)
+    // FS-agnostic like writeMeta (fs.create makes parent dirs)
+    writeSidecar(path, "level=0.link", fullResPath)
     levels.zipWithIndex.drop(1).foreach { case (lv, k) =>
       writeCube(lv, s"$path/level=$k", tileSize)
     }

@@ -74,6 +74,31 @@ class BlobStoreSpec extends SparkSpec {
     assert(linked.df.count() == 64L * 32 * 2)
   }
 
+  test("writeCube ingests DIRECTLY to a non-file scheme: parquet and " +
+      "the _graft_meta.json/.link sidecars all land through the target " +
+      "Hadoop FS (a java.nio sidecar write would bind ingest to the " +
+      "local filesystem)") {
+    val grid = CubeGrid(32, 16, 0.0, 0.0, 0.5, latAscending = true)
+    val cube = Cube.synthetic(spark, grid, numTimes = 2, Seq("v0"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-s3w").toString
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mock-s3.impl", classOf[MockS3FileSystem].getName)
+    try {
+      val root = s"mock-s3://bucket$dir/c"
+      graft.cube.CubeIngest.writeCube(cube, root, tileSize = 16)
+      // sidecar exists under the scheme (written via the mock FS, which
+      // backs onto the local path part)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/c/_graft_meta.json")))
+      val opened = graft.cube.CubeIngest.open(spark, root)
+      assert(opened.grid == grid && opened.variables == Seq("v0"))
+      assert(opened.df.count() == 32L * 16 * 2)
+    } finally {
+      graft.sources.BlobStore.drop(s"mock-s3://bucket$dir/c")
+      spark.sparkContext.hadoopConfiguration.unset("fs.mock-s3.impl")
+    }
+  }
+
   test("LRU evicts by bytes and stays within budget") {
     val store = writeStore()
     val counting = new Counting(new LocalBlobStore(store))

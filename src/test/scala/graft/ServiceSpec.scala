@@ -56,6 +56,22 @@ ServiceProvider:
     assert(cfg.provider("ProviderName") == "graft")
   }
 
+  test("a style ColorMapping without ValueRange is a named config " +
+      "error, not a bare NPE") {
+    val bad = """
+Styles:
+  - Identifier: broken
+    ColorMappings:
+      v0:
+        ColorBar: jet
+"""
+    val e = intercept[IllegalArgumentException] {
+      ServiceConfig.fromString(bad)
+    }
+    assert(e.getMessage.contains("broken") &&
+      e.getMessage.contains("ValueRange"))
+  }
+
   private def demoContext(): ServiceContext = {
     val ctx = new ServiceContext(spark)
     val grid = CubeGrid(8, 4, 0.0, 50.0, 0.5, latAscending = true)
