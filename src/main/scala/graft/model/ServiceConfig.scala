@@ -98,7 +98,7 @@ object ServiceConfig {
       val cms = Option(s.get("ColorMappings")).map { cm =>
         cm.properties().asScala.map { e =>
           val vr = e.getValue.get("ValueRange")
-          require(vr != null && vr.size() >= 2,
+          require(vr != null && vr.isArray && vr.size() >= 2,
             s"style '${str(s, "Identifier").getOrElse("")}': ColorMappings." +
               s"${e.getKey} needs ValueRange: [min, max]")
           e.getKey -> ColorMappingConfig(

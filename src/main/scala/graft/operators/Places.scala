@@ -106,9 +106,10 @@ object Places {
     val box = Geo.boxSplitGeometry(lonMin, latMin, lonMax, latMax)
     val parse: String => Geo.Geometry =
       if (geoJson) Geo.parseGeoJson else Geo.parseWkt
-    val hits = udf((g: String) => Geo.intersects(parse(g), box))
-    // geometry-less features (null column) can't intersect anything;
-    // without the filter the UDF receives the null and NPEs mid-task
+    // null-tolerant INSIDE the UDF: Spark's UDF contract allows the
+    // optimizer to reorder WHERE conjuncts, so an isNotNull filter
+    // alone does not guarantee the UDF never sees the null
+    val hits = udf((g: String) => g != null && Geo.intersects(parse(g), box))
     features.filter(col(geomCol).isNotNull).filter(hits(col(geomCol)))
   }
 
@@ -125,10 +126,10 @@ object Places {
     * (places.py:64-94). */
   def featuresIntersectingGeometry(features: DataFrame, geoJsonCol: String,
                                    query: Geo.Geometry): DataFrame = {
-    val hits = udf((gj: String) => Geo.intersects(Geo.parseGeoJson(gj), query))
-    // null-geometry features excluded up front (NPE guard, same as
-    // featuresIntersectingBox; the server routes filter too — this
-    // keeps the operator safe for direct library callers)
+    // null-tolerant inside the UDF (see featuresIntersectingBox: the
+    // optimizer may reorder conjuncts past the isNotNull filter)
+    val hits = udf((gj: String) =>
+      gj != null && Geo.intersects(Geo.parseGeoJson(gj), query))
     features.filter(col(geoJsonCol).isNotNull).filter(hits(col(geoJsonCol)))
   }
 

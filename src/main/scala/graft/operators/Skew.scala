@@ -29,7 +29,7 @@ object Skew {
                  saltFrom: String, factor: Int,
                  joinType: String = "inner"): DataFrame = {
     require(
-      SaltSafeJoinTypes(joinType.toLowerCase.replace(" ", "")),
+      SaltSafeJoinTypes(joinType.toLowerCase(java.util.Locale.ROOT).replace(" ", "")),
       s"saltedJoin: join type '$joinType' would duplicate unmatched " +
         s"small-side rows $factor times (the small side is replicated " +
         "per salt); use inner/left/left_semi/left_anti")
@@ -87,7 +87,7 @@ object Skew {
     // validate up front, not only on the (data-dependent) hot path —
     // a 'full_outer' caller must fail on every corpus, not just hot ones
     require(
-      SaltSafeJoinTypes(joinType.toLowerCase.replace(" ", "")),
+      SaltSafeJoinTypes(joinType.toLowerCase(java.util.Locale.ROOT).replace(" ", "")),
       s"autoSaltedJoin: join type '$joinType' is not salt-safe; " +
         "use inner/left/left_semi/left_anti")
     val report = probe(big, key, sampleFraction)

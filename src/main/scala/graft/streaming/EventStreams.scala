@@ -555,7 +555,8 @@ object EventStreams {
     // batch twin's null-user partition produces pseudo-user
     // transitions — excluded here (streamingVelocity contract)
     val typed = events
-      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+        col("ts").isNotNull)
       .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
         "event_id", "event_type")
       .as[(Long, Long, Long, String)]
@@ -591,7 +592,9 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    val typed = events.filter(col("user_id").isNotNull)
+    val typed = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull)
       .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
         "event_id")
       .as[(Long, Long, Long)]

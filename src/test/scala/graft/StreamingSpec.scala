@@ -915,16 +915,21 @@ class StreamingSpec extends SparkSpec {
     // ts stored as epoch-nanos int64 (the bigint branch of readEvents)
     val rows = Seq(
       // user 1: click then purchase (one transition, one conversion)
-      (Some(1L), Some(1L), 1L * hourNs, Some("click"), Some(10.0)),
-      (Some(2L), Some(1L), 1L * hourNs + 1, Some("purchase"), Some(200.0)),
+      (Some(1L), Some(1L), Some(1L * hourNs), Some("click"), Some(10.0)),
+      (Some(2L), Some(1L), Some(1L * hourNs + 1), Some("purchase"),
+        Some(200.0)),
       // null user: would crash the Long decoder un-filtered
-      (Some(3L), None, 1L * hourNs + 2, Some("click"), Some(5.0)),
-      (Some(4L), None, 1L * hourNs + 3, Some("purchase"), Some(999.0)),
+      (Some(3L), None, Some(1L * hourNs + 2), Some("click"), Some(5.0)),
+      (Some(4L), None, Some(1L * hourNs + 3), Some("purchase"),
+        Some(999.0)),
       // user 2: null value and null event_type rows
-      (Some(5L), Some(2L), 2L * hourNs, None, Some(300.0)),
-      (Some(6L), Some(2L), 2L * hourNs + 1, Some("purchase"), None),
+      (Some(5L), Some(2L), Some(2L * hourNs), None, Some(300.0)),
+      (Some(6L), Some(2L), Some(2L * hourNs + 1), Some("purchase"), None),
       // null event_id (transitions filter; others ignore it)
-      (None, Some(2L), 2L * hourNs + 2, Some("view"), Some(1.0)))
+      (None, Some(2L), Some(2L * hourNs + 2), Some("view"), Some(1.0)),
+      // null ts: would NPE/crash the ts_us decode in transitions and
+      // the ts.getTime in sessions — must be excluded, not fatal
+      (Some(8L), Some(1L), None, Some("view"), Some(2.0)))
     rows.map { case (eid, uid, ts, et, v) => (eid, ts, uid, et, v, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(dir)
