@@ -668,7 +668,12 @@ object DedupIndex {
     load(spark, key).getOrElse {
       val oldDf = old
       val bloom = Dedup.boundedBloom(oldDf, bloomCol, estItems)
-      save(spark, key, bloom, oldDf.distinct())
+      // distinct over the (h1, h2) PROJECTION load() reads back — the
+      // same hardening incrementalExactBatch's base write got: a
+      // caller whose `old` carries ride-along columns would otherwise
+      // persist duplicate (h1, h2) pairs that a downstream LEFT join
+      // against the index multiplies (semi-join probes are immune)
+      save(spark, key, bloom, oldDf.select("h1", "h2").distinct())
       load(spark, key).getOrElse(
         throw new IllegalStateException(s"dedup sidecar write failed: $key"))
     }

@@ -1067,6 +1067,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("loadOrBuild persists the (h1, h2) PROJECTION distinct: an old " +
+      "frame with ride-along columns cannot plant duplicate pairs that " +
+      "a LEFT join against the index would multiply") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_didx_p").toString
+    spark.conf.set("spark.graft.dedup.indexDir", dir)
+    try {
+      // same (h1, h2) twice with different ride-along values: a
+      // whole-row distinct would keep both
+      val old = Seq((1L, 10L, "a"), (1L, 10L, "b"), (2L, 20L, "a"))
+        .toDF("h1", "h2", "extra")
+      val (_, index) = graft.pipeline.DedupIndex.loadOrBuild(
+        spark, sf("sf0.001"), "projtest-v1", old, "h1", 10L)
+      val rows = index.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      assert(rows == Seq((1L, 10L), (2L, 20L)))
+    } finally {
+      spark.conf.unset("spark.graft.dedup.indexDir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("dedup_incremental persists the snapshot sidecar: the second " +
       "batch launches zero jobs over the old corpus") {
     // Round-9 "Missing #4": an every-snapshot pipeline must not rescan
