@@ -387,19 +387,11 @@ object AnalyticsQueries {
     WITH ${graft.pipeline.IvfIndex.cellsSqlCtes(
         "embeddings", "vec_id", "embedding")},
     e AS (SELECT emb.vec_id, emb.embedding, emb.label, ivf_cells.cell,
-      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        [CAST(emb.embedding[CAST(i AS INT)] AS DOUBLE)
-           * CAST(emb.embedding[CAST(i AS INT)] AS DOUBLE)
-         FOR i IN range(1, len(emb.embedding) + 1)]),
-        (x, y) -> x + y)) AS norm
+      sqrt(${PipelineQueries.dotSql("emb.embedding", "emb.embedding")}) AS norm
       FROM embeddings emb JOIN ivf_cells ON emb.vec_id = ivf_cells.id),
     pairs AS (SELECT q.vec_id, q.label AS actual,
         c.vec_id AS nbr_id, c.label AS nbr_label,
-        ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-          [CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
-             * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)
-           FOR i IN range(1, len(q.embedding) + 1)]),
-          (x, y) -> x + y) / (q.norm * c.norm), 6) AS cos
+        ROUND(${PipelineQueries.dotSql("q.embedding", "c.embedding")} / (q.norm * c.norm), 6) AS cos
       FROM e q JOIN e c ON q.cell = c.cell
       WHERE q.vec_id >= 400 AND c.vec_id < 400),
     top5 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -910,19 +902,11 @@ object AnalyticsQueries {
     WITH ${graft.pipeline.IvfIndex.cellsSqlCtes(
         "embeddings", "vec_id", "embedding")},
     e AS (SELECT emb.vec_id, emb.embedding, emb.label, ivf_cells.cell,
-      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        [CAST(emb.embedding[CAST(i AS INT)] AS DOUBLE)
-           * CAST(emb.embedding[CAST(i AS INT)] AS DOUBLE)
-         FOR i IN range(1, len(emb.embedding) + 1)]),
-        (x, y) -> x + y)) AS norm
+      sqrt(${PipelineQueries.dotSql("emb.embedding", "emb.embedding")}) AS norm
       FROM embeddings emb JOIN ivf_cells ON emb.vec_id = ivf_cells.id),
     pairs AS (SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
         c.vec_id AS neg_id, c.label AS neg_label,
-        ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-          [CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
-             * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)
-           FOR i IN range(1, len(q.embedding) + 1)]),
-          (x, y) -> x + y) / (q.norm * c.norm), 6) AS cos
+        ROUND(${PipelineQueries.dotSql("q.embedding", "c.embedding")} / (q.norm * c.norm), 6) AS cos
       FROM e q JOIN e c ON q.cell = c.cell
       WHERE q.vec_id < 20 AND c.label <> q.label)
     SELECT anchor_id, anchor_label, neg_id, neg_label, cos,

@@ -880,22 +880,16 @@ object EngineQueries {
         "vec_id", "embedding")).persist()
     val a = base.filter(col("label") < 5)
     val b = base.filter(col("label") >= 5)
+    // score+rank through the package's ONE cell-rerank contract
+    // (ExtraQueries.cellScoreTopK — 6-dp round before ranking, tie by
+    // neighbor_id); the co-partitioned join of two half-corpus sides
+    // stays here (neither side is broadcastable at scale)
     def cellTopK(queries: DataFrame, corpus: DataFrame): DataFrame = {
       val q = queries.select(col("cell"), col("vec_id").as("query_id"),
         col("embedding").as("q_vec"), col("norm").as("q_norm"))
       val c = corpus.select(col("cell"), col("vec_id").as("neighbor_id"),
         col("embedding").as("c_vec"), col("norm").as("c_norm"))
-      val scored = c.join(q, Seq("cell"))
-        .withColumn("cos", round(
-          graft.functions.VecF.dotF(col("q_vec"), col("c_vec")) /
-            (col("q_norm") * col("c_norm")), 6))
-        // drop the vectors before the ranking window so its exchange
-        // carries only (query_id, neighbor_id, cos)
-        .select("query_id", "neighbor_id", "cos")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      ExtraQueries.cellScoreTopK(c.join(q, Seq("cell")), 4)
         .select("query_id", "neighbor_id", "cos")
     }
     val out = bitextMargin(cellTopK(a, b), cellTopK(b, a))

@@ -284,6 +284,29 @@ object ExtraQueries {
         VecF.normF(col("embedding")).as("norm")),
       "vec_id", "embedding"))
 
+  /** The score+rank contract EVERY cell-probe rerank shares (this
+    * module's IVF rankers and [[EngineQueries]]' bitext miner): exact
+    * cosine via the codegen dot kernel, rounded to 6 dp BEFORE
+    * ranking, rank by (cos desc, neighbor_id) — the arithmetic and
+    * tie-break the DuckDB mirrors replay bit-for-bit, kept as ONE
+    * definition so a change can never leave a second copy on the old
+    * arithmetic. `joined` carries (query_id, neighbor_id, q_vec,
+    * c_vec, q_norm, c_norm); join shape (broadcast 20 queries vs
+    * co-partitioned half-corpus, self-exclusion) stays caller-owned —
+    * it is a scale decision, not part of the contract. Vectors are
+    * dropped before the ranking window so its exchange carries only
+    * (query_id, neighbor_id, cos). */
+  private[queries] def cellScoreTopK(joined: DataFrame, k: Int): DataFrame = {
+    val scored = joined.withColumn("cos", round(
+        VecF.dotF(col("q_vec"), col("c_vec")) /
+          (col("q_norm") * col("c_norm")), 6))
+      .select("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** cell-probe + exact-cosine rerank over an assigned (vec_id,
     * embedding, norm, cell) corpus — shared by the in-flight and the
     * persisted-sidecar index variants (same plan, same oracle). */
@@ -291,15 +314,12 @@ object ExtraQueries {
     val queries = base.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
         col("norm").as("q_norm"), col("cell"))
-    val scored = base.join(broadcast(queries), Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cos", round(
-        VecF.dotF(col("q_vec"), col("embedding")) / (col("q_norm") * col("norm")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
+    val joined = base.select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_vec"), col("norm").as("c_norm"))
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    cellScoreTopK(joined, 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rank").cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
@@ -375,10 +395,10 @@ object ExtraQueries {
   }
 
   val ivfRecallEvalSql: String = {
-    def dot(a: String, b: String): String =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         | [CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)
-         |  FOR i IN range(1, len($a) + 1)]), (x, y) -> x + y)""".stripMargin
+    // ONE definition of the DuckDB dot fold per package: the fold text
+    // is the bit-exactness contract with FloatVectorDot — a drifted
+    // copy would diverge one oracle's float arithmetic from the engine
+    def dot(a: String, b: String): String = PipelineQueries.dotSql(a, b)
     s"""
     WITH ${graft.pipeline.IvfIndex.cellsSqlCtes(
         "embeddings", "vec_id", "embedding")},
@@ -412,15 +432,9 @@ object ExtraQueries {
   }
 
   val simAnnIvfSql: String = {
-    def dotSelf(a: String): String = {
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         | [CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($a[CAST(i AS INT)] AS DOUBLE)
-         |  FOR i IN range(1, len($a) + 1)]), (x, y) -> x + y)""".stripMargin
-    }
-    def dotAb(a: String, b: String): String =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         | [CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)
-         |  FOR i IN range(1, len($a) + 1)]), (x, y) -> x + y)""".stripMargin
+    // shared fold text — see ivfRecallEvalSql
+    def dotSelf(a: String): String = PipelineQueries.dotSql(a, a)
+    def dotAb(a: String, b: String): String = PipelineQueries.dotSql(a, b)
     s"""
     WITH ${graft.pipeline.IvfIndex.cellsSqlCtes(
         "embeddings", "vec_id", "embedding")},
