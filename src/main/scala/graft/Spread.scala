@@ -1,0 +1,64 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Scan-parallelism heal (r17-opt; optimization-guide §2.5's
+  * "unsplittable input" case).
+  *
+  * A parquet scan's task count is bounded by its ROW-GROUP count —
+  * Spark assigns byte-range splits, but a row group is read whole by
+  * the split holding its midpoint — so a table stored as one (or few)
+  * row groups runs its entire scan stage (decode, per-row expressions,
+  * map-side partial aggregation) on one core no matter how many the
+  * session has. Measured at sf0.1: the 15-decimal-sum corr_matrix
+  * aggregate runs ~0.7 s single-threaded over a 1-row-group file on a
+  * 32-core session.
+  *
+  * When the footers show the scan cannot reach even half the session's
+  * cores, [[Spread.apply]] hash-redistributes the scan output by a
+  * caller-chosen deterministic key so downstream per-row work
+  * parallelizes. Any input with row groups ≥ cores/2 — every
+  * production-sized table — is returned untouched, so no exchange is
+  * ever added at scale; the heal only fires where the input layout has
+  * already made the scan serial. Hash (not round-robin) partitioning:
+  * keyless round-robin pays a per-partition sort
+  * (spark.sql.execution.sortBeforeRepartition, SPARK-23207) the heal
+  * does not need, because the caller's key is deterministic per row.
+  *
+  * The footer verdict is memoized per snapshot token and session
+  * parallelism (zero jobs on a hit — the ParquetStats dispatch-guard
+  * discipline used across the engine).
+  */
+object Spread {
+
+  private val memo = new ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** True iff the path's parquet layout bounds scan parallelism below
+    * half the session's cores. Unreadable footers report false (never
+    * add an exchange on unknown layout). */
+  def narrow(s: SparkSession, path: String): Boolean = {
+    val par = s.sparkContext.defaultParallelism
+    val key = path + "|" +
+      sources.ParquetStats.snapshotToken(s, path) + "|" + par
+    Option(memo.get(key)).map(_.booleanValue).getOrElse {
+      val v = sources.ParquetStats.rowGroupCount(s, path)
+        .exists(_ < par / 2)
+      if (memo.size > 256) memo.clear()
+      memo.put(key, v)
+      v
+    }
+  }
+
+  /** `df` hash-redistributed across the session's cores by `key` iff
+    * `path`'s footers bound the scan below half of them; `df`
+    * unchanged otherwise. Row order is not part of any caller's
+    * contract (aggregates/joins downstream); results are identical
+    * either way. */
+  def apply(s: SparkSession, path: String, df: DataFrame, key: Column)
+      : DataFrame =
+    if (narrow(s, path))
+      df.repartition(s.sparkContext.defaultParallelism, key)
+    else df
+}

@@ -35,9 +35,35 @@ object Tables {
       "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
   }
 
+  /** Resolved-relation memo (r17-opt). `spark.read.parquet` pays
+    * schema inference (a synchronous footer read) plus file listing on
+    * EVERY call — measured ~90 ms per call warm — and every query
+    * construction re-reads its tables, so the bench paid it ~400
+    * times per sitting. A resolved Dataset is an immutable logical
+    * plan (exactly what a catalog table reuses), so it is memoized per
+    * (session, path, file length, mtime): no row data is cached — the
+    * plan still scans parquet on every execution — and a republished
+    * file (new length/mtime) misses the memo, the same snapshot-key
+    * discipline as ParquetStats/DedupIndex. Bounded: cleared wholesale
+    * past 64 entries (stopped test sessions would otherwise pin their
+    * plans). */
+  private val relCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long, Long), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val key = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p)
+      (spark, path, st.getLen, st.getModificationTime)
+    } catch { case _: Throwable => (spark, path, -1L, -1L) }
+    if (key._3 < 0) spark.read.parquet(path)
+    else {
+      if (relCache.size > 64) relCache.clear()
+      relCache.computeIfAbsent(key, _ => spark.read.parquet(path))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")

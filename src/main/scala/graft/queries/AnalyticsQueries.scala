@@ -62,7 +62,11 @@ object AnalyticsQueries {
     * once and BOTH engines clip against the rounded bounds, so the
     * comparison stays bit-identical. */
   def winsorize(s: SparkSession, d: String): DataFrame = {
-    val oc = Tables.orders(s, d)
+    // r17-opt: Spread parallelizes both percentile passes AND lets the
+    // second pass reuse the first's exchange (identical subtree) —
+    // one orders scan instead of two
+    val oc = graft.Spread(s, s"$d/orders.parquet", Tables.orders(s, d),
+        col("o_orderkey"))
       .join(broadcast(Tables.customer(s, d)),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("segment"),
@@ -103,7 +107,10 @@ object AnalyticsQueries {
     * aggregates are exact percentiles. The 1.4826 factor scales MAD to
     * σ under normality; > 3σ-equivalent flags the outlier. */
   def madOutliers(s: SparkSession, d: String): DataFrame = {
-    val oc = Tables.orders(s, d)
+    // r17-opt: same Spread heal as winsorize — parallel percentile
+    // passes + exchange reuse across the three scans
+    val oc = graft.Spread(s, s"$d/orders.parquet", Tables.orders(s, d),
+        col("o_orderkey"))
       .join(broadcast(Tables.customer(s, d)),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("segment"),
@@ -1245,7 +1252,8 @@ object AnalyticsQueries {
     * are DECIMAL-exact and the share divides the two exact decimals
     * once, so class boundaries are bit-stable cross-engine. */
   def ordersAbc(s: SparkSession, d: String): DataFrame = {
-    val rev = Tables.lineitem(s, d)
+    val rev = graft.Spread(s, s"$d/lineitem.parquet",
+        Tables.lineitem(s, d), col("l_orderkey"))
       .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand").as("brand"), col("p_partkey").as("part_id"))
       .agg(sum(col("l_extendedprice").cast("decimal(38,6)")).as("rev"))
@@ -1480,7 +1488,10 @@ object AnalyticsQueries {
       dsum(lx(x) * lx(y)).as(s"sp_${x}_$y")
     }
     val allAggs = count(lit(1)).as("n") +: aggs
-    val m = Tables.lineitem(s, d).agg(allAggs.head, allAggs.tail: _*)
+    // r17-opt: 15 exact-decimal sums per row, single-threaded on a
+    // 1-row-group layout — Spread heals scan parallelism (no-op at scale)
+    val m = graft.Spread(s, s"$d/lineitem.parquet", Tables.lineitem(s, d),
+      col("l_orderkey")).agg(allAggs.head, allAggs.tail: _*)
     // all six r's from the ONE aggregate row, then unpivot — a single
     // corpus scan, not one per pair
     val pairStructs = pairs.map { case (x, y) =>

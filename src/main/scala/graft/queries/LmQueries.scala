@@ -47,7 +47,10 @@ object LmQueries {
     * candidate-only contract as the dedup family. */
   def ngramHot(s: SparkSession, d: String): DataFrame = {
     val T = 2
-    val grams = grams5(Tables.documents(s, d))
+    // r17-opt: Spread parallelizes the 5-gram explode+hash, which runs
+    // twice (hot set + join-back) over the same scan
+    val grams = grams5(graft.Spread(s, s"$d/documents.parquet",
+        Tables.documents(s, d), col("doc_id")))
       .withColumn("hg", HashF.polyHashWide(col("ng")))
     val hot = grams.select("doc_id", "hg").groupBy("hg")
       .agg(countDistinct(col("doc_id")).as("df_h"))

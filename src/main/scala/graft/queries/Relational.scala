@@ -23,7 +23,11 @@ object Relational {
   /** TPC-H Q1-shaped pricing summary: scan + filter + groupBy agg.
     * Demonstrates A1/A2-style null-skipping aggregation at scale. */
   def q1(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    // r17-opt: 8 exact-decimal aggregates per row ran single-threaded
+    // on the 1-row-group local layout — Spread heals scan parallelism
+    // (no-op when footers show enough row groups)
+    graft.Spread(s, s"$d/lineitem.parquet", Tables.lineitem(s, d),
+        col("l_orderkey"))
       .filter(col("l_shipdate") <= lit(Cut).cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -202,17 +206,43 @@ object Relational {
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     ORDER BY c_custkey"""
 
-  /** ROLLUP grouping sets over (returnflag, linestatus). */
-  def aggRollup(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .rollup("l_returnflag", "l_linestatus")
-      .agg(Q.dsum(col("l_quantity")).as("sum_qty"),
+  /** ROLLUP grouping sets over (returnflag, linestatus).
+    *
+    * r17-opt: `.rollup` plans an Expand that replicates EVERY fact row
+    * once per grouping set — 3× the rows through the partial
+    * aggregate, in the (unsplittable) scan stage. Decimal sums and
+    * counts are exact and associative, so the two coarser levels are
+    * now re-aggregated from the leaf (returnflag, linestatus) groups —
+    * a ≤ 6-row frame — and each level rounds the SAME exact decimal
+    * total the rollup would have produced. One pass over the fact,
+    * identical rows out (data nulls, were any present, stay their own
+    * groups exactly like rollup's, since coalesce is applied after the
+    * re-aggregation). */
+  def aggRollup(s: SparkSession, d: String): DataFrame = {
+    val leaf = graft.Spread(s, s"$d/lineitem.parquet",
+        Tables.lineitem(s, d), col("l_orderkey"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast(Q.Dec)).as("qd"),
         count(lit(1)).as("n_rows"))
+    val perFlag = leaf.groupBy("l_returnflag")
+      .agg(lit(null).cast("string").as("l_linestatus"),
+        sum(col("qd")).as("qd"), sum(col("n_rows")).as("n_rows"))
+    val total = leaf
+      .agg(sum(col("qd")).as("qd"), sum(col("n_rows")).as("n_rows"))
+      .select(lit(null).cast("string").as("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus"),
+        col("qd"), col("n_rows"))
+    leaf.select(col("l_returnflag"), col("l_linestatus"), col("qd"),
+        col("n_rows"))
+      .unionByName(perFlag.select(col("l_returnflag"), col("l_linestatus"),
+        col("qd"), col("n_rows")))
+      .unionByName(total)
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-        col("sum_qty"), col("n_rows"))
+        round(col("qd"), 2).cast("double").as("sum_qty"), col("n_rows"))
       .orderBy("returnflag", "linestatus")
+  }
 
   val aggRollupSql: String = s"""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

@@ -458,15 +458,25 @@ object StatQueries {
     * ratio divides the two UNROUNDED decimal sums in double (shared
     * formula), so the rounded display columns never feed arithmetic. */
   def q14PromoShare(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d)
+    // r17-opt: group on the INT year*100+month key and render the
+    // "yyyy-MM" label AFTER aggregation (≤ a few hundred rows) instead
+    // of per fact row — date_format runs a DateTimeFormatter per row
+    // and the string key hashed/compared per row in the aggregate;
+    // year/month are integer field extractions. Identical labels: all
+    // shipdates carry 4-digit years, so %04d-%02d reconstructs
+    // date_format's zero-padded output exactly.
+    graft.Spread(s, s"$d/lineitem.parquet", Tables.lineitem(s, d),
+        col("l_orderkey"))
       .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
-      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .as("ym"))
       .agg(sum(when(col("p_type") === "PROMO",
           col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .otherwise(lit(0.0)).cast(Q.Dec)).as("promo_d"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast(Q.Dec)).as("total_d"))
-      .select(col("month"),
+      .select(format_string("%04d-%02d", expr("ym div 100"), expr("ym % 100"))
+        .as("month"),
         expr("CAST(ROUND(promo_d, 2) AS DOUBLE)").as("promo_rev"),
         expr("CAST(ROUND(total_d, 2) AS DOUBLE)").as("total_rev"),
         expr(PromoPctF).as("promo_pct"))

@@ -83,6 +83,15 @@ object ParquetStats {
     }.sum)
     catch { case _: Exception => None }
 
+  /** Total row-group count across all files; None on any read failure.
+    * A parquet scan's achievable task parallelism is bounded by this
+    * (Spark cannot split a row group), so dispatch guards use it to
+    * detect scans that cannot occupy the session (r17-opt,
+    * [[graft.Spread]]). */
+  def rowGroupCount(spark: SparkSession, pathStr: String): Option[Long] =
+    try Some(footers(spark, pathStr).map(_.getBlocks.size.toLong).sum)
+    catch { case _: Exception => None }
+
   /** (min, max) of an int64 column across all row groups; None when any
     * row group lacks the statistic (or on read failure) — callers must
     * treat None as "unknown", never as empty. */
