@@ -33,6 +33,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Spread {
 
+  /** Session conf that disables the heal ("true" by default). The
+    * plan-shape tests pin the AT-SCALE plan contracts — where the
+    * footer guard makes Spread a structural no-op — so they set this
+    * false instead of faking a many-row-group layout; SpreadSpec owns
+    * the local firing behavior (guard verdicts, result equality, the
+    * reused exchange). */
+  val EnabledConf = "spark.graft.spread"
+
   private val memo = new ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** True iff the path's parquet layout bounds scan parallelism below
@@ -58,7 +66,7 @@ object Spread {
     * either way. */
   def apply(s: SparkSession, path: String, df: DataFrame, key: Column)
       : DataFrame =
-    if (narrow(s, path))
+    if (s.conf.get(EnabledConf, "true") == "true" && narrow(s, path))
       df.repartition(s.sparkContext.defaultParallelism, key)
     else df
 }

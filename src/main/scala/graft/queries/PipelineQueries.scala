@@ -1203,7 +1203,8 @@ object PipelineQueries {
     * goes through DECIMAL(38,12) so the float sum is order-independent
     * across engines (the repo's oracle-determinism convention). */
   def textUnigramLogprob(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = graft.Spread(s, s"$d/documents.parquet",
+      Tables.documents(s, d), col("doc_id"))
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
@@ -1407,7 +1408,9 @@ object PipelineQueries {
     * threshold branch and the labeling branch as the same canonical
     * subtree, so ReuseExchange computes it once. */
   def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // r17-opt: Spread — the tokenize explode feeds two consumers
+    val docs = graft.Spread(s, s"$d/documents.parquet",
+      Tables.documents(s, d), col("doc_id"))
     val toks = docs.select(col("doc_id"), col("source"),
       explode(split(col("text"), " ")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
@@ -3123,7 +3126,8 @@ object PipelineQueries {
     val nTok = size(toks)
     val stopHits =
       size(filter(toks, t => t.isInCollection(TextAnalysis.Stopwords)))
-    val feats = Tables.documents(s, d).select(
+    val feats = graft.Spread(s, s"$d/documents.parquet",
+      Tables.documents(s, d), col("doc_id")).select(
       col("source"),
       lit(1.0).as("x0"),
       least(lit(1.0), nTok.cast("double") / 100.0).as("x1"),
@@ -3753,7 +3757,8 @@ object PipelineQueries {
       size(filter(toks, t => t.isInCollection(TextAnalysis.Stopwords)))
     val q = round(least(lit(1.0), nTok.cast("double") / 100.0) *
       (lit(1.0) - stopHits.cast("double") / nTok), 6)
-    val quality = Tables.documents(s, d)
+    val quality = graft.Spread(s, s"$d/documents.parquet",
+        Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), col("source"), q.as("q"))
     val srp = textUnigramLogprob(s, d)
       .select(col("doc_id"), col("avg_neg_logprob").as("srp"))
@@ -4372,6 +4377,8 @@ object PipelineQueries {
     * shared by [[bm25Topk]] (top-5 cut) and [[retrievalRrfFusion]]
     * (top-20 lexical arm). */
   private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    // r17-opt: Spread parallelizes the two tokenize passes (postings +
+    // length stats) that otherwise run on the single scan task
     import s.implicits._
     val queryTerms: Seq[(String, String)] = Seq(
       "q1" -> "spark", "q1" -> "join",
@@ -4379,7 +4386,8 @@ object PipelineQueries {
       "q3" -> "hash", "q3" -> "table", "q3" -> "scan")
     val qt = queryTerms.toDF("query_id", "t")
     val terms = queryTerms.map(_._2).distinct
-    val docs = Tables.documents(s, d)
+    val docs = graft.Spread(s, s"$d/documents.parquet",
+      Tables.documents(s, d), col("doc_id"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), " ")).cast("long")).as("tot_len"))
     val tf = docs
@@ -5337,15 +5345,15 @@ object PipelineQueries {
       .select(posexplode(array(cellCols(col("h")): _*))
         .as(Seq("r", "cell")))
       .groupBy("r", "cell").agg(count(lit(1)).as(cname))
-    val cmsA = cms(Tables.lineitem(s, d), "ca")
-    val cmsB = cms(Tables.lineitem(s, d)
-      .filter(col("l_returnflag") === "R"), "cb")
+    val li = graft.Spread(s, s"$d/lineitem.parquet",
+      Tables.lineitem(s, d), col("l_orderkey"))
+    val cmsA = cms(li, "ca")
+    val cmsB = cms(li.filter(col("l_returnflag") === "R"), "cb")
     val est = cmsA.join(cmsB, Seq("r", "cell"))
       .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
       .agg(min(col("ip")).as("est_join_rows"))
-    val fa = Tables.lineitem(s, d)
-      .groupBy("l_partkey").agg(count(lit(1)).as("fa"))
-    val fb = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val fa = li.groupBy("l_partkey").agg(count(lit(1)).as("fa"))
+    val fb = li.filter(col("l_returnflag") === "R")
       .groupBy("l_partkey").agg(count(lit(1)).as("fb"))
     val exact = fa.join(fb, Seq("l_partkey"))
       .agg(sum(col("fa") * col("fb")).as("exact_join_rows"))

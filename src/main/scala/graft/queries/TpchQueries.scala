@@ -433,7 +433,11 @@ object TpchQueries {
     * list is small (big orders are rare), so the join-back broadcasts
     * the survivors, not the fact. */
   def q18(s: SparkSession, d: String): DataFrame = {
-    val big = Tables.lineitem(s, d)
+    // r17-opt: Spread by the GROUP key — the heal's hash exchange
+    // satisfies the aggregate's distribution, so the partial decimal
+    // sums move off the single scan task at zero extra exchanges
+    val big = graft.Spread(s, s"$d/lineitem.parquet",
+        Tables.lineitem(s, d), col("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(Q.dsum(col("l_quantity")).as("sum_qty"))
       .filter(col("sum_qty") > 300.0)
@@ -546,7 +550,8 @@ object TpchQueries {
   def q21(s: SparkSession, d: String): DataFrame = {
     val late = col("l_shipdate") >
       col("o_orderdate") + expr("INTERVAL 90 DAYS")
-    val per = Tables.lineitem(s, d)
+    val per = graft.Spread(s, s"$d/lineitem.parquet",
+        Tables.lineitem(s, d), col("l_orderkey"))
       .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
         .select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))

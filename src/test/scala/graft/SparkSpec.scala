@@ -14,6 +14,13 @@ object TestSpark {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")
+      // The plan-shape suites pin AT-SCALE contracts, where the
+      // Spread scan-parallelism heal is a footer-guarded structural
+      // no-op (row groups >= cores/2) — so it is off here and its
+      // local firing behavior (guard verdicts, result equality, the
+      // reused exchange) is owned by SpreadSpec, which re-enables it
+      // per test.
+      .config(Spread.EnabledConf, "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
