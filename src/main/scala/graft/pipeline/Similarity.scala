@@ -286,13 +286,30 @@ object Similarity {
     * the survivor set — and therefore the reranked answer — is
     * bit-reproducible cross-engine (the DuckDB oracle rebuilds the
     * same signatures with its own checked 32-bit shifts). */
+  /** (id, vec, norm, sig) prep shared by multiple [[binaryTopKPrepped]]
+    * passes over one corpus (r17-opt): both bitext directions used to
+    * re-derive signatures and norms per side per direction — six scans
+    * of the embedding table; a caller persists ONE prepped frame and
+    * every pass reads it. Arithmetic identical to [[binaryTopK]]'s
+    * inline derivation (same expressions). Extra columns ride along. */
+  def prep(emb: DataFrame, vecCol: String): DataFrame =
+    emb.withColumn("norm", VecF.normF(col(vecCol)))
+      .withColumn("sig", VecF.signPack(col(vecCol)))
+
   def binaryTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                 vecCol: String, k: Int, prefilter: Int): DataFrame = {
-    val sigs = corpus.select(col(idCol).as("neighbor_id"),
-      VecF.signPack(col(vecCol)).as("sig"))
-    val qSide = withNorm(queries, vecCol)
+                 vecCol: String, k: Int, prefilter: Int): DataFrame =
+    binaryTopKPrepped(prep(corpus, vecCol), prep(queries, vecCol),
+      idCol, vecCol, k, prefilter)
+
+  /** [[binaryTopK]] over frames already carrying (norm, sig) from
+    * [[prep]] — the shared-scan form. */
+  def binaryTopKPrepped(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        prefilter: Int): DataFrame = {
+    val sigs = corpus.select(col(idCol).as("neighbor_id"), col("sig"))
+    val qSide = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-        col("norm").as("q_norm"), VecF.signPack(col(vecCol)).as("q_sig"))
+        col("norm").as("q_norm"), col("sig").as("q_sig"))
     val hits = sigs
       .crossJoin(broadcast(qSide.select(col("query_id"), col("q_sig"))))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -305,7 +322,7 @@ object Similarity {
       .select(col("query_id"), explode(col("short_list")).as("h"))
       .select(col("query_id"), col("h.id").as("neighbor_id"),
         (-col("h.value_cents")).cast("int").as("hamming"))
-    val reranked = withNorm(corpus, vecCol)
+    val reranked = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         col("norm").as("c_norm"))
       .join(broadcast(hits), Seq("neighbor_id"))
