@@ -112,16 +112,29 @@ object Dedup {
     * rows), switch to per-doc bitsets + a broadcast pair scan with the
     * codegen'd AND-popcount kernel: |pairs| × words work instead of a
     * quarter-billion-row shuffle. Identical results either way. */
+  /** Bounded vocabulary probe (r17-opt): collect up to `limit + 1`
+    * distinct long shingle hashes in ONE job; `Some(sortedDict)` when
+    * the whole vocabulary fits (`limit(n)` returns ALL rows whenever
+    * fewer exist — the subset is only arbitrary past the limit, which
+    * is exactly the None case), `None` when it overflows or `s` is not
+    * a long column. Replaces the expand-×2 countDistinct stats
+    * aggregate AND the distributed distinct→sort→zipWithIndex
+    * dictionary chain: the dict is the probe's own result, driver
+    * memory bounded by the dense-vocab guard by construction. */
+  private[pipeline] def vocabDictLong(sh: DataFrame, limit: Long)
+      : Option[Array[Long]] = {
+    if (sh.schema("s").dataType !=
+        org.apache.spark.sql.types.LongType) return None
+    val vals = sh.select("s").distinct()
+      .limit((limit + 1).toInt).collect().map(_.getLong(0))
+    if (vals.length > limit) None else Some(vals.sorted)
+  }
+
   def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double,
                        denseVocabLimit: Long = 1 << 16,
                        denseBroadcastBytes: Long = 1L << 26): DataFrame = {
     val sh = shingles(df, idCol, textCol).persist()
-    val stats = sh.agg(countDistinct(col("s")).as("vocab"),
-      countDistinct(col("id")).as("docs")).head()
-    val vocab = stats.getLong(0)
-    val docs = stats.getLong(1)
-    val words = (vocab + 63) / 64
     // The dense path broadcasts every doc's packed bitset — guard the
     // broadcast SIZE, not just the vocabulary: a billion-doc corpus with
     // a 60k vocab must NOT take the dense path (its broadcast would be
@@ -133,10 +146,15 @@ object Dedup {
     // (approximate, [[minhashLshPairs]]).
     // both paths return an already-materialized result (they release
     // their own intermediates), so the shingle cache can go immediately
-    val out =
-      if (vocab <= denseVocabLimit && docs * words * 8 <= denseBroadcastBytes)
-        jaccardPairsBitmap(sh, vocab.toInt, threshold)
-      else jaccardPairsPrefix(sh, threshold)
+    val out = vocabDictLong(sh, denseVocabLimit) match {
+      case Some(dict) =>
+        val words = (dict.length + 63) / 64
+        val docs = sh.agg(countDistinct(col("id"))).head().getLong(0)
+        if (docs * words.toLong * 8 <= denseBroadcastBytes)
+          jaccardPairsBitmapDict(sh, dict, threshold)
+        else jaccardPairsPrefix(sh, threshold)
+      case None => jaccardPairsPrefix(sh, threshold)
+    }
     sh.unpersist()
     out
   }
@@ -276,13 +294,57 @@ object Dedup {
       .persist()
   }
 
+  /** Driver-dictionary packing (r17-opt): `dict` is the FULL sorted
+    * shingle vocabulary (bounded by the dense-vocab guard, typically
+    * collected by [[vocabDictLong]]'s probe), so the bit of a shingle
+    * is its binary-search rank — identical assignment to the
+    * distributed distinct→sort→zipWithIndex chain [[packBitsets]]
+    * runs, minus its three dictionary jobs and the corpus-scale dict
+    * join: the pack is ONE groupBy exchange. */
+  private def packBitsetsDict(sh: DataFrame, dict: Array[Long])
+      : DataFrame = {
+    val words = (dict.length + 63) / 64
+    val bc = sh.sparkSession.sparkContext.broadcast(dict)
+    val toBitset = udf((ss: Seq[Long]) => {
+      val d = bc.value
+      val arr = new Array[Long](words)
+      ss.foreach { v =>
+        val b = java.util.Arrays.binarySearch(d, v)
+        arr(b >> 6) |= (1L << (b & 63))
+      }
+      arr
+    })
+    sh.groupBy("id").agg(collect_list(col("s")).as("ss"),
+        count(lit(1)).as("n"))
+      .select(col("id"), toBitset(col("ss")).as("bm"), col("n"))
+      .persist()
+  }
+
+  /** Packed frame for the public bitmap entry points: long shingle
+    * columns take the driver-dict pack (the caller's vocab guard
+    * bounds the collect), anything else the distributed chain. */
+  private def packFor(sh: DataFrame, vocab: Int): DataFrame =
+    if (sh.schema("s").dataType == org.apache.spark.sql.types.LongType)
+      packBitsetsDict(sh,
+        sh.select("s").distinct().collect().map(_.getLong(0)).sorted)
+    else packBitsets(sh, vocab)
+
   def jaccardPairsBitmap(sh: DataFrame, vocab: Int,
-                         threshold: Double): DataFrame = {
+                         threshold: Double): DataFrame =
+    jaccardScanPacked(packFor(sh, vocab), (vocab + 63) / 64, threshold)
+
+  /** [[jaccardPairsBitmap]] with the vocabulary already collected by
+    * the caller's probe (r17-opt fast path — no dictionary jobs). */
+  def jaccardPairsBitmapDict(sh: DataFrame, dict: Array[Long],
+                             threshold: Double): DataFrame =
+    jaccardScanPacked(packBitsetsDict(sh, dict), (dict.length + 63) / 64,
+      threshold)
+
+  private def jaccardScanPacked(docs: DataFrame, words: Int,
+                                threshold: Double): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val spark = sh.sparkSession
-    val words = (vocab + 63) / 64
-    val docs = packBitsets(sh, vocab)
+    val spark = docs.sparkSession
     val idType = docs.schema("id").dataType
     val all = docs.collect().map { r =>
       (r.get(0), r.getSeq[Long](1).toArray, r.getLong(2))
@@ -344,12 +406,21 @@ object Dedup {
     * path generated 5.6M candidates out of 12.5M possible pairs and
     * re-expanded them 40×, 34 s vs ~1 s here). */
   def containmentPairsBitmap(sh: DataFrame, vocab: Int,
-                             threshold: Double): DataFrame = {
+                             threshold: Double): DataFrame =
+    containmentScanPacked(packFor(sh, vocab), (vocab + 63) / 64, threshold)
+
+  /** [[containmentPairsBitmap]] with the caller-collected vocabulary
+    * (r17-opt fast path). */
+  def containmentPairsBitmapDict(sh: DataFrame, dict: Array[Long],
+                                 threshold: Double): DataFrame =
+    containmentScanPacked(packBitsetsDict(sh, dict),
+      (dict.length + 63) / 64, threshold)
+
+  private def containmentScanPacked(docs: DataFrame, words: Int,
+                                    threshold: Double): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val spark = sh.sparkSession
-    val words = (vocab + 63) / 64
-    val docs = packBitsets(sh, vocab)
+    val spark = docs.sparkSession
     val idType = docs.schema("id").dataType
     val all = docs.collect().map { r =>
       (r.get(0), r.getSeq[Long](1).toArray, r.getLong(2))
@@ -406,15 +477,16 @@ object Dedup {
                            denseVocabLimit: Long = 1 << 16,
                            denseBroadcastBytes: Long = 1L << 26): DataFrame = {
     val sh = shingles(df, idCol, textCol).persist()
-    val stats = sh.agg(countDistinct(col("s")).as("vocab"),
-      countDistinct(col("id")).as("docs")).head()
-    val vocab = stats.getLong(0)
-    val docsN = stats.getLong(1)
-    val words = (vocab + 63) / 64
-    val out =
-      if (vocab <= denseVocabLimit && docsN * words * 8 <= denseBroadcastBytes)
-        containmentPairsBitmap(sh, vocab.toInt, threshold)
-      else containmentPairsPrefix(sh, threshold)
+    // same probe + guard structure as [[jaccardPairsAuto]] (r17-opt)
+    val out = vocabDictLong(sh, denseVocabLimit) match {
+      case Some(dict) =>
+        val words = (dict.length + 63) / 64
+        val docsN = sh.agg(countDistinct(col("id"))).head().getLong(0)
+        if (docsN * words.toLong * 8 <= denseBroadcastBytes)
+          containmentPairsBitmapDict(sh, dict, threshold)
+        else containmentPairsPrefix(sh, threshold)
+      case None => containmentPairsPrefix(sh, threshold)
+    }
     sh.unpersist()
     out
   }
