@@ -107,10 +107,7 @@ object AnalyticsQueries {
     * aggregates are exact percentiles. The 1.4826 factor scales MAD to
     * σ under normality; > 3σ-equivalent flags the outlier. */
   def madOutliers(s: SparkSession, d: String): DataFrame = {
-    // r17-opt: same Spread heal as winsorize — parallel percentile
-    // passes + exchange reuse across the three scans
-    val oc = graft.Spread(s, s"$d/orders.parquet", Tables.orders(s, d),
-        col("o_orderkey"))
+    val oc = Tables.orders(s, d)
       .join(broadcast(Tables.customer(s, d)),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("segment"),

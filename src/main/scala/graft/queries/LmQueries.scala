@@ -237,8 +237,7 @@ object LmQueries {
     * (B, V) broadcast, per-doc sums in DECIMAL(38,12). The integer
     * n_ctx_known column pins the context-known/unknown routing. */
   def textKnBigram(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.Spread(s, s"$d/documents.parquet",
-      Tables.documents(s, d), col("doc_id"))
+    val docs = Tables.documents(s, d)
     val w = split(col("text"), " ")
     def bigrams(df: DataFrame, extra: Seq[Column]): DataFrame =
       df.select(extra :+ w.as("w"): _*)

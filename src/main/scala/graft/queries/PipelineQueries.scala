@@ -1408,9 +1408,7 @@ object PipelineQueries {
     * threshold branch and the labeling branch as the same canonical
     * subtree, so ReuseExchange computes it once. */
   def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
-    // r17-opt: Spread — the tokenize explode feeds two consumers
-    val docs = graft.Spread(s, s"$d/documents.parquet",
-      Tables.documents(s, d), col("doc_id"))
+    val docs = Tables.documents(s, d)
     val toks = docs.select(col("doc_id"), col("source"),
       explode(split(col("text"), " ")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
@@ -3126,8 +3124,7 @@ object PipelineQueries {
     val nTok = size(toks)
     val stopHits =
       size(filter(toks, t => t.isInCollection(TextAnalysis.Stopwords)))
-    val feats = graft.Spread(s, s"$d/documents.parquet",
-      Tables.documents(s, d), col("doc_id")).select(
+    val feats = Tables.documents(s, d).select(
       col("source"),
       lit(1.0).as("x0"),
       least(lit(1.0), nTok.cast("double") / 100.0).as("x1"),
@@ -3757,8 +3754,7 @@ object PipelineQueries {
       size(filter(toks, t => t.isInCollection(TextAnalysis.Stopwords)))
     val q = round(least(lit(1.0), nTok.cast("double") / 100.0) *
       (lit(1.0) - stopHits.cast("double") / nTok), 6)
-    val quality = graft.Spread(s, s"$d/documents.parquet",
-        Tables.documents(s, d), col("doc_id"))
+    val quality = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), q.as("q"))
     val srp = textUnigramLogprob(s, d)
       .select(col("doc_id"), col("avg_neg_logprob").as("srp"))
@@ -5345,8 +5341,7 @@ object PipelineQueries {
       .select(posexplode(array(cellCols(col("h")): _*))
         .as(Seq("r", "cell")))
       .groupBy("r", "cell").agg(count(lit(1)).as(cname))
-    val li = graft.Spread(s, s"$d/lineitem.parquet",
-      Tables.lineitem(s, d), col("l_orderkey"))
+    val li = Tables.lineitem(s, d)
     val cmsA = cms(li, "ca")
     val cmsB = cms(li.filter(col("l_returnflag") === "R"), "cb")
     val est = cmsA.join(cmsB, Seq("r", "cell"))

@@ -219,8 +219,7 @@ object Relational {
     * groups exactly like rollup's, since coalesce is applied after the
     * re-aggregation). */
   def aggRollup(s: SparkSession, d: String): DataFrame = {
-    val leaf = graft.Spread(s, s"$d/lineitem.parquet",
-        Tables.lineitem(s, d), col("l_orderkey"))
+    val leaf = Tables.lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(sum(col("l_quantity").cast(Q.Dec)).as("qd"),
         count(lit(1)).as("n_rows"))

@@ -50,8 +50,7 @@ object SketchQueries {
     HashF.polyHashWide(concat_ws(":", HashF.polyHashWide(c), lit(HllSalt)))
 
   def sketchHll(s: SparkSession, d: String): DataFrame = {
-    val ev = graft.Spread(s, s"$d/events.parquet", Tables.events(s, d),
-        col("event_id")).filter(col("user_id").isNotNull)
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
       .select(col("event_type"),
         hllHash(concat_ws(":", col("user_id"),
           expr("ts_us div 86400000000"))).as("h"))

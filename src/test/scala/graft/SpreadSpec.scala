@@ -52,16 +52,16 @@ class SpreadSpec extends SparkSpec {
   }
 
   test("multi-pass consumers share ONE healed scan via ReusedExchange " +
-      "(mad_outliers local shape)") {
+      "(winsorize local shape)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try withSpread {
       val plan = graft.queries.AnalyticsQueries
-        .madOutliers(spark, sf("sf0.001"))
+        .winsorize(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
       val factScans = plan.linesIterator
         .count(l => l.contains("FileScan") && l.contains("orders.parquet"))
       assert(factScans == 1,
-        s"expected the three MAD passes to share one healed scan, " +
+        s"expected the two percentile passes to share one healed scan, " +
           s"got $factScans:\n" + plan.take(1500))
       assert(plan.contains("ReusedExchange"), plan.take(1500))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
