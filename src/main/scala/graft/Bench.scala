@@ -109,10 +109,20 @@ object Bench {
       (q.name, times, times.nonEmpty)
     }
     val loadEnd = loadAvg
+    // r17 postmortem: the driver archives only a BOUNDED TAIL of stdout,
+    // and the 235-query full line exceeded it — PERF_r17 parsed no
+    // per-query data at all. Stdout therefore carries the per-query map
+    // at reduced precision (1 µs — timings are 10^-1..10^1 s, so six
+    // decimals is measurement-noise-free), and the full-precision
+    // record still goes to the SPARK_GRAFT_BENCH_OUT file artifact.
+    def fmt(v: Double): String = {
+      val r = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      r.bigDecimal.toPlainString
+    }
     // failed queries report -1 and are excluded from total, so the one
     // JSON line can't silently pass a failure off as a timing
     val qs = results.map { case (k, ts, ok) =>
-        "\"" + k + "\":" + (if (ok) ts.min else -1) }
+        "\"" + k + "\":" + (if (ok) fmt(ts.min) else "-1") }
       .mkString("{", ",", "}")
     val means = results.collect { case (k, ts, true) =>
         "\"" + k + "\":" + ts.sum / ts.size }
@@ -157,19 +167,38 @@ object Bench {
       .map { case (k, ts, _) =>
         "\"" + k + "\":{\"min\":" + ts.min + ",\"median\":" + median(ts) + "}" }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"means":$means,"medians":$medians,"runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_avg_mid_max":$loadMidMax,"load_flagged":$loadFlag,"load_gate_waited_sec":$waitedSec,"failed":$failed,"sf":"$sfDir"}"""
+    // The contract line: total + complete per-query map. (means/medians
+    // moved to the file artifact in r18 — they tripled this line to
+    // ~22 KB, which is what overflowed the driver's tail capture.)
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_avg_mid_max":$loadMidMax,"load_flagged":$loadFlag,"load_gate_waited_sec":$waitedSec,"failed":$failed,"sf":"$sfDir"}"""
     println(fullLine)
+    // Tail-survivable redundancy (r18, VERDICT r17 #1): the same
+    // per-query map again, chunked into ~40-query lines so that a
+    // bounded tail-only stdout capture still reconstructs per-query
+    // data from whatever complete lines fall inside its window. Chunks
+    // carry metric "queries_chunk" so no parser mistakes a fragment
+    // for the headline record.
+    val chunkRows = results.map { case (k, ts, ok) =>
+      "\"" + k + "\":" + (if (ok) fmt(ts.min) else "-1") }
+    val nChunks = (chunkRows.size + 39) / 40
+    chunkRows.grouped(40).zipWithIndex.foreach { case (g, i) =>
+      println(s"""{"metric":"queries_chunk","chunk":${i + 1},"chunks":$nChunks,"queries":${g.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    }
     // BENCH_r04's tail capture truncated the line above and destroyed
     // the total. Repeat the headline figures in a second, short line so
     // they survive any tail-only capture of stdout.
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_avg_mid_max":$loadMidMax,"load_flagged":$loadFlag,"load_gate_waited_sec":$waitedSec,"slowest":$slowest,"failed":$failed,"sf":"$sfDir","summary":true}""")
-    // First-class artifact path: the FULL record (per-query map
-    // included) goes straight to a file, so the auditable per-query
-    // evidence never depends on how stdout was captured
-    // (BENCH_r15_local.json was summary-only for exactly that reason).
+    // First-class artifact path: the FULL record (per-query map at full
+    // precision, means and medians included) goes straight to a file,
+    // so the auditable per-query evidence never depends on how stdout
+    // was captured (BENCH_r15_local.json was summary-only for exactly
+    // that reason).
+    val qsFull = results.map { case (k, ts, ok) =>
+        "\"" + k + "\":" + (if (ok) ts.min else -1) }
+      .mkString("{", ",", "}")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { f =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
-        fullLine + "\n")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"means":$means,"medians":$medians,"runs":$runs,"attempts":$attempts,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_avg_mid_max":$loadMidMax,"load_flagged":$loadFlag,"load_gate_waited_sec":$waitedSec,"slowest":$slowest,"failed":$failed,"sf":"$sfDir"}""" + "\n")
     }
     spark.stop()
   }

@@ -43,11 +43,28 @@ object Spread {
 
   private val memo = new ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Heal width: the session's advertised parallelism capped at the
+    * cgroup-aware core count the JVM can actually use (r18, VERDICT
+    * r17 #2). `local[32]` advertises 32 regardless of the host's CPU
+    * quota or background load, and a 32-task memory-heavy wave on
+    * fewer effective cores oversubscribes — the r17 driver host ran
+    * ngram_hot's healed 5-gram explode at 7.6 s vs 0.7 s quiet.
+    * `availableProcessors` reflects the cgroup CPU quota on modern
+    * JVMs, so the heal never launches more simultaneous heavy tasks
+    * than the host can actually run. */
+  private[graft] def width(defaultParallelism: Int, availableProcs: Int)
+      : Int = math.max(1, math.min(defaultParallelism, availableProcs))
+
+  private def width(s: SparkSession): Int =
+    width(s.sparkContext.defaultParallelism,
+      Runtime.getRuntime.availableProcessors)
+
   /** True iff the path's parquet layout bounds scan parallelism below
-    * half the session's cores. Unreadable footers report false (never
-    * add an exchange on unknown layout). */
+    * half the heal width (the cores the JVM can actually use).
+    * Unreadable footers report false (never add an exchange on unknown
+    * layout). */
   def narrow(s: SparkSession, path: String): Boolean = {
-    val par = s.sparkContext.defaultParallelism
+    val par = width(s)
     val key = path + "|" +
       sources.ParquetStats.snapshotToken(s, path) + "|" + par
     Option(memo.get(key)).map(_.booleanValue).getOrElse {
@@ -59,14 +76,14 @@ object Spread {
     }
   }
 
-  /** `df` hash-redistributed across the session's cores by `key` iff
-    * `path`'s footers bound the scan below half of them; `df`
+  /** `df` hash-redistributed across the heal width by `key` iff
+    * `path`'s footers bound the scan below half of it; `df`
     * unchanged otherwise. Row order is not part of any caller's
     * contract (aggregates/joins downstream); results are identical
     * either way. */
   def apply(s: SparkSession, path: String, df: DataFrame, key: Column)
       : DataFrame =
     if (s.conf.get(EnabledConf, "true") == "true" && narrow(s, path))
-      df.repartition(s.sparkContext.defaultParallelism, key)
+      df.repartition(width(s), key)
     else df
 }

@@ -67,6 +67,30 @@ class SpreadSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("heal width = min(defaultParallelism, availableProcessors): " +
+      "never more simultaneous heavy tasks than the host can run") {
+    // r18 (VERDICT r17 #2): local[32] advertises 32 regardless of the
+    // cgroup CPU quota; a 32-task memory-heavy wave on fewer effective
+    // cores oversubscribes (driver ngram_hot 7.6 s vs 0.7 s quiet)
+    assert(Spread.width(32, 16) == 16, "cap at the cgroup quota")
+    assert(Spread.width(8, 32) == 8, "never exceed the session's ask")
+    assert(Spread.width(32, 32) == 32)
+    assert(Spread.width(4, 0) == 1, "degenerate quota still positive")
+    // and the live path uses it: the healed exchange's partition count
+    // is the capped width, not raw defaultParallelism
+    val d = sf("sf0.001")
+    withSpread {
+      val expected = math.min(spark.sparkContext.defaultParallelism,
+        Runtime.getRuntime.availableProcessors)
+      val plan = Spread(spark, s"$d/lineitem.parquet",
+        Tables.lineitem(spark, d), col("l_orderkey"))
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains(s"hashpartitioning(l_orderkey#") &&
+        plan.contains(s", $expected)"),
+        s"expected a $expected-way heal exchange:\n" + plan.take(800))
+    }
+  }
+
   test("disabled or wide layout: no repartition exchange is added") {
     val d = sf("sf0.001")
     // conf off (the suite default): identity
