@@ -80,19 +80,20 @@ object Plans {
       "18 codegen stages of tiny aggregates — eval-harness overhead, " +
       "not a scaling term."),
     "mad_outliers" -> (
-      "Audit (r17, composite-top-8 pole at 1.38 s): MAD is " +
-      "inherently three-pass (median, then median of |x-med|, then " +
-      "flag) and the plan pays exactly three column-pruned scans of " +
-      "orders (2 columns each) with NOTHING else repeated: the " +
-      "customer broadcast is built once and ReusedExchange'd into all " +
-      "three passes, and the 5-row med/mad tables ride broadcast " +
-      "hash joins back onto the fact. Both percentiles are " +
-      "ObjectHashAggregate with partial_percentile — map-side " +
-      "combined, 5 groups. The deliberate trade: `percentile` is " +
-      "EXACT (oracle-parity bit-for-bit via the shared round(...,6)), " +
-      "whose aggregation buffer grows with distinct values per " +
-      "segment — fine for a priced fact (bounded value grid), but the " +
-      "documented 100 TB swap point is approx_percentile/the " +
+      "Audit (r18 rewrite; was a composite-top-8 pole at 1.38 s): " +
+      "MAD is algebraically two-pass (median, then median of " +
+      "|x-med|), but med, mad and the outlier count are all " +
+      "functions of the SAME per-segment value multiset, so the plan " +
+      "is now ONE column-pruned scan of orders feeding ONE 5-group " +
+      "ObjectHashAggregate whose partial (sort_array(collect_list)) " +
+      "is map-side combined; the old shape paid three fact scans and " +
+      "two percentile broadcast-join rounds for the same answer. The " +
+      "interpolation replicates PercentileBase.getPercentile " +
+      "bit-for-bit (MadOutliersSpec pins equality on every SF). The " +
+      "deliberate trade is unchanged: the per-group state (the value " +
+      "list) is EXACTLY the buffer the exact `percentile` aggregate " +
+      "kept per group — fine for a priced fact (bounded value grid), " +
+      "but the documented 100 TB swap point is approx_percentile/the " +
       "percentile_twophase_ts narrowing shape when the value domain " +
       "is unbounded; the query keeps exact arithmetic because the " +
       "oracle gate hashes every digit."))

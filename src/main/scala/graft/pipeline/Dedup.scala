@@ -2,7 +2,7 @@ package graft.pipeline
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for large-scale corpus curation:
@@ -125,6 +125,9 @@ object Dedup {
       : Option[Array[Long]] = {
     if (sh.schema("s").dataType !=
         org.apache.spark.sql.types.LongType) return None
+    // a limit at or above Int.MaxValue cannot be probed with limit(n)
+    // (and could never be driver-collected anyway): report overflow
+    if (limit + 1 > Int.MaxValue) return None
     val vals = sh.select("s").distinct()
       .limit((limit + 1).toInt).collect().map(_.getLong(0))
     if (vals.length > limit) None else Some(vals.sorted)
@@ -310,6 +313,9 @@ object Dedup {
       val arr = new Array[Long](words)
       ss.foreach { v =>
         val b = java.util.Arrays.binarySearch(d, v)
+        if (b < 0) sys.error(
+          s"packBitsetsDict: shingle $v not in dictionary (caller must " +
+            "pass the complete vocabulary)")
         arr(b >> 6) |= (1L << (b & 63))
       }
       arr
@@ -320,18 +326,27 @@ object Dedup {
       .persist()
   }
 
-  /** Packed frame for the public bitmap entry points: long shingle
-    * columns take the driver-dict pack (the caller's vocab guard
-    * bounds the collect), anything else the distributed chain. */
-  private def packFor(sh: DataFrame, vocab: Int): DataFrame =
-    if (sh.schema("s").dataType == org.apache.spark.sql.types.LongType)
-      packBitsetsDict(sh,
-        sh.select("s").distinct().collect().map(_.getLong(0)).sorted)
-    else packBitsets(sh, vocab)
+  /** Packed frame for the public bitmap entry points, WITH the word
+    * count the pack actually used: long shingle columns take the
+    * driver-dict pack (the caller's vocab guard bounds the collect) —
+    * whose bitsets are sized by the ACTUAL distinct count, so the scan
+    * must use that width, not the caller's `vocab` estimate (an over-
+    * estimate would read past the arrays, an under-estimate would
+    * silently ignore high bits); anything else the distributed chain,
+    * which pads to the caller's width. */
+  private def packFor(sh: DataFrame, vocab: Int): (DataFrame, Int) =
+    if (sh.schema("s").dataType == org.apache.spark.sql.types.LongType) {
+      val dict = sh.select("s").distinct().collect().map(_.getLong(0)).sorted
+      require(dict.length <= vocab,
+        s"vocab estimate $vocab < actual distinct shingles ${dict.length}")
+      (packBitsetsDict(sh, dict), (dict.length + 63) / 64)
+    } else (packBitsets(sh, vocab), (vocab + 63) / 64)
 
   def jaccardPairsBitmap(sh: DataFrame, vocab: Int,
-                         threshold: Double): DataFrame =
-    jaccardScanPacked(packFor(sh, vocab), (vocab + 63) / 64, threshold)
+                         threshold: Double): DataFrame = {
+    val (packed, words) = packFor(sh, vocab)
+    jaccardScanPacked(packed, words, threshold)
+  }
 
   /** [[jaccardPairsBitmap]] with the vocabulary already collected by
     * the caller's probe (r17-opt fast path — no dictionary jobs). */
@@ -406,8 +421,10 @@ object Dedup {
     * path generated 5.6M candidates out of 12.5M possible pairs and
     * re-expanded them 40×, 34 s vs ~1 s here). */
   def containmentPairsBitmap(sh: DataFrame, vocab: Int,
-                             threshold: Double): DataFrame =
-    containmentScanPacked(packFor(sh, vocab), (vocab + 63) / 64, threshold)
+                             threshold: Double): DataFrame = {
+    val (packed, words) = packFor(sh, vocab)
+    containmentScanPacked(packed, words, threshold)
+  }
 
   /** [[containmentPairsBitmap]] with the caller-collected vocabulary
     * (r17-opt fast path). */
@@ -766,26 +783,32 @@ object Dedup {
     */
   def clusterPairs(pairs: DataFrame, maxIters: Int = 20,
                    driverEdgeLimit: Long = 1L << 20): DataFrame = {
-    // Persist the INPUT, not just the edge view: the size probe below
-    // materializes the pair plan once, and without this cache the
-    // small-graph collect (or the first propagation round) would run
-    // the whole upstream pair-generation plan — typically an LSH or
-    // IVF candidate join — a second time from scratch.
+    // Adaptive small-graph path: near-dup pair graphs are usually tiny
+    // relative to the corpus (only docs with a near-duplicate appear).
+    // Under the edge limit (~32 MB at 1M edges) a driver union-find
+    // replaces O(log diameter) iterative Spark rounds — same labels.
+    // r18: the probe IS the collect — `limit(n + 1)` returns every row
+    // whenever fewer exist (the vocabDictLong discipline), so one
+    // bounded job yields both the verdict and the union-find input; the
+    // old shape paid a pairs persist + an edges persist + a count job
+    // + a second collect for the same decision. Only an overflowing
+    // graph pays the distributed path's materialization below.
+    if (driverEdgeLimit + 1 <= Int.MaxValue) {
+      val probe = pairs.select("id_a", "id_b")
+        .limit((driverEdgeLimit + 1).toInt).collect()
+      if (probe.length <= driverEdgeLimit)
+        return clusterOnDriver(pairs.sparkSession, probe,
+          pairs.schema("id_a").dataType)
+    }
+    // Persist the INPUT, not just the edge view: without this cache the
+    // first propagation round would run the whole upstream
+    // pair-generation plan — typically an LSH or IVF candidate join —
+    // a second time from scratch.
     val p = pairs.persist()
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    // Adaptive small-graph path: near-dup pair graphs are usually tiny
-    // relative to the corpus (only docs with a near-duplicate appear).
-    // Under the edge limit (~32 MB at 1M edges) a driver union-find
-    // replaces O(log diameter) iterative Spark rounds — same labels,
-    // one job. The distributed loop below is the >limit path.
-    if (edges.count() / 2 <= driverEdgeLimit) {
-      val out = clusterOnDriver(p)
-      p.unpersist()
-      edges.unpersist()
-      return out
-    }
+    edges.count() // materialize before dropping the input cache
     p.unpersist() // large path: pairs are materialized inside `edges`
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
@@ -836,11 +859,12 @@ object Dedup {
     * branch of [[clusterPairs]]): path-halving find, union by keeping
     * the smaller root under natural ordering, so each component's root
     * IS its min id — identical labels to min-label propagation. */
-  private def clusterOnDriver(pairs: DataFrame): DataFrame = {
+  private def clusterOnDriver(spark: SparkSession,
+                              rows: Array[org.apache.spark.sql.Row],
+                              idType: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val idType = pairs.schema("id_a").dataType
-    val rows = pairs.select("id_a", "id_b").collect()
     val parent = new java.util.HashMap[Any, Any]()
     def find(x0: Any): Any = {
       var x = x0
@@ -861,7 +885,7 @@ object Dedup {
     }
     val nodes = rows.flatMap(r => Seq(r.get(0), r.get(1))).distinct
     val out = nodes.map(n => Row(n, find(n))).toSeq
-    pairs.sparkSession.createDataFrame(
+    spark.createDataFrame(
       out.asJava,
       StructType(Seq(StructField("id", idType), StructField("cluster", idType))))
   }

@@ -107,23 +107,46 @@ object AnalyticsQueries {
     * aggregates are exact percentiles. The 1.4826 factor scales MAD to
     * σ under normality; > 3σ-equivalent flags the outlier. */
   def madOutliers(s: SparkSession, d: String): DataFrame = {
+    // r18 (guide §2.3): MAD is algebraically two-pass, but med, mad
+    // AND the outlier count are all functions of the SAME per-segment
+    // value multiset — so ONE sorted-values aggregate per segment
+    // replaces three full fact scans plus two percentile
+    // broadcast-join rounds. The per-group state (the value list) is
+    // EXACTLY the buffer the exact `percentile` aggregate already
+    // kept per group, so the memory story is unchanged and the
+    // documented 100 TB swap point (approx_percentile) still applies.
+    // `interp` replicates PercentileBase.getPercentile bit-for-bit:
+    //   pos = p·(n−1); (ceil(pos)−pos)·lo + (pos−floor(pos))·hi
+    // (o_totalprice is DECIMAL(12,2) — exact in double, so the cast
+    // neither reorders values nor changes toDoubleValue). The
+    // MadOutliersSpec equivalence test pins new == old on every SF.
     val oc = Tables.orders(s, d)
       .join(broadcast(Tables.customer(s, d)),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("segment"),
-        col("o_totalprice").as("x"))
-    val med = oc.groupBy("segment")
-      .agg(round(expr("percentile(x, 0.5)"), 6).as("med"))
-    val dev = oc.join(broadcast(med), Seq("segment"))
-      .withColumn("ad", abs(col("x") - col("med")))
-    val mad = dev.groupBy("segment")
-      .agg(round(expr("percentile(ad, 0.5)"), 6).as("mad"))
-    dev.join(broadcast(mad), Seq("segment"))
-      .groupBy("segment")
-      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
-        count(lit(1)).as("n"),
-        count(when(col("ad") > lit(3.0) * lit(1.4826) * col("mad"), 1))
-          .as("n_outliers"))
+        col("o_totalprice").cast("double").as("x"))
+    def interp(arr: Column, n: Column): Column = {
+      val pos = lit(0.5) * (n - lit(1)).cast("double")
+      val li = floor(pos)
+      val hi = ceil(pos)
+      val lo = element_at(arr, li.cast("int") + 1)
+      val hv = element_at(arr, hi.cast("int") + 1)
+      when(hi === li, lo)
+        .otherwise((hi.cast("double") - pos) * lo +
+          (pos - li.cast("double")) * hv)
+    }
+    oc.groupBy("segment")
+      .agg(sort_array(collect_list(col("x"))).as("xs"))
+      .withColumn("n", size(col("xs")))
+      .withColumn("med", round(interp(col("xs"), col("n")), 6))
+      .withColumn("ads", array_sort(transform(col("xs"),
+        v => abs(v - col("med")))))
+      .withColumn("mad", round(interp(col("ads"), col("n")), 6))
+      .select(col("segment"), col("med"), col("mad"),
+        col("n").cast("long").as("n"),
+        size(filter(col("ads"),
+          v => v > lit(3.0) * lit(1.4826) * col("mad")))
+          .cast("long").as("n_outliers"))
       .orderBy("segment")
   }
 

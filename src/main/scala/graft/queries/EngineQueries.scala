@@ -3,6 +3,7 @@ package graft.queries
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -913,16 +914,26 @@ object EngineQueries {
     * the A-queries→B-neighbors top-k (query_id, neighbor_id, cos),
     * `kBA` the reverse. */
   private def bitextMargin(kAB: DataFrame, kBA: DataFrame): DataFrame = {
-    val densA = kAB.groupBy(col("query_id").as("a_id"))
-      .agg((sum(col("cos").cast(Q.Dec)).cast("double") /
-        count(lit(1))).as("dens_a"))
+    // r18: dens_a folds into a window over kAB itself (same sum/count
+    // algebra, partitioned by the query endpoint) instead of a
+    // re-aggregate + self-join — the optimizer does NOT share the two
+    // kAB derivations, so the join form computed the whole Hamming/
+    // rerank candidate subtree twice per direction (guide §2.4). The
+    // window's required distribution is query_id — satisfied by kAB's
+    // own ranking window partitioning, zero added exchanges — and the
+    // downstream per-a_id argmax groups on the same key. dens_b keeps
+    // the aggregate+join form: it re-keys by the OTHER endpoint
+    // (b_id), which no kAB-side partitioning can serve.
+    val wA = Window.partitionBy("query_id")
     val densB = kBA.groupBy(col("query_id").as("b_id"))
       .agg((sum(col("cos").cast(Q.Dec)).cast("double") /
         count(lit(1))).as("dens_b"))
     val scored = kAB
+      .withColumn("dens_a",
+        sum(col("cos").cast(Q.Dec)).over(wA).cast("double") /
+          count(lit(1)).over(wA))
       .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
-        col("cos"))
-      .join(densA, Seq("a_id"))
+        col("cos"), col("dens_a"))
       .join(densB, Seq("b_id"))
       .withColumn("margin",
         round(lit(2.0) * col("cos") / (col("dens_a") + col("dens_b")), 6))

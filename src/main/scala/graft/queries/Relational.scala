@@ -298,7 +298,12 @@ object Relational {
   /** Sessionization of the event stream: 30-minute inactivity gap starts
     * a new session; per-session stats. One shuffle (by user), two window
     * passes over the same sort order — Catalyst reuses the exchange. */
-  def sessionize(s: SparkSession, d: String): DataFrame = {
+  /** [[sessionize]] without its output ORDER BY — for consumers that
+    * re-aggregate (r18: the orderBy is NOT eliminated under the
+    * overlap consumer's explode+join; it survived as a range exchange
+    * + sampling job the consumer never needed). */
+  private[queries] def sessionizeCore(s: SparkSession, d: String)
+      : DataFrame = {
     val GapNs = 30L * 60 * 1000000L
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     Tables.events(s, d)
@@ -313,8 +318,10 @@ object Relational {
         min(col("ts_us")).as("start_ns"),
         max(col("ts_us")).as("end_ns"),
         Q.dsum(col("value"), 4).as("sum_value"))
-      .orderBy("user_id", "session_idx")
   }
+
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    sessionizeCore(s, d).orderBy("user_id", "session_idx")
 
   val sessionizeSql: String = s"""
     WITH flagged AS (
@@ -349,9 +356,30 @@ object Relational {
     * the first overlap bucket, so no pair-set distinct exists in the
     * plan. */
   def sessionWindowOverlap(s: SparkSession, d: String): DataFrame = {
-    val sess = sessionize(s, d).select(col("user_id"), col("session_idx"),
-      col("start_ns"), (col("end_ns") + 1).as("end_x"))
-    val windows = Tables.events(s, d).agg(min(col("ts_us")).as("t0"))
+    // r18: sessionizeCore, not sessionize — the output ORDER BY was
+    // not eliminated under this consumer's explode+join and survived
+    // as a range exchange + sampling job the overlap never needed.
+    val sess = sessionizeCore(s, d).select(col("user_id"),
+      col("session_idx"), col("start_ns"), (col("end_ns") + 1).as("end_x"))
+    // r18: t0 = min(ts_us) comes from the parquet FOOTER statistic
+    // (zero jobs — the DenseGraph/BipartiteFixpoint longMinMax
+    // pattern) instead of a second full events scan + broadcast-build
+    // job; the stored unit (nanos under nanosAsLong ⇒ LongType, else
+    // micros) follows the same dispatch Tables.events uses. Footers
+    // without the statistic fall back to the original scan.
+    val t0Lit: Option[Long] = graft.sources.ParquetStats
+      .longMinMax(s, s"$d/events.parquet", "ts").map { case (mn, _) =>
+        graft.Tables.table(s, d, "events").schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            Math.floorDiv(mn, 1000L) // stored nanos → ts_us
+          case _ => mn               // stored micros
+        }
+      }
+    val t0Row = t0Lit match {
+      case Some(t0) => s.range(1).select(lit(t0).as("t0"))
+      case None => Tables.events(s, d).agg(min(col("ts_us")).as("t0"))
+    }
+    val windows = t0Row
       .select(explode(sequence(lit(0L), lit(19L))).as("window_id"),
         col("t0"))
       .select(col("window_id"),

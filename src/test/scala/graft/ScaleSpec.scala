@@ -1702,32 +1702,34 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("mad_outliers: three column-pruned fact scans, one reused " +
-      "customer broadcast, map-side partial percentiles, no " +
-      "sort-merge join") {
-    // The other new composite-top-8 pole (r16, 1.38 s). MAD is
-    // inherently three-pass; the contract is that the THREE scans are
-    // the only repetition: the customer broadcast builds once
-    // (ReusedExchange into every pass), the 5-row med/mad frames ride
-    // broadcast joins, and both exact percentiles partial-aggregate
-    // map-side (ObjectHashAggregate) — nothing fact-sized crosses a
-    // non-broadcast exchange before the final 5-group aggregate.
+  test("mad_outliers: ONE column-pruned fact scan, one exchange, " +
+      "map-side partial collect, no sort-merge join") {
+    // r18 rewrite (was: three scans + two percentile broadcast-join
+    // rounds): med, mad and the outlier count all derive from one
+    // sorted per-segment value array, so the contract is now a SINGLE
+    // fact scan feeding a single 5-group aggregate whose partial
+    // (the value list) is map-side combined — the same per-group
+    // state the exact percentile aggregate kept, one pass instead of
+    // three. MadOutliersSpec pins result equality with the old form.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val q = graft.queries.AnalyticsQueries.madOutliers(spark, sf("sf0.001"))
       val plan = q.queryExecution.executedPlan.toString
-      assert(plan.contains("partial_percentile"),
-        "percentiles lost their map-side partial:\n" + plan.take(1200))
+      assert(plan.contains("partial_collect_list") ||
+        plan.contains("partial_sort_array"),
+        "value collection lost its map-side partial:\n" + plan.take(1200))
       assert(plan.contains("ObjectHashAggregate"), plan.take(1200))
-      assert(plan.contains("ReusedExchange"),
-        "customer broadcast no longer reused across passes:\n" +
-          plan.take(1500))
       assert(!plan.contains("SortMergeJoin"),
-        "a MAD pass degraded to a shuffle join:\n" + plan.take(1500))
+        "the MAD pass degraded to a shuffle join:\n" + plan.take(1500))
       val factScans = plan.linesIterator
         .count(l => l.contains("FileScan") && l.contains("orders.parquet"))
-      assert(factScans == 3,
-        s"expected exactly 3 column-pruned orders scans, got $factScans")
+      assert(factScans == 1,
+        s"expected exactly 1 column-pruned orders scan, got $factScans")
+      val exchanges = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1,
+        s"expected exactly 1 shuffle (the 5-group aggregate), " +
+          s"got $exchanges:\n" + plan.take(1500))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
